@@ -1,0 +1,41 @@
+"""Engine constants, mirroring the reference's performance envelope.
+
+Each constant cites the reference file fixing it (SURVEY.md §6):
+  - BLOCK_SIZE 128:      lucene/core/.../codecs/lucene99/Lucene99PostingsFormat.java:360
+  - PFOR_MAX_EXCEPTIONS: codecs/lucene99/PForUtil.java:29 (<= 7 patched exceptions)
+  - BM25 defaults:       search/similarities/BM25Similarity.java:99-101
+  - merge policy:        index/TieredMergePolicy.java:89-98
+  - MAX_TOKEN_LEN 255:   analysis/standard/StandardAnalyzer.java:37
+  - TOTAL_HITS_THRESHOLD search/IndexSearcher.java:99
+"""
+
+# postings block size (docs per packed block; also the skip/impact granularity)
+BLOCK_SIZE = 128
+
+# PFor: max number of patched exceptions per block
+PFOR_MAX_EXCEPTIONS = 7
+
+# BM25 defaults
+BM25_K1 = 1.2
+BM25_B = 0.75
+DISCOUNT_OVERLAPS = True
+
+# analysis
+MAX_TOKEN_LEN = 255
+
+# TieredMergePolicy defaults (bytes)
+MERGE_FLOOR_SEGMENT_BYTES = 2 * 1024 * 1024  # 2 MB
+MERGE_MAX_MERGED_SEGMENT_BYTES = 5 * 1024 * 1024 * 1024  # 5 GB
+MERGE_SEGS_PER_TIER = 10.0
+MERGE_MAX_MERGE_AT_ONCE = 10
+MERGE_DELETES_PCT_ALLOWED = 20.0
+
+# search
+TOTAL_HITS_THRESHOLD = 1000
+DEFAULT_TOP_K = 10
+
+# index build: target docs per segment when splitting large inputs.
+# At 100 TB this bounds per-task memory (tokenized postings for one segment
+# must fit a worker heap) and keeps query slices uniform — the analog of
+# IndexSearcher's 250K-doc slice cap (IndexSearcher.java:105).
+TARGET_DOCS_PER_SEGMENT = 250_000

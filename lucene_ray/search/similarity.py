@@ -1,0 +1,143 @@
+"""BM25 similarity — float32-exact port of the reference formula, plus a
+float64 "exact length" variant used for DuckDB-oracle cross-checks.
+
+Reference: lucene/core/.../search/similarities/BM25Similarity.java
+  - idf  = (float) ln(1 + (N - df + 0.5) / (df + 0.5))     [:103-106, double
+    math cast to float]
+  - avgdl = (float) (sumTotalTermFreq / (double) docCount)  [:108-111]
+  - norm cache: cache[b] = 1f / (k1 * ((1-b) + b * LENGTH_TABLE[b] / avgdl))
+    — 256 float32 entries, LENGTH_TABLE = byte4ToInt decode  [:196-209]
+  - score(freq, norm) = weight - weight / (1 + freq * cache[norm]) with
+    weight = boost * idf, all float32 ops                    [:246-258]
+
+numpy float32 arithmetic is IEEE-754 binary32 with round-to-nearest and no
+FMA in these kernels, matching Java float semantics — the basis of the
+"scores within 1e-6" CheckHits gate (test-framework/.../CheckHits.java:222-246).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from lucene_ray.config import BM25_B, BM25_K1
+from lucene_ray.util.smallfloat import LENGTH_TABLE_F32
+
+
+class BM25Similarity:
+    """Lucene-parity BM25 over byte-encoded norms (the default similarity,
+    search/IndexSearcher.java:128)."""
+
+    def __init__(self, k1: float = BM25_K1, b: float = BM25_B):
+        if not np.isfinite(k1) or k1 < 0:
+            raise ValueError(f"illegal k1 value: {k1}")
+        if not (0 <= b <= 1):
+            raise ValueError(f"illegal b value: {b}")
+        self.k1 = np.float32(k1)
+        self.b = np.float32(b)
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(
+            np.log(1 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
+        )
+
+    def avgdl(self, sum_total_term_freq: int, doc_count: int) -> np.float32:
+        return np.float32(sum_total_term_freq / float(doc_count))
+
+    def scorer(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+    ) -> "BM25Scorer":
+        avgdl = self.avgdl(sum_total_term_freq, doc_count)
+        # 256-entry norm-inverse cache, float32 throughout
+        cache = np.float32(1.0) / (
+            self.k1
+            * (
+                (np.float32(1.0) - self.b)
+                + self.b * LENGTH_TABLE_F32 / avgdl
+            )
+        )
+        weight = np.float32(boost) * self.idf(doc_freq, doc_count)
+        return BM25Scorer(weight, cache.astype(np.float32))
+
+
+class BM25Scorer:
+    """Per-(query-term) scorer: score(freq, norm_byte) vectorized float32."""
+
+    __slots__ = ("weight", "cache")
+
+    def __init__(self, weight: np.float32, cache: np.ndarray):
+        self.weight = weight
+        self.cache = cache
+
+    def score(self, freq: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float32)
+        inv = self.cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        # overflow to +inf is fine (Java float does the same silently;
+        # weight - weight/inf == weight, the global max bound)
+        with np.errstate(over="ignore"):
+            return self.weight - self.weight / (np.float32(1.0) + f * inv)
+
+    def max_score(self, impacts_packed) -> np.float32:
+        """Upper bound from packed (tf << 8 | norm) competitive pairs — the
+        MaxScoreCache analog (search/MaxScoreCache.java:34-79)."""
+        arr = np.asarray(impacts_packed, dtype=np.int64)
+        if arr.size == 0:
+            return np.float32(0.0)
+        return self.score((arr >> 8).astype(np.float32), arr & 0xFF).max()
+
+    def global_max_score(self) -> np.float32:
+        """score(Float.MAX_VALUE, norm=1) — MaxScoreCache.java:40."""
+        return self.score(
+            np.array([np.finfo(np.float32).max], dtype=np.float32),
+            np.array([1]),
+        )[0]
+
+
+class BM25ExactSimilarity:
+    """BM25 with *exact* (unquantized) document lengths and float64 math.
+
+    Not a Lucene mode — exists so oracle-checked pipelines can be reproduced
+    bit-for-bit by DuckDB SQL (both sides: IEEE double, same ln). The
+    Lucene-parity float32/byte-norm path is validated by golden + duel tests
+    instead (scores differ from doubles only through norm quantization).
+    """
+
+    def __init__(self, k1: float = BM25_K1, b: float = BM25_B):
+        self.k1 = float(k1)
+        self.b = float(b)
+
+    def idf(self, doc_freq: int, doc_count: int) -> float:
+        # math.log (libm) not np.log: numpy's SIMD log can differ from libm by
+        # 1 ulp, breaking bit-parity with the DuckDB oracle's ln().
+        return math.log(1 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
+
+    def score(
+        self,
+        freq: np.ndarray,
+        doc_len: np.ndarray,
+        doc_freq: int,
+        doc_count: int,
+        avgdl: float,
+    ) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = np.asarray(doc_len, dtype=np.float64)
+        idf = self.idf(doc_freq, doc_count)
+        denom = f + self.k1 * (1 - self.b + self.b * dl / avgdl)
+        return idf * f / denom
+
+    @staticmethod
+    def sql(tf: str, dl: str, df: str, n: str, avgdl: str, k1: float = BM25_K1, b: float = BM25_B) -> str:
+        """DuckDB expression computing exactly ``score`` (float64), same
+        operation order as the numpy path (Lucene's tf-saturation form,
+        without the constant (k1+1) factor — BM25Similarity.java:219-222
+        note: 'k1+1 is constant, ignorable for ranking')."""
+        idf = f"ln(1 + ({n} - {df} + 0.5) / ({df} + 0.5))"
+        return (
+            f"({idf}) * {tf} / "
+            f"({tf} + {k1} * (1 - {b} + {b} * {dl} / {avgdl}))"
+        )

@@ -1,0 +1,83 @@
+"""Golden tokenizer cases (TestStandardAnalyzer-style, SURVEY.md §5 item 1)
+plus Python<->DuckDB parity for the SQL-mirrored CodeAnalyzer."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from lucene_ray.analysis import CodeAnalyzer, StandardLiteAnalyzer, get_analyzer, tokenize_sql_expr
+
+CODE_GOLDENS = [
+    # (text, expected tokens) — WordDelimiterGraphFilter-style splitting
+    ("PowerShot SD500", ["power", "shot", "sd", "500"]),
+    ("camelCaseId2", ["camel", "case", "id", "2"]),
+    ("XMLHttpRequest", ["xml", "http", "request"]),
+    ("snake_case_id", ["snake", "case", "id"]),
+    ("foo.bar(baz, 42)", ["foo", "bar", "baz", "42"]),
+    ("don't", ["don", "t"]),
+    ("", []),
+    ("...", []),
+    ("A1a", ["a", "1", "a"]),
+    ("C:\\path\\file.txt", ["c", "path", "file", "txt"]),
+    ("int RETURN_VALUE = getValue();", ["int", "return", "value", "get", "value"]),
+]
+
+STANDARD_GOLDENS = [
+    # UAX#29-lite: keeps don't / 3.14 / SD500 whole
+    ("PowerShot SD500", ["powershot", "sd500"]),
+    ("don't stop", ["don't", "stop"]),
+    ("pi is 3.14, e is 2.71", ["pi", "is", "3.14", "e", "is", "2.71"]),
+    ("foo_bar", ["foo", "bar"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", CODE_GOLDENS)
+def test_code_analyzer_goldens(text, expected):
+    assert CodeAnalyzer().tokenize_text(text) == expected
+
+
+@pytest.mark.parametrize("text,expected", STANDARD_GOLDENS)
+def test_standard_lite_goldens(text, expected):
+    assert StandardLiteAnalyzer().tokenize_text(text) == expected
+
+
+def test_max_token_length_dropped():
+    an = CodeAnalyzer()
+    assert an.tokenize_text("x" * 255) == ["x" * 255]
+    assert an.tokenize_text("x" * 256) == []
+    assert an.tokenize_text("ok " + "x" * 256 + " fine") == ["ok", "fine"]
+
+
+def test_registry():
+    assert get_analyzer("code").name == "code"
+    assert get_analyzer("standard").name == "standard"
+
+
+def test_duckdb_parity():
+    texts = [t for t, _ in CODE_GOLDENS] + [
+        "  leading and trailing  ",
+        "MixedUPPERlower123abcDEF",
+        "a" * 300,
+        "tabs\tand\nnewlines",
+    ]
+    an = CodeAnalyzer()
+    py = [an.tokenize_text(t) for t in texts]
+    con = duckdb.connect()
+    con.register("t", pa.table({"text": texts}))
+    sql = [
+        row[0]
+        for row in con.execute(
+            f"SELECT {tokenize_sql_expr('text')} FROM t"
+        ).fetchall()
+    ]
+    assert py == sql
+
+
+def test_tokenize_flat_positions():
+    an = CodeAnalyzer()
+    row_idx, terms, pos = an.tokenize_flat(
+        pa.array(["fooBar baz", "", "one two three"])
+    )
+    assert row_idx.tolist() == [0, 0, 0, 2, 2, 2]
+    assert terms.to_pylist() == ["foo", "bar", "baz", "one", "two", "three"]
+    assert pos.tolist() == [0, 1, 2, 0, 1, 2]

@@ -1,0 +1,119 @@
+"""BM25 property tests (BaseSimilarityTestCase.testRandomScoring semantics,
+test-framework/.../similarities/BaseSimilarityTestCase.java:258-430) plus
+golden float32 values computed from the Java formula by hand."""
+
+import numpy as np
+import pytest
+
+from lucene_ray.search.similarity import BM25ExactSimilarity, BM25Similarity
+from lucene_ray.util.smallfloat import int_to_byte4
+
+
+def java_score(freq, norm_byte, df, N, sttf, k1=1.2, b=0.75, boost=1.0):
+    """Reference float32 computation, transliterated step by step."""
+    from lucene_ray.util.smallfloat import LENGTH_TABLE_F32
+
+    idf = np.float32(np.log(1 + (N - df + 0.5) / (df + 0.5)))
+    avgdl = np.float32(sttf / float(N))
+    cache = np.float32(1.0) / (
+        np.float32(k1)
+        * ((np.float32(1) - np.float32(b)) + np.float32(b) * LENGTH_TABLE_F32 / avgdl)
+    )
+    weight = np.float32(boost) * idf
+    inv = cache[norm_byte & 0xFF]
+    return weight - weight / (np.float32(1) + np.float32(freq) * inv)
+
+
+def test_golden_values():
+    sim = BM25Similarity()
+    sc = sim.scorer(doc_freq=5, doc_count=100, sum_total_term_freq=1000)
+    for freq, nb in [(1, 10), (3, 10), (10, 40), (2, 255), (7, 0)]:
+        got = sc.score(np.array([freq]), np.array([nb]))[0]
+        want = java_score(freq, nb, 5, 100, 1000)
+        assert got == want  # bit-identical float32
+
+
+def test_param_validation():
+    # TestBM25Similarity.java:22 parameter checks
+    with pytest.raises(ValueError):
+        BM25Similarity(k1=-1)
+    with pytest.raises(ValueError):
+        BM25Similarity(k1=float("nan"))
+    with pytest.raises(ValueError):
+        BM25Similarity(b=1.5)
+    with pytest.raises(ValueError):
+        BM25Similarity(b=-0.1)
+    BM25Similarity(k1=0.0, b=0.0)
+    BM25Similarity(k1=5.0, b=1.0)
+
+
+def test_random_scoring_properties():
+    rng = np.random.default_rng(42)
+    for _ in range(200):
+        N = int(rng.integers(1, 2**30))
+        df = int(rng.integers(1, N + 1))
+        sttf = int(rng.integers(N, N * 10 + 1))
+        sim = BM25Similarity()
+        sc = sim.scorer(df, N, sttf)
+        freqs = np.sort(rng.uniform(1, 1e6, size=20).astype(np.float32))
+        norms = np.arange(256)
+        # finite, >= 0, <= global max bound
+        s = sc.score(np.repeat(freqs, 256), np.tile(norms, 20))
+        assert np.all(np.isfinite(s))
+        assert np.all(s >= 0)
+        assert np.all(s <= sc.global_max_score())
+        # monotone non-decreasing in freq at fixed norm
+        for nb in (0, 1, 128, 255):
+            sf_ = sc.score(freqs, np.full(20, nb))
+            assert np.all(np.diff(sf_) >= 0)
+        # non-increasing in encoded length at fixed freq
+        sn = sc.score(np.full(256, freqs[5]), norms)
+        assert np.all(np.diff(sn) <= 0)
+
+
+def test_max_score_is_upper_bound():
+    sim = BM25Similarity()
+    sc = sim.scorer(doc_freq=10, doc_count=1000, sum_total_term_freq=5000)
+    rng = np.random.default_rng(1)
+    tfs = rng.integers(1, 100, size=128)
+    norms = rng.integers(1, 256, size=128)
+    from lucene_ray.codec.postings_codec import pareto_impacts
+
+    packed = pareto_impacts(tfs, norms)
+    bound = sc.max_score(packed)
+    scores = sc.score(tfs.astype(np.float32), norms)
+    assert np.all(scores <= bound)
+    assert bound == scores.max()  # pareto front is tight
+
+
+def test_exact_similarity_matches_quantized_when_lengths_exact():
+    """For doc lengths < NUM_FREE_VALUES the byte norm is exact, so the
+    float32 engine and the float64 exact engine agree to ~1e-6 relative."""
+    ex = BM25ExactSimilarity()
+    sim = BM25Similarity()
+    N, df, sttf = 100, 7, 1200
+    sc = sim.scorer(df, N, sttf)
+    lens = np.array([1, 5, 10, 20, 23])
+    tfs = np.array([1, 2, 3, 4, 5])
+    nb = int_to_byte4(lens)
+    got32 = sc.score(tfs.astype(np.float32), nb)
+    got64 = ex.score(tfs, lens, df, N, avgdl=sttf / N)
+    np.testing.assert_allclose(got32, got64, rtol=2e-6)
+
+
+def test_exact_sql_parity():
+    import duckdb
+
+    ex = BM25ExactSimilarity()
+    N, df, avgdl = 500, 13, 37.25
+    tfs = np.array([1, 2, 5, 9], dtype=np.float64)
+    dls = np.array([10, 50, 37, 120], dtype=np.float64)
+    py = ex.score(tfs, dls, df, N, avgdl)
+    con = duckdb.connect()
+    expr = BM25ExactSimilarity.sql("tf", "dl", str(df), str(N), str(avgdl))
+    rows = con.execute(
+        f"SELECT {expr} FROM (SELECT unnest($1::DOUBLE[]) tf, unnest($2::DOUBLE[]) dl)",
+        [tfs.tolist(), dls.tolist()],
+    ).fetchall()
+    sql = np.array([r[0] for r in rows])
+    assert np.array_equal(py, sql)  # bit-identical doubles
