@@ -1,0 +1,264 @@
+"""Ray-Data-native index build: Parquet corpus -> postings segments.
+
+Pipeline shape (SURVEY.md §7.1 steps 2-6, replacing IndexWriter's DWPT +
+flush machinery, index/DocumentsWriter.java:409-460):
+
+  plan (driver, Parquet footers only)
+      -> ray.data.from_items(segment specs)                # tiny control rows
+      -> map_batches(build_segment, task-parallel)         # the real work
+      -> driver folds the streamed entry rows into manifest.json
+
+Design notes for 100 TB scale:
+  - **Deterministic docids under any parallelism** (north rule N vs 4N
+    equivalence): the plan is derived only from the *sorted* input file list
+    and their footer row counts; docid_base = prefix sum over the plan. No
+    dependence on execution order (the DWPT-private-ids + docBase remap
+    analog, index/DocIDMerger.java:27-43).
+  - **One segment per spec, built inside one task**: tokenize + postings
+    group-by-term happen vectorized, in-memory, on <= TARGET_DOCS_PER_SEGMENT
+    docs (the 16 MB-RAM-buffer flush analog, IndexWriterConfig.java:83 — our
+    "RAM buffer" is the segment spec size). There is NO global shuffle in the
+    build: postings only need term-grouping *within* a docid range, which is
+    a local sort — the all-to-all groupby("term") exists only in the optional
+    global-stats pipeline (`global_term_stats`) and is salted there.
+  - **Checkpoint/resume**: finished segments are skipped at planning time by
+    their entry.json fingerprint; a killed build re-runs only missing specs.
+  - **Streaming**: segment tables are written from inside tasks; only
+    O(#segments) manifest rows flow back to the driver.
+  - The corpus 'content' column is read per-task with row-group + column
+    pruning (never the whole table anywhere).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_ray.analysis import get_analyzer
+from lucene_ray.codec.postings_codec import build_segment_postings
+from lucene_ray.config import TARGET_DOCS_PER_SEGMENT
+from lucene_ray.index.manifest import (
+    Manifest,
+    SegmentEntry,
+    read_entry,
+    read_manifest,
+    segment_dir,
+    write_entry,
+    write_manifest,
+)
+
+STORED_COLUMNS = ["repo", "path", "commit", "lang"]
+
+
+@dataclass
+class SegmentSpec:
+    seg_idx: int
+    file: str
+    rg_start: int  # first row group (inclusive)
+    rg_end: int    # last row group (exclusive)
+    n_docs: int
+    docid_base: int
+
+    @property
+    def fingerprint(self) -> str:
+        base = os.path.basename(self.file)
+        return hashlib.sha1(
+            f"{base}:{self.rg_start}:{self.rg_end}:{self.n_docs}".encode()
+        ).hexdigest()[:12]
+
+    @property
+    def name(self) -> str:
+        return f"seg_{self.seg_idx:06d}_{self.fingerprint}"
+
+
+def plan_segments(
+    input_paths: list[str],
+    target_docs: int = TARGET_DOCS_PER_SEGMENT,
+) -> list[SegmentSpec]:
+    """Split inputs into docid-contiguous segment specs at row-group
+    granularity, from Parquet footers only (no data read)."""
+    specs: list[SegmentSpec] = []
+    base = 0
+    seg_idx = 0
+    for path in sorted(input_paths):
+        meta = pq.read_metadata(path)
+        rg_rows = [meta.row_group(i).num_rows for i in range(meta.num_row_groups)]
+        start = 0
+        while start < len(rg_rows):
+            end, acc = start, 0
+            while end < len(rg_rows) and (acc == 0 or acc + rg_rows[end] <= target_docs):
+                acc += rg_rows[end]
+                end += 1
+            specs.append(SegmentSpec(seg_idx, path, start, end, acc, base))
+            base += acc
+            seg_idx += 1
+            start = end
+    return specs
+
+
+def _sha256_column(texts: pa.Array) -> pa.Array:
+    """Per-row sha256(content) hex — the content-integrity invariant vs the
+    source Parquet (the CRC32-footer analog, codecs/CodecUtil.java)."""
+    return pa.array(
+        [hashlib.sha256(t.encode()).hexdigest() if t is not None else None
+         for t in texts.to_pylist()],
+        type=pa.string(),
+    )
+
+
+def build_one_segment(spec: SegmentSpec, index_dir: str, analyzer_name: str = "code") -> SegmentEntry:
+    """Build one segment from its input row groups. Pure + idempotent
+    (writes only under its own segment dir; atomic entry.json last)."""
+    existing = read_entry(index_dir, spec.name)
+    if existing is not None and existing.input.get("fingerprint") == spec.fingerprint:
+        return existing
+
+    t0 = time.perf_counter()
+    pf = pq.ParquetFile(spec.file)
+    table = pf.read_row_groups(
+        list(range(spec.rg_start, spec.rg_end)),
+        columns=STORED_COLUMNS + ["content"],
+    )
+    n = table.num_rows
+    assert n == spec.n_docs, f"footer said {spec.n_docs} rows, read {n}"
+    content = table.column("content").combine_chunks()
+
+    analyzer = get_analyzer(analyzer_name)
+    row_idx, terms, positions = analyzer.tokenize_flat(content)
+
+    from lucene_ray.util.smallfloat import int_to_byte4
+
+    doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
+    norm_bytes = int_to_byte4(doc_len)
+    postings, stats = build_segment_postings(
+        row_idx, terms, positions, n, norm_bytes
+    )
+
+    d = segment_dir(index_dir, spec.name)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(postings, os.path.join(d, "postings.parquet"))
+    norms_table = pa.table(
+        {
+            "norm": pa.array(norm_bytes, type=pa.uint8()),
+            "doc_len": pa.array(doc_len, type=pa.int64()),
+        }
+    )
+    pq.write_table(norms_table, os.path.join(d, "norms.parquet"))
+    stored = table.select(STORED_COLUMNS).append_column(
+        "content_sha256", _sha256_column(content)
+    )
+    pq.write_table(stored, os.path.join(d, "stored.parquet"))
+
+    secs = time.perf_counter() - t0
+    postings_pairs = int(pa.compute.sum(postings.column("df")).as_py() or 0)
+    seg_bytes = sum(
+        os.path.getsize(os.path.join(d, f))
+        for f in ("postings.parquet", "norms.parquet", "stored.parquet")
+    )
+    entry = SegmentEntry(
+        name=spec.name,
+        docid_base=spec.docid_base,
+        doc_count=n,
+        sum_ttf=stats["sum_ttf"],
+        unique_terms=stats["unique_terms"],
+        bytes=seg_bytes,
+        input={
+            "file": spec.file,
+            "rg_start": spec.rg_start,
+            "rg_end": spec.rg_end,
+            "fingerprint": spec.fingerprint,
+        },
+        metrics={
+            "build_secs": round(secs, 4),
+            "docs_per_sec": round(n / secs, 1),
+            "postings": postings_pairs,
+            "postings_per_sec": round(postings_pairs / secs, 1),
+            "tokens": int(stats["sum_ttf"]),
+        },
+    )
+    write_entry(index_dir, entry)
+    return entry
+
+
+def build_index(
+    input_paths: list[str],
+    index_dir: str,
+    analyzer_name: str = "code",
+    target_docs: int = TARGET_DOCS_PER_SEGMENT,
+    concurrency: int | None = None,
+) -> Manifest:
+    """Build (or resume) the whole index with Ray Data.
+
+    The control Dataset holds one row per segment spec; the heavy lifting is
+    a stateless ``map_batches`` over it (tasks, not actors — tokenization is
+    pure; SURVEY.md §7.2). Ray must already be initialised by the caller.
+    """
+    import ray.data
+
+    specs = plan_segments(input_paths, target_docs)
+    todo = []
+    done: list[SegmentEntry] = []
+    for s in specs:
+        e = read_entry(index_dir, s.name)
+        if e is not None and e.input.get("fingerprint") == s.fingerprint:
+            done.append(e)
+        else:
+            todo.append(s)
+
+    if todo:
+        import json as _json
+
+        def run_spec(batch: dict) -> dict:
+            out = []
+            for i in range(len(batch["seg_idx"])):
+                spec = SegmentSpec(
+                    seg_idx=int(batch["seg_idx"][i]),
+                    file=str(batch["file"][i]),
+                    rg_start=int(batch["rg_start"][i]),
+                    rg_end=int(batch["rg_end"][i]),
+                    n_docs=int(batch["n_docs"][i]),
+                    docid_base=int(batch["docid_base"][i]),
+                )
+                entry = build_one_segment(spec, index_dir, analyzer_name)
+                out.append(_json.dumps(entry.__dict__))
+            return {"entry": np.array(out)}
+
+        ds = ray.data.from_items(
+            [
+                {
+                    "seg_idx": s.seg_idx,
+                    "file": s.file,
+                    "rg_start": s.rg_start,
+                    "rg_end": s.rg_end,
+                    "n_docs": s.n_docs,
+                    "docid_base": s.docid_base,
+                }
+                for s in todo
+            ]
+        )
+        if concurrency:
+            ds = ds.repartition(concurrency)
+        else:
+            ds = ds.repartition(len(todo))
+        result = ds.map_batches(run_spec, batch_size=None)
+        for batch in result.iter_batches(batch_format="pyarrow"):
+            for e in batch.column("entry").to_pylist():
+                done.append(SegmentEntry(**_json.loads(e)))
+
+    done.sort(key=lambda e: e.docid_base)
+    prev = read_manifest(index_dir)
+    manifest = Manifest(
+        generation=(prev.generation + 1 if prev else 1),
+        analyzer=analyzer_name,
+        doc_count=sum(e.doc_count for e in done),
+        sum_ttf=sum(e.sum_ttf for e in done),
+        segments=done,
+    )
+    write_manifest(index_dir, manifest)
+    return manifest

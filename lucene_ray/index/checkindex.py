@@ -1,0 +1,110 @@
+"""CheckIndex: whole-index invariant verification (index/CheckIndex.java:
+101,526,1054-1079 re-expressed over the Parquet segment format).
+
+Checks per segment:
+  - terms sorted strictly ascending (term dict order)
+  - docids strictly increasing within each posting list; df == len(postings)
+  - ttf == sum(tf); segment sum_ttf == manifest entry
+  - every per-block pareto impact is a true (tf, norm) upper-bound set
+  - norms table length == doc_count; norm == intToByte4(doc_len)
+  - stored-fields sha256 matches the source Parquet rows (content invariant)
+Index-level:
+  - docid_base prefix-sum consistency, doc_count totals
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from lucene_ray.codec.postings_codec import decode_term_postings
+from lucene_ray.config import BLOCK_SIZE
+from lucene_ray.index.manifest import segment_dir
+from lucene_ray.search.reader import IndexReader
+from lucene_ray.util.smallfloat import int_to_byte4
+
+
+def check_index(index_dir: str, verify_content: bool = True) -> dict:
+    reader = IndexReader(index_dir)
+    problems: list[str] = []
+    n_terms = n_postings = 0
+
+    expected_base = 0
+    for entry in reader.segments:
+        if entry.docid_base != expected_base:
+            problems.append(
+                f"{entry.name}: docid_base {entry.docid_base} != prefix sum {expected_base}"
+            )
+        expected_base += entry.doc_count
+
+        sr = reader.segment_reader(entry.name)
+        d = segment_dir(index_dir, entry.name)
+        postings = pq.read_table(os.path.join(d, "postings.parquet"))
+        terms = postings.column("term").to_pylist()
+        if terms != sorted(terms):
+            problems.append(f"{entry.name}: terms not sorted")
+        if len(set(terms)) != len(terms):
+            problems.append(f"{entry.name}: duplicate terms")
+
+        seg_ttf = 0
+        for row in postings.to_pylist():
+            tp = decode_term_postings(row)
+            n_terms += 1
+            n_postings += len(tp.docids)
+            if len(tp.docids) != row["df"]:
+                problems.append(f"{entry.name}/{row['term']}: df mismatch")
+            if np.any(np.diff(tp.docids) <= 0):
+                problems.append(f"{entry.name}/{row['term']}: docids not increasing")
+            if tp.docids[-1] >= entry.doc_count or tp.docids[0] < 0:
+                problems.append(f"{entry.name}/{row['term']}: docid out of range")
+            if int(tp.tfs.sum()) != row["ttf"]:
+                problems.append(f"{entry.name}/{row['term']}: ttf mismatch")
+            if np.any(tp.tfs <= 0):
+                problems.append(f"{entry.name}/{row['term']}: nonpositive tf")
+            seg_ttf += int(tp.tfs.sum())
+            # impacts: true upper bounds per block
+            for b, packed in enumerate(row["impacts"]):
+                sl = slice(b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, len(tp.docids)))
+                tfs = tp.tfs[sl]
+                nms = sr.norm_bytes[tp.docids[sl]]
+                pairs = [((p >> 8), p & 0xFF) for p in packed]
+                for tf, nm in zip(tfs, nms):
+                    if not any(ptf >= tf and pnm <= nm for ptf, pnm in pairs):
+                        problems.append(
+                            f"{entry.name}/{row['term']}: impact not an upper bound in block {b}"
+                        )
+                        break
+        if seg_ttf != entry.sum_ttf:
+            problems.append(f"{entry.name}: sum_ttf {seg_ttf} != manifest {entry.sum_ttf}")
+
+        if len(sr.norm_bytes) != entry.doc_count:
+            problems.append(f"{entry.name}: norms length mismatch")
+        if not np.array_equal(int_to_byte4(sr.doc_len), sr.norm_bytes):
+            problems.append(f"{entry.name}: norm != intToByte4(doc_len)")
+
+        if verify_content:
+            stored = pq.read_table(os.path.join(d, "stored.parquet"))
+            src = pq.ParquetFile(entry.input["file"]).read_row_groups(
+                list(range(entry.input["rg_start"], entry.input["rg_end"])),
+                columns=["content"],
+            )
+            expect = [
+                hashlib.sha256(t.encode()).hexdigest()
+                for t in src.column("content").to_pylist()
+            ]
+            got = stored.column("content_sha256").to_pylist()
+            if expect != got:
+                problems.append(f"{entry.name}: content sha256 mismatch vs source")
+
+    if reader.doc_count != expected_base:
+        problems.append(f"manifest doc_count {reader.doc_count} != sum {expected_base}")
+    return {
+        "ok": not problems,
+        "problems": problems,
+        "segments": len(reader.segments),
+        "terms": n_terms,
+        "postings": n_postings,
+    }

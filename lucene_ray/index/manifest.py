@@ -1,0 +1,87 @@
+"""Index manifest: the commit-point / checkpoint / lineage record.
+
+The analog of Lucene's ``segments_N`` + generation (index/SegmentInfos.java:
+55-134) re-expressed as JSON over partitioned Parquet segments:
+
+  - each completed segment writes ``<index>/segments/<name>/entry.json``
+    ATOMICALLY (tmp + rename) after its data files — the per-partition
+    lineage + metrics row the north rule requires
+  - ``<index>/manifest.json`` lists all segments with a monotonically
+    increasing generation; written atomically by the driver (the two-phase
+    commit analog, IndexWriter.java:4080)
+  - resume = skip segment specs whose entry.json exists with a matching
+    input fingerprint (IndexFileDeleter keeps-last-commit semantics are
+    replaced by overwrite-by-name idempotency)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class SegmentEntry:
+    name: str
+    docid_base: int
+    doc_count: int
+    sum_ttf: int
+    unique_terms: int
+    bytes: int
+    input: dict = field(default_factory=dict)   # file, row_group span, fingerprint
+    metrics: dict = field(default_factory=dict)  # build_secs, docs_per_sec, ...
+    deleted: bool = False
+
+
+@dataclass
+class Manifest:
+    generation: int
+    analyzer: str
+    doc_count: int
+    sum_ttf: int
+    segments: list  # list[SegmentEntry]
+
+    @property
+    def live_segments(self) -> list:
+        return [s for s in self.segments if not s.deleted]
+
+
+def segment_dir(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, "segments", name)
+
+
+def write_entry(index_dir: str, entry: SegmentEntry) -> None:
+    d = segment_dir(index_dir, entry.name)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, "entry.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(asdict(entry), f)
+    os.replace(tmp, os.path.join(d, "entry.json"))
+
+
+def read_entry(index_dir: str, name: str) -> SegmentEntry | None:
+    p = os.path.join(segment_dir(index_dir, name), "entry.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return SegmentEntry(**json.load(f))
+
+
+def write_manifest(index_dir: str, manifest: Manifest) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, "manifest.json.tmp")
+    d = asdict(manifest)
+    with open(tmp, "w") as f:
+        json.dump(d, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+
+
+def read_manifest(index_dir: str) -> Manifest | None:
+    p = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        d = json.load(f)
+    d["segments"] = [SegmentEntry(**s) for s in d["segments"]]
+    return Manifest(**d)

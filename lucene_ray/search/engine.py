@@ -1,0 +1,176 @@
+"""IndexSearcher facade + the Ray Data query stage (scorer actor pool).
+
+Search lifecycle (SURVEY.md §3.3):
+  1. parse -> BooleanQuery
+  2. gather GLOBAL term stats across segments (CollectionStatistics /
+     TermStatistics summed over leaves BEFORE scoring, so every segment
+     scores against identical idf/avgdl — IndexSearcher semantics)
+  3. per-segment scoring (pruned block-max MaxScore or exhaustive oracle),
+     carrying the min-competitive floor θ across segments
+     (MaxScoreAccumulator.java:26 cross-slice floor analog)
+  4. deterministic merge: score desc, global docid asc (TopDocs.java:90-130)
+
+Ray-shape: queries stream AS A DATASET through ``QueryScorerStage`` — a
+callable class for ``map_batches(..., concurrency=N)``; each actor opens the
+index ONCE in ``__init__`` (segment readers, norms, manifest stats) and
+scores query batches in ``__call__`` (SURVEY.md §2.3 searcher-state row).
+
+Scale note: on a real cluster each scorer actor would own a *shard* of
+segments (manifest round-robin by actor rank) with a driver-side reduce of
+per-shard top-k; on one node every actor opens all segments (they are
+memory-mapped, so the page cache is shared). The per-query work is
+embarrassingly parallel across queries either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_ray.analysis import get_analyzer
+from lucene_ray.config import DEFAULT_TOP_K
+from lucene_ray.search.query import BooleanQuery, PhraseQuery, TermQuery, parse_query
+from lucene_ray.search.reader import IndexReader
+from lucene_ray.search.scorer import (
+    _topk,
+    score_segment_exhaustive,
+    score_segment_pruned,
+)
+from lucene_ray.search.similarity import BM25Similarity
+
+
+class TopDocs:
+    __slots__ = ("docids", "scores", "total_hits")
+
+    def __init__(self, docids: np.ndarray, scores: np.ndarray, total_hits: int):
+        self.docids = docids
+        self.scores = scores
+        self.total_hits = total_hits
+
+    def to_rows(self, qid) -> list[dict]:
+        return [
+            {
+                "qid": qid,
+                "rank": r,
+                "docid": int(d),
+                "score": float(s),
+            }
+            for r, (d, s) in enumerate(zip(self.docids, self.scores))
+        ]
+
+
+class IndexSearcher:
+    def __init__(
+        self,
+        index_dir: str,
+        similarity: BM25Similarity | None = None,
+        pruned: bool = True,
+    ):
+        self.reader = IndexReader(index_dir)
+        self.sim = similarity or BM25Similarity()
+        self.pruned = pruned
+        self.analyzer = get_analyzer(self.reader.manifest.analyzer)
+
+    def _scorers(self, bq: BooleanQuery) -> dict:
+        terms = sorted(set(bq.all_terms()))
+        stats = self.reader.global_term_stats(terms)
+        N, sttf = self.reader.doc_count, self.reader.sum_ttf
+        scorers = {}
+        for t in terms:
+            df, _ttf = stats[t]
+            scorers[t] = self.sim.scorer(max(df, 0), N, sttf)
+        for q in bq.must + bq.should + bq.must_not:
+            if isinstance(q, PhraseQuery):
+                dfs = [stats[t][0] for t in q.terms]
+                scorers[("phrase", q.terms)] = self.sim.phrase_scorer(
+                    dfs, N, sttf, boost=q.boost
+                )
+        return scorers
+
+    def parse(self, text: str) -> BooleanQuery:
+        return parse_query(text, self.analyzer)
+
+    def search(self, query: str | BooleanQuery, k: int = DEFAULT_TOP_K) -> TopDocs:
+        bq = self.parse(query) if isinstance(query, str) else query
+        if not (bq.must or bq.should):
+            return TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
+        scorers = self._scorers(bq)
+        score_fn = score_segment_pruned if self.pruned else score_segment_exhaustive
+        all_docs, all_scores, total = [], [], 0
+        theta = 0.0
+        for entry in self.reader.segments:
+            sr = self.reader.segment_reader(entry.name)
+            if self.pruned:
+                d, s, n = score_fn(sr, bq, scorers, k, theta)
+            else:
+                d, s, n = score_fn(sr, bq, scorers, k)
+            total += n
+            if len(d):
+                all_docs.append(d + entry.docid_base)
+                all_scores.append(s)
+                # raise the cross-segment floor to the kth-best score so far
+                merged = np.concatenate(all_scores)
+                if len(merged) >= k:
+                    theta = max(theta, float(np.partition(merged, -k)[-k]))
+        if not all_docs:
+            return TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
+        docids = np.concatenate(all_docs)
+        scores = np.concatenate(all_scores)
+        d, s = _topk(docids, scores, k)
+        return TopDocs(d, s, total)
+
+
+class QueryScorerStage:
+    """Stateful Ray Data stage: ``map_batches(QueryScorerStage,
+    fn_constructor_kwargs=dict(index_dir=...), concurrency=N,
+    batch_format="pyarrow")`` over a Dataset of (qid, query[, k]) rows.
+    Output: (qid, rank, docid, score) rows."""
+
+    def __init__(self, index_dir: str, k: int = DEFAULT_TOP_K, pruned: bool = True):
+        self.searcher = IndexSearcher(index_dir, pruned=pruned)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docids, scores = [], [], [], []
+        ks = (
+            batch.column("k").to_pylist()
+            if "k" in batch.column_names
+            else [self.k] * batch.num_rows
+        )
+        for qid, qtext, k in zip(
+            batch.column("qid").to_pylist(),
+            batch.column("query").to_pylist(),
+            ks,
+        ):
+            td = self.searcher.search(qtext, int(k))
+            for r, (d, s) in enumerate(zip(td.docids, td.scores)):
+                qids.append(qid)
+                ranks.append(r)
+                docids.append(int(d))
+                scores.append(float(s))
+        return pa.table(
+            {
+                "qid": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "docid": pa.array(docids, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float32()),
+            }
+        )
+
+
+def search_queries_dataset(
+    queries_ds,
+    index_dir: str,
+    k: int = DEFAULT_TOP_K,
+    concurrency: int = 4,
+    pruned: bool = True,
+):
+    """Run a Dataset of queries through the scorer actor pool."""
+    return queries_ds.map_batches(
+        QueryScorerStage,
+        fn_constructor_kwargs=dict(index_dir=index_dir, k=k, pruned=pruned),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,116 @@
+"""Index/segment readers — the searcher-side state loaded once per actor.
+
+Analog of DirectoryReader/SegmentReader (index/DirectoryReader.java:59,
+index/SegmentReader.java): a SegmentReader memory-maps its postings Parquet
+once, keeps the sorted term column as the term dictionary (binary search —
+the FST prefix index is replaced by Parquet row-group stats + an in-memory
+sorted array, SURVEY.md §1.4), and caches norms as numpy arrays.
+
+Scale note: readers live inside scorer-pool actors (`__init__` loads,
+`__call__` scores batches of queries — SURVEY.md §2.3 searcher-state row).
+Postings blobs stay in the Arrow table (memory-mapped when the filesystem
+allows zero-copy) and are only decoded per query term, block-selectively.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from lucene_ray.codec.postings_codec import TermPostings, decode_term_postings
+from lucene_ray.index.manifest import Manifest, read_manifest, segment_dir
+
+
+class SegmentReader:
+    def __init__(self, seg_dir: str, docid_base: int, doc_count: int):
+        self.seg_dir = seg_dir
+        self.docid_base = docid_base
+        self.doc_count = doc_count
+        self._postings = pq.read_table(
+            os.path.join(seg_dir, "postings.parquet"), memory_map=True
+        )
+        self._terms = np.asarray(self._postings.column("term").to_pylist(), dtype=object)
+        norms = pq.read_table(os.path.join(seg_dir, "norms.parquet"), memory_map=True)
+        self.norm_bytes = norms.column("norm").to_numpy(zero_copy_only=False)
+        self.doc_len = norms.column("doc_len").to_numpy(zero_copy_only=False)
+
+    def term_index(self, term: str) -> int:
+        """Binary search the sorted term dictionary; -1 if absent."""
+        i = int(np.searchsorted(self._terms, term))
+        if i < len(self._terms) and self._terms[i] == term:
+            return i
+        return -1
+
+    def term_row(self, term: str) -> dict | None:
+        i = self.term_index(term)
+        if i < 0:
+            return None
+        return {
+            name: self._postings.column(name)[i].as_py()
+            for name in self._postings.column_names
+        }
+
+    def term_stats(self, term: str) -> tuple[int, int]:
+        """(df, ttf) in this segment — the per-leaf TermStatistics
+        (search/TermStatistics.java)."""
+        i = self.term_index(term)
+        if i < 0:
+            return 0, 0
+        return (
+            self._postings.column("df")[i].as_py(),
+            self._postings.column("ttf")[i].as_py(),
+        )
+
+    def postings(self, term: str) -> TermPostings | None:
+        row = self.term_row(term)
+        if row is None:
+            return None
+        return decode_term_postings(row)
+
+    def stored_fields(self) -> "pq.Table":
+        return pq.read_table(os.path.join(self.seg_dir, "stored.parquet"))
+
+
+class IndexReader:
+    """Open a committed index: manifest + per-segment readers (lazy)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        m = read_manifest(index_dir)
+        if m is None:
+            raise FileNotFoundError(f"no manifest.json under {index_dir}")
+        self.manifest: Manifest = m
+        self.doc_count = m.doc_count
+        self.sum_ttf = m.sum_ttf
+        self._readers: dict[str, SegmentReader] = {}
+
+    @property
+    def segments(self) -> list:
+        return self.manifest.live_segments
+
+    def segment_reader(self, name: str) -> SegmentReader:
+        if name not in self._readers:
+            entry = next(s for s in self.segments if s.name == name)
+            self._readers[name] = SegmentReader(
+                segment_dir(self.index_dir, entry.name),
+                entry.docid_base,
+                entry.doc_count,
+            )
+        return self._readers[name]
+
+    def all_readers(self) -> list[SegmentReader]:
+        return [self.segment_reader(s.name) for s in self.segments]
+
+    def global_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Sum per-segment (df, ttf) for the given terms — the stats
+        broadcast gathered before scoring so every segment scores against
+        identical idf/avgdl (IndexSearcher semantics, SURVEY.md §3.3 step 2)."""
+        out = {t: [0, 0] for t in terms}
+        for r in self.all_readers():
+            for t in terms:
+                df, ttf = r.term_stats(t)
+                out[t][0] += df
+                out[t][1] += ttf
+        return {t: (v[0], v[1]) for t, v in out.items()}

@@ -1,0 +1,364 @@
+"""Per-segment query execution: exhaustive TAAT oracle + block-max pruned
+MaxScore path, sharing one contribution model so scores are bit-identical.
+
+Reference machinery being re-expressed (SURVEY.md §2.11):
+  - TermScorer + ImpactsDISI block skipping (search/TermScorer.java:29-95,
+    search/ImpactsDISI.java:28-70): here per-128-doc blocks are decoded
+    *selectively* through stored block offsets and pruned through pareto
+    (tf,norm) impact metadata (MaxScoreCache.java:34-79 analog).
+  - MaxScore essential/non-essential partition (search/MaxScoreBulkScorer.java:
+    27-65): clauses sorted by max-score; low-bound floor θ from the k-heap;
+    docs that can only be reached through non-essential clauses are never
+    materialized.
+  - Block-max refinement (BlockMaxConjunctionScorer / Ding&Suel BMW): before
+    decoding a non-essential clause for a surviving candidate, its per-block
+    max-score bound is applied.
+  - Exhaustive windowed OR (search/BooleanScorer.java): the TAAT oracle —
+    dense float32 accumulator over the segment's doc space.
+  - Conjunction leapfrog (search/ConjunctionDISI.java): smallest-df clause
+    drives; other clauses are probed by block-selective lookup.
+  - Tie-breaks: score desc, then docID asc (search/HitQueue.java:78-84).
+
+Vectorization stance: no per-doc Python loops — per-clause numpy kernels,
+per-BLOCK selective decode, final exact rescore of the few survivors in
+canonical clause order (guaranteeing pruned == exhaustive bit-for-bit, the
+CheckHits duel contract, test-framework/.../CheckHits.java:691-712).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_ray.codec.forutil import decode_stream, decode_stream_blocks
+from lucene_ray.config import BLOCK_SIZE
+from lucene_ray.search.query import BooleanQuery, PhraseQuery, TermQuery
+from lucene_ray.search.similarity import BM25Scorer
+
+# relative safety margin applied to float upper bounds before pruning
+# (absorbs float32 summation-order differences; ImpactsDISI uses exact
+# float32 arithmetic instead — our bounds are float64 with a margin)
+_BOUND_MARGIN = 1e-5
+
+
+class SegmentTermCursor:
+    """One term's postings in one segment, with lazy/selective block decode."""
+
+    __slots__ = ("row", "df", "_full", "_block_last")
+
+    def __init__(self, row: dict):
+        self.row = row
+        self.df = int(row["df"])
+        self._full = None
+        self._block_last = np.asarray(row["block_last_docid"], dtype=np.int64)
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._full is None:
+            if self.df == 1:
+                self._full = (
+                    np.array([self.row["singleton_docid"]], dtype=np.int64),
+                    np.array([self.row["singleton_tf"]], dtype=np.int64),
+                )
+            else:
+                deltas = decode_stream(self.row["doc_blob"], self.df)
+                docids = np.cumsum(deltas.astype(np.int64))
+                tfs = decode_stream(self.row["tf_blob"], self.df).astype(np.int64)
+                self._full = (docids, tfs)
+        return self._full
+
+    def block_max_scores(self, scorer: BM25Scorer) -> np.ndarray:
+        return np.array(
+            [float(scorer.max_score(im)) for im in self.row["impacts"]],
+            dtype=np.float64,
+        )
+
+    def max_score(self, scorer: BM25Scorer) -> float:
+        return float(self.block_max_scores(scorer).max(initial=0.0))
+
+    def blocks_for(self, docids: np.ndarray) -> np.ndarray:
+        """Block index that would contain each docid (searchsorted on the
+        per-block last-docid column — the skip-list replacement)."""
+        return np.searchsorted(self._block_last, docids, side="left")
+
+    def lookup(self, cand: np.ndarray) -> np.ndarray:
+        """tf for each candidate docid (0 where absent). ``cand`` sorted.
+        Decodes only the blocks that could contain a candidate."""
+        if self.df == 1:
+            tf = np.zeros(len(cand), dtype=np.int64)
+            hit = cand == self.row["singleton_docid"]
+            tf[hit] = self.row["singleton_tf"]
+            return tf
+        if self._full is not None:
+            docids, tfs = self._full
+        else:
+            blocks = np.unique(self.blocks_for(cand))
+            blocks = blocks[blocks < len(self._block_last)]
+            if len(blocks) == 0:
+                return np.zeros(len(cand), dtype=np.int64)
+            offsets = np.asarray(self.row["doc_block_offsets"], dtype=np.int64)
+            d_parts = decode_stream_blocks(
+                self.row["doc_blob"], self.df, offsets, blocks
+            )
+            # tf blocks share boundaries with doc blocks but have their own
+            # offsets; decode tf blob blocks by walking — cheaper: decode the
+            # same block indices from the tf stream via a full-offsets walk.
+            # We store only doc offsets, so decode tf stream fully once the
+            # first selective lookup happens on a multi-block term.
+            tf_all = decode_stream(self.row["tf_blob"], self.df).astype(np.int64)
+            docids_parts = []
+            tf_parts = []
+            for b, dp in zip(blocks, d_parts):
+                start = int(b) * BLOCK_SIZE
+                base = 0
+                if start > 0:
+                    # docids are delta-coded across block boundaries: the
+                    # first delta of block b is relative to the last docid of
+                    # block b-1, which we have in block_last
+                    base = int(self._block_last[b - 1])
+                d = np.cumsum(dp.astype(np.int64)) + base
+                docids_parts.append(d)
+                tf_parts.append(tf_all[start : start + len(d)])
+            docids = np.concatenate(docids_parts)
+            tfs = np.concatenate(tf_parts)
+        idx = np.searchsorted(docids, cand)
+        idx = np.minimum(idx, len(docids) - 1)
+        hit = docids[idx] == cand
+        out = np.zeros(len(cand), dtype=np.int64)
+        out[hit] = tfs[idx[hit]]
+        return out
+
+
+class _Clause:
+    """Evaluated clause: (sorted docids, freqs, scorer). Phrase clauses are
+    pre-evaluated; term clauses keep a cursor for lazy work."""
+
+    __slots__ = ("key", "cursor", "scorer", "_eval", "_max_score")
+
+    def __init__(self, key, cursor, scorer, evaluated=None, max_score=None):
+        self.key = key
+        self.cursor = cursor
+        self.scorer = scorer
+        self._eval = evaluated
+        self._max_score = max_score
+
+    def evaluate(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._eval is None:
+            self._eval = self.cursor.decode_all()
+        return self._eval
+
+    def lookup(self, cand: np.ndarray) -> np.ndarray:
+        if self._eval is not None:
+            docids, tfs = self._eval
+            idx = np.searchsorted(docids, cand)
+            idx = np.minimum(idx, max(len(docids) - 1, 0))
+            out = np.zeros(len(cand), dtype=np.int64)
+            if len(docids):
+                hit = docids[idx] == cand
+                out[hit] = tfs[idx[hit]]
+            return out
+        return self.cursor.lookup(cand)
+
+    def max_score(self) -> float:
+        if self._max_score is not None:
+            return self._max_score
+        return self.cursor.max_score(self.scorer)
+
+
+def _phrase_postings(reader, terms: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """Exact phrase match: (docids, phrase_freq). ExactPhraseMatcher
+    semantics (search/ExactPhraseMatcher.java:38)."""
+    posts = []
+    for t in terms:
+        p = reader.postings(t)
+        if p is None:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        posts.append(p)
+    common = posts[0].docids
+    for p in posts[1:]:
+        common = np.intersect1d(common, p.docids, assume_unique=True)
+    if len(common) == 0:
+        return common, np.array([], dtype=np.int64)
+    # per-doc position check
+    pos_lists = []
+    for p in posts:
+        all_pos = p.positions()
+        sel = np.searchsorted(p.docids, common)
+        pos_lists.append([all_pos[i] for i in sel])
+    docids_out, freqs_out = [], []
+    for j in range(len(common)):
+        cand = pos_lists[0][j]
+        for i in range(1, len(posts)):
+            if len(cand) == 0:
+                break
+            cand = cand[np.isin(cand + i, pos_lists[i][j], assume_unique=False)]
+        if len(cand):
+            docids_out.append(int(common[j]))
+            freqs_out.append(len(cand))
+    return np.array(docids_out, dtype=np.int64), np.array(freqs_out, dtype=np.int64)
+
+
+def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
+    """Materialize clause list for one segment; absent terms drop out."""
+    out = []
+    for q in queries:
+        if isinstance(q, TermQuery):
+            row = reader.term_row(q.term)
+            if row is None:
+                continue
+            out.append(_Clause(("t", q.term), SegmentTermCursor(row), scorers[q.term]))
+        elif isinstance(q, PhraseQuery):
+            docids, freqs = _phrase_postings(reader, q.terms)
+            if len(docids) == 0:
+                continue
+            sc = scorers[("phrase", q.terms)]
+            ms = float(
+                sc.score(freqs.astype(np.float32), reader.norm_bytes[docids]).max()
+            )
+            out.append(
+                _Clause(("p", q.terms), None, sc, (docids, freqs), max_score=ms)
+            )
+    return out
+
+
+def _topk(docids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """top-k by (score desc, docid asc) — HitQueue.java:78-84 tie-break."""
+    if len(docids) == 0:
+        return docids[:0], scores[:0].astype(np.float32)
+    order = np.lexsort((docids, -scores.astype(np.float64)))[:k]
+    return docids[order], scores[order].astype(np.float32)
+
+
+def _canonical_scores(
+    clauses: list[_Clause], cand: np.ndarray, norm_bytes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact float32 scores summed in canonical clause order (bit-identical
+    between the oracle and the pruned path). Returns (scores, match_count)."""
+    total = np.zeros(len(cand), dtype=np.float32)
+    matches = np.zeros(len(cand), dtype=np.int32)
+    for c in clauses:
+        tfs = c.lookup(cand)
+        m = tfs > 0
+        s = c.scorer.score(tfs.astype(np.float32), norm_bytes[cand])
+        # score(tf=0) == 0.0f exactly, so adding it never perturbs the sum
+        total = total + np.where(m, s, np.float32(0.0))
+        matches += m.astype(np.int32)
+    return total, matches
+
+
+def score_segment_exhaustive(
+    reader, bq: BooleanQuery, scorers: dict, k: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Oracle: dense TAAT over the segment (no pruning). Returns
+    (local docids, float32 scores, total_hits)."""
+    must = build_clauses(reader, bq.must, scorers)
+    if len(must) < len([q for q in bq.must if True]):
+        # a required clause is absent from this segment -> no hits
+        if bq.must:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0
+    should = build_clauses(reader, bq.should, scorers)
+    must_not = build_clauses(reader, bq.must_not, scorers)
+
+    if bq.must:
+        cand = None
+        for c in must:
+            d, _ = c.evaluate()
+            cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        if cand is None or len(cand) == 0:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0
+    else:
+        if not should:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0
+        cand = np.unique(np.concatenate([c.evaluate()[0] for c in should]))
+
+    for c in must_not:
+        d, _ = c.evaluate()
+        cand = cand[~np.isin(cand, d, assume_unique=True)]
+    if len(cand) == 0:
+        return cand, np.array([], dtype=np.float32), 0
+
+    scoring = must + should
+    total, matches = _canonical_scores(scoring, cand, reader.norm_bytes)
+    if bq.must:
+        if bq.min_should_match > 0 and should:
+            sm = np.zeros(len(cand), dtype=np.int32)
+            for c in should:
+                sm += (c.lookup(cand) > 0).astype(np.int32)
+            keep = sm >= bq.min_should_match
+            cand, total = cand[keep], total[keep]
+    else:
+        msm = max(1, bq.min_should_match)
+        keep = matches >= msm
+        cand, total = cand[keep], total[keep]
+    d, s = _topk(cand, total, k)
+    return d, s, len(cand)
+
+
+def score_segment_pruned(
+    reader, bq: BooleanQuery, scorers: dict, k: int, theta: float = 0.0
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Block-max MaxScore path. Falls back to the exhaustive path for shapes
+    it doesn't prune (required clauses present, minShouldMatch > 1) — the
+    scorer-selection logic analog (BooleanWeight.java:221-322).
+
+    ``theta`` carries the min-competitive floor across segments
+    (TopScoreDocCollector.java:283-320 / MaxScoreAccumulator semantics).
+    """
+    if bq.must or bq.must_not or bq.min_should_match > 1:
+        return score_segment_exhaustive(reader, bq, scorers, k)
+    clauses = build_clauses(reader, bq.should, scorers)
+    if not clauses:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0
+
+    max_scores = np.array([c.max_score() for c in clauses], dtype=np.float64)
+    order = np.argsort(-max_scores, kind="stable")  # eval from strongest
+
+    doc_count = reader.doc_count
+    acc = np.zeros(doc_count, dtype=np.float32)
+    in_cand = np.zeros(doc_count, dtype=bool)
+    theta = float(theta)
+    evaluated: list[int] = []
+    j = 0
+    while j < len(order):
+        rest_bound = float(max_scores[order[j:]].sum()) * (1 + _BOUND_MARGIN)
+        if theta > 0 and rest_bound <= theta:
+            break  # remaining clauses cannot introduce a competitive doc
+        c = clauses[order[j]]
+        d, tfs = c.evaluate()
+        s = c.scorer.score(tfs.astype(np.float32), reader.norm_bytes[d])
+        acc[d] += s
+        in_cand[d] = True
+        evaluated.append(order[j])
+        # floor = kth best current partial sum (valid lower bounds)
+        cand_scores = acc[in_cand]
+        if len(cand_scores) >= k:
+            kth = float(np.partition(cand_scores, -k)[-k])
+            theta = max(theta, kth)
+        j += 1
+
+    cand = np.nonzero(in_cand)[0].astype(np.int64)
+    non_essential = [clauses[i] for i in order[j:]]
+    if non_essential:
+        # refine upper bounds per candidate with per-block maxes, then prune
+        ub = acc[cand].astype(np.float64)
+        for c in non_essential:
+            if c.cursor is not None:
+                bms = c.cursor.block_max_scores(c.scorer)
+                bi = np.minimum(c.cursor.blocks_for(cand), len(bms) - 1)
+                ub += bms[bi]
+            else:
+                ub += c.max_score()
+        keep = ub * (1 + _BOUND_MARGIN) >= theta
+        survivors = cand[keep]
+    else:
+        survivors = cand
+        if theta > 0:
+            survivors = survivors[
+                acc[survivors].astype(np.float64) * (1 + _BOUND_MARGIN) >= theta
+            ]
+
+    if len(survivors) == 0:
+        return survivors, np.array([], dtype=np.float32), int(len(cand))
+    total, matches = _canonical_scores(clauses, survivors, reader.norm_bytes)
+    keep = matches >= 1
+    survivors, total = survivors[keep], total[keep]
+    d, s = _topk(survivors, total, k)
+    return d, s, int(len(cand))

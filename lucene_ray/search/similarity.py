@@ -64,6 +64,27 @@ class BM25Similarity:
         weight = np.float32(boost) * self.idf(doc_freq, doc_count)
         return BM25Scorer(weight, cache.astype(np.float32))
 
+    def phrase_scorer(
+        self,
+        doc_freqs: list[int],
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+    ) -> "BM25Scorer":
+        """Phrase weight: idf = (float) Σ double(per-term float idf)
+        (BM25Similarity.idfExplain(termStats[]), :189-199 'sum into a double
+        before casting into a float')."""
+        idf_sum = 0.0
+        for df in doc_freqs:
+            idf_sum += float(self.idf(df, doc_count))
+        avgdl = self.avgdl(sum_total_term_freq, doc_count)
+        cache = np.float32(1.0) / (
+            self.k1
+            * ((np.float32(1.0) - self.b) + self.b * LENGTH_TABLE_F32 / avgdl)
+        )
+        weight = np.float32(boost) * np.float32(idf_sum)
+        return BM25Scorer(weight, cache.astype(np.float32))
+
 
 class BM25Scorer:
     """Per-(query-term) scorer: score(freq, norm_byte) vectorized float32."""

@@ -1,0 +1,120 @@
+"""Index build over the synthetic corpus: plan determinism, CheckIndex
+invariants, resume, and N-vs-4N logical equality (FIXTURES.md §8)."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.index.builder import build_index, build_one_segment, plan_segments
+from lucene_ray.index.checkindex import check_index
+from lucene_ray.index.corpus import generate_shard, write_corpus
+from lucene_ray.index.manifest import read_manifest, segment_dir
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(d, n_docs=600, n_shards=3, seed=42, row_group_size=50)
+    return d
+
+
+@pytest.fixture(scope="module")
+def index_dir(corpus_dir, tmp_path_factory, ray_session):
+    d = str(tmp_path_factory.mktemp("index"))
+    build_index(sorted(glob.glob(corpus_dir + "/*.parquet")), d, target_docs=100)
+    return d
+
+
+def test_corpus_deterministic():
+    a = generate_shard(3, 50, seed=42)
+    b = generate_shard(3, 50, seed=42)
+    assert a.equals(b)
+    c = generate_shard(4, 50, seed=42)
+    assert not a.equals(c)
+
+
+def test_plan_deterministic(corpus_dir):
+    paths = glob.glob(corpus_dir + "/*.parquet")
+    p1 = plan_segments(sorted(paths), target_docs=100)
+    p2 = plan_segments(list(reversed(sorted(paths))), target_docs=100)
+    assert [(s.name, s.docid_base, s.n_docs) for s in p1] == [
+        (s.name, s.docid_base, s.n_docs) for s in p2
+    ]
+    assert p1[0].docid_base == 0
+    for a, b in zip(p1, p1[1:]):
+        assert b.docid_base == a.docid_base + a.n_docs
+
+
+def test_build_and_checkindex(index_dir):
+    m = read_manifest(index_dir)
+    assert m.doc_count == 600
+    assert len(m.segments) >= 6  # 600 docs / 100 per segment
+    report = check_index(index_dir, verify_content=True)
+    assert report["ok"], report["problems"][:5]
+    assert report["postings"] > 0
+
+
+def test_manifest_metrics_lineage(index_dir):
+    m = read_manifest(index_dir)
+    for e in m.segments:
+        assert e.metrics["docs_per_sec"] > 0
+        assert e.metrics["postings"] > 0
+        assert e.input["fingerprint"]
+        assert os.path.exists(os.path.join(segment_dir(index_dir, e.name), "entry.json"))
+
+
+def test_resume_skips_finished(corpus_dir, index_dir, ray_session, tmp_path):
+    """Kill-resume: delete one segment, rebuild — only that segment is
+    rebuilt, manifest is identical, generation bumps."""
+    m1 = read_manifest(index_dir)
+    victim = m1.segments[2]
+    shutil.rmtree(segment_dir(index_dir, victim.name))
+    mtimes = {
+        e.name: os.path.getmtime(os.path.join(segment_dir(index_dir, e.name), "entry.json"))
+        for e in m1.segments
+        if e.name != victim.name
+    }
+    m2 = build_index(
+        sorted(glob.glob(corpus_dir + "/*.parquet")), index_dir, target_docs=100
+    )
+    assert m2.generation == m1.generation + 1
+    assert [(e.name, e.docid_base, e.sum_ttf) for e in m2.segments] == [
+        (e.name, e.docid_base, e.sum_ttf) for e in m1.segments
+    ]
+    for name, t in mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(segment_dir(index_dir, name), "entry.json")
+        ) == t  # untouched
+
+
+def test_parallelism_independence(corpus_dir, tmp_path, ray_session):
+    """Same corpus built at different target segment sizes yields identical
+    logical postings (the N vs 4N equivalence core): same docids globally."""
+    paths = sorted(glob.glob(corpus_dir + "/*.parquet"))
+    d1, d2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_index(paths, d1, target_docs=100)
+    build_index(paths, d2, target_docs=250)
+
+    def logical_postings(ix):
+        from lucene_ray.codec.postings_codec import decode_term_postings
+        from lucene_ray.search.reader import IndexReader
+
+        out = {}
+        r = IndexReader(ix)
+        for e in r.segments:
+            sr = r.segment_reader(e.name)
+            t = pq.read_table(os.path.join(segment_dir(ix, e.name), "postings.parquet"))
+            for row in t.to_pylist():
+                tp = decode_term_postings(row)
+                pairs = out.setdefault(row["term"], [])
+                pairs.extend(
+                    zip((tp.docids + e.docid_base).tolist(), tp.tfs.tolist())
+                )
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert logical_postings(d1) == logical_postings(d2)

@@ -1,0 +1,187 @@
+"""Search correctness: the pruned-vs-exhaustive duel (CheckHits.checkTopScores
+semantics, test-framework/.../search/CheckHits.java:691-712 — same docids in
+same order, scores within 1e-6), boolean/phrase semantics vs a naive Python
+oracle, tie-breaks, and the Ray query stage."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from lucene_ray.analysis import get_analyzer
+from lucene_ray.index.builder import build_index
+from lucene_ray.index.corpus import write_corpus
+from lucene_ray.search.engine import IndexSearcher, search_queries_dataset
+from lucene_ray.search.query import BooleanQuery, PhraseQuery, TermQuery, parse_query
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, ray_session):
+    corpus = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(corpus, n_docs=800, n_shards=2, seed=7, row_group_size=64)
+    d = str(tmp_path_factory.mktemp("index"))
+    build_index(sorted(glob.glob(corpus + "/*.parquet")), d, target_docs=150)
+    return d
+
+
+@pytest.fixture(scope="module")
+def corpus_tokens(index_dir):
+    """Naive oracle corpus: per-doc token lists in global docid order."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.search.reader import IndexReader
+
+    an = get_analyzer("code")
+    reader = IndexReader(index_dir)
+    docs = []
+    for e in reader.segments:
+        pf = pq.ParquetFile(e.input["file"])
+        t = pf.read_row_groups(
+            list(range(e.input["rg_start"], e.input["rg_end"])), columns=["content"]
+        )
+        for txt in t.column("content").to_pylist():
+            docs.append(an.tokenize_text(txt))
+    return docs
+
+
+QUERY_SET = [
+    "getmanager",            # single hot term
+    "merge",                 # keyword
+    "get merge flush index", # disjunction
+    "parse AND block",       # conjunction
+    "+index -merge token",   # mixed
+    "zzzznotfound",          # empty result
+    "read 500",              # digit term
+    '"get manager"',         # phrase (split camelCase at index time)
+    "get OR set OR read OR write OR parse OR build",  # wide OR
+]
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+@pytest.mark.parametrize("q", QUERY_SET)
+def test_duel_pruned_vs_exhaustive(index_dir, q, k):
+    ex = IndexSearcher(index_dir, pruned=False)
+    pr = IndexSearcher(index_dir, pruned=True)
+    a = ex.search(q, k)
+    b = pr.search(q, k)
+    assert a.docids.tolist() == b.docids.tolist(), q
+    np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6, atol=0)
+
+
+def test_topk_matches_naive_oracle(index_dir, corpus_tokens):
+    """Exhaustive engine vs a from-first-principles BM25 over token lists."""
+    import math
+
+    from lucene_ray.util.smallfloat import byte4_to_int, int_to_byte4
+
+    docs = corpus_tokens
+    N = len(docs)
+    sttf = sum(len(d) for d in docs)
+    terms = ["merge", "flush"]
+    dfs = {t: sum(1 for d in docs if t in d) for t in terms}
+    avgdl = np.float32(sttf / N)
+    scores = np.zeros(N, dtype=np.float32)
+    for t in terms:
+        idf = np.float32(math.log(1 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+        for i, d in enumerate(docs):
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            norm_len = np.float32(byte4_to_int(int_to_byte4(np.array([len(d)])))[0])
+            inv = np.float32(1.0) / (
+                np.float32(1.2) * (np.float32(0.25) + np.float32(0.75) * norm_len / avgdl)
+            )
+            scores[i] += idf - idf / (np.float32(1.0) + np.float32(tf) * inv)
+    order = np.lexsort((np.arange(N), -scores.astype(np.float64)))
+    expect = [(int(i), float(scores[i])) for i in order[:10] if scores[i] > 0]
+
+    got = IndexSearcher(index_dir, pruned=False).search("merge flush", 10)
+    assert got.docids.tolist() == [d for d, _ in expect]
+    np.testing.assert_allclose(
+        got.scores, np.array([s for _, s in expect], dtype=np.float32), rtol=1e-6
+    )
+
+
+def test_boolean_semantics(index_dir, corpus_tokens):
+    docs = corpus_tokens
+    s = IndexSearcher(index_dir, pruned=True)
+
+    td = s.search("parse AND block", 10_000)
+    expect = {i for i, d in enumerate(docs) if "parse" in d and "block" in d}
+    assert set(td.docids.tolist()) == expect
+
+    td = s.search("+index -merge", 10_000)
+    expect = {i for i, d in enumerate(docs) if "index" in d and "merge" not in d}
+    assert set(td.docids.tolist()) == expect
+
+    bq = BooleanQuery(should=[TermQuery("parse"), TermQuery("block"), TermQuery("flush")],
+                      min_should_match=2)
+    td = s.search(bq, 10_000)
+    expect = {
+        i
+        for i, d in enumerate(docs)
+        if sum(t in d for t in ("parse", "block", "flush")) >= 2
+    }
+    assert set(td.docids.tolist()) == expect
+
+
+def test_phrase_semantics(index_dir, corpus_tokens):
+    docs = corpus_tokens
+    s = IndexSearcher(index_dir, pruned=False)
+    bq = BooleanQuery(should=[PhraseQuery(("get", "manager"))])
+    td = s.search(bq, 10_000)
+
+    def phrase_count(d):
+        return sum(
+            1
+            for i in range(len(d) - 1)
+            if d[i] == "get" and d[i + 1] == "manager"
+        )
+
+    expect = {i for i, d in enumerate(docs) if phrase_count(d) > 0}
+    assert set(td.docids.tolist()) == expect
+
+
+def test_empty_and_absent(index_dir):
+    s = IndexSearcher(index_dir)
+    assert s.search("zzzznotfound", 10).docids.tolist() == []
+    assert s.search("", 10).docids.tolist() == []
+    assert s.search('"zzz yyy"', 10).docids.tolist() == []
+
+
+def test_tie_break_docid_asc(index_dir):
+    s = IndexSearcher(index_dir, pruned=True)
+    td = s.search("getmanager", 200)
+    pairs = list(zip(td.scores.tolist(), td.docids.tolist()))
+    for (s1, d1), (s2, d2) in zip(pairs, pairs[1:]):
+        assert s1 > s2 or (s1 == s2 and d1 < d2)
+
+
+def test_parser():
+    an = get_analyzer("code")
+    bq = parse_query('+fooBar -baz "hello world" rest', an)
+    assert [q.term for q in bq.must] == ["foo", "bar"]
+    assert [q.term for q in bq.must_not] == ["baz"]
+    assert any(isinstance(q, PhraseQuery) and q.terms == ("hello", "world") for q in bq.should)
+    assert any(isinstance(q, TermQuery) and q.term == "rest" for q in bq.should)
+    bq2 = parse_query("a AND b", an)
+    assert [q.term for q in bq2.must] == ["a", "b"]
+
+
+def test_query_stage_dataset(index_dir, ray_session):
+    import ray.data
+
+    qds = ray.data.from_items(
+        [
+            {"qid": 0, "query": "merge"},
+            {"qid": 1, "query": "get flush"},
+            {"qid": 2, "query": "zzzznotfound"},
+        ]
+    )
+    out = search_queries_dataset(qds, index_dir, k=5, concurrency=2).to_pandas()
+    s = IndexSearcher(index_dir, pruned=True)
+    for qid, qtext in [(0, "merge"), (1, "get flush")]:
+        got = out[out.qid == qid].sort_values("rank")
+        want = s.search(qtext, 5)
+        assert got.docid.tolist() == want.docids.tolist()
+    assert len(out[out.qid == 2]) == 0
