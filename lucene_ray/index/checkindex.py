@@ -85,7 +85,9 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
         if not np.array_equal(int_to_byte4(sr.doc_len), sr.norm_bytes):
             problems.append(f"{entry.name}: norm != intToByte4(doc_len)")
 
-        if verify_content:
+        if verify_content and "file" in entry.input:
+            # merged segments carry "merged_from" lineage instead; their
+            # stored sha256 column was concatenated from verified inputs
             stored = pq.read_table(os.path.join(d, "stored.parquet"))
             src = pq.ParquetFile(entry.input["file"]).read_row_groups(
                 list(range(entry.input["rg_start"], entry.input["rg_end"])),

@@ -1,0 +1,384 @@
+"""Segment merging: TieredMergePolicy math over the manifest + Ray merge
+workers (the compaction stage).
+
+Policy parity (index/TieredMergePolicy.java):
+  - allowedSegCount from geometric tier levels: floor 2 MB, segsPerTier 10,
+    mergeFactor = min(maxMergeAtOnce, segsPerTier)      [:394-411 budget loop]
+  - candidate windows of <= mergeFactor segments, <= 5 GB after-merge bytes,
+    with the "hitTooLarge keeps packing smaller segments" rule   [:512-552]
+  - skip merges whose result is < 1.5x the biggest input (anti O(N^2)),
+    and singleton no-delete merges                               [:558-578]
+  - score = skew * totalBytes^0.05 * nonDelRatio^2 (lower wins), where skew =
+    floored(largest)/flooredTotal, or 1/mergeFactor when hitTooLarge [:654-702]
+  - at most one over-size merge per cycle                        [:621-651]
+
+Deliberate divergence, documented: Lucene merges ARBITRARY segments and
+renumbers docids (index/DocIDMerger.java) because its ids are ephemeral.
+Our global docids are stable engine output (rank-identity + N-vs-4N golden
+equality), so candidate windows slide over the DOCID-ORDERED segment list and
+only *adjacent* runs merge (LogMergePolicy's contiguity rule,
+index/LogMergePolicy.java) — the merged segment inherits the first input's
+docid_base and locals shift by input offsets; global ids never change.
+With an append-only corpus delCount == 0, so the delete terms vanish.
+
+Execution: merge specs -> ray.data.from_items -> map_batches(tasks); each
+task streams the input postings tables term-by-term (k-way by sorted term),
+decodes, rebases docids, re-encodes blocks and impacts EXACTLY as at build
+(SegmentMerger re-writes postings so stats are never stale,
+index/SegmentMerger.java:109-165).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_ray.codec.postings_codec import (
+    POSTINGS_SCHEMA,
+    encode_term_postings,
+)
+from lucene_ray.codec.forutil import decode_stream
+from lucene_ray.config import (
+    MERGE_FLOOR_SEGMENT_BYTES,
+    MERGE_MAX_MERGE_AT_ONCE,
+    MERGE_MAX_MERGED_SEGMENT_BYTES,
+    MERGE_SEGS_PER_TIER,
+)
+from lucene_ray.index.manifest import (
+    Manifest,
+    SegmentEntry,
+    read_manifest,
+    segment_dir,
+    write_entry,
+    write_manifest,
+)
+
+
+class TieredMergePolicy:
+    def __init__(
+        self,
+        floor_segment_bytes: int = MERGE_FLOOR_SEGMENT_BYTES,
+        max_merged_segment_bytes: int = MERGE_MAX_MERGED_SEGMENT_BYTES,
+        segs_per_tier: float = MERGE_SEGS_PER_TIER,
+        max_merge_at_once: int = MERGE_MAX_MERGE_AT_ONCE,
+    ):
+        self.floor_segment_bytes = floor_segment_bytes
+        self.max_merged_segment_bytes = max_merged_segment_bytes
+        self.segs_per_tier = segs_per_tier
+        self.max_merge_at_once = max_merge_at_once
+
+    def _floor_size(self, b: int) -> int:
+        return max(b, self.floor_segment_bytes)
+
+    def allowed_seg_count(self, sizes: list[int]) -> float:
+        """Budget loop, TieredMergePolicy.java:394-411."""
+        tot = sum(sizes)
+        min_size = min(sizes) if sizes else 0
+        merge_factor = int(min(self.max_merge_at_once, self.segs_per_tier))
+        level_size = self._floor_size(min_size)
+        bytes_left = tot
+        allowed = 0.0
+        while True:
+            level_count = bytes_left / level_size
+            if level_count < self.segs_per_tier or level_size == self.max_merged_segment_bytes:
+                allowed += np.ceil(level_count)
+                break
+            allowed += self.segs_per_tier
+            bytes_left -= int(self.segs_per_tier * level_size)
+            level_size = min(self.max_merged_segment_bytes, level_size * merge_factor)
+        return max(allowed, self.segs_per_tier)
+
+    def score(self, cand_sizes: list[int], hit_too_large: bool) -> float:
+        """TieredMergePolicy.score, :654-702 (delCount == 0)."""
+        tot = sum(cand_sizes)
+        tot_floored = sum(self._floor_size(b) for b in cand_sizes)
+        merge_factor = int(min(self.max_merge_at_once, self.segs_per_tier))
+        if hit_too_large:
+            skew = 1.0 / merge_factor
+        else:
+            largest = max(cand_sizes)
+            skew = self._floor_size(largest) / tot_floored
+        return skew * (tot ** 0.05)  # nonDelRatio == 1
+
+    def find_merges(self, segments: list[SegmentEntry]) -> list[list[str]]:
+        """Return merge specs (lists of segment names, docid-adjacent runs).
+        doFindMerges structure (:436-651) with the adjacency divergence
+        documented in the module docstring."""
+        if len(segments) < 2:
+            return []
+        ordered = sorted(segments, key=lambda e: e.docid_base)
+        sizes = {e.name: e.bytes for e in ordered}
+        # exclude too-big segments from eligibility (> max/2, :383-388)
+        eligible = [
+            e for e in ordered if e.bytes <= self.max_merged_segment_bytes / 2
+        ]
+        if not eligible:
+            return []
+        allowed = self.allowed_seg_count([sizes[e.name] for e in eligible])
+        merge_factor = int(min(self.max_merge_at_once, self.segs_per_tier))
+
+        specs: list[list[str]] = []
+        taken: set[str] = set()
+        have_one_large = False
+        while True:
+            pool = [e for e in eligible if e.name not in taken]
+            if len(pool) <= allowed or len(pool) < 2:
+                return specs
+            best, best_score, best_too_large = None, None, False
+            # windows over ADJACENT docid runs (contiguity constraint)
+            for start in range(len(pool)):
+                cand: list[SegmentEntry] = []
+                tot = 0
+                hit_too_large = False
+                idx = start
+                while (
+                    idx < len(pool)
+                    and len(cand) < merge_factor
+                    and tot < self.max_merged_segment_bytes
+                ):
+                    e = pool[idx]
+                    # adjacency: stop the window at a docid gap
+                    if cand and e.docid_base != cand[-1].docid_base + cand[-1].doc_count:
+                        break
+                    if tot + e.bytes > self.max_merged_segment_bytes:
+                        hit_too_large = True
+                        if not cand:
+                            cand.append(e)
+                        idx += 1
+                        continue  # keep packing smaller segments (:545-548)
+                    cand.append(e)
+                    tot += e.bytes
+                    idx += 1
+                if len(cand) < 2:
+                    continue
+                largest = max(c.bytes for c in cand)
+                if not hit_too_large and tot < largest * 1.5:
+                    continue  # anti O(N^2) rule (:558-573)
+                if best_score is not None and not hit_too_large and len(cand) < merge_factor:
+                    break  # tail of the list, only smaller merges left (:585-589)
+                s = self.score([c.bytes for c in cand], hit_too_large)
+                if (best_score is None or s < best_score) and (
+                    not hit_too_large or not have_one_large
+                ):
+                    best, best_score, best_too_large = cand, s, hit_too_large
+            if best is None:
+                return specs
+            if best_too_large:
+                have_one_large = True  # one over-size merge per cycle (:621-628)
+            for e in best:
+                taken.add(e.name)
+            specs.append([e.name for e in best])
+
+
+def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
+    """Execute one merge: k-way term merge with docid rebase; idempotent."""
+    from lucene_ray.index.manifest import read_entry
+
+    t0 = time.perf_counter()
+    manifest = read_manifest(index_dir)
+    entries = sorted(
+        (e for e in manifest.segments if e.name in names),
+        key=lambda e: e.docid_base,
+    )
+    assert len(entries) == len(names), "merge input missing from manifest"
+    for a, b in zip(entries, entries[1:]):
+        assert b.docid_base == a.docid_base + a.doc_count, "non-adjacent merge"
+    new_base = entries[0].docid_base
+    fp = hashlib.sha1(("+".join(e.name for e in entries)).encode()).hexdigest()[:12]
+    name = f"seg_{entries[0].name.split('_')[1]}m_{fp}"
+    existing = read_entry(index_dir, name)
+    if existing is not None:
+        return existing
+
+    tables = []
+    offsets = []
+    for e in entries:
+        tables.append(
+            pq.read_table(os.path.join(segment_dir(index_dir, e.name), "postings.parquet"))
+        )
+        offsets.append(e.docid_base - new_base)
+
+    # k-way merge by sorted term: iterate the union of terms in order
+    iters = [t.to_pylist() for t in tables]
+    pointers = [0] * len(iters)
+    out_rows = {k: [] for k in POSTINGS_SCHEMA.names}
+    sum_ttf = 0
+
+    # concatenated norms for impact recomputation
+    norm_parts, len_parts = [], []
+    for e in entries:
+        nt = pq.read_table(os.path.join(segment_dir(index_dir, e.name), "norms.parquet"))
+        norm_parts.append(nt.column("norm").to_numpy(zero_copy_only=False))
+        len_parts.append(nt.column("doc_len").to_numpy(zero_copy_only=False))
+    norms = np.concatenate(norm_parts).astype(np.uint8)
+    doc_lens = np.concatenate(len_parts)
+
+    while True:
+        current = [
+            (iters[i][pointers[i]]["term"], i)
+            for i in range(len(iters))
+            if pointers[i] < len(iters[i])
+        ]
+        if not current:
+            break
+        term = min(t for t, _ in current)
+        docid_parts, tf_parts, pos_parts = [], [], []
+        for t, i in current:
+            if t != term:
+                continue
+            row = iters[i][pointers[i]]
+            pointers[i] += 1
+            df = row["df"]
+            if df == 1:
+                d = np.array([row["singleton_docid"]], dtype=np.int64)
+                tf = np.array([row["singleton_tf"]], dtype=np.int64)
+            else:
+                d = np.cumsum(decode_stream(row["doc_blob"], df).astype(np.int64))
+                tf = decode_stream(row["tf_blob"], df).astype(np.int64)
+            docid_parts.append(d + offsets[i])
+            tf_parts.append(tf)
+            ttf = int(tf.sum())
+            pos_parts.append(decode_stream(row["pos_blob"], ttf))
+        docids = np.concatenate(docid_parts)
+        tfs = np.concatenate(tf_parts)
+        positions = np.concatenate(pos_parts).astype(np.uint32)
+        enc = encode_term_postings(docids, tfs, positions, norms)
+        out_rows["term"].append(term)
+        for k, v in enc.items():
+            out_rows[k].append(v)
+        sum_ttf += enc["ttf"]
+
+    merged = pa.table(out_rows, schema=POSTINGS_SCHEMA)
+    d = segment_dir(index_dir, name)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(merged, os.path.join(d, "postings.parquet"))
+    pq.write_table(
+        pa.table(
+            {
+                "norm": pa.array(norms, type=pa.uint8()),
+                "doc_len": pa.array(doc_lens, type=pa.int64()),
+            }
+        ),
+        os.path.join(d, "norms.parquet"),
+    )
+    stored = pa.concat_tables(
+        [
+            pq.read_table(os.path.join(segment_dir(index_dir, e.name), "stored.parquet"))
+            for e in entries
+        ]
+    )
+    pq.write_table(stored, os.path.join(d, "stored.parquet"))
+
+    secs = time.perf_counter() - t0
+    doc_count = sum(e.doc_count for e in entries)
+    seg_bytes = sum(
+        os.path.getsize(os.path.join(d, f))
+        for f in ("postings.parquet", "norms.parquet", "stored.parquet")
+    )
+    entry = SegmentEntry(
+        name=name,
+        docid_base=new_base,
+        doc_count=doc_count,
+        sum_ttf=sum_ttf,
+        unique_terms=merged.num_rows,
+        bytes=seg_bytes,
+        input={"merged_from": [e.name for e in entries], "fingerprint": fp},
+        metrics={
+            "build_secs": round(secs, 4),
+            "docs_per_sec": round(doc_count / secs, 1),
+            "postings": int(pa.compute.sum(merged.column("df")).as_py() or 0),
+            "merge_inputs": len(entries),
+        },
+    )
+    write_entry(index_dir, entry)
+    return entry
+
+
+def maybe_merge(
+    index_dir: str,
+    policy: TieredMergePolicy | None = None,
+    max_rounds: int = 10,
+    use_ray: bool = True,
+) -> Manifest:
+    """Run merge rounds until the policy is satisfied (IndexWriter.maybeMerge
+    cascade, index/IndexWriter.java:701). Each round's merges execute in
+    parallel as a Ray Data task pool over the spec list; the manifest swap is
+    a single atomic write per round."""
+    policy = policy or TieredMergePolicy()
+    manifest = read_manifest(index_dir)
+    for _ in range(max_rounds):
+        specs = policy.find_merges(manifest.live_segments)
+        if not specs:
+            return manifest
+        new_entries = _execute_merges(index_dir, specs, use_ray)
+        merged_away = {n for spec in specs for n in spec}
+        keep = [e for e in manifest.segments if e.name not in merged_away]
+        keep.extend(new_entries)
+        keep.sort(key=lambda e: e.docid_base)
+        manifest = Manifest(
+            generation=manifest.generation + 1,
+            analyzer=manifest.analyzer,
+            doc_count=sum(e.doc_count for e in keep),
+            sum_ttf=sum(e.sum_ttf for e in keep),
+            segments=keep,
+        )
+        write_manifest(index_dir, manifest)
+    return manifest
+
+
+def force_merge(index_dir: str, use_ray: bool = False) -> Manifest:
+    """ForceMerge(1): one final global merge round
+    (index/IndexWriter.java:2098)."""
+    manifest = read_manifest(index_dir)
+    live = sorted(manifest.live_segments, key=lambda e: e.docid_base)
+    while len(live) > 1:
+        # merge in windows of max_merge_at_once until one remains
+        specs = [
+            [e.name for e in live[i : i + MERGE_MAX_MERGE_AT_ONCE]]
+            for i in range(0, len(live), MERGE_MAX_MERGE_AT_ONCE)
+        ]
+        specs = [s for s in specs if len(s) > 1]
+        if not specs:
+            break
+        new_entries = _execute_merges(index_dir, specs, use_ray)
+        merged_away = {n for spec in specs for n in spec}
+        live = [e for e in live if e.name not in merged_away] + new_entries
+        live.sort(key=lambda e: e.docid_base)
+        manifest = Manifest(
+            generation=manifest.generation + 1,
+            analyzer=manifest.analyzer,
+            doc_count=sum(e.doc_count for e in live),
+            sum_ttf=sum(e.sum_ttf for e in live),
+            segments=live,
+        )
+        write_manifest(index_dir, manifest)
+    return manifest
+
+
+def _execute_merges(index_dir: str, specs: list[list[str]], use_ray: bool) -> list[SegmentEntry]:
+    if not use_ray or len(specs) == 1:
+        return [merge_segments(index_dir, spec) for spec in specs]
+    import json as _json
+
+    import ray.data
+
+    def run(batch: dict) -> dict:
+        out = []
+        for spec_json in batch["spec"]:
+            entry = merge_segments(index_dir, _json.loads(spec_json))
+            out.append(_json.dumps(entry.__dict__))
+        return {"entry": np.array(out)}
+
+    ds = ray.data.from_items([{"spec": _json.dumps(s)} for s in specs]).repartition(
+        len(specs)
+    )
+    out = []
+    for batch in ds.map_batches(run, batch_size=None).iter_batches(batch_format="pyarrow"):
+        for e in batch.column("entry").to_pylist():
+            out.append(SegmentEntry(**_json.loads(e)))
+    return out
