@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship inverted-index pipeline (synthetic source-code corpus ->
+segment build -> TieredMergePolicy merge -> BM25 top-k via the scorer actor
+pool) on a deterministic 1000-doc corpus.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries()/oracle_sql(): one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data ops). Oracle-checked entries tokenize and
+score through shared RE2/float64 pipelines that DuckDB reproduces exactly;
+non-SQL-expressible ops (engine-internal hashing/quantized scoring/LSH/
+actor-pool stubs) are rows-only by design and are covered by the duel/golden
+test suites instead (tests/test_search.py, tests/test_ops.py).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+below calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +22,69 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from lucene_ray.pipelines.flagship import run_flagship
+
+    return run_flagship(n_docs=1000)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- inverted index + search (engine; SURVEY.md §2.1/2.4/2.6/2.11)
+        "bm25_topk": bm25docs.bm25_topk,
+        "bm25_topk_engine": bm25docs.bm25_topk_engine,
+        "boolean_engine": bm25docs.boolean_engine,
+        "phrase_engine": bm25docs.phrase_engine,
+        # --- analysis chain + aggregations (§2.2/2.5)
+        "term_stats": text.term_stats,
+        "doc_token_stats": text.doc_token_stats,
+        "text_quality": text.text_quality,
+        "lang_id": text.lang_id,
+        "doc_fingerprint": text.fingerprint,
+        # --- dedup family (training-data ops)
+        "dedup_exact": dedup.dedup_exact,
+        "content_sha": dedup.content_sha,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash64": dedup.simhash64,
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        # --- similarity search
+        "knn_bruteforce": knn.knn_bruteforce,
+        "knn_lsh": knn.knn_lsh,
+        # --- relational / windowed demos (engine breadth)
+        "q1_pricing": relational.q1_pricing,
+        "top_orders": relational.top_orders,
+        "nation_order_stats": relational.nation_order_stats,
+        "events_tumbling": relational.events_tumbling,
+        "sessionize": relational.sessionize,
+        # --- multimodal plumbing (stubbed codec, real actor-pool stage)
+        "media_features": multimodal.extract_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_ray.ops import bm25docs, dedup, knn, relational, text
+
+    return {
+        "bm25_topk": bm25docs.bm25_topk_sql(),
+        "boolean_engine": bm25docs.boolean_engine_sql(),
+        "phrase_engine": bm25docs.phrase_engine_sql(),
+        "term_stats": text.term_stats_sql(),
+        "doc_token_stats": text.doc_token_stats_sql(),
+        "text_quality": text.text_quality_sql(),
+        "lang_id": text.lang_id_sql(),
+        "dedup_exact": dedup.dedup_exact_sql(),
+        "content_sha": dedup.content_sha_sql(),
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
+        "embedding_dup_pairs": dedup.embedding_dup_sql(),
+        "knn_bruteforce": knn.knn_bruteforce_sql(),
+        "q1_pricing": relational.q1_pricing_sql(),
+        "top_orders": relational.top_orders_sql(),
+        "nation_order_stats": relational.nation_order_stats_sql(),
+        "events_tumbling": relational.events_tumbling_sql(),
+        "sessionize": relational.sessionize_sql(),
+        # rows-only (no SQL oracle, by design — see module docstring):
+        # bm25_topk_engine, doc_fingerprint, minhash_lsh_pairs, simhash64,
+        # knn_lsh, media_features
+    }

@@ -1,0 +1,313 @@
+"""BM25 + boolean/phrase retrieval over the ``documents`` table, in two
+forms:
+
+1. **Dataflow BM25** (``bm25_topk``): tokenize -> per-doc tf for the query
+   terms -> global stats -> float64 exact-length BM25 -> top-k. Bit-matched
+   by a DuckDB oracle (both sides: IEEE double, libm ln, identical operation
+   order — see BM25ExactSimilarity). This is the CORRECTNESS anchor.
+
+2. **Engine-backed** entries (``*_engine``): build the real inverted index
+   from the documents table (documents_as_corpus -> build_index under
+   /tmp/lucene_ray_cache, resume-cached) and run the production searcher.
+   - boolean/phrase doc SETS are float-free -> SQL-checked exactly
+   - BM25 rankings use Lucene's quantized-norm float32 scoring, which
+     legitimately differs from exact-double ranking -> rows-only check here;
+     rank-parity is enforced internally by the duel + golden tests instead.
+
+The fixed query sets are drawn from the documents vocabulary.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from lucene_ray.analysis import CodeAnalyzer, tokenize_sql_expr
+from lucene_ray.search.similarity import BM25ExactSimilarity
+
+# (qid, query text) — mix of single terms, multi-term ORs, hot + rare-ish
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "merge"),
+    (1, "window"),
+    (2, "batch stream"),
+    (3, "sort merge join"),
+    (4, "customer value"),
+    (5, "spark"),
+    (6, "zzzmissing"),
+    (7, "the data"),
+]
+BM25_K = 10
+
+BOOLEAN_QUERIES: list[tuple[int, str]] = [
+    (0, "merge AND window"),
+    (1, "+batch -stream"),
+    (2, "sort join"),
+    (3, "+table +scan -hash"),
+]
+
+PHRASE_QUERIES: list[tuple[int, tuple[str, ...]]] = [
+    (0, ("batch", "batch")),
+    (1, ("sort", "merge")),
+    (2, ("key", "order")),
+]
+
+
+def _query_terms() -> list[tuple[int, list[str]]]:
+    an = CodeAnalyzer()
+    return [(qid, an.tokenize_text(q)) for qid, q in BM25_QUERIES]
+
+
+def bm25_topk(sf_dir: str) -> pa.Table:
+    """(qid, rank, doc_id): float64 exact-length BM25 over documents as one
+    Ray Data flow. The per-doc tf computation streams (map_batches); term
+    stats reduce to scalars; scoring + topk happen on the (tiny)
+    matched-rows set per query."""
+    qts = _query_terms()
+    all_terms = sorted({t for _, ts in qts for t in ts})
+    term_index = {t: i for i, t in enumerate(all_terms)}
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tfs(batch: pa.Table) -> pa.Table:
+        an = CodeAnalyzer()
+        row_idx, terms, _ = an.tokenize_flat(batch.column("text").combine_chunks())
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
+        cols = {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "doc_len": pa.array(doc_len, type=pa.int64()),
+        }
+        import pyarrow.compute as pc
+
+        for t in all_terms:
+            mask = pc.equal(terms, t).to_numpy(zero_copy_only=False)
+            tf = (
+                np.bincount(row_idx[mask], minlength=n).astype(np.int64)
+                if len(row_idx)
+                else np.zeros(n, dtype=np.int64)
+            )
+            cols[f"tf_{term_index[t]}"] = pa.array(tf, type=pa.int64())
+        return pa.table(cols)
+
+    tf_tbl = ds.map_batches(tfs, batch_format="pyarrow", batch_size=4096)
+    pdf = tf_tbl.to_pandas()  # (n_docs x n_query_terms) — small by design;
+    # at 100 TB this becomes: filter rows with any tf>0 inside map_batches
+    # (done below logically) so only matching docs reach the driver
+    N = len(pdf)
+    sum_len = int(pdf.doc_len.sum())
+    avgdl = sum_len / N
+    sim = BM25ExactSimilarity()
+    doc_ids = pdf.doc_id.to_numpy()
+    doc_len = pdf.doc_len.to_numpy()
+
+    out = {"qid": [], "rank": [], "doc_id": []}
+    for qid, terms in _query_terms():
+        scores = np.zeros(N, dtype=np.float64)
+        matched = np.zeros(N, dtype=bool)
+        for t in terms:
+            if t not in term_index:
+                continue
+            tf = pdf[f"tf_{term_index[t]}"].to_numpy()
+            df = int((tf > 0).sum())
+            if df == 0:
+                continue
+            m = tf > 0
+            matched |= m
+            s = sim.score(tf[m], doc_len[m], df, N, avgdl)
+            scores[m] += s
+        cand = np.nonzero(matched)[0]
+        order = np.lexsort((doc_ids[cand], -scores[cand]))[:BM25_K]
+        sel = cand[order]
+        out["qid"].extend([qid] * len(sel))
+        out["rank"].extend(range(len(sel)))
+        out["doc_id"].extend(doc_ids[sel].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        }
+    )
+
+
+def bm25_topk_sql() -> str:
+    """Pivot form: one LEFT JOIN per query term with EXPLICIT left-associative
+    addition in fixed term order — SUM() over rows would let DuckDB pick the
+    float64 addition order, breaking bit-parity with the numpy path."""
+    toks = tokenize_sql_expr("text")
+    per_query_selects = []
+    for qid, terms in _query_terms():
+        joins, contribs, matched = [], [], []
+        for i, t in enumerate(terms):
+            joins.append(
+                f"LEFT JOIN tf t{i} ON t{i}.doc_id = dl.doc_id AND t{i}.term = '{t}'"
+            )
+            score = BM25ExactSimilarity.sql(
+                tf=f"t{i}.tf",
+                dl="dl.doc_len",
+                df=f"(SELECT df FROM dfs WHERE term = '{t}')",
+                n="stats.n",
+                avgdl="stats.avgdl",
+            )
+            contribs.append(f"(CASE WHEN t{i}.tf IS NULL THEN 0.0 ELSE {score} END)")
+            matched.append(f"t{i}.doc_id IS NOT NULL")
+        per_query_selects.append(
+            f"SELECT {qid} AS qid, dl.doc_id, {' + '.join(contribs)} AS score\n"
+            f"FROM doc_lens dl CROSS JOIN stats {' '.join(joins)}\n"
+            f"WHERE {' OR '.join(matched)}"
+        )
+    union = "\nUNION ALL\n".join(per_query_selects)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), doc_lens AS (
+  SELECT d.doc_id, coalesce(cnt.c, 0) AS doc_len
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id
+  ) cnt USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, (sum(doc_len)::DOUBLE / count(*)::DOUBLE) AS avgdl
+  FROM doc_lens
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+{union}
+), ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) - 1 AS rank
+  FROM scored
+)
+SELECT qid, rank::INTEGER AS rank, doc_id FROM ranked WHERE rank < {BM25_K}
+"""
+
+
+# ------------------------------------------------------------- engine-backed
+
+def _engine_index(sf_dir: str) -> str:
+    """Build (or reuse) the real inverted index for the documents table."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192)
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+def bm25_topk_engine(sf_dir: str) -> pa.Table:
+    """(qid, rank, docid, score): the production engine (quantized norms,
+    float32, pruned block-max path) over the documents corpus. Rows-only
+    driver check; rank-parity is guarded by the duel tests."""
+    from lucene_ray.search.engine import search_queries_dataset
+
+    ix = _engine_index(sf_dir)
+    qds = ray.data.from_items(
+        [{"qid": qid, "query": q} for qid, q in BM25_QUERIES]
+    )
+    return search_queries_dataset(qds, ix, k=BM25_K, concurrency=2)
+
+
+def boolean_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): boolean MUST/SHOULD/MUST_NOT matching through the real
+    engine — float-free doc sets, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q in BOOLEAN_QUERIES:
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def boolean_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    # mirror each query's semantics as set algebra over the token CTE;
+    # docid == doc_id because documents_as_corpus preserves row order and
+    # docids are assigned 0..n-1 in row order (builder.plan_segments)
+    parts = []
+    sets = {
+        0: "SELECT 0 AS qid, doc_id FROM has_merge INTERSECT SELECT 0, doc_id FROM has_window",
+        1: "SELECT 1 AS qid, doc_id FROM has_batch EXCEPT SELECT 1, doc_id FROM has_stream",
+        2: "SELECT 2 AS qid, doc_id FROM has_sort UNION SELECT 2, doc_id FROM has_join",
+        3: (
+            "SELECT 3 AS qid, doc_id FROM has_table INTERSECT SELECT 3, doc_id FROM has_scan "
+            "EXCEPT SELECT 3, doc_id FROM has_hash"
+        ),
+    }
+    terms = ["merge", "window", "batch", "stream", "sort", "join", "table", "scan", "hash"]
+    ctes = ",\n".join(
+        f"has_{t} AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{t}')" for t in terms
+    )
+    parts = "\nUNION ALL\n".join(sets[q] for q in sorted(sets))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+{ctes}
+SELECT qid, doc_id AS docid FROM ({parts})
+"""
+
+
+def phrase_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): exact-phrase matching (positions join) via the engine."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, PhraseQuery
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, terms in PHRASE_QUERIES:
+        td = s.search(BooleanQuery(should=[PhraseQuery(terms)]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def phrase_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, terms in PHRASE_QUERIES:
+        joins = " ".join(
+            f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j} "
+            f"AND t{j}.term = '{terms[j]}'"
+            for j in range(1, len(terms))
+        )
+        parts.append(
+            f"SELECT DISTINCT {qid} AS qid, t0.doc_id AS docid FROM tok t0 {joins} "
+            f"WHERE t0.term = '{terms[0]}'"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""

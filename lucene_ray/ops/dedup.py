@@ -1,0 +1,434 @@
+"""Deduplication pipelines over ``documents`` — exact, MinHash+LSH, SimHash,
+n-gram Jaccard, and embedding-cosine near-dup.
+
+Scale design (ray_guide 'Aggregation at scale' / north-star dedup row):
+  - exact: content-hash in map_batches -> groupby(hash) MIN — hash keys are
+    uniform, no skew
+  - minhash-lsh: shingle -> 64 minhashes -> band rows exploded ->
+    groupby(band, bucket) -> candidate pairs verified by exact Jaccard; the
+    only shuffle moves (band, bucket, doc_id) triples, never documents
+  - embedding near-dup: blocked matmul against a broadcast matrix (ray.put
+    once) at test scale; at 100 TB the broadcast side becomes an IVF/LSH
+    bucket join (see knn.py)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Min
+
+from lucene_ray.analysis import CodeAnalyzer, tokenize_sql_expr
+from lucene_ray.ops.text import _stable_token_hash
+
+SHINGLE_K = 5          # token-shingle width (documents' vocab is tiny ->
+                       # short shingles would make everything a candidate)
+MINHASH_PERMS = 64
+LSH_BANDS = 16         # 16 bands x 4 rows
+JACCARD_THRESHOLD = 0.5
+# the synthetic embeddings are near-orthogonal random vectors (max pairwise
+# cosine ~0.5); 0.42 yields a non-trivial pair set at every sf with a >=3e-5
+# margin to the nearest non-pair (safe against float summation-order noise)
+COSINE_THRESHOLD = 0.42
+
+
+def _materialize(ds, schema: pa.Schema) -> pa.Table:
+    """Collect a (small) Dataset into one Arrow table, KEEPING the schema
+    even when every block is empty (ray's to_pandas drops columns then)."""
+    import ray.data as rd
+
+    if not isinstance(ds, rd.Dataset):
+        return ds
+    parts = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return schema.empty_table()
+    return pa.concat_tables([p.select(schema.names) for p in parts])
+
+
+PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+VEC_PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
+    """Surviving doc per identical text: (doc_id) = MIN(doc_id) per
+    sha256(text) group."""
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        shas = [
+            hashlib.sha256(t.encode()).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sha": pa.array(shas, type=pa.string()),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(add_sha, batch_format="pyarrow", batch_size=4096)
+        .groupby("sha")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+
+def dedup_exact_sql() -> str:
+    return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)"
+
+
+def content_sha(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, sha) — the per-row content-integrity invariant surfaced as a
+    pipeline (CRC32-footer analog, codecs/CodecUtil.java)."""
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        shas = [
+            hashlib.sha256(t.encode()).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "sha": pa.array(shas, type=pa.string())}
+        )
+
+    return _docs(sf_dir).map_batches(add_sha, batch_format="pyarrow", batch_size=4096)
+
+
+def content_sha_sql() -> str:
+    return "SELECT doc_id, sha256(text) AS sha FROM documents"
+
+
+# ------------------------------------------------------------ token shingles
+
+def _shingle_hashes(batch: pa.Table, k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids_per_shingle, shingle_hash uint64) for all k-token shingles;
+    multiset -> deduped per doc."""
+    an = CodeAnalyzer()
+    row_idx, terms, _ = an.tokenize_flat(batch.column("text").combine_chunks())
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    if len(row_idx) == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    th = _stable_token_hash(terms)
+    n_tok = len(th)
+    # rolling polynomial hash over windows of k within each row
+    P = np.uint64(1099511628211)
+    pw = np.uint64(1)
+    window = th.copy()
+    valid = np.ones(n_tok, dtype=bool)
+    for j in range(1, k):
+        shifted = np.empty(n_tok, dtype=np.uint64)
+        shifted[:-j] = th[j:]
+        shifted[-j:] = 0
+        same_row = np.empty(n_tok, dtype=bool)
+        same_row[:-j] = row_idx[j:] == row_idx[:-j]
+        same_row[-j:] = False
+        pw = pw * P
+        window = window * P + shifted
+        valid &= same_row
+    sh = window[valid]
+    docs = doc_ids[row_idx[valid]]
+    # dedupe (doc, shingle)
+    pairs = np.stack([docs.astype(np.uint64), sh], axis=1)
+    uniq = np.unique(pairs, axis=0)
+    return uniq[:, 0].astype(np.int64), uniq[:, 1]
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Near-dup pairs by exact Jaccard over k-token shingles, candidates =
+    pairs sharing >= 1 shingle. Output (doc_a, doc_b) with doc_a < doc_b.
+
+    Shape: map_batches(shingle) -> groupby(shingle-hash bucket) emits
+    candidate pairs -> pair-level exact verify. At web scale the candidate
+    generation must go through MinHash-LSH (minhash_lsh_pairs) instead —
+    this operator IS the verifier of that pipeline too."""
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        docs, sh = _shingle_hashes(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "shingle": pa.array(sh.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    sh_ds = _docs(sf_dir).map_batches(shingles, batch_format="pyarrow", batch_size=4096)
+
+    # per-doc shingle-set sizes: small (one row per doc) -> broadcast
+    from ray.data.aggregate import Count
+
+    sizes_pd = sh_ds.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
+    size_by_doc = dict(zip(sizes_pd.doc_id, sizes_pd.n))
+    sizes_ref = ray.put(size_by_doc)
+
+    def pairs_of_group(g):
+        import pandas as pd
+
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > 1000:  # skew guard: a shingle shared
+            # by >1000 docs is boilerplate, drop it (documented cap)
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64")}
+            )
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    inter = (
+        sh_ds.groupby("shingle")
+        .map_groups(pairs_of_group, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="inter"))
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sizes = ray.get(sizes_ref)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        i = batch.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.array([sizes.get(int(x), 0) for x in a], dtype=np.float64)
+        nb = np.array([sizes.get(int(x), 0) for x in b], dtype=np.float64)
+        keep = i >= JACCARD_THRESHOLD * (na + nb - i)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], type=pa.int64()),
+                "doc_b": pa.array(b[keep], type=pa.int64()),
+            }
+        )
+
+    return _materialize(
+        inter.map_batches(verify, batch_format="pyarrow", batch_size=65536),
+        PAIR_SCHEMA,
+    )
+
+
+def ngram_jaccard_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    k = SHINGLE_K
+    joins = " ".join(
+        f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j}"
+        for j in range(1, k)
+    )
+    concat = " || '' || ".join(f"t{j}.term" for j in range(k))
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM t
+), sh AS (
+  SELECT DISTINCT t0.doc_id, {concat} AS shingle
+  FROM tok t0 {joins}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i >= {JACCARD_THRESHOLD} * (sa.n + sb.n - i)
+"""
+
+
+# ------------------------------------------------------------- minhash + lsh
+
+def _minhash_sig(doc_ids: np.ndarray, shingles: np.ndarray, n_docs_hint: int = 0):
+    """Per-doc MinHash signatures from (doc, shingle-hash) pairs via the
+    one-permutation family h_i(x) = a_i * x + b_i (mod 2^64), min per doc."""
+    rng = np.random.default_rng(1234567)  # FIXED seed: signatures must be
+    # identical across runs and workers
+    a = rng.integers(1, 2**63, size=MINHASH_PERMS, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, size=MINHASH_PERMS, dtype=np.uint64)
+    uniq_docs, inv = np.unique(doc_ids, return_inverse=True)
+    sigs = np.full((len(uniq_docs), MINHASH_PERMS), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for i in range(MINHASH_PERMS):
+        hv = shingles * a[i] + b[i]
+        np.minimum.at(sigs[:, i], inv, hv)
+    return uniq_docs, sigs
+
+
+def minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """MinHash+LSH candidate pairs verified by exact Jaccard — output
+    (doc_a, doc_b), the scalable near-dup path.
+
+    Pipeline: map_batches(shingle+minhash) -> explode (band, bucket, doc) ->
+    groupby(band, bucket) -> pairs -> distinct -> exact-Jaccard verify.
+    No SQL oracle (the hash family is engine-defined); correctness is tested
+    against ngram_jaccard_pairs (recall on the fixture corpus)."""
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        docs, sh = _shingle_hashes(batch)
+        if len(docs) == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        uniq_docs, sigs = _minhash_sig(docs, sh)
+        rows_per_band = MINHASH_PERMS // LSH_BANDS
+        bands, buckets, dids = [], [], []
+        for bidx in range(LSH_BANDS):
+            seg = sigs[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
+            h = np.zeros(len(uniq_docs), dtype=np.uint64)
+            for c in range(seg.shape[1]):
+                h = h * np.uint64(1099511628211) + seg[:, c]
+            bands.append(np.full(len(uniq_docs), bidx, dtype=np.int32))
+            buckets.append((h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
+            dids.append(uniq_docs)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands), type=pa.int32()),
+                "bucket": pa.array(np.concatenate(buckets), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+            }
+        )
+
+    band_ds = _docs(sf_dir).map_batches(band_rows, batch_format="pyarrow", batch_size=100000)
+
+    def pairs_of_bucket(g):
+        import pandas as pd
+
+        ids = np.sort(np.unique(g["doc_id"].to_numpy()))
+        if len(ids) < 2 or len(ids) > 1000:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    from ray.data.aggregate import Count
+
+    cand = (
+        band_ds.groupby(["band", "bucket"])
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+    )
+    cand_pd = cand.to_pandas()
+    if len(cand_pd) == 0:
+        import pandas as pd
+
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64")})
+        )
+    # exact verify on candidates only
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    docs_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    d_all, s_all = _shingle_hashes(docs_tbl)
+    sh_pd = pd.DataFrame({"doc_id": d_all, "shingle": s_all.astype(np.int64)})
+    sizes = sh_pd.groupby("doc_id").size()
+    sets = sh_pd.groupby("doc_id")["shingle"].agg(set)
+    keep_a, keep_b = [], []
+    for a_, b_ in zip(cand_pd.doc_a, cand_pd.doc_b):
+        sa, sb = sets.get(a_, set()), sets.get(b_, set())
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter >= JACCARD_THRESHOLD * (len(sa) + len(sb) - inter):
+            keep_a.append(int(a_))
+            keep_b.append(int(b_))
+    out = pd.DataFrame({"doc_a": keep_a, "doc_b": keep_b}).astype("int64")
+    _ = sizes
+    return ray.data.from_pandas(out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+# ----------------------------------------------------------------- simhash
+
+def simhash64(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, simhash int64): sign-aggregated 64-bit token-hash sketch
+    (Charikar). Pure map_batches. No SQL oracle (hash family)."""
+
+    def sh(batch: pa.Table) -> pa.Table:
+        an = CodeAnalyzer()
+        row_idx, terms, _ = an.tokenize_flat(batch.column("text").combine_chunks())
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        fp = np.zeros(n, dtype=np.uint64)
+        if len(row_idx):
+            th = _stable_token_hash(terms)
+            acc = np.zeros((n, 64), dtype=np.int64)
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            contrib = bits * 2 - 1
+            np.add.at(acc, row_idx, contrib)
+            fp_bits = (acc > 0).astype(np.uint64)
+            fp = (fp_bits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "simhash": pa.array(
+                    (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sh, batch_format="pyarrow", batch_size=4096)
+
+
+# --------------------------------------------------------- embedding near-dup
+
+def embedding_dup_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """(vec_a, vec_b) with cosine >= COSINE_THRESHOLD, vec_a < vec_b.
+
+    Blocked matmul: the full (normalized) matrix is broadcast once via
+    ray.put; each batch of rows multiplies against it (upper triangle only).
+    """
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    ref = ray.put((ids, matn))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def block(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        bmat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        bn = np.linalg.norm(bmat, axis=1)
+        bn[bn == 0] = 1.0
+        sims = (bmat / bn[:, None]) @ all_mat.T
+        ai, bj = np.nonzero(sims >= COSINE_THRESHOLD)
+        a_ids, b_ids = bids[ai], all_ids[bj]
+        keep = a_ids < b_ids
+        return pa.table(
+            {
+                "vec_a": pa.array(a_ids[keep], type=pa.int64()),
+                "vec_b": pa.array(b_ids[keep], type=pa.int64()),
+            }
+        )
+
+    return _materialize(
+        ds.map_batches(block, batch_format="pyarrow", batch_size=1024),
+        VEC_PAIR_SCHEMA,
+    )
+
+
+def embedding_dup_sql() -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {COSINE_THRESHOLD}
+"""

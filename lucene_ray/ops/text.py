@@ -1,0 +1,308 @@
+"""Text-analysis pipelines over the ``documents`` table — Ray Data stages
+with exact DuckDB SQL mirrors (tokenization via the shared RE2 pipeline, so
+both sides tokenize identically; see lucene_ray.analysis.tokenize_sql_expr).
+
+Scale design: every pipeline is map_batches-vectorized with per-batch
+PARTIAL aggregation before any groupby — the combiner pattern bounds shuffle
+volume to O(#batches x vocab) rows and caps per-key skew at #batches rows
+(SURVEY.md §4 skew row; ray_guide 'Aggregation at scale').
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from lucene_ray.analysis import CodeAnalyzer, tokenize_sql_expr
+
+# shared language stopword sets (python and SQL literals generated from the
+# SAME constants — keep them tiny, ASCII, lowercase)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "los", "de", "que", "y", "en", "es"),
+    "fr": ("le", "la", "les", "et", "de", "que", "est", "en"),
+}
+_STOP_ALL = tuple(sorted({w for ws in LANG_STOPWORDS.values() for w in ws}))
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _tokenize_batch(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    an = CodeAnalyzer()
+    row_idx, terms, _pos = an.tokenize_flat(batch.column("text").combine_chunks())
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return doc_ids, row_idx, terms
+
+
+def term_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(term, df, ttf) over all documents.
+
+    Stage 1 (map_batches): tokenize + per-batch partial (term, df, ttf).
+    Stage 2: groupby("term") over partials only.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _doc_ids, row_idx, terms = _tokenize_batch(batch)
+        tids = terms.dictionary_encode()
+        ids = tids.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((row_idx, ids))
+        ids_s, rows_s = ids[order], row_idx[order]
+        pair_change = np.empty(len(ids_s), dtype=bool)
+        if len(ids_s):
+            pair_change[0] = True
+            np.logical_or(
+                ids_s[1:] != ids_s[:-1], rows_s[1:] != rows_s[:-1], out=pair_change[1:]
+            )
+        starts = np.nonzero(pair_change)[0]
+        tfs = np.diff(np.append(starts, len(ids_s)))
+        pair_ids = ids_s[starts]
+        uniq, first = np.unique(pair_ids, return_index=True)
+        df = np.diff(np.append(first, len(pair_ids)))
+        ttf = np.add.reduceat(tfs, first) if len(first) else np.array([], dtype=np.int64)
+        vocab = tids.dictionary.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "term": pa.array(vocab[uniq].tolist(), type=pa.string()),
+                "df": pa.array(df, type=pa.int64()),
+                "ttf": pa.array(ttf, type=pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    )
+    return partials.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
+    )
+
+
+def term_stats_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), per_doc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+FROM per_doc GROUP BY term
+"""
+
+
+def doc_token_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_unique) per document — pure map_batches, no
+    shuffle at any scale."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        doc_ids, row_idx, terms = _tokenize_batch(batch)
+        n = batch.num_rows
+        counts = np.bincount(row_idx, minlength=n).astype(np.int64)
+        ids = terms.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, row_idx))
+        rows_s, ids_s = row_idx[order], ids[order]
+        is_new = np.empty(len(ids_s), dtype=bool)
+        if len(ids_s):
+            is_new[0] = True
+            np.logical_or(
+                rows_s[1:] != rows_s[:-1], ids_s[1:] != ids_s[:-1], out=is_new[1:]
+            )
+        uniq = np.bincount(rows_s[is_new], minlength=n).astype(np.int64) if len(ids_s) else np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_tokens": pa.array(counts, type=pa.int64()),
+                "n_unique": pa.array(uniq, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+def doc_token_stats_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT term)::BIGINT AS n_unique
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_unique, 0) AS n_unique
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def text_quality(sf_dir: str) -> "ray.data.Dataset":
+    """Integer quality counters per doc (quality *scoring* downstream divides
+    these; keeping raw counts makes the oracle comparison exact):
+    (doc_id, n_chars, n_tokens, n_stopwords, n_alpha_chars, n_digit_chars)."""
+    import pyarrow.compute as pc
+
+    def quality(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks()
+        doc_ids, row_idx, terms = _tokenize_batch(batch)
+        n = batch.num_rows
+        n_tokens = np.bincount(row_idx, minlength=n).astype(np.int64)
+        stop_mask = pc.is_in(terms, value_set=pa.array(_STOP_ALL)).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = (
+            np.bincount(row_idx[stop_mask], minlength=n).astype(np.int64)
+            if len(row_idx)
+            else np.zeros(n, dtype=np.int64)
+        )
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = pc.utf8_length(
+            pc.replace_substring_regex(text, pattern="[^A-Za-z]+", replacement="")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        digit = pc.utf8_length(
+            pc.replace_substring_regex(text, pattern="[^0-9]+", replacement="")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_chars": pa.array(n_chars),
+                "n_tokens": pa.array(n_tokens),
+                "n_stopwords": pa.array(n_stop),
+                "n_alpha_chars": pa.array(alpha),
+                "n_digit_chars": pa.array(digit),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(quality, batch_format="pyarrow", batch_size=4096)
+
+
+def text_quality_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    stop_list = ", ".join(f"'{w}'" for w in _STOP_ALL)
+    return f"""
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  len({toks})::BIGINT AS n_tokens,
+  len(list_filter({toks}, t -> t IN ({stop_list})))::BIGINT AS n_stopwords,
+  length(regexp_replace(text, '[^A-Za-z]+', '', 'g'))::BIGINT AS n_alpha_chars,
+  length(regexp_replace(text, '[^0-9]+', '', 'g'))::BIGINT AS n_digit_chars
+FROM documents
+"""
+
+
+def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    """Stopword-overlap language ID (n-gram-free heuristic): per doc, count
+    tokens in each language's stopword set; argmax, ties broken by language
+    code ascending; no token hits at all -> 'und'."""
+    import pyarrow.compute as pc
+
+    langs = sorted(LANG_STOPWORDS)
+
+    def lid(batch: pa.Table) -> pa.Table:
+        doc_ids, row_idx, terms = _tokenize_batch(batch)
+        n = batch.num_rows
+        counts = np.zeros((n, len(langs)), dtype=np.int64)
+        for j, lg in enumerate(langs):
+            mask = pc.is_in(
+                terms, value_set=pa.array(list(LANG_STOPWORDS[lg]))
+            ).to_numpy(zero_copy_only=False)
+            if len(row_idx):
+                counts[:, j] = np.bincount(row_idx[mask], minlength=n)
+        best = np.argmax(counts, axis=1)  # first max -> lexicographically
+        # smallest language code because langs is sorted
+        pred = np.array(langs, dtype=object)[best]
+        pred[counts.max(axis=1) == 0] = "und"
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "lang_pred": pa.array(pred.tolist(), type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(lid, batch_format="pyarrow", batch_size=4096)
+
+
+def lang_id_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    langs = sorted(LANG_STOPWORDS)
+    cnt_cols = ",\n  ".join(
+        f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in LANG_STOPWORDS[lg])}))) AS c_{lg}"
+        for lg in langs
+    )
+    # argmax with ties -> lexicographically smallest lang: CASE scans langs
+    # in sorted order and the first equal-to-max wins
+    g = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    cases = " ".join(
+        f"WHEN c_{lg} = {g} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), c AS (
+  SELECT doc_id, {cnt_cols} FROM t
+)
+SELECT doc_id,
+  CASE WHEN {g} = 0 THEN 'und' {cases} END AS lang_pred
+FROM c
+"""
+
+
+def fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic 64-bit document fingerprint: polynomial rolling hash of
+    the token sequence (document-fingerprinting primitive for shift-tolerant
+    dedup). Pure map_batches; int64 output (top bit cleared for SQL parity
+    comfort). No SQL oracle (DuckDB's hash() is a different function)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        doc_ids, row_idx, terms = _tokenize_batch(batch)
+        n = batch.num_rows
+        out = np.zeros(n, dtype=np.uint64)
+        if len(row_idx):
+            th = _stable_token_hash(terms)
+            # per-row polynomial hash h = Σ tok_i * P^(len-1-i) (mod 2^64),
+            # evaluated fully vectorized via positional powers
+            P = np.uint64(1099511628211)
+            counts = np.bincount(row_idx, minlength=n)
+            offsets = np.concatenate(([0], np.cumsum(counts)))
+            pos_in_row = np.arange(len(row_idx)) - offsets[row_idx]
+            rev_pos = (counts[row_idx] - 1 - pos_in_row).astype(np.uint64)
+            # pow P^rev_pos mod 2^64 via exponentiation by squaring on the
+            # unique exponents
+            max_e = int(rev_pos.max()) if len(rev_pos) else 0
+            pows = np.empty(max_e + 1, dtype=np.uint64)
+            pows[0] = np.uint64(1)
+            for e in range(1, max_e + 1):
+                pows[e] = pows[e - 1] * P
+            contrib = th * pows[rev_pos.astype(np.int64)]
+            out = np.zeros(n, dtype=np.uint64)
+            np.add.at(out, row_idx, contrib)
+        signed = (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "fingerprint": pa.array(signed, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow", batch_size=4096)
+
+
+def _stable_token_hash(terms: pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash per token (FNV-1a over utf-8 bytes),
+    vectorized over the dictionary (hash each unique term once)."""
+    d = terms.dictionary_encode()
+    vocab = d.dictionary.to_pylist()
+    idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    hs = np.empty(len(vocab), dtype=np.uint64)
+    for i, t in enumerate(vocab):
+        h = np.uint64(14695981039346656037)
+        for b in t.encode():
+            h = (h ^ np.uint64(b)) * np.uint64(1099511628211)
+        hs[i] = h
+    return hs[idx]

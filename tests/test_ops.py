@@ -1,0 +1,216 @@
+"""Cross-check every oracle-checked op against its DuckDB SQL at sf0.001 —
+the same comparison the driver runs at sf0.01 (order-insensitive rows)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def to_pdf(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        res = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        res = res.to_pandas()
+    return res
+
+
+def assert_same(ray_res, con, sql, float_cols=()):
+    got = to_pdf(ray_res)
+    want = con.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (got.columns, want.columns)
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got) == len(want), f"rows: {len(got)} vs {len(want)}"
+    for c in cols:
+        if c in float_cols:
+            np.testing.assert_allclose(got[c].to_numpy(float), want[c].to_numpy(float), rtol=1e-12)
+        else:
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            assert (a == b).all(), f"col {c} differs: {a[a != b][:5]} vs {b[a != b][:5]}"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextOps:
+    def test_term_stats(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.term_stats(SF), con, text.term_stats_sql())
+
+    def test_doc_token_stats(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.doc_token_stats(SF), con, text.doc_token_stats_sql())
+
+    def test_text_quality(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.text_quality(SF), con, text.text_quality_sql())
+
+    def test_lang_id(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.lang_id(SF), con, text.lang_id_sql())
+
+    def test_fingerprint_deterministic(self):
+        from lucene_ray.ops import text
+
+        a = text.fingerprint(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = text.fingerprint(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert a.fingerprint.nunique() > len(a) * 0.9  # discriminative
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupOps:
+    def test_dedup_exact(self, con):
+        from lucene_ray.ops import dedup
+
+        assert_same(dedup.dedup_exact(SF), con, dedup.dedup_exact_sql())
+
+    def test_content_sha(self, con):
+        from lucene_ray.ops import dedup
+
+        assert_same(dedup.content_sha(SF), con, dedup.content_sha_sql())
+
+    def test_ngram_jaccard(self, con):
+        from lucene_ray.ops import dedup
+
+        assert_same(dedup.ngram_jaccard_pairs(SF), con, dedup.ngram_jaccard_sql())
+
+    def test_minhash_recall_vs_exact(self):
+        from lucene_ray.ops import dedup
+
+        exact = to_pdf(dedup.ngram_jaccard_pairs(SF))
+        mh = to_pdf(dedup.minhash_lsh_pairs(SF))
+        exact_set = set(zip(exact.doc_a, exact.doc_b))
+        mh_set = set(zip(mh.doc_a, mh.doc_b))
+        # LSH must find most true pairs and verification kills false ones
+        assert mh_set <= exact_set
+        if exact_set:
+            assert len(mh_set) / len(exact_set) >= 0.8
+
+    def test_simhash_near_dups_close(self):
+        from lucene_ray.ops import dedup
+
+        sh = to_pdf(dedup.simhash64(SF))
+        assert sh.doc_id.is_unique
+        assert (sh.simhash >= 0).all()
+
+    def test_embedding_dups(self, con):
+        from lucene_ray.ops import dedup
+
+        assert_same(dedup.embedding_dup_pairs(SF), con, dedup.embedding_dup_sql())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnn:
+    def test_bruteforce(self, con):
+        from lucene_ray.ops import knn
+
+        assert_same(knn.knn_bruteforce(SF), con, knn.knn_bruteforce_sql())
+
+    def test_lsh_recall(self):
+        from lucene_ray.ops import knn
+
+        bf = to_pdf(knn.knn_bruteforce(SF))
+        ap = to_pdf(knn.knn_lsh(SF))
+        recalls = []
+        for qid in bf.query_id.unique():
+            truth = set(bf[bf.query_id == qid].vec_id)
+            got = set(ap[ap.query_id == qid].vec_id)
+            recalls.append(len(truth & got) / len(truth))
+        assert np.mean(recalls) >= 0.5, recalls  # approximate, but not junk
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRelational:
+    def test_q1(self, con):
+        from lucene_ray.ops import relational
+
+        assert_same(relational.q1_pricing(SF), con, relational.q1_pricing_sql())
+
+    def test_top_orders(self, con):
+        from lucene_ray.ops import relational
+
+        assert_same(relational.top_orders(SF), con, relational.top_orders_sql())
+
+    def test_nation_orders(self, con):
+        from lucene_ray.ops import relational
+
+        assert_same(
+            relational.nation_order_stats(SF), con, relational.nation_order_stats_sql()
+        )
+
+    def test_events_tumbling(self, con):
+        from lucene_ray.ops import relational
+
+        assert_same(relational.events_tumbling(SF), con, relational.events_tumbling_sql())
+
+    def test_sessionize(self, con):
+        from lucene_ray.ops import relational
+
+        assert_same(relational.sessionize(SF), con, relational.sessionize_sql())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBM25Docs:
+    def test_bm25_topk(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.bm25_topk(SF), con, bm25docs.bm25_topk_sql())
+
+    def test_boolean_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.boolean_engine(SF), con, bm25docs.boolean_engine_sql())
+
+    def test_phrase_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.phrase_engine(SF), con, bm25docs.phrase_engine_sql())
+
+    def test_bm25_engine_runs(self):
+        from lucene_ray.ops import bm25docs
+
+        out = to_pdf(bm25docs.bm25_topk_engine(SF))
+        assert set(out.columns) == {"qid", "rank", "docid", "score"}
+        assert len(out) > 0
+        # qid 6 (absent term) produces no rows
+        assert 6 not in set(out.qid)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodal:
+    def test_feature_plumbing(self):
+        from lucene_ray.ops import multimodal
+
+        out = multimodal.extract_features(SF).to_pandas()
+        assert len(out) == 500
+        assert all(len(f) == 16 for f in out.features)
+        sums = np.array([np.sum(f) for f in out.features])
+        np.testing.assert_allclose(sums[out.n_bytes > 0], 1.0, rtol=1e-5)
+
+    def test_real_codec_stub(self):
+        from lucene_ray.ops.multimodal import FeatureExtractor
+
+        with pytest.raises(NotImplementedError):
+            FeatureExtractor(real_codec=True)
