@@ -128,6 +128,36 @@ def encode_term_postings(
     }
 
 
+def _pareto_impacts_batched(
+    blk_of_pair: np.ndarray, tfs: np.ndarray, norms: np.ndarray, n_blocks: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-block pareto fronts. Returns (packed int64 values,
+    counts per block) with the same contents/order as ``pareto_impacts``."""
+    order = np.lexsort((tfs, norms, blk_of_pair))
+    b_s = blk_of_pair[order]
+    n_s = norms[order].astype(np.int64)
+    t_s = tfs[order]
+    # (block, norm) group boundaries
+    change = np.empty(len(b_s), dtype=bool)
+    change[0] = True
+    np.logical_or(b_s[1:] != b_s[:-1], n_s[1:] != n_s[:-1], out=change[1:])
+    g_starts = np.nonzero(change)[0]
+    g_max = np.maximum.reduceat(t_s, g_starts)
+    g_blk = b_s[g_starts]
+    g_norm = n_s[g_starts]
+    # pareto: within block (groups in norm-asc order) keep strictly
+    # increasing tf; running max with per-block reset via the offset trick
+    LARGE = np.int64(1) << np.int64(40)
+    aug = g_max.astype(np.int64) + g_blk.astype(np.int64) * LARGE
+    run = np.maximum.accumulate(aug)
+    keep = np.empty(len(aug), dtype=bool)
+    keep[0] = True
+    keep[1:] = aug[1:] > run[:-1]
+    packed = (g_max[keep].astype(np.int64) << 8) | g_norm[keep]
+    counts = np.bincount(g_blk[keep], minlength=n_blocks)
+    return packed, counts
+
+
 def build_segment_postings(
     row_idx: np.ndarray,
     terms: pa.Array,
@@ -140,20 +170,35 @@ def build_segment_postings(
     token arrays (output of ``CodeAnalyzer.tokenize_flat``).
 
     This is the DWPT-flush analog (index/FreqProxTermsWriter.java:84): the
-    in-memory TermsHash accumulation is replaced by one vectorized
-    sort + reduceat over the segment's tokens. Runs inside ONE build task —
-    the segment is sized (TARGET_DOCS_PER_SEGMENT) so this fits a worker heap.
+    in-memory TermsHash accumulation is replaced by vectorized sort +
+    reduceat over the segment's tokens, and ALL block encoding goes through
+    the batched width-grouped encoder (no per-term python work beyond blob
+    slicing). Runs inside ONE build task — the segment is sized
+    (TARGET_DOCS_PER_SEGMENT) so this fits a worker heap.
     """
     if len(row_idx) == 0:
         table = POSTINGS_SCHEMA.empty_table()
         return table, {"doc_count": doc_count, "sum_ttf": 0, "unique_terms": 0}
 
+    from lucene_ray.codec.forutil import encode_blocks_batched
+
     dict_arr = terms.dictionary_encode() if not isinstance(terms, pa.DictionaryArray) else terms
     term_ids = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    vocab = dict_arr.dictionary  # unique terms, order of first appearance
+    vocab_np = dict_arr.dictionary.to_numpy(zero_copy_only=False)
 
-    # global sort: (term_id, docid, position)
-    order = np.lexsort((positions, row_idx, term_ids))
+    # relabel term ids so ascending id == lexicographic term order, then ONE
+    # global sort puts everything in final layout (term dict order,
+    # TermsHashPerField.sortTerms:112)
+    lex = np.argsort(vocab_np, kind="stable")
+    rank = np.empty(len(vocab_np), dtype=np.int64)
+    rank[lex] = np.arange(len(vocab_np))
+    term_ids = rank[term_ids]
+    vocab_sorted = vocab_np[lex]
+
+    # tokenize_flat emits tokens in (doc, position) order, so ONE stable
+    # sort by term id yields (term, doc, position) order — much cheaper
+    # than a 3-key lexsort over millions of tokens
+    order = np.argsort(term_ids.astype(np.int32), kind="stable")
     t_sorted = term_ids[order]
     d_sorted = row_idx[order]
     p_sorted = positions[order].astype(np.int64)
@@ -169,6 +214,7 @@ def build_segment_postings(
     tfs = np.diff(np.append(pair_starts, len(t_sorted))).astype(np.int64)
     pair_term = t_sorted[pair_starts]
     pair_doc = d_sorted[pair_starts]
+    n_pairs = len(pair_starts)
 
     # per-doc position deltas (first position absolute, then gaps), as in
     # FreqProxTermsWriterPerField.java:84-108 (prox stream delta coding)
@@ -177,46 +223,156 @@ def build_segment_postings(
     np.subtract(p_sorted[1:], p_sorted[:-1], out=pos_delta[1:])
     pos_delta[pair_starts] = p_sorted[pair_starts]
     pos_delta = pos_delta.astype(np.uint32)
-    pair_pos_offsets = np.append(pair_starts, len(p_sorted))
 
-    # term boundaries over pairs
-    term_change = np.empty(len(pair_term), dtype=bool)
-    term_change[0] = True
-    np.not_equal(pair_term[1:], pair_term[:-1], out=term_change[1:])
-    term_starts = np.nonzero(term_change)[0]
-    term_ends = np.append(term_starts[1:], len(pair_term))
-
-    # term-order: sort unique terms lexicographically (the term dictionary
-    # order, TermsHashPerField.sortTerms:112)
-    uniq_term_ids = pair_term[term_starts]
-    vocab_np = vocab.to_numpy(zero_copy_only=False)
-    term_strings = vocab_np[uniq_term_ids]
-    lex = np.argsort(term_strings, kind="stable")
-
-    rows = {k: [] for k in POSTINGS_SCHEMA.names}
-    sum_ttf = 0
-    for j in lex:
-        s, e = term_starts[j], term_ends[j]
-        docids = pair_doc[s:e]
-        term_tfs = tfs[s:e]
-        pos = (
-            pos_delta[pair_pos_offsets[s] : pair_pos_offsets[e]]
-            if with_positions
-            else None
-        )
-        enc = encode_term_postings(docids, term_tfs, pos, norm_bytes)
-        rows["term"].append(str(term_strings[j]))
-        for k, v in enc.items():
-            rows[k].append(v)
-        sum_ttf += enc["ttf"]
-
-    table = pa.table(rows, schema=POSTINGS_SCHEMA)
+    table = postings_table_from_pairs(
+        vocab_sorted, pair_term, pair_doc, tfs, pos_delta, norm_bytes,
+        with_positions=with_positions,
+    )
     stats = {
         "doc_count": int(doc_count),
-        "sum_ttf": int(sum_ttf),
+        "sum_ttf": int(tfs.sum()),
         "unique_terms": table.num_rows,
     }
     return table, stats
+
+
+def postings_table_from_pairs(
+    vocab_sorted: np.ndarray,
+    pair_term: np.ndarray,
+    pair_doc: np.ndarray,
+    tfs: np.ndarray,
+    pos_delta: np.ndarray,
+    norm_bytes: np.ndarray,
+    with_positions: bool = True,
+) -> pa.Table:
+    """Encode a postings table from (term, doc, tf) pair arrays + the
+    aligned per-pair position-delta stream. Shared by the segment build and
+    the merge rewrite (SegmentMerger re-encodes postings exactly as at
+    flush, index/SegmentMerger.java:109-165).
+
+    Preconditions: ``pair_term`` ascending; ``pair_doc`` ascending within a
+    term; ``pos_delta`` is the concatenation of each pair's per-doc position
+    deltas in pair order (first delta of a pair = absolute position).
+    """
+    from lucene_ray.codec.forutil import encode_blocks_batched
+
+    n_pairs = len(pair_term)
+    term_change = np.empty(n_pairs, dtype=bool)
+    term_change[0] = True
+    np.not_equal(pair_term[1:], pair_term[:-1], out=term_change[1:])
+    term_starts = np.nonzero(term_change)[0]
+    term_df = np.diff(np.append(term_starts, n_pairs))
+    n_terms = len(term_starts)
+    uniq_terms = vocab_sorted[pair_term[term_starts]]
+    term_ttf = np.add.reduceat(tfs, term_starts)
+
+    # docid deltas with reset at term starts (first docid absolute)
+    deltas = np.empty(n_pairs, dtype=np.int64)
+    deltas[0] = pair_doc[0]
+    np.subtract(pair_doc[1:], pair_doc[:-1], out=deltas[1:])
+    deltas[term_starts] = pair_doc[term_starts]
+    deltas = deltas.astype(np.uint32)
+
+    # ---- doc/tf block structure: blocks of 128 pairs within each term ----
+    n_blocks_per_term = (term_df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    blk_term = np.repeat(np.arange(n_terms), n_blocks_per_term)
+    blk_ord = np.arange(len(blk_term)) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_blocks_per_term)[:-1])), n_blocks_per_term
+    )
+    blk_start_in_term = blk_ord * BLOCK_SIZE
+    blk_len = np.minimum(term_df[blk_term] - blk_start_in_term, BLOCK_SIZE)
+    blk_start = term_starts[blk_term] + blk_start_in_term
+    blk_end = blk_start + blk_len
+    n_blocks = len(blk_term)
+    block_last = pair_doc[blk_end - 1]
+
+    doc_buf, doc_offsets = encode_blocks_batched(deltas, blk_len)
+    tf_buf, tf_offsets = encode_blocks_batched(tfs.astype(np.uint32), blk_len)
+
+    # per-term byte ranges in the stream buffers
+    blk_sizes_doc = np.diff(np.append(doc_offsets, len(doc_buf)))
+    blk_sizes_tf = np.diff(np.append(tf_offsets, len(tf_buf)))
+    term_blk_offsets = np.concatenate(([0], np.cumsum(n_blocks_per_term)))
+    doc_term_bounds = doc_offsets[term_blk_offsets[:-1]]
+    doc_term_bounds = np.append(doc_term_bounds, len(doc_buf))
+    tf_term_bounds = tf_offsets[term_blk_offsets[:-1]]
+    tf_term_bounds = np.append(tf_term_bounds, len(tf_buf))
+
+    # ---- positions stream: blocks of 128 deltas within each term --------
+    if with_positions:
+        pos_nblocks = (term_ttf + BLOCK_SIZE - 1) // BLOCK_SIZE
+        p_blk_term = np.repeat(np.arange(n_terms), pos_nblocks)
+        p_blk_ord = np.arange(len(p_blk_term)) - np.repeat(
+            np.concatenate(([0], np.cumsum(pos_nblocks)[:-1])), pos_nblocks
+        )
+        p_len = np.minimum(term_ttf[p_blk_term] - p_blk_ord * BLOCK_SIZE, BLOCK_SIZE)
+        pos_buf, pos_offsets = encode_blocks_batched(pos_delta, p_len)
+        pos_blk_bounds = np.concatenate(([0], np.cumsum(pos_nblocks)))
+        pos_term_bounds = pos_offsets[pos_blk_bounds[:-1]]
+        pos_term_bounds = np.append(pos_term_bounds, len(pos_buf))
+        pos_mv = memoryview(pos_buf)
+    else:
+        pos_mv = memoryview(b"")
+        pos_term_bounds = np.zeros(n_terms + 1, dtype=np.int64)
+
+    # ---- impacts (vectorized pareto per block) ---------------------------
+    blk_of_pair = np.repeat(np.arange(n_blocks), blk_len)
+    packed_impacts, impact_counts = _pareto_impacts_batched(
+        blk_of_pair, tfs, norm_bytes[pair_doc].astype(np.int64), n_blocks
+    )
+
+    # ---- assemble the Arrow table (list columns from offsets, zero loops
+    # except the per-term blob slicing) -----------------------------------
+    singleton = term_df == 1
+    doc_mv = memoryview(doc_buf)
+    tf_mv = memoryview(tf_buf)
+    doc_blobs, tf_blobs, pos_blobs = [], [], []
+    for j in range(n_terms):
+        if singleton[j]:
+            doc_blobs.append(b"")
+            tf_blobs.append(b"")
+        else:
+            doc_blobs.append(bytes(doc_mv[doc_term_bounds[j] : doc_term_bounds[j + 1]]))
+            tf_blobs.append(bytes(tf_mv[tf_term_bounds[j] : tf_term_bounds[j + 1]]))
+        pos_blobs.append(bytes(pos_mv[pos_term_bounds[j] : pos_term_bounds[j + 1]]))
+
+    # doc block offsets are term-relative
+    rel_doc_offsets = doc_offsets - np.repeat(
+        doc_term_bounds[:-1], n_blocks_per_term
+    )
+    impacts_inner = pa.ListArray.from_arrays(
+        pa.array(
+            np.concatenate(([0], np.cumsum(impact_counts))), type=pa.int32()
+        ),
+        pa.array(packed_impacts, type=pa.int64()),
+    )
+    list_off = pa.array(term_blk_offsets, type=pa.int32())
+    table = pa.table(
+        {
+            "term": pa.array(uniq_terms.tolist(), type=pa.string()),
+            "df": pa.array(term_df, type=pa.int64()),
+            "ttf": pa.array(term_ttf, type=pa.int64()),
+            "singleton_docid": pa.array(
+                np.where(singleton, pair_doc[term_starts], -1), type=pa.int64()
+            ),
+            "singleton_tf": pa.array(
+                np.where(singleton, tfs[term_starts], -1), type=pa.int64()
+            ),
+            "doc_blob": pa.array(doc_blobs, type=pa.large_binary()),
+            "tf_blob": pa.array(tf_blobs, type=pa.large_binary()),
+            "pos_blob": pa.array(pos_blobs, type=pa.large_binary()),
+            "block_last_docid": pa.ListArray.from_arrays(
+                list_off, pa.array(block_last, type=pa.int64())
+            ),
+            "doc_block_offsets": pa.ListArray.from_arrays(
+                list_off, pa.array(rel_doc_offsets, type=pa.int64())
+            ),
+            "impacts": pa.ListArray.from_arrays(list_off, impacts_inner),
+        },
+        schema=POSTINGS_SCHEMA,
+    )
+    _ = blk_sizes_doc, blk_sizes_tf
+    return table
 
 
 class TermPostings:
@@ -230,16 +386,23 @@ class TermPostings:
         self._pos_blob = pos_blob
         self._ttf = ttf
 
-    def positions(self) -> list[np.ndarray]:
-        """Per-doc absolute position arrays (decoded lazily for phrases)."""
+    def flat_positions(self) -> tuple[np.ndarray, np.ndarray]:
+        """(docid-per-position, absolute position) flat arrays — segmented
+        cumsum over the delta stream, fully vectorized (no per-doc loop)."""
         flat = decode_stream(self._pos_blob, self._ttf).astype(np.int64)
-        out = []
-        start = 0
-        for tf in self.tfs:
-            deltas = flat[start : start + int(tf)]
-            out.append(np.cumsum(deltas))
-            start += int(tf)
-        return out
+        tfs = self.tfs.astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        c = np.cumsum(flat)
+        seg_base = c[starts] - flat[starts]  # cumsum before each segment
+        abs_pos = c - np.repeat(seg_base, tfs)
+        d_rep = np.repeat(self.docids, tfs)
+        return d_rep, abs_pos
+
+    def positions(self) -> list[np.ndarray]:
+        """Per-doc absolute position arrays (convenience over flat)."""
+        _, abs_pos = self.flat_positions()
+        bounds = np.cumsum(self.tfs.astype(np.int64))[:-1]
+        return np.split(abs_pos, bounds)
 
 
 def decode_term_postings(row: dict) -> TermPostings:

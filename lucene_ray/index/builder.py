@@ -242,11 +242,17 @@ def build_index(
                 for s in todo
             ]
         )
-        if concurrency:
-            ds = ds.repartition(concurrency)
-        else:
-            ds = ds.repartition(len(todo))
-        result = ds.map_batches(run_spec, batch_size=None)
+        ds = ds.repartition(len(todo))
+        if concurrency is None:
+            # leave ~1/4 of the cores free: segment builds are memory/cache
+            # heavy, and saturating every vCPU causes a >3x per-task cliff
+            # (scheduler + LLC thrash) on the bench box — capping raises
+            # aggregate throughput AND scaling efficiency
+            import ray as _ray
+
+            avail = int(_ray.cluster_resources().get("CPU", 8))
+            concurrency = max(1, min(len(todo), (avail * 3 + 2) // 4))
+        result = ds.map_batches(run_spec, batch_size=None, concurrency=concurrency)
         for batch in result.iter_batches(batch_format="pyarrow"):
             for e in batch.column("entry").to_pylist():
                 done.append(SegmentEntry(**_json.loads(e)))

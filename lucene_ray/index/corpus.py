@@ -126,14 +126,29 @@ def write_corpus(
     os.makedirs(out_dir, exist_ok=True)
     per = [n_docs // n_shards + (1 if i < n_docs % n_shards else 0) for i in range(n_shards)]
     paths = []
+    todo = []
     for shard_id, n in enumerate(per):
         p = os.path.join(out_dir, f"corpus-{shard_id:05d}.parquet")
         paths.append(p)
         if os.path.exists(p) and not overwrite:
             continue
+        todo.append((shard_id, n, p))
+
+    def _write(shard_id: int, n: int, p: str) -> None:
         tmp = p + ".tmp"
         pq.write_table(generate_shard(shard_id, n, seed), tmp, row_group_size=row_group_size)
         os.replace(tmp, p)
+
+    # generate shards in parallel when a Ray session exists (each shard is a
+    # pure function of (seed, shard_id) -> identical bytes either way)
+    import ray
+
+    if todo and ray.is_initialized() and len(todo) > 1:
+        gen = ray.remote(lambda s, n, p: _write(s, n, p))
+        ray.get([gen.remote(s, n, p) for s, n, p in todo])
+    else:
+        for s, n, p in todo:
+            _write(s, n, p)
     return paths
 
 

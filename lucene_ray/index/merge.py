@@ -38,10 +38,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from lucene_ray.codec.postings_codec import (
-    POSTINGS_SCHEMA,
-    encode_term_postings,
-)
 from lucene_ray.codec.forutil import decode_stream
 from lucene_ray.config import (
     MERGE_FLOOR_SEGMENT_BYTES,
@@ -203,12 +199,6 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
         )
         offsets.append(e.docid_base - new_base)
 
-    # k-way merge by sorted term: iterate the union of terms in order
-    iters = [t.to_pylist() for t in tables]
-    pointers = [0] * len(iters)
-    out_rows = {k: [] for k in POSTINGS_SCHEMA.names}
-    sum_ttf = 0
-
     # concatenated norms for impact recomputation
     norm_parts, len_parts = [], []
     for e in entries:
@@ -218,21 +208,15 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
     norms = np.concatenate(norm_parts).astype(np.uint8)
     doc_lens = np.concatenate(len_parts)
 
-    while True:
-        current = [
-            (iters[i][pointers[i]]["term"], i)
-            for i in range(len(iters))
-            if pointers[i] < len(iters[i])
-        ]
-        if not current:
-            break
-        term = min(t for t, _ in current)
-        docid_parts, tf_parts, pos_parts = [], [], []
-        for t, i in current:
-            if t != term:
-                continue
-            row = iters[i][pointers[i]]
-            pointers[i] += 1
+    # ---- decode every input term into pair arrays, then re-encode through
+    # the SAME vectorized path as the flush (postings_table_from_pairs) ----
+    term_cols = [t.column("term").to_numpy(zero_copy_only=False) for t in tables]
+    all_terms = np.unique(np.concatenate(term_cols))  # lex-sorted union
+    pair_rank_parts, pair_doc_parts, tf_parts, pos_parts = [], [], [], []
+    for i, t in enumerate(tables):
+        ranks_i = np.searchsorted(all_terms, term_cols[i])
+        rows = t.to_pylist()
+        for row, rank in zip(rows, ranks_i):
             df = row["df"]
             if df == 1:
                 d = np.array([row["singleton_docid"]], dtype=np.int64)
@@ -240,20 +224,38 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
             else:
                 d = np.cumsum(decode_stream(row["doc_blob"], df).astype(np.int64))
                 tf = decode_stream(row["tf_blob"], df).astype(np.int64)
-            docid_parts.append(d + offsets[i])
+            pair_rank_parts.append(np.full(df, rank, dtype=np.int64))
+            pair_doc_parts.append(d + offsets[i])
             tf_parts.append(tf)
-            ttf = int(tf.sum())
-            pos_parts.append(decode_stream(row["pos_blob"], ttf))
-        docids = np.concatenate(docid_parts)
-        tfs = np.concatenate(tf_parts)
-        positions = np.concatenate(pos_parts).astype(np.uint32)
-        enc = encode_term_postings(docids, tfs, positions, norms)
-        out_rows["term"].append(term)
-        for k, v in enc.items():
-            out_rows[k].append(v)
-        sum_ttf += enc["ttf"]
+            # per-doc position deltas are self-contained (first delta is the
+            # absolute position) -> the merged stream is a plain gather
+            pos_parts.append(decode_stream(row["pos_blob"], int(tf.sum())))
+    pair_rank = np.concatenate(pair_rank_parts)
+    pair_doc = np.concatenate(pair_doc_parts)
+    tfs = np.concatenate(tf_parts)
+    pos_concat = np.concatenate(pos_parts).astype(np.uint32)
 
-    merged = pa.table(out_rows, schema=POSTINGS_SCHEMA)
+    # final pair order: (term rank, docid) — inputs were concatenated in
+    # docid_base order, so a stable sort by rank suffices
+    order = np.argsort(pair_rank, kind="stable")
+    pair_rank_s = pair_rank[order]
+    pair_doc_s = pair_doc[order]
+    tfs_s = tfs[order]
+    # reorder the positions stream segment-wise to match the pair order
+    seg_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    lens_o = tfs[order]
+    starts_o = seg_starts[order]
+    within = np.arange(int(lens_o.sum())) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens_o)[:-1])), lens_o
+    )
+    pos_sorted = pos_concat[np.repeat(starts_o, lens_o) + within]
+
+    from lucene_ray.codec.postings_codec import postings_table_from_pairs
+
+    merged = postings_table_from_pairs(
+        all_terms, pair_rank_s, pair_doc_s, tfs_s, pos_sorted, norms
+    )
+    sum_ttf = int(tfs.sum())
     d = segment_dir(index_dir, name)
     os.makedirs(d, exist_ok=True)
     pq.write_table(merged, os.path.join(d, "postings.parquet"))

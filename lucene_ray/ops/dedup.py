@@ -125,19 +125,18 @@ def _shingle_hashes(batch: pa.Table, k: int = SHINGLE_K) -> tuple[np.ndarray, np
     n_tok = len(th)
     # rolling polynomial hash over windows of k within each row
     P = np.uint64(1099511628211)
-    pw = np.uint64(1)
     window = th.copy()
     valid = np.ones(n_tok, dtype=bool)
-    for j in range(1, k):
-        shifted = np.empty(n_tok, dtype=np.uint64)
-        shifted[:-j] = th[j:]
-        shifted[-j:] = 0
-        same_row = np.empty(n_tok, dtype=bool)
-        same_row[:-j] = row_idx[j:] == row_idx[:-j]
-        same_row[-j:] = False
-        pw = pw * P
-        window = window * P + shifted
-        valid &= same_row
+    with np.errstate(over="ignore"):  # uint64 wrap-around is the hash
+        for j in range(1, k):
+            shifted = np.empty(n_tok, dtype=np.uint64)
+            shifted[:-j] = th[j:]
+            shifted[-j:] = 0
+            same_row = np.empty(n_tok, dtype=bool)
+            same_row[:-j] = row_idx[j:] == row_idx[:-j]
+            same_row[-j:] = False
+            window = window * P + shifted
+            valid &= same_row
     sh = window[valid]
     docs = doc_ids[row_idx[valid]]
     # dedupe (doc, shingle)
@@ -173,22 +172,8 @@ def ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
     size_by_doc = dict(zip(sizes_pd.doc_id, sizes_pd.n))
     sizes_ref = ray.put(size_by_doc)
 
-    def pairs_of_group(g):
-        import pandas as pd
-
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > 1000:  # skew guard: a shingle shared
-            # by >1000 docs is boilerplate, drop it (documented cap)
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64")}
-            )
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
-
     inter = (
-        sh_ds.groupby("shingle")
-        .map_groups(pairs_of_group, batch_format="pandas")
+        _bucketed_pairs(sh_ds, "shingle", n_buckets=64)
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="inter"))
     )
@@ -245,6 +230,62 @@ WHERE i >= {JACCARD_THRESHOLD} * (sa.n + sb.n - i)
 """
 
 
+def _pairs_in_key_groups(keys: np.ndarray, docs: np.ndarray, cap: int = 1000):
+    """All unordered doc pairs sharing a key, vectorized over a sorted
+    (key, doc) batch. Groups larger than ``cap`` are dropped (boilerplate
+    guard — a key shared by >cap docs would emit O(cap^2) pairs)."""
+    import pandas as pd
+
+    if len(keys) == 0:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+        )
+    order = np.lexsort((docs, keys))
+    k, d = keys[order], docs[order]
+    change = np.empty(len(k), dtype=bool)
+    change[0] = True
+    change[1:] = k[1:] != k[:-1]
+    starts = np.nonzero(change)[0]
+    sizes = np.diff(np.append(starts, len(k)))
+    out_a, out_b = [], []
+    for s, sz in zip(starts, sizes):  # loop only over multi-doc groups
+        if sz < 2 or sz > cap:
+            continue
+        ids = d[s : s + sz]
+        a, b = np.triu_indices(sz, k=1)
+        out_a.append(ids[a])
+        out_b.append(ids[b])
+    if not out_a:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+        )
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    )
+
+
+def _bucketed_pairs(ds, key_col: str, n_buckets: int = 64):
+    """groupby a COARSE hash bucket of the key (not the key itself — one Ray
+    group per distinct shingle means millions of tiny pandas groups), then
+    generate per-key pairs vectorized inside each bucket."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        bkt = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+        return batch.append_column("bkt", pa.array(bkt.astype(np.int32) % n_buckets))
+
+    def pairs(g):
+        return _pairs_in_key_groups(
+            g[key_col].to_numpy().astype(np.int64), g["doc_id"].to_numpy()
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("bkt")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------- minhash + lsh
 
 def _minhash_sig(doc_ids: np.ndarray, shingles: np.ndarray, n_docs_hint: int = 0):
@@ -256,9 +297,10 @@ def _minhash_sig(doc_ids: np.ndarray, shingles: np.ndarray, n_docs_hint: int = 0
     b = rng.integers(0, 2**63, size=MINHASH_PERMS, dtype=np.uint64)
     uniq_docs, inv = np.unique(doc_ids, return_inverse=True)
     sigs = np.full((len(uniq_docs), MINHASH_PERMS), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for i in range(MINHASH_PERMS):
-        hv = shingles * a[i] + b[i]
-        np.minimum.at(sigs[:, i], inv, hv)
+    with np.errstate(over="ignore"):  # uint64 wrap is the hash family
+        for i in range(MINHASH_PERMS):
+            hv = shingles * a[i] + b[i]
+            np.minimum.at(sigs[:, i], inv, hv)
     return uniq_docs, sigs
 
 
@@ -287,8 +329,9 @@ def minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
         for bidx in range(LSH_BANDS):
             seg = sigs[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
             h = np.zeros(len(uniq_docs), dtype=np.uint64)
-            for c in range(seg.shape[1]):
-                h = h * np.uint64(1099511628211) + seg[:, c]
+            with np.errstate(over="ignore"):
+                for c in range(seg.shape[1]):
+                    h = h * np.uint64(1099511628211) + seg[:, c]
             bands.append(np.full(len(uniq_docs), bidx, dtype=np.int32))
             buckets.append((h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
             dids.append(uniq_docs)
@@ -302,31 +345,29 @@ def minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
 
     band_ds = _docs(sf_dir).map_batches(band_rows, batch_format="pyarrow", batch_size=100000)
 
-    def pairs_of_bucket(g):
-        import pandas as pd
-
-        ids = np.sort(np.unique(g["doc_id"].to_numpy()))
-        if len(ids) < 2 or len(ids) > 1000:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    # combine (band, bucket) into one int64 key, then coarse-bucket pair-gen
+    def combine_key(batch: pa.Table) -> pa.Table:
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = batch.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = ((bucket * np.uint64(31) + band) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(
+            np.int64
+        )
+        return pa.table({"key": pa.array(key), "doc_id": batch.column("doc_id")})
 
     from ray.data.aggregate import Count
 
     cand = (
-        band_ds.groupby(["band", "bucket"])
-        .map_groups(pairs_of_bucket, batch_format="pandas")
+        _bucketed_pairs(
+            band_ds.map_batches(combine_key, batch_format="pyarrow", batch_size=65536),
+            "key",
+            n_buckets=64,
+        )
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
     )
     cand_pd = cand.to_pandas()
     if len(cand_pd) == 0:
-        import pandas as pd
-
-        return ray.data.from_pandas(
-            pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                          "doc_b": pd.Series([], dtype="int64")})
-        )
+        return PAIR_SCHEMA.empty_table()
     # exact verify on candidates only
     import pandas as pd
     import pyarrow.parquet as pq
@@ -347,7 +388,11 @@ def minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
             keep_b.append(int(b_))
     out = pd.DataFrame({"doc_a": keep_a, "doc_b": keep_b}).astype("int64")
     _ = sizes
-    return ray.data.from_pandas(out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    return pa.Table.from_pandas(
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        schema=PAIR_SCHEMA,
+        preserve_index=False,
+    )
 
 
 # ----------------------------------------------------------------- simhash

@@ -275,13 +275,14 @@ def fingerprint(sf_dir: str) -> "ray.data.Dataset":
             # pow P^rev_pos mod 2^64 via exponentiation by squaring on the
             # unique exponents
             max_e = int(rev_pos.max()) if len(rev_pos) else 0
-            pows = np.empty(max_e + 1, dtype=np.uint64)
-            pows[0] = np.uint64(1)
-            for e in range(1, max_e + 1):
-                pows[e] = pows[e - 1] * P
-            contrib = th * pows[rev_pos.astype(np.int64)]
-            out = np.zeros(n, dtype=np.uint64)
-            np.add.at(out, row_idx, contrib)
+            with np.errstate(over="ignore"):  # uint64 wrap is the hash
+                pows = np.empty(max_e + 1, dtype=np.uint64)
+                pows[0] = np.uint64(1)
+                for e in range(1, max_e + 1):
+                    pows[e] = pows[e - 1] * P
+                contrib = th * pows[rev_pos.astype(np.int64)]
+                out = np.zeros(n, dtype=np.uint64)
+                np.add.at(out, row_idx, contrib)
         signed = (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         return pa.table(
             {
@@ -300,9 +301,10 @@ def _stable_token_hash(terms: pa.Array) -> np.ndarray:
     vocab = d.dictionary.to_pylist()
     idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     hs = np.empty(len(vocab), dtype=np.uint64)
-    for i, t in enumerate(vocab):
-        h = np.uint64(14695981039346656037)
-        for b in t.encode():
-            h = (h ^ np.uint64(b)) * np.uint64(1099511628211)
-        hs[i] = h
+    with np.errstate(over="ignore"):  # uint64 wrap-around is the hash
+        for i, t in enumerate(vocab):
+            h = np.uint64(14695981039346656037)
+            for b in t.encode():
+                h = (h ^ np.uint64(b)) * np.uint64(1099511628211)
+            hs[i] = h
     return hs[idx]

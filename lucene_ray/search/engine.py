@@ -128,6 +128,9 @@ class QueryScorerStage:
 
     def __init__(self, index_dir: str, k: int = DEFAULT_TOP_K, pruned: bool = True):
         self.searcher = IndexSearcher(index_dir, pruned=pruned)
+        # open every segment once at actor start (mmap + term dict load),
+        # so the first query doesn't pay the cold-open cost
+        self.searcher.reader.all_readers()
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -170,7 +173,9 @@ def search_queries_dataset(
         QueryScorerStage,
         fn_constructor_kwargs=dict(index_dir=index_dir, k=k, pruned=pruned),
         batch_format="pyarrow",
-        batch_size=256,
+        # small batches so a query burst spreads across the pool instead of
+        # landing in one actor's first batch
+        batch_size=8,
         concurrency=concurrency,
         num_cpus=1,
     )

@@ -35,6 +35,10 @@ class SegmentReader:
         norms = pq.read_table(os.path.join(seg_dir, "norms.parquet"), memory_map=True)
         self.norm_bytes = norms.column("norm").to_numpy(zero_copy_only=False)
         self.doc_len = norms.column("doc_len").to_numpy(zero_copy_only=False)
+        # term-row cache: repeated query terms skip the Arrow->python
+        # extraction of blobs/meta (the LRUQueryCache analog, per-actor)
+        self._row_cache: dict[str, dict | None] = {}
+        self._row_cache_cap = 4096
 
     def term_index(self, term: str) -> int:
         """Binary search the sorted term dictionary; -1 if absent."""
@@ -44,13 +48,21 @@ class SegmentReader:
         return -1
 
     def term_row(self, term: str) -> dict | None:
+        if term in self._row_cache:
+            return self._row_cache[term]
         i = self.term_index(term)
-        if i < 0:
-            return None
-        return {
-            name: self._postings.column(name)[i].as_py()
-            for name in self._postings.column_names
-        }
+        row = (
+            None
+            if i < 0
+            else {
+                name: self._postings.column(name)[i].as_py()
+                for name in self._postings.column_names
+            }
+        )
+        if len(self._row_cache) >= self._row_cache_cap:
+            self._row_cache.clear()
+        self._row_cache[term] = row
+        return row
 
     def term_stats(self, term: str) -> tuple[int, int]:
         """(df, ttf) in this segment — the per-leaf TermStatistics

@@ -163,37 +163,31 @@ class _Clause:
         return self.cursor.max_score(self.scorer)
 
 
+_POS_SPAN = np.int64(1) << np.int64(22)  # > max in-doc position we index
+
+
 def _phrase_postings(reader, terms: tuple) -> tuple[np.ndarray, np.ndarray]:
-    """Exact phrase match: (docids, phrase_freq). ExactPhraseMatcher
-    semantics (search/ExactPhraseMatcher.java:38)."""
-    posts = []
-    for t in terms:
+    """Exact phrase match: (docids, phrase_freq), fully vectorized.
+
+    ExactPhraseMatcher semantics (search/ExactPhraseMatcher.java:38) via
+    int64 (docid, position) keys: a phrase starts at (d, p) iff
+    (d*SPAN + p + i) is a posting key of term i for every i — so the match
+    set is the running ``intersect1d`` of shifted key arrays. Positions
+    beyond SPAN (~4M tokens into one doc) are not matchable (documented cap,
+    the maxTokenLength-style bound for phrase spans)."""
+    empty = np.array([], dtype=np.int64)
+    keys = None
+    for i, t in enumerate(terms):
         p = reader.postings(t)
         if p is None:
-            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-        posts.append(p)
-    common = posts[0].docids
-    for p in posts[1:]:
-        common = np.intersect1d(common, p.docids, assume_unique=True)
-    if len(common) == 0:
-        return common, np.array([], dtype=np.int64)
-    # per-doc position check
-    pos_lists = []
-    for p in posts:
-        all_pos = p.positions()
-        sel = np.searchsorted(p.docids, common)
-        pos_lists.append([all_pos[i] for i in sel])
-    docids_out, freqs_out = [], []
-    for j in range(len(common)):
-        cand = pos_lists[0][j]
-        for i in range(1, len(posts)):
-            if len(cand) == 0:
-                break
-            cand = cand[np.isin(cand + i, pos_lists[i][j], assume_unique=False)]
-        if len(cand):
-            docids_out.append(int(common[j]))
-            freqs_out.append(len(cand))
-    return np.array(docids_out, dtype=np.int64), np.array(freqs_out, dtype=np.int64)
+            return empty, empty
+        d_rep, abs_pos = p.flat_positions()
+        k = d_rep * _POS_SPAN + abs_pos - i
+        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if len(keys) == 0:
+            return empty, empty
+    docids_out, freqs_out = np.unique(keys // _POS_SPAN, return_counts=True)
+    return docids_out.astype(np.int64), freqs_out.astype(np.int64)
 
 
 def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:

@@ -73,6 +73,46 @@ def test_duckdb_parity():
     assert py == sql
 
 
+def test_fast_path_matches_re2():
+    """tokenize_flat (byte kernel) must produce exactly the RE2 pipeline's
+    tokens on adversarial inputs + a corpus sample."""
+    import numpy as np
+
+    from lucene_ray.index.corpus import generate_shard
+
+    texts = [t for t, _ in CODE_GOLDENS] + [
+        "AABBcc ABcDe ABCDe aB1c A1a x2Y3z",
+        "  edge  ",
+        None,
+        "",
+        "été Ünïcode mixé ASCII123",
+        "a" * 300 + " ok " + "B" * 256,
+        "ends.alnum1",
+        "1digitsFirst",
+        "\x00weird\x7fbytes\t",
+    ] + generate_shard(0, 30, seed=9).column("content").to_pylist()
+    arr = pa.array(texts, type=pa.string())
+    an = CodeAnalyzer()
+    # reference: RE2 list path exploded
+    toks = an.tokenize_array(arr)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offs)
+    want_rows = np.repeat(np.arange(len(counts)), counts)
+    want_terms = toks.values.to_pylist()
+    want_pos = (np.arange(int(counts.sum())) - np.repeat(offs[:-1], counts)).tolist()
+
+    rows, terms, pos = an.tokenize_flat(arr)
+    assert rows.tolist() == want_rows.tolist()
+    assert terms.to_pylist() == want_terms
+    assert pos.tolist() == want_pos
+
+    # sliced array (non-zero arrow offset)
+    sl = arr.slice(3, 10)
+    toks2 = an.tokenize_array(sl)
+    rows2, terms2, _ = an.tokenize_flat(sl)
+    assert terms2.to_pylist() == toks2.values.to_pylist()
+
+
 def test_tokenize_flat_positions():
     an = CodeAnalyzer()
     row_idx, terms, pos = an.tokenize_flat(
