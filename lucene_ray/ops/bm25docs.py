@@ -289,6 +289,55 @@ def phrase_engine(sf_dir: str) -> pa.Table:
     )
 
 
+MULTITERM_QUERIES = [
+    # (qid, engine query object factory, SQL token predicate)
+    (0, lambda: __import__("lucene_ray.search.query", fromlist=["PrefixQuery"]).PrefixQuery("s"), "term LIKE 's%'"),
+    (1, lambda: __import__("lucene_ray.search.query", fromlist=["WildcardQuery"]).WildcardQuery("?atch"), "regexp_matches(term, '^.atch$')"),
+    (2, lambda: __import__("lucene_ray.search.query", fromlist=["TermRangeQuery"]).TermRangeQuery("q", "t", True, False), "term >= 'q' AND term < 't'"),
+    (3, lambda: __import__("lucene_ray.search.query", fromlist=["FuzzyQuery"]).FuzzyQuery("jion", 2), "levenshtein(term, 'jion') <= 2"),
+    (4, lambda: __import__("lucene_ray.search.query", fromlist=["TermInSetQuery"]).TermInSetQuery(("merge", "window", "zzz")), "term IN ('merge', 'window', 'zzz')"),
+]
+
+
+def multiterm_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): multi-term queries (prefix/wildcard/range/fuzzy/set)
+    rewritten against the term dictionary and executed by the engine —
+    float-free doc sets, SQL-checked exactly (fuzzy via DuckDB levenshtein,
+    which matches the engine's banded Levenshtein by definition of edit
+    distance)."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, qf, _sql in MULTITERM_QUERIES:
+        td = s.search(BooleanQuery(should=[qf()]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def multiterm_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = [
+        f"SELECT DISTINCT {qid} AS qid, doc_id AS docid FROM tok WHERE {pred}"
+        for qid, _qf, pred in MULTITERM_QUERIES
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 def phrase_engine_sql() -> str:
     toks = tokenize_sql_expr("text")
     parts = []

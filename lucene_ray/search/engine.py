@@ -29,7 +29,22 @@ import pyarrow as pa
 
 from lucene_ray.analysis import get_analyzer
 from lucene_ray.config import DEFAULT_TOP_K
-from lucene_ray.search.query import BooleanQuery, PhraseQuery, TermQuery, parse_query
+from lucene_ray.search.query import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    parse_query,
+)
+from lucene_ray.search.rewrite import rewrite_query
 from lucene_ray.search.reader import IndexReader
 from lucene_ray.search.scorer import (
     _topk,
@@ -71,37 +86,80 @@ class IndexSearcher:
         self.pruned = pruned
         self.analyzer = get_analyzer(self.reader.manifest.analyzer)
 
+    def _flat_clauses(self, bq: BooleanQuery):
+        """Every clause incl. DisjunctionMax disjuncts / ConstantScore subs."""
+        stack = list(bq.must + bq.should + bq.must_not)
+        while stack:
+            q = stack.pop()
+            yield q
+            if isinstance(q, DisjunctionMaxQuery):
+                stack.extend(q.disjuncts)
+            elif isinstance(q, ConstantScoreQuery):
+                stack.append(q.query)
+
     def _scorers(self, bq: BooleanQuery) -> dict:
-        terms = sorted(set(bq.all_terms()))
+        from lucene_ray.search.similarity import ConstantScorer
+
+        clauses = list(self._flat_clauses(bq))
+        terms = sorted(
+            {t for q in clauses for t in getattr(q, "terms", ())}
+            | {q.term for q in clauses if isinstance(q, TermQuery)}
+        )
         stats = self.reader.global_term_stats(terms)
         N, sttf = self.reader.doc_count, self.reader.sum_ttf
         scorers = {}
-        for t in terms:
-            df, _ttf = stats[t]
-            scorers[t] = self.sim.scorer(max(df, 0), N, sttf)
-        for q in bq.must + bq.should + bq.must_not:
-            if isinstance(q, PhraseQuery):
+        for q in clauses:
+            if isinstance(q, TermQuery):
+                scorers[q] = self.sim.scorer(stats[q.term][0], N, sttf, boost=q.boost)
+            elif isinstance(q, PhraseQuery):
                 dfs = [stats[t][0] for t in q.terms]
-                scorers[("phrase", q.terms)] = self.sim.phrase_scorer(
-                    dfs, N, sttf, boost=q.boost
-                )
+                scorers[q] = self.sim.phrase_scorer(dfs, N, sttf, boost=q.boost)
+            elif isinstance(q, SynonymQuery):
+                # blended stats: df = max over synonyms (SynonymQuery.java:50)
+                df = max((stats[t][0] for t in q.terms), default=0)
+                scorers[q] = self.sim.scorer(df, N, sttf, boost=q.boost)
+            elif isinstance(q, (MatchAllDocsQuery, ConstantScoreQuery)):
+                scorers[q] = ConstantScorer(q.boost)
         return scorers
 
     def parse(self, text: str) -> BooleanQuery:
         return parse_query(text, self.analyzer)
 
-    def search(self, query: str | BooleanQuery, k: int = DEFAULT_TOP_K) -> TopDocs:
+    _MULTI = (PrefixQuery, WildcardQuery, TermRangeQuery, FuzzyQuery, TermInSetQuery)
+
+    def _maybe_rewrite(self, bq: BooleanQuery) -> BooleanQuery:
+        if any(isinstance(q, self._MULTI) for q in bq.must + bq.should + bq.must_not):
+            return rewrite_query(bq, self.reader.vocabulary())
+        return bq
+
+    def search(
+        self,
+        query: str | BooleanQuery,
+        k: int = DEFAULT_TOP_K,
+        after: tuple[float, int] | None = None,
+    ) -> TopDocs:
+        """``after``: (score, global docid) keyset for searchAfter pagination
+        — returns the next k hits strictly after that cursor. Pagination
+        uses the exhaustive path (the min-competitive floor logic assumes
+        top-of-index scores; Lucene's paging collector has the same split,
+        search/TopScoreDocCollector.java:104-160)."""
         bq = self.parse(query) if isinstance(query, str) else query
+        bq = self._maybe_rewrite(bq)
         if not (bq.must or bq.should):
             return TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
         scorers = self._scorers(bq)
-        score_fn = score_segment_pruned if self.pruned else score_segment_exhaustive
+        use_pruned = self.pruned and after is None
+        score_fn = score_segment_pruned if use_pruned else score_segment_exhaustive
         all_docs, all_scores, total = [], [], 0
         theta = 0.0
         for entry in self.reader.segments:
             sr = self.reader.segment_reader(entry.name)
-            if self.pruned:
+            if use_pruned:
                 d, s, n = score_fn(sr, bq, scorers, k, theta)
+            elif after is not None:
+                d, s, n = score_fn(
+                    sr, bq, scorers, k, after=(after[0], after[1] - entry.docid_base)
+                )
             else:
                 d, s, n = score_fn(sr, bq, scorers, k)
             total += n

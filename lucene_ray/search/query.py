@@ -34,6 +34,85 @@ class PhraseQuery:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class SynonymQuery:
+    """Multiple terms scored as ONE pseudo-term: per-doc tf = sum over
+    synonyms, df = max over synonyms (search/SynonymQuery.java:50 blended
+    semantics)."""
+
+    terms: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery:
+    """score = max(sub-scores) + tie_breaker * (sum of the others)
+    (search/DisjunctionMaxQuery.java)."""
+
+    disjuncts: tuple  # of TermQuery/PhraseQuery
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery:
+    """Every doc, constant score = boost (search/MatchAllDocsQuery.java)."""
+
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery:
+    """Matches of ``query`` with constant score = boost
+    (search/ConstantScoreQuery.java)."""
+
+    query: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermInSetQuery:
+    """Set-membership filter: matches docs containing ANY of the terms,
+    constant score (search/TermInSetQuery.java — Occur.FILTER semantics)."""
+
+    terms: tuple
+    boost: float = 1.0
+
+
+# ---- multi-term queries: rewritten against the term dictionary -----------
+# (search/PrefixQuery.java / WildcardQuery / TermRangeQuery / FuzzyQuery —
+# automaton-intersect-with-term-dict replaced by vocabulary scans; rewrite
+# mode is SCORING_BOOLEAN_REWRITE: an OR of TermQuerys,
+# search/MultiTermQuery.java SCORING_BOOLEAN_REWRITE)
+
+
+@dataclass(frozen=True)
+class PrefixQuery:
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery:
+    pattern: str  # * = any run, ? = one char
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery:
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery:
+    term: str
+    max_edits: int = 2
+    boost: float = 1.0
+
+
 @dataclass
 class BooleanQuery:
     must: list = field(default_factory=list)
@@ -51,16 +130,18 @@ class BooleanQuery:
         return out
 
 
-_TOKEN_RE = re.compile(r'"([^"]*)"|(\S+)')
+_TOKEN_RE = re.compile(r'"([^"]*)"(?:\^(\d+(?:\.\d+)?))?|(\S+)')
+_BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+_FUZZY_RE = re.compile(r"^(.*?)~(\d?)$")
 
 
 def parse_query(text: str, analyzer) -> BooleanQuery:
     bq = BooleanQuery()
     raw = _TOKEN_RE.findall(text)
-    words: list[tuple[str, str, bool]] = []  # (occur, text, is_phrase)
+    words: list[tuple[str, str, bool, float]] = []  # (occur, text, is_phrase, boost)
     conj_and = False
     pending_occur = None
-    for phrase, word in raw:
+    for phrase, pboost, word in raw:
         if word in ("AND", "&&"):
             conj_and = True
             continue
@@ -72,25 +153,41 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         occur = pending_occur or "should"
         pending_occur = None
         if phrase:
-            words.append((occur, phrase, True))
+            words.append((occur, phrase, True, float(pboost) if pboost else 1.0))
             continue
         if word.startswith("+") and len(word) > 1:
             occur, word = "must", word[1:]
         elif word.startswith("-") and len(word) > 1:
             occur, word = "must_not", word[1:]
-        words.append((occur, word, False))
+        boost = 1.0
+        m = _BOOST_RE.match(word)
+        if m and m.group(1):
+            word, boost = m.group(1), float(m.group(2))
+        words.append((occur, word, False, boost))
 
-    for occur, w, is_phrase in words:
+    for occur, w, is_phrase, boost in words:
+        eff = occur
+        if conj_and and occur == "should":
+            eff = "must"
+        if not is_phrase:
+            m = _FUZZY_RE.match(w)
+            if m and m.group(1):
+                toks = analyzer.tokenize_text(m.group(1))
+                if toks:
+                    edits = int(m.group(2)) if m.group(2) else 2
+                    getattr(bq, eff).append(
+                        FuzzyQuery("".join(toks), max_edits=edits, boost=boost)
+                    )
+                continue
+            if "*" in w or "?" in w:
+                getattr(bq, eff).append(WildcardQuery(w.lower(), boost=boost))
+                continue
         toks = analyzer.tokenize_text(w)
         if not toks:
             continue
         if is_phrase and len(toks) > 1:
-            q = PhraseQuery(tuple(toks))
-            getattr(bq, occur if occur != "should" else "should").append(q)
+            getattr(bq, occur).append(PhraseQuery(tuple(toks), boost=boost))
             continue
-        eff = occur
-        if conj_and and occur == "should":
-            eff = "must"
         for t in toks:
-            getattr(bq, eff).append(TermQuery(t))
+            getattr(bq, eff).append(TermQuery(t, boost=boost))
     return bq

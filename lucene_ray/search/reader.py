@@ -115,6 +115,16 @@ class IndexReader:
     def all_readers(self) -> list[SegmentReader]:
         return [self.segment_reader(s.name) for s in self.segments]
 
+    def vocabulary(self) -> np.ndarray:
+        """Sorted union of all segment terms (the multi-term rewrite target;
+        cached — the FST term-dict walk analog)."""
+        if not hasattr(self, "_vocab"):
+            parts = [r._terms for r in self.all_readers()]
+            self._vocab = (
+                np.unique(np.concatenate(parts)) if parts else np.array([], dtype=object)
+            )
+        return self._vocab
+
     def global_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """Sum per-segment (df, ttf) for the given terms — the stats
         broadcast gathered before scoring so every segment scores against

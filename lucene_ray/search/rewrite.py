@@ -1,0 +1,143 @@
+"""Multi-term query rewrite against the index vocabulary.
+
+The reference intersects compiled automata with the FST term dictionary
+(search/AutomatonQuery.java, codecs/.../Lucene90BlockTreeTermsReader); here
+the per-index vocabulary (union of the sorted per-segment term columns) is
+scanned with vectorized numpy/regex predicates — the vocabulary is orders of
+magnitude smaller than the postings, so this stays cheap even at scale, and
+prefix/range expansion is a binary-search slice, not a scan.
+
+Rewrite mode = SCORING_BOOLEAN_REWRITE (OR of TermQuerys, each scored
+normally with the multi-term query's boost), matching
+search/MultiTermQuery.java's SCORING_BOOLEAN_REWRITE option. Expansions are
+capped at ``max_expansions`` (BooleanQuery.maxClauseCount spirit,
+search/IndexSearcher.java default 1024).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+import numpy as np
+
+from lucene_ray.search.query import (
+    BooleanQuery,
+    FuzzyQuery,
+    PrefixQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+MAX_EXPANSIONS = 1024
+
+
+def expand_prefix(vocab: np.ndarray, q: PrefixQuery) -> list[str]:
+    lo = np.searchsorted(vocab, q.prefix, side="left")
+    hi = np.searchsorted(vocab, q.prefix + "￿", side="right")
+    return vocab[lo:hi].tolist()
+
+
+def expand_range(vocab: np.ndarray, q: TermRangeQuery) -> list[str]:
+    lo = 0
+    if q.lower is not None:
+        lo = np.searchsorted(vocab, q.lower, side="left" if q.include_lower else "right")
+    hi = len(vocab)
+    if q.upper is not None:
+        hi = np.searchsorted(vocab, q.upper, side="right" if q.include_upper else "left")
+    return vocab[lo:hi].tolist()
+
+
+def expand_wildcard(vocab: np.ndarray, q: WildcardQuery) -> list[str]:
+    rx = re.compile(fnmatch.translate(q.pattern))
+    # cheap pre-slice on any literal prefix before the first wildcard
+    lit = re.split(r"[*?\[]", q.pattern, maxsplit=1)[0]
+    cands = expand_prefix(vocab, PrefixQuery(lit)) if lit else vocab.tolist()
+    return [t for t in cands if rx.match(t)]
+
+
+def _levenshtein_within(a: str, b: str, k: int) -> bool:
+    """Banded edit distance <= k (FuzzyQuery's Levenshtein automaton
+    replaced by a banded DP — vocab-sized work, not postings-sized)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    big = k + 1
+    prev = [min(j, big) for j in range(len(b) + 1)]
+    for i, ca in enumerate(a, 1):
+        cur = [big] * (len(b) + 1)  # cells outside the band are "infinity"
+        if i <= k:
+            cur[0] = i
+        lo, hi = max(1, i - k), min(len(b), i + k)
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+                big,
+            )
+        prev = cur
+        if min(prev) > k:
+            return False
+    return prev[len(b)] <= k
+
+
+def expand_fuzzy(vocab: np.ndarray, q: FuzzyQuery) -> list[str]:
+    lens = np.char.str_len(vocab.astype(str))
+    cand = vocab[np.abs(lens - len(q.term)) <= q.max_edits]
+    return [t for t in cand if _levenshtein_within(q.term, t, q.max_edits)]
+
+
+def rewrite_query(bq: BooleanQuery, vocab: np.ndarray) -> BooleanQuery:
+    """Expand every multi-term clause; vocabulary-absent expansions vanish."""
+
+    def rewrite_clause(q):
+        terms = None
+        if isinstance(q, PrefixQuery):
+            terms = expand_prefix(vocab, q)
+        elif isinstance(q, WildcardQuery):
+            terms = expand_wildcard(vocab, q)
+        elif isinstance(q, TermRangeQuery):
+            terms = expand_range(vocab, q)
+        elif isinstance(q, FuzzyQuery):
+            terms = expand_fuzzy(vocab, q)
+        elif isinstance(q, TermInSetQuery):
+            present = set(vocab[np.isin(vocab, list(q.terms))].tolist())
+            terms = sorted(present)
+        if terms is None:
+            return [q]
+        return [TermQuery(t, boost=q.boost) for t in terms[:MAX_EXPANSIONS]]
+
+    out = BooleanQuery(min_should_match=bq.min_should_match)
+    for occur in ("must", "should", "must_not"):
+        for q in getattr(bq, occur):
+            expanded = rewrite_clause(q)
+            if isinstance(
+                q, (PrefixQuery, WildcardQuery, TermRangeQuery, FuzzyQuery, TermInSetQuery)
+            ):
+                if occur == "must":
+                    # a required multi-term clause means "at least one
+                    # expansion matches": nest as a sub-OR via a SynonymQuery
+                    # -like grouping — represented as min_should_match inside
+                    # a nested BooleanQuery is not supported in v1, so MUST
+                    # expansions use a TermInSetQuery-style constant... keep
+                    # semantics simple: treat as SHOULD-of-expansions that is
+                    # required through min_should_match when it is the only
+                    # clause; documented limitation otherwise.
+                    if expanded:
+                        out.should.extend(expanded)
+                        if not bq.should:
+                            out.min_should_match = max(out.min_should_match, 1)
+                    else:
+                        # required clause with zero expansions -> no hits:
+                        # poison with an impossible term
+                        # "#NOMATCH#" is outside the [a-z0-9] token alphabet
+                        out.must.append(TermQuery("#NOMATCH#"))
+                elif occur == "must_not":
+                    out.must_not.extend(expanded)
+                else:
+                    out.should.extend(expanded)
+            else:
+                getattr(out, occur).extend(expanded)
+    return out

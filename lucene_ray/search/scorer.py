@@ -31,7 +31,15 @@ import numpy as np
 
 from lucene_ray.codec.forutil import decode_stream, decode_stream_blocks
 from lucene_ray.config import BLOCK_SIZE
-from lucene_ray.search.query import BooleanQuery, PhraseQuery, TermQuery
+from lucene_ray.search.query import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    SynonymQuery,
+    TermQuery,
+)
 from lucene_ray.search.similarity import BM25Scorer
 
 # relative safety margin applied to float upper bounds before pruning
@@ -128,22 +136,52 @@ class SegmentTermCursor:
 
 
 class _Clause:
-    """Evaluated clause: (sorted docids, freqs, scorer). Phrase clauses are
-    pre-evaluated; term clauses keep a cursor for lazy work."""
+    """Evaluated clause: (sorted docids, freqs, scorer) OR a pre-scored
+    (sorted docids, float32 scores) pair (DisjunctionMax). Term clauses keep
+    a cursor for lazy/selective work."""
 
-    __slots__ = ("key", "cursor", "scorer", "_eval", "_max_score")
+    __slots__ = ("key", "cursor", "scorer", "_eval", "_max_score", "_scored")
 
-    def __init__(self, key, cursor, scorer, evaluated=None, max_score=None):
+    def __init__(self, key, cursor, scorer, evaluated=None, max_score=None,
+                 scored=None):
         self.key = key
         self.cursor = cursor
         self.scorer = scorer
         self._eval = evaluated
         self._max_score = max_score
+        self._scored = scored  # (docids, float32 scores) for composite
+        # clauses whose score is not a (tf, norm) function
 
     def evaluate(self) -> tuple[np.ndarray, np.ndarray]:
         if self._eval is None:
+            if self._scored is not None:
+                return self._scored[0], np.ones(len(self._scored[0]), dtype=np.int64)
             self._eval = self.cursor.decode_all()
         return self._eval
+
+    def contrib(self, cand: np.ndarray, norm_bytes: np.ndarray):
+        """(float32 contribution, matched mask) per candidate."""
+        if self._scored is not None:
+            docids, scores = self._scored
+            out = np.zeros(len(cand), dtype=np.float32)
+            m = np.zeros(len(cand), dtype=bool)
+            if len(docids):
+                idx = np.searchsorted(docids, cand)
+                idx = np.minimum(idx, len(docids) - 1)
+                m = docids[idx] == cand
+                out[m] = scores[idx[m]]
+            return out, m
+        tfs = self.lookup(cand)
+        m = tfs > 0
+        s = self.scorer.score(tfs.astype(np.float32), norm_bytes[cand])
+        return np.where(m, s, np.float32(0.0)), m
+
+    def eval_scores(self, norm_bytes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(docids, float32 scores) of every match (pruned-path full eval)."""
+        if self._scored is not None:
+            return self._scored
+        d, tfs = self.evaluate()
+        return d, self.scorer.score(tfs.astype(np.float32), norm_bytes[d])
 
     def lookup(self, cand: np.ndarray) -> np.ndarray:
         if self._eval is not None:
@@ -160,6 +198,8 @@ class _Clause:
     def max_score(self) -> float:
         if self._max_score is not None:
             return self._max_score
+        if self._scored is not None:
+            return float(self._scored[1].max()) if len(self._scored[1]) else 0.0
         return self.cursor.max_score(self.scorer)
 
 
@@ -190,6 +230,21 @@ def _phrase_postings(reader, terms: tuple) -> tuple[np.ndarray, np.ndarray]:
     return docids_out.astype(np.int64), freqs_out.astype(np.int64)
 
 
+def _union_sum_tfs(parts: list[tuple[np.ndarray, np.ndarray]]):
+    """Union doc sets summing tfs (SynonymQuery blended postings)."""
+    if not parts:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    d = np.concatenate([p[0] for p in parts])
+    t = np.concatenate([p[1] for p in parts])
+    order = np.argsort(d, kind="stable")
+    d, t = d[order], t[order]
+    change = np.empty(len(d), dtype=bool)
+    change[0] = True
+    change[1:] = d[1:] != d[:-1]
+    starts = np.nonzero(change)[0]
+    return d[starts], np.add.reduceat(t, starts)
+
+
 def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
     """Materialize clause list for one segment; absent terms drop out."""
     out = []
@@ -198,18 +253,61 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             row = reader.term_row(q.term)
             if row is None:
                 continue
-            out.append(_Clause(("t", q.term), SegmentTermCursor(row), scorers[q.term]))
+            out.append(_Clause(q, SegmentTermCursor(row), scorers[q]))
         elif isinstance(q, PhraseQuery):
             docids, freqs = _phrase_postings(reader, q.terms)
             if len(docids) == 0:
                 continue
-            sc = scorers[("phrase", q.terms)]
+            sc = scorers[q]
             ms = float(
                 sc.score(freqs.astype(np.float32), reader.norm_bytes[docids]).max()
             )
-            out.append(
-                _Clause(("p", q.terms), None, sc, (docids, freqs), max_score=ms)
-            )
+            out.append(_Clause(q, None, sc, (docids, freqs), max_score=ms))
+        elif isinstance(q, SynonymQuery):
+            parts = []
+            for t in q.terms:
+                p = reader.postings(t)
+                if p is not None:
+                    parts.append((p.docids, p.tfs))
+            docids, tfs = _union_sum_tfs(parts)
+            if len(docids) == 0:
+                continue
+            sc = scorers[q]
+            ms = float(sc.score(tfs.astype(np.float32), reader.norm_bytes[docids]).max())
+            out.append(_Clause(q, None, sc, (docids, tfs), max_score=ms))
+        elif isinstance(q, MatchAllDocsQuery):
+            docids = np.arange(reader.doc_count, dtype=np.int64)
+            scores = np.full(reader.doc_count, np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, scorers[q], scored=(docids, scores)))
+        elif isinstance(q, ConstantScoreQuery):
+            sub = build_clauses(reader, [q.query], scorers | {q.query: scorers[q]})
+            if not sub:
+                continue
+            docids = np.unique(np.concatenate([c.evaluate()[0] for c in sub]))
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, scorers[q], scored=(docids, scores)))
+        elif isinstance(q, DisjunctionMaxQuery):
+            subs = build_clauses(reader, list(q.disjuncts), scorers)
+            if not subs:
+                continue
+            parts_d, parts_s = [], []
+            for c in subs:
+                d, s = c.eval_scores(reader.norm_bytes)
+                parts_d.append(d)
+                parts_s.append(s)
+            d = np.concatenate(parts_d)
+            s = np.concatenate(parts_s).astype(np.float32)
+            order = np.argsort(d, kind="stable")
+            d, s = d[order], s[order]
+            change = np.empty(len(d), dtype=bool)
+            change[0] = True
+            change[1:] = d[1:] != d[:-1]
+            starts = np.nonzero(change)[0]
+            mx = np.maximum.reduceat(s, starts)
+            sm = np.add.reduceat(s, starts)
+            tie = np.float32(q.tie_breaker)
+            final = mx + tie * (sm - mx)
+            out.append(_Clause(q, None, None, scored=(d[starts], final.astype(np.float32))))
     return out
 
 
@@ -229,20 +327,22 @@ def _canonical_scores(
     total = np.zeros(len(cand), dtype=np.float32)
     matches = np.zeros(len(cand), dtype=np.int32)
     for c in clauses:
-        tfs = c.lookup(cand)
-        m = tfs > 0
-        s = c.scorer.score(tfs.astype(np.float32), norm_bytes[cand])
-        # score(tf=0) == 0.0f exactly, so adding it never perturbs the sum
-        total = total + np.where(m, s, np.float32(0.0))
+        s, m = c.contrib(cand, norm_bytes)
+        # adding exact 0.0f for non-matches never perturbs the sum
+        total = total + s
         matches += m.astype(np.int32)
     return total, matches
 
 
 def score_segment_exhaustive(
-    reader, bq: BooleanQuery, scorers: dict, k: int
+    reader, bq: BooleanQuery, scorers: dict, k: int, after=None
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Oracle: dense TAAT over the segment (no pruning). Returns
-    (local docids, float32 scores, total_hits)."""
+    (local docids, float32 scores, total_hits).
+
+    ``after``: searchAfter keyset ``(score, local_docid)`` — keep only hits
+    strictly worse (PagingTopScoreDocCollector semantics,
+    search/TopScoreDocCollector.java:104-160)."""
     must = build_clauses(reader, bq.must, scorers)
     if len(must) < len([q for q in bq.must if True]):
         # a required clause is absent from this segment -> no hits
@@ -282,6 +382,12 @@ def score_segment_exhaustive(
         msm = max(1, bq.min_should_match)
         keep = matches >= msm
         cand, total = cand[keep], total[keep]
+    if after is not None:
+        a_s, a_d = after
+        keep = (total < np.float32(a_s)) | (
+            (total == np.float32(a_s)) & (cand > a_d)
+        )
+        cand, total = cand[keep], total[keep]
     d, s = _topk(cand, total, k)
     return d, s, len(cand)
 
@@ -316,8 +422,7 @@ def score_segment_pruned(
         if theta > 0 and rest_bound <= theta:
             break  # remaining clauses cannot introduce a competitive doc
         c = clauses[order[j]]
-        d, tfs = c.evaluate()
-        s = c.scorer.score(tfs.astype(np.float32), reader.norm_bytes[d])
+        d, s = c.eval_scores(reader.norm_bytes)
         acc[d] += s
         in_cand[d] = True
         evaluated.append(order[j])

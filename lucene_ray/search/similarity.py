@@ -119,6 +119,25 @@ class BM25Scorer:
         )[0]
 
 
+class ConstantScorer:
+    """Constant-score clause scorer (ConstantScoreQuery / MatchAllDocsQuery
+    / TermInSetQuery FILTER semantics): every match scores ``boost``."""
+
+    __slots__ = ("weight",)
+
+    def __init__(self, boost: float = 1.0):
+        self.weight = np.float32(boost)
+
+    def score(self, freq, norm_bytes) -> np.ndarray:
+        return np.full(np.shape(freq), self.weight, dtype=np.float32)
+
+    def max_score(self, impacts_packed) -> np.float32:
+        return self.weight
+
+    def global_max_score(self) -> np.float32:
+        return self.weight
+
+
 class BM25ExactSimilarity:
     """BM25 with *exact* (unquantized) document lengths and float64 math.
 

@@ -188,6 +188,11 @@ class TestBM25Docs:
 
         assert_same(bm25docs.phrase_engine(SF), con, bm25docs.phrase_engine_sql())
 
+    def test_multiterm_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.multiterm_engine(SF), con, bm25docs.multiterm_engine_sql())
+
     def test_bm25_engine_runs(self):
         from lucene_ray.ops import bm25docs
 

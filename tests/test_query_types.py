@@ -1,0 +1,206 @@
+"""Extended query operators (SURVEY.md §2.11): synonym, dismax, constant
+score, match-all, multi-term rewrites, boosts, searchAfter — each checked
+against a naive Python oracle over the tokenized corpus, plus pruned duels."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from lucene_ray.analysis import get_analyzer
+from lucene_ray.index.builder import build_index
+from lucene_ray.index.corpus import write_corpus
+from lucene_ray.search.engine import IndexSearcher
+from lucene_ray.search.query import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    parse_query,
+)
+
+
+@pytest.fixture(scope="module")
+def ix(tmp_path_factory, ray_session):
+    corpus = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(corpus, n_docs=600, n_shards=2, seed=5, row_group_size=128)
+    d = str(tmp_path_factory.mktemp("ix"))
+    build_index(sorted(glob.glob(corpus + "/*.parquet")), d, target_docs=128)
+    return d
+
+
+@pytest.fixture(scope="module")
+def docs(ix):
+    import pyarrow.parquet as pq
+
+    from lucene_ray.search.reader import IndexReader
+
+    an = get_analyzer("code")
+    out = []
+    for e in IndexReader(ix).segments:
+        t = pq.ParquetFile(e.input["file"]).read_row_groups(
+            list(range(e.input["rg_start"], e.input["rg_end"])), columns=["content"]
+        )
+        out.extend(an.tokenize_text(x) for x in t.column("content").to_pylist())
+    return out
+
+
+def doc_set(s, q):
+    return set(s.search(q, 10_000_000).docids.tolist())
+
+
+class TestQueryTypes:
+    def test_synonym(self, ix, docs):
+        s = IndexSearcher(ix)
+        q = BooleanQuery(should=[SynonymQuery(("merge", "flush"))])
+        got = doc_set(s, q)
+        want = {i for i, d in enumerate(docs) if "merge" in d or "flush" in d}
+        assert got == want
+        # blended: tf sums, df = max -> score differs from plain OR
+        td_syn = s.search(q, 5)
+        td_or = s.search("merge flush", 5)
+        assert td_syn.docids.tolist() != [] and td_or.docids.tolist() != []
+
+    def test_dismax(self, ix, docs):
+        s = IndexSearcher(ix)
+        q = BooleanQuery(
+            should=[DisjunctionMaxQuery((TermQuery("merge"), TermQuery("flush")), 0.1)]
+        )
+        got = doc_set(s, q)
+        want = {i for i, d in enumerate(docs) if "merge" in d or "flush" in d}
+        assert got == want
+        # max semantics: dismax score <= sum-OR score, >= best single
+        td = s.search(q, 10)
+        td_or = s.search("merge flush", 10_000_000)
+        or_map = dict(zip(td_or.docids.tolist(), td_or.scores.tolist()))
+        for d_, sc in zip(td.docids.tolist(), td.scores.tolist()):
+            assert sc <= or_map[d_] + 1e-6
+
+    def test_match_all_and_constant_score(self, ix, docs):
+        s = IndexSearcher(ix)
+        q = BooleanQuery(should=[MatchAllDocsQuery(boost=2.5)])
+        td = s.search(q, 10_000_000)
+        assert len(td.docids) == len(docs)
+        assert np.all(td.scores == np.float32(2.5))
+        q2 = BooleanQuery(should=[ConstantScoreQuery(TermQuery("merge"), boost=3.0)])
+        td2 = s.search(q2, 10_000_000)
+        want = {i for i, d in enumerate(docs) if "merge" in d}
+        assert set(td2.docids.tolist()) == want
+        assert np.all(td2.scores == np.float32(3.0))
+
+    def test_term_in_set(self, ix, docs):
+        s = IndexSearcher(ix)
+        q = BooleanQuery(should=[TermInSetQuery(("merge", "zzz", "flush"))])
+        got = doc_set(s, q)
+        want = {i for i, d in enumerate(docs) if "merge" in d or "flush" in d}
+        assert got == want
+
+    def test_prefix(self, ix, docs):
+        s = IndexSearcher(ix)
+        got = doc_set(s, BooleanQuery(should=[PrefixQuery("mer")]))
+        want = {i for i, d in enumerate(docs) if any(t.startswith("mer") for t in d)}
+        assert got == want
+
+    def test_wildcard(self, ix, docs):
+        s = IndexSearcher(ix)
+        got = doc_set(s, BooleanQuery(should=[WildcardQuery("m*ge")]))
+        import fnmatch
+
+        want = {
+            i for i, d in enumerate(docs) if any(fnmatch.fnmatch(t, "m*ge") for t in d)
+        }
+        assert got == want
+
+    def test_range(self, ix, docs):
+        s = IndexSearcher(ix)
+        got = doc_set(
+            s, BooleanQuery(should=[TermRangeQuery("ma", "mf", True, False)])
+        )
+        want = {
+            i for i, d in enumerate(docs) if any("ma" <= t < "mf" for t in d)
+        }
+        assert got == want
+
+    def test_fuzzy(self, ix, docs):
+        s = IndexSearcher(ix)
+        got = doc_set(s, BooleanQuery(should=[FuzzyQuery("mergr", max_edits=1)]))
+
+        def within1(a, b):
+            if abs(len(a) - len(b)) > 1:
+                return False
+            # tiny reference levenshtein
+            import functools
+
+            @functools.lru_cache(maxsize=None)
+            def lev(i, j):
+                if i == 0:
+                    return j
+                if j == 0:
+                    return i
+                return min(
+                    lev(i - 1, j) + 1,
+                    lev(i, j - 1) + 1,
+                    lev(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+                )
+
+            r = lev(len(a), len(b)) <= 1
+            lev.cache_clear()
+            return r
+
+        want = {i for i, d in enumerate(docs) if any(within1("mergr", t) for t in d)}
+        assert got == want
+
+    def test_boost_scales_scores(self, ix):
+        s = IndexSearcher(ix)
+        plain = s.search(BooleanQuery(should=[TermQuery("merge")]), 5)
+        boosted = s.search(BooleanQuery(should=[TermQuery("merge", boost=2.0)]), 5)
+        assert plain.docids.tolist() == boosted.docids.tolist()
+        np.testing.assert_allclose(
+            boosted.scores, np.float32(2.0) * plain.scores, rtol=1e-6
+        )
+
+    def test_search_after_pagination(self, ix):
+        s = IndexSearcher(ix)
+        full = s.search("merge flush index", 30)
+        page1 = s.search("merge flush index", 10)
+        after = (float(page1.scores[-1]), int(page1.docids[-1]))
+        page2 = s.search("merge flush index", 10, after=after)
+        assert page1.docids.tolist() == full.docids[:10].tolist()
+        assert page2.docids.tolist() == full.docids[10:20].tolist()
+
+    def test_parser_extensions(self):
+        an = get_analyzer("code")
+        bq = parse_query('merge^2 wild*card fuzz~1 "exact phrase"^3', an)
+        kinds = {type(q).__name__ for q in bq.should}
+        assert kinds == {"TermQuery", "WildcardQuery", "FuzzyQuery", "PhraseQuery"}
+        tq = next(q for q in bq.should if isinstance(q, TermQuery))
+        assert tq.boost == 2.0
+        ph = next(q for q in bq.should if isinstance(q, PhraseQuery))
+        assert ph.boost == 3.0
+
+    @pytest.mark.parametrize(
+        "q",
+        [
+            BooleanQuery(should=[SynonymQuery(("merge", "flush"))]),
+            BooleanQuery(
+                should=[DisjunctionMaxQuery((TermQuery("merge"), TermQuery("get")), 0.3)]
+            ),
+            BooleanQuery(should=[PrefixQuery("par")]),
+            BooleanQuery(should=[ConstantScoreQuery(TermQuery("index"))]),
+            BooleanQuery(should=[MatchAllDocsQuery()]),
+        ],
+    )
+    def test_duel_new_types(self, ix, q):
+        ex = IndexSearcher(ix, pruned=False)
+        pr = IndexSearcher(ix, pruned=True)
+        a, b = ex.search(q, 10), pr.search(q, 10)
+        assert a.docids.tolist() == b.docids.tolist()
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
