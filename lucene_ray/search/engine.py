@@ -178,6 +178,34 @@ class IndexSearcher:
         return TopDocs(d, s, total)
 
 
+def fetch_stored(reader: IndexReader, global_docids) -> pa.Table:
+    """Stored fields (repo, path, commit, lang, content_sha256) for global
+    docids, preserving input order — search-result display fetch
+    (demo/.../SearchFiles.java:207-214). Only the owning segments' stored
+    tables are touched."""
+    import numpy as np
+
+    g = np.asarray(global_docids, dtype=np.int64)
+    bases = np.array([e.docid_base for e in reader.segments], dtype=np.int64)
+    seg_idx = np.searchsorted(bases, g, side="right") - 1
+    parts = []
+    order = []
+    for si in np.unique(seg_idx):
+        entry = reader.segments[int(si)]
+        sel = np.nonzero(seg_idx == si)[0]
+        sr = reader.segment_reader(entry.name)
+        t = sr.stored_rows(g[sel] - entry.docid_base)
+        t = t.append_column("docid", pa.array(g[sel], type=pa.int64()))
+        parts.append(t)
+        order.append(sel)
+    if not parts:
+        return pa.table({})
+    merged = pa.concat_tables(parts)
+    inv = np.empty(len(g), dtype=np.int64)
+    inv[np.concatenate(order)] = np.arange(len(g))
+    return merged.take(inv)
+
+
 class QueryScorerStage:
     """Stateful Ray Data stage: ``map_batches(QueryScorerStage,
     fn_constructor_kwargs=dict(index_dir=...), concurrency=N,

@@ -84,6 +84,13 @@ class SegmentReader:
     def stored_fields(self) -> "pq.Table":
         return pq.read_table(os.path.join(self.seg_dir, "stored.parquet"))
 
+    def stored_rows(self, local_docids: np.ndarray) -> "pq.Table":
+        """Stored fields for specific local docids (display-time fetch,
+        the SearchFiles.java:207-214 stored-field lookup analog)."""
+        return self.stored_fields().take(
+            np.asarray(local_docids, dtype=np.int64)
+        )
+
 
 class IndexReader:
     """Open a committed index: manifest + per-segment readers (lazy)."""
