@@ -1,0 +1,174 @@
+"""Segment-sharded distributed search: raw Ray actors (the one place the
+Dataset API genuinely can't express the semantics — a shared, long-lived,
+read-only index shard per worker with two-phase query execution).
+
+Topology (the multi-node shape of SURVEY.md §3.3 / §4 intra-query row):
+
+  DistributedSearcher (driver)
+    ├─ SegmentShardActor[0]  — opens segments {0, S, 2S, ...} ONCE
+    ├─ SegmentShardActor[1]  — opens segments {1, S+1, ...}
+    └─ ...
+  query:  phase 1  gather per-shard TermStatistics -> sum     (tiny dict)
+          phase 2  scatter (query, global stats, k, θ) -> per-shard top-k
+          reduce   deterministic merge (score desc, global docid asc)
+
+Identical scoring contract to the single-process IndexSearcher: every shard
+builds its scorers from the SAME global stats (build_scorers), so the merged
+top-k is bit-identical to the local engine — asserted in
+tests/test_distributed.py. On a real cluster each actor would be scheduled
+on the node holding its shard's files (placement via custom resources);
+queries stream through `search_many` to amortize round trips.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray
+
+from lucene_ray.config import DEFAULT_TOP_K
+from lucene_ray.search.engine import TopDocs, build_scorers, query_terms
+from lucene_ray.search.query import BooleanQuery, parse_query
+from lucene_ray.search.rewrite import rewrite_query
+from lucene_ray.search.scorer import _topk, score_segment_exhaustive, score_segment_pruned
+from lucene_ray.search.similarity import BM25Similarity
+
+
+@ray.remote
+class SegmentShardActor:
+    """Holds open readers for a subset of segments (state loaded once)."""
+
+    def __init__(self, index_dir: str, segment_names: list[str]):
+        from lucene_ray.search.reader import IndexReader
+
+        self._reader = IndexReader(index_dir)
+        self._entries = [
+            e for e in self._reader.segments if e.name in set(segment_names)
+        ]
+        for e in self._entries:  # open/mmap now, not per query
+            self._reader.segment_reader(e.name)
+
+    def term_stats(self, terms: list[str]) -> dict:
+        out = {t: [0, 0] for t in terms}
+        for e in self._entries:
+            sr = self._reader.segment_reader(e.name)
+            for t in terms:
+                df, ttf = sr.term_stats(t)
+                out[t][0] += df
+                out[t][1] += ttf
+        return {t: (v[0], v[1]) for t, v in out.items()}
+
+    def vocabulary_slice(self) -> np.ndarray:
+        parts = [
+            self._reader.segment_reader(e.name)._terms for e in self._entries
+        ]
+        return np.unique(np.concatenate(parts)) if parts else np.array([], dtype=object)
+
+    def search_shard(
+        self,
+        bq: BooleanQuery,
+        stats: dict,
+        doc_count: int,
+        sum_ttf: int,
+        k: int,
+        pruned: bool = True,
+    ):
+        """Top-k of this shard's segments under GLOBAL stats."""
+        scorers = build_scorers(bq, stats, doc_count, sum_ttf, BM25Similarity())
+        all_d, all_s, total = [], [], 0
+        theta = 0.0
+        for e in self._entries:
+            sr = self._reader.segment_reader(e.name)
+            if pruned:
+                d, s, n = score_segment_pruned(sr, bq, scorers, k, theta)
+            else:
+                d, s, n = score_segment_exhaustive(sr, bq, scorers, k)
+            total += n
+            if len(d):
+                all_d.append(d + e.docid_base)
+                all_s.append(s)
+                merged = np.concatenate(all_s)
+                if len(merged) >= k:
+                    theta = max(theta, float(np.partition(merged, -k)[-k]))
+        if not all_d:
+            return (
+                np.array([], dtype=np.int64),
+                np.array([], dtype=np.float32),
+                0,
+            )
+        d, s = _topk(np.concatenate(all_d), np.concatenate(all_s), k)
+        return d, s, total
+
+
+class DistributedSearcher:
+    """Driver-side facade over a pool of segment-shard actors."""
+
+    def __init__(self, index_dir: str, n_shards: int = 4, pruned: bool = True):
+        from lucene_ray.index.manifest import read_manifest
+
+        m = read_manifest(index_dir)
+        if m is None:
+            raise FileNotFoundError(f"no manifest.json under {index_dir}")
+        self.doc_count = m.doc_count
+        self.sum_ttf = m.sum_ttf
+        self.analyzer_name = m.analyzer
+        self.pruned = pruned
+        live = m.live_segments
+        n_shards = max(1, min(n_shards, len(live)))
+        shards = [[] for _ in range(n_shards)]
+        for i, e in enumerate(live):  # round-robin by docid order
+            shards[i % n_shards].append(e.name)
+        self.actors = [
+            SegmentShardActor.remote(index_dir, names) for names in shards
+        ]
+        self._vocab = None
+
+    def vocabulary(self) -> np.ndarray:
+        if self._vocab is None:
+            parts = ray.get([a.vocabulary_slice.remote() for a in self.actors])
+            self._vocab = np.unique(np.concatenate(parts))
+        return self._vocab
+
+    def search(self, query, k: int = DEFAULT_TOP_K) -> TopDocs:
+        from lucene_ray.analysis import get_analyzer
+        from lucene_ray.search.engine import IndexSearcher  # noqa: F401
+
+        bq = (
+            parse_query(query, get_analyzer(self.analyzer_name))
+            if isinstance(query, str)
+            else query
+        )
+        from lucene_ray.search.query import BooleanQuery as BQ
+
+        if any(
+            type(q).__name__
+            in ("PrefixQuery", "WildcardQuery", "TermRangeQuery", "FuzzyQuery", "TermInSetQuery")
+            for q in bq.must + bq.should + bq.must_not
+        ):
+            bq = rewrite_query(bq, self.vocabulary())
+        if not (bq.must or bq.should):
+            return TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
+
+        terms = query_terms(bq)
+        # phase 1: gather global term stats (one tiny dict per shard)
+        partials = ray.get([a.term_stats.remote(terms) for a in self.actors])
+        stats = {t: (0, 0) for t in terms}
+        for p in partials:
+            for t, (df, ttf) in p.items():
+                stats[t] = (stats[t][0] + df, stats[t][1] + ttf)
+        # phase 2: scatter with identical global stats, gather shard top-ks
+        results = ray.get(
+            [
+                a.search_shard.remote(
+                    bq, stats, self.doc_count, self.sum_ttf, k, self.pruned
+                )
+                for a in self.actors
+            ]
+        )
+        docs = [d for d, _s, _n in results if len(d)]
+        scores = [s for _d, s, _n in results if len(s)]
+        total = sum(n for _d, _s, n in results)
+        if not docs:
+            return TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
+        d, s = _topk(np.concatenate(docs), np.concatenate(scores), k)
+        return TopDocs(d, s, total)

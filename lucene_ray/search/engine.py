@@ -74,6 +74,50 @@ class TopDocs:
         ]
 
 
+def flat_clauses(bq: BooleanQuery):
+    """Every clause incl. DisjunctionMax disjuncts / ConstantScore subs."""
+    stack = list(bq.must + bq.should + bq.must_not)
+    while stack:
+        q = stack.pop()
+        yield q
+        if isinstance(q, DisjunctionMaxQuery):
+            stack.extend(q.disjuncts)
+        elif isinstance(q, ConstantScoreQuery):
+            stack.append(q.query)
+
+
+def query_terms(bq: BooleanQuery) -> list[str]:
+    clauses = list(flat_clauses(bq))
+    return sorted(
+        {t for q in clauses for t in getattr(q, "terms", ())}
+        | {q.term for q in clauses if isinstance(q, TermQuery)}
+    )
+
+
+def build_scorers(
+    bq: BooleanQuery, stats: dict, doc_count: int, sum_ttf: int, sim: BM25Similarity
+) -> dict:
+    """Per-clause scorers from GLOBAL stats — shared by the local searcher
+    and the sharded actors (every shard scores against identical idf/avgdl,
+    the IndexSearcher stats-broadcast contract, SURVEY.md §3.3 step 2)."""
+    from lucene_ray.search.similarity import ConstantScorer
+
+    scorers = {}
+    for q in flat_clauses(bq):
+        if isinstance(q, TermQuery):
+            scorers[q] = sim.scorer(stats[q.term][0], doc_count, sum_ttf, boost=q.boost)
+        elif isinstance(q, PhraseQuery):
+            dfs = [stats[t][0] for t in q.terms]
+            scorers[q] = sim.phrase_scorer(dfs, doc_count, sum_ttf, boost=q.boost)
+        elif isinstance(q, SynonymQuery):
+            # blended stats: df = max over synonyms (SynonymQuery.java:50)
+            df = max((stats[t][0] for t in q.terms), default=0)
+            scorers[q] = sim.scorer(df, doc_count, sum_ttf, boost=q.boost)
+        elif isinstance(q, (MatchAllDocsQuery, ConstantScoreQuery)):
+            scorers[q] = ConstantScorer(q.boost)
+    return scorers
+
+
 class IndexSearcher:
     def __init__(
         self,
@@ -86,41 +130,12 @@ class IndexSearcher:
         self.pruned = pruned
         self.analyzer = get_analyzer(self.reader.manifest.analyzer)
 
-    def _flat_clauses(self, bq: BooleanQuery):
-        """Every clause incl. DisjunctionMax disjuncts / ConstantScore subs."""
-        stack = list(bq.must + bq.should + bq.must_not)
-        while stack:
-            q = stack.pop()
-            yield q
-            if isinstance(q, DisjunctionMaxQuery):
-                stack.extend(q.disjuncts)
-            elif isinstance(q, ConstantScoreQuery):
-                stack.append(q.query)
-
     def _scorers(self, bq: BooleanQuery) -> dict:
-        from lucene_ray.search.similarity import ConstantScorer
-
-        clauses = list(self._flat_clauses(bq))
-        terms = sorted(
-            {t for q in clauses for t in getattr(q, "terms", ())}
-            | {q.term for q in clauses if isinstance(q, TermQuery)}
-        )
+        terms = query_terms(bq)
         stats = self.reader.global_term_stats(terms)
-        N, sttf = self.reader.doc_count, self.reader.sum_ttf
-        scorers = {}
-        for q in clauses:
-            if isinstance(q, TermQuery):
-                scorers[q] = self.sim.scorer(stats[q.term][0], N, sttf, boost=q.boost)
-            elif isinstance(q, PhraseQuery):
-                dfs = [stats[t][0] for t in q.terms]
-                scorers[q] = self.sim.phrase_scorer(dfs, N, sttf, boost=q.boost)
-            elif isinstance(q, SynonymQuery):
-                # blended stats: df = max over synonyms (SynonymQuery.java:50)
-                df = max((stats[t][0] for t in q.terms), default=0)
-                scorers[q] = self.sim.scorer(df, N, sttf, boost=q.boost)
-            elif isinstance(q, (MatchAllDocsQuery, ConstantScoreQuery)):
-                scorers[q] = ConstantScorer(q.boost)
-        return scorers
+        return build_scorers(
+            bq, stats, self.reader.doc_count, self.reader.sum_ttf, self.sim
+        )
 
     def parse(self, text: str) -> BooleanQuery:
         return parse_query(text, self.analyzer)

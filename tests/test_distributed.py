@@ -1,0 +1,57 @@
+"""Sharded-actor search must be bit-identical to the local engine."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from lucene_ray.index.builder import build_index
+from lucene_ray.index.corpus import write_corpus
+from lucene_ray.search.distributed import DistributedSearcher
+from lucene_ray.search.engine import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def ix(tmp_path_factory, ray_session):
+    corpus = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(corpus, n_docs=600, n_shards=2, seed=21, row_group_size=75)
+    d = str(tmp_path_factory.mktemp("ix"))
+    build_index(sorted(glob.glob(corpus + "/*.parquet")), d, target_docs=75)
+    return d
+
+
+QUERIES = [
+    "merge flush index",
+    "parse AND block",
+    '"get manager"',
+    "+index -merge token",
+    "get*",
+    "getmanager",
+    "zzzmissing",
+]
+
+
+@pytest.mark.parametrize("n_shards", [1, 3])
+def test_distributed_matches_local(ix, ray_session, n_shards):
+    local = IndexSearcher(ix, pruned=False)
+    dist = DistributedSearcher(ix, n_shards=n_shards, pruned=False)
+    dist_pruned = DistributedSearcher(ix, n_shards=n_shards, pruned=True)
+    for q in QUERIES:
+        a = local.search(q, 10)
+        b = dist.search(q, 10)
+        assert a.docids.tolist() == b.docids.tolist(), q
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6, atol=0)
+        # exhaustive counts are exact; pruned counts are lower bounds
+        # (TotalHits GREATER_THAN_OR_EQUAL semantics under pruning)
+        assert a.total_hits == b.total_hits
+        c = dist_pruned.search(q, 10)
+        assert a.docids.tolist() == c.docids.tolist(), q
+        np.testing.assert_allclose(a.scores, c.scores, rtol=1e-6, atol=0)
+        assert c.total_hits <= a.total_hits
+
+
+def test_distributed_many_queries_one_pool(ix, ray_session):
+    dist = DistributedSearcher(ix, n_shards=2)
+    local = IndexSearcher(ix)
+    for q in QUERIES[:4]:
+        assert dist.search(q, 5).docids.tolist() == local.search(q, 5).docids.tolist()
