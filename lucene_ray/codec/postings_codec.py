@@ -378,17 +378,21 @@ def postings_table_from_pairs(
 class TermPostings:
     """Decoded postings of one term in one segment (numpy views)."""
 
-    __slots__ = ("docids", "tfs", "_pos_blob", "_ttf")
+    __slots__ = ("docids", "tfs", "_pos_blob", "_ttf", "_flat_pos")
 
     def __init__(self, docids: np.ndarray, tfs: np.ndarray, pos_blob: bytes, ttf: int):
         self.docids = docids
         self.tfs = tfs
         self._pos_blob = pos_blob
         self._ttf = ttf
+        self._flat_pos = None
 
     def flat_positions(self) -> tuple[np.ndarray, np.ndarray]:
         """(docid-per-position, absolute position) flat arrays — segmented
-        cumsum over the delta stream, fully vectorized (no per-doc loop)."""
+        cumsum over the delta stream, fully vectorized (no per-doc loop);
+        memoized (hot phrase terms decode positions once per process)."""
+        if self._flat_pos is not None:
+            return self._flat_pos
         flat = decode_stream(self._pos_blob, self._ttf).astype(np.int64)
         tfs = self.tfs.astype(np.int64)
         starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
@@ -396,7 +400,8 @@ class TermPostings:
         seg_base = c[starts] - flat[starts]  # cumsum before each segment
         abs_pos = c - np.repeat(seg_base, tfs)
         d_rep = np.repeat(self.docids, tfs)
-        return d_rep, abs_pos
+        self._flat_pos = (d_rep, abs_pos)
+        return self._flat_pos
 
     def positions(self) -> list[np.ndarray]:
         """Per-doc absolute position arrays (convenience over flat)."""

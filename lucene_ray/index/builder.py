@@ -112,7 +112,12 @@ def _sha256_column(texts: pa.Array) -> pa.Array:
     )
 
 
-def build_one_segment(spec: SegmentSpec, index_dir: str, analyzer_name: str = "code") -> SegmentEntry:
+def build_one_segment(
+    spec: SegmentSpec,
+    index_dir: str,
+    analyzer_name: str = "code",
+    index_options: str = "positions",
+) -> SegmentEntry:
     """Build one segment from its input row groups. Pure + idempotent
     (writes only under its own segment dir; atomic entry.json last)."""
     existing = read_entry(index_dir, spec.name)
@@ -137,7 +142,8 @@ def build_one_segment(spec: SegmentSpec, index_dir: str, analyzer_name: str = "c
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
     norm_bytes = int_to_byte4(doc_len)
     postings, stats = build_segment_postings(
-        row_idx, terms, positions, n, norm_bytes
+        row_idx, terms, positions, n, norm_bytes,
+        with_positions=(index_options == "positions"),
     )
 
     d = segment_dir(index_dir, spec.name)
@@ -192,13 +198,20 @@ def build_index(
     analyzer_name: str = "code",
     target_docs: int = TARGET_DOCS_PER_SEGMENT,
     concurrency: int | None = None,
+    index_options: str = "positions",
 ) -> Manifest:
     """Build (or resume) the whole index with Ray Data.
 
     The control Dataset holds one row per segment spec; the heavy lifting is
     a stateless ``map_batches`` over it (tasks, not actors — tokenization is
     pure; SURVEY.md §7.2). Ray must already be initialised by the caller.
+
+    ``index_options``: "positions" (default, DOCS_AND_FREQS_AND_POSITIONS)
+    or "freqs" (DOCS_AND_FREQS — smaller index, phrase queries raise;
+    index/IndexOptions.java:27-48 verbosity levels).
     """
+    if index_options not in ("positions", "freqs"):
+        raise ValueError(f"unsupported index_options: {index_options}")
     import ray.data
 
     specs = plan_segments(input_paths, target_docs)
@@ -225,7 +238,7 @@ def build_index(
                     n_docs=int(batch["n_docs"][i]),
                     docid_base=int(batch["docid_base"][i]),
                 )
-                entry = build_one_segment(spec, index_dir, analyzer_name)
+                entry = build_one_segment(spec, index_dir, analyzer_name, index_options)
                 out.append(_json.dumps(entry.__dict__))
             return {"entry": np.array(out)}
 

@@ -39,6 +39,14 @@ class SegmentReader:
         # extraction of blobs/meta (the LRUQueryCache analog, per-actor)
         self._row_cache: dict[str, dict | None] = {}
         self._row_cache_cap = 4096
+        # decoded-cursor cache: hot query terms keep their decoded postings
+        # (docids/tfs arrays) resident across queries — the page-cache/
+        # hot-data-structure role Lucene gets from mmap + JIT'd enums.
+        # Size-capped by decoded postings count, evicted wholesale (cheap,
+        # and the working set of query terms is small).
+        self._cursor_cache: dict = {}
+        self._cursor_cache_postings = 0
+        self._cursor_cache_max_postings = 2_000_000  # ~32 MB of arrays
 
     def term_index(self, term: str) -> int:
         """Binary search the sorted term dictionary; -1 if absent."""
@@ -75,11 +83,39 @@ class SegmentReader:
             self._postings.column("ttf")[i].as_py(),
         )
 
+    def term_cursor(self, term: str):
+        """Cached SegmentTermCursor (decode state persists across queries)."""
+        from lucene_ray.search.scorer import SegmentTermCursor
+
+        cur = self._cursor_cache.get(term)
+        if cur is None:
+            row = self.term_row(term)
+            if row is None:
+                return None
+            cur = SegmentTermCursor(row)
+            if self._cursor_cache_postings + cur.df > self._cursor_cache_max_postings:
+                self._cursor_cache.clear()
+                self._cursor_cache_postings = 0
+            self._cursor_cache[term] = cur
+            self._cursor_cache_postings += cur.df
+        return cur
+
     def postings(self, term: str) -> TermPostings | None:
-        row = self.term_row(term)
-        if row is None:
-            return None
-        return decode_term_postings(row)
+        """Fully-decoded postings, cached alongside cursors (phrase terms
+        reuse their decoded positions across queries)."""
+        key = ("p", term)
+        tp = self._cursor_cache.get(key)
+        if tp is None:
+            row = self.term_row(term)
+            if row is None:
+                return None
+            tp = decode_term_postings(row)
+            if self._cursor_cache_postings + len(tp.docids) > self._cursor_cache_max_postings:
+                self._cursor_cache.clear()
+                self._cursor_cache_postings = 0
+            self._cursor_cache[key] = tp
+            self._cursor_cache_postings += len(tp.docids)
+        return tp
 
     def stored_fields(self) -> "pq.Table":
         return pq.read_table(os.path.join(self.seg_dir, "stored.parquet"))

@@ -49,15 +49,40 @@ _BOUND_MARGIN = 1e-5
 
 
 class SegmentTermCursor:
-    """One term's postings in one segment, with lazy/selective block decode."""
+    """One term's postings in one segment, with lazy/selective block decode.
+    Cursors are CACHED per segment reader, so decode work amortizes across
+    queries (reader.term_cursor)."""
 
-    __slots__ = ("row", "df", "_full", "_block_last")
+    __slots__ = ("row", "df", "_full", "_block_last", "_impacts_flat", "_tfs")
 
     def __init__(self, row: dict):
         self.row = row
         self.df = int(row["df"])
         self._full = None
         self._block_last = np.asarray(row["block_last_docid"], dtype=np.int64)
+        self._impacts_flat = None
+        self._tfs = None
+
+    def _tf_full(self) -> np.ndarray:
+        if self._tfs is None:
+            self._tfs = decode_stream(self.row["tf_blob"], self.df).astype(np.int64)
+        return self._tfs
+
+    def _impacts(self):
+        """Flattened impact pairs (tfs, norms, per-block reduceat offsets)."""
+        if self._impacts_flat is None:
+            packed_lists = self.row["impacts"]
+            counts = np.array([len(p) for p in packed_lists], dtype=np.int64)
+            flat = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in packed_lists]
+            ) if len(packed_lists) else np.array([], dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            self._impacts_flat = (
+                (flat >> 8).astype(np.int64),
+                (flat & 0xFF).astype(np.int64),
+                offsets,
+            )
+        return self._impacts_flat
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
         if self._full is None:
@@ -74,10 +99,10 @@ class SegmentTermCursor:
         return self._full
 
     def block_max_scores(self, scorer: BM25Scorer) -> np.ndarray:
-        return np.array(
-            [float(scorer.max_score(im)) for im in self.row["impacts"]],
-            dtype=np.float64,
-        )
+        tfs, norms, offsets = self._impacts()
+        if len(tfs) == 0:
+            return np.zeros(len(offsets), dtype=np.float64)
+        return scorer.max_score_blocks(tfs, norms, offsets)
 
     def max_score(self, scorer: BM25Scorer) -> float:
         return float(self.block_max_scores(scorer).max(initial=0.0))
@@ -95,23 +120,25 @@ class SegmentTermCursor:
             hit = cand == self.row["singleton_docid"]
             tf[hit] = self.row["singleton_tf"]
             return tf
-        if self._full is not None:
-            docids, tfs = self._full
+        blocks = np.unique(self.blocks_for(cand))
+        blocks = blocks[blocks < len(self._block_last)]
+        if self._full is not None or len(blocks) * 4 >= len(self._block_last):
+            # cursor cached across queries: when candidates touch a sizable
+            # share of the blocks, one full decode now is cheaper than
+            # repeated selective decodes (skip-selective path kept for
+            # sparse candidate sets — the WAND skip story)
+            docids, tfs = self.decode_all()
         else:
-            blocks = np.unique(self.blocks_for(cand))
-            blocks = blocks[blocks < len(self._block_last)]
             if len(blocks) == 0:
                 return np.zeros(len(cand), dtype=np.int64)
             offsets = np.asarray(self.row["doc_block_offsets"], dtype=np.int64)
             d_parts = decode_stream_blocks(
                 self.row["doc_blob"], self.df, offsets, blocks
             )
-            # tf blocks share boundaries with doc blocks but have their own
-            # offsets; decode tf blob blocks by walking — cheaper: decode the
-            # same block indices from the tf stream via a full-offsets walk.
-            # We store only doc offsets, so decode tf stream fully once the
-            # first selective lookup happens on a multi-block term.
-            tf_all = decode_stream(self.row["tf_blob"], self.df).astype(np.int64)
+            # tf blocks share doc-block boundaries but only doc offsets are
+            # stored; decode the tf stream fully ONCE per cursor (cached —
+            # cursors persist across queries)
+            tf_all = self._tf_full()
             docids_parts = []
             tf_parts = []
             for b, dp in zip(blocks, d_parts):
@@ -221,6 +248,11 @@ def _phrase_postings(reader, terms: tuple) -> tuple[np.ndarray, np.ndarray]:
         p = reader.postings(t)
         if p is None:
             return empty, empty
+        if p._ttf > 0 and len(p._pos_blob) == 0:
+            raise ValueError(
+                "phrase query on an index built without positions "
+                "(index_options='freqs'); rebuild with 'positions'"
+            )
         d_rep, abs_pos = p.flat_positions()
         k = d_rep * _POS_SPAN + abs_pos - i
         keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
@@ -250,10 +282,10 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
     out = []
     for q in queries:
         if isinstance(q, TermQuery):
-            row = reader.term_row(q.term)
-            if row is None:
+            cur = reader.term_cursor(q.term)
+            if cur is None:
                 continue
-            out.append(_Clause(q, SegmentTermCursor(row), scorers[q]))
+            out.append(_Clause(q, cur, scorers[q]))
         elif isinstance(q, PhraseQuery):
             docids, freqs = _phrase_postings(reader, q.terms)
             if len(docids) == 0:

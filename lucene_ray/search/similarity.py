@@ -96,12 +96,11 @@ class BM25Scorer:
         self.cache = cache
 
     def score(self, freq: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        # no overflow possible for real tfs: freq*inv <= ~1e6 * 1/(k1*(1-b));
+        # the Float.MAX_VALUE path goes through global_max_score instead
         f = np.asarray(freq, dtype=np.float32)
         inv = self.cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
-        # overflow to +inf is fine (Java float does the same silently;
-        # weight - weight/inf == weight, the global max bound)
-        with np.errstate(over="ignore"):
-            return self.weight - self.weight / (np.float32(1.0) + f * inv)
+        return self.weight - self.weight / (np.float32(1.0) + f * inv)
 
     def max_score(self, impacts_packed) -> np.float32:
         """Upper bound from packed (tf << 8 | norm) competitive pairs — the
@@ -111,12 +110,23 @@ class BM25Scorer:
             return np.float32(0.0)
         return self.score((arr >> 8).astype(np.float32), arr & 0xFF).max()
 
+    def max_score_blocks(
+        self, tfs: np.ndarray, norms: np.ndarray, offsets: np.ndarray
+    ) -> np.ndarray:
+        """Per-block max scores over flattened impact pairs in ONE pass:
+        score is strictly increasing in x = freq * cache[norm] (float32), so
+        argmax_x == argmax_score and one reduceat + one formula suffices."""
+        x = tfs.astype(np.float32) * self.cache[norms]
+        m = np.maximum.reduceat(x, offsets)
+        return (self.weight - self.weight / (np.float32(1.0) + m)).astype(np.float64)
+
     def global_max_score(self) -> np.float32:
         """score(Float.MAX_VALUE, norm=1) — MaxScoreCache.java:40."""
-        return self.score(
-            np.array([np.finfo(np.float32).max], dtype=np.float32),
-            np.array([1]),
-        )[0]
+        with np.errstate(over="ignore"):  # overflow to inf -> weight bound
+            return self.score(
+                np.array([np.finfo(np.float32).max], dtype=np.float32),
+                np.array([1]),
+            )[0]
 
 
 class ConstantScorer:
@@ -133,6 +143,9 @@ class ConstantScorer:
 
     def max_score(self, impacts_packed) -> np.float32:
         return self.weight
+
+    def max_score_blocks(self, tfs, norms, offsets) -> np.ndarray:
+        return np.full(len(offsets), self.weight, dtype=np.float64)
 
     def global_max_score(self) -> np.float32:
         return self.weight

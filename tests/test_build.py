@@ -118,3 +118,29 @@ def test_parallelism_independence(corpus_dir, tmp_path, ray_session):
         return {k: sorted(v) for k, v in out.items()}
 
     assert logical_postings(d1) == logical_postings(d2)
+
+
+def test_index_options_freqs(corpus_dir, tmp_path, ray_session):
+    """DOCS_AND_FREQS index: smaller, term/boolean queries fine, phrase
+    raises (IndexOptions.java verbosity levels)."""
+    import glob as g
+
+    import pytest as pt
+
+    from lucene_ray.search.engine import IndexSearcher
+
+    paths = sorted(g.glob(corpus_dir + "/*.parquet"))
+    d_pos = str(tmp_path / "pos")
+    d_frq = str(tmp_path / "frq")
+    build_index(paths, d_pos, target_docs=200)
+    build_index(paths, d_frq, target_docs=200, index_options="freqs")
+    m_pos, m_frq = read_manifest(d_pos), read_manifest(d_frq)
+    assert sum(e.bytes for e in m_frq.segments) < sum(e.bytes for e in m_pos.segments)
+
+    sp, sf_ = IndexSearcher(d_pos), IndexSearcher(d_frq)
+    a, b = sp.search("merge flush", 10), sf_.search("merge flush", 10)
+    assert a.docids.tolist() == b.docids.tolist()
+    with pt.raises(ValueError, match="without positions"):
+        sf_.search('"get manager"', 10)
+    with pt.raises(ValueError, match="unsupported index_options"):
+        build_index(paths, str(tmp_path / "bad"), index_options="nope")
