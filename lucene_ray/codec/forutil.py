@@ -313,6 +313,122 @@ def encode_stream(
     return b"".join(parts), offsets
 
 
+def _unpack_full_blocks(packed: np.ndarray, width: int) -> np.ndarray:
+    """Inverse of ``_pack_full_blocks``: (k, 16*width) bytes -> (k,
+    BLOCK_SIZE) uint32, via big-endian uint64 word lanes."""
+    k = packed.shape[0]
+    n_words = BLOCK_SIZE * width // 64
+    words = (
+        packed[:, : n_words * 8]
+        .reshape(k, n_words, 8)
+        .copy()
+        .view(">u8")
+        .reshape(k, n_words)
+        .astype(np.uint64)
+    )
+    out = np.empty((k, BLOCK_SIZE), dtype=np.uint32)
+    mask = (np.uint64(1) << np.uint64(width)) - np.uint64(1)
+    for i in range(BLOCK_SIZE):
+        bitpos = i * width
+        w_idx = bitpos >> 6
+        shift = 64 - (bitpos & 63) - width
+        if shift >= 0:
+            out[:, i] = (words[:, w_idx] >> np.uint64(shift)) & mask
+        else:
+            hi = words[:, w_idx] << np.uint64(-shift)
+            lo = words[:, w_idx + 1] >> np.uint64(64 + shift)
+            out[:, i] = (hi | lo) & mask
+    return out
+
+
+def decode_blocks_batched(
+    buf: np.ndarray, block_offsets: np.ndarray, block_lens: np.ndarray
+) -> np.ndarray:
+    """Decode MANY blocks in one vectorized pass (mirror of
+    ``encode_blocks_batched``) — the whole-segment decoder used by merge.
+
+    ``buf``: uint8 array containing every block back to back (possibly with
+    unrelated bytes between streams); ``block_offsets`` absolute offsets of
+    each block header; ``block_lens`` value counts. Returns the concatenated
+    values in block order.
+    """
+    n_b = len(block_offsets)
+    total = int(block_lens.sum())
+    out = np.empty(total, dtype=np.uint32)
+    if n_b == 0:
+        return out
+    out_starts = np.concatenate(([0], np.cumsum(block_lens)[:-1]))
+    headers = buf[block_offsets]
+    is_full = block_lens == BLOCK_SIZE
+
+    # constant blocks
+    ci = np.nonzero(headers == _CONST_MARKER)[0]
+    if len(ci):
+        vals = (
+            buf[block_offsets[ci][:, None] + 1 + np.arange(4)]
+            .copy()
+            .view("<u4")
+            .reshape(-1)
+        )
+        idx = np.repeat(out_starts[ci], block_lens[ci]) + (
+            np.arange(int(block_lens[ci].sum()))
+            - np.repeat(np.concatenate(([0], np.cumsum(block_lens[ci])[:-1])), block_lens[ci])
+        )
+        out[idx] = np.repeat(vals, block_lens[ci])
+
+    # full FOR blocks, grouped by width
+    fi = np.nonzero((headers <= 32) & is_full)[0]
+    if len(fi):
+        for w in np.unique(headers[fi]):
+            grp = fi[headers[fi] == w]
+            if w == 0:
+                for b in grp:
+                    out[out_starts[b] : out_starts[b] + BLOCK_SIZE] = 0
+                continue
+            nbytes = (BLOCK_SIZE * int(w) + 7) // 8
+            packed = buf[block_offsets[grp][:, None] + 1 + np.arange(nbytes)]
+            vals = _unpack_full_blocks(packed, int(w))
+            idx = out_starts[grp][:, None] + np.arange(BLOCK_SIZE)
+            out[idx.reshape(-1)] = vals.reshape(-1)
+
+    done = np.zeros(n_b, dtype=bool)
+    done[ci] = True
+    done[fi] = True
+
+    # full PFor blocks, grouped by base width (positions streams are mostly
+    # PFor); exceptions patched in a short python loop
+    pi = np.nonzero((headers == _PFOR_MARKER) & is_full)[0]
+    if len(pi):
+        bases = buf[block_offsets[pi] + 1]
+        n_excs = buf[block_offsets[pi] + 2].astype(np.int64)
+        for base in np.unique(bases):
+            grp_mask = bases == base
+            grp = pi[grp_mask]
+            ne = n_excs[grp_mask]
+            nbytes = (BLOCK_SIZE * int(base) + 7) // 8
+            starts_p = block_offsets[grp] + 3 + 2 * ne
+            packed = buf[starts_p[:, None] + np.arange(nbytes)]
+            vals = _unpack_full_blocks(packed, int(base))
+            for r in np.nonzero(ne)[0]:
+                o = int(block_offsets[grp[r]]) + 3
+                for _e in range(int(ne[r])):
+                    pos = int(buf[o])
+                    high = int(buf[o + 1])
+                    vals[r, pos] |= np.uint32(high) << np.uint32(int(base))
+                    o += 2
+            idx = out_starts[grp][:, None] + np.arange(BLOCK_SIZE)
+            out[idx.reshape(-1)] = vals.reshape(-1)
+        done[pi] = True
+
+    # tails (and any non-full PFor, which the encoder never emits) via the
+    # scalar block decoder
+    rest = np.nonzero(~done)[0]
+    for b in rest:
+        vals, _ = _decode_block(buf, int(block_offsets[b]), int(block_lens[b]))
+        out[out_starts[b] : out_starts[b] + block_lens[b]] = vals
+    return out
+
+
 def decode_stream(blob: bytes | memoryview, n: int) -> np.ndarray:
     """Decode a full stream of ``n`` values."""
     buf = memoryview(blob)

@@ -35,6 +35,9 @@ import pyarrow as pa
 from lucene_ray.codec.forutil import decode_stream, encode_stream
 from lucene_ray.config import BLOCK_SIZE
 
+#: bumped when the on-disk layout changes (invalidates segment fingerprints)
+FORMAT_VERSION = 2
+
 POSTINGS_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
@@ -47,6 +50,8 @@ POSTINGS_SCHEMA = pa.schema(
         ("pos_blob", pa.large_binary()),
         ("block_last_docid", pa.list_(pa.int64())),
         ("doc_block_offsets", pa.list_(pa.int64())),
+        ("tf_block_offsets", pa.list_(pa.int64())),
+        ("pos_block_offsets", pa.list_(pa.int64())),
         ("impacts", pa.list_(pa.list_(pa.int64()))),
     ]
 )
@@ -94,6 +99,10 @@ def encode_term_postings(
         sl = slice(b, min(b + BLOCK_SIZE, df))
         impacts.append(pareto_impacts(tfs[sl], norm_bytes[docids[sl]]))
 
+    if positions is None:
+        pos_blob, pos_offsets = b"", np.array([], dtype=np.int64)
+    else:
+        pos_blob, pos_offsets = encode_stream(positions)
     if df == 1:
         return {
             "df": 1,
@@ -102,9 +111,11 @@ def encode_term_postings(
             "singleton_tf": int(tfs[0]),
             "doc_blob": b"",
             "tf_blob": b"",
-            "pos_blob": b"" if positions is None else encode_stream(positions)[0],
+            "pos_blob": pos_blob,
             "block_last_docid": [int(docids[0])],
             "doc_block_offsets": [0],
+            "tf_block_offsets": [0],
+            "pos_block_offsets": pos_offsets.astype(np.int64).tolist(),
             "impacts": impacts,
         }
 
@@ -112,8 +123,7 @@ def encode_term_postings(
     deltas[0] = docids[0]
     np.subtract(docids[1:], docids[:-1], out=deltas[1:], casting="unsafe")
     doc_blob, doc_offsets = encode_stream(deltas)
-    tf_blob, _ = encode_stream(tfs.astype(np.uint32))
-    pos_blob = b"" if positions is None else encode_stream(positions)[0]
+    tf_blob, tf_offsets = encode_stream(tfs.astype(np.uint32))
     return {
         "df": df,
         "ttf": ttf,
@@ -124,6 +134,8 @@ def encode_term_postings(
         "pos_blob": pos_blob,
         "block_last_docid": blocks_last.astype(np.int64).tolist(),
         "doc_block_offsets": doc_offsets.astype(np.int64).tolist(),
+        "tf_block_offsets": tf_offsets.astype(np.int64).tolist(),
+        "pos_block_offsets": pos_offsets.astype(np.int64).tolist(),
         "impacts": impacts,
     }
 
@@ -311,9 +323,18 @@ def postings_table_from_pairs(
         pos_term_bounds = pos_offsets[pos_blk_bounds[:-1]]
         pos_term_bounds = np.append(pos_term_bounds, len(pos_buf))
         pos_mv = memoryview(pos_buf)
+        rel_pos_offsets = pos_offsets - np.repeat(pos_term_bounds[:-1], pos_nblocks)
+        pos_list_off = pa.array(pos_blk_bounds, type=pa.int32())
+        pos_offsets_arr = pa.ListArray.from_arrays(
+            pos_list_off, pa.array(rel_pos_offsets, type=pa.int64())
+        )
     else:
         pos_mv = memoryview(b"")
         pos_term_bounds = np.zeros(n_terms + 1, dtype=np.int64)
+        pos_offsets_arr = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_terms + 1), type=pa.int32()),
+            pa.array([], type=pa.int64()),
+        )
 
     # ---- impacts (vectorized pareto per block) ---------------------------
     blk_of_pair = np.repeat(np.arange(n_blocks), blk_len)
@@ -336,9 +357,12 @@ def postings_table_from_pairs(
             tf_blobs.append(bytes(tf_mv[tf_term_bounds[j] : tf_term_bounds[j + 1]]))
         pos_blobs.append(bytes(pos_mv[pos_term_bounds[j] : pos_term_bounds[j + 1]]))
 
-    # doc block offsets are term-relative
+    # doc/tf block offsets are term-relative
     rel_doc_offsets = doc_offsets - np.repeat(
         doc_term_bounds[:-1], n_blocks_per_term
+    )
+    rel_tf_offsets = tf_offsets - np.repeat(
+        tf_term_bounds[:-1], n_blocks_per_term
     )
     impacts_inner = pa.ListArray.from_arrays(
         pa.array(
@@ -367,12 +391,124 @@ def postings_table_from_pairs(
             "doc_block_offsets": pa.ListArray.from_arrays(
                 list_off, pa.array(rel_doc_offsets, type=pa.int64())
             ),
+            "tf_block_offsets": pa.ListArray.from_arrays(
+                list_off, pa.array(rel_tf_offsets, type=pa.int64())
+            ),
+            "pos_block_offsets": pos_offsets_arr,
             "impacts": pa.ListArray.from_arrays(list_off, impacts_inner),
         },
         schema=POSTINGS_SCHEMA,
     )
     _ = blk_sizes_doc, blk_sizes_tf
     return table
+
+
+def _binary_col(col) -> tuple[np.ndarray, np.ndarray]:
+    """(data uint8, per-row offsets int64) of a large_binary column —
+    zero-copy views over the Arrow buffers."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
+    data = np.frombuffer(bufs[2], dtype=np.uint8, count=int(offs[-1])) if bufs[2] else np.array([], dtype=np.uint8)
+    return data, offs
+
+
+def _list_col(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flattened int64 values, per-row offsets) of a list<int64> column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    return vals, offs
+
+
+def decode_segment_pairs(
+    table: pa.Table, with_positions: bool = True
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode an ENTIRE segment postings table in one vectorized pass.
+
+    Returns (terms object-array sorted, df per term, pair_doc local,
+    pair_tf, pos_delta flat stream) — the exact inputs the merge rewrite
+    feeds back into ``postings_table_from_pairs``. Uses the stored per-block
+    offsets + ``decode_blocks_batched`` (no per-term python decode loops).
+    """
+    from lucene_ray.codec.forutil import decode_blocks_batched
+
+    n_terms = table.num_rows
+    terms = np.asarray(table.column("term").to_pylist(), dtype=object)
+    df = table.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    ttf = table.column("ttf").to_numpy(zero_copy_only=False).astype(np.int64)
+    total_pairs = int(df.sum())
+    pair_doc = np.empty(total_pairs, dtype=np.int64)
+    pair_tf = np.empty(total_pairs, dtype=np.int64)
+    pair_bounds = np.concatenate(([0], np.cumsum(df)))
+
+    multi = df > 1
+    if multi.any():
+        def stream_blocks(blob_col: str, off_col: str, counts: np.ndarray):
+            data, boffs = _binary_col(table.column(blob_col))
+            rel, roffs = _list_col(table.column(off_col))
+            nb = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+            nb = np.where(multi_mask_for(counts), nb, 0)
+            # per-term slices of the rel-offset lists (list lengths can
+            # exceed nb for singleton rows -> take first nb entries per row)
+            sel = []
+            for j in np.nonzero(nb > 0)[0]:
+                sel.append(rel[roffs[j] : roffs[j] + nb[j]] + boffs[j])
+            if not sel:
+                return data, np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+            abs_off = np.concatenate(sel)
+            lens = np.concatenate(
+                [
+                    np.minimum(
+                        counts[j] - np.arange(nb[j]) * BLOCK_SIZE, BLOCK_SIZE
+                    )
+                    for j in np.nonzero(nb > 0)[0]
+                ]
+            )
+            return data, abs_off, lens
+
+        def multi_mask_for(counts):
+            return multi
+
+        d_data, d_off, d_lens = stream_blocks("doc_blob", "doc_block_offsets", df)
+        deltas = decode_blocks_batched(d_data, d_off, d_lens).astype(np.int64)
+        t_data, t_off, t_lens = stream_blocks("tf_blob", "tf_block_offsets", df)
+        tfs_m = decode_blocks_batched(t_data, t_off, t_lens).astype(np.int64)
+        # segmented cumsum (first delta absolute)
+        m_df = df[multi]
+        m_starts = np.concatenate(([0], np.cumsum(m_df)[:-1]))
+        c = np.cumsum(deltas)
+        seg_base = c[m_starts] - deltas[m_starts]
+        docids_m = c - np.repeat(seg_base, m_df)
+        # scatter into pair arrays
+        idx = np.repeat(pair_bounds[:-1][multi], m_df) + (
+            np.arange(int(m_df.sum())) - np.repeat(m_starts, m_df)
+        )
+        pair_doc[idx] = docids_m
+        pair_tf[idx] = tfs_m
+
+    single = ~multi
+    if single.any():
+        pair_doc[pair_bounds[:-1][single]] = table.column("singleton_docid").to_numpy(
+            zero_copy_only=False
+        )[single]
+        pair_tf[pair_bounds[:-1][single]] = table.column("singleton_tf").to_numpy(
+            zero_copy_only=False
+        )[single]
+
+    if not with_positions:
+        return terms, df, pair_doc, pair_tf, np.array([], dtype=np.uint32)
+
+    # positions stream: every term (incl. singletons) has ceil(ttf/128) blocks
+    p_data, p_boffs = _binary_col(table.column("pos_blob"))
+    p_rel, p_roffs = _list_col(table.column("pos_block_offsets"))
+    p_nb = (ttf + BLOCK_SIZE - 1) // BLOCK_SIZE
+    abs_off = p_rel + np.repeat(p_boffs[:-1], np.diff(p_roffs))
+    lens = np.concatenate(
+        [np.minimum(ttf[j] - np.arange(p_nb[j]) * BLOCK_SIZE, BLOCK_SIZE) for j in range(n_terms)]
+    ) if n_terms else np.array([], dtype=np.int64)
+    pos_delta = decode_blocks_batched(p_data, abs_off, lens)
+    return terms, df, pair_doc, pair_tf, pos_delta
 
 
 class TermPostings:

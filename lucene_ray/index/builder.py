@@ -67,9 +67,11 @@ class SegmentSpec:
 
     @property
     def fingerprint(self) -> str:
+        from lucene_ray.codec.postings_codec import FORMAT_VERSION
+
         base = os.path.basename(self.file)
         return hashlib.sha1(
-            f"{base}:{self.rg_start}:{self.rg_end}:{self.n_docs}".encode()
+            f"v{FORMAT_VERSION}:{base}:{self.rg_start}:{self.rg_end}:{self.n_docs}".encode()
         ).hexdigest()[:12]
 
     @property

@@ -208,28 +208,24 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
     norms = np.concatenate(norm_parts).astype(np.uint8)
     doc_lens = np.concatenate(len_parts)
 
-    # ---- decode every input term into pair arrays, then re-encode through
-    # the SAME vectorized path as the flush (postings_table_from_pairs) ----
-    term_cols = [t.column("term").to_numpy(zero_copy_only=False) for t in tables]
-    all_terms = np.unique(np.concatenate(term_cols))  # lex-sorted union
+    # ---- decode every input WHOLE-SEGMENT (batched block decoder), then
+    # re-encode through the SAME vectorized path as the flush --------------
+    from lucene_ray.codec.postings_codec import decode_segment_pairs
+
+    with_positions = any(
+        len(t.column("pos_blob")[0].as_py() or b"") > 0 for t in tables if t.num_rows
+    )
+    seg_decoded = [decode_segment_pairs(t, with_positions) for t in tables]
+    all_terms = np.unique(np.concatenate([d[0] for d in seg_decoded]))
     pair_rank_parts, pair_doc_parts, tf_parts, pos_parts = [], [], [], []
-    for i, t in enumerate(tables):
-        ranks_i = np.searchsorted(all_terms, term_cols[i])
-        rows = t.to_pylist()
-        for row, rank in zip(rows, ranks_i):
-            df = row["df"]
-            if df == 1:
-                d = np.array([row["singleton_docid"]], dtype=np.int64)
-                tf = np.array([row["singleton_tf"]], dtype=np.int64)
-            else:
-                d = np.cumsum(decode_stream(row["doc_blob"], df).astype(np.int64))
-                tf = decode_stream(row["tf_blob"], df).astype(np.int64)
-            pair_rank_parts.append(np.full(df, rank, dtype=np.int64))
-            pair_doc_parts.append(d + offsets[i])
-            tf_parts.append(tf)
-            # per-doc position deltas are self-contained (first delta is the
-            # absolute position) -> the merged stream is a plain gather
-            pos_parts.append(decode_stream(row["pos_blob"], int(tf.sum())))
+    for i, (terms_i, df_i, doc_i, tf_i, pos_i) in enumerate(seg_decoded):
+        ranks_i = np.searchsorted(all_terms, terms_i)
+        pair_rank_parts.append(np.repeat(ranks_i, df_i))
+        pair_doc_parts.append(doc_i + offsets[i])
+        tf_parts.append(tf_i)
+        # per-doc position deltas are self-contained (first delta is the
+        # absolute position) -> the merged stream is a plain gather
+        pos_parts.append(pos_i)
     pair_rank = np.concatenate(pair_rank_parts)
     pair_doc = np.concatenate(pair_doc_parts)
     tfs = np.concatenate(tf_parts)
@@ -241,19 +237,23 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
     pair_rank_s = pair_rank[order]
     pair_doc_s = pair_doc[order]
     tfs_s = tfs[order]
-    # reorder the positions stream segment-wise to match the pair order
-    seg_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-    lens_o = tfs[order]
-    starts_o = seg_starts[order]
-    within = np.arange(int(lens_o.sum())) - np.repeat(
-        np.concatenate(([0], np.cumsum(lens_o)[:-1])), lens_o
-    )
-    pos_sorted = pos_concat[np.repeat(starts_o, lens_o) + within]
+    if with_positions:
+        # reorder the positions stream segment-wise to match the pair order
+        seg_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        lens_o = tfs[order]
+        starts_o = seg_starts[order]
+        within = np.arange(int(lens_o.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens_o)[:-1])), lens_o
+        )
+        pos_sorted = pos_concat[np.repeat(starts_o, lens_o) + within]
+    else:
+        pos_sorted = np.array([], dtype=np.uint32)
 
     from lucene_ray.codec.postings_codec import postings_table_from_pairs
 
     merged = postings_table_from_pairs(
-        all_terms, pair_rank_s, pair_doc_s, tfs_s, pos_sorted, norms
+        all_terms, pair_rank_s, pair_doc_s, tfs_s, pos_sorted, norms,
+        with_positions=with_positions,
     )
     sum_ttf = int(tfs.sum())
     d = segment_dir(index_dir, name)

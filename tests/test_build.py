@@ -144,3 +144,21 @@ def test_index_options_freqs(corpus_dir, tmp_path, ray_session):
         sf_.search('"get manager"', 10)
     with pt.raises(ValueError, match="unsupported index_options"):
         build_index(paths, str(tmp_path / "bad"), index_options="nope")
+
+
+def test_two_scale_topk_identity(corpus_dir, tmp_path, ray_session):
+    """FIXTURES.md §8 scaling fixture: builds at different parallelism/
+    segmentation must byte-match top-k docids AND float32 scores."""
+    import glob as g
+
+    from lucene_ray.search.engine import IndexSearcher
+
+    paths = sorted(g.glob(corpus_dir + "/*.parquet"))
+    d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    build_index(paths, d1, target_docs=100, concurrency=1)
+    build_index(paths, d2, target_docs=250, concurrency=4)
+    s1, s2 = IndexSearcher(d1), IndexSearcher(d2)
+    for q in ["merge flush index", '"get manager"', "parse AND block", "get*"]:
+        a, b = s1.search(q, 10), s2.search(q, 10)
+        assert a.docids.tolist() == b.docids.tolist(), q
+        assert a.scores.tolist() == b.scores.tolist(), q  # bit-identical
