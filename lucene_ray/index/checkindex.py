@@ -94,7 +94,7 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
                 columns=["content"],
             )
             expect = [
-                hashlib.sha256(t.encode()).hexdigest()
+                hashlib.sha256(t.encode()).hexdigest() if t is not None else None
                 for t in src.column("content").to_pylist()
             ]
             got = stored.column("content_sha256").to_pylist()

@@ -31,6 +31,10 @@ REFERENCE_QUERIES: list[tuple[int, str, int]] = [
     (9, "buffer codec norm", 100),        # k=100
     (10, "write_Stream", 10),             # snake+case mix
     (11, "read 500", 10),                 # digit split term
+    (12, "merge^2 flush", 10),            # boosted term
+    (13, "read*", 10),                    # prefix rewrite
+    (14, "mrege~2", 10),                  # fuzzy rewrite
+    (15, "bu?fer", 10),                   # wildcard rewrite
 ]
 
 

@@ -43,6 +43,10 @@ class BM25Similarity:
         )
 
     def avgdl(self, sum_total_term_freq: int, doc_count: int) -> np.float32:
+        if sum_total_term_freq == 0:
+            # token-free index: any value works (no term can match); avoid
+            # inf/nan in the norm cache
+            return np.float32(1.0)
         return np.float32(sum_total_term_freq / float(doc_count))
 
     def scorer(

@@ -162,3 +162,31 @@ def test_two_scale_topk_identity(corpus_dir, tmp_path, ray_session):
         a, b = s1.search(q, 10), s2.search(q, 10)
         assert a.docids.tolist() == b.docids.tolist(), q
         assert a.scores.tolist() == b.scores.tolist(), q  # bit-identical
+
+
+def test_degenerate_corpus(tmp_path, ray_session):
+    """Nulls, empty strings, token-free docs: build, search, match-all."""
+    import pyarrow as pa
+
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, MatchAllDocsQuery
+
+    t = pa.table(
+        {
+            "repo": ["r"] * 4,
+            "path": [f"p{i}" for i in range(4)],
+            "commit": ["c" * 40] * 4,
+            "lang": ["py"] * 4,
+            "content": ["...", "", None, "!!!@@@"],
+        }
+    )
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    ix = str(tmp_path / "ix")
+    m = build_index([src], ix, target_docs=10)
+    assert (m.doc_count, m.sum_ttf) == (4, 0)
+    s = IndexSearcher(ix)
+    assert s.search("anything", 5).docids.tolist() == []
+    td = s.search(BooleanQuery(should=[MatchAllDocsQuery()]), 10)
+    assert td.docids.tolist() == [0, 1, 2, 3]
+    assert check_index(ix)["ok"]
