@@ -211,8 +211,38 @@ def run_scaling(trials: int = 2) -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print ray.data per-stage stats for two representative pipelines —
+    the ds.stats() feedback loop used while tuning (read before believing
+    wall numbers on this noisy VM)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from lucene_ray.ops import relational, text
+
+    for name, make in [
+        ("term_stats", lambda: text.term_stats(SF_DIR)),
+        ("q1_pricing", lambda: relational.q1_pricing(SF_DIR)),
+    ]:
+        ds = make().materialize()
+        print(f"===== {name} =====")
+        print(ds.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))

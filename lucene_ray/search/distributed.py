@@ -64,6 +64,17 @@ class SegmentShardActor:
         ]
         return np.unique(np.concatenate(parts)) if parts else np.array([], dtype=object)
 
+    def search_shard_many(
+        self, bqs: list, stats: dict, doc_count: int, sum_ttf: int, k: int,
+        pruned: bool = True,
+    ):
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
+        return [
+            empty if bq is None
+            else self.search_shard(bq, stats, doc_count, sum_ttf, k, pruned)
+            for bq in bqs
+        ]
+
     def search_shard(
         self,
         bq: BooleanQuery,
@@ -128,6 +139,62 @@ class DistributedSearcher:
             parts = ray.get([a.vocabulary_slice.remote() for a in self.actors])
             self._vocab = np.unique(np.concatenate(parts))
         return self._vocab
+
+    def search_many(self, queries: list, k: int = DEFAULT_TOP_K) -> list[TopDocs]:
+        """Batched execution: ONE stats round trip and ONE scatter for the
+        whole query batch (amortizes actor round trips at high QPS)."""
+        prepared = [self._prepare(q) for q in queries]
+        # phase 1: union of all terms across the batch
+        all_terms = sorted({t for bq in prepared if bq for t in query_terms(bq)})
+        stats = {t: (0, 0) for t in all_terms}
+        if all_terms:
+            for p in ray.get([a.term_stats.remote(all_terms) for a in self.actors]):
+                for t, (df, ttf) in p.items():
+                    stats[t] = (stats[t][0] + df, stats[t][1] + ttf)
+        # phase 2: one scatter per shard carrying the whole batch
+        futures = [
+            a.search_shard_many.remote(
+                prepared, stats, self.doc_count, self.sum_ttf, k, self.pruned
+            )
+            for a in self.actors
+        ]
+        per_shard = ray.get(futures)
+        out = []
+        for qi, bq in enumerate(prepared):
+            if bq is None:
+                out.append(
+                    TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
+                )
+                continue
+            docs = [r[qi][0] for r in per_shard if len(r[qi][0])]
+            scores = [r[qi][1] for r in per_shard if len(r[qi][1])]
+            total = sum(r[qi][2] for r in per_shard)
+            if not docs:
+                out.append(
+                    TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
+                )
+                continue
+            d, s = _topk(np.concatenate(docs), np.concatenate(scores), k)
+            out.append(TopDocs(d, s, total))
+        return out
+
+    def _prepare(self, query) -> BooleanQuery | None:
+        from lucene_ray.analysis import get_analyzer
+
+        bq = (
+            parse_query(query, get_analyzer(self.analyzer_name))
+            if isinstance(query, str)
+            else query
+        )
+        if any(
+            type(q).__name__
+            in ("PrefixQuery", "WildcardQuery", "TermRangeQuery", "FuzzyQuery", "TermInSetQuery")
+            for q in bq.must + bq.should + bq.must_not
+        ):
+            bq = rewrite_query(bq, self.vocabulary())
+        if not (bq.must or bq.should):
+            return None
+        return bq
 
     def search(self, query, k: int = DEFAULT_TOP_K) -> TopDocs:
         from lucene_ray.analysis import get_analyzer

@@ -55,3 +55,15 @@ def test_distributed_many_queries_one_pool(ix, ray_session):
     local = IndexSearcher(ix)
     for q in QUERIES[:4]:
         assert dist.search(q, 5).docids.tolist() == local.search(q, 5).docids.tolist()
+
+
+def test_search_many_batched(ix, ray_session):
+    """One stats round trip + one scatter for a whole batch — results must
+    equal per-query search()."""
+    dist = DistributedSearcher(ix, n_shards=2)
+    batch = dist.search_many(list(QUERIES), 10)
+    assert len(batch) == len(QUERIES)
+    for q, td in zip(QUERIES, batch):
+        one = dist.search(q, 10)
+        assert td.docids.tolist() == one.docids.tolist(), q
+        np.testing.assert_allclose(td.scores, one.scores, rtol=1e-6)
