@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) — the randomized-seed layer of the
+reference's test strategy (LuceneTestCase randomized infra, SURVEY.md §5.3):
+codec round-trips over adversarial int distributions, SmallFloat ordering,
+pareto impact dominance, tokenizer byte-kernel == RE2 on arbitrary ASCII."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from lucene_ray.codec.forutil import (
+    decode_blocks_batched,
+    decode_stream,
+    encode_blocks_batched,
+    encode_stream,
+)
+from lucene_ray.config import BLOCK_SIZE
+from lucene_ray.util.smallfloat import byte4_to_int, int_to_byte4
+
+
+@st.composite
+def int_streams(draw):
+    n = draw(st.integers(1, 700))
+    kind = draw(st.sampled_from(["small", "wide", "const-runs", "outliers"]))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    if kind == "small":
+        return rng.integers(0, 8, size=n).astype(np.uint32)
+    if kind == "wide":
+        return rng.integers(0, 2**31, size=n).astype(np.uint32)
+    if kind == "const-runs":
+        v = np.repeat(
+            rng.integers(0, 100, size=max(1, n // 50)),
+            50,
+        )[:n]
+        return np.ascontiguousarray(v, dtype=np.uint32)
+    v = rng.integers(0, 16, size=n).astype(np.uint32)
+    hot = rng.integers(0, n, size=max(1, n // 64))
+    v[hot] = rng.integers(2**20, 2**30, size=len(hot))
+    return v
+
+
+@settings(max_examples=60, deadline=None)
+@given(int_streams())
+def test_stream_roundtrip_property(values):
+    blob, offsets = encode_stream(values)
+    assert np.array_equal(decode_stream(blob, len(values)), values)
+    # batched encoder must produce byte-identical output to the scalar one
+    lens = np.minimum(
+        len(values) - np.arange(0, len(values), BLOCK_SIZE), BLOCK_SIZE
+    )
+    b2, o2 = encode_blocks_batched(values, lens)
+    assert b2 == blob
+    assert np.array_equal(o2, offsets)
+    # and the batched decoder must invert it
+    buf = np.frombuffer(b2, dtype=np.uint8)
+    assert np.array_equal(decode_blocks_batched(buf, o2, lens), values)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=50))
+def test_smallfloat_property(vals):
+    v = np.array(vals, dtype=np.int64)
+    enc = int_to_byte4(v)
+    dec = byte4_to_int(enc)
+    assert np.all(dec <= v)  # truncating
+    # order-preserving
+    order = np.argsort(v, kind="stable")
+    assert np.all(np.diff(enc[order].astype(np.int64)) >= 0)
+    # idempotent through the decode table
+    assert np.array_equal(int_to_byte4(dec), enc)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 1000), st.integers(0, 255)),
+        min_size=1,
+        max_size=128,
+    )
+)
+def test_pareto_impacts_property(pairs):
+    from lucene_ray.codec.postings_codec import pareto_impacts
+
+    tfs = np.array([p[0] for p in pairs])
+    norms = np.array([p[1] for p in pairs])
+    packed = pareto_impacts(tfs, norms)
+    front = [((p >> 8), p & 0xFF) for p in packed]
+    # dominance: every input pair is covered
+    for tf, nm in zip(tfs, norms):
+        assert any(ptf >= tf and pnm <= nm for ptf, pnm in front)
+    # minimality: no front element dominates another
+    for i, (tf1, n1) in enumerate(front):
+        for j, (tf2, n2) in enumerate(front):
+            if i != j:
+                assert not (tf2 >= tf1 and n2 <= n1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_tokenizer_kernel_matches_re2_property(texts):
+    from lucene_ray.analysis import CodeAnalyzer
+
+    an = CodeAnalyzer()
+    arr = pa.array(texts, type=pa.string())
+    toks = an.tokenize_array(arr)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offs)
+    want_rows = np.repeat(np.arange(len(counts)), counts).tolist()
+    rows, terms, _pos = an.tokenize_flat(arr)
+    assert terms.to_pylist() == toks.values.to_pylist()
+    assert rows.tolist() == want_rows
