@@ -206,7 +206,9 @@ def ngram_jaccard_sql() -> str:
         f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j}"
         for j in range(1, k)
     )
-    concat = " || '' || ".join(f"t{j}.term" for j in range(k))
+    # chr(31): separator outside the token alphabet so distinct sequences
+    # like ('ab','c') vs ('a','bc') never collide into one shingle string
+    concat = " || chr(31) || ".join(f"t{j}.term" for j in range(k))
     return f"""
 WITH t AS (
   SELECT doc_id, {toks} AS toks FROM documents

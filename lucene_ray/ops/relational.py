@@ -60,9 +60,9 @@ def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
 def q1_pricing_sql() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
-  sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sum_qty_cents,
-  sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_cents,
-  sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS sum_disc_price_cents,
+  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
   count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -144,7 +144,7 @@ def nation_order_stats_sql() -> str:
     return """
 SELECT n.n_name,
   count(*)::BIGINT AS order_count,
-  sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS sum_total_cents
+  CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_total_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
@@ -192,7 +192,7 @@ def events_tumbling_sql(window_secs: int = 3600) -> str:
 SELECT event_type,
   (epoch_us(ts) // {wus}) * {wus} AS window_start_us,
   count(*)::BIGINT AS n_events,
-  sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_value_cents
+  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type, window_start_us
 """
 
@@ -242,8 +242,8 @@ WITH e AS (
   FROM e
 ), sess AS (
   SELECT user_id, ts_us,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, count(*)::BIGINT AS n_events,
