@@ -203,6 +203,13 @@ class CodeAnalyzer:
                 np.arange(total) - np.repeat(out_off[:-1], lengths)
             )
             values = _LUT_TOLOWER[data[gather]]
+        if int(out_off[-1]) > np.iinfo(np.int32).max:
+            # pa.utf8 carries int32 offsets: >2 GiB of token bytes in one
+            # batch would silently wrap and corrupt the term array
+            raise ValueError(
+                f"token byte volume {int(out_off[-1])} exceeds int32 utf8 "
+                "offsets; lower the batch size for this stage"
+            )
         terms = pa.Array.from_buffers(
             pa.utf8(),
             n_tok,

@@ -48,6 +48,10 @@ BOOLEAN_QUERIES: list[tuple[int, str]] = [
     (1, "+batch -stream"),
     (2, "sort join"),
     (3, "+table +scan -hash"),
+    # required multi-term clauses: `+mer*` must still REQUIRE the prefix
+    # even with other SHOULD clauses present (DisjunctionSumQuery rewrite)
+    (4, "+mer* window"),
+    (5, "+sor* +mer*"),
 ]
 
 PHRASE_QUERIES: list[tuple[int, tuple[str, ...]]] = [
@@ -253,6 +257,13 @@ def boolean_engine_sql() -> str:
         3: (
             "SELECT 3 AS qid, doc_id FROM has_table INTERSECT SELECT 3, doc_id FROM has_scan "
             "EXCEPT SELECT 3, doc_id FROM has_hash"
+        ),
+        # +mer* window: the required prefix alone defines the doc set
+        4: "SELECT DISTINCT 4 AS qid, doc_id FROM tok WHERE term LIKE 'mer%'",
+        # +sor* +mer*: intersection of the two prefix match sets
+        5: (
+            "SELECT DISTINCT 5 AS qid, doc_id FROM tok WHERE term LIKE 'sor%' "
+            "INTERSECT SELECT DISTINCT 5, doc_id FROM tok WHERE term LIKE 'mer%'"
         ),
     }
     terms = ["merge", "window", "batch", "stream", "sort", "join", "table", "scan", "hash"]

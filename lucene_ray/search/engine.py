@@ -33,6 +33,7 @@ from lucene_ray.search.query import (
     BooleanQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    DisjunctionSumQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     PhraseQuery,
@@ -55,12 +56,24 @@ from lucene_ray.search.similarity import BM25Similarity
 
 
 class TopDocs:
-    __slots__ = ("docids", "scores", "total_hits")
+    """``relation``: "eq" when total_hits is exact, "gte" when the pruned
+    path may have skipped counting docs reachable only through skipped
+    non-essential clauses (TotalHits.Relation.GREATER_THAN_OR_EQUAL_TO,
+    search/TotalHits.java)."""
 
-    def __init__(self, docids: np.ndarray, scores: np.ndarray, total_hits: int):
+    __slots__ = ("docids", "scores", "total_hits", "relation")
+
+    def __init__(
+        self,
+        docids: np.ndarray,
+        scores: np.ndarray,
+        total_hits: int,
+        relation: str = "eq",
+    ):
         self.docids = docids
         self.scores = scores
         self.total_hits = total_hits
+        self.relation = relation
 
     def to_rows(self, qid) -> list[dict]:
         return [
@@ -80,7 +93,7 @@ def flat_clauses(bq: BooleanQuery):
     while stack:
         q = stack.pop()
         yield q
-        if isinstance(q, DisjunctionMaxQuery):
+        if isinstance(q, (DisjunctionMaxQuery, DisjunctionSumQuery)):
             stack.extend(q.disjuncts)
         elif isinstance(q, ConstantScoreQuery):
             stack.append(q.query)
@@ -165,6 +178,13 @@ class IndexSearcher:
         scorers = self._scorers(bq)
         use_pruned = self.pruned and after is None
         score_fn = score_segment_pruned if use_pruned else score_segment_exhaustive
+        # pruning only actually skips clauses on pure-SHOULD shapes (other
+        # shapes fall back to the exhaustive path inside score_segment_pruned)
+        relation = (
+            "gte"
+            if use_pruned and not (bq.must or bq.must_not or bq.min_should_match > 1)
+            else "eq"
+        )
         all_docs, all_scores, total = [], [], 0
         theta = 0.0
         for entry in self.reader.segments:
@@ -186,11 +206,13 @@ class IndexSearcher:
                 if len(merged) >= k:
                     theta = max(theta, float(np.partition(merged, -k)[-k]))
         if not all_docs:
-            return TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
+            return TopDocs(
+                np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0, relation
+            )
         docids = np.concatenate(all_docs)
         scores = np.concatenate(all_scores)
         d, s = _topk(docids, scores, k)
-        return TopDocs(d, s, total)
+        return TopDocs(d, s, total, relation)
 
 
 def fetch_stored(reader: IndexReader, global_docids) -> pa.Table:

@@ -54,6 +54,19 @@ class DisjunctionMaxQuery:
 
 
 @dataclass(frozen=True)
+class DisjunctionSumQuery:
+    """Nested boolean OR evaluated as ONE clause: matches docs matched by
+    ANY disjunct, score = sum of the matching disjuncts' scores — the shape
+    a rewritten multi-term query takes inside a MUST slot
+    (search/MultiTermQuery.java SCORING_BOOLEAN_REWRITE produces
+    MUST(BooleanQuery(SHOULD expansions)); BooleanQuery.java nested-clause
+    counting: the whole group is one clause for minimumShouldMatch)."""
+
+    disjuncts: tuple  # of TermQuery (multi-term expansions)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery:
     """Every doc, constant score = boost (search/MatchAllDocsQuery.java)."""
 

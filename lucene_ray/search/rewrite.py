@@ -23,6 +23,7 @@ import numpy as np
 
 from lucene_ray.search.query import (
     BooleanQuery,
+    DisjunctionSumQuery,
     FuzzyQuery,
     PrefixQuery,
     TermInSetQuery,
@@ -118,17 +119,13 @@ def rewrite_query(bq: BooleanQuery, vocab: np.ndarray) -> BooleanQuery:
             ):
                 if occur == "must":
                     # a required multi-term clause means "at least one
-                    # expansion matches": nest as a sub-OR via a SynonymQuery
-                    # -like grouping — represented as min_should_match inside
-                    # a nested BooleanQuery is not supported in v1, so MUST
-                    # expansions use a TermInSetQuery-style constant... keep
-                    # semantics simple: treat as SHOULD-of-expansions that is
-                    # required through min_should_match when it is the only
-                    # clause; documented limitation otherwise.
+                    # expansion matches AND the doc is required to have one":
+                    # nest the expansions as ONE composite clause
+                    # (MUST(BooleanQuery(SHOULD expansions)) in the reference,
+                    # search/MultiTermQuery.java SCORING_BOOLEAN_REWRITE) so
+                    # `+read* merge` still REQUIRES the prefix.
                     if expanded:
-                        out.should.extend(expanded)
-                        if not bq.should:
-                            out.min_should_match = max(out.min_should_match, 1)
+                        out.must.append(DisjunctionSumQuery(tuple(expanded), boost=q.boost))
                     else:
                         # required clause with zero expansions -> no hits:
                         # poison with an impossible term
@@ -137,7 +134,18 @@ def rewrite_query(bq: BooleanQuery, vocab: np.ndarray) -> BooleanQuery:
                 elif occur == "must_not":
                     out.must_not.extend(expanded)
                 else:
-                    out.should.extend(expanded)
+                    if bq.min_should_match > 0 and len(expanded) != 1:
+                        # minimumShouldMatch counts the whole multi-term
+                        # rewrite as ONE clause (BooleanQuery.java nested-
+                        # clause counting) — keep it composite
+                        if expanded:
+                            out.should.append(
+                                DisjunctionSumQuery(tuple(expanded), boost=q.boost)
+                            )
+                    else:
+                        # flat SHOULD expansion scores identically (sum over
+                        # matching expansions) and lets MaxScore prune
+                        out.should.extend(expanded)
             else:
                 getattr(out, occur).extend(expanded)
     return out

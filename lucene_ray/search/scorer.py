@@ -35,6 +35,7 @@ from lucene_ray.search.query import (
     BooleanQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    DisjunctionSumQuery,
     MatchAllDocsQuery,
     PhraseQuery,
     SynonymQuery,
@@ -211,8 +212,13 @@ class _Clause:
         return d, self.scorer.score(tfs.astype(np.float32), norm_bytes[d])
 
     def lookup(self, cand: np.ndarray) -> np.ndarray:
-        if self._eval is not None:
-            docids, tfs = self._eval
+        if self._eval is not None or self._scored is not None:
+            # composite (_scored) clauses have no tf; membership counts as 1
+            docids, tfs = (
+                self._eval
+                if self._eval is not None
+                else (self._scored[0], np.ones(len(self._scored[0]), dtype=np.int64))
+            )
             idx = np.searchsorted(docids, cand)
             idx = np.minimum(idx, max(len(docids) - 1, 0))
             out = np.zeros(len(cand), dtype=np.int64)
@@ -318,6 +324,25 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             docids = np.unique(np.concatenate([c.evaluate()[0] for c in sub]))
             scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
             out.append(_Clause(q, None, scorers[q], scored=(docids, scores)))
+        elif isinstance(q, DisjunctionSumQuery):
+            subs = build_clauses(reader, list(q.disjuncts), scorers)
+            if not subs:
+                continue
+            parts_d, parts_s = [], []
+            for c in subs:
+                d, s = c.eval_scores(reader.norm_bytes)
+                parts_d.append(d)
+                parts_s.append(s)
+            d = np.concatenate(parts_d)
+            s = np.concatenate(parts_s).astype(np.float32)
+            order = np.argsort(d, kind="stable")
+            d, s = d[order], s[order]
+            change = np.empty(len(d), dtype=bool)
+            change[0] = True
+            change[1:] = d[1:] != d[:-1]
+            starts = np.nonzero(change)[0]
+            summed = np.add.reduceat(s.astype(np.float32), starts)
+            out.append(_Clause(q, None, None, scored=(d[starts], summed.astype(np.float32))))
         elif isinstance(q, DisjunctionMaxQuery):
             subs = build_clauses(reader, list(q.disjuncts), scorers)
             if not subs:

@@ -204,3 +204,59 @@ class TestQueryTypes:
         a, b = ex.search(q, 10), pr.search(q, 10)
         assert a.docids.tolist() == b.docids.tolist()
         np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
+
+
+class TestRequiredMultiterm:
+    """`+read* merge` must REQUIRE the prefix (DisjunctionSumQuery rewrite —
+    previously demoted to SHOULD, silently wrong doc sets)."""
+
+    def test_required_prefix_with_should(self, ix, docs):
+        s = IndexSearcher(ix)
+        got = doc_set(s, "+mer* flush")
+        want = {i for i, d in enumerate(docs) if any(t.startswith("mer") for t in d)}
+        assert got == want
+
+    def test_two_required_prefixes(self, ix, docs):
+        s = IndexSearcher(ix)
+        got = doc_set(s, "+mer* +flu*")
+        want = {
+            i
+            for i, d in enumerate(docs)
+            if any(t.startswith("mer") for t in d)
+            and any(t.startswith("flu") for t in d)
+        }
+        assert got == want
+
+    def test_msm_counts_multiterm_as_one_clause(self, ix, docs):
+        s = IndexSearcher(ix)
+        q = BooleanQuery(
+            should=[PrefixQuery("mer"), TermQuery("flush")], min_should_match=2
+        )
+        got = doc_set(s, q)
+        want = {
+            i
+            for i, d in enumerate(docs)
+            if any(t.startswith("mer") for t in d) and "flush" in d
+        }
+        assert got == want
+
+    def test_composite_should_under_must_msm(self, ix, docs):
+        # regression: _Clause.lookup on a _scored clause (ConstantScoreQuery
+        # in SHOULD with MUST + min_should_match) used to crash
+        s = IndexSearcher(ix)
+        q = BooleanQuery(
+            must=[TermQuery("merge")],
+            should=[ConstantScoreQuery(TermQuery("flush"), boost=2.0)],
+            min_should_match=1,
+        )
+        got = doc_set(s, q)
+        want = {i for i, d in enumerate(docs) if "merge" in d and "flush" in d}
+        assert got == want
+
+    def test_required_multiterm_duel(self, ix):
+        ex = IndexSearcher(ix, pruned=False)
+        pr = IndexSearcher(ix, pruned=True)
+        for qtext in ("+mer* flush", "+mer* +flu*", "+par* -merge"):
+            a, b = ex.search(qtext, 10), pr.search(qtext, 10)
+            assert a.docids.tolist() == b.docids.tolist()
+            np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)

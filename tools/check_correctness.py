@@ -33,7 +33,13 @@ def to_pandas(res) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    # the driver's compare normalizes integer WIDTH (int32 qid vs int64 qid
+    # passed in round 1) but not KIND (DuckDB HUGEINT -> object/float64
+    # failed) — mirror that
+    for c in df.columns:
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
     if len(df):
         df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
