@@ -42,13 +42,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": text.doc_token_stats,
         "text_quality": text.text_quality,
         "lang_id": text.lang_id,
-        "doc_fingerprint": text.fingerprint,
+        # fingerprint kernel gated through its shift identity (raw values
+        # stay available as lucene_ray.ops.text.fingerprint; DuckDB cannot
+        # reproduce the engine-defined hash family, the identity it CAN)
+        "fingerprint_shift": text.fingerprint_shift,
         # --- dedup family (training-data ops)
         "dedup_exact": dedup.dedup_exact,
         "content_sha": dedup.content_sha,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "simhash64": dedup.simhash64,
+        # simhash kernel gated through Hamming-vs-Jaccard consistency (raw
+        # values: lucene_ray.ops.dedup.simhash64)
+        "simhash_hamming": dedup.simhash_hamming,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         # --- similarity search
         "knn_bruteforce": knn.knn_bruteforce,
@@ -76,9 +81,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": text.doc_token_stats_sql(),
         "text_quality": text.text_quality_sql(),
         "lang_id": text.lang_id_sql(),
+        "fingerprint_shift": text.fingerprint_shift_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "content_sha": dedup.content_sha_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
+        # LSH candidates verified by exact Jaccard == the exact pair set
+        # (full recall at the gate's fixed corpus + seeds; see docstring)
+        "minhash_lsh_pairs": dedup.ngram_jaccard_sql(),
+        "simhash_hamming": dedup.simhash_hamming_sql(),
         "embedding_dup_pairs": dedup.embedding_dup_sql(),
         "knn_bruteforce": knn.knn_bruteforce_sql(),
         "q1_pricing": relational.q1_pricing_sql(),
@@ -87,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": relational.events_tumbling_sql(),
         "sessionize": relational.sessionize_sql(),
         # rows-only (no SQL oracle, by design — see module docstring):
-        # bm25_topk_engine, doc_fingerprint, minhash_lsh_pairs, simhash64,
-        # knn_lsh, media_features
+        # bm25_topk_engine (quantized-norm float32 ranking; duel/golden
+        # tests), knn_lsh (approximate; recall-gated in pytest),
+        # media_features (stubbed codec)
     }

@@ -145,46 +145,53 @@ def _shingle_hashes(batch: pa.Table, k: int = SHINGLE_K) -> tuple[np.ndarray, np
     return uniq[:, 0].astype(np.int64), uniq[:, 1]
 
 
-def ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
-    """Near-dup pairs by exact Jaccard over k-token shingles, candidates =
-    pairs sharing >= 1 shingle. Output (doc_a, doc_b) with doc_a < doc_b.
-
-    Shape: map_batches(shingle) -> groupby(shingle-hash bucket) emits
-    candidate pairs -> pair-level exact verify. At web scale the candidate
-    generation must go through MinHash-LSH (minhash_lsh_pairs) instead —
-    this operator IS the verifier of that pipeline too."""
-
-    def shingles(batch: pa.Table) -> pa.Table:
-        docs, sh = _shingle_hashes(batch)
+def _shingle_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, shingle, n_doc) rows — n_doc is the doc's shingle-SET size,
+    attached per row so downstream pair verification never needs a
+    driver-side per-doc size dict (size travels with the shuffle)."""
+    docs, sh = _shingle_hashes(batch)
+    if len(docs) == 0:
         return pa.table(
             {
-                "doc_id": pa.array(docs, type=pa.int64()),
-                "shingle": pa.array(sh.astype(np.int64), type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "shingle": pa.array([], type=pa.int64()),
+                "n_doc": pa.array([], type=pa.int64()),
             }
         )
+    uniq, inv, counts = np.unique(docs, return_inverse=True, return_counts=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "shingle": pa.array(sh.astype(np.int64), type=pa.int64()),
+            "n_doc": pa.array(counts[inv], type=pa.int64()),
+        }
+    )
 
-    sh_ds = _docs(sf_dir).map_batches(shingles, batch_format="pyarrow", batch_size=4096)
 
-    # per-doc shingle-set sizes: small (one row per doc) -> broadcast
-    from ray.data.aggregate import Count
-
-    sizes_pd = sh_ds.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
-    size_by_doc = dict(zip(sizes_pd.doc_id, sizes_pd.n))
-    sizes_ref = ray.put(size_by_doc)
+def _exact_jaccard_pairs(sh_ds) -> "ray.data.Dataset":
+    """(doc_a, doc_b) with exact Jaccard >= threshold over a (doc_id,
+    shingle, n_doc) Dataset. Fully distributed: pair generation inside
+    coarse shingle buckets CARRIES both docs' set sizes, the groupby
+    aggregates intersection counts + sizes, and the final filter is a pure
+    row-wise map — no driver-side materialization anywhere."""
+    from ray.data.aggregate import Count, Min
 
     inter = (
-        _bucketed_pairs(sh_ds, "shingle", n_buckets=64)
+        _bucketed_pairs(sh_ds, "shingle", n_buckets=64, size_col="n_doc")
         .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="inter"))
+        .aggregate(
+            Count(alias_name="inter"),
+            Min("na", alias_name="na"),  # constant per doc — Min is identity
+            Min("nb", alias_name="nb"),
+        )
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        sizes = ray.get(sizes_ref)
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
         b = batch.column("doc_b").to_numpy(zero_copy_only=False)
         i = batch.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([sizes.get(int(x), 0) for x in a], dtype=np.float64)
-        nb = np.array([sizes.get(int(x), 0) for x in b], dtype=np.float64)
+        na = batch.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
         keep = i >= JACCARD_THRESHOLD * (na + nb - i)
         return pa.table(
             {
@@ -193,10 +200,22 @@ def ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return _materialize(
-        inter.map_batches(verify, batch_format="pyarrow", batch_size=65536),
-        PAIR_SCHEMA,
+    return inter.map_batches(verify, batch_format="pyarrow", batch_size=65536)
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Near-dup pairs by exact Jaccard over k-token shingles, candidates =
+    pairs sharing >= 1 shingle. Output (doc_a, doc_b) with doc_a < doc_b.
+
+    Shape: map_batches(shingle) -> groupby(shingle-hash bucket) emits
+    candidate pairs (carrying set sizes) -> row-wise exact verify. At web
+    scale the candidate generation must go through MinHash-LSH
+    (minhash_lsh_pairs) instead — this operator IS the verifier of that
+    pipeline too."""
+    sh_ds = _docs(sf_dir).map_batches(
+        _shingle_rows, batch_format="pyarrow", batch_size=4096
     )
+    return _materialize(_exact_jaccard_pairs(sh_ds), PAIR_SCHEMA)
 
 
 def ngram_jaccard_sql() -> str:
@@ -232,41 +251,50 @@ WHERE i >= {JACCARD_THRESHOLD} * (sa.n + sb.n - i)
 """
 
 
-def _pairs_in_key_groups(keys: np.ndarray, docs: np.ndarray, cap: int = 1000):
+def _pairs_in_key_groups(
+    keys: np.ndarray, docs: np.ndarray, sizes_per_doc=None, cap: int = 1000
+):
     """All unordered doc pairs sharing a key, vectorized over a sorted
     (key, doc) batch. Groups larger than ``cap`` are dropped (boilerplate
-    guard — a key shared by >cap docs would emit O(cap^2) pairs)."""
+    guard — a key shared by >cap docs would emit O(cap^2) pairs). When
+    ``sizes_per_doc`` is given, each pair row carries both docs' set sizes
+    (na, nb) so no later size lookup is needed."""
     import pandas as pd
 
+    carry = sizes_per_doc is not None
+    cols = ["doc_a", "doc_b"] + (["na", "nb"] if carry else [])
+
+    def empty():
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
     if len(keys) == 0:
-        return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
-        )
+        return empty()
     order = np.lexsort((docs, keys))
     k, d = keys[order], docs[order]
+    n = sizes_per_doc[order] if carry else None
     change = np.empty(len(k), dtype=bool)
     change[0] = True
     change[1:] = k[1:] != k[:-1]
     starts = np.nonzero(change)[0]
     sizes = np.diff(np.append(starts, len(k)))
-    out_a, out_b = [], []
+    out = {c: [] for c in cols}
     for s, sz in zip(starts, sizes):  # loop only over multi-doc groups
         if sz < 2 or sz > cap:
             continue
         ids = d[s : s + sz]
         a, b = np.triu_indices(sz, k=1)
-        out_a.append(ids[a])
-        out_b.append(ids[b])
-    if not out_a:
-        return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
-        )
-    return pd.DataFrame(
-        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
-    )
+        out["doc_a"].append(ids[a])
+        out["doc_b"].append(ids[b])
+        if carry:
+            ns = n[s : s + sz]
+            out["na"].append(ns[a])
+            out["nb"].append(ns[b])
+    if not out["doc_a"]:
+        return empty()
+    return pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})
 
 
-def _bucketed_pairs(ds, key_col: str, n_buckets: int = 64):
+def _bucketed_pairs(ds, key_col: str, n_buckets: int = 64, size_col: str | None = None):
     """groupby a COARSE hash bucket of the key (not the key itself — one Ray
     group per distinct shingle means millions of tiny pandas groups), then
     generate per-key pairs vectorized inside each bucket."""
@@ -278,7 +306,9 @@ def _bucketed_pairs(ds, key_col: str, n_buckets: int = 64):
 
     def pairs(g):
         return _pairs_in_key_groups(
-            g[key_col].to_numpy().astype(np.int64), g["doc_id"].to_numpy()
+            g[key_col].to_numpy().astype(np.int64),
+            g["doc_id"].to_numpy(),
+            g[size_col].to_numpy() if size_col else None,
         )
 
     return (
@@ -311,9 +341,15 @@ def minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
     (doc_a, doc_b), the scalable near-dup path.
 
     Pipeline: map_batches(shingle+minhash) -> explode (band, bucket, doc) ->
-    groupby(band, bucket) -> pairs -> distinct -> exact-Jaccard verify.
-    No SQL oracle (the hash family is engine-defined); correctness is tested
-    against ngram_jaccard_pairs (recall on the fixture corpus)."""
+    groupby(band, bucket) -> pairs -> distinct -> DISTRIBUTED exact-Jaccard
+    verify (re-shingle only candidate docs; sizes travel with the shuffle;
+    the only driver-held state is the output-scale candidate pair list).
+
+    Oracle: ngram_jaccard_sql — verified candidates are a subset of the
+    exact-Jaccard pair set by construction, and the 16x4 banding at t=0.5
+    has full recall on the fixed corpus + fixed seeds (deterministic, so the
+    equality is stable run-to-run); pytest additionally guards recall on
+    fixture corpora."""
 
     def band_rows(batch: pa.Table) -> pa.Table:
         docs, sh = _shingle_hashes(batch)
@@ -367,34 +403,108 @@ def minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
     )
-    cand_pd = cand.to_pandas()
-    if len(cand_pd) == 0:
-        return PAIR_SCHEMA.empty_table()
-    # exact verify on candidates only
-    import pandas as pd
-    import pyarrow.parquet as pq
-
-    docs_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    d_all, s_all = _shingle_hashes(docs_tbl)
-    sh_pd = pd.DataFrame({"doc_id": d_all, "shingle": s_all.astype(np.int64)})
-    sizes = sh_pd.groupby("doc_id").size()
-    sets = sh_pd.groupby("doc_id")["shingle"].agg(set)
-    keep_a, keep_b = [], []
-    for a_, b_ in zip(cand_pd.doc_a, cand_pd.doc_b):
-        sa, sb = sets.get(a_, set()), sets.get(b_, set())
-        if not sa or not sb:
-            continue
-        inter = len(sa & sb)
-        if inter >= JACCARD_THRESHOLD * (len(sa) + len(sb) - inter):
-            keep_a.append(int(a_))
-            keep_b.append(int(b_))
-    out = pd.DataFrame({"doc_a": keep_a, "doc_b": keep_b}).astype("int64")
-    _ = sizes
-    return pa.Table.from_pandas(
-        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
-        schema=PAIR_SCHEMA,
-        preserve_index=False,
+    # candidate PAIRS are output-scale (tiny vs the corpus) — the only
+    # driver-held state is this pair list + its doc-id set. The exact-Jaccard
+    # verify runs DISTRIBUTED: re-shingle ONLY candidate docs (membership
+    # filter pushed into map_batches), re-use the carried-size pair pipeline,
+    # then semi-join back onto the LSH candidate set.
+    cand_tbl = _materialize(
+        cand.select_columns(["doc_a", "doc_b"]), PAIR_SCHEMA
     )
+    if cand_tbl.num_rows == 0:
+        return PAIR_SCHEMA.empty_table()
+    ca = cand_tbl.column("doc_a").to_numpy(zero_copy_only=False)
+    cb = cand_tbl.column("doc_b").to_numpy(zero_copy_only=False)
+    cand_ids_ref = ray.put(np.unique(np.concatenate([ca, cb])))
+    # pair key = (a << 32) | b — doc_ids fit 32 bits at any realistic shard
+    cand_keys_ref = ray.put(np.sort((ca.astype(np.uint64) << np.uint64(32)) | cb.astype(np.uint64)))
+
+    def shingle_candidates(batch: pa.Table) -> pa.Table:
+        ids = ray.get(cand_ids_ref)
+        mask = np.isin(batch.column("doc_id").to_numpy(zero_copy_only=False), ids)
+        return _shingle_rows(batch.filter(pa.array(mask)))
+
+    sh_sub = _docs(sf_dir).map_batches(
+        shingle_candidates, batch_format="pyarrow", batch_size=4096
+    )
+    exact = _exact_jaccard_pairs(sh_sub)
+
+    def keep_lsh_candidates(batch: pa.Table) -> pa.Table:
+        keys = ray.get(cand_keys_ref)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        k = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        idx = np.searchsorted(keys, k)
+        idx = np.minimum(idx, max(len(keys) - 1, 0))
+        hit = keys[idx] == k if len(keys) else np.zeros(len(k), dtype=bool)
+        return batch.filter(pa.array(hit))
+
+    out = _materialize(
+        exact.map_batches(keep_lsh_candidates, batch_format="pyarrow", batch_size=65536),
+        PAIR_SCHEMA,
+    )
+    order = np.lexsort(
+        (
+            out.column("doc_b").to_numpy(zero_copy_only=False),
+            out.column("doc_a").to_numpy(zero_copy_only=False),
+        )
+    )
+    return out.take(order)
+
+
+SIMHASH_MAX_HAMMING = 26  # near-dup (Jaccard>=0.5) pairs land well under
+# this; random 64-bit pairs center at 32 (empirical fixture max: see
+# tests/test_ops.py simhash consistency test)
+
+
+def simhash_hamming(sf_dir: str) -> pa.Table:
+    """(doc_a, doc_b, close): for every exact-Jaccard near-dup pair, whether
+    the docs' simhashes are within SIMHASH_MAX_HAMMING bits — the derived
+    correctness gate for the simhash kernel (a broken kernel decorrelates
+    the sketch and flips ``close`` to false). Oracle: the ngram pair set
+    with ``true`` — engine and oracle agree iff simhash tracks Jaccard."""
+    pairs = _materialize(ngram_jaccard_pairs(sf_dir), PAIR_SCHEMA)
+    if pairs.num_rows == 0:
+        return pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("close", pa.bool_())]
+        ).empty_table()
+    a = pairs.column("doc_a").to_numpy(zero_copy_only=False)
+    b = pairs.column("doc_b").to_numpy(zero_copy_only=False)
+    ids_ref = ray.put(np.unique(np.concatenate([a, b])))
+
+    def member(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        mask = np.isin(batch.column("doc_id").to_numpy(zero_copy_only=False), ids)
+        return batch.filter(pa.array(mask))
+
+    sub = _materialize(
+        simhash64(sf_dir).map_batches(member, batch_format="pyarrow", batch_size=65536),
+        pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())]),
+    )
+    sid = sub.column("doc_id").to_numpy(zero_copy_only=False)
+    sh = sub.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(sid)
+    sid, sh = sid[order], sh[order]
+    ha = sh[np.searchsorted(sid, a)]
+    hb = sh[np.searchsorted(sid, b)]
+    xored = (ha ^ hb).astype(np.uint64)
+    # popcount via unpackbits on the byte view (numpy<2 has no bitwise_count)
+    dist = (
+        np.unpackbits(xored.view(np.uint8).reshape(-1, 8), axis=1)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array(a, type=pa.int64()),
+            "doc_b": pa.array(b, type=pa.int64()),
+            "close": pa.array(dist <= SIMHASH_MAX_HAMMING, type=pa.bool_()),
+        }
+    )
+
+
+def simhash_hamming_sql() -> str:
+    return f"SELECT doc_a, doc_b, true AS close FROM ({ngram_jaccard_sql()})"
 
 
 # ----------------------------------------------------------------- simhash

@@ -253,36 +253,46 @@ FROM c
 """
 
 
+_FP_P = np.uint64(1099511628211)
+
+
+def _poly_powers(max_e: int) -> np.ndarray:
+    with np.errstate(over="ignore"):  # uint64 wrap is the hash
+        pows = np.empty(max_e + 1, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        for e in range(1, max_e + 1):
+            pows[e] = pows[e - 1] * _FP_P
+    return pows
+
+
+def _poly_fingerprint(row_idx: np.ndarray, th: np.ndarray, n: int) -> np.ndarray:
+    """Per-row polynomial hash h = Σ tok_i * P^(len-1-i) (mod 2^64), fully
+    vectorized via positional powers. Returns uint64[n]."""
+    out = np.zeros(n, dtype=np.uint64)
+    if len(row_idx) == 0:
+        return out
+    counts = np.bincount(row_idx, minlength=n)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    pos_in_row = np.arange(len(row_idx)) - offsets[row_idx]
+    rev_pos = (counts[row_idx] - 1 - pos_in_row).astype(np.int64)
+    pows = _poly_powers(int(rev_pos.max()) if len(rev_pos) else 0)
+    with np.errstate(over="ignore"):
+        contrib = th * pows[rev_pos]
+        np.add.at(out, row_idx, contrib)
+    return out
+
+
 def fingerprint(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic 64-bit document fingerprint: polynomial rolling hash of
     the token sequence (document-fingerprinting primitive for shift-tolerant
     dedup). Pure map_batches; int64 output (top bit cleared for SQL parity
-    comfort). No SQL oracle (DuckDB's hash() is a different function)."""
+    comfort). No SQL oracle for the raw values (DuckDB's hash() is a
+    different function) — the kernel is gated by ``fingerprint_shift``."""
 
     def fp(batch: pa.Table) -> pa.Table:
         doc_ids, row_idx, terms = _tokenize_batch(batch)
-        n = batch.num_rows
-        out = np.zeros(n, dtype=np.uint64)
-        if len(row_idx):
-            th = _stable_token_hash(terms)
-            # per-row polynomial hash h = Σ tok_i * P^(len-1-i) (mod 2^64),
-            # evaluated fully vectorized via positional powers
-            P = np.uint64(1099511628211)
-            counts = np.bincount(row_idx, minlength=n)
-            offsets = np.concatenate(([0], np.cumsum(counts)))
-            pos_in_row = np.arange(len(row_idx)) - offsets[row_idx]
-            rev_pos = (counts[row_idx] - 1 - pos_in_row).astype(np.uint64)
-            # pow P^rev_pos mod 2^64 via exponentiation by squaring on the
-            # unique exponents
-            max_e = int(rev_pos.max()) if len(rev_pos) else 0
-            with np.errstate(over="ignore"):  # uint64 wrap is the hash
-                pows = np.empty(max_e + 1, dtype=np.uint64)
-                pows[0] = np.uint64(1)
-                for e in range(1, max_e + 1):
-                    pows[e] = pows[e - 1] * P
-                contrib = th * pows[rev_pos.astype(np.int64)]
-                out = np.zeros(n, dtype=np.uint64)
-                np.add.at(out, row_idx, contrib)
+        th = _stable_token_hash(terms) if len(row_idx) else np.array([], dtype=np.uint64)
+        out = _poly_fingerprint(row_idx, th, batch.num_rows)
         signed = (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         return pa.table(
             {
@@ -292,6 +302,57 @@ def fingerprint(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return _docs(sf_dir).map_batches(fp, batch_format="pyarrow", batch_size=4096)
+
+
+def fingerprint_shift(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, ok): the fingerprint kernel's shift identity, checked per
+    doc — h(tokens) == first_tok * P^(L-1) + h(tokens[1:]) where BOTH sides
+    run the full vectorized kernel independently. A broken positional-power
+    or scatter path breaks the identity; the SQL oracle is simply ``true``
+    for every doc with >= 1 token, so the driver's hash-compare fails if
+    any doc's identity does. Distributed: pure map_batches."""
+
+    def check(batch: pa.Table) -> pa.Table:
+        doc_ids, row_idx, terms = _tokenize_batch(batch)
+        n = batch.num_rows
+        if len(row_idx) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "ok": pa.array([], type=pa.bool_()),
+                }
+            )
+        th = _stable_token_hash(terms)
+        full = _poly_fingerprint(row_idx, th, n)
+        counts = np.bincount(row_idx, minlength=n)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        pos_in_row = np.arange(len(row_idx)) - offsets[row_idx]
+        rest_mask = pos_in_row > 0
+        # re-run the kernel INDEPENDENTLY on the tail token sequences
+        rest = _poly_fingerprint(row_idx[rest_mask], th[rest_mask], n)
+        has_tok = counts > 0
+        first_idx = offsets[:-1][has_tok]
+        pows = _poly_powers(int(counts.max()) - 1 if has_tok.any() else 0)
+        with np.errstate(over="ignore"):
+            expect = th[first_idx] * pows[counts[has_tok] - 1] + rest[has_tok]
+        ok = expect == full[has_tok]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[has_tok], type=pa.int64()),
+                "ok": pa.array(ok, type=pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(check, batch_format="pyarrow", batch_size=4096)
+
+
+def fingerprint_shift_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+SELECT doc_id, true AS ok
+FROM (SELECT doc_id, {toks} AS toks FROM documents)
+WHERE len(toks) >= 1
+"""
 
 
 def _stable_token_hash(terms: pa.Array) -> np.ndarray:
