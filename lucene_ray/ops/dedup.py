@@ -541,44 +541,163 @@ def simhash64(sf_dir: str) -> "ray.data.Dataset":
 
 # --------------------------------------------------------- embedding near-dup
 
-def embedding_dup_pairs(sf_dir: str) -> "ray.data.Dataset":
-    """(vec_a, vec_b) with cosine >= COSINE_THRESHOLD, vec_a < vec_b.
-
-    Blocked matmul: the full (normalized) matrix is broadcast once via
-    ray.put; each batch of rows multiplies against it (upper triangle only).
-    """
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
-    mat = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    ref = ray.put((ids, matn))
+def _normalized_blocks(sf_dir: str):
+    """Normalize embeddings inside map_batches, materialize to the object
+    store, return the Arrow block refs (the self-join inputs)."""
+    from lucene_ray.ops.knn import _embedding_matrix
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    def block(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        bmat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
-        bn = np.linalg.norm(bmat, axis=1)
-        bn[bn == 0] = 1.0
-        sims = (bmat / bn[:, None]) @ all_mat.T
-        ai, bj = np.nonzero(sims >= COSINE_THRESHOLD)
-        a_ids, b_ids = bids[ai], all_ids[bj]
-        keep = a_ids < b_ids
+    def normalize(batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch.column("embedding"))
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        mn = mat / n[:, None]
         return pa.table(
             {
-                "vec_a": pa.array(a_ids[keep], type=pa.int64()),
-                "vec_b": pa.array(b_ids[keep], type=pa.int64()),
+                "vec_id": batch.column("vec_id"),
+                "nvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mn.reshape(-1), type=pa.float64()), mat.shape[1]
+                ),
             }
         )
 
-    return _materialize(
-        ds.map_batches(block, batch_format="pyarrow", batch_size=1024),
-        VEC_PAIR_SCHEMA,
+    return ds.map_batches(normalize, batch_format="pyarrow", batch_size=8192).materialize()
+
+
+@ray.remote
+def _block_pair_sims(ta: pa.Table, tb: pa.Table, same: bool, threshold: float) -> pa.Table:
+    """Score one block pair of the self-join: both inputs arrive zero-copy
+    from the object store; only the (tiny) matching pair rows leave."""
+    from lucene_ray.ops.knn import _embedding_matrix
+
+    ids_a = ta.column("vec_id").to_numpy(zero_copy_only=False)
+    ids_b = tb.column("vec_id").to_numpy(zero_copy_only=False)
+    ma = _embedding_matrix(ta.column("nvec"))
+    mb = _embedding_matrix(tb.column("nvec"))
+    sims = ma @ mb.T
+    ai, bj = np.nonzero(sims >= threshold)
+    a_ids, b_ids = ids_a[ai], ids_b[bj]
+    if same:
+        keep = a_ids < b_ids
+        a_ids, b_ids = a_ids[keep], b_ids[keep]
+    else:
+        # vec_ids interleave across blocks: order each pair (min, max)
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        keep = lo < hi
+        a_ids, b_ids = lo[keep], hi[keep]
+    return pa.table(
+        {
+            "vec_a": pa.array(a_ids, type=pa.int64()),
+            "vec_b": pa.array(b_ids, type=pa.int64()),
+        }
+    )
+
+
+def embedding_dup_pairs(sf_dir: str) -> pa.Table:
+    """(vec_a, vec_b) with cosine >= COSINE_THRESHOLD, vec_a < vec_b — EXACT.
+
+    Distributed block-pair self-join: normalized blocks are materialized to
+    the object store once; each (i, j>=i) block pair is scored by a Ray task
+    that reads just those two blocks zero-copy (a pairwise self-join is the
+    one shape ray.data's Dataset API cannot express — raw tasks are the
+    documented fallback). No full-matrix broadcast, no driver-side matrix;
+    the driver only concatenates the (output-scale) pair rows. Exact
+    threshold similarity is inherently O(N^2) compute; for the
+    high-similarity regime (cos >= ~0.9, the realistic 100-TB near-dup
+    case) use embedding_dup_lsh, whose compute scales with bucket sizes."""
+    mat_ds = _normalized_blocks(sf_dir)
+    refs = mat_ds.to_arrow_refs()
+    tasks = [
+        _block_pair_sims.remote(refs[i], refs[j], i == j, COSINE_THRESHOLD)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(tasks) if t.num_rows]
+    if not parts:
+        return VEC_PAIR_SCHEMA.empty_table()
+    out = pa.concat_tables(parts)
+    order = np.lexsort(
+        (
+            out.column("vec_b").to_numpy(zero_copy_only=False),
+            out.column("vec_a").to_numpy(zero_copy_only=False),
+        )
+    )
+    return out.take(order)
+
+
+def embedding_dup_lsh(
+    sf_dir: str,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    seed: int = 987654,
+) -> pa.Table:
+    """(vec_a, vec_b) with cosine >= threshold via a bucketed LSH join —
+    the 100-TB near-dup path: vectors explode to (table, bucket) keys,
+    pairwise exact verify runs INSIDE each bucket group (map_groups), and
+    compute scales with bucket sizes instead of N^2. Approximate: a pair is
+    found iff it collides in >= 1 table (recall >= 1-(1-p^planes)^tables;
+    at cos 0.9, 8 planes x 16 tables gives ~0.998). Recall is pytest-gated
+    against the exact operator on planted near-dups."""
+    from lucene_ray.ops.knn import _embedding_matrix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch.column("embedding"))
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        mn = mat / n[:, None]
+        pl = np.random.default_rng(seed).standard_normal((n_tables, n_planes, mat.shape[1]))
+        weights = 1 << np.arange(n_planes)
+        sigs = np.stack([((mn @ pl[t].T) > 0) @ weights for t in range(n_tables)], axis=1)
+        nrows, T = sigs.shape
+        keys = (np.arange(T)[None, :] * (1 << n_planes) + sigs).T.reshape(-1)
+        idx = np.tile(np.arange(nrows), T)
+        rep = pa.table(
+            {
+                "vec_id": batch.column("vec_id").take(pa.array(idx)),
+                "nvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mn[idx].reshape(-1), type=pa.float64()), mat.shape[1]
+                ),
+            }
+        )
+        return rep.append_column("lsh_key", pa.array(keys.astype(np.int64)))
+
+    def bucket_pairs(g):
+        import pandas as pd
+
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
+            )
+        mn = np.stack(g["nvec"].to_numpy())
+        sims = mn @ mn.T
+        ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+        lo = np.minimum(ids[ai], ids[bj])
+        hi = np.maximum(ids[ai], ids[bj])
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi}).astype("int64")
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=8192)
+        .groupby("lsh_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    out = _materialize(pairs, VEC_PAIR_SCHEMA)
+    if out.num_rows == 0:
+        return out
+    # distinct (a pair collides in several tables) + deterministic order
+    a = out.column("vec_a").to_numpy(zero_copy_only=False)
+    b = out.column("vec_b").to_numpy(zero_copy_only=False)
+    uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pa.table(
+        {
+            "vec_a": pa.array(uniq[:, 0], type=pa.int64()),
+            "vec_b": pa.array(uniq[:, 1], type=pa.int64()),
+        }
     )
 
 

@@ -4,12 +4,18 @@
   broadcast query matrix (ray.put once, ray.get per actor/batch); per-batch
   LOCAL top-k then one tiny driver-side merge. The only data movement is the
   (n_batches x n_queries x k) candidate rows.
-- knn_lsh: the scale path — random-hyperplane LSH bucketing; queries only
-  scan rows sharing a bucket (multi-probe over H tables). Approximate;
-  tested for recall against brute force, no SQL oracle.
+- knn_lsh: the scale path — a BUILD-ONCE random-hyperplane LSH index,
+  persisted as Parquet partitioned by (table, bucket); queries read ONLY
+  their probed buckets' partitions, so query-time IO scales with bucket
+  size, not corpus size. Approximate; tested for recall against brute
+  force, no SQL oracle.
 """
 
 from __future__ import annotations
+
+import hashlib
+import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -24,6 +30,32 @@ TOP_K = 10
 # rows scanned; tighter (8x8) collapses recall to ~0.4 on this distribution
 LSH_PLANES = 5
 LSH_TABLES = 16
+LSH_SEED = 424242  # fixed planes — index determinism
+
+_CACHE_ROOT = "/tmp/lucene_ray_cache"
+
+
+def _embedding_matrix(col) -> np.ndarray:
+    """Zero-copy (modulo the float64 cast) matrix view of a list<float> /
+    fixed_size_list<float> column — replaces np.stack(col.to_pylist())."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten()  # honors offsets/slicing for both list layouts
+    if pa.types.is_fixed_size_list(col.type):
+        w = col.type.list_size
+    else:
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) == 0:
+            return np.empty((0, 0), dtype=np.float64)
+        w = int(widths[0])
+        if not np.all(widths == w):
+            raise ValueError("ragged embedding column")
+    return (
+        flat.to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(col), w)
+    )
 
 
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -33,11 +65,30 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     ids = t.column("vec_id").to_numpy(zero_copy_only=False)
     sel = ids < N_QUERIES
     q_ids = ids[sel]
-    mat = np.stack([t.column("embedding")[int(i)].as_py() for i in np.nonzero(sel)[0]]).astype(
-        np.float64
-    )
+    mat = _embedding_matrix(t.column("embedding").combine_chunks().take(np.nonzero(sel)[0]))
     order = np.argsort(q_ids)
     return q_ids[order], mat[order]
+
+
+def _rank_merge(pdf, k: int) -> pa.Table:
+    """Tiny driver-side merge of per-batch local top-k candidate rows:
+    dedupe (query, vec), rank by (sim desc, vec_id asc)."""
+    rows = {"query_id": [], "rank": [], "vec_id": []}
+    if len(pdf):
+        pdf = pdf.drop_duplicates(["query_id", "vec_id"])
+        for qid in np.sort(pdf.query_id.unique()):
+            g = pdf[pdf.query_id == qid]
+            order = np.lexsort((g.vec_id.to_numpy(), -g.sim.to_numpy()))[:k]
+            rows["query_id"].extend([int(qid)] * len(order))
+            rows["rank"].extend(range(len(order)))
+            rows["vec_id"].extend(g.vec_id.to_numpy()[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int32()),
+            "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+        }
+    )
 
 
 def knn_bruteforce(sf_dir: str, k: int = TOP_K) -> "ray.data.Dataset":
@@ -52,7 +103,7 @@ def knn_bruteforce(sf_dir: str, k: int = TOP_K) -> "ray.data.Dataset":
     def local_topk(batch: pa.Table) -> pa.Table:
         qi, qm, qnorm = ray.get(q_ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        mat = _embedding_matrix(batch.column("embedding"))
         n = np.linalg.norm(mat, axis=1)
         n[n == 0] = 1.0
         sims = (qm @ mat.T) / (qnorm[:, None] * n[None, :])
@@ -73,21 +124,7 @@ def knn_bruteforce(sf_dir: str, k: int = TOP_K) -> "ray.data.Dataset":
 
     cands = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
     # final merge: tiny (n_batches * n_queries * k rows) -> driver
-    pdf = cands.to_pandas()
-    rows = {"query_id": [], "rank": [], "vec_id": []}
-    for qid in np.sort(pdf.query_id.unique()):
-        g = pdf[pdf.query_id == qid]
-        order = np.lexsort((g.vec_id.to_numpy(), -g.sim.to_numpy()))[:k]
-        rows["query_id"].extend([int(qid)] * len(order))
-        rows["rank"].extend(range(len(order)))
-        rows["vec_id"].extend(g.vec_id.to_numpy()[order].tolist())
-    return pa.table(
-        {
-            "query_id": pa.array(rows["query_id"], type=pa.int64()),
-            "rank": pa.array(rows["rank"], type=pa.int32()),
-            "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
-        }
-    )
+    return _rank_merge(cands.to_pandas(), k)
 
 
 def knn_bruteforce_sql(k: int = TOP_K) -> str:
@@ -107,43 +144,109 @@ SELECT query_id, rank::INTEGER AS rank, vec_id FROM ranked WHERE rank < {k}
 """
 
 
-def knn_lsh(sf_dir: str, k: int = TOP_K) -> "ray.data.Dataset":
-    """Approximate top-k via random-hyperplane LSH: vectors bucket by the
-    sign pattern of LSH_PLANES projections, per LSH_TABLES independent
-    tables; each query scans only its buckets' rows. Returns the same
-    (query_id, rank, vec_id) shape; recall tested vs brute force."""
-    q_ids, q_mat = _load_queries(sf_dir)
-    rng = np.random.default_rng(424242)  # fixed planes — index determinism
-    dim = q_mat.shape[1]
-    planes = rng.standard_normal((LSH_TABLES, LSH_PLANES, dim))
-    q_buckets = np.stack(
-        [((q_mat @ planes[t].T) > 0) @ (1 << np.arange(LSH_PLANES)) for t in range(LSH_TABLES)],
-        axis=1,
-    )  # (n_q, tables)
-    qn = np.linalg.norm(q_mat, axis=1)
-    qn[qn == 0] = 1.0
-    ref = ray.put((q_ids, q_mat, qn, planes, q_buckets))
+# ------------------------------------------------- persisted LSH bucket index
 
+def _lsh_planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((LSH_TABLES, LSH_PLANES, dim))
+
+
+def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, n_tables) int bucket signatures (sign pattern per table)."""
+    weights = 1 << np.arange(planes.shape[1])
+    return np.stack(
+        [((mat @ planes[t].T) > 0) @ weights for t in range(len(planes))], axis=1
+    )
+
+
+def build_lsh_index(sf_dir: str, index_dir: str | None = None) -> str:
+    """Build-once LSH index: each vector is exploded to one row per table,
+    keyed by ``lsh_key = table * 2^planes + bucket``, and written as Parquet
+    PARTITIONED BY lsh_key. Queries then read only their probed buckets'
+    partitions — IO proportional to bucket size, not corpus size (the
+    100-TB path the all-scan variant lacked). Deterministic (fixed planes),
+    resumable (partition dirs survive; the _LSH_DONE marker gates reuse)."""
+    if index_dir is None:
+        index_dir = os.path.join(
+            _CACHE_ROOT, "lsh_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        )
+    marker = os.path.join(index_dir, "_LSH_DONE")
+    if os.path.exists(marker):
+        return index_dir
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
+    def explode(batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch.column("embedding"))
+        planes = _lsh_planes(mat.shape[1])  # deterministic; tiny to recompute
+        sigs = _signatures(mat, planes)  # (n, T)
+        n, T = sigs.shape
+        keys = (np.arange(T)[None, :] * (1 << LSH_PLANES) + sigs).T.reshape(-1)
+        idx = np.tile(np.arange(n), T)
+        out = batch.select(["vec_id", "embedding"]).take(pa.array(idx))
+        return out.append_column("lsh_key", pa.array(keys.astype(np.int64)))
+
+    ds.map_batches(explode, batch_format="pyarrow", batch_size=4096).write_parquet(
+        index_dir, partition_cols=["lsh_key"]
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+_KEY_RE = re.compile(r"lsh_key=(\d+)")
+
+
+def knn_lsh(sf_dir: str, k: int = TOP_K) -> "ray.data.Dataset":
+    """Approximate top-k through the persisted bucket-partitioned LSH index:
+    probe the queries' (table, bucket) partitions ONLY, exact cosine within
+    the probed rows, local top-k per batch, tiny driver merge. Returns the
+    same (query_id, rank, vec_id) shape; recall tested vs brute force."""
+    q_ids, q_mat = _load_queries(sf_dir)
+    if len(q_ids) == 0:
+        return _rank_merge(__import__("pandas").DataFrame(), k)
+    planes = _lsh_planes(q_mat.shape[1])
+    q_sigs = _signatures(q_mat, planes)  # (n_q, T)
+    q_keys = np.arange(LSH_TABLES)[None, :] * (1 << LSH_PLANES) + q_sigs
+    probe = np.unique(q_keys)
+
+    ix = build_lsh_index(sf_dir)
+    import glob as _glob
+
+    paths = [
+        f
+        for key in probe
+        for f in sorted(_glob.glob(os.path.join(ix, f"lsh_key={int(key)}", "*.parquet")))
+    ]
+    if not paths:
+        return _rank_merge(__import__("pandas").DataFrame(), k)
+
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn[qn == 0] = 1.0
+    # per-query probe-key sets, broadcast once
+    ref = ray.put((q_ids, q_mat, qn, q_keys))
+
+    ds = ray.data.read_parquet(paths, include_paths=True)
+
     def local(batch: pa.Table) -> pa.Table:
-        qi, qm, qnorm, pl, qb = ray.get(ref)
+        qi, qm, qnorm, qk = ray.get(ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        mat = _embedding_matrix(batch.column("embedding"))
+        keys = np.array(
+            [int(_KEY_RE.search(p).group(1)) for p in batch.column("path").to_pylist()],
+            dtype=np.int64,
+        )
         n = np.linalg.norm(mat, axis=1)
         n[n == 0] = 1.0
         out_q, out_v, out_s = [], [], []
-        # bucket signatures for this batch, all tables at once
-        sigs = np.stack(
-            [((mat @ pl[t].T) > 0) @ (1 << np.arange(LSH_PLANES)) for t in range(len(pl))],
-            axis=1,
-        )
         for r in range(len(qi)):
-            hit = (sigs == qb[r]).any(axis=1)
+            hit = np.isin(keys, qk[r])
             if not hit.any():
                 continue
             sims = (mat[hit] @ qm[r]) / (n[hit] * qnorm[r])
             sel_ids = ids[hit]
+            # a vector can sit in several probed tables: dedupe locally
+            sel_ids, first = np.unique(sel_ids, return_index=True)
+            sims = sims[first]
             kk = min(k, len(sel_ids))
             order = np.lexsort((sel_ids, -sims))[:kk]
             out_q.append(np.full(kk, qi[r], dtype=np.int64))
@@ -166,17 +269,4 @@ def knn_lsh(sf_dir: str, k: int = TOP_K) -> "ray.data.Dataset":
         )
 
     pdf = ds.map_batches(local, batch_format="pyarrow", batch_size=4096).to_pandas()
-    rows = {"query_id": [], "rank": [], "vec_id": []}
-    for qid in np.sort(pdf.query_id.unique()) if len(pdf) else []:
-        g = pdf[pdf.query_id == qid]
-        order = np.lexsort((g.vec_id.to_numpy(), -g.sim.to_numpy()))[:k]
-        rows["query_id"].extend([int(qid)] * len(order))
-        rows["rank"].extend(range(len(order)))
-        rows["vec_id"].extend(g.vec_id.to_numpy()[order].tolist())
-    return pa.table(
-        {
-            "query_id": pa.array(rows["query_id"], type=pa.int64()),
-            "rank": pa.array(rows["rank"], type=pa.int32()),
-            "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
-        }
-    )
+    return _rank_merge(pdf, k)

@@ -219,3 +219,52 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             FeatureExtractor(real_codec=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingLsh:
+    def test_dup_lsh_matches_exact_on_planted_dups(self, tmp_path):
+        """Bucketed LSH join finds the planted high-cosine pairs the exact
+        O(N^2) join finds (the >=0.9 regime it is designed for)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.ops import dedup
+
+        rng = np.random.default_rng(31337)
+        dim, n_base, n_planted = 16, 200, 10
+        base = rng.standard_normal((n_base, dim))
+        rows = [base]
+        for i in range(n_planted):  # near-dup of vector i: tiny perturbation
+            rows.append(base[i][None, :] + 0.03 * rng.standard_normal((1, dim)))
+        mat = np.concatenate(rows)
+        d = str(tmp_path / "emb")
+        import os
+
+        os.makedirs(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(len(mat)), type=pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in mat]),
+                }
+            ),
+            f"{d}/embeddings.parquet",
+        )
+        # exact truth by direct numpy
+        nm = mat / np.linalg.norm(mat, axis=1)[:, None]
+        sims = nm @ nm.T
+        ai, bj = np.nonzero(np.triu(sims >= 0.9, k=1))
+        truth = set(zip(ai.tolist(), bj.tolist()))
+        assert len(truth) >= n_planted  # the planted pairs are there
+
+        got = to_pdf(dedup.embedding_dup_lsh(d, threshold=0.9))
+        got_pairs = set(zip(got.vec_a.tolist(), got.vec_b.tolist()))
+        assert got_pairs <= truth  # verify step is exact -> no false pairs
+        recall = len(got_pairs & truth) / len(truth)
+        assert recall >= 0.95, (recall, truth - got_pairs)
+
+    def test_block_pair_join_matches_oracle(self, con):
+        from lucene_ray.ops import dedup
+
+        assert_same(dedup.embedding_dup_pairs(SF), con, dedup.embedding_dup_sql())
