@@ -78,28 +78,37 @@ def build_global_postings(
     def explode(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
-        from lucene_ray.codec.postings_codec import decode_term_postings
+        from lucene_ray.codec.postings_codec import decode_segment_pairs
 
-        out_term, out_salt, out_docs, out_tfs = [], [], [], []
+        parts = []
         for path, base in zip(
             batch.column("path").to_pylist(), batch.column("docid_base").to_pylist()
         ):
             t = pq.read_table(path)
-            for row in t.to_pylist():
-                tp = decode_term_postings(row)
-                g = tp.docids + base
-                out_term.append(row["term"])
-                out_salt.append(int(base) // salt_range)
-                out_docs.append(g.tolist())
-                out_tfs.append(tp.tfs.tolist())
-        return pa.table(
-            {
-                "term": pa.array(out_term, type=pa.string()),
-                "salt": pa.array(out_salt, type=pa.int64()),
-                "docids": pa.array(out_docs, type=pa.list_(pa.int64())),
-                "tfs": pa.array(out_tfs, type=pa.list_(pa.int64())),
-            }
-        )
+            # whole-segment batched decode (the merge path's kernel) + Arrow
+            # list columns straight from the (offsets, values) pair — no
+            # per-term python loops, no pylist round-trips
+            terms, df, pair_doc, pair_tf, _ = decode_segment_pairs(
+                t, with_positions=False
+            )
+            offsets = np.concatenate(([0], np.cumsum(df))).astype(np.int32)
+            parts.append(
+                pa.table(
+                    {
+                        "term": pa.array(terms, type=pa.string()),
+                        "salt": pa.array(
+                            np.full(len(terms), int(base) // salt_range), type=pa.int64()
+                        ),
+                        "docids": pa.ListArray.from_arrays(
+                            pa.array(offsets), pa.array(pair_doc + base, type=pa.int64())
+                        ),
+                        "tfs": pa.ListArray.from_arrays(
+                            pa.array(offsets), pa.array(pair_tf, type=pa.int64())
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     exploded = ray.data.from_items(items).map_batches(
         explode, batch_format="pyarrow", batch_size=1

@@ -83,12 +83,10 @@ def bm25_topk(sf_dir: str) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         n = batch.num_rows
         doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
-        cols = {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "doc_len": pa.array(doc_len, type=pa.int64()),
-        }
         import pyarrow.compute as pc
 
+        tf_cols = {}
+        any_match = np.zeros(n, dtype=bool)
         for t in all_terms:
             mask = pc.equal(terms, t).to_numpy(zero_copy_only=False)
             tf = (
@@ -96,24 +94,39 @@ def bm25_topk(sf_dir: str) -> pa.Table:
                 if len(row_idx)
                 else np.zeros(n, dtype=np.int64)
             )
-            cols[f"tf_{term_index[t]}"] = pa.array(tf, type=pa.int64())
-        return pa.table(cols)
+            tf_cols[f"tf_{term_index[t]}"] = tf
+            any_match |= tf > 0
+        # matched-row filter pushed into the map stage: only docs touching a
+        # query term leave the task. Corpus-level stats (N, sum_len) travel
+        # as ONE summary row per batch (doc_id = -1), so the driver holds
+        # O(matches + batches) rows, never the corpus
+        keep = np.nonzero(any_match)[0]
+        cols = {
+            "doc_id": np.concatenate([doc_ids[keep], [-1]]),
+            "doc_len": np.concatenate([doc_len[keep], [int(doc_len.sum())]]),
+            "n_docs": np.concatenate([np.zeros(len(keep), dtype=np.int64), [n]]),
+        }
+        for name, tf in tf_cols.items():
+            cols[name] = np.concatenate([tf[keep], [0]])
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in cols.items()})
 
     tf_tbl = ds.map_batches(tfs, batch_format="pyarrow", batch_size=4096)
-    pdf = tf_tbl.to_pandas()  # (n_docs x n_query_terms) — small by design;
-    # at 100 TB this becomes: filter rows with any tf>0 inside map_batches
-    # (done below logically) so only matching docs reach the driver
-    N = len(pdf)
-    sum_len = int(pdf.doc_len.sum())
+    pdf = tf_tbl.to_pandas()
+    stats_rows = pdf[pdf.doc_id < 0]
+    pdf = pdf[pdf.doc_id >= 0].reset_index(drop=True)
+    N = int(stats_rows.n_docs.sum())
+    sum_len = int(stats_rows.doc_len.sum())
     avgdl = sum_len / N
     sim = BM25ExactSimilarity()
     doc_ids = pdf.doc_id.to_numpy()
     doc_len = pdf.doc_len.to_numpy()
+    M = len(pdf)  # matched rows only (df over them equals corpus df: every
+    # row with tf>0 for any query term survived the filter)
 
     out = {"qid": [], "rank": [], "doc_id": []}
     for qid, terms in _query_terms():
-        scores = np.zeros(N, dtype=np.float64)
-        matched = np.zeros(N, dtype=bool)
+        scores = np.zeros(M, dtype=np.float64)
+        matched = np.zeros(M, dtype=bool)
         for t in terms:
             if t not in term_index:
                 continue

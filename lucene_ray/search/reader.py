@@ -31,7 +31,12 @@ class SegmentReader:
         self._postings = pq.read_table(
             os.path.join(seg_dir, "postings.parquet"), memory_map=True
         )
-        self._terms = np.asarray(self._postings.column("term").to_pylist(), dtype=object)
+        # sorted term dictionary kept as the Arrow column (zero-copy from
+        # the mmap) — binary search walks it with O(log n) as_py calls; the
+        # python-object vocabulary array is built lazily only when a
+        # multi-term rewrite needs vectorized scans (IndexReader.vocabulary)
+        self._terms_arr = self._postings.column("term").combine_chunks()
+        self._terms_np: np.ndarray | None = None
         norms = pq.read_table(os.path.join(seg_dir, "norms.parquet"), memory_map=True)
         self.norm_bytes = norms.column("norm").to_numpy(zero_copy_only=False)
         self.doc_len = norms.column("doc_len").to_numpy(zero_copy_only=False)
@@ -48,11 +53,30 @@ class SegmentReader:
         self._cursor_cache_postings = 0
         self._cursor_cache_max_postings = 2_000_000  # ~32 MB of arrays
 
+    @property
+    def _terms(self) -> np.ndarray:
+        if self._terms_np is None:
+            self._terms_np = np.asarray(self._terms_arr.to_pylist(), dtype=object)
+        return self._terms_np
+
     def term_index(self, term: str) -> int:
-        """Binary search the sorted term dictionary; -1 if absent."""
-        i = int(np.searchsorted(self._terms, term))
-        if i < len(self._terms) and self._terms[i] == term:
-            return i
+        """Binary search the sorted term dictionary (Arrow column, no
+        python materialization); -1 if absent."""
+        if self._terms_np is not None:  # vocabulary already materialized
+            i = int(np.searchsorted(self._terms_np, term))
+            if i < len(self._terms_np) and self._terms_np[i] == term:
+                return i
+            return -1
+        arr = self._terms_arr
+        lo, hi = 0, len(arr)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if arr[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(arr) and arr[lo].as_py() == term:
+            return lo
         return -1
 
     def term_row(self, term: str) -> dict | None:
