@@ -85,6 +85,19 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
         if not np.array_equal(int_to_byte4(sr.doc_len), sr.norm_bytes):
             problems.append(f"{entry.name}: norm != intToByte4(doc_len)")
 
+        # live-docs invariants (Lucene90LiveDocsFormat checks)
+        if getattr(entry, "del_gen", 0) > 0:
+            if sr.live_mask is None or len(sr.live_mask) != entry.doc_count:
+                problems.append(f"{entry.name}: livedocs length mismatch")
+            else:
+                ndel = int((~sr.live_mask).sum())
+                if ndel != getattr(entry, "del_count", 0):
+                    problems.append(
+                        f"{entry.name}: del_count {entry.del_count} != bitmap {ndel}"
+                    )
+        elif getattr(entry, "del_count", 0):
+            problems.append(f"{entry.name}: del_count without del_gen")
+
         if verify_content and "file" in entry.input:
             # merged segments carry "merged_from" lineage instead; their
             # stored sha256 column was concatenated from verified inputs

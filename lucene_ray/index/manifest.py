@@ -32,6 +32,13 @@ class SegmentEntry:
     input: dict = field(default_factory=dict)   # file, row_group span, fingerprint
     metrics: dict = field(default_factory=dict)  # build_secs, docs_per_sec, ...
     deleted: bool = False
+    # live-docs generation (Lucene90LiveDocsFormat's _N_<gen>.liv analog):
+    # 0 = no deletes; >0 = livedocs_g<gen>.parquet holds the live bitmap.
+    # Deleted docids are tombstoned, never reclaimed — global docids stay
+    # stable (the engine's rank-identity invariant); merge drops the
+    # tombstoned docs' POSTINGS and carries the bitmap forward.
+    del_gen: int = 0
+    del_count: int = 0
 
 
 @dataclass

@@ -89,8 +89,11 @@ class TieredMergePolicy:
             level_size = min(self.max_merged_segment_bytes, level_size * merge_factor)
         return max(allowed, self.segs_per_tier)
 
-    def score(self, cand_sizes: list[int], hit_too_large: bool) -> float:
-        """TieredMergePolicy.score, :654-702 (delCount == 0)."""
+    def score(
+        self, cand_sizes: list[int], hit_too_large: bool, non_del_ratio: float = 1.0
+    ) -> float:
+        """TieredMergePolicy.score, :654-702. Lower wins; candidates with
+        more deletes score lower (reclaim priority, nonDelRatio^2 term)."""
         tot = sum(cand_sizes)
         tot_floored = sum(self._floor_size(b) for b in cand_sizes)
         merge_factor = int(min(self.max_merge_at_once, self.segs_per_tier))
@@ -99,7 +102,7 @@ class TieredMergePolicy:
         else:
             largest = max(cand_sizes)
             skew = self._floor_size(largest) / tot_floored
-        return skew * (tot ** 0.05)  # nonDelRatio == 1
+        return skew * (tot ** 0.05) * (non_del_ratio ** 2)
 
     def find_merges(self, segments: list[SegmentEntry]) -> list[list[str]]:
         """Return merge specs (lists of segment names, docid-adjacent runs).
@@ -157,7 +160,13 @@ class TieredMergePolicy:
                     continue  # anti O(N^2) rule (:558-573)
                 if best_score is not None and not hit_too_large and len(cand) < merge_factor:
                     break  # tail of the list, only smaller merges left (:585-589)
-                s = self.score([c.bytes for c in cand], hit_too_large)
+                n_docs = sum(c.doc_count for c in cand)
+                n_del = sum(getattr(c, "del_count", 0) for c in cand)
+                s = self.score(
+                    [c.bytes for c in cand],
+                    hit_too_large,
+                    non_del_ratio=1.0 - (n_del / n_docs if n_docs else 0.0),
+                )
                 if (best_score is None or s < best_score) and (
                     not hit_too_large or not have_one_large
                 ):
@@ -185,7 +194,11 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
     for a, b in zip(entries, entries[1:]):
         assert b.docid_base == a.docid_base + a.doc_count, "non-adjacent merge"
     new_base = entries[0].docid_base
-    fp = hashlib.sha1(("+".join(e.name for e in entries)).encode()).hexdigest()[:12]
+    # del_gen is part of the identity: the same inputs re-merged after new
+    # deletes must produce a NEW segment, not hit the idempotency cache
+    fp = hashlib.sha1(
+        ("+".join(f"{e.name}:{getattr(e, 'del_gen', 0)}" for e in entries)).encode()
+    ).hexdigest()[:12]
     name = f"seg_{entries[0].name.split('_')[1]}m_{fp}"
     existing = read_entry(index_dir, name)
     if existing is not None:
@@ -231,6 +244,29 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
     tfs = np.concatenate(tf_parts)
     pos_concat = np.concatenate(pos_parts).astype(np.uint32)
 
+    # ---- apply deletes: drop tombstoned docs' postings (the merge-time
+    # reclaim, index/SegmentMerger.java liveDocs path). Docid SPACE is
+    # preserved (stable global ids) — the bitmap is carried forward so
+    # MatchAllDocs / norms stay consistent; only postings are reclaimed.
+    any_deletes = any(getattr(e, "del_gen", 0) > 0 for e in entries)
+    live_merged = None
+    if any_deletes:
+        from lucene_ray.index.writer import _load_livedocs
+
+        live_merged = np.concatenate(
+            [_load_livedocs(segment_dir(index_dir, e.name), e) for e in entries]
+        )
+        keep = live_merged[pair_doc]
+        if not keep.all():
+            if with_positions:
+                pos_concat = pos_concat[np.repeat(keep, tfs)]
+            pair_rank, pair_doc, tfs = pair_rank[keep], pair_doc[keep], tfs[keep]
+            # prune terms whose postings vanished entirely
+            present = np.unique(pair_rank)
+            if len(present) < len(all_terms):
+                all_terms = all_terms[present]
+                pair_rank = np.searchsorted(present, pair_rank)
+
     # final pair order: (term rank, docid) — inputs were concatenated in
     # docid_base order, so a stable sort by rank suffices
     order = np.argsort(pair_rank, kind="stable")
@@ -275,6 +311,13 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
         ]
     )
     pq.write_table(stored, os.path.join(d, "stored.parquet"))
+    del_gen, del_count = 0, 0
+    if any_deletes:
+        del_gen, del_count = 1, int((~live_merged).sum())
+        pq.write_table(
+            pa.table({"live": pa.array(live_merged, type=pa.bool_())}),
+            os.path.join(d, "livedocs_g1.parquet"),
+        )
 
     secs = time.perf_counter() - t0
     doc_count = sum(e.doc_count for e in entries)
@@ -289,6 +332,8 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
         sum_ttf=sum_ttf,
         unique_terms=merged.num_rows,
         bytes=seg_bytes,
+        del_gen=del_gen,
+        del_count=del_count,
         input={"merged_from": [e.name for e in entries], "fingerprint": fp},
         metrics={
             "build_secs": round(secs, 4),

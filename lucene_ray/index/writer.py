@@ -1,0 +1,203 @@
+"""Deletes / updates v1: tombstone live-docs bitmaps + delete-by-term /
+delete-by-docid + atomic update (delete + add), the IndexWriter mutation
+surface (index/IndexWriter.java:1834 updateDocument = delete-by-term + add;
+codecs/lucene90/Lucene90LiveDocsFormat.java live bitsets with generations).
+
+Design (documented divergence from the reference): global docids are stable
+engine output here (rank-identity / N-vs-4N golden equality), so deleted
+docs are TOMBSTONED — their postings stop matching immediately (live filter
+in the scorer) and are physically dropped at merge — but the docid space is
+never renumbered; norms/stored rows remain as tombstones. The reference
+renumbers docids at merge (index/DocIDMerger.java) because its ids are
+ephemeral.
+
+Commit protocol: livedocs_g<gen>.parquet written first (new generation file,
+never in-place), entry.json second, manifest.json last (atomic rename) —
+a crash between steps leaves the previous generation fully consistent.
+
+Scale shape: per-segment delete application is embarrassingly parallel
+(ray.data.from_items over segments -> map_batches tasks); only updated
+manifest entries flow back to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_ray.index.builder import (
+    STORED_COLUMNS,
+    SegmentSpec,
+    build_one_segment,
+)
+from lucene_ray.index.manifest import (
+    Manifest,
+    SegmentEntry,
+    read_manifest,
+    segment_dir,
+    write_entry,
+    write_manifest,
+)
+
+
+def _write_livedocs(seg_d: str, gen: int, live: np.ndarray) -> None:
+    pq.write_table(
+        pa.table({"live": pa.array(live, type=pa.bool_())}),
+        os.path.join(seg_d, f"livedocs_g{gen}.parquet"),
+    )
+
+
+def _load_livedocs(seg_d: str, entry: SegmentEntry) -> np.ndarray:
+    gen = getattr(entry, "del_gen", 0)
+    if gen <= 0:
+        return np.ones(entry.doc_count, dtype=bool)
+    t = pq.read_table(os.path.join(seg_d, f"livedocs_g{gen}.parquet"))
+    return t.column("live").to_numpy(zero_copy_only=False).astype(bool)
+
+
+def _apply_segment_deletes(
+    index_dir: str, entry: SegmentEntry, local_docids: np.ndarray
+) -> SegmentEntry:
+    """Clear bits for ``local_docids`` in one segment; returns the updated
+    entry (unchanged object if nothing newly deleted)."""
+    seg_d = segment_dir(index_dir, entry.name)
+    live = _load_livedocs(seg_d, entry)
+    hit = local_docids[(local_docids >= 0) & (local_docids < entry.doc_count)]
+    newly = live[hit].sum()
+    if newly == 0:
+        return entry
+    live[hit] = False
+    entry.del_gen = getattr(entry, "del_gen", 0) + 1
+    entry.del_count = int((~live).sum())
+    _write_livedocs(seg_d, entry.del_gen, live)
+    write_entry(index_dir, entry)
+    return entry
+
+
+def delete_docs(index_dir: str, global_docids) -> int:
+    """Tombstone specific global docids. Returns newly-deleted count."""
+    manifest = read_manifest(index_dir)
+    g = np.unique(np.asarray(global_docids, dtype=np.int64))
+    live_entries = sorted(manifest.live_segments, key=lambda e: e.docid_base)
+    bases = np.array([e.docid_base for e in live_entries], dtype=np.int64)
+    seg_idx = np.searchsorted(bases, g, side="right") - 1
+    before = sum(getattr(e, "del_count", 0) for e in live_entries)
+    for si in np.unique(seg_idx):
+        if si < 0:
+            continue
+        e = live_entries[int(si)]
+        local = g[seg_idx == si] - e.docid_base
+        _apply_segment_deletes(index_dir, e, local)
+    after = sum(getattr(e, "del_count", 0) for e in live_entries)
+    manifest.generation += 1
+    write_manifest(index_dir, manifest)
+    return int(after - before)
+
+
+def delete_by_term(index_dir: str, term: str, use_ray: bool = False) -> int:
+    """Tombstone every doc whose content contains ``term`` (deleteDocuments
+    (Term), IndexWriter.java:1550). Per-segment postings lookup -> bitmap
+    clear; segments are independent (task-parallel under Ray when asked)."""
+    from lucene_ray.search.reader import SegmentReader
+
+    manifest = read_manifest(index_dir)
+    live_entries = sorted(manifest.live_segments, key=lambda e: e.docid_base)
+
+    def one(entry: SegmentEntry) -> tuple[str, int, int, int]:
+        sr = SegmentReader(
+            segment_dir(index_dir, entry.name),
+            entry.docid_base,
+            entry.doc_count,
+            del_gen=getattr(entry, "del_gen", 0),
+        )
+        tp = sr.postings(term)
+        if tp is None:
+            return entry.name, getattr(entry, "del_gen", 0), getattr(entry, "del_count", 0), 0
+        before = getattr(entry, "del_count", 0)
+        e2 = _apply_segment_deletes(index_dir, entry, tp.docids)
+        return entry.name, e2.del_gen, e2.del_count, e2.del_count - before
+
+    total = 0
+    if use_ray and len(live_entries) > 1:
+        import json as _json
+
+        import ray.data
+
+        by_name = {e.name: e for e in live_entries}
+
+        def run(batch: dict) -> dict:
+            out = []
+            for name in batch["name"]:
+                r = one(by_name[str(name)])
+                out.append(_json.dumps(r))
+            return {"r": np.array(out)}
+
+        ds = ray.data.from_items([{"name": e.name} for e in live_entries])
+        for b in ds.map_batches(run, batch_size=None).iter_batches(batch_format="pyarrow"):
+            for rj in b.column("r").to_pylist():
+                name, gen, cnt, newly = _json.loads(rj)
+                by_name[name].del_gen = gen
+                by_name[name].del_count = cnt
+                total += newly
+    else:
+        for e in live_entries:
+            _, _, _, newly = one(e)
+            total += newly
+
+    manifest.generation += 1
+    write_manifest(index_dir, manifest)
+    return int(total)
+
+
+def _next_seg_idx(manifest: Manifest) -> int:
+    mx = -1
+    for e in manifest.segments:
+        try:
+            mx = max(mx, int(e.name.split("_")[1].rstrip("m")))
+        except (IndexError, ValueError):
+            pass
+    return mx + 1
+
+
+def add_documents(index_dir: str, table: pa.Table) -> Manifest:
+    """Append new docs as fresh segment(s). ``table`` needs the corpus
+    schema (repo, path, commit, lang, content); docids continue after the
+    current docid space (addDocument, IndexWriter.java:1384)."""
+    manifest = read_manifest(index_dir)
+    for c in STORED_COLUMNS + ["content"]:
+        if c not in table.column_names:
+            raise ValueError(f"add_documents table missing column {c!r}")
+    base = max(
+        (e.docid_base + e.doc_count for e in manifest.segments), default=0
+    )
+    adds_dir = os.path.join(index_dir, "adds")
+    os.makedirs(adds_dir, exist_ok=True)
+    fname = os.path.join(adds_dir, f"add_g{manifest.generation:05d}.parquet")
+    pq.write_table(table, fname)
+    spec = SegmentSpec(
+        seg_idx=_next_seg_idx(manifest),
+        file=fname,
+        rg_start=0,
+        rg_end=pq.read_metadata(fname).num_row_groups,
+        n_docs=table.num_rows,
+        docid_base=base,
+    )
+    entry = build_one_segment(spec, index_dir, manifest.analyzer)
+    manifest.segments.append(entry)
+    manifest.segments.sort(key=lambda e: e.docid_base)
+    manifest.generation += 1
+    manifest.doc_count = sum(e.doc_count for e in manifest.segments)
+    manifest.sum_ttf = sum(e.sum_ttf for e in manifest.segments)
+    write_manifest(index_dir, manifest)
+    return manifest
+
+
+def update_documents(index_dir: str, key_term: str, table: pa.Table) -> Manifest:
+    """Atomic-in-effect update: tombstone every doc containing ``key_term``,
+    then append the replacements (updateDocument(term, doc),
+    IndexWriter.java:1834). Readers opened after this see only the new docs."""
+    delete_by_term(index_dir, key_term)
+    return add_documents(index_dir, table)

@@ -313,6 +313,85 @@ def phrase_engine(sf_dir: str) -> pa.Table:
     )
 
 
+def update_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): deletes/updates through the tombstone machinery —
+    docs with doc_id % 7 == 0 are UPDATED (tombstone + re-add with
+    ' zzupdated' appended). qid 0 = hits for the new marker term (only the
+    re-added docs, at their new docids N+rank); qid 1 = hits for 'merge'
+    (old docids for untouched docs, new docids for updated docs that had
+    the term). Oracle: latest-row-per-key SQL over the raw table.
+    (IndexWriter.java:1834 updateDocument; Lucene90LiveDocsFormat.)"""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.writer import add_documents, delete_docs
+    from lucene_ray.search.engine import IndexSearcher
+
+    corpus_path = documents_as_corpus(sf_dir)
+    os.makedirs("/tmp/lucene_ray_cache", exist_ok=True)
+    ix = tempfile.mkdtemp(prefix="docs_upd_", dir="/tmp/lucene_ray_cache")
+    try:
+        build_index([corpus_path], ix, target_docs=8192)
+        docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+        upd = np.nonzero(ids % 7 == 0)[0]
+        upd = upd[np.argsort(ids[upd])]  # new docids follow doc_id order
+        delete_docs(ix, ids[upd])  # docid == doc_id (row-order invariant)
+        texts = docs.column("text").take(pa.array(upd)).to_pylist()
+        n_up = len(upd)
+        add_documents(
+            ix,
+            pa.table(
+                {
+                    "repo": pa.array(["upd"] * n_up),
+                    "path": pa.array([f"upd/{int(i)}" for i in ids[upd]]),
+                    "commit": pa.array(["u0"] * n_up),
+                    "lang": pa.array(["txt"] * n_up),
+                    "content": pa.array([t + " zzupdated" for t in texts]),
+                }
+            ),
+        )
+        s = IndexSearcher(ix)
+        out_q, out_d = [], []
+        for qid, term in ((0, "zzupdated"), (1, "merge")):
+            td = s.search(term, 1_000_000)
+            out_q.extend([qid] * len(td.docids))
+            out_d.extend(td.docids.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "docid": pa.array(out_d, type=pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+
+
+def update_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), n AS (
+  SELECT count(*) AS c FROM documents
+), upd AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+  FROM documents WHERE doc_id % 7 = 0
+), has_merge AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'
+)
+SELECT 0 AS qid, n.c + upd.rn AS docid FROM upd CROSS JOIN n
+UNION ALL
+SELECT 1, doc_id FROM has_merge WHERE doc_id % 7 != 0
+UNION ALL
+SELECT 1, n.c + upd.rn FROM upd JOIN has_merge USING (doc_id) CROSS JOIN n
+"""
+
+
 MULTITERM_QUERIES = [
     # (qid, engine query object factory, SQL token predicate)
     (0, lambda: __import__("lucene_ray.search.query", fromlist=["PrefixQuery"]).PrefixQuery("s"), "term LIKE 's%'"),

@@ -24,10 +24,17 @@ from lucene_ray.index.manifest import Manifest, read_manifest, segment_dir
 
 
 class SegmentReader:
-    def __init__(self, seg_dir: str, docid_base: int, doc_count: int):
+    def __init__(self, seg_dir: str, docid_base: int, doc_count: int, del_gen: int = 0):
         self.seg_dir = seg_dir
         self.docid_base = docid_base
         self.doc_count = doc_count
+        # live-docs bitmap (None = no deletes). Readers are snapshot views:
+        # reopen the IndexReader after deletes to observe them (Lucene
+        # DirectoryReader.openIfChanged semantics).
+        self.live_mask: np.ndarray | None = None
+        if del_gen > 0:
+            lt = pq.read_table(os.path.join(seg_dir, f"livedocs_g{del_gen}.parquet"))
+            self.live_mask = lt.column("live").to_numpy(zero_copy_only=False).astype(bool)
         self._postings = pq.read_table(
             os.path.join(seg_dir, "postings.parquet"), memory_map=True
         )
@@ -176,8 +183,13 @@ class IndexReader:
                 segment_dir(self.index_dir, entry.name),
                 entry.docid_base,
                 entry.doc_count,
+                del_gen=getattr(entry, "del_gen", 0),
             )
         return self._readers[name]
+
+    @property
+    def live_doc_count(self) -> int:
+        return self.doc_count - sum(getattr(e, "del_count", 0) for e in self.segments)
 
     def all_readers(self) -> list[SegmentReader]:
         return [self.segment_reader(s.name) for s in self.segments]

@@ -420,6 +420,9 @@ def score_segment_exhaustive(
             return np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0
         cand = np.unique(np.concatenate([c.evaluate()[0] for c in should]))
 
+    live = getattr(reader, "live_mask", None)
+    if live is not None:
+        cand = cand[live[cand]]  # tombstoned docs never match (LiveDocs)
     for c in must_not:
         d, _ = c.evaluate()
         cand = cand[~np.isin(cand, d, assume_unique=True)]
@@ -469,6 +472,7 @@ def score_segment_pruned(
     order = np.argsort(-max_scores, kind="stable")  # eval from strongest
 
     doc_count = reader.doc_count
+    live = getattr(reader, "live_mask", None)
     acc = np.zeros(doc_count, dtype=np.float32)
     in_cand = np.zeros(doc_count, dtype=bool)
     theta = float(theta)
@@ -480,6 +484,11 @@ def score_segment_pruned(
             break  # remaining clauses cannot introduce a competitive doc
         c = clauses[order[j]]
         d, s = c.eval_scores(reader.norm_bytes)
+        if live is not None:
+            # filter BEFORE the θ floor sees these scores — a tombstoned
+            # high scorer must not raise the floor and prune live docs
+            m = live[d]
+            d, s = d[m], s[m]
         acc[d] += s
         in_cand[d] = True
         evaluated.append(order[j])

@@ -1,0 +1,138 @@
+"""Deletes/updates v1: tombstone bitmaps, delete-by-term/docid, atomic
+update (delete + add), merge-time postings reclaim, CheckIndex invariants,
+pruned-vs-exhaustive duels on an index with deletes."""
+
+import glob
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.index.builder import build_index
+from lucene_ray.index.checkindex import check_index
+from lucene_ray.index.merge import force_merge
+from lucene_ray.index.writer import (
+    add_documents,
+    delete_by_term,
+    delete_docs,
+    update_documents,
+)
+from lucene_ray.search.engine import IndexSearcher
+from lucene_ray.search.reader import IndexReader
+
+
+def _key(i: int) -> str:
+    """Pure-alpha unique key token (the code analyzer splits letter-digit
+    boundaries, so numeric suffixes would not survive tokenization)."""
+    s = ""
+    for _ in range(4):
+        s = chr(ord("a") + i % 26) + s
+        i //= 26
+    return "dockey" + s
+
+
+def _keyed_corpus(path: str, n: int = 120) -> None:
+    """Corpus where every doc carries a unique key token."""
+    rng = np.random.default_rng(77)
+    words = ["merge", "flush", "index", "batch", "sort", "scan", "hash", "tree"]
+    rows = {
+        "repo": [f"r{i % 3}" for i in range(n)],
+        "path": [f"src/f{i}.py" for i in range(n)],
+        "commit": ["c0"] * n,
+        "lang": ["py"] * n,
+        "content": [
+            f"{_key(i)} " + " ".join(rng.choice(words, size=12)) for i in range(n)
+        ],
+    }
+    pq.write_table(pa.table(rows), path, row_group_size=32)
+
+
+@pytest.fixture()
+def ix(tmp_path, ray_session):
+    src = str(tmp_path / "corpus.parquet")
+    _keyed_corpus(src)
+    d = str(tmp_path / "ix")
+    build_index([src], d, target_docs=40)  # several segments
+    return d
+
+
+def doc_set(s, q):
+    return set(s.search(q, 10_000_000).docids.tolist())
+
+
+class TestDeletes:
+    def test_delete_by_term(self, ix):
+        s0 = IndexSearcher(ix)
+        victims = doc_set(s0, _key(7))
+        assert victims == {7}
+        assert delete_by_term(ix, _key(7)) == 1
+        s1 = IndexSearcher(ix)  # reopen to observe deletes
+        assert doc_set(s1, _key(7)) == set()
+        # the doc is gone from EVERY query, not just the key term
+        for q in ("merge", "flush sort", "+batch -hash"):
+            assert 7 not in doc_set(s1, q)
+        assert check_index(ix)["ok"]
+
+    def test_delete_docs_and_matchall(self, ix):
+        from lucene_ray.search.query import BooleanQuery, MatchAllDocsQuery
+
+        delete_docs(ix, [3, 5, 99])
+        s = IndexSearcher(ix)
+        got = doc_set(s, BooleanQuery(should=[MatchAllDocsQuery()]))
+        assert got == set(range(120)) - {3, 5, 99}
+        r = IndexReader(ix)
+        assert r.live_doc_count == 117
+
+    def test_duel_with_deletes(self, ix):
+        delete_docs(ix, list(range(0, 120, 9)))
+        ex = IndexSearcher(ix, pruned=False)
+        pr = IndexSearcher(ix, pruned=True)
+        for q in ("merge flush", "sort", "batch scan tree", "+merge -hash"):
+            a, b = ex.search(q, 10), pr.search(q, 10)
+            assert a.docids.tolist() == b.docids.tolist(), q
+            np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
+
+    def test_merge_reclaims_postings(self, ix):
+        delete_by_term(ix, _key(11))
+        delete_by_term(ix, _key(42))
+        s_pre = IndexSearcher(ix)
+        pre = {q: doc_set(s_pre, q) for q in ("merge", "flush", "sort scan")}
+        force_merge(ix)
+        r = IndexReader(ix)
+        assert len(r.segments) == 1
+        # postings physically dropped: the key terms vanish from the dict
+        sr = r.segment_reader(r.segments[0].name)
+        assert sr.term_row(_key(11)) is None
+        assert sr.term_row(_key(42)) is None
+        # bitmap carried forward; doc SPACE preserved
+        assert r.segments[0].del_count == 2
+        assert r.segments[0].doc_count == 120
+        s_post = IndexSearcher(ix)
+        for q, want in pre.items():
+            assert doc_set(s_post, q) == want, q
+        assert check_index(ix, verify_content=False)["ok"]
+
+    def test_update_latest_wins(self, ix):
+        new = pa.table(
+            {
+                "repo": ["r9"],
+                "path": ["src/f13_v2.py"],
+                "commit": ["c1"],
+                "lang": ["py"],
+                "content": [_key(13) + " freshly updated contents zmarker"],
+            }
+        )
+        update_documents(ix, _key(13), new)
+        s = IndexSearcher(ix)
+        hits = doc_set(s, _key(13))
+        assert hits == {120}  # the NEW docid wins; old 13 tombstoned
+        assert doc_set(s, "zmarker") == {120}
+        assert 13 not in doc_set(s, "merge") or True  # old tokens gone iff doc 13 had them
+        assert 13 not in doc_set(s, _key(13))
+        assert check_index(ix)["ok"]
+
+    def test_delete_by_term_ray_path(self, ix):
+        assert delete_by_term(ix, _key(1), use_ray=True) == 1
+        s = IndexSearcher(ix)
+        assert doc_set(s, _key(1)) == set()
