@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_engine": bm25docs.phrase_engine,
         "multiterm_engine": bm25docs.multiterm_engine,
         "update_engine": bm25docs.update_engine,
+        "field_engine": bm25docs.field_engine,
         # --- analysis chain + aggregations (§2.2/2.5)
         "term_stats": text.term_stats,
         "doc_token_stats": text.doc_token_stats,
@@ -79,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_engine": bm25docs.phrase_engine_sql(),
         "multiterm_engine": bm25docs.multiterm_engine_sql(),
         "update_engine": bm25docs.update_engine_sql(),
+        "field_engine": bm25docs.field_engine_sql(),
         "term_stats": text.term_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),
         "text_quality": text.text_quality_sql(),

@@ -23,6 +23,13 @@ DISCOUNT_OVERLAPS = True
 # analysis
 MAX_TOKEN_LEN = 255
 
+# keyword (StringField-style, non-tokenized) fields indexed alongside the
+# analyzed content field. Their postings live in the same term dictionary
+# under a "<field>:<value>" composite key (':' can never appear in an
+# analyzed token, so the namespaces are disjoint) — the per-field terms-dict
+# analog (index/FieldInfos.java / document/StringField.java).
+KEYWORD_FIELDS = ("repo", "path", "commit", "lang")
+
 # TieredMergePolicy defaults (bytes)
 MERGE_FLOOR_SEGMENT_BYTES = 2 * 1024 * 1024  # 2 MB
 MERGE_MAX_MERGED_SEGMENT_BYTES = 5 * 1024 * 1024 * 1024  # 5 GB

@@ -141,12 +141,37 @@ def build_one_segment(
 
     from lucene_ray.util.smallfloat import int_to_byte4
 
+    # norms/doc_len are CONTENT-ONLY (per-field norms: keyword fields are
+    # StringFields, which carry no norms — document/StringField.java)
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
     norm_bytes = int_to_byte4(doc_len)
+
+    # keyword-field postings: one "<field>:<value>" token per doc per field,
+    # appended after the content stream. Prefixed terms never collide with
+    # analyzed tokens (':' is outside the token alphabet), so the per-term
+    # (doc, position) ordering invariant of build_segment_postings holds.
+    from lucene_ray.config import KEYWORD_FIELDS
+
+    kw_row, kw_terms = [], []
+    for f in KEYWORD_FIELDS:
+        vals = table.column(f).cast(pa.string()).to_numpy(zero_copy_only=False)
+        kw_terms.append(np.char.add(f + ":", vals.astype(str)))
+        kw_row.append(np.arange(n, dtype=row_idx.dtype))
+    if kw_terms:
+        row_idx = np.concatenate([row_idx] + kw_row)
+        terms = pa.concat_arrays(
+            [terms] + [pa.array(t, type=pa.string()) for t in kw_terms]
+        )
+        positions = np.concatenate(
+            [positions, np.zeros(n * len(KEYWORD_FIELDS), dtype=positions.dtype)]
+        )
+
     postings, stats = build_segment_postings(
         row_idx, terms, positions, n, norm_bytes,
         with_positions=(index_options == "positions"),
     )
+    # manifest sum_ttf stays content-only (it feeds avgdl in BM25 stats)
+    stats["sum_ttf"] = int(doc_len.sum())
 
     d = segment_dir(index_dir, spec.name)
     os.makedirs(d, exist_ok=True)

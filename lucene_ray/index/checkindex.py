@@ -64,7 +64,10 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
                 problems.append(f"{entry.name}/{row['term']}: ttf mismatch")
             if np.any(tp.tfs <= 0):
                 problems.append(f"{entry.name}/{row['term']}: nonpositive tf")
-            seg_ttf += int(tp.tfs.sum())
+            if ":" not in row["term"]:
+                # keyword-field postings are excluded from sum_ttf (it is
+                # the content-only avgdl numerator)
+                seg_ttf += int(tp.tfs.sum())
             # impacts: true upper bounds per block
             for b, packed in enumerate(row["impacts"]):
                 sl = slice(b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, len(tp.docids)))

@@ -291,7 +291,10 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
         all_terms, pair_rank_s, pair_doc_s, tfs_s, pos_sorted, norms,
         with_positions=with_positions,
     )
-    sum_ttf = int(tfs.sum())
+    # sum_ttf is content-only (keyword-field "f:v" postings carry no norms
+    # and must not inflate avgdl)
+    is_field_term = np.array([":" in t for t in all_terms], dtype=bool)
+    sum_ttf = int(tfs[~is_field_term[pair_rank]].sum())
     d = segment_dir(index_dir, name)
     os.makedirs(d, exist_ok=True)
     pq.write_table(merged, os.path.join(d, "postings.parquet"))

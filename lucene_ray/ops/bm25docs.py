@@ -313,6 +313,55 @@ def phrase_engine(sf_dir: str) -> pa.Table:
     )
 
 
+FIELD_QUERIES: list[tuple[int, str]] = [
+    # documents_as_corpus maps source->repo, lang->lang
+    (0, "+merge +lang:es"),     # keyword filter AND content term
+    (1, "repo:src7"),           # pure keyword match
+    (2, "lang:e? window"),      # field wildcard OR content term
+]
+
+
+def field_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): field-scoped queries — keyword (StringField-style)
+    postings under 'field:value' composite terms, exact + wildcard field
+    syntax through the parser. Float-free doc sets, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q in FIELD_QUERIES:
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def field_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+SELECT DISTINCT 0 AS qid, t.doc_id AS docid
+FROM tok t JOIN documents d USING (doc_id)
+WHERE t.term = 'merge' AND d.lang = 'es'
+UNION ALL
+SELECT 1, doc_id FROM documents WHERE source = 'src7'
+UNION ALL
+SELECT 2, doc_id FROM (
+  SELECT doc_id FROM documents WHERE lang LIKE 'e_'
+  UNION
+  SELECT DISTINCT doc_id FROM tok WHERE term = 'window'
+)
+"""
+
+
 def update_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): deletes/updates through the tombstone machinery —
     docs with doc_id % 7 == 0 are UPDATED (tombstone + re-add with

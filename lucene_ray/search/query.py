@@ -146,6 +146,7 @@ class BooleanQuery:
 _TOKEN_RE = re.compile(r'"([^"]*)"(?:\^(\d+(?:\.\d+)?))?|(\S+)')
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.*?)~(\d?)$")
+_FIELD_RE = re.compile(r"^([a-zA-Z_]+):(.+)$")
 
 
 def parse_query(text: str, analyzer) -> BooleanQuery:
@@ -183,6 +184,24 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         if conj_and and occur == "should":
             eff = "must"
         if not is_phrase:
+            fm = _FIELD_RE.match(w)
+            if fm:
+                from lucene_ray.config import KEYWORD_FIELDS
+
+                fld, val = fm.group(1), fm.group(2)
+                if fld in KEYWORD_FIELDS:
+                    # StringField semantics: the value is NOT analyzed
+                    # (queryparser/.../classic/QueryParser.java:84 field
+                    # scoping; document/StringField.java exact terms)
+                    if "*" in val or "?" in val:
+                        getattr(bq, eff).append(
+                            WildcardQuery(f"{fld}:{val}", boost=boost)
+                        )
+                    else:
+                        getattr(bq, eff).append(TermQuery(f"{fld}:{val}", boost=boost))
+                    continue
+                if fld == "content":
+                    w = val  # the default field — analyze normally
             m = _FUZZY_RE.match(w)
             if m and m.group(1):
                 toks = analyzer.tokenize_text(m.group(1))

@@ -95,19 +95,31 @@ def rewrite_query(bq: BooleanQuery, vocab: np.ndarray) -> BooleanQuery:
 
     def rewrite_clause(q):
         terms = None
+        pattern = ""
         if isinstance(q, PrefixQuery):
             terms = expand_prefix(vocab, q)
+            pattern = q.prefix
         elif isinstance(q, WildcardQuery):
             terms = expand_wildcard(vocab, q)
+            pattern = q.pattern
         elif isinstance(q, TermRangeQuery):
             terms = expand_range(vocab, q)
+            pattern = f"{q.lower or ''}{q.upper or ''}"
         elif isinstance(q, FuzzyQuery):
             terms = expand_fuzzy(vocab, q)
+            pattern = q.term
         elif isinstance(q, TermInSetQuery):
             present = set(vocab[np.isin(vocab, list(q.terms))].tolist())
             terms = sorted(present)
+            pattern = "".join(q.terms)
         if terms is None:
             return [q]
+        # namespace guard: the term dict holds both analyzed tokens and
+        # "field:value" keyword terms — a content-side expansion (e.g. range
+        # 'k'..'m') must not sweep in 'lang:py'; a field-side pattern
+        # ('lang:p*') must not match content tokens
+        wants_fields = ":" in pattern
+        terms = [t for t in terms if (":" in t) == wants_fields]
         return [TermQuery(t, boost=q.boost) for t in terms[:MAX_EXPANSIONS]]
 
     out = BooleanQuery(min_should_match=bq.min_should_match)

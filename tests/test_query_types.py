@@ -260,3 +260,59 @@ class TestRequiredMultiterm:
             a, b = ex.search(qtext, 10), pr.search(qtext, 10)
             assert a.docids.tolist() == b.docids.tolist()
             np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
+
+
+class TestFieldQueries:
+    """Keyword-field (StringField) postings: 'field:value' composite terms."""
+
+    def test_lang_filter(self, ix):
+        import pyarrow.parquet as pq
+        from lucene_ray.search.reader import IndexReader
+
+        s = IndexSearcher(ix)
+        # ground truth from the stored fields themselves
+        want = set()
+        base = 0
+        for e in IndexReader(ix).segments:
+            st = pq.read_table(
+                __import__("os").path.join(ix, "segments", e.name, "stored.parquet")
+            )
+            for i, lg in enumerate(st.column("lang").to_pylist()):
+                if lg == "py":
+                    want.add(base + i)
+            base += e.doc_count
+        got = doc_set(s, "lang:py")
+        assert got == want and len(want) > 0
+
+    def test_field_and_content(self, ix, docs):
+        import os
+        import pyarrow.parquet as pq
+        from lucene_ray.search.reader import IndexReader
+
+        s = IndexSearcher(ix)
+        langs = []
+        for e in IndexReader(ix).segments:
+            st = pq.read_table(os.path.join(ix, "segments", e.name, "stored.parquet"))
+            langs.extend(st.column("lang").to_pylist())
+        got = doc_set(s, "+merge +lang:go")
+        want = {i for i, d in enumerate(docs) if "merge" in d and langs[i] == "go"}
+        assert got == want
+
+    def test_field_wildcard_and_namespace_guard(self, ix, docs):
+        s = IndexSearcher(ix)
+        # field wildcard expands only within the field namespace
+        got = doc_set(s, "lang:j*")
+        import os
+        import pyarrow.parquet as pq
+        from lucene_ray.search.reader import IndexReader
+
+        langs = []
+        for e in IndexReader(ix).segments:
+            st = pq.read_table(os.path.join(ix, "segments", e.name, "stored.parquet"))
+            langs.extend(st.column("lang").to_pylist())
+        want = {i for i, lg in enumerate(langs) if lg.startswith("j")}
+        assert got == want
+        # content-side range must NOT sweep in 'lang:...' terms
+        got2 = doc_set(s, BooleanQuery(should=[TermRangeQuery("k", "m", True, False)]))
+        want2 = {i for i, d in enumerate(docs) if any("k" <= t < "m" for t in d)}
+        assert got2 == want2

@@ -31,7 +31,10 @@ def test_global_term_stats_matches_reader(ix, ray_session):
         df, ttf = want[row.term]
         assert (row.df, row.ttf) == (df, ttf)
     assert pdf.df.sum() > 0
-    assert int(pdf.ttf.sum()) == reader.sum_ttf
+    # manifest sum_ttf is content-only; keyword-field 'f:v' terms are
+    # excluded from the avgdl numerator
+    content = pdf[~pdf.term.str.contains(':')]
+    assert int(content.ttf.sum()) == reader.sum_ttf
 
 
 def test_salted_global_postings(ix, ray_session):
