@@ -54,10 +54,15 @@ BOOLEAN_QUERIES: list[tuple[int, str]] = [
     (5, "+sor* +mer*"),
 ]
 
-PHRASE_QUERIES: list[tuple[int, tuple[str, ...]]] = [
-    (0, ("batch", "batch")),
-    (1, ("sort", "merge")),
-    (2, ("key", "order")),
+PHRASE_QUERIES: list[tuple[int, tuple[str, ...], int]] = [
+    # (qid, terms, slop) — slop 0 = exact positional join; slop > 0 = the
+    # adjusted-position span criterion (SloppyPhraseMatcher doc sets)
+    (0, ("batch", "batch"), 0),
+    (1, ("sort", "merge"), 0),
+    (2, ("key", "order"), 0),
+    (3, ("sort", "merge"), 2),      # includes reversed "merge sort"
+    (4, ("key", "order"), 3),
+    (5, ("batch", "window", "spark"), 4),
 ]
 
 
@@ -301,8 +306,10 @@ def phrase_engine(sf_dir: str) -> pa.Table:
     ix = _engine_index(sf_dir)
     s = IndexSearcher(ix)
     out_q, out_d = [], []
-    for qid, terms in PHRASE_QUERIES:
-        td = s.search(BooleanQuery(should=[PhraseQuery(terms)]), 1_000_000)
+    for qid, terms, slop in PHRASE_QUERIES:
+        td = s.search(
+            BooleanQuery(should=[PhraseQuery(terms, slop=slop)]), 1_000_000
+        )
         out_q.extend([qid] * len(td.docids))
         out_d.extend(td.docids.tolist())
     return pa.table(
@@ -493,16 +500,31 @@ WITH tok AS (
 def phrase_engine_sql() -> str:
     toks = tokenize_sql_expr("text")
     parts = []
-    for qid, terms in PHRASE_QUERIES:
-        joins = " ".join(
-            f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j} "
-            f"AND t{j}.term = '{terms[j]}'"
-            for j in range(1, len(terms))
-        )
-        parts.append(
-            f"SELECT DISTINCT {qid} AS qid, t0.doc_id AS docid FROM tok t0 {joins} "
-            f"WHERE t0.term = '{terms[0]}'"
-        )
+    for qid, terms, slop in PHRASE_QUERIES:
+        if slop == 0:
+            joins = " ".join(
+                f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j} "
+                f"AND t{j}.term = '{terms[j]}'"
+                for j in range(1, len(terms))
+            )
+            parts.append(
+                f"SELECT DISTINCT {qid} AS qid, t0.doc_id AS docid FROM tok t0 {joins} "
+                f"WHERE t0.term = '{terms[0]}'"
+            )
+        else:
+            # sloppy: exists a selection with span of adjusted positions
+            # (pos_i - i) <= slop; the 1-based SQL pos shift cancels in
+            # max - min
+            joins = " ".join(
+                f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.term = '{terms[j]}'"
+                for j in range(1, len(terms))
+            )
+            adj = [f"t{j}.pos - {j}" for j in range(len(terms))]
+            parts.append(
+                f"SELECT DISTINCT {qid} AS qid, t0.doc_id AS docid FROM tok t0 {joins} "
+                f"WHERE t0.term = '{terms[0]}' AND "
+                f"greatest({', '.join(adj)}) - least({', '.join(adj)}) <= {slop}"
+            )
     union = "\nUNION ALL\n".join(parts)
     return f"""
 WITH t AS (

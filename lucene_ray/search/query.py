@@ -30,8 +30,17 @@ class TermQuery:
 
 @dataclass(frozen=True)
 class PhraseQuery:
+    """``slop`` > 0 enables sloppy matching (search/SloppyPhraseMatcher.java):
+    a doc matches iff some selection of one occurrence per term has
+    max(pos_i - i) - min(pos_j - j) <= slop over the offset-adjusted
+    positions (so "a b"~2 matches "b a", "a b"~1 does not). Doc SETS match
+    the reference; the engine's sloppy phrase freq is the greedy
+    non-overlapping valid-window count (the reference's
+    1/(1+matchLength)-weighted float freq is not ported — documented)."""
+
     terms: tuple
     boost: float = 1.0
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -143,7 +152,7 @@ class BooleanQuery:
         return out
 
 
-_TOKEN_RE = re.compile(r'"([^"]*)"(?:\^(\d+(?:\.\d+)?))?|(\S+)')
+_TOKEN_RE = re.compile(r'"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?|(\S+)')
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.*?)~(\d?)$")
 _FIELD_RE = re.compile(r"^([a-zA-Z_]+):(.+)$")
@@ -152,10 +161,10 @@ _FIELD_RE = re.compile(r"^([a-zA-Z_]+):(.+)$")
 def parse_query(text: str, analyzer) -> BooleanQuery:
     bq = BooleanQuery()
     raw = _TOKEN_RE.findall(text)
-    words: list[tuple[str, str, bool, float]] = []  # (occur, text, is_phrase, boost)
+    words: list[tuple] = []  # (occur, text, is_phrase, boost, slop)
     conj_and = False
     pending_occur = None
-    for phrase, pboost, word in raw:
+    for phrase, pslop, pboost, word in raw:
         if word in ("AND", "&&"):
             conj_and = True
             continue
@@ -167,7 +176,10 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         occur = pending_occur or "should"
         pending_occur = None
         if phrase:
-            words.append((occur, phrase, True, float(pboost) if pboost else 1.0))
+            words.append(
+                (occur, phrase, True, float(pboost) if pboost else 1.0,
+                 int(pslop) if pslop else 0)
+            )
             continue
         if word.startswith("+") and len(word) > 1:
             occur, word = "must", word[1:]
@@ -177,9 +189,9 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         m = _BOOST_RE.match(word)
         if m and m.group(1):
             word, boost = m.group(1), float(m.group(2))
-        words.append((occur, word, False, boost))
+        words.append((occur, word, False, boost, 0))
 
-    for occur, w, is_phrase, boost in words:
+    for occur, w, is_phrase, boost, slop in words:
         eff = occur
         if conj_and and occur == "should":
             eff = "must"
@@ -218,7 +230,9 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         if not toks:
             continue
         if is_phrase and len(toks) > 1:
-            getattr(bq, occur).append(PhraseQuery(tuple(toks), boost=boost))
+            getattr(bq, occur).append(
+                PhraseQuery(tuple(toks), boost=boost, slop=slop)
+            )
             continue
         for t in toks:
             getattr(bq, eff).append(TermQuery(t, boost=boost))

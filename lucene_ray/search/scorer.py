@@ -268,6 +268,92 @@ def _phrase_postings(reader, terms: tuple) -> tuple[np.ndarray, np.ndarray]:
     return docids_out.astype(np.int64), freqs_out.astype(np.int64)
 
 
+def _sloppy_phrase_postings(
+    reader, terms: tuple, slop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sloppy phrase match (search/SloppyPhraseMatcher.java semantics at the
+    DOC-SET level): doc matches iff some selection of one occurrence per
+    term has span(max(pos_i - i) - min(pos_j - j)) <= slop over
+    offset-adjusted positions. freq = greedy count of non-overlapping valid
+    windows (engine-defined; the reference's 1/(1+matchLength) float freq
+    is not ported — doc sets are reference-identical, scores engine-owned).
+
+    Vectorized gather per term; the window sweep runs only over docs
+    containing ALL terms (the conjunction pre-filter), each a tiny
+    merged-positions two-pointer pass."""
+    empty = np.array([], dtype=np.int64)
+    k = len(terms)
+    per_term = []
+    cand: np.ndarray | None = None
+    for i, t in enumerate(terms):
+        p = reader.postings(t)
+        if p is None:
+            return empty, empty
+        if p._ttf > 0 and len(p._pos_blob) == 0:
+            raise ValueError(
+                "phrase query on an index built without positions "
+                "(index_options='freqs'); rebuild with 'positions'"
+            )
+        d_rep, abs_pos = p.flat_positions()
+        adj = abs_pos.astype(np.int64) - i  # offset-adjusted positions
+        per_term.append((d_rep, adj))
+        docs_i = p.docids
+        cand = docs_i if cand is None else np.intersect1d(cand, docs_i, assume_unique=True)
+        if len(cand) == 0:
+            return empty, empty
+
+    # merged (doc, adj_pos, term_idx) restricted to candidate docs
+    d_all = np.concatenate([d for d, _ in per_term])
+    a_all = np.concatenate([a for _, a in per_term])
+    t_all = np.concatenate(
+        [np.full(len(a), i, dtype=np.int64) for i, (_, a) in enumerate(per_term)]
+    )
+    keep = np.isin(d_all, cand, assume_unique=False)
+    d_all, a_all, t_all = d_all[keep], a_all[keep], t_all[keep]
+    order = np.lexsort((a_all, d_all))
+    d_all, a_all, t_all = d_all[order], a_all[order], t_all[order]
+    bounds = np.searchsorted(d_all, cand, side="left")
+    bounds_hi = np.searchsorted(d_all, cand, side="right")
+
+    out_docs, out_freqs = [], []
+    counts = np.zeros(k, dtype=np.int64)
+    for ci, doc in enumerate(cand):
+        lo, hi = int(bounds[ci]), int(bounds_hi[ci])
+        apos = a_all[lo:hi]
+        tidx = t_all[lo:hi]
+        counts[:] = 0
+        covered = 0
+        left = 0
+        freq = 0
+        for right in range(len(apos)):
+            tr = tidx[right]
+            counts[tr] += 1
+            if counts[tr] == 1:
+                covered += 1
+            if covered < k:
+                continue
+            # shrink from the left while the window still covers all terms
+            while counts[tidx[left]] > 1:
+                counts[tidx[left]] -= 1
+                left += 1
+            if apos[right] - apos[left] <= slop:
+                freq += 1
+                # greedy non-overlap: consume the whole window
+                for j in range(left, right + 1):
+                    counts[tidx[j]] -= 1
+                covered = int((counts > 0).sum())
+                left = right + 1
+        if freq:
+            out_docs.append(doc)
+            out_freqs.append(freq)
+    if not out_docs:
+        return empty, empty
+    return (
+        np.array(out_docs, dtype=np.int64),
+        np.array(out_freqs, dtype=np.int64),
+    )
+
+
 def _union_sum_tfs(parts: list[tuple[np.ndarray, np.ndarray]]):
     """Union doc sets summing tfs (SynonymQuery blended postings)."""
     if not parts:
@@ -293,7 +379,10 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 continue
             out.append(_Clause(q, cur, scorers[q]))
         elif isinstance(q, PhraseQuery):
-            docids, freqs = _phrase_postings(reader, q.terms)
+            if getattr(q, "slop", 0) > 0:
+                docids, freqs = _sloppy_phrase_postings(reader, q.terms, q.slop)
+            else:
+                docids, freqs = _phrase_postings(reader, q.terms)
             if len(docids) == 0:
                 continue
             sc = scorers[q]

@@ -316,3 +316,64 @@ class TestFieldQueries:
         got2 = doc_set(s, BooleanQuery(should=[TermRangeQuery("k", "m", True, False)]))
         want2 = {i for i, d in enumerate(docs) if any("k" <= t < "m" for t in d)}
         assert got2 == want2
+
+
+class TestSloppyPhrase:
+    def _positions(self, toks, term):
+        return [p for p, t in enumerate(toks) if t == term]
+
+    def _matches(self, toks, terms, slop):
+        """Brute-force oracle: exists one occurrence per term with
+        span(max(pos_i - i), min) <= slop."""
+        import itertools
+
+        lists = [self._positions(toks, t) for t in terms]
+        if any(not l for l in lists):
+            return False
+        for sel in itertools.product(*lists):
+            adj = [p - i for i, p in enumerate(sel)]
+            if max(adj) - min(adj) <= slop:
+                return True
+        return False
+
+    @pytest.mark.parametrize(
+        "terms,slop",
+        [
+            (("merge", "flush"), 1),
+            (("merge", "flush"), 2),  # reversed order reachable
+            (("index", "merge"), 3),
+            (("merge", "flush", "index"), 4),
+        ],
+    )
+    def test_sloppy_doc_sets(self, ix, docs, terms, slop):
+        from lucene_ray.search.query import PhraseQuery
+
+        s = IndexSearcher(ix)
+        got = doc_set(s, BooleanQuery(should=[PhraseQuery(terms, slop=slop)]))
+        want = {i for i, d in enumerate(docs) if self._matches(d, terms, slop)}
+        assert got == want
+
+    def test_slop_widens_and_exact_is_subset(self, ix):
+        from lucene_ray.search.query import PhraseQuery
+
+        s = IndexSearcher(ix)
+        exact = doc_set(s, BooleanQuery(should=[PhraseQuery(("merge", "flush"))]))
+        s1 = doc_set(s, BooleanQuery(should=[PhraseQuery(("merge", "flush"), slop=1)]))
+        s3 = doc_set(s, BooleanQuery(should=[PhraseQuery(("merge", "flush"), slop=3)]))
+        assert exact <= s1 <= s3
+
+    def test_parser_slop_syntax(self):
+        an = get_analyzer("code")
+        bq = parse_query('"merge flush"~2', an)
+        ph = bq.should[0]
+        assert isinstance(ph, PhraseQuery) and ph.slop == 2 and ph.terms == ("merge", "flush")
+
+    def test_sloppy_duel(self, ix):
+        from lucene_ray.search.query import PhraseQuery
+
+        q = BooleanQuery(should=[PhraseQuery(("merge", "flush"), slop=2)])
+        ex = IndexSearcher(ix, pruned=False)
+        pr = IndexSearcher(ix, pruned=True)
+        a, b = ex.search(q, 10), pr.search(q, 10)
+        assert a.docids.tolist() == b.docids.tolist()
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
