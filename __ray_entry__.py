@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiterm_engine": bm25docs.multiterm_engine,
         "update_engine": bm25docs.update_engine,
         "field_engine": bm25docs.field_engine,
+        "points_engine": bm25docs.points_engine,
+        "sort_engine": bm25docs.sort_engine,
         # --- analysis chain + aggregations (§2.2/2.5)
         "term_stats": text.term_stats,
         "doc_token_stats": text.doc_token_stats,
@@ -81,6 +83,8 @@ def oracle_sql() -> dict[str, str]:
         "multiterm_engine": bm25docs.multiterm_engine_sql(),
         "update_engine": bm25docs.update_engine_sql(),
         "field_engine": bm25docs.field_engine_sql(),
+        "points_engine": bm25docs.points_engine_sql(),
+        "sort_engine": bm25docs.sort_engine_sql(),
         "term_stats": text.term_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),
         "text_quality": text.text_quality_sql(),

@@ -36,7 +36,7 @@ from lucene_ray.codec.forutil import decode_stream, encode_stream
 from lucene_ray.config import BLOCK_SIZE
 
 #: bumped when the on-disk layout changes (invalidates segment fingerprints)
-FORMAT_VERSION = 3  # v3: keyword-field postings (field:value composite terms)
+FORMAT_VERSION = 4  # v4: keyword-field postings + numeric doc-values/points files
 
 POSTINGS_SCHEMA = pa.schema(
     [

@@ -30,6 +30,14 @@ MAX_TOKEN_LEN = 255
 # analog (index/FieldInfos.java / document/StringField.java).
 KEYWORD_FIELDS = ("repo", "path", "commit", "lang")
 
+# numeric doc-values fields, derived per doc at build time. Stored twice,
+# mirroring the reference's split: doc-ordered docvalues.parquet (sort /
+# fetch — index/DocValues.java NUMERIC) and value-sorted points.parquet
+# (range filters — the BKD tree's sorted-leaves role,
+# codecs/lucene90/Lucene90PointsFormat.java; 1-D only, binary search
+# replaces the tree levels).
+NUMERIC_DV_FIELDS = ("n_chars",)
+
 # TieredMergePolicy defaults (bytes)
 MERGE_FLOOR_SEGMENT_BYTES = 2 * 1024 * 1024  # 2 MB
 MERGE_MAX_MERGED_SEGMENT_BYTES = 5 * 1024 * 1024 * 1024  # 5 GB

@@ -152,9 +152,14 @@ def build_one_segment(
     # (doc, position) ordering invariant of build_segment_postings holds.
     from lucene_ray.config import KEYWORD_FIELDS
 
+    import pyarrow.compute as pc
+
     kw_row, kw_terms = [], []
     for f in KEYWORD_FIELDS:
-        vals = table.column(f).cast(pa.string()).to_numpy(zero_copy_only=False)
+        vals = (
+            pc.fill_null(table.column(f).cast(pa.string()), "")
+            .to_numpy(zero_copy_only=False)
+        )
         kw_terms.append(np.char.add(f + ":", vals.astype(str)))
         kw_row.append(np.arange(n, dtype=row_idx.dtype))
     if kw_terms:
@@ -183,6 +188,32 @@ def build_one_segment(
         }
     )
     pq.write_table(norms_table, os.path.join(d, "norms.parquet"))
+
+    # numeric doc values + 1-D points (value-sorted view for range filters);
+    # null content counts as 0 chars (missing-value doc-values convention)
+    from lucene_ray.config import NUMERIC_DV_FIELDS
+
+    dv_cols = {
+        "n_chars": pc.fill_null(pc.utf8_length(content).cast(pa.int64()), 0)
+    }
+    pq.write_table(
+        pa.table({f: dv_cols[f] for f in NUMERIC_DV_FIELDS}),
+        os.path.join(d, "docvalues.parquet"),
+    )
+    pt_parts = []
+    for f in NUMERIC_DV_FIELDS:
+        v = dv_cols[f].to_numpy(zero_copy_only=False)
+        o = np.lexsort((np.arange(n), v))
+        pt_parts.append(
+            pa.table(
+                {
+                    "field": pa.array([f] * n, type=pa.string()),
+                    "value": pa.array(v[o], type=pa.int64()),
+                    "docid": pa.array(o.astype(np.int64), type=pa.int64()),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(pt_parts), os.path.join(d, "points.parquet"))
     stored = table.select(STORED_COLUMNS).append_column(
         "content_sha256", _sha256_column(content)
     )
@@ -284,14 +315,18 @@ def build_index(
         )
         ds = ds.repartition(len(todo))
         if concurrency is None:
-            # leave ~1/4 of the cores free: segment builds are memory/cache
-            # heavy, and saturating every vCPU causes a >3x per-task cliff
-            # (scheduler + LLC thrash) on the bench box — capping raises
-            # aggregate throughput AND scaling efficiency
+            # above ~10 concurrent heavy workers this box hits a memory-
+            # subsystem cliff (>3x per-task slowdown; BASELINE.md), so large
+            # budgets leave 1/4 of the cores free. Small budgets (<= 8) are
+            # below the cliff and use every core — capping there would also
+            # silently break the N -> 4N worker ratio the scaling criterion
+            # measures (2 workers -> 6 workers is 3x, bounding efficiency at
+            # 0.75 before any real loss)
             import ray as _ray
 
             avail = int(_ray.cluster_resources().get("CPU", 8))
-            concurrency = max(1, min(len(todo), (avail * 3 + 2) // 4))
+            concurrency = avail if avail <= 8 else (avail * 3 + 2) // 4
+            concurrency = max(1, min(len(todo), concurrency))
         result = ds.map_batches(run_spec, batch_size=None, concurrency=concurrency)
         for batch in result.iter_batches(batch_format="pyarrow"):
             for e in batch.column("entry").to_pylist():

@@ -314,6 +314,49 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
         ]
     )
     pq.write_table(stored, os.path.join(d, "stored.parquet"))
+
+    # doc values concat in doc order; points re-sorted with docid offsets
+    # (deleted docs' point rows are dropped like their postings)
+    dv_paths = [
+        os.path.join(segment_dir(index_dir, e.name), "docvalues.parquet")
+        for e in entries
+    ]
+    if all(os.path.exists(p) for p in dv_paths):
+        dv = pa.concat_tables([pq.read_table(p) for p in dv_paths])
+        pq.write_table(dv, os.path.join(d, "docvalues.parquet"))
+        pt_parts = []
+        for i, e in enumerate(entries):
+            pt = pq.read_table(
+                os.path.join(segment_dir(index_dir, e.name), "points.parquet")
+            )
+            docs = pt.column("docid").to_numpy(zero_copy_only=False) + offsets[i]
+            pt_parts.append(
+                pa.table(
+                    {
+                        "field": pt.column("field"),
+                        "value": pt.column("value"),
+                        "docid": pa.array(docs, type=pa.int64()),
+                    }
+                )
+            )
+        pts = pa.concat_tables(pt_parts)
+        f_np = np.asarray(pts.column("field").to_pylist(), dtype=object)
+        v_np = pts.column("value").to_numpy(zero_copy_only=False)
+        d_np = pts.column("docid").to_numpy(zero_copy_only=False)
+        if live_merged is not None:
+            m = live_merged[d_np]
+            f_np, v_np, d_np = f_np[m], v_np[m], d_np[m]
+        o = np.lexsort((d_np, v_np, f_np))
+        pq.write_table(
+            pa.table(
+                {
+                    "field": pa.array(f_np[o], type=pa.string()),
+                    "value": pa.array(v_np[o], type=pa.int64()),
+                    "docid": pa.array(d_np[o], type=pa.int64()),
+                }
+            ),
+            os.path.join(d, "points.parquet"),
+        )
     del_gen, del_count = 0, 0
     if any_deletes:
         del_gen, del_count = 1, int((~live_merged).sum())

@@ -369,6 +369,110 @@ SELECT 2, doc_id FROM (
 """
 
 
+POINT_QUERIES: list[tuple[int, int | None, int | None, str | None]] = [
+    # (qid, lower, upper, extra content term ANDed via MUST)
+    (0, 200, 300, None),
+    (1, None, 150, None),
+    (2, 250, None, "merge"),
+]
+
+
+def points_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): numeric range filters over the n_chars doc-values /
+    points index (PointRangeQuery, inclusive bounds, constant score).
+    n_chars is derived at build as utf8_length(content) == documents.text
+    length, so DuckDB length(text) is the exact oracle."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, PointRangeQuery, TermQuery
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, lo, hi, term in POINT_QUERIES:
+        must = [PointRangeQuery("n_chars", lo, hi)]
+        if term:
+            must.append(TermQuery(term))
+        td = s.search(BooleanQuery(must=must), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def points_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, lo, hi, term in POINT_QUERIES:
+        conds = []
+        if lo is not None:
+            conds.append(f"length(text) >= {lo}")
+        if hi is not None:
+            conds.append(f"length(text) <= {hi}")
+        if term:
+            conds.append(
+                f"doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')"
+            )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents WHERE "
+            + " AND ".join(conds)
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+def sort_engine(sf_dir: str, k: int = 20) -> pa.Table:
+    """(qid, rank, docid): sort-by-field search (TopFieldCollector) — docs
+    matching a term ordered by the n_chars doc value, desc and asc, docid
+    tie-break."""
+    from lucene_ray.search.engine import IndexSearcher, search_sorted
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_r, out_d = [], [], []
+    for qid, term, asc in ((0, "merge", False), (1, "window", True)):
+        td = search_sorted(s, term, "n_chars", k=k, ascending=asc)
+        out_q.extend([qid] * len(td.docids))
+        out_r.extend(range(len(td.docids)))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int32()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def sort_engine_sql(k: int = 20) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term, direction in ((0, "merge", "DESC"), (1, "window", "ASC")):
+        parts.append(f"""
+SELECT {qid} AS qid,
+       (row_number() OVER (ORDER BY length(text) {direction}, doc_id ASC) - 1)::INTEGER AS rank,
+       doc_id AS docid
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+QUALIFY rank < {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 def update_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): deletes/updates through the tombstone machinery —
     docs with doc_id % 7 == 0 are UPDATED (tombstone + re-add with
@@ -455,6 +559,9 @@ MULTITERM_QUERIES = [
     (2, lambda: __import__("lucene_ray.search.query", fromlist=["TermRangeQuery"]).TermRangeQuery("q", "t", True, False), "term >= 'q' AND term < 't'"),
     (3, lambda: __import__("lucene_ray.search.query", fromlist=["FuzzyQuery"]).FuzzyQuery("jion", 2), "levenshtein(term, 'jion') <= 2"),
     (4, lambda: __import__("lucene_ray.search.query", fromlist=["TermInSetQuery"]).TermInSetQuery(("merge", "window", "zzz")), "term IN ('merge', 'window', 'zzz')"),
+    # real regex (anchored fullmatch, same RE semantics both sides)
+    (5, lambda: __import__("lucene_ray.search.query", fromlist=["RegexpQuery"]).RegexpQuery("s[ct]a[nr].*"), "regexp_matches(term, '^s[ct]a[nr].*$')"),
+    (6, lambda: __import__("lucene_ray.search.query", fromlist=["RegexpQuery"]).RegexpQuery("(merge|window)s?"), "regexp_matches(term, '^(merge|window)s?$')"),
 ]
 
 

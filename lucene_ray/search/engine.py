@@ -37,7 +37,9 @@ from lucene_ray.search.query import (
     FuzzyQuery,
     MatchAllDocsQuery,
     PhraseQuery,
+    PointRangeQuery,
     PrefixQuery,
+    RegexpQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -126,7 +128,7 @@ def build_scorers(
             # blended stats: df = max over synonyms (SynonymQuery.java:50)
             df = max((stats[t][0] for t in q.terms), default=0)
             scorers[q] = sim.scorer(df, doc_count, sum_ttf, boost=q.boost)
-        elif isinstance(q, (MatchAllDocsQuery, ConstantScoreQuery)):
+        elif isinstance(q, (MatchAllDocsQuery, ConstantScoreQuery, PointRangeQuery)):
             scorers[q] = ConstantScorer(q.boost)
     return scorers
 
@@ -153,7 +155,8 @@ class IndexSearcher:
     def parse(self, text: str) -> BooleanQuery:
         return parse_query(text, self.analyzer)
 
-    _MULTI = (PrefixQuery, WildcardQuery, TermRangeQuery, FuzzyQuery, TermInSetQuery)
+    _MULTI = (PrefixQuery, WildcardQuery, TermRangeQuery, FuzzyQuery,
+              RegexpQuery, TermInSetQuery)
 
     def _maybe_rewrite(self, bq: BooleanQuery) -> BooleanQuery:
         if any(isinstance(q, self._MULTI) for q in bq.must + bq.should + bq.must_not):
@@ -213,6 +216,52 @@ class IndexSearcher:
         scores = np.concatenate(all_scores)
         d, s = _topk(docids, scores, k)
         return TopDocs(d, s, total, relation)
+
+
+def fetch_doc_values(reader: IndexReader, global_docids, field: str) -> np.ndarray:
+    """Numeric doc values for global docids, input order preserved."""
+    g = np.asarray(global_docids, dtype=np.int64)
+    bases = np.array([e.docid_base for e in reader.segments], dtype=np.int64)
+    seg_idx = np.searchsorted(bases, g, side="right") - 1
+    out = np.zeros(len(g), dtype=np.int64)
+    for si in np.unique(seg_idx):
+        entry = reader.segments[int(si)]
+        sel = np.nonzero(seg_idx == si)[0]
+        dv = reader.segment_reader(entry.name).doc_values(field)
+        out[sel] = dv[g[sel] - entry.docid_base]
+    return out
+
+
+class SortedTopDocs(TopDocs):
+    """TopDocs ordered by a doc-values field; ``values`` aligns with docids."""
+
+    __slots__ = ("values",)
+
+    def __init__(self, docids, scores, total_hits, values, relation="eq"):
+        super().__init__(docids, scores, total_hits, relation)
+        self.values = values
+
+
+def search_sorted(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    k: int = DEFAULT_TOP_K,
+    ascending: bool = True,
+) -> SortedTopDocs:
+    """Sort-by-field search (TopFieldCollector, search/TopFieldCollector.java
+    :553): collect the full matching doc set (constant relevance work — the
+    scores are ignored), then order by the numeric doc-values field with
+    docid-asc tie-break. No index sorting; the sort runs over matches only."""
+    td = searcher.search(query, k=1 << 62)
+    if len(td.docids) == 0:
+        return SortedTopDocs(td.docids, td.scores, td.total_hits, td.docids[:0])
+    vals = fetch_doc_values(searcher.reader, td.docids, field)
+    key = vals if ascending else -vals
+    order = np.lexsort((td.docids, key))[:k]
+    return SortedTopDocs(
+        td.docids[order], td.scores[order], td.total_hits, vals[order], td.relation
+    )
 
 
 def fetch_stored(reader: IndexReader, global_docids) -> pa.Table:

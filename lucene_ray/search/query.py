@@ -135,6 +135,29 @@ class FuzzyQuery:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class RegexpQuery:
+    """Full (anchored) regular-expression term match — compiled regex
+    intersected with the vocabulary (search/RegexpQuery.java /
+    AutomatonQuery.java; the automaton-FST walk becomes a vectorized vocab
+    scan with a literal-prefix pre-slice). Python `re` syntax; the pattern
+    must match the WHOLE term (fullmatch), as in the reference."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PointRangeQuery:
+    """Numeric doc-values range filter, bounds INCLUSIVE, constant score
+    (search/PointRangeQuery.java over the 1-D points table; None = open)."""
+
+    field: str
+    lower: int | None
+    upper: int | None
+    boost: float = 1.0
+
+
 @dataclass
 class BooleanQuery:
     must: list = field(default_factory=list)

@@ -148,6 +148,36 @@ class SegmentReader:
             self._cursor_cache_postings += len(tp.docids)
         return tp
 
+    def doc_values(self, field: str) -> np.ndarray:
+        """Doc-ordered numeric doc values (index/DocValues.java NUMERIC)."""
+        if not hasattr(self, "_dv"):
+            self._dv = pq.read_table(
+                os.path.join(self.seg_dir, "docvalues.parquet"), memory_map=True
+            )
+        return self._dv.column(field).to_numpy(zero_copy_only=False)
+
+    def point_range(self, field: str, lower, upper) -> np.ndarray:
+        """Sorted local docids with lower <= value <= upper (inclusive both,
+        PointRangeQuery semantics) — two binary searches over the
+        value-sorted points table (the 1-D BKD walk analog)."""
+        if not hasattr(self, "_points"):
+            t = pq.read_table(
+                os.path.join(self.seg_dir, "points.parquet"), memory_map=True
+            )
+            self._points = {}
+            fields = np.asarray(t.column("field").to_pylist(), dtype=object)
+            vals = t.column("value").to_numpy(zero_copy_only=False)
+            docs = t.column("docid").to_numpy(zero_copy_only=False)
+            for f in np.unique(fields):
+                m = fields == f
+                self._points[str(f)] = (vals[m], docs[m])
+        if field not in self._points:
+            return np.array([], dtype=np.int64)
+        vals, docs = self._points[field]
+        lo = 0 if lower is None else int(np.searchsorted(vals, lower, side="left"))
+        hi = len(vals) if upper is None else int(np.searchsorted(vals, upper, side="right"))
+        return np.sort(docs[lo:hi]).astype(np.int64)
+
     def stored_fields(self) -> "pq.Table":
         return pq.read_table(os.path.join(self.seg_dir, "stored.parquet"))
 

@@ -26,6 +26,7 @@ from lucene_ray.search.query import (
     DisjunctionSumQuery,
     FuzzyQuery,
     PrefixQuery,
+    RegexpQuery,
     TermInSetQuery,
     TermQuery,
     TermRangeQuery,
@@ -90,6 +91,18 @@ def expand_fuzzy(vocab: np.ndarray, q: FuzzyQuery) -> list[str]:
     return [t for t in cand if _levenshtein_within(q.term, t, q.max_edits)]
 
 
+def expand_regexp(vocab: np.ndarray, q: RegexpQuery) -> list[str]:
+    """Anchored regex over the vocabulary, pre-sliced by any literal prefix
+    (the automaton common-prefix optimization, AutomatonQuery.java)."""
+    rx = re.compile(q.pattern)
+    lit = re.match(r"[a-z0-9]*", q.pattern).group(0)
+    # a literal prefix is only usable if no metachar can shorten it
+    cands = expand_prefix(vocab, PrefixQuery(lit)) if lit and not (
+        len(q.pattern) > len(lit) and q.pattern[len(lit)] in "*?{"
+    ) else vocab.tolist()
+    return [t for t in cands if rx.fullmatch(t)]
+
+
 def rewrite_query(bq: BooleanQuery, vocab: np.ndarray) -> BooleanQuery:
     """Expand every multi-term clause; vocabulary-absent expansions vanish."""
 
@@ -108,6 +121,9 @@ def rewrite_query(bq: BooleanQuery, vocab: np.ndarray) -> BooleanQuery:
         elif isinstance(q, FuzzyQuery):
             terms = expand_fuzzy(vocab, q)
             pattern = q.term
+        elif isinstance(q, RegexpQuery):
+            terms = expand_regexp(vocab, q)
+            pattern = q.pattern
         elif isinstance(q, TermInSetQuery):
             present = set(vocab[np.isin(vocab, list(q.terms))].tolist())
             terms = sorted(present)
@@ -127,7 +143,9 @@ def rewrite_query(bq: BooleanQuery, vocab: np.ndarray) -> BooleanQuery:
         for q in getattr(bq, occur):
             expanded = rewrite_clause(q)
             if isinstance(
-                q, (PrefixQuery, WildcardQuery, TermRangeQuery, FuzzyQuery, TermInSetQuery)
+                q,
+                (PrefixQuery, WildcardQuery, TermRangeQuery, FuzzyQuery,
+                 RegexpQuery, TermInSetQuery),
             ):
                 if occur == "must":
                     # a required multi-term clause means "at least one

@@ -38,6 +38,7 @@ from lucene_ray.search.query import (
     DisjunctionSumQuery,
     MatchAllDocsQuery,
     PhraseQuery,
+    PointRangeQuery,
     SynonymQuery,
     TermQuery,
 )
@@ -406,6 +407,12 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             docids = np.arange(reader.doc_count, dtype=np.int64)
             scores = np.full(reader.doc_count, np.float32(q.boost), dtype=np.float32)
             out.append(_Clause(q, None, scorers[q], scored=(docids, scores)))
+        elif isinstance(q, PointRangeQuery):
+            docids = reader.point_range(q.field, q.lower, q.upper)
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, scorers.get(q), scored=(docids, scores)))
         elif isinstance(q, ConstantScoreQuery):
             sub = build_clauses(reader, [q.query], scorers | {q.query: scorers[q]})
             if not sub:

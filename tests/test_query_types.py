@@ -377,3 +377,62 @@ class TestSloppyPhrase:
         a, b = ex.search(q, 10), pr.search(q, 10)
         assert a.docids.tolist() == b.docids.tolist()
         np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
+
+
+class TestPointsAndSort:
+    def _doc_lens_chars(self, ix):
+        import os
+        import pyarrow.parquet as pq
+        from lucene_ray.search.reader import IndexReader
+
+        out = []
+        for e in IndexReader(ix).segments:
+            sr = IndexReader(ix).segment_reader(e.name)
+            out.extend(sr.doc_values("n_chars").tolist())
+        return out
+
+    def test_point_range(self, ix, docs):
+        from lucene_ray.search.query import PointRangeQuery
+
+        lens = self._doc_lens_chars(ix)
+        s = IndexSearcher(ix)
+        got = doc_set(s, BooleanQuery(must=[PointRangeQuery("n_chars", 800, 1200)]))
+        want = {i for i, L in enumerate(lens) if 800 <= L <= 1200}
+        assert got == want and want
+        # open bounds
+        got2 = doc_set(s, BooleanQuery(must=[PointRangeQuery("n_chars", None, 900)]))
+        assert got2 == {i for i, L in enumerate(lens) if L <= 900}
+        # combined with a content term
+        got3 = doc_set(
+            s,
+            BooleanQuery(
+                must=[PointRangeQuery("n_chars", 1000, None), TermQuery("merge")]
+            ),
+        )
+        want3 = {i for i, L in enumerate(lens) if L >= 1000 and "merge" in docs[i]}
+        assert got3 == want3
+
+    def test_regexp(self, ix, docs):
+        from lucene_ray.search.query import RegexpQuery
+
+        s = IndexSearcher(ix)
+        import re as _re
+
+        rx = _re.compile(r"mer[a-z]*[0-9]*")
+        got = doc_set(s, BooleanQuery(should=[RegexpQuery(r"mer[a-z]*[0-9]*")]))
+        want = {i for i, d in enumerate(docs) if any(rx.fullmatch(t) for t in d)}
+        assert got == want
+
+    def test_search_sorted(self, ix, docs):
+        from lucene_ray.search.engine import search_sorted
+
+        lens = self._doc_lens_chars(ix)
+        s = IndexSearcher(ix)
+        td = search_sorted(s, "merge", "n_chars", k=15, ascending=False)
+        match = [i for i, d in enumerate(docs) if "merge" in d]
+        want = sorted(match, key=lambda i: (-lens[i], i))[:15]
+        assert td.docids.tolist() == want
+        assert td.values.tolist() == [lens[i] for i in want]
+        td2 = search_sorted(s, "merge", "n_chars", k=15, ascending=True)
+        want2 = sorted(match, key=lambda i: (lens[i], i))[:15]
+        assert td2.docids.tolist() == want2
