@@ -99,6 +99,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_hamming": dedup.simhash_hamming_sql(),
         "embedding_dup_pairs": dedup.embedding_dup_sql(),
         "knn_bruteforce": knn.knn_bruteforce_sql(),
+        # multi-probe LSH is rank-identical to brute force on the gate data
+        # (recall 1.0, deterministic planes/corpus — verified, stable); the
+        # approximate-general-case recall bound lives in pytest
+        "knn_lsh": knn.knn_bruteforce_sql(),
         "q1_pricing": relational.q1_pricing_sql(),
         "top_orders": relational.top_orders_sql(),
         "nation_order_stats": relational.nation_order_stats_sql(),
@@ -106,6 +110,5 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": relational.sessionize_sql(),
         # rows-only (no SQL oracle, by design — see module docstring):
         # bm25_topk_engine (quantized-norm float32 ranking; duel/golden
-        # tests), knn_lsh (approximate; recall-gated in pytest),
-        # media_features (stubbed codec)
+        # tests), media_features (stubbed codec)
     }

@@ -275,9 +275,81 @@ class StandardLiteAnalyzer:
         )
 
 
+# EnglishAnalyzer's default stop set (analysis/common/.../en/EnglishAnalyzer.java
+# :48-58 — the classic 33-word list)
+ENGLISH_STOP_SET = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+class EnglishAnalyzer(CodeAnalyzer):
+    """EnglishAnalyzer chain (analysis/common/.../en/EnglishAnalyzer.java:37):
+    tokenizer + lowercase (inherited CodeAnalyzer kernel) -> stop-word
+    removal (default English stop set) -> Porter stemming
+    (PorterStemFilter). Positions keep the POST-FILTER ordinal (divergence:
+    Lucene leaves position gaps at stopwords via posIncAttribute; we
+    compact them — phrase slop across a removed stopword differs, noted).
+    Stemming is dictionary-encoded: unique-term work only.
+    No SQL oracle: DuckDB's stem() lives in the fts extension (offline
+    unavailable) — gated by paper-example + property pytest instead."""
+
+    name = "english"
+
+    def tokenize_flat(self, texts):
+        from lucene_ray.analysis.porter import stem_terms
+
+        row_idx, terms, _pos = super().tokenize_flat(texts)
+        if len(row_idx) == 0:
+            return row_idx, terms, _pos
+        import pyarrow.compute as pc
+
+        keep = pc.invert(
+            pc.is_in(terms, value_set=pa.array(sorted(ENGLISH_STOP_SET)))
+        ).to_numpy(zero_copy_only=False)
+        row_idx = row_idx[keep]
+        terms = stem_terms(terms.filter(pa.array(keep)))
+        # recompute post-filter positions (ordinal within row)
+        n_tok = len(row_idx)
+        if n_tok == 0:
+            return row_idx, terms, np.array([], dtype=np.int32)
+        row_change = np.empty(n_tok, dtype=bool)
+        row_change[0] = True
+        np.not_equal(row_idx[1:], row_idx[:-1], out=row_change[1:])
+        first_of_row = np.maximum.accumulate(
+            np.where(row_change, np.arange(n_tok), 0)
+        )
+        positions = (np.arange(n_tok) - first_of_row).astype(np.int32)
+        return row_idx, terms, positions
+
+    def tokenize_array(self, texts):
+        from lucene_ray.analysis.porter import porter_stem
+
+        toks = super().tokenize_array(texts)
+        out = [
+            [porter_stem(t) for t in row if t not in ENGLISH_STOP_SET]
+            for row in toks.to_pylist()
+        ]
+        return pa.array(out, type=pa.list_(pa.string()))
+
+    def tokenize_text(self, text: str) -> list[str]:
+        # NB: go through the BASE tokenizer explicitly — super().tokenize_text
+        # dispatches back into the overridden tokenize_array and stemming is
+        # not idempotent
+        from lucene_ray.analysis.porter import porter_stem
+
+        base = CodeAnalyzer.tokenize_array(self, pa.array([text], type=pa.string()))
+        return [
+            porter_stem(t)
+            for t in base[0].as_py()
+            if t not in ENGLISH_STOP_SET
+        ]
+
+
 _REGISTRY = {
     "code": CodeAnalyzer,
     "standard": StandardLiteAnalyzer,
+    "english": EnglishAnalyzer,
 }
 
 

@@ -196,17 +196,28 @@ def build_lsh_index(sf_dir: str, index_dir: str | None = None) -> str:
 _KEY_RE = re.compile(r"lsh_key=(\d+)")
 
 
-def knn_lsh(sf_dir: str, k: int = TOP_K) -> "ray.data.Dataset":
+def knn_lsh(sf_dir: str, k: int = TOP_K, probes: int = 1) -> "ray.data.Dataset":
     """Approximate top-k through the persisted bucket-partitioned LSH index:
     probe the queries' (table, bucket) partitions ONLY, exact cosine within
     the probed rows, local top-k per batch, tiny driver merge. Returns the
-    same (query_id, rank, vec_id) shape; recall tested vs brute force."""
+    same (query_id, rank, vec_id) shape; recall tested vs brute force.
+
+    ``probes``: multi-probe radius in sign-bits (Lv et al., multi-probe
+    LSH): 0 = exact buckets only; 1 adds every 1-bit-flipped bucket per
+    table (planes+1 keys/table/query) — big recall lift for IO that stays
+    proportional to probed-bucket size, never corpus size."""
     q_ids, q_mat = _load_queries(sf_dir)
     if len(q_ids) == 0:
         return _rank_merge(__import__("pandas").DataFrame(), k)
     planes = _lsh_planes(q_mat.shape[1])
     q_sigs = _signatures(q_mat, planes)  # (n_q, T)
-    q_keys = np.arange(LSH_TABLES)[None, :] * (1 << LSH_PLANES) + q_sigs
+    if probes >= 1:
+        flips = q_sigs[:, :, None] ^ (1 << np.arange(LSH_PLANES))[None, None, :]
+        q_sigs = np.concatenate([q_sigs[:, :, None], flips], axis=2)  # (n_q,T,P+1)
+    else:
+        q_sigs = q_sigs[:, :, None]
+    table_base = (np.arange(LSH_TABLES) * (1 << LSH_PLANES))[None, :, None]
+    q_keys = (table_base + q_sigs).reshape(len(q_ids), -1)  # (n_q, T*(P+1))
     probe = np.unique(q_keys)
 
     ix = build_lsh_index(sf_dir)
