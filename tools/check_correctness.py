@@ -13,6 +13,7 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = [
@@ -41,7 +42,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype.kind in "iu":
             df[c] = df[c].astype("int64")
     if len(df):
-        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+        sortable = [
+            c for c in df.columns
+            if not df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any()
+        ]
+        if sortable:
+            df = df.sort_values(sortable, kind="mergesort").reset_index(drop=True)
     return df
 
 
