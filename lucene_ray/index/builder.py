@@ -119,6 +119,7 @@ def build_one_segment(
     index_dir: str,
     analyzer_name: str = "code",
     index_options: str = "positions",
+    keyword_fields: tuple | None = None,
 ) -> SegmentEntry:
     """Build one segment from its input row groups. Pure + idempotent
     (writes only under its own segment dir; atomic entry.json last)."""
@@ -154,8 +155,10 @@ def build_one_segment(
 
     import pyarrow.compute as pc
 
+    if keyword_fields is None:
+        keyword_fields = KEYWORD_FIELDS
     kw_row, kw_terms = [], []
-    for f in KEYWORD_FIELDS:
+    for f in keyword_fields:
         vals = (
             pc.fill_null(table.column(f).cast(pa.string()), "")
             .to_numpy(zero_copy_only=False)
@@ -168,7 +171,7 @@ def build_one_segment(
             [terms] + [pa.array(t, type=pa.string()) for t in kw_terms]
         )
         positions = np.concatenate(
-            [positions, np.zeros(n * len(KEYWORD_FIELDS), dtype=positions.dtype)]
+            [positions, np.zeros(n * len(keyword_fields), dtype=positions.dtype)]
         )
 
     postings, stats = build_segment_postings(
@@ -257,6 +260,7 @@ def build_index(
     target_docs: int = TARGET_DOCS_PER_SEGMENT,
     concurrency: int | None = None,
     index_options: str = "positions",
+    keyword_fields: tuple | None = None,
 ) -> Manifest:
     """Build (or resume) the whole index with Ray Data.
 
@@ -296,7 +300,9 @@ def build_index(
                     n_docs=int(batch["n_docs"][i]),
                     docid_base=int(batch["docid_base"][i]),
                 )
-                entry = build_one_segment(spec, index_dir, analyzer_name, index_options)
+                entry = build_one_segment(
+                    spec, index_dir, analyzer_name, index_options, keyword_fields
+                )
                 out.append(_json.dumps(entry.__dict__))
             return {"entry": np.array(out)}
 

@@ -340,13 +340,19 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
                 )
             )
         pts = pa.concat_tables(pt_parts)
-        f_np = np.asarray(pts.column("field").to_pylist(), dtype=object)
+        # sort on integer dictionary codes, not object strings (lexsort over
+        # an object column falls back to python comparisons). Code order is
+        # arbitrary — the reader masks per field and only needs the
+        # within-field (value, docid) order, which the lexsort guarantees.
+        f_dict = pts.column("field").combine_chunks().dictionary_encode()
+        f_codes = f_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        f_np = np.asarray(f_dict.dictionary.to_pylist(), dtype=object)[f_codes]
         v_np = pts.column("value").to_numpy(zero_copy_only=False)
         d_np = pts.column("docid").to_numpy(zero_copy_only=False)
         if live_merged is not None:
             m = live_merged[d_np]
-            f_np, v_np, d_np = f_np[m], v_np[m], d_np[m]
-        o = np.lexsort((d_np, v_np, f_np))
+            f_np, v_np, d_np, f_codes = f_np[m], v_np[m], d_np[m], f_codes[m]
+        o = np.lexsort((d_np, v_np, f_codes))
         pq.write_table(
             pa.table(
                 {
