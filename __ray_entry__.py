@@ -50,10 +50,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stay available as lucene_ray.ops.text.fingerprint; DuckDB cannot
         # reproduce the engine-defined hash family, the identity it CAN)
         "fingerprint_shift": text.fingerprint_shift,
+        "bpe_token_count": text.bpe_token_count,
         # --- dedup family (training-data ops)
         "dedup_exact": dedup.dedup_exact,
         "content_sha": dedup.content_sha,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         # simhash kernel gated through Hamming-vs-Jaccard consistency (raw
         # values: lucene_ray.ops.dedup.simhash64)
@@ -90,9 +92,11 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": text.text_quality_sql(),
         "lang_id": text.lang_id_sql(),
         "fingerprint_shift": text.fingerprint_shift_sql(),
+        "bpe_token_count": text.bpe_token_count_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "content_sha": dedup.content_sha_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
+        "dedup_clusters": dedup.dedup_clusters_sql(),
         # LSH candidates verified by exact Jaccard == the exact pair set
         # (full recall at the gate's fixed corpus + seeds; see docstring)
         "minhash_lsh_pairs": dedup.ngram_jaccard_sql(),

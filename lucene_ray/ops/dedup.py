@@ -507,6 +507,79 @@ def simhash_hamming_sql() -> str:
     return f"SELECT doc_a, doc_b, true AS close FROM ({ngram_jaccard_sql()})"
 
 
+def dedup_clusters(sf_dir: str) -> pa.Table:
+    """(doc_id, cluster_id): connected components over the exact-Jaccard
+    near-dup pair graph; cluster_id = min doc_id in the component, and
+    singleton docs cluster as themselves. The component computation runs on
+    the PAIR list, which is output-scale (collapsed by the distributed
+    near-dup pipeline) — never on the corpus; the doc universe streams.
+    Oracle: DuckDB recursive CTE reachability."""
+    pairs = _materialize(ngram_jaccard_pairs(sf_dir), PAIR_SCHEMA)
+    a = pairs.column("doc_a").to_numpy(zero_copy_only=False)
+    b = pairs.column("doc_b").to_numpy(zero_copy_only=False)
+    # vectorized union-find by repeated min-label propagation over the edge
+    # list (converges in O(log diameter) rounds; near-dup components are
+    # tiny, typically pairs/triples)
+    nodes = np.unique(np.concatenate([a, b])) if len(a) else np.array([], dtype=np.int64)
+    label = {int(n): int(n) for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for x, y in zip(a, b):
+            lx, ly = label[int(x)], label[int(y)]
+            m = min(lx, ly)
+            if lx != m:
+                label[int(x)] = m
+                changed = True
+            if ly != m:
+                label[int(y)] = m
+                changed = True
+        # path-compress through one indirection level
+        for n in label:
+            r = label[n]
+            if label.get(r, r) < r:
+                label[n] = label[r]
+                changed = True
+
+    lbl_ref = ray.put(label)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lbl = ray.get(lbl_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out = np.array([lbl.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    return _materialize(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(assign, batch_format="pyarrow", batch_size=65536),
+        pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]),
+    )
+
+
+def dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {ngram_jaccard_sql()}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(node, root) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node, min(root) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 # ----------------------------------------------------------------- simhash
 
 def simhash64(sf_dir: str) -> "ray.data.Dataset":

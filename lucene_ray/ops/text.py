@@ -253,6 +253,42 @@ FROM c
 """
 
 
+# GPT-2-style pre-tokenizer pattern, RE2-safe subset (no unicode categories
+# beyond \p{L}/\p{N}, no lookahead): contractions, letter runs, digit runs,
+# punctuation runs, whitespace runs — the standard BPE pre-split shape used
+# for LLM token-count estimation.
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_bpe_tokens): LLM-token-count estimate = count of BPE
+    pre-tokenizer matches (whitespace runs excluded). Pure vectorized
+    map_batches — pyarrow and DuckDB both run RE2, so the oracle is exact."""
+    import pyarrow.compute as pc
+
+    def count(batch: pa.Table) -> pa.Table:
+        # count matches then subtract whitespace-run matches (both RE2)
+        all_m = pc.count_substring_regex(batch.column("text"), BPE_SPLIT_PATTERN)
+        ws_m = pc.count_substring_regex(batch.column("text"), r"\s+")
+        n = pc.subtract(
+            pc.fill_null(all_m.cast(pa.int64()), 0),
+            pc.fill_null(ws_m.cast(pa.int64()), 0),
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "n_bpe_tokens": n})
+
+    return _docs(sf_dir).map_batches(count, batch_format="pyarrow", batch_size=65536)
+
+
+def bpe_token_count_sql() -> str:
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")  # SQL string-literal quoting
+    return f"""
+SELECT doc_id,
+  (len(regexp_extract_all(text, '{pat}'))
+   - len(regexp_extract_all(text, '\\s+')))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
 _FP_P = np.uint64(1099511628211)
 
 

@@ -268,3 +268,21 @@ class TestEmbeddingLsh:
         from lucene_ray.ops import dedup
 
         assert_same(dedup.embedding_dup_pairs(SF), con, dedup.embedding_dup_sql())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClustersAndBpe:
+    def test_dedup_clusters(self, con):
+        from lucene_ray.ops import dedup
+
+        assert_same(dedup.dedup_clusters(SF), con, dedup.dedup_clusters_sql())
+        # clusters are consistent with the pair graph: paired docs share ids
+        pairs = to_pdf(dedup.ngram_jaccard_pairs(SF))
+        cl = to_pdf(dedup.dedup_clusters(SF)).set_index("doc_id").cluster_id
+        for a, b in zip(pairs.doc_a, pairs.doc_b):
+            assert cl[a] == cl[b]
+
+    def test_bpe_token_count(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.bpe_token_count(SF), con, text.bpe_token_count_sql())
