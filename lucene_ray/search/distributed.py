@@ -58,9 +58,10 @@ class SegmentShardActor:
                 out[t][1] += ttf
         return {t: (v[0], v[1]) for t, v in out.items()}
 
-    def vocabulary_slice(self) -> np.ndarray:
+    def vocabulary_slice(self, include_fields: bool = False) -> np.ndarray:
         parts = [
-            self._reader.segment_reader(e.name)._terms for e in self._entries
+            self._reader.segment_reader(e.name)._terms_split(include_fields)
+            for e in self._entries
         ]
         return np.unique(np.concatenate(parts)) if parts else np.array([], dtype=object)
 
@@ -134,11 +135,14 @@ class DistributedSearcher:
         ]
         self._vocab = None
 
-    def vocabulary(self) -> np.ndarray:
-        if self._vocab is None:
-            parts = ray.get([a.vocabulary_slice.remote() for a in self.actors])
-            self._vocab = np.unique(np.concatenate(parts))
-        return self._vocab
+    def vocabulary(self, include_fields: bool = False) -> np.ndarray:
+        attr = "_vocab_fields" if include_fields else "_vocab"
+        if getattr(self, attr, None) is None:
+            parts = ray.get(
+                [a.vocabulary_slice.remote(include_fields) for a in self.actors]
+            )
+            setattr(self, attr, np.unique(np.concatenate(parts)))
+        return getattr(self, attr)
 
     def search_many(self, queries: list, k: int = DEFAULT_TOP_K) -> list[TopDocs]:
         """Batched execution: ONE stats round trip and ONE scatter for the
@@ -191,7 +195,10 @@ class DistributedSearcher:
             in ("PrefixQuery", "WildcardQuery", "TermRangeQuery", "FuzzyQuery", "TermInSetQuery")
             for q in bq.must + bq.should + bq.must_not
         ):
-            bq = rewrite_query(bq, self.vocabulary())
+            bq = rewrite_query(
+                bq, self.vocabulary(),
+                lambda: self.vocabulary(include_fields=True),
+            )
         if not (bq.must or bq.should):
             return None
         return bq
@@ -212,7 +219,10 @@ class DistributedSearcher:
             in ("PrefixQuery", "WildcardQuery", "TermRangeQuery", "FuzzyQuery", "TermInSetQuery")
             for q in bq.must + bq.should + bq.must_not
         ):
-            bq = rewrite_query(bq, self.vocabulary())
+            bq = rewrite_query(
+                bq, self.vocabulary(),
+                lambda: self.vocabulary(include_fields=True),
+            )
         if not (bq.must or bq.should):
             return TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
 

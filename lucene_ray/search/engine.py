@@ -160,7 +160,11 @@ class IndexSearcher:
 
     def _maybe_rewrite(self, bq: BooleanQuery) -> BooleanQuery:
         if any(isinstance(q, self._MULTI) for q in bq.must + bq.should + bq.must_not):
-            return rewrite_query(bq, self.reader.vocabulary())
+            return rewrite_query(
+                bq,
+                self.reader.vocabulary(),
+                lambda: self.reader.vocabulary(include_fields=True),
+            )
         return bq
 
     def search(

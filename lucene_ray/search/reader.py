@@ -66,6 +66,25 @@ class SegmentReader:
             self._terms_np = np.asarray(self._terms_arr.to_pylist(), dtype=object)
         return self._terms_np
 
+    def _terms_split(self, fields: bool) -> np.ndarray:
+        """Content-side or field-side ('f:v') slice of the term dict as a
+        python-object array. Cached separately: content vocab is tiny and
+        hot (multi-term rewrites); field vocab can be huge (unique paths /
+        commits) and is materialized only when a field pattern asks."""
+        attr = "_field_terms_np" if fields else "_content_terms_np"
+        cached = getattr(self, attr, None)
+        if cached is None:
+            import pyarrow.compute as pc
+
+            mask = pc.match_substring(self._terms_arr, ":")
+            if not fields:
+                mask = pc.invert(mask)
+            cached = np.asarray(
+                self._terms_arr.filter(mask).to_pylist(), dtype=object
+            )
+            setattr(self, attr, cached)
+        return cached
+
     def term_index(self, term: str) -> int:
         """Binary search the sorted term dictionary (Arrow column, no
         python materialization); -1 if absent."""
@@ -224,15 +243,21 @@ class IndexReader:
     def all_readers(self) -> list[SegmentReader]:
         return [self.segment_reader(s.name) for s in self.segments]
 
-    def vocabulary(self) -> np.ndarray:
-        """Sorted union of all segment terms (the multi-term rewrite target;
-        cached — the FST term-dict walk analog)."""
-        if not hasattr(self, "_vocab"):
-            parts = [r._terms for r in self.all_readers()]
-            self._vocab = (
+    def vocabulary(self, include_fields: bool = False) -> np.ndarray:
+        """Sorted union of segment terms (the multi-term rewrite target;
+        cached — the FST term-dict walk analog). Default = CONTENT terms
+        only; ``include_fields=True`` returns the 'field:value' side, which
+        is materialized lazily (it can dwarf the content vocab when paths /
+        commits are unique per doc)."""
+        attr = "_vocab_fields" if include_fields else "_vocab_content"
+        cached = getattr(self, attr, None)
+        if cached is None:
+            parts = [r._terms_split(include_fields) for r in self.all_readers()]
+            cached = (
                 np.unique(np.concatenate(parts)) if parts else np.array([], dtype=object)
             )
-        return self._vocab
+            setattr(self, attr, cached)
+        return cached
 
     def global_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """Sum per-segment (df, ttf) for the given terms — the stats

@@ -103,38 +103,58 @@ def expand_regexp(vocab: np.ndarray, q: RegexpQuery) -> list[str]:
     return [t for t in cands if rx.fullmatch(t)]
 
 
-def rewrite_query(bq: BooleanQuery, vocab: np.ndarray) -> BooleanQuery:
-    """Expand every multi-term clause; vocabulary-absent expansions vanish."""
+def _clause_pattern(q) -> str | None:
+    if isinstance(q, PrefixQuery):
+        return q.prefix
+    if isinstance(q, WildcardQuery):
+        return q.pattern
+    if isinstance(q, TermRangeQuery):
+        return f"{q.lower or ''}{q.upper or ''}"
+    if isinstance(q, FuzzyQuery):
+        return q.term
+    if isinstance(q, RegexpQuery):
+        return q.pattern
+    if isinstance(q, TermInSetQuery):
+        return "".join(q.terms)
+    return None
+
+
+def rewrite_query(
+    bq: BooleanQuery, vocab: np.ndarray, field_vocab=None
+) -> BooleanQuery:
+    """Expand every multi-term clause; vocabulary-absent expansions vanish.
+
+    ``vocab``: content-side terms. ``field_vocab``: the 'field:value' side —
+    an array or a LAZY callable (the field vocab can dwarf the content vocab
+    when paths/commits are unique per doc, so it is materialized only when a
+    field-side pattern actually occurs). When None, ``vocab`` is assumed to
+    hold the full dictionary and the namespace guard filters it."""
 
     def rewrite_clause(q):
-        terms = None
-        pattern = ""
-        if isinstance(q, PrefixQuery):
-            terms = expand_prefix(vocab, q)
-            pattern = q.prefix
-        elif isinstance(q, WildcardQuery):
-            terms = expand_wildcard(vocab, q)
-            pattern = q.pattern
-        elif isinstance(q, TermRangeQuery):
-            terms = expand_range(vocab, q)
-            pattern = f"{q.lower or ''}{q.upper or ''}"
-        elif isinstance(q, FuzzyQuery):
-            terms = expand_fuzzy(vocab, q)
-            pattern = q.term
-        elif isinstance(q, RegexpQuery):
-            terms = expand_regexp(vocab, q)
-            pattern = q.pattern
-        elif isinstance(q, TermInSetQuery):
-            present = set(vocab[np.isin(vocab, list(q.terms))].tolist())
-            terms = sorted(present)
-            pattern = "".join(q.terms)
-        if terms is None:
+        pattern = _clause_pattern(q)
+        if pattern is None:
             return [q]
-        # namespace guard: the term dict holds both analyzed tokens and
+        # namespace selection: the term dict holds both analyzed tokens and
         # "field:value" keyword terms — a content-side expansion (e.g. range
         # 'k'..'m') must not sweep in 'lang:py'; a field-side pattern
         # ('lang:p*') must not match content tokens
         wants_fields = ":" in pattern
+        if wants_fields and field_vocab is not None:
+            v = field_vocab() if callable(field_vocab) else field_vocab
+        else:
+            v = vocab
+        if isinstance(q, PrefixQuery):
+            terms = expand_prefix(v, q)
+        elif isinstance(q, WildcardQuery):
+            terms = expand_wildcard(v, q)
+        elif isinstance(q, TermRangeQuery):
+            terms = expand_range(v, q)
+        elif isinstance(q, FuzzyQuery):
+            terms = expand_fuzzy(v, q)
+        elif isinstance(q, RegexpQuery):
+            terms = expand_regexp(v, q)
+        else:  # TermInSetQuery
+            terms = sorted(set(v[np.isin(v, list(q.terms))].tolist()))
         terms = [t for t in terms if (":" in t) == wants_fields]
         return [TermQuery(t, boost=q.boost) for t in terms[:MAX_EXPANSIONS]]
 
