@@ -82,3 +82,111 @@ def extract_features(sf_dir: str, concurrency: int = 2) -> "ray.data.Dataset":
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class FrameSampler:
+    """Actor-pool stage: sample every ``stride``-th fixed-size 'frame' from
+    a binary payload — the video frame-sampling plumbing (rows EXPAND:
+    one media row -> several frame rows, so output batches are wider than
+    input; batch_size stays small). A real implementation replaces the
+    chunk split with a container demuxer loaded once in __init__
+    (real_codec branch raises by contract)."""
+
+    def __init__(self, frame_bytes: int = 4096, stride: int = 4, real_codec: bool = False):
+        if real_codec:
+            raise NotImplementedError(
+                "no video demuxer in this environment; fixed-chunk frames only"
+            )
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            n_frames = max(1, (len(payload) + self.frame_bytes - 1) // self.frame_bytes)
+            for fi in range(0, n_frames, self.stride):
+                ids.append(mid)
+                idxs.append(fi)
+                frames.append(payload[fi * self.frame_bytes : (fi + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(idxs, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.large_binary()),
+            }
+        )
+
+
+class Resizer:
+    """Actor-pool stage: area-average 'image' downsampling. The payload is
+    interpreted as a row-major uint8 matrix (h inferred from n_bytes and a
+    declared width); output is a fixed (out_h x out_w) byte matrix. The
+    RESIZE KERNEL is real vectorized numpy — only the image DECODE is the
+    stub (real_codec raises; a real deployment decodes in __init__)."""
+
+    def __init__(self, width: int = 64, out_h: int = 8, out_w: int = 8, real_codec: bool = False):
+        if real_codec:
+            raise NotImplementedError(
+                "no image codecs in this environment; raw-matrix resize only"
+            )
+        self.width = width
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch.column("payload").to_pylist():
+            w = self.width
+            h = max(1, len(payload) // w)
+            buf = np.frombuffer(payload, dtype=np.uint8)[: h * w]
+            if len(buf) < h * w:  # payload shorter than one row: zero-pad
+                buf = np.concatenate([buf, np.zeros(h * w - len(buf), dtype=np.uint8)])
+            img = buf.reshape(h, w)
+            # area-average pooling to (out_h, out_w): integer bucket edges
+            ys = np.linspace(0, h, self.out_h + 1).astype(np.int64)
+            xs = np.linspace(0, w, self.out_w + 1).astype(np.int64)
+            small = np.empty((self.out_h, self.out_w), dtype=np.uint8)
+            csum = img.astype(np.int64).cumsum(0).cumsum(1)
+            padded = np.zeros((h + 1, w + 1), dtype=np.int64)
+            padded[1:, 1:] = csum
+            for i in range(self.out_h):
+                for j in range(self.out_w):
+                    y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+                    x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+                    y1, x1 = min(y1, h), min(x1, w)
+                    area = max(1, (y1 - y0) * (x1 - x0))
+                    tot = (
+                        padded[y1, x1] - padded[y0, x1] - padded[y1, x0] + padded[y0, x0]
+                    )
+                    small[i, j] = tot // area
+            out.append(small.tobytes())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "thumb": pa.array(out, type=pa.large_binary()),
+            }
+        )
+
+
+def sample_frames(sf_dir: str, concurrency: int = 2) -> "ray.data.Dataset":
+    """media -> sampled frame rows via the actor pool."""
+    return media_table(sf_dir).map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def resize_thumbs(sf_dir: str, concurrency: int = 2) -> "ray.data.Dataset":
+    """media -> fixed-size thumbnails via the actor pool."""
+    return media_table(sf_dir).map_batches(
+        Resizer,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -286,3 +286,36 @@ class TestClustersAndBpe:
         from lucene_ray.ops import text
 
         assert_same(text.bpe_token_count(SF), con, text.bpe_token_count_sql())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodalStages:
+    def test_frame_sampler(self):
+        from lucene_ray.ops import multimodal
+
+        df = to_pdf(multimodal.sample_frames(SF))
+        assert set(df.columns) == {"media_id", "frame_idx", "frame"}
+        assert len(df) > 0
+        # sampled frame indices follow the stride
+        assert (df.frame_idx % 4 == 0).all()
+        # frames are non-empty and bounded by frame_bytes
+        assert df.frame.map(len).between(1, 4096).all()
+
+    def test_resizer(self):
+        from lucene_ray.ops import multimodal
+
+        df = to_pdf(multimodal.resize_thumbs(SF))
+        assert len(df) > 0
+        assert df.thumb.map(len).eq(64).all()  # 8x8 uint8
+        # deterministic: same input -> same thumbs
+        df2 = to_pdf(multimodal.resize_thumbs(SF))
+        assert (df.sort_values("media_id").thumb.values
+                == df2.sort_values("media_id").thumb.values).all()
+
+    def test_real_codec_branch_raises(self):
+        from lucene_ray.ops import multimodal
+
+        with pytest.raises(NotImplementedError):
+            multimodal.FrameSampler(real_codec=True)
+        with pytest.raises(NotImplementedError):
+            multimodal.Resizer(real_codec=True)
