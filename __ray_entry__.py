@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_engine": bm25docs.field_engine,
         "points_engine": bm25docs.points_engine,
         "sort_engine": bm25docs.sort_engine,
+        "facet_engine": bm25docs.facet_engine,
         # --- analysis chain + aggregations (§2.2/2.5)
         "term_stats": text.term_stats,
         "doc_token_stats": text.doc_token_stats,
@@ -87,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "field_engine": bm25docs.field_engine_sql(),
         "points_engine": bm25docs.points_engine_sql(),
         "sort_engine": bm25docs.sort_engine_sql(),
+        "facet_engine": bm25docs.facet_engine_sql(),
         "term_stats": text.term_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),
         "text_quality": text.text_quality_sql(),

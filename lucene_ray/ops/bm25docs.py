@@ -473,6 +473,57 @@ WITH tok AS (
 """
 
 
+FACET_QUERIES: list[tuple[int, str, str]] = [
+    (0, "merge", "lang"),
+    (1, "window table", "repo"),
+]
+
+
+def facet_engine(sf_dir: str) -> pa.Table:
+    """(qid, value, count): per-keyword-field hit counts for a query — the
+    count-facet core. documents_as_corpus maps lang->lang, source->repo."""
+    from lucene_ray.search.engine import IndexSearcher, facet_counts
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_v, out_c = [], [], []
+    for qid, q, field in FACET_QUERIES:
+        for v, c in facet_counts(s, q, field):
+            out_q.append(qid)
+            out_v.append(v)
+            out_c.append(c)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "value": pa.array(out_v, type=pa.string()),
+            "count": pa.array(out_c, type=pa.int64()),
+        }
+    )
+
+
+def facet_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    col = {"lang": "lang", "repo": "source"}
+    for qid, q, field in FACET_QUERIES:
+        terms = CodeAnalyzer().tokenize_text(q)
+        union = " UNION ".join(
+            f"SELECT DISTINCT doc_id FROM tok WHERE term = '{t}'" for t in terms
+        )
+        parts.append(
+            f"SELECT {qid} AS qid, d.{col[field]} AS value, count(*)::BIGINT AS count\n"
+            f"FROM documents d WHERE d.doc_id IN ({union})\n"
+            f"GROUP BY d.{col[field]}"
+        )
+    union_all = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union_all}
+"""
+
+
 def update_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): deletes/updates through the tombstone machinery —
     docs with doc_id % 7 == 0 are UPDATED (tombstone + re-add with

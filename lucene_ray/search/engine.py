@@ -222,6 +222,25 @@ class IndexSearcher:
         return TopDocs(d, s, total, relation)
 
 
+def facet_counts(
+    searcher: "IndexSearcher", query, field: str
+) -> list[tuple[str, int]]:
+    """Hit counts per stored keyword-field value for ``query`` — the basic
+    count facet (facet/.../FastTaxonomyFacetCounts.java role, over stored
+    fields instead of a taxonomy index). Returns (value, count) sorted by
+    count desc then value asc. Collects the full matching doc SET (facets
+    are exhaustive by definition), then one stored-fields gather."""
+    td = searcher.search(query, k=1 << 62)
+    if len(td.docids) == 0:
+        return []
+    stored = fetch_stored(searcher.reader, td.docids)
+    vals = stored.column(field).to_pylist()
+    from collections import Counter
+
+    c = Counter(vals)
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
 def fetch_doc_values(reader: IndexReader, global_docids, field: str) -> np.ndarray:
     """Numeric doc values for global docids, input order preserved."""
     g = np.asarray(global_docids, dtype=np.int64)
