@@ -80,8 +80,26 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
                             f"{entry.name}/{row['term']}: impact not an upper bound in block {b}"
                         )
                         break
+        # entry.sum_ttf always equals the postings-side content ttf (at
+        # build it is the full doc_len sum; after a delete-reclaiming merge
+        # it was recomputed from the kept pairs). The doc_len sum bounds it
+        # from above, with equality iff nothing was reclaimed.
         if seg_ttf != entry.sum_ttf:
-            problems.append(f"{entry.name}: sum_ttf {seg_ttf} != manifest {entry.sum_ttf}")
+            problems.append(
+                f"{entry.name}: postings ttf {seg_ttf} != manifest {entry.sum_ttf}"
+            )
+        dl_all = int(sr.doc_len.sum())
+        reclaimed = getattr(entry, "reclaimed", 0)
+        if reclaimed == 0 and entry.sum_ttf != dl_all:
+            problems.append(
+                f"{entry.name}: sum_ttf {entry.sum_ttf} != doc_len sum {dl_all}"
+            )
+        if reclaimed > 0 and entry.sum_ttf > dl_all:
+            problems.append(
+                f"{entry.name}: sum_ttf {entry.sum_ttf} exceeds doc_len sum {dl_all}"
+            )
+        if reclaimed > getattr(entry, "del_count", 0):
+            problems.append(f"{entry.name}: reclaimed > del_count")
 
         if len(sr.norm_bytes) != entry.doc_count:
             problems.append(f"{entry.name}: norms length mismatch")

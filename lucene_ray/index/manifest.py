@@ -39,6 +39,13 @@ class SegmentEntry:
     # tombstoned docs' POSTINGS and carries the bitmap forward.
     del_gen: int = 0
     del_count: int = 0
+    # docs whose POSTINGS were physically dropped by a merge (tombstones
+    # reclaimed). Scoring stats follow the reference's merge semantics:
+    # pre-merge deletes still count in df/N/ttf (Lucene scores ignore
+    # deletes until merge); after reclaim, N_for_scoring = doc_count -
+    # reclaimed and sum_ttf was recomputed from the kept postings, so the
+    # stats equal a fresh index of the live docs.
+    reclaimed: int = 0
 
 
 @dataclass

@@ -291,8 +291,11 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
         all_terms, pair_rank_s, pair_doc_s, tfs_s, pos_sorted, norms,
         with_positions=with_positions,
     )
-    # sum_ttf is content-only (keyword-field "f:v" postings carry no norms
-    # and must not inflate avgdl)
+    # sum_ttf is recomputed from the KEPT pairs, content-only (field "f:v"
+    # postings excluded) — together with ``reclaimed`` below this makes
+    # post-merge stats identical to a fresh index of the live docs
+    # (reference merge semantics: df/N/ttf drop together when deletes are
+    # reclaimed; before a merge they all still include tombstones)
     is_field_term = np.array([":" in t for t in all_terms], dtype=bool)
     sum_ttf = int(tfs[~is_field_term[pair_rank]].sum())
     d = segment_dir(index_dir, name)
@@ -363,9 +366,10 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
             ),
             os.path.join(d, "points.parquet"),
         )
-    del_gen, del_count = 0, 0
+    del_gen, del_count, reclaimed = 0, 0, 0
     if any_deletes:
-        del_gen, del_count = 1, int((~live_merged).sum())
+        del_count = int((~live_merged).sum())
+        del_gen, reclaimed = 1, del_count  # every tombstone's postings dropped
         pq.write_table(
             pa.table({"live": pa.array(live_merged, type=pa.bool_())}),
             os.path.join(d, "livedocs_g1.parquet"),
@@ -386,6 +390,7 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
         bytes=seg_bytes,
         del_gen=del_gen,
         del_count=del_count,
+        reclaimed=reclaimed,
         input={"merged_from": [e.name for e in entries], "fingerprint": fp},
         metrics={
             "build_secs": round(secs, 4),

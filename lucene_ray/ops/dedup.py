@@ -719,15 +719,16 @@ def embedding_dup_lsh(
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def explode(batch: pa.Table) -> pa.Table:
+        from lucene_ray.ops.knn import _lsh_planes, _signatures, lsh_keys
+
         mat = _embedding_matrix(batch.column("embedding"))
         n = np.linalg.norm(mat, axis=1)
         n[n == 0] = 1.0
         mn = mat / n[:, None]
-        pl = np.random.default_rng(seed).standard_normal((n_tables, n_planes, mat.shape[1]))
-        weights = 1 << np.arange(n_planes)
-        sigs = np.stack([((mn @ pl[t].T) > 0) @ weights for t in range(n_tables)], axis=1)
+        pl = _lsh_planes(mat.shape[1], n_tables, n_planes, seed)
+        sigs = _signatures(mn, pl)
         nrows, T = sigs.shape
-        keys = (np.arange(T)[None, :] * (1 << n_planes) + sigs).T.reshape(-1)
+        keys = lsh_keys(sigs, n_planes).T.reshape(-1)
         idx = np.tile(np.arange(nrows), T)
         rep = pa.table(
             {

@@ -146,9 +146,14 @@ SELECT query_id, rank::INTEGER AS rank, vec_id FROM ranked WHERE rank < {k}
 
 # ------------------------------------------------- persisted LSH bucket index
 
-def _lsh_planes(dim: int) -> np.ndarray:
-    rng = np.random.default_rng(LSH_SEED)
-    return rng.standard_normal((LSH_TABLES, LSH_PLANES, dim))
+def _lsh_planes(
+    dim: int,
+    n_tables: int = LSH_TABLES,
+    n_planes: int = LSH_PLANES,
+    seed: int = LSH_SEED,
+) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
 
 
 def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -157,6 +162,12 @@ def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return np.stack(
         [((mat @ planes[t].T) > 0) @ weights for t in range(len(planes))], axis=1
     )
+
+
+def lsh_keys(sigs: np.ndarray, n_planes: int) -> np.ndarray:
+    """(n, n_tables) composite partition keys: table * 2^planes + bucket —
+    the ONE key-layout formula shared by every LSH consumer."""
+    return np.arange(sigs.shape[1])[None, :] * (1 << n_planes) + sigs
 
 
 def build_lsh_index(sf_dir: str, index_dir: str | None = None) -> str:
@@ -180,7 +191,7 @@ def build_lsh_index(sf_dir: str, index_dir: str | None = None) -> str:
         planes = _lsh_planes(mat.shape[1])  # deterministic; tiny to recompute
         sigs = _signatures(mat, planes)  # (n, T)
         n, T = sigs.shape
-        keys = (np.arange(T)[None, :] * (1 << LSH_PLANES) + sigs).T.reshape(-1)
+        keys = lsh_keys(sigs, LSH_PLANES).T.reshape(-1)
         idx = np.tile(np.arange(n), T)
         out = batch.select(["vec_id", "embedding"]).take(pa.array(idx))
         return out.append_column("lsh_key", pa.array(keys.astype(np.int64)))
@@ -216,6 +227,7 @@ def knn_lsh(sf_dir: str, k: int = TOP_K, probes: int = 1) -> "ray.data.Dataset":
         q_sigs = np.concatenate([q_sigs[:, :, None], flips], axis=2)  # (n_q,T,P+1)
     else:
         q_sigs = q_sigs[:, :, None]
+    # same composite-key formula as lsh_keys, broadcast over the probe axis
     table_base = (np.arange(LSH_TABLES) * (1 << LSH_PLANES))[None, :, None]
     q_keys = (table_base + q_sigs).reshape(len(q_ids), -1)  # (n_q, T*(P+1))
     probe = np.unique(q_keys)

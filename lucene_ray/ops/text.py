@@ -255,24 +255,26 @@ FROM c
 
 # GPT-2-style pre-tokenizer pattern, RE2-safe subset (no unicode categories
 # beyond \p{L}/\p{N}, no lookahead): contractions, letter runs, digit runs,
-# punctuation runs, whitespace runs — the standard BPE pre-split shape used
-# for LLM token-count estimation.
-BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# punctuation runs. Whitespace is NOT an alternative here: for counting,
+# non-overlapping matching simply skips over whitespace gaps, and including
+# a \s+ branch would swallow the single spaces that belong to ' ?\p{L}+'
+# matches, corrupting the count.
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 
 
 def bpe_token_count(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, n_bpe_tokens): LLM-token-count estimate = count of BPE
-    pre-tokenizer matches (whitespace runs excluded). Pure vectorized
-    map_batches — pyarrow and DuckDB both run RE2, so the oracle is exact."""
+    pre-tokenizer matches (non-whitespace tokens). Pure vectorized
+    map_batches — pyarrow and DuckDB both run RE2 with the same pattern, so
+    the oracle is exact."""
     import pyarrow.compute as pc
 
     def count(batch: pa.Table) -> pa.Table:
-        # count matches then subtract whitespace-run matches (both RE2)
-        all_m = pc.count_substring_regex(batch.column("text"), BPE_SPLIT_PATTERN)
-        ws_m = pc.count_substring_regex(batch.column("text"), r"\s+")
-        n = pc.subtract(
-            pc.fill_null(all_m.cast(pa.int64()), 0),
-            pc.fill_null(ws_m.cast(pa.int64()), 0),
+        n = pc.fill_null(
+            pc.count_substring_regex(batch.column("text"), BPE_SPLIT_PATTERN).cast(
+                pa.int64()
+            ),
+            0,
         )
         return pa.table({"doc_id": batch.column("doc_id"), "n_bpe_tokens": n})
 
@@ -283,8 +285,7 @@ def bpe_token_count_sql() -> str:
     pat = BPE_SPLIT_PATTERN.replace("'", "''")  # SQL string-literal quoting
     return f"""
 SELECT doc_id,
-  (len(regexp_extract_all(text, '{pat}'))
-   - len(regexp_extract_all(text, '\\s+')))::BIGINT AS n_bpe_tokens
+  len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_bpe_tokens
 FROM documents
 """
 

@@ -121,7 +121,11 @@ class DistributedSearcher:
         m = read_manifest(index_dir)
         if m is None:
             raise FileNotFoundError(f"no manifest.json under {index_dir}")
-        self.doc_count = m.doc_count
+        # N for scoring excludes merge-reclaimed docs (reader.stats_doc_count
+        # semantics — scores ignore deletes until a merge reclaims them)
+        self.doc_count = m.doc_count - sum(
+            getattr(e, "reclaimed", 0) for e in m.segments
+        )
         self.sum_ttf = m.sum_ttf
         self.analyzer_name = m.analyzer
         self.pruned = pruned
@@ -190,10 +194,10 @@ class DistributedSearcher:
             if isinstance(query, str)
             else query
         )
+        from lucene_ray.search.engine import IndexSearcher as _IS
+
         if any(
-            type(q).__name__
-            in ("PrefixQuery", "WildcardQuery", "TermRangeQuery", "FuzzyQuery", "TermInSetQuery")
-            for q in bq.must + bq.should + bq.must_not
+            isinstance(q, _IS._MULTI) for q in bq.must + bq.should + bq.must_not
         ):
             bq = rewrite_query(
                 bq, self.vocabulary(),
@@ -214,10 +218,10 @@ class DistributedSearcher:
         )
         from lucene_ray.search.query import BooleanQuery as BQ
 
+        from lucene_ray.search.engine import IndexSearcher as _IS
+
         if any(
-            type(q).__name__
-            in ("PrefixQuery", "WildcardQuery", "TermRangeQuery", "FuzzyQuery", "TermInSetQuery")
-            for q in bq.must + bq.should + bq.must_not
+            isinstance(q, _IS._MULTI) for q in bq.must + bq.should + bq.must_not
         ):
             bq = rewrite_query(
                 bq, self.vocabulary(),

@@ -149,7 +149,7 @@ class IndexSearcher:
         terms = query_terms(bq)
         stats = self.reader.global_term_stats(terms)
         return build_scorers(
-            bq, stats, self.reader.doc_count, self.reader.sum_ttf, self.sim
+            bq, stats, self.reader.stats_doc_count, self.reader.sum_ttf, self.sim
         )
 
     def parse(self, text: str) -> BooleanQuery:

@@ -68,8 +68,17 @@ def highlight(
 
     frags: list[Fragment] = []
     used: list[tuple[int, int]] = []
+    covered_upto = -1
     for _, s, _e in spans:
+        if s <= covered_upto:
+            continue  # this occurrence already sits inside a fragment
         w0 = max(0, s - fragment_chars // 2)
+        # don't overlap earlier fragments: clamp the window start forward
+        # instead of dropping the match (a hit just past a fragment edge
+        # must still get its own fragment)
+        for a, b in used:
+            if w0 < b and s >= b:
+                w0 = b
         w1 = min(len(text), w0 + fragment_chars)
         if any(not (w1 <= a or w0 >= b) for a, b in used):
             continue
@@ -86,6 +95,7 @@ def highlight(
         parts.append(text[cur:w1])
         frags.append(Fragment("".join(parts), len(inside), w0))
         used.append((w0, w1))
+        covered_upto = max(covered_upto, w1 - 1)
 
     frags.sort(key=lambda f: (-f.score, f.start))
     return [f.text for f in frags[:max_fragments]]

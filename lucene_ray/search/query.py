@@ -253,7 +253,8 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         if not toks:
             continue
         if is_phrase and len(toks) > 1:
-            getattr(bq, occur).append(
+            # eff, not occur: explicit AND promotes phrases to MUST too
+            getattr(bq, eff).append(
                 PhraseQuery(tuple(toks), boost=boost, slop=slop)
             )
             continue

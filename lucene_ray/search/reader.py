@@ -240,6 +240,13 @@ class IndexReader:
     def live_doc_count(self) -> int:
         return self.doc_count - sum(getattr(e, "del_count", 0) for e in self.segments)
 
+    @property
+    def stats_doc_count(self) -> int:
+        """N for scoring: total docids minus RECLAIMED docs (whose postings
+        a merge dropped). Unreclaimed tombstones still count, matching the
+        reference's scores-ignore-deletes-until-merge semantics."""
+        return self.doc_count - sum(getattr(e, "reclaimed", 0) for e in self.segments)
+
     def all_readers(self) -> list[SegmentReader]:
         return [self.segment_reader(s.name) for s in self.segments]
 

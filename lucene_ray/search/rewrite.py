@@ -96,10 +96,15 @@ def expand_regexp(vocab: np.ndarray, q: RegexpQuery) -> list[str]:
     (the automaton common-prefix optimization, AutomatonQuery.java)."""
     rx = re.compile(q.pattern)
     lit = re.match(r"[a-z0-9]*", q.pattern).group(0)
-    # a literal prefix is only usable if no metachar can shorten it
-    cands = expand_prefix(vocab, PrefixQuery(lit)) if lit and not (
-        len(q.pattern) > len(lit) and q.pattern[len(lit)] in "*?{"
-    ) else vocab.tolist()
+    # a literal prefix is only usable when nothing can bypass or shorten
+    # it: no top-level alternation anywhere ('merge|window' must scan the
+    # whole vocab for the second branch) and no quantifier right after it
+    safe = (
+        lit
+        and "|" not in q.pattern
+        and not (len(q.pattern) > len(lit) and q.pattern[len(lit)] in "*?{")
+    )
+    cands = expand_prefix(vocab, PrefixQuery(lit)) if safe else vocab.tolist()
     return [t for t in cands if rx.fullmatch(t)]
 
 

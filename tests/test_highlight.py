@@ -46,3 +46,12 @@ def test_fragment_selection():
     frags = highlight(text, ["needle"], fragment_chars=40, max_fragments=2)
     assert len(frags) == 2
     assert all("<b>needle</b>" in f for f in frags)
+
+
+def test_hit_near_fragment_boundary_still_highlighted():
+    # hits at 0 and ~120 with 100-char windows: the second hit's centred
+    # window overlaps fragment 1 but a shifted disjoint window exists
+    text = "needle " + "x" * 110 + " needle tail"
+    frags = highlight(text, ["needle"], fragment_chars=100, max_fragments=3)
+    marked = "".join(frags)
+    assert marked.count("<b>needle</b>") == 2

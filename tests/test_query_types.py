@@ -436,3 +436,110 @@ class TestPointsAndSort:
         td2 = search_sorted(s, "merge", "n_chars", k=15, ascending=True)
         want2 = sorted(match, key=lambda i: (lens[i], i))[:15]
         assert td2.docids.tolist() == want2
+
+
+class TestReviewRegressions:
+    """Fixes from the round-2 code review."""
+
+    def test_regexp_alternation_scans_all_branches(self, ix, docs):
+        from lucene_ray.search.query import RegexpQuery
+
+        s = IndexSearcher(ix)
+        got = doc_set(s, BooleanQuery(should=[RegexpQuery("merge|flush")]))
+        want = {i for i, d in enumerate(docs) if "merge" in d or "flush" in d}
+        assert got == want
+
+    def test_and_promotes_phrases(self):
+        an = get_analyzer("code")
+        bq = parse_query('batch AND "sort merge"', an)
+        assert len(bq.must) == 2  # both term AND phrase required
+        assert any(isinstance(q, PhraseQuery) for q in bq.must)
+        assert not bq.should
+
+    def test_sloppy_repeats_need_distinct_positions(self, ix, docs):
+        from lucene_ray.search.query import PhraseQuery
+
+        s = IndexSearcher(ix)
+        q = BooleanQuery(should=[PhraseQuery(("merge", "merge"), slop=2)])
+        got = doc_set(s, q)
+        # oracle: two DISTINCT positions of 'merge' within adjusted span 2
+        want = set()
+        for i, d in enumerate(docs):
+            pos = [p for p, t in enumerate(d) if t == "merge"]
+            if any(
+                abs((p2 - 1) - p1) <= 2
+                for a_, p1 in enumerate(pos)
+                for b_, p2 in enumerate(pos)
+                if a_ != b_
+            ):
+                want.add(i)
+        assert got == want
+        # a doc with exactly ONE occurrence must not match
+        singles = {i for i, d in enumerate(docs) if d.count("merge") == 1}
+        assert not (got & singles)
+
+    def test_merge_reclaim_matches_fresh_live_index(self, tmp_path, ray_session):
+        """Reference merge semantics: BEFORE a merge, deletes do not affect
+        scores at all; AFTER the merge reclaims them, stats (df/N/ttf) equal
+        a FRESH index built from only the live docs — so post-merge scores
+        must be identical to that fresh index's scores."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.index.merge import force_merge
+        from lucene_ray.index.writer import delete_docs
+
+        def corpus(rows):
+            n = len(rows)
+            return pa.table(
+                {
+                    "repo": ["r"] * n,
+                    "path": [f"p{i}" for i in range(n)],
+                    "commit": ["c" * 40] * n,
+                    "lang": ["py"] * n,
+                    "content": rows,
+                }
+            )
+
+        rows = [f"alpha beta gamma {'delta ' * (i % 5)}" for i in range(40)]
+        deleted = {3, 17}
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(corpus(rows), src, row_group_size=10)
+        ix = str(tmp_path / "ix")
+        build_index([src], ix, target_docs=10)
+
+        s_nodel = IndexSearcher(ix)
+        base = s_nodel.search("delta beta", 40)
+        delete_docs(ix, sorted(deleted))
+        # pre-merge: deletes shrink the DOC SET but not surviving scores
+        s_pre = IndexSearcher(ix)
+        pre = s_pre.search("delta beta", 40)
+        base_map = dict(zip(base.docids.tolist(), base.scores.tolist()))
+        for d, sc in zip(pre.docids.tolist(), pre.scores.tolist()):
+            assert sc == base_map[d]
+        assert set(pre.docids.tolist()) == set(base.docids.tolist()) - deleted
+
+        force_merge(ix)
+        s_post = IndexSearcher(ix)
+        post = s_post.search("delta beta", 40)
+        assert set(post.docids.tolist()) == set(pre.docids.tolist())
+
+        # fresh index of only the live rows: same scores, order-preserving
+        # docid mapping old -> rank-among-live
+        live_rows = [r for i, r in enumerate(rows) if i not in deleted]
+        src2 = str(tmp_path / "c2.parquet")
+        pq.write_table(corpus(live_rows), src2, row_group_size=10)
+        ix2 = str(tmp_path / "ix2")
+        build_index([src2], ix2, target_docs=10)
+        force_merge(ix2)
+        fresh = IndexSearcher(ix2).search("delta beta", 40)
+        live_sorted = sorted(set(range(40)) - deleted)
+        remap = {old: new for new, old in enumerate(live_sorted)}
+        got = sorted(zip((remap[d] for d in post.docids.tolist()), post.scores.tolist()))
+        want = sorted(zip(fresh.docids.tolist(), fresh.scores.tolist()))
+        assert [d for d, _ in got] == [d for d, _ in want]
+        np.testing.assert_array_equal(
+            np.array([s for _, s in got], dtype=np.float32),
+            np.array([s for _, s in want], dtype=np.float32),
+        )
