@@ -473,6 +473,60 @@ WITH tok AS (
 """
 
 
+SUGGEST_INPUTS: list[tuple[int, str]] = [
+    (0, "mrege"),   # transposed 'merge'
+    (1, "windoe"),  # 'window' with a substitution
+    (2, "tabel"),   # transposed 'table'
+]
+
+
+def suggest_engine(sf_dir: str, k: int = 3) -> pa.Table:
+    """(qid, term, dist, df): spell-check suggestions for misspelled inputs
+    — (edit distance asc, df desc, term asc) over the index vocabulary
+    (DirectSpellChecker semantics; DuckDB levenshtein is the oracle)."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.suggest import suggest_terms
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_t, out_d, out_f = [], [], [], []
+    for qid, inp in SUGGEST_INPUTS:
+        for t, dist, df in suggest_terms(s.reader, inp, k=k):
+            out_q.append(qid)
+            out_t.append(t)
+            out_d.append(dist)
+            out_f.append(df)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "term": pa.array(out_t, type=pa.string()),
+            "dist": pa.array(out_d, type=pa.int64()),
+            "df": pa.array(out_f, type=pa.int64()),
+        }
+    )
+
+
+def suggest_engine_sql(k: int = 3) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, inp in SUGGEST_INPUTS:
+        parts.append(f"""
+SELECT {qid} AS qid, term, levenshtein(term, '{inp}')::BIGINT AS dist, df::BIGINT AS df
+FROM dfs
+WHERE levenshtein(term, '{inp}') <= 2 AND term <> '{inp}'
+QUALIFY row_number() OVER (ORDER BY levenshtein(term, '{inp}'), df DESC, term) <= {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+)
+{union}
+"""
+
+
 FACET_QUERIES: list[tuple[int, str, str]] = [
     (0, "merge", "lang"),
     (1, "window table", "repo"),

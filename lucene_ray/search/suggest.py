@@ -1,0 +1,43 @@
+"""Spell-check term suggester — the suggest module's core
+(suggest/.../spell/DirectSpellChecker.java): candidate terms within a
+Levenshtein budget of the input, ranked by (edit distance asc, doc freq
+desc, term asc). The Levenshtein-automaton-vs-FST intersection becomes the
+banded-DP scan over the (content) vocabulary that FuzzyQuery already uses —
+vocab-sized work, never postings-sized.
+"""
+
+from __future__ import annotations
+
+from lucene_ray.search.query import FuzzyQuery
+from lucene_ray.search.rewrite import expand_fuzzy
+
+
+def suggest_terms(
+    reader,
+    term: str,
+    k: int = 5,
+    max_edits: int = 2,
+    include_exact: bool = False,
+) -> list[tuple[str, int, int]]:
+    """Top-k (term, distance, df) suggestions for ``term`` from the index
+    vocabulary. ``include_exact=False`` drops the input itself when it is a
+    dictionary word (DirectSpellChecker's suggestMode semantics)."""
+    from lucene_ray.search.rewrite import _levenshtein_within
+
+    vocab = reader.vocabulary()
+    cands = expand_fuzzy(vocab, FuzzyQuery(term, max_edits=max_edits))
+    if not include_exact:
+        cands = [t for t in cands if t != term]
+    if not cands:
+        return []
+    stats = reader.global_term_stats(cands)
+
+    def distance(t: str) -> int:
+        for d in range(max_edits + 1):
+            if _levenshtein_within(term, t, d):
+                return d
+        return max_edits
+
+    scored = [(distance(t), -stats[t][0], t) for t in cands]
+    scored.sort()
+    return [(t, d, -neg_df) for d, neg_df, t in scored[:k]]

@@ -543,3 +543,48 @@ class TestReviewRegressions:
             np.array([s for _, s in got], dtype=np.float32),
             np.array([s for _, s in want], dtype=np.float32),
         )
+
+
+class TestSuggest:
+    def test_suggest_ranking(self, ix, docs):
+        from lucene_ray.search.suggest import suggest_terms
+
+        s = IndexSearcher(ix)
+        got = suggest_terms(s.reader, "mrege", k=3)
+        assert got, "expected suggestions for a near-miss of 'merge'"
+        # naive oracle over the tokenized corpus
+        import collections
+
+        df = collections.Counter()
+        for d in docs:
+            for t in set(d):
+                df[t] += 1
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        cand = [
+            (lev("mrege", t), -c, t)
+            for t, c in df.items()
+            if lev("mrege", t) <= 2 and t != "mrege"
+        ]
+        cand.sort()
+        want = [(t, d, -nc) for d, nc, t in cand[:3]]
+        assert got == want
+        # the obvious correction ranks first
+        assert got[0][0] == "merge"
+
+    def test_exact_word_excluded_by_default(self, ix):
+        from lucene_ray.search.suggest import suggest_terms
+
+        s = IndexSearcher(ix)
+        got = suggest_terms(s.reader, "merge", k=5)
+        assert all(t != "merge" for t, _, _ in got)
+        got2 = suggest_terms(s.reader, "merge", k=5, include_exact=True)
+        assert got2[0][0] == "merge" and got2[0][1] == 0
