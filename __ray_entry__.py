@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_engine": bm25docs.sort_engine,
         "facet_engine": bm25docs.facet_engine,
         "suggest_engine": bm25docs.suggest_engine,
+        "mlt_engine": bm25docs.mlt_engine,
         # --- analysis chain + aggregations (§2.2/2.5)
         "term_stats": text.term_stats,
         "doc_token_stats": text.doc_token_stats,
@@ -91,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_engine": bm25docs.sort_engine_sql(),
         "facet_engine": bm25docs.facet_engine_sql(),
         "suggest_engine": bm25docs.suggest_engine_sql(),
+        "mlt_engine": bm25docs.mlt_engine_sql(),
         "term_stats": text.term_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),
         "text_quality": text.text_quality_sql(),

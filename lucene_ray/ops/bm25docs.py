@@ -709,6 +709,77 @@ WITH tok AS (
 """
 
 
+MLT_SEEDS = [3, 17, 42]  # seed doc_ids (exist at every test scale)
+
+
+def mlt_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): MoreLikeThis — for each seed document, select the top
+    tf*idf terms (queries/mlt/MoreLikeThis.java createQueue spec, see
+    search/mlt.py) and match docs containing ANY of them. qid = seed
+    doc_id; the seed itself matches too (as in the reference — callers
+    filter). Unboosted clauses -> float-free doc sets, SQL-checked
+    exactly (term SELECTION uses libm-ln doubles reproduced by DuckDB)."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.mlt import more_like_this
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = {int(ids[i]): docs.column("text")[i].as_py() for i in np.nonzero(np.isin(ids, MLT_SEEDS))[0]}
+    out_q, out_d = [], []
+    for seed in MLT_SEEDS:
+        bq = more_like_this(s.reader, texts[seed], s.analyzer)
+        if not bq.should:
+            continue
+        td = s.search(bq, 1_000_000)
+        out_q.extend([seed] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def mlt_engine_sql() -> str:
+    from lucene_ray.search.mlt import (
+        MLT_MAX_QUERY_TERMS,
+        MLT_MIN_DOC_FREQ,
+        MLT_MIN_TERM_FREQ,
+    )
+
+    toks = tokenize_sql_expr("text")
+    seeds = ", ".join(f"({s})" for s in MLT_SEEDS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), n AS (
+  SELECT count(*)::DOUBLE AS n FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), sel AS (
+  SELECT s.seed, t.term,
+         row_number() OVER (
+           PARTITION BY s.seed
+           ORDER BY t.tf::DOUBLE * (1.0 + ln(n.n / (d.df + 1.0))) DESC, t.term ASC
+         ) AS rn
+  FROM (VALUES {seeds}) s(seed)
+  JOIN tf t ON t.doc_id = s.seed AND t.tf >= {MLT_MIN_TERM_FREQ}
+  JOIN dfs d ON d.term = t.term AND d.df >= {MLT_MIN_DOC_FREQ}
+  CROSS JOIN n
+)
+SELECT DISTINCT q.seed AS qid, k.doc_id AS docid
+FROM sel q JOIN tok k ON k.term = q.term
+WHERE q.rn <= {MLT_MAX_QUERY_TERMS}
+"""
+
+
 def phrase_engine_sql() -> str:
     toks = tokenize_sql_expr("text")
     parts = []

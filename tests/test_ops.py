@@ -193,6 +193,11 @@ class TestBM25Docs:
 
         assert_same(bm25docs.multiterm_engine(SF), con, bm25docs.multiterm_engine_sql())
 
+    def test_mlt_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.mlt_engine(SF), con, bm25docs.mlt_engine_sql())
+
     def test_bm25_engine_runs(self):
         from lucene_ray.ops import bm25docs
 
