@@ -709,6 +709,80 @@ WITH tok AS (
 """
 
 
+GROUP_QUERIES: list[tuple[int, str, str]] = [
+    # (qid, query, group field) — documents_as_corpus maps lang->lang,
+    # source->repo; within-group sort field is the n_chars doc value
+    (0, "merge", "lang"),
+    (1, "window table", "repo"),
+]
+GROUP_K_GROUPS = 3
+GROUP_K_PER_GROUP = 2
+
+
+def group_engine(sf_dir: str) -> pa.Table:
+    """(qid, group_value, grp_rank, rank, docid): grouped top-k — top 3
+    groups by (hit count desc, value asc), top 2 docs per group by
+    (n_chars desc, docid asc). Float-free, SQL-checked exactly (see
+    search/grouping.py for the reference mapping)."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.grouping import group_topk
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out = {"qid": [], "group_value": [], "grp_rank": [], "rank": [], "docid": []}
+    for qid, q, fld in GROUP_QUERIES:
+        for g in group_topk(s, q, fld, "n_chars", GROUP_K_GROUPS, GROUP_K_PER_GROUP):
+            for r, d in enumerate(g.docids):
+                out["qid"].append(qid)
+                out["group_value"].append(str(g.group_value))
+                out["grp_rank"].append(g.group_rank)
+                out["rank"].append(r)
+                out["docid"].append(int(d))
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "group_value": pa.array(out["group_value"], type=pa.string()),
+            "grp_rank": pa.array(out["grp_rank"], type=pa.int32()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "docid": pa.array(out["docid"], type=pa.int64()),
+        }
+    )
+
+
+def group_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    col = {"lang": "lang", "repo": "source"}
+    ctes, selects = [], []
+    for qid, q, fld in GROUP_QUERIES:
+        terms = CodeAnalyzer().tokenize_text(q)
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        c = col[fld]
+        ctes.append(
+            f"hits{qid} AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({in_list})),\n"
+            f"g{qid} AS (SELECT d.{c} AS gv, count(*) AS cnt FROM documents d "
+            f"JOIN hits{qid} USING (doc_id) GROUP BY d.{c}),\n"
+            f"topg{qid} AS (SELECT gv, row_number() OVER (ORDER BY cnt DESC, gv ASC) - 1 AS grank "
+            f"FROM g{qid} QUALIFY grank < {GROUP_K_GROUPS}),\n"
+            f"docs{qid} AS (SELECT d.{c} AS gv, d.doc_id, "
+            f"row_number() OVER (PARTITION BY d.{c} ORDER BY length(d.text) DESC, d.doc_id ASC) - 1 AS rank "
+            f"FROM documents d JOIN hits{qid} USING (doc_id))"
+        )
+        selects.append(
+            f"SELECT {qid} AS qid, t.gv AS group_value, t.grank::INTEGER AS grp_rank, "
+            f"d.rank::INTEGER AS rank, d.doc_id AS docid "
+            f"FROM topg{qid} t JOIN docs{qid} d ON d.gv = t.gv WHERE d.rank < {GROUP_K_PER_GROUP}"
+        )
+    cte_block = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+{cte_block}
+{union}
+"""
+
+
 MLT_SEEDS = [3, 17, 42]  # seed doc_ids (exist at every test scale)
 
 

@@ -198,6 +198,11 @@ class TestBM25Docs:
 
         assert_same(bm25docs.mlt_engine(SF), con, bm25docs.mlt_engine_sql())
 
+    def test_group_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.group_engine(SF), con, bm25docs.group_engine_sql())
+
     def test_bm25_engine_runs(self):
         from lucene_ray.ops import bm25docs
 
