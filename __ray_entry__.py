@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_engine": bm25docs.suggest_engine,
         "mlt_engine": bm25docs.mlt_engine,
         "group_engine": bm25docs.group_engine,
+        "span_engine": bm25docs.span_engine,
         # --- analysis chain + aggregations (§2.2/2.5)
         "term_stats": text.term_stats,
         "doc_token_stats": text.doc_token_stats,
@@ -95,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_engine": bm25docs.suggest_engine_sql(),
         "mlt_engine": bm25docs.mlt_engine_sql(),
         "group_engine": bm25docs.group_engine_sql(),
+        "span_engine": bm25docs.span_engine_sql(),
         "term_stats": text.term_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),
         "text_quality": text.text_quality_sql(),

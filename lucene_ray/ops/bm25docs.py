@@ -709,6 +709,77 @@ WITH tok AS (
 """
 
 
+SPAN_QUERIES: list[tuple[int, tuple[str, ...], int, bool]] = [
+    # (qid, terms, slop, ordered)
+    (0, ("merge", "sort"), 0, True),       # strict "merge sort" adjacency
+    (1, ("sort", "merge"), 3, True),       # ordered with gaps
+    (2, ("batch", "window"), 5, False),    # unordered proximity
+    (3, ("key", "order", "scan"), 6, False),
+    (4, ("window", "batch"), 1, True),
+]
+
+
+def span_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): SpanNearQuery ordered/unordered proximity doc sets
+    through the engine (positions-join oracle; float-free)."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, SpanNearQuery
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, terms, slop, ordered in SPAN_QUERIES:
+        td = s.search(
+            BooleanQuery(should=[SpanNearQuery(terms, slop=slop, ordered=ordered)]),
+            1_000_000,
+        )
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def span_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, terms, slop, ordered in SPAN_QUERIES:
+        k = len(terms)
+        if ordered:
+            joins = " ".join(
+                f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.term = '{terms[j]}' "
+                f"AND t{j}.pos > t{j-1}.pos"
+                for j in range(1, k)
+            )
+            parts.append(
+                f"SELECT DISTINCT {qid} AS qid, t0.doc_id AS docid FROM tok t0 {joins} "
+                f"WHERE t0.term = '{terms[0]}' AND (t{k-1}.pos - t0.pos - {k-1}) <= {slop}"
+            )
+        else:
+            joins = " ".join(
+                f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.term = '{terms[j]}'"
+                for j in range(1, k)
+            )
+            ps = [f"t{j}.pos" for j in range(k)]
+            parts.append(
+                f"SELECT DISTINCT {qid} AS qid, t0.doc_id AS docid FROM tok t0 {joins} "
+                f"WHERE t0.term = '{terms[0]}' AND "
+                f"greatest({', '.join(ps)}) - least({', '.join(ps)}) <= {slop + k - 1}"
+            )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""
+
+
 GROUP_QUERIES: list[tuple[int, str, str]] = [
     # (qid, query, group field) — documents_as_corpus maps lang->lang,
     # source->repo; within-group sort field is the n_chars doc value

@@ -40,6 +40,7 @@ from lucene_ray.search.query import (
     PointRangeQuery,
     PrefixQuery,
     RegexpQuery,
+    SpanNearQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -121,7 +122,7 @@ def build_scorers(
     for q in flat_clauses(bq):
         if isinstance(q, TermQuery):
             scorers[q] = sim.scorer(stats[q.term][0], doc_count, sum_ttf, boost=q.boost)
-        elif isinstance(q, PhraseQuery):
+        elif isinstance(q, (PhraseQuery, SpanNearQuery)):
             dfs = [stats[t][0] for t in q.terms]
             scorers[q] = sim.phrase_scorer(dfs, doc_count, sum_ttf, boost=q.boost)
         elif isinstance(q, SynonymQuery):

@@ -44,6 +44,30 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class SpanNearQuery:
+    """Proximity match over single-term sub-spans (queries/src/java/org/
+    apache/lucene/queries/spans/SpanNearQuery.java; matchers
+    NearSpansOrdered.java / NearSpansUnordered.java).
+
+    ordered=True: positions p_1 < p_2 < ... < p_k (each sub-span starts
+    after the previous one ends) with total gap
+    p_k - p_1 - (k-1) <= slop.
+    ordered=False: one occurrence per term inside a window of width
+    max - min + 1 - k <= slop (order-free — distinct from sloppy
+    PhraseQuery, whose offset-ADJUSTED span penalizes reordering).
+
+    Repeated terms are rejected (the reference's repeats handling is not
+    ported for spans; PhraseQuery(slop) covers that shape). Scored like a
+    phrase (freq = greedy non-overlapping match count, engine-defined;
+    doc SETS match the reference)."""
+
+    terms: tuple
+    slop: int = 0
+    ordered: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SynonymQuery:
     """Multiple terms scored as ONE pseudo-term: per-doc tf = sum over
     synonyms, df = max over synonyms (search/SynonymQuery.java:50 blended

@@ -39,6 +39,7 @@ from lucene_ray.search.query import (
     MatchAllDocsQuery,
     PhraseQuery,
     PointRangeQuery,
+    SpanNearQuery,
     SynonymQuery,
     TermQuery,
 )
@@ -309,8 +310,17 @@ def _sloppy_phrase_postings(
 
     if len(set(terms)) < k:
         return _sloppy_repeats(per_term, cand, k, slop)
+    return _covering_window_sweep(per_term, cand, k, slop)
 
-    # merged (doc, adj_pos, term_idx) restricted to candidate docs
+
+def _covering_window_sweep(per_term, cand: np.ndarray, k: int, width: int):
+    """Shared matcher core: docs where some window of the merged per-term
+    position streams covers all k terms with max(pos) - min(pos) <= width;
+    freq = greedy non-overlapping window count. Used with offset-ADJUSTED
+    positions + width=slop by the sloppy phrase matcher, and with RAW
+    positions + width=slop+k-1 by unordered span-near."""
+    empty = np.array([], dtype=np.int64)
+    # merged (doc, pos, term_idx) restricted to candidate docs
     d_all = np.concatenate([d for d, _ in per_term])
     a_all = np.concatenate([a for _, a in per_term])
     t_all = np.concatenate(
@@ -344,7 +354,7 @@ def _sloppy_phrase_postings(
             while counts[tidx[left]] > 1:
                 counts[tidx[left]] -= 1
                 left += 1
-            if apos[right] - apos[left] <= slop:
+            if apos[right] - apos[left] <= width:
                 freq += 1
                 # greedy non-overlap: consume the whole window
                 for j in range(left, right + 1):
@@ -401,6 +411,74 @@ def _sloppy_repeats(per_term, cand: np.ndarray, k: int, slop: int):
     return np.array(out_docs, dtype=np.int64), np.array(out_freqs, dtype=np.int64)
 
 
+def _span_near_postings(
+    reader, terms: tuple, slop: int, ordered: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """SpanNearQuery doc sets + engine-defined freqs (see query.py
+    SpanNearQuery docstring for the ordered/unordered criteria and the
+    reference files they mirror).
+
+    Unordered reuses the covering-window sweep over RAW positions with
+    width slop + k - 1 (max - min + 1 - k <= slop). Ordered runs a greedy
+    minimal chain per start occurrence: from each position of term 0 take
+    the smallest strictly-increasing positions of terms 1..k-1; the chain
+    minimizes the end position, so it finds a valid selection iff one
+    exists (NearSpansOrdered's stretch-to-match argument); freq counts
+    non-overlapping matches greedily."""
+    if len(set(terms)) < len(terms):
+        raise ValueError("SpanNearQuery with repeated terms is not supported")
+    empty = np.array([], dtype=np.int64)
+    k = len(terms)
+    per_term = []
+    cand: np.ndarray | None = None
+    for t in terms:
+        p = reader.postings(t)
+        if p is None:
+            return empty, empty
+        if p._ttf > 0 and len(p._pos_blob) == 0:
+            raise ValueError(
+                "span query on an index built without positions "
+                "(index_options='freqs'); rebuild with 'positions'"
+            )
+        d_rep, abs_pos = p.flat_positions()
+        per_term.append((d_rep, abs_pos.astype(np.int64)))
+        cand = p.docids if cand is None else np.intersect1d(cand, p.docids, assume_unique=True)
+        if len(cand) == 0:
+            return empty, empty
+    if not ordered:
+        return _covering_window_sweep(per_term, cand, k, slop + k - 1)
+
+    out_docs, out_freqs = [], []
+    for doc in cand:
+        pos = []
+        for d_rep, ap in per_term:
+            lo = int(np.searchsorted(d_rep, doc, side="left"))
+            hi = int(np.searchsorted(d_rep, doc, side="right"))
+            pos.append(ap[lo:hi])  # ascending (positions encoded in order)
+        freq = 0
+        min_start = -1
+        for p0 in pos[0]:
+            if p0 <= min_start:
+                continue  # greedy non-overlap with the previous match
+            p = int(p0)
+            ok = True
+            for i in range(1, k):
+                j = int(np.searchsorted(pos[i], p, side="right"))
+                if j == len(pos[i]):
+                    ok = False
+                    break
+                p = int(pos[i][j])
+            if ok and (p - int(p0) - (k - 1)) <= slop:
+                freq += 1
+                min_start = p
+        if freq:
+            out_docs.append(int(doc))
+            out_freqs.append(freq)
+    if not out_docs:
+        return empty, empty
+    return np.array(out_docs, dtype=np.int64), np.array(out_freqs, dtype=np.int64)
+
+
 def _union_sum_tfs(parts: list[tuple[np.ndarray, np.ndarray]]):
     """Union doc sets summing tfs (SynonymQuery blended postings)."""
     if not parts:
@@ -430,6 +508,15 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 docids, freqs = _sloppy_phrase_postings(reader, q.terms, q.slop)
             else:
                 docids, freqs = _phrase_postings(reader, q.terms)
+            if len(docids) == 0:
+                continue
+            sc = scorers[q]
+            ms = float(
+                sc.score(freqs.astype(np.float32), reader.norm_bytes[docids]).max()
+            )
+            out.append(_Clause(q, None, sc, (docids, freqs), max_score=ms))
+        elif isinstance(q, SpanNearQuery):
+            docids, freqs = _span_near_postings(reader, q.terms, q.slop, q.ordered)
             if len(docids) == 0:
                 continue
             sc = scorers[q]

@@ -198,6 +198,11 @@ class TestBM25Docs:
 
         assert_same(bm25docs.mlt_engine(SF), con, bm25docs.mlt_engine_sql())
 
+    def test_span_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.span_engine(SF), con, bm25docs.span_engine_sql())
+
     def test_group_engine(self, con):
         from lucene_ray.ops import bm25docs
 

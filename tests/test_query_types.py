@@ -588,3 +588,82 @@ class TestSuggest:
         assert all(t != "merge" for t, _, _ in got)
         got2 = suggest_terms(s.reader, "merge", k=5, include_exact=True)
         assert got2[0][0] == "merge" and got2[0][1] == 0
+
+
+class TestSpanNear:
+    """SpanNearQuery vs a brute-force positional oracle over the tokenized
+    corpus (NearSpansOrdered / NearSpansUnordered doc-set semantics)."""
+
+    def _ordered(self, toks, terms, slop):
+        import itertools
+
+        lists = [[p for p, t in enumerate(toks) if t == term] for term in terms]
+        if any(not l for l in lists):
+            return False
+        for sel in itertools.product(*lists):
+            if all(sel[i] < sel[i + 1] for i in range(len(sel) - 1)) and (
+                sel[-1] - sel[0] - (len(sel) - 1)
+            ) <= slop:
+                return True
+        return False
+
+    def _unordered(self, toks, terms, slop):
+        import itertools
+
+        lists = [[p for p, t in enumerate(toks) if t == term] for term in terms]
+        if any(not l for l in lists):
+            return False
+        k = len(terms)
+        for sel in itertools.product(*lists):
+            if max(sel) - min(sel) + 1 - k <= slop:
+                return True
+        return False
+
+    @pytest.mark.parametrize(
+        "terms,slop",
+        [
+            (("merge", "flush"), 0),
+            (("merge", "flush"), 2),
+            (("index", "merge"), 3),
+            (("merge", "flush", "index"), 5),
+        ],
+    )
+    def test_ordered_matches_oracle(self, ix, docs, terms, slop):
+        from lucene_ray.search.query import SpanNearQuery
+
+        s = IndexSearcher(ix)
+        got = doc_set(s, BooleanQuery(should=[SpanNearQuery(terms, slop=slop, ordered=True)]))
+        want = {i for i, toks in enumerate(docs) if self._ordered(toks, terms, slop)}
+        assert got == want
+
+    @pytest.mark.parametrize(
+        "terms,slop",
+        [
+            (("merge", "flush"), 0),
+            (("merge", "flush"), 1),
+            (("merge", "flush", "index"), 4),
+        ],
+    )
+    def test_unordered_matches_oracle(self, ix, docs, terms, slop):
+        from lucene_ray.search.query import SpanNearQuery
+
+        s = IndexSearcher(ix)
+        got = doc_set(s, BooleanQuery(should=[SpanNearQuery(terms, slop=slop, ordered=False)]))
+        want = {i for i, toks in enumerate(docs) if self._unordered(toks, terms, slop)}
+        assert got == want
+
+    def test_ordered_subset_of_unordered(self, ix):
+        from lucene_ray.search.query import SpanNearQuery
+
+        s = IndexSearcher(ix)
+        for slop in (0, 2, 5):
+            o = doc_set(s, BooleanQuery(should=[SpanNearQuery(("merge", "flush"), slop=slop, ordered=True)]))
+            u = doc_set(s, BooleanQuery(should=[SpanNearQuery(("merge", "flush"), slop=slop, ordered=False)]))
+            assert o <= u
+
+    def test_repeated_terms_rejected(self, ix):
+        from lucene_ray.search.query import SpanNearQuery
+
+        s = IndexSearcher(ix)
+        with pytest.raises(ValueError):
+            s.search(BooleanQuery(should=[SpanNearQuery(("merge", "merge"), slop=2)]), 10)
