@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reproduce the engine-defined hash family, the identity it CAN)
         "fingerprint_shift": text.fingerprint_shift,
         "bpe_token_count": text.bpe_token_count,
+        "sample_hash": text.sample_hash,
         # --- dedup family (training-data ops)
         "dedup_exact": dedup.dedup_exact,
         "content_sha": dedup.content_sha,
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.lang_id_sql(),
         "fingerprint_shift": text.fingerprint_shift_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),
+        "sample_hash": text.sample_hash_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "content_sha": dedup.content_sha_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),

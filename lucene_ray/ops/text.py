@@ -406,3 +406,39 @@ def _stable_token_hash(terms: pa.Array) -> np.ndarray:
                 h = (h ^ np.uint64(b)) * np.uint64(1099511628211)
             hs[i] = h
     return hs[idx]
+
+
+# ------------------------------------------------------- deterministic sample
+
+SAMPLE_NUM = 3   # keep-rate numerator
+SAMPLE_DEN = 20  # keep-rate denominator (3/20 = 15% sample)
+
+
+def sample_hash(
+    sf_dir: str, num: int = SAMPLE_NUM, den: int = SAMPLE_DEN
+) -> "ray.data.Dataset":
+    """(doc_id,): deterministic content-hash sampling — keep a doc iff the
+    first 8 hex chars of sha256(text), read as an integer, satisfy
+    ``value % den < num``. The reproducible train/eval-split primitive for
+    training-data pipelines: a pure map_batches filter (no shuffle, no
+    state, no RNG), so the sample is identical across runs, cluster sizes
+    and repartitionings — properties ds.random_sample() cannot give.
+    (Sampling-role analog of the reference's
+    facet/.../RandomSamplingFacetsCollector.java, content-keyed.)"""
+    import hashlib
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = [
+            int(hashlib.sha256(t.encode()).hexdigest()[:8], 16) % den < num
+            for t in batch.column("text").to_pylist()
+        ]
+        return batch.filter(pa.array(keep)).select(["doc_id"])
+
+    return _docs(sf_dir).map_batches(pick, batch_format="pyarrow", batch_size=4096)
+
+
+def sample_hash_sql(num: int = SAMPLE_NUM, den: int = SAMPLE_DEN) -> str:
+    return f"""
+SELECT doc_id FROM documents
+WHERE CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT) % {den} < {num}
+"""

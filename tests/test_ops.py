@@ -70,6 +70,11 @@ class TestTextOps:
 
         assert_same(text.lang_id(SF), con, text.lang_id_sql())
 
+    def test_sample_hash(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.sample_hash(SF), con, text.sample_hash_sql())
+
     def test_fingerprint_deterministic(self):
         from lucene_ray.ops import text
 
