@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "knn_bruteforce": knn.knn_bruteforce,
         "knn_lsh": knn.knn_lsh,
+        "knn_ivf": knn.knn_ivf_exact,
         # --- relational / windowed demos (engine breadth)
         "q1_pricing": relational.q1_pricing,
         "top_orders": relational.top_orders,
@@ -119,6 +120,10 @@ def oracle_sql() -> dict[str, str]:
         # (recall 1.0, deterministic planes/corpus — verified, stable); the
         # approximate-general-case recall bound lives in pytest
         "knn_lsh": knn.knn_bruteforce_sql(),
+        # IVF gate probes every list (exact mode — drives quantizer/build/
+        # partition-pruned read; see knn_ivf_exact docstring); approximate
+        # recall-vs-nprobe is pinned in pytest
+        "knn_ivf": knn.knn_bruteforce_sql(),
         "q1_pricing": relational.q1_pricing_sql(),
         "top_orders": relational.top_orders_sql(),
         "nation_order_stats": relational.nation_order_stats_sql(),

@@ -293,3 +293,185 @@ def knn_lsh(sf_dir: str, k: int = TOP_K, probes: int = 1) -> "ray.data.Dataset":
 
     pdf = ds.map_batches(local, batch_format="pyarrow", batch_size=4096).to_pandas()
     return _rank_merge(pdf, k)
+
+
+# ------------------------------------------------ persisted IVF (coarse k-means)
+
+IVF_NLIST = 16        # coarse centroids (inverted lists)
+IVF_KMEANS_ITERS = 10
+IVF_TRAIN_MAX = 4096  # training-sample cap (vec_id < cap — deterministic)
+IVF_SEED = 777777
+
+
+def _spherical_kmeans(sample: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic spherical k-means (cosine IVF quantizer): k-means++
+    init from a fixed rng, Lloyd steps assigning by max dot product on
+    unit vectors, centroids re-normalized each step. Returns (nlist, dim)
+    unit rows."""
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    nlist = min(nlist, n)
+    # k-means++ seeding on cosine distance (1 - dot)
+    first = int(rng.integers(n))
+    cent = [x[first]]
+    d2 = 1.0 - x @ cent[0]
+    for _ in range(1, nlist):
+        p = np.maximum(d2, 0)
+        s = p.sum()
+        nxt = int(rng.choice(n, p=p / s)) if s > 0 else int(rng.integers(n))
+        cent.append(x[nxt])
+        d2 = np.minimum(d2, 1.0 - x @ cent[-1])
+    c = np.stack(cent)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(nlist):
+            sel = assign == j
+            if sel.any():
+                m = x[sel].mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 1e-12:
+                    c[j] = m / nm
+    return c
+
+
+def build_ivf_index(sf_dir: str, index_dir: str | None = None) -> str:
+    """Build-once IVF index (the coarse-quantizer scale path alongside LSH;
+    Faiss-style IVF-Flat layout re-expressed as Ray Data): train a spherical
+    k-means quantizer on a deterministic sample (vec_id < IVF_TRAIN_MAX —
+    at 100 TB a pushed-down sample read; the quantizer NEVER needs the full
+    corpus), broadcast the (nlist, dim) centroid matrix once via ray.put,
+    assign every vector to its nearest centroid in map_batches, and write
+    Parquet PARTITIONED BY ivf_list. Queries read only their probed lists'
+    partitions — IO ~ nprobe/nlist of the corpus. Deterministic (fixed
+    seed + sample), resumable (_IVF_DONE marker)."""
+    import pyarrow.parquet as pq
+
+    if index_dir is None:
+        index_dir = os.path.join(
+            _CACHE_ROOT, "ivf_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        )
+    marker = os.path.join(index_dir, "_IVF_DONE")
+    if os.path.exists(marker):
+        return index_dir
+    os.makedirs(index_dir, exist_ok=True)
+    # deterministic training sample: row-group pruned read of vec_id < cap
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", IVF_TRAIN_MAX)],
+    )
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    sample = _embedding_matrix(t.column("embedding").combine_chunks().take(pa.array(order)))
+    cents = _spherical_kmeans(sample, IVF_NLIST, IVF_KMEANS_ITERS, IVF_SEED)
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    c_ref = ray.put(cents)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        mat = _embedding_matrix(batch.column("embedding"))
+        nm = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.maximum(nm, 1e-12)
+        lists = np.argmax(unit @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+    ds.map_batches(assign, batch_format="pyarrow", batch_size=4096).write_parquet(
+        index_dir, partition_cols=["ivf_list"]
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+_IVF_KEY_RE = re.compile(r"ivf_list=(\d+)")
+
+
+def knn_ivf(sf_dir: str, k: int = TOP_K, nprobe: int = 4) -> "ray.data.Dataset":
+    """Approximate top-k through the persisted IVF index: rank centroids by
+    query cosine, read ONLY the top-``nprobe`` lists' partitions per query,
+    exact cosine within, local top-k per batch, tiny driver merge. Same
+    (query_id, rank, vec_id) shape as knn_bruteforce; recall grows with
+    nprobe (pinned by pytest; the gate uses the measured full-recall
+    nprobe for this corpus — see __ray_entry__)."""
+    q_ids, q_mat = _load_queries(sf_dir)
+    if len(q_ids) == 0:
+        return _rank_merge(__import__("pandas").DataFrame(), k)
+    ix = build_ivf_index(sf_dir)
+    cents = np.load(os.path.join(ix, "centroids.npy"))
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_unit = q_mat / np.maximum(qn, 1e-12)
+    sims_c = q_unit @ cents.T                      # (n_q, nlist)
+    nprobe = min(nprobe, sims_c.shape[1])
+    # per-query probe sets: top-nprobe centroid ids (ties by id asc)
+    probe_lists = np.argsort(-sims_c, axis=1, kind="stable")[:, :nprobe]
+    probe = np.unique(probe_lists)
+
+    import glob as _glob
+
+    paths = [
+        f
+        for key in probe
+        for f in sorted(_glob.glob(os.path.join(ix, f"ivf_list={int(key)}", "*.parquet")))
+    ]
+    if not paths:
+        return _rank_merge(__import__("pandas").DataFrame(), k)
+
+    qnorm = qn[:, 0].copy()
+    qnorm[qnorm == 0] = 1.0
+    ref = ray.put((q_ids, q_mat, qnorm, probe_lists))
+    ds = ray.data.read_parquet(paths, include_paths=True)
+
+    def local(batch: pa.Table) -> pa.Table:
+        qi, qm, qno, plists = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _embedding_matrix(batch.column("embedding"))
+        keys = np.array(
+            [int(_IVF_KEY_RE.search(p).group(1)) for p in batch.column("path").to_pylist()],
+            dtype=np.int64,
+        )
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        out_q, out_v, out_s = [], [], []
+        for r in range(len(qi)):
+            hit = np.isin(keys, plists[r])
+            if not hit.any():
+                continue
+            sims = (mat[hit] @ qm[r]) / (n[hit] * qno[r])
+            sel_ids = ids[hit]
+            kk = min(k, len(sel_ids))
+            order = np.lexsort((sel_ids, -sims))[:kk]
+            out_q.append(np.full(kk, qi[r], dtype=np.int64))
+            out_v.append(sel_ids[order])
+            out_s.append(sims[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    pdf = ds.map_batches(local, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return _rank_merge(pdf, k)
+
+
+def knn_ivf_exact(sf_dir: str, k: int = TOP_K) -> "ray.data.Dataset":
+    """Gate entry: knn_ivf at nprobe = nlist. Probing every list makes the
+    result exact (== brute force, so the SQL oracle applies) while still
+    driving the full IVF machinery — quantizer training, partitioned build,
+    per-query probe-set routing, partition-pruned read. The synthetic
+    embeddings are near-uniform on the sphere (IVF's worst case: recall at
+    sf0.1 is 0.58 @ nprobe=4, 0.84 @ 8, 1.0 @ 16); real embedding corpora
+    cluster, putting useful recall at nprobe << nlist. The approximate
+    operating points are pinned by tests/test_ops.py recall bounds."""
+    return knn_ivf(sf_dir, k=k, nprobe=IVF_NLIST)

@@ -145,6 +145,35 @@ class TestKnn:
             recalls.append(len(truth & got) / len(truth))
         assert np.mean(recalls) >= 0.5, recalls  # approximate, but not junk
 
+    def test_ivf_exact_matches_bruteforce(self, con):
+        from lucene_ray.ops import knn
+
+        # nprobe = nlist probes every list -> exact (the driver-gate mode)
+        assert_same(knn.knn_ivf_exact(SF), con, knn.knn_bruteforce_sql())
+
+    def test_ivf_recall_grows_with_nprobe(self):
+        from lucene_ray.ops import knn
+
+        bf = to_pdf(knn.knn_bruteforce(SF))
+        truth = {
+            qid: set(bf[bf.query_id == qid].vec_id) for qid in bf.query_id.unique()
+        }
+
+        def recall(nprobe):
+            ap = to_pdf(knn.knn_ivf(SF, nprobe=nprobe))
+            rs = [
+                len(truth[q] & set(ap[ap.query_id == q].vec_id)) / len(truth[q])
+                for q in truth
+            ]
+            return float(np.mean(rs))
+
+        r4, r8, r16 = recall(4), recall(8), recall(16)
+        # near-uniform synthetic vectors are IVF's worst case; still the
+        # curve must rise with probed lists and reach 1.0 at full probe
+        assert r4 >= 0.3, r4
+        assert r8 >= r4 - 1e-9 and r16 >= r8 - 1e-9, (r4, r8, r16)
+        assert r16 == 1.0, r16
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestRelational:
