@@ -160,7 +160,7 @@ class IndexSearcher:
               RegexpQuery, TermInSetQuery)
 
     def _maybe_rewrite(self, bq: BooleanQuery) -> BooleanQuery:
-        if any(isinstance(q, self._MULTI) for q in bq.must + bq.should + bq.must_not):
+        if any(isinstance(q, self._MULTI) for q in flat_clauses(bq)):
             return rewrite_query(
                 bq,
                 self.reader.vocabulary(),

@@ -199,19 +199,93 @@ class BooleanQuery:
         return out
 
 
-_TOKEN_RE = re.compile(r'"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?|(\S+)')
+_TOKEN_RE = re.compile(
+    r'"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?'      # "phrase"~slop^boost
+    r"|([+-]?)\(([^()]*)\)(?:\^(\d+(?:\.\d+)?))?"       # +(group of terms)^boost
+    r"|(\S+)"                                            # bare word
+)
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.*?)~(\d?)$")
 _FIELD_RE = re.compile(r"^([a-zA-Z_]+):(.+)$")
 
 
+def _token_queries(w, is_phrase, boost, slop, analyzer) -> list:
+    """Queries for ONE parsed token: field-scoped term/wildcard, fuzzy,
+    wildcard, phrase, or analyzed term(s). Shared by the top-level parser
+    and parenthesized groups."""
+    if not is_phrase:
+        fm = _FIELD_RE.match(w)
+        if fm:
+            from lucene_ray.config import KEYWORD_FIELDS
+
+            fld, val = fm.group(1), fm.group(2)
+            if fld in KEYWORD_FIELDS:
+                # StringField semantics: the value is NOT analyzed
+                # (queryparser/.../classic/QueryParser.java:84 field
+                # scoping; document/StringField.java exact terms)
+                if "*" in val or "?" in val:
+                    return [WildcardQuery(f"{fld}:{val}", boost=boost)]
+                return [TermQuery(f"{fld}:{val}", boost=boost)]
+            if fld == "content":
+                w = val  # the default field — analyze normally
+        m = _FUZZY_RE.match(w)
+        if m and m.group(1):
+            toks = analyzer.tokenize_text(m.group(1))
+            if toks:
+                edits = int(m.group(2)) if m.group(2) else 2
+                return [FuzzyQuery("".join(toks), max_edits=edits, boost=boost)]
+            return []
+        if "*" in w or "?" in w:
+            return [WildcardQuery(w.lower(), boost=boost)]
+    toks = analyzer.tokenize_text(w)
+    if not toks:
+        return []
+    if is_phrase and len(toks) > 1:
+        return [PhraseQuery(tuple(toks), boost=boost, slop=slop)]
+    return [TermQuery(t, boost=boost) for t in toks]
+
+
+def _parse_group(body: str, boost: float, analyzer) -> list:
+    """Disjuncts of a parenthesized OR-group. One nesting level, OR-only
+    (the reference's general nested BooleanQuery — QueryParser.jj Clause
+    recursion — is out of scope; AND / NOT / +/- inside parens raise rather
+    than silently change semantics)."""
+    disjuncts = []
+    for phrase, pslop, pboost, gsign, gbody, gboost, word in _TOKEN_RE.findall(body):
+        if word in ("OR", "||"):
+            continue
+        if word in ("AND", "&&", "NOT") or (
+            len(word) > 1 and word[0] in "+-"
+        ):
+            raise ValueError(
+                f"unsupported syntax inside group: {word!r} "
+                "(parenthesized groups are OR-only)"
+            )
+        if phrase:
+            disjuncts.extend(
+                _token_queries(
+                    phrase, True,
+                    boost * (float(pboost) if pboost else 1.0),
+                    int(pslop) if pslop else 0, analyzer,
+                )
+            )
+            continue
+        wb = 1.0
+        m = _BOOST_RE.match(word)
+        if m and m.group(1):
+            word, wb = m.group(1), float(m.group(2))
+        disjuncts.extend(_token_queries(word, False, boost * wb, 0, analyzer))
+    return disjuncts
+
+
 def parse_query(text: str, analyzer) -> BooleanQuery:
     bq = BooleanQuery()
     raw = _TOKEN_RE.findall(text)
-    words: list[tuple] = []  # (occur, text, is_phrase, boost, slop)
+    # (occur, text, kind, boost, slop) where kind is "word"|"phrase"|"group"
+    words: list[tuple] = []
     conj_and = False
     pending_occur = None
-    for phrase, pslop, pboost, word in raw:
+    for phrase, pslop, pboost, gsign, gbody, gboost, word in raw:
         if word in ("AND", "&&"):
             conj_and = True
             continue
@@ -224,8 +298,17 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         pending_occur = None
         if phrase:
             words.append(
-                (occur, phrase, True, float(pboost) if pboost else 1.0,
+                (occur, phrase, "phrase", float(pboost) if pboost else 1.0,
                  int(pslop) if pslop else 0)
+            )
+            continue
+        if gbody:
+            if gsign == "+":
+                occur = "must"
+            elif gsign == "-":
+                occur = "must_not"
+            words.append(
+                (occur, gbody, "group", float(gboost) if gboost else 1.0, 0)
             )
             continue
         if word.startswith("+") and len(word) > 1:
@@ -236,52 +319,25 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         m = _BOOST_RE.match(word)
         if m and m.group(1):
             word, boost = m.group(1), float(m.group(2))
-        words.append((occur, word, False, boost, 0))
+        words.append((occur, word, "word", boost, 0))
 
-    for occur, w, is_phrase, boost, slop in words:
+    for occur, w, kind, boost, slop in words:
         eff = occur
         if conj_and and occur == "should":
             eff = "must"
-        if not is_phrase:
-            fm = _FIELD_RE.match(w)
-            if fm:
-                from lucene_ray.config import KEYWORD_FIELDS
-
-                fld, val = fm.group(1), fm.group(2)
-                if fld in KEYWORD_FIELDS:
-                    # StringField semantics: the value is NOT analyzed
-                    # (queryparser/.../classic/QueryParser.java:84 field
-                    # scoping; document/StringField.java exact terms)
-                    if "*" in val or "?" in val:
-                        getattr(bq, eff).append(
-                            WildcardQuery(f"{fld}:{val}", boost=boost)
-                        )
-                    else:
-                        getattr(bq, eff).append(TermQuery(f"{fld}:{val}", boost=boost))
-                    continue
-                if fld == "content":
-                    w = val  # the default field — analyze normally
-            m = _FUZZY_RE.match(w)
-            if m and m.group(1):
-                toks = analyzer.tokenize_text(m.group(1))
-                if toks:
-                    edits = int(m.group(2)) if m.group(2) else 2
-                    getattr(bq, eff).append(
-                        FuzzyQuery("".join(toks), max_edits=edits, boost=boost)
-                    )
+        if kind == "group":
+            disjuncts = _parse_group(w, boost, analyzer)
+            if not disjuncts:
                 continue
-            if "*" in w or "?" in w:
-                getattr(bq, eff).append(WildcardQuery(w.lower(), boost=boost))
-                continue
-        toks = analyzer.tokenize_text(w)
-        if not toks:
+            if len(disjuncts) == 1:
+                getattr(bq, eff).append(disjuncts[0])
+            else:
+                # one composite clause: matches ANY disjunct, score = sum —
+                # MUST(BooleanQuery(SHOULD...)) / minShouldMatch counts it
+                # as one clause (BooleanQuery.java nested-clause counting)
+                getattr(bq, eff).append(DisjunctionSumQuery(tuple(disjuncts)))
             continue
-        if is_phrase and len(toks) > 1:
-            # eff, not occur: explicit AND promotes phrases to MUST too
-            getattr(bq, eff).append(
-                PhraseQuery(tuple(toks), boost=boost, slop=slop)
-            )
-            continue
-        for t in toks:
-            getattr(bq, eff).append(TermQuery(t, boost=boost))
+        # eff, not occur: explicit AND promotes phrases to MUST too
+        for q in _token_queries(w, kind == "phrase", boost, slop, analyzer):
+            getattr(bq, eff).append(q)
     return bq

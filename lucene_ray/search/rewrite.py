@@ -166,6 +166,17 @@ def rewrite_query(
     out = BooleanQuery(min_should_match=bq.min_should_match)
     for occur in ("must", "should", "must_not"):
         for q in getattr(bq, occur):
+            if isinstance(q, DisjunctionSumQuery):
+                # parser groups may hold multi-term disjuncts; expanding in
+                # place is exact (OR of expansions == expansion of the OR)
+                subs = [e for d in q.disjuncts for e in rewrite_clause(d)]
+                if subs:
+                    getattr(out, occur).append(
+                        DisjunctionSumQuery(tuple(subs), boost=q.boost)
+                    )
+                elif occur == "must":
+                    out.must.append(TermQuery("#NOMATCH#"))
+                continue
             expanded = rewrite_clause(q)
             if isinstance(
                 q,

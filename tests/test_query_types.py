@@ -667,3 +667,86 @@ class TestSpanNear:
         s = IndexSearcher(ix)
         with pytest.raises(ValueError):
             s.search(BooleanQuery(should=[SpanNearQuery(("merge", "merge"), slop=2)]), 10)
+
+
+class TestParserGroups:
+    """Parenthesized OR-groups: +(a b) / -(a b) / (a b)^2 parse to ONE
+    composite clause (QueryParser.jj Clause -> nested BooleanQuery, OR-only
+    subset; DisjunctionSumQuery = MUST(BooleanQuery(SHOULD...)))."""
+
+    def test_group_parse_shape(self):
+        from lucene_ray.search.query import DisjunctionSumQuery
+
+        an = get_analyzer("code")
+        bq = parse_query("+(merge flush) index", an)
+        assert len(bq.must) == 1 and isinstance(bq.must[0], DisjunctionSumQuery)
+        assert {q.term for q in bq.must[0].disjuncts} == {"merge", "flush"}
+        assert [q.term for q in bq.should] == ["index"]
+
+    def test_required_group_semantics(self, ix, docs):
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("+(merge flush) index"))
+        want = {i for i, d in enumerate(docs) if "merge" in d or "flush" in d}
+        assert got == want
+
+    def test_negated_group_semantics(self, ix, docs):
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("index -(merge flush)"))
+        want = {
+            i for i, d in enumerate(docs)
+            if "index" in d and "merge" not in d and "flush" not in d
+        }
+        assert got == want
+
+    def test_group_score_matches_flat_or(self, ix):
+        # sum semantics: a pure SHOULD group scores like the flat OR
+        s = IndexSearcher(ix)
+        flat = s.search("merge flush", 20)
+        grp = s.search("(merge flush)", 20)
+        assert grp.docids.tolist() == flat.docids.tolist()
+        np.testing.assert_allclose(grp.scores, flat.scores, rtol=1e-6)
+
+    def test_group_boost_scales_scores(self, ix):
+        s = IndexSearcher(ix)
+        base = s.search("(merge flush)", 10)
+        boosted = s.search("(merge flush)^2", 10)
+        assert boosted.docids.tolist() == base.docids.tolist()
+        np.testing.assert_allclose(boosted.scores, base.scores * 2.0, rtol=1e-5)
+
+    def test_group_with_multiterm_disjunct(self, ix, docs):
+        # wildcard inside a required group must still be REQUIRED after
+        # rewrite (rewrite_query recurses into DisjunctionSumQuery)
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("+(mer* flush) index"))
+        want = {
+            i for i, d in enumerate(docs)
+            if any(t.startswith("mer") for t in d) or "flush" in d
+        }
+        assert got == want
+
+    def test_group_with_phrase_and_field(self, ix, docs):
+        from lucene_ray.search.query import DisjunctionSumQuery
+
+        an = get_analyzer("code")
+        bq = parse_query('("sort merge" lang:py)', an)
+        grp = bq.should[0]
+        assert isinstance(grp, DisjunctionSumQuery)
+        kinds = {type(q).__name__ for q in grp.disjuncts}
+        assert kinds == {"PhraseQuery", "TermQuery"}
+
+    def test_and_inside_group_raises(self):
+        an = get_analyzer("code")
+        with pytest.raises(ValueError):
+            parse_query("(merge AND flush)", an)
+        with pytest.raises(ValueError):
+            parse_query("(+merge flush)", an)
+
+    def test_group_promoted_by_conjunction(self, ix, docs):
+        # explicit AND promotes a SHOULD group to MUST, like bare words
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("(merge flush) AND index"))
+        want = {
+            i for i, d in enumerate(docs)
+            if ("merge" in d or "flush" in d) and "index" in d
+        }
+        assert got == want
