@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt_engine": bm25docs.mlt_engine,
         "group_engine": bm25docs.group_engine,
         "span_engine": bm25docs.span_engine,
+        "count_engine": bm25docs.count_engine,
         # --- analysis chain + aggregations (§2.2/2.5)
         "term_stats": text.term_stats,
         "doc_token_stats": text.doc_token_stats,
@@ -99,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "mlt_engine": bm25docs.mlt_engine_sql(),
         "group_engine": bm25docs.group_engine_sql(),
         "span_engine": bm25docs.span_engine_sql(),
+        "count_engine": bm25docs.count_engine_sql(),
         "term_stats": text.term_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),
         "text_quality": text.text_quality_sql(),

@@ -925,6 +925,66 @@ WHERE q.rn <= {MLT_MAX_QUERY_TERMS}
 """
 
 
+def count_engine(sf_dir: str) -> pa.Table:
+    """(qid, n): exact hit counts through IndexSearcher.count — the
+    TotalHitCountCollector path (search/IndexSearcher.java:380), covering
+    boolean set algebra, the single-term docFreq shortcut, a parenthesized
+    OR-group, and the MatchAllDocsQuery doc-count shortcut."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, MatchAllDocsQuery
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    rows: list[tuple[int, int]] = []
+    for qid, q in BOOLEAN_QUERIES:
+        rows.append((qid, s.count(q)))
+    rows.append((6, s.count("merge")))            # docFreq shortcut
+    rows.append((7, s.count("+(merge window) batch")))  # group required set
+    rows.append((8, s.count(BooleanQuery(should=[MatchAllDocsQuery()]))))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def count_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    sets = {
+        0: "SELECT doc_id FROM has_merge INTERSECT SELECT doc_id FROM has_window",
+        1: "SELECT doc_id FROM has_batch EXCEPT SELECT doc_id FROM has_stream",
+        2: "SELECT doc_id FROM has_sort UNION SELECT doc_id FROM has_join",
+        3: (
+            "SELECT doc_id FROM has_table INTERSECT SELECT doc_id FROM has_scan "
+            "EXCEPT SELECT doc_id FROM has_hash"
+        ),
+        4: "SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'mer%'",
+        5: (
+            "SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'sor%' "
+            "INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'mer%'"
+        ),
+        6: "SELECT doc_id FROM has_merge",
+        7: "SELECT doc_id FROM has_merge UNION SELECT doc_id FROM has_window",
+        8: "SELECT doc_id FROM documents",
+    }
+    terms = ["merge", "window", "batch", "stream", "sort", "join", "table", "scan", "hash"]
+    ctes = ",\n".join(
+        f"has_{t} AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{t}')" for t in terms
+    )
+    counts = "\nUNION ALL\n".join(
+        f"SELECT {q} AS qid, CAST(COUNT(*) AS BIGINT) AS n FROM ({sets[q]})"
+        for q in sorted(sets)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+{ctes}
+SELECT qid, n FROM ({counts}) ORDER BY qid
+"""
+
+
 def phrase_engine_sql() -> str:
     toks = tokenize_sql_expr("text")
     parts = []

@@ -92,9 +92,9 @@ class SegmentShardActor:
         for e in self._entries:
             sr = self._reader.segment_reader(e.name)
             if pruned:
-                d, s, n = score_segment_pruned(sr, bq, scorers, k, theta)
+                d, s, n, _exact = score_segment_pruned(sr, bq, scorers, k, theta)
             else:
-                d, s, n = score_segment_exhaustive(sr, bq, scorers, k)
+                d, s, n, _exact = score_segment_exhaustive(sr, bq, scorers, k)
             total += n
             if len(d):
                 all_d.append(d + e.docid_base)

@@ -52,6 +52,7 @@ from lucene_ray.search.rewrite import rewrite_query
 from lucene_ray.search.reader import IndexReader
 from lucene_ray.search.scorer import (
     _topk,
+    count_segment,
     score_segment_exhaustive,
     score_segment_pruned,
 )
@@ -186,26 +187,21 @@ class IndexSearcher:
         scorers = self._scorers(bq)
         use_pruned = self.pruned and after is None
         score_fn = score_segment_pruned if use_pruned else score_segment_exhaustive
-        # pruning only actually skips clauses on pure-SHOULD shapes (other
-        # shapes fall back to the exhaustive path inside score_segment_pruned)
-        relation = (
-            "gte"
-            if use_pruned and not (bq.must or bq.must_not or bq.min_should_match > 1)
-            else "eq"
-        )
         all_docs, all_scores, total = [], [], 0
+        all_exact = True  # TotalHits.Relation: EQUAL_TO until a segment skips
         theta = 0.0
         for entry in self.reader.segments:
             sr = self.reader.segment_reader(entry.name)
             if use_pruned:
-                d, s, n = score_fn(sr, bq, scorers, k, theta)
+                d, s, n, exact = score_fn(sr, bq, scorers, k, theta)
             elif after is not None:
-                d, s, n = score_fn(
+                d, s, n, exact = score_fn(
                     sr, bq, scorers, k, after=(after[0], after[1] - entry.docid_base)
                 )
             else:
-                d, s, n = score_fn(sr, bq, scorers, k)
+                d, s, n, exact = score_fn(sr, bq, scorers, k)
             total += n
+            all_exact = all_exact and exact
             if len(d):
                 all_docs.append(d + entry.docid_base)
                 all_scores.append(s)
@@ -213,14 +209,47 @@ class IndexSearcher:
                 merged = np.concatenate(all_scores)
                 if len(merged) >= k:
                     theta = max(theta, float(np.partition(merged, -k)[-k]))
+        relation = "eq" if all_exact else "gte"
         if not all_docs:
             return TopDocs(
-                np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0, relation
+                np.array([], dtype=np.int64), np.array([], dtype=np.float32), total,
+                relation,
             )
         docids = np.concatenate(all_docs)
         scores = np.concatenate(all_scores)
         d, s = _topk(docids, scores, k)
         return TopDocs(d, s, total, relation)
+
+    def count(self, query: str | BooleanQuery) -> int:
+        """Exact hit count without collecting top-k
+        (search/IndexSearcher.java:380 count(): shortcut paths, then
+        TotalHitCountCollector). Shortcuts valid only with no deletions:
+        a lone TermQuery counts via its docFreq, MatchAllDocsQuery via the
+        doc count. Counts are always exact — candidate docid sets are free
+        in this design, so the reference's 1000-hit threshold approximation
+        is unnecessary."""
+        bq = self.parse(query) if isinstance(query, str) else query
+        bq = self._maybe_rewrite(bq)
+        if not (bq.must or bq.should):
+            return 0
+        has_dels = any(getattr(e, "del_gen", 0) > 0 for e in self.reader.segments)
+        clauses = bq.must + bq.should
+        if (
+            not has_dels
+            and not bq.must_not
+            and bq.min_should_match <= 1
+            and len(clauses) == 1
+        ):
+            q = clauses[0]
+            if isinstance(q, TermQuery):
+                return int(self.reader.global_term_stats([q.term])[q.term][0])
+            if isinstance(q, MatchAllDocsQuery):
+                return int(self.reader.doc_count)
+        scorers = self._scorers(bq)
+        return sum(
+            count_segment(self.reader.segment_reader(e.name), bq, scorers)
+            for e in self.reader.segments
+        )
 
 
 def facet_counts(

@@ -620,20 +620,14 @@ def _canonical_scores(
     return total, matches
 
 
-def score_segment_exhaustive(
-    reader, bq: BooleanQuery, scorers: dict, k: int, after=None
-) -> tuple[np.ndarray, np.ndarray, int]:
-    """Oracle: dense TAAT over the segment (no pruning). Returns
-    (local docids, float32 scores, total_hits).
-
-    ``after``: searchAfter keyset ``(score, local_docid)`` — keep only hits
-    strictly worse (PagingTopScoreDocCollector semantics,
-    search/TopScoreDocCollector.java:104-160)."""
+def _candidate_set(reader, bq: BooleanQuery, scorers: dict):
+    """Shared boolean doc-set algebra (BooleanWeight candidate computation):
+    returns (cand, must_clauses, should_clauses) with live-doc and MUST_NOT
+    filtering applied, or None when the segment provably has no hits."""
     must = build_clauses(reader, bq.must, scorers)
-    if len(must) < len([q for q in bq.must if True]):
+    if bq.must and len(must) < len(bq.must):
         # a required clause is absent from this segment -> no hits
-        if bq.must:
-            return np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0
+        return None
     should = build_clauses(reader, bq.should, scorers)
     must_not = build_clauses(reader, bq.must_not, scorers)
 
@@ -643,10 +637,10 @@ def score_segment_exhaustive(
             d, _ = c.evaluate()
             cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
         if cand is None or len(cand) == 0:
-            return np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0
+            return None
     else:
         if not should:
-            return np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0
+            return None
         cand = np.unique(np.concatenate([c.evaluate()[0] for c in should]))
 
     live = getattr(reader, "live_mask", None)
@@ -655,8 +649,45 @@ def score_segment_exhaustive(
     for c in must_not:
         d, _ = c.evaluate()
         cand = cand[~np.isin(cand, d, assume_unique=True)]
+    return cand, must, should
+
+
+def count_segment(reader, bq: BooleanQuery, scorers: dict) -> int:
+    """Exact non-scoring hit count (TotalHitCountCollector role,
+    search/TotalHitCountCollector.java). Candidate sets are materialized
+    docid arrays in this design, so exact counts cost no extra scoring work
+    — no 1000-hit approximation threshold is needed."""
+    res = _candidate_set(reader, bq, scorers)
+    if res is None:
+        return 0
+    cand, must, should = res
     if len(cand) == 0:
-        return cand, np.array([], dtype=np.float32), 0
+        return 0
+    msm = bq.min_should_match
+    if should and msm > 0 and (bq.must or msm > 1):
+        sm = np.zeros(len(cand), dtype=np.int32)
+        for c in should:
+            sm += (c.lookup(cand) > 0).astype(np.int32)
+        cand = cand[sm >= msm]
+    return int(len(cand))
+
+
+def score_segment_exhaustive(
+    reader, bq: BooleanQuery, scorers: dict, k: int, after=None
+) -> tuple[np.ndarray, np.ndarray, int, bool]:
+    """Oracle: dense TAAT over the segment (no pruning). Returns
+    (local docids, float32 scores, total_hits, exact) — exact is always
+    True here (TotalHits.Relation.EQUAL_TO).
+
+    ``after``: searchAfter keyset ``(score, local_docid)`` — keep only hits
+    strictly worse (PagingTopScoreDocCollector semantics,
+    search/TopScoreDocCollector.java:104-160)."""
+    res = _candidate_set(reader, bq, scorers)
+    if res is None:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0, True
+    cand, must, should = res
+    if len(cand) == 0:
+        return cand, np.array([], dtype=np.float32), 0, True
 
     scoring = must + should
     total, matches = _canonical_scores(scoring, cand, reader.norm_bytes)
@@ -678,15 +709,20 @@ def score_segment_exhaustive(
         )
         cand, total = cand[keep], total[keep]
     d, s = _topk(cand, total, k)
-    return d, s, len(cand)
+    return d, s, len(cand), True
 
 
 def score_segment_pruned(
     reader, bq: BooleanQuery, scorers: dict, k: int, theta: float = 0.0
-) -> tuple[np.ndarray, np.ndarray, int]:
+) -> tuple[np.ndarray, np.ndarray, int, bool]:
     """Block-max MaxScore path. Falls back to the exhaustive path for shapes
     it doesn't prune (required clauses present, minShouldMatch > 1) — the
     scorer-selection logic analog (BooleanWeight.java:221-322).
+
+    Returns (docids, scores, total_hits, exact): ``exact`` is True iff every
+    clause was evaluated, so total_hits is the true count; False means docs
+    matched only by skipped clauses were never counted and total_hits is a
+    lower bound (TotalHits.Relation.GREATER_THAN_OR_EQUAL_TO).
 
     ``theta`` carries the min-competitive floor across segments
     (TopScoreDocCollector.java:283-320 / MaxScoreAccumulator semantics).
@@ -695,7 +731,7 @@ def score_segment_pruned(
         return score_segment_exhaustive(reader, bq, scorers, k)
     clauses = build_clauses(reader, bq.should, scorers)
     if not clauses:
-        return np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0
+        return np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0, True
 
     max_scores = np.array([c.max_score() for c in clauses], dtype=np.float64)
     order = np.argsort(-max_scores, kind="stable")  # eval from strongest
@@ -749,10 +785,11 @@ def score_segment_pruned(
                 acc[survivors].astype(np.float64) * (1 + _BOUND_MARGIN) >= theta
             ]
 
+    exact = len(evaluated) == len(clauses)
     if len(survivors) == 0:
-        return survivors, np.array([], dtype=np.float32), int(len(cand))
+        return survivors, np.array([], dtype=np.float32), int(len(cand)), exact
     total, matches = _canonical_scores(clauses, survivors, reader.norm_bytes)
     keep = matches >= 1
     survivors, total = survivors[keep], total[keep]
     d, s = _topk(survivors, total, k)
-    return d, s, int(len(cand))
+    return d, s, int(len(cand)), exact

@@ -750,3 +750,68 @@ class TestParserGroups:
             if ("merge" in d or "flush" in d) and "index" in d
         }
         assert got == want
+
+
+class TestHitCounting:
+    """IndexSearcher.count (TotalHitCountCollector / IndexSearcher.java:380
+    shortcuts) + TotalHits relation exactness."""
+
+    QUERIES = [
+        "merge", "merge flush", "+merge -flush", '"sort merge"',
+        "mer* flush", "+(merge flush) index", "merge AND index",
+    ]
+
+    def test_count_matches_doc_set(self, ix):
+        s = IndexSearcher(ix)
+        for q in self.QUERIES:
+            assert s.count(q) == len(doc_set(s, s.parse(q))), q
+
+    def test_count_matches_exhaustive_total(self, ix):
+        ex = IndexSearcher(ix, pruned=False)
+        for q in self.QUERIES:
+            td = ex.search(q, 5)
+            assert td.relation == "eq", q
+            assert ex.count(q) == td.total_hits, q
+
+    def test_matchall_count_shortcut(self, ix):
+        from lucene_ray.search.query import MatchAllDocsQuery
+        from lucene_ray.search.reader import IndexReader
+
+        s = IndexSearcher(ix)
+        q = BooleanQuery(should=[MatchAllDocsQuery()])
+        assert s.count(q) == IndexReader(ix).doc_count
+
+    def test_pruned_total_is_lower_bound(self, ix):
+        ex = IndexSearcher(ix, pruned=False)
+        pr = IndexSearcher(ix, pruned=True)
+        for q in self.QUERIES:
+            a, b = ex.search(q, 5), pr.search(q, 5)
+            if b.relation == "eq":
+                assert b.total_hits == a.total_hits, q
+            else:
+                assert b.total_hits <= a.total_hits, q
+
+    def test_count_with_deletions_skips_shortcut(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.writer import delete_docs
+
+        words = ["merge", "flush", "sort", "batch"]
+        rows = [
+            {"repo": "r", "path": f"p{i}", "commit": "c", "lang": "py",
+             "content": " ".join(words[: 1 + i % 4])}
+            for i in range(60)
+        ]
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        d = str(tmp_path / "ix")
+        build_index([src], d, target_docs=20)
+        s0 = IndexSearcher(d)
+        n0 = s0.count("merge")
+        assert n0 == 60
+        delete_docs(d, [0, 1, 2])
+        s1 = IndexSearcher(d)
+        # df-shortcut would still say 60; the slow path must say 57
+        assert s1.count("merge") == 57
+        assert s1.count("flush") == len(doc_set(s1, s1.parse("flush")))
