@@ -220,6 +220,14 @@ class IndexSearcher:
         d, s = _topk(docids, scores, k)
         return TopDocs(d, s, total, relation)
 
+    def explain(self, query: str | BooleanQuery, docid: int):
+        """Score explanation tree for one document
+        (search/IndexSearcher.java:747; Explanation.java). The root value is
+        bit-identical to the score search() returns for the same hit."""
+        from lucene_ray.search.explain import explain
+
+        return explain(self, query, docid)
+
     def count(self, query: str | BooleanQuery) -> int:
         """Exact hit count without collecting top-k
         (search/IndexSearcher.java:380 count(): shortcut paths, then
