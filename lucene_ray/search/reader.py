@@ -23,11 +23,53 @@ from lucene_ray.codec.postings_codec import TermPostings, decode_term_postings
 from lucene_ray.index.manifest import Manifest, read_manifest, segment_dir
 
 
+class LRUQueryCache:
+    """search/LRUQueryCache.java + UsageTrackingQueryCachingPolicy: cache
+    the materialized doc-set payload of COMPOUND clauses (phrase / span /
+    synonym / constant-score / disjunction-sum / point-range — never plain
+    term queries, which are cheap) once a query has been seen
+    ``min_frequency`` times; LRU-evict beyond ``max_entries``. Keyed by the
+    frozen query dataclass. Lives on the SegmentReader, so reopening after
+    deletes drops it — the reference's per-reader CacheKey invalidation."""
+
+    __slots__ = ("_data", "_counts", "max_entries", "min_frequency",
+                 "hit_count", "miss_count")
+
+    def __init__(self, max_entries: int = 256, min_frequency: int = 2):
+        from collections import OrderedDict
+
+        self._data: "OrderedDict" = OrderedDict()
+        self._counts: dict = {}
+        self.max_entries = max_entries
+        self.min_frequency = min_frequency
+        self.hit_count = 0
+        self.miss_count = 0
+
+    def get_or_compute(self, key, compute):
+        if key in self._data:
+            self.hit_count += 1
+            self._data.move_to_end(key)
+            return self._data[key]
+        self.miss_count += 1
+        val = compute()
+        n = self._counts.get(key, 0) + 1
+        self._counts[key] = n
+        if n >= self.min_frequency:
+            for part in val if isinstance(val, tuple) else (val,):
+                if isinstance(part, np.ndarray):
+                    part.flags.writeable = False  # guard accidental mutation
+            self._data[key] = val
+            if len(self._data) > self.max_entries:
+                self._data.popitem(last=False)
+        return val
+
+
 class SegmentReader:
     def __init__(self, seg_dir: str, docid_base: int, doc_count: int, del_gen: int = 0):
         self.seg_dir = seg_dir
         self.docid_base = docid_base
         self.doc_count = doc_count
+        self.query_cache = LRUQueryCache()
         # live-docs bitmap (None = no deletes). Readers are snapshot views:
         # reopen the IndexReader after deletes to observe them (Lucene
         # DirectoryReader.openIfChanged semantics).

@@ -494,6 +494,16 @@ def _union_sum_tfs(parts: list[tuple[np.ndarray, np.ndarray]]):
     return d[starts], np.add.reduceat(t, starts)
 
 
+def _qcache(reader, q, compute):
+    """Route a compound clause's doc-set materialization through the
+    segment's LRUQueryCache (UsageTrackingQueryCachingPolicy: cached from
+    the second use on; plain TermQuery never goes through here)."""
+    cache = getattr(reader, "query_cache", None)
+    if cache is None:
+        return compute()
+    return cache.get_or_compute(q, compute)
+
+
 def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
     """Materialize clause list for one segment; absent terms drop out."""
     out = []
@@ -505,9 +515,13 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             out.append(_Clause(q, cur, scorers[q]))
         elif isinstance(q, PhraseQuery):
             if getattr(q, "slop", 0) > 0:
-                docids, freqs = _sloppy_phrase_postings(reader, q.terms, q.slop)
+                docids, freqs = _qcache(
+                    reader, q, lambda: _sloppy_phrase_postings(reader, q.terms, q.slop)
+                )
             else:
-                docids, freqs = _phrase_postings(reader, q.terms)
+                docids, freqs = _qcache(
+                    reader, q, lambda: _phrase_postings(reader, q.terms)
+                )
             if len(docids) == 0:
                 continue
             sc = scorers[q]
@@ -516,7 +530,10 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             )
             out.append(_Clause(q, None, sc, (docids, freqs), max_score=ms))
         elif isinstance(q, SpanNearQuery):
-            docids, freqs = _span_near_postings(reader, q.terms, q.slop, q.ordered)
+            docids, freqs = _qcache(
+                reader, q,
+                lambda: _span_near_postings(reader, q.terms, q.slop, q.ordered),
+            )
             if len(docids) == 0:
                 continue
             sc = scorers[q]
@@ -525,12 +542,15 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             )
             out.append(_Clause(q, None, sc, (docids, freqs), max_score=ms))
         elif isinstance(q, SynonymQuery):
-            parts = []
-            for t in q.terms:
-                p = reader.postings(t)
-                if p is not None:
-                    parts.append((p.docids, p.tfs))
-            docids, tfs = _union_sum_tfs(parts)
+            def _syn_union(q=q):
+                parts = []
+                for t in q.terms:
+                    p = reader.postings(t)
+                    if p is not None:
+                        parts.append((p.docids, p.tfs))
+                return _union_sum_tfs(parts)
+
+            docids, tfs = _qcache(reader, q, _syn_union)
             if len(docids) == 0:
                 continue
             sc = scorers[q]
@@ -541,16 +561,23 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             scores = np.full(reader.doc_count, np.float32(q.boost), dtype=np.float32)
             out.append(_Clause(q, None, scorers[q], scored=(docids, scores)))
         elif isinstance(q, PointRangeQuery):
-            docids = reader.point_range(q.field, q.lower, q.upper)
+            docids = _qcache(
+                reader, q, lambda: reader.point_range(q.field, q.lower, q.upper)
+            )
             if len(docids) == 0:
                 continue
             scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
             out.append(_Clause(q, None, scorers.get(q), scored=(docids, scores)))
         elif isinstance(q, ConstantScoreQuery):
-            sub = build_clauses(reader, [q.query], scorers | {q.query: scorers[q]})
-            if not sub:
+            def _const_docids(q=q):
+                sub = build_clauses(reader, [q.query], scorers | {q.query: scorers[q]})
+                if not sub:
+                    return np.array([], dtype=np.int64)
+                return np.unique(np.concatenate([c.evaluate()[0] for c in sub]))
+
+            docids = _qcache(reader, q, _const_docids)
+            if len(docids) == 0:
                 continue
-            docids = np.unique(np.concatenate([c.evaluate()[0] for c in sub]))
             scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
             out.append(_Clause(q, None, scorers[q], scored=(docids, scores)))
         elif isinstance(q, DisjunctionSumQuery):

@@ -185,3 +185,54 @@ def test_query_stage_dataset(index_dir, ray_session):
         want = s.search(qtext, 5)
         assert got.docid.tolist() == want.docids.tolist()
     assert len(out[out.qid == 2]) == 0
+
+
+class TestLRUQueryCache:
+    """search/LRUQueryCache.java semantics: compound clauses cached from
+    the second use; term queries never cached; per-reader invalidation."""
+
+    def test_phrase_cached_on_second_use(self, index_dir):
+        s = IndexSearcher(index_dir)
+        q = '"sort merge"'
+        r1 = s.search(q, 10)
+        r2 = s.search(q, 10)
+        r3 = s.search(q, 10)
+        assert r1.docids.tolist() == r2.docids.tolist() == r3.docids.tolist()
+        caches = [
+            s.reader.segment_reader(e.name).query_cache
+            for e in s.reader.segments
+        ]
+        assert sum(c.hit_count for c in caches) > 0
+        # 1st use = tracked miss, 2nd = caching miss, 3rd+ = hits
+        assert all(c.miss_count <= 2 * max(1, len(c._counts)) for c in caches)
+
+    def test_term_queries_not_cached(self, index_dir):
+        s = IndexSearcher(index_dir)
+        for _ in range(3):
+            s.search("merge", 10)
+        caches = [
+            s.reader.segment_reader(e.name).query_cache
+            for e in s.reader.segments
+        ]
+        assert all(len(c._data) == 0 for c in caches)
+
+    def test_results_identical_with_cache(self, index_dir):
+        import numpy as np
+
+        s = IndexSearcher(index_dir)
+        queries = ['"sort merge" flush', "merge batch"]
+        first = [s.search(q, 20) for q in queries]
+        again = [s.search(q, 20) for q in queries]
+        for a, b in zip(first, again):
+            assert a.docids.tolist() == b.docids.tolist()
+            np.testing.assert_array_equal(a.scores, b.scores)
+
+    def test_eviction_bound(self, index_dir):
+        from lucene_ray.search.reader import LRUQueryCache
+
+        c = LRUQueryCache(max_entries=2, min_frequency=1)
+        for i in range(5):
+            c.get_or_compute(("k", i), lambda i=i: i)
+        assert len(c._data) <= 2
+        # most recent survive
+        assert ("k", 4) in c._data
