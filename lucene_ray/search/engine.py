@@ -36,6 +36,7 @@ from lucene_ray.search.query import (
     DisjunctionSumQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    NestedBooleanQuery,
     PhraseQuery,
     PointRangeQuery,
     PrefixQuery,
@@ -101,6 +102,8 @@ def flat_clauses(bq: BooleanQuery):
             stack.extend(q.disjuncts)
         elif isinstance(q, ConstantScoreQuery):
             stack.append(q.query)
+        elif isinstance(q, NestedBooleanQuery):
+            stack.extend(q.must + q.should + q.must_not)
 
 
 def query_terms(bq: BooleanQuery) -> list[str]:

@@ -189,6 +189,12 @@ class BooleanQuery:
     must_not: list = field(default_factory=list)
     min_should_match: int = 0
 
+    def freeze(self, boost: float = 1.0) -> "NestedBooleanQuery":
+        return NestedBooleanQuery(
+            tuple(self.must), tuple(self.should), tuple(self.must_not),
+            self.min_should_match, boost,
+        )
+
     def all_terms(self) -> list[str]:
         out = []
         for q in self.must + self.should + self.must_not:
@@ -197,6 +203,28 @@ class BooleanQuery:
             elif isinstance(q, PhraseQuery):
                 out.extend(q.terms)
         return out
+
+
+@dataclass(frozen=True)
+class NestedBooleanQuery:
+    """A full BooleanQuery evaluated as ONE clause of an enclosing boolean
+    — the reference's nested-clause shape (BooleanQuery.java clauses may
+    themselves be BooleanQuery; QueryParser.jj Clause recursion). Matching
+    docs follow the inner MUST/SHOULD/MUST_NOT algebra; score = boost * sum
+    of the inner matching scoring clauses; the whole group counts as one
+    clause for the outer minimumShouldMatch."""
+
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+    min_should_match: int = 0
+    boost: float = 1.0
+
+    def to_boolean(self) -> BooleanQuery:
+        return BooleanQuery(
+            list(self.must), list(self.should), list(self.must_not),
+            self.min_should_match,
+        )
 
 
 _TOKEN_RE = re.compile(
@@ -245,42 +273,37 @@ def _token_queries(w, is_phrase, boost, slop, analyzer) -> list:
     return [TermQuery(t, boost=boost) for t in toks]
 
 
-def _parse_group(body: str, boost: float, analyzer) -> list:
-    """Disjuncts of a parenthesized OR-group. One nesting level, OR-only
-    (the reference's general nested BooleanQuery — QueryParser.jj Clause
-    recursion — is out of scope; AND / NOT / +/- inside parens raise rather
-    than silently change semantics)."""
-    disjuncts = []
-    for phrase, pslop, pboost, gsign, gbody, gboost, word in _TOKEN_RE.findall(body):
-        if word in ("OR", "||"):
-            continue
-        if word in ("AND", "&&", "NOT") or (
-            len(word) > 1 and word[0] in "+-"
-        ):
-            raise ValueError(
-                f"unsupported syntax inside group: {word!r} "
-                "(parenthesized groups are OR-only)"
-            )
-        if phrase:
-            disjuncts.extend(
-                _token_queries(
-                    phrase, True,
-                    boost * (float(pboost) if pboost else 1.0),
-                    int(pslop) if pslop else 0, analyzer,
-                )
-            )
-            continue
-        wb = 1.0
-        m = _BOOST_RE.match(word)
-        if m and m.group(1):
-            word, wb = m.group(1), float(m.group(2))
-        disjuncts.extend(_token_queries(word, False, boost * wb, 0, analyzer))
-    return disjuncts
+def _scale_boost(q, factor: float):
+    if factor == 1.0:
+        return q
+    import dataclasses
+
+    if hasattr(q, "boost"):
+        return dataclasses.replace(q, boost=getattr(q, "boost", 1.0) * factor)
+    return q
+
+
+def _group_clause(sub: BooleanQuery, boost: float):
+    """One clause from a parsed parenthesized group (QueryParser.jj Clause
+    -> nested BooleanQuery). A pure-SHOULD group stays a
+    DisjunctionSumQuery (same semantics, pruning-friendly); any
+    MUST/MUST_NOT structure becomes a NestedBooleanQuery."""
+    if not (sub.must or sub.should or sub.must_not):
+        return None
+    if not sub.must and not sub.must_not and sub.min_should_match <= 1:
+        disjuncts = tuple(_scale_boost(q, boost) for q in sub.should)
+        if len(disjuncts) == 1:
+            return disjuncts[0]
+        return DisjunctionSumQuery(disjuncts)
+    return sub.freeze(boost)
 
 
 def parse_query(text: str, analyzer) -> BooleanQuery:
+    return _parse_tokens(_TOKEN_RE.findall(text), analyzer)
+
+
+def _parse_tokens(raw: list[tuple], analyzer, depth: int = 0) -> BooleanQuery:
     bq = BooleanQuery()
-    raw = _TOKEN_RE.findall(text)
     # (occur, text, kind, boost, slop) where kind is "word"|"phrase"|"group"
     words: list[tuple] = []
     conj_and = False
@@ -326,16 +349,13 @@ def parse_query(text: str, analyzer) -> BooleanQuery:
         if conj_and and occur == "should":
             eff = "must"
         if kind == "group":
-            disjuncts = _parse_group(w, boost, analyzer)
-            if not disjuncts:
+            if depth > 0:
+                raise ValueError("nested parentheses beyond one level are not supported")
+            sub = _parse_tokens(_TOKEN_RE.findall(w), analyzer, depth + 1)
+            clause = _group_clause(sub, boost)
+            if clause is None:
                 continue
-            if len(disjuncts) == 1:
-                getattr(bq, eff).append(disjuncts[0])
-            else:
-                # one composite clause: matches ANY disjunct, score = sum —
-                # MUST(BooleanQuery(SHOULD...)) / minShouldMatch counts it
-                # as one clause (BooleanQuery.java nested-clause counting)
-                getattr(bq, eff).append(DisjunctionSumQuery(tuple(disjuncts)))
+            getattr(bq, eff).append(clause)
             continue
         # eff, not occur: explicit AND promotes phrases to MUST too
         for q in _token_queries(w, kind == "phrase", boost, slop, analyzer):

@@ -25,6 +25,7 @@ from lucene_ray.search.query import (
     BooleanQuery,
     DisjunctionSumQuery,
     FuzzyQuery,
+    NestedBooleanQuery,
     PrefixQuery,
     RegexpQuery,
     TermInSetQuery,
@@ -166,6 +167,11 @@ def rewrite_query(
     out = BooleanQuery(min_should_match=bq.min_should_match)
     for occur in ("must", "should", "must_not"):
         for q in getattr(bq, occur):
+            if isinstance(q, NestedBooleanQuery):
+                # rewrite the inner boolean in place, keep it one clause
+                inner = rewrite_query(q.to_boolean(), vocab, field_vocab)
+                getattr(out, occur).append(inner.freeze(q.boost))
+                continue
             if isinstance(q, DisjunctionSumQuery):
                 # parser groups may hold multi-term disjuncts; expanding in
                 # place is exact (OR of expansions == expansion of the OR)

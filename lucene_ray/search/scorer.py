@@ -37,6 +37,7 @@ from lucene_ray.search.query import (
     DisjunctionMaxQuery,
     DisjunctionSumQuery,
     MatchAllDocsQuery,
+    NestedBooleanQuery,
     PhraseQuery,
     PointRangeQuery,
     SpanNearQuery,
@@ -580,6 +581,17 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 continue
             scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
             out.append(_Clause(q, None, scorers[q], scored=(docids, scores)))
+        elif isinstance(q, NestedBooleanQuery):
+            # parenthesized group with MUST/MUST_NOT structure: evaluate the
+            # inner boolean densely, surface it as ONE scored clause
+            d, s = _qcache(
+                reader, q, lambda q=q: evaluate_boolean(reader, q.to_boolean(), scorers)
+            )
+            if len(d) == 0:
+                continue
+            if q.boost != 1.0:
+                s = (s * np.float32(q.boost)).astype(np.float32)
+            out.append(_Clause(q, None, None, scored=(d, s)))
         elif isinstance(q, DisjunctionSumQuery):
             subs = build_clauses(reader, list(q.disjuncts), scorers)
             if not subs:
@@ -699,22 +711,20 @@ def count_segment(reader, bq: BooleanQuery, scorers: dict) -> int:
     return int(len(cand))
 
 
-def score_segment_exhaustive(
-    reader, bq: BooleanQuery, scorers: dict, k: int, after=None
-) -> tuple[np.ndarray, np.ndarray, int, bool]:
-    """Oracle: dense TAAT over the segment (no pruning). Returns
-    (local docids, float32 scores, total_hits, exact) — exact is always
-    True here (TotalHits.Relation.EQUAL_TO).
-
-    ``after``: searchAfter keyset ``(score, local_docid)`` — keep only hits
-    strictly worse (PagingTopScoreDocCollector semantics,
-    search/TopScoreDocCollector.java:104-160)."""
+def evaluate_boolean(
+    reader, bq: BooleanQuery, scorers: dict
+) -> tuple[np.ndarray, np.ndarray]:
+    """(matching local docids, float32 scores) of the FULL boolean — the
+    shared dense evaluation behind the exhaustive scorer and nested-group
+    clauses (a nested BooleanQuery scores as the sum of its matching
+    scoring clauses, BooleanWeight.java)."""
+    empty = np.array([], dtype=np.int64), np.array([], dtype=np.float32)
     res = _candidate_set(reader, bq, scorers)
     if res is None:
-        return np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0, True
+        return empty
     cand, must, should = res
     if len(cand) == 0:
-        return cand, np.array([], dtype=np.float32), 0, True
+        return empty
 
     scoring = must + should
     total, matches = _canonical_scores(scoring, cand, reader.norm_bytes)
@@ -729,6 +739,20 @@ def score_segment_exhaustive(
         msm = max(1, bq.min_should_match)
         keep = matches >= msm
         cand, total = cand[keep], total[keep]
+    return cand, total
+
+
+def score_segment_exhaustive(
+    reader, bq: BooleanQuery, scorers: dict, k: int, after=None
+) -> tuple[np.ndarray, np.ndarray, int, bool]:
+    """Oracle: dense TAAT over the segment (no pruning). Returns
+    (local docids, float32 scores, total_hits, exact) — exact is always
+    True here (TotalHits.Relation.EQUAL_TO).
+
+    ``after``: searchAfter keyset ``(score, local_docid)`` — keep only hits
+    strictly worse (PagingTopScoreDocCollector semantics,
+    search/TopScoreDocCollector.java:104-160)."""
+    cand, total = evaluate_boolean(reader, bq, scorers)
     if after is not None:
         a_s, a_d = after
         keep = (total < np.float32(a_s)) | (

@@ -734,12 +734,66 @@ class TestParserGroups:
         kinds = {type(q).__name__ for q in grp.disjuncts}
         assert kinds == {"PhraseQuery", "TermQuery"}
 
-    def test_and_inside_group_raises(self):
+    def test_structured_group_parses_to_nested(self):
+        from lucene_ray.search.query import NestedBooleanQuery
+
         an = get_analyzer("code")
-        with pytest.raises(ValueError):
-            parse_query("(merge AND flush)", an)
-        with pytest.raises(ValueError):
-            parse_query("(+merge flush)", an)
+        bq = parse_query("(merge AND flush) index", an)
+        grp = bq.should[0]
+        assert isinstance(grp, NestedBooleanQuery)
+        assert {q.term for q in grp.must} == {"merge", "flush"}
+        bq2 = parse_query("(+merge flush)", an)
+        grp2 = bq2.should[0]
+        assert isinstance(grp2, NestedBooleanQuery)
+        assert [q.term for q in grp2.must] == ["merge"]
+        assert [q.term for q in grp2.should] == ["flush"]
+
+    def test_nested_and_group_semantics(self, ix, docs):
+        # (merge AND flush) index: group matches docs with BOTH terms,
+        # whole query matches group-hits OR index-hits
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("(merge AND flush) index"))
+        want = {
+            i for i, d in enumerate(docs)
+            if ("merge" in d and "flush" in d) or "index" in d
+        }
+        assert got == want
+
+    def test_nested_not_group_semantics(self, ix, docs):
+        # +(merge NOT flush): docs with merge and without flush
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("+(merge NOT flush)"))
+        want = {i for i, d in enumerate(docs) if "merge" in d and "flush" not in d}
+        assert got == want
+
+    def test_nested_group_score_is_inner_sum(self, ix):
+        # pure conjunction group: scores = sum of both term scores, same
+        # docs as the flat +a +b query
+        s = IndexSearcher(ix)
+        flat = s.search("+merge +flush", 20)
+        grp = s.search("+(merge AND flush)", 20)
+        assert grp.docids.tolist() == flat.docids.tolist()
+        np.testing.assert_allclose(grp.scores, flat.scores, rtol=1e-6)
+
+    def test_nested_group_with_wildcard_must(self, ix, docs):
+        # rewrite must recurse into NestedBooleanQuery (mer* stays REQUIRED
+        # inside the group)
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("(mer* AND flush) index"))
+        want = {
+            i for i, d in enumerate(docs)
+            if (any(t.startswith("mer") for t in d) and "flush" in d)
+            or "index" in d
+        }
+        assert got == want
+
+    def test_nested_group_explain_consistent(self, ix):
+        s = IndexSearcher(ix, pruned=False)
+        q = "(merge AND flush) index"
+        td = s.search(q, 5)
+        for d, score in zip(td.docids.tolist(), td.scores.tolist()):
+            ex = s.explain(q, d)
+            assert ex.is_match and ex.value == pytest.approx(score, abs=0.0)
 
     def test_group_promoted_by_conjunction(self, ix, docs):
         # explicit AND promotes a SHOULD group to MUST, like bare words
