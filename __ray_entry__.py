@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_engine": bm25docs.group_engine,
         "span_engine": bm25docs.span_engine,
         "count_engine": bm25docs.count_engine,
+        "complete_engine": bm25docs.complete_engine,
         # --- analysis chain + aggregations (§2.2/2.5)
         "term_stats": text.term_stats,
         "doc_token_stats": text.doc_token_stats,
@@ -101,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "group_engine": bm25docs.group_engine_sql(),
         "span_engine": bm25docs.span_engine_sql(),
         "count_engine": bm25docs.count_engine_sql(),
+        "complete_engine": bm25docs.complete_engine_sql(),
         "term_stats": text.term_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),
         "text_quality": text.text_quality_sql(),

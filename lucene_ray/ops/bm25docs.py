@@ -527,6 +527,58 @@ WITH tok AS (
 """
 
 
+COMPLETE_INPUTS: list[tuple[int, str]] = [
+    (0, "mer"),
+    (1, "so"),
+    (2, "win"),
+    (3, "zzzz"),  # no completions
+]
+
+
+def complete_engine(sf_dir: str, k: int = 5) -> pa.Table:
+    """(qid, term, df): prefix completions ranked (df desc, term asc) —
+    the suggest module's Lookup over the term dictionary."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.suggest import complete_terms
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_t, out_f = [], [], []
+    for qid, prefix in COMPLETE_INPUTS:
+        for t, df in complete_terms(s.reader, prefix, k=k):
+            out_q.append(qid)
+            out_t.append(t)
+            out_f.append(df)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "term": pa.array(out_t, type=pa.string()),
+            "df": pa.array(out_f, type=pa.int64()),
+        }
+    )
+
+
+def complete_engine_sql(k: int = 5) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, prefix in COMPLETE_INPUTS:
+        parts.append(f"""
+SELECT {qid} AS qid, term, df::BIGINT AS df
+FROM dfs
+WHERE term LIKE '{prefix}%'
+QUALIFY row_number() OVER (ORDER BY df DESC, term) <= {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+)
+{union}
+"""
+
+
 FACET_QUERIES: list[tuple[int, str, str]] = [
     (0, "merge", "lang"),
     (1, "window table", "repo"),

@@ -41,3 +41,20 @@ def suggest_terms(
     scored = [(distance(t), -stats[t][0], t) for t in cands]
     scored.sort()
     return [(t, d, -neg_df) for d, neg_df, t in scored[:k]]
+
+
+def complete_terms(reader, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+    """Top-k (term, df) prefix completions from the term dictionary — the
+    suggest module's Lookup role (suggest/Lookup.java:192 lookup(key, n);
+    the FST prefix traversal of suggest/analyzing/AnalyzingSuggester
+    becomes the sorted-vocab binary-search window PrefixQuery rewriting
+    uses), ranked by (docFreq desc, term asc)."""
+    from lucene_ray.search.query import PrefixQuery
+    from lucene_ray.search.rewrite import expand_prefix
+
+    cands = expand_prefix(reader.vocabulary(), PrefixQuery(prefix))
+    if not cands:
+        return []
+    stats = reader.global_term_stats(cands)
+    scored = sorted((-stats[t][0], t) for t in cands)
+    return [(t, -neg_df) for neg_df, t in scored[:k]]

@@ -242,6 +242,16 @@ class TestBM25Docs:
 
         assert_same(bm25docs.group_engine(SF), con, bm25docs.group_engine_sql())
 
+    def test_count_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.count_engine(SF), con, bm25docs.count_engine_sql())
+
+    def test_complete_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.complete_engine(SF), con, bm25docs.complete_engine_sql())
+
     def test_bm25_engine_runs(self):
         from lucene_ray.ops import bm25docs
 
