@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- inverted index + search (engine; SURVEY.md §2.1/2.4/2.6/2.11)
         "bm25_topk": bm25docs.bm25_topk,
+        "tfidf_topk": bm25docs.tfidf_topk,
         "bm25_topk_engine": bm25docs.bm25_topk_engine,
         "boolean_engine": bm25docs.boolean_engine,
         "phrase_engine": bm25docs.phrase_engine,
@@ -89,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "bm25_topk": bm25docs.bm25_topk_sql(),
+        "tfidf_topk": bm25docs.tfidf_topk_sql(),
         "boolean_engine": bm25docs.boolean_engine_sql(),
         "phrase_engine": bm25docs.phrase_engine_sql(),
         "multiterm_engine": bm25docs.multiterm_engine_sql(),

@@ -76,6 +76,18 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     Ray Data flow. The per-doc tf computation streams (map_batches); term
     stats reduce to scalars; scoring + topk happen on the (tiny)
     matched-rows set per query."""
+    return _exact_topk(sf_dir, BM25ExactSimilarity())
+
+
+def tfidf_topk(sf_dir: str) -> pa.Table:
+    """(qid, rank, doc_id): ClassicSimilarity (TF-IDF) twin of bm25_topk —
+    same dataflow, pluggable similarity (ClassicSimilarity.java)."""
+    from lucene_ray.search.similarity import ClassicExactSimilarity
+
+    return _exact_topk(sf_dir, ClassicExactSimilarity())
+
+
+def _exact_topk(sf_dir: str, sim) -> pa.Table:
     qts = _query_terms()
     all_terms = sorted({t for _, ts in qts for t in ts})
     term_index = {t: i for i, t in enumerate(all_terms)}
@@ -122,7 +134,6 @@ def bm25_topk(sf_dir: str) -> pa.Table:
     N = int(stats_rows.n_docs.sum())
     sum_len = int(stats_rows.doc_len.sum())
     avgdl = sum_len / N
-    sim = BM25ExactSimilarity()
     doc_ids = pdf.doc_id.to_numpy()
     doc_len = pdf.doc_len.to_numpy()
     M = len(pdf)  # matched rows only (df over them equals corpus df: every
@@ -162,6 +173,16 @@ def bm25_topk_sql() -> str:
     """Pivot form: one LEFT JOIN per query term with EXPLICIT left-associative
     addition in fixed term order — SUM() over rows would let DuckDB pick the
     float64 addition order, breaking bit-parity with the numpy path."""
+    return _exact_topk_sql(BM25ExactSimilarity.sql)
+
+
+def tfidf_topk_sql() -> str:
+    from lucene_ray.search.similarity import ClassicExactSimilarity
+
+    return _exact_topk_sql(ClassicExactSimilarity.sql)
+
+
+def _exact_topk_sql(sim_sql) -> str:
     toks = tokenize_sql_expr("text")
     per_query_selects = []
     for qid, terms in _query_terms():
@@ -170,7 +191,7 @@ def bm25_topk_sql() -> str:
             joins.append(
                 f"LEFT JOIN tf t{i} ON t{i}.doc_id = dl.doc_id AND t{i}.term = '{t}'"
             )
-            score = BM25ExactSimilarity.sql(
+            score = sim_sql(
                 tf=f"t{i}.tf",
                 dl="dl.doc_len",
                 df=f"(SELECT df FROM dfs WHERE term = '{t}')",

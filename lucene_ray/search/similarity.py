@@ -198,3 +198,103 @@ class BM25ExactSimilarity:
             f"({idf}) * {tf} / "
             f"({tf} + {k1} * (1 - {b} + {b} * {dl} / {avgdl}))"
         )
+
+
+class ClassicScorer:
+    """Per-term TF-IDF scorer (ClassicSimilarity.java / TFIDFSimilarity):
+    score = weight * sqrt(freq) * (1 / sqrt(dl)), dl decoded from the norm
+    byte. Same interface as BM25Scorer so the block-max machinery and the
+    pruned path work unchanged (score is increasing in freq and decreasing
+    in dl, so per-pair evaluation gives true upper bounds)."""
+
+    __slots__ = ("weight", "cache")
+
+    def __init__(self, weight: np.float32, cache: np.ndarray):
+        self.weight = weight
+        self.cache = cache  # cache[b] = 1/sqrt(decoded_len(b)), float32
+
+    def score(self, freq: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float32)
+        inv = self.cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        return self.weight * np.sqrt(f) * inv
+
+    def max_score(self, impacts_packed) -> np.float32:
+        arr = np.asarray(impacts_packed, dtype=np.int64)
+        if arr.size == 0:
+            return np.float32(0.0)
+        return self.score((arr >> 8).astype(np.float32), arr & 0xFF).max()
+
+    def max_score_blocks(
+        self, tfs: np.ndarray, norms: np.ndarray, offsets: np.ndarray
+    ) -> np.ndarray:
+        x = np.sqrt(tfs.astype(np.float32)) * self.cache[norms]
+        m = np.maximum.reduceat(x, offsets)
+        return (self.weight * m).astype(np.float64)
+
+    def global_max_score(self) -> np.float32:
+        return self.score(
+            np.array([np.finfo(np.float32).max], dtype=np.float32), np.array([1])
+        )[0]
+
+
+class ClassicSimilarity:
+    """The pre-BM25 default TF-IDF similarity
+    (search/similarities/ClassicSimilarity.java): idf = 1 + ln((N+1)/(df+1)),
+    tf = sqrt(freq), lengthNorm = 1/sqrt(dl). Plugs into IndexSearcher via
+    the same scorer protocol as BM25Similarity (the §2.10 similarity
+    extension point)."""
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0 + np.log((doc_count + 1) / (doc_freq + 1)))
+
+    def scorer(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+    ) -> ClassicScorer:
+        cache = (
+            np.float32(1.0) / np.sqrt(np.maximum(LENGTH_TABLE_F32, np.float32(1.0)))
+        ).astype(np.float32)
+        weight = np.float32(boost) * self.idf(doc_freq, doc_count)
+        return ClassicScorer(weight, cache)
+
+    def phrase_scorer(
+        self, doc_freqs: list[int], doc_count: int,
+        sum_total_term_freq: int, boost: float = 1.0,
+    ) -> ClassicScorer:
+        idf_sum = 0.0
+        for df in doc_freqs:
+            idf_sum += float(self.idf(df, doc_count))
+        cache = (
+            np.float32(1.0) / np.sqrt(np.maximum(LENGTH_TABLE_F32, np.float32(1.0)))
+        ).astype(np.float32)
+        return ClassicScorer(np.float32(boost) * np.float32(idf_sum), cache)
+
+
+class ClassicExactSimilarity:
+    """Float64 exact-length TF-IDF twin of ClassicSimilarity for DuckDB
+    oracle parity (math.log + IEEE sqrt on both sides; same role as
+    BM25ExactSimilarity)."""
+
+    def idf(self, doc_freq: int, doc_count: int) -> float:
+        return 1.0 + math.log((doc_count + 1) / (doc_freq + 1))
+
+    def score(
+        self,
+        freq: np.ndarray,
+        doc_len: np.ndarray,
+        doc_freq: int,
+        doc_count: int,
+        avgdl: float,
+    ) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = np.asarray(doc_len, dtype=np.float64)
+        idf = self.idf(doc_freq, doc_count)
+        return idf * np.sqrt(f) / np.sqrt(np.maximum(dl, 1.0))
+
+    @staticmethod
+    def sql(tf: str, dl: str, df: str, n: str, avgdl: str) -> str:
+        idf = f"(1 + ln(({n} + 1) / ({df} + 1)))"
+        return f"{idf} * sqrt({tf}) / sqrt(greatest({dl}, 1.0))"

@@ -117,3 +117,77 @@ def test_exact_sql_parity():
     ).fetchall()
     sql = np.array([r[0] for r in rows])
     assert np.array_equal(py, sql)  # bit-identical doubles
+
+
+class TestClassicSimilarity:
+    """ClassicSimilarity (TF-IDF) plugged into the engine: pruned duel +
+    naive-oracle rank check (the §2.10 similarity extension point)."""
+
+    @pytest.fixture(scope="class")
+    def cix(self, tmp_path_factory, ray_session):
+        import glob
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.index.corpus import write_corpus
+
+        corpus = str(tmp_path_factory.mktemp("corpus"))
+        write_corpus(corpus, n_docs=300, n_shards=2, seed=11, row_group_size=128)
+        d = str(tmp_path_factory.mktemp("cix"))
+        build_index(sorted(glob.glob(corpus + "/*.parquet")), d, target_docs=80)
+        return d
+
+    def test_classic_duel_pruned_vs_exhaustive(self, cix):
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.similarity import ClassicSimilarity
+
+        ex = IndexSearcher(cix, similarity=ClassicSimilarity(), pruned=False)
+        pr = IndexSearcher(cix, similarity=ClassicSimilarity(), pruned=True)
+        for q in ("merge", "merge flush", "sort batch index", "+merge flush"):
+            a, b = ex.search(q, 10), pr.search(q, 10)
+            assert a.docids.tolist() == b.docids.tolist(), q
+            np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
+
+    def test_classic_ranks_match_naive_oracle(self, cix):
+        import glob as _g
+
+        import pyarrow.parquet as pq
+
+        from lucene_ray.analysis import get_analyzer
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.reader import IndexReader
+        from lucene_ray.search.similarity import ClassicSimilarity
+        from lucene_ray.util.smallfloat import byte4_to_int, int_to_byte4
+
+        s = IndexSearcher(cix, similarity=ClassicSimilarity(), pruned=False)
+        an = get_analyzer(s.reader.manifest.analyzer)
+        docs = []
+        for e in s.reader.segments:
+            t = pq.ParquetFile(e.input["file"]).read_row_groups(
+                list(range(e.input["rg_start"], e.input["rg_end"])),
+                columns=["content"],
+            )
+            docs.extend(an.tokenize_text(x) for x in t.column("content").to_pylist())
+        N = len(docs)
+        for qtext in ("merge", "merge flush"):
+            terms = an.tokenize_text(qtext)
+            scores = np.zeros(N, dtype=np.float32)
+            for t in terms:
+                df = sum(1 for d in docs if t in d)
+                if df == 0:
+                    continue
+                idf = np.float32(1.0 + np.log((N + 1) / (df + 1)))
+                for i, d in enumerate(docs):
+                    tf = d.count(t)
+                    if tf == 0:
+                        continue
+                    # quantized dl, as the engine reads it from the norm byte
+                    dl = float(byte4_to_int(int(int_to_byte4(len(d)))))
+                    scores[i] += np.float32(
+                        idf * np.float32(np.sqrt(np.float32(tf)))
+                        * np.float32(1.0 / np.sqrt(np.float32(max(dl, 1.0))))
+                    )
+            want = [
+                i for i in np.lexsort((np.arange(N), -scores))[:10] if scores[i] > 0
+            ]
+            got = s.search(qtext, 10).docids.tolist()
+            assert got == want, qtext
