@@ -459,8 +459,15 @@ def sort_engine(sf_dir: str, k: int = 20) -> pa.Table:
     ix = _engine_index(sf_dir)
     s = IndexSearcher(ix)
     out_q, out_r, out_d = [], [], []
-    for qid, term, asc in ((0, "merge", False), (1, "window", True)):
-        td = search_sorted(s, term, "n_chars", k=k, ascending=asc)
+    # qids 0-1: numeric doc values; 2-3: SortField.Type.STRING over stored
+    # keyword columns (ordinal comparator)
+    for qid, term, fld, asc in (
+        (0, "merge", "n_chars", False),
+        (1, "window", "n_chars", True),
+        (2, "merge", "lang", True),
+        (3, "window", "repo", False),
+    ):
+        td = search_sorted(s, term, fld, k=k, ascending=asc)
         out_q.extend([qid] * len(td.docids))
         out_r.extend(range(len(td.docids)))
         out_d.extend(td.docids.tolist())
@@ -476,10 +483,17 @@ def sort_engine(sf_dir: str, k: int = 20) -> pa.Table:
 def sort_engine_sql(k: int = 20) -> str:
     toks = tokenize_sql_expr("text")
     parts = []
-    for qid, term, direction in ((0, "merge", "DESC"), (1, "window", "ASC")):
+    # sort keys mirror documents_as_corpus: n_chars->length(text),
+    # lang->lang, repo->source
+    for qid, term, key, direction in (
+        (0, "merge", "length(text)", "DESC"),
+        (1, "window", "length(text)", "ASC"),
+        (2, "merge", "lang", "ASC"),
+        (3, "window", "source", "DESC"),
+    ):
         parts.append(f"""
 SELECT {qid} AS qid,
-       (row_number() OVER (ORDER BY length(text) {direction}, doc_id ASC) - 1)::INTEGER AS rank,
+       (row_number() OVER (ORDER BY {key} {direction}, doc_id ASC) - 1)::INTEGER AS rank,
        doc_id AS docid
 FROM documents
 WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')

@@ -315,13 +315,25 @@ def search_sorted(
 ) -> SortedTopDocs:
     """Sort-by-field search (TopFieldCollector, search/TopFieldCollector.java
     :553): collect the full matching doc set (constant relevance work — the
-    scores are ignored), then order by the numeric doc-values field with
-    docid-asc tie-break. No index sorting; the sort runs over matches only."""
+    scores are ignored), then order by the doc-values field with docid-asc
+    tie-break. Numeric fields read NUMERIC doc values; string fields read
+    the stored keyword column and compare by ordinal — SortField.Type.STRING
+    semantics (BytesRef ordinal comparator, search/comparators/
+    TermOrdValComparator.java). No index sorting; the sort runs over
+    matches only."""
     td = searcher.search(query, k=1 << 62)
     if len(td.docids) == 0:
         return SortedTopDocs(td.docids, td.scores, td.total_hits, td.docids[:0])
-    vals = fetch_doc_values(searcher.reader, td.docids, field)
-    key = vals if ascending else -vals
+    first = searcher.reader.segments[0]
+    dv_schema = searcher.reader.segment_reader(first.name).doc_values_schema()
+    if field in dv_schema:
+        vals = fetch_doc_values(searcher.reader, td.docids, field)
+        key = vals if ascending else -vals
+    else:
+        stored = fetch_stored(searcher.reader, td.docids)
+        vals = np.asarray(stored.column(field).to_pylist(), dtype=object)
+        codes = np.unique(vals.astype(str), return_inverse=True)[1]
+        key = codes if ascending else -codes
     order = np.lexsort((td.docids, key))[:k]
     return SortedTopDocs(
         td.docids[order], td.scores[order], td.total_hits, vals[order], td.relation

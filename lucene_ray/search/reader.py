@@ -217,6 +217,15 @@ class SegmentReader:
             )
         return self._dv.column(field).to_numpy(zero_copy_only=False)
 
+    def doc_values_schema(self) -> list[str]:
+        """Field names with NUMERIC doc values in this segment."""
+        path = os.path.join(self.seg_dir, "docvalues.parquet")
+        if not os.path.exists(path):
+            return []
+        if not hasattr(self, "_dv"):
+            self._dv = pq.read_table(path, memory_map=True)
+        return [n for n in self._dv.schema.names if n != "docid"]
+
     def point_range(self, field: str, lower, upper) -> np.ndarray:
         """Sorted local docids with lower <= value <= upper (inclusive both,
         PointRangeQuery semantics) — two binary searches over the
