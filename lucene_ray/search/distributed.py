@@ -29,7 +29,6 @@ import ray
 from lucene_ray.config import DEFAULT_TOP_K
 from lucene_ray.search.engine import TopDocs, build_scorers, query_terms
 from lucene_ray.search.query import BooleanQuery, parse_query
-from lucene_ray.search.rewrite import rewrite_query
 from lucene_ray.search.scorer import _topk, score_segment_exhaustive, score_segment_pruned
 from lucene_ray.search.similarity import BM25Similarity
 
@@ -69,7 +68,9 @@ class SegmentShardActor:
         self, bqs: list, stats: dict, doc_count: int, sum_ttf: int, k: int,
         pruned: bool = True,
     ):
-        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
+        empty = (
+            np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0, True
+        )
         return [
             empty if bq is None
             else self.search_shard(bq, stats, doc_count, sum_ttf, k, pruned)
@@ -85,17 +86,21 @@ class SegmentShardActor:
         k: int,
         pruned: bool = True,
     ):
-        """Top-k of this shard's segments under GLOBAL stats."""
+        """Top-k of this shard's segments under GLOBAL stats. Returns
+        (docids, scores, total_hits, exact) — exact mirrors the per-segment
+        TotalHits relation flags."""
         scorers = build_scorers(bq, stats, doc_count, sum_ttf, BM25Similarity())
         all_d, all_s, total = [], [], 0
+        exact_all = True
         theta = 0.0
         for e in self._entries:
             sr = self._reader.segment_reader(e.name)
             if pruned:
-                d, s, n, _exact = score_segment_pruned(sr, bq, scorers, k, theta)
+                d, s, n, exact = score_segment_pruned(sr, bq, scorers, k, theta)
             else:
-                d, s, n, _exact = score_segment_exhaustive(sr, bq, scorers, k)
+                d, s, n, exact = score_segment_exhaustive(sr, bq, scorers, k)
             total += n
+            exact_all = exact_all and exact
             if len(d):
                 all_d.append(d + e.docid_base)
                 all_s.append(s)
@@ -106,10 +111,11 @@ class SegmentShardActor:
             return (
                 np.array([], dtype=np.int64),
                 np.array([], dtype=np.float32),
-                0,
+                total,
+                exact_all,
             )
         d, s = _topk(np.concatenate(all_d), np.concatenate(all_s), k)
-        return d, s, total
+        return d, s, total, exact_all
 
 
 class DistributedSearcher:
@@ -177,57 +183,38 @@ class DistributedSearcher:
             docs = [r[qi][0] for r in per_shard if len(r[qi][0])]
             scores = [r[qi][1] for r in per_shard if len(r[qi][1])]
             total = sum(r[qi][2] for r in per_shard)
+            relation = "eq" if all(r[qi][3] for r in per_shard) else "gte"
             if not docs:
                 out.append(
-                    TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
+                    TopDocs(
+                        np.array([], dtype=np.int64),
+                        np.array([], dtype=np.float32), total, relation,
+                    )
                 )
                 continue
             d, s = _topk(np.concatenate(docs), np.concatenate(scores), k)
-            out.append(TopDocs(d, s, total))
+            out.append(TopDocs(d, s, total, relation))
         return out
 
     def _prepare(self, query) -> BooleanQuery | None:
         from lucene_ray.analysis import get_analyzer
+        from lucene_ray.search.rewrite import maybe_rewrite
 
         bq = (
             parse_query(query, get_analyzer(self.analyzer_name))
             if isinstance(query, str)
             else query
         )
-        from lucene_ray.search.engine import IndexSearcher as _IS
-
-        if any(
-            isinstance(q, _IS._MULTI) for q in bq.must + bq.should + bq.must_not
-        ):
-            bq = rewrite_query(
-                bq, self.vocabulary(),
-                lambda: self.vocabulary(include_fields=True),
-            )
+        bq = maybe_rewrite(
+            bq, self.vocabulary, lambda: self.vocabulary(include_fields=True)
+        )
         if not (bq.must or bq.should):
             return None
         return bq
 
     def search(self, query, k: int = DEFAULT_TOP_K) -> TopDocs:
-        from lucene_ray.analysis import get_analyzer
-        from lucene_ray.search.engine import IndexSearcher  # noqa: F401
-
-        bq = (
-            parse_query(query, get_analyzer(self.analyzer_name))
-            if isinstance(query, str)
-            else query
-        )
-        from lucene_ray.search.query import BooleanQuery as BQ
-
-        from lucene_ray.search.engine import IndexSearcher as _IS
-
-        if any(
-            isinstance(q, _IS._MULTI) for q in bq.must + bq.should + bq.must_not
-        ):
-            bq = rewrite_query(
-                bq, self.vocabulary(),
-                lambda: self.vocabulary(include_fields=True),
-            )
-        if not (bq.must or bq.should):
+        bq = self._prepare(query)
+        if bq is None:
             return TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
 
         terms = query_terms(bq)
@@ -246,10 +233,14 @@ class DistributedSearcher:
                 for a in self.actors
             ]
         )
-        docs = [d for d, _s, _n in results if len(d)]
-        scores = [s for _d, s, _n in results if len(s)]
-        total = sum(n for _d, _s, n in results)
+        docs = [d for d, _s, _n, _e in results if len(d)]
+        scores = [s for _d, s, _n, _e in results if len(s)]
+        total = sum(n for _d, _s, n, _e in results)
+        relation = "eq" if all(e for _d, _s, _n, e in results) else "gte"
         if not docs:
-            return TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
+            return TopDocs(
+                np.array([], dtype=np.int64), np.array([], dtype=np.float32),
+                total, relation,
+            )
         d, s = _topk(np.concatenate(docs), np.concatenate(scores), k)
-        return TopDocs(d, s, total)
+        return TopDocs(d, s, total, relation)

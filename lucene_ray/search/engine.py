@@ -49,7 +49,7 @@ from lucene_ray.search.query import (
     WildcardQuery,
     parse_query,
 )
-from lucene_ray.search.rewrite import rewrite_query
+from lucene_ray.search.rewrite import MULTI_TERM_TYPES, maybe_rewrite, rewrite_query
 from lucene_ray.search.reader import IndexReader
 from lucene_ray.search.scorer import (
     _topk,
@@ -160,17 +160,14 @@ class IndexSearcher:
     def parse(self, text: str) -> BooleanQuery:
         return parse_query(text, self.analyzer)
 
-    _MULTI = (PrefixQuery, WildcardQuery, TermRangeQuery, FuzzyQuery,
-              RegexpQuery, TermInSetQuery)
+    _MULTI = MULTI_TERM_TYPES
 
     def _maybe_rewrite(self, bq: BooleanQuery) -> BooleanQuery:
-        if any(isinstance(q, self._MULTI) for q in flat_clauses(bq)):
-            return rewrite_query(
-                bq,
-                self.reader.vocabulary(),
-                lambda: self.reader.vocabulary(include_fields=True),
-            )
-        return bq
+        return maybe_rewrite(
+            bq,
+            self.reader.vocabulary,
+            lambda: self.reader.vocabulary(include_fields=True),
+        )
 
     def search(
         self,

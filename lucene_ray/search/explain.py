@@ -56,7 +56,8 @@ def _no_match(description: str) -> Explanation:
 def _bm25_leaf(q, clause, value, tf, norm_byte, searcher) -> Explanation:
     """BM25Similarity.explain detail shape (BM25Similarity.java:214-258):
     boost * idf * tf, with dl reported from the decoded norm byte (the
-    reference's 'length of field (approximate)')."""
+    reference's 'length of field (approximate)'). Only valid for BM25-shaped
+    similarities (k1/b/avgdl); other plugs get a generic leaf."""
     sim = searcher.sim
     doc_count = searcher.reader.stats_doc_count
     sum_ttf = searcher.reader.sum_ttf
@@ -119,45 +120,61 @@ def explain(searcher, query, docid: int) -> Explanation:
     scorers = searcher._scorers(bq)
     cand1 = np.array([local], dtype=np.int64)
 
-    # required / prohibited membership, mirroring the exhaustive path
-    must = build_clauses(sr, bq.must, scorers)
-    if bq.must and len(must) < len(bq.must):
-        return _no_match("a required clause has no matches in this segment")
-    for q, c in zip(bq.must, must):
+    # build per QUERY (a segment may lack some clauses; building one query
+    # at a time keeps the (query, clause) pairing aligned)
+    def build_one(q):
+        cs = build_clauses(sr, [q], scorers)
+        return cs[0] if cs else None
+
+    must_pairs = [(q, build_one(q)) for q in bq.must]
+    for q, c in must_pairs:
+        if c is None:
+            return _no_match(
+                f"required clause has no matches in this segment ({q})"
+            )
         if c.lookup(cand1)[0] <= 0:
             return _no_match(f"failure to match required clause ({q})")
-    must_not = build_clauses(sr, bq.must_not, scorers)
-    for q, c in zip(bq.must_not, must_not):
-        if c.lookup(cand1)[0] > 0:
+    for q in bq.must_not:
+        c = build_one(q)
+        if c is not None and c.lookup(cand1)[0] > 0:
             return _no_match(f"match on prohibited clause ({q})")
 
-    should = build_clauses(sr, bq.should, scorers)
-    should_matches = sum(int(c.lookup(cand1)[0] > 0) for c in should)
+    should_pairs = [(q, build_one(q)) for q in bq.should]
+    should_pairs = [(q, c) for q, c in should_pairs if c is not None]
+    should_matches = sum(int(c.lookup(cand1)[0] > 0) for _q, c in should_pairs)
     msm = bq.min_should_match if bq.must else max(1, bq.min_should_match)
-    if should and should_matches < msm:
+    if bq.should and should_matches < msm:
         return _no_match(
             f"failure to meet condition of minimumShouldMatch: {msm} "
             f"(matched {should_matches} optional clauses)"
         )
-    if not bq.must and not should:
+    if not must_pairs and not should_pairs:
         return _no_match("no optional clauses present")
 
-    scoring = must + should
+    pairs = must_pairs + should_pairs
+    scoring = [c for _q, c in pairs]
     total, _m = _canonical_scores(scoring, cand1, sr.norm_bytes)
     norm_byte = int(sr.norm_bytes[local])
+    sim = searcher.sim
+    bm25_shaped = all(hasattr(sim, a) for a in ("k1", "b", "avgdl"))
     details = []
-    queries = list(bq.must) + list(bq.should)
-    for q, c in zip(queries, scoring):
+    for q, c in pairs:
         contrib, matched = c.contrib(cand1, sr.norm_bytes)
         if not matched[0]:
             continue
         tf = c.lookup(cand1)[0] if c._scored is None else 0
-        if isinstance(q, (TermQuery, PhraseQuery, SynonymQuery, SpanNearQuery)) and (
-            c._scored is None
+        if (
+            bm25_shaped
+            and isinstance(q, (TermQuery, PhraseQuery, SynonymQuery, SpanNearQuery))
+            and c._scored is None
         ):
             details.append(_bm25_leaf(q, c, contrib[0], tf, norm_byte, searcher))
         else:
             details.append(
-                Explanation(float(contrib[0]), f"{type(q).__name__} clause contribution")
+                Explanation(
+                    float(contrib[0]),
+                    f"{type(q).__name__} clause contribution "
+                    f"[{type(sim).__name__}]",
+                )
             )
     return Explanation(float(total[0]), "sum of:", tuple(details))

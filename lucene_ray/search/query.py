@@ -361,3 +361,19 @@ def _parse_tokens(raw: list[tuple], analyzer, depth: int = 0) -> BooleanQuery:
         for q in _token_queries(w, kind == "phrase", boost, slop, analyzer):
             getattr(bq, eff).append(q)
     return bq
+
+
+def iter_clauses(bq: BooleanQuery):
+    """Every clause of ``bq`` including nested disjuncts / wrapped
+    subqueries / nested-boolean members (the canonical clause walk shared
+    by scorer building, term-stat collection, and rewrite detection)."""
+    stack = list(bq.must + bq.should + bq.must_not)
+    while stack:
+        q = stack.pop()
+        yield q
+        if isinstance(q, (DisjunctionMaxQuery, DisjunctionSumQuery)):
+            stack.extend(q.disjuncts)
+        elif isinstance(q, ConstantScoreQuery):
+            stack.append(q.query)
+        elif isinstance(q, NestedBooleanQuery):
+            stack.extend(q.must + q.should + q.must_not)

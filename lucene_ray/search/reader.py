@@ -54,6 +54,12 @@ class LRUQueryCache:
         val = compute()
         n = self._counts.get(key, 0) + 1
         self._counts[key] = n
+        # bound the usage tracker too (the reference uses a fixed-size ring
+        # buffer of recent query hashes): drop the oldest half when full, so
+        # a long-lived actor streaming distinct queries can't grow it forever
+        if len(self._counts) > self.max_entries * 8:
+            for old in list(self._counts)[: self.max_entries * 4]:
+                del self._counts[old]
         if n >= self.min_frequency:
             for part in val if isinstance(val, tuple) else (val,):
                 if isinstance(part, np.ndarray):

@@ -36,6 +36,25 @@ from lucene_ray.search.query import (
 
 MAX_EXPANSIONS = 1024
 
+MULTI_TERM_TYPES = (
+    PrefixQuery, WildcardQuery, TermRangeQuery, FuzzyQuery,
+    RegexpQuery, TermInSetQuery,
+)
+
+
+def maybe_rewrite(bq: BooleanQuery, vocab, field_vocab=None) -> BooleanQuery:
+    """Rewrite iff any clause — INCLUDING nested group members — is a
+    multi-term query. ``vocab`` may be a lazy callable so the vocabulary is
+    only materialized when a rewrite actually happens. The single shared
+    entry point for IndexSearcher and DistributedSearcher (drift here
+    silently drops un-rewritten multi-term clauses in build_clauses)."""
+    from lucene_ray.search.query import iter_clauses
+
+    if any(isinstance(q, MULTI_TERM_TYPES) for q in iter_clauses(bq)):
+        v = vocab() if callable(vocab) else vocab
+        return rewrite_query(bq, v, field_vocab)
+    return bq
+
 
 def expand_prefix(vocab: np.ndarray, q: PrefixQuery) -> list[str]:
     lo = np.searchsorted(vocab, q.prefix, side="left")

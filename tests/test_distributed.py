@@ -28,6 +28,10 @@ QUERIES = [
     "get*",
     "getmanager",
     "zzzmissing",
+    # groups: multi-term INSIDE a group must be rewritten in the
+    # distributed path too (shared maybe_rewrite — review regression)
+    "+(mer* flush) index",
+    "(merge AND flush) token",
 ]
 
 
@@ -67,3 +71,22 @@ def test_search_many_batched(ix, ray_session):
         one = dist.search(q, 10)
         assert td.docids.tolist() == one.docids.tolist(), q
         np.testing.assert_allclose(td.scores, one.scores, rtol=1e-6)
+
+
+def test_distributed_relation_flags(ix, ray_session):
+    # exhaustive path: relation is always exact
+    dist = DistributedSearcher(ix, n_shards=2, pruned=False)
+    local = IndexSearcher(ix, pruned=False)
+    for q in QUERIES[:3]:
+        td = dist.search(q, 5)
+        assert td.relation == "eq"
+        assert td.total_hits == local.search(q, 5).total_hits
+    # pruned path: gte only when total undercounts, and then total <= exact
+    dp = DistributedSearcher(ix, n_shards=2, pruned=True)
+    for q in ("merge flush index", "get token parse block"):
+        td = dp.search(q, 3)
+        exact = local.search(q, 3).total_hits
+        if td.relation == "eq":
+            assert td.total_hits == exact
+        else:
+            assert td.total_hits <= exact

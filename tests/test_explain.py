@@ -112,3 +112,50 @@ class TestExplain:
         td = s.search("merge flush", 1)
         text = str(s.explain("merge flush", int(td.docids[0])))
         assert "sum of:" in text and "weight(" in text
+
+
+class TestExplainReviewRegressions:
+    def test_segment_missing_clause_alignment(self, tmp_path, ray_session):
+        # a term present in SOME segments only must not shift leaf labels
+        # (per-query clause building — review regression)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = []
+        for i in range(40):
+            # 'rareword' exists ONLY in the first 10 docs (first segment)
+            text = "merge flush" + (" rareword" if i < 10 else " common")
+            rows.append(
+                {"repo": "r", "path": f"p{i}", "commit": "c", "lang": "py",
+                 "content": text}
+            )
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        d = str(tmp_path / "ix")
+        build_index([src], d, target_docs=10)  # 4 segments; rareword in seg 0
+        s = IndexSearcher(d, pruned=False)
+        rare = "rareword"
+        q = f"{rare} merge"
+        td = s.search(q, 20)
+        for d, score in zip(td.docids.tolist(), td.scores.tolist()):
+            ex = s.explain(q, d)
+            assert ex.value == pytest.approx(score, abs=0.0)
+            for leaf in ex.details:
+                if "weight(content:" in leaf.description:
+                    term = leaf.description.split("content:")[1].split(" ")[0]
+                    boost, idf, tf = (x.value for x in leaf.details)
+                    assert leaf.value == pytest.approx(boost * idf * tf, rel=1e-5), (
+                        term, d,
+                    )
+
+    def test_explain_with_classic_similarity(self, ix):
+        from lucene_ray.search.similarity import ClassicSimilarity
+
+        s = IndexSearcher(ix, similarity=ClassicSimilarity(), pruned=False)
+        td = s.search("merge flush", 5)
+        assert len(td.docids)
+        for d, score in zip(td.docids.tolist(), td.scores.tolist()):
+            ex = s.explain("merge flush", d)
+            assert ex.is_match
+            assert ex.value == pytest.approx(score, abs=0.0)
+            assert all("ClassicSimilarity" in l.description for l in ex.details)
