@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_engine": bm25docs.bm25_topk_engine,
         "boolean_engine": bm25docs.boolean_engine,
         "phrase_engine": bm25docs.phrase_engine,
+        "multiphrase_engine": bm25docs.multiphrase_engine,
         "multiterm_engine": bm25docs.multiterm_engine,
         "update_engine": bm25docs.update_engine,
         "field_engine": bm25docs.field_engine,
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": bm25docs.tfidf_topk_sql(),
         "boolean_engine": bm25docs.boolean_engine_sql(),
         "phrase_engine": bm25docs.phrase_engine_sql(),
+        "multiphrase_engine": bm25docs.multiphrase_engine_sql(),
         "multiterm_engine": bm25docs.multiterm_engine_sql(),
         "update_engine": bm25docs.update_engine_sql(),
         "field_engine": bm25docs.field_engine_sql(),

@@ -1012,6 +1012,64 @@ WHERE q.rn <= {MLT_MAX_QUERY_TERMS}
 """
 
 
+MULTIPHRASE_QUERIES: list[tuple[int, tuple[tuple[str, ...], ...]]] = [
+    # (qid, slots): each slot is the alternative-terms tuple for a position
+    (0, (("sort", "batch"), ("merge",))),          # "sort|batch merge"
+    (1, (("key",), ("order", "value"))),           # "key order|value"
+    (2, (("merge", "window"), ("join", "scan"))),  # both slots multi
+]
+
+
+def multiphrase_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): MultiPhraseQuery doc sets (per-slot term alternatives,
+    consecutive positions — search/MultiPhraseQuery.java) via the engine."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, MultiPhraseQuery
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, slots in MULTIPHRASE_QUERIES:
+        td = s.search(
+            BooleanQuery(should=[MultiPhraseQuery(slots)]), 1_000_000
+        )
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def multiphrase_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, slots in MULTIPHRASE_QUERIES:
+        def in_list(alts):
+            return "(" + ", ".join(f"'{t}'" for t in alts) + ")"
+
+        joins = " ".join(
+            f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j} "
+            f"AND t{j}.term IN {in_list(slots[j])}"
+            for j in range(1, len(slots))
+        )
+        parts.append(
+            f"SELECT DISTINCT {qid} AS qid, t0.doc_id AS docid FROM tok t0 {joins} "
+            f"WHERE t0.term IN {in_list(slots[0])}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""
+
+
 def count_engine(sf_dir: str) -> pa.Table:
     """(qid, n): exact hit counts through IndexSearcher.count — the
     TotalHitCountCollector path (search/IndexSearcher.java:380), covering

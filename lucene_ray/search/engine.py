@@ -36,6 +36,7 @@ from lucene_ray.search.query import (
     DisjunctionSumQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     NestedBooleanQuery,
     PhraseQuery,
     PointRangeQuery,
@@ -126,7 +127,9 @@ def build_scorers(
     for q in flat_clauses(bq):
         if isinstance(q, TermQuery):
             scorers[q] = sim.scorer(stats[q.term][0], doc_count, sum_ttf, boost=q.boost)
-        elif isinstance(q, (PhraseQuery, SpanNearQuery)):
+        elif isinstance(q, (PhraseQuery, SpanNearQuery, MultiPhraseQuery)):
+            # MultiPhrase: idf summed over EVERY term in every slot
+            # (MultiPhraseQuery.MultiPhraseWeight idfExplain over all stats)
             dfs = [stats[t][0] for t in q.terms]
             scorers[q] = sim.phrase_scorer(dfs, doc_count, sum_ttf, boost=q.boost)
         elif isinstance(q, SynonymQuery):

@@ -44,6 +44,22 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery:
+    """Phrase with term ALTERNATIVES per position
+    (search/MultiPhraseQuery.java): position i matches if ANY of
+    ``slots[i]`` occurs there; the doc matches if consecutive positions
+    cover every slot. Scored like a phrase with idf summed over every term
+    in every slot (MultiPhraseWeight's idfExplain over all termStats)."""
+
+    slots: tuple  # of tuple[str, ...], one alternatives-tuple per position
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple:
+        return tuple(t for slot in self.slots for t in slot)
+
+
+@dataclass(frozen=True)
 class SpanNearQuery:
     """Proximity match over single-term sub-spans (queries/src/java/org/
     apache/lucene/queries/spans/SpanNearQuery.java; matchers

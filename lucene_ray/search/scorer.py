@@ -37,6 +37,7 @@ from lucene_ray.search.query import (
     DisjunctionMaxQuery,
     DisjunctionSumQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     NestedBooleanQuery,
     PhraseQuery,
     PointRangeQuery,
@@ -264,6 +265,40 @@ def _phrase_postings(reader, terms: tuple) -> tuple[np.ndarray, np.ndarray]:
             )
         d_rep, abs_pos = p.flat_positions()
         k = d_rep * _POS_SPAN + abs_pos - i
+        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if len(keys) == 0:
+            return empty, empty
+    docids_out, freqs_out = np.unique(keys // _POS_SPAN, return_counts=True)
+    return docids_out.astype(np.int64), freqs_out.astype(np.int64)
+
+
+def _multi_phrase_postings(reader, slots: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """MultiPhraseQuery match (search/MultiPhraseQuery.java via
+    UnionPostingsEnum): per position-slot, UNION the shifted (docid, pos)
+    keys of the slot's alternative terms, then intersect across slots —
+    the same int64-key algebra as _phrase_postings with a union layer."""
+    empty = np.array([], dtype=np.int64)
+    keys = None
+    for i, alts in enumerate(slots):
+        slot_keys = []
+        for t in alts:
+            p = reader.postings(t)
+            if p is None:
+                continue
+            if p._ttf > 0 and len(p._pos_blob) == 0:
+                raise ValueError(
+                    "phrase query on an index built without positions "
+                    "(index_options='freqs'); rebuild with 'positions'"
+                )
+            d_rep, abs_pos = p.flat_positions()
+            slot_keys.append(d_rep * _POS_SPAN + abs_pos - i)
+        if not slot_keys:
+            return empty, empty
+        k = (
+            slot_keys[0]
+            if len(slot_keys) == 1
+            else np.unique(np.concatenate(slot_keys))
+        )
         keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
         if len(keys) == 0:
             return empty, empty
@@ -523,6 +558,17 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 docids, freqs = _qcache(
                     reader, q, lambda: _phrase_postings(reader, q.terms)
                 )
+            if len(docids) == 0:
+                continue
+            sc = scorers[q]
+            ms = float(
+                sc.score(freqs.astype(np.float32), reader.norm_bytes[docids]).max()
+            )
+            out.append(_Clause(q, None, sc, (docids, freqs), max_score=ms))
+        elif isinstance(q, MultiPhraseQuery):
+            docids, freqs = _qcache(
+                reader, q, lambda: _multi_phrase_postings(reader, q.slots)
+            )
             if len(docids) == 0:
                 continue
             sc = scorers[q]

@@ -242,6 +242,13 @@ class TestBM25Docs:
 
         assert_same(bm25docs.group_engine(SF), con, bm25docs.group_engine_sql())
 
+    def test_multiphrase_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.multiphrase_engine(SF), con, bm25docs.multiphrase_engine_sql()
+        )
+
     def test_sort_engine(self, con):
         from lucene_ray.ops import bm25docs
 

@@ -869,3 +869,55 @@ class TestHitCounting:
         # df-shortcut would still say 60; the slow path must say 57
         assert s1.count("merge") == 57
         assert s1.count("flush") == len(doc_set(s1, s1.parse("flush")))
+
+
+class TestMultiPhrase:
+    """MultiPhraseQuery (per-slot alternatives, search/MultiPhraseQuery.java)
+    vs a naive Python oracle; duel pruned/exhaustive."""
+
+    CASES = [
+        (("merge", "flush"), ("index",)),
+        (("sort",), ("merge", "flush")),
+        (("merge", "index"), ("flush", "sort")),
+    ]
+
+    @staticmethod
+    def _matches(toks, slots):
+        for start in range(len(toks) - len(slots) + 1):
+            if all(toks[start + i] in slots[i] for i in range(len(slots))):
+                return True
+        return False
+
+    def test_doc_sets_match_oracle(self, ix, docs):
+        from lucene_ray.search.query import MultiPhraseQuery
+
+        s = IndexSearcher(ix)
+        for slots in self.CASES:
+            q = BooleanQuery(should=[MultiPhraseQuery(slots)])
+            got = doc_set(s, q)
+            want = {i for i, d in enumerate(docs) if self._matches(d, slots)}
+            assert got == want, slots
+
+    def test_single_alternatives_equal_phrase(self, ix):
+        from lucene_ray.search.query import MultiPhraseQuery
+
+        s = IndexSearcher(ix)
+        mp = s.search(
+            BooleanQuery(should=[MultiPhraseQuery((("sort",), ("merge",)))]), 20
+        )
+        ph = s.search(BooleanQuery(should=[PhraseQuery(("sort", "merge"))]), 20)
+        assert mp.docids.tolist() == ph.docids.tolist()
+        np.testing.assert_allclose(mp.scores, ph.scores, rtol=1e-6)
+
+    def test_duel(self, ix):
+        from lucene_ray.search.query import MultiPhraseQuery
+
+        ex = IndexSearcher(ix, pruned=False)
+        pr = IndexSearcher(ix, pruned=True)
+        for slots in self.CASES:
+            q = BooleanQuery(
+                should=[MultiPhraseQuery(slots), TermQuery("index")]
+            )
+            a, b = ex.search(q, 10), pr.search(q, 10)
+            assert a.docids.tolist() == b.docids.tolist(), slots
+            np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
