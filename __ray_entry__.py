@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_engine": bm25docs.points_engine,
         "sort_engine": bm25docs.sort_engine,
         "facet_engine": bm25docs.facet_engine,
+        "rangefacet_engine": bm25docs.rangefacet_engine,
+        "join_engine": bm25docs.join_engine,
         "suggest_engine": bm25docs.suggest_engine,
         "mlt_engine": bm25docs.mlt_engine,
         "group_engine": bm25docs.group_engine,
@@ -101,6 +103,8 @@ def oracle_sql() -> dict[str, str]:
         "points_engine": bm25docs.points_engine_sql(),
         "sort_engine": bm25docs.sort_engine_sql(),
         "facet_engine": bm25docs.facet_engine_sql(),
+        "rangefacet_engine": bm25docs.rangefacet_engine_sql(),
+        "join_engine": bm25docs.join_engine_sql(),
         "suggest_engine": bm25docs.suggest_engine_sql(),
         "mlt_engine": bm25docs.mlt_engine_sql(),
         "group_engine": bm25docs.group_engine_sql(),

@@ -1012,6 +1012,110 @@ WHERE q.rn <= {MLT_MAX_QUERY_TERMS}
 """
 
 
+JOIN_QUERIES: list[tuple[int, str, str, str]] = [
+    # (qid, from_query, join_field, to_query): docs whose FIELD value occurs
+    # among the from_query matches' values, AND matching to_query
+    (0, "merge", "lang", "window"),
+    (1, "zzzmissingterm", "lang", "window"),  # empty from-side -> no hits
+    (2, "batch", "source", "scan"),
+]
+
+
+def join_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): query-time join (JoinUtil.createJoinQuery,
+    join/.../JoinUtil.java:63 — ScoreMode.None constant-score to-side)."""
+    from lucene_ray.search.engine import IndexSearcher, join_query
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    # documents_as_corpus maps source->repo; engine field names differ
+    fld_map = {"lang": "lang", "source": "repo"}
+    for qid, fq, fld, tq in JOIN_QUERIES:
+        joined = join_query(s, fq, fld_map[fld], to_query=tq)
+        if not (joined.must or joined.should):
+            continue
+        td = s.search(joined, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def join_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, fq, fld, tq in JOIN_QUERIES:
+        parts.append(f"""
+SELECT DISTINCT {qid} AS qid, d.doc_id AS docid
+FROM documents d
+WHERE d.{fld} IN (
+  SELECT DISTINCT s.{fld} FROM documents s
+  WHERE s.doc_id IN (SELECT doc_id FROM tok WHERE term = '{fq}')
+)
+AND d.doc_id IN (SELECT doc_id FROM tok WHERE term = '{tq}')
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+RANGE_FACETS: list[tuple[int, int]] = [
+    (0, 400), (401, 800), (0, 800), (801, 1 << 30)  # overlapping on purpose
+]
+
+
+def rangefacet_engine(sf_dir: str) -> pa.Table:
+    """(qid, ridx, n): numeric range-facet counts over n_chars for matching
+    docs (facet/.../range/LongRangeFacetCounts.java; overlapping ranges
+    counted independently)."""
+    from lucene_ray.search.engine import IndexSearcher, range_facet_counts
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_r, out_n = [], [], []
+    for qid, term in ((0, "merge"), (1, "window")):
+        for ridx, n in range_facet_counts(s, term, "n_chars", RANGE_FACETS):
+            out_q.append(qid)
+            out_r.append(ridx)
+            out_n.append(n)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "ridx": pa.array(out_r, type=pa.int64()),
+            "n": pa.array(out_n, type=pa.int64()),
+        }
+    )
+
+
+def rangefacet_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term in ((0, "merge"), (1, "window")):
+        for ridx, (lo, hi) in enumerate(RANGE_FACETS):
+            parts.append(f"""
+SELECT {qid} AS qid, {ridx} AS ridx,
+       CAST(count(*) FILTER (length(text) BETWEEN {lo} AND {hi}) AS BIGINT) AS n
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 MULTIPHRASE_QUERIES: list[tuple[int, tuple[tuple[str, ...], ...]]] = [
     # (qid, slots): each slot is the alternative-terms tuple for a position
     (0, (("sort", "batch"), ("merge",))),          # "sort|batch merge"

@@ -427,3 +427,51 @@ def search_queries_dataset(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def join_query(
+    searcher: "IndexSearcher",
+    from_query,
+    field: str,
+    to_query=None,
+    max_terms: int = 1024,
+) -> BooleanQuery:
+    """Query-time join (join module, JoinUtil.createJoinQuery,
+    join/.../JoinUtil.java:63): collect the distinct ``field`` values of
+    docs matching ``from_query``, then build a query matching docs whose
+    ``field`` holds ANY of those values (TermInSetQuery over the
+    'field:value' keyword terms), optionally ANDed with ``to_query``.
+    ScoreMode.None semantics (constant-score to-side). ``max_terms`` caps
+    the value set (BooleanQuery.maxClauseCount spirit)."""
+    td = searcher.search(from_query, k=1 << 62)
+    if len(td.docids) == 0:
+        return BooleanQuery()  # no from-matches -> matches nothing
+    stored = fetch_stored(searcher.reader, td.docids)
+    vals = sorted(set(stored.column(field).to_pylist()))[:max_terms]
+    in_set = TermInSetQuery(tuple(f"{field}:{v}" for v in vals))
+    out = BooleanQuery(must=[in_set])
+    if to_query is not None:
+        sub = (
+            searcher.parse(to_query) if isinstance(to_query, str) else to_query
+        )
+        out.must.extend(sub.must)
+        out.must.extend(sub.should)  # to-side clauses all required
+        out.must_not.extend(sub.must_not)
+    return out
+
+
+def range_facet_counts(
+    searcher: "IndexSearcher", query, field: str, ranges: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Numeric range facets over a doc-values field for ``query``'s matches
+    (facet/.../range/LongRangeFacetCounts.java): returns one (range_index,
+    count) per requested [lo, hi] INCLUSIVE range, in input order. Ranges
+    may overlap (each is counted independently, as in the reference)."""
+    td = searcher.search(query, k=1 << 62)
+    if len(td.docids) == 0:
+        return [(i, 0) for i in range(len(ranges))]
+    vals = fetch_doc_values(searcher.reader, td.docids, field)
+    out = []
+    for i, (lo, hi) in enumerate(ranges):
+        out.append((i, int(((vals >= lo) & (vals <= hi)).sum())))
+    return out

@@ -242,6 +242,18 @@ class TestBM25Docs:
 
         assert_same(bm25docs.group_engine(SF), con, bm25docs.group_engine_sql())
 
+    def test_join_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.join_engine(SF), con, bm25docs.join_engine_sql())
+
+    def test_rangefacet_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.rangefacet_engine(SF), con, bm25docs.rangefacet_engine_sql()
+        )
+
     def test_multiphrase_engine(self, con):
         from lucene_ray.ops import bm25docs
 
