@@ -921,3 +921,30 @@ class TestMultiPhrase:
             a, b = ex.search(q, 10), pr.search(q, 10)
             assert a.docids.tolist() == b.docids.tolist(), slots
             np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
+
+
+class TestParserFuzz:
+    """Random query strings must parse and search without crashing (or raise
+    only the documented ValueError for unsupported nesting)."""
+
+    def test_random_queries_dont_crash(self, ix):
+        import random
+
+        rng = random.Random(1234)
+        pieces = [
+            "merge", "flush", "mer*", "fuzz~1", '"sort merge"', '"a b"~2',
+            "+", "-", "AND", "OR", "NOT", "(", ")", "^2", "lang:py",
+            "content:merge", "~", "*", "?", '"', "zzz", "(merge flush)",
+            "+(a AND b)", "a^", ":", "foo:bar:baz", "",
+        ]
+        s = IndexSearcher(ix)
+        for _ in range(300):
+            q = " ".join(
+                rng.choice(pieces) for _ in range(rng.randint(1, 6))
+            )
+            try:
+                td = s.search(q, 5)
+            except ValueError:
+                continue  # documented: unsupported nesting raises
+            assert td.total_hits >= 0
+            assert len(td.docids) == len(td.scores)
