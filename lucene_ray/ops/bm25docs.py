@@ -958,9 +958,18 @@ def mlt_engine(sf_dir: str) -> pa.Table:
 
     ix = _engine_index(sf_dir)
     s = IndexSearcher(ix)
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
-    texts = {int(ids[i]): docs.column("text")[i].as_py() for i in np.nonzero(np.isin(ids, MLT_SEEDS))[0]}
+    # row-group-pruned read: only the 3 seed docs leave storage
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", MLT_SEEDS)],
+    )
+    texts = {
+        int(i): t
+        for i, t in zip(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+        )
+    }
     out_q, out_d = [], []
     for seed in MLT_SEEDS:
         bq = more_like_this(s.reader, texts[seed], s.analyzer)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -184,6 +185,11 @@ def build_lsh_index(sf_dir: str, index_dir: str | None = None) -> str:
     marker = os.path.join(index_dir, "_LSH_DONE")
     if os.path.exists(marker):
         return index_dir
+    # temp-dir + atomic rename, as in build_ivf_index: stale partials from
+    # a crashed build must not mix with the rerun's partitions
+    tmp_dir = index_dir + ".build"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -197,14 +203,94 @@ def build_lsh_index(sf_dir: str, index_dir: str | None = None) -> str:
         return out.append_column("lsh_key", pa.array(keys.astype(np.int64)))
 
     ds.map_batches(explode, batch_format="pyarrow", batch_size=4096).write_parquet(
-        index_dir, partition_cols=["lsh_key"]
+        tmp_dir, partition_cols=["lsh_key"]
     )
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp_dir, "_LSH_DONE"), "w") as f:
         f.write("ok")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp_dir, index_dir)
     return index_dir
 
 
 _KEY_RE = re.compile(r"lsh_key=(\d+)")
+
+
+def _probe_partition_topk(
+    ix: str,
+    key_re: "re.Pattern",
+    key_prefix: str,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    qnorm: np.ndarray,
+    q_keys: np.ndarray,
+    k: int,
+    dedupe: bool,
+) -> "ray.data.Dataset":
+    """Shared probe path for the partitioned ANN indexes (LSH + IVF): glob
+    only the probed partitions, broadcast the query block once, exact
+    cosine + per-query local top-k inside map_batches, tiny driver merge.
+    ``q_keys``: per-query array of partition keys to probe. ``dedupe``:
+    drop within-batch duplicate vec_ids (a vector sits in several LSH
+    tables; IVF partitions are disjoint but dedupe is harmless defense)."""
+    import glob as _glob
+    import pandas as pd
+
+    paths = [
+        f
+        for key in np.unique(q_keys)
+        for f in sorted(
+            _glob.glob(os.path.join(ix, f"{key_prefix}={int(key)}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return _rank_merge(pd.DataFrame(), k)
+
+    ref = ray.put((q_ids, q_mat, qnorm, q_keys))
+    ds = ray.data.read_parquet(paths, include_paths=True)
+
+    def local(batch: pa.Table) -> pa.Table:
+        qi, qm, qno, qk = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _embedding_matrix(batch.column("embedding"))
+        keys = np.array(
+            [int(key_re.search(p).group(1)) for p in batch.column("path").to_pylist()],
+            dtype=np.int64,
+        )
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        out_q, out_v, out_s = [], [], []
+        for r in range(len(qi)):
+            hit = np.isin(keys, qk[r])
+            if not hit.any():
+                continue
+            sims = (mat[hit] @ qm[r]) / (n[hit] * qno[r])
+            sel_ids = ids[hit]
+            if dedupe:
+                sel_ids, first = np.unique(sel_ids, return_index=True)
+                sims = sims[first]
+            kk = min(k, len(sel_ids))
+            order = np.lexsort((sel_ids, -sims))[:kk]
+            out_q.append(np.full(kk, qi[r], dtype=np.int64))
+            out_v.append(sel_ids[order])
+            out_s.append(sims[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    pdf = ds.map_batches(local, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return _rank_merge(pdf, k)
 
 
 def knn_lsh(sf_dir: str, k: int = TOP_K, probes: int = 1) -> "ray.data.Dataset":
@@ -230,69 +316,14 @@ def knn_lsh(sf_dir: str, k: int = TOP_K, probes: int = 1) -> "ray.data.Dataset":
     # same composite-key formula as lsh_keys, broadcast over the probe axis
     table_base = (np.arange(LSH_TABLES) * (1 << LSH_PLANES))[None, :, None]
     q_keys = (table_base + q_sigs).reshape(len(q_ids), -1)  # (n_q, T*(P+1))
-    probe = np.unique(q_keys)
 
     ix = build_lsh_index(sf_dir)
-    import glob as _glob
-
-    paths = [
-        f
-        for key in probe
-        for f in sorted(_glob.glob(os.path.join(ix, f"lsh_key={int(key)}", "*.parquet")))
-    ]
-    if not paths:
-        return _rank_merge(__import__("pandas").DataFrame(), k)
-
     qn = np.linalg.norm(q_mat, axis=1)
     qn[qn == 0] = 1.0
-    # per-query probe-key sets, broadcast once
-    ref = ray.put((q_ids, q_mat, qn, q_keys))
-
-    ds = ray.data.read_parquet(paths, include_paths=True)
-
-    def local(batch: pa.Table) -> pa.Table:
-        qi, qm, qnorm, qk = ray.get(ref)
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = _embedding_matrix(batch.column("embedding"))
-        keys = np.array(
-            [int(_KEY_RE.search(p).group(1)) for p in batch.column("path").to_pylist()],
-            dtype=np.int64,
-        )
-        n = np.linalg.norm(mat, axis=1)
-        n[n == 0] = 1.0
-        out_q, out_v, out_s = [], [], []
-        for r in range(len(qi)):
-            hit = np.isin(keys, qk[r])
-            if not hit.any():
-                continue
-            sims = (mat[hit] @ qm[r]) / (n[hit] * qnorm[r])
-            sel_ids = ids[hit]
-            # a vector can sit in several probed tables: dedupe locally
-            sel_ids, first = np.unique(sel_ids, return_index=True)
-            sims = sims[first]
-            kk = min(k, len(sel_ids))
-            order = np.lexsort((sel_ids, -sims))[:kk]
-            out_q.append(np.full(kk, qi[r], dtype=np.int64))
-            out_v.append(sel_ids[order])
-            out_s.append(sims[order])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "vec_id": pa.array([], type=pa.int64()),
-                    "sim": pa.array([], type=pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
-                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
-            }
-        )
-
-    pdf = ds.map_batches(local, batch_format="pyarrow", batch_size=4096).to_pandas()
-    return _rank_merge(pdf, k)
+    # a vector sits in several probed tables: dedupe within batch
+    return _probe_partition_topk(
+        ix, _KEY_RE, "lsh_key", q_ids, q_mat, qn, q_keys, k, dedupe=True
+    )
 
 
 # ------------------------------------------------ persisted IVF (coarse k-means)
@@ -354,7 +385,12 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None) -> str:
     marker = os.path.join(index_dir, "_IVF_DONE")
     if os.path.exists(marker):
         return index_dir
-    os.makedirs(index_dir, exist_ok=True)
+    # build into a temp sibling and atomically rename: a crashed build's
+    # partial partition files must never mix with a rerun's (duplicate
+    # vectors would silently evict true neighbors from local top-ks)
+    tmp_dir = index_dir + ".build"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
     # deterministic training sample: row-group pruned read of vec_id < cap
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet",
@@ -364,7 +400,7 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None) -> str:
     order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
     sample = _embedding_matrix(t.column("embedding").combine_chunks().take(pa.array(order)))
     cents = _spherical_kmeans(sample, IVF_NLIST, IVF_KMEANS_ITERS, IVF_SEED)
-    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    np.save(os.path.join(tmp_dir, "centroids.npy"), cents)
     c_ref = ray.put(cents)
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -378,10 +414,12 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None) -> str:
         return batch.append_column("ivf_list", pa.array(lists))
 
     ds.map_batches(assign, batch_format="pyarrow", batch_size=4096).write_parquet(
-        index_dir, partition_cols=["ivf_list"]
+        tmp_dir, partition_cols=["ivf_list"]
     )
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp_dir, "_IVF_DONE"), "w") as f:
         f.write("ok")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp_dir, index_dir)
     return index_dir
 
 
@@ -406,63 +444,14 @@ def knn_ivf(sf_dir: str, k: int = TOP_K, nprobe: int = 4) -> "ray.data.Dataset":
     nprobe = min(nprobe, sims_c.shape[1])
     # per-query probe sets: top-nprobe centroid ids (ties by id asc)
     probe_lists = np.argsort(-sims_c, axis=1, kind="stable")[:, :nprobe]
-    probe = np.unique(probe_lists)
-
-    import glob as _glob
-
-    paths = [
-        f
-        for key in probe
-        for f in sorted(_glob.glob(os.path.join(ix, f"ivf_list={int(key)}", "*.parquet")))
-    ]
-    if not paths:
-        return _rank_merge(__import__("pandas").DataFrame(), k)
 
     qnorm = qn[:, 0].copy()
     qnorm[qnorm == 0] = 1.0
-    ref = ray.put((q_ids, q_mat, qnorm, probe_lists))
-    ds = ray.data.read_parquet(paths, include_paths=True)
-
-    def local(batch: pa.Table) -> pa.Table:
-        qi, qm, qno, plists = ray.get(ref)
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = _embedding_matrix(batch.column("embedding"))
-        keys = np.array(
-            [int(_IVF_KEY_RE.search(p).group(1)) for p in batch.column("path").to_pylist()],
-            dtype=np.int64,
-        )
-        n = np.linalg.norm(mat, axis=1)
-        n[n == 0] = 1.0
-        out_q, out_v, out_s = [], [], []
-        for r in range(len(qi)):
-            hit = np.isin(keys, plists[r])
-            if not hit.any():
-                continue
-            sims = (mat[hit] @ qm[r]) / (n[hit] * qno[r])
-            sel_ids = ids[hit]
-            kk = min(k, len(sel_ids))
-            order = np.lexsort((sel_ids, -sims))[:kk]
-            out_q.append(np.full(kk, qi[r], dtype=np.int64))
-            out_v.append(sel_ids[order])
-            out_s.append(sims[order])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "vec_id": pa.array([], type=pa.int64()),
-                    "sim": pa.array([], type=pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
-                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
-            }
-        )
-
-    pdf = ds.map_batches(local, batch_format="pyarrow", batch_size=4096).to_pandas()
-    return _rank_merge(pdf, k)
+    # IVF lists are disjoint, but a crashed-then-rerun build could have left
+    # duplicates: dedupe is cheap defense (same result on clean indexes)
+    return _probe_partition_topk(
+        ix, _IVF_KEY_RE, "ivf_list", q_ids, q_mat, qnorm, probe_lists, k, dedupe=True
+    )
 
 
 def knn_ivf_exact(sf_dir: str, k: int = TOP_K) -> "ray.data.Dataset":

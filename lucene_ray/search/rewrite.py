@@ -105,10 +105,49 @@ def _levenshtein_within(a: str, b: str, k: int) -> bool:
     return prev[len(b)] <= k
 
 
-def expand_fuzzy(vocab: np.ndarray, q: FuzzyQuery) -> list[str]:
+def _levenshtein_dist(a: str, b: str, k: int) -> int | None:
+    """Banded edit distance: the exact value when <= k, else None — one DP
+    pass where _levenshtein_within only answers the predicate."""
+    if abs(len(a) - len(b)) > k:
+        return None
+    big = k + 1
+    prev = [min(j, big) for j in range(len(b) + 1)]
+    for i, ca in enumerate(a, 1):
+        cur = [big] * (len(b) + 1)
+        if i <= k:
+            cur[0] = i
+        lo, hi = max(1, i - k), min(len(b), i + k)
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+                big,
+            )
+        prev = cur
+        if min(prev) > k:
+            return None
+    d = prev[len(b)]
+    return d if d <= k else None
+
+
+def expand_fuzzy_with_distance(
+    vocab: np.ndarray, q: FuzzyQuery
+) -> list[tuple[str, int]]:
+    """(term, distance) pairs within the edit budget — ONE DP pass per
+    candidate (DirectSpellChecker needs the distances for ranking)."""
     lens = np.char.str_len(vocab.astype(str))
     cand = vocab[np.abs(lens - len(q.term)) <= q.max_edits]
-    return [t for t in cand if _levenshtein_within(q.term, t, q.max_edits)]
+    out = []
+    for t in cand:
+        d = _levenshtein_dist(q.term, t, q.max_edits)
+        if d is not None:
+            out.append((t, d))
+    return out
+
+
+def expand_fuzzy(vocab: np.ndarray, q: FuzzyQuery) -> list[str]:
+    return [t for t, _d in expand_fuzzy_with_distance(vocab, q)]
 
 
 def expand_regexp(vocab: np.ndarray, q: RegexpQuery) -> list[str]:

@@ -9,7 +9,6 @@ vocab-sized work, never postings-sized.
 from __future__ import annotations
 
 from lucene_ray.search.query import FuzzyQuery
-from lucene_ray.search.rewrite import expand_fuzzy
 
 
 def suggest_terms(
@@ -22,24 +21,16 @@ def suggest_terms(
     """Top-k (term, distance, df) suggestions for ``term`` from the index
     vocabulary. ``include_exact=False`` drops the input itself when it is a
     dictionary word (DirectSpellChecker's suggestMode semantics)."""
-    from lucene_ray.search.rewrite import _levenshtein_within
+    from lucene_ray.search.rewrite import expand_fuzzy_with_distance
 
     vocab = reader.vocabulary()
-    cands = expand_fuzzy(vocab, FuzzyQuery(term, max_edits=max_edits))
+    pairs = expand_fuzzy_with_distance(vocab, FuzzyQuery(term, max_edits=max_edits))
     if not include_exact:
-        cands = [t for t in cands if t != term]
-    if not cands:
+        pairs = [(t, d) for t, d in pairs if t != term]
+    if not pairs:
         return []
-    stats = reader.global_term_stats(cands)
-
-    def distance(t: str) -> int:
-        for d in range(max_edits + 1):
-            if _levenshtein_within(term, t, d):
-                return d
-        return max_edits
-
-    scored = [(distance(t), -stats[t][0], t) for t in cands]
-    scored.sort()
+    stats = reader.global_term_stats([t for t, _d in pairs])
+    scored = sorted((d, -stats[t][0], t) for t, d in pairs)
     return [(t, d, -neg_df) for d, neg_df, t in scored[:k]]
 
 

@@ -242,6 +242,31 @@ class TestBM25Docs:
 
         assert_same(bm25docs.group_engine(SF), con, bm25docs.group_engine_sql())
 
+    def test_update_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.update_engine(SF), con, bm25docs.update_engine_sql())
+
+    def test_field_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.field_engine(SF), con, bm25docs.field_engine_sql())
+
+    def test_points_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.points_engine(SF), con, bm25docs.points_engine_sql())
+
+    def test_facet_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.facet_engine(SF), con, bm25docs.facet_engine_sql())
+
+    def test_suggest_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.suggest_engine(SF), con, bm25docs.suggest_engine_sql())
+
     def test_join_engine(self, con):
         from lucene_ray.ops import bm25docs
 
