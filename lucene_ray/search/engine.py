@@ -93,18 +93,9 @@ class TopDocs:
         ]
 
 
-def flat_clauses(bq: BooleanQuery):
-    """Every clause incl. DisjunctionMax disjuncts / ConstantScore subs."""
-    stack = list(bq.must + bq.should + bq.must_not)
-    while stack:
-        q = stack.pop()
-        yield q
-        if isinstance(q, (DisjunctionMaxQuery, DisjunctionSumQuery)):
-            stack.extend(q.disjuncts)
-        elif isinstance(q, ConstantScoreQuery):
-            stack.append(q.query)
-        elif isinstance(q, NestedBooleanQuery):
-            stack.extend(q.must + q.should + q.must_not)
+# the canonical clause walk lives in query.py (iter_clauses) so rewrite
+# detection, scorer building, and stats collection can never drift apart
+from lucene_ray.search.query import iter_clauses as flat_clauses  # noqa: E402
 
 
 def query_terms(bq: BooleanQuery) -> list[str]:

@@ -236,3 +236,158 @@ class TestLRUQueryCache:
         assert len(c._data) <= 2
         # most recent survive
         assert ("k", 4) in c._data
+
+
+class TestRandomQueryTreeDuel:
+    """Randomized one-level boolean trees over every scoreable query type:
+    pruned == exhaustive (docids AND scores), and doc sets match a naive
+    Python oracle. The fuzz analog of CheckHits.checkTopScores across the
+    full §2.11 surface."""
+
+    TERMS = ["merge", "flush", "sort", "batch", "index", "window",
+             "parse", "block", "token", "zzzmissing"]
+
+    def _rand_leaf(self, rng):
+        from lucene_ray.search.query import (
+            DisjunctionMaxQuery,
+            DisjunctionSumQuery,
+            MultiPhraseQuery,
+            NestedBooleanQuery,
+            PhraseQuery,
+            SpanNearQuery,
+            SynonymQuery,
+            TermQuery,
+        )
+
+        kind = rng.randrange(8)
+        t = lambda: rng.choice(self.TERMS)
+        if kind == 0:
+            return TermQuery(t(), boost=rng.choice([1.0, 2.0]))
+        if kind == 1:
+            return PhraseQuery((t(), t()), slop=rng.choice([0, 2]))
+        if kind == 2:
+            a, b = rng.sample(self.TERMS, 2)
+            return SynonymQuery((a, b))
+        if kind == 3:
+            return DisjunctionMaxQuery((TermQuery(t()), TermQuery(t())), 0.3)
+        if kind == 4:
+            return DisjunctionSumQuery((TermQuery(t()), TermQuery(t())))
+        if kind == 5:
+            a, b = rng.sample(self.TERMS, 2)
+            return SpanNearQuery((a, b), slop=2, ordered=bool(rng.getrandbits(1)))
+        if kind == 6:
+            return MultiPhraseQuery(((t(), t()), (t(),)))
+        return NestedBooleanQuery(
+            must=(TermQuery(t()),), should=(TermQuery(t()),)
+        )
+
+    def _oracle_match(self, toks, q):
+        from lucene_ray.search.query import (
+            DisjunctionMaxQuery,
+            DisjunctionSumQuery,
+            MultiPhraseQuery,
+            NestedBooleanQuery,
+            PhraseQuery,
+            SpanNearQuery,
+            SynonymQuery,
+            TermQuery,
+        )
+
+        if isinstance(q, TermQuery):
+            return q.term in toks
+        if isinstance(q, SynonymQuery):
+            return any(t in toks for t in q.terms)
+        if isinstance(q, (DisjunctionMaxQuery, DisjunctionSumQuery)):
+            return any(self._oracle_match(toks, d) for d in q.disjuncts)
+        if isinstance(q, PhraseQuery):
+            if q.slop == 0:
+                return any(
+                    toks[i : i + len(q.terms)] == list(q.terms)
+                    for i in range(len(toks) - len(q.terms) + 1)
+                )
+            # sloppy: adjusted-position span <= slop over one pick per term
+            import itertools
+
+            pos = [[p for p, x in enumerate(toks) if x == term] for term in q.terms]
+            if any(not p for p in pos):
+                return False
+            for pick in itertools.product(*pos):
+                if len(set(pick)) < len(pick):
+                    continue
+                adj = [p - i for i, p in enumerate(pick)]
+                if max(adj) - min(adj) <= q.slop:
+                    return True
+            return False
+        if isinstance(q, SpanNearQuery):
+            import itertools
+
+            pos = [[p for p, x in enumerate(toks) if x == term] for term in q.terms]
+            if any(not p for p in pos):
+                return False
+            for pick in itertools.product(*pos):
+                if q.ordered:
+                    if all(pick[i] < pick[i + 1] for i in range(len(pick) - 1)) and (
+                        pick[-1] - pick[0] - (len(pick) - 1) <= q.slop
+                    ):
+                        return True
+                else:
+                    if len(set(pick)) == len(pick) and (
+                        max(pick) - min(pick) + 1 - len(pick) <= q.slop
+                    ):
+                        return True
+            return False
+        if isinstance(q, MultiPhraseQuery):
+            for start in range(len(toks) - len(q.slots) + 1):
+                if all(toks[start + i] in q.slots[i] for i in range(len(q.slots))):
+                    return True
+            return False
+        if isinstance(q, NestedBooleanQuery):
+            return self._oracle_bq(toks, q.to_boolean())
+        raise AssertionError(type(q))
+
+    def _oracle_bq(self, toks, bq):
+        if bq.must and not all(self._oracle_match(toks, q) for q in bq.must):
+            return False
+        if any(self._oracle_match(toks, q) for q in bq.must_not):
+            return False
+        n_should = sum(self._oracle_match(toks, q) for q in bq.should)
+        msm = bq.min_should_match if bq.must else max(1, bq.min_should_match)
+        if bq.should and n_should < msm:
+            return False
+        if not bq.must and not bq.should:
+            return False
+        return True
+
+    def test_random_trees_duel_and_oracle(self, index_dir, corpus_tokens):
+        import random
+
+        from lucene_ray.search.query import BooleanQuery
+
+        rng = random.Random(20260817)
+        ex = IndexSearcher(index_dir, pruned=False)
+        pr = IndexSearcher(index_dir, pruned=True)
+        for trial in range(60):
+            bq = BooleanQuery()
+            for _ in range(rng.randint(1, 3)):
+                bq.should.append(self._rand_leaf(rng))
+            if rng.random() < 0.4:
+                bq.must.append(self._rand_leaf(rng))
+            if rng.random() < 0.3:
+                bq.must_not.append(self._rand_leaf(rng))
+            if rng.random() < 0.2 and len(bq.should) >= 2:
+                bq.min_should_match = 2
+            try:
+                a = ex.search(bq, 10_000_000)
+            except ValueError:
+                continue  # e.g. repeated span terms — documented rejection
+            b = pr.search(bq, 10)
+            assert a.docids[:10].tolist() == b.docids.tolist(), (trial, bq)
+            np.testing.assert_allclose(
+                a.scores[:10], b.scores, rtol=1e-6, err_msg=str((trial, bq))
+            )
+            got = set(a.docids.tolist())
+            want = {
+                i for i, toks in enumerate(corpus_tokens)
+                if self._oracle_bq(toks, bq)
+            }
+            assert got == want, (trial, bq)
