@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": knn.knn_bruteforce,
         "knn_lsh": knn.knn_lsh,
         "knn_ivf": knn.knn_ivf_exact,
+        "knn_filtered": knn.knn_filtered,
         # --- relational / windowed demos (engine breadth)
         "q1_pricing": relational.q1_pricing,
         "top_orders": relational.top_orders,
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         # partition-pruned read; see knn_ivf_exact docstring); approximate
         # recall-vs-nprobe is pinned in pytest
         "knn_ivf": knn.knn_bruteforce_sql(),
+        "knn_filtered": knn.knn_filtered_sql(),
         "q1_pricing": relational.q1_pricing_sql(),
         "top_orders": relational.top_orders_sql(),
         "nation_order_stats": relational.nation_order_stats_sql(),

@@ -464,3 +464,116 @@ def knn_ivf_exact(sf_dir: str, k: int = TOP_K) -> "ray.data.Dataset":
     cluster, putting useful recall at nprobe << nlist. The approximate
     operating points are pinned by tests/test_ops.py recall bounds."""
     return knn_ivf(sf_dir, k=k, nprobe=IVF_NLIST)
+
+
+# --------------------------------------------------------------- filtered kNN
+
+KNN_FILTER_TERM = "window"
+
+
+def knn_filtered(sf_dir: str, k: int = TOP_K, term: str = KNN_FILTER_TERM) -> "ray.data.Dataset":
+    """(query_id, rank, vec_id): exact cosine top-k restricted to vectors
+    whose document matches a text filter — Lucene 9's filtered vector
+    search (search/KnnFloatVectorQuery.java filter parameter; the filter's
+    doc-id set is collected first, then the vector search only scores
+    passing docs). The filter set is broadcast once via ray.put and applied
+    with a sorted-array membership test inside map_batches; like the
+    reference, a non-selective filter degrades toward brute force."""
+    import pyarrow.compute as pc
+
+    from lucene_ray.analysis import CodeAnalyzer
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def has_term(batch: pa.Table) -> pa.Table:
+        an = CodeAnalyzer()
+        row_idx, terms, _pos = an.tokenize_flat(batch.column("text").combine_chunks())
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hit = np.zeros(batch.num_rows, dtype=bool)
+        if len(row_idx):
+            mask = pc.equal(terms, term).to_numpy(zero_copy_only=False)
+            hit[np.unique(row_idx[mask])] = True
+        return pa.table({"doc_id": pa.array(ids[hit], type=pa.int64())})
+
+    allowed = np.sort(
+        docs.map_batches(has_term, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()["doc_id"]
+        .to_numpy()
+    )
+    import pandas as pd
+
+    if len(allowed) == 0:
+        return _rank_merge(pd.DataFrame(), k)
+
+    q_ids, q_mat = _load_queries(sf_dir)
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn[qn == 0] = 1.0
+    ref = ray.put((q_ids, q_mat, qn, allowed))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qm, qnorm, allow = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(allow, ids)
+        pos = np.minimum(pos, len(allow) - 1)
+        keep = allow[pos] == ids
+        if not keep.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        ids = ids[keep]
+        mat = _embedding_matrix(batch.column("embedding"))[keep]
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        sims = (qm @ mat.T) / (qnorm[:, None] * n[None, :])
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for r in range(len(qi)):
+            order = np.lexsort((ids, -sims[r]))[:kk]
+            out_q.append(np.full(kk, qi[r], dtype=np.int64))
+            out_v.append(ids[order])
+            out_s.append(sims[r][order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
+    return _rank_merge(cands.to_pandas(), k)
+
+
+def knn_filtered_sql(k: int = TOP_K, term: str = KNN_FILTER_TERM) -> str:
+    from lucene_ray.analysis.analyzer import tokenize_sql_expr
+
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), allowed AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = '{term}'
+), q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id IN (SELECT doc_id FROM allowed)
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) - 1 AS rank
+  FROM scored
+)
+SELECT query_id, rank::INTEGER AS rank, vec_id FROM ranked WHERE rank < {k}
+"""

@@ -145,6 +145,11 @@ class TestKnn:
             recalls.append(len(truth & got) / len(truth))
         assert np.mean(recalls) >= 0.5, recalls  # approximate, but not junk
 
+    def test_knn_filtered(self, con):
+        from lucene_ray.ops import knn
+
+        assert_same(knn.knn_filtered(SF), con, knn.knn_filtered_sql())
+
     def test_ivf_exact_matches_bruteforce(self, con):
         from lucene_ray.ops import knn
 
