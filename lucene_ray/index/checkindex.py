@@ -119,6 +119,44 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
         elif getattr(entry, "del_count", 0):
             problems.append(f"{entry.name}: del_count without del_gen")
 
+        # doc-values / points cross-checks (Lucene90DocValuesFormat /
+        # points checkIntegrity role): dv is doc-ordered and full-length;
+        # the value-sorted points table is a permutation of the dv pairs
+        dv_path = os.path.join(d, "docvalues.parquet")
+        pt_path = os.path.join(d, "points.parquet")
+        if os.path.exists(dv_path):
+            dv = pq.read_table(dv_path)
+            for col in dv.schema.names:
+                if len(dv.column(col)) != entry.doc_count:
+                    problems.append(f"{entry.name}: docvalues[{col}] length mismatch")
+            if os.path.exists(pt_path):
+                pt = pq.read_table(pt_path)
+                fields = np.asarray(pt.column("field").to_pylist(), dtype=object)
+                pvals = pt.column("value").to_numpy(zero_copy_only=False)
+                pdocs = pt.column("docid").to_numpy(zero_copy_only=False)
+                for f in np.unique(fields):
+                    m = fields == f
+                    if np.any(np.diff(pvals[m]) < 0):
+                        problems.append(f"{entry.name}: points[{f}] not value-sorted")
+                    if np.any((pdocs[m] < 0) | (pdocs[m] >= entry.doc_count)):
+                        problems.append(f"{entry.name}: points[{f}] docid out of range")
+                    if str(f) in dv.schema.names:
+                        # every point agrees with the doc-ordered dv value;
+                        # merges reclaim deleted docs' points (like postings),
+                        # so full-permutation equality holds only delete-free
+                        dvv = dv.column(str(f)).to_numpy(zero_copy_only=False)
+                        if np.any(dvv[pdocs[m]] != pvals[m]):
+                            problems.append(
+                                f"{entry.name}: points[{f}] value != docvalues"
+                            )
+                        n_missing = entry.doc_count - int(m.sum())
+                        n_gone = getattr(entry, "del_count", 0)
+                        if n_missing > n_gone:
+                            problems.append(
+                                f"{entry.name}: points[{f}] missing {n_missing} "
+                                f"docs with only {n_gone} deleted"
+                            )
+
         if verify_content and "file" in entry.input:
             # merged segments carry "merged_from" lineage instead; their
             # stored sha256 column was concatenated from verified inputs
