@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiphrase_engine": bm25docs.multiphrase_engine,
         "multiterm_engine": bm25docs.multiterm_engine,
         "update_engine": bm25docs.update_engine,
+        "dvupdate_engine": bm25docs.dvupdate_engine,
         "field_engine": bm25docs.field_engine,
         "points_engine": bm25docs.points_engine,
         "sort_engine": bm25docs.sort_engine,
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "multiphrase_engine": bm25docs.multiphrase_engine_sql(),
         "multiterm_engine": bm25docs.multiterm_engine_sql(),
         "update_engine": bm25docs.update_engine_sql(),
+        "dvupdate_engine": bm25docs.dvupdate_engine_sql(),
         "field_engine": bm25docs.field_engine_sql(),
         "points_engine": bm25docs.points_engine_sql(),
         "sort_engine": bm25docs.sort_engine_sql(),

@@ -124,6 +124,26 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
         # the value-sorted points table is a permutation of the dv pairs
         dv_path = os.path.join(d, "docvalues.parquet")
         pt_path = os.path.join(d, "points.parquet")
+        # DV update generations: the latest gen file must exist with full
+        # doc-ordered length and the base schema (points stay index-time —
+        # their consistency check below runs against the BASE generation)
+        dv_gen = getattr(entry, "dv_gen", 0)
+        if dv_gen > 0:
+            gpath = os.path.join(d, f"docvalues_g{dv_gen}.parquet")
+            if not os.path.exists(gpath):
+                problems.append(f"{entry.name}: dv_gen {dv_gen} file missing")
+            else:
+                gdv = pq.read_table(gpath)
+                base_names = (
+                    pq.read_schema(dv_path).names if os.path.exists(dv_path) else []
+                )
+                if sorted(gdv.schema.names) != sorted(base_names):
+                    problems.append(f"{entry.name}: dv gen schema != base schema")
+                for col in gdv.schema.names:
+                    if len(gdv.column(col)) != entry.doc_count:
+                        problems.append(
+                            f"{entry.name}: dv gen [{col}] length mismatch"
+                        )
         if os.path.exists(dv_path):
             dv = pq.read_table(dv_path)
             for col in dv.schema.names:

@@ -39,6 +39,12 @@ class SegmentEntry:
     # tombstoned docs' POSTINGS and carries the bitmap forward.
     del_gen: int = 0
     del_count: int = 0
+    # doc-values generation (in-place numeric DV updates,
+    # IndexWriter.updateNumericDocValue / Lucene90DocValuesFormat dvd/dvm
+    # generations): 0 = base docvalues.parquet; >0 = docvalues_g<gen>.parquet
+    # holds the full updated doc-ordered table. Points are rewritten only
+    # at the next merge (which folds the latest DV generation in).
+    dv_gen: int = 0
     # docs whose POSTINGS were physically dropped by a merge (tombstones
     # reclaimed). Scoring stats follow the reference's merge semantics:
     # pre-merge deletes still count in df/N/ttf (Lucene scores ignore

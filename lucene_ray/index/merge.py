@@ -194,10 +194,16 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
     for a, b in zip(entries, entries[1:]):
         assert b.docid_base == a.docid_base + a.doc_count, "non-adjacent merge"
     new_base = entries[0].docid_base
-    # del_gen is part of the identity: the same inputs re-merged after new
-    # deletes must produce a NEW segment, not hit the idempotency cache
+    # del_gen AND dv_gen are part of the identity: the same inputs re-merged
+    # after new deletes or DV updates must produce a NEW segment, not hit
+    # the idempotency cache
     fp = hashlib.sha1(
-        ("+".join(f"{e.name}:{getattr(e, 'del_gen', 0)}" for e in entries)).encode()
+        (
+            "+".join(
+                f"{e.name}:{getattr(e, 'del_gen', 0)}:{getattr(e, 'dv_gen', 0)}"
+                for e in entries
+            )
+        ).encode()
     ).hexdigest()[:12]
     name = f"seg_{entries[0].name.split('_')[1]}m_{fp}"
     existing = read_entry(index_dir, name)
@@ -321,7 +327,12 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
     # doc values concat in doc order; points re-sorted with docid offsets
     # (deleted docs' point rows are dropped like their postings)
     dv_paths = [
-        os.path.join(segment_dir(index_dir, e.name), "docvalues.parquet")
+        os.path.join(
+            segment_dir(index_dir, e.name),
+            f"docvalues_g{e.dv_gen}.parquet"
+            if getattr(e, "dv_gen", 0) > 0
+            else "docvalues.parquet",
+        )
         for e in entries
     ]
     if all(os.path.exists(p) for p in dv_paths):
@@ -352,6 +363,15 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
         f_np = np.asarray(f_dict.dictionary.to_pylist(), dtype=object)[f_codes]
         v_np = pts.column("value").to_numpy(zero_copy_only=False)
         d_np = pts.column("docid").to_numpy(zero_copy_only=False)
+        # fold DV update generations into the rebuilt points (like postings
+        # reclaim): the merged segment's points agree with its merged doc
+        # values, so range queries see the updates from the merge on
+        for fname in dv.schema.names:
+            fm = f_np == fname
+            if fm.any():
+                dv_col = dv.column(fname).to_numpy(zero_copy_only=False)
+                v_np = v_np.copy()
+                v_np[fm] = dv_col[d_np[fm]]
         if live_merged is not None:
             m = live_merged[d_np]
             f_np, v_np, d_np, f_codes = f_np[m], v_np[m], d_np[m], f_codes[m]

@@ -201,3 +201,57 @@ def update_documents(index_dir: str, key_term: str, table: pa.Table) -> Manifest
     IndexWriter.java:1834). Readers opened after this see only the new docs."""
     delete_by_term(index_dir, key_term)
     return add_documents(index_dir, table)
+
+
+def update_numeric_docvalues(
+    index_dir: str, term: str, field: str, value: int
+) -> int:
+    """In-place numeric doc-values update for every LIVE doc whose content
+    contains ``term`` (IndexWriter.updateNumericDocValue,
+    index/IndexWriter.java:1901; Lucene90DocValuesFormat update
+    generations). Writes a new full doc-ordered ``docvalues_g<gen>.parquet``
+    per touched segment and bumps ``entry.dv_gen`` — the base file and
+    prior generations are never modified (crash-safe like livedocs).
+    Points are NOT rewritten at update time (reference semantics: DV
+    updates never touch the points index; PointRangeQuery keeps seeing
+    index-time values) — the next MERGE folds the latest DV generation
+    into its rebuilt points, like postings reclaim. Readers are snapshots:
+    reopen to observe. Returns docs updated."""
+    from lucene_ray.search.reader import SegmentReader
+
+    manifest = read_manifest(index_dir)
+    total = 0
+    for entry in sorted(manifest.live_segments, key=lambda e: e.docid_base):
+        seg_d = segment_dir(index_dir, entry.name)
+        sr = SegmentReader(
+            seg_d, entry.docid_base, entry.doc_count,
+            del_gen=getattr(entry, "del_gen", 0),
+            dv_gen=getattr(entry, "dv_gen", 0),
+        )
+        tp = sr.postings(term)
+        if tp is None:
+            continue
+        docs = tp.docids
+        live = _load_livedocs(seg_d, entry)
+        docs = docs[live[docs]]
+        if len(docs) == 0:
+            continue
+        dv = pq.read_table(sr._dv_path())
+        if field not in dv.schema.names:
+            raise KeyError(f"no numeric doc values for field {field!r}")
+        cols = {}
+        for name in dv.schema.names:
+            arr = dv.column(name).to_numpy(zero_copy_only=False).copy()
+            if name == field:
+                arr[docs] = value
+            cols[name] = arr
+        gen = getattr(entry, "dv_gen", 0) + 1
+        pq.write_table(
+            pa.table(cols), os.path.join(seg_d, f"docvalues_g{gen}.parquet")
+        )
+        entry.dv_gen = gen
+        write_entry(index_dir, entry)
+        total += int(len(docs))
+    manifest.generation += 1
+    write_manifest(index_dir, manifest)
+    return total

@@ -1021,6 +1021,105 @@ WHERE q.rn <= {MLT_MAX_QUERY_TERMS}
 """
 
 
+DV_UPDATE_VALUE = 31337
+
+
+def dvupdate_engine(sf_dir: str, k: int = 25) -> pa.Table:
+    """(qid, rank, docid): in-place numeric doc-values updates
+    (IndexWriter.updateNumericDocValue) — docs containing 'window' get
+    n_chars := 31337, then qid 0 sorts 'window' hits by the UPDATED value
+    (all ties -> docid asc), qid 1 sorts 'merge' hits descending (updated
+    docs float to the top); qid 2 = merged-index point range over the
+    updated value (the merge folds DV generations into rebuilt points)."""
+    import shutil
+    import tempfile
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import force_merge
+    from lucene_ray.index.writer import update_numeric_docvalues
+    from lucene_ray.search.engine import IndexSearcher, search_sorted
+    from lucene_ray.search.query import BooleanQuery, PointRangeQuery
+
+    import pyarrow.parquet as pq
+
+    corpus_path = documents_as_corpus(sf_dir)
+    os.makedirs("/tmp/lucene_ray_cache", exist_ok=True)
+    ix = tempfile.mkdtemp(prefix="docs_dvu_", dir="/tmp/lucene_ray_cache")
+    # small row groups -> several segments, so qid 2's ForceMerge(1)
+    # actually merges (a single segment would skip the merge and never
+    # fold DV generations into rebuilt points)
+    split_corpus = ix + "_corpus.parquet"
+    pq.write_table(pq.read_table(corpus_path), split_corpus, row_group_size=120)
+    try:
+        build_index([split_corpus], ix, target_docs=120)
+        update_numeric_docvalues(ix, "window", "n_chars", DV_UPDATE_VALUE)
+        s = IndexSearcher(ix)
+        out_q, out_r, out_d = [], [], []
+        for qid, term, asc in ((0, "window", True), (1, "merge", False)):
+            td = search_sorted(s, term, "n_chars", k=k, ascending=asc)
+            out_q.extend([qid] * len(td.docids))
+            out_r.extend(range(len(td.docids)))
+            out_d.extend(td.docids.tolist())
+        force_merge(ix)
+        s2 = IndexSearcher(ix)
+        td = s2.search(
+            BooleanQuery(
+                should=[PointRangeQuery("n_chars", DV_UPDATE_VALUE, DV_UPDATE_VALUE)]
+            ),
+            1_000_000,
+        )
+        d_sorted = np.sort(td.docids)[:k]
+        out_q.extend([2] * len(d_sorted))
+        out_r.extend(range(len(d_sorted)))
+        out_d.extend(d_sorted.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int32()),
+                "docid": pa.array(out_d, type=pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+        if os.path.exists(split_corpus):
+            os.remove(split_corpus)
+
+
+def dvupdate_engine_sql(k: int = 25) -> str:
+    toks = tokenize_sql_expr("text")
+    v = DV_UPDATE_VALUE
+    parts = []
+    for qid, term, direction in ((0, "window", "ASC"), (1, "merge", "DESC")):
+        parts.append(f"""
+SELECT {qid} AS qid,
+       (row_number() OVER (
+          ORDER BY (CASE WHEN doc_id IN (SELECT doc_id FROM has_window)
+                    THEN {v} ELSE length(text) END) {direction},
+          doc_id ASC) - 1)::INTEGER AS rank,
+       doc_id AS docid
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+QUALIFY rank < {k}
+""")
+    parts.append(f"""
+SELECT 2 AS qid,
+       (row_number() OVER (ORDER BY doc_id ASC) - 1)::INTEGER AS rank,
+       doc_id AS docid
+FROM has_window
+QUALIFY rank < {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), has_window AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = 'window'
+)
+{union}
+"""
+
+
 JOIN_QUERIES: list[tuple[int, str, str, str]] = [
     # (qid, from_query, join_field, to_query): docs whose FIELD value occurs
     # among the from_query matches' values, AND matching to_query

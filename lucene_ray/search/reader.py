@@ -71,10 +71,14 @@ class LRUQueryCache:
 
 
 class SegmentReader:
-    def __init__(self, seg_dir: str, docid_base: int, doc_count: int, del_gen: int = 0):
+    def __init__(
+        self, seg_dir: str, docid_base: int, doc_count: int, del_gen: int = 0,
+        dv_gen: int = 0,
+    ):
         self.seg_dir = seg_dir
         self.docid_base = docid_base
         self.doc_count = doc_count
+        self.dv_gen = dv_gen
         self.query_cache = LRUQueryCache()
         # live-docs bitmap (None = no deletes). Readers are snapshot views:
         # reopen the IndexReader after deletes to observe them (Lucene
@@ -215,17 +219,22 @@ class SegmentReader:
             self._cursor_cache_postings += len(tp.docids)
         return tp
 
+    def _dv_path(self) -> str:
+        """Latest doc-values generation file (dvd/dvm generation analog)."""
+        if self.dv_gen > 0:
+            return os.path.join(self.seg_dir, f"docvalues_g{self.dv_gen}.parquet")
+        return os.path.join(self.seg_dir, "docvalues.parquet")
+
     def doc_values(self, field: str) -> np.ndarray:
-        """Doc-ordered numeric doc values (index/DocValues.java NUMERIC)."""
+        """Doc-ordered numeric doc values (index/DocValues.java NUMERIC),
+        from the latest update generation."""
         if not hasattr(self, "_dv"):
-            self._dv = pq.read_table(
-                os.path.join(self.seg_dir, "docvalues.parquet"), memory_map=True
-            )
+            self._dv = pq.read_table(self._dv_path(), memory_map=True)
         return self._dv.column(field).to_numpy(zero_copy_only=False)
 
     def doc_values_schema(self) -> list[str]:
         """Field names with NUMERIC doc values in this segment."""
-        path = os.path.join(self.seg_dir, "docvalues.parquet")
+        path = self._dv_path()
         if not os.path.exists(path):
             return []
         if not hasattr(self, "_dv"):
@@ -290,6 +299,7 @@ class IndexReader:
                 entry.docid_base,
                 entry.doc_count,
                 del_gen=getattr(entry, "del_gen", 0),
+                dv_gen=getattr(entry, "dv_gen", 0),
             )
         return self._readers[name]
 

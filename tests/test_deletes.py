@@ -136,3 +136,69 @@ class TestDeletes:
         assert delete_by_term(ix, _key(1), use_ray=True) == 1
         s = IndexSearcher(ix)
         assert doc_set(s, _key(1)) == set()
+
+
+class TestDocValuesUpdates:
+    """updateNumericDocValue (IndexWriter.java:1901): in-place DV updates
+    via generations — sort/range-facet consumers see them after reopen,
+    points keep index-time values (reference semantics), merge carries the
+    latest generation forward."""
+
+    def test_update_visible_after_reopen(self, ix):
+        from lucene_ray.index.checkindex import check_index
+        from lucene_ray.index.writer import update_numeric_docvalues
+        from lucene_ray.search.engine import fetch_doc_values
+        from lucene_ray.search.reader import IndexReader
+
+        s0 = IndexSearcher(ix)
+        victims = sorted(doc_set(s0, "merge"))
+        before = fetch_doc_values(IndexReader(ix), victims, "n_chars")
+        n = update_numeric_docvalues(ix, "merge", "n_chars", 99999)
+        assert n == len(victims) > 0
+        # snapshot semantics: the OLD reader still sees old values
+        assert (
+            fetch_doc_values(s0.reader, victims, "n_chars").tolist()
+            == before.tolist()
+        )
+        r1 = IndexReader(ix)
+        after = fetch_doc_values(r1, victims, "n_chars")
+        assert (after == 99999).all()
+        # untouched docs keep their values
+        others = sorted(set(range(120)) - set(victims))[:10]
+        assert (
+            fetch_doc_values(r1, others, "n_chars").tolist()
+            == fetch_doc_values(s0.reader, others, "n_chars").tolist()
+        )
+        assert check_index(ix, verify_content=False)["ok"]
+
+    def test_update_respects_deletes_and_sorts(self, ix):
+        from lucene_ray.index.writer import delete_docs, update_numeric_docvalues
+        from lucene_ray.search.engine import IndexSearcher as IS
+        from lucene_ray.search.engine import search_sorted
+
+        victims = sorted(doc_set(IS(ix), "flush"))
+        delete_docs(ix, victims[:2])
+        n = update_numeric_docvalues(ix, "flush", "n_chars", 5)
+        assert n == len(victims) - 2  # tombstoned docs not updated
+        s = IS(ix)
+        td = search_sorted(s, "flush", "n_chars", k=len(victims), ascending=True)
+        live = [v for v in victims if v not in victims[:2]]
+        # all updated docs share value 5 -> docid-asc order, ranked first
+        assert td.docids.tolist()[: len(live)] == live
+        assert (td.values[: len(live)] == 5).all()
+
+    def test_merge_carries_latest_generation(self, ix):
+        from lucene_ray.index.checkindex import check_index
+        from lucene_ray.index.merge import force_merge
+        from lucene_ray.index.writer import update_numeric_docvalues
+        from lucene_ray.search.engine import fetch_doc_values
+        from lucene_ray.search.reader import IndexReader
+
+        victims = sorted(doc_set(IndexSearcher(ix), "sort"))
+        update_numeric_docvalues(ix, "sort", "n_chars", 777)
+        force_merge(ix)
+        r = IndexReader(ix)
+        assert len(r.segments) == 1
+        assert getattr(r.segments[0], "dv_gen", 0) == 0  # folded into base
+        assert (fetch_doc_values(r, victims, "n_chars") == 777).all()
+        assert check_index(ix, verify_content=False)["ok"]

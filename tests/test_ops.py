@@ -252,6 +252,11 @@ class TestBM25Docs:
 
         assert_same(bm25docs.update_engine(SF), con, bm25docs.update_engine_sql())
 
+    def test_dvupdate_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.dvupdate_engine(SF), con, bm25docs.dvupdate_engine_sql())
+
     def test_field_engine(self, con):
         from lucene_ray.ops import bm25docs
 
