@@ -420,6 +420,22 @@ def search_queries_dataset(
     )
 
 
+def reopen_if_changed(searcher: "IndexSearcher") -> "IndexSearcher | None":
+    """Near-real-time refresh (DirectoryReader.openIfChanged,
+    index/DirectoryReader.java:91 / SearcherManager.maybeRefresh): returns
+    a NEW searcher over the latest commit when the manifest generation has
+    advanced (adds, deletes, DV updates, merges), else None. The old
+    searcher stays a consistent snapshot either way."""
+    from lucene_ray.index.manifest import read_manifest
+
+    m = read_manifest(searcher.reader.index_dir)
+    if m is None or m.generation == searcher.reader.manifest.generation:
+        return None
+    return IndexSearcher(
+        searcher.reader.index_dir, similarity=searcher.sim, pruned=searcher.pruned
+    )
+
+
 def join_query(
     searcher: "IndexSearcher",
     from_query,

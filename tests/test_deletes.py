@@ -202,3 +202,22 @@ class TestDocValuesUpdates:
         assert getattr(r.segments[0], "dv_gen", 0) == 0  # folded into base
         assert (fetch_doc_values(r, victims, "n_chars") == 777).all()
         assert check_index(ix, verify_content=False)["ok"]
+
+
+class TestReopenIfChanged:
+    """DirectoryReader.openIfChanged / SearcherManager.maybeRefresh."""
+
+    def test_reopen_sees_new_commits(self, ix):
+        from lucene_ray.index.writer import delete_docs
+        from lucene_ray.search.engine import reopen_if_changed
+
+        s = IndexSearcher(ix)
+        assert reopen_if_changed(s) is None  # nothing changed
+        victims = sorted(doc_set(s, "merge"))[:2]
+        delete_docs(ix, victims)
+        s2 = reopen_if_changed(s)
+        assert s2 is not None
+        # old snapshot unchanged; new one observes the deletes
+        assert set(victims) <= doc_set(s, "merge")
+        assert not (set(victims) & doc_set(s2, "merge"))
+        assert reopen_if_changed(s2) is None
