@@ -366,11 +366,11 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
         # fold DV update generations into the rebuilt points (like postings
         # reclaim): the merged segment's points agree with its merged doc
         # values, so range queries see the updates from the merge on
+        v_np = v_np.copy()
         for fname in dv.schema.names:
             fm = f_np == fname
             if fm.any():
                 dv_col = dv.column(fname).to_numpy(zero_copy_only=False)
-                v_np = v_np.copy()
                 v_np[fm] = dv_col[d_np[fm]]
         if live_merged is not None:
             m = live_merged[d_np]

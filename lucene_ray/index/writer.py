@@ -220,8 +220,18 @@ def update_numeric_docvalues(
     from lucene_ray.search.reader import SegmentReader
 
     manifest = read_manifest(index_dir)
+    live_entries = sorted(manifest.live_segments, key=lambda e: e.docid_base)
+    # validate the field up front so a no-match term still errors loudly
+    for entry in live_entries[:1]:
+        schema_path = os.path.join(
+            segment_dir(index_dir, entry.name), "docvalues.parquet"
+        )
+        if not os.path.exists(schema_path) or field not in pq.read_schema(
+            schema_path
+        ).names:
+            raise KeyError(f"no numeric doc values for field {field!r}")
     total = 0
-    for entry in sorted(manifest.live_segments, key=lambda e: e.docid_base):
+    for entry in live_entries:
         seg_d = segment_dir(index_dir, entry.name)
         sr = SegmentReader(
             seg_d, entry.docid_base, entry.doc_count,
@@ -237,8 +247,6 @@ def update_numeric_docvalues(
         if len(docs) == 0:
             continue
         dv = pq.read_table(sr._dv_path())
-        if field not in dv.schema.names:
-            raise KeyError(f"no numeric doc values for field {field!r}")
         cols = {}
         for name in dv.schema.names:
             arr = dv.column(name).to_numpy(zero_copy_only=False).copy()
@@ -252,6 +260,9 @@ def update_numeric_docvalues(
         entry.dv_gen = gen
         write_entry(index_dir, entry)
         total += int(len(docs))
-    manifest.generation += 1
-    write_manifest(index_dir, manifest)
+    if total:
+        # only a real change advances the generation — openIfChanged must
+        # stay None for no-op updates
+        manifest.generation += 1
+        write_manifest(index_dir, manifest)
     return total

@@ -50,7 +50,7 @@ from lucene_ray.search.query import (
     WildcardQuery,
     parse_query,
 )
-from lucene_ray.search.rewrite import MULTI_TERM_TYPES, maybe_rewrite, rewrite_query
+from lucene_ray.search.rewrite import MULTI_TERM_TYPES, maybe_rewrite
 from lucene_ray.search.reader import IndexReader
 from lucene_ray.search.scorer import (
     _topk,
@@ -461,9 +461,11 @@ def join_query(
         sub = (
             searcher.parse(to_query) if isinstance(to_query, str) else to_query
         )
-        out.must.extend(sub.must)
-        out.must.extend(sub.should)  # to-side clauses all required
-        out.must_not.extend(sub.must_not)
+        if sub.must or sub.should or sub.must_not:
+            # the whole to-query is ONE required clause — its inner OR /
+            # NOT / minimumShouldMatch semantics are preserved, not
+            # flattened into the outer conjunction
+            out.must.append(sub.freeze())
     return out
 
 

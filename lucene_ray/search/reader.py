@@ -233,13 +233,12 @@ class SegmentReader:
         return self._dv.column(field).to_numpy(zero_copy_only=False)
 
     def doc_values_schema(self) -> list[str]:
-        """Field names with NUMERIC doc values in this segment."""
+        """Field names with NUMERIC doc values in this segment (footer-only
+        read — never materializes the table)."""
         path = self._dv_path()
         if not os.path.exists(path):
             return []
-        if not hasattr(self, "_dv"):
-            self._dv = pq.read_table(path, memory_map=True)
-        return [n for n in self._dv.schema.names if n != "docid"]
+        return [n for n in pq.read_schema(path).names if n != "docid"]
 
     def point_range(self, field: str, lower, upper) -> np.ndarray:
         """Sorted local docids with lower <= value <= upper (inclusive both,

@@ -221,3 +221,22 @@ class TestReopenIfChanged:
         assert set(victims) <= doc_set(s, "merge")
         assert not (set(victims) & doc_set(s2, "merge"))
         assert reopen_if_changed(s2) is None
+
+
+class TestDVUpdateEdgeCases:
+    def test_noop_update_keeps_generation(self, ix):
+        from lucene_ray.index.manifest import read_manifest
+        from lucene_ray.index.writer import update_numeric_docvalues
+        from lucene_ray.search.engine import reopen_if_changed
+
+        s = IndexSearcher(ix)
+        g0 = read_manifest(ix).generation
+        assert update_numeric_docvalues(ix, "zzzmissingterm", "n_chars", 5) == 0
+        assert read_manifest(ix).generation == g0
+        assert reopen_if_changed(s) is None
+
+    def test_bogus_field_raises(self, ix):
+        from lucene_ray.index.writer import update_numeric_docvalues
+
+        with pytest.raises(KeyError):
+            update_numeric_docvalues(ix, "zzzmissingterm", "bogus_field", 5)

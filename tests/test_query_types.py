@@ -948,3 +948,18 @@ class TestParserFuzz:
                 continue  # documented: unsupported nesting raises
             assert td.total_hits >= 0
             assert len(td.docids) == len(td.scores)
+
+
+class TestJoinQuery:
+    def test_join_preserves_or_semantics(self, ix, docs):
+        from lucene_ray.search.engine import join_query
+
+        s = IndexSearcher(ix)
+        # to_query 'merge flush' is an OR: join hits must include docs with
+        # EITHER term (whose lang is in the from-side's lang set)
+        joined = join_query(s, "index", "lang", to_query="merge flush")
+        got = doc_set(s, joined)
+        # synthetic corpus: few langs and a broad from-side -> every lang
+        # is in the from-set, so the join reduces to the to-query's OR
+        want = {i for i, d in enumerate(docs) if "merge" in d or "flush" in d}
+        assert got == want
