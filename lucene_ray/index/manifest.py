@@ -89,16 +89,43 @@ def read_entry(index_dir: str, name: str) -> SegmentEntry | None:
 
 
 def write_manifest(index_dir: str, manifest: Manifest) -> None:
+    """Atomic publish + retained commit history: every generation is also
+    written to commits/manifest_g<N>.json (the retained segments_N files of
+    a snapshot-everything IndexDeletionPolicy — segment dirs are never
+    deleted here, so every retained commit stays openable)."""
     os.makedirs(index_dir, exist_ok=True)
-    tmp = os.path.join(index_dir, "manifest.json.tmp")
     d = asdict(manifest)
+    commits = os.path.join(index_dir, "commits")
+    os.makedirs(commits, exist_ok=True)
+    ctmp = os.path.join(commits, f"manifest_g{manifest.generation}.json.tmp")
+    with open(ctmp, "w") as f:
+        json.dump(d, f, indent=1)
+    os.replace(ctmp, os.path.join(commits, f"manifest_g{manifest.generation}.json"))
+    tmp = os.path.join(index_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(d, f, indent=1)
     os.replace(tmp, os.path.join(index_dir, "manifest.json"))
 
 
-def read_manifest(index_dir: str) -> Manifest | None:
-    p = os.path.join(index_dir, "manifest.json")
+def list_commits(index_dir: str) -> list[int]:
+    """Generations with a retained commit (IndexReader.listCommits role)."""
+    commits = os.path.join(index_dir, "commits")
+    if not os.path.isdir(commits):
+        return []
+    out = []
+    for n in os.listdir(commits):
+        if n.startswith("manifest_g") and n.endswith(".json"):
+            out.append(int(n[len("manifest_g"):-len(".json")]))
+    return sorted(out)
+
+
+def read_manifest(index_dir: str, generation: int | None = None) -> Manifest | None:
+    """Read the CURRENT commit, or a specific retained ``generation``
+    (DirectoryReader.open(IndexCommit) — point-in-time snapshot open)."""
+    if generation is None:
+        p = os.path.join(index_dir, "manifest.json")
+    else:
+        p = os.path.join(index_dir, "commits", f"manifest_g{generation}.json")
     if not os.path.exists(p):
         return None
     with open(p) as f:

@@ -266,3 +266,28 @@ def update_numeric_docvalues(
         manifest.generation += 1
         write_manifest(index_dir, manifest)
     return total
+
+
+def rollback(index_dir: str, generation: int) -> "Manifest":
+    """Restore a retained commit as the CURRENT one
+    (IndexWriter.rollback / restoring from an IndexCommit,
+    index/IndexWriter.java:236). The restored state is republished as a
+    NEW generation (monotonic — retained history is append-only), with the
+    old commit's segment set, livedocs generations and DV generations.
+    Segment files are never deleted, so any listed commit is restorable."""
+    from lucene_ray.index.manifest import list_commits
+
+    old = read_manifest(index_dir, generation=generation)
+    if old is None:
+        raise FileNotFoundError(
+            f"no retained commit for generation {generation} "
+            f"(have {list_commits(index_dir)})"
+        )
+    cur = read_manifest(index_dir)
+    old.generation = max(cur.generation, max(list_commits(index_dir))) + 1
+    # entry.json files track the LATEST state; re-sync them to the restored
+    # commit so per-segment reads agree with the published manifest
+    for e in old.segments:
+        write_entry(index_dir, e)
+    write_manifest(index_dir, old)
+    return old

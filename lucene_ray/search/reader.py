@@ -276,11 +276,19 @@ class SegmentReader:
 class IndexReader:
     """Open a committed index: manifest + per-segment readers (lazy)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, generation: int | None = None):
+        """``generation``: open a specific retained commit instead of the
+        current one (DirectoryReader.open(IndexCommit) point-in-time
+        snapshot — segment files are never deleted, so any retained
+        generation stays consistent)."""
         self.index_dir = index_dir
-        m = read_manifest(index_dir)
+        m = read_manifest(index_dir, generation=generation)
         if m is None:
-            raise FileNotFoundError(f"no manifest.json under {index_dir}")
+            raise FileNotFoundError(
+                f"no manifest for generation {generation} under {index_dir}"
+                if generation is not None
+                else f"no manifest.json under {index_dir}"
+            )
         self.manifest: Manifest = m
         self.doc_count = m.doc_count
         self.sum_ttf = m.sum_ttf

@@ -240,3 +240,43 @@ class TestDVUpdateEdgeCases:
 
         with pytest.raises(KeyError):
             update_numeric_docvalues(ix, "zzzmissingterm", "bogus_field", 5)
+
+
+class TestCommitsAndRollback:
+    """Retained commit history: point-in-time snapshot opens
+    (DirectoryReader.open(IndexCommit)) and IndexWriter.rollback."""
+
+    def test_snapshot_open_old_generation(self, ix):
+        from lucene_ray.index.manifest import list_commits, read_manifest
+        from lucene_ray.index.writer import delete_docs
+        from lucene_ray.search.reader import IndexReader
+
+        g0 = read_manifest(ix).generation
+        s0 = IndexSearcher(ix)
+        victims = sorted(doc_set(s0, "merge"))[:3]
+        delete_docs(ix, victims)
+        assert g0 in list_commits(ix)
+        # current commit observes the deletes; the snapshot does not
+        assert not (set(victims) & doc_set(IndexSearcher(ix), "merge"))
+        old = IndexReader(ix, generation=g0)
+        live = old.segments
+        assert all(getattr(e, "del_gen", 0) == 0 for e in live)
+
+    def test_rollback_restores_deleted_docs(self, ix):
+        from lucene_ray.index.manifest import read_manifest
+        from lucene_ray.index.writer import delete_docs, rollback
+
+        g0 = read_manifest(ix).generation
+        before = doc_set(IndexSearcher(ix), "flush")
+        victims = sorted(before)[:3]
+        delete_docs(ix, victims)
+        assert doc_set(IndexSearcher(ix), "flush") == before - set(victims)
+        m = rollback(ix, g0)
+        assert m.generation > g0  # append-only history
+        assert doc_set(IndexSearcher(ix), "flush") == before
+
+    def test_rollback_unknown_generation_raises(self, ix):
+        from lucene_ray.index.writer import rollback
+
+        with pytest.raises(FileNotFoundError):
+            rollback(ix, 10_000)
