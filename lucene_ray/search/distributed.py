@@ -77,6 +77,19 @@ class SegmentShardActor:
             for bq in bqs
         ]
 
+    def count_shard(
+        self, bq: BooleanQuery, stats: dict, doc_count: int, sum_ttf: int
+    ) -> int:
+        """Exact non-scoring hit count over this shard's segments
+        (TotalHitCountCollector per leaf, summed in the reduce)."""
+        from lucene_ray.search.scorer import count_segment
+
+        scorers = build_scorers(bq, stats, doc_count, sum_ttf, BM25Similarity())
+        return sum(
+            count_segment(self._reader.segment_reader(e.name), bq, scorers)
+            for e in self._entries
+        )
+
     def search_shard(
         self,
         bq: BooleanQuery,
@@ -195,6 +208,26 @@ class DistributedSearcher:
             d, s = _topk(np.concatenate(docs), np.concatenate(scores), k)
             out.append(TopDocs(d, s, total, relation))
         return out
+
+    def count(self, query) -> int:
+        """Exact distributed hit count (IndexSearcher.count over shards):
+        one stats gather, one scatter, sum of per-shard exact counts."""
+        bq = self._prepare(query)
+        if bq is None:
+            return 0
+        terms = query_terms(bq)
+        stats = {t: (0, 0) for t in terms}
+        for p in ray.get([a.term_stats.remote(terms) for a in self.actors]):
+            for t, (df, ttf) in p.items():
+                stats[t] = (stats[t][0] + df, stats[t][1] + ttf)
+        return sum(
+            ray.get(
+                [
+                    a.count_shard.remote(bq, stats, self.doc_count, self.sum_ttf)
+                    for a in self.actors
+                ]
+            )
+        )
 
     def _prepare(self, query) -> BooleanQuery | None:
         from lucene_ray.analysis import get_analyzer

@@ -90,3 +90,10 @@ def test_distributed_relation_flags(ix, ray_session):
             assert td.total_hits == exact
         else:
             assert td.total_hits <= exact
+
+
+def test_distributed_count_matches_local(ix, ray_session):
+    dist = DistributedSearcher(ix, n_shards=3)
+    local = IndexSearcher(ix)
+    for q in QUERIES:
+        assert dist.count(q) == local.count(q), q
