@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "complete_engine": bm25docs.complete_engine,
         # --- analysis chain + aggregations (§2.2/2.5)
         "term_stats": text.term_stats,
+        "whitespace_stats": text.whitespace_stats,
         "doc_token_stats": text.doc_token_stats,
         "text_quality": text.text_quality,
         "lang_id": text.lang_id,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "count_engine": bm25docs.count_engine_sql(),
         "complete_engine": bm25docs.complete_engine_sql(),
         "term_stats": text.term_stats_sql(),
+        "whitespace_stats": text.whitespace_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),
         "text_quality": text.text_quality_sql(),
         "lang_id": text.lang_id_sql(),

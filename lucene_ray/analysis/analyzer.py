@@ -346,10 +346,54 @@ class EnglishAnalyzer(CodeAnalyzer):
         ]
 
 
+class WhitespaceAnalyzer:
+    """analysis/core/WhitespaceAnalyzer.java: split on whitespace runs,
+    NO lowercasing, no filters. SQL mirror: regexp_split_to_array '\\s+'."""
+
+    name = "whitespace"
+
+    def tokenize_text(self, text: str) -> list[str]:
+        return [t for t in re.split(r"\s+", text) if t and len(t) <= MAX_TOKEN_LEN]
+
+    def tokenize_array(self, texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+        return pa.array(
+            [self.tokenize_text(t or "") for t in texts.to_pylist()],
+            type=pa.list_(pa.string()),
+        )
+
+    @staticmethod
+    def sql_expr(col: str) -> str:
+        """DuckDB expression producing the same token list (empty-string
+        artifacts of leading/trailing whitespace filtered like Python's
+        re.split)."""
+        return (
+            f"list_filter(regexp_split_to_array({col}, '\\s+'), "
+            f"x -> x <> '' AND length(x) <= {MAX_TOKEN_LEN})"
+        )
+
+
+class KeywordAnalyzer:
+    """analysis/core/KeywordAnalyzer.java: the whole input is ONE token,
+    untouched."""
+
+    name = "keyword"
+
+    def tokenize_text(self, text: str) -> list[str]:
+        return [text] if text else []
+
+    def tokenize_array(self, texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+        return pa.array(
+            [self.tokenize_text(t or "") for t in texts.to_pylist()],
+            type=pa.list_(pa.string()),
+        )
+
+
 _REGISTRY = {
     "code": CodeAnalyzer,
     "standard": StandardLiteAnalyzer,
     "english": EnglishAnalyzer,
+    "whitespace": WhitespaceAnalyzer,
+    "keyword": KeywordAnalyzer,
 }
 
 

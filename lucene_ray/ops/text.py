@@ -51,30 +51,7 @@ def term_stats(sf_dir: str) -> "ray.data.Dataset":
 
     def partial(batch: pa.Table) -> pa.Table:
         _doc_ids, row_idx, terms = _tokenize_batch(batch)
-        tids = terms.dictionary_encode()
-        ids = tids.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((row_idx, ids))
-        ids_s, rows_s = ids[order], row_idx[order]
-        pair_change = np.empty(len(ids_s), dtype=bool)
-        if len(ids_s):
-            pair_change[0] = True
-            np.logical_or(
-                ids_s[1:] != ids_s[:-1], rows_s[1:] != rows_s[:-1], out=pair_change[1:]
-            )
-        starts = np.nonzero(pair_change)[0]
-        tfs = np.diff(np.append(starts, len(ids_s)))
-        pair_ids = ids_s[starts]
-        uniq, first = np.unique(pair_ids, return_index=True)
-        df = np.diff(np.append(first, len(pair_ids)))
-        ttf = np.add.reduceat(tfs, first) if len(first) else np.array([], dtype=np.int64)
-        vocab = tids.dictionary.to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "term": pa.array(vocab[uniq].tolist(), type=pa.string()),
-                "df": pa.array(df, type=pa.int64()),
-                "ttf": pa.array(ttf, type=pa.int64()),
-            }
-        )
+        return _partial_term_stats(row_idx, terms)
 
     partials = _docs(sf_dir).map_batches(
         partial, batch_format="pyarrow", batch_size=4096
@@ -82,6 +59,73 @@ def term_stats(sf_dir: str) -> "ray.data.Dataset":
     return partials.groupby("term").aggregate(
         Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
     )
+
+
+def _partial_term_stats(row_idx: np.ndarray, terms) -> pa.Table:
+    """Per-batch (term, df, ttf) partial from flat (row, term) pairs —
+    the combiner half shared by every analyzer's stats pipeline."""
+    tids = terms.dictionary_encode()
+    ids = tids.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((row_idx, ids))
+    ids_s, rows_s = ids[order], row_idx[order]
+    pair_change = np.empty(len(ids_s), dtype=bool)
+    if len(ids_s):
+        pair_change[0] = True
+        np.logical_or(
+            ids_s[1:] != ids_s[:-1], rows_s[1:] != rows_s[:-1], out=pair_change[1:]
+        )
+    starts = np.nonzero(pair_change)[0]
+    tfs = np.diff(np.append(starts, len(ids_s)))
+    pair_ids = ids_s[starts]
+    uniq, first = np.unique(pair_ids, return_index=True)
+    df = np.diff(np.append(first, len(pair_ids)))
+    ttf = np.add.reduceat(tfs, first) if len(first) else np.array([], dtype=np.int64)
+    vocab = tids.dictionary.to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "term": pa.array(vocab[uniq].tolist(), type=pa.string()),
+            "df": pa.array(df, type=pa.int64()),
+            "ttf": pa.array(ttf, type=pa.int64()),
+        }
+    )
+
+
+def whitespace_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(term, df, ttf) under the WhitespaceAnalyzer (no lowercasing, no
+    filters — analysis/core/WhitespaceAnalyzer.java): the analyzer-registry
+    breadth gate, mirrored in SQL by regexp_split_to_array."""
+    from lucene_ray.analysis.analyzer import WhitespaceAnalyzer
+
+    def partial(batch: pa.Table) -> pa.Table:
+        an = WhitespaceAnalyzer()
+        lists = an.tokenize_array(batch.column("text").combine_chunks())
+        offs = lists.offsets.to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), np.diff(offs)
+        )
+        return _partial_term_stats(row_idx, lists.flatten())
+
+    partials = _docs(sf_dir).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    )
+    return partials.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
+    )
+
+
+def whitespace_stats_sql() -> str:
+    from lucene_ray.analysis.analyzer import WhitespaceAnalyzer
+
+    toks = WhitespaceAnalyzer.sql_expr("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), per_doc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+FROM per_doc GROUP BY term
+"""
 
 
 def term_stats_sql() -> str:

@@ -121,3 +121,21 @@ def test_tokenize_flat_positions():
     assert row_idx.tolist() == [0, 0, 0, 2, 2, 2]
     assert terms.to_pylist() == ["foo", "bar", "baz", "one", "two", "three"]
     assert pos.tolist() == [0, 1, 2, 0, 1, 2]
+
+
+class TestRegistryBreadth:
+    def test_whitespace_analyzer(self):
+        from lucene_ray.analysis import get_analyzer
+
+        an = get_analyzer("whitespace")
+        assert an.tokenize_text("Foo  BAR\tbaz\n") == ["Foo", "BAR", "baz"]
+        assert an.tokenize_text("") == []
+        # no lowercasing, no splitting on punctuation
+        assert an.tokenize_text("a.b-C") == ["a.b-C"]
+
+    def test_keyword_analyzer(self):
+        from lucene_ray.analysis import get_analyzer
+
+        an = get_analyzer("keyword")
+        assert an.tokenize_text("Foo Bar") == ["Foo Bar"]
+        assert an.tokenize_text("") == []

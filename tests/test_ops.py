@@ -55,6 +55,11 @@ class TestTextOps:
 
         assert_same(text.term_stats(SF), con, text.term_stats_sql())
 
+    def test_whitespace_stats(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.whitespace_stats(SF), con, text.whitespace_stats_sql())
+
     def test_doc_token_stats(self, con):
         from lucene_ray.ops import text
 
