@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_engine": bm25docs.facet_engine,
         "rangefacet_engine": bm25docs.rangefacet_engine,
         "join_engine": bm25docs.join_engine,
+        "blockjoin_engine": bm25docs.blockjoin_engine,
         "suggest_engine": bm25docs.suggest_engine,
         "mlt_engine": bm25docs.mlt_engine,
         "group_engine": bm25docs.group_engine,
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_engine": bm25docs.facet_engine_sql(),
         "rangefacet_engine": bm25docs.rangefacet_engine_sql(),
         "join_engine": bm25docs.join_engine_sql(),
+        "blockjoin_engine": bm25docs.blockjoin_engine_sql(),
         "suggest_engine": bm25docs.suggest_engine_sql(),
         "mlt_engine": bm25docs.mlt_engine_sql(),
         "group_engine": bm25docs.group_engine_sql(),

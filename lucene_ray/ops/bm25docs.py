@@ -1021,6 +1021,99 @@ WHERE q.rn <= {MLT_MAX_QUERY_TERMS}
 """
 
 
+BLOCKJOIN_TERMS = ["merge", "window", "zzzmissing"]
+
+
+def blockjoin_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): parent-child block join (ToParentBlockJoinQuery) —
+    documents are regrouped into blocks of 3 children + 1 parent row
+    (children first, parent LAST, contiguous docids = the addDocuments
+    block contract); a parent matches when any of its children matches the
+    child term. Parent docid = 4*i + 3 for block i — the SQL oracle
+    reproduces the mapping arithmetically."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        TermQuery,
+        ToParentBlockJoinQuery,
+    )
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    texts = docs.column("text").take(pa.array(order)).to_pylist()
+    n_blocks = len(texts) // 3
+    rows = []
+    for i in range(n_blocks):
+        for j in range(3):
+            rows.append(
+                {"repo": "child", "path": f"c/{i}/{j}", "commit": "0",
+                 "lang": "txt", "content": texts[3 * i + j]}
+            )
+        rows.append(
+            {"repo": "parent", "path": f"p/{i}", "commit": "0",
+             "lang": "txt", "content": f"parentdoc b{i}"}
+        )
+    os.makedirs("/tmp/lucene_ray_cache", exist_ok=True)
+    ix = tempfile.mkdtemp(prefix="docs_bj_", dir="/tmp/lucene_ray_cache")
+    src = ix + "_corpus.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), src, row_group_size=256)
+    try:
+        build_index([src], ix, target_docs=512)
+        s = IndexSearcher(ix)
+        out_q, out_d = [], []
+        for qid, term in enumerate(BLOCKJOIN_TERMS):
+            q = BooleanQuery(
+                should=[
+                    ToParentBlockJoinQuery(
+                        TermQuery(term), TermQuery("repo:parent"),
+                        score_mode="none",
+                    )
+                ]
+            )
+            td = s.search(q, 1_000_000)
+            out_q.extend([qid] * len(td.docids))
+            out_d.extend(td.docids.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "docid": pa.array(out_d, type=pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+        if os.path.exists(src):
+            os.remove(src)
+
+
+def blockjoin_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term in enumerate(BLOCKJOIN_TERMS):
+        parts.append(f"""
+SELECT DISTINCT {qid} AS qid, (rk // 3) * 4 + 3 AS docid
+FROM ranked
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+  AND rk < 3 * ((SELECT count(*) FROM documents) // 3)
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), ranked AS (
+  SELECT doc_id, (row_number() OVER (ORDER BY doc_id) - 1) AS rk
+  FROM documents
+)
+{union}
+"""
+
+
 DV_UPDATE_VALUE = 31337
 
 

@@ -222,6 +222,21 @@ class BooleanQuery:
 
 
 @dataclass(frozen=True)
+class ToParentBlockJoinQuery:
+    """Parent-child block join (join/.../ToParentBlockJoinQuery.java):
+    documents are indexed in BLOCKS — children first, their parent LAST,
+    contiguous docids (IndexWriter.addDocuments). A parent matches when any
+    of its children matches ``child_query``; ``parents_filter`` identifies
+    parent docs (the BitSetProducer role — typically a keyword-field term).
+    score_mode: 'max' | 'sum' | 'none' over the matching children's scores
+    (ScoreMode.Max/Total/None)."""
+
+    child_query: object
+    parents_filter: object
+    score_mode: str = "max"
+
+
+@dataclass(frozen=True)
 class NestedBooleanQuery:
     """A full BooleanQuery evaluated as ONE clause of an enclosing boolean
     — the reference's nested-clause shape (BooleanQuery.java clauses may
@@ -393,3 +408,6 @@ def iter_clauses(bq: BooleanQuery):
             stack.append(q.query)
         elif isinstance(q, NestedBooleanQuery):
             stack.extend(q.must + q.should + q.must_not)
+        elif isinstance(q, ToParentBlockJoinQuery):
+            stack.append(q.child_query)
+            stack.append(q.parents_filter)

@@ -27,6 +27,7 @@ from lucene_ray.search.query import (
     FuzzyQuery,
     NestedBooleanQuery,
     PrefixQuery,
+    ToParentBlockJoinQuery,
     RegexpQuery,
     TermInSetQuery,
     TermQuery,
@@ -225,6 +226,21 @@ def rewrite_query(
     out = BooleanQuery(min_should_match=bq.min_should_match)
     for occur in ("must", "should", "must_not"):
         for q in getattr(bq, occur):
+            if isinstance(q, ToParentBlockJoinQuery):
+                import dataclasses
+
+                child_exp = rewrite_clause(q.child_query)
+                if not child_exp:
+                    continue  # child can never match -> no parents match
+                child = (
+                    child_exp[0]
+                    if len(child_exp) == 1
+                    else DisjunctionSumQuery(tuple(child_exp))
+                )
+                getattr(out, occur).append(
+                    dataclasses.replace(q, child_query=child)
+                )
+                continue
             if isinstance(q, NestedBooleanQuery):
                 # rewrite the inner boolean in place, keep it one clause
                 inner = rewrite_query(q.to_boolean(), vocab, field_vocab)

@@ -44,6 +44,7 @@ from lucene_ray.search.query import (
     SpanNearQuery,
     SynonymQuery,
     TermQuery,
+    ToParentBlockJoinQuery,
 )
 from lucene_ray.search.similarity import BM25Scorer
 
@@ -530,6 +531,47 @@ def _union_sum_tfs(parts: list[tuple[np.ndarray, np.ndarray]]):
     return d[starts], np.add.reduceat(t, starts)
 
 
+def _block_join(reader, q, scorers: dict) -> tuple[np.ndarray, np.ndarray]:
+    """ToParentBlockJoinQuery evaluation (join/.../ToParentBlockJoinQuery
+    .java BlockJoinScorer): children precede their parent, so a matching
+    child's parent is the FIRST parents-filter doc with a larger docid.
+    Returns (parent docids, aggregated child scores per score_mode)."""
+    empty = np.array([], dtype=np.int64), np.array([], dtype=np.float32)
+    p_clauses = build_clauses(reader, [q.parents_filter], scorers)
+    if not p_clauses:
+        return empty
+    parents = np.sort(p_clauses[0].evaluate()[0])
+    if len(parents) == 0:
+        return empty
+    c_clauses = build_clauses(reader, [q.child_query], scorers)
+    if not c_clauses:
+        return empty
+    cd, cs = c_clauses[0].eval_scores(reader.norm_bytes)
+    # a parent doc never matches as its own child
+    is_parent = np.isin(cd, parents, assume_unique=True)
+    cd, cs = cd[~is_parent], cs[~is_parent]
+    if len(cd) == 0:
+        return empty
+    pidx = np.searchsorted(parents, cd, side="right")
+    ok = pidx < len(parents)  # orphans after the last parent never match
+    cd, cs, pidx = cd[ok], cs[ok], pidx[ok]
+    if len(cd) == 0:
+        return empty
+    order = np.argsort(pidx, kind="stable")
+    pidx_s, cs_s = pidx[order], cs[order]
+    change = np.empty(len(pidx_s), dtype=bool)
+    change[0] = True
+    change[1:] = pidx_s[1:] != pidx_s[:-1]
+    starts = np.nonzero(change)[0]
+    if q.score_mode == "sum":
+        agg = np.add.reduceat(cs_s.astype(np.float32), starts)
+    elif q.score_mode == "none":
+        agg = np.ones(len(starts), dtype=np.float32)
+    else:  # max
+        agg = np.maximum.reduceat(cs_s, starts)
+    return parents[pidx_s[starts]], agg.astype(np.float32)
+
+
 def _qcache(reader, q, compute):
     """Route a compound clause's doc-set materialization through the
     segment's LRUQueryCache (UsageTrackingQueryCachingPolicy: cached from
@@ -637,6 +679,13 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 continue
             if q.boost != 1.0:
                 s = (s * np.float32(q.boost)).astype(np.float32)
+            out.append(_Clause(q, None, None, scored=(d, s)))
+        elif isinstance(q, ToParentBlockJoinQuery):
+            d, s = _qcache(
+                reader, q, lambda q=q: _block_join(reader, q, scorers)
+            )
+            if len(d) == 0:
+                continue
             out.append(_Clause(q, None, None, scored=(d, s)))
         elif isinstance(q, DisjunctionSumQuery):
             subs = build_clauses(reader, list(q.disjuncts), scorers)

@@ -963,3 +963,91 @@ class TestJoinQuery:
         # is in the from-set, so the join reduces to the to-query's OR
         want = {i for i, d in enumerate(docs) if "merge" in d or "flush" in d}
         assert got == want
+
+
+class TestBlockJoin:
+    """ToParentBlockJoinQuery: child->parent mapping + score modes."""
+
+    @pytest.fixture(scope="class")
+    def bj_ix(self, tmp_path_factory, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = []
+        kids = [
+            ["merge flush", "sort", "merge"],       # block 0: 2 merge kids
+            ["batch", "scan", "sort"],              # block 1: no merge
+            ["merge merge merge", "flush", "scan"], # block 2: heavy merge kid
+        ]
+        for i, block in enumerate(kids):
+            for j, text in enumerate(block):
+                rows.append(
+                    {"repo": "child", "path": f"c{i}{j}", "commit": "0",
+                     "lang": "t", "content": text}
+                )
+            rows.append(
+                {"repo": "parent", "path": f"p{i}", "commit": "0",
+                 "lang": "t", "content": f"parentrow {i}"}
+            )
+        src = str(tmp_path_factory.mktemp("bj") / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        d = str(tmp_path_factory.mktemp("bjix"))
+        build_index([src], d, target_docs=100)
+        return d
+
+    def _q(self, mode):
+        from lucene_ray.search.query import ToParentBlockJoinQuery
+
+        return BooleanQuery(
+            should=[
+                ToParentBlockJoinQuery(
+                    TermQuery("merge"), TermQuery("repo:parent"),
+                    score_mode=mode,
+                )
+            ]
+        )
+
+    def test_parent_sets(self, bj_ix):
+        s = IndexSearcher(bj_ix)
+        got = doc_set(s, self._q("none"))
+        assert got == {3, 11}  # parents of blocks 0 and 2 (docids 4i+3)
+
+    def test_score_modes(self, bj_ix):
+        import numpy as np
+
+        s = IndexSearcher(bj_ix, pruned=False)
+        # child scores for 'merge' (docids 0, 2 in block 0; 8 in block 2)
+        child = s.search(BooleanQuery(should=[TermQuery("merge")]), 100)
+        cs = dict(zip(child.docids.tolist(), child.scores.tolist()))
+        mx = s.search(self._q("max"), 10)
+        mmap = dict(zip(mx.docids.tolist(), mx.scores.tolist()))
+        assert mmap[3] == pytest.approx(max(cs[0], cs[2]))
+        assert mmap[11] == pytest.approx(cs[8])
+        sm = s.search(self._q("sum"), 10)
+        smap = dict(zip(sm.docids.tolist(), sm.scores.tolist()))
+        assert smap[3] == pytest.approx(np.float32(cs[0]) + np.float32(cs[2]))
+        nn = s.search(self._q("none"), 10)
+        assert all(x == 1.0 for x in nn.scores.tolist())
+
+    def test_combines_with_parent_side_clause(self, bj_ix):
+        # block join as one clause of a larger boolean on the parent side
+        from lucene_ray.search.query import ToParentBlockJoinQuery
+
+        s = IndexSearcher(bj_ix)
+        q = BooleanQuery(
+            must=[
+                ToParentBlockJoinQuery(
+                    TermQuery("merge"), TermQuery("repo:parent"), "none"
+                ),
+                TermQuery("parentrow"),
+            ],
+        )
+        assert doc_set(s, q) == {3, 11}
+
+    def test_duel(self, bj_ix):
+        ex = IndexSearcher(bj_ix, pruned=False)
+        pr = IndexSearcher(bj_ix, pruned=True)
+        for mode in ("max", "sum", "none"):
+            a, b = ex.search(self._q(mode), 10), pr.search(self._q(mode), 10)
+            assert a.docids.tolist() == b.docids.tolist()
+            np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
