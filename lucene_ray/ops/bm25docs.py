@@ -1021,6 +1021,65 @@ WHERE q.rn <= {MLT_MAX_QUERY_TERMS}
 """
 
 
+def feature_engine(sf_dir: str, k: int = 20) -> pa.Table:
+    """(qid, rank, docid): FeatureField-style static-signal ranking — docs
+    matching a required constant-score term, ranked by a FeatureQuery over
+    the n_chars doc value (log and saturation functions; both monotone in
+    the value, so the SQL oracle ranks by the raw value)."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        ConstantScoreQuery,
+        FeatureQuery,
+        TermQuery,
+    )
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_r, out_d = [], [], []
+    cases = [
+        (0, "merge", FeatureQuery("n_chars", weight=1.0, function="log")),
+        (1, "window", FeatureQuery("n_chars", weight=2.0, function="saturation", pivot=100.0)),
+    ]
+    for qid, term, fq in cases:
+        q = BooleanQuery(
+            must=[ConstantScoreQuery(TermQuery(term), boost=0.0)], should=[fq]
+        )
+        td = s.search(q, k)
+        out_q.extend([qid] * len(td.docids))
+        out_r.extend(range(len(td.docids)))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int32()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def feature_engine_sql(k: int = 20) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term in ((0, "merge"), (1, "window")):
+        parts.append(f"""
+SELECT {qid} AS qid,
+       (row_number() OVER (ORDER BY length(text) DESC, doc_id ASC) - 1)::INTEGER AS rank,
+       doc_id AS docid
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+  AND length(text) > 0
+QUALIFY rank < {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 BLOCKJOIN_TERMS = ["merge", "window", "zzzmissing"]
 
 

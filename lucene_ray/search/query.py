@@ -222,6 +222,22 @@ class BooleanQuery:
 
 
 @dataclass(frozen=True)
+class FeatureQuery:
+    """Static-signal ranking clause (document/FeatureField.java +
+    FeatureField.newSaturationQuery/newLogQuery): score derives from a
+    per-doc NUMERIC doc value, not term statistics. function='log':
+    weight * ln(1 + value); 'saturation': weight * value / (value + pivot).
+    Matches every live doc whose value > 0 (FeatureField only indexes
+    positive feature values). Composes with BM25 clauses as a plain
+    additive SHOULD/MUST clause — the 'boost by pagerank' shape."""
+
+    field: str
+    weight: float = 1.0
+    function: str = "log"
+    pivot: float = 1.0  # saturation only
+
+
+@dataclass(frozen=True)
 class ToParentBlockJoinQuery:
     """Parent-child block join (join/.../ToParentBlockJoinQuery.java):
     documents are indexed in BLOCKS — children first, their parent LAST,

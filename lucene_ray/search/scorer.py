@@ -42,6 +42,7 @@ from lucene_ray.search.query import (
     PhraseQuery,
     PointRangeQuery,
     SpanNearQuery,
+    FeatureQuery,
     SynonymQuery,
     TermQuery,
     ToParentBlockJoinQuery,
@@ -684,6 +685,21 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             d, s = _qcache(
                 reader, q, lambda q=q: _block_join(reader, q, scorers)
             )
+            if len(d) == 0:
+                continue
+            out.append(_Clause(q, None, None, scored=(d, s)))
+        elif isinstance(q, FeatureQuery):
+            def _feature(q=q):
+                vals = reader.doc_values(q.field).astype(np.float32)
+                docids = np.nonzero(vals > 0)[0].astype(np.int64)
+                v = vals[docids]
+                if q.function == "saturation":
+                    s = np.float32(q.weight) * (v / (v + np.float32(q.pivot)))
+                else:  # log
+                    s = np.float32(q.weight) * np.log1p(v)
+                return docids, s.astype(np.float32)
+
+            d, s = _qcache(reader, q, _feature)
             if len(d) == 0:
                 continue
             out.append(_Clause(q, None, None, scored=(d, s)))

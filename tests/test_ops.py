@@ -287,6 +287,11 @@ class TestBM25Docs:
 
         assert_same(bm25docs.join_engine(SF), con, bm25docs.join_engine_sql())
 
+    def test_feature_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.feature_engine(SF), con, bm25docs.feature_engine_sql())
+
     def test_blockjoin_engine(self, con):
         from lucene_ray.ops import bm25docs
 

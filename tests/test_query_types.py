@@ -1051,3 +1051,73 @@ class TestBlockJoin:
             a, b = ex.search(self._q(mode), 10), pr.search(self._q(mode), 10)
             assert a.docids.tolist() == b.docids.tolist()
             np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
+
+
+class TestFeatureQuery:
+    """FeatureField-style static-signal scoring (FeatureField.newLogQuery /
+    newSaturationQuery): formula checks + additive composition with BM25."""
+
+    def test_log_formula(self, ix):
+        import numpy as np
+
+        from lucene_ray.search.query import FeatureQuery
+        from lucene_ray.search.reader import IndexReader
+
+        s = IndexSearcher(ix, pruned=False)
+        td = s.search(
+            BooleanQuery(should=[FeatureQuery("n_chars", weight=3.0)]), 10
+        )
+        r = IndexReader(ix)
+        from lucene_ray.search.engine import fetch_doc_values
+
+        vals = fetch_doc_values(r, td.docids, "n_chars").astype(np.float32)
+        want = np.float32(3.0) * np.log1p(vals)
+        np.testing.assert_allclose(td.scores, want, rtol=1e-6)
+
+    def test_saturation_monotone_and_bounded(self, ix):
+        from lucene_ray.search.query import FeatureQuery
+
+        s = IndexSearcher(ix, pruned=False)
+        td = s.search(
+            BooleanQuery(
+                should=[FeatureQuery("n_chars", weight=1.0,
+                                     function="saturation", pivot=50.0)]
+            ),
+            10_000_000,
+        )
+        assert (td.scores < 1.0).all() and (td.scores > 0).all()
+        # scores sorted desc follow value sorted desc (monotone)
+        assert list(td.scores) == sorted(td.scores, reverse=True)
+
+    def test_additive_with_bm25(self, ix):
+        import numpy as np
+
+        from lucene_ray.search.engine import fetch_doc_values
+        from lucene_ray.search.query import FeatureQuery
+
+        s = IndexSearcher(ix, pruned=False)
+        base = s.search("merge", 10_000_000)
+        combo = s.search(
+            BooleanQuery(
+                must=[TermQuery("merge")],
+                should=[FeatureQuery("n_chars", weight=0.1)],
+            ),
+            10_000_000,
+        )
+        bmap = dict(zip(base.docids.tolist(), base.scores.tolist()))
+        vals = fetch_doc_values(s.reader, combo.docids, "n_chars").astype(np.float32)
+        for d, sc, v in zip(combo.docids.tolist(), combo.scores, vals):
+            want = np.float32(bmap[d]) + np.float32(0.1) * np.log1p(np.float32(v))
+            assert sc == pytest.approx(float(want), rel=1e-6)
+
+    def test_duel(self, ix):
+        from lucene_ray.search.query import FeatureQuery
+
+        ex = IndexSearcher(ix, pruned=False)
+        pr = IndexSearcher(ix, pruned=True)
+        q = BooleanQuery(
+            should=[TermQuery("merge"), FeatureQuery("n_chars", weight=0.05)]
+        )
+        a, b = ex.search(q, 10), pr.search(q, 10)
+        assert a.docids.tolist() == b.docids.tolist()
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
