@@ -348,12 +348,18 @@ class EnglishAnalyzer(CodeAnalyzer):
 
 class WhitespaceAnalyzer:
     """analysis/core/WhitespaceAnalyzer.java: split on whitespace runs,
-    NO lowercasing, no filters. SQL mirror: regexp_split_to_array '\\s+'."""
+    NO lowercasing, no filters. ASCII whitespace class [\\t\\n\\f\\r ] on BOTH
+    sides so the RE2/DuckDB '\\s' mirror stays byte-identical (CLAUDE.md
+    RE2-expressibility rule; Python's \\s would also split on \\x0b/\\xa0
+    etc. that RE2 does not). Query/analysis surface only — not a valid
+    INDEXING analyzer (no tokenize_flat; tokens may contain ':')."""
 
     name = "whitespace"
+    supports_indexing = False
+    _WS = re.compile(r"[\t\n\f\r ]+")
 
     def tokenize_text(self, text: str) -> list[str]:
-        return [t for t in re.split(r"\s+", text) if t and len(t) <= MAX_TOKEN_LEN]
+        return [t for t in self._WS.split(text) if t and len(t) <= MAX_TOKEN_LEN]
 
     def tokenize_array(self, texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
         return pa.array(
@@ -374,9 +380,11 @@ class WhitespaceAnalyzer:
 
 class KeywordAnalyzer:
     """analysis/core/KeywordAnalyzer.java: the whole input is ONE token,
-    untouched."""
+    untouched. Query/analysis surface only — not a valid INDEXING analyzer
+    (no tokenize_flat; tokens may contain ':')."""
 
     name = "keyword"
+    supports_indexing = False
 
     def tokenize_text(self, text: str) -> list[str]:
         return [text] if text else []

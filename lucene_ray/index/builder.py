@@ -138,6 +138,12 @@ def build_one_segment(
     content = table.column("content").combine_chunks()
 
     analyzer = get_analyzer(analyzer_name)
+    if not getattr(analyzer, "supports_indexing", True):
+        raise ValueError(
+            f"analyzer {analyzer_name!r} is a query/analysis-surface analyzer "
+            "(no tokenize_flat; tokens may contain ':', which the shared term "
+            "dict reserves for keyword fields) — index with 'code' or 'english'"
+        )
     row_idx, terms, positions = analyzer.tokenize_flat(content)
 
     from lucene_ray.util.smallfloat import int_to_byte4

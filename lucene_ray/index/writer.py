@@ -152,11 +152,20 @@ def delete_by_term(index_dir: str, term: str, use_ray: bool = False) -> int:
     return int(total)
 
 
-def _next_seg_idx(manifest: Manifest) -> int:
+def _next_seg_idx(manifest: Manifest, index_dir: str | None = None) -> int:
+    """Next free segment index — scans the segments DIRECTORY too, not just
+    the current manifest: after a rollback, segments created on the
+    abandoned timeline are absent from the manifest but still on disk (and
+    referenced by retained commits), so their names must never be reused."""
     mx = -1
-    for e in manifest.segments:
+    names = [e.name for e in manifest.segments]
+    if index_dir is not None:
+        seg_root = os.path.join(index_dir, "segments")
+        if os.path.isdir(seg_root):
+            names += os.listdir(seg_root)
+    for name in names:
         try:
-            mx = max(mx, int(e.name.split("_")[1].rstrip("m")))
+            mx = max(mx, int(name.split("_")[1].rstrip("m")))
         except (IndexError, ValueError):
             pass
     return mx + 1
@@ -178,7 +187,7 @@ def add_documents(index_dir: str, table: pa.Table) -> Manifest:
     fname = os.path.join(adds_dir, f"add_g{manifest.generation:05d}.parquet")
     pq.write_table(table, fname)
     spec = SegmentSpec(
-        seg_idx=_next_seg_idx(manifest),
+        seg_idx=_next_seg_idx(manifest, index_dir),
         file=fname,
         rg_start=0,
         rg_end=pq.read_metadata(fname).num_row_groups,
@@ -283,11 +292,39 @@ def rollback(index_dir: str, generation: int) -> "Manifest":
             f"no retained commit for generation {generation} "
             f"(have {list_commits(index_dir)})"
         )
+    from lucene_ray.index.manifest import read_entry
+
     cur = read_manifest(index_dir)
     old.generation = max(cur.generation, max(list_commits(index_dir))) + 1
-    # entry.json files track the LATEST state; re-sync them to the restored
-    # commit so per-segment reads agree with the published manifest
+    # Per-segment generation counters must stay monotonic across timelines:
+    # if the restored livedocs/DV generation differs from the segment's
+    # LATEST on-disk generation, re-publish the restored state under a
+    # FRESH generation number (copy the file) — otherwise a later delete
+    # would regenerate an already-used livedocs_g<N>.parquet and silently
+    # corrupt retained commits (and collide with the merge identity hash).
     for e in old.segments:
+        disk = read_entry(index_dir, e.name)
+        seg_d = segment_dir(index_dir, e.name)
+        if disk is not None:
+            d_del = getattr(disk, "del_gen", 0)
+            if getattr(e, "del_gen", 0) != d_del:
+                new_gen = max(d_del, getattr(e, "del_gen", 0)) + 1
+                live = _load_livedocs(seg_d, e)  # the RESTORED bitmap
+                _write_livedocs(seg_d, new_gen, live)
+                e.del_gen = new_gen
+            d_dv = getattr(disk, "dv_gen", 0)
+            if getattr(e, "dv_gen", 0) != d_dv:
+                new_gen = max(d_dv, getattr(e, "dv_gen", 0)) + 1
+                src = (
+                    os.path.join(seg_d, f"docvalues_g{e.dv_gen}.parquet")
+                    if getattr(e, "dv_gen", 0) > 0
+                    else os.path.join(seg_d, "docvalues.parquet")
+                )
+                pq.write_table(
+                    pq.read_table(src),
+                    os.path.join(seg_d, f"docvalues_g{new_gen}.parquet"),
+                )
+                e.dv_gen = new_gen
         write_entry(index_dir, e)
     write_manifest(index_dir, old)
     return old

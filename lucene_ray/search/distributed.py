@@ -173,11 +173,7 @@ class DistributedSearcher:
         prepared = [self._prepare(q) for q in queries]
         # phase 1: union of all terms across the batch
         all_terms = sorted({t for bq in prepared if bq for t in query_terms(bq)})
-        stats = {t: (0, 0) for t in all_terms}
-        if all_terms:
-            for p in ray.get([a.term_stats.remote(all_terms) for a in self.actors]):
-                for t, (df, ttf) in p.items():
-                    stats[t] = (stats[t][0] + df, stats[t][1] + ttf)
+        stats = self._gather_stats(all_terms)
         # phase 2: one scatter per shard carrying the whole batch
         futures = [
             a.search_shard_many.remote(
@@ -209,17 +205,24 @@ class DistributedSearcher:
             out.append(TopDocs(d, s, total, relation))
         return out
 
+    def _gather_stats(self, terms: list) -> dict:
+        """One stats round trip: per-shard partial (df, ttf) folded into the
+        GLOBAL stats every shard scores against (the identical-idf/avgdl
+        broadcast contract — single definition for search/search_many/count)."""
+        stats = {t: (0, 0) for t in terms}
+        if terms:
+            for p in ray.get([a.term_stats.remote(terms) for a in self.actors]):
+                for t, (df, ttf) in p.items():
+                    stats[t] = (stats[t][0] + df, stats[t][1] + ttf)
+        return stats
+
     def count(self, query) -> int:
         """Exact distributed hit count (IndexSearcher.count over shards):
         one stats gather, one scatter, sum of per-shard exact counts."""
         bq = self._prepare(query)
         if bq is None:
             return 0
-        terms = query_terms(bq)
-        stats = {t: (0, 0) for t in terms}
-        for p in ray.get([a.term_stats.remote(terms) for a in self.actors]):
-            for t, (df, ttf) in p.items():
-                stats[t] = (stats[t][0] + df, stats[t][1] + ttf)
+        stats = self._gather_stats(query_terms(bq))
         return sum(
             ray.get(
                 [
@@ -250,13 +253,8 @@ class DistributedSearcher:
         if bq is None:
             return TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
 
-        terms = query_terms(bq)
         # phase 1: gather global term stats (one tiny dict per shard)
-        partials = ray.get([a.term_stats.remote(terms) for a in self.actors])
-        stats = {t: (0, 0) for t in terms}
-        for p in partials:
-            for t, (df, ttf) in p.items():
-                stats[t] = (stats[t][0] + df, stats[t][1] + ttf)
+        stats = self._gather_stats(query_terms(bq))
         # phase 2: scatter with identical global stats, gather shard top-ks
         results = ray.get(
             [

@@ -229,16 +229,22 @@ def rewrite_query(
             if isinstance(q, ToParentBlockJoinQuery):
                 import dataclasses
 
-                child_exp = rewrite_clause(q.child_query)
-                if not child_exp:
-                    continue  # child can never match -> no parents match
-                child = (
-                    child_exp[0]
-                    if len(child_exp) == 1
-                    else DisjunctionSumQuery(tuple(child_exp))
-                )
+                def _one_clause(sub):
+                    exp = rewrite_clause(sub)
+                    if not exp:
+                        return None
+                    return exp[0] if len(exp) == 1 else DisjunctionSumQuery(tuple(exp))
+
+                child = _one_clause(q.child_query)
+                pfilter = _one_clause(q.parents_filter)
+                if child is None or pfilter is None:
+                    # the join can never match; a REQUIRED empty clause must
+                    # poison the query, not silently widen it
+                    if occur == "must":
+                        out.must.append(TermQuery("#NOMATCH#"))
+                    continue
                 getattr(out, occur).append(
-                    dataclasses.replace(q, child_query=child)
+                    dataclasses.replace(q, child_query=child, parents_filter=pfilter)
                 )
                 continue
             if isinstance(q, NestedBooleanQuery):

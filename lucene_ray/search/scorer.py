@@ -541,6 +541,10 @@ def _block_join(reader, q, scorers: dict) -> tuple[np.ndarray, np.ndarray]:
     p_clauses = build_clauses(reader, [q.parents_filter], scorers)
     if not p_clauses:
         return empty
+    # parents stay UNFILTERED by live docs: a tombstoned parent still
+    # delimits its block (children must not leak into the next block);
+    # it can't be RETURNED because the top-level candidate live filter
+    # drops it (Lucene: the BitSetProducer ignores deletions too)
     parents = np.sort(p_clauses[0].evaluate()[0])
     if len(parents) == 0:
         return empty
@@ -548,6 +552,11 @@ def _block_join(reader, q, scorers: dict) -> tuple[np.ndarray, np.ndarray]:
     if not c_clauses:
         return empty
     cd, cs = c_clauses[0].eval_scores(reader.norm_bytes)
+    live = getattr(reader, "live_mask", None)
+    if live is not None:
+        # tombstoned CHILDREN never match nor contribute score
+        m = live[cd]
+        cd, cs = cd[m], cs[m]
     # a parent doc never matches as its own child
     is_parent = np.isin(cd, parents, assume_unique=True)
     cd, cs = cd[~is_parent], cs[~is_parent]

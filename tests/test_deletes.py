@@ -280,3 +280,65 @@ class TestCommitsAndRollback:
 
         with pytest.raises(FileNotFoundError):
             rollback(ix, 10_000)
+
+
+class TestRollbackGenerationSafety:
+    def test_delete_after_rollback_preserves_snapshots(self, ix):
+        from lucene_ray.index.manifest import read_manifest
+        from lucene_ray.index.writer import delete_docs, rollback
+        from lucene_ray.search.reader import IndexReader
+
+        g1 = read_manifest(ix).generation
+        sx = IndexSearcher(ix)
+        xs = sorted(doc_set(sx, "merge"))[:2]
+        delete_docs(ix, xs)
+        g2 = read_manifest(ix).generation  # commit with X deleted
+        rollback(ix, g1)
+        ys = sorted(doc_set(IndexSearcher(ix), "merge"))[-2:]
+        delete_docs(ix, ys)
+        # the retained commit g2 must still show exactly X's deletes
+        old = IndexReader(ix, generation=g2)
+        deleted_in_g2 = {
+            e.docid_base + i
+            for e in old.segments
+            if old.segment_reader(e.name).live_mask is not None
+            for i in (~old.segment_reader(e.name).live_mask).nonzero()[0]
+        }
+        assert deleted_in_g2 == set(xs), (deleted_in_g2, xs)
+        cur = doc_set(IndexSearcher(ix), "merge")
+        assert not (set(ys) & cur) and (set(xs) & cur) == set(xs)
+
+    def test_add_after_rollback_never_reuses_segment_names(self, ix):
+        from lucene_ray.index.manifest import read_manifest
+        from lucene_ray.index.writer import add_documents, rollback
+
+        import pyarrow as pa
+
+        g1 = read_manifest(ix).generation
+
+        def add(tag):
+            add_documents(
+                ix,
+                pa.table(
+                    {
+                        "repo": pa.array(["r"]),
+                        "path": pa.array([f"a/{tag}"]),
+                        "commit": pa.array(["0"]),
+                        "lang": pa.array(["t"]),
+                        "content": pa.array([f"uniq{tag}"]),
+                    }
+                ),
+            )
+
+        add("one")
+        names_before = {e.name for e in read_manifest(ix).segments}
+        rollback(ix, g1)
+        add("two")
+        names_after = {e.name for e in read_manifest(ix).segments}
+        # the new segment must have a FRESH name (the 'one' segment dir is
+        # still referenced by a retained commit)
+        assert not (names_after - {e for e in names_before if True}) & names_before
+        # and the retained commit's segment still holds 'uniqone'
+        s = IndexSearcher(ix)
+        assert doc_set(s, "uniqtwo")
+        assert not doc_set(s, "uniqone")  # not in the current timeline

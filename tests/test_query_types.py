@@ -1121,3 +1121,47 @@ class TestFeatureQuery:
         a, b = ex.search(q, 10), pr.search(q, 10)
         assert a.docids.tolist() == b.docids.tolist()
         np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
+
+
+class TestBlockJoinDeletes:
+    def test_deleted_child_stops_matching(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.writer import delete_docs
+        from lucene_ray.search.query import ToParentBlockJoinQuery
+
+        rows = []
+        for i, block in enumerate([["merge", "sort"], ["batch", "merge"]]):
+            for j, text in enumerate(block):
+                rows.append(
+                    {"repo": "child", "path": f"c{i}{j}", "commit": "0",
+                     "lang": "t", "content": text}
+                )
+            rows.append(
+                {"repo": "parent", "path": f"p{i}", "commit": "0",
+                 "lang": "t", "content": f"parentrow {i}"}
+            )
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        d = str(tmp_path / "ix")
+        build_index([src], d, target_docs=100)
+
+        def q():
+            return BooleanQuery(
+                should=[
+                    ToParentBlockJoinQuery(
+                        TermQuery("merge"), TermQuery("repo:parent"), "none"
+                    )
+                ]
+            )
+
+        s0 = IndexSearcher(d)
+        assert doc_set(s0, q()) == {2, 5}
+        delete_docs(d, [0])  # block 0's only 'merge' child
+        s1 = IndexSearcher(d)
+        assert doc_set(s1, q()) == {5}
+        # deleted PARENT: boundary preserved, parent unreturnable
+        delete_docs(d, [5])
+        s2 = IndexSearcher(d)
+        assert doc_set(s2, q()) == set()
