@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_sha": dedup.content_sha,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "contamination_check": dedup.contamination_check,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         # simhash kernel gated through Hamming-vs-Jaccard consistency (raw
         # values: lucene_ray.ops.dedup.simhash64)
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "content_sha": dedup.content_sha_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),
+        "contamination_check": dedup.contamination_check_sql(),
         # LSH candidates verified by exact Jaccard == the exact pair set
         # (full recall at the gate's fixed corpus + seeds; see docstring)
         "minhash_lsh_pairs": dedup.ngram_jaccard_sql(),

@@ -782,3 +782,113 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= {COSINE_THRESHOLD}
 """
+
+
+# ------------------------------------------------------ contamination check
+
+EVAL_SPLIT = 50  # doc_id < EVAL_SPLIT = the held-out eval split
+
+
+def contamination_check(sf_dir: str) -> pa.Table:
+    """(doc_id, n_shingles, n_matched) per EVAL doc (doc_id < EVAL_SPLIT):
+    how many of its distinct k-token shingles occur in ANY TRAIN doc
+    (doc_id >= EVAL_SPLIT) — the benchmark-decontamination audit (n-gram
+    overlap between eval sets and the training corpus), re-expressed as a
+    bucketed hash semi-join: shingles shuffle by coarse hash bucket, the
+    train/eval side tag travels with the rows, and no shingle set ever
+    sits on the driver. Output is O(eval docs) — tiny by construction."""
+    import pandas as pd
+
+    sh = _docs(sf_dir).map_batches(
+        _shingle_rows, batch_format="pyarrow", batch_size=4096
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        k = batch.column("shingle").to_numpy(zero_copy_only=False)
+        bkt = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+        return batch.append_column(
+            "is_eval", pa.array((d < EVAL_SPLIT).astype(np.int8))
+        ).append_column("bkt", pa.array((bkt % np.uint64(64)).astype(np.int32)))
+
+    def matched(g: "pd.DataFrame") -> "pd.DataFrame":
+        shl = g["shingle"].to_numpy()
+        ev = g["is_eval"].to_numpy().astype(bool)
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, shl))
+        shl, ev, d = shl[order], ev[order], d[order]
+        change = np.empty(len(shl), dtype=bool)
+        change[0] = True
+        change[1:] = shl[1:] != shl[:-1]
+        gid = np.cumsum(change) - 1
+        train_in = np.zeros(gid[-1] + 1, dtype=bool)
+        np.logical_or.at(train_in, gid, ~ev)
+        keep = ev & train_in[gid]
+        return pd.DataFrame({"doc_id": d[keep].astype("int64")})
+
+    hits = (
+        sh.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("bkt")
+        .map_groups(matched, batch_format="pandas")
+        .to_pandas()
+    )
+    # per-eval-doc shingle-set sizes: n_doc already travels with the rows
+    sizes = (
+        sh.map_batches(
+            lambda b: b.filter(
+                pa.array(
+                    b.column("doc_id").to_numpy(zero_copy_only=False) < EVAL_SPLIT
+                )
+            ).select(["doc_id", "n_doc"]),
+            batch_format="pyarrow",
+            batch_size=65536,
+        )
+        .groupby("doc_id")
+        .max("n_doc")
+        .to_pandas()
+        .rename(columns={"max(n_doc)": "n_shingles"})
+    )
+    nm = hits.groupby("doc_id").size().rename("n_matched").reset_index()
+    out = sizes.merge(nm, on="doc_id", how="left").fillna({"n_matched": 0})
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype("int64")),
+            "n_shingles": pa.array(out["n_shingles"].astype("int64")),
+            "n_matched": pa.array(out["n_matched"].astype("int64")),
+        }
+    )
+
+
+def contamination_check_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    k = SHINGLE_K
+    joins = " ".join(
+        f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j}"
+        for j in range(1, k)
+    )
+    concat = " || chr(31) || ".join(f"t{j}.term" for j in range(k))
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM t
+), sh AS (
+  SELECT DISTINCT t0.doc_id, {concat} AS shingle
+  FROM tok t0 {joins}
+), ev AS (
+  SELECT * FROM sh WHERE doc_id < {EVAL_SPLIT}
+), train AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id >= {EVAL_SPLIT}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ev GROUP BY doc_id
+), m AS (
+  SELECT e.doc_id, count(*) AS nm FROM ev e JOIN train USING (shingle)
+  GROUP BY e.doc_id
+)
+SELECT s.doc_id, s.n::BIGINT AS n_shingles,
+       coalesce(m.nm, 0)::BIGINT AS n_matched
+FROM sizes s LEFT JOIN m USING (doc_id)
+"""

@@ -106,6 +106,13 @@ class TestDedupOps:
 
         assert_same(dedup.ngram_jaccard_pairs(SF), con, dedup.ngram_jaccard_sql())
 
+    def test_contamination_check(self, con):
+        from lucene_ray.ops import dedup
+
+        assert_same(
+            dedup.contamination_check(SF), con, dedup.contamination_check_sql()
+        )
+
     def test_minhash_recall_vs_exact(self):
         from lucene_ray.ops import dedup
 
