@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_shift": text.fingerprint_shift,
         "bpe_token_count": text.bpe_token_count,
         "sample_hash": text.sample_hash,
+        "stratified_sample": text.stratified_sample,
         # --- dedup family (training-data ops)
         "dedup_exact": dedup.dedup_exact,
         "content_sha": dedup.content_sha,
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "nation_order_stats": relational.nation_order_stats,
         "events_tumbling": relational.events_tumbling,
+        "events_hopping": relational.events_hopping,
         "sessionize": relational.sessionize,
         # --- multimodal plumbing (stubbed codec, real actor-pool stage)
         "media_features": multimodal.extract_features,
@@ -128,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_shift": text.fingerprint_shift_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),
         "sample_hash": text.sample_hash_sql(),
+        "stratified_sample": text.stratified_sample_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "content_sha": dedup.content_sha_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
@@ -152,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": relational.top_orders_sql(),
         "nation_order_stats": relational.nation_order_stats_sql(),
         "events_tumbling": relational.events_tumbling_sql(),
+        "events_hopping": relational.events_hopping_sql(),
         "sessionize": relational.sessionize_sql(),
         # rows-only (no SQL oracle, by design — see module docstring):
         # bm25_topk_engine (quantized-norm float32 ranking; duel/golden

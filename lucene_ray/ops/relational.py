@@ -250,3 +250,65 @@ SELECT user_id, session_id, count(*)::BIGINT AS n_events,
        min(ts_us) AS first_us, max(ts_us) AS last_us
 FROM sess GROUP BY user_id, session_id
 """
+
+
+def events_hopping(
+    sf_dir: str, window_secs: int = 3600, hop_secs: int = 1800
+) -> "ray.data.Dataset":
+    """Hopping (sliding) event-time windows: window length ``window_secs``
+    advancing every ``hop_secs`` (must divide it) — each event lands in
+    window/hop overlapping windows. Same order-free bucketing + combiner
+    groupby shape as events_tumbling, with the window fan-out done in the
+    map stage (each event emits window/hop rows; no state, no watermark —
+    the batch analog, SURVEY.md §2.9)."""
+    assert window_secs % hop_secs == 0
+    fan = window_secs // hop_secs
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    hus = hop_secs * 1_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts_us // hus) * hus
+        cents = _cents(batch.column("value").to_numpy(zero_copy_only=False))
+        parts = []
+        for k in range(fan):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": batch.column("event_type"),
+                        "window_start_us": pa.array(base - k * hus, type=pa.int64()),
+                        "value_cents": pa.array(cents, type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "window_start_us"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+def events_hopping_sql(window_secs: int = 3600, hop_secs: int = 1800) -> str:
+    hus = hop_secs * 1_000_000
+    fan = window_secs // hop_secs
+    shifts = "\nUNION ALL\n".join(
+        f"SELECT event_type, (epoch_us(ts) // {hus}) * {hus} - {k * hus} AS window_start_us, "
+        f"CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents FROM events"
+        for k in range(fan)
+    )
+    return f"""
+WITH fanout AS (
+{shifts}
+)
+SELECT event_type, window_start_us,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
+FROM fanout GROUP BY event_type, window_start_us
+"""

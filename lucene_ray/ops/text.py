@@ -486,3 +486,73 @@ def sample_hash_sql(num: int = SAMPLE_NUM, den: int = SAMPLE_DEN) -> str:
 SELECT doc_id FROM documents
 WHERE CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT) % {den} < {num}
 """
+
+
+STRAT_PER_KEY = 20  # docs kept per lang in the stratified sample
+
+
+def stratified_sample(sf_dir: str, per_key: int = STRAT_PER_KEY) -> pa.Table:
+    """(doc_id, lang): deterministic stratified sampling — the ``per_key``
+    docs with the LOWEST content-hash rank within each lang (quota
+    sampling per class, the class-balanced split primitive). Hash ranks
+    are computed in map_batches (the same sha256-prefix key as
+    sample_hash, so the sample is run/cluster-size invariant); only
+    per-batch top-per_key candidates shuffle to the tiny final reduce."""
+    import hashlib
+
+    def ranked(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = np.array(
+            [
+                int(hashlib.sha256(t.encode()).hexdigest()[:8], 16)
+                for t in batch.column("text").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        df = pd.DataFrame(
+            {
+                "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+                "lang": batch.column("lang").to_pylist(),
+                "h": h,
+            }
+        )
+        # per-batch combiner: only each lang's local top-per_key survive
+        df = df.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(per_key)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def docs_with_lang(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "lang", "text"])
+
+    import pandas as pd
+    import ray.data
+
+    cand = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+        .map_batches(ranked, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    out = (
+        cand.sort_values(["lang", "h", "doc_id"])
+        .groupby("lang")
+        .head(per_key)
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype("int64")),
+            "lang": pa.array(out["lang"].astype(str)),
+        }
+    )
+
+
+def stratified_sample_sql(per_key: int = STRAT_PER_KEY) -> str:
+    return f"""
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT), doc_id
+) <= {per_key}
+"""

@@ -80,6 +80,11 @@ class TestTextOps:
 
         assert_same(text.sample_hash(SF), con, text.sample_hash_sql())
 
+    def test_stratified_sample(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.stratified_sample(SF), con, text.stratified_sample_sql())
+
     def test_fingerprint_deterministic(self):
         from lucene_ray.ops import text
 
@@ -215,6 +220,11 @@ class TestRelational:
         from lucene_ray.ops import relational
 
         assert_same(relational.events_tumbling(SF), con, relational.events_tumbling_sql())
+
+    def test_events_hopping(self, con):
+        from lucene_ray.ops import relational
+
+        assert_same(relational.events_hopping(SF), con, relational.events_hopping_sql())
 
     def test_sessionize(self, con):
         from lucene_ray.ops import relational
