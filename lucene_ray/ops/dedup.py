@@ -294,6 +294,14 @@ def _pairs_in_key_groups(
     return pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})
 
 
+def _coarse_bucket(keys: np.ndarray, n_buckets: int = 64) -> np.ndarray:
+    """Coarse shuffle bucket of an int key (Fibonacci-hash top bits). ONE
+    definition shared by every bucketed-groupby op in this module — >>58
+    already yields 0..63 for the default bucket count."""
+    b = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+    return (b.astype(np.int64) % n_buckets).astype(np.int32)
+
+
 def _bucketed_pairs(ds, key_col: str, n_buckets: int = 64, size_col: str | None = None):
     """groupby a COARSE hash bucket of the key (not the key itself — one Ray
     group per distinct shingle means millions of tiny pandas groups), then
@@ -301,8 +309,7 @@ def _bucketed_pairs(ds, key_col: str, n_buckets: int = 64, size_col: str | None 
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy(zero_copy_only=False)
-        bkt = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
-        return batch.append_column("bkt", pa.array(bkt.astype(np.int32) % n_buckets))
+        return batch.append_column("bkt", pa.array(_coarse_bucket(k, n_buckets)))
 
     def pairs(g):
         return _pairs_in_key_groups(
@@ -806,10 +813,9 @@ def contamination_check(sf_dir: str) -> pa.Table:
     def tag(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
         k = batch.column("shingle").to_numpy(zero_copy_only=False)
-        bkt = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
         return batch.append_column(
             "is_eval", pa.array((d < EVAL_SPLIT).astype(np.int8))
-        ).append_column("bkt", pa.array((bkt % np.uint64(64)).astype(np.int32)))
+        ).append_column("bkt", pa.array(_coarse_bucket(k)))
 
     def matched(g: "pd.DataFrame") -> "pd.DataFrame":
         shl = g["shingle"].to_numpy()
@@ -826,29 +832,32 @@ def contamination_check(sf_dir: str) -> pa.Table:
         keep = ev & train_in[gid]
         return pd.DataFrame({"doc_id": d[keep].astype("int64")})
 
-    hits = (
+    hits_tbl = _materialize(
         sh.map_batches(tag, batch_format="pyarrow", batch_size=65536)
         .groupby("bkt")
-        .map_groups(matched, batch_format="pandas")
-        .to_pandas()
+        .map_groups(matched, batch_format="pandas"),
+        pa.schema([("doc_id", pa.int64())]),
     )
-    # per-eval-doc shingle-set sizes: n_doc already travels with the rows
-    sizes = (
-        sh.map_batches(
-            lambda b: b.filter(
-                pa.array(
-                    b.column("doc_id").to_numpy(zero_copy_only=False) < EVAL_SPLIT
-                )
-            ).select(["doc_id", "n_doc"]),
-            batch_format="pyarrow",
-            batch_size=65536,
-        )
-        .groupby("doc_id")
-        .max("n_doc")
-        .to_pandas()
-        .rename(columns={"max(n_doc)": "n_shingles"})
+    hits = hits_tbl.to_pandas()
+    # per-eval-doc shingle-set sizes: a SEPARATE row-group-pruned read of
+    # just the eval split (the big shingle pipeline is consumed once)
+    import pyarrow.parquet as _pq
+
+    eval_docs = _pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", EVAL_SPLIT)],
     )
-    nm = hits.groupby("doc_id").size().rename("n_matched").reset_index()
+    ev_ids, _ev_sh = _shingle_hashes(eval_docs)
+    import pandas as pd
+
+    uniq, counts = np.unique(ev_ids, return_counts=True)
+    sizes = pd.DataFrame({"doc_id": uniq, "n_shingles": counts})
+    if hits.empty:
+        nm = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                           "n_matched": pd.Series([], dtype="int64")})
+    else:
+        nm = hits.groupby("doc_id").size().rename("n_matched").reset_index()
     out = sizes.merge(nm, on="doc_id", how="left").fillna({"n_matched": 0})
     out = out.sort_values("doc_id").reset_index(drop=True)
     return pa.table(

@@ -458,6 +458,22 @@ SAMPLE_NUM = 3   # keep-rate numerator
 SAMPLE_DEN = 20  # keep-rate denominator (3/20 = 15% sample)
 
 
+def _hash_prefix(texts: list) -> np.ndarray:
+    """First-8-hex-chars sha256 key per text — THE deterministic sampling
+    key, shared by sample_hash and stratified_sample (mirror:
+    hash_prefix_sql_expr)."""
+    import hashlib
+
+    return np.array(
+        [int(hashlib.sha256(t.encode()).hexdigest()[:8], 16) for t in texts],
+        dtype=np.int64,
+    )
+
+
+def hash_prefix_sql_expr(col: str) -> str:
+    return f"CAST(concat('0x', substr(sha256({col}), 1, 8)) AS UBIGINT)"
+
+
 def sample_hash(
     sf_dir: str, num: int = SAMPLE_NUM, den: int = SAMPLE_DEN
 ) -> "ray.data.Dataset":
@@ -469,14 +485,9 @@ def sample_hash(
     and repartitionings — properties ds.random_sample() cannot give.
     (Sampling-role analog of the reference's
     facet/.../RandomSamplingFacetsCollector.java, content-keyed.)"""
-    import hashlib
-
     def pick(batch: pa.Table) -> pa.Table:
-        keep = [
-            int(hashlib.sha256(t.encode()).hexdigest()[:8], 16) % den < num
-            for t in batch.column("text").to_pylist()
-        ]
-        return batch.filter(pa.array(keep)).select(["doc_id"])
+        h = _hash_prefix(batch.column("text").to_pylist())
+        return batch.filter(pa.array(h % den < num)).select(["doc_id"])
 
     return _docs(sf_dir).map_batches(pick, batch_format="pyarrow", batch_size=4096)
 
@@ -484,7 +495,7 @@ def sample_hash(
 def sample_hash_sql(num: int = SAMPLE_NUM, den: int = SAMPLE_DEN) -> str:
     return f"""
 SELECT doc_id FROM documents
-WHERE CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT) % {den} < {num}
+WHERE {hash_prefix_sql_expr('text')} % {den} < {num}
 """
 
 
@@ -498,18 +509,10 @@ def stratified_sample(sf_dir: str, per_key: int = STRAT_PER_KEY) -> pa.Table:
     are computed in map_batches (the same sha256-prefix key as
     sample_hash, so the sample is run/cluster-size invariant); only
     per-batch top-per_key candidates shuffle to the tiny final reduce."""
-    import hashlib
-
     def ranked(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        h = np.array(
-            [
-                int(hashlib.sha256(t.encode()).hexdigest()[:8], 16)
-                for t in batch.column("text").to_pylist()
-            ],
-            dtype=np.int64,
-        )
+        h = _hash_prefix(batch.column("text").to_pylist())
         df = pd.DataFrame(
             {
                 "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
@@ -521,10 +524,6 @@ def stratified_sample(sf_dir: str, per_key: int = STRAT_PER_KEY) -> pa.Table:
         df = df.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(per_key)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def docs_with_lang(b: pa.Table) -> pa.Table:
-        return b.select(["doc_id", "lang", "text"])
-
-    import pandas as pd
     import ray.data
 
     cand = (
@@ -553,6 +552,6 @@ def stratified_sample_sql(per_key: int = STRAT_PER_KEY) -> str:
 SELECT doc_id, lang FROM documents
 QUALIFY row_number() OVER (
   PARTITION BY lang
-  ORDER BY CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT), doc_id
+  ORDER BY {hash_prefix_sql_expr('text')}, doc_id
 ) <= {per_key}
 """

@@ -474,3 +474,25 @@ class TestMultimodalStages:
             multimodal.FrameSampler(real_codec=True)
         with pytest.raises(NotImplementedError):
             multimodal.Resizer(real_codec=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContaminationEdges:
+    def test_zero_contamination_is_schema_stable(self, tmp_path):
+        # disjoint eval/train shingles: the audit must report 0 matches,
+        # not crash on an all-empty map_groups result (review regression)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.ops import dedup
+
+        rows = []
+        for i in range(dedup.EVAL_SPLIT + 20):
+            side = "alpha beta gamma delta epsilon zeta" if i < dedup.EVAL_SPLIT \
+                else "one two three four five six seven"
+            rows.append({"doc_id": i, "text": side + f" tail{i}"})
+        pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+        out = dedup.contamination_check(str(tmp_path)).to_pandas()
+        assert len(out) == dedup.EVAL_SPLIT
+        assert (out.n_matched == 0).all()
+        assert (out.n_shingles > 0).all()
