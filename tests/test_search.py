@@ -391,3 +391,75 @@ class TestRandomQueryTreeDuel:
                 if self._oracle_bq(toks, bq)
             }
             assert got == want, (trial, bq)
+
+
+class TestRandomTreeDuelWithDeletes:
+    """The same randomized-tree contract on an index with tombstones:
+    duel + oracle doc sets + exact counts + TotalHits relation honesty."""
+
+    _h = TestRandomQueryTreeDuel()
+
+    def _rand_leaf(self, rng):
+        return self._h._rand_leaf(rng)
+
+    def _oracle_bq(self, toks, bq):
+        return self._h._oracle_bq(toks, bq)
+
+    @pytest.fixture(scope="class")
+    def del_ix(self, tmp_path_factory, ray_session):
+        import glob as _g
+
+        from lucene_ray.index.writer import delete_docs
+
+        corpus = str(tmp_path_factory.mktemp("delcorpus"))
+        write_corpus(corpus, n_docs=500, n_shards=2, seed=31, row_group_size=100)
+        d = str(tmp_path_factory.mktemp("delix"))
+        build_index(sorted(_g.glob(corpus + "/*.parquet")), d, target_docs=100)
+        delete_docs(d, list(range(0, 500, 11)))
+        return d
+
+    def test_random_trees_with_deletes(self, del_ix):
+        import random
+
+        import pyarrow.parquet as pq
+
+        from lucene_ray.search.query import BooleanQuery
+        from lucene_ray.search.reader import IndexReader
+
+        ex = IndexSearcher(del_ix, pruned=False)
+        pr = IndexSearcher(del_ix, pruned=True)
+        an = get_analyzer(ex.reader.manifest.analyzer)
+        docs = []
+        for e in IndexReader(del_ix).segments:
+            t = pq.ParquetFile(e.input["file"]).read_row_groups(
+                list(range(e.input["rg_start"], e.input["rg_end"])),
+                columns=["content"],
+            )
+            docs.extend(an.tokenize_text(x) for x in t.column("content").to_pylist())
+        deleted = set(range(0, 500, 11))
+        rng = random.Random(4242)
+        for trial in range(40):
+            bq = BooleanQuery()
+            for _ in range(rng.randint(1, 3)):
+                bq.should.append(self._rand_leaf(rng))
+            if rng.random() < 0.4:
+                bq.must.append(self._rand_leaf(rng))
+            if rng.random() < 0.3:
+                bq.must_not.append(self._rand_leaf(rng))
+            try:
+                a = ex.search(bq, 10_000_000)
+            except ValueError:
+                continue
+            b = pr.search(bq, 10)
+            assert a.docids[:10].tolist() == b.docids.tolist(), (trial, bq)
+            np.testing.assert_allclose(a.scores[:10], b.scores, rtol=1e-6)
+            want = {
+                i for i, toks in enumerate(docs)
+                if self._oracle_bq(toks, bq) and i not in deleted
+            }
+            assert set(a.docids.tolist()) == want, (trial, bq)
+            assert ex.count(bq) == len(want), (trial, bq)
+            if b.relation == "eq":
+                assert b.total_hits == a.total_hits, (trial, bq)
+            else:
+                assert b.total_hits <= a.total_hits, (trial, bq)
