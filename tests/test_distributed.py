@@ -97,3 +97,38 @@ def test_distributed_count_matches_local(ix, ray_session):
     local = IndexSearcher(ix)
     for q in QUERIES:
         assert dist.count(q) == local.count(q), q
+
+
+def test_distributed_random_trees_bit_identical(ix, ray_session):
+    """Random query trees over every scoreable type: distributed exhaustive
+    == local exhaustive BIT-for-bit (docids, scores, totals), distributed
+    pruned matches to 1e-6, counts agree."""
+    import random
+
+    from lucene_ray.search.query import BooleanQuery
+    from test_search import TestRandomQueryTreeDuel as T
+
+    h = T()
+    local = IndexSearcher(ix, pruned=False)
+    dist = DistributedSearcher(ix, n_shards=3, pruned=False)
+    rng = random.Random(123)
+    ran = 0
+    for _ in range(20):
+        bq = BooleanQuery()
+        for _k in range(rng.randint(1, 3)):
+            bq.should.append(h._rand_leaf(rng))
+        if rng.random() < 0.4:
+            bq.must.append(h._rand_leaf(rng))
+        if rng.random() < 0.3:
+            bq.must_not.append(h._rand_leaf(rng))
+        try:
+            a = local.search(bq, 10)
+        except ValueError:
+            continue
+        ran += 1
+        b = dist.search(bq, 10)
+        assert a.docids.tolist() == b.docids.tolist(), bq
+        np.testing.assert_allclose(a.scores, b.scores, rtol=0, atol=0)
+        assert a.total_hits == b.total_hits
+        assert dist.count(bq) == local.count(bq), bq
+    assert ran >= 10
