@@ -283,7 +283,13 @@ def rollback(index_dir: str, generation: int) -> "Manifest":
     index/IndexWriter.java:236). The restored state is republished as a
     NEW generation (monotonic — retained history is append-only), with the
     old commit's segment set, livedocs generations and DV generations.
-    Segment files are never deleted, so any listed commit is restorable."""
+    Segment files are never deleted, so any listed commit is restorable.
+
+    Docid-space note: global docids are PER-COMMIT coordinates. After a
+    rollback, subsequent adds reuse the docid range of the abandoned
+    timeline (the restored commit's doc-space end), exactly as the
+    reference's ephemeral doc coordinates do across commits; retained
+    snapshots of the abandoned timeline keep reading their own segments."""
     from lucene_ray.index.manifest import list_commits
 
     old = read_manifest(index_dir, generation=generation)
