@@ -496,3 +496,42 @@ class TestContaminationEdges:
         assert len(out) == dedup.EVAL_SPLIT
         assert (out.n_matched == 0).all()
         assert (out.n_shingles > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnnBuildAtomicity:
+    def test_stale_partial_build_is_discarded(self, tmp_path):
+        # a crashed build leaves garbage in <ix>.build; the rerun must not
+        # mix it in (atomic tmp-dir + rename — review regression)
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.ops import knn
+
+        ix = str(tmp_path / "ivf")
+        stale = ix + ".build"
+        os.makedirs(os.path.join(stale, "ivf_list=0"), exist_ok=True)
+        pq.write_table(
+            pa.table({"vec_id": pa.array([999999], type=pa.int64()),
+                      "embedding": pa.array([[0.0] * 8],
+                                            type=pa.list_(pa.float32()))}),
+            os.path.join(stale, "ivf_list=0", "garbage.parquet"),
+        )
+        out = knn.build_ivf_index(SF, index_dir=ix)
+        assert out == ix
+        assert not os.path.exists(stale)
+        import glob as _g
+
+        ids = set()
+        for f in _g.glob(os.path.join(ix, "ivf_list=*", "*.parquet")):
+            ids.update(pq.read_table(f, columns=["vec_id"]).column("vec_id").to_pylist())
+        assert 999999 not in ids
+        assert os.path.exists(os.path.join(ix, "_IVF_DONE"))
+        # idempotent reuse: second call returns without rebuilding
+        import time
+
+        m0 = os.path.getmtime(os.path.join(ix, "_IVF_DONE"))
+        assert knn.build_ivf_index(SF, index_dir=ix) == ix
+        assert os.path.getmtime(os.path.join(ix, "_IVF_DONE")) == m0
