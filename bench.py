@@ -150,6 +150,9 @@ def run_bench() -> dict:
         "knn_bruteforce": lambda: knn.knn_bruteforce(SF_DIR),
         "q1_pricing": lambda: relational.q1_pricing(SF_DIR).materialize(),
         "events_tumbling": lambda: relational.events_tumbling(SF_DIR).materialize(),
+        # round-2 additions (timings only; the headline metric is unchanged)
+        "contamination_check": lambda: dedup.contamination_check(SF_DIR),
+        "events_hopping": lambda: relational.events_hopping(SF_DIR).materialize(),
     }
     for name, fn in ops.items():
         t0 = time.perf_counter()
