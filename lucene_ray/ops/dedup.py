@@ -296,8 +296,9 @@ def _pairs_in_key_groups(
 
 def _coarse_bucket(keys: np.ndarray, n_buckets: int = 64) -> np.ndarray:
     """Coarse shuffle bucket of an int key (Fibonacci-hash top bits). ONE
-    definition shared by every bucketed-groupby op in this module — >>58
-    already yields 0..63 for the default bucket count."""
+    definition shared by every bucketed-groupby op in this module."""
+    if n_buckets > 64:
+        raise ValueError("n_buckets > 64 needs a wider hash shift")
     b = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
     return (b.astype(np.int64) % n_buckets).astype(np.int32)
 
@@ -802,8 +803,9 @@ def contamination_check(sf_dir: str) -> pa.Table:
     (doc_id >= EVAL_SPLIT) — the benchmark-decontamination audit (n-gram
     overlap between eval sets and the training corpus), re-expressed as a
     bucketed hash semi-join: shingles shuffle by coarse hash bucket, the
-    train/eval side tag travels with the rows, and no shingle set ever
-    sits on the driver. Output is O(eval docs) — tiny by construction."""
+    train/eval side tag travels with the rows; the TRAIN side (the big
+    one) never sits on the driver. The eval split's own shingles ARE
+    driver-side (bounded: EVAL_SPLIT docs). Output is O(eval docs)."""
     import pandas as pd
 
     sh = _docs(sf_dir).map_batches(
@@ -813,7 +815,8 @@ def contamination_check(sf_dir: str) -> pa.Table:
     def tag(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
         k = batch.column("shingle").to_numpy(zero_copy_only=False)
-        return batch.append_column(
+        # n_doc is dead weight past this point — drop it before the shuffle
+        return batch.select(["doc_id", "shingle"]).append_column(
             "is_eval", pa.array((d < EVAL_SPLIT).astype(np.int8))
         ).append_column("bkt", pa.array(_coarse_bucket(k)))
 
@@ -849,8 +852,6 @@ def contamination_check(sf_dir: str) -> pa.Table:
         filters=[("doc_id", "<", EVAL_SPLIT)],
     )
     ev_ids, _ev_sh = _shingle_hashes(eval_docs)
-    import pandas as pd
-
     uniq, counts = np.unique(ev_ids, return_counts=True)
     sizes = pd.DataFrame({"doc_id": uniq, "n_shingles": counts})
     if hits.empty:
