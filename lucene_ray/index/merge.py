@@ -22,10 +22,12 @@ docid_base and locals shift by input offsets; global ids never change.
 With an append-only corpus delCount == 0, so the delete terms vanish.
 
 Execution: merge specs -> ray.data.from_items -> map_batches(tasks); each
-task streams the input postings tables term-by-term (k-way by sorted term),
-decodes, rebases docids, re-encodes blocks and impacts EXACTLY as at build
-(SegmentMerger re-writes postings so stats are never stale,
-index/SegmentMerger.java:109-165).
+task streams the input postings tables term-by-term (k-way by sorted term
+in bounded chunks — `_iter_term_chunks`), decodes ONLY the current chunk,
+rebases docids, re-encodes blocks and impacts EXACTLY as at build, and
+appends the chunk as a Parquet row group. Peak decoded state is
+O(chunk_pairs), independent of segment size — the SegmentMerger
+mergeTerms streaming analog (index/SegmentMerger.java:109-165).
 """
 
 from __future__ import annotations
@@ -38,7 +40,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from lucene_ray.codec.forutil import decode_stream
 from lucene_ray.config import (
     MERGE_FLOOR_SEGMENT_BYTES,
     MERGE_MAX_MERGE_AT_ONCE,
@@ -180,8 +181,199 @@ class TieredMergePolicy:
             specs.append([e.name for e in best])
 
 
-def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
-    """Execute one merge: k-way term merge with docid rebase; idempotent."""
+class _PostingsStream:
+    """Sequential cursor over one segment's term-sorted postings.parquet
+    with a bounded row buffer — the per-reader terms enum a SegmentMerger
+    k-way merge advances (index/SegmentMerger.java mergeTerms cursors).
+    Terms are unique per segment table (one row per term), so every
+    buffered row with term < the buffer's last term is COMPLETE: it cannot
+    recur in a later batch."""
+
+    def __init__(self, path: str, batch_rows: int):
+        self._pf = pq.ParquetFile(path)
+        self._it = self._pf.iter_batches(batch_size=batch_rows)
+        from lucene_ray.codec.postings_codec import POSTINGS_SCHEMA
+
+        self._buf: pa.Table = POSTINGS_SCHEMA.empty_table()
+        self._terms = np.array([], dtype=object)
+        self._df = np.array([], dtype=np.int64)
+        self.exhausted = False
+        self.refill()
+
+    def refill(self) -> bool:
+        """Pull one more batch into the buffer; False once at EOF."""
+        if self.exhausted:
+            return False
+        try:
+            b = next(self._it)
+        except StopIteration:
+            self.exhausted = True
+            return False
+        t = pa.Table.from_batches([b])
+        self._buf = (
+            pa.concat_tables([self._buf, t]) if self._buf.num_rows else t
+        )
+        new_terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        new_df = t.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        self._terms = np.concatenate([self._terms, new_terms])
+        self._df = np.concatenate([self._df, new_df])
+        return True
+
+    @property
+    def last_term(self):
+        return self._terms[-1] if len(self._terms) else None
+
+    def num_buffered(self) -> int:
+        return len(self._terms)
+
+    def _cut(self, term) -> int:
+        if term is None:
+            return len(self._terms)
+        return int(np.searchsorted(self._terms, term, side="left"))
+
+    def peek_below(self, term) -> tuple[np.ndarray, np.ndarray]:
+        """(terms, df) of buffered rows with term < ``term`` (all if None)."""
+        c = self._cut(term)
+        return self._terms[:c], self._df[:c]
+
+    def split_below(self, term) -> pa.Table:
+        """Remove and return buffered rows with term < ``term``."""
+        c = self._cut(term)
+        out = self._buf.slice(0, c)
+        self._buf = self._buf.slice(c)
+        self._terms = self._terms[c:]
+        self._df = self._df[c:]
+        return out
+
+
+def _iter_term_chunks(
+    paths: list[str], batch_rows: int = 65536, max_chunk_pairs: int = 4_000_000
+):
+    """Yield aligned per-input postings-table slices covering disjoint,
+    ascending term ranges; every term appears in exactly one chunk (whole —
+    a term's row never splits). Chunk size is capped by total df so the
+    decoded intermediate stays O(max_chunk_pairs) regardless of segment
+    size; a single term bigger than the cap becomes its own chunk (the
+    per-term floor — its postings must encode in one piece)."""
+    streams = [_PostingsStream(p, batch_rows) for p in paths]
+    while True:
+        active = [s for s in streams if not s.exhausted]
+        if not active and all(s.num_buffered() == 0 for s in streams):
+            return
+        boundary = min((s.last_term for s in active), default=None) if active else None
+        cand = [s.peek_below(boundary) for s in streams]
+        total_rows = sum(len(t) for t, _ in cand)
+        if total_rows == 0:
+            # every buffered row is >= boundary: advance the boundary streams
+            for s in active:
+                if s.last_term == boundary:
+                    s.refill()  # unique sorted terms => last_term grows or EOF
+            continue
+        all_t = np.concatenate([t for t, _ in cand])
+        all_d = np.concatenate([d for _, d in cand])
+        o = np.argsort(all_t, kind="stable")
+        cum = np.cumsum(all_d[o])
+        if cum[-1] > max_chunk_pairs:
+            k = int(np.searchsorted(cum, max_chunk_pairs, side="left"))
+            cutoff = all_t[o][min(k, len(o) - 1)]
+            first = all_t[o][0]
+            if cutoff == first:  # always advance past >= one distinct term
+                later = all_t[o][all_t[o] > first]
+                cutoff = later[0] if len(later) else boundary
+            yield [s.split_below(cutoff) for s in streams]
+            continue
+        yield [s.split_below(boundary) for s in streams]
+
+
+def _merge_chunk(
+    parts: list[pa.Table],
+    offsets: list[int],
+    norms: np.ndarray,
+    live_merged: np.ndarray | None,
+    with_positions: bool,
+) -> tuple[pa.Table, int, int] | None:
+    """Decode + k-way combine one term-range chunk; returns (encoded table,
+    kept pair count, content-only ttf) or None if deletes emptied it."""
+    from lucene_ray.codec.postings_codec import (
+        decode_segment_pairs,
+        postings_table_from_pairs,
+    )
+
+    decoded = []
+    for i, t in enumerate(parts):
+        if t.num_rows:
+            decoded.append((i, *decode_segment_pairs(t, with_positions)))
+    if not decoded:
+        return None
+    all_terms = np.unique(np.concatenate([d[1] for d in decoded]))
+    pair_rank_parts, pair_doc_parts, tf_parts, pos_parts = [], [], [], []
+    for i, terms_i, df_i, doc_i, tf_i, pos_i in decoded:
+        ranks_i = np.searchsorted(all_terms, terms_i)
+        pair_rank_parts.append(np.repeat(ranks_i, df_i))
+        pair_doc_parts.append(doc_i + offsets[i])
+        tf_parts.append(tf_i)
+        # per-doc position deltas are self-contained (first delta is the
+        # absolute position) -> the merged stream is a plain gather
+        pos_parts.append(pos_i)
+    pair_rank = np.concatenate(pair_rank_parts)
+    pair_doc = np.concatenate(pair_doc_parts)
+    tfs = np.concatenate(tf_parts)
+    pos_concat = np.concatenate(pos_parts).astype(np.uint32)
+
+    # apply deletes: drop tombstoned docs' postings (the merge-time reclaim,
+    # index/SegmentMerger.java liveDocs path); docid SPACE is preserved
+    if live_merged is not None:
+        keep = live_merged[pair_doc]
+        if not keep.all():
+            if with_positions:
+                pos_concat = pos_concat[np.repeat(keep, tfs)]
+            pair_rank, pair_doc, tfs = pair_rank[keep], pair_doc[keep], tfs[keep]
+            if len(pair_rank) == 0:
+                return None
+
+    # final pair order: (term rank, docid) — inputs were concatenated in
+    # docid_base order, so a stable sort by rank suffices
+    order = np.argsort(pair_rank, kind="stable")
+    pair_rank_s = pair_rank[order]
+    pair_doc_s = pair_doc[order]
+    tfs_s = tfs[order]
+    if with_positions:
+        # reorder the positions stream pair-wise to match the pair order
+        seg_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        lens_o = tfs[order]
+        starts_o = seg_starts[order]
+        within = np.arange(int(lens_o.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens_o)[:-1])), lens_o
+        )
+        pos_sorted = pos_concat[np.repeat(starts_o, lens_o) + within]
+    else:
+        pos_sorted = np.array([], dtype=np.uint32)
+
+    table = postings_table_from_pairs(
+        all_terms, pair_rank_s, pair_doc_s, tfs_s, pos_sorted, norms,
+        with_positions=with_positions,
+    )
+    # content-only ttf (field "f:v" postings excluded — avgdl invariant);
+    # vectorized via Arrow, never a python loop over the vocab
+    import pyarrow.compute as pc
+
+    is_field = pc.match_substring(table.column("term"), ":").to_numpy(
+        zero_copy_only=False
+    )
+    ttf_col = table.column("ttf").to_numpy(zero_copy_only=False)
+    content_ttf = int(ttf_col[~is_field].sum())
+    return table, len(pair_rank_s), content_ttf
+
+
+def merge_segments(
+    index_dir: str,
+    names: list[str],
+    batch_rows: int = 65536,
+    max_chunk_pairs: int = 4_000_000,
+) -> SegmentEntry:
+    """Execute one merge: streaming k-way term merge with docid rebase;
+    idempotent. Peak memory is O(max_chunk_pairs) decoded postings plus the
+    doc-scale norms/livedocs arrays — never whole-segment decoded state."""
     from lucene_ray.index.manifest import read_entry
 
     t0 = time.perf_counter()
@@ -210,103 +402,69 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
     if existing is not None:
         return existing
 
-    tables = []
-    offsets = []
-    for e in entries:
-        tables.append(
-            pq.read_table(os.path.join(segment_dir(index_dir, e.name), "postings.parquet"))
-        )
-        offsets.append(e.docid_base - new_base)
+    seg_dirs = [segment_dir(index_dir, e.name) for e in entries]
+    offsets = [e.docid_base - new_base for e in entries]
 
-    # concatenated norms for impact recomputation
+    # concatenated norms for impact recomputation (doc-scale, bounded)
     norm_parts, len_parts = [], []
-    for e in entries:
-        nt = pq.read_table(os.path.join(segment_dir(index_dir, e.name), "norms.parquet"))
+    for sd in seg_dirs:
+        nt = pq.read_table(os.path.join(sd, "norms.parquet"))
         norm_parts.append(nt.column("norm").to_numpy(zero_copy_only=False))
         len_parts.append(nt.column("doc_len").to_numpy(zero_copy_only=False))
     norms = np.concatenate(norm_parts).astype(np.uint8)
     doc_lens = np.concatenate(len_parts)
 
-    # ---- decode every input WHOLE-SEGMENT (batched block decoder), then
-    # re-encode through the SAME vectorized path as the flush --------------
-    from lucene_ray.codec.postings_codec import decode_segment_pairs
-
-    with_positions = any(
-        len(t.column("pos_blob")[0].as_py() or b"") > 0 for t in tables if t.num_rows
-    )
-    seg_decoded = [decode_segment_pairs(t, with_positions) for t in tables]
-    all_terms = np.unique(np.concatenate([d[0] for d in seg_decoded]))
-    pair_rank_parts, pair_doc_parts, tf_parts, pos_parts = [], [], [], []
-    for i, (terms_i, df_i, doc_i, tf_i, pos_i) in enumerate(seg_decoded):
-        ranks_i = np.searchsorted(all_terms, terms_i)
-        pair_rank_parts.append(np.repeat(ranks_i, df_i))
-        pair_doc_parts.append(doc_i + offsets[i])
-        tf_parts.append(tf_i)
-        # per-doc position deltas are self-contained (first delta is the
-        # absolute position) -> the merged stream is a plain gather
-        pos_parts.append(pos_i)
-    pair_rank = np.concatenate(pair_rank_parts)
-    pair_doc = np.concatenate(pair_doc_parts)
-    tfs = np.concatenate(tf_parts)
-    pos_concat = np.concatenate(pos_parts).astype(np.uint32)
-
-    # ---- apply deletes: drop tombstoned docs' postings (the merge-time
-    # reclaim, index/SegmentMerger.java liveDocs path). Docid SPACE is
-    # preserved (stable global ids) — the bitmap is carried forward so
-    # MatchAllDocs / norms stay consistent; only postings are reclaimed.
+    # live-docs bitmap (doc-scale); docid SPACE is preserved (stable global
+    # ids) — the bitmap is carried forward so MatchAllDocs / norms stay
+    # consistent; only tombstoned docs' postings are reclaimed.
     any_deletes = any(getattr(e, "del_gen", 0) > 0 for e in entries)
     live_merged = None
     if any_deletes:
         from lucene_ray.index.writer import _load_livedocs
 
         live_merged = np.concatenate(
-            [_load_livedocs(segment_dir(index_dir, e.name), e) for e in entries]
+            [_load_livedocs(sd, e) for sd, e in zip(seg_dirs, entries)]
         )
-        keep = live_merged[pair_doc]
-        if not keep.all():
-            if with_positions:
-                pos_concat = pos_concat[np.repeat(keep, tfs)]
-            pair_rank, pair_doc, tfs = pair_rank[keep], pair_doc[keep], tfs[keep]
-            # prune terms whose postings vanished entirely
-            present = np.unique(pair_rank)
-            if len(present) < len(all_terms):
-                all_terms = all_terms[present]
-                pair_rank = np.searchsorted(present, pair_rank)
 
-    # final pair order: (term rank, docid) — inputs were concatenated in
-    # docid_base order, so a stable sort by rank suffices
-    order = np.argsort(pair_rank, kind="stable")
-    pair_rank_s = pair_rank[order]
-    pair_doc_s = pair_doc[order]
-    tfs_s = tfs[order]
-    if with_positions:
-        # reorder the positions stream segment-wise to match the pair order
-        seg_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-        lens_o = tfs[order]
-        starts_o = seg_starts[order]
-        within = np.arange(int(lens_o.sum())) - np.repeat(
-            np.concatenate(([0], np.cumsum(lens_o)[:-1])), lens_o
-        )
-        pos_sorted = pos_concat[np.repeat(starts_o, lens_o) + within]
-    else:
-        pos_sorted = np.array([], dtype=np.uint32)
+    # positions on/off is uniform across a segment: probe the footer-level
+    # schema stats cheaply by decoding nothing — any non-empty pos_blob in
+    # the first buffered batch means the index carries positions
+    post_paths = [os.path.join(sd, "postings.parquet") for sd in seg_dirs]
+    with_positions = False
+    for p in post_paths:
+        pf = pq.ParquetFile(p)
+        if pf.metadata.num_rows == 0:
+            continue
+        first = next(pf.iter_batches(batch_size=1, columns=["pos_blob"]))
+        with_positions = len(first.column("pos_blob")[0].as_py() or b"") > 0
+        break
 
-    from lucene_ray.codec.postings_codec import postings_table_from_pairs
+    # ---- streaming k-way merge: decode/re-encode one term-range chunk at
+    # a time, appending row groups; sum_ttf is recomputed from the KEPT
+    # pairs, content-only — with ``reclaimed`` below this makes post-merge
+    # stats identical to a fresh index of the live docs (reference merge
+    # semantics: df/N/ttf drop together when deletes are reclaimed) -------
+    from lucene_ray.codec.postings_codec import POSTINGS_SCHEMA
 
-    merged = postings_table_from_pairs(
-        all_terms, pair_rank_s, pair_doc_s, tfs_s, pos_sorted, norms,
-        with_positions=with_positions,
-    )
-    # sum_ttf is recomputed from the KEPT pairs, content-only (field "f:v"
-    # postings excluded) — together with ``reclaimed`` below this makes
-    # post-merge stats identical to a fresh index of the live docs
-    # (reference merge semantics: df/N/ttf drop together when deletes are
-    # reclaimed; before a merge they all still include tombstones)
-    is_field_term = np.array([":" in t for t in all_terms], dtype=bool)
-    sum_ttf = int(tfs[~is_field_term[pair_rank]].sum())
     d = segment_dir(index_dir, name)
     os.makedirs(d, exist_ok=True)
-    pq.write_table(merged, os.path.join(d, "postings.parquet"))
+    sum_ttf = 0
+    unique_terms = 0
+    kept_postings = 0
+    writer = pq.ParquetWriter(os.path.join(d, "postings.parquet"), POSTINGS_SCHEMA)
+    try:
+        for parts in _iter_term_chunks(post_paths, batch_rows, max_chunk_pairs):
+            out = _merge_chunk(parts, offsets, norms, live_merged, with_positions)
+            if out is None:
+                continue
+            chunk_table, n_pairs, content_ttf = out
+            writer.write_table(chunk_table)
+            sum_ttf += content_ttf
+            unique_terms += chunk_table.num_rows
+            kept_postings += n_pairs
+    finally:
+        writer.close()
+
     pq.write_table(
         pa.table(
             {
@@ -316,13 +474,22 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
         ),
         os.path.join(d, "norms.parquet"),
     )
-    stored = pa.concat_tables(
-        [
-            pq.read_table(os.path.join(segment_dir(index_dir, e.name), "stored.parquet"))
-            for e in entries
-        ]
-    )
-    pq.write_table(stored, os.path.join(d, "stored.parquet"))
+    # stored fields stream batch-by-batch (content rows are wide; never
+    # materialize all inputs at once)
+    stored_writer = None
+    try:
+        for sd in seg_dirs:
+            spf = pq.ParquetFile(os.path.join(sd, "stored.parquet"))
+            for b in spf.iter_batches(batch_size=16384):
+                t = pa.Table.from_batches([b])
+                if stored_writer is None:
+                    stored_writer = pq.ParquetWriter(
+                        os.path.join(d, "stored.parquet"), t.schema
+                    )
+                stored_writer.write_table(t)
+    finally:
+        if stored_writer is not None:
+            stored_writer.close()
 
     # doc values concat in doc order; points re-sorted with docid offsets
     # (deleted docs' point rows are dropped like their postings)
@@ -406,7 +573,7 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
         docid_base=new_base,
         doc_count=doc_count,
         sum_ttf=sum_ttf,
-        unique_terms=merged.num_rows,
+        unique_terms=unique_terms,
         bytes=seg_bytes,
         del_gen=del_gen,
         del_count=del_count,
@@ -415,7 +582,7 @@ def merge_segments(index_dir: str, names: list[str]) -> SegmentEntry:
         metrics={
             "build_secs": round(secs, 4),
             "docs_per_sec": round(doc_count / secs, 1),
-            "postings": int(pa.compute.sum(merged.column("df")).as_py() or 0),
+            "postings": kept_postings,
             "merge_inputs": len(entries),
         },
     )
