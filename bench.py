@@ -79,9 +79,22 @@ def run_bench() -> dict:
     timings["index_build"] = round(t_build, 3)
     timings["index_build_trials"] = [round(t, 3) for t in build_trials]
 
-    t0 = time.perf_counter()
-    manifest = maybe_merge(index_dir, TieredMergePolicy())
-    timings["merge"] = round(time.perf_counter() - t0, 3)
+    # ---- merge: >= 2 trials from the SAME pre-merge snapshot (restore cost
+    # excluded from the timing) so a slow-VM state can't masquerade as a
+    # merge regression (BASELINE.md min-of-interleaved-trials protocol) -----
+    snap_dir = index_dir + "_premerge"
+    shutil.rmtree(snap_dir, ignore_errors=True)
+    shutil.copytree(index_dir, snap_dir)
+    merge_trials = []
+    for _trial in range(2):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.copytree(snap_dir, index_dir)
+        t0 = time.perf_counter()
+        manifest = maybe_merge(index_dir, TieredMergePolicy())
+        merge_trials.append(time.perf_counter() - t0)
+    shutil.rmtree(snap_dir, ignore_errors=True)
+    timings["merge"] = round(min(merge_trials), 3)
+    timings["merge_trials"] = [round(t, 3) for t in merge_trials]
 
     postings = sum(e.metrics.get("postings", 0) for e in manifest.live_segments)
     seg_bytes = sum(e.bytes for e in manifest.live_segments)
@@ -124,8 +137,8 @@ def run_bench() -> dict:
         "p99_ms": round(lat_ms[int(len(lat_ms) * 0.99) - 1], 2),
     }
 
-    # ---- query throughput through the scorer actor pool ------------------
-    t0 = time.perf_counter()
+    # ---- query throughput through the scorer actor pool (2 trials, min;
+    # each trial pays actor startup, as the round-1/2 numbers did) ---------
     qds = ray.data.from_items(
         [
             {"qid": i * 100 + qid, "query": q, "k": k}
@@ -134,11 +147,16 @@ def run_bench() -> dict:
         ]
     )
     n_q = qds.count()
-    search_queries_dataset(
-        qds, index_dir, concurrency=max(2, NUM_CPUS // 4)
-    ).materialize()
-    t_pool = time.perf_counter() - t0
+    pool_trials = []
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        search_queries_dataset(
+            qds, index_dir, concurrency=max(2, NUM_CPUS // 4)
+        ).materialize()
+        pool_trials.append(time.perf_counter() - t0)
+    t_pool = min(pool_trials)
     timings["query_pool"] = round(t_pool, 3)
+    timings["query_pool_trials"] = [round(t, 3) for t in pool_trials]
     query_stats["pool_queries_per_sec"] = round(n_q / t_pool, 1)
 
     # ---- training-data ops over the sf tables ----------------------------
@@ -154,10 +172,17 @@ def run_bench() -> dict:
         "contamination_check": lambda: dedup.contamination_check(SF_DIR),
         "events_hopping": lambda: relational.events_hopping(SF_DIR).materialize(),
     }
-    for name, fn in ops.items():
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # interleaved trials (trial loop OUTER): min-per-op is robust to the
+    # VM's minutes-scale fast/slow states
+    op_trials: dict[str, list[float]] = {name: [] for name in ops}
+    for _trial in range(2):
+        for name, fn in ops.items():
+            t0 = time.perf_counter()
+            fn()
+            op_trials[name].append(time.perf_counter() - t0)
+    for name, ts in op_trials.items():
+        timings[name] = round(min(ts), 3)
+        timings[name + "_trials"] = [round(t, 3) for t in ts]
 
     headline = timings["index_build"] + timings["merge"] + timings["query_pool"]
     result = {
