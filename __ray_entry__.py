@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_engine": bm25docs.phrase_engine,
         "multiphrase_engine": bm25docs.multiphrase_engine,
         "multiterm_engine": bm25docs.multiterm_engine,
+        "parser_engine": bm25docs.parser_engine,
         "update_engine": bm25docs.update_engine,
         "dvupdate_engine": bm25docs.dvupdate_engine,
         "field_engine": bm25docs.field_engine,
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_engine": bm25docs.phrase_engine_sql(),
         "multiphrase_engine": bm25docs.multiphrase_engine_sql(),
         "multiterm_engine": bm25docs.multiterm_engine_sql(),
+        "parser_engine": bm25docs.parser_engine_sql(),
         "update_engine": bm25docs.update_engine_sql(),
         "dvupdate_engine": bm25docs.dvupdate_engine_sql(),
         "field_engine": bm25docs.field_engine_sql(),

@@ -796,6 +796,88 @@ WITH tok AS (
 """
 
 
+PARSER_QUERIES: list[tuple[int, str, str]] = [
+    # (qid, classic-syntax query STRING, DuckDB doc-set predicate) —
+    # exercises the recursive grammar (QueryParser.java:84): arbitrary
+    # nesting, [a TO b] / {a TO b} ranges (numeric points, keyword, and
+    # analyzed default field), field:(...) groups, NOT inside groups,
+    # negated groups, AND promotion across group boundaries.
+    (0, "((merge AND sort) OR (window AND batch))",
+     "SELECT doc_id FROM (SELECT doc_id FROM has_merge INTERSECT "
+     "SELECT doc_id FROM has_sort UNION SELECT doc_id FROM has_window "
+     "INTERSECT SELECT doc_id FROM has_batch)"),
+    (1, "merge AND (sort OR NOT window)",
+     "SELECT doc_id FROM has_merge INTERSECT "
+     "(SELECT doc_id FROM has_sort EXCEPT SELECT doc_id FROM has_window)"),
+    (2, "(merge OR (sort AND (window OR batch)))",
+     "SELECT doc_id FROM has_merge UNION (SELECT doc_id FROM has_sort "
+     "INTERSECT (SELECT doc_id FROM has_window UNION SELECT doc_id FROM has_batch))"),
+    (3, "n_chars:[100 TO 300]",
+     "SELECT doc_id FROM documents WHERE length(text) BETWEEN 100 AND 300"),
+    (4, "n_chars:{100 TO 300}",
+     "SELECT doc_id FROM documents WHERE length(text) > 100 AND length(text) < 300"),
+    (5, "n_chars:[400 TO *]",
+     "SELECT doc_id FROM documents WHERE length(text) >= 400"),
+    (6, "lang:[en TO fr]",
+     "SELECT doc_id FROM documents WHERE lang >= 'en' AND lang <= 'fr'"),
+    (7, "lang:(en es) AND merge",
+     "SELECT doc_id FROM documents WHERE lang IN ('en', 'es') "
+     "INTERSECT SELECT doc_id FROM has_merge"),
+    (8, "[q TO t]",
+     "SELECT DISTINCT doc_id FROM tok WHERE term >= 'q' AND term <= 't'"),
+    (9, "-(merge window) batch",
+     "SELECT doc_id FROM has_batch EXCEPT (SELECT doc_id FROM has_merge "
+     "UNION SELECT doc_id FROM has_window)"),
+    (10, "repo:[src1 TO src2}",
+     "SELECT doc_id FROM documents WHERE source >= 'src1' AND source < 'src2'"),
+    (11, 'lang:"de"',
+     "SELECT doc_id FROM documents WHERE lang = 'de'"),
+]
+
+
+def parser_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): the recursive classic-syntax query parser end-to-end —
+    each query is a STRING parsed by parse_query (arbitrary-depth groups,
+    range syntax, field scoping) and executed by the engine. Float-free doc
+    sets, SQL-checked exactly. (queryparser/.../classic/QueryParser.java:84
+    grammar; TermRangeQuery.java / PointRangeQuery.java range targets.)"""
+    from lucene_ray.search.engine import IndexSearcher
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q, _sql in PARSER_QUERIES:
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def parser_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    terms = ["merge", "window", "batch", "sort"]
+    ctes = ",\n".join(
+        f"has_{t} AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{t}')"
+        for t in terms
+    )
+    parts = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS qid, doc_id AS docid FROM ({sql})"
+        for qid, _q, sql in PARSER_QUERIES
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+{ctes}
+{parts}
+"""
+
+
 SPAN_QUERIES: list[tuple[int, tuple[str, ...], int, bool]] = [
     # (qid, terms, slop, ordered)
     (0, ("merge", "sort"), 0, True),       # strict "merge sort" adjacency

@@ -274,26 +274,42 @@ class NestedBooleanQuery:
         )
 
 
-_TOKEN_RE = re.compile(
-    r'"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?'      # "phrase"~slop^boost
-    r"|([+-]?)\(([^()]*)\)(?:\^(\d+(?:\.\d+)?))?"       # +(group of terms)^boost
-    r"|(\S+)"                                            # bare word
+_NUM = r"\d+(?:\.\d+)?"
+_FPFX = r"(?:[A-Za-z_][A-Za-z0-9_]*:)"
+_LEX_RE = re.compile(
+    r"(?P<space>\s+)"
+    r"|(?P<lparen>(?P<lmod>[+-]?)(?P<lfield>" + _FPFX + r")?\()"
+    r"|(?P<rparen>\)(?:\^(?P<gboost>" + _NUM + r"))?)"
+    r"|(?P<phrase>(?P<pmod>[+-]?)(?P<pfield>" + _FPFX + r')?"(?P<pbody>[^"]*)"'
+    r"(?:~(?P<pslop>\d+))?(?:\^(?P<pboost>" + _NUM + r"))?)"
+    r"|(?P<range>(?P<rmod>[+-]?)(?P<rfield>" + _FPFX + r")?(?P<ropen>[\[{])"
+    r"(?P<rlo>[^\s\]}]+)\s+TO\s+(?P<rhi>[^\s\]}]+)(?P<rclose>[\]}])"
+    r"(?:\^(?P<rboost>" + _NUM + r"))?)"
+    r"|(?P<word>[^\s()]+)"
 )
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.*?)~(\d?)$")
 _FIELD_RE = re.compile(r"^([a-zA-Z_]+):(.+)$")
 
 
-def _token_queries(w, is_phrase, boost, slop, analyzer) -> list:
+def _token_queries(w, is_phrase, boost, slop, analyzer, field=None) -> list:
     """Queries for ONE parsed token: field-scoped term/wildcard, fuzzy,
-    wildcard, phrase, or analyzed term(s). Shared by the top-level parser
-    and parenthesized groups."""
-    if not is_phrase:
-        fm = _FIELD_RE.match(w)
-        if fm:
-            from lucene_ray.config import KEYWORD_FIELDS
+    wildcard, phrase, or analyzed term(s). ``field`` is the enclosing scope
+    (``field:(...)`` / ``field:"..."``); an explicit inline prefix wins."""
+    from lucene_ray.config import KEYWORD_FIELDS
 
+    if is_phrase:
+        if field in KEYWORD_FIELDS:
+            # StringField phrase = exact unanalyzed value match
+            return [TermQuery(f"{field}:{w}", boost=boost)]
+    else:
+        fm = _FIELD_RE.match(w)
+        fld = val = None
+        if fm:
             fld, val = fm.group(1), fm.group(2)
+        elif field:
+            fld, val = field, w
+        if fld is not None:
             if fld in KEYWORD_FIELDS:
                 # StringField semantics: the value is NOT analyzed
                 # (queryparser/.../classic/QueryParser.java:84 field
@@ -318,6 +334,56 @@ def _token_queries(w, is_phrase, boost, slop, analyzer) -> list:
     if is_phrase and len(toks) > 1:
         return [PhraseQuery(tuple(toks), boost=boost, slop=slop)]
     return [TermQuery(t, boost=boost) for t in toks]
+
+
+def _range_query(field, lo_raw, hi_raw, incl_lo, incl_hi, boost, analyzer):
+    """``field:[a TO b]`` / ``{a TO b}`` (QueryParser.jj RangeQuery
+    production; TermRangeQuery.java / PointRangeQuery.java targets).
+    ``*`` = open bound. Numeric doc-value fields route to PointRangeQuery
+    (inclusive bounds, so exclusive brackets shift by one); keyword fields
+    range over their 'field:value' namespace; the default field analyzes
+    its endpoints like the classic parser does."""
+    from lucene_ray.config import KEYWORD_FIELDS, NUMERIC_DV_FIELDS
+
+    lo = None if lo_raw == "*" else lo_raw
+    hi = None if hi_raw == "*" else hi_raw
+    if field in NUMERIC_DV_FIELDS:
+        def bound(x, adj):
+            if x is None:
+                return None
+            try:
+                return int(x) + adj
+            except ValueError:
+                raise ValueError(
+                    f"numeric range bound {x!r} for field {field!r}"
+                ) from None
+
+        return PointRangeQuery(
+            field,
+            bound(lo, 0 if incl_lo else 1),
+            bound(hi, 0 if incl_hi else -1),
+            boost=boost,
+        )
+    if field in KEYWORD_FIELDS:
+        # open ends stay INSIDE this field's term namespace: ';' is ':'+1,
+        # so ["f:", "f;") spans exactly the f-prefixed keyword terms
+        lower = f"{field}:{lo}" if lo is not None else f"{field}:"
+        upper = f"{field}:{hi}" if hi is not None else f"{field};"
+        return TermRangeQuery(
+            lower,
+            upper,
+            incl_lo if lo is not None else True,
+            incl_hi if hi is not None else False,
+            boost=boost,
+        )
+
+    def norm(x):
+        if x is None:
+            return None
+        toks = analyzer.tokenize_text(x)
+        return toks[0] if toks else None
+
+    return TermRangeQuery(norm(lo), norm(hi), incl_lo, incl_hi, boost=boost)
 
 
 def _scale_boost(q, factor: float):
@@ -346,68 +412,112 @@ def _group_clause(sub: BooleanQuery, boost: float):
 
 
 def parse_query(text: str, analyzer) -> BooleanQuery:
-    return _parse_tokens(_TOKEN_RE.findall(text), analyzer)
+    """Recursive-descent classic-syntax parser
+    (queryparser/.../classic/QueryParser.java:84 grammar subset):
+    arbitrary-depth ``( ... )`` groups (with ``+``/``-``/field prefixes and
+    ``^boost``), ``[a TO b]`` / ``{a TO b}`` ranges, AND/OR/&&/||/NOT with
+    the reference's addClause semantics (AND promotes the PREVIOUS clause
+    to required and requires the current one; default operator is OR).
+    Raises ValueError on unbalanced parentheses."""
+    toks = [m for m in _LEX_RE.finditer(text) if not m.group("space")]
+    bq, i = _parse_bool(toks, 0, analyzer, None, 0)
+    if i != len(toks):
+        raise ValueError("unbalanced ')' in query")
+    return bq
 
 
-def _parse_tokens(raw: list[tuple], analyzer, depth: int = 0) -> BooleanQuery:
-    bq = BooleanQuery()
-    # (occur, text, kind, boost, slop) where kind is "word"|"phrase"|"group"
-    words: list[tuple] = []
-    conj_and = False
-    pending_occur = None
-    for phrase, pslop, pboost, gsign, gbody, gboost, word in raw:
+def _parse_bool(
+    toks: list, i: int, analyzer, field_ctx: str | None, depth: int
+) -> tuple[BooleanQuery, int]:
+    """One boolean level; stops (without consuming) at ')' when depth>0."""
+    # [occur, [queries]] per SYNTACTIC clause — kept as a list so a later
+    # AND can promote the previous clause (QueryParser.addClause: AND makes
+    # the preceding clause required unless it is prohibited)
+    clauses: list[list] = []
+    conj: str | None = None
+    mod: str | None = None
+    while i < len(toks):
+        m = toks[i]
+        if m.group("rparen"):
+            if depth == 0:
+                raise ValueError("unbalanced ')' in query")
+            break  # caller consumes the ')^boost' token
+        word = m.group("word")
         if word in ("AND", "&&"):
-            conj_and = True
+            conj = "and"
+            i += 1
             continue
         if word in ("OR", "||"):
+            conj = "or"
+            i += 1
             continue
         if word == "NOT":
-            pending_occur = "must_not"
+            mod = "-"
+            i += 1
             continue
-        occur = pending_occur or "should"
-        pending_occur = None
-        if phrase:
-            words.append(
-                (occur, phrase, "phrase", float(pboost) if pboost else 1.0,
-                 int(pslop) if pslop else 0)
-            )
-            continue
-        if gbody:
-            if gsign == "+":
-                occur = "must"
-            elif gsign == "-":
-                occur = "must_not"
-            words.append(
-                (occur, gbody, "group", float(gboost) if gboost else 1.0, 0)
-            )
-            continue
-        if word.startswith("+") and len(word) > 1:
-            occur, word = "must", word[1:]
-        elif word.startswith("-") and len(word) > 1:
-            occur, word = "must_not", word[1:]
-        boost = 1.0
-        m = _BOOST_RE.match(word)
-        if m and m.group(1):
-            word, boost = m.group(1), float(m.group(2))
-        words.append((occur, word, "word", boost, 0))
 
-    for occur, w, kind, boost, slop in words:
-        eff = occur
-        if conj_and and occur == "should":
-            eff = "must"
-        if kind == "group":
-            if depth > 0:
-                raise ValueError("nested parentheses beyond one level are not supported")
-            sub = _parse_tokens(_TOKEN_RE.findall(w), analyzer, depth + 1)
+        if m.group("lparen"):
+            fld = (m.group("lfield") or "").rstrip(":") or field_ctx
+            sub, j = _parse_bool(toks, i + 1, analyzer, fld, depth + 1)
+            if j >= len(toks) or not toks[j].group("rparen"):
+                raise ValueError("missing ')' in query")
+            boost = float(toks[j].group("gboost") or 1.0)
+            i = j + 1
             clause = _group_clause(sub, boost)
-            if clause is None:
-                continue
-            getattr(bq, eff).append(clause)
-            continue
-        # eff, not occur: explicit AND promotes phrases to MUST too
-        for q in _token_queries(w, kind == "phrase", boost, slop, analyzer):
-            getattr(bq, eff).append(q)
-    return bq
+            qs = [clause] if clause is not None else []
+            cmod = m.group("lmod") or mod
+        elif m.group("phrase"):
+            fld = (m.group("pfield") or "").rstrip(":") or field_ctx
+            qs = _token_queries(
+                m.group("pbody"), True,
+                float(m.group("pboost") or 1.0),
+                int(m.group("pslop") or 0),
+                analyzer, field=fld,
+            )
+            cmod = m.group("pmod") or mod
+            i += 1
+        elif m.group("range"):
+            fld = (m.group("rfield") or "").rstrip(":") or field_ctx
+            qs = [
+                _range_query(
+                    fld, m.group("rlo"), m.group("rhi"),
+                    m.group("ropen") == "[", m.group("rclose") == "]",
+                    float(m.group("rboost") or 1.0), analyzer,
+                )
+            ]
+            cmod = m.group("rmod") or mod
+            i += 1
+        else:
+            w = word
+            cmod = mod
+            if w.startswith("+") and len(w) > 1:
+                cmod, w = "+", w[1:]
+            elif w.startswith("-") and len(w) > 1:
+                cmod, w = "-", w[1:]
+            boost = 1.0
+            bm = _BOOST_RE.match(w)
+            if bm and bm.group(1):
+                w, boost = bm.group(1), float(bm.group(2))
+            qs = _token_queries(w, False, boost, 0, analyzer, field=field_ctx)
+            i += 1
+
+        if cmod == "-":
+            occur = "must_not"
+        elif cmod == "+":
+            occur = "must"
+        else:
+            occur = "must" if conj == "and" else "should"
+        if conj == "and" and clauses and clauses[-1][0] == "should":
+            clauses[-1][0] = "must"  # addClause: AND requires the previous
+        if qs:
+            clauses.append([occur, qs])
+        conj = None
+        mod = None
+
+    bq = BooleanQuery()
+    for occur, qs in clauses:
+        getattr(bq, occur).extend(qs)
+    return bq, i
 
 
 def iter_clauses(bq: BooleanQuery):

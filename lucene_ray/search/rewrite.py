@@ -254,8 +254,25 @@ def rewrite_query(
                 continue
             if isinstance(q, DisjunctionSumQuery):
                 # parser groups may hold multi-term disjuncts; expanding in
-                # place is exact (OR of expansions == expansion of the OR)
-                subs = [e for d in q.disjuncts for e in rewrite_clause(d)]
+                # place is exact (OR of expansions == expansion of the OR).
+                # Deep-nested groups flatten to compound disjuncts — recurse
+                # so their inner multi-term clauses rewrite too.
+                def _rewrite_disjunct(d):
+                    if isinstance(d, NestedBooleanQuery):
+                        inner = rewrite_query(d.to_boolean(), vocab, field_vocab)
+                        return [inner.freeze(d.boost)]
+                    if isinstance(d, DisjunctionSumQuery):
+                        subs = [
+                            e for x in d.disjuncts for e in _rewrite_disjunct(x)
+                        ]
+                        return (
+                            [DisjunctionSumQuery(tuple(subs), boost=d.boost)]
+                            if subs
+                            else []
+                        )
+                    return rewrite_clause(d)
+
+                subs = [e for d in q.disjuncts for e in _rewrite_disjunct(d)]
                 if subs:
                     getattr(out, occur).append(
                         DisjunctionSumQuery(tuple(subs), boost=q.boost)

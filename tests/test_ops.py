@@ -254,6 +254,11 @@ class TestBM25Docs:
 
         assert_same(bm25docs.multiterm_engine(SF), con, bm25docs.multiterm_engine_sql())
 
+    def test_parser_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.parser_engine(SF), con, bm25docs.parser_engine_sql())
+
     def test_mlt_engine(self, con):
         from lucene_ray.ops import bm25docs
 

@@ -806,6 +806,156 @@ class TestParserGroups:
         assert got == want
 
 
+class TestParserGrammar:
+    """Round-3 recursive grammar (QueryParser.jj subset): arbitrary-depth
+    nesting, [a TO b] / {a TO b} range syntax, field:(...) scoped groups,
+    field:"..." scoped phrases. Doc-set oracles over tokens + stored fields."""
+
+    def _langs(self, ix):
+        import os
+        import pyarrow.parquet as pq
+        from lucene_ray.search.reader import IndexReader
+
+        out = []
+        for e in IndexReader(ix).segments:
+            st = pq.read_table(os.path.join(ix, "segments", e.name, "stored.parquet"))
+            out.extend(st.column("lang").to_pylist())
+        return out
+
+    def _n_chars(self, ix):
+        from lucene_ray.search.reader import IndexReader
+
+        out = []
+        r = IndexReader(ix)
+        for e in r.segments:
+            out.extend(r.segment_reader(e.name).doc_values("n_chars").tolist())
+        return out
+
+    def test_deep_nesting_semantics(self, ix, docs):
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("((merge AND flush) OR (sort AND batch)) AND index"))
+        want = {
+            i for i, d in enumerate(docs)
+            if (("merge" in d and "flush" in d) or ("sort" in d and "batch" in d))
+            and "index" in d
+        }
+        assert got == want and want
+
+    def test_triple_depth_parse_and_search(self, ix, docs):
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("(merge AND (flush OR (sort AND batch)))"))
+        want = {
+            i for i, d in enumerate(docs)
+            if "merge" in d and ("flush" in d or ("sort" in d and "batch" in d))
+        }
+        assert got == want
+
+    def test_nested_group_boost_scales(self, ix):
+        s = IndexSearcher(ix)
+        base = s.search("((merge AND flush) sort)", 10)
+        boosted = s.search("((merge AND flush)^2 sort)", 10)
+        assert len(base.docids) > 0
+        # boost applies to the inner group only; outer docs identical
+        got_b = doc_set(s, s.parse("((merge AND flush)^2 sort)"))
+        got = doc_set(s, s.parse("((merge AND flush) sort)"))
+        assert got_b == got
+
+    def test_numeric_range_syntax(self, ix, docs):
+        lens = self._n_chars(ix)
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("n_chars:[800 TO 1200]"))
+        assert got == {i for i, L in enumerate(lens) if 800 <= L <= 1200}
+        # exclusive brackets shift the integer bounds by one
+        gotx = doc_set(s, s.parse("n_chars:{800 TO 1200}"))
+        assert gotx == {i for i, L in enumerate(lens) if 800 < L < 1200}
+        # open lower bound + MUST content term
+        got2 = doc_set(s, s.parse("+n_chars:[* TO 900] +merge"))
+        assert got2 == {
+            i for i, L in enumerate(lens) if L <= 900 and "merge" in docs[i]
+        }
+
+    def test_keyword_range_syntax(self, ix):
+        langs = self._langs(ix)
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("lang:[go TO py]"))
+        assert got == {i for i, lg in enumerate(langs) if "go" <= lg <= "py"}
+        gotx = doc_set(s, s.parse("lang:{go TO py}"))
+        assert gotx == {i for i, lg in enumerate(langs) if "go" < lg < "py"}
+        # open upper bound stays INSIDE the lang namespace
+        goto = doc_set(s, s.parse("lang:[js TO *]"))
+        assert goto == {i for i, lg in enumerate(langs) if lg >= "js"}
+
+    def test_default_field_range_syntax(self, ix, docs):
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("[k TO m}"))
+        want = {i for i, d in enumerate(docs) if any("k" <= t < "m" for t in d)}
+        assert got == want
+
+    def test_field_scoped_group(self, ix, docs):
+        langs = self._langs(ix)
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("+lang:(py go) +merge"))
+        want = {
+            i for i, d in enumerate(docs)
+            if langs[i] in ("py", "go") and "merge" in d
+        }
+        assert got == want and want
+
+    def test_field_scoped_phrase_is_exact_keyword(self, ix):
+        import os
+        import pyarrow.parquet as pq
+        from lucene_ray.search.reader import IndexReader
+
+        repos = []
+        for e in IndexReader(ix).segments:
+            st = pq.read_table(os.path.join(ix, "segments", e.name, "stored.parquet"))
+            repos.extend(st.column("repo").to_pylist())
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse('repo:"org1/proj1"'))
+        assert got == {i for i, r in enumerate(repos) if r == "org1/proj1"}
+        assert got
+
+    def test_and_promotes_previous_clause(self, ix, docs):
+        # addClause semantics: 'a AND b c' -> +a +b c (AND binds the pair,
+        # the trailing bare word stays SHOULD)
+        s = IndexSearcher(ix)
+        got = doc_set(s, s.parse("merge AND flush sort"))
+        want = {
+            i for i, d in enumerate(docs)
+            if ("merge" in d and "flush" in d)
+        }
+        assert got == want
+
+    def test_unbalanced_parens_raise(self):
+        an = get_analyzer("code")
+        with pytest.raises(ValueError):
+            parse_query("(merge flush", an)
+        with pytest.raises(ValueError):
+            parse_query("merge) flush", an)
+        with pytest.raises(ValueError):
+            parse_query("((merge AND flush) sort", an)
+
+    def test_range_parse_shapes(self):
+        from lucene_ray.search.query import PointRangeQuery, TermRangeQuery
+
+        an = get_analyzer("code")
+        bq = parse_query("n_chars:[100 TO 200]", an)
+        q = bq.should[0]
+        assert isinstance(q, PointRangeQuery) and q.lower == 100 and q.upper == 200
+        bq = parse_query("n_chars:{100 TO 200}", an)
+        q = bq.should[0]
+        assert q.lower == 101 and q.upper == 199
+        bq = parse_query("lang:[go TO py]", an)
+        q = bq.should[0]
+        assert isinstance(q, TermRangeQuery)
+        assert q.lower == "lang:go" and q.upper == "lang:py"
+        assert q.include_lower and q.include_upper
+        bq = parse_query("[alpha TO beta]^2", an)
+        q = bq.should[0]
+        assert isinstance(q, TermRangeQuery) and q.boost == 2.0
+        assert q.lower == "alpha" and q.upper == "beta"
+
+
 class TestHitCounting:
     """IndexSearcher.count (TotalHitCountCollector / IndexSearcher.java:380
     shortcuts) + TotalHits relation exactness."""
@@ -936,6 +1086,9 @@ class TestParserFuzz:
             "+", "-", "AND", "OR", "NOT", "(", ")", "^2", "lang:py",
             "content:merge", "~", "*", "?", '"', "zzz", "(merge flush)",
             "+(a AND b)", "a^", ":", "foo:bar:baz", "",
+            "((merge AND flush) OR sort)", "lang:(py go)", "n_chars:[100 TO 200]",
+            "lang:[go TO py]", "[a TO b}", "n_chars:{5 TO 9}", "[* TO *]",
+            "TO", "[TO]", "n_chars:[x TO y]", "(a (b (c d)))",
         ]
         s = IndexSearcher(ix)
         for _ in range(300):
