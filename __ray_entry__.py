@@ -92,13 +92,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": relational.events_tumbling,
         "events_hopping": relational.events_hopping,
         "sessionize": relational.sessionize,
-        # --- multimodal plumbing (stubbed codec, real actor-pool stage)
-        "media_features": multimodal.extract_features,
+        # --- multimodal plumbing (stubbed codec, real actor-pool stage);
+        # media_features gates on the all-integer summary twin so the
+        # driver can hash it exactly (floats stay pytest-covered)
+        "media_features": multimodal.media_features_summary,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from lucene_ray.ops import bm25docs, dedup, knn, relational, text
+    from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
     return {
         "bm25_topk": bm25docs.bm25_topk_sql(),
@@ -159,7 +161,8 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": relational.events_tumbling_sql(),
         "events_hopping": relational.events_hopping_sql(),
         "sessionize": relational.sessionize_sql(),
+        "media_features": multimodal.media_features_summary_sql(),
         # rows-only (no SQL oracle, by design — see module docstring):
         # bm25_topk_engine (quantized-norm float32 ranking; duel/golden
-        # tests), media_features (stubbed codec)
+        # tests)
     }

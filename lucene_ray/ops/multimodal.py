@@ -84,6 +84,83 @@ def extract_features(sf_dir: str, concurrency: int = 2) -> "ray.data.Dataset":
     )
 
 
+class FeatureSummarizer:
+    """Actor-pool stage: integer byte-histogram summary (driver-gate twin of
+    FeatureExtractor — same bins, pre-normalization counts, so every output
+    column is exactly SQL-expressible: bin16 of a byte is its high nibble,
+    which DuckDB reads straight out of hex(encode(text))). Vectorized: one
+    bincount over the batch's concatenated payload bytes."""
+
+    def __init__(self, n_bins: int = 16):
+        assert 256 % n_bins == 0
+        self.n_bins = n_bins
+        self.bin_of_byte = (np.arange(256) * n_bins // 256).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("payload").combine_chunks()
+        n = len(col)
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int64, count=n + 1)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8, count=int(offs[-1]))
+        lens = np.diff(offs)
+        row_of_byte = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hist = np.bincount(
+            row_of_byte * self.n_bins + self.bin_of_byte[data],
+            minlength=n * self.n_bins,
+        ).reshape(n, self.n_bins)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "n_bytes": batch.column("n_bytes"),
+                "top_bin": pa.array(hist.argmax(axis=1), type=pa.int64()),
+                "top_count": pa.array(hist.max(axis=1), type=pa.int64()),
+            }
+        )
+
+
+def media_features_summary(sf_dir: str, concurrency: int = 2) -> pa.Table:
+    """(media_id, n_bytes, top_bin, top_count): deterministic all-integer
+    feature summary for the driver gate — top_bin is the modal high nibble
+    (ties -> lowest bin, np.argmax first-wins), exactly mirrored in SQL by
+    ranking hex-digit counts of hex(encode(text))."""
+    ds = media_table(sf_dir).map_batches(
+        FeatureSummarizer,
+        fn_constructor_kwargs=dict(n_bins=16),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    import ray
+
+    return pa.concat_tables(ray.get(ds.to_arrow_refs()))
+
+
+def media_features_summary_sql() -> str:
+    return """
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents
+), pos AS (
+  SELECT doc_id, h, unnest(range(1, length(h) // 2 + 1)) AS i FROM hx
+), nib AS (
+  SELECT doc_id,
+         strpos('0123456789ABCDEF', substring(h, 2 * i - 1, 1)) - 1 AS bin
+  FROM pos
+), cnt AS (
+  SELECT doc_id, bin, count(*)::BIGINT AS c FROM nib GROUP BY doc_id, bin
+), ranked AS (
+  SELECT doc_id, bin, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bin ASC) AS rn
+  FROM cnt
+)
+SELECT r.doc_id AS media_id,
+       octet_length(encode(d.text))::BIGINT AS n_bytes,
+       r.bin::BIGINT AS top_bin,
+       r.c AS top_count
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rn = 1
+"""
+
+
 class FrameSampler:
     """Actor-pool stage: sample every ``stride``-th fixed-size 'frame' from
     a binary payload — the video frame-sampling plumbing (rows EXPAND:
@@ -139,9 +216,10 @@ class Resizer:
         out = []
         for payload in batch.column("payload").to_pylist():
             w = self.width
-            h = max(1, len(payload) // w)
-            buf = np.frombuffer(payload, dtype=np.uint8)[: h * w]
-            if len(buf) < h * w:  # payload shorter than one row: zero-pad
+            # ceil division: a trailing partial row participates (zero-padded)
+            h = max(1, -(-len(payload) // w))
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            if len(buf) < h * w:
                 buf = np.concatenate([buf, np.zeros(h * w - len(buf), dtype=np.uint8)])
             img = buf.reshape(h, w)
             # area-average pooling to (out_h, out_w): integer bucket edges

@@ -254,6 +254,15 @@ class TestBM25Docs:
 
         assert_same(bm25docs.multiterm_engine(SF), con, bm25docs.multiterm_engine_sql())
 
+    def test_media_features_summary(self, con):
+        from lucene_ray.ops import multimodal
+
+        assert_same(
+            multimodal.media_features_summary(SF),
+            con,
+            multimodal.media_features_summary_sql(),
+        )
+
     def test_parser_engine(self, con):
         from lucene_ray.ops import bm25docs
 
