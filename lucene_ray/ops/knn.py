@@ -476,32 +476,21 @@ def knn_filtered(sf_dir: str, k: int = TOP_K, term: str = KNN_FILTER_TERM) -> "r
     whose document matches a text filter — Lucene 9's filtered vector
     search (search/KnnFloatVectorQuery.java filter parameter; the filter's
     doc-id set is collected first, then the vector search only scores
-    passing docs). The filter set is broadcast once via ray.put and applied
-    with a sorted-array membership test inside map_batches; like the
-    reference, a non-selective filter degrades toward brute force."""
-    import pyarrow.compute as pc
+    passing docs). The filter's doc set comes from the inverted index —
+    one TermQuery postings read (KnnFloatVectorQuery's filter-weight
+    pre-pass), NOT a corpus re-tokenization — then is broadcast once via
+    ray.put and applied with a sorted-array membership test inside
+    map_batches; like the reference, a non-selective filter degrades
+    toward brute force."""
+    from lucene_ray.ops.bm25docs import _engine_index
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, TermQuery
 
-    from lucene_ray.analysis import CodeAnalyzer
-
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-
-    def has_term(batch: pa.Table) -> pa.Table:
-        an = CodeAnalyzer()
-        row_idx, terms, _pos = an.tokenize_flat(batch.column("text").combine_chunks())
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        hit = np.zeros(batch.num_rows, dtype=bool)
-        if len(row_idx):
-            mask = pc.equal(terms, term).to_numpy(zero_copy_only=False)
-            hit[np.unique(row_idx[mask])] = True
-        return pa.table({"doc_id": pa.array(ids[hit], type=pa.int64())})
-
-    allowed = np.sort(
-        docs.map_batches(has_term, batch_format="pyarrow", batch_size=4096)
-        .to_pandas()["doc_id"]
-        .to_numpy()
-    )
+    # docid == doc_id: documents_as_corpus preserves row order and docids
+    # are assigned 0..n-1 in row order (builder.plan_segments)
+    searcher = IndexSearcher(_engine_index(sf_dir))
+    td = searcher.search(BooleanQuery(should=[TermQuery(term)]), 1_000_000)
+    allowed = np.sort(td.docids.astype(np.int64))
     import pandas as pd
 
     if len(allowed) == 0:

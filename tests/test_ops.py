@@ -451,6 +451,35 @@ class TestClustersAndBpe:
         for a, b in zip(pairs.doc_a, pairs.doc_b):
             assert cl[a] == cl[b]
 
+    def test_connected_components_planted_path(self):
+        # 10^5-edge single path component (worst-case diameter for label
+        # propagation) plus disjoint planted components — must converge in
+        # O(log n) pointer-jump rounds, i.e. seconds, not the hours a
+        # per-edge loop would take
+        import time
+
+        import numpy as np
+
+        from lucene_ray.ops.dedup import connected_components
+
+        rng = np.random.default_rng(7)
+        n = 100_001
+        perm = rng.permutation(np.arange(10, 10 + n, dtype=np.int64))
+        a, b = perm[:-1], perm[1:]  # path: all one component
+        # plant three small disjoint components above the path's id range
+        extra_a = np.array([10 ** 7 + 1, 10 ** 7 + 2, 10 ** 7 + 5], dtype=np.int64)
+        extra_b = np.array([10 ** 7 + 2, 10 ** 7 + 3, 10 ** 7 + 6], dtype=np.int64)
+        t0 = time.monotonic()
+        nodes, labels = connected_components(
+            np.concatenate([a, extra_a]), np.concatenate([b, extra_b])
+        )
+        elapsed = time.monotonic() - t0
+        assert elapsed < 30, f"label propagation took {elapsed:.1f}s"
+        lab = dict(zip(nodes.tolist(), labels.tolist()))
+        assert all(lab[int(x)] == 10 for x in perm)
+        assert lab[10 ** 7 + 1] == lab[10 ** 7 + 2] == lab[10 ** 7 + 3] == 10 ** 7 + 1
+        assert lab[10 ** 7 + 5] == lab[10 ** 7 + 6] == 10 ** 7 + 5
+
     def test_bpe_token_count(self, con):
         from lucene_ray.ops import text
 
