@@ -114,26 +114,33 @@ def build_global_postings(
         explode, batch_format="pyarrow", batch_size=1
     )
 
-    def merge_bucket(g):
-        import pandas as pd
-
-        rows = []
-        for (term, salt), grp in g.groupby(["term", "salt"]):
-            docs = np.concatenate([np.asarray(x) for x in grp["docids"]])
-            tfs = np.concatenate([np.asarray(x) for x in grp["tfs"]])
-            order = np.argsort(docs, kind="stable")
-            rows.append(
-                {
-                    "term": term,
-                    "salt": salt,
-                    "docids": docs[order].tolist(),
-                    "tfs": tfs[order].tolist(),
-                }
-            )
-        return pd.DataFrame(rows)
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # map_groups delivers ONE (term, salt) group per call: concatenate
+        # the per-segment postings lists and re-sort by docid, all as flat
+        # Arrow/numpy arrays (no per-row tolist round-trip)
+        docs = g.column("docids").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        tfs = g.column("tfs").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(docs, kind="stable")
+        offsets = pa.array([0, len(docs)], type=pa.int32())
+        return pa.table(
+            {
+                "term": g.column("term").slice(0, 1),
+                "salt": g.column("salt").slice(0, 1),
+                "docids": pa.ListArray.from_arrays(
+                    offsets, pa.array(docs[order], type=pa.int64())
+                ),
+                "tfs": pa.ListArray.from_arrays(
+                    offsets, pa.array(tfs[order], type=pa.int64())
+                ),
+            }
+        )
 
     return exploded.groupby(["term", "salt"]).map_groups(
-        merge_bucket, batch_format="pandas"
+        merge_bucket, batch_format="pyarrow"
     )
 
 

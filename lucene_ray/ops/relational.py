@@ -29,24 +29,32 @@ def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas()
-        df["sum_qty_cents"] = _cents(df.l_quantity.to_numpy())
-        df["sum_price_cents"] = _cents(df.l_extendedprice.to_numpy())
-        df["sum_disc_price_cents"] = _cents(
-            df.l_extendedprice.to_numpy() * (1.0 - df.l_discount.to_numpy())
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty_cents": pa.array(_cents(qty), type=pa.int64()),
+                "sum_price_cents": pa.array(_cents(price), type=pa.int64()),
+                "sum_disc_price_cents": pa.array(
+                    _cents(price * (1.0 - disc)), type=pa.int64()
+                ),
+                "count_order": pa.array(np.ones(len(qty), dtype=np.int64)),
+            }
         )
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                sum_qty_cents=("sum_qty_cents", "sum"),
-                sum_price_cents=("sum_price_cents", "sum"),
-                sum_disc_price_cents=("sum_disc_price_cents", "sum"),
-                count_order=("l_quantity", "size"),
-            )
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("sum_qty_cents", "sum"),
+                ("sum_price_cents", "sum"),
+                ("sum_disc_price_cents", "sum"),
+                ("count_order", "sum"),
+            ]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            [c.removesuffix("_sum") for c in g.column_names]
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
