@@ -92,8 +92,11 @@ def delete_docs(index_dir: str, global_docids) -> int:
         local = g[seg_idx == si] - e.docid_base
         _apply_segment_deletes(index_dir, e, local)
     after = sum(getattr(e, "del_count", 0) for e in live_entries)
-    manifest.generation += 1
-    write_manifest(index_dir, manifest)
+    if after - before:
+        # only a real tombstone advances the generation — openIfChanged
+        # stays None for no-op deletes (mirrors update_numeric_docvalues)
+        manifest.generation += 1
+        write_manifest(index_dir, manifest)
     return int(after - before)
 
 
@@ -101,9 +104,25 @@ def delete_by_term(index_dir: str, term: str, use_ray: bool = False) -> int:
     """Tombstone every doc whose content contains ``term`` (deleteDocuments
     (Term), IndexWriter.java:1550). Per-segment postings lookup -> bitmap
     clear; segments are independent (task-parallel under Ray when asked)."""
+    manifest = read_manifest(index_dir)
+    total = _tombstone_by_term(index_dir, manifest, term, use_ray=use_ray)
+    if total:
+        # only a real tombstone advances the generation (no-op guard, as in
+        # update_numeric_docvalues)
+        manifest.generation += 1
+        write_manifest(index_dir, manifest)
+    return int(total)
+
+
+def _tombstone_by_term(
+    index_dir: str, manifest: Manifest, term: str, use_ray: bool = False
+) -> int:
+    """Segment-level tombstoning for ``term`` against an in-memory manifest.
+    Writes livedocs generations + entry.json but does NOT publish the
+    manifest — the caller owns the commit (single-publish atomicity for
+    update_documents)."""
     from lucene_ray.search.reader import SegmentReader
 
-    manifest = read_manifest(index_dir)
     live_entries = sorted(manifest.live_segments, key=lambda e: e.docid_base)
 
     def one(entry: SegmentEntry) -> tuple[str, int, int, int]:
@@ -146,9 +165,6 @@ def delete_by_term(index_dir: str, term: str, use_ray: bool = False) -> int:
         for e in live_entries:
             _, _, _, newly = one(e)
             total += newly
-
-    manifest.generation += 1
-    write_manifest(index_dir, manifest)
     return int(total)
 
 
@@ -176,6 +192,16 @@ def add_documents(index_dir: str, table: pa.Table) -> Manifest:
     schema (repo, path, commit, lang, content); docids continue after the
     current docid space (addDocument, IndexWriter.java:1384)."""
     manifest = read_manifest(index_dir)
+    return _append_documents(index_dir, manifest, table)
+
+
+def _append_documents(
+    index_dir: str, manifest: Manifest, table: pa.Table
+) -> Manifest:
+    """Build the new segment and PUBLISH the in-memory manifest (+1
+    generation) in a single write_manifest — callers that staged earlier
+    mutations on the same manifest (update_documents' tombstones) get them
+    committed atomically with the add."""
     for c in STORED_COLUMNS + ["content"]:
         if c not in table.column_names:
             raise ValueError(f"add_documents table missing column {c!r}")
@@ -205,11 +231,15 @@ def add_documents(index_dir: str, table: pa.Table) -> Manifest:
 
 
 def update_documents(index_dir: str, key_term: str, table: pa.Table) -> Manifest:
-    """Atomic-in-effect update: tombstone every doc containing ``key_term``,
-    then append the replacements (updateDocument(term, doc),
-    IndexWriter.java:1834). Readers opened after this see only the new docs."""
-    delete_by_term(index_dir, key_term)
-    return add_documents(index_dir, table)
+    """Atomic update: tombstone every doc containing ``key_term`` and append
+    the replacements, published as ONE manifest commit (updateDocument
+    (term, doc), IndexWriter.java:1834). The tombstone generations and the
+    new segment become visible together — a crash before the publish leaves
+    the previous commit fully intact (old docs still live, no replacements),
+    never a half state with the old docs gone."""
+    manifest = read_manifest(index_dir)
+    _tombstone_by_term(index_dir, manifest, key_term)
+    return _append_documents(index_dir, manifest, table)
 
 
 def update_numeric_docvalues(

@@ -56,10 +56,18 @@ class LRUQueryCache:
         self._counts[key] = n
         # bound the usage tracker too (the reference uses a fixed-size ring
         # buffer of recent query hashes): drop the oldest half when full, so
-        # a long-lived actor streaming distinct queries can't grow it forever
+        # a long-lived actor streaming distinct queries can't grow it forever.
+        # Keys currently CACHED keep their frequency record — a hot query
+        # must not have to re-earn min_frequency after an LRU eviction.
         if len(self._counts) > self.max_entries * 8:
-            for old in list(self._counts)[: self.max_entries * 4]:
+            dropped = 0
+            for old in list(self._counts):
+                if dropped >= self.max_entries * 4:
+                    break
+                if old in self._data:
+                    continue
                 del self._counts[old]
+                dropped += 1
         if n >= self.min_frequency:
             for part in val if isinstance(val, tuple) else (val,):
                 if isinstance(part, np.ndarray):

@@ -342,3 +342,60 @@ class TestRollbackGenerationSafety:
         s = IndexSearcher(ix)
         assert doc_set(s, "uniqtwo")
         assert not doc_set(s, "uniqone")  # not in the current timeline
+
+    def test_noop_delete_keeps_generation(self, ix):
+        from lucene_ray.index.manifest import read_manifest
+        from lucene_ray.search.engine import reopen_if_changed
+
+        s = IndexSearcher(ix)
+        g0 = read_manifest(ix).generation
+        assert delete_by_term(ix, "zzzmissingterm") == 0
+        assert delete_docs(ix, [10**9, -4]) == 0  # out-of-range docids
+        delete_docs(ix, [11])
+        assert delete_docs(ix, [11]) == 0  # already tombstoned
+        assert read_manifest(ix).generation == g0 + 1  # only the real delete
+        assert reopen_if_changed(reopen_if_changed(s)) is None
+
+    def test_update_documents_single_commit(self, ix):
+        from lucene_ray.index.manifest import list_commits, read_manifest
+
+        g0 = read_manifest(ix).generation
+        commits0 = set(list_commits(ix))
+        update_documents(
+            ix,
+            _key(4),
+            pa.table(
+                {
+                    "repo": pa.array(["r"]),
+                    "path": pa.array(["a/upd"]),
+                    "commit": pa.array(["0"]),
+                    "lang": pa.array(["t"]),
+                    "content": pa.array([_key(4) + " replacement body"]),
+                }
+            ),
+        )
+        # delete + add published atomically: exactly ONE new generation, and
+        # no intermediate commit where the old doc is gone without the new
+        assert read_manifest(ix).generation == g0 + 1
+        assert set(list_commits(ix)) - commits0 == {g0 + 1}
+        s = IndexSearcher(ix)
+        assert doc_set(s, "replacement") == doc_set(s, _key(4))
+        assert len(doc_set(s, _key(4))) == 1
+
+
+def test_lru_counts_pruning_keeps_cached_keys():
+    from lucene_ray.search.reader import LRUQueryCache
+
+    c = LRUQueryCache(max_entries=4, min_frequency=2)
+    # promote two hot keys into the cache
+    for _ in range(2):
+        for k in ("hot1", "hot2"):
+            c.get_or_compute(k, lambda: np.arange(3))
+    assert "hot1" in c._data and "hot2" in c._data
+    # stream enough distinct cold keys to trigger usage-tracker pruning
+    for i in range(c.max_entries * 9):
+        c.get_or_compute(f"cold{i}", lambda: np.arange(1))
+    # cached keys keep their frequency record even after pruning
+    assert c._counts.get("hot1", 0) >= 2
+    assert c._counts.get("hot2", 0) >= 2
+    assert len(c._counts) <= c.max_entries * 8 + 1
