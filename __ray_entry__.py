@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_engine": bm25docs.join_engine,
         "blockjoin_engine": bm25docs.blockjoin_engine,
         "feature_engine": bm25docs.feature_engine,
+        "exprscore_engine": bm25docs.exprscore_engine,
         "suggest_engine": bm25docs.suggest_engine,
         "mlt_engine": bm25docs.mlt_engine,
         "group_engine": bm25docs.group_engine,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "join_engine": bm25docs.join_engine_sql(),
         "blockjoin_engine": bm25docs.blockjoin_engine_sql(),
         "feature_engine": bm25docs.feature_engine_sql(),
+        "exprscore_engine": bm25docs.exprscore_engine_sql(),
         "suggest_engine": bm25docs.suggest_engine_sql(),
         "mlt_engine": bm25docs.mlt_engine_sql(),
         "group_engine": bm25docs.group_engine_sql(),

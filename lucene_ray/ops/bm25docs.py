@@ -1162,6 +1162,77 @@ WITH tok AS (
 """
 
 
+def exprscore_engine(sf_dir: str, k: int = 20) -> pa.Table:
+    """(qid, rank, docid): FunctionScoreQuery formula ranking
+    (queries/.../function/FunctionScoreQuery.java:44 + expressions/...
+    /Expression.java) — docs matching a required constant-score term,
+    rescored by a compiled arithmetic expression over the n_chars doc value
+    and the norms-stored token count (doc_len). The formulas are
+    integer-valued and < 2^24, so float32 engine scores are exact and the
+    SQL oracle reproduces the ranking with the same integer arithmetic."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        ConstantScoreQuery,
+        FunctionScoreQuery,
+        MatchAllDocsQuery,
+        TermQuery,
+    )
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_r, out_d = [], [], []
+    for qid, term, expr, _sql in EXPRSCORE_CASES:
+        q = BooleanQuery(
+            must=[ConstantScoreQuery(TermQuery(term), boost=0.0)],
+            should=[FunctionScoreQuery(MatchAllDocsQuery(boost=0.0), expr)],
+        )
+        td = s.search(q, k)
+        out_q.extend([qid] * len(td.docids))
+        out_r.extend(range(len(td.docids)))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int32()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+#: (qid, required term, formula, the formula's SQL twin) — n_chars ->
+#: length(text), doc_len -> the oracle token count tc.n_tok
+EXPRSCORE_CASES = [
+    (0, "merge", "doc_len * 1024 + n_chars",
+     "tc.n_tok * 1024 + length(d.text)"),
+    (1, "window", "max(n_chars, 400) * 128 + min(doc_len, 64)",
+     "greatest(length(d.text), 400) * 128 + least(tc.n_tok, 64)"),
+]
+
+
+def exprscore_engine_sql(k: int = 20) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term, _expr, sql_expr in EXPRSCORE_CASES:
+        parts.append(f"""
+SELECT {qid} AS qid,
+       (row_number() OVER (ORDER BY ({sql_expr}) DESC, d.doc_id ASC) - 1)::INTEGER AS rank,
+       d.doc_id AS docid
+FROM documents d JOIN tc ON tc.doc_id = d.doc_id
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+QUALIFY rank < {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), tc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tok FROM tok GROUP BY doc_id
+)
+{union}
+"""
+
+
 BLOCKJOIN_TERMS = ["merge", "window", "zzzmissing"]
 
 

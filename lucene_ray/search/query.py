@@ -238,6 +238,22 @@ class FeatureQuery:
 
 
 @dataclass(frozen=True)
+class FunctionScoreQuery:
+    """Formula-rescored query (queries/.../function/FunctionScoreQuery.java:44
+    + expressions/.../Expression.java compile-a-formula): matches exactly the
+    docs of ``query``; score = boost * expression evaluated with ``_score``
+    bound to the wrapped query's score and any other identifier bound to a
+    numeric doc-values field (or ``doc_len``, the norms-stored token count).
+    ``expression`` is the SOURCE string (compiled+memoized in
+    expressions.py) so the query object stays frozen/hashable for the
+    per-reader query cache."""
+
+    query: object
+    expression: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ToParentBlockJoinQuery:
     """Parent-child block join (join/.../ToParentBlockJoinQuery.java):
     documents are indexed in BLOCKS — children first, their parent LAST,
@@ -537,3 +553,5 @@ def iter_clauses(bq: BooleanQuery):
         elif isinstance(q, ToParentBlockJoinQuery):
             stack.append(q.child_query)
             stack.append(q.parents_filter)
+        elif isinstance(q, FunctionScoreQuery):
+            stack.append(q.query)

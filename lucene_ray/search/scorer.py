@@ -43,6 +43,7 @@ from lucene_ray.search.query import (
     PointRangeQuery,
     SpanNearQuery,
     FeatureQuery,
+    FunctionScoreQuery,
     SynonymQuery,
     TermQuery,
     ToParentBlockJoinQuery,
@@ -709,6 +710,40 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 return docids, s.astype(np.float32)
 
             d, s = _qcache(reader, q, _feature)
+            if len(d) == 0:
+                continue
+            out.append(_Clause(q, None, None, scored=(d, s)))
+        elif isinstance(q, FunctionScoreQuery):
+            # FunctionScoreQuery.java:44 — match set of the wrapped query,
+            # score from the compiled formula over (_score, doc values)
+            def _fscore(q=q):
+                from lucene_ray.search.expressions import compile_expression
+
+                expr = compile_expression(q.expression)
+                empty = (
+                    np.array([], dtype=np.int64),
+                    np.array([], dtype=np.float32),
+                )
+                subs = build_clauses(reader, [q.query], scorers)
+                if not subs:
+                    return empty
+                d, s = subs[0].eval_scores(reader.norm_bytes)
+                if len(d) == 0:
+                    return empty
+                bindings = {}
+                for v in expr.variables:
+                    if v == "_score":
+                        bindings[v] = s.astype(np.float64)
+                    elif v == "doc_len":
+                        bindings[v] = reader.doc_len[d].astype(np.float64)
+                    else:
+                        bindings[v] = reader.doc_values(v)[d].astype(np.float64)
+                vals = np.asarray(expr.evaluate(bindings), dtype=np.float64)
+                if vals.ndim == 0:  # constant formula
+                    vals = np.full(len(d), float(vals))
+                return d, (np.float64(q.boost) * vals).astype(np.float32)
+
+            d, s = _qcache(reader, q, _fscore)
             if len(d) == 0:
                 continue
             out.append(_Clause(q, None, None, scored=(d, s)))
