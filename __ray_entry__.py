@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "points_engine": bm25docs.points_engine,
         "sort_engine": bm25docs.sort_engine,
         "facet_engine": bm25docs.facet_engine,
+        "taxfacet_engine": bm25docs.taxfacet_engine,
         "rangefacet_engine": bm25docs.rangefacet_engine,
         "join_engine": bm25docs.join_engine,
         "blockjoin_engine": bm25docs.blockjoin_engine,
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "points_engine": bm25docs.points_engine_sql(),
         "sort_engine": bm25docs.sort_engine_sql(),
         "facet_engine": bm25docs.facet_engine_sql(),
+        "taxfacet_engine": bm25docs.taxfacet_engine_sql(),
         "rangefacet_engine": bm25docs.rangefacet_engine_sql(),
         "join_engine": bm25docs.join_engine_sql(),
         "blockjoin_engine": bm25docs.blockjoin_engine_sql(),

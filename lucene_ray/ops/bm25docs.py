@@ -665,6 +665,64 @@ WITH tok AS (
 """
 
 
+TAXFACET_QUERIES: list[tuple[int, str]] = [
+    (0, "merge"),
+    (1, "window table"),
+]
+TAXFACET_PATH = ("repo", "lang")  # repo <- source column, lang <- lang
+
+
+def taxfacet_engine(sf_dir: str) -> pa.Table:
+    """(qid, path, count): hierarchical taxonomy facet counts
+    (facet/.../taxonomy/FastTaxonomyFacetCounts.java:46) — every matching
+    doc counts under each PREFIX of its source/lang path ('a' and 'a/b'),
+    the ancestor-ordinal rollup. Oracle: per-depth GROUP BY unioned."""
+    from lucene_ray.search.engine import IndexSearcher, taxonomy_facet_counts
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_p, out_c = [], [], []
+    for qid, q in TAXFACET_QUERIES:
+        for p, c in taxonomy_facet_counts(s, q, TAXFACET_PATH):
+            out_q.append(qid)
+            out_p.append(p)
+            out_c.append(c)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "path": pa.array(out_p, type=pa.string()),
+            "count": pa.array(out_c, type=pa.int64()),
+        }
+    )
+
+
+def taxfacet_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, q in TAXFACET_QUERIES:
+        terms = CodeAnalyzer().tokenize_text(q)
+        union = " UNION ".join(
+            f"SELECT DISTINCT doc_id FROM tok WHERE term = '{t}'" for t in terms
+        )
+        parts.append(
+            f"SELECT {qid} AS qid, d.source AS path, count(*)::BIGINT AS count\n"
+            f"FROM documents d WHERE d.doc_id IN ({union}) GROUP BY d.source"
+        )
+        parts.append(
+            f"SELECT {qid} AS qid, d.source || '/' || d.lang AS path,\n"
+            f"       count(*)::BIGINT AS count\n"
+            f"FROM documents d WHERE d.doc_id IN ({union})\n"
+            f"GROUP BY d.source || '/' || d.lang"
+        )
+    union_all = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union_all}
+"""
+
+
 def update_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): deletes/updates through the tombstone machinery —
     docs with doc_id % 7 == 0 are UPDATED (tombstone + re-add with

@@ -273,6 +273,43 @@ def facet_counts(
     return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
 
 
+def taxonomy_facet_counts(
+    searcher: "IndexSearcher", query, path_fields: tuple, topn: int | None = None
+) -> list[tuple[str, int]]:
+    """Hierarchical facet counts (facet/.../taxonomy/
+    FastTaxonomyFacetCounts.java:46 + TaxonomyReader ordinal-tree rollup):
+    each matching doc contributes to EVERY prefix of its path, where the
+    path is the ordered keyword-field tuple ``path_fields`` (the
+    FacetField(dim, components...) shape — 'a/b/c' counts under 'a',
+    'a/b', and 'a/b/c'). Drill-down to a prefix is the existing
+    keyword-term conjunction ('repo:a AND lang:b' — DrillDownQuery.java).
+
+    Returns (path, count) with '/'-joined components, sorted by
+    (depth, -count, path); ``topn`` keeps the top-n per depth
+    (FacetResult topNChildren). Vectorized: one stored-fields gather, then
+    arrow value_counts per depth — no per-doc python loop."""
+    import pyarrow.compute as pc
+
+    td = searcher.search(query, k=1 << 62)
+    if len(td.docids) == 0:
+        return []
+    stored = fetch_stored(searcher.reader, td.docids)
+    out: list[tuple[str, int]] = []
+    path = None
+    for depth, f in enumerate(path_fields):
+        col = stored.column(f)
+        path = col if path is None else pc.binary_join_element_wise(path, col, "/")
+        vc = pc.value_counts(path.combine_chunks())
+        pairs = sorted(
+            zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        if topn is not None:
+            pairs = pairs[:topn]
+        out.extend(pairs)
+    return out
+
+
 def fetch_doc_values(reader: IndexReader, global_docids, field: str) -> np.ndarray:
     """Numeric doc values for global docids, input order preserved."""
     g = np.asarray(global_docids, dtype=np.int64)

@@ -308,6 +308,31 @@ class TestBM25Docs:
 
         assert_same(bm25docs.facet_engine(SF), con, bm25docs.facet_engine_sql())
 
+    def test_taxfacet_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.taxfacet_engine(SF), con, bm25docs.taxfacet_engine_sql())
+
+    def test_taxfacet_rollup_invariant(self, con):
+        # parent count == sum of its children (TaxonomyReader ordinal tree)
+        from lucene_ray.ops import bm25docs
+
+        df = bm25docs.taxfacet_engine(SF).to_pandas()
+        for qid in df["qid"].unique():
+            g = df[df["qid"] == qid]
+            parents = g[~g["path"].str.contains("/")]
+            children = g[g["path"].str.contains("/")]
+            for _, row in parents.iterrows():
+                kid_sum = children[
+                    children["path"].str.startswith(row["path"] + "/")
+                ]["count"].sum()
+                assert kid_sum == row["count"]
+
+    def test_exprscore_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.exprscore_engine(SF), con, bm25docs.exprscore_engine_sql())
+
     def test_suggest_engine(self, con):
         from lucene_ray.ops import bm25docs
 
