@@ -39,6 +39,15 @@ KEYWORD_FIELDS = ("repo", "path", "commit", "lang")
 NUMERIC_DV_FIELDS = ("n_chars",)
 
 # TieredMergePolicy defaults (bytes)
+# per-NODE cap for concurrent allocation-heavy tasks (segment builds,
+# merges): this VM's memory subsystem saturates near 10 such workers
+# (BASELINE.md protocol; r3 re-measure: identical 200K-doc build 9.1s at
+# 10-way vs 17.5s at 24-way). A node-local constant — multi-node clusters
+# run one such pool per node. Override: LUCENE_RAY_HEAVY_WORKERS env.
+import os as _os
+
+PER_NODE_HEAVY_WORKERS = int(_os.environ.get("LUCENE_RAY_HEAVY_WORKERS", "10"))
+
 MERGE_FLOOR_SEGMENT_BYTES = 2 * 1024 * 1024  # 2 MB
 MERGE_MAX_MERGED_SEGMENT_BYTES = 5 * 1024 * 1024 * 1024  # 5 GB
 MERGE_SEGS_PER_TIER = 10.0

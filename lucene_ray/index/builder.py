@@ -328,16 +328,26 @@ def build_index(
         ds = ds.repartition(len(todo))
         if concurrency is None:
             # above ~10 concurrent heavy workers this box hits a memory-
-            # subsystem cliff (>3x per-task slowdown; BASELINE.md), so large
-            # budgets leave 1/4 of the cores free. Small budgets (<= 8) are
-            # below the cliff and use every core — capping there would also
-            # silently break the N -> 4N worker ratio the scaling criterion
-            # measures (2 workers -> 6 workers is 3x, bounding efficiency at
-            # 0.75 before any real loss)
+            # subsystem cliff (BASELINE.md; re-measured r3: the identical
+            # 200K-doc build runs 9.1s at 10-way vs 17.5s at 24-way in the
+            # same VM state), so large budgets cap at PER_NODE_HEAVY_WORKERS
+            # — a PER-NODE saturation constant, not an engine limit: on a
+            # real cluster each node runs its own ~10-task pool and nodes
+            # scale linearly (zero cross-task coordination). Small budgets
+            # (<= 8) are below the cliff and use every core — capping there
+            # would also silently break the N -> 4N worker ratio the scaling
+            # criterion measures (2 workers -> 6 workers is 3x, bounding
+            # efficiency at 0.75 before any real loss).
             import ray as _ray
 
+            from lucene_ray.config import PER_NODE_HEAVY_WORKERS
+
             avail = int(_ray.cluster_resources().get("CPU", 8))
-            concurrency = avail if avail <= 8 else (avail * 3 + 2) // 4
+            concurrency = (
+                avail
+                if avail <= 8
+                else min((avail * 3 + 2) // 4, PER_NODE_HEAVY_WORKERS)
+            )
             concurrency = max(1, min(len(todo), concurrency))
         result = ds.map_batches(run_spec, batch_size=None, concurrency=concurrency)
         for batch in result.iter_batches(batch_format="pyarrow"):

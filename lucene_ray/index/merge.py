@@ -665,11 +665,19 @@ def _execute_merges(index_dir: str, specs: list[list[str]], use_ray: bool) -> li
             out.append(_json.dumps(entry.__dict__))
         return {"entry": np.array(out)}
 
+    from lucene_ray.config import PER_NODE_HEAVY_WORKERS
+
     ds = ray.data.from_items([{"spec": _json.dumps(s)} for s in specs]).repartition(
         len(specs)
     )
     out = []
-    for batch in ds.map_batches(run, batch_size=None).iter_batches(batch_format="pyarrow"):
+    # merge tasks are allocation-heavy like segment builds: cap the pool at
+    # the per-node saturation constant (ConcurrentMergeScheduler's
+    # maxMergeCount role, index/ConcurrentMergeScheduler.java:61)
+    conc = max(1, min(len(specs), PER_NODE_HEAVY_WORKERS))
+    for batch in ds.map_batches(
+        run, batch_size=None, concurrency=conc
+    ).iter_batches(batch_format="pyarrow"):
         for e in batch.column("entry").to_pylist():
             out.append(SegmentEntry(**_json.loads(e)))
     return out
