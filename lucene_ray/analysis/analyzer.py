@@ -115,8 +115,8 @@ class CodeAnalyzer:
         return _filter_list_array(toks, keep)
 
     def tokenize_flat(
-        self, texts: pa.Array | pa.ChunkedArray
-    ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        self, texts: pa.Array | pa.ChunkedArray, with_offsets: bool = False
+    ) -> tuple:
         """StringArray -> (row_index int64, term string, position int32).
 
         ``position`` is the 0-based token ordinal within its row (post-filter;
@@ -124,16 +124,27 @@ class CodeAnalyzer:
         StandardAnalyzer's default stop set is empty,
         analysis/standard/StandardAnalyzer.java:34-38).
 
+        ``with_offsets=True`` appends (start int32, length int32) per token:
+        the token's BYTE offset within its row's UTF-8 text and its byte
+        length (OffsetAttribute for IndexOptions ..._AND_OFFSETS; the
+        reference reports UTF-16 code-unit offsets — this engine's offsets
+        are UTF-8 bytes, identical for ASCII text, documented divergence).
+        Tokens are byte-sub-runs of the original text (split passes only
+        insert boundaries), so offsets slice the stored text exactly.
+
         Byte-level single-pass kernel (see class docstring).
         """
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         n_rows = len(texts)
+        empty_i32 = np.array([], dtype=np.int32)
         empty = (
             np.array([], dtype=np.int64),
             pa.array([], type=pa.string()),
-            np.array([], dtype=np.int32),
+            empty_i32,
         )
+        if with_offsets:
+            empty = empty + (empty_i32, empty_i32)
         if n_rows == 0:
             return empty
         bufs = texts.buffers()
@@ -224,6 +235,10 @@ class CodeAnalyzer:
             np.where(row_change, np.arange(n_tok), 0)
         )
         positions = (np.arange(n_tok) - first_of_row).astype(np.int32)
+        if with_offsets:
+            tok_starts = (starts_idx - row_off[row_idx]).astype(np.int32)
+            tok_lens = lengths.astype(np.int32)
+            return row_idx.astype(np.int64), terms, positions, tok_starts, tok_lens
         return row_idx.astype(np.int64), terms, positions
 
     def tokenize_text(self, text: str) -> list[str]:
@@ -296,12 +311,13 @@ class EnglishAnalyzer(CodeAnalyzer):
 
     name = "english"
 
-    def tokenize_flat(self, texts):
+    def tokenize_flat(self, texts, with_offsets: bool = False):
         from lucene_ray.analysis.porter import stem_terms
 
-        row_idx, terms, _pos = super().tokenize_flat(texts)
+        res = super().tokenize_flat(texts, with_offsets=with_offsets)
+        row_idx, terms = res[0], res[1]
         if len(row_idx) == 0:
-            return row_idx, terms, _pos
+            return res
         import pyarrow.compute as pc
 
         keep = pc.invert(
@@ -309,10 +325,13 @@ class EnglishAnalyzer(CodeAnalyzer):
         ).to_numpy(zero_copy_only=False)
         row_idx = row_idx[keep]
         terms = stem_terms(terms.filter(pa.array(keep)))
+        # offsets stay those of the ORIGINAL (pre-stem) token — the
+        # reference's stemmers never touch OffsetAttribute
+        tail = tuple(a[keep] for a in res[3:]) if with_offsets else ()
         # recompute post-filter positions (ordinal within row)
         n_tok = len(row_idx)
         if n_tok == 0:
-            return row_idx, terms, np.array([], dtype=np.int32)
+            return (row_idx, terms, np.array([], dtype=np.int32)) + tail
         row_change = np.empty(n_tok, dtype=bool)
         row_change[0] = True
         np.not_equal(row_idx[1:], row_idx[:-1], out=row_change[1:])
@@ -320,7 +339,7 @@ class EnglishAnalyzer(CodeAnalyzer):
             np.where(row_change, np.arange(n_tok), 0)
         )
         positions = (np.arange(n_tok) - first_of_row).astype(np.int32)
-        return row_idx, terms, positions
+        return (row_idx, terms, positions) + tail
 
     def tokenize_array(self, texts):
         from lucene_ray.analysis.porter import porter_stem

@@ -36,7 +36,7 @@ from lucene_ray.codec.forutil import decode_stream, encode_stream
 from lucene_ray.config import BLOCK_SIZE
 
 #: bumped when the on-disk layout changes (invalidates segment fingerprints)
-FORMAT_VERSION = 4  # v4: keyword-field postings + numeric doc-values/points files
+FORMAT_VERSION = 5  # v5: optional per-occurrence offsets streams (off/offlen)
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -48,10 +48,18 @@ POSTINGS_SCHEMA = pa.schema(
         ("doc_blob", pa.large_binary()),
         ("tf_blob", pa.large_binary()),
         ("pos_blob", pa.large_binary()),
+        # offsets option (IndexOptions ..._AND_OFFSETS,
+        # Lucene99PostingsWriter .pay stream): per occurrence, aligned with
+        # the positions stream — start-byte deltas (first absolute per doc)
+        # and raw token byte lengths. Empty blobs when not indexed.
+        ("off_blob", pa.large_binary()),
+        ("offlen_blob", pa.large_binary()),
         ("block_last_docid", pa.list_(pa.int64())),
         ("doc_block_offsets", pa.list_(pa.int64())),
         ("tf_block_offsets", pa.list_(pa.int64())),
         ("pos_block_offsets", pa.list_(pa.int64())),
+        ("off_block_offsets", pa.list_(pa.int64())),
+        ("offlen_block_offsets", pa.list_(pa.int64())),
         ("impacts", pa.list_(pa.list_(pa.int64()))),
     ]
 )
@@ -112,10 +120,14 @@ def encode_term_postings(
             "doc_blob": b"",
             "tf_blob": b"",
             "pos_blob": pos_blob,
+            "off_blob": b"",
+            "offlen_blob": b"",
             "block_last_docid": [int(docids[0])],
             "doc_block_offsets": [0],
             "tf_block_offsets": [0],
             "pos_block_offsets": pos_offsets.astype(np.int64).tolist(),
+            "off_block_offsets": [],
+            "offlen_block_offsets": [],
             "impacts": impacts,
         }
 
@@ -132,10 +144,14 @@ def encode_term_postings(
         "doc_blob": doc_blob,
         "tf_blob": tf_blob,
         "pos_blob": pos_blob,
+        "off_blob": b"",
+        "offlen_blob": b"",
         "block_last_docid": blocks_last.astype(np.int64).tolist(),
         "doc_block_offsets": doc_offsets.astype(np.int64).tolist(),
         "tf_block_offsets": tf_offsets.astype(np.int64).tolist(),
         "pos_block_offsets": pos_offsets.astype(np.int64).tolist(),
+        "off_block_offsets": [],
+        "offlen_block_offsets": [],
         "impacts": impacts,
     }
 
@@ -177,6 +193,8 @@ def build_segment_postings(
     doc_count: int,
     norm_bytes: np.ndarray,
     with_positions: bool = True,
+    tok_starts: np.ndarray | None = None,
+    tok_lens: np.ndarray | None = None,
 ) -> tuple[pa.Table, dict]:
     """Build a segment postings table from exploded (docid, term, position)
     token arrays (output of ``CodeAnalyzer.tokenize_flat``).
@@ -187,6 +205,11 @@ def build_segment_postings(
     the batched width-grouped encoder (no per-term python work beyond blob
     slicing). Runs inside ONE build task — the segment is sized
     (TARGET_DOCS_PER_SEGMENT) so this fits a worker heap.
+
+    ``tok_starts``/``tok_lens`` (both given or neither): per-token byte
+    offset + length aligned with ``positions`` — writes the optional
+    offsets streams (IndexOptions ..._AND_OFFSETS,
+    Lucene99PostingsWriter.java payload/offset stream).
     """
     if len(row_idx) == 0:
         table = POSTINGS_SCHEMA.empty_table()
@@ -236,9 +259,21 @@ def build_segment_postings(
     pos_delta[pair_starts] = p_sorted[pair_starts]
     pos_delta = pos_delta.astype(np.uint32)
 
+    # offsets streams: start-byte deltas reset per (term, doc) pair exactly
+    # like positions (starts ascend within a doc), lengths raw
+    off_delta = off_len = None
+    if tok_starts is not None:
+        s_sorted = tok_starts[order].astype(np.int64)
+        off_delta = np.empty(len(s_sorted), dtype=np.int64)
+        off_delta[0] = s_sorted[0]
+        np.subtract(s_sorted[1:], s_sorted[:-1], out=off_delta[1:])
+        off_delta[pair_starts] = s_sorted[pair_starts]
+        off_delta = off_delta.astype(np.uint32)
+        off_len = tok_lens[order].astype(np.uint32)
+
     table = postings_table_from_pairs(
         vocab_sorted, pair_term, pair_doc, tfs, pos_delta, norm_bytes,
-        with_positions=with_positions,
+        with_positions=with_positions, off_delta=off_delta, off_len=off_len,
     )
     stats = {
         "doc_count": int(doc_count),
@@ -256,6 +291,8 @@ def postings_table_from_pairs(
     pos_delta: np.ndarray,
     norm_bytes: np.ndarray,
     with_positions: bool = True,
+    off_delta: np.ndarray | None = None,
+    off_len: np.ndarray | None = None,
 ) -> pa.Table:
     """Encode a postings table from (term, doc, tf) pair arrays + the
     aligned per-pair position-delta stream. Shared by the segment build and
@@ -265,6 +302,9 @@ def postings_table_from_pairs(
     Preconditions: ``pair_term`` ascending; ``pair_doc`` ascending within a
     term; ``pos_delta`` is the concatenation of each pair's per-doc position
     deltas in pair order (first delta of a pair = absolute position).
+    ``off_delta``/``off_len`` (optional, both or neither): per-occurrence
+    start-byte deltas (same reset-per-pair scheme) and raw byte lengths —
+    they share the positions stream's block structure exactly.
     """
     from lucene_ray.codec.forutil import encode_blocks_batched
 
@@ -310,31 +350,51 @@ def postings_table_from_pairs(
     tf_term_bounds = tf_offsets[term_blk_offsets[:-1]]
     tf_term_bounds = np.append(tf_term_bounds, len(tf_buf))
 
-    # ---- positions stream: blocks of 128 deltas within each term --------
-    if with_positions:
+    # ---- per-occurrence streams (positions / offset starts / offset
+    # lengths): blocks of 128 deltas within each term, identical block
+    # structure (all three have term_ttf entries per term) ----------------
+    with_offsets = off_delta is not None
+    if with_positions or with_offsets:
         pos_nblocks = (term_ttf + BLOCK_SIZE - 1) // BLOCK_SIZE
         p_blk_term = np.repeat(np.arange(n_terms), pos_nblocks)
         p_blk_ord = np.arange(len(p_blk_term)) - np.repeat(
             np.concatenate(([0], np.cumsum(pos_nblocks)[:-1])), pos_nblocks
         )
         p_len = np.minimum(term_ttf[p_blk_term] - p_blk_ord * BLOCK_SIZE, BLOCK_SIZE)
-        pos_buf, pos_offsets = encode_blocks_batched(pos_delta, p_len)
         pos_blk_bounds = np.concatenate(([0], np.cumsum(pos_nblocks)))
-        pos_term_bounds = pos_offsets[pos_blk_bounds[:-1]]
-        pos_term_bounds = np.append(pos_term_bounds, len(pos_buf))
-        pos_mv = memoryview(pos_buf)
-        rel_pos_offsets = pos_offsets - np.repeat(pos_term_bounds[:-1], pos_nblocks)
-        pos_list_off = pa.array(pos_blk_bounds, type=pa.int32())
-        pos_offsets_arr = pa.ListArray.from_arrays(
-            pos_list_off, pa.array(rel_pos_offsets, type=pa.int64())
+
+        def occ_stream(values: np.ndarray):
+            """(memoryview, per-term byte bounds, list<int64> rel offsets)."""
+            buf, offs = encode_blocks_batched(values, p_len)
+            bounds = offs[pos_blk_bounds[:-1]]
+            bounds = np.append(bounds, len(buf))
+            rel = offs - np.repeat(bounds[:-1], pos_nblocks)
+            arr = pa.ListArray.from_arrays(
+                pa.array(pos_blk_bounds, type=pa.int32()),
+                pa.array(rel, type=pa.int64()),
+            )
+            return memoryview(buf), bounds, arr
+
+    def empty_stream():
+        return (
+            memoryview(b""),
+            np.zeros(n_terms + 1, dtype=np.int64),
+            pa.ListArray.from_arrays(
+                pa.array(np.zeros(n_terms + 1), type=pa.int32()),
+                pa.array([], type=pa.int64()),
+            ),
         )
+
+    if with_positions:
+        pos_mv, pos_term_bounds, pos_offsets_arr = occ_stream(pos_delta)
     else:
-        pos_mv = memoryview(b"")
-        pos_term_bounds = np.zeros(n_terms + 1, dtype=np.int64)
-        pos_offsets_arr = pa.ListArray.from_arrays(
-            pa.array(np.zeros(n_terms + 1), type=pa.int32()),
-            pa.array([], type=pa.int64()),
-        )
+        pos_mv, pos_term_bounds, pos_offsets_arr = empty_stream()
+    if with_offsets:
+        off_mv, off_term_bounds, off_offsets_arr = occ_stream(off_delta)
+        ol_mv, ol_term_bounds, ol_offsets_arr = occ_stream(off_len)
+    else:
+        off_mv, off_term_bounds, off_offsets_arr = empty_stream()
+        ol_mv, ol_term_bounds, ol_offsets_arr = empty_stream()
 
     # ---- impacts (vectorized pareto per block) ---------------------------
     blk_of_pair = np.repeat(np.arange(n_blocks), blk_len)
@@ -348,6 +408,7 @@ def postings_table_from_pairs(
     doc_mv = memoryview(doc_buf)
     tf_mv = memoryview(tf_buf)
     doc_blobs, tf_blobs, pos_blobs = [], [], []
+    off_blobs, ol_blobs = [], []
     for j in range(n_terms):
         if singleton[j]:
             doc_blobs.append(b"")
@@ -356,6 +417,11 @@ def postings_table_from_pairs(
             doc_blobs.append(bytes(doc_mv[doc_term_bounds[j] : doc_term_bounds[j + 1]]))
             tf_blobs.append(bytes(tf_mv[tf_term_bounds[j] : tf_term_bounds[j + 1]]))
         pos_blobs.append(bytes(pos_mv[pos_term_bounds[j] : pos_term_bounds[j + 1]]))
+        if with_offsets:
+            off_blobs.append(bytes(off_mv[off_term_bounds[j] : off_term_bounds[j + 1]]))
+            ol_blobs.append(bytes(ol_mv[ol_term_bounds[j] : ol_term_bounds[j + 1]]))
+    if not with_offsets:
+        off_blobs = ol_blobs = [b""] * n_terms
 
     # doc/tf block offsets are term-relative
     rel_doc_offsets = doc_offsets - np.repeat(
@@ -385,6 +451,8 @@ def postings_table_from_pairs(
             "doc_blob": pa.array(doc_blobs, type=pa.large_binary()),
             "tf_blob": pa.array(tf_blobs, type=pa.large_binary()),
             "pos_blob": pa.array(pos_blobs, type=pa.large_binary()),
+            "off_blob": pa.array(off_blobs, type=pa.large_binary()),
+            "offlen_blob": pa.array(ol_blobs, type=pa.large_binary()),
             "block_last_docid": pa.ListArray.from_arrays(
                 list_off, pa.array(block_last, type=pa.int64())
             ),
@@ -395,6 +463,8 @@ def postings_table_from_pairs(
                 list_off, pa.array(rel_tf_offsets, type=pa.int64())
             ),
             "pos_block_offsets": pos_offsets_arr,
+            "off_block_offsets": off_offsets_arr,
+            "offlen_block_offsets": ol_offsets_arr,
             "impacts": pa.ListArray.from_arrays(list_off, impacts_inner),
         },
         schema=POSTINGS_SCHEMA,
@@ -422,14 +492,15 @@ def _list_col(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def decode_segment_pairs(
-    table: pa.Table, with_positions: bool = True
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    table: pa.Table, with_positions: bool = True, with_offsets: bool = False
+) -> tuple:
     """Decode an ENTIRE segment postings table in one vectorized pass.
 
     Returns (terms object-array sorted, df per term, pair_doc local,
     pair_tf, pos_delta flat stream) — the exact inputs the merge rewrite
     feeds back into ``postings_table_from_pairs``. Uses the stored per-block
     offsets + ``decode_blocks_batched`` (no per-term python decode loops).
+    ``with_offsets=True`` appends (off_delta, off_len) flat uint32 streams.
     """
     from lucene_ray.codec.forutil import decode_blocks_batched
 
@@ -496,32 +567,97 @@ def decode_segment_pairs(
             zero_copy_only=False
         )[single]
 
-    if not with_positions:
+    if not with_positions and not with_offsets:
         return terms, df, pair_doc, pair_tf, np.array([], dtype=np.uint32)
 
-    # positions stream: every term (incl. singletons) has ceil(ttf/128) blocks
-    p_data, p_boffs = _binary_col(table.column("pos_blob"))
-    p_rel, p_roffs = _list_col(table.column("pos_block_offsets"))
+    # per-occurrence streams: every term (incl. singletons) has
+    # ceil(ttf/128) blocks; positions and offsets share the block structure
     p_nb = (ttf + BLOCK_SIZE - 1) // BLOCK_SIZE
-    abs_off = p_rel + np.repeat(p_boffs[:-1], np.diff(p_roffs))
     lens = np.concatenate(
         [np.minimum(ttf[j] - np.arange(p_nb[j]) * BLOCK_SIZE, BLOCK_SIZE) for j in range(n_terms)]
     ) if n_terms else np.array([], dtype=np.int64)
-    pos_delta = decode_blocks_batched(p_data, abs_off, lens)
-    return terms, df, pair_doc, pair_tf, pos_delta
+
+    def occ_decode(blob_col: str, off_col: str) -> np.ndarray:
+        data, boffs = _binary_col(table.column(blob_col))
+        rel, roffs = _list_col(table.column(off_col))
+        abs_off = rel + np.repeat(boffs[:-1], np.diff(roffs))
+        return decode_blocks_batched(data, abs_off, lens)
+
+    pos_delta = (
+        occ_decode("pos_blob", "pos_block_offsets")
+        if with_positions
+        else np.array([], dtype=np.uint32)
+    )
+    if not with_offsets:
+        return terms, df, pair_doc, pair_tf, pos_delta
+    off_delta = occ_decode("off_blob", "off_block_offsets")
+    off_len = occ_decode("offlen_blob", "offlen_block_offsets")
+    return terms, df, pair_doc, pair_tf, pos_delta, off_delta, off_len
 
 
 class TermPostings:
     """Decoded postings of one term in one segment (numpy views)."""
 
-    __slots__ = ("docids", "tfs", "_pos_blob", "_ttf", "_flat_pos")
+    __slots__ = (
+        "docids", "tfs", "_pos_blob", "_ttf", "_flat_pos",
+        "_off_blob", "_offlen_blob", "_flat_off",
+    )
 
-    def __init__(self, docids: np.ndarray, tfs: np.ndarray, pos_blob: bytes, ttf: int):
+    def __init__(
+        self,
+        docids: np.ndarray,
+        tfs: np.ndarray,
+        pos_blob: bytes,
+        ttf: int,
+        off_blob: bytes = b"",
+        offlen_blob: bytes = b"",
+    ):
         self.docids = docids
         self.tfs = tfs
         self._pos_blob = pos_blob
         self._ttf = ttf
         self._flat_pos = None
+        self._off_blob = off_blob
+        self._offlen_blob = offlen_blob
+        self._flat_off = None
+
+    @property
+    def has_offsets(self) -> bool:
+        return bool(self._off_blob)
+
+    def flat_offsets(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docid-per-occurrence, absolute start byte, byte length), aligned
+        with ``flat_positions`` — the OffsetAttribute readback (postings
+        indexed with IndexOptions ..._AND_OFFSETS). Empty arrays when the
+        index carries no offsets."""
+        if self._flat_off is None:
+            if not self._off_blob:
+                z = np.array([], dtype=np.int64)
+                self._flat_off = (z, z, z)
+            else:
+                deltas = decode_stream(self._off_blob, self._ttf).astype(np.int64)
+                lens = decode_stream(self._offlen_blob, self._ttf).astype(np.int64)
+                tfs = self.tfs.astype(np.int64)
+                starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                c = np.cumsum(deltas)
+                seg_base = c[starts] - deltas[starts]
+                abs_start = c - np.repeat(seg_base, tfs)
+                self._flat_off = (np.repeat(self.docids, tfs), abs_start, lens)
+        return self._flat_off
+
+    def doc_offsets(self, local_docid: int) -> tuple[np.ndarray, np.ndarray]:
+        """(start bytes, byte lengths) of this term's occurrences in ONE doc
+        (display-path lookup for the offsets highlighter)."""
+        i = int(np.searchsorted(self.docids, local_docid))
+        if i >= len(self.docids) or self.docids[i] != local_docid:
+            z = np.array([], dtype=np.int64)
+            return z, z
+        _, abs_start, lens = self.flat_offsets()
+        if len(abs_start) == 0:
+            z = np.array([], dtype=np.int64)
+            return z, z
+        bounds = np.concatenate(([0], np.cumsum(self.tfs.astype(np.int64))))
+        return abs_start[bounds[i] : bounds[i + 1]], lens[bounds[i] : bounds[i + 1]]
 
     def flat_positions(self) -> tuple[np.ndarray, np.ndarray]:
         """(docid-per-position, absolute position) flat arrays — segmented
@@ -556,4 +692,8 @@ def decode_term_postings(row: dict) -> TermPostings:
         deltas = decode_stream(row["doc_blob"], df).astype(np.int64)
         docids = np.cumsum(deltas)
         tfs = decode_stream(row["tf_blob"], df).astype(np.int64)
-    return TermPostings(docids, tfs, row["pos_blob"], int(row["ttf"]))
+    return TermPostings(
+        docids, tfs, row["pos_blob"], int(row["ttf"]),
+        off_blob=row.get("off_blob") or b"",
+        offlen_blob=row.get("offlen_blob") or b"",
+    )

@@ -64,14 +64,19 @@ class SegmentSpec:
     rg_end: int    # last row group (exclusive)
     n_docs: int
     docid_base: int
+    # analyzer:index_options variant — part of the fingerprint so a resume
+    # with different options never reuses a stale segment ("" = the default
+    # code:positions build)
+    variant: str = ""
 
     @property
     def fingerprint(self) -> str:
         from lucene_ray.codec.postings_codec import FORMAT_VERSION
 
         base = os.path.basename(self.file)
+        v = f":{self.variant}" if self.variant else ""
         return hashlib.sha1(
-            f"v{FORMAT_VERSION}:{base}:{self.rg_start}:{self.rg_end}:{self.n_docs}".encode()
+            f"v{FORMAT_VERSION}:{base}:{self.rg_start}:{self.rg_end}:{self.n_docs}{v}".encode()
         ).hexdigest()[:12]
 
     @property
@@ -82,6 +87,7 @@ class SegmentSpec:
 def plan_segments(
     input_paths: list[str],
     target_docs: int = TARGET_DOCS_PER_SEGMENT,
+    variant: str = "",
 ) -> list[SegmentSpec]:
     """Split inputs into docid-contiguous segment specs at row-group
     granularity, from Parquet footers only (no data read)."""
@@ -97,7 +103,7 @@ def plan_segments(
             while end < len(rg_rows) and (acc == 0 or acc + rg_rows[end] <= target_docs):
                 acc += rg_rows[end]
                 end += 1
-            specs.append(SegmentSpec(seg_idx, path, start, end, acc, base))
+            specs.append(SegmentSpec(seg_idx, path, start, end, acc, base, variant))
             base += acc
             seg_idx += 1
             start = end
@@ -144,7 +150,14 @@ def build_one_segment(
             "(no tokenize_flat; tokens may contain ':', which the shared term "
             "dict reserves for keyword fields) — index with 'code' or 'english'"
         )
-    row_idx, terms, positions = analyzer.tokenize_flat(content)
+    with_off = index_options == "offsets"
+    tok_starts = tok_lens = None
+    if with_off:
+        row_idx, terms, positions, tok_starts, tok_lens = analyzer.tokenize_flat(
+            content, with_offsets=True
+        )
+    else:
+        row_idx, terms, positions = analyzer.tokenize_flat(content)
 
     from lucene_ray.util.smallfloat import int_to_byte4
 
@@ -179,10 +192,18 @@ def build_one_segment(
         positions = np.concatenate(
             [positions, np.zeros(n * len(keyword_fields), dtype=positions.dtype)]
         )
+        if with_off:
+            # StringFields carry no real offsets (document/StringField.java
+            # has no OffsetAttribute): zero-filled entries keep the
+            # occurrence streams aligned with positions
+            zeros = np.zeros(n * len(keyword_fields), dtype=tok_starts.dtype)
+            tok_starts = np.concatenate([tok_starts, zeros])
+            tok_lens = np.concatenate([tok_lens, zeros])
 
     postings, stats = build_segment_postings(
         row_idx, terms, positions, n, norm_bytes,
-        with_positions=(index_options == "positions"),
+        with_positions=(index_options in ("positions", "offsets")),
+        tok_starts=tok_starts, tok_lens=tok_lens,
     )
     # manifest sum_ttf stays content-only (it feeds avgdl in BM25 stats)
     stats["sum_ttf"] = int(doc_len.sum())
@@ -274,15 +295,22 @@ def build_index(
     a stateless ``map_batches`` over it (tasks, not actors — tokenization is
     pure; SURVEY.md §7.2). Ray must already be initialised by the caller.
 
-    ``index_options``: "positions" (default, DOCS_AND_FREQS_AND_POSITIONS)
-    or "freqs" (DOCS_AND_FREQS — smaller index, phrase queries raise;
+    ``index_options``: "positions" (default, DOCS_AND_FREQS_AND_POSITIONS),
+    "freqs" (DOCS_AND_FREQS — smaller index, phrase queries raise) or
+    "offsets" (DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS — per-occurrence
+    byte offsets for the postings-based highlighter;
     index/IndexOptions.java:27-48 verbosity levels).
     """
-    if index_options not in ("positions", "freqs"):
+    if index_options not in ("positions", "freqs", "offsets"):
         raise ValueError(f"unsupported index_options: {index_options}")
     import ray.data
 
-    specs = plan_segments(input_paths, target_docs)
+    variant = (
+        ""
+        if (analyzer_name, index_options) == ("code", "positions")
+        else f"{analyzer_name}:{index_options}"
+    )
+    specs = plan_segments(input_paths, target_docs, variant)
     todo = []
     done: list[SegmentEntry] = []
     for s in specs:
@@ -305,6 +333,7 @@ def build_index(
                     rg_end=int(batch["rg_end"][i]),
                     n_docs=int(batch["n_docs"][i]),
                     docid_base=int(batch["docid_base"][i]),
+                    variant=str(batch["variant"][i]),
                 )
                 entry = build_one_segment(
                     spec, index_dir, analyzer_name, index_options, keyword_fields
@@ -321,6 +350,7 @@ def build_index(
                     "rg_end": s.rg_end,
                     "n_docs": s.n_docs,
                     "docid_base": s.docid_base,
+                    "variant": s.variant,
                 }
                 for s in todo
             ]

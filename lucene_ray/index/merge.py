@@ -291,6 +291,7 @@ def _merge_chunk(
     norms: np.ndarray,
     live_merged: np.ndarray | None,
     with_positions: bool,
+    with_offsets: bool = False,
 ) -> tuple[pa.Table, int, int] | None:
     """Decode + k-way combine one term-range chunk; returns (encoded table,
     kept pair count, content-only ttf) or None if deletes emptied it."""
@@ -302,31 +303,36 @@ def _merge_chunk(
     decoded = []
     for i, t in enumerate(parts):
         if t.num_rows:
-            decoded.append((i, *decode_segment_pairs(t, with_positions)))
+            decoded.append((i, *decode_segment_pairs(t, with_positions, with_offsets)))
     if not decoded:
         return None
     all_terms = np.unique(np.concatenate([d[1] for d in decoded]))
-    pair_rank_parts, pair_doc_parts, tf_parts, pos_parts = [], [], [], []
-    for i, terms_i, df_i, doc_i, tf_i, pos_i in decoded:
+    # per-occurrence streams travel together (positions + offset starts +
+    # offset lengths all have one entry per occurrence, per-doc
+    # self-contained deltas -> merged streams are plain gathers)
+    n_occ = 3 if with_offsets else 1
+    pair_rank_parts, pair_doc_parts, tf_parts = [], [], []
+    occ_parts: list[list[np.ndarray]] = [[] for _ in range(n_occ)]
+    for tup in decoded:
+        i, terms_i, df_i, doc_i, tf_i = tup[:5]
         ranks_i = np.searchsorted(all_terms, terms_i)
         pair_rank_parts.append(np.repeat(ranks_i, df_i))
         pair_doc_parts.append(doc_i + offsets[i])
         tf_parts.append(tf_i)
-        # per-doc position deltas are self-contained (first delta is the
-        # absolute position) -> the merged stream is a plain gather
-        pos_parts.append(pos_i)
+        for s in range(n_occ):
+            occ_parts[s].append(tup[5 + s])
     pair_rank = np.concatenate(pair_rank_parts)
     pair_doc = np.concatenate(pair_doc_parts)
     tfs = np.concatenate(tf_parts)
-    pos_concat = np.concatenate(pos_parts).astype(np.uint32)
+    occ = [np.concatenate(p).astype(np.uint32) for p in occ_parts]
 
     # apply deletes: drop tombstoned docs' postings (the merge-time reclaim,
     # index/SegmentMerger.java liveDocs path); docid SPACE is preserved
     if live_merged is not None:
         keep = live_merged[pair_doc]
         if not keep.all():
-            if with_positions:
-                pos_concat = pos_concat[np.repeat(keep, tfs)]
+            occ_keep = np.repeat(keep, tfs)
+            occ = [s[occ_keep] if len(s) else s for s in occ]
             pair_rank, pair_doc, tfs = pair_rank[keep], pair_doc[keep], tfs[keep]
             if len(pair_rank) == 0:
                 return None
@@ -337,21 +343,23 @@ def _merge_chunk(
     pair_rank_s = pair_rank[order]
     pair_doc_s = pair_doc[order]
     tfs_s = tfs[order]
-    if with_positions:
-        # reorder the positions stream pair-wise to match the pair order
+    if with_positions or with_offsets:
+        # pair-wise gather reordering the occurrence streams to pair order
         seg_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
         lens_o = tfs[order]
         starts_o = seg_starts[order]
         within = np.arange(int(lens_o.sum())) - np.repeat(
             np.concatenate(([0], np.cumsum(lens_o)[:-1])), lens_o
         )
-        pos_sorted = pos_concat[np.repeat(starts_o, lens_o) + within]
-    else:
-        pos_sorted = np.array([], dtype=np.uint32)
+        gather = np.repeat(starts_o, lens_o) + within
+        occ = [s[gather] if len(s) else s for s in occ]
+    pos_sorted = occ[0] if with_positions else np.array([], dtype=np.uint32)
 
     table = postings_table_from_pairs(
         all_terms, pair_rank_s, pair_doc_s, tfs_s, pos_sorted, norms,
         with_positions=with_positions,
+        off_delta=occ[1] if with_offsets else None,
+        off_len=occ[2] if with_offsets else None,
     )
     # content-only ttf (field "f:v" postings excluded — avgdl invariant);
     # vectorized via Arrow, never a python loop over the vocab
@@ -430,13 +438,16 @@ def merge_segments(
     # schema stats cheaply by decoding nothing — any non-empty pos_blob in
     # the first buffered batch means the index carries positions
     post_paths = [os.path.join(sd, "postings.parquet") for sd in seg_dirs]
-    with_positions = False
+    with_positions = with_offsets = False
     for p in post_paths:
         pf = pq.ParquetFile(p)
         if pf.metadata.num_rows == 0:
             continue
-        first = next(pf.iter_batches(batch_size=1, columns=["pos_blob"]))
+        first = next(
+            pf.iter_batches(batch_size=1, columns=["pos_blob", "off_blob"])
+        )
         with_positions = len(first.column("pos_blob")[0].as_py() or b"") > 0
+        with_offsets = len(first.column("off_blob")[0].as_py() or b"") > 0
         break
 
     # ---- streaming k-way merge: decode/re-encode one term-range chunk at
@@ -454,7 +465,9 @@ def merge_segments(
     writer = pq.ParquetWriter(os.path.join(d, "postings.parquet"), POSTINGS_SCHEMA)
     try:
         for parts in _iter_term_chunks(post_paths, batch_rows, max_chunk_pairs):
-            out = _merge_chunk(parts, offsets, norms, live_merged, with_positions)
+            out = _merge_chunk(
+                parts, offsets, norms, live_merged, with_positions, with_offsets
+            )
             if out is None:
                 continue
             chunk_table, n_pairs, content_ttf = out

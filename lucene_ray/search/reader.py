@@ -121,6 +121,23 @@ class SegmentReader:
         self._cursor_cache_max_postings = 2_000_000  # ~32 MB of arrays
 
     @property
+    def has_offsets(self) -> bool:
+        """True when postings carry per-occurrence byte offsets
+        (IndexOptions ..._AND_OFFSETS) — probed from the offsets-buffer
+        lengths only (no blob decode)."""
+        cached = getattr(self, "_has_offsets", None)
+        if cached is None:
+            import pyarrow.compute as pc
+
+            if "off_blob" not in self._postings.column_names:
+                cached = False
+            else:
+                mx = pc.max(pc.binary_length(self._postings.column("off_blob")))
+                cached = bool(mx.as_py() or 0)
+            self._has_offsets = cached
+        return cached
+
+    @property
     def _terms(self) -> np.ndarray:
         if self._terms_np is None:
             self._terms_np = np.asarray(self._terms_arr.to_pylist(), dtype=object)
@@ -331,6 +348,22 @@ class IndexReader:
 
     def all_readers(self) -> list[SegmentReader]:
         return [self.segment_reader(s.name) for s in self.segments]
+
+    @property
+    def has_offsets(self) -> bool:
+        """True when the index was built with index_options='offsets'
+        (uniform across segments; probed from the first non-empty one)."""
+        for e in self.segments:
+            if e.doc_count:
+                return self.segment_reader(e.name).has_offsets
+        return False
+
+    def locate(self, global_docid: int) -> tuple[SegmentReader, int]:
+        """(owning SegmentReader, segment-local docid) for a global docid."""
+        for e in self.segments:
+            if e.docid_base <= global_docid < e.docid_base + e.doc_count:
+                return self.segment_reader(e.name), global_docid - e.docid_base
+        raise IndexError(f"docid {global_docid} outside every segment")
 
     def vocabulary(self, include_fields: bool = False) -> np.ndarray:
         """Sorted union of segment terms (the multi-term rewrite target;

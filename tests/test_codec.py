@@ -154,3 +154,59 @@ def test_build_segment_postings_large_random():
             if row["term"] in docs[d]
         ]
         assert [(int(a), int(b)) for a, b in zip(p.docids, p.tfs)] == expected
+
+
+def test_offsets_stream_roundtrip():
+    """off/offlen streams: encode via build_segment_postings, decode via
+    TermPostings.flat_offsets and decode_segment_pairs — exact roundtrip."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.codec.postings_codec import (
+        build_segment_postings,
+        decode_segment_pairs,
+        decode_term_postings,
+    )
+
+    rng = np.random.default_rng(5)
+    n_docs, n_tok = 40, 2000
+    row_idx = np.sort(rng.integers(0, n_docs, n_tok)).astype(np.int64)
+    terms = pa.array(rng.choice([f"t{i}" for i in range(30)], n_tok), type=pa.string())
+    # positions/starts ascend within a row
+    pos = np.zeros(n_tok, dtype=np.int32)
+    starts = np.zeros(n_tok, dtype=np.int32)
+    p = s = 0
+    for i in range(n_tok):
+        if i and row_idx[i] != row_idx[i - 1]:
+            p = s = 0
+        pos[i], starts[i] = p, s
+        p += 1
+        s += int(rng.integers(1, 12))
+    lens = rng.integers(1, 9, n_tok).astype(np.int32)
+    norms = np.full(n_docs, 50, dtype=np.uint8)
+    table, _ = build_segment_postings(
+        row_idx, terms, pos, n_docs, norms, tok_starts=starts, tok_lens=lens
+    )
+    # per-term decode matches the raw triples
+    want = {}
+    for r, t, st, L in zip(row_idx, terms.to_pylist(), starts, lens):
+        want.setdefault(t, []).append((int(r), int(st), int(L)))
+    rows = {
+        table.column("term")[i].as_py(): {
+            c: table.column(c)[i].as_py() for c in table.column_names
+        }
+        for i in range(table.num_rows)
+    }
+    for t, triples in want.items():
+        tp = decode_term_postings(rows[t])
+        assert tp.has_offsets
+        d_rep, st_abs, ln = tp.flat_offsets()
+        got = sorted(zip(d_rep.tolist(), st_abs.tolist(), ln.tolist()))
+        assert got == sorted(triples), t
+    # whole-table decode roundtrip (the merge path input)
+    _terms, df, pdoc, ptf, pdelta, odelta, olen = decode_segment_pairs(
+        table, with_positions=True, with_offsets=True
+    )
+    assert int(df.sum()) == len(pdoc)
+    assert len(odelta) == n_tok and len(olen) == n_tok
+    assert olen.sum() == lens.sum()

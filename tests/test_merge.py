@@ -293,5 +293,8 @@ def test_streaming_merge_bounded_rss(tmp_path):
     assert res["postings"] == 3 * 15_000 * 100
     assert res["unique_terms"] == 15_000
     # interpreter + numpy/pyarrow imports are ~170 MB; the whole-segment
-    # decode path peaked >600 MB on this input. Generous noise margin:
-    assert res["rss_mb"] < 420, f"merge RSS {res['rss_mb']:.0f} MB — not streaming"
+    # decode path peaked >600 MB on this input. The child peaks ~270 MB
+    # standalone but ~430 MB when the full suite's Ray session loads the
+    # host (allocator behavior under memory pressure) — the margin must
+    # clear the in-suite number while still rejecting whole-segment decode:
+    assert res["rss_mb"] < 520, f"merge RSS {res['rss_mb']:.0f} MB — not streaming"
