@@ -1007,6 +1007,120 @@ WITH t AS (
 """
 
 
+def _interval_queries():
+    """The gated intervals-source shapes (built lazily — intervals import).
+    Doc-set SQL equivalences, proven per shape:
+      - ordered/unordered of TERMS + maxgaps/maxwidth: a valid position
+        combo exists iff a MINIMAL interval passes the filter (minimal
+        intervals nest inside any valid combo and only shrink width/gaps),
+        so the oracle is a plain positional EXISTS join.
+      - containing / contained_by / not_containing: minimality is load-
+        bearing (a wide pair can contain the probe term while every minimal
+        pair misses it), so the oracle materializes MINIMAL (s, e) pairs
+        with a NOT-EXISTS-nested-pair subquery before the containment
+        predicate — the same algebra the engine runs."""
+    from lucene_ray.search import intervals as iv
+
+    return [
+        # (qid, source)
+        (0, iv.maxgaps(3, iv.ordered("merge", "sort"))),
+        (1, iv.maxwidth(8, iv.unordered("batch", "window", "key"))),
+        (2, iv.phrase("merge", "sort")),
+        (3, iv.or_(iv.phrase("merge", "sort"), iv.term("window"))),
+        (4, iv.containing(iv.maxwidth(12, iv.unordered("merge", "sort")), iv.term("key"))),
+        (5, iv.contained_by(iv.term("key"), iv.maxwidth(20, iv.unordered("merge", "sort")))),
+        (6, iv.not_containing(iv.maxwidth(12, iv.unordered("merge", "sort")), iv.term("key"))),
+    ]
+
+
+def intervals_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): minimal-interval algebra doc sets through the engine
+    (queries/.../intervals/ combinators: ordered, unordered, phrase, or,
+    maxgaps, maxwidth, containing, contained_by, not_containing).
+    Float-free, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, IntervalQuery
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, src in _interval_queries():
+        td = s.search(BooleanQuery(should=[IntervalQuery(src)]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def intervals_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    # minimal unordered (merge, sort) pairs: no other pair nested inside
+    minpairs = """
+pairs AS (
+  SELECT ta.doc_id, least(ta.pos, tb.pos) AS s, greatest(ta.pos, tb.pos) AS e
+  FROM tok ta JOIN tok tb ON ta.doc_id = tb.doc_id
+  WHERE ta.term = 'merge' AND tb.term = 'sort'
+),
+minpairs AS (
+  SELECT DISTINCT p.doc_id, p.s, p.e FROM pairs p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs q
+    WHERE q.doc_id = p.doc_id AND q.s >= p.s AND q.e <= p.e
+      AND (q.s <> p.s OR q.e <> p.e)
+  )
+)"""
+    parts = [
+        # q0: ordered(merge, sort) maxgaps 3  (naive EXISTS — see proof note)
+        "SELECT DISTINCT 0 AS qid, ta.doc_id AS docid FROM tok ta "
+        "JOIN tok tb ON tb.doc_id = ta.doc_id AND tb.term = 'sort' "
+        "AND tb.pos > ta.pos AND tb.pos - ta.pos - 1 <= 3 "
+        "WHERE ta.term = 'merge'",
+        # q1: unordered(batch, window, key) maxwidth 8
+        "SELECT DISTINCT 1 AS qid, ta.doc_id AS docid FROM tok ta "
+        "JOIN tok tb ON tb.doc_id = ta.doc_id AND tb.term = 'window' "
+        "JOIN tok tc ON tc.doc_id = ta.doc_id AND tc.term = 'key' "
+        "WHERE ta.term = 'batch' AND "
+        "greatest(ta.pos, tb.pos, tc.pos) - least(ta.pos, tb.pos, tc.pos) + 1 <= 8",
+        # q2: phrase(merge, sort)
+        "SELECT DISTINCT 2 AS qid, ta.doc_id AS docid FROM tok ta "
+        "JOIN tok tb ON tb.doc_id = ta.doc_id AND tb.term = 'sort' "
+        "AND tb.pos = ta.pos + 1 WHERE ta.term = 'merge'",
+        # q3: or_(phrase(merge, sort), term(window))
+        "SELECT DISTINCT 3 AS qid, docid FROM ("
+        "SELECT ta.doc_id AS docid FROM tok ta "
+        "JOIN tok tb ON tb.doc_id = ta.doc_id AND tb.term = 'sort' "
+        "AND tb.pos = ta.pos + 1 WHERE ta.term = 'merge' "
+        "UNION ALL SELECT doc_id FROM tok WHERE term = 'window')",
+        # q4: containing(maxwidth(12, unordered(merge, sort)), key)
+        "SELECT DISTINCT 4 AS qid, m.doc_id AS docid FROM minpairs m "
+        "JOIN tok tk ON tk.doc_id = m.doc_id AND tk.term = 'key' "
+        "AND tk.pos BETWEEN m.s AND m.e WHERE m.e - m.s + 1 <= 12",
+        # q5: contained_by(key, maxwidth(20, unordered(merge, sort)))
+        "SELECT DISTINCT 5 AS qid, m.doc_id AS docid FROM minpairs m "
+        "JOIN tok tk ON tk.doc_id = m.doc_id AND tk.term = 'key' "
+        "AND tk.pos BETWEEN m.s AND m.e WHERE m.e - m.s + 1 <= 20",
+        # q6: not_containing(maxwidth(12, unordered(merge, sort)), key)
+        "SELECT DISTINCT 6 AS qid, m.doc_id AS docid FROM minpairs m "
+        "WHERE m.e - m.s + 1 <= 12 AND NOT EXISTS ("
+        "SELECT 1 FROM tok tk WHERE tk.doc_id = m.doc_id "
+        "AND tk.term = 'key' AND tk.pos BETWEEN m.s AND m.e)",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+),
+{minpairs.strip()}
+{union}
+"""
+
+
 GROUP_QUERIES: list[tuple[int, str, str]] = [
     # (qid, query, group field) — documents_as_corpus maps lang->lang,
     # source->repo; within-group sort field is the n_chars doc value

@@ -42,6 +42,7 @@ from lucene_ray.search.query import (
     PointRangeQuery,
     PrefixQuery,
     RegexpQuery,
+    IntervalQuery,
     SpanNearQuery,
     SynonymQuery,
     TermInSetQuery,
@@ -118,7 +119,7 @@ def build_scorers(
     for q in flat_clauses(bq):
         if isinstance(q, TermQuery):
             scorers[q] = sim.scorer(stats[q.term][0], doc_count, sum_ttf, boost=q.boost)
-        elif isinstance(q, (PhraseQuery, SpanNearQuery, MultiPhraseQuery)):
+        elif isinstance(q, (PhraseQuery, SpanNearQuery, MultiPhraseQuery, IntervalQuery)):
             # MultiPhrase: idf summed over EVERY term in every slot
             # (MultiPhraseQuery.MultiPhraseWeight idfExplain over all stats)
             dfs = [stats[t][0] for t in q.terms]

@@ -84,6 +84,26 @@ class SpanNearQuery:
 
 
 @dataclass(frozen=True)
+class IntervalQuery:
+    """Minimal-interval algebra query (queries/.../intervals/IntervalQuery
+    .java): ``source`` is an intervals-source tree built with the factory
+    helpers in search/intervals.py (term/ordered/unordered/phrase/or_/
+    maxgaps/maxwidth/containing/contained_by + not_ complements). Doc sets
+    are oracle-checked; freq = number of minimal intervals, scored like a
+    phrase (engine-defined — the reference's 1/(1+width) weight is not
+    ported, same stance as SpanNearQuery)."""
+
+    source: object
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple:
+        from lucene_ray.search.intervals import source_terms
+
+        return source_terms(self.source)
+
+
+@dataclass(frozen=True)
 class SynonymQuery:
     """Multiple terms scored as ONE pseudo-term: per-doc tf = sum over
     synonyms, df = max over synonyms (search/SynonymQuery.java:50 blended

@@ -41,6 +41,7 @@ from lucene_ray.search.query import (
     NestedBooleanQuery,
     PhraseQuery,
     PointRangeQuery,
+    IntervalQuery,
     SpanNearQuery,
     FeatureQuery,
     FunctionScoreQuery,
@@ -621,6 +622,19 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
         elif isinstance(q, MultiPhraseQuery):
             docids, freqs = _qcache(
                 reader, q, lambda: _multi_phrase_postings(reader, q.slots)
+            )
+            if len(docids) == 0:
+                continue
+            sc = scorers[q]
+            ms = float(
+                sc.score(freqs.astype(np.float32), reader.norm_bytes[docids]).max()
+            )
+            out.append(_Clause(q, None, sc, (docids, freqs), max_score=ms))
+        elif isinstance(q, IntervalQuery):
+            from lucene_ray.search.intervals import interval_postings
+
+            docids, freqs = _qcache(
+                reader, q, lambda: interval_postings(reader, q.source)
             )
             if len(docids) == 0:
                 continue
