@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_engine": bm25docs.group_engine,
         "span_engine": bm25docs.span_engine,
         "intervals_engine": bm25docs.intervals_engine,
+        "indexsort_engine": bm25docs.indexsort_engine,
         "count_engine": bm25docs.count_engine,
         "complete_engine": bm25docs.complete_engine,
         # --- analysis chain + aggregations (§2.2/2.5)
@@ -130,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "group_engine": bm25docs.group_engine_sql(),
         "span_engine": bm25docs.span_engine_sql(),
         "intervals_engine": bm25docs.intervals_engine_sql(),
+        "indexsort_engine": bm25docs.indexsort_engine_sql(),
         "count_engine": bm25docs.count_engine_sql(),
         "complete_engine": bm25docs.complete_engine_sql(),
         "term_stats": text.term_stats_sql(),

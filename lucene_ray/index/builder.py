@@ -126,9 +126,19 @@ def build_one_segment(
     analyzer_name: str = "code",
     index_options: str = "positions",
     keyword_fields: tuple | None = None,
+    index_sort: tuple | None = None,
 ) -> SegmentEntry:
     """Build one segment from its input row groups. Pure + idempotent
-    (writes only under its own segment dir; atomic entry.json last)."""
+    (writes only under its own segment dir; atomic entry.json last).
+
+    ``index_sort`` = (numeric_dv_field, "asc"|"desc"): permute the
+    segment's rows by the field BEFORE docid assignment
+    (IndexWriterConfig.setIndexSort + index/IndexSorter.java sort-at-flush)
+    — within the segment, docid order IS sort order, enabling the
+    early-terminating sorted collector (engine.search_sorted). Divergence
+    from the reference, documented: MERGES concatenate sorted runs instead
+    of re-sorting (Lucene renumbers docids at merge; ours are stable
+    engine output), so a merged segment carries multiple sorted_runs."""
     existing = read_entry(index_dir, spec.name)
     if existing is not None and existing.input.get("fingerprint") == spec.fingerprint:
         return existing
@@ -141,6 +151,33 @@ def build_one_segment(
     )
     n = table.num_rows
     assert n == spec.n_docs, f"footer said {spec.n_docs} rows, read {n}"
+
+    sorted_runs = None
+    if index_sort is not None:
+        import pyarrow.compute as pc
+
+        from lucene_ray.config import NUMERIC_DV_FIELDS
+
+        fld, direction = index_sort
+        if fld not in NUMERIC_DV_FIELDS or direction not in ("asc", "desc"):
+            raise ValueError(f"unsupported index_sort: {index_sort}")
+        if fld != "n_chars":
+            # the key expression below must mirror the dv_cols definition
+            # of the field; only n_chars exists today
+            raise ValueError("index_sort supports the n_chars doc value")
+        key = (
+            pc.fill_null(
+                pc.utf8_length(table.column("content").combine_chunks()).cast(pa.int64()), 0
+            ).to_numpy(zero_copy_only=False)
+        )
+        if direction == "desc":
+            key = -key
+        # stable by source row: within equal keys, docids keep corpus order
+        # (so global docid-asc tie-breaks equal doc_id-asc in the oracle)
+        perm = np.lexsort((np.arange(n), key))
+        table = table.take(perm)
+        sorted_runs = [[0, n]]
+
     content = table.column("content").combine_chunks()
 
     analyzer = get_analyzer(analyzer_name)
@@ -275,6 +312,7 @@ def build_one_segment(
             "postings_per_sec": round(postings_pairs / secs, 1),
             "tokens": int(stats["sum_ttf"]),
         },
+        sorted_runs=sorted_runs,
     )
     write_entry(index_dir, entry)
     return entry
@@ -288,6 +326,7 @@ def build_index(
     concurrency: int | None = None,
     index_options: str = "positions",
     keyword_fields: tuple | None = None,
+    index_sort: tuple | None = None,
 ) -> Manifest:
     """Build (or resume) the whole index with Ray Data.
 
@@ -310,6 +349,9 @@ def build_index(
         if (analyzer_name, index_options) == ("code", "positions")
         else f"{analyzer_name}:{index_options}"
     )
+    if index_sort is not None:
+        index_sort = (str(index_sort[0]), str(index_sort[1]))
+        variant = f"{variant or 'code:positions'}:sort={index_sort[0]}:{index_sort[1]}"
     specs = plan_segments(input_paths, target_docs, variant)
     todo = []
     done: list[SegmentEntry] = []
@@ -336,7 +378,8 @@ def build_index(
                     variant=str(batch["variant"][i]),
                 )
                 entry = build_one_segment(
-                    spec, index_dir, analyzer_name, index_options, keyword_fields
+                    spec, index_dir, analyzer_name, index_options,
+                    keyword_fields, index_sort,
                 )
                 out.append(_json.dumps(entry.__dict__))
             return {"entry": np.array(out)}
@@ -389,6 +432,7 @@ def build_index(
     manifest = Manifest(
         generation=(prev.generation + 1 if prev else 1),
         analyzer=analyzer_name,
+        index_sort=list(index_sort) if index_sort else None,
         doc_count=sum(e.doc_count for e in done),
         sum_ttf=sum(e.sum_ttf for e in done),
         segments=done,

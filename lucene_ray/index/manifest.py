@@ -52,6 +52,14 @@ class SegmentEntry:
     # reclaimed and sum_ttf was recomputed from the kept postings, so the
     # stats equal a fresh index of the live docs.
     reclaimed: int = 0
+    # index-time sorting (IndexWriterConfig.setIndexSort /
+    # index/IndexSorter.java): [start, end) LOCAL docid ranges each sorted
+    # by the manifest's index_sort field. A fresh build = one run; adjacent
+    # merges CONCATENATE runs instead of re-sorting (stable-docid
+    # divergence from Lucene's merge-time re-sort, documented in
+    # builder.py) — the early-terminating collector scans per run. None =
+    # unsorted segment.
+    sorted_runs: list | None = None
 
 
 @dataclass
@@ -61,6 +69,9 @@ class Manifest:
     doc_count: int
     sum_ttf: int
     segments: list  # list[SegmentEntry]
+    # [field, "asc"|"desc"] when built with index_sort (IndexWriterConfig
+    # .setIndexSort); None = docids follow corpus order
+    index_sort: list | None = None
 
     @property
     def live_segments(self) -> list:

@@ -581,10 +581,24 @@ def merge_segments(
         os.path.getsize(os.path.join(d, f))
         for f in ("postings.parquet", "norms.parquet", "stored.parquet")
     )
+    # index sorting: adjacent merges CONCATENATE the inputs' sorted runs
+    # (stable docids forbid the reference's merge-time re-sort,
+    # index/IndexSorter.java — builder.py documents the divergence). A DV
+    # update may have broken an input's sort invariant: drop the runs.
+    sorted_runs = None
+    if all(getattr(e, "sorted_runs", None) for e in entries) and not any(
+        getattr(e, "dv_gen", 0) > 0 for e in entries
+    ):
+        sorted_runs = [
+            [off + r[0], off + r[1]]
+            for e, off in zip(entries, offsets)
+            for r in e.sorted_runs
+        ]
     entry = SegmentEntry(
         name=name,
         docid_base=new_base,
         doc_count=doc_count,
+        sorted_runs=sorted_runs,
         sum_ttf=sum_ttf,
         unique_terms=unique_terms,
         bytes=seg_bytes,
@@ -627,6 +641,7 @@ def maybe_merge(
         manifest = Manifest(
             generation=manifest.generation + 1,
             analyzer=manifest.analyzer,
+            index_sort=getattr(manifest, "index_sort", None),
             doc_count=sum(e.doc_count for e in keep),
             sum_ttf=sum(e.sum_ttf for e in keep),
             segments=keep,
@@ -656,6 +671,7 @@ def force_merge(index_dir: str, use_ray: bool = False) -> Manifest:
         manifest = Manifest(
             generation=manifest.generation + 1,
             analyzer=manifest.analyzer,
+            index_sort=getattr(manifest, "index_sort", None),
             doc_count=sum(e.doc_count for e in live),
             sum_ttf=sum(e.sum_ttf for e in live),
             segments=live,

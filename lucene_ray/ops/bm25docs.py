@@ -508,6 +508,78 @@ WITH tok AS (
 """
 
 
+def _engine_index_sorted(sf_dir: str) -> str:
+    """Index of the documents table built with index_sort=(n_chars, desc)
+    (IndexWriterConfig.setIndexSort) — docids permuted to value order, so
+    gates recover doc_id through the stored path ('doc/<doc_id>')."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_index_sorted_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index(
+        [corpus_path], ix, target_docs=8192, index_sort=("n_chars", "desc")
+    )
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+def indexsort_engine(sf_dir: str, k: int = 40) -> pa.Table:
+    """(qid, rank, docid, n_chars): index-time sorting
+    (index/IndexSorter.java) — qid 0 rides the early-terminating sorted
+    collector (query direction == index direction, k matches per sorted
+    run); qid 1 queries the OPPOSITE direction on the same sorted index
+    (transparent fallback). docid is the logical doc_id recovered from
+    stored fields (engine docids are permuted on a sorted index).
+    Float-free, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher, fetch_stored, search_sorted
+
+    ix = _engine_index_sorted(sf_dir)
+    s = IndexSearcher(ix)
+    out = {"qid": [], "rank": [], "docid": [], "n_chars": []}
+    for qid, term, asc in ((0, "merge", False), (1, "window", True)):
+        td = search_sorted(s, term, "n_chars", k=k, ascending=asc)
+        stored = fetch_stored(s.reader, td.docids)
+        doc_ids = [int(p.split("/")[1]) for p in stored.column("path").to_pylist()]
+        out["qid"].extend([qid] * len(doc_ids))
+        out["rank"].extend(range(len(doc_ids)))
+        out["docid"].extend(doc_ids)
+        out["n_chars"].extend(int(v) for v in td.values)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "docid": pa.array(out["docid"], type=pa.int64()),
+            "n_chars": pa.array(out["n_chars"], type=pa.int64()),
+        }
+    )
+
+
+def indexsort_engine_sql(k: int = 40) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term, direction in ((0, "merge", "DESC"), (1, "window", "ASC")):
+        parts.append(f"""
+SELECT {qid} AS qid,
+       (row_number() OVER (ORDER BY length(text) {direction}, doc_id ASC) - 1)::INTEGER AS rank,
+       doc_id AS docid, length(text)::BIGINT AS n_chars
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+QUALIFY rank < {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 SUGGEST_INPUTS: list[tuple[int, str]] = [
     (0, "mrege"),   # transposed 'merge'
     (1, "windoe"),  # 'window' with a substitution

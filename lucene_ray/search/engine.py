@@ -348,13 +348,63 @@ def search_sorted(
     tie-break. Numeric fields read NUMERIC doc values; string fields read
     the stored keyword column and compare by ordinal — SortField.Type.STRING
     semantics (BytesRef ordinal comparator, search/comparators/
-    TermOrdValComparator.java). No index sorting; the sort runs over
-    matches only."""
+    TermOrdValComparator.java).
+
+    On an index built with ``index_sort`` matching (field, direction), the
+    early-terminating collector runs instead (TopFieldCollector's
+    canEarlyTerminate path, search/TopFieldCollector.java:70-90 +
+    index/IndexSorter.java): within each sorted run, docid order IS sort
+    order, so only the first k matches per run are kept before the
+    cross-run merge — per shard the candidate set is O(k·runs), not
+    O(matches). Falls back transparently for the opposite direction, a
+    different field, or segments whose sort invariant was broken by a DV
+    update (entry.sorted_runs dropped)."""
     td = searcher.search(query, k=1 << 62)
     if len(td.docids) == 0:
         return SortedTopDocs(td.docids, td.scores, td.total_hits, td.docids[:0])
     first = searcher.reader.segments[0]
     dv_schema = searcher.reader.segment_reader(first.name).doc_values_schema()
+
+    isort = getattr(searcher.reader.manifest, "index_sort", None)
+    if (
+        isort
+        and isort[0] == field
+        and (isort[1] == "asc") == ascending
+        and field in dv_schema
+    ):
+        order0 = np.argsort(td.docids)
+        docs_sorted = td.docids[order0]
+        scores_sorted = td.scores[order0]
+        keep_parts = []
+        for entry in searcher.reader.segments:
+            runs = getattr(entry, "sorted_runs", None)
+            if runs and getattr(entry, "dv_gen", 0) == 0:
+                for rs, re_ in runs:
+                    a = int(np.searchsorted(docs_sorted, entry.docid_base + rs))
+                    b = int(np.searchsorted(docs_sorted, entry.docid_base + re_))
+                    # docid asc == requested order inside a run: the first
+                    # k matches dominate every later one (ties included —
+                    # equal keys tie-break docid asc)
+                    keep_parts.append(np.arange(a, min(b, a + k)))
+            else:
+                a = int(np.searchsorted(docs_sorted, entry.docid_base))
+                b = int(
+                    np.searchsorted(
+                        docs_sorted, entry.docid_base + entry.doc_count
+                    )
+                )
+                keep_parts.append(np.arange(a, b))
+        sel = np.concatenate(keep_parts) if keep_parts else np.arange(0)
+        cand_docs = docs_sorted[sel]
+        cand_scores = scores_sorted[sel]
+        vals = fetch_doc_values(searcher.reader, cand_docs, field)
+        key = vals if ascending else -vals
+        order = np.lexsort((cand_docs, key))[:k]
+        return SortedTopDocs(
+            cand_docs[order], cand_scores[order], td.total_hits, vals[order],
+            td.relation,
+        )
+
     if field in dv_schema:
         vals = fetch_doc_values(searcher.reader, td.docids, field)
         key = vals if ascending else -vals
