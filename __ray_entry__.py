@@ -27,6 +27,12 @@ def entry() -> Any:
     return run_flagship(n_docs=1000)
 
 
+def _knn_hnsw(sf_dir: str) -> Any:
+    from lucene_ray.ops import hnsw
+
+    return hnsw.knn_hnsw(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
@@ -88,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": knn.knn_bruteforce,
         "knn_lsh": knn.knn_lsh,
         "knn_ivf": knn.knn_ivf_exact,
+        "knn_hnsw": _knn_hnsw,
         "knn_filtered": knn.knn_filtered,
         # --- relational / windowed demos (engine breadth)
         "q1_pricing": relational.q1_pricing,
@@ -162,6 +169,10 @@ def oracle_sql() -> dict[str, str]:
         # partition-pruned read; see knn_ivf_exact docstring); approximate
         # recall-vs-nprobe is pinned in pytest
         "knn_ivf": knn.knn_bruteforce_sql(),
+        # HNSW at the gate ef (128) is rank-identical to brute force on the
+        # gate corpora (verified at sf0.001/0.01/0.1); low-ef approximate
+        # recall is pinned in tests/test_hnsw.py
+        "knn_hnsw": knn.knn_bruteforce_sql(),
         "knn_filtered": knn.knn_filtered_sql(),
         "q1_pricing": relational.q1_pricing_sql(),
         "top_orders": relational.top_orders_sql(),

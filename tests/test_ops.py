@@ -173,6 +173,13 @@ class TestKnn:
         # nprobe = nlist probes every list -> exact (the driver-gate mode)
         assert_same(knn.knn_ivf_exact(SF), con, knn.knn_bruteforce_sql())
 
+    def test_hnsw_gate_matches_bruteforce(self, con):
+        from lucene_ray.ops import hnsw, knn
+
+        # gate ef (128) is rank-identical to brute force on this corpus;
+        # graph/recall internals live in tests/test_hnsw.py
+        assert_same(hnsw.knn_hnsw(SF), con, knn.knn_bruteforce_sql())
+
     def test_ivf_recall_grows_with_nprobe(self):
         from lucene_ray.ops import knn
 
