@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dvupdate_engine": bm25docs.dvupdate_engine,
         "field_engine": bm25docs.field_engine,
         "points_engine": bm25docs.points_engine,
+        "spatial_engine": bm25docs.spatial_engine,
         "sort_engine": bm25docs.sort_engine,
         "facet_engine": bm25docs.facet_engine,
         "taxfacet_engine": bm25docs.taxfacet_engine,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "dvupdate_engine": bm25docs.dvupdate_engine_sql(),
         "field_engine": bm25docs.field_engine_sql(),
         "points_engine": bm25docs.points_engine_sql(),
+        "spatial_engine": bm25docs.spatial_engine_sql(),
         "sort_engine": bm25docs.sort_engine_sql(),
         "facet_engine": bm25docs.facet_engine_sql(),
         "taxfacet_engine": bm25docs.taxfacet_engine_sql(),

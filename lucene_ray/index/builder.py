@@ -127,9 +127,15 @@ def build_one_segment(
     index_options: str = "positions",
     keyword_fields: tuple | None = None,
     index_sort: tuple | None = None,
+    point2d_fields: tuple | None = None,
 ) -> SegmentEntry:
     """Build one segment from its input row groups. Pure + idempotent
     (writes only under its own segment dir; atomic entry.json last).
+
+    ``point2d_fields``: names of 2-D geo point fields (LatLonPoint.java
+    analog) resolved through search.spatial.POINT2D_DERIVERS; each writes
+    a Morton-sorted ``spatial.parquet`` sidecar with BKD-leaf-sized row
+    groups (search/spatial.py layout).
 
     ``index_sort`` = (numeric_dv_field, "asc"|"desc"): permute the
     segment's rows by the field BEFORE docid assignment
@@ -281,6 +287,24 @@ def build_one_segment(
             )
         )
     pq.write_table(pa.concat_tables(pt_parts), os.path.join(d, "points.parquet"))
+    if point2d_fields:
+        from lucene_ray.search.spatial import (
+            POINT2D_DERIVERS,
+            SPATIAL_ROW_GROUP,
+            build_spatial_table,
+        )
+
+        gdoc = spec.docid_base + np.arange(n, dtype=np.int64)
+        local = np.arange(n, dtype=np.int64)
+        sp_fields = {}
+        for f in point2d_fields:
+            lat, lon = POINT2D_DERIVERS[f](table, gdoc)
+            sp_fields[f] = (lat, lon, local)
+        pq.write_table(
+            build_spatial_table(sp_fields),
+            os.path.join(d, "spatial.parquet"),
+            row_group_size=SPATIAL_ROW_GROUP,
+        )
     stored = table.select(STORED_COLUMNS).append_column(
         "content_sha256", _sha256_column(content)
     )
@@ -327,6 +351,7 @@ def build_index(
     index_options: str = "positions",
     keyword_fields: tuple | None = None,
     index_sort: tuple | None = None,
+    point2d_fields: tuple | None = None,
 ) -> Manifest:
     """Build (or resume) the whole index with Ray Data.
 
@@ -352,6 +377,9 @@ def build_index(
     if index_sort is not None:
         index_sort = (str(index_sort[0]), str(index_sort[1]))
         variant = f"{variant or 'code:positions'}:sort={index_sort[0]}:{index_sort[1]}"
+    if point2d_fields:
+        point2d_fields = tuple(str(f) for f in point2d_fields)
+        variant = f"{variant or 'code:positions'}:geo={','.join(point2d_fields)}"
     specs = plan_segments(input_paths, target_docs, variant)
     todo = []
     done: list[SegmentEntry] = []
@@ -379,7 +407,7 @@ def build_index(
                 )
                 entry = build_one_segment(
                     spec, index_dir, analyzer_name, index_options,
-                    keyword_fields, index_sort,
+                    keyword_fields, index_sort, point2d_fields,
                 )
                 out.append(_json.dumps(entry.__dict__))
             return {"entry": np.array(out)}

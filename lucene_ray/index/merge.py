@@ -566,6 +566,40 @@ def merge_segments(
             ),
             os.path.join(d, "points.parquet"),
         )
+    # 2-D geo sidecar (search/spatial.py): concat with docid rebase, drop
+    # tombstones, re-sort by (field, morton, docid), rewrite with BKD-leaf
+    # row groups so pruning granularity survives the merge
+    sp_paths = [
+        os.path.join(segment_dir(index_dir, e.name), "spatial.parquet")
+        for e in entries
+    ]
+    if all(os.path.exists(p) for p in sp_paths):
+        from lucene_ray.search.spatial import SPATIAL_ROW_GROUP
+
+        sp_parts = []
+        for i, p in enumerate(sp_paths):
+            t = pq.read_table(p)
+            docs = t.column("docid").to_numpy(zero_copy_only=False) + offsets[i]
+            sp_parts.append(t.set_column(
+                t.schema.get_field_index("docid"),
+                "docid",
+                pa.array(docs, type=pa.int64()),
+            ))
+        sp = pa.concat_tables(sp_parts)
+        f_dict = sp.column("field").combine_chunks().dictionary_encode()
+        f_codes = f_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        m_np = sp.column("morton").to_numpy(zero_copy_only=False)
+        d_np = sp.column("docid").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(d_np), dtype=bool)
+        if live_merged is not None:
+            keep = live_merged[d_np]
+        o = np.lexsort((d_np, m_np, f_codes))
+        o = o[keep[o]]
+        pq.write_table(
+            sp.take(pa.array(o)),
+            os.path.join(d, "spatial.parquet"),
+            row_group_size=SPATIAL_ROW_GROUP,
+        )
     del_gen, del_count, reclaimed = 0, 0, 0
     if any_deletes:
         del_count = int((~live_merged).sum())

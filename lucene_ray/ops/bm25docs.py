@@ -450,6 +450,114 @@ WITH tok AS (
 """
 
 
+def _engine_index_geo(sf_dir: str) -> str:
+    """Build (or reuse) the documents index WITH the 2-D geo point field
+    (point2d_fields=("loc",) — LatLonPoint analog; search/spatial.py). A
+    separate cache dir so the default index stays sidecar-free; the merge
+    pass exercises the spatial fold."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_geo_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192, point2d_fields=("loc",))
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+SPATIAL_QUERIES: list[tuple] = [
+    # ("box", qid, lat_lo, lat_hi, lon_lo, lon_hi, extra MUST term | None)
+    # ("dist", qid, lat, lon, radius_m, extra MUST term | None)
+    ("box", 0, -30.0, 30.0, -60.0, 60.0, None),
+    ("box", 1, 10.0, 45.5, 100.0, 170.25, None),
+    ("box", 2, -90.0, -50.0, -180.0, -90.0, "merge"),
+    ("dist", 3, 37.7749, -122.4194, 3_000_000.0, None),
+    ("dist", 4, -33.8688, 151.2093, 5_000_000.0, None),
+    ("dist", 5, 51.5074, -0.1278, 1_500_000.0, "index"),
+]
+
+
+def spatial_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): LatLonPoint-style box and great-circle-distance
+    filters through the real engine (Morton-sorted sidecar, row-group BKD
+    pruning, exact raw-double filter), optionally composed with a content
+    TermQuery. The synthetic ``loc`` field derives from docid by
+    integer-exact arithmetic (search/spatial.py synth_lat/lon), so the
+    DuckDB oracle reproduces it from doc_id."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        LatLonBoxQuery,
+        LatLonDistanceQuery,
+        TermQuery,
+    )
+
+    ix = _engine_index_geo(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for spec in SPATIAL_QUERIES:
+        if spec[0] == "box":
+            _, qid, la, lb, oa, ob, term = spec
+            must = [LatLonBoxQuery("loc", la, lb, oa, ob)]
+        else:
+            _, qid, la, lo, r, term = spec
+            must = [LatLonDistanceQuery("loc", la, lo, r)]
+        if term:
+            must.append(TermQuery(term))
+        td = s.search(BooleanQuery(must=must), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def spatial_engine_sql() -> str:
+    from lucene_ray.search.spatial import (
+        haversine_sql,
+        synth_lat_sql,
+        synth_lon_sql,
+    )
+
+    toks = tokenize_sql_expr("text")
+    lat_e, lon_e = synth_lat_sql("doc_id"), synth_lon_sql("doc_id")
+    parts = []
+    for spec in SPATIAL_QUERIES:
+        if spec[0] == "box":
+            _, qid, la, lb, oa, ob, term = spec
+            conds = [
+                f"({lat_e}) >= {la!r}",
+                f"({lat_e}) <= {lb!r}",
+                f"({lon_e}) >= {oa!r}",
+                f"({lon_e}) <= {ob!r}",
+            ]
+        else:
+            _, qid, la, lo, r, term = spec
+            conds = [f"({haversine_sql(lat_e, lon_e, la, lo)}) <= {r!r}"]
+        if term:
+            conds.append(
+                f"doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')"
+            )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents WHERE "
+            + " AND ".join(conds)
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 def sort_engine(sf_dir: str, k: int = 20) -> pa.Table:
     """(qid, rank, docid): sort-by-field search (TopFieldCollector) — docs
     matching a term ordered by the n_chars doc value, desc and asc, docid

@@ -40,6 +40,8 @@ from lucene_ray.search.query import (
     NestedBooleanQuery,
     PhraseQuery,
     PointRangeQuery,
+    LatLonBoxQuery,
+    LatLonDistanceQuery,
     PrefixQuery,
     RegexpQuery,
     IntervalQuery,
@@ -128,7 +130,16 @@ def build_scorers(
             # blended stats: df = max over synonyms (SynonymQuery.java:50)
             df = max((stats[t][0] for t in q.terms), default=0)
             scorers[q] = sim.scorer(df, doc_count, sum_ttf, boost=q.boost)
-        elif isinstance(q, (MatchAllDocsQuery, ConstantScoreQuery, PointRangeQuery)):
+        elif isinstance(
+            q,
+            (
+                MatchAllDocsQuery,
+                ConstantScoreQuery,
+                PointRangeQuery,
+                LatLonBoxQuery,
+                LatLonDistanceQuery,
+            ),
+        ):
             scorers[q] = ConstantScorer(q.boost)
     return scorers
 

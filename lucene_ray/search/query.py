@@ -218,6 +218,33 @@ class PointRangeQuery:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class LatLonBoxQuery:
+    """2-D geo box filter, bounds INCLUSIVE on raw float64, constant score
+    (document/LatLonPoint.java newBoxQuery over the Morton-sorted
+    spatial.parquet sidecar; search/spatial.py). No antimeridian wrap."""
+
+    field: str
+    lat_lo: float
+    lat_hi: float
+    lon_lo: float
+    lon_hi: float
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class LatLonDistanceQuery:
+    """Great-circle radius filter, INCLUSIVE, constant score
+    (LatLonPoint.newDistanceQuery: bounding-box BKD prune + exact
+    haversine; search/spatial.py)."""
+
+    field: str
+    lat: float
+    lon: float
+    radius_m: float
+    boost: float = 1.0
+
+
 @dataclass
 class BooleanQuery:
     must: list = field(default_factory=list)

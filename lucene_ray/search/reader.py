@@ -287,6 +287,82 @@ class SegmentReader:
         hi = len(vals) if upper is None else int(np.searchsorted(vals, upper, side="right"))
         return np.sort(docs[lo:hi]).astype(np.int64)
 
+    def _spatial_file(self):
+        """Lazy footer-only open of the 2-D points sidecar: per-row-group
+        (morton min/max, field min/max) statistics are the BKD inner-node
+        bounds the box/distance walks prune with."""
+        if not hasattr(self, "_spatial_pf"):
+            path = os.path.join(self.seg_dir, "spatial.parquet")
+            if not os.path.exists(path):
+                self._spatial_pf, self._spatial_rg = None, []
+            else:
+                self._spatial_pf = pq.ParquetFile(path)
+                md = self._spatial_pf.metadata
+                names = [md.schema.column(i).name for i in range(md.num_columns)]
+                mi, fi = names.index("morton"), names.index("field")
+                self._spatial_rg = []
+                for g in range(md.num_row_groups):
+                    ms = md.row_group(g).column(mi).statistics
+                    fs = md.row_group(g).column(fi).statistics
+                    self._spatial_rg.append((ms.min, ms.max, fs.min, fs.max))
+        return self._spatial_pf
+
+    def _spatial_candidates(
+        self, field: str, lat_lo, lat_hi, lon_lo, lon_hi
+    ) -> "pq.Table | None":
+        """Row-group-pruned read of the sidecar rows that might fall in the
+        quantized box (LatLonPoint.newBoxQuery's BKD intersect): only
+        groups whose morton stats overlap a covering Z-order range leave
+        disk. Exact (raw-double) filtering is the caller's job."""
+        from lucene_ray.search.spatial import box_morton_ranges, prune_row_groups
+
+        pf = self._spatial_file()
+        if pf is None:
+            return None
+        ranges = box_morton_ranges(lat_lo, lat_hi, lon_lo, lon_hi)
+        groups = prune_row_groups(self._spatial_rg, field, ranges)
+        if not groups:
+            return None
+        t = pf.read_row_groups(groups, columns=["field", "lat", "lon", "docid"])
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("field"), field))
+
+    def spatial_box(
+        self, field: str, lat_lo: float, lat_hi: float, lon_lo: float, lon_hi: float
+    ) -> np.ndarray:
+        """Sorted local docids with lat/lon inside the box, bounds
+        INCLUSIVE on raw float64 (LatLonPoint.newBoxQuery semantics; no
+        antimeridian wrap — callers split wrapping boxes)."""
+        t = self._spatial_candidates(field, lat_lo, lat_hi, lon_lo, lon_hi)
+        if t is None:
+            return np.array([], dtype=np.int64)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        m = (lat >= lat_lo) & (lat <= lat_hi) & (lon >= lon_lo) & (lon <= lon_hi)
+        return np.sort(
+            t.column("docid").to_numpy(zero_copy_only=False)[m]
+        ).astype(np.int64)
+
+    def spatial_distance(
+        self, field: str, lat: float, lon: float, radius_m: float
+    ) -> np.ndarray:
+        """Sorted local docids within radius_m metres (haversine, INCLUSIVE
+        — LatLonPoint.newDistanceQuery): bounding-box BKD prune, exact
+        great-circle filter on raw doubles."""
+        from lucene_ray.search.spatial import distance_box, haversine_m
+
+        box = distance_box(lat, lon, radius_m)
+        t = self._spatial_candidates(field, *box)
+        if t is None:
+            return np.array([], dtype=np.int64)
+        dlat = t.column("lat").to_numpy(zero_copy_only=False)
+        dlon = t.column("lon").to_numpy(zero_copy_only=False)
+        m = haversine_m(dlat, dlon, lat, lon) <= radius_m
+        return np.sort(
+            t.column("docid").to_numpy(zero_copy_only=False)[m]
+        ).astype(np.int64)
+
     def stored_fields(self) -> "pq.Table":
         return pq.read_table(os.path.join(self.seg_dir, "stored.parquet"))
 

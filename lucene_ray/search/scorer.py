@@ -41,6 +41,8 @@ from lucene_ray.search.query import (
     NestedBooleanQuery,
     PhraseQuery,
     PointRangeQuery,
+    LatLonBoxQuery,
+    LatLonDistanceQuery,
     IntervalQuery,
     SpanNearQuery,
     FeatureQuery,
@@ -677,6 +679,28 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
         elif isinstance(q, PointRangeQuery):
             docids = _qcache(
                 reader, q, lambda: reader.point_range(q.field, q.lower, q.upper)
+            )
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, scorers.get(q), scored=(docids, scores)))
+        elif isinstance(q, LatLonBoxQuery):
+            docids = _qcache(
+                reader,
+                q,
+                lambda: reader.spatial_box(
+                    q.field, q.lat_lo, q.lat_hi, q.lon_lo, q.lon_hi
+                ),
+            )
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, scorers.get(q), scored=(docids, scores)))
+        elif isinstance(q, LatLonDistanceQuery):
+            docids = _qcache(
+                reader,
+                q,
+                lambda: reader.spatial_distance(q.field, q.lat, q.lon, q.radius_m),
             )
             if len(docids) == 0:
                 continue

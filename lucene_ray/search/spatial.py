@@ -1,0 +1,247 @@
+"""2-D geo points: the LatLonPoint analog (document/LatLonPoint.java:63
+box/distance factories; index layout per core/util/bkd/BKDWriter.java:61
+— leaf-blocked, space-ordered points with per-block bounds for pruning).
+
+Ray/Arrow re-expression: per segment a ``spatial.parquet`` sidecar holds
+(field, morton, lat, lon, docid) sorted by Morton (Z-order) code of the
+quantized (lat, lon) pair, written with SMALL ROW GROUPS (512 rows — the
+BKD leaf analog). Parquet row-group statistics on the ``morton`` column
+ARE the inner-node bounds: a box query decomposes into Z-order ranges
+(quadtree walk, the BKD intersect recursion) and reads only row groups
+whose [min, max] morton overlaps a range, then exact-filters on the raw
+float64 lat/lon. Distance queries derive a bounding box (the
+Rectangle.fromPointDistance pre-filter of LatLonPoint.newDistanceQuery)
+and exact-filter by haversine.
+
+Quantization (2^-4 degree-milliunits) is used ONLY for pruning; matching
+is decided on the stored raw doubles, so the DuckDB oracle (same doubles,
+same comparisons) is exact. floor() is monotonic, hence quantized prune
+bounds [floor(lo), floor(hi)] can never exclude a matching doc.
+
+The synthetic ``loc`` deriver assigns each doc a deterministic lat/lon
+from its global docid via Knuth multiplicative hashes — integer-exact in
+both numpy and DuckDB SQL, so the oracle reproduces the field from
+doc_id alone (the corpus has no geo columns; this is the demo geo field).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+QUANT = 10_000            # 1e-4 degree grid: qlat/qlon < 2^22
+LAT_SPAN = 180 * QUANT    # 1_800_000
+LON_SPAN = 360 * QUANT    # 3_600_000
+MORTON_BITS = 22          # per axis
+EARTH_RADIUS_M = 6_371_008.7714  # mean radius (GeoUtils.EARTH_MEAN_RADIUS)
+
+_LAT_MULT = 2654435761    # Knuth 2^32 * phi
+_LON_MULT = 2246822519
+
+
+# ----------------------------------------------------------- synthetic field
+
+def synth_lat(docids: np.ndarray) -> np.ndarray:
+    return ((docids.astype(np.int64) * _LAT_MULT) % LAT_SPAN) / QUANT - 90.0
+
+
+def synth_lon(docids: np.ndarray) -> np.ndarray:
+    return ((docids.astype(np.int64) * _LON_MULT) % LON_SPAN) / QUANT - 180.0
+
+
+def synth_lat_sql(col: str = "doc_id") -> str:
+    return f"(({col} * {_LAT_MULT}) % {LAT_SPAN}) / {QUANT}.0 - 90.0"
+
+
+def synth_lon_sql(col: str = "doc_id") -> str:
+    return f"(({col} * {_LON_MULT}) % {LON_SPAN}) / {QUANT}.0 - 180.0"
+
+
+def _synth_geo(table: pa.Table, global_docids: np.ndarray):
+    return synth_lat(global_docids), synth_lon(global_docids)
+
+
+# field name -> (table, global_docids) -> (lat, lon) float64 arrays.
+# Real corpora register derivers that read table columns; the synthetic
+# "loc" field is a pure function of docid so SQL oracles can mirror it.
+POINT2D_DERIVERS = {"loc": _synth_geo}
+
+
+# ------------------------------------------------------------------- encoding
+
+def quantize_lat(lat: np.ndarray) -> np.ndarray:
+    q = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) * QUANT)
+    return np.clip(q, 0, LAT_SPAN - 1).astype(np.uint64)
+
+
+def quantize_lon(lon: np.ndarray) -> np.ndarray:
+    q = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) * QUANT)
+    return np.clip(q, 0, LON_SPAN - 1).astype(np.uint64)
+
+
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of x to the even bit positions."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def morton(qlat: np.ndarray, qlon: np.ndarray) -> np.ndarray:
+    """Interleave: even bits lat, odd bits lon (44 significant bits)."""
+    return _part1by1(qlat) | (_part1by1(qlon) << np.uint64(1))
+
+
+# ------------------------------------------------- quadtree range decomposition
+
+def box_morton_ranges(
+    lat_lo: float,
+    lat_hi: float,
+    lon_lo: float,
+    lon_hi: float,
+    max_depth: int = 11,
+) -> list[tuple[int, int]]:
+    """Decompose a quantized box into inclusive Morton-code ranges — the
+    BKD intersect recursion (CELL_INSIDE_QUERY emits the whole subtree;
+    CELL_CROSSES_QUERY recurses, bottoming out at max_depth). Returned
+    ranges are sorted and adjacent-merged; pruning-only, so bottoming out
+    early just reads a few extra row groups."""
+    a_lo = int(quantize_lat(np.array([lat_lo]))[0])
+    a_hi = int(quantize_lat(np.array([lat_hi]))[0])
+    o_lo = int(quantize_lon(np.array([lon_lo]))[0])
+    o_hi = int(quantize_lon(np.array([lon_hi]))[0])
+    out: list[tuple[int, int]] = []
+    full = (1 << (2 * MORTON_BITS)) - 1
+
+    stack = [(0, 0, 0)]  # (depth, qlat_prefix, qlon_prefix)
+    while stack:
+        depth, pa_, po_ = stack.pop()
+        side = MORTON_BITS - depth
+        c_alo, c_ahi = pa_ << side, ((pa_ + 1) << side) - 1
+        c_olo, c_ohi = po_ << side, ((po_ + 1) << side) - 1
+        if c_ahi < a_lo or c_alo > a_hi or c_ohi < o_lo or c_olo > o_hi:
+            continue  # CELL_OUTSIDE_QUERY
+        inside = (
+            c_alo >= a_lo and c_ahi <= a_hi and c_olo >= o_lo and c_ohi <= o_hi
+        )
+        if inside or depth >= max_depth:
+            base = int(
+                morton(
+                    np.array([pa_ << side], dtype=np.uint64),
+                    np.array([po_ << side], dtype=np.uint64),
+                )[0]
+            )
+            span = (1 << (2 * side)) - 1
+            out.append((base, base + span))
+            continue
+        for da in (0, 1):
+            for do in (0, 1):
+                stack.append((depth + 1, (pa_ << 1) | da, (po_ << 1) | do))
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged or [(0, full)]
+
+
+# ----------------------------------------------------------------- distance
+
+def haversine_m(
+    lat1: np.ndarray, lon1: np.ndarray, lat2: float, lon2: float
+) -> np.ndarray:
+    """Great-circle metres (SloppyMath.haversinMeters spec, exact form)."""
+    p1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    p2 = math.radians(lat2)
+    dp = np.radians(np.asarray(lat1, dtype=np.float64) - lat2)
+    dl = np.radians(np.asarray(lon1, dtype=np.float64) - lon2)
+    a = np.sin(dp / 2) ** 2 + np.cos(p1) * math.cos(p2) * np.sin(dl / 2) ** 2
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+
+
+def haversine_sql(lat_expr: str, lon_expr: str, lat: float, lon: float) -> str:
+    """DuckDB twin of haversine_m (same formula, float64 trig)."""
+    return (
+        f"2 * {EARTH_RADIUS_M!r} * asin(sqrt("
+        f"pow(sin(radians(({lat_expr}) - ({lat!r})) / 2), 2) + "
+        f"cos(radians({lat_expr})) * cos(radians({lat!r})) * "
+        f"pow(sin(radians(({lon_expr}) - ({lon!r})) / 2), 2)))"
+    )
+
+
+def distance_box(
+    lat: float, lon: float, radius_m: float
+) -> tuple[float, float, float, float]:
+    """Bounding box containing the radius (Rectangle.fromPointDistance):
+    lat span from the meridian arc; lon span widened by 1/cos(|lat|+span)
+    with pole/antimeridian clamping to the full span (prune-only, so a
+    conservative box is always safe)."""
+    dlat = math.degrees(radius_m / EARTH_RADIUS_M)
+    lat_lo, lat_hi = max(lat - dlat, -90.0), min(lat + dlat, 90.0)
+    edge = min(abs(lat) + dlat, 89.9999)
+    cosl = math.cos(math.radians(edge))
+    if cosl <= 1e-9:
+        return lat_lo, lat_hi, -180.0, 180.0
+    dlon = math.degrees(radius_m / (EARTH_RADIUS_M * cosl))
+    if dlon >= 180.0:
+        return lat_lo, lat_hi, -180.0, 180.0
+    lon_lo, lon_hi = lon - dlon, lon + dlon
+    if lon_lo < -180.0 or lon_hi > 180.0:
+        # antimeridian wrap: fall back to the full lon span (prune-only)
+        return lat_lo, lat_hi, -180.0, 180.0
+    return lat_lo, lat_hi, lon_lo, lon_hi
+
+
+SPATIAL_ROW_GROUP = 512  # BKD leaf analog: the pruning granularity
+
+
+def prune_row_groups(
+    rg_stats: list[tuple], field: str, ranges: list[tuple[int, int]]
+) -> list[int]:
+    """BKD inner-node walk over parquet row-group statistics: keep group g
+    iff its field min/max admits ``field`` AND its morton [min, max]
+    overlaps any covering Z-order range. ``rg_stats`` rows are
+    (morton_min, morton_max, field_min, field_max)."""
+    return [
+        g
+        for g, (mlo, mhi, flo, fhi) in enumerate(rg_stats)
+        if flo <= field <= fhi
+        and any(lo <= mhi and hi >= mlo for lo, hi in ranges)
+    ]
+
+
+def build_spatial_table(
+    fields: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> pa.Table:
+    """(field, morton, lat, lon, docid) sorted by (field, morton, docid) —
+    the shared writer used by segment build and merge. Write with
+    row_group_size=SPATIAL_ROW_GROUP so the BKD-leaf pruning granularity
+    is uniform. ``fields``: name -> (lat, lon, local_docid) arrays."""
+    parts = []
+    for fname in sorted(fields):
+        lat, lon, docid = fields[fname]
+        lat = np.asarray(lat, dtype=np.float64)
+        lon = np.asarray(lon, dtype=np.float64)
+        m = morton(quantize_lat(lat), quantize_lon(lon))
+        o = np.lexsort((docid, m))
+        parts.append(
+            pa.table(
+                {
+                    "field": pa.array([fname] * len(lat), type=pa.string()),
+                    "morton": pa.array(m[o], type=pa.uint64()),
+                    "lat": pa.array(lat[o], type=pa.float64()),
+                    "lon": pa.array(lon[o], type=pa.float64()),
+                    "docid": pa.array(
+                        np.asarray(docid)[o].astype(np.int64), type=pa.int64()
+                    ),
+                }
+            )
+        )
+    return pa.concat_tables(parts)

@@ -310,6 +310,11 @@ class TestBM25Docs:
 
         assert_same(bm25docs.points_engine(SF), con, bm25docs.points_engine_sql())
 
+    def test_spatial_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.spatial_engine(SF), con, bm25docs.spatial_engine_sql())
+
     def test_facet_engine(self, con):
         from lucene_ray.ops import bm25docs
 

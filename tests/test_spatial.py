@@ -1,0 +1,190 @@
+"""2-D geo points (search/spatial.py, LatLonPoint analog): Morton/quadtree
+kernels, engine box/distance vs brute force, BKD-style row-group pruning,
+merge survival, delete interaction."""
+
+import os
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ kernels
+
+
+def test_morton_order_preserves_locality_and_ranges_cover():
+    from lucene_ray.search import spatial as sp
+
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-90, 90, 5000)
+    lon = rng.uniform(-180, 180, 5000)
+    m = sp.morton(sp.quantize_lat(lat), sp.quantize_lon(lon))
+    for _ in range(30):
+        la, lb = np.sort(rng.uniform(-90, 90, 2))
+        oa, ob = np.sort(rng.uniform(-180, 180, 2))
+        inside = (lat >= la) & (lat <= lb) & (lon >= oa) & (lon <= ob)
+        cov = np.zeros(len(m), bool)
+        for lo, hi in sp.box_morton_ranges(la, lb, oa, ob):
+            cov |= (m >= lo) & (m <= hi)
+        # completeness: every matching point is inside a covering range
+        assert (cov | ~inside).all()
+
+
+def test_distance_box_contains_radius():
+    from lucene_ray.search import spatial as sp
+
+    rng = np.random.default_rng(12)
+    lat = rng.uniform(-90, 90, 5000)
+    lon = rng.uniform(-180, 180, 5000)
+    for _ in range(100):
+        qla = rng.uniform(-89, 89)
+        qlo = rng.uniform(-180, 180)
+        r = rng.uniform(1e3, 5e6)
+        bla, blb, boa, bob = sp.distance_box(qla, qlo, r)
+        inside = sp.haversine_m(lat, lon, qla, qlo) <= r
+        inbox = (lat >= bla) & (lat <= blb) & (lon >= boa) & (lon <= bob)
+        assert (inbox | ~inside).all()
+
+
+def test_synth_field_matches_sql_formula():
+    import duckdb
+
+    from lucene_ray.search import spatial as sp
+
+    ids = np.arange(5000, dtype=np.int64)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(range(5000)) AS doc_id")
+    want = con.execute(
+        f"SELECT {sp.synth_lat_sql()} AS lat, {sp.synth_lon_sql()} AS lon FROM t ORDER BY doc_id"
+    ).fetchnumpy()
+    # bit-identical: same integer arithmetic, same float64 ops in order
+    assert np.array_equal(sp.synth_lat(ids), want["lat"])
+    assert np.array_equal(sp.synth_lon(ids), want["lon"])
+
+
+# ------------------------------------------------------------------- engine
+
+
+@pytest.fixture(scope="module")
+def geo_index(ray_session, tmp_path_factory):
+    """Multi-segment geo index over the sf0.001 documents + a merge pass,
+    so queries run against merged spatial sidecars."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    ix = str(tmp_path_factory.mktemp("geo") / "ix")
+    corpus = documents_as_corpus(SF)
+    build_index([corpus], ix, target_docs=128, point2d_fields=("loc",))
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+def _truth(sf_dir):
+    import pyarrow.parquet as pq
+
+    from lucene_ray.search import spatial as sp
+
+    ids = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy()
+    )
+    return ids, sp.synth_lat(ids), sp.synth_lon(ids)
+
+
+def test_box_query_matches_bruteforce(geo_index):
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, LatLonBoxQuery
+
+    ids, lat, lon = _truth(SF)
+    s = IndexSearcher(geo_index)
+    rng = np.random.default_rng(13)
+    for _ in range(20):
+        la, lb = np.sort(rng.uniform(-90, 90, 2))
+        oa, ob = np.sort(rng.uniform(-180, 180, 2))
+        td = s.search(BooleanQuery(must=[LatLonBoxQuery("loc", la, lb, oa, ob)]), 1_000_000)
+        want = np.sort(ids[(lat >= la) & (lat <= lb) & (lon >= oa) & (lon <= ob)])
+        assert np.array_equal(np.sort(td.docids), want)
+
+
+def test_distance_query_matches_bruteforce(geo_index):
+    from lucene_ray.search import spatial as sp
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, LatLonDistanceQuery
+
+    ids, lat, lon = _truth(SF)
+    s = IndexSearcher(geo_index)
+    rng = np.random.default_rng(14)
+    for _ in range(20):
+        qla = rng.uniform(-89, 89)
+        qlo = rng.uniform(-180, 180)
+        r = rng.uniform(1e5, 8e6)
+        td = s.search(BooleanQuery(must=[LatLonDistanceQuery("loc", qla, qlo, r)]), 1_000_000)
+        want = np.sort(ids[sp.haversine_m(lat, lon, qla, qlo) <= r])
+        assert np.array_equal(np.sort(td.docids), want)
+
+
+def test_row_group_pruning_reads_subset(tmp_path):
+    """A selective box must read strictly fewer BKD-leaf row groups than
+    the sidecar holds (the whole point of the Morton sort) — and the
+    pruned read must still cover every matching row. 40k synthetic points
+    -> ~79 leaf groups."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.search import spatial as sp
+
+    n = 40_000
+    ids = np.arange(n, dtype=np.int64)
+    lat, lon = sp.synth_lat(ids), sp.synth_lon(ids)
+    t = sp.build_spatial_table({"loc": (lat, lon, ids)})
+    path = str(tmp_path / "spatial.parquet")
+    pq.write_table(t, path, row_group_size=sp.SPATIAL_ROW_GROUP)
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    assert md.num_row_groups >= 16
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    mi, fi = names.index("morton"), names.index("field")
+    rg = []
+    for g in range(md.num_row_groups):
+        ms = md.row_group(g).column(mi).statistics
+        fs = md.row_group(g).column(fi).statistics
+        rg.append((ms.min, ms.max, fs.min, fs.max))
+    box = (10.0, 14.0, 20.0, 28.0)
+    ranges = sp.box_morton_ranges(*box)
+    picked = sp.prune_row_groups(rg, "loc", ranges)
+    assert 0 < len(picked) < md.num_row_groups / 2
+    got = pf.read_row_groups(picked, columns=["lat", "lon", "docid"])
+    glat = got.column("lat").to_numpy(zero_copy_only=False)
+    glon = got.column("lon").to_numpy(zero_copy_only=False)
+    m = (glat >= box[0]) & (glat <= box[1]) & (glon >= box[2]) & (glon <= box[3])
+    want = ids[(lat >= box[0]) & (lat <= box[1]) & (lon >= box[2]) & (lon <= box[3])]
+    assert np.array_equal(
+        np.sort(got.column("docid").to_numpy(zero_copy_only=False)[m]), want
+    )
+
+
+def test_spatial_survives_merge_and_deletes(ray_session, tmp_path):
+    """Build multi-segment, delete some docs, merge: spatial queries must
+    drop tombstoned docs and keep everyone else (docids never renumber)."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import force_merge
+    from lucene_ray.index.writer import delete_docs
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, LatLonBoxQuery
+
+    ix = str(tmp_path / "ix")
+    build_index([documents_as_corpus(SF)], ix, target_docs=128, point2d_fields=("loc",))
+    ids, lat, lon = _truth(SF)
+    box = (-60.0, 60.0, -120.0, 120.0)
+    want = ids[(lat >= box[0]) & (lat <= box[1]) & (lon >= box[2]) & (lon <= box[3])]
+    victims = want[:5].tolist()
+    delete_docs(ix, victims)
+    force_merge(ix, use_ray=False)
+    s = IndexSearcher(ix)
+    td = s.search(BooleanQuery(must=[LatLonBoxQuery("loc", *box)]), 1_000_000)
+    assert np.array_equal(
+        np.sort(td.docids), np.sort(np.setdiff1d(want, victims))
+    )
