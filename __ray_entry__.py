@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indexsort_engine": bm25docs.indexsort_engine,
         "count_engine": bm25docs.count_engine,
         "complete_engine": bm25docs.complete_engine,
+        "synonym_engine": bm25docs.synonym_engine,
+        "folding_engine": bm25docs.folding_engine,
         # --- analysis chain + aggregations (§2.2/2.5)
         "term_stats": text.term_stats,
         "whitespace_stats": text.whitespace_stats,
@@ -143,6 +145,8 @@ def oracle_sql() -> dict[str, str]:
         "indexsort_engine": bm25docs.indexsort_engine_sql(),
         "count_engine": bm25docs.count_engine_sql(),
         "complete_engine": bm25docs.complete_engine_sql(),
+        "synonym_engine": bm25docs.synonym_engine_sql(),
+        "folding_engine": bm25docs.folding_engine_sql(),
         "term_stats": text.term_stats_sql(),
         "whitespace_stats": text.whitespace_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),

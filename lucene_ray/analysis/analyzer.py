@@ -415,12 +415,161 @@ class KeywordAnalyzer:
         )
 
 
+# Demo synonym rules over the benchmark-vocabulary corpus (the single-token
+# equivalent-synonym subset of analysis/common/.../synonym/SynonymGraphFilter
+# .java:57 add-mode: the original token is KEPT and the synonym is injected
+# at the SAME position, posInc=0 — so phrase queries match through either
+# variant). Multi-token rules (graph paths) are out of scope, documented.
+SYNONYM_MAP = {
+    "big": "large",
+    "fast": "quick",
+    "scan": "sweep",
+}
+
+
+class SynonymAnalyzer(CodeAnalyzer):
+    """CodeAnalyzer chain + index-time synonym injection (SynonymGraphFilter
+    add-mode, single-token rules). Injected tokens copy the original's
+    position and offsets (the filter never touches OffsetAttribute).
+    Divergence, documented: injected tokens count toward doc_len/norms —
+    BM25Similarity's discountOverlaps=true would exclude posInc==0 tokens;
+    gates on this analyzer therefore check boolean/phrase membership, not
+    scores."""
+
+    name = "synonym"
+
+    def tokenize_flat(self, texts, with_offsets: bool = False):
+        res = super().tokenize_flat(texts, with_offsets=with_offsets)
+        row_idx, terms, positions = res[0], res[1], res[2]
+        if len(row_idx) == 0:
+            return res
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        dict_arr = (
+            terms
+            if isinstance(terms, pa.DictionaryArray)
+            else terms.dictionary_encode()
+        )
+        vocab = dict_arr.dictionary.to_pylist()
+        mapped = np.array(
+            [SYNONYM_MAP.get(t, "") for t in vocab], dtype=object
+        )
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        hit = mapped[codes] != ""
+        if not hit.any():
+            return res
+        nh = int(hit.sum())
+        comb_row = np.concatenate([row_idx, row_idx[hit]])
+        comb_pos = np.concatenate([positions, positions[hit]])
+        plain = terms.cast(pa.string()) if isinstance(terms, pa.DictionaryArray) else terms
+        comb_terms = pa.concat_arrays(
+            [plain, pa.array(mapped[codes[hit]].tolist(), type=pa.string())]
+        )
+        # restore the (doc, position) stream order build_segment_postings
+        # requires; originals sort before their injected twins
+        orig_first = np.concatenate(
+            [np.zeros(len(row_idx), np.int8), np.ones(nh, np.int8)]
+        )
+        o = np.lexsort((orig_first, comb_pos, comb_row))
+        out = (
+            comb_row[o],
+            comb_terms.take(pa.array(o)),
+            comb_pos[o].astype(positions.dtype),
+        )
+        if with_offsets:
+            st, ln = res[3], res[4]
+            out = out + (
+                np.concatenate([st, st[hit]])[o],
+                np.concatenate([ln, ln[hit]])[o],
+            )
+        return out
+
+    def tokenize_array(self, texts):
+        # list view: inject the synonym right after its original (position
+        # semantics live only in tokenize_flat)
+        toks = super().tokenize_array(texts)
+        out = []
+        for row in toks.to_pylist():
+            cur = []
+            for t in row:
+                cur.append(t)
+                s = SYNONYM_MAP.get(t)
+                if s:
+                    cur.append(s)
+            out.append(cur)
+        return pa.array(out, type=pa.list_(pa.string()))
+
+    def tokenize_text(self, text: str) -> list[str]:
+        base = CodeAnalyzer.tokenize_array(self, pa.array([text], type=pa.string()))
+        out = []
+        for t in base[0].as_py():
+            out.append(t)
+            s = SYNONYM_MAP.get(t)
+            if s:
+                out.append(s)
+        return out
+
+
+# 1:1 accent-folding table (the Latin-1/Latin-Extended-A subset of
+# analysis/common/.../miscellaneous/ASCIIFoldingFilter.java:57 whose fold is
+# a SINGLE character AND that DuckDB strip_accents also folds (stroked
+# letters like ø/đ/ł are kept, as strip_accents keeps them — the SQL-oracle
+# parity constraint); the mapping is length-preserving so offsets stay exact; applied as a CHAR
+# filter before tokenization, MappingCharFilter-style, because the byte
+# tokenizer's alphabet is ASCII).
+_FOLD_PAIRS = (
+    ("àáâãäåāăą", "a"), ("çćĉċč", "c"), ("ď", "d"), ("èéêëēĕėęě", "e"),
+    ("ĝğġģ", "g"), ("ĥ", "h"), ("ìíîïĩīĭį", "i"), ("ĵ", "j"), ("ķ", "k"),
+    ("ĺļľ", "l"), ("ñńņň", "n"), ("òóôõöōŏő", "o"), ("ŕŗř", "r"),
+    ("śŝşš", "s"), ("ţť", "t"), ("ùúûüũūŭůűų", "u"), ("ŵ", "w"),
+    ("ýÿŷ", "y"), ("źżž", "z"),
+)
+_FOLD_TABLE = str.maketrans(
+    {c: r for chars, r in _FOLD_PAIRS for c in chars}
+    | {c.upper(): r.upper() for chars, r in _FOLD_PAIRS for c in chars}
+)
+
+
+def fold_ascii(text: str) -> str:
+    return text.translate(_FOLD_TABLE)
+
+
+class FoldingAnalyzer(CodeAnalyzer):
+    """Accent folding as a char filter, then the CodeAnalyzer chain. DuckDB
+    twin: tokenize_sql_expr over strip_accents(text) (parity pinned in
+    tests/test_analyzer.py for the 1:1 table)."""
+
+    name = "folding"
+
+    def _fold(self, texts):
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.array(
+            [fold_ascii(t) if t is not None else None for t in texts.to_pylist()],
+            type=pa.string(),
+        )
+
+    def tokenize_flat(self, texts, with_offsets: bool = False):
+        return super().tokenize_flat(self._fold(texts), with_offsets=with_offsets)
+
+    def tokenize_array(self, texts):
+        return super().tokenize_array(self._fold(texts))
+
+    def tokenize_text(self, text: str) -> list[str]:
+        base = CodeAnalyzer.tokenize_array(
+            self, pa.array([fold_ascii(text)], type=pa.string())
+        )
+        return base[0].as_py()
+
+
 _REGISTRY = {
     "code": CodeAnalyzer,
     "standard": StandardLiteAnalyzer,
     "english": EnglishAnalyzer,
     "whitespace": WhitespaceAnalyzer,
     "keyword": KeywordAnalyzer,
+    "synonym": SynonymAnalyzer,
+    "folding": FoldingAnalyzer,
 }
 
 

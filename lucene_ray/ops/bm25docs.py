@@ -558,6 +558,176 @@ WITH tok AS (
 """
 
 
+def _engine_index_syn(sf_dir: str) -> str:
+    """Documents index under the SynonymAnalyzer (index-time add-mode
+    injection, analysis/analyzer.py SYNONYM_MAP)."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_syn_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192, analyzer_name="synonym")
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+def synonym_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): queries against the synonym-injected index — a term
+    query on a synonym matches docs containing only the original; a phrase
+    crosses the injected position (posInc=0 semantics of
+    SynonymGraphFilter add-mode); MUST_NOT still sees originals."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, PhraseQuery, TermQuery
+
+    ix = _engine_index_syn(sf_dir)
+    s = IndexSearcher(ix)
+    queries = [
+        (0, BooleanQuery(must=[TermQuery("large")])),
+        (1, BooleanQuery(must=[TermQuery("sweep")])),
+        (2, BooleanQuery(must=[PhraseQuery(("large", "table"))])),
+        (3, BooleanQuery(must=[TermQuery("quick")], must_not=[TermQuery("slow")])),
+    ]
+    out_q, out_d = [], []
+    for qid, q in queries:
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def synonym_engine_sql() -> str:
+    from lucene_ray.analysis.analyzer import SYNONYM_MAP
+
+    toks = tokenize_sql_expr("text")
+    case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(SYNONYM_MAP.items())
+    )
+    keys = ", ".join(f"'{k}'" for k in sorted(SYNONYM_MAP))
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+), syn AS (
+  SELECT doc_id, term, pos FROM tok
+  UNION ALL
+  SELECT doc_id, CASE term {case} END AS term, pos
+  FROM tok WHERE term IN ({keys})
+)
+SELECT DISTINCT 0 AS qid, doc_id AS docid FROM syn WHERE term = 'large'
+UNION ALL
+SELECT DISTINCT 1, doc_id FROM syn WHERE term = 'sweep'
+UNION ALL
+SELECT DISTINCT 2, a.doc_id FROM syn a JOIN syn b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'table'
+  WHERE a.term = 'large'
+UNION ALL
+SELECT DISTINCT 3, doc_id FROM syn WHERE term = 'quick'
+  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'slow')
+"""
+
+
+# Deterministic accenting applied to the documents text before indexing so
+# the folding gate actually exercises the char filter (the driver corpus is
+# pure ASCII). Every accented char is in analyzer._FOLD_PAIRS AND folded by
+# DuckDB strip_accents, so fold(accent(text)) == text on both sides.
+_ACCENT_PAIRS = (("a", "à"), ("e", "é"), ("o", "ô"))
+
+
+def _accented_corpus(sf_dir: str) -> str:
+    """Corpus-schema parquet whose content is the documents text with the
+    deterministic _ACCENT_PAIRS substitution applied."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.corpus import documents_as_corpus
+
+    src = documents_as_corpus(sf_dir)
+    out = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_accent_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12] + ".parquet",
+    )
+    if os.path.exists(out):
+        return out
+    t = pq.read_table(src)
+    import pyarrow.compute as pc
+
+    content = t.column("content")
+    for plain, accented in _ACCENT_PAIRS:
+        content = pc.replace_substring(content, plain, accented)
+    t = t.set_column(t.schema.get_field_index("content"), "content", content)
+    tmp = out + ".tmp"
+    pq.write_table(t, tmp, row_group_size=16384)
+    os.replace(tmp, out)
+    return out
+
+
+def folding_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): queries with plain-ASCII terms against an index built
+    from the accented corpus through FoldingAnalyzer (MappingCharFilter +
+    ASCIIFoldingFilter 1:1 subset) — folding must recover exactly the
+    unaccented token stream, including positions (phrase query)."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, PhraseQuery, TermQuery
+
+    corpus_path = _accented_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_fold_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192, analyzer_name="folding")
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    s = IndexSearcher(ix)
+    queries = [
+        (0, BooleanQuery(must=[TermQuery("order")])),
+        (1, BooleanQuery(must=[TermQuery("scan")], must_not=[TermQuery("hash")])),
+        (2, BooleanQuery(must=[PhraseQuery(("batch", "stream"))])),
+    ]
+    out_q, out_d = [], []
+    for qid, q in queries:
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def folding_engine_sql() -> str:
+    accent = "text"
+    for plain, accented in _ACCENT_PAIRS:
+        accent = f"replace({accent}, '{plain}', '{accented}')"
+    toks = tokenize_sql_expr(f"strip_accents({accent})")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+SELECT DISTINCT 0 AS qid, doc_id AS docid FROM tok WHERE term = 'order'
+UNION ALL
+SELECT DISTINCT 1, doc_id FROM tok WHERE term = 'scan'
+  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'hash')
+UNION ALL
+SELECT DISTINCT 2, a.doc_id FROM tok a JOIN tok b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'stream'
+  WHERE a.term = 'batch'
+"""
+
+
 def sort_engine(sf_dir: str, k: int = 20) -> pa.Table:
     """(qid, rank, docid): sort-by-field search (TopFieldCollector) — docs
     matching a term ordered by the n_chars doc value, desc and asc, docid

@@ -139,3 +139,53 @@ class TestRegistryBreadth:
         an = get_analyzer("keyword")
         assert an.tokenize_text("Foo Bar") == ["Foo Bar"]
         assert an.tokenize_text("") == []
+
+    def test_synonym_analyzer_positions(self):
+        # add-mode: original kept, synonym injected at the SAME position
+        # (posInc=0), stream stays (doc, position)-sorted, originals first
+        from lucene_ray.analysis import get_analyzer
+
+        an = get_analyzer("synonym")
+        rows, terms, pos = an.tokenize_flat(pa.array(["big scan", "no hits"]))
+        assert rows.tolist() == [0, 0, 0, 0, 1, 1]
+        assert terms.to_pylist() == ["big", "large", "scan", "sweep", "no", "hits"]
+        assert pos.tolist() == [0, 0, 1, 1, 0, 1]
+        assert an.tokenize_text("big deal") == ["big", "large", "deal"]
+        assert an.tokenize_array(pa.array(["fast big"]))[0].as_py() == [
+            "fast", "quick", "big", "large",
+        ]
+
+    def test_synonym_offsets_copy_original(self):
+        from lucene_ray.analysis import get_analyzer
+
+        an = get_analyzer("synonym")
+        rows, terms, pos, starts, lens = an.tokenize_flat(
+            pa.array(["a big cat"]), with_offsets=True
+        )
+        i_big = terms.to_pylist().index("big")
+        i_syn = terms.to_pylist().index("large")
+        assert (starts[i_big], lens[i_big]) == (starts[i_syn], lens[i_syn])
+
+    def test_folding_analyzer(self):
+        from lucene_ray.analysis import get_analyzer
+        from lucene_ray.analysis.analyzer import fold_ascii
+
+        an = get_analyzer("folding")
+        assert an.tokenize_text("Crème brûlée café") == ["creme", "brulee", "cafe"]
+        rows, terms, pos = an.tokenize_flat(pa.array(["naïve Ärger", "plain"]))
+        assert terms.to_pylist() == ["naive", "arger", "plain"]
+        # length-preserving fold
+        assert len(fold_ascii("àéîõü")) == 5
+
+    def test_fold_matches_duckdb_strip_accents(self):
+        # every char in the fold table must fold identically to DuckDB's
+        # strip_accents — the SQL-oracle parity constraint for folding gates
+        import duckdb
+
+        from lucene_ray.analysis.analyzer import _FOLD_PAIRS, fold_ascii
+
+        chars = "".join(c for chars, _ in _FOLD_PAIRS for c in chars)
+        chars += chars.upper()
+        con = duckdb.connect()
+        want = con.execute("SELECT strip_accents(?)", [chars]).fetchone()[0]
+        assert fold_ascii(chars) == want

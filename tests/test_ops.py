@@ -275,6 +275,16 @@ class TestBM25Docs:
 
         assert_same(bm25docs.parser_engine(SF), con, bm25docs.parser_engine_sql())
 
+    def test_synonym_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.synonym_engine(SF), con, bm25docs.synonym_engine_sql())
+
+    def test_folding_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.folding_engine(SF), con, bm25docs.folding_engine_sql())
+
     def test_mlt_engine(self, con):
         from lucene_ray.ops import bm25docs
 
