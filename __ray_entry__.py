@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "complete_engine": bm25docs.complete_engine,
         "synonym_engine": bm25docs.synonym_engine,
         "folding_engine": bm25docs.folding_engine,
+        "termvector_engine": bm25docs.termvector_engine,
         # --- analysis chain + aggregations (§2.2/2.5)
         "term_stats": text.term_stats,
         "whitespace_stats": text.whitespace_stats,
@@ -147,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "complete_engine": bm25docs.complete_engine_sql(),
         "synonym_engine": bm25docs.synonym_engine_sql(),
         "folding_engine": bm25docs.folding_engine_sql(),
+        "termvector_engine": bm25docs.termvector_engine_sql(),
         "term_stats": text.term_stats_sql(),
         "whitespace_stats": text.whitespace_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),

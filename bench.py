@@ -29,6 +29,23 @@ SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
 # corpus sizing: ~200K docs at sf0.1 (FIXTURES.md 'bench' scale)
 N_DOCS = max(2000, int(2_000_000 * SF))
+
+
+def vm_state_control() -> float:
+    """Host-state probe: seconds for a fixed 2M-element integer cumsum.
+
+    This VM oscillates between fast and pathologically slow memory states
+    (measured 0.007s fast vs ~2s slow for THIS probe — up to 300x on
+    serial-dependent integer scans, BASELINE.md protocol). Recording the
+    probe next to each trial makes a slow-state bench run distinguishable
+    from a code regression."""
+    import numpy as np
+
+    a = np.arange(2_000_000, dtype=np.int64)
+    t0 = time.perf_counter()
+    np.cumsum(a)
+    np.add.accumulate(a)
+    return round(time.perf_counter() - t0, 4)
 N_SHARDS = 32
 
 
@@ -70,6 +87,7 @@ def run_bench() -> dict:
     # trials, keep the best: the bench VM has ~3x run-to-run variance) -----
     index_dir = f"/tmp/lucene_ray_bench/index_n{N_DOCS}_c{NUM_CPUS}"
     build_trials = []
+    probes = [vm_state_control()]
     for _trial in range(2):
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.perf_counter()
@@ -86,6 +104,7 @@ def run_bench() -> dict:
     shutil.rmtree(snap_dir, ignore_errors=True)
     shutil.copytree(index_dir, snap_dir)
     merge_trials = []
+    probes.append(vm_state_control())
     for _trial in range(2):
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.copytree(snap_dir, index_dir)
@@ -148,6 +167,7 @@ def run_bench() -> dict:
     )
     n_q = qds.count()
     pool_trials = []
+    probes.append(vm_state_control())
     for _trial in range(2):
         t0 = time.perf_counter()
         search_queries_dataset(
@@ -176,6 +196,7 @@ def run_bench() -> dict:
     # VM's minutes-scale fast/slow states
     op_trials: dict[str, list[float]] = {name: [] for name in ops}
     for _trial in range(2):
+        probes.append(vm_state_control())
         for name, fn in ops.items():
             t0 = time.perf_counter()
             fn()
@@ -183,6 +204,9 @@ def run_bench() -> dict:
     for name, ts in op_trials.items():
         timings[name] = round(min(ts), 3)
         timings[name + "_trials"] = [round(t, 3) for t in ts]
+    # host-state probes taken before build/merge/pool/op sections
+    # (~0.007s fast state, ~2s slow state; see vm_state_control)
+    timings["vm_state_probes"] = probes
 
     headline = timings["index_build"] + timings["merge"] + timings["query_pool"]
     result = {
@@ -232,7 +256,9 @@ def run_build_bench(trials: int = 2) -> dict:
 
     index_dir = f"/tmp/lucene_ray_bench/index_n{N_DOCS}_c{NUM_CPUS}"
     build_trials = []
+    probes = []
     for _ in range(trials):
+        probes.append(vm_state_control())
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.perf_counter()
         manifest = build_index(paths, index_dir, target_docs=5_000)
@@ -250,6 +276,7 @@ def run_build_bench(trials: int = 2) -> dict:
             "trials_sec": [round(t, 3) for t in build_trials],
             "task_secs_p50": round(task_secs[len(task_secs) // 2], 3),
             "task_secs_max": round(task_secs[-1], 3),
+            "vm_state_probes": probes,
         },
     }
     ray.shutdown()

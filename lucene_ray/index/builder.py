@@ -120,6 +120,78 @@ def _sha256_column(texts: pa.Array) -> pa.Array:
     )
 
 
+# row-group size for the term-vectors sidecar: (doc, term) pair rows,
+# doc-major sorted, so parquet doc min/max stats give O(1) row-group
+# pruning for a single-doc fetch
+TV_ROW_GROUP = 65536
+
+
+def build_term_vectors(
+    row_idx: np.ndarray,
+    terms: pa.Array,
+    positions: np.ndarray,
+    tok_starts: np.ndarray | None = None,
+    tok_lens: np.ndarray | None = None,
+) -> pa.Table:
+    """Per-document mini inverted index — the TermVectorsFormat analog
+    (codecs/lucene90/Lucene90CompressingTermVectorsWriter.java stores, per
+    doc+field, the term list with freq/positions/offsets). One row per
+    (doc, term): LOCAL docid, term, freq, doc-local position list (+
+    per-occurrence start/length lists when the index carries offsets),
+    sorted doc-major then term-lexicographic. Content field only
+    (keyword/StringFields carry no term vectors, as in the reference
+    default)."""
+    empty_cols: dict = {
+        "doc": pa.array([], type=pa.int64()),
+        "term": pa.array([], type=pa.string()),
+        "freq": pa.array([], type=pa.int32()),
+        "positions": pa.array([], type=pa.list_(pa.int32())),
+    }
+    if tok_starts is not None:
+        empty_cols["starts"] = pa.array([], type=pa.list_(pa.int32()))
+        empty_cols["lens"] = pa.array([], type=pa.list_(pa.int32()))
+    if len(row_idx) == 0:
+        return pa.table(empty_cols)
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    d = (
+        terms
+        if isinstance(terms, pa.DictionaryArray)
+        else terms.dictionary_encode()
+    )
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = d.dictionary
+    # lexicographic rank per code so within-doc rows come out term-sorted
+    vorder = pa.compute.sort_indices(vocab).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[vorder] = np.arange(len(vocab))
+    r = rank[codes]
+    order = np.lexsort((positions, r, row_idx))
+    comp = row_idx.astype(np.int64) * len(vocab) + r
+    comp_sorted = comp[order]
+    bound = np.flatnonzero(np.r_[True, comp_sorted[1:] != comp_sorted[:-1]])
+    counts = np.diff(np.r_[bound, len(comp_sorted)])
+    group_doc = row_idx[order][bound].astype(np.int64)
+    group_code = codes[order][bound]
+    offs = pa.array(np.r_[0, np.cumsum(counts)].astype(np.int32))
+
+    def _gather_list(vals: np.ndarray) -> pa.ListArray:
+        return pa.ListArray.from_arrays(
+            offs, pa.array(vals[order].astype(np.int32), type=pa.int32())
+        )
+
+    cols = {
+        "doc": pa.array(group_doc, type=pa.int64()),
+        "term": vocab.take(pa.array(group_code)),
+        "freq": pa.array(counts.astype(np.int32), type=pa.int32()),
+        "positions": _gather_list(positions),
+    }
+    if tok_starts is not None:
+        cols["starts"] = _gather_list(tok_starts)
+        cols["lens"] = _gather_list(tok_lens)
+    return pa.table(cols)
+
+
 def build_one_segment(
     spec: SegmentSpec,
     index_dir: str,
@@ -128,6 +200,7 @@ def build_one_segment(
     keyword_fields: tuple | None = None,
     index_sort: tuple | None = None,
     point2d_fields: tuple | None = None,
+    term_vectors: bool = False,
 ) -> SegmentEntry:
     """Build one segment from its input row groups. Pure + idempotent
     (writes only under its own segment dir; atomic entry.json last).
@@ -209,6 +282,14 @@ def build_one_segment(
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
     norm_bytes = int_to_byte4(doc_len)
 
+    # term vectors come from the CONTENT stream only, captured before the
+    # keyword-term append below (StringFields carry no term vectors)
+    tv_table = (
+        build_term_vectors(row_idx, terms, positions, tok_starts, tok_lens)
+        if term_vectors
+        else None
+    )
+
     # keyword-field postings: one "<field>:<value>" token per doc per field,
     # appended after the content stream. Prefixed terms never collide with
     # analyzed tokens (':' is outside the token alphabet), so the per-term
@@ -254,6 +335,12 @@ def build_one_segment(
     d = segment_dir(index_dir, spec.name)
     os.makedirs(d, exist_ok=True)
     pq.write_table(postings, os.path.join(d, "postings.parquet"))
+    if tv_table is not None:
+        pq.write_table(
+            tv_table,
+            os.path.join(d, "termvectors.parquet"),
+            row_group_size=TV_ROW_GROUP,
+        )
     norms_table = pa.table(
         {
             "norm": pa.array(norm_bytes, type=pa.uint8()),
@@ -352,6 +439,7 @@ def build_index(
     keyword_fields: tuple | None = None,
     index_sort: tuple | None = None,
     point2d_fields: tuple | None = None,
+    term_vectors: bool = False,
 ) -> Manifest:
     """Build (or resume) the whole index with Ray Data.
 
@@ -380,6 +468,8 @@ def build_index(
     if point2d_fields:
         point2d_fields = tuple(str(f) for f in point2d_fields)
         variant = f"{variant or 'code:positions'}:geo={','.join(point2d_fields)}"
+    if term_vectors:
+        variant = f"{variant or 'code:positions'}:tv"
     specs = plan_segments(input_paths, target_docs, variant)
     todo = []
     done: list[SegmentEntry] = []
@@ -408,6 +498,7 @@ def build_index(
                 entry = build_one_segment(
                     spec, index_dir, analyzer_name, index_options,
                     keyword_fields, index_sort, point2d_fields,
+                    term_vectors,
                 )
                 out.append(_json.dumps(entry.__dict__))
             return {"entry": np.array(out)}

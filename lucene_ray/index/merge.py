@@ -600,6 +600,42 @@ def merge_segments(
             os.path.join(d, "spatial.parquet"),
             row_group_size=SPATIAL_ROW_GROUP,
         )
+    # term-vectors sidecar: stream batch-by-batch with docid rebase, drop
+    # tombstoned docs (their TV rows reclaim with their postings); inputs
+    # are docid-adjacent and doc-major sorted, so appending keeps the
+    # doc-major order and row-group pruning granularity
+    tv_paths = [
+        os.path.join(segment_dir(index_dir, e.name), "termvectors.parquet")
+        for e in entries
+    ]
+    if all(os.path.exists(p) for p in tv_paths):
+        from lucene_ray.index.builder import TV_ROW_GROUP
+
+        tv_writer = None
+        try:
+            for i, p in enumerate(tv_paths):
+                tpf = pq.ParquetFile(p)
+                for b in tpf.iter_batches(batch_size=TV_ROW_GROUP):
+                    t = pa.Table.from_batches([b])
+                    docs = (
+                        t.column("doc").to_numpy(zero_copy_only=False)
+                        + offsets[i]
+                    )
+                    t = t.set_column(
+                        t.schema.get_field_index("doc"),
+                        "doc",
+                        pa.array(docs, type=pa.int64()),
+                    )
+                    if live_merged is not None:
+                        t = t.filter(pa.array(live_merged[docs]))
+                    if tv_writer is None:
+                        tv_writer = pq.ParquetWriter(
+                            os.path.join(d, "termvectors.parquet"), t.schema
+                        )
+                    tv_writer.write_table(t, row_group_size=TV_ROW_GROUP)
+        finally:
+            if tv_writer is not None:
+                tv_writer.close()
     del_gen, del_count, reclaimed = 0, 0, 0
     if any_deletes:
         del_count = int((~live_merged).sum())

@@ -636,6 +636,69 @@ SELECT DISTINCT 3, doc_id FROM syn WHERE term = 'quick'
 """
 
 
+def termvector_engine(sf_dir: str) -> pa.Table:
+    """(docid, term, freq, pos_sum): term vectors for every 37th doc,
+    fetched through the TermVectorsReader path (row-group-pruned sidecar
+    reads, post-merge — the sidecar folds at merge like postings).
+    pos_sum = sum of 0-based positions per (doc, term), which pins the
+    full position lists against the SQL oracle without a list-typed
+    column."""
+    import pyarrow.compute as pc
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+    from lucene_ray.search.reader import IndexReader
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_tv_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192, term_vectors=True)
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    r = IndexReader(ix)
+    tv = r.term_vectors(np.arange(0, r.doc_count, 37, dtype=np.int64))
+    if tv.num_rows:
+        lens = pc.list_value_length(tv.column("positions")).to_numpy(
+            zero_copy_only=False
+        )
+        flat = pc.list_flatten(tv.column("positions")).to_numpy(
+            zero_copy_only=False
+        )
+        # every (doc, term) row has freq >= 1, so reduceat segments are
+        # non-empty
+        starts = np.r_[0, np.cumsum(lens)[:-1]].astype(np.int64)
+        pos_sum = np.add.reduceat(flat.astype(np.int64), starts)
+    else:
+        pos_sum = np.array([], dtype=np.int64)
+    return pa.table(
+        {
+            "docid": tv.column("doc"),
+            "term": tv.column("term"),
+            "freq": tv.column("freq").cast(pa.int64()),
+            "pos_sum": pa.array(pos_sum, type=pa.int64()),
+        }
+    )
+
+
+def termvector_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM t
+)
+SELECT doc_id AS docid, term,
+       CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(SUM(pos) AS BIGINT) AS pos_sum
+FROM tok WHERE doc_id % 37 = 0
+GROUP BY doc_id, term
+"""
+
+
 # Deterministic accenting applied to the documents text before indexing so
 # the folding gate actually exercises the char filter (the driver corpus is
 # pure ASCII). Every accented char is in analyzer._FOLD_PAIRS AND folded by

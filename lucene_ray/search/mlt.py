@@ -59,6 +59,37 @@ def select_mlt_terms(
     return [t for _, t in scored[:max_query_terms]]
 
 
+def select_mlt_terms_from_tv(
+    reader,
+    docid: int,
+    max_query_terms: int = MLT_MAX_QUERY_TERMS,
+    min_term_freq: int = MLT_MIN_TERM_FREQ,
+    min_doc_freq: int = MLT_MIN_DOC_FREQ,
+) -> list[str]:
+    """select_mlt_terms sourced from the seed doc's TERM VECTOR instead of
+    re-analyzing stored text — MoreLikeThis.retrieveTerms(int docNum)'s
+    fast path (MoreLikeThis.java: 'if (vector != null) ...'). Identical
+    output to the re-analysis path by construction (term vectors store the
+    exact per-doc (term, freq) stream); pinned by
+    tests/test_termvectors.py::test_mlt_tv_matches_reanalysis."""
+    tv = reader.term_vectors([docid])
+    tfs = dict(zip(tv.column("term").to_pylist(), tv.column("freq").to_pylist()))
+    cand = sorted(t for t, c in tfs.items() if c >= min_term_freq)
+    if not cand:
+        return []
+    stats = reader.global_term_stats(cand)
+    n = float(reader.stats_doc_count)
+    scored = []
+    for t in cand:
+        df = stats.get(t, (0, 0))[0]
+        if df < min_doc_freq:
+            continue
+        idf = 1.0 + math.log(n / (df + 1.0))
+        scored.append((-(tfs[t] * idf), t))
+    scored.sort()
+    return [t for _, t in scored[:max_query_terms]]
+
+
 def more_like_this(
     reader,
     text: str,

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from lucene_ray.codec.postings_codec import TermPostings, decode_term_postings
@@ -265,6 +266,43 @@ class SegmentReader:
             return []
         return [n for n in pq.read_schema(path).names if n != "docid"]
 
+    @property
+    def has_term_vectors(self) -> bool:
+        return os.path.exists(os.path.join(self.seg_dir, "termvectors.parquet"))
+
+    def term_vectors_local(self, docids: np.ndarray) -> pa.Table:
+        """(doc, term, freq, positions[, starts, lens]) rows for the given
+        LOCAL docids — the TermVectorsReader.get(doc) analog. The sidecar
+        is doc-major sorted with small row groups, so the fetch prunes to
+        the row groups whose doc min/max stats intersect the request
+        (footer-only planning; never scans the whole sidecar)."""
+        path = os.path.join(self.seg_dir, "termvectors.parquet")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                "index was built without term_vectors=True: " + path
+            )
+        import pyarrow.compute as pc
+
+        pf = getattr(self, "_tv_pf", None)
+        if pf is None:
+            pf = self._tv_pf = pq.ParquetFile(path)
+        docids = np.unique(np.asarray(docids, dtype=np.int64))
+        md = pf.metadata
+        # doc column is index 0 in the sidecar schema
+        col = pf.schema_arrow.names.index("doc")
+        groups = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(col).statistics
+            lo, hi = st.min, st.max
+            i = int(np.searchsorted(docids, lo, side="left"))
+            if i < len(docids) and docids[i] <= hi:
+                groups.append(g)
+        if not groups:
+            return pf.schema_arrow.empty_table()
+        t = pf.read_row_groups(groups)
+        mask = pc.is_in(t.column("doc"), value_set=pa.array(docids))
+        return t.filter(mask)
+
     def point_range(self, field: str, lower, upper) -> np.ndarray:
         """Sorted local docids with lower <= value <= upper (inclusive both,
         PointRangeQuery semantics) — two binary searches over the
@@ -440,6 +478,48 @@ class IndexReader:
             if e.docid_base <= global_docid < e.docid_base + e.doc_count:
                 return self.segment_reader(e.name), global_docid - e.docid_base
         raise IndexError(f"docid {global_docid} outside every segment")
+
+    @property
+    def has_term_vectors(self) -> bool:
+        for e in self.segments:
+            if e.doc_count:
+                return self.segment_reader(e.name).has_term_vectors
+        return False
+
+    def term_vectors(self, docids) -> pa.Table:
+        """Term-vector rows for GLOBAL docids (doc column rebased to global
+        ids), the IndexReader.termVectors().get(doc) analog. Deleted docs
+        are silently skipped — readers are live snapshots. Per-segment
+        fetches prune parquet row groups by docid stats."""
+        docids = np.unique(np.asarray(docids, dtype=np.int64))
+        parts = []
+        for e in self.segments:
+            lo = e.docid_base
+            sel = docids[(docids >= lo) & (docids < lo + e.doc_count)]
+            if not len(sel):
+                continue
+            sr = self.segment_reader(e.name)
+            local = sel - lo
+            if sr.live_mask is not None:
+                local = local[sr.live_mask[local]]
+            if not len(local):
+                continue
+            t = sr.term_vectors_local(local)
+            gdoc = pa.array(
+                t.column("doc").to_numpy(zero_copy_only=False) + lo,
+                type=pa.int64(),
+            )
+            parts.append(t.set_column(0, "doc", gdoc))
+        if not parts:
+            return pa.table(
+                {
+                    "doc": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "freq": pa.array([], type=pa.int32()),
+                    "positions": pa.array([], type=pa.list_(pa.int32())),
+                }
+            )
+        return pa.concat_tables(parts)
 
     def vocabulary(self, include_fields: bool = False) -> np.ndarray:
         """Sorted union of segment terms (the multi-term rewrite target;
