@@ -46,6 +46,23 @@ def vm_state_control() -> float:
     np.cumsum(a)
     np.add.accumulate(a)
     return round(time.perf_counter() - t0, 4)
+
+
+def wait_for_fast_state(
+    threshold: float = 0.08, max_wait: float = 120.0
+) -> list[float]:
+    """Poll vm_state_control until the host leaves a degraded memory state
+    (probe < threshold; fast ~0.014s, degraded 0.4-3.9s) or ``max_wait``
+    elapses. Returns the probe history — recorded in the bench JSON so a
+    run that never saw a fast window is self-labelling. Keeps a
+    driver-scheduled bench from silently measuring the host instead of the
+    engine (BASELINE.md round-3 protocol)."""
+    history = [vm_state_control()]
+    deadline = time.perf_counter() + max_wait
+    while history[-1] >= threshold and time.perf_counter() < deadline:
+        time.sleep(5)
+        history.append(vm_state_control())
+    return history
 N_SHARDS = 32
 
 
@@ -87,7 +104,9 @@ def run_bench() -> dict:
     # trials, keep the best: the bench VM has ~3x run-to-run variance) -----
     index_dir = f"/tmp/lucene_ray_bench/index_n{N_DOCS}_c{NUM_CPUS}"
     build_trials = []
-    probes = [vm_state_control()]
+    wait_hist = wait_for_fast_state()
+    timings["vm_state_wait"] = wait_hist
+    probes = [wait_hist[-1]]
     for _trial in range(2):
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.perf_counter()
@@ -104,7 +123,7 @@ def run_bench() -> dict:
     shutil.rmtree(snap_dir, ignore_errors=True)
     shutil.copytree(index_dir, snap_dir)
     merge_trials = []
-    probes.append(vm_state_control())
+    probes.append(wait_for_fast_state(max_wait=60.0)[-1])
     for _trial in range(2):
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.copytree(snap_dir, index_dir)
