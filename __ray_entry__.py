@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_engine": bm25docs.synonym_engine,
         "folding_engine": bm25docs.folding_engine,
         "termvector_engine": bm25docs.termvector_engine,
+        "htmlstrip_engine": bm25docs.htmlstrip_engine,
         # --- analysis chain + aggregations (§2.2/2.5)
         "term_stats": text.term_stats,
         "whitespace_stats": text.whitespace_stats,
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "synonym_engine": bm25docs.synonym_engine_sql(),
         "folding_engine": bm25docs.folding_engine_sql(),
         "termvector_engine": bm25docs.termvector_engine_sql(),
+        "htmlstrip_engine": bm25docs.htmlstrip_engine_sql(),
         "term_stats": text.term_stats_sql(),
         "whitespace_stats": text.whitespace_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),

@@ -562,6 +562,57 @@ class FoldingAnalyzer(CodeAnalyzer):
         return base[0].as_py()
 
 
+# HTMLStripCharFilter-lite (analysis/common/.../charfilter/
+# HTMLStripCharFilter.java:30 — the jflex grammar handles scripts/comments/
+# CDATA; this subset strips tags and character entities). Stripped spans are
+# BLANKED with spaces instead of removed, so the filter is length-preserving
+# and token offsets point into the RAW html — the effect of the reference's
+# offset-correction machinery (CharFilter.correctOffset) without the
+# bookkeeping. Both patterns are RE2-expressible (the DuckDB-oracle parity
+# constraint; see HTML_STRIP_SQL_PASSES).
+_HTML_TAG_RE = re.compile(r"<[^>]*>")
+_HTML_ENT_RE = re.compile(r"&[a-zA-Z]+;|&#[0-9]+;")
+
+# (pattern, replacement) passes for the SQL twin: tokens are unaffected by
+# blanking with ONE space instead of length-many (offsets are engine-only)
+HTML_STRIP_SQL_PASSES = (("<[^>]*>", " "), ("&[a-zA-Z]+;|&#[0-9]+;", " "))
+
+
+def strip_html(text: str) -> str:
+    text = _HTML_TAG_RE.sub(lambda m: " " * len(m.group()), text)
+    return _HTML_ENT_RE.sub(lambda m: " " * len(m.group()), text)
+
+
+class HTMLStripAnalyzer(CodeAnalyzer):
+    """HTML-strip char filter, then the CodeAnalyzer chain. Decoded
+    punctuation entities (&amp; &lt; ...) would be token separators anyway,
+    so blanking them is token-identical to decoding; documented
+    divergence: entities that decode to ALPHANUMERIC text (&#65; -> 'A')
+    are dropped rather than decoded."""
+
+    name = "html"
+
+    def _strip(self, texts):
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.array(
+            [strip_html(t) if t is not None else None for t in texts.to_pylist()],
+            type=pa.string(),
+        )
+
+    def tokenize_flat(self, texts, with_offsets: bool = False):
+        return super().tokenize_flat(self._strip(texts), with_offsets=with_offsets)
+
+    def tokenize_array(self, texts):
+        return super().tokenize_array(self._strip(texts))
+
+    def tokenize_text(self, text: str) -> list[str]:
+        base = CodeAnalyzer.tokenize_array(
+            self, pa.array([strip_html(text)], type=pa.string())
+        )
+        return base[0].as_py()
+
+
 _REGISTRY = {
     "code": CodeAnalyzer,
     "standard": StandardLiteAnalyzer,
@@ -570,6 +621,7 @@ _REGISTRY = {
     "keyword": KeywordAnalyzer,
     "synonym": SynonymAnalyzer,
     "folding": FoldingAnalyzer,
+    "html": HTMLStripAnalyzer,
 }
 
 

@@ -791,6 +791,105 @@ SELECT DISTINCT 2, a.doc_id FROM tok a JOIN tok b
 """
 
 
+def _htmlified_corpus(sf_dir: str) -> str:
+    """Corpus-schema parquet whose content is the documents text wrapped in
+    deterministic HTML markup (tags + entities between words) so the
+    html-strip gate actually exercises the char filter."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.corpus import documents_as_corpus
+
+    src = documents_as_corpus(sf_dir)
+    out = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_html_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12] + ".parquet",
+    )
+    if os.path.exists(out):
+        return out
+    t = pq.read_table(src)
+    content = t.column("content")
+    content = pc.replace_substring(content, " ", " <br/>&nbsp;")
+    content = pc.binary_join_element_wise(
+        pa.array(['<html lang="x"><body>'] * t.num_rows),
+        content.combine_chunks().cast(pa.string()),
+        pa.array(["</body>&#10;</html>"] * t.num_rows),
+        "",
+    )
+    t = t.set_column(t.schema.get_field_index("content"), "content", content)
+    tmp = out + ".tmp"
+    pq.write_table(t, tmp, row_group_size=16384)
+    os.replace(tmp, out)
+    return out
+
+
+def htmlstrip_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): queries against an index built from the HTML-ified
+    corpus through HTMLStripAnalyzer — tags/entities must vanish (the tag
+    words 'html'/'body'/'br'/'nbsp' never match), and positions must
+    survive stripping (phrase query across an injected <br/>&nbsp;)."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, PhraseQuery, TermQuery
+
+    corpus_path = _htmlified_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_html_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192, analyzer_name="html")
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    s = IndexSearcher(ix)
+    queries = [
+        (0, BooleanQuery(must=[TermQuery("merge")])),
+        (1, BooleanQuery(must=[TermQuery("body")])),  # tag text stripped
+        (2, BooleanQuery(must=[PhraseQuery(("batch", "stream"))])),
+        (3, BooleanQuery(must=[TermQuery("scan")], must_not=[TermQuery("nbsp")])),
+    ]
+    out_q, out_d = [], []
+    for qid, q in queries:
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def htmlstrip_engine_sql() -> str:
+    from lucene_ray.analysis.analyzer import HTML_STRIP_SQL_PASSES
+
+    html = (
+        "'<html lang=\"x\"><body>' || replace(text, ' ', ' <br/>&nbsp;')"
+        " || '</body>&#10;</html>'"
+    )
+    stripped = html
+    for pat, repl in HTML_STRIP_SQL_PASSES:
+        stripped = f"regexp_replace({stripped}, '{pat}', '{repl}', 'g')"
+    toks = tokenize_sql_expr(stripped)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+SELECT DISTINCT 0 AS qid, doc_id AS docid FROM tok WHERE term = 'merge'
+UNION ALL
+SELECT DISTINCT 1, doc_id FROM tok WHERE term = 'body'
+UNION ALL
+SELECT DISTINCT 2, a.doc_id FROM tok a JOIN tok b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'stream'
+  WHERE a.term = 'batch'
+UNION ALL
+SELECT DISTINCT 3, doc_id FROM tok WHERE term = 'scan'
+  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'nbsp')
+"""
+
+
 def sort_engine(sf_dir: str, k: int = 20) -> pa.Table:
     """(qid, rank, docid): sort-by-field search (TopFieldCollector) — docs
     matching a term ordered by the n_chars doc value, desc and asc, docid

@@ -177,6 +177,48 @@ class TestRegistryBreadth:
         # length-preserving fold
         assert len(fold_ascii("àéîõü")) == 5
 
+    def test_htmlstrip_analyzer(self):
+        from lucene_ray.analysis import get_analyzer
+        from lucene_ray.analysis.analyzer import strip_html
+
+        an = get_analyzer("html")
+        assert an.tokenize_text("<p class='x'>fooBar</p> &amp; baz&#10;qux") == [
+            "foo", "bar", "baz", "qux",
+        ]
+        # length-preserving blanking -> offsets point into the RAW html
+        raw = "<b>cat</b> dog"
+        assert len(strip_html(raw)) == len(raw)
+        rows, terms, pos, starts, lens = an.tokenize_flat(
+            pa.array([raw]), with_offsets=True
+        )
+        assert terms.to_pylist() == ["cat", "dog"]
+        assert [raw[s:s + l] for s, l in zip(starts, lens)] == ["cat", "dog"]
+
+    def test_htmlstrip_matches_duckdb_passes(self):
+        # the Python filter and the SQL regex passes must tokenize
+        # identically (one-space vs length-many blanking is token-neutral)
+        import duckdb
+
+        from lucene_ray.analysis import get_analyzer
+        from lucene_ray.analysis.analyzer import HTML_STRIP_SQL_PASSES
+
+        an = get_analyzer("html")
+        samples = [
+            "<html><body>a b</body></html>",
+            "no markup here",
+            "x<br/>y &lt;tag&gt; z&#65;w",
+            "<a href='q'>link text</a> &amp;&amp; done",
+        ]
+        con = duckdb.connect()
+        for s in samples:
+            expr = "?"
+            for pat, repl in HTML_STRIP_SQL_PASSES:
+                expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+            stripped = con.execute(f"SELECT {expr}", [s]).fetchone()[0]
+            assert an.tokenize_text(s) == get_analyzer("code").tokenize_text(
+                stripped
+            ), s
+
     def test_fold_matches_duckdb_strip_accents(self):
         # every char in the fold table must fold identically to DuckDB's
         # strip_accents — the SQL-oracle parity constraint for folding gates

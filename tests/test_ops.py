@@ -285,6 +285,13 @@ class TestBM25Docs:
 
         assert_same(bm25docs.folding_engine(SF), con, bm25docs.folding_engine_sql())
 
+    def test_htmlstrip_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.htmlstrip_engine(SF), con, bm25docs.htmlstrip_engine_sql()
+        )
+
     def test_termvector_engine(self, con):
         from lucene_ray.ops import bm25docs
 
