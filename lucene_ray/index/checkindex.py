@@ -177,6 +177,53 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
                                 f"docs with only {n_gone} deleted"
                             )
 
+        # term-vectors sidecar (TermVectorsReader checkIntegrity role):
+        # doc-major sorted, docids in range, freq == len(positions) with
+        # strictly-increasing positions, and per-doc freq sums equal the
+        # CONTENT doc_len (TV is content-only, like norms) — tombstoned
+        # docs' rows are reclaimed at merge, so the equality is asserted
+        # for live docs and bounded for the rest
+        tv_path = os.path.join(d, "termvectors.parquet")
+        if os.path.exists(tv_path):
+            tv = pq.read_table(tv_path)
+            tdocs = tv.column("doc").to_numpy(zero_copy_only=False)
+            tfreq = tv.column("freq").to_numpy(zero_copy_only=False).astype(np.int64)
+            if np.any(np.diff(tdocs) < 0):
+                problems.append(f"{entry.name}: termvectors not doc-sorted")
+            if len(tdocs) and (tdocs[0] < 0 or tdocs[-1] >= entry.doc_count):
+                problems.append(f"{entry.name}: termvectors docid out of range")
+            plens = tv.column("positions").combine_chunks()
+            import pyarrow.compute as pc
+
+            if not np.array_equal(
+                pc.list_value_length(plens).to_numpy(zero_copy_only=False),
+                tfreq,
+            ):
+                problems.append(f"{entry.name}: termvectors freq != len(positions)")
+            flat = pc.list_flatten(plens).to_numpy(zero_copy_only=False)
+            starts = np.r_[0, np.cumsum(tfreq)[:-1]]
+            bad = np.diff(flat) <= 0
+            if len(flat) > 1:
+                # boundaries between rows may legitimately decrease
+                bad[starts[1:] - 1] = False
+                if bad.any():
+                    problems.append(
+                        f"{entry.name}: termvectors positions not increasing"
+                    )
+            per_doc = np.bincount(tdocs, weights=tfreq, minlength=entry.doc_count)
+            live = sr.live_mask if sr.live_mask is not None else np.ones(
+                entry.doc_count, bool
+            )
+            if getattr(entry, "reclaimed", 0) == 0:
+                mismatch = per_doc != sr.doc_len
+            else:
+                mismatch = live & (per_doc != sr.doc_len)
+            if mismatch.any():
+                problems.append(
+                    f"{entry.name}: termvectors freq sums != doc_len for "
+                    f"{int(mismatch.sum())} docs"
+                )
+
         if verify_content and "file" in entry.input:
             # merged segments carry "merged_from" lineage instead; their
             # stored sha256 column was concatenated from verified inputs

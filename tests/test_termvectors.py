@@ -113,6 +113,31 @@ def test_merge_and_deletes_fold(tv_index, tmp_path):
             assert after[gid] == terms
 
 
+def test_checkindex_covers_termvectors(tv_index, tmp_path):
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.checkindex import check_index
+    from lucene_ray.index.manifest import segment_dir, read_manifest
+
+    assert check_index(tv_index, verify_content=False)["ok"]
+    # corrupt one freq -> CheckIndex must notice
+    d = str(tmp_path / "ix")
+    shutil.copytree(tv_index, d)
+    m = read_manifest(d)
+    sd = segment_dir(d, m.segments[0].name)
+    t = pq.read_table(sd + "/termvectors.parquet")
+    f = t.column("freq").to_pylist()
+    f[0] += 1
+    t = t.set_column(
+        t.schema.get_field_index("freq"), "freq", pa.array(f, type=pa.int32())
+    )
+    pq.write_table(t, sd + "/termvectors.parquet")
+    rep = check_index(d, verify_content=False)
+    assert not rep["ok"] and any("termvectors" in p for p in rep["problems"])
+
+
 def test_mlt_tv_matches_reanalysis(tv_index):
     from lucene_ray.search.mlt import select_mlt_terms, select_mlt_terms_from_tv
 
