@@ -187,6 +187,87 @@ def _next_seg_idx(manifest: Manifest, index_dir: str | None = None) -> int:
     return mx + 1
 
 
+def add_indexes(dest_dir: str, src_dirs: list[str]) -> Manifest:
+    """IndexWriter.addIndexes(Directory...) (index/IndexWriter.java:3191
+    no-merge copy variant): import every LIVE segment of each source index
+    into ``dest`` by verbatim file copy + docid rebase.
+
+    Segment files address docs by SEGMENT-LOCAL ids (postings, norms,
+    points, spatial, term vectors, doc values, live docs), so the copy is
+    byte-identical — only the manifest entry's name and docid_base change.
+    Source tombstones (del_gen) and DV update generations travel with the
+    copied files. Sources must share the dest's analyzer: the shared term
+    dict is analyzer-defined here (the reference leaves codec/analyzer
+    agreement to the caller). Imported segments keep their sorted_runs
+    only when the source's index_sort equals the dest's.
+
+    Published atomically in ONE write_manifest: a crash mid-copy leaves
+    only unreferenced segment dirs, which readers ignore and whose names
+    are never reused (_next_seg_idx scans the directory)."""
+    import hashlib
+    import shutil
+
+    manifest = read_manifest(dest_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {dest_dir}")
+    base = max(
+        (e.docid_base + e.doc_count for e in manifest.segments), default=0
+    )
+    for src in src_dirs:
+        sm = read_manifest(src)
+        if sm is None:
+            raise FileNotFoundError(f"no manifest under {src}")
+        if sm.analyzer != manifest.analyzer:
+            raise ValueError(
+                f"addIndexes analyzer mismatch: dest={manifest.analyzer!r} "
+                f"src={sm.analyzer!r} ({src})"
+            )
+        same_sort = sm.index_sort == manifest.index_sort
+        for e in sorted(sm.live_segments, key=lambda x: x.docid_base):
+            idx = _next_seg_idx(manifest, dest_dir)
+            fp = hashlib.sha1(
+                f"{src}:{e.name}:{getattr(e, 'del_gen', 0)}:"
+                f"{getattr(e, 'dv_gen', 0)}".encode()
+            ).hexdigest()[:12]
+            new_name = f"seg_{idx:06d}_{fp}"
+            sd_dst = segment_dir(dest_dir, new_name)
+            if os.path.exists(sd_dst):
+                shutil.rmtree(sd_dst)
+            shutil.copytree(segment_dir(src, e.name), sd_dst)
+            ne = SegmentEntry(
+                name=new_name,
+                docid_base=base,
+                doc_count=e.doc_count,
+                sum_ttf=e.sum_ttf,
+                unique_terms=e.unique_terms,
+                bytes=e.bytes,
+                input={
+                    "imported_from": src,
+                    "src_name": e.name,
+                    "fingerprint": fp,
+                },
+                metrics=dict(e.metrics),
+                del_gen=getattr(e, "del_gen", 0),
+                del_count=getattr(e, "del_count", 0),
+                dv_gen=getattr(e, "dv_gen", 0),
+                reclaimed=getattr(e, "reclaimed", 0),
+                sorted_runs=(
+                    [list(r) for r in e.sorted_runs]
+                    if (same_sort and getattr(e, "sorted_runs", None))
+                    else None
+                ),
+            )
+            write_entry(dest_dir, ne)
+            manifest.segments.append(ne)
+            base += e.doc_count
+    manifest.segments.sort(key=lambda x: x.docid_base)
+    manifest.generation += 1
+    manifest.doc_count = sum(e.doc_count for e in manifest.segments)
+    manifest.sum_ttf = sum(e.sum_ttf for e in manifest.segments)
+    write_manifest(dest_dir, manifest)
+    return manifest
+
+
 def add_documents(index_dir: str, table: pa.Table) -> Manifest:
     """Append new docs as fresh segment(s). ``table`` needs the corpus
     schema (repo, path, commit, lang, content); docids continue after the

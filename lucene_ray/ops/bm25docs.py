@@ -791,6 +791,82 @@ SELECT DISTINCT 2, a.doc_id FROM tok a JOIN tok b
 """
 
 
+def addindexes_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): queries after IndexWriter.addIndexes — the documents
+    corpus is split in half, each half indexed separately, then the second
+    index is imported into the first by verbatim segment copy + docid
+    rebase (writer.add_indexes). Doc sets must equal a whole-corpus SQL
+    oracle; docids stay == doc_id because both halves preserve corpus
+    order."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.writer import add_indexes
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, PhraseQuery, TermQuery
+
+    full = documents_as_corpus(sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    halves = []
+    t = pq.read_table(full)
+    n1 = t.num_rows // 2
+    for i, sl in enumerate((t.slice(0, n1), t.slice(n1))):
+        p = os.path.join("/tmp/lucene_ray_cache", f"docs_half{i}_{tag}.parquet")
+        if not os.path.exists(p):
+            pq.write_table(sl, p + ".tmp", row_group_size=16384)
+            os.replace(p + ".tmp", p)
+        halves.append(p)
+    ix_b = os.path.join("/tmp/lucene_ray_cache", f"docs_addsrc_{tag}")
+    build_index([halves[1]], ix_b, target_docs=4096)
+    ix = os.path.join("/tmp/lucene_ray_cache", f"docs_addix_{tag}")
+    marker = ix + ".done"
+    if not os.path.exists(marker):
+        shutil.rmtree(ix, ignore_errors=True)
+        build_index([halves[0]], ix, target_docs=4096)
+        add_indexes(ix, [ix_b])
+        with open(marker, "w"):
+            pass
+    s = IndexSearcher(ix)
+    queries = [
+        (0, BooleanQuery(must=[TermQuery("merge")])),
+        (1, BooleanQuery(must=[TermQuery("window")], must_not=[TermQuery("hash")])),
+        (2, BooleanQuery(must=[PhraseQuery(("batch", "stream"))])),
+    ]
+    out_q, out_d = [], []
+    for qid, q in queries:
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def addindexes_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+SELECT DISTINCT 0 AS qid, doc_id AS docid FROM tok WHERE term = 'merge'
+UNION ALL
+SELECT DISTINCT 1, doc_id FROM tok WHERE term = 'window'
+  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'hash')
+UNION ALL
+SELECT DISTINCT 2, a.doc_id FROM tok a JOIN tok b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'stream'
+  WHERE a.term = 'batch'
+"""
+
+
 def _htmlified_corpus(sf_dir: str) -> str:
     """Corpus-schema parquet whose content is the documents text wrapped in
     deterministic HTML markup (tags + entities between words) so the
