@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "whitespace_stats": text.whitespace_stats,
         "doc_token_stats": text.doc_token_stats,
         "text_quality": text.text_quality,
+        "repetition_stats": text.repetition_stats,
         "lang_id": text.lang_id,
         # fingerprint kernel gated through its shift identity (raw values
         # stay available as lucene_ray.ops.text.fingerprint; DuckDB cannot
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "whitespace_stats": text.whitespace_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),
         "text_quality": text.text_quality_sql(),
+        "repetition_stats": text.repetition_stats_sql(),
         "lang_id": text.lang_id_sql(),
         "fingerprint_shift": text.fingerprint_shift_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),

@@ -186,6 +186,77 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, total_ngrams, distinct_ngrams) over token 3-grams per doc —
+    the C4/Gopher-style within-document repetition signal (duplicate-3gram
+    fraction = 1 - distinct/total downstream; integers here so the oracle
+    hashes exactly). Pure map_batches, no shuffle: each document's counts
+    live inside its batch. Distinctness via lexsort + neighbor-diff (no
+    composite-key overflow at any vocabulary size)."""
+
+    def rep(batch: pa.Table) -> pa.Table:
+        doc_ids, row_idx, terms = _tokenize_batch(batch)
+        nb = batch.num_rows
+        ids = (
+            terms.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        total = np.zeros(nb, dtype=np.int64)
+        distinct = np.zeros(nb, dtype=np.int64)
+        if len(ids) >= 3:
+            # token stream is (doc, position)-ordered: a trigram is three
+            # consecutive stream entries in the same row
+            same = row_idx[:-2] == row_idx[2:]
+            r = row_idx[:-2][same]
+            a, b, c = ids[:-2][same], ids[1:-1][same], ids[2:][same]
+            total = np.bincount(r, minlength=nb).astype(np.int64)
+            order = np.lexsort((c, b, a, r))
+            rs, as_, bs, cs = r[order], a[order], b[order], c[order]
+            if len(rs):
+                is_new = np.empty(len(rs), dtype=bool)
+                is_new[0] = True
+                is_new[1:] = (
+                    (rs[1:] != rs[:-1])
+                    | (as_[1:] != as_[:-1])
+                    | (bs[1:] != bs[:-1])
+                    | (cs[1:] != cs[:-1])
+                )
+                distinct = np.bincount(rs[is_new], minlength=nb).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "total_ngrams": pa.array(total, type=pa.int64()),
+                "distinct_ngrams": pa.array(distinct, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(rep, batch_format="pyarrow", batch_size=4096)
+
+
+def repetition_stats_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+), tri AS (
+  SELECT a.doc_id, a.term || '|' || b.term || '|' || c.term AS g
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS total_ngrams,
+         count(DISTINCT g)::BIGINT AS distinct_ngrams
+  FROM tri GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.total_ngrams, 0) AS total_ngrams,
+       coalesce(a.distinct_ngrams, 0) AS distinct_ngrams
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def text_quality(sf_dir: str) -> "ray.data.Dataset":
     """Integer quality counters per doc (quality *scoring* downstream divides
     these; keeping raw counts makes the oracle comparison exact):

@@ -65,6 +65,11 @@ class TestTextOps:
 
         assert_same(text.doc_token_stats(SF), con, text.doc_token_stats_sql())
 
+    def test_repetition_stats(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.repetition_stats(SF), con, text.repetition_stats_sql())
+
     def test_text_quality(self, con):
         from lucene_ray.ops import text
 
