@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "termvector_engine": bm25docs.termvector_engine,
         "htmlstrip_engine": bm25docs.htmlstrip_engine,
         "addindexes_engine": bm25docs.addindexes_engine,
+        "commonterms_engine": bm25docs.commonterms_engine,
         # --- analysis chain + aggregations (§2.2/2.5)
         "term_stats": text.term_stats,
         "whitespace_stats": text.whitespace_stats,
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "termvector_engine": bm25docs.termvector_engine_sql(),
         "htmlstrip_engine": bm25docs.htmlstrip_engine_sql(),
         "addindexes_engine": bm25docs.addindexes_engine_sql(),
+        "commonterms_engine": bm25docs.commonterms_engine_sql(),
         "term_stats": text.term_stats_sql(),
         "whitespace_stats": text.whitespace_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),

@@ -791,6 +791,82 @@ SELECT DISTINCT 2, a.doc_id FROM tok a JOIN tok b
 """
 
 
+# (qid, terms) for the CommonTermsQuery gate — the SQL oracle recomputes the
+# low/high split itself, so the gate stays correct whatever the actual dfs
+COMMONTERMS_QUERIES: list[tuple[int, tuple[str, ...]]] = [
+    (0, ("the", "merge")),
+    (1, ("the", "data")),
+    (2, ("zzzmissing", "the")),
+    (3, ("window", "batch", "the")),
+]
+COMMONTERMS_CUTOFF = 0.4
+
+
+def commonterms_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): CommonTermsQuery doc sets — rare terms REQUIRED,
+    stop-like terms optional; a query with no rare term degrades to a
+    disjunction; an absent term (df=0) is rare and forces an empty set."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import CommonTermsQuery
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, terms in COMMONTERMS_QUERIES:
+        q = CommonTermsQuery(terms, max_term_frequency=COMMONTERMS_CUTOFF)
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def commonterms_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, terms in COMMONTERMS_QUERIES:
+        vals = ", ".join(f"('{t}')" for t in terms)
+        q = f"""
+SELECT DISTINCT {qid} AS qid, tok.doc_id AS docid FROM tok
+WHERE CASE WHEN (SELECT count(*) FROM (
+          SELECT t.term FROM (VALUES {vals}) t(term)
+          LEFT JOIN df USING (term)
+          WHERE coalesce(df.df, 0) < {COMMONTERMS_CUTOFF} * (SELECT c FROM n)
+      ) lowq) > 0
+  THEN tok.doc_id IN (
+      SELECT doc_id FROM tok
+      WHERE term IN (
+          SELECT t.term FROM (VALUES {vals}) t(term)
+          LEFT JOIN df USING (term)
+          WHERE coalesce(df.df, 0) < {COMMONTERMS_CUTOFF} * (SELECT c FROM n))
+      GROUP BY doc_id
+      HAVING count(DISTINCT term) = (
+          SELECT count(*) FROM (VALUES {vals}) t(term)
+          LEFT JOIN df USING (term)
+          WHERE coalesce(df.df, 0) < {COMMONTERMS_CUTOFF} * (SELECT c FROM n))
+  )
+  ELSE tok.term IN (SELECT t.term FROM (VALUES {vals}) t(term)) END
+"""
+        parts.append(q)
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT DISTINCT doc_id, unnest(l) AS term FROM t
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term
+), n AS (
+  SELECT count(*)::DOUBLE AS c FROM documents
+)
+{body}
+"""
+
+
 def addindexes_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): queries after IndexWriter.addIndexes — the documents
     corpus is split in half, each half indexed separately, then the second

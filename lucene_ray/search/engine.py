@@ -31,6 +31,7 @@ from lucene_ray.analysis import get_analyzer
 from lucene_ray.config import DEFAULT_TOP_K
 from lucene_ray.search.query import (
     BooleanQuery,
+    CommonTermsQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     DisjunctionSumQuery,
@@ -187,6 +188,8 @@ class IndexSearcher:
         top-of-index scores; Lucene's paging collector has the same split,
         search/TopScoreDocCollector.java:104-160)."""
         bq = self.parse(query) if isinstance(query, str) else query
+        if isinstance(bq, CommonTermsQuery):
+            bq = bq.rewrite(self.reader)
         bq = self._maybe_rewrite(bq)
         if not (bq.must or bq.should):
             return TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
@@ -243,6 +246,8 @@ class IndexSearcher:
         in this design, so the reference's 1000-hit threshold approximation
         is unnecessary."""
         bq = self.parse(query) if isinstance(query, str) else query
+        if isinstance(bq, CommonTermsQuery):
+            bq = bq.rewrite(self.reader)
         bq = self._maybe_rewrite(bq)
         if not (bq.must or bq.should):
             return 0

@@ -269,6 +269,41 @@ class BooleanQuery:
 
 
 @dataclass(frozen=True)
+class CommonTermsQuery:
+    """queries/.../CommonTermsQuery.java:64 — partition the query terms by
+    corpus document frequency at ``max_term_frequency`` (a fraction of the
+    scoring doc count) and give each partition its own occur: rare terms
+    gate the match (default MUST), stop-like terms only contribute score
+    (default SHOULD). A term absent from the index has df=0 and lands in
+    the low bucket (same as the reference's per-segment termsEnum miss).
+    When no term is low-frequency the query degrades to a pure disjunction
+    over the high bucket (CommonTermsQuery.buildQuery's lowFreq.clauses()
+    == 0 branch)."""
+
+    terms: tuple
+    max_term_frequency: float = 0.3
+    low_freq_occur: str = "must"     # "must" | "should"
+    high_freq_occur: str = "should"  # "must" | "should"
+
+    def rewrite(self, reader) -> "BooleanQuery":
+        stats = reader.global_term_stats(list(self.terms))
+        n = float(reader.stats_doc_count)
+        cutoff = self.max_term_frequency * n
+        low = [t for t in self.terms if stats.get(t, (0, 0))[0] < cutoff]
+        high = [t for t in self.terms if t not in low]
+        if not low:
+            return BooleanQuery(should=[TermQuery(t) for t in high])
+        bq = BooleanQuery()
+        (bq.must if self.low_freq_occur == "must" else bq.should).extend(
+            TermQuery(t) for t in low
+        )
+        (bq.must if self.high_freq_occur == "must" else bq.should).extend(
+            TermQuery(t) for t in high
+        )
+        return bq
+
+
+@dataclass(frozen=True)
 class FeatureQuery:
     """Static-signal ranking clause (document/FeatureField.java +
     FeatureField.newSaturationQuery/newLogQuery): score derives from a

@@ -297,6 +297,13 @@ class TestBM25Docs:
             bm25docs.htmlstrip_engine(SF), con, bm25docs.htmlstrip_engine_sql()
         )
 
+    def test_commonterms_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.commonterms_engine(SF), con, bm25docs.commonterms_engine_sql()
+        )
+
     def test_addindexes_engine(self, con):
         from lucene_ray.ops import bm25docs
 
