@@ -100,21 +100,31 @@ def run_bench() -> dict:
             while f.read(1 << 22):
                 pass
 
-    # ---- index build (fresh dir every trial — resume must not help; two
-    # trials, keep the best: the bench VM has ~3x run-to-run variance) -----
+    # ---- index build (fresh dir every trial — resume must not help).
+    # Trials retry up to 4x until one is BRACKETED by fast probes (a
+    # "clean trial": the host stayed in its fast state before and after) —
+    # a degraded-window run is then self-labelling instead of reading as a
+    # regression (BASELINE.md round-3 protocol) ----------------------------
     index_dir = f"/tmp/lucene_ray_bench/index_n{N_DOCS}_c{NUM_CPUS}"
     build_trials = []
+    build_probe_pairs = []
     wait_hist = wait_for_fast_state()
     timings["vm_state_wait"] = wait_hist
     probes = [wait_hist[-1]]
-    for _trial in range(2):
+    for _trial in range(4):
+        pre = wait_for_fast_state(max_wait=45.0)[-1] if _trial else probes[0]
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.perf_counter()
         manifest = build_index(paths, index_dir, target_docs=5_000)
         build_trials.append(time.perf_counter() - t0)
+        post = vm_state_control()
+        build_probe_pairs.append([round(pre, 3), round(post, 3)])
+        if len(build_trials) >= 2 and pre < 0.08 and post < 0.08:
+            break
     t_build = min(build_trials)
     timings["index_build"] = round(t_build, 3)
     timings["index_build_trials"] = [round(t, 3) for t in build_trials]
+    timings["index_build_probe_pairs"] = build_probe_pairs
 
     # ---- merge: >= 2 trials from the SAME pre-merge snapshot (restore cost
     # excluded from the timing) so a slow-VM state can't masquerade as a
@@ -123,16 +133,25 @@ def run_bench() -> dict:
     shutil.rmtree(snap_dir, ignore_errors=True)
     shutil.copytree(index_dir, snap_dir)
     merge_trials = []
+    merge_probe_pairs = []
     probes.append(wait_for_fast_state(max_wait=60.0)[-1])
-    for _trial in range(2):
+    for _trial in range(4):
+        pre = (
+            wait_for_fast_state(max_wait=45.0)[-1] if _trial else probes[-1]
+        )
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.copytree(snap_dir, index_dir)
         t0 = time.perf_counter()
         manifest = maybe_merge(index_dir, TieredMergePolicy())
         merge_trials.append(time.perf_counter() - t0)
+        post = vm_state_control()
+        merge_probe_pairs.append([round(pre, 3), round(post, 3)])
+        if len(merge_trials) >= 2 and pre < 0.08 and post < 0.08:
+            break
     shutil.rmtree(snap_dir, ignore_errors=True)
     timings["merge"] = round(min(merge_trials), 3)
     timings["merge_trials"] = [round(t, 3) for t in merge_trials]
+    timings["merge_probe_pairs"] = merge_probe_pairs
 
     postings = sum(e.metrics.get("postings", 0) for e in manifest.live_segments)
     seg_bytes = sum(e.bytes for e in manifest.live_segments)
