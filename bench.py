@@ -48,6 +48,55 @@ def vm_state_control() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def vm_state_control_small() -> float:
+    """1/10-size probe for IN-TRIAL sampling (ProbeSampler): ~1.5ms fast,
+    ~0.2s degraded — small enough that scheduling contention with the
+    running workload can't inflate it into the degraded band."""
+    import numpy as np
+
+    a = np.arange(200_000, dtype=np.int64)
+    t0 = time.perf_counter()
+    np.cumsum(a)
+    np.add.accumulate(a)
+    return round(time.perf_counter() - t0, 4)
+
+
+class ProbeSampler:
+    """Background host-state sampler: vm_state_control every ~5s while a
+    trial runs, recording the max (worst) probe seen IN-TRIAL. Endpoint
+    probes alone mislabel long trials — the host state flips on a seconds
+    scale, so a trial can be bracketed by fast probes yet spend most of its
+    wall time degraded (observed: clean-bracketed build trial at 75s vs
+    2.7s solo fast-state per-segment control)."""
+
+    def __init__(self, period: float = 5.0):
+        self.period = period
+        self.samples: list[float] = []
+        self._stop = None
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+
+        def loop():
+            while not self._stop.wait(self.period):
+                self.samples.append(vm_state_control_small())
+
+        self._t = threading.Thread(target=loop, daemon=True)
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=10)
+        return False
+
+    @property
+    def worst(self) -> float:
+        return round(max(self.samples), 3) if self.samples else 0.0
+
+
 def wait_for_fast_state(
     threshold: float = 0.08, max_wait: float = 120.0
 ) -> list[float]:
@@ -115,11 +164,11 @@ def run_bench() -> dict:
         pre = wait_for_fast_state(max_wait=45.0)[-1] if _trial else probes[0]
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        manifest = build_index(paths, index_dir, target_docs=5_000)
+        with ProbeSampler() as ps:
+            manifest = build_index(paths, index_dir, target_docs=5_000)
         build_trials.append(time.perf_counter() - t0)
-        post = vm_state_control()
-        build_probe_pairs.append([round(pre, 3), round(post, 3)])
-        if len(build_trials) >= 2 and pre < 0.08 and post < 0.08:
+        build_probe_pairs.append([round(pre, 3), ps.worst])
+        if len(build_trials) >= 2 and pre < 0.08 and ps.worst < 0.05:
             break
     t_build = min(build_trials)
     timings["index_build"] = round(t_build, 3)
@@ -142,11 +191,11 @@ def run_bench() -> dict:
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.copytree(snap_dir, index_dir)
         t0 = time.perf_counter()
-        manifest = maybe_merge(index_dir, TieredMergePolicy())
+        with ProbeSampler() as ps:
+            manifest = maybe_merge(index_dir, TieredMergePolicy())
         merge_trials.append(time.perf_counter() - t0)
-        post = vm_state_control()
-        merge_probe_pairs.append([round(pre, 3), round(post, 3)])
-        if len(merge_trials) >= 2 and pre < 0.08 and post < 0.08:
+        merge_probe_pairs.append([round(pre, 3), ps.worst])
+        if len(merge_trials) >= 2 and pre < 0.08 and ps.worst < 0.05:
             break
     shutil.rmtree(snap_dir, ignore_errors=True)
     timings["merge"] = round(min(merge_trials), 3)
