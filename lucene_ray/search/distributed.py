@@ -28,7 +28,7 @@ import ray
 
 from lucene_ray.config import DEFAULT_TOP_K
 from lucene_ray.search.engine import TopDocs, build_scorers, query_terms
-from lucene_ray.search.query import BooleanQuery, parse_query
+from lucene_ray.search.query import BooleanQuery, CommonTermsQuery, parse_query
 from lucene_ray.search.scorer import _topk, score_segment_exhaustive, score_segment_pruned
 from lucene_ray.search.similarity import BM25Similarity
 
@@ -241,6 +241,12 @@ class DistributedSearcher:
             if isinstance(query, str)
             else query
         )
+        if isinstance(bq, CommonTermsQuery):
+            # df-cutoff split against the SAME gathered global stats every
+            # shard scores with (self.doc_count already excludes reclaimed)
+            bq = bq.rewrite_with(
+                self._gather_stats(list(bq.terms)), float(self.doc_count)
+            )
         bq = maybe_rewrite(
             bq, self.vocabulary, lambda: self.vocabulary(include_fields=True)
         )

@@ -286,8 +286,14 @@ class CommonTermsQuery:
     high_freq_occur: str = "should"  # "must" | "should"
 
     def rewrite(self, reader) -> "BooleanQuery":
-        stats = reader.global_term_stats(list(self.terms))
-        n = float(reader.stats_doc_count)
+        return self.rewrite_with(
+            reader.global_term_stats(list(self.terms)),
+            float(reader.stats_doc_count),
+        )
+
+    def rewrite_with(self, stats: dict, n: float) -> "BooleanQuery":
+        """Split against pre-gathered (df, ttf) stats — the shard-stats
+        path used by DistributedSearcher (one gather round trip)."""
         cutoff = self.max_term_frequency * n
         low = [t for t in self.terms if stats.get(t, (0, 0))[0] < cutoff]
         high = [t for t in self.terms if t not in low]

@@ -54,6 +54,19 @@ def test_distributed_matches_local(ix, ray_session, n_shards):
         assert c.total_hits <= a.total_hits
 
 
+def test_distributed_commonterms_matches_local(ix, ray_session):
+    from lucene_ray.search.query import CommonTermsQuery
+
+    local = IndexSearcher(ix, pruned=False)
+    dist = DistributedSearcher(ix, n_shards=3, pruned=False)
+    for terms in [("the", "def"), ("zzznope", "the"), ("x1", "return", "the")]:
+        q = CommonTermsQuery(terms, max_term_frequency=0.4)
+        a = local.search(q, 20)
+        b = dist.search(q, 20)
+        assert a.docids.tolist() == b.docids.tolist(), terms
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6, atol=0)
+
+
 def test_distributed_many_queries_one_pool(ix, ray_session):
     dist = DistributedSearcher(ix, n_shards=2)
     local = IndexSearcher(ix)
