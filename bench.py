@@ -23,6 +23,14 @@ import subprocess
 import sys
 import time
 
+# allocator tuning must be in the env BEFORE ray.init so every worker
+# process inherits it from birth (lucene_ray._tune_allocator documents the
+# measured fresh-page-read penalty this avoids; mallopt-at-import inside
+# workers covers the rest)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1024 * 1024 * 1024))
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
@@ -59,6 +67,23 @@ def vm_state_control_small() -> float:
     np.cumsum(a)
     np.add.accumulate(a)
     return round(time.perf_counter() - t0, 4)
+
+
+# a task that owned its cpu has wall/cpu ~1 (pyarrow's threaded reads can
+# push it slightly below); starved-VM tasks measure 5-50x
+DILATION_CLEAN = 1.6
+
+
+def _dilation_p50(entries) -> float:
+    """p50 of per-task wall/cpu over segment entries carrying the
+    build_cpu_secs metric — the in-task host-starvation label."""
+    ds = sorted(
+        e.metrics["build_secs"]
+        / max(e.metrics.get("build_cpu_secs") or e.metrics["build_secs"], 1e-9)
+        for e in entries
+        if e.metrics.get("build_secs")
+    )
+    return round(ds[len(ds) // 2], 2) if ds else 0.0
 
 
 class ProbeSampler:
@@ -150,17 +175,27 @@ def run_bench() -> dict:
                 pass
 
     # ---- index build (fresh dir every trial — resume must not help).
-    # Trials retry up to 4x until one is BRACKETED by fast probes (a
-    # "clean trial": the host stayed in its fast state before and after) —
-    # a degraded-window run is then self-labelling instead of reading as a
-    # regression (BASELINE.md round-3 protocol) ----------------------------
+    # Trial labeling (BASELINE.md round-3/r3b protocol): the authoritative
+    # host-starvation signal is per-task wall/cpu DILATION measured INSIDE
+    # each build task (metrics.build_cpu_secs) — a starved VM stretches wall
+    # while cpu stays flat, and it does so invisibly to driver-side probes
+    # (measured: 50s trial at 4% steal, 0.1% user, fast probes before and
+    # after). Retry up to 5x until a trial's p50 dilation is ~1. -----------
     index_dir = f"/tmp/lucene_ray_bench/index_n{N_DOCS}_c{NUM_CPUS}"
+    # untimed warmup: spins the worker pool AND warms each worker's malloc
+    # arena (first fresh-page pass per process is the one unavoidable cost
+    # of the host's fresh-page-read penalty — see lucene_ray._tune_allocator)
+    warm_dir = f"/tmp/lucene_ray_bench/warm_ix_c{NUM_CPUS}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(paths, warm_dir, target_docs=5_000)
+    shutil.rmtree(warm_dir, ignore_errors=True)
     build_trials = []
     build_probe_pairs = []
+    build_dilations = []
     wait_hist = wait_for_fast_state()
     timings["vm_state_wait"] = wait_hist
     probes = [wait_hist[-1]]
-    for _trial in range(4):
+    for _trial in range(5):
         pre = wait_for_fast_state(max_wait=45.0)[-1] if _trial else probes[0]
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.perf_counter()
@@ -168,12 +203,16 @@ def run_bench() -> dict:
             manifest = build_index(paths, index_dir, target_docs=5_000)
         build_trials.append(time.perf_counter() - t0)
         build_probe_pairs.append([round(pre, 3), ps.worst])
-        if len(build_trials) >= 2 and pre < 0.08 and ps.worst < 0.05:
+        build_dilations.append(_dilation_p50(manifest.live_segments))
+        if len(build_trials) >= 2 and build_dilations[-1] <= DILATION_CLEAN:
             break
-    t_build = min(build_trials)
+    build_entries = list(manifest.live_segments)  # pre-merge (the build tasks)
+    clean = [t for t, d in zip(build_trials, build_dilations) if d <= DILATION_CLEAN]
+    t_build = min(clean) if clean else min(build_trials)
     timings["index_build"] = round(t_build, 3)
     timings["index_build_trials"] = [round(t, 3) for t in build_trials]
     timings["index_build_probe_pairs"] = build_probe_pairs
+    timings["index_build_dilation_p50"] = build_dilations
 
     # ---- merge: >= 2 trials from the SAME pre-merge snapshot (restore cost
     # excluded from the timing) so a slow-VM state can't masquerade as a
@@ -182,6 +221,7 @@ def run_bench() -> dict:
     shutil.rmtree(snap_dir, ignore_errors=True)
     shutil.copytree(index_dir, snap_dir)
     merge_trials = []
+    merge_dilations = []
     merge_probe_pairs = []
     probes.append(wait_for_fast_state(max_wait=60.0)[-1])
     for _trial in range(4):
@@ -195,21 +235,28 @@ def run_bench() -> dict:
             manifest = maybe_merge(index_dir, TieredMergePolicy())
         merge_trials.append(time.perf_counter() - t0)
         merge_probe_pairs.append([round(pre, 3), ps.worst])
-        if len(merge_trials) >= 2 and pre < 0.08 and ps.worst < 0.05:
+        merged_entries = [
+            e for e in manifest.live_segments if "merged_from" in e.input
+        ]
+        merge_dilations.append(_dilation_p50(merged_entries))
+        if len(merge_trials) >= 2 and merge_dilations[-1] <= DILATION_CLEAN:
             break
     shutil.rmtree(snap_dir, ignore_errors=True)
-    timings["merge"] = round(min(merge_trials), 3)
+    clean = [t for t, d in zip(merge_trials, merge_dilations) if d <= DILATION_CLEAN]
+    timings["merge"] = round(min(clean) if clean else min(merge_trials), 3)
     timings["merge_trials"] = [round(t, 3) for t in merge_trials]
     timings["merge_probe_pairs"] = merge_probe_pairs
+    timings["merge_dilation_p50"] = merge_dilations
 
     postings = sum(e.metrics.get("postings", 0) for e in manifest.live_segments)
     seg_bytes = sum(e.bytes for e in manifest.live_segments)
     # per-task evidence: separates engine scaling from host noise — if the
     # per-task build time is flat across CPU levels, wall-clock ratios are
-    # pure parallelism; if it inflates, the host memory subsystem is the
-    # limiter (BASELINE.md protocol)
+    # pure parallelism; if it inflates, the host is the limiter (dilation
+    # rows above tell which; BASELINE.md protocol). task_secs are the BUILD
+    # tasks' (pre-merge manifest), not the merged segments'.
     task_secs = sorted(
-        e.metrics.get("build_secs", 0.0) for e in manifest.live_segments
+        e.metrics.get("build_secs", 0.0) for e in build_entries
     )
     build_stats = {
         "docs": manifest.doc_count,
@@ -339,18 +386,30 @@ def run_build_bench(trials: int = 2) -> dict:
                 pass
     warm_dir = f"/tmp/lucene_ray_bench/warm_ix_c{NUM_CPUS}"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    build_index(paths[:2], warm_dir, target_docs=2000)
+    # enough specs (2/file) to cycle every pool worker once: worker spawn +
+    # imports AND the per-process malloc-arena warmup (fresh-page penalty,
+    # lucene_ray._tune_allocator) are host overhead a long-lived cluster
+    # worker never re-pays per job
+    build_index(paths[:8], warm_dir, target_docs=5_000)
 
     index_dir = f"/tmp/lucene_ray_bench/index_n{N_DOCS}_c{NUM_CPUS}"
     build_trials = []
     probes = []
-    for _ in range(trials):
+    dilations = []
+    # dirty (host-starved) trials don't count toward the trial budget —
+    # retry up to 3x extra so a level isn't scored on a stolen-cpu window
+    extra = 3
+    while len([d for d in dilations if d <= DILATION_CLEAN]) < trials and (
+        len(build_trials) < trials + extra
+    ):
         probes.append(vm_state_control())
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.perf_counter()
         manifest = build_index(paths, index_dir, target_docs=5_000)
         build_trials.append(time.perf_counter() - t0)
-    t_build = min(build_trials)
+        dilations.append(_dilation_p50(manifest.live_segments))
+    clean = [t for t, d in zip(build_trials, dilations) if d <= DILATION_CLEAN]
+    t_build = min(clean) if clean else min(build_trials)
     task_secs = sorted(
         e.metrics.get("build_secs", 0.0) for e in manifest.live_segments
     )
@@ -361,6 +420,7 @@ def run_build_bench(trials: int = 2) -> dict:
         "build": {
             "docs_per_sec": round(manifest.doc_count / t_build, 1),
             "trials_sec": [round(t, 3) for t in build_trials],
+            "dilation_p50": dilations,
             "task_secs_p50": round(task_secs[len(task_secs) // 2], 3),
             "task_secs_max": round(task_secs[-1], 3),
             "vm_state_probes": probes,

@@ -223,6 +223,7 @@ def build_one_segment(
         return existing
 
     t0 = time.perf_counter()
+    c0 = time.process_time()
     pf = pq.ParquetFile(spec.file)
     table = pf.read_row_groups(
         list(range(spec.rg_start, spec.rg_end)),
@@ -418,6 +419,10 @@ def build_one_segment(
         },
         metrics={
             "build_secs": round(secs, 4),
+            # wall / cpu "dilation" labels host starvation per task: ~1 when
+            # the task owned its core, >>1 when the VM withheld cpu mid-task
+            # (BASELINE.md round-3 protocol — endpoint probes miss this)
+            "build_cpu_secs": round(time.process_time() - c0, 4),
             "docs_per_sec": round(n / secs, 1),
             "postings": postings_pairs,
             "postings_per_sec": round(postings_pairs / secs, 1),

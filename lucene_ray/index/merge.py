@@ -385,6 +385,7 @@ def merge_segments(
     from lucene_ray.index.manifest import read_entry
 
     t0 = time.perf_counter()
+    c0 = time.process_time()
     manifest = read_manifest(index_dir)
     entries = sorted(
         (e for e in manifest.segments if e.name in names),
@@ -678,6 +679,7 @@ def merge_segments(
         input={"merged_from": [e.name for e in entries], "fingerprint": fp},
         metrics={
             "build_secs": round(secs, 4),
+            "build_cpu_secs": round(time.process_time() - c0, 4),
             "docs_per_sec": round(doc_count / secs, 1),
             "postings": kept_postings,
             "merge_inputs": len(entries),
