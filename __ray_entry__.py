@@ -33,6 +33,12 @@ def _knn_hnsw(sf_dir: str) -> Any:
     return hnsw.knn_hnsw(sf_dir)
 
 
+def _knn_quantized(sf_dir: str) -> Any:
+    from lucene_ray.ops import quant
+
+    return quant.knn_quantized(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
@@ -97,12 +103,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # simhash kernel gated through Hamming-vs-Jaccard consistency (raw
         # values: lucene_ray.ops.dedup.simhash64)
         "simhash_hamming": dedup.simhash_hamming,
+        "substring_dup": dedup.substring_dup_stats,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         # --- similarity search
         "knn_bruteforce": knn.knn_bruteforce,
         "knn_lsh": knn.knn_lsh,
         "knn_ivf": knn.knn_ivf_exact,
         "knn_hnsw": _knn_hnsw,
+        "knn_quantized": _knn_quantized,
         "knn_filtered": knn.knn_filtered,
         # --- relational / windowed demos (engine breadth)
         "q1_pricing": relational.q1_pricing,
@@ -175,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         # (full recall at the gate's fixed corpus + seeds; see docstring)
         "minhash_lsh_pairs": dedup.ngram_jaccard_sql(),
         "simhash_hamming": dedup.simhash_hamming_sql(),
+        "substring_dup": dedup.substring_dup_sql(),
         "embedding_dup_pairs": dedup.embedding_dup_sql(),
         "knn_bruteforce": knn.knn_bruteforce_sql(),
         # multi-probe LSH is rank-identical to brute force on the gate data
@@ -189,6 +198,11 @@ def oracle_sql() -> dict[str, str]:
         # gate corpora (verified at sf0.001/0.01/0.1); low-ef approximate
         # recall is pinned in tests/test_hnsw.py
         "knn_hnsw": knn.knn_bruteforce_sql(),
+        # int7 scalar-quantized scan + exact re-rank of the oversampled
+        # candidates: rank-identical to brute force whenever the candidate
+        # set covers the true top-k (verified at gate oversample on all gate
+        # corpora; quantized-only recall pinned in tests/test_quant.py)
+        "knn_quantized": knn.knn_bruteforce_sql(),
         "knn_filtered": knn.knn_filtered_sql(),
         "q1_pricing": relational.q1_pricing_sql(),
         "top_orders": relational.top_orders_sql(),

@@ -922,3 +922,172 @@ SELECT s.doc_id, s.n::BIGINT AS n_shingles,
        coalesce(m.nm, 0)::BIGINT AS n_matched
 FROM sizes s LEFT JOIN m USING (doc_id)
 """
+
+
+# ------------------------------------------- exact substring (span) dedup
+
+SUBSTR_W = 40  # duplicated-span window, in characters (the corpus is ASCII)
+
+_POLY_B = np.uint64(1099511628211)  # odd -> invertible mod 2^64
+_POLY_B_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def _window_hashes(data: np.ndarray, offs: np.ndarray, w: int):
+    """64-bit polynomial hashes of every w-byte window that stays inside one
+    document. ``data`` is the concatenated utf-8 buffer, ``offs`` the
+    (n_docs+1) document offsets. Returns (doc_idx, hashes) over valid
+    windows, document-major in position order.
+
+    Vectorized rolling hash: with S(i) = sum_{j<i} data[j]*B^j (mod 2^64),
+    h(i) = (S(i+w) - S(i)) * B^-i — one cumsum + two cumprods, no per-window
+    loop; wrapping uint64 arithmetic is the modulus."""
+    n = len(data)
+    lengths = np.diff(offs)
+    counts = np.maximum(lengths - w + 1, 0).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0 or n == 0:
+        return np.array([], np.int64), np.array([], np.uint64)
+    pows = np.ones(n, dtype=np.uint64)
+    pows[1:] = _POLY_B
+    np.cumprod(pows, out=pows)  # B^i (mod 2^64)
+    inv = np.ones(n, dtype=np.uint64)
+    inv[1:] = _POLY_B_INV
+    np.cumprod(inv, out=inv)  # B^-i (mod 2^64)
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(data.astype(np.uint64) * pows, out=s[1:])
+    doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), counts)
+    start = np.zeros(total, dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    start = (np.arange(total, dtype=np.int64) - cum[doc_idx]) + offs[:-1][doc_idx]
+    h = (s[start + w] - s[start]) * inv[start]
+    return doc_idx, h
+
+
+def _utf8_buffer(col) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 data, int64 offsets rebased to 0) of a string column,
+    zero-copy from the raw Arrow buffers; honors sliced arrays."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    raw_offs = np.frombuffer(col.buffers()[1], dtype=odt)
+    offs = raw_offs[col.offset : col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    return data, offs - offs[0]
+
+
+def substring_dup_stats(sf_dir: str, w: int = SUBSTR_W) -> pa.Table:
+    """(doc_id, total_grams, dup_grams): the exact-substring dedup audit —
+    for every w-char window of every doc, whether that exact substring also
+    occurs in at least one OTHER doc (the train-dedup signal of
+    suffix-array substring dedup, computed window-wise so it stays a
+    hash-join; spans = runs of duplicated windows).
+
+    Distributed shape: windows hash per batch (vectorized rolling hash, one
+    row per DISTINCT (hash, doc) with its occurrence count — within-doc
+    repeats never amplify the shuffle), shuffle by coarse hash bucket,
+    per-bucket groupby marks hashes seen in >= 2 distinct docs, and only
+    O(docs) rows return to the driver. The oracle groups by the substring
+    itself; the engine by its 64-bit hash (collision odds ~ n^2/2^64 —
+    negligible at gate scale; at 100 TB a confirm pass over bucket-local
+    substrings would remove even that)."""
+    import pandas as pd
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        data, offs = _utf8_buffer(batch.column("text"))
+        doc_idx, h = _window_hashes(data, offs, w)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "gh": pa.array([], type=pa.int64()),
+                    "occ": pa.array([], type=pa.int64()),
+                    "bkt": pa.array([], type=pa.int32()),
+                }
+            )
+        hs = h.view(np.int64)
+        order = np.lexsort((hs, doc_idx))
+        di, hh = doc_idx[order], hs[order]
+        change = np.empty(len(hh), dtype=bool)
+        change[0] = True
+        change[1:] = (hh[1:] != hh[:-1]) | (di[1:] != di[:-1])
+        firsts = np.nonzero(change)[0]
+        occ = np.diff(np.concatenate((firsts, [len(hh)])))
+        gh = hh[firsts]
+        doc = ids[di[firsts]]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "gh": pa.array(gh, type=pa.int64()),
+                "occ": pa.array(occ, type=pa.int64()),
+                "bkt": pa.array(_coarse_bucket(gh)),
+            }
+        )
+
+    def dup_occ(g: "pd.DataFrame") -> "pd.DataFrame":
+        hh = g["gh"].to_numpy()
+        order = np.argsort(hh, kind="stable")
+        hh = hh[order]
+        d = g["doc_id"].to_numpy()[order]
+        occ = g["occ"].to_numpy()[order]
+        change = np.empty(len(hh), dtype=bool)
+        if len(hh) == 0:
+            return pd.DataFrame({"doc_id": [], "occ": []})
+        change[0] = True
+        change[1:] = hh[1:] != hh[:-1]
+        gid = np.cumsum(change) - 1
+        ndocs = np.bincount(gid)  # rows are distinct per (hash, doc)
+        keep = ndocs[gid] >= 2
+        return pd.DataFrame(
+            {"doc_id": d[keep].astype("int64"), "occ": occ[keep].astype("int64")}
+        )
+
+    dup_tbl = _materialize(
+        _docs(sf_dir)
+        .map_batches(gram_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("bkt")
+        .map_groups(dup_occ, batch_format="pandas"),
+        pa.schema([("doc_id", pa.int64()), ("occ", pa.int64())]),
+    ).to_pandas()
+
+    import pyarrow.parquet as _pq
+
+    lens = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = lens.column("doc_id").to_numpy(zero_copy_only=False)
+    _, offs = _utf8_buffer(lens.column("text"))
+    totals = np.maximum(np.diff(offs) - w + 1, 0)
+    dup = np.zeros(len(ids), dtype=np.int64)
+    if len(dup_tbl):
+        agg = dup_tbl.groupby("doc_id")["occ"].sum()
+        pos = {int(v): i for i, v in enumerate(ids)}
+        for did, s in agg.items():
+            dup[pos[int(did)]] = int(s)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "total_grams": pa.array(totals, type=pa.int64()),
+            "dup_grams": pa.array(dup, type=pa.int64()),
+        }
+    )
+
+
+def substring_dup_sql(w: int = SUBSTR_W) -> str:
+    return f"""
+WITH pos AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(length(text) - {w} + 1, 0))) AS i
+  FROM documents
+), grams AS (
+  SELECT p.doc_id, substr(d.text, p.i::BIGINT, {w}) AS g
+  FROM pos p JOIN documents d USING (doc_id)
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), cnt AS (
+  SELECT doc_id, count(*)::BIGINT AS c
+  FROM grams WHERE g IN (SELECT g FROM dup) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       greatest(length(d.text) - {w} + 1, 0)::BIGINT AS total_grams,
+       coalesce(cnt.c, 0)::BIGINT AS dup_grams
+FROM documents d LEFT JOIN cnt USING (doc_id)
+"""

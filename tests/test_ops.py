@@ -148,6 +148,48 @@ class TestDedupOps:
         assert_same(dedup.embedding_dup_pairs(SF), con, dedup.embedding_dup_sql())
 
 
+    def test_substring_dup(self, con):
+        from lucene_ray.ops import dedup
+
+        assert_same(dedup.substring_dup_stats(SF), con, dedup.substring_dup_sql())
+
+    def test_substring_dup_planted(self, con, tmp_path):
+        """Planted duplicated spans: two docs sharing one exact w-char span,
+        a third unrelated -> window-exact dup counts."""
+        import duckdb
+        import pyarrow.parquet as pq
+        from lucene_ray.ops import dedup
+
+        w = 10
+        shared = "abcdefghijKLMNOPQRST"  # 20 chars -> 11 dup windows
+        t = __import__("pyarrow").table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "xx" + shared + "yy",
+                    "qqq" + shared + "zz",
+                    "totally different content here....",
+                ],
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(t, str(sf / "documents.parquet"))
+        got = dedup.substring_dup_stats(str(sf), w=w).to_pandas()
+        c = duckdb.connect()
+        c.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = c.execute(dedup.substring_dup_sql(w=w)).fetchdf()
+        cols = sorted(got.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        assert got.astype("int64").equals(want.astype("int64"))
+        # the shared 20-char span yields exactly 11 duplicated windows each
+        assert got[got.doc_id == 0].dup_grams.iloc[0] == 11
+        assert got[got.doc_id == 2].dup_grams.iloc[0] == 0
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestKnn:
     def test_bruteforce(self, con):
@@ -184,6 +226,13 @@ class TestKnn:
         # gate ef (128) is rank-identical to brute force on this corpus;
         # graph/recall internals live in tests/test_hnsw.py
         assert_same(hnsw.knn_hnsw(SF), con, knn.knn_bruteforce_sql())
+
+    def test_quantized_gate_matches_bruteforce(self, con):
+        from lucene_ray.ops import knn, quant
+
+        # int7 scan + exact re-rank: rank-identical at the gate oversample;
+        # quantizer math/recall internals live in tests/test_quant.py
+        assert_same(quant.knn_quantized(SF), con, knn.knn_bruteforce_sql())
 
     def test_ivf_recall_grows_with_nprobe(self):
         from lucene_ray.ops import knn
