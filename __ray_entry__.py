@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_engine": bm25docs.sort_engine,
         "facet_engine": bm25docs.facet_engine,
         "taxfacet_engine": bm25docs.taxfacet_engine,
+        "drillsideways_engine": bm25docs.drillsideways_engine,
         "rangefacet_engine": bm25docs.rangefacet_engine,
         "join_engine": bm25docs.join_engine,
         "blockjoin_engine": bm25docs.blockjoin_engine,
@@ -91,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reproduce the engine-defined hash family, the identity it CAN)
         "fingerprint_shift": text.fingerprint_shift,
         "bpe_token_count": text.bpe_token_count,
+        "freetext_suggest": text.freetext_suggest,
         "sample_hash": text.sample_hash,
         "stratified_sample": text.stratified_sample,
         # --- dedup family (training-data ops)
@@ -145,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_engine": bm25docs.sort_engine_sql(),
         "facet_engine": bm25docs.facet_engine_sql(),
         "taxfacet_engine": bm25docs.taxfacet_engine_sql(),
+        "drillsideways_engine": bm25docs.drillsideways_engine_sql(),
         "rangefacet_engine": bm25docs.rangefacet_engine_sql(),
         "join_engine": bm25docs.join_engine_sql(),
         "blockjoin_engine": bm25docs.blockjoin_engine_sql(),
@@ -172,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.lang_id_sql(),
         "fingerprint_shift": text.fingerprint_shift_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),
+        "freetext_suggest": text.freetext_suggest_sql(),
         "sample_hash": text.sample_hash_sql(),
         "stratified_sample": text.stratified_sample_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),

@@ -74,6 +74,42 @@ def vm_state_control_small() -> float:
 DILATION_CLEAN = 1.6
 
 
+def _converged(trials: list[float]) -> bool:
+    """Stop when the last two trials agree within 30% — the warm-arena
+    plateau. Fresh-page-penalty windows (BASELINE.md round-3b) make early
+    trials arbitrarily slow while warming worker arenas; trials converge to
+    the true warm number by round 2-3 (measured merge: 337.7 -> 104.7 ->
+    17.0 s with the host degraded throughout)."""
+    if len(trials) < 3:
+        return False
+    a, b = trials[-2], trials[-1]
+    return max(a, b) <= 1.3 * min(a, b)
+
+
+def vm_state_control_fresh(mb: int = 16) -> tuple[float, float]:
+    """(first_read_s, second_read_s) of a freshly-mmapped buffer — the
+    direct probe for the fresh-page-read penalty (round-3b): ratio ~1 warm,
+    up to ~85x in a degraded window. Advisory label only: the kernel often
+    hands back recently-freed (already-warm) physical pages, so a fast
+    probe does not guarantee a cold multi-GB workload runs fast."""
+    import mmap
+
+    import numpy as np
+
+    m = mmap.mmap(-1, mb << 20)
+    a = np.frombuffer(m, dtype=np.int64)
+    a[:] = 1
+    t0 = time.perf_counter()
+    np.cumsum(a)
+    r1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.cumsum(a)
+    r2 = time.perf_counter() - t0
+    del a
+    m.close()
+    return round(r1, 4), round(r2, 4)
+
+
 def _dilation_p50(entries) -> float:
     """p50 of per-task wall/cpu over segment entries carrying the
     build_cpu_secs metric — the in-task host-starvation label."""
@@ -195,8 +231,10 @@ def run_bench() -> dict:
     wait_hist = wait_for_fast_state()
     timings["vm_state_wait"] = wait_hist
     probes = [wait_hist[-1]]
-    for _trial in range(5):
+    build_fresh_probes = []
+    for _trial in range(6):
         pre = wait_for_fast_state(max_wait=45.0)[-1] if _trial else probes[0]
+        build_fresh_probes.append(list(vm_state_control_fresh()))
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.perf_counter()
         with ProbeSampler() as ps:
@@ -204,11 +242,11 @@ def run_bench() -> dict:
         build_trials.append(time.perf_counter() - t0)
         build_probe_pairs.append([round(pre, 3), ps.worst])
         build_dilations.append(_dilation_p50(manifest.live_segments))
-        if len(build_trials) >= 2 and build_dilations[-1] <= DILATION_CLEAN:
+        if _converged(build_trials):
             break
     build_entries = list(manifest.live_segments)  # pre-merge (the build tasks)
-    clean = [t for t, d in zip(build_trials, build_dilations) if d <= DILATION_CLEAN]
-    t_build = min(clean) if clean else min(build_trials)
+    t_build = min(build_trials)
+    timings["index_build_fresh_probes"] = build_fresh_probes
     timings["index_build"] = round(t_build, 3)
     timings["index_build_trials"] = [round(t, 3) for t in build_trials]
     timings["index_build_probe_pairs"] = build_probe_pairs
@@ -224,10 +262,12 @@ def run_bench() -> dict:
     merge_dilations = []
     merge_probe_pairs = []
     probes.append(wait_for_fast_state(max_wait=60.0)[-1])
-    for _trial in range(4):
+    merge_fresh_probes = []
+    for _trial in range(6):
         pre = (
             wait_for_fast_state(max_wait=45.0)[-1] if _trial else probes[-1]
         )
+        merge_fresh_probes.append(list(vm_state_control_fresh()))
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.copytree(snap_dir, index_dir)
         t0 = time.perf_counter()
@@ -239,11 +279,11 @@ def run_bench() -> dict:
             e for e in manifest.live_segments if "merged_from" in e.input
         ]
         merge_dilations.append(_dilation_p50(merged_entries))
-        if len(merge_trials) >= 2 and merge_dilations[-1] <= DILATION_CLEAN:
+        if _converged(merge_trials):
             break
     shutil.rmtree(snap_dir, ignore_errors=True)
-    clean = [t for t, d in zip(merge_trials, merge_dilations) if d <= DILATION_CLEAN]
-    timings["merge"] = round(min(clean) if clean else min(merge_trials), 3)
+    timings["merge"] = round(min(merge_trials), 3)
+    timings["merge_fresh_probes"] = merge_fresh_probes
     timings["merge_trials"] = [round(t, 3) for t in merge_trials]
     timings["merge_probe_pairs"] = merge_probe_pairs
     timings["merge_dilation_p50"] = merge_dilations
@@ -277,21 +317,26 @@ def run_bench() -> dict:
     # long-lived scorer actor would be); latency measures scoring
     for _qid, q, k in REFERENCE_QUERIES:
         searcher.search(q, k)
-    lat_ms = []
-    for _rep in range(3):
-        for _qid, q, k in REFERENCE_QUERIES:
+    # per-query MIN over interleaved reps (the BASELINE.md protocol): the
+    # distribution of interest is across QUERIES — a host flip mid-section
+    # must not masquerade as a tail-latency regression
+    per_q = [float("inf")] * len(REFERENCE_QUERIES)
+    for _rep in range(5):
+        for qi, (_qid, q, k) in enumerate(REFERENCE_QUERIES):
             t0 = time.perf_counter()
             searcher.search(q, k)
-            lat_ms.append((time.perf_counter() - t0) * 1000)
-    lat_ms.sort()
+            per_q[qi] = min(per_q[qi], (time.perf_counter() - t0) * 1000)
+    lat_ms = sorted(per_q)
     query_stats = {
         "n": len(lat_ms),
         "p50_ms": round(lat_ms[len(lat_ms) // 2], 2),
-        "p99_ms": round(lat_ms[int(len(lat_ms) * 0.99) - 1], 2),
+        "p99_ms": round(lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))], 2),
     }
 
-    # ---- query throughput through the scorer actor pool (2 trials, min;
-    # each trial pays actor startup, as the round-1/2 numbers did) ---------
+    # ---- query throughput through the scorer actor pool (trials to
+    # convergence, min; each trial pays actor startup — fresh actor
+    # processes start with cold arenas, so early degraded-window trials
+    # overpay and later ones converge like build/merge do) -----------------
     qds = ray.data.from_items(
         [
             {"qid": i * 100 + qid, "query": q, "k": k}
@@ -302,12 +347,14 @@ def run_bench() -> dict:
     n_q = qds.count()
     pool_trials = []
     probes.append(vm_state_control())
-    for _trial in range(2):
+    for _trial in range(4):
         t0 = time.perf_counter()
         search_queries_dataset(
             qds, index_dir, concurrency=max(2, NUM_CPUS // 4)
         ).materialize()
         pool_trials.append(time.perf_counter() - t0)
+        if _converged(pool_trials):
+            break
     t_pool = min(pool_trials)
     timings["query_pool"] = round(t_pool, 3)
     timings["query_pool_trials"] = [round(t, 3) for t in pool_trials]
@@ -396,20 +443,19 @@ def run_build_bench(trials: int = 2) -> dict:
     build_trials = []
     probes = []
     dilations = []
-    # dirty (host-starved) trials don't count toward the trial budget —
-    # retry up to 3x extra so a level isn't scored on a stolen-cpu window
-    extra = 3
-    while len([d for d in dilations if d <= DILATION_CLEAN]) < trials and (
-        len(build_trials) < trials + extra
-    ):
+    # trials run to the warm-arena convergence plateau (same rule as the
+    # headline bench — fresh-page-penalty windows make early trials slow
+    # while warming workers; see _converged / BASELINE.md round-3b)
+    while len(build_trials) < max(trials, 2) + 3:
         probes.append(vm_state_control())
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.perf_counter()
         manifest = build_index(paths, index_dir, target_docs=5_000)
         build_trials.append(time.perf_counter() - t0)
         dilations.append(_dilation_p50(manifest.live_segments))
-    clean = [t for t, d in zip(build_trials, dilations) if d <= DILATION_CLEAN]
-    t_build = min(clean) if clean else min(build_trials)
+        if len(build_trials) >= max(trials, 2) and _converged(build_trials):
+            break
+    t_build = min(build_trials)
     task_secs = sorted(
         e.metrics.get("build_secs", 0.0) for e in manifest.live_segments
     )

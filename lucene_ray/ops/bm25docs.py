@@ -1387,6 +1387,92 @@ WITH tok AS (
 """
 
 
+DRILLSIDEWAYS_CASES: list[tuple[int, str, dict]] = [
+    (0, "merge", {"repo": "src3", "lang": "de"}),
+    (1, "window table", {"repo": "src7", "lang": "en"}),
+]
+
+
+def _ds_base_query(q: str):
+    from lucene_ray.analysis import CodeAnalyzer
+    from lucene_ray.search.query import DisjunctionSumQuery, TermQuery
+
+    toks = CodeAnalyzer().tokenize_text(q)
+    if len(toks) == 1:
+        return TermQuery(toks[0])
+    return DisjunctionSumQuery(tuple(TermQuery(t) for t in toks))
+
+
+def drillsideways_engine(sf_dir: str) -> pa.Table:
+    """(qid, dim, value, count): DrillSideways near-miss faceting
+    (facet/.../DrillSideways.java:70) — for each drilled-down dimension,
+    facet counts over docs matching the base query plus every OTHER
+    dimension's selection; one extra row per case (dim='hits', value='')
+    carries the fully-drilled-down hit count. documents_as_corpus maps
+    source->repo, lang->lang."""
+    from lucene_ray.search.engine import IndexSearcher, drill_sideways_counts
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d, out_v, out_c = [], [], [], []
+    for qid, q, downs in DRILLSIDEWAYS_CASES:
+        hits, sideways = drill_sideways_counts(s, _ds_base_query(q), downs)
+        out_q.append(qid)
+        out_d.append("hits")
+        out_v.append("")
+        out_c.append(hits)
+        for dim, pairs in sideways.items():
+            for v, c in pairs:
+                out_q.append(qid)
+                out_d.append(dim)
+                out_v.append(v)
+                out_c.append(c)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "dim": pa.array(out_d, type=pa.string()),
+            "value": pa.array(out_v, type=pa.string()),
+            "count": pa.array(out_c, type=pa.int64()),
+        }
+    )
+
+
+def drillsideways_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    col = {"lang": "lang", "repo": "source"}
+    parts = []
+    for qid, q, downs in DRILLSIDEWAYS_CASES:
+        terms = CodeAnalyzer().tokenize_text(q)
+        union = " UNION ".join(
+            f"SELECT DISTINCT doc_id FROM tok WHERE term = '{t}'" for t in terms
+        )
+        all_filters = " AND ".join(
+            f"d.{col[f]} = '{v}'" for f, v in downs.items()
+        )
+        parts.append(
+            f"SELECT {qid} AS qid, 'hits' AS dim, '' AS value,\n"
+            f"       count(*)::BIGINT AS count\n"
+            f"FROM documents d WHERE d.doc_id IN ({union}) AND {all_filters}"
+        )
+        for dim in downs:
+            others = " AND ".join(
+                f"d.{col[f]} = '{v}'" for f, v in downs.items() if f != dim
+            )
+            parts.append(
+                f"SELECT {qid} AS qid, '{dim}' AS dim,\n"
+                f"       d.{col[dim]} AS value, count(*)::BIGINT AS count\n"
+                f"FROM documents d WHERE d.doc_id IN ({union}) AND {others}\n"
+                f"GROUP BY d.{col[dim]}"
+            )
+    union_all = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union_all}
+"""
+
+
 def update_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): deletes/updates through the tombstone machinery —
     docs with doc_id % 7 == 0 are UPDATED (tombstone + re-add with

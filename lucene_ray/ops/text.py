@@ -626,3 +626,126 @@ QUALIFY row_number() OVER (
   ORDER BY {hash_prefix_sql_expr('text')}, doc_id
 ) <= {per_key}
 """
+
+
+# --------------------------------------- free-text (n-gram LM) suggester
+
+FREETEXT_ALPHA = 0.4  # FreeTextSuggester.ALPHA (stupid-backoff multiplier)
+FREETEXT_CONTEXTS: list[tuple[int, str]] = [(0, "merge"), (1, "batch"), (2, "stream")]
+FREETEXT_K = 10
+
+
+def _ngram_model(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed 2-gram + unigram counts over the corpus tokens — the
+    FreeTextSuggester model build (suggest/.../FreeTextSuggester.java:117
+    DEFAULT_GRAMS=2; the ShingleFilter+FST build becomes per-batch partial
+    pair counts -> one groupby). Unigram rows carry w2 = '' (tokens are
+    never empty). The shuffle moves vocab^2-BOUNDED partials, never the
+    corpus; the model itself is vocab-scale, the analog of the reference's
+    materialized FST."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _d, row_idx, terms = _tokenize_batch(batch)
+        t = terms.to_pandas().to_numpy()  # small: one batch's tokens
+        same = row_idx[1:] == row_idx[:-1]
+        w1 = np.concatenate((t[:-1][same], t))
+        w2 = np.concatenate((t[1:][same], np.full(len(t), "", dtype=object)))
+        import pandas as pd
+
+        g = (
+            pd.DataFrame({"w1": w1, "w2": w2})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "w1": pa.array(g["w1"], type=pa.string()),
+                "w2": pa.array(g["w2"], type=pa.string()),
+                "c": pa.array(g["c"], type=pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+
+def freetext_suggest(sf_dir: str, k: int = FREETEXT_K) -> pa.Table:
+    """(qid, rank, token, score): next-token suggestions per context token
+    from the 2-gram stupid-backoff LM (FreeTextSuggester.java:93 model,
+    :695 score = count * backoff / contextCount, :126 ALPHA=0.4): bigram
+    candidates score count(ctx,w)/count(ctx); every unseen vocab token
+    backs off to ALPHA * count(w)/totTokens. Ties break token-asc; exact
+    float64 twin of the SQL oracle."""
+    model = _ngram_model(sf_dir).to_pandas()  # vocab-scale, never corpus
+    uni = model[model.w2 == ""]
+    tot = int(uni.c.sum())
+    uni_cnt = dict(zip(uni.w1, uni.c))
+    out_q, out_r, out_t, out_s = [], [], [], []
+    for qid, ctx in FREETEXT_CONTEXTS:
+        big = model[(model.w1 == ctx) & (model.w2 != "")]
+        ctx_cnt = uni_cnt.get(ctx, 0)
+        cands: dict[str, float] = {}
+        if ctx_cnt:
+            for w, c in zip(big.w2, big.c):
+                cands[w] = float(c) / float(ctx_cnt)
+        for w, c in uni_cnt.items():
+            if w not in cands:
+                cands[w] = FREETEXT_ALPHA * (float(c) / float(tot))
+        ranked = sorted(cands.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (w, s) in enumerate(ranked):
+            out_q.append(qid)
+            out_r.append(r)
+            out_t.append(w)
+            out_s.append(s)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int32()),
+            "token": pa.array(out_t, type=pa.string()),
+            "score": pa.array(out_s, type=pa.float64()),
+        }
+    )
+
+
+def freetext_suggest_sql(k: int = FREETEXT_K) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, ctx in FREETEXT_CONTEXTS:
+        parts.append(f"""
+SELECT {qid} AS qid, token, score FROM (
+  SELECT w2 AS token, c::DOUBLE / (SELECT c FROM uni WHERE w = '{ctx}') AS score
+  FROM big WHERE w1 = '{ctx}'
+  UNION ALL
+  SELECT w AS token, {FREETEXT_ALPHA} * (c::DOUBLE / (SELECT tot FROM tot)) AS score
+  FROM uni WHERE w NOT IN (SELECT w2 FROM big WHERE w1 = '{ctx}')
+)""")
+    union_all = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM t
+), big AS (
+  SELECT a.term AS w1, b.term AS w2, count(*)::BIGINT AS c
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+), uni AS (
+  SELECT term AS w, count(*)::BIGINT AS c FROM tok GROUP BY term
+), tot AS (
+  SELECT sum(c)::BIGINT AS tot FROM uni
+), cand AS (
+{union_all}
+)
+SELECT qid, (row_number() OVER (
+    PARTITION BY qid ORDER BY score DESC, token ASC) - 1)::INTEGER AS rank,
+  token, score
+FROM cand
+QUALIFY rank < {k}
+"""

@@ -327,6 +327,39 @@ def taxonomy_facet_counts(
     return out
 
 
+def drill_sideways_counts(
+    searcher: "IndexSearcher", base_query, drill_downs: dict[str, str]
+) -> tuple[int, dict[str, list[tuple[str, int]]]]:
+    """DrillSideways (facet/.../DrillSideways.java:70, search:187): given a
+    base query plus per-dimension drill-down selections (keyword field ->
+    exact value), return (drill-down hit count, {dim: facet counts}) where
+    each dimension's counts are computed over the docs matching the base
+    query AND every OTHER dimension's selection — the "sideways" doc set
+    that shows what the user would get by switching this dimension's value
+    (DrillSideways.java:364-411 near-miss collection).
+
+    The reference collects all sideways sets in one scan via
+    DrillSidewaysQuery; here each dimension is one non-scoring conjunction
+    over the same warm segment readers — identical results, n_dims passes
+    (n_dims is small by construction). Per-dim counts come from the shared
+    facet_counts gather."""
+    from lucene_ray.search.query import BooleanQuery, TermQuery
+
+    def conj(skip_dim: str | None):
+        bq = BooleanQuery()
+        bq.must.append(base_query)
+        for f, v in drill_downs.items():
+            if f != skip_dim:
+                bq.must.append(TermQuery(f"{f}:{v}"))
+        return bq
+
+    hits = searcher.count(conj(None))
+    sideways = {
+        dim: facet_counts(searcher, conj(dim), dim) for dim in drill_downs
+    }
+    return hits, sideways
+
+
 def fetch_doc_values(reader: IndexReader, global_docids, field: str) -> np.ndarray:
     """Numeric doc values for global docids, input order preserved."""
     g = np.asarray(global_docids, dtype=np.int64)

@@ -90,6 +90,26 @@ class TestTextOps:
 
         assert_same(text.stratified_sample(SF), con, text.stratified_sample_sql())
 
+    def test_freetext_suggest(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(
+            text.freetext_suggest(SF), con, text.freetext_suggest_sql(),
+            float_cols=("score",),
+        )
+
+    def test_freetext_bigram_beats_backoff(self):
+        # a context that occurs with a following token must rank some
+        # bigram candidate at rank 0 above any 0.4-damped unigram with a
+        # plausibly similar frequency (stupid-backoff ordering sanity)
+        from lucene_ray.ops import text
+
+        df = text.freetext_suggest(SF).to_pandas()
+        assert set(df.qid) == {q for q, _ in text.FREETEXT_CONTEXTS}
+        for qid in df.qid.unique():
+            g = df[df.qid == qid].sort_values("rank")
+            assert (g.score.to_numpy()[:-1] >= g.score.to_numpy()[1:] - 1e-15).all()
+
     def test_fingerprint_deterministic(self):
         from lucene_ray.ops import text
 
@@ -416,6 +436,29 @@ class TestBM25Docs:
         from lucene_ray.ops import bm25docs
 
         assert_same(bm25docs.taxfacet_engine(SF), con, bm25docs.taxfacet_engine_sql())
+
+    def test_drillsideways_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.drillsideways_engine(SF),
+            con,
+            bm25docs.drillsideways_engine_sql(),
+        )
+
+    def test_drillsideways_hits_vs_sideways_invariant(self):
+        # the fully-drilled hit count equals the drilled value's count in
+        # EVERY sideways dimension (DrillSideways near-miss semantics)
+        from lucene_ray.ops import bm25docs
+
+        df = bm25docs.drillsideways_engine(SF).to_pandas()
+        for qid, _q, downs in bm25docs.DRILLSIDEWAYS_CASES:
+            g = df[df.qid == qid]
+            hits = int(g[g.dim == "hits"]["count"].iloc[0])
+            for dim, val in downs.items():
+                row = g[(g.dim == dim) & (g.value == val)]
+                got = int(row["count"].iloc[0]) if len(row) else 0
+                assert got == hits, (qid, dim, val, got, hits)
 
     def test_taxfacet_rollup_invariant(self, con):
         # parent count == sum of its children (TaxonomyReader ordinal tree)
