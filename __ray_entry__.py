@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indexsort_engine": bm25docs.indexsort_engine,
         "count_engine": bm25docs.count_engine,
         "complete_engine": bm25docs.complete_engine,
+        "infix_engine": bm25docs.infix_engine,
         "synonym_engine": bm25docs.synonym_engine,
         "folding_engine": bm25docs.folding_engine,
         "termvector_engine": bm25docs.termvector_engine,
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hnsw": _knn_hnsw,
         "knn_quantized": _knn_quantized,
         "knn_filtered": knn.knn_filtered,
+        "knn_classify": knn.knn_classify,
         # --- relational / windowed demos (engine breadth)
         "q1_pricing": relational.q1_pricing,
         "top_orders": relational.top_orders,
@@ -161,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "indexsort_engine": bm25docs.indexsort_engine_sql(),
         "count_engine": bm25docs.count_engine_sql(),
         "complete_engine": bm25docs.complete_engine_sql(),
+        "infix_engine": bm25docs.infix_engine_sql(),
         "synonym_engine": bm25docs.synonym_engine_sql(),
         "folding_engine": bm25docs.folding_engine_sql(),
         "termvector_engine": bm25docs.termvector_engine_sql(),
@@ -208,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         # corpora; quantized-only recall pinned in tests/test_quant.py)
         "knn_quantized": knn.knn_bruteforce_sql(),
         "knn_filtered": knn.knn_filtered_sql(),
+        "knn_classify": knn.knn_classify_sql(),
         "q1_pricing": relational.q1_pricing_sql(),
         "top_orders": relational.top_orders_sql(),
         "nation_order_stats": relational.nation_order_stats_sql(),

@@ -431,12 +431,12 @@ class SynonymAnalyzer(CodeAnalyzer):
     """CodeAnalyzer chain + index-time synonym injection (SynonymGraphFilter
     add-mode, single-token rules). Injected tokens copy the original's
     position and offsets (the filter never touches OffsetAttribute).
-    Divergence, documented: injected tokens count toward doc_len/norms —
-    BM25Similarity's discountOverlaps=true would exclude posInc==0 tokens;
-    gates on this analyzer therefore check boolean/phrase membership, not
-    scores."""
+    ``has_overlaps`` makes the builder discount posInc==0 tokens from the
+    length norm (BM25Similarity.java:99-101 discountOverlaps=true default)
+    while sum_ttf keeps counting every token (sumTotalTermFreq semantics)."""
 
     name = "synonym"
+    has_overlaps = True
 
     def tokenize_flat(self, texts, with_offsets: bool = False):
         res = super().tokenize_flat(texts, with_offsets=with_offsets)

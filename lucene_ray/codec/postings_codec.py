@@ -36,7 +36,9 @@ from lucene_ray.codec.forutil import decode_stream, encode_stream
 from lucene_ray.config import BLOCK_SIZE
 
 #: bumped when the on-disk layout changes (invalidates segment fingerprints)
-FORMAT_VERSION = 5  # v5: optional per-occurrence offsets streams (off/offlen)
+FORMAT_VERSION = 6  # v6: discountOverlaps norms (posInc==0 tokens excluded
+# from doc_len; sum_ttf still counts them). v5: optional per-occurrence
+# offsets streams (off/offlen)
 
 POSTINGS_SCHEMA = pa.schema(
     [

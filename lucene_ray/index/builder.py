@@ -281,6 +281,18 @@ def build_one_segment(
     # norms/doc_len are CONTENT-ONLY (per-field norms: keyword fields are
     # StringFields, which carry no norms — document/StringField.java)
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
+    overlaps = 0
+    if getattr(analyzer, "has_overlaps", False) and len(row_idx):
+        # discountOverlaps (BM25Similarity.java:99-101, default true):
+        # tokens injected at an existing position (posInc==0 synonyms) do
+        # NOT count toward the length norm — length = distinct positions
+        # per doc. sum_ttf (the avgdl numerator) still counts EVERY token,
+        # exactly like Lucene's sumTotalTermFreq.
+        key = row_idx.astype(np.int64) * (int(positions.max()) + 1) + positions
+        _, uniq_idx = np.unique(key, return_index=True)
+        discounted = np.bincount(row_idx[uniq_idx], minlength=n).astype(np.int64)
+        overlaps = int(doc_len.sum() - discounted.sum())
+        doc_len = discounted
     norm_bytes = int_to_byte4(doc_len)
 
     # term vectors come from the CONTENT stream only, captured before the
@@ -331,7 +343,9 @@ def build_one_segment(
         tok_starts=tok_starts, tok_lens=tok_lens,
     )
     # manifest sum_ttf stays content-only (it feeds avgdl in BM25 stats)
-    stats["sum_ttf"] = int(doc_len.sum())
+    # and counts EVERY content token incl. posInc==0 overlaps — Lucene's
+    # sumTotalTermFreq semantics (norms above may be overlap-discounted)
+    stats["sum_ttf"] = int(doc_len.sum()) + overlaps
 
     d = segment_dir(index_dir, spec.name)
     os.makedirs(d, exist_ok=True)
@@ -419,6 +433,9 @@ def build_one_segment(
         },
         metrics={
             "build_secs": round(secs, 4),
+            # posInc==0 tokens excluded from norms (discountOverlaps);
+            # sum_ttf = doc_len.sum() + overlaps (CheckIndex invariant)
+            "overlaps": overlaps,
             # wall / cpu "dilation" labels host starvation per task: ~1 when
             # the task owned its core, >>1 when the VM withheld cpu mid-task
             # (BASELINE.md round-3 protocol — endpoint probes miss this)

@@ -90,13 +90,20 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
             )
         dl_all = int(sr.doc_len.sum())
         reclaimed = getattr(entry, "reclaimed", 0)
-        if reclaimed == 0 and entry.sum_ttf != dl_all:
+        # discountOverlaps: norms exclude posInc==0 tokens, sum_ttf counts
+        # them (BM25Similarity.java:99-101 / sumTotalTermFreq semantics) —
+        # the invariant is sum_ttf == doc_len sum + overlaps (exact at
+        # build and overlap-free merges; bound after reclaiming merges)
+        overlaps = int((entry.metrics or {}).get("overlaps", 0) or 0)
+        if reclaimed == 0 and entry.sum_ttf != dl_all + overlaps:
             problems.append(
-                f"{entry.name}: sum_ttf {entry.sum_ttf} != doc_len sum {dl_all}"
+                f"{entry.name}: sum_ttf {entry.sum_ttf} != doc_len sum"
+                f" {dl_all} + overlaps {overlaps}"
             )
-        if reclaimed > 0 and entry.sum_ttf > dl_all:
+        if reclaimed > 0 and entry.sum_ttf > dl_all + overlaps:
             problems.append(
-                f"{entry.name}: sum_ttf {entry.sum_ttf} exceeds doc_len sum {dl_all}"
+                f"{entry.name}: sum_ttf {entry.sum_ttf} exceeds doc_len sum"
+                f" {dl_all} + overlaps {overlaps}"
             )
         if reclaimed > getattr(entry, "del_count", 0):
             problems.append(f"{entry.name}: reclaimed > del_count")
@@ -214,10 +221,12 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
             live = sr.live_mask if sr.live_mask is not None else np.ones(
                 entry.doc_count, bool
             )
-            if getattr(entry, "reclaimed", 0) == 0:
+            # TV freqs count every token; doc_len may be overlap-discounted
+            # (posInc==0 synonyms) — equality only for overlap-free segments
+            if getattr(entry, "reclaimed", 0) == 0 and overlaps == 0:
                 mismatch = per_doc != sr.doc_len
             else:
-                mismatch = live & (per_doc != sr.doc_len)
+                mismatch = live & (per_doc < sr.doc_len)
             if mismatch.any():
                 problems.append(
                     f"{entry.name}: termvectors freq sums != doc_len for "

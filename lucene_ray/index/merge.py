@@ -683,6 +683,11 @@ def merge_segments(
             "docs_per_sec": round(doc_count / secs, 1),
             "postings": kept_postings,
             "merge_inputs": len(entries),
+            # exact when nothing was reclaimed; an upper bound otherwise
+            # (CheckIndex uses it only as a bound in the reclaimed branch)
+            "overlaps": sum(
+                int(e.metrics.get("overlaps", 0) or 0) for e in entries
+            ),
         },
     )
     write_entry(index_dir, entry)

@@ -1278,6 +1278,57 @@ WITH tok AS (
 """
 
 
+INFIX_INPUTS: list[tuple[int, str]] = [
+    (0, "erg"),   # inside 'merge'
+    (1, "ind"),   # 'window', 'index', ...
+    (2, "qqq"),   # no matches
+]
+
+
+def infix_engine(sf_dir: str, k: int = 5) -> pa.Table:
+    """(qid, term, df): infix (contains-anywhere) term suggestions ranked
+    (df desc, term asc) — AnalyzingInfixSuggester.java:97 Lookup role."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.suggest import infix_terms
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_t, out_f = [], [], []
+    for qid, frag in INFIX_INPUTS:
+        for t, df in infix_terms(s.reader, frag, k=k):
+            out_q.append(qid)
+            out_t.append(t)
+            out_f.append(df)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "term": pa.array(out_t, type=pa.string()),
+            "df": pa.array(out_f, type=pa.int64()),
+        }
+    )
+
+
+def infix_engine_sql(k: int = 5) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, frag in INFIX_INPUTS:
+        parts.append(f"""
+SELECT {qid} AS qid, term, df::BIGINT AS df
+FROM dfs
+WHERE instr(term, '{frag}') > 0
+QUALIFY row_number() OVER (ORDER BY df DESC, term) <= {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+)
+{union}
+"""
+
+
 FACET_QUERIES: list[tuple[int, str, str]] = [
     (0, "merge", "lang"),
     (1, "window table", "repo"),

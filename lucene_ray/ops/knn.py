@@ -566,3 +566,112 @@ WITH tok AS (
 )
 SELECT query_id, rank::INTEGER AS rank, vec_id FROM ranked WHERE rank < {k}
 """
+
+
+# ------------------------------------------------------- kNN classification
+
+def knn_classify(sf_dir: str, k: int = TOP_K) -> pa.Table:
+    """(query_id, label): k-nearest-neighbor classification over the
+    embedding column — the classification module's KNN classifier
+    (classification/.../KNearestNeighborClassifier.java:60 assignClass:
+    top-k neighbor vote). Leave-one-out: the query vector itself is
+    excluded (the classify-a-held-out-doc protocol). Majority label wins;
+    ties break label-asc (the reference breaks by score sum — count+label
+    keeps the oracle float-free, documented). Distributed shape = the
+    brute-force scan: per-batch local top-k against the broadcast query
+    block, tiny driver merge, one label gather."""
+    import pyarrow.parquet as pq
+
+    q_ids, q_mat = _load_queries(sf_dir)
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn[qn == 0] = 1.0
+    q_ref = ray.put((q_ids, q_mat, qn))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qm, qnorm = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _embedding_matrix(batch.column("embedding"))
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        sims = (qm @ mat.T) / (qnorm[:, None] * n[None, :])
+        out_q, out_v, out_s = [], [], []
+        for r in range(len(qi)):
+            keep = ids != qi[r]  # leave-one-out
+            if not keep.any():
+                continue
+            kk = min(k, int(keep.sum()))
+            order = np.lexsort((ids[keep], -sims[r][keep]))[:kk]
+            out_q.append(np.full(kk, qi[r], dtype=np.int64))
+            out_v.append(ids[keep][order])
+            out_s.append(sims[r][keep][order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    topk = _rank_merge(
+        ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas(),
+        k,
+    ).to_pandas()
+    labels_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    lab = dict(
+        zip(
+            labels_t.column("vec_id").to_numpy(zero_copy_only=False),
+            labels_t.column("label").to_numpy(zero_copy_only=False),
+        )
+    )
+    out_q, out_l = [], []
+    for qid in sorted(topk.query_id.unique()):
+        votes: dict[int, int] = {}
+        for v in topk[topk.query_id == qid].vec_id:
+            lv = int(lab[int(v)])
+            votes[lv] = votes.get(lv, 0) + 1
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        out_q.append(int(qid))
+        out_l.append(best)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "label": pa.array(out_l, type=pa.int64()),
+        }
+    )
+
+
+def knn_classify_sql(k: int = TOP_K) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+), votes AS (
+  SELECT query_id, label, count(*) AS c
+  FROM ranked WHERE rn <= {k} GROUP BY query_id, label
+)
+SELECT query_id, label::BIGINT AS label FROM votes
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY c DESC, label ASC) = 1
+"""

@@ -327,6 +327,39 @@ def taxonomy_facet_counts(
     return out
 
 
+def rescore(
+    searcher: "IndexSearcher", topdocs: TopDocs, query, weight: float = 1.0
+) -> TopDocs:
+    """Two-pass rescoring (search/QueryRescorer.java:37 rescore, :58
+    combine): the second query is scored ONLY against the first pass's top
+    docs; combined = first + weight * second when the doc matches the
+    second query, the first-pass score alone otherwise; results re-sorted
+    (score desc, docid asc). Second-pass scores come through the explain
+    chain — k-sized work, never index-sized — and explain's root value is
+    bit-identical to search()'s scorer, so rescore(q1 hits, q1, 0) is a
+    no-op by construction."""
+    from lucene_ray.search.explain import explain
+    from lucene_ray.search.query import BooleanQuery
+
+    if not isinstance(query, BooleanQuery):
+        query = BooleanQuery(should=[query])
+    second = np.zeros(len(topdocs.docids), dtype=np.float32)
+    for i, d in enumerate(topdocs.docids):
+        ex = explain(searcher, query, int(d))
+        if ex.is_match:
+            second[i] = np.float32(ex.value)
+    combined = (
+        topdocs.scores.astype(np.float32) + np.float32(weight) * second
+    )
+    order = np.lexsort((topdocs.docids, -combined))
+    return TopDocs(
+        docids=topdocs.docids[order],
+        scores=combined[order],
+        total_hits=topdocs.total_hits,
+        relation=topdocs.relation,
+    )
+
+
 def drill_sideways_counts(
     searcher: "IndexSearcher", base_query, drill_downs: dict[str, str]
 ) -> tuple[int, dict[str, list[tuple[str, int]]]]:

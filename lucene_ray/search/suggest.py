@@ -49,3 +49,23 @@ def complete_terms(reader, prefix: str, k: int = 10) -> list[tuple[str, int]]:
     stats = reader.global_term_stats(cands)
     scored = sorted((-stats[t][0], t) for t in cands)
     return [(t, -neg_df) for neg_df, t in scored[:k]]
+
+
+def infix_terms(reader, fragment: str, k: int = 10) -> list[tuple[str, int]]:
+    """Top-k (term, df) suggestions CONTAINING ``fragment`` anywhere — the
+    infix Lookup (suggest/.../analyzing/AnalyzingInfixSuggester.java:97:
+    its internal per-suggestion index with prefix+infix matching becomes a
+    substring scan over the sorted vocabulary — vocab-sized work, never
+    postings-sized), ranked (docFreq desc, term asc) like complete_terms."""
+    import numpy as np
+
+    vocab = reader.vocabulary()
+    if len(vocab) == 0:
+        return []
+    hit = np.char.find(vocab.astype(str), fragment) >= 0
+    cands = [str(t) for t in vocab[hit]]
+    if not cands:
+        return []
+    stats = reader.global_term_stats(cands)
+    scored = sorted((-stats[t][0], t) for t in cands)
+    return [(t, -neg_df) for neg_df, t in scored[:k]]

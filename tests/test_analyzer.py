@@ -166,6 +166,43 @@ class TestRegistryBreadth:
         i_syn = terms.to_pylist().index("large")
         assert (starts[i_big], lens[i_big]) == (starts[i_syn], lens[i_syn])
 
+    def test_synonym_discount_overlaps_norms(self, ray_session, tmp_path):
+        """discountOverlaps (BM25Similarity.java:99-101 default): injected
+        posInc==0 tokens are excluded from doc_len/norms; sum_ttf counts
+        every token (sumTotalTermFreq); CheckIndex stays green."""
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.index.checkindex import check_index
+        from lucene_ray.index.manifest import read_manifest
+        from lucene_ray.search.reader import IndexReader
+
+        src = tmp_path / "corpus.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "repo": ["r", "r"],
+                    "path": ["a", "b"],
+                    "commit": ["0" * 40] * 2,
+                    "lang": ["py", "py"],
+                    "content": ["big scan runs", "no synonyms here at all"],
+                }
+            ),
+            str(src),
+        )
+        ix = str(tmp_path / "ix")
+        build_index([str(src)], ix, analyzer_name="synonym")
+        r = IndexReader(ix)
+        sr = r.segment_reader(r.segments[0].name)
+        # doc 0: 3 tokens + 2 injected -> doc_len 3; doc 1: 5 tokens
+        assert sr.doc_len.tolist() == [3, 5]
+        m = read_manifest(ix)
+        # every token incl. injected: (3 + 2 overlaps) + 5
+        assert m.segments[0].sum_ttf == 10
+        assert m.segments[0].metrics["overlaps"] == 2
+        res = check_index(ix, verify_content=False)
+        assert res["ok"], res["problems"]
+
     def test_folding_analyzer(self):
         from lucene_ray.analysis import get_analyzer
         from lucene_ray.analysis.analyzer import fold_ascii

@@ -247,6 +247,11 @@ class TestKnn:
         # graph/recall internals live in tests/test_hnsw.py
         assert_same(hnsw.knn_hnsw(SF), con, knn.knn_bruteforce_sql())
 
+    def test_knn_classify(self, con):
+        from lucene_ray.ops import knn
+
+        assert_same(knn.knn_classify(SF), con, knn.knn_classify_sql())
+
     def test_quantized_gate_matches_bruteforce(self, con):
         from lucene_ray.ops import knn, quant
 
@@ -436,6 +441,11 @@ class TestBM25Docs:
         from lucene_ray.ops import bm25docs
 
         assert_same(bm25docs.taxfacet_engine(SF), con, bm25docs.taxfacet_engine_sql())
+
+    def test_infix_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.infix_engine(SF), con, bm25docs.infix_engine_sql())
 
     def test_drillsideways_engine(self, con):
         from lucene_ray.ops import bm25docs

@@ -1318,3 +1318,34 @@ class TestBlockJoinDeletes:
         delete_docs(d, [5])
         s2 = IndexSearcher(d)
         assert doc_set(s2, q()) == set()
+
+
+class TestRescore:
+    def test_rescore_weight_zero_is_identity(self, ix):
+        from lucene_ray.search.engine import rescore
+
+        s = IndexSearcher(ix, pruned=False)
+        td = s.search(BooleanQuery(should=[TermQuery("merge")]), 20)
+        rs = rescore(s, td, TermQuery("window"), weight=0.0)
+        assert rs.docids.tolist() == td.docids.tolist()
+        np.testing.assert_array_equal(rs.scores, td.scores)
+
+    def test_rescore_combines_explain_values(self, ix):
+        from lucene_ray.search.engine import rescore
+        from lucene_ray.search.explain import explain
+
+        s = IndexSearcher(ix, pruned=False)
+        td = s.search(BooleanQuery(should=[TermQuery("merge")]), 15)
+        q2 = BooleanQuery(should=[PhraseQuery(("merge", "sort"))])
+        rs = rescore(s, td, q2, weight=2.0)
+        # every combined score must equal first + 2 * explain(q2) (float32)
+        want = {}
+        for d, sc in zip(td.docids, td.scores):
+            ex = explain(s, q2, int(d))
+            second = np.float32(ex.value) if ex.is_match else np.float32(0)
+            want[int(d)] = np.float32(sc) + np.float32(2.0) * second
+        for d, sc in zip(rs.docids, rs.scores):
+            assert np.float32(sc) == want[int(d)], d
+        # and the order is (score desc, docid asc)
+        key = sorted(zip(rs.scores, rs.docids), key=lambda t: (-t[0], t[1]))
+        assert [int(d) for _s, d in key] == rs.docids.tolist()
