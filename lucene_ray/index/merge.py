@@ -787,3 +787,52 @@ def _execute_merges(index_dir: str, specs: list[list[str]], use_ray: bool) -> li
         for e in batch.column("entry").to_pylist():
             out.append(SegmentEntry(**_json.loads(e)))
     return out
+
+
+def force_merge_deletes(
+    index_dir: str, pct_allowed: float = 10.0, use_ray: bool = False
+) -> Manifest:
+    """forceMergeDeletes (index/IndexWriter.java forceMergeDeletes ->
+    TieredMergePolicy.findForcedDeletesMerges, TieredMergePolicy.java:94
+    forceMergeDeletesPctAllowed=10.0 default): rewrite every live segment
+    whose delete percentage EXCEEDS ``pct_allowed``, reclaiming its
+    tombstoned docs' postings/norms/stored rows. Each qualifying segment is
+    rewritten alone (adjacent-window constraint keeps docids stable); pairs
+    of adjacent qualifying segments merge together like a normal round."""
+    manifest = read_manifest(index_dir)
+    live = sorted(manifest.live_segments, key=lambda e: e.docid_base)
+    specs: list[list[str]] = []
+    run: list[str] = []
+    for e in live:
+        # only deletes whose postings are still in the segment qualify —
+        # a previous reclaiming merge keeps the tombstoned SLOTS (stable
+        # docids) but already dropped their postings, so re-rewriting it
+        # would be wasted work (idempotency)
+        dels = getattr(e, "del_count", 0) - getattr(e, "reclaimed", 0)
+        if e.doc_count and 100.0 * dels / e.doc_count > pct_allowed:
+            run.append(e.name)
+            if len(run) == MERGE_MAX_MERGE_AT_ONCE:
+                specs.append(run)
+                run = []
+        else:
+            if run:
+                specs.append(run)
+            run = []
+    if run:
+        specs.append(run)
+    if not specs:
+        return manifest
+    new_entries = _execute_merges(index_dir, specs, use_ray)
+    merged_away = {n for spec in specs for n in spec}
+    live = [e for e in live if e.name not in merged_away] + new_entries
+    live.sort(key=lambda e: e.docid_base)
+    manifest = Manifest(
+        generation=manifest.generation + 1,
+        analyzer=manifest.analyzer,
+        index_sort=getattr(manifest, "index_sort", None),
+        doc_count=sum(e.doc_count for e in live),
+        sum_ttf=sum(e.sum_ttf for e in live),
+        segments=live,
+    )
+    write_manifest(index_dir, manifest)
+    return manifest

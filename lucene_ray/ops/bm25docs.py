@@ -1278,10 +1278,34 @@ WITH tok AS (
 """
 
 
+def distfacet_engine(sf_dir: str) -> pa.Table:
+    """(qid, value, count): facet_engine's cases through the sharded
+    DistributedSearcher (per-shard facet dicts, driver sum) — result-
+    identical to the local path, so it shares facet_engine's oracle."""
+    from lucene_ray.search.distributed import DistributedSearcher
+
+    ix = _engine_index(sf_dir)
+    dist = DistributedSearcher(ix, n_shards=3)
+    out_q, out_v, out_c = [], [], []
+    for qid, q, field in FACET_QUERIES:
+        for v, c in dist.facet_counts(q, field):
+            out_q.append(qid)
+            out_v.append(v)
+            out_c.append(c)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "value": pa.array(out_v, type=pa.string()),
+            "count": pa.array(out_c, type=pa.int64()),
+        }
+    )
+
+
 INFIX_INPUTS: list[tuple[int, str]] = [
-    (0, "erg"),   # inside 'merge'
-    (1, "ind"),   # 'window', 'index', ...
-    (2, "qqq"),   # no matches
+    (0, "er"),    # customer/filter/merge/order/query/vector — tests the k cut
+    (1, "ow"),    # row/slow/window
+    (2, "ta"),    # data/table
+    (3, "qqq"),   # no matches
 ]
 
 

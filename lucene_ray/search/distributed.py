@@ -90,6 +90,25 @@ class SegmentShardActor:
             for e in self._entries
         )
 
+    def facet_shard(
+        self, bq: BooleanQuery, stats: dict, doc_count: int, sum_ttf: int,
+        field: str,
+    ) -> dict:
+        """Per-shard facet value counts for ``bq``'s full match set — the
+        per-leaf half of distributed FastTaxonomyFacetCounts (counts are
+        additive across shards, so the reduce is a dict sum)."""
+        from collections import Counter
+
+        from lucene_ray.search.engine import fetch_stored
+
+        d, _s, _n, _e = self.search_shard(
+            bq, stats, doc_count, sum_ttf, k=1 << 62, pruned=False
+        )
+        if not len(d):
+            return {}
+        vals = fetch_stored(self._reader, d).column(field).to_pylist()
+        return dict(Counter(vals))
+
     def search_shard(
         self,
         bq: BooleanQuery,
@@ -231,6 +250,28 @@ class DistributedSearcher:
                 ]
             )
         )
+
+    def facet_counts(self, query, field: str) -> list[tuple[str, int]]:
+        """Distributed count facets: per-shard value counts under global
+        stats, dict-summed on the driver — result-identical to the local
+        ``engine.facet_counts`` (sorted count desc, value asc). The scatter
+        moves one tiny dict per shard, never doc sets."""
+        bq = self._prepare(query)
+        if bq is None:
+            return []
+        stats = self._gather_stats(query_terms(bq))
+        merged: dict[str, int] = {}
+        for part in ray.get(
+            [
+                a.facet_shard.remote(
+                    bq, stats, self.doc_count, self.sum_ttf, field
+                )
+                for a in self.actors
+            ]
+        ):
+            for v, c in part.items():
+                merged[v] = merged.get(v, 0) + c
+        return sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
 
     def _prepare(self, query) -> BooleanQuery | None:
         from lucene_ray.analysis import get_analyzer

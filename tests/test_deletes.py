@@ -399,3 +399,46 @@ def test_lru_counts_pruning_keeps_cached_keys():
     assert c._counts.get("hot1", 0) >= 2
     assert c._counts.get("hot2", 0) >= 2
     assert len(c._counts) <= c.max_entries * 8 + 1
+
+
+class TestForceMergeDeletes:
+    def test_force_merge_deletes_reclaims_only_qualifying(self, ix):
+        """forceMergeDeletes (TieredMergePolicy.java:94 pctAllowed=10):
+        only segments whose delete pct exceeds the threshold are rewritten;
+        untouched segments keep their names; results stay correct."""
+        from lucene_ray.index.manifest import read_manifest
+        from lucene_ray.index.merge import force_merge_deletes
+
+        # delete 12 docs from the first segment only (>10% of it)
+        delete_docs(ix, list(range(0, 12)))
+        m0 = read_manifest(ix)
+        seg0 = min(m0.live_segments, key=lambda e: e.docid_base)
+        before = {e.name for e in m0.live_segments}
+        s0 = IndexSearcher(ix)
+        want = doc_set(s0, "merge")
+        m = force_merge_deletes(ix, pct_allowed=10.0)
+        after = {e.name for e in m.live_segments}
+        assert len(after) == len(before)
+        assert len(before - after) == 1  # exactly the deleted-heavy segment
+        rewritten = next(e for e in m.live_segments if e.name not in before)
+        # slots stay tombstoned (stable docids) but their postings are gone
+        assert rewritten.doc_count == seg0.doc_count
+        assert rewritten.del_count == 12 and rewritten.reclaimed == 12
+        res = check_index(ix, verify_content=False)
+        assert res["ok"], res["problems"]
+        s1 = IndexSearcher(ix)
+        assert doc_set(s1, "merge") == want
+        # idempotent: a second call finds nothing left to reclaim
+        g1 = read_manifest(ix).generation
+        force_merge_deletes(ix, pct_allowed=10.0)
+        assert read_manifest(ix).generation == g1
+
+    def test_force_merge_deletes_noop_below_threshold(self, ix):
+        from lucene_ray.index.manifest import read_manifest
+        from lucene_ray.index.merge import force_merge_deletes
+
+        delete_docs(ix, [0])  # 2.5% of segment 0 — under the threshold
+        g0 = read_manifest(ix).generation
+        force_merge_deletes(ix, pct_allowed=10.0)
+        m = read_manifest(ix)
+        assert m.generation == g0  # no-op: nothing qualified

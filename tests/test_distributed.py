@@ -145,3 +145,14 @@ def test_distributed_random_trees_bit_identical(ix, ray_session):
         assert a.total_hits == b.total_hits
         assert dist.count(bq) == local.count(bq), bq
     assert ran >= 10
+
+
+def test_distributed_facets_match_local(ix, ray_session):
+    from lucene_ray.search.engine import facet_counts
+
+    local = IndexSearcher(ix, pruned=False)
+    dist = DistributedSearcher(ix, n_shards=3, pruned=False)
+    for q in ["the", "def return", "zzznope"]:
+        a = facet_counts(local, q, "lang")
+        b = dist.facet_counts(q, "lang")
+        assert a == b, (q, a, b)

@@ -442,6 +442,13 @@ class TestBM25Docs:
 
         assert_same(bm25docs.taxfacet_engine(SF), con, bm25docs.taxfacet_engine_sql())
 
+    def test_distfacet_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.distfacet_engine(SF), con, bm25docs.facet_engine_sql()
+        )
+
     def test_infix_engine(self, con):
         from lucene_ray.ops import bm25docs
 
