@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- analysis chain + aggregations (§2.2/2.5)
         "term_stats": text.term_stats,
         "whitespace_stats": text.whitespace_stats,
+        "ngram_stats": text.ngram_stats,
+        "edgengram_stats": text.edgengram_stats,
+        "shingle_stats": text.shingle_stats,
         "doc_token_stats": text.doc_token_stats,
         "text_quality": text.text_quality,
         "repetition_stats": text.repetition_stats,
@@ -95,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_shift": text.fingerprint_shift,
         "bpe_token_count": text.bpe_token_count,
         "freetext_suggest": text.freetext_suggest,
+        "pii_scrub": text.pii_scrub,
         "sample_hash": text.sample_hash,
         "stratified_sample": text.stratified_sample,
         # --- dedup family (training-data ops)
@@ -102,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_sha": dedup.content_sha,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_apply": dedup.dedup_apply,
         "contamination_check": dedup.contamination_check,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         # simhash kernel gated through Hamming-vs-Jaccard consistency (raw
@@ -175,6 +180,9 @@ def oracle_sql() -> dict[str, str]:
         "commonterms_engine": bm25docs.commonterms_engine_sql(),
         "term_stats": text.term_stats_sql(),
         "whitespace_stats": text.whitespace_stats_sql(),
+        "ngram_stats": text.ngram_stats_sql(),
+        "edgengram_stats": text.edgengram_stats_sql(),
+        "shingle_stats": text.shingle_stats_sql(),
         "doc_token_stats": text.doc_token_stats_sql(),
         "text_quality": text.text_quality_sql(),
         "repetition_stats": text.repetition_stats_sql(),
@@ -182,12 +190,14 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_shift": text.fingerprint_shift_sql(),
         "bpe_token_count": text.bpe_token_count_sql(),
         "freetext_suggest": text.freetext_suggest_sql(),
+        "pii_scrub": text.pii_scrub_sql(),
         "sample_hash": text.sample_hash_sql(),
         "stratified_sample": text.stratified_sample_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "content_sha": dedup.content_sha_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),
+        "dedup_apply": dedup.dedup_apply_sql(),
         "contamination_check": dedup.contamination_check_sql(),
         # LSH candidates verified by exact Jaccard == the exact pair set
         # (full recall at the gate's fixed corpus + seeds; see docstring)

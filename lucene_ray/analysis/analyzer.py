@@ -613,6 +613,198 @@ class HTMLStripAnalyzer(CodeAnalyzer):
         return base[0].as_py()
 
 
+def _term_buffer(terms: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 data, int64 offsets rebased to 0) of a utf8 term array —
+    zero-copy access for the vectorized gram expanders."""
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    odt = np.int64 if terms.type == pa.large_string() else np.int32
+    offs = np.frombuffer(
+        terms.buffers()[1], dtype=odt, count=len(terms) + 1,
+        offset=terms.offset * np.dtype(odt).itemsize,
+    ).astype(np.int64)
+    data = np.frombuffer(terms.buffers()[2], dtype=np.uint8, count=int(offs[-1]))
+    return data[offs[0]:], offs - offs[0]
+
+
+def _expand_char_grams(
+    terms: pa.Array, gmin: int, gmax: int, edge: bool = False
+) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """(src_idx, grams, within_offset): every [gmin..gmax]-char gram of
+    every term (prefixes only when ``edge``), fully vectorized over the
+    flat utf8 buffer — no per-token Python loop. ``within_offset`` is the
+    gram's byte offset inside its source token (for exact raw-text
+    offsets). Output is grouped by gram length; callers re-sort by src."""
+    data, offs = _term_buffer(terms)
+    lengths = np.diff(offs)
+    srcs, vals, within_all, glens = [], [], [], []
+    for g in range(gmin, gmax + 1):
+        cnt = (
+            (lengths >= g).astype(np.int64)
+            if edge
+            else np.maximum(lengths - g + 1, 0)
+        )
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        src = np.repeat(np.arange(len(lengths), dtype=np.int64), cnt)
+        cum = np.concatenate(([0], np.cumsum(cnt)))
+        within = np.arange(total, dtype=np.int64) - cum[src]
+        starts = offs[:-1][src] + within
+        gather = (starts[:, None] + np.arange(g)[None, :]).ravel()
+        srcs.append(src)
+        vals.append(data[gather])
+        within_all.append(within)
+        glens.append(np.full(total, g, dtype=np.int64))
+    if not srcs:
+        return (
+            np.array([], dtype=np.int64),
+            pa.array([], type=pa.string()),
+            np.array([], dtype=np.int64),
+        )
+    src = np.concatenate(srcs)
+    within = np.concatenate(within_all)
+    gl = np.concatenate(glens)
+    # one stable order: by source token, then gram length, then position
+    o = np.lexsort((within, gl, src))
+    # assemble the utf8 array piecewise (per-g fixed-width), then reorder
+    parts = []
+    for v, g in zip(vals, (int(x[0]) for x in glens)):
+        n = len(v) // g
+        off = (np.arange(n + 1, dtype=np.int32) * g)
+        parts.append(
+            pa.Array.from_buffers(
+                pa.utf8(), n,
+                [None, pa.py_buffer(off.tobytes()), pa.py_buffer(v.tobytes())],
+            )
+        )
+    grams = pa.concat_arrays(parts).take(pa.array(o))
+    return src[o], grams, within[o]
+
+
+class _GramAnalyzer(CodeAnalyzer):
+    """Shared shape of the character-gram token filters: every gram keeps
+    its source token's POSITION (posInc 0 after the first —
+    analysis/common/.../ngram/NGramTokenFilter.java:36), so the builder
+    discounts them from norms like any overlap."""
+
+    has_overlaps = True
+    gmin = 1
+    gmax = 2
+    edge = False
+
+    def tokenize_flat(self, texts, with_offsets: bool = False):
+        res = super().tokenize_flat(texts, with_offsets=with_offsets)
+        row_idx, terms, positions = res[0], res[1], res[2]
+        if len(row_idx) == 0:
+            return res
+        src, grams, within = _expand_char_grams(
+            terms, self.gmin, self.gmax, edge=self.edge
+        )
+        out = (
+            row_idx[src],
+            grams,
+            positions[src].astype(positions.dtype),
+        )
+        if with_offsets:
+            st = res[3][src] + within.astype(res[3].dtype)
+            _d, goffs = _term_buffer(grams)
+            glen = np.diff(goffs).astype(res[4].dtype)
+            out = out + (st, glen)
+        return out
+
+    def tokenize_text(self, text: str) -> list[str]:
+        toks = super().tokenize_text(text)
+        out: list[str] = []
+        for t in toks:
+            for g in range(self.gmin, self.gmax + 1):
+                if self.edge:
+                    if len(t) >= g:
+                        out.append(t[:g])
+                else:
+                    out.extend(
+                        t[i : i + g] for i in range(0, len(t) - g + 1)
+                    )
+        return out
+
+
+class NGramAnalyzer(_GramAnalyzer):
+    """All [1..2]-char grams of every token — NGramTokenFilter defaults
+    (analysis/common/.../ngram/NGramTokenFilter.java:36
+    DEFAULT_MIN/MAX_NGRAM_SIZE = 1/2)."""
+
+    name = "ngram"
+    gmin, gmax, edge = 1, 2, False
+
+
+class EdgeNGramAnalyzer(_GramAnalyzer):
+    """[1..3]-char PREFIX grams per token — EdgeNGramTokenFilter
+    (analysis/common/.../ngram/EdgeNGramTokenFilter.java:33), the
+    search-as-you-type building block."""
+
+    name = "edgengram"
+    gmin, gmax, edge = 1, 3, True
+
+
+class ShingleAnalyzer(CodeAnalyzer):
+    """Word 2-shingles + unigrams (ShingleFilter.java:71 defaults:
+    min/max shingle size 2, separator ' ', outputUnigrams=true). The
+    shingle is emitted at its FIRST token's position (posInc 0 — an
+    overlap for norms purposes). Shingle terms contain ' ', which never
+    collides with analyzed tokens or 'field:value' keyword terms."""
+
+    name = "shingle"
+    has_overlaps = True
+
+    def tokenize_flat(self, texts, with_offsets: bool = False):
+        import pyarrow.compute as pc
+
+        res = super().tokenize_flat(texts, with_offsets=with_offsets)
+        row_idx, terms, positions = res[0], res[1], res[2]
+        n = len(row_idx)
+        if n < 2:
+            return res
+        same = row_idx[1:] == row_idx[:-1]
+        if not same.any():
+            return res
+        left = terms.slice(0, n - 1).take(pa.array(np.nonzero(same)[0]))
+        right = terms.slice(1).take(pa.array(np.nonzero(same)[0]))
+        sh = pc.binary_join_element_wise(left, right, " ")
+        idx = np.nonzero(same)[0]
+        comb_row = np.concatenate([row_idx, row_idx[idx]])
+        comb_pos = np.concatenate([positions, positions[idx]])
+        comb_terms = pa.concat_arrays(
+            [terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms, sh]
+        )
+        unigram_first = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(len(idx), np.int8)]
+        )
+        o = np.lexsort((unigram_first, comb_pos, comb_row))
+        out = (
+            comb_row[o],
+            comb_terms.take(pa.array(o)),
+            comb_pos[o].astype(positions.dtype),
+        )
+        if with_offsets:
+            st, ln = res[3], res[4]
+            # shingle spans first token start .. second token end
+            sh_st = st[idx]
+            sh_ln = (st[idx + 1] + ln[idx + 1]) - st[idx]
+            out = out + (
+                np.concatenate([st, sh_st])[o],
+                np.concatenate([ln, sh_ln])[o],
+            )
+        return out
+
+    def tokenize_text(self, text: str) -> list[str]:
+        toks = super().tokenize_text(text)
+        out = list(toks)
+        out.extend(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        return out
+
+
 _REGISTRY = {
     "code": CodeAnalyzer,
     "standard": StandardLiteAnalyzer,
@@ -622,6 +814,9 @@ _REGISTRY = {
     "synonym": SynonymAnalyzer,
     "folding": FoldingAnalyzer,
     "html": HTMLStripAnalyzer,
+    "ngram": NGramAnalyzer,
+    "edgengram": EdgeNGramAnalyzer,
+    "shingle": ShingleAnalyzer,
 }
 
 

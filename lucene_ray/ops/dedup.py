@@ -1091,3 +1091,27 @@ SELECT d.doc_id,
        coalesce(cnt.c, 0)::BIGINT AS dup_grams
 FROM documents d LEFT JOIN cnt USING (doc_id)
 """
+
+
+def dedup_apply(sf_dir: str) -> pa.Table:
+    """(doc_id, kept): the end-to-end near-dup REMOVAL decision — each doc
+    survives iff it is its cluster's canonical member (min doc_id;
+    singletons always survive). This is the pipeline a training-data run
+    actually executes after clustering: the filtered corpus is
+    ``documents WHERE kept``; emitting the boolean per doc keeps the gate
+    output O(docs) while pinning both kept and dropped sides."""
+    t = dedup_clusters(sf_dir)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    cl = t.column("cluster_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "kept": pa.array(ids == cl),
+        }
+    )
+
+
+def dedup_apply_sql() -> str:
+    return f"""
+SELECT doc_id, doc_id = cluster_id AS kept FROM ({dedup_clusters_sql()})
+"""

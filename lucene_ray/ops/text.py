@@ -749,3 +749,186 @@ SELECT qid, (row_number() OVER (
 FROM cand
 QUALIFY rank < {k}
 """
+
+
+# --------------------------------- gram/shingle analyzer stats gates
+
+def _flat_stats(sf_dir: str, analyzer_name: str) -> "ray.data.Dataset":
+    """(term, df, ttf) under any registry analyzer's tokenize_flat — the
+    shared two-stage shape of term_stats."""
+    from lucene_ray.analysis import get_analyzer
+
+    def partial(batch: pa.Table) -> pa.Table:
+        an = get_analyzer(analyzer_name)
+        row_idx, terms, _pos = an.tokenize_flat(
+            batch.column("text").combine_chunks()
+        )
+        return _partial_term_stats(row_idx, terms)
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+    )
+
+
+def ngram_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(term, df, ttf) of all 1-2 char grams (NGramTokenFilter defaults)."""
+    return _flat_stats(sf_dir, "ngram")
+
+
+def ngram_stats_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    levels = []
+    for g in (1, 2):
+        levels.append(
+            f"SELECT doc_id, substr(term, i::BIGINT, {g}) AS g FROM (\n"
+            f"  SELECT doc_id, term,\n"
+            f"         unnest(generate_series(1, length(term) - {g} + 1)) AS i\n"
+            f"  FROM tok)"
+        )
+    grams = "\nUNION ALL\n".join(levels)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), grams AS (
+{grams}
+)
+SELECT g AS term, count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS ttf
+FROM grams GROUP BY g
+"""
+
+
+def edgengram_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(term, df, ttf) of 1-3 char PREFIX grams (EdgeNGramTokenFilter)."""
+    return _flat_stats(sf_dir, "edgengram")
+
+
+def edgengram_stats_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    levels = [
+        f"SELECT doc_id, substr(term, 1, {g}) AS g FROM tok"
+        f" WHERE length(term) >= {g}"
+        for g in (1, 2, 3)
+    ]
+    grams = "\nUNION ALL\n".join(levels)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), grams AS (
+{grams}
+)
+SELECT g AS term, count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS ttf
+FROM grams GROUP BY g
+"""
+
+
+def shingle_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(term, df, ttf) of word 2-shingles + unigrams (ShingleFilter.java:71
+    defaults, separator ' ', outputUnigrams=true)."""
+    return _flat_stats(sf_dir, "shingle")
+
+
+def shingle_stats_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM t
+), grams AS (
+  SELECT doc_id, term AS g FROM tok
+  UNION ALL
+  SELECT a.doc_id, a.term || ' ' || b.term AS g
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+)
+SELECT g AS term, count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS ttf
+FROM grams GROUP BY g
+"""
+
+
+# ----------------------------------------------- PII / URL scrub (quality)
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+def pii_scrub(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_emails, n_urls, scrubbed_sha): email/URL redaction — the
+    training-data PII-scrub stage. The corpus text carries no PII, so both
+    sides derive the same synthetic column (text + a doc-keyed email + a
+    URL) and scrub it; redaction itself is pure vectorized RE2
+    (pyarrow.compute replace/count_substring_regex — the same regex engine
+    DuckDB uses, so the sha256 of the scrubbed text hashes exactly)."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text").cast(pa.string())
+        src = batch.column("source").cast(pa.string())
+        withpii = pc.binary_join_element_wise(
+            text,
+            pa.array([f"contact: user{i}@example.com see" for i in ids]),
+            src,
+            " ",
+        )
+        n_em = pc.count_substring_regex(withpii, _EMAIL_RE).cast(pa.int64())
+        n_url = pc.count_substring_regex(
+            pc.replace_substring_regex(withpii, _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+        ).cast(pa.int64())
+        clean = pc.replace_substring_regex(
+            pc.replace_substring_regex(withpii, _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        )
+        sha = pa.array(
+            [hashlib.sha256(s.encode()).hexdigest() for s in clean.to_pylist()]
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_emails": n_em,
+                "n_urls": n_url,
+                "scrubbed_sha": sha,
+            }
+        )
+
+    return _docs_with(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        scrub, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def _docs_with(sf_dir: str, columns: list) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns
+    )
+
+
+def pii_scrub_sql() -> str:
+    return f"""
+WITH withpii AS (
+  SELECT doc_id,
+         text || ' ' || 'contact: user' || doc_id ||
+         '@example.com see' || ' ' || source AS t
+  FROM documents
+)
+SELECT doc_id,
+  length(regexp_extract_all(t, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+  length(regexp_extract_all(
+      regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_URL_RE}'
+  ))::BIGINT AS n_urls,
+  sha256(regexp_replace(
+      regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{_URL_RE}', '<URL>', 'g'
+  )) AS scrubbed_sha
+FROM withpii
+"""

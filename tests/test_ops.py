@@ -90,6 +90,26 @@ class TestTextOps:
 
         assert_same(text.stratified_sample(SF), con, text.stratified_sample_sql())
 
+    def test_pii_scrub(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.pii_scrub(SF), con, text.pii_scrub_sql())
+
+    def test_ngram_stats(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.ngram_stats(SF), con, text.ngram_stats_sql())
+
+    def test_edgengram_stats(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.edgengram_stats(SF), con, text.edgengram_stats_sql())
+
+    def test_shingle_stats(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.shingle_stats(SF), con, text.shingle_stats_sql())
+
     def test_freetext_suggest(self, con):
         from lucene_ray.ops import text
 
@@ -167,6 +187,11 @@ class TestDedupOps:
 
         assert_same(dedup.embedding_dup_pairs(SF), con, dedup.embedding_dup_sql())
 
+
+    def test_dedup_apply(self, con):
+        from lucene_ray.ops import dedup
+
+        assert_same(dedup.dedup_apply(SF), con, dedup.dedup_apply_sql())
 
     def test_substring_dup(self, con):
         from lucene_ray.ops import dedup
