@@ -540,6 +540,21 @@ class QueryScorerStage:
         # open every segment once at actor start (mmap + term dict load),
         # so the first query doesn't pay the cold-open cost
         self.searcher.reader.all_readers()
+        # one warmup query per actor: faults the decoded-postings scratch
+        # pages in __init__ (the fresh-page first-read penalty,
+        # lucene_ray._tune_allocator) — the classic model-warmup pattern;
+        # without it the FIRST real query per actor pays it instead
+        try:
+            from lucene_ray.search.query import MatchAllDocsQuery
+
+            self.searcher.count(
+                BooleanQuery(should=[MatchAllDocsQuery()])
+            )
+            vocab = self.searcher.reader.vocabulary()
+            if len(vocab):
+                self.searcher.search(str(vocab[len(vocab) // 2]), 10)
+        except Exception:
+            pass  # warmup must never fail an actor
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
