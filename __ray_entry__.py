@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "complete_engine": bm25docs.complete_engine,
         "infix_engine": bm25docs.infix_engine,
         "synonym_engine": bm25docs.synonym_engine,
+        "multisyn_engine": bm25docs.multisyn_engine,
         "folding_engine": bm25docs.folding_engine,
         "termvector_engine": bm25docs.termvector_engine,
         "htmlstrip_engine": bm25docs.htmlstrip_engine,
@@ -173,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "complete_engine": bm25docs.complete_engine_sql(),
         "infix_engine": bm25docs.infix_engine_sql(),
         "synonym_engine": bm25docs.synonym_engine_sql(),
+        "multisyn_engine": bm25docs.multisyn_engine_sql(),
         "folding_engine": bm25docs.folding_engine_sql(),
         "termvector_engine": bm25docs.termvector_engine_sql(),
         "htmlstrip_engine": bm25docs.htmlstrip_engine_sql(),

@@ -258,3 +258,62 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
         "terms": n_terms,
         "postings": n_postings,
     }
+
+
+def exorcise_index(index_dir: str) -> dict:
+    """CheckIndex.exorciseIndex (index/CheckIndex.java:3975): detach every
+    segment whose files are unreadable or inconsistent from the manifest so
+    the rest of the index opens cleanly — the lose-those-docs repair of
+    last resort (the reference prints the same warning: back up first).
+
+    Surviving segments keep their global docid bases; a removed segment is
+    a GAP in the docid space (ids are never renumbered), marked
+    ``deleted=True`` in a new manifest generation so retained history still
+    references the dropped files."""
+    import os
+
+    from lucene_ray.index.manifest import (
+        Manifest,
+        read_manifest,
+        write_manifest,
+    )
+
+    manifest = read_manifest(index_dir)
+    removed: list[tuple[str, str]] = []
+    for e in manifest.live_segments:
+        d = segment_dir(index_dir, e.name)
+        try:
+            post_pf = pq.ParquetFile(os.path.join(d, "postings.parquet"))
+            post_pf.read_row_group(0) if post_pf.metadata.num_row_groups else None
+            norms = pq.read_table(os.path.join(d, "norms.parquet"))
+            if len(norms) != e.doc_count:
+                raise ValueError(
+                    f"norms rows {len(norms)} != doc_count {e.doc_count}"
+                )
+            stored = pq.ParquetFile(os.path.join(d, "stored.parquet"))
+            if stored.metadata.num_rows != e.doc_count:
+                raise ValueError(
+                    f"stored rows {stored.metadata.num_rows} != doc_count"
+                    f" {e.doc_count}"
+                )
+        except Exception as ex:  # any unreadable/corrupt file condemns it
+            removed.append((e.name, repr(ex)))
+    if removed:
+        bad = {n for n, _ in removed}
+        for e in manifest.segments:
+            if e.name in bad:
+                e.deleted = True
+        live = manifest.live_segments
+        manifest = Manifest(
+            generation=manifest.generation + 1,
+            analyzer=manifest.analyzer,
+            index_sort=getattr(manifest, "index_sort", None),
+            doc_count=sum(e.doc_count for e in live),
+            sum_ttf=sum(e.sum_ttf for e in live),
+            segments=manifest.segments,
+        )
+        write_manifest(index_dir, manifest)
+    return {
+        "removed": removed,
+        "segments_left": len(manifest.live_segments),
+    }

@@ -1278,6 +1278,96 @@ WITH tok AS (
 """
 
 
+MULTISYN_RULES = {("hash", "scan"): "table", ("fast", "key"): "vector"}
+MULTISYN_QUERIES: list[tuple[int, str]] = [
+    (0, "hash scan"),
+    (1, "the fast key order"),
+]
+
+
+def multisyn_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): query-time multi-token synonyms
+    (SynonymGraphFilter.java:57 at query time via QueryBuilder.java:506
+    analyzeGraphBoolean) — a consecutive-token run matching a rule LHS
+    collapses into (exact phrase | synonym term), so qid 0 matches docs
+    phrasing "hash scan" OR containing "table". Membership gate (scores
+    are engine-quantized; docid sets are SQL-exact)."""
+    from lucene_ray.analysis import get_analyzer
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import apply_multi_synonyms, parse_query
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    an = get_analyzer("code")
+    out_q, out_d = [], []
+    for qid, q in MULTISYN_QUERIES:
+        bq = apply_multi_synonyms(parse_query(q, an), MULTISYN_RULES)
+        td = s.search(bq, 1 << 62)
+        for d in sorted(int(x) for x in td.docids):
+            out_q.append(qid)
+            out_d.append(d)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def multisyn_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    an = CodeAnalyzer()
+    parts = []
+    for qid, q in MULTISYN_QUERIES:
+        terms = an.tokenize_text(q)
+        # reproduce apply_multi_synonyms over the SHOULD token list
+        clauses = []
+        i = 0
+        while i < len(terms):
+            hit = None
+            for ln in range(len(terms) - i, 1, -1):
+                if tuple(terms[i : i + ln]) in MULTISYN_RULES:
+                    hit = ln
+                    break
+            if hit:
+                lhs = tuple(terms[i : i + hit])
+                joins = " ".join(
+                    f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id"
+                    f" AND t{j}.pos = t0.pos + {j}"
+                    f" AND t{j}.term = '{lhs[j]}'"
+                    for j in range(1, hit)
+                )
+                clauses.append(
+                    f"SELECT DISTINCT t0.doc_id FROM tok t0 {joins}"
+                    f" WHERE t0.term = '{lhs[0]}'"
+                )
+                clauses.append(
+                    "SELECT DISTINCT doc_id FROM tok WHERE term = "
+                    f"'{MULTISYN_RULES[lhs]}'"
+                )
+                i += hit
+            else:
+                clauses.append(
+                    f"SELECT DISTINCT doc_id FROM tok WHERE term = '{terms[i]}'"
+                )
+                i += 1
+        union = " UNION ".join(clauses)
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM ({union})"
+        )
+    union_all = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM t
+)
+{union_all}
+"""
+
+
 def distfacet_engine(sf_dir: str) -> pa.Table:
     """(qid, value, count): facet_engine's cases through the sharded
     DistributedSearcher (per-shard facet dicts, driver sum) — result-

@@ -643,3 +643,46 @@ def iter_clauses(bq: BooleanQuery):
             stack.append(q.parents_filter)
         elif isinstance(q, FunctionScoreQuery):
             stack.append(q.query)
+
+
+def apply_multi_synonyms(bq: BooleanQuery, rules: dict) -> BooleanQuery:
+    """Query-time multi-token synonyms — the reference's recommended use of
+    SynonymGraphFilter (analysis/common/.../synonym/SynonymGraphFilter.java:57
+    applied at QUERY time; util/QueryBuilder.java:246 createFieldQuery ->
+    analyzeGraphBoolean turns each graph path into a clause): every run of
+    consecutive SHOULD TermQuery clauses matching a rule's multi-token LHS
+    collapses into ONE disjunction of (the exact phrase | the synonym term)
+    — "machine learning" matches docs phrasing it OR saying "ml".
+
+    ``rules``: {(tok, tok, ...): "synonym_token"}. Only the SHOULD list is
+    rewritten (the default-operator search-box case); MUST/MUST_NOT clauses
+    keep user-explicit semantics. Returns a new BooleanQuery."""
+    out = BooleanQuery(
+        must=list(bq.must),
+        must_not=list(bq.must_not),
+        min_should_match=bq.min_should_match,
+    )
+    should = list(bq.should)
+    i = 0
+    max_len = max((len(k) for k in rules), default=0)
+    while i < len(should):
+        matched = None
+        for ln in range(min(max_len, len(should) - i), 1, -1):
+            window = should[i : i + ln]
+            if all(isinstance(q, TermQuery) and q.boost == 1.0 for q in window):
+                key = tuple(q.term for q in window)
+                if key in rules:
+                    matched = (ln, key)
+                    break
+        if matched:
+            ln, key = matched
+            out.should.append(
+                DisjunctionSumQuery(
+                    (PhraseQuery(key), TermQuery(rules[key]))
+                )
+            )
+            i += ln
+        else:
+            out.should.append(should[i])
+            i += 1
+    return out

@@ -442,3 +442,43 @@ class TestForceMergeDeletes:
         force_merge_deletes(ix, pct_allowed=10.0)
         m = read_manifest(ix)
         assert m.generation == g0  # no-op: nothing qualified
+
+
+class TestExorcise:
+    def test_exorcise_drops_corrupt_segment(self, ix):
+        """CheckIndex.exorciseIndex: a segment with an unreadable postings
+        file is detached; the rest of the index opens and searches."""
+        import glob
+        import os
+
+        from lucene_ray.index.checkindex import exorcise_index
+        from lucene_ray.index.manifest import read_manifest
+
+        from lucene_ray.index.manifest import segment_dir
+
+        m0 = read_manifest(ix)
+        victim = sorted(m0.live_segments, key=lambda e: e.docid_base)[1]
+        target = os.path.join(segment_dir(ix, victim.name), "postings.parquet")
+        with open(target, "wb") as f:
+            f.write(b"corrupt")
+        res = exorcise_index(ix)
+        assert [n for n, _ in res["removed"]] == [victim.name]
+        assert res["segments_left"] == len(m0.live_segments) - 1
+        m1 = read_manifest(ix)
+        assert m1.generation == m0.generation + 1
+        assert m1.doc_count == m0.doc_count - victim.doc_count
+        # the survivors open and search; the victim's docid range is a gap
+        s = IndexSearcher(ix)
+        got = doc_set(s, "merge")
+        gap = set(range(victim.docid_base, victim.docid_base + victim.doc_count))
+        assert not (got & gap)
+        assert got  # still finds matches in surviving segments
+
+    def test_exorcise_clean_index_is_noop(self, ix):
+        from lucene_ray.index.checkindex import exorcise_index
+        from lucene_ray.index.manifest import read_manifest
+
+        g0 = read_manifest(ix).generation
+        res = exorcise_index(ix)
+        assert res["removed"] == []
+        assert read_manifest(ix).generation == g0

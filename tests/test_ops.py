@@ -467,6 +467,13 @@ class TestBM25Docs:
 
         assert_same(bm25docs.taxfacet_engine(SF), con, bm25docs.taxfacet_engine_sql())
 
+    def test_multisyn_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.multisyn_engine(SF), con, bm25docs.multisyn_engine_sql()
+        )
+
     def test_distfacet_engine(self, con):
         from lucene_ray.ops import bm25docs
 
