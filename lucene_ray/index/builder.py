@@ -580,3 +580,94 @@ def build_index(
     )
     write_manifest(index_dir, manifest)
     return manifest
+
+
+def upgrade_index(index_dir: str) -> dict:
+    """IndexUpgrader (index/IndexUpgrader.java:54): rewrite every live
+    segment whose fingerprint does not match the CURRENT format version,
+    by re-running its recorded build spec (entry.input keeps the source
+    file + row-group range; docid_base is preserved, so global ids never
+    change). Delete/DV generation files carry over to the rebuilt segment
+    verbatim — tombstones and updated doc values survive the upgrade.
+
+    Scope (documented): only segments built directly from source rebuild
+    (the default code:positions variant — the manifest records the
+    analyzer); merged segments are reported as ``skipped`` (their inputs
+    are gone — re-merge them with force_merge after upgrading the rest, or
+    rebuild from source). Returns {upgraded, current, skipped}."""
+    import re as _re
+    import shutil as _shutil
+
+    from lucene_ray.index.manifest import (
+        Manifest,
+        read_manifest,
+        write_manifest,
+    )
+
+    manifest = read_manifest(index_dir)
+    analyzer_name = manifest.analyzer or "code"
+    variant = "" if analyzer_name == "code" else f"{analyzer_name}:positions"
+    upgraded, current, skipped = [], [], []
+    new_segments = list(manifest.segments)
+    for i, e in enumerate(manifest.segments):
+        if e.deleted:
+            continue
+        inp = e.input or {}
+        if "file" not in inp:
+            skipped.append(e.name)  # merged segment: inputs are gone
+            continue
+        m = _re.match(r"seg_(\d+)_", e.name)
+        seg_idx = int(m.group(1)) if m else i
+        spec = SegmentSpec(
+            seg_idx=seg_idx,
+            file=inp["file"],
+            rg_start=int(inp["rg_start"]),
+            rg_end=int(inp["rg_end"]),
+            n_docs=e.doc_count,
+            docid_base=e.docid_base,
+            variant=variant,
+        )
+        if inp.get("fingerprint") == spec.fingerprint:
+            current.append(e.name)
+            continue
+        new_entry = build_one_segment(
+            spec, index_dir, analyzer_name, "positions", None, None, None,
+            False,
+        )
+        old_d = segment_dir(index_dir, e.name)
+        new_d = segment_dir(index_dir, new_entry.name)
+        # carry delete / DV generations verbatim (file contents are
+        # docid-addressed, and docids did not change). When only the
+        # RECORDED fingerprint was stale (same inputs, same format) the
+        # rebuilt name collides with the old one and the files are already
+        # in place.
+        for gen_attr, pattern in (
+            ("del_gen", "livedocs_g{g}.parquet"),
+            ("dv_gen", "docvalues_g{g}.parquet"),
+        ):
+            g = getattr(e, gen_attr, 0)
+            if g:
+                if old_d != new_d:
+                    _shutil.copy2(
+                        os.path.join(old_d, pattern.format(g=g)),
+                        os.path.join(new_d, pattern.format(g=g)),
+                    )
+                setattr(new_entry, gen_attr, g)
+        new_entry.del_count = getattr(e, "del_count", 0)
+        write_entry(index_dir, new_entry)
+        new_segments[i] = new_entry
+        upgraded.append((e.name, new_entry.name))
+    if upgraded:
+        live = [s for s in new_segments if not s.deleted]
+        write_manifest(
+            index_dir,
+            Manifest(
+                generation=manifest.generation + 1,
+                analyzer=manifest.analyzer,
+                index_sort=getattr(manifest, "index_sort", None),
+                doc_count=sum(s.doc_count for s in live),
+                sum_ttf=sum(s.sum_ttf for s in live),
+                segments=new_segments,
+            ),
+        )
+    return {"upgraded": upgraded, "current": current, "skipped": skipped}

@@ -482,3 +482,52 @@ class TestExorcise:
         res = exorcise_index(ix)
         assert res["removed"] == []
         assert read_manifest(ix).generation == g0
+
+
+class TestUpgrade:
+    def test_upgrade_rebuilds_stale_segments(self, ix):
+        """IndexUpgrader (IndexUpgrader.java:54): a segment whose recorded
+        fingerprint doesn't match the current format rebuilds in place
+        (same docid_base); tombstones carry over; current segments are
+        untouched; results identical after reopen."""
+        import json
+        import os
+
+        from lucene_ray.index.builder import upgrade_index
+        from lucene_ray.index.manifest import read_manifest, segment_dir
+
+        delete_docs(ix, [0, 1])
+        s0 = IndexSearcher(ix)
+        want = {q: doc_set(s0, q) for q in ("merge", "flush sort")}
+        m0 = read_manifest(ix)
+        stale = sorted(m0.live_segments, key=lambda e: e.docid_base)[0]
+        # simulate an old-format segment: perturb its recorded fingerprint
+        # in BOTH the manifest and its entry.json
+        stale.input["fingerprint"] = "deadbeef0000"
+        epath = os.path.join(segment_dir(ix, stale.name), "entry.json")
+        ent = json.load(open(epath))
+        ent["input"]["fingerprint"] = "deadbeef0000"
+        json.dump(ent, open(epath, "w"))
+        from lucene_ray.index.manifest import write_manifest
+
+        write_manifest(ix, m0)
+
+        res = upgrade_index(ix)
+        assert [old for old, _new in res["upgraded"]] == [stale.name]
+        assert res["skipped"] == []
+        m1 = read_manifest(ix)
+        assert m1.generation == m0.generation + 1
+        new0 = sorted(m1.live_segments, key=lambda e: e.docid_base)[0]
+        # the rebuilt entry records the CURRENT fingerprint (in a real
+        # version bump the name would change too — the version is part of
+        # the fingerprint; this simulation keeps inputs+format identical)
+        assert new0.input["fingerprint"] != "deadbeef0000"
+        assert new0.docid_base == stale.docid_base
+        assert new0.del_gen == stale.del_gen and new0.del_count == 2
+        s1 = IndexSearcher(ix)
+        for q, w in want.items():
+            assert doc_set(s1, q) == w, q
+        # idempotent: everything is current now
+        res2 = upgrade_index(ix)
+        assert res2["upgraded"] == []
+        assert len(res2["current"]) == len(m1.live_segments)
