@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_engine": bm25docs.feature_engine,
         "exprscore_engine": bm25docs.exprscore_engine,
         "suggest_engine": bm25docs.suggest_engine,
+        "wordbreak_engine": bm25docs.wordbreak_engine,
         "mlt_engine": bm25docs.mlt_engine,
         "group_engine": bm25docs.group_engine,
         "span_engine": bm25docs.span_engine,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_engine": bm25docs.feature_engine_sql(),
         "exprscore_engine": bm25docs.exprscore_engine_sql(),
         "suggest_engine": bm25docs.suggest_engine_sql(),
+        "wordbreak_engine": bm25docs.wordbreak_engine_sql(),
         "mlt_engine": bm25docs.mlt_engine_sql(),
         "group_engine": bm25docs.group_engine_sql(),
         "span_engine": bm25docs.span_engine_sql(),

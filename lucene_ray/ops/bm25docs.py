@@ -1278,6 +1278,62 @@ WITH tok AS (
 """
 
 
+WORDBREAK_INPUTS: list[tuple[int, str]] = [
+    (0, "mergesort"),
+    (1, "fastkey"),
+    (2, "thequery"),
+    (3, "zzznothing"),
+]
+
+
+def wordbreak_engine(sf_dir: str, k: int = 5) -> pa.Table:
+    """(qid, left, right, df_sum): two-word breaks of unknown tokens whose
+    halves both exist in the term dictionary, ranked by combined docFreq
+    (WordBreakSpellChecker.java:71 suggestWordBreaks)."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.suggest import word_breaks
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_l, out_r, out_f = [], [], [], []
+    for qid, w in WORDBREAK_INPUTS:
+        for left, right, dfsum in word_breaks(s.reader, w, k=k):
+            out_q.append(qid)
+            out_l.append(left)
+            out_r.append(right)
+            out_f.append(dfsum)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "left": pa.array(out_l, type=pa.string()),
+            "right": pa.array(out_r, type=pa.string()),
+            "df_sum": pa.array(out_f, type=pa.int64()),
+        }
+    )
+
+
+def wordbreak_engine_sql(k: int = 5) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, w in WORDBREAK_INPUTS:
+        parts.append(f"""
+SELECT {qid} AS qid, a.term AS left, b.term AS right,
+       (a.df + b.df)::BIGINT AS df_sum
+FROM dfs a JOIN dfs b ON a.term || b.term = '{w}'
+QUALIFY row_number() OVER (
+  ORDER BY a.df + b.df DESC, a.term, b.term) <= {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+)
+{union}
+"""
+
+
 MULTISYN_RULES = {("hash", "scan"): "table", ("fast", "key"): "vector"}
 MULTISYN_QUERIES: list[tuple[int, str]] = [
     (0, "hash scan"),

@@ -69,3 +69,26 @@ def infix_terms(reader, fragment: str, k: int = 10) -> list[tuple[str, int]]:
     stats = reader.global_term_stats(cands)
     scored = sorted((-stats[t][0], t) for t in cands)
     return [(t, -neg_df) for neg_df, t in scored[:k]]
+
+
+def word_breaks(reader, term: str, k: int = 10) -> list[tuple[str, str, int]]:
+    """Top-k (left, right, df_sum) two-word breaks of an out-of-vocabulary
+    token — WordBreakSpellChecker.suggestWordBreaks
+    (suggest/.../spell/WordBreakSpellChecker.java:50): every split point
+    whose halves BOTH exist in the term dictionary, ranked by combined
+    docFreq desc then (left, right) asc (the reference ranks by change
+    count then freq; with one split the change count is constant —
+    documented)."""
+    vocab = set(map(str, reader.vocabulary()))
+    cands = [
+        (term[:i], term[i:])
+        for i in range(1, len(term))
+        if term[:i] in vocab and term[i:] in vocab
+    ]
+    if not cands:
+        return []
+    stats = reader.global_term_stats(sorted({t for p in cands for t in p}))
+    scored = sorted(
+        (-(stats[a][0] + stats[b][0]), a, b) for a, b in cands
+    )
+    return [(a, b, -neg) for neg, a, b in scored[:k]]

@@ -467,6 +467,13 @@ class TestBM25Docs:
 
         assert_same(bm25docs.taxfacet_engine(SF), con, bm25docs.taxfacet_engine_sql())
 
+    def test_wordbreak_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.wordbreak_engine(SF), con, bm25docs.wordbreak_engine_sql()
+        )
+
     def test_multisyn_engine(self, con):
         from lucene_ray.ops import bm25docs
 
