@@ -423,6 +423,7 @@ def search_sorted(
     field: str,
     k: int = DEFAULT_TOP_K,
     ascending: bool = True,
+    after: tuple | None = None,
 ) -> SortedTopDocs:
     """Sort-by-field search (TopFieldCollector, search/TopFieldCollector.java
     :553): collect the full matching doc set (constant relevance work — the
@@ -440,7 +441,13 @@ def search_sorted(
     cross-run merge — per shard the candidate set is O(k·runs), not
     O(matches). Falls back transparently for the opposite direction, a
     different field, or segments whose sort invariant was broken by a DV
-    update (entry.sorted_runs dropped)."""
+    update (entry.sorted_runs dropped).
+
+    ``after=(value, docid)`` resumes below that cursor in (field, docid)
+    order — searchAfter over field sorts (TopFieldCollector.java:553
+    create(sort, n, after, ...) FieldDoc semantics). The early-terminating
+    index-sort path is bypassed with a cursor (its first-k-per-run cut
+    could sit entirely before the cursor); correctness first."""
     td = searcher.search(query, k=1 << 62)
     if len(td.docids) == 0:
         return SortedTopDocs(td.docids, td.scores, td.total_hits, td.docids[:0])
@@ -449,7 +456,8 @@ def search_sorted(
 
     isort = getattr(searcher.reader.manifest, "index_sort", None)
     if (
-        isort
+        after is None
+        and isort
         and isort[0] == field
         and (isort[1] == "asc") == ascending
         and field in dv_schema
@@ -495,7 +503,16 @@ def search_sorted(
         vals = np.asarray(stored.column(field).to_pylist(), dtype=object)
         codes = np.unique(vals.astype(str), return_inverse=True)[1]
         key = codes if ascending else -codes
-    order = np.lexsort((td.docids, key))[:k]
+    order = np.lexsort((td.docids, key))
+    if after is not None:
+        av, adoc = after
+        vals_o, docs_o = vals[order], td.docids[order]
+        if ascending:
+            keep = (vals_o > av) | ((vals_o == av) & (docs_o > adoc))
+        else:
+            keep = (vals_o < av) | ((vals_o == av) & (docs_o > adoc))
+        order = order[keep]
+    order = order[:k]
     return SortedTopDocs(
         td.docids[order], td.scores[order], td.total_hits, vals[order], td.relation
     )

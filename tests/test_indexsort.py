@@ -164,3 +164,38 @@ def test_term_search_doc_sets_equal(sorted_ix, plain_ix):
         assert set(_doc_ids(s_sorted.reader, a.docids)) == set(
             _doc_ids(s_plain.reader, b.docids)
         ), q
+
+
+def test_search_after_field_sort_paginates(plain_ix):
+    """searchAfter over a field sort (TopFieldCollector FieldDoc cursor):
+    walking pages of 7 with after=(last value, last docid) reproduces the
+    single big sorted result, no doc skipped or repeated — both
+    directions, numeric and string fields."""
+    s = IndexSearcher(plain_ix)
+    for field in ("n_chars", "lang"):
+        for asc in (False, True):
+            full = search_sorted(s, "merge", field, k=10_000, ascending=asc)
+            pages = []
+            after = None
+            while True:
+                pg = search_sorted(
+                    s, "merge", field, k=7, ascending=asc, after=after
+                )
+                if len(pg.docids) == 0:
+                    break
+                pages.extend(zip(pg.docids.tolist(), list(pg.values)))
+                after = (pg.values[-1], int(pg.docids[-1]))
+            assert pages == list(
+                zip(full.docids.tolist(), list(full.values))
+            ), (field, asc)
+
+
+def test_search_after_skips_cursor_ties(plain_ix):
+    """Equal field values tie-break docid-asc; the cursor must resume
+    strictly after (value, docid), keeping later ties with the same value."""
+    s = IndexSearcher(plain_ix)
+    full = search_sorted(s, "merge", "lang", k=10_000, ascending=True)
+    mid = len(full.docids) // 2
+    after = (full.values[mid], int(full.docids[mid]))
+    rest = search_sorted(s, "merge", "lang", k=10_000, ascending=True, after=after)
+    assert rest.docids.tolist() == full.docids.tolist()[mid + 1 :]
