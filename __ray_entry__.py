@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "taxfacet_engine": bm25docs.taxfacet_engine,
         "drillsideways_engine": bm25docs.drillsideways_engine,
         "distfacet_engine": bm25docs.distfacet_engine,
+        "distsort_engine": bm25docs.distsort_engine,
         "rangefacet_engine": bm25docs.rangefacet_engine,
         "join_engine": bm25docs.join_engine,
         "blockjoin_engine": bm25docs.blockjoin_engine,
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "drillsideways_engine": bm25docs.drillsideways_engine_sql(),
         # the distributed facet path is result-identical to the local one
         "distfacet_engine": bm25docs.facet_engine_sql(),
+        "distsort_engine": bm25docs.distsort_engine_sql(),
         "rangefacet_engine": bm25docs.rangefacet_engine_sql(),
         "join_engine": bm25docs.join_engine_sql(),
         "blockjoin_engine": bm25docs.blockjoin_engine_sql(),

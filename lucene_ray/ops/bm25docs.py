@@ -1100,6 +1100,50 @@ WITH tok AS (
 """
 
 
+def distsort_engine(sf_dir: str, k: int = 20) -> pa.Table:
+    """(qid, rank, docid): sort_engine's numeric cases through the sharded
+    DistributedSearcher (per-shard top-k under the shared total order,
+    driver merge) — result-identical to the local TopFieldCollector path."""
+    from lucene_ray.search.distributed import DistributedSearcher
+
+    ix = _engine_index(sf_dir)
+    dist = DistributedSearcher(ix, n_shards=3)
+    out_q, out_r, out_d = [], [], []
+    for qid, term, asc in ((0, "merge", False), (1, "window", True)):
+        d, _v, _n = dist.search_sorted(term, "n_chars", k=k, ascending=asc)
+        out_q.extend([qid] * len(d))
+        out_r.extend(range(len(d)))
+        out_d.extend(int(x) for x in d)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int32()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def distsort_engine_sql(k: int = 20) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term, direction in ((0, "merge", "DESC"), (1, "window", "ASC")):
+        parts.append(f"""
+SELECT {qid} AS qid,
+       (row_number() OVER (ORDER BY length(text) {direction}, doc_id ASC) - 1)::INTEGER AS rank,
+       doc_id AS docid
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+QUALIFY rank < {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 def _engine_index_sorted(sf_dir: str) -> str:
     """Index of the documents table built with index_sort=(n_chars, desc)
     (IndexWriterConfig.setIndexSort) — docids permuted to value order, so

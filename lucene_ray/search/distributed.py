@@ -90,6 +90,30 @@ class SegmentShardActor:
             for e in self._entries
         )
 
+    def sort_shard(
+        self, bq: BooleanQuery, stats: dict, doc_count: int, sum_ttf: int,
+        field: str, k: int, ascending: bool,
+    ):
+        """Per-shard sort-by-field top-k: the TopFieldCollector leaf half —
+        each shard returns its k best (value, docid) rows; the driver's
+        merge keeps the global k (identical results to the local path
+        because per-shard top-k under a total order is merge-safe)."""
+        from lucene_ray.search.engine import fetch_doc_values
+
+        d, _s, n, _e = self.search_shard(
+            bq, stats, doc_count, sum_ttf, k=1 << 62, pruned=False
+        )
+        if not len(d):
+            return (
+                np.array([], dtype=np.int64),
+                np.array([], dtype=np.int64),
+                n,
+            )
+        vals = fetch_doc_values(self._reader, d, field)
+        key = vals if ascending else -vals
+        order = np.lexsort((d, key))[:k]
+        return d[order], vals[order], n
+
     def facet_shard(
         self, bq: BooleanQuery, stats: dict, doc_count: int, sum_ttf: int,
         field: str,
@@ -250,6 +274,35 @@ class DistributedSearcher:
                 ]
             )
         )
+
+    def search_sorted(
+        self, query, field: str, k: int = DEFAULT_TOP_K, ascending: bool = True
+    ):
+        """Distributed sort-by-field (numeric doc values): per-shard top-k
+        under the shared total order, one driver merge — result-identical
+        to the local ``engine.search_sorted``. Returns (docids, values,
+        total_hits)."""
+        bq = self._prepare(query)
+        if bq is None:
+            return np.array([], np.int64), np.array([], np.int64), 0
+        stats = self._gather_stats(query_terms(bq))
+        parts = ray.get(
+            [
+                a.sort_shard.remote(
+                    bq, stats, self.doc_count, self.sum_ttf, field, k,
+                    ascending,
+                )
+                for a in self.actors
+            ]
+        )
+        total = sum(n for _d, _v, n in parts)
+        docs = np.concatenate([d for d, _v, _n in parts])
+        vals = np.concatenate([v for _d, v, _n in parts])
+        if not len(docs):
+            return docs, vals, total
+        key = vals if ascending else -vals
+        order = np.lexsort((docs, key))[:k]
+        return docs[order], vals[order], total
 
     def facet_counts(self, query, field: str) -> list[tuple[str, int]]:
         """Distributed count facets: per-shard value counts under global

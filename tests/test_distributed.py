@@ -156,3 +156,17 @@ def test_distributed_facets_match_local(ix, ray_session):
         a = facet_counts(local, q, "lang")
         b = dist.facet_counts(q, "lang")
         assert a == b, (q, a, b)
+
+
+def test_distributed_sorted_matches_local(ix, ray_session):
+    from lucene_ray.search.engine import search_sorted
+
+    local = IndexSearcher(ix, pruned=False)
+    dist = DistributedSearcher(ix, n_shards=3, pruned=False)
+    for q in ["the", "def return"]:
+        for asc in (True, False):
+            a = search_sorted(local, q, "n_chars", k=20, ascending=asc)
+            d, v, total = dist.search_sorted(q, "n_chars", k=20, ascending=asc)
+            assert a.docids.tolist() == d.tolist(), (q, asc)
+            assert list(a.values) == v.tolist(), (q, asc)
+            assert total == a.total_hits

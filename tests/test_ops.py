@@ -481,6 +481,13 @@ class TestBM25Docs:
             bm25docs.multisyn_engine(SF), con, bm25docs.multisyn_engine_sql()
         )
 
+    def test_distsort_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.distsort_engine(SF), con, bm25docs.distsort_engine_sql()
+        )
+
     def test_distfacet_engine(self, con):
         from lucene_ray.ops import bm25docs
 
