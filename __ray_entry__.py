@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exprscore_engine": bm25docs.exprscore_engine,
         "suggest_engine": bm25docs.suggest_engine,
         "wordbreak_engine": bm25docs.wordbreak_engine,
+        "percolate_engine": bm25docs.percolate_engine,
         "mlt_engine": bm25docs.mlt_engine,
         "group_engine": bm25docs.group_engine,
         "span_engine": bm25docs.span_engine,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "exprscore_engine": bm25docs.exprscore_engine_sql(),
         "suggest_engine": bm25docs.suggest_engine_sql(),
         "wordbreak_engine": bm25docs.wordbreak_engine_sql(),
+        "percolate_engine": bm25docs.percolate_engine_sql(),
         "mlt_engine": bm25docs.mlt_engine_sql(),
         "group_engine": bm25docs.group_engine_sql(),
         "span_engine": bm25docs.span_engine_sql(),

@@ -1322,6 +1322,61 @@ WITH tok AS (
 """
 
 
+PERCOLATE_QUERIES: dict[int, str] = {
+    0: "merge",
+    1: "window table",
+    2: '"hash scan"',
+    3: "+stream -slow",
+    4: '"the fast"~2',
+}
+
+
+def percolate_engine(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, query_id): percolation / reverse search — every document
+    streamed against the registered query set (monitor/Monitor.java:44
+    match; TermFilteredPresearcher.java:62 term prefilter). The query set
+    is actor state (parsed once per actor); membership per query term is
+    one vectorized bitvector over the batch."""
+    from lucene_ray.search.monitor import percolate_dataset
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return percolate_dataset(ds, PERCOLATE_QUERIES)
+
+
+def percolate_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = [
+        # 0: single term
+        "SELECT DISTINCT doc_id, 0 AS query_id FROM tok WHERE term = 'merge'",
+        # 1: default-OR two terms
+        "SELECT DISTINCT doc_id, 1 AS query_id FROM tok"
+        " WHERE term IN ('window', 'table')",
+        # 2: exact phrase
+        "SELECT DISTINCT t0.doc_id, 2 AS query_id FROM tok t0"
+        " JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1"
+        " AND t1.term = 'scan' WHERE t0.term = 'hash'",
+        # 3: +stream -slow
+        "SELECT DISTINCT doc_id, 3 AS query_id FROM tok WHERE term = 'stream'"
+        " AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'slow')",
+        # 4: sloppy phrase slop 2 (adjusted-position span)
+        "SELECT DISTINCT t0.doc_id, 4 AS query_id FROM tok t0"
+        " JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.term = 'fast'"
+        " WHERE t0.term = 'the' AND"
+        " greatest(t0.pos, t1.pos - 1) - least(t0.pos, t1.pos - 1) <= 2",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""
+
+
 WORDBREAK_INPUTS: list[tuple[int, str]] = [
     (0, "mergesort"),
     (1, "fastkey"),

@@ -467,6 +467,28 @@ class TestBM25Docs:
 
         assert_same(bm25docs.taxfacet_engine(SF), con, bm25docs.taxfacet_engine_sql())
 
+    def test_percolate_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.percolate_engine(SF), con, bm25docs.percolate_engine_sql()
+        )
+
+    def test_percolator_vs_index_search(self, con):
+        # reverse search and forward search agree: percolating the corpus
+        # against query q yields exactly the doc set an IndexSearcher
+        # returns for q (Monitor.java match == IndexSearcher.search duality)
+        from lucene_ray.ops import bm25docs
+        from lucene_ray.search.engine import IndexSearcher
+
+        perc = bm25docs.percolate_engine(SF).to_pandas()
+        ix = bm25docs._engine_index(SF)
+        s = IndexSearcher(ix)
+        for qid, q in bm25docs.PERCOLATE_QUERIES.items():
+            got = set(perc[perc.query_id == qid].doc_id)
+            want = set(int(d) for d in s.search(q, 1 << 62).docids)
+            assert got == want, (qid, q)
+
     def test_wordbreak_engine(self, con):
         from lucene_ray.ops import bm25docs
 
