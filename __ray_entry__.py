@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distfacet_engine": bm25docs.distfacet_engine,
         "distsort_engine": bm25docs.distsort_engine,
         "rangefacet_engine": bm25docs.rangefacet_engine,
+        "assocfacet_engine": bm25docs.assocfacet_engine,
         "join_engine": bm25docs.join_engine,
         "blockjoin_engine": bm25docs.blockjoin_engine,
         "feature_engine": bm25docs.feature_engine,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "distfacet_engine": bm25docs.facet_engine_sql(),
         "distsort_engine": bm25docs.distsort_engine_sql(),
         "rangefacet_engine": bm25docs.rangefacet_engine_sql(),
+        "assocfacet_engine": bm25docs.assocfacet_engine_sql(),
         "join_engine": bm25docs.join_engine_sql(),
         "blockjoin_engine": bm25docs.blockjoin_engine_sql(),
         "feature_engine": bm25docs.feature_engine_sql(),

@@ -1322,6 +1322,53 @@ WITH tok AS (
 """
 
 
+def assocfacet_engine(sf_dir: str) -> pa.Table:
+    """(qid, value, total): association facets — per facet label, the SUM
+    of the n_chars doc value over docs matching the query
+    (TaxonomyFacetIntAssociations.java:34, SUM aggregation)."""
+    from lucene_ray.search.engine import IndexSearcher, facet_sum_values
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_v, out_t = [], [], []
+    for qid, q, field in FACET_QUERIES:
+        for v, t in facet_sum_values(s, q, field, "n_chars"):
+            out_q.append(qid)
+            out_v.append(v)
+            out_t.append(t)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "value": pa.array(out_v, type=pa.string()),
+            "total": pa.array(out_t, type=pa.int64()),
+        }
+    )
+
+
+def assocfacet_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    col = {"lang": "lang", "repo": "source"}
+    parts = []
+    for qid, q, field in FACET_QUERIES:
+        terms = CodeAnalyzer().tokenize_text(q)
+        union = " UNION ".join(
+            f"SELECT DISTINCT doc_id FROM tok WHERE term = '{t}'" for t in terms
+        )
+        parts.append(
+            f"SELECT {qid} AS qid, d.{col[field]} AS value,\n"
+            f"       sum(length(d.text))::BIGINT AS total\n"
+            f"FROM documents d WHERE d.doc_id IN ({union})\n"
+            f"GROUP BY d.{col[field]}"
+        )
+    union_all = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union_all}
+"""
+
+
 PERCOLATE_QUERIES: dict[int, str] = {
     0: "merge",
     1: "window table",

@@ -360,6 +360,29 @@ def rescore(
     )
 
 
+def facet_sum_values(
+    searcher: "IndexSearcher", query, field: str, value_field: str
+) -> list[tuple[str, int]]:
+    """Association facets: per facet label, the SUM of a numeric doc value
+    over the matching docs (facet/.../taxonomy/
+    TaxonomyFacetIntAssociations.java:34 with
+    AssociationAggregationFunction.SUM — the association carried per doc is
+    the doc-values field here). Returns (value, sum) sorted by sum desc
+    then value asc; one non-scoring match collection, one stored gather,
+    one doc-values gather, a numpy segmented sum."""
+    td = searcher.search(query, k=1 << 62)
+    if len(td.docids) == 0:
+        return []
+    stored = fetch_stored(searcher.reader, td.docids)
+    labels = np.asarray(stored.column(field).to_pylist(), dtype=object)
+    vals = fetch_doc_values(searcher.reader, td.docids, value_field)
+    uniq, inv = np.unique(labels.astype(str), return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, vals)
+    out = sorted(zip(uniq.tolist(), sums.tolist()), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
 def drill_sideways_counts(
     searcher: "IndexSearcher", base_query, drill_downs: dict[str, str]
 ) -> tuple[int, dict[str, list[tuple[str, int]]]]:

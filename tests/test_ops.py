@@ -462,6 +462,13 @@ class TestBM25Docs:
 
         assert_same(bm25docs.facet_engine(SF), con, bm25docs.facet_engine_sql())
 
+    def test_assocfacet_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.assocfacet_engine(SF), con, bm25docs.assocfacet_engine_sql()
+        )
+
     def test_taxfacet_engine(self, con):
         from lucene_ray.ops import bm25docs
 
