@@ -117,3 +117,111 @@ def test_tokenizer_kernel_matches_re2_property(texts):
     rows, terms, _pos = an.tokenize_flat(arr)
     assert terms.to_pylist() == toks.values.to_pylist()
     assert rows.tolist() == want_rows
+
+
+# ---------------------- round-3 kernels: gram expansion, window hashes
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=8),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=2),
+)
+@settings(max_examples=60, deadline=None)
+def test_char_gram_expansion_matches_naive(tokens, gmin, extra):
+    from lucene_ray.analysis.analyzer import _expand_char_grams
+
+    gmax = gmin + extra
+    arr = pa.array(tokens, type=pa.string())
+    src, grams, within = _expand_char_grams(arr, gmin, gmax, edge=False)
+    naive = []
+    for i, t in enumerate(tokens):
+        for g in range(gmin, gmax + 1):
+            for j in range(0, len(t) - g + 1):
+                naive.append((i, t[j : j + g], j))
+    got = sorted(zip(src.tolist(), grams.to_pylist(), within.tolist()))
+    assert got == sorted(naive)
+    # edge variant = the within==0 subset
+    esrc, egrams, ewithin = _expand_char_grams(arr, gmin, gmax, edge=True)
+    naive_edge = sorted((i, g, w) for i, g, w in naive if w == 0)
+    assert sorted(zip(esrc.tolist(), egrams.to_pylist(), ewithin.tolist())) == naive_edge
+
+
+@given(
+    st.lists(
+        st.text(alphabet="xyz", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_window_hashes_match_naive_equality(texts, w):
+    """Hash equality iff substring equality (no collisions observed on the
+    tiny alphabet — the kernel's uint64 space dwarfs the sample)."""
+    from lucene_ray.ops.dedup import _window_hashes
+
+    data = np.frombuffer("".join(texts).encode(), dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum([len(t.encode()) for t in texts])))
+    doc_idx, h = _window_hashes(data, offs.astype(np.int64), w)
+    naive = []
+    for i, t in enumerate(texts):
+        b = t.encode()
+        for j in range(0, len(b) - w + 1):
+            naive.append((i, b[j : j + w]))
+    assert len(h) == len(naive)
+    assert doc_idx.tolist() == [di for di, _sub in naive]
+    # group: equal substrings must hash equal; distinct must differ
+    by_sub: dict = {}
+    for (di, sub), hv in zip(naive, h.tolist()):
+        by_sub.setdefault(sub, set()).add(hv)
+    assert all(len(v) == 1 for v in by_sub.values())
+    all_h = {next(iter(v)) for v in by_sub.values()}
+    assert len(all_h) == len(by_sub)
+
+
+@given(
+    st.lists(
+        st.sampled_from(["hash", "scan", "table", "fast", "key", "other"]),
+        min_size=0,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_multi_synonym_rewrite_preserves_nonmatching(tokens):
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        DisjunctionSumQuery,
+        TermQuery,
+        apply_multi_synonyms,
+    )
+
+    rules = {("hash", "scan"): "table"}
+    bq = BooleanQuery(should=[TermQuery(t) for t in tokens])
+    out = apply_multi_synonyms(bq, rules)
+    # reconstruct the token stream: Disjunction clauses expand back to
+    # their phrase terms; everything else is unchanged and in order
+    flat = []
+    for q in out.should:
+        if isinstance(q, DisjunctionSumQuery):
+            flat.extend(q.disjuncts[0].terms)
+        else:
+            flat.append(q.term)
+    assert flat == tokens
+    # every leftmost-greedy (hash, scan) pair got collapsed, nothing else
+    n_rewrites = sum(
+        isinstance(q, DisjunctionSumQuery) for q in out.should
+    )
+    naive = 0
+    i = 0
+    while i < len(tokens) - 1:
+        if (tokens[i], tokens[i + 1]) in rules:
+            naive += 1
+            i += 2
+        else:
+            i += 1
+    assert n_rewrites == naive
