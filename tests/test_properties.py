@@ -225,3 +225,59 @@ def test_multi_synonym_rewrite_preserves_nonmatching(tokens):
         else:
             i += 1
     assert n_rewrites == naive
+
+
+@st.composite
+def _perc_case(draw):
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=10),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    kind = draw(st.sampled_from(["term", "or", "mustnot", "phrase"]))
+    a, b = draw(st.sampled_from(vocab)), draw(st.sampled_from(vocab))
+    if kind == "term":
+        q = a
+    elif kind == "or":
+        q = f"{a} {b}"
+    elif kind == "mustnot":
+        q = f"+{a} -{b}"
+    else:
+        q = f'"{a} {b}"'
+    return docs, q, kind, a, b
+
+
+@given(_perc_case())
+@settings(max_examples=80, deadline=None)
+def test_percolator_matches_naive(case):
+    """Percolator.match_batch == a naive per-doc evaluator across the
+    supported query grammar (term / OR / must+not / exact phrase)."""
+    from lucene_ray.search.monitor import Percolator
+
+    docs, q, kind, a, b = case
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array([" ".join(d) for d in docs], type=pa.string()),
+        }
+    )
+    got = Percolator({0: q}).match_batch(batch)
+    got_ids = set(got.column("doc_id").to_pylist())
+    want = set()
+    for i, d in enumerate(docs):
+        if kind == "term":
+            ok = a in d
+        elif kind == "or":
+            ok = (a in d) or (b in d)
+        elif kind == "mustnot":
+            ok = (a in d) and (b not in d)
+        else:
+            ok = any(
+                x == a and y == b for x, y in zip(d, d[1:])
+            )
+        if ok:
+            want.add(i)
+    assert got_ids == want, (q, docs)
