@@ -2798,6 +2798,29 @@ def rangefacet_engine(sf_dir: str) -> pa.Table:
     )
 
 
+def distrange_engine(sf_dir: str) -> pa.Table:
+    """(qid, ridx, n): rangefacet_engine through the sharded
+    DistributedSearcher (per-shard range counts, driver sum) — identical
+    results, so it shares rangefacet_engine's oracle."""
+    from lucene_ray.search.distributed import DistributedSearcher
+
+    ix = _engine_index(sf_dir)
+    dist = DistributedSearcher(ix, n_shards=3)
+    out_q, out_r, out_n = [], [], []
+    for qid, term in ((0, "merge"), (1, "window")):
+        for ridx, n in dist.range_facet_counts(term, "n_chars", RANGE_FACETS):
+            out_q.append(qid)
+            out_r.append(ridx)
+            out_n.append(n)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "ridx": pa.array(out_r, type=pa.int64()),
+            "n": pa.array(out_n, type=pa.int64()),
+        }
+    )
+
+
 def rangefacet_engine_sql() -> str:
     toks = tokenize_sql_expr("text")
     parts = []

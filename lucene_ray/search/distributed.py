@@ -114,6 +114,24 @@ class SegmentShardActor:
         order = np.lexsort((d, key))[:k]
         return d[order], vals[order], n
 
+    def range_facet_shard(
+        self, bq: BooleanQuery, stats: dict, doc_count: int, sum_ttf: int,
+        field: str, ranges: list,
+    ) -> list:
+        """Per-shard numeric range-facet counts (LongRangeFacetCounts per
+        leaf) — counts are additive across shards."""
+        from lucene_ray.search.engine import fetch_doc_values
+
+        d, _s, _n, _e = self.search_shard(
+            bq, stats, doc_count, sum_ttf, k=1 << 62, pruned=False
+        )
+        if not len(d):
+            return [0] * len(ranges)
+        vals = fetch_doc_values(self._reader, d, field)
+        return [
+            int(((vals >= lo) & (vals <= hi)).sum()) for lo, hi in ranges
+        ]
+
     def facet_shard(
         self, bq: BooleanQuery, stats: dict, doc_count: int, sum_ttf: int,
         field: str,
@@ -303,6 +321,27 @@ class DistributedSearcher:
         key = vals if ascending else -vals
         order = np.lexsort((docs, key))[:k]
         return docs[order], vals[order], total
+
+    def range_facet_counts(
+        self, query, field: str, ranges: list
+    ) -> list[tuple[int, int]]:
+        """Distributed numeric range facets: per-shard counts, summed on
+        the driver — result-identical to the local
+        ``engine.range_facet_counts`` (one small int vector per shard)."""
+        bq = self._prepare(query)
+        if bq is None:
+            return [(i, 0) for i in range(len(ranges))]
+        stats = self._gather_stats(query_terms(bq))
+        parts = ray.get(
+            [
+                a.range_facet_shard.remote(
+                    bq, stats, self.doc_count, self.sum_ttf, field, ranges
+                )
+                for a in self.actors
+            ]
+        )
+        sums = [sum(p[i] for p in parts) for i in range(len(ranges))]
+        return list(enumerate(sums))
 
     def facet_counts(self, query, field: str) -> list[tuple[str, int]]:
         """Distributed count facets: per-shard value counts under global

@@ -510,6 +510,13 @@ class TestBM25Docs:
             bm25docs.multisyn_engine(SF), con, bm25docs.multisyn_engine_sql()
         )
 
+    def test_distrange_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.distrange_engine(SF), con, bm25docs.rangefacet_engine_sql()
+        )
+
     def test_distsort_engine(self, con):
         from lucene_ray.ops import bm25docs
 
