@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distfacet_engine": bm25docs.distfacet_engine,
         "distsort_engine": bm25docs.distsort_engine,
         "distrange_engine": bm25docs.distrange_engine,
+        "disttax_engine": bm25docs.disttax_engine,
         "rangefacet_engine": bm25docs.rangefacet_engine,
         "assocfacet_engine": bm25docs.assocfacet_engine,
         "join_engine": bm25docs.join_engine,
@@ -165,8 +166,10 @@ def oracle_sql() -> dict[str, str]:
         # the distributed facet path is result-identical to the local one
         "distfacet_engine": bm25docs.facet_engine_sql(),
         "distsort_engine": bm25docs.distsort_engine_sql(),
-        # the distributed range-facet path is result-identical to local
+        # the distributed range/taxonomy facet paths are result-identical
+        # to the local ones
         "distrange_engine": bm25docs.rangefacet_engine_sql(),
+        "disttax_engine": bm25docs.taxfacet_engine_sql(),
         "rangefacet_engine": bm25docs.rangefacet_engine_sql(),
         "assocfacet_engine": bm25docs.assocfacet_engine_sql(),
         "join_engine": bm25docs.join_engine_sql(),

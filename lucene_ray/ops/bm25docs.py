@@ -1840,6 +1840,29 @@ WITH tok AS (
 """
 
 
+def disttax_engine(sf_dir: str) -> pa.Table:
+    """(qid, path, count): taxfacet_engine through the sharded
+    DistributedSearcher (per-shard prefix-rollup dicts, driver sum) —
+    identical results, so it shares taxfacet_engine's oracle."""
+    from lucene_ray.search.distributed import DistributedSearcher
+
+    ix = _engine_index(sf_dir)
+    dist = DistributedSearcher(ix, n_shards=3)
+    out_q, out_p, out_c = [], [], []
+    for qid, q in TAXFACET_QUERIES:
+        for p, c in dist.taxonomy_facet_counts(q, TAXFACET_PATH):
+            out_q.append(qid)
+            out_p.append(p)
+            out_c.append(c)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "path": pa.array(out_p, type=pa.string()),
+            "count": pa.array(out_c, type=pa.int64()),
+        }
+    )
+
+
 def update_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): deletes/updates through the tombstone machinery —
     docs with doc_id % 7 == 0 are UPDATED (tombstone + re-add with

@@ -114,6 +114,39 @@ class SegmentShardActor:
         order = np.lexsort((d, key))[:k]
         return d[order], vals[order], n
 
+    def taxonomy_facet_shard(
+        self, bq: BooleanQuery, stats: dict, doc_count: int, sum_ttf: int,
+        path_fields: tuple,
+    ) -> dict:
+        """Per-shard hierarchical facet counts (FastTaxonomyFacetCounts per
+        leaf): every matching doc counts under each PREFIX of its
+        path-field tuple; additive across shards."""
+        import pyarrow.compute as pc
+
+        from lucene_ray.search.engine import fetch_stored
+
+        d, _s, _n, _e = self.search_shard(
+            bq, stats, doc_count, sum_ttf, k=1 << 62, pruned=False
+        )
+        if not len(d):
+            return {}
+        stored = fetch_stored(self._reader, d)
+        out: dict = {}
+        path = None
+        for f in path_fields:
+            col = stored.column(f)
+            path = (
+                col
+                if path is None
+                else pc.binary_join_element_wise(path, col, "/")
+            )
+            vc = pc.value_counts(path.combine_chunks())
+            for v, c in zip(
+                vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+            ):
+                out[v] = out.get(v, 0) + c
+        return out
+
     def range_facet_shard(
         self, bq: BooleanQuery, stats: dict, doc_count: int, sum_ttf: int,
         field: str, ranges: list,
@@ -321,6 +354,31 @@ class DistributedSearcher:
         key = vals if ascending else -vals
         order = np.lexsort((docs, key))[:k]
         return docs[order], vals[order], total
+
+    def taxonomy_facet_counts(
+        self, query, path_fields: tuple
+    ) -> list[tuple[str, int]]:
+        """Distributed hierarchical facets: per-shard prefix-rollup dicts
+        summed on the driver, sorted like the local
+        ``engine.taxonomy_facet_counts`` ((depth, -count, path))."""
+        bq = self._prepare(query)
+        if bq is None:
+            return []
+        stats = self._gather_stats(query_terms(bq))
+        merged: dict = {}
+        for part in ray.get(
+            [
+                a.taxonomy_facet_shard.remote(
+                    bq, stats, self.doc_count, self.sum_ttf, path_fields
+                )
+                for a in self.actors
+            ]
+        ):
+            for p, c in part.items():
+                merged[p] = merged.get(p, 0) + c
+        return sorted(
+            merged.items(), key=lambda kv: (kv[0].count("/"), -kv[1], kv[0])
+        )
 
     def range_facet_counts(
         self, query, field: str, ranges: list

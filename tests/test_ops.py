@@ -510,6 +510,13 @@ class TestBM25Docs:
             bm25docs.multisyn_engine(SF), con, bm25docs.multisyn_engine_sql()
         )
 
+    def test_disttax_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.disttax_engine(SF), con, bm25docs.taxfacet_engine_sql()
+        )
+
     def test_distrange_engine(self, con):
         from lucene_ray.ops import bm25docs
 
