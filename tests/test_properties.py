@@ -281,3 +281,63 @@ def test_percolator_matches_naive(case):
         if ok:
             want.add(i)
     assert got_ids == want, (q, docs)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 12), min_size=1, max_size=5).map(
+            lambda x: np.array(sorted(set(x)), dtype=np.int64)
+        ),
+        min_size=2,
+        max_size=3,
+    ),
+    st.integers(0, 4),
+)
+@settings(max_examples=80, deadline=None)
+def test_sloppy_phrase_window_matches_bruteforce(pos_lists, slop):
+    """_phrase_in_doc (percolator phrase verification) == brute-force
+    adjusted-position alignment for arbitrary position sets and slops."""
+    from itertools import product
+
+    from lucene_ray.search.monitor import _phrase_in_doc
+
+    got = _phrase_in_doc(pos_lists, slop)
+    want = False
+    if slop == 0:
+        base = pos_lists[0]
+        for p in base:
+            if all((p + j) in pl for j, pl in enumerate(pos_lists[1:], 1)):
+                want = True
+    else:
+        for combo in product(*[pl.tolist() for pl in pos_lists]):
+            adj = [p - i for i, p in enumerate(combo)]
+            if max(adj) - min(adj) <= slop:
+                want = True
+    assert got == want, (pos_lists, slop)
+
+
+@given(
+    st.sets(st.text(alphabet="abc", min_size=1, max_size=4), max_size=12),
+    st.text(alphabet="abc", min_size=2, max_size=7),
+)
+@settings(max_examples=80, deadline=None)
+def test_word_breaks_match_naive(vocab, term):
+    """word_breaks finds exactly the split points whose halves are both in
+    the vocabulary (df ranking is pinned by the gate; here membership +
+    completeness)."""
+    from lucene_ray.search.suggest import word_breaks
+
+    class FakeReader:
+        def vocabulary(self):
+            return np.array(sorted(vocab), dtype=object)
+
+        def global_term_stats(self, terms):
+            return {t: (1, 1) for t in terms}
+
+    got = {(a, b) for a, b, _df in word_breaks(FakeReader(), term, k=100)}
+    want = {
+        (term[:i], term[i:])
+        for i in range(1, len(term))
+        if term[:i] in vocab and term[i:] in vocab
+    }
+    assert got == want
