@@ -48,6 +48,7 @@ import ray.data
 from lucene_ray.ops.knn import (
     TOP_K,
     _CACHE_ROOT,
+    _distributed_rank_merge,
     _embedding_matrix,
     _load_queries,
     _rank_merge,
@@ -404,9 +405,10 @@ def knn_hnsw(
             }
         )
 
-    pdf = (
-        ray.data.from_items([{"dir": os.path.join(ix, s)} for s in shards])
-        .map_batches(search_shard, batch_format="numpy", batch_size=1)
-        .to_pandas()
-    )
-    return _rank_merge(pdf, k)
+    cands = ray.data.from_items(
+        [{"dir": os.path.join(ix, s)} for s in shards]
+    ).map_batches(search_shard, batch_format="numpy", batch_size=1)
+    # distributed per-query reduce: the driver holds Q*k rows, never the
+    # O(n_shards * Q * k) per-shard candidate stream (TopDocs.java:90-130
+    # per-leaf top-k + merge)
+    return _distributed_rank_merge(cands, k)

@@ -21,9 +21,9 @@ that writes a partitioned int8 Parquet sidecar of
 ``(vec_id, qvec list<int8>, corr float64)`` — 4x smaller at rest than
 float32, 8x than float64, so the full-corpus scan at query time moves 4-8x
 fewer bytes through the object store. Search estimates scores with an
-int32 matmul per batch, keeps a local oversampled top-R, merges the tiny
-candidate set on the driver, then re-ranks ONLY those R<<N candidates with
-one pruned exact read of the float table — the 100-TB pattern: the
+int32 matmul per batch, keeps a local oversampled top-R, reduces to Q*R
+rows via a distributed groupby(query_id), then re-ranks ONLY those R<<N
+candidates with one pruned exact read of the float table — the 100-TB pattern: the
 quantized sidecar is the only full scan.
 """
 
@@ -44,8 +44,10 @@ from lucene_ray.ops.knn import (
     N_QUERIES,
     TOP_K,
     _CACHE_ROOT,
+    _distributed_rank_merge,
     _embedding_matrix,
     _load_queries,
+    _local_topk_rows,
 )
 
 QUANT_BITS = 7  # Lucene99ScalarQuantizedVectorsFormat default (int7)
@@ -214,33 +216,27 @@ def knn_quantized(
         vc = batch.column("corr").to_numpy(zero_copy_only=False)
         # ScalarQuantizedVectorSimilarity.DotProduct.score:85
         est = (qm @ vm.T) * alpha2 + qc[:, None] + vc[None, :]
-        out_q, out_v, out_s = [], [], []
         rr = min(r, est.shape[1])
-        for row in range(len(qi)):
-            order = np.lexsort((ids, -est[row]))[:rr]
-            out_q.append(np.full(rr, qi[row], dtype=np.int64))
-            out_v.append(ids[order])
-            out_s.append(est[row][order])
+        out_q, out_v, out_s = _local_topk_rows(qi, ids, est, rr)
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
-                "est": pa.array(np.concatenate(out_s), type=pa.float64()),
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "est": pa.array(out_s, type=pa.float64()),
             }
         )
 
-    cands = (
-        ray.data.read_parquet(_quant_files(index_dir))
-        .map_batches(local_topr, batch_format="pyarrow", batch_size=8192)
-        .to_pandas()
+    cand_ds = ray.data.read_parquet(_quant_files(index_dir)).map_batches(
+        local_topr, batch_format="pyarrow", batch_size=8192
     )
-    # driver-side: keep top-R per query by estimate, then ONE pruned exact
+    # distributed top-R per query (groupby reduce — the driver holds Q*R
+    # rows, never the per-block candidate stream), then ONE pruned exact
     # read of just those candidates' float vectors for the re-rank
-    keep: dict[int, np.ndarray] = {}
-    for qid in np.sort(cands.query_id.unique()):
-        g = cands[cands.query_id == qid].drop_duplicates("vec_id")
-        order = np.lexsort((g.vec_id.to_numpy(), -g.est.to_numpy()))[:r]
-        keep[int(qid)] = g.vec_id.to_numpy()[order]
+    topr = _distributed_rank_merge(cand_ds, r, score_col="est").to_pandas()
+    keep: dict[int, np.ndarray] = {
+        int(qid): g.sort_values("rank").vec_id.to_numpy()
+        for qid, g in topr.groupby("query_id")
+    }
     all_ids = np.unique(np.concatenate(list(keep.values()))) if keep else np.array([], np.int64)
 
     src = os.path.join(sf_dir, "embeddings.parquet")
