@@ -430,6 +430,17 @@ def build_one_segment(
             "rg_start": spec.rg_start,
             "rg_end": spec.rg_end,
             "fingerprint": spec.fingerprint,
+            # full build options, recorded so upgrade_index can rebuild
+            # THIS variant (not a default-variant guess) — ADVICE r3
+            "options": {
+                "analyzer": analyzer_name,
+                "index_options": index_options,
+                "keyword_fields": list(keyword_fields) if keyword_fields else None,
+                "index_sort": list(index_sort) if index_sort else None,
+                "point2d_fields": list(point2d_fields) if point2d_fields else None,
+                "term_vectors": bool(term_vectors),
+                "variant": spec.variant,
+            },
         },
         metrics={
             "build_secs": round(secs, 4),
@@ -590,11 +601,19 @@ def upgrade_index(index_dir: str) -> dict:
     change). Delete/DV generation files carry over to the rebuilt segment
     verbatim — tombstones and updated doc values survive the upgrade.
 
-    Scope (documented): only segments built directly from source rebuild
-    (the default code:positions variant — the manifest records the
-    analyzer); merged segments are reported as ``skipped`` (their inputs
-    are gone — re-merge them with force_merge after upgrading the rest, or
-    rebuild from source). Returns {upgraded, current, skipped}."""
+    Variant fidelity: segments record their FULL build options in
+    entry.input["options"] (analyzer, index_options, keyword/geo fields,
+    index_sort, term_vectors, variant) and are rebuilt with exactly those
+    options — sidecars, offsets and sort permutations survive the upgrade.
+    Legacy entries without recorded options are rebuilt only when the
+    default code:positions variant is provably what they hold; any
+    non-default evidence (manifest.index_sort, non-code analyzer, a
+    spatial/termvectors sidecar, an offsets stream) makes them ``skipped``
+    rather than silently degraded (ADVICE r3 high).
+
+    Merged segments are reported as ``skipped`` (their inputs are gone —
+    re-merge them with force_merge after upgrading the rest, or rebuild
+    from source). Returns {upgraded, current, skipped}."""
     import re as _re
     import shutil as _shutil
 
@@ -606,7 +625,6 @@ def upgrade_index(index_dir: str) -> dict:
 
     manifest = read_manifest(index_dir)
     analyzer_name = manifest.analyzer or "code"
-    variant = "" if analyzer_name == "code" else f"{analyzer_name}:positions"
     upgraded, current, skipped = [], [], []
     new_segments = list(manifest.segments)
     for i, e in enumerate(manifest.segments):
@@ -616,6 +634,39 @@ def upgrade_index(index_dir: str) -> dict:
         if "file" not in inp:
             skipped.append(e.name)  # merged segment: inputs are gone
             continue
+        opts = inp.get("options")
+        if opts is None:
+            # legacy entry (pre-options format): rebuild ONLY when it is
+            # provably a default code:positions build — its recorded
+            # fingerprint must equal the empty-variant formula under SOME
+            # historical format version (the variant is baked into the
+            # fingerprint, so a keyword/offsets/sort/geo/tv build can
+            # never match). Anything else is skipped, never degraded.
+            from lucene_ray.codec.postings_codec import FORMAT_VERSION as _FV
+
+            base = os.path.basename(inp["file"])
+            legacy_fps = {
+                hashlib.sha1(
+                    f"v{v}:{base}:{inp['rg_start']}:{inp['rg_end']}:{e.doc_count}".encode()
+                ).hexdigest()[:12]
+                for v in range(1, _FV + 1)
+            }
+            if (
+                inp.get("fingerprint") not in legacy_fps
+                or getattr(manifest, "index_sort", None)
+                or analyzer_name != "code"
+            ):
+                skipped.append(e.name)
+                continue
+            opts = {
+                "analyzer": "code",
+                "index_options": "positions",
+                "keyword_fields": None,
+                "index_sort": None,
+                "point2d_fields": None,
+                "term_vectors": False,
+                "variant": "",
+            }
         m = _re.match(r"seg_(\d+)_", e.name)
         seg_idx = int(m.group(1)) if m else i
         spec = SegmentSpec(
@@ -625,14 +676,20 @@ def upgrade_index(index_dir: str) -> dict:
             rg_end=int(inp["rg_end"]),
             n_docs=e.doc_count,
             docid_base=e.docid_base,
-            variant=variant,
+            variant=str(opts.get("variant") or ""),
         )
         if inp.get("fingerprint") == spec.fingerprint:
             current.append(e.name)
             continue
         new_entry = build_one_segment(
-            spec, index_dir, analyzer_name, "positions", None, None, None,
-            False,
+            spec,
+            index_dir,
+            opts.get("analyzer") or "code",
+            opts.get("index_options") or "positions",
+            tuple(opts["keyword_fields"]) if opts.get("keyword_fields") else None,
+            tuple(opts["index_sort"]) if opts.get("index_sort") else None,
+            tuple(opts["point2d_fields"]) if opts.get("point2d_fields") else None,
+            bool(opts.get("term_vectors")),
         )
         old_d = segment_dir(index_dir, e.name)
         new_d = segment_dir(index_dir, new_entry.name)

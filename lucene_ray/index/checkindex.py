@@ -209,7 +209,11 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
                 problems.append(f"{entry.name}: termvectors freq != len(positions)")
             flat = pc.list_flatten(plens).to_numpy(zero_copy_only=False)
             starts = np.r_[0, np.cumsum(tfreq)[:-1]]
-            bad = np.diff(flat) <= 0
+            # overlap analyzers (ngram/shingle/synonym) legitimately emit
+            # the same term twice at ONE position (posInc==0), so with
+            # overlaps the invariant relaxes to non-decreasing — the
+            # reference CheckIndex allows pos == lastPos (ADVICE r3)
+            bad = np.diff(flat) < 0 if overlaps > 0 else np.diff(flat) <= 0
             if len(flat) > 1:
                 # boundaries between rows may legitimately decrease
                 bad[starts[1:] - 1] = False

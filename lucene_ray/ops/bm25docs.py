@@ -835,19 +835,19 @@ SELECT DISTINCT {qid} AS qid, tok.doc_id AS docid FROM tok
 WHERE CASE WHEN (SELECT count(*) FROM (
           SELECT t.term FROM (VALUES {vals}) t(term)
           LEFT JOIN df USING (term)
-          WHERE coalesce(df.df, 0) < {COMMONTERMS_CUTOFF} * (SELECT c FROM n)
+          WHERE coalesce(df.df, 0) <= {COMMONTERMS_CUTOFF} * (SELECT c FROM n)
       ) lowq) > 0
   THEN tok.doc_id IN (
       SELECT doc_id FROM tok
       WHERE term IN (
           SELECT t.term FROM (VALUES {vals}) t(term)
           LEFT JOIN df USING (term)
-          WHERE coalesce(df.df, 0) < {COMMONTERMS_CUTOFF} * (SELECT c FROM n))
+          WHERE coalesce(df.df, 0) <= {COMMONTERMS_CUTOFF} * (SELECT c FROM n))
       GROUP BY doc_id
       HAVING count(DISTINCT term) = (
           SELECT count(*) FROM (VALUES {vals}) t(term)
           LEFT JOIN df USING (term)
-          WHERE coalesce(df.df, 0) < {COMMONTERMS_CUTOFF} * (SELECT c FROM n))
+          WHERE coalesce(df.df, 0) <= {COMMONTERMS_CUTOFF} * (SELECT c FROM n))
   )
   ELSE tok.term IN (SELECT t.term FROM (VALUES {vals}) t(term)) END
 """

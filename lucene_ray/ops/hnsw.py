@@ -185,7 +185,10 @@ class _ShardGraph:
             ords = np.array([o for _, o in res], dtype=np.int64)
             order = np.lexsort((ords, -sims))
             m_max = HNSW_M * 2 if lev == 0 else HNSW_M
-            sel = _select_diverse(ords[order], sims[order], self.unit, HNSW_M)
+            # the inserted node also gets up to m_max (2M on level 0)
+            # forward links, like the reference (ADVICE r3: HNSW_M here
+            # halved level-0 connectivity)
+            sel = _select_diverse(ords[order], sims[order], self.unit, m_max)
             self.adj[lev][i] = np.array(sel, dtype=np.int32)
             for nb in sel:
                 cur = self.adj[lev][nb]
@@ -310,7 +313,7 @@ def build_hnsw_index(
         index_dir = os.path.join(
             _CACHE_ROOT,
             "hnsw_index_"
-            + hashlib.sha1(f"{sf_dir}|{shard_size}".encode()).hexdigest()[:12],
+            + hashlib.sha1(f"{sf_dir}|{shard_size}|g2".encode()).hexdigest()[:12],
         )
     marker = os.path.join(index_dir, "_HNSW_DONE")
     if os.path.exists(marker):

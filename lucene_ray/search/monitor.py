@@ -147,6 +147,11 @@ class Percolator:
         present = set(codes_by_term)
         out_doc, out_q = [], []
         for qid, bq in self.queries.items():
+            if not bq.must and not bq.should:
+                # pure-negative boolean (e.g. '-slow'): IndexSearcher's
+                # empty-positive-clause guard matches NOTHING — mirror it
+                # (ADVICE r3; reference: pure MUST_NOT queries match no docs)
+                continue
             if self.anchors[qid] and not (self.anchors[qid] & present):
                 continue  # presearcher skip
             ok = np.ones(n, dtype=bool)

@@ -295,7 +295,9 @@ class CommonTermsQuery:
         """Split against pre-gathered (df, ttf) stats — the shard-stats
         path used by DistributedSearcher (one gather round trip)."""
         cutoff = self.max_term_frequency * n
-        low = [t for t in self.terms if stats.get(t, (0, 0))[0] < cutoff]
+        # CommonTermsQuery.java: only df > cutoff is high-frequency — a
+        # boundary term (df == cutoff) stays REQUIRED (ADVICE r3)
+        low = [t for t in self.terms if stats.get(t, (0, 0))[0] <= cutoff]
         high = [t for t in self.terms if t not in low]
         if not low:
             return BooleanQuery(should=[TermQuery(t) for t in high])

@@ -531,3 +531,85 @@ class TestUpgrade:
         res2 = upgrade_index(ix)
         assert res2["upgraded"] == []
         assert len(res2["current"]) == len(m1.live_segments)
+
+    def test_upgrade_preserves_nondefault_variant(self, tmp_path, ray_session):
+        """ADVICE r3 (high): a non-default build (term_vectors sidecar)
+        must be rebuilt with its RECORDED options — the sidecar survives
+        the upgrade instead of silently vanishing."""
+        import json
+        import os
+
+        from lucene_ray.index.builder import upgrade_index
+        from lucene_ray.index.manifest import (
+            read_manifest,
+            segment_dir,
+            write_manifest,
+        )
+
+        src = str(tmp_path / "corpus.parquet")
+        _keyed_corpus(src, n=60)
+        d = str(tmp_path / "ix_tv")
+        build_index([src], d, target_docs=30, term_vectors=True)
+        m0 = read_manifest(d)
+        stale = sorted(m0.live_segments, key=lambda e: e.docid_base)[0]
+        assert os.path.exists(
+            os.path.join(segment_dir(d, stale.name), "termvectors.parquet")
+        )
+        stale.input["fingerprint"] = "deadbeef0000"
+        epath = os.path.join(segment_dir(d, stale.name), "entry.json")
+        ent = json.load(open(epath))
+        ent["input"]["fingerprint"] = "deadbeef0000"
+        json.dump(ent, open(epath, "w"))
+        write_manifest(d, m0)
+
+        res = upgrade_index(d)
+        assert [old for old, _new in res["upgraded"]] == [stale.name]
+        m1 = read_manifest(d)
+        new0 = sorted(m1.live_segments, key=lambda e: e.docid_base)[0]
+        # the rebuilt segment still carries its term-vectors sidecar and
+        # records the tv variant in both fingerprint inputs and options
+        assert os.path.exists(
+            os.path.join(segment_dir(d, new0.name), "termvectors.parquet")
+        )
+        assert new0.input["options"]["term_vectors"] is True
+        assert new0.input["options"]["variant"].endswith(":tv")
+
+    def test_upgrade_skips_legacy_nondefault(self, tmp_path, ray_session):
+        """A legacy entry (no recorded options) whose fingerprint cannot be
+        proven default-variant is SKIPPED, never degraded to a default
+        rebuild."""
+        import json
+        import os
+
+        from lucene_ray.index.builder import upgrade_index
+        from lucene_ray.index.manifest import (
+            read_manifest,
+            segment_dir,
+            write_manifest,
+        )
+
+        src = str(tmp_path / "corpus.parquet")
+        _keyed_corpus(src, n=60)
+        d = str(tmp_path / "ix_legacy")
+        build_index([src], d, target_docs=30, term_vectors=True)
+        m0 = read_manifest(d)
+        for e in m0.live_segments:
+            # simulate a pre-options entry from an older format: drop the
+            # recorded options and stale the fingerprint
+            e.input.pop("options", None)
+            e.input["fingerprint"] = "deadbeef0000"
+            epath = os.path.join(segment_dir(d, e.name), "entry.json")
+            ent = json.load(open(epath))
+            ent["input"].pop("options", None)
+            ent["input"]["fingerprint"] = "deadbeef0000"
+            json.dump(ent, open(epath, "w"))
+        write_manifest(d, m0)
+
+        res = upgrade_index(d)
+        assert res["upgraded"] == []
+        assert sorted(res["skipped"]) == sorted(e.name for e in m0.live_segments)
+        # sidecars untouched
+        for e in m0.live_segments:
+            assert os.path.exists(
+                os.path.join(segment_dir(d, e.name), "termvectors.parquet")
+            )

@@ -283,6 +283,27 @@ def test_percolator_matches_naive(case):
     assert got_ids == want, (q, docs)
 
 
+def test_percolator_pure_negative_matches_nothing():
+    """A registered query with no positive clause ('-slow') matches NO
+    documents — mirroring IndexSearcher's empty-positive-clause guard
+    (reference: pure MUST_NOT boolean queries match nothing). ADVICE r3."""
+    from lucene_ray.search.monitor import Percolator
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                ["fast code", "slow code", "other text"], type=pa.string()
+            ),
+        }
+    )
+    got = Percolator({0: "-slow", 1: "fast"}).match_batch(batch)
+    pairs = set(
+        zip(got.column("query_id").to_pylist(), got.column("doc_id").to_pylist())
+    )
+    assert pairs == {(1, 0)}
+
+
 @given(
     st.lists(
         st.lists(st.integers(0, 12), min_size=1, max_size=5).map(

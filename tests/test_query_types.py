@@ -1349,3 +1349,18 @@ class TestRescore:
         # and the order is (score desc, docid asc)
         key = sorted(zip(rs.scores, rs.docids), key=lambda t: (-t[0], t[1]))
         assert [int(d) for _s, d in key] == rs.docids.tolist()
+
+
+def test_commonterms_boundary_df_is_low_frequency():
+    """CommonTermsQuery partition rule (CommonTermsQuery.java): only
+    df > maxTermFrequency * docCount is HIGH-frequency — a boundary term
+    (df == cutoff) stays in the required low bucket (ADVICE r3)."""
+    from lucene_ray.search.query import CommonTermsQuery
+
+    q = CommonTermsQuery(("boundary", "common", "rare"), max_term_frequency=0.4)
+    # n=10 -> cutoff=4.0: df 4 == cutoff -> LOW; df 5 > cutoff -> HIGH
+    bq = q.rewrite_with({"boundary": (4, 9), "common": (5, 20), "rare": (1, 1)}, 10.0)
+    must = {t.term for t in bq.must}
+    should = {t.term for t in bq.should}
+    assert "boundary" in must and "rare" in must
+    assert should == {"common"}

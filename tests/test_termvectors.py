@@ -175,3 +175,37 @@ def test_offsets_variant_carries_occurrence_offsets(tmp_path, ray_session):
     for row in tv.to_pylist():
         assert len(row["starts"]) == len(row["positions"]) == row["freq"]
         assert all(ln > 0 for ln in row["lens"])
+
+
+def test_checkindex_accepts_overlap_analyzer_tv(tmp_path, ray_session):
+    """ADVICE r3: overlap analyzers (ngram grams of a repeated char) emit
+    the same term twice at ONE position; check_index must accept equal
+    adjacent TV positions when the segment has overlaps (the reference
+    CheckIndex allows pos == lastPos)."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.checkindex import check_index
+
+    n = 8
+    rows = {
+        "repo": ["r"] * n,
+        "path": [f"f{i}.py" for i in range(n)],
+        "commit": ["c"] * n,
+        "lang": ["py"] * n,
+        # 'll' inside 'hello'-like repeats yields duplicate grams at one
+        # position under the ngram analyzer
+        "content": [f"fulll hellllo x{i}" for i in range(n)],
+    }
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table(rows), src)
+    d = str(tmp_path / "ix")
+    build_index([src], d, analyzer_name="ngram", term_vectors=True)
+    # the scenario is real: some (doc, term) TV row repeats a position
+    rd = IndexReader(d)
+    tv = rd.term_vectors(np.arange(n))
+    has_dup = any(
+        len(p) != len(set(p)) for p in tv.column("positions").to_pylist()
+    )
+    assert has_dup, "fixture no longer produces duplicate gram positions"
+    res = check_index(d)
+    assert res["problems"] == [], res["problems"]
