@@ -2147,6 +2147,105 @@ WITH t AS (
 """
 
 
+def _spanops_queries():
+    """The gated span-algebra shapes (built lazily — query import). Each is
+    doc-set-exact in SQL:
+      - SpanOr alone = term-IN membership.
+      - SpanFirst(end) = EXISTS position with 1-based pos <= end (engine
+        positions are 0-based; span.end = pos0 + 1 = SQL pos).
+      - SpanNot(pre/post) = EXISTS include position with NO exclude
+        position inside [p-pre, p+post] (position differences only).
+      - SpanNear over SpanOr / wrapper sub-clauses: the greedy chain /
+        covering-window sweep finds a match iff one exists (stretch
+        argument), so a positional EXISTS join is exact.
+    SpanContaining/SpanWithin stay pytest-only: their doc sets depend on
+    WHICH greedy non-overlapping near spans get emitted (engine-defined),
+    not just existence."""
+    from lucene_ray.search.query import (
+        PrefixQuery,
+        SpanFirstQuery,
+        SpanMultiTermWrapper,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
+
+    t = SpanTermQuery
+    return [
+        # (qid, span query)
+        (0, SpanOrQuery((t("merge"), t("scan")))),
+        (1, SpanFirstQuery(t("merge"), end=5)),
+        (2, SpanNotQuery(t("merge"), t("sort"), pre=1, post=1)),
+        (3, SpanNearQuery((t("merge"), SpanOrQuery((t("sort"), t("scan")))), slop=2, ordered=True)),
+        (4, SpanNearQuery((t("window"), SpanOrQuery((t("batch"), t("key")))), slop=3, ordered=False)),
+        (5, SpanNearQuery((t("merge"), SpanMultiTermWrapper(PrefixQuery("sc"))), slop=2, ordered=True)),
+    ]
+
+
+def spanops_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): span-family doc sets through the engine —
+    SpanOrQuery (queries/spans/SpanOrQuery.java:36), SpanFirstQuery
+    (SpanFirstQuery.java), SpanNotQuery (SpanNotQuery.java) and
+    SpanMultiTermQueryWrapper (SpanMultiTermQueryWrapper.java) composing
+    with the SpanNear positions join (round-4 span-family completion).
+    Float-free, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q in _spanops_queries():
+        td = s.search(BooleanQuery(should=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def spanops_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = [
+        # 0: SpanOr(merge, scan)
+        "SELECT DISTINCT 0 AS qid, doc_id AS docid FROM tok "
+        "WHERE term IN ('merge', 'scan')",
+        # 1: SpanFirst(merge, end=5): 1-based pos <= 5
+        "SELECT DISTINCT 1 AS qid, doc_id AS docid FROM tok "
+        "WHERE term = 'merge' AND pos <= 5",
+        # 2: SpanNot(merge, sort, pre=1, post=1)
+        "SELECT DISTINCT 2 AS qid, t0.doc_id AS docid FROM tok t0 "
+        "WHERE t0.term = 'merge' AND NOT EXISTS ("
+        "  SELECT 1 FROM tok x WHERE x.doc_id = t0.doc_id AND x.term = 'sort' "
+        "  AND x.pos BETWEEN t0.pos - 1 AND t0.pos + 1)",
+        # 3: ordered near(merge, sort|scan, slop 2)
+        "SELECT DISTINCT 3 AS qid, t0.doc_id AS docid FROM tok t0 "
+        "JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.term IN ('sort', 'scan') "
+        "AND t1.pos > t0.pos WHERE t0.term = 'merge' AND (t1.pos - t0.pos - 1) <= 2",
+        # 4: unordered near(window, batch|key, slop 3): width <= slop + 1
+        "SELECT DISTINCT 4 AS qid, t0.doc_id AS docid FROM tok t0 "
+        "JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.term IN ('batch', 'key') "
+        "WHERE t0.term = 'window' AND abs(t1.pos - t0.pos) <= 4",
+        # 5: ordered near(merge, sc*, slop 2) — wrapper expands the prefix
+        "SELECT DISTINCT 5 AS qid, t0.doc_id AS docid FROM tok t0 "
+        "JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.term LIKE 'sc%' "
+        "AND t1.pos > t0.pos WHERE t0.term = 'merge' AND (t1.pos - t0.pos - 1) <= 2",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""
+
+
 def _interval_queries():
     """The gated intervals-source shapes (built lazily — intervals import).
     Doc-set SQL equivalences, proven per shape:

@@ -57,6 +57,7 @@ from lucene_ray.search.query import (
 from lucene_ray.search.rewrite import MULTI_TERM_TYPES, maybe_rewrite
 from lucene_ray.search.reader import IndexReader
 from lucene_ray.search.scorer import (
+    SPAN_QUERY_TYPES,
     _topk,
     count_segment,
     score_segment_exhaustive,
@@ -102,10 +103,18 @@ class TopDocs:
 from lucene_ray.search.query import iter_clauses as flat_clauses  # noqa: E402
 
 
+def _stats_terms(q) -> tuple:
+    """Leaf index terms of a clause (SpanNearQuery.terms may hold nested
+    span SOURCES — leaf_terms flattens them to strings for stats)."""
+    if isinstance(q, SpanNearQuery):
+        return q.leaf_terms
+    return tuple(t for t in getattr(q, "terms", ()) if isinstance(t, str))
+
+
 def query_terms(bq: BooleanQuery) -> list[str]:
     clauses = list(flat_clauses(bq))
     return sorted(
-        {t for q in clauses for t in getattr(q, "terms", ())}
+        {t for q in clauses for t in _stats_terms(q)}
         | {q.term for q in clauses if isinstance(q, TermQuery)}
     )
 
@@ -122,10 +131,14 @@ def build_scorers(
     for q in flat_clauses(bq):
         if isinstance(q, TermQuery):
             scorers[q] = sim.scorer(stats[q.term][0], doc_count, sum_ttf, boost=q.boost)
-        elif isinstance(q, (PhraseQuery, SpanNearQuery, MultiPhraseQuery, IntervalQuery)):
+        elif isinstance(
+            q,
+            (PhraseQuery, SpanNearQuery, MultiPhraseQuery, IntervalQuery)
+            + SPAN_QUERY_TYPES,
+        ):
             # MultiPhrase: idf summed over EVERY term in every slot
             # (MultiPhraseQuery.MultiPhraseWeight idfExplain over all stats)
-            dfs = [stats[t][0] for t in q.terms]
+            dfs = [stats[t][0] for t in _stats_terms(q)]
             scorers[q] = sim.phrase_scorer(dfs, doc_count, sum_ttf, boost=q.boost)
         elif isinstance(q, SynonymQuery):
             # blended stats: df = max over synonyms (SynonymQuery.java:50)

@@ -75,12 +75,129 @@ class SpanNearQuery:
     Repeated terms are rejected (the reference's repeats handling is not
     ported for spans; PhraseQuery(slop) covers that shape). Scored like a
     phrase (freq = greedy non-overlapping match count, engine-defined;
-    doc SETS match the reference)."""
+    doc SETS match the reference).
+
+    ``terms`` entries may also be SPAN SOURCES (SpanTermQuery / SpanOr /
+    SpanNot / SpanFirst / nested SpanNear) — the generalized positions
+    join in search/spans.py then evaluates the composition (round 4)."""
 
     terms: tuple
     slop: int = 0
     ordered: bool = True
     boost: float = 1.0
+
+    @property
+    def leaf_terms(self) -> tuple:
+        """All underlying index terms (for stats gathering) — recurses
+        through span-source entries."""
+        return tuple(t for c in self.terms for t in _span_leaf_terms(c))
+
+
+def _span_leaf_terms(q) -> tuple:
+    if isinstance(q, str):
+        return (q,)
+    return tuple(getattr(q, "terms", ()))
+
+
+@dataclass(frozen=True)
+class SpanTermQuery:
+    """queries/spans/SpanTermQuery.java: a term's spans = its positions,
+    each width 1 — the leaf of the span algebra."""
+
+    term: str
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple:
+        return (self.term,)
+
+
+@dataclass(frozen=True)
+class SpanOrQuery:
+    """queries/spans/SpanOrQuery.java:36 — union of sub-clauses' spans."""
+
+    clauses: tuple  # span sources
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple:
+        return tuple(t for c in self.clauses for t in _span_leaf_terms(c))
+
+
+@dataclass(frozen=True)
+class SpanNotQuery:
+    """queries/spans/SpanNotQuery.java — spans of ``include`` whose
+    [start-pre, end+post) window overlaps NO ``exclude`` span."""
+
+    include: object
+    exclude: object
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple:
+        # stats terms come from the INCLUDE side only (the reference's
+        # SpanNotWeight extracts terms from include for scoring)
+        return _span_leaf_terms(self.include)
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery:
+    """queries/spans/SpanFirstQuery.java — spans of ``match`` ending at or
+    before position ``end`` (SpanPositionRangeQuery with start 0)."""
+
+    match: object
+    end: int
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple:
+        return _span_leaf_terms(self.match)
+
+
+@dataclass(frozen=True)
+class SpanContainingQuery:
+    """queries/spans/SpanContainingQuery.java — spans of ``big`` that
+    contain a span of ``little``; scored from big's terms (the reference's
+    SpanContainingWeight)."""
+
+    big: object
+    little: object
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple:
+        return _span_leaf_terms(self.big)
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery:
+    """queries/spans/SpanWithinQuery.java — spans of ``little`` that lie
+    inside a span of ``big``; scored from little's terms."""
+
+    big: object
+    little: object
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple:
+        return _span_leaf_terms(self.little)
+
+
+@dataclass(frozen=True)
+class SpanMultiTermWrapper:
+    """queries/spans/SpanMultiTermQueryWrapper.java — lifts a multi-term
+    query (Prefix/Wildcard) into the span algebra: rewrites to a SpanOr of
+    every matching term's spans (done at query rewrite against the index
+    vocabulary, like the reference's SpanRewriteMethod)."""
+
+    query: object  # PrefixQuery | WildcardQuery
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple:
+        return ()  # unknown until rewrite
 
 
 @dataclass(frozen=True)

@@ -45,16 +45,111 @@ MULTI_TERM_TYPES = (
 
 def maybe_rewrite(bq: BooleanQuery, vocab, field_vocab=None) -> BooleanQuery:
     """Rewrite iff any clause — INCLUDING nested group members — is a
-    multi-term query. ``vocab`` may be a lazy callable so the vocabulary is
-    only materialized when a rewrite actually happens. The single shared
-    entry point for IndexSearcher and DistributedSearcher (drift here
-    silently drops un-rewritten multi-term clauses in build_clauses)."""
+    multi-term query (or a span tree holding a SpanMultiTermWrapper).
+    ``vocab`` may be a lazy callable so the vocabulary is only materialized
+    when a rewrite actually happens. The single shared entry point for
+    IndexSearcher and DistributedSearcher (drift here silently drops
+    un-rewritten multi-term clauses in build_clauses)."""
     from lucene_ray.search.query import iter_clauses
 
-    if any(isinstance(q, MULTI_TERM_TYPES) for q in iter_clauses(bq)):
+    if any(
+        isinstance(q, MULTI_TERM_TYPES) or _span_has_wrapper(q)
+        for q in iter_clauses(bq)
+    ):
         v = vocab() if callable(vocab) else vocab
         return rewrite_query(bq, v, field_vocab)
     return bq
+
+
+def _span_children(q) -> list:
+    from lucene_ray.search.query import (
+        SpanContainingQuery,
+        SpanFirstQuery,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanWithinQuery,
+    )
+
+    if isinstance(q, SpanOrQuery):
+        return list(q.clauses)
+    if isinstance(q, SpanNotQuery):
+        return [q.include, q.exclude]
+    if isinstance(q, SpanFirstQuery):
+        return [q.match]
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        return [q.big, q.little]
+    if isinstance(q, SpanNearQuery):
+        return [t for t in q.terms if not isinstance(t, str)]
+    return []
+
+
+def _span_has_wrapper(q) -> bool:
+    from lucene_ray.search.query import SpanMultiTermWrapper
+
+    if isinstance(q, SpanMultiTermWrapper):
+        return True
+    return any(_span_has_wrapper(c) for c in _span_children(q))
+
+
+def rewrite_span(q, vocab):
+    """Expand SpanMultiTermWrapper nodes into SpanOr-of-SpanTerm against
+    the vocabulary (SpanMultiTermQueryWrapper.java SpanRewriteMethod);
+    rebuilds only the path holding a wrapper."""
+    import dataclasses
+
+    from lucene_ray.search.query import (
+        SpanContainingQuery,
+        SpanFirstQuery,
+        SpanMultiTermWrapper,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+        SpanWithinQuery,
+    )
+
+    if isinstance(q, SpanMultiTermWrapper):
+        mq = q.query
+        if isinstance(mq, PrefixQuery):
+            terms = expand_prefix(vocab, mq)
+        elif isinstance(mq, WildcardQuery):
+            terms = expand_wildcard(vocab, mq)
+        else:
+            raise TypeError(
+                f"SpanMultiTermWrapper supports Prefix/Wildcard, got {type(mq).__name__}"
+            )
+        terms = [t for t in terms if ":" not in t][:MAX_EXPANSIONS]
+        return SpanOrQuery(
+            tuple(SpanTermQuery(t) for t in terms), boost=q.boost
+        )
+    if not _span_has_wrapper(q):
+        return q
+    if isinstance(q, SpanOrQuery):
+        return dataclasses.replace(
+            q, clauses=tuple(rewrite_span(c, vocab) for c in q.clauses)
+        )
+    if isinstance(q, SpanNotQuery):
+        return dataclasses.replace(
+            q,
+            include=rewrite_span(q.include, vocab),
+            exclude=rewrite_span(q.exclude, vocab),
+        )
+    if isinstance(q, SpanFirstQuery):
+        return dataclasses.replace(q, match=rewrite_span(q.match, vocab))
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        return dataclasses.replace(
+            q, big=rewrite_span(q.big, vocab), little=rewrite_span(q.little, vocab)
+        )
+    if isinstance(q, SpanNearQuery):
+        return dataclasses.replace(
+            q,
+            terms=tuple(
+                t if isinstance(t, str) else rewrite_span(t, vocab)
+                for t in q.terms
+            ),
+        )
+    return q
 
 
 def expand_prefix(vocab: np.ndarray, q: PrefixQuery) -> list[str]:
@@ -226,6 +321,9 @@ def rewrite_query(
     out = BooleanQuery(min_should_match=bq.min_should_match)
     for occur in ("must", "should", "must_not"):
         for q in getattr(bq, occur):
+            if _span_has_wrapper(q):
+                getattr(out, occur).append(rewrite_span(q, vocab))
+                continue
             if isinstance(q, ToParentBlockJoinQuery):
                 import dataclasses
 

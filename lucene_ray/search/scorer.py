@@ -45,6 +45,12 @@ from lucene_ray.search.query import (
     LatLonDistanceQuery,
     IntervalQuery,
     SpanNearQuery,
+    SpanContainingQuery,
+    SpanFirstQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanTermQuery,
+    SpanWithinQuery,
     FeatureQuery,
     FunctionScoreQuery,
     SynonymQuery,
@@ -52,6 +58,17 @@ from lucene_ray.search.query import (
     ToParentBlockJoinQuery,
 )
 from lucene_ray.search.similarity import BM25Scorer
+
+# span-algebra types evaluated through search/spans.py (SpanNearQuery keeps
+# its dedicated fast path for all-term clauses)
+SPAN_QUERY_TYPES = (
+    SpanTermQuery,
+    SpanOrQuery,
+    SpanNotQuery,
+    SpanFirstQuery,
+    SpanContainingQuery,
+    SpanWithinQuery,
+)
 
 # relative safety margin applied to float upper bounds before pruning
 # (absorbs float32 summation-order differences; ImpactsDISI uses exact
@@ -646,10 +663,29 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             )
             out.append(_Clause(q, None, sc, (docids, freqs), max_score=ms))
         elif isinstance(q, SpanNearQuery):
-            docids, freqs = _qcache(
-                reader, q,
-                lambda: _span_near_postings(reader, q.terms, q.slop, q.ordered),
+            if all(isinstance(t, str) for t in q.terms):
+                docids, freqs = _qcache(
+                    reader, q,
+                    lambda: _span_near_postings(reader, q.terms, q.slop, q.ordered),
+                )
+            else:
+                # span-source composition (SpanOr/Not/First sub-clauses)
+                from lucene_ray.search.spans import span_postings
+
+                docids, freqs = _qcache(
+                    reader, q, lambda: span_postings(reader, q)
+                )
+            if len(docids) == 0:
+                continue
+            sc = scorers[q]
+            ms = float(
+                sc.score(freqs.astype(np.float32), reader.norm_bytes[docids]).max()
             )
+            out.append(_Clause(q, None, sc, (docids, freqs), max_score=ms))
+        elif isinstance(q, SPAN_QUERY_TYPES):
+            from lucene_ray.search.spans import span_postings
+
+            docids, freqs = _qcache(reader, q, lambda: span_postings(reader, q))
             if len(docids) == 0:
                 continue
             sc = scorers[q]

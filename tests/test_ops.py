@@ -892,3 +892,13 @@ class TestAnnBuildAtomicity:
         m0 = os.path.getmtime(os.path.join(ix, "_IVF_DONE"))
         assert knn.build_ivf_index(SF, index_dir=ix) == ix
         assert os.path.getmtime(os.path.join(ix, "_IVF_DONE")) == m0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSpanOpsGate:
+    def test_spanops_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.spanops_engine(SF), con, bm25docs.spanops_engine_sql()
+        )

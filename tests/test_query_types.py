@@ -1364,3 +1364,197 @@ def test_commonterms_boundary_df_is_low_frequency():
     should = {t.term for t in bq.should}
     assert "boundary" in must and "rare" in must
     assert should == {"common"}
+
+
+class TestSpanOps:
+    """Span query family (queries/spans/): SpanOr/SpanNot/SpanFirst/
+    SpanContaining/SpanWithin + SpanMultiTermWrapper composing with the
+    SpanNear positions join — naive positional oracles over the tokenized
+    corpus plus algebra unit tests."""
+
+    def test_span_term_near_duel(self, ix):
+        """SpanNear over SpanTermQuery leaves == the all-str fast path
+        (identical doc sets AND scores)."""
+        from lucene_ray.search.query import SpanNearQuery, SpanTermQuery
+
+        s = IndexSearcher(ix)
+        for ordered in (True, False):
+            for slop in (0, 2):
+                fast = s.search(
+                    BooleanQuery(
+                        should=[SpanNearQuery(("merge", "sort"), slop, ordered)]
+                    ),
+                    10_000,
+                )
+                slow = s.search(
+                    BooleanQuery(
+                        should=[
+                            SpanNearQuery(
+                                (SpanTermQuery("merge"), SpanTermQuery("sort")),
+                                slop,
+                                ordered,
+                            )
+                        ]
+                    ),
+                    10_000,
+                )
+                assert fast.docids.tolist() == slow.docids.tolist()
+                np.testing.assert_array_equal(fast.scores, slow.scores)
+
+    def test_span_or_in_near(self, ix, docs):
+        """merge NEAR (sort|scan): ordered, gap <= slop — naive oracle."""
+        from lucene_ray.search.query import (
+            SpanNearQuery,
+            SpanOrQuery,
+            SpanTermQuery,
+        )
+
+        slop = 2
+        s = IndexSearcher(ix)
+        q = SpanNearQuery(
+            (
+                SpanTermQuery("merge"),
+                SpanOrQuery((SpanTermQuery("sort"), SpanTermQuery("scan"))),
+            ),
+            slop=slop,
+            ordered=True,
+        )
+        got = doc_set(s, BooleanQuery(should=[q]))
+        want = set()
+        for i, d in enumerate(docs):
+            ps = [p for p, t in enumerate(d) if t == "merge"]
+            qs = sorted(p for p, t in enumerate(d) if t in ("sort", "scan"))
+            if any(
+                any(p2 > p1 and p2 - p1 - 1 <= slop for p2 in qs) for p1 in ps
+            ):
+                want.add(i)
+        assert got == want
+
+    def test_span_not(self, ix, docs):
+        """merge NOT near sort (pre=post=1): some merge occurrence with no
+        sort within one position either side."""
+        from lucene_ray.search.query import (
+            SpanNotQuery,
+            SpanTermQuery,
+        )
+
+        s = IndexSearcher(ix)
+        q = SpanNotQuery(
+            SpanTermQuery("merge"), SpanTermQuery("sort"), pre=1, post=1
+        )
+        got = doc_set(s, BooleanQuery(should=[q]))
+        want = set()
+        for i, d in enumerate(docs):
+            sort_ps = {p for p, t in enumerate(d) if t == "sort"}
+            for p, t in enumerate(d):
+                if t == "merge" and not (
+                    sort_ps & {p - 1, p, p + 1}
+                ):
+                    want.add(i)
+                    break
+        assert got == want
+
+    def test_span_first(self, ix, docs):
+        from lucene_ray.search.query import SpanFirstQuery, SpanTermQuery
+
+        s = IndexSearcher(ix)
+        end = 6
+        q = SpanFirstQuery(SpanTermQuery("merge"), end=end)
+        got = doc_set(s, BooleanQuery(should=[q]))
+        want = {
+            i
+            for i, d in enumerate(docs)
+            if any(t == "merge" and p + 1 <= end for p, t in enumerate(d))
+        }
+        assert got == want
+
+    def test_span_multiterm_wrapper(self, ix):
+        """SpanNear(merge, so*) == SpanNear(merge, SpanOr(expanded terms))."""
+        from lucene_ray.search.query import (
+            SpanMultiTermWrapper,
+            SpanNearQuery,
+            SpanOrQuery,
+            SpanTermQuery,
+        )
+        from lucene_ray.search.reader import IndexReader
+
+        s = IndexSearcher(ix)
+        vocab = IndexReader(ix).vocabulary()
+        expanded = [t for t in vocab.tolist() if t.startswith("so")]
+        assert expanded, "fixture vocabulary has no so* terms"
+        qa = SpanNearQuery(
+            (SpanTermQuery("merge"), SpanMultiTermWrapper(PrefixQuery("so"))),
+            slop=3,
+            ordered=True,
+        )
+        qb = SpanNearQuery(
+            (
+                SpanTermQuery("merge"),
+                SpanOrQuery(tuple(SpanTermQuery(t) for t in expanded)),
+            ),
+            slop=3,
+            ordered=True,
+        )
+        ta = s.search(BooleanQuery(should=[qa]), 10_000)
+        tb = s.search(BooleanQuery(should=[qb]), 10_000)
+        assert ta.docids.tolist() == tb.docids.tolist()
+        np.testing.assert_array_equal(ta.scores, tb.scores)
+
+    def test_containing_within_algebra(self):
+        """Hand-built spans: containing keeps big spans holding a little
+        span; within keeps little spans inside a big span."""
+        from lucene_ray.search.spans import containing_spans
+
+        big = (
+            np.array([1, 1, 2], dtype=np.int64),
+            np.array([0, 10, 4], dtype=np.int64),
+            np.array([5, 12, 9], dtype=np.int64),
+        )
+        little = (
+            np.array([1, 2], dtype=np.int64),
+            np.array([2, 0], dtype=np.int64),
+            np.array([3, 1], dtype=np.int64),
+        )
+        d, st, en = containing_spans(big, little)
+        assert list(zip(d, st, en)) == [(1, 0, 5)]
+        d, st, en = containing_spans(big, little, invert=True)
+        assert list(zip(d, st, en)) == [(1, 2, 3)]
+
+    def test_span_containing_end_to_end(self, ix, docs):
+        """big = ordered near(merge, sort, slop 4) spans that CONTAIN a
+        'the' position; within = 'the' positions inside such a span.
+        The naive oracle mirrors the greedy non-overlapping chain."""
+        from lucene_ray.search.query import (
+            SpanContainingQuery,
+            SpanNearQuery,
+            SpanTermQuery,
+            SpanWithinQuery,
+        )
+
+        slop = 4
+        s = IndexSearcher(ix)
+        near = SpanNearQuery(
+            (SpanTermQuery("merge"), SpanTermQuery("sort")), slop=slop, ordered=True
+        )
+        got_c = doc_set(s, BooleanQuery(should=[SpanContainingQuery(near, SpanTermQuery("the"))]))
+        got_w = doc_set(s, BooleanQuery(should=[SpanWithinQuery(near, SpanTermQuery("the"))]))
+        want_c, want_w = set(), set()
+        for i, d in enumerate(docs):
+            merges = [p for p, t in enumerate(d) if t == "merge"]
+            sorts = np.array([p for p, t in enumerate(d) if t == "sort"])
+            thes = [p for p, t in enumerate(d) if t == "the"]
+            spans = []
+            min_start = -1
+            for p1 in merges:
+                if p1 <= min_start or len(sorts) == 0:
+                    continue
+                nxt = sorts[sorts >= p1 + 1]
+                if len(nxt) and (nxt[0] + 1 - p1 - 2) <= slop:
+                    spans.append((p1, int(nxt[0]) + 1))
+                    min_start = p1
+            for st, en in spans:
+                if any(st <= p and p + 1 <= en for p in thes):
+                    want_c.add(i)
+                    want_w.add(i)
+        assert got_c == want_c
+        assert got_w == want_w
