@@ -49,6 +49,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 4
         "spanops_engine": bm25docs.spanops_engine,
+        # --- never recorded by the driver through r3 (VERDICT r3 item 2):
+        # these 9 sat past position 50 every round; front-load them so
+        # CORRECTNESS_r04 finally witnesses them.
+        "repetition_stats": text.repetition_stats,
+        "freetext_suggest": text.freetext_suggest,
+        "pii_scrub": text.pii_scrub,
+        "dedup_apply": dedup.dedup_apply,
+        "substring_dup": dedup.substring_dup_stats,
+        "knn_hnsw": _knn_hnsw,
+        "knn_quantized": _knn_quantized,
+        "knn_classify": knn.knn_classify,
+        "media_features": multimodal.media_features_summary,
         # --- inverted index + search (engine; SURVEY.md §2.1/2.4/2.6/2.11)
         "bm25_topk": bm25docs.bm25_topk,
         "tfidf_topk": bm25docs.tfidf_topk,
@@ -103,15 +115,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_stats": text.shingle_stats,
         "doc_token_stats": text.doc_token_stats,
         "text_quality": text.text_quality,
-        "repetition_stats": text.repetition_stats,
         "lang_id": text.lang_id,
         # fingerprint kernel gated through its shift identity (raw values
         # stay available as lucene_ray.ops.text.fingerprint; DuckDB cannot
         # reproduce the engine-defined hash family, the identity it CAN)
         "fingerprint_shift": text.fingerprint_shift,
         "bpe_token_count": text.bpe_token_count,
-        "freetext_suggest": text.freetext_suggest,
-        "pii_scrub": text.pii_scrub,
         "sample_hash": text.sample_hash,
         "stratified_sample": text.stratified_sample,
         # --- dedup family (training-data ops)
@@ -119,22 +128,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_sha": dedup.content_sha,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
-        "dedup_apply": dedup.dedup_apply,
         "contamination_check": dedup.contamination_check,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         # simhash kernel gated through Hamming-vs-Jaccard consistency (raw
         # values: lucene_ray.ops.dedup.simhash64)
         "simhash_hamming": dedup.simhash_hamming,
-        "substring_dup": dedup.substring_dup_stats,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         # --- similarity search
         "knn_bruteforce": knn.knn_bruteforce,
         "knn_lsh": knn.knn_lsh,
         "knn_ivf": knn.knn_ivf_exact,
-        "knn_hnsw": _knn_hnsw,
-        "knn_quantized": _knn_quantized,
         "knn_filtered": knn.knn_filtered,
-        "knn_classify": knn.knn_classify,
         # --- relational / windowed demos (engine breadth)
         "q1_pricing": relational.q1_pricing,
         "top_orders": relational.top_orders,
@@ -142,10 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": relational.events_tumbling,
         "events_hopping": relational.events_hopping,
         "sessionize": relational.sessionize,
-        # --- multimodal plumbing (stubbed codec, real actor-pool stage);
-        # media_features gates on the all-integer summary twin so the
-        # driver can hash it exactly (floats stay pytest-covered)
-        "media_features": multimodal.media_features_summary,
+        # NOTE: media_features (multimodal plumbing; stubbed codec, real
+        # actor-pool stage, all-integer summary twin) is front-loaded above.
     }
 
 
