@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 4
         "spanops_engine": bm25docs.spanops_engine,
+        "lmdirichlet_topk": bm25docs.lmdirichlet_topk,
+        "dfr_topk": bm25docs.dfr_topk,
         # --- never recorded by the driver through r3 (VERDICT r3 item 2):
         # these 9 sat past position 50 every round; front-load them so
         # CORRECTNESS_r04 finally witnesses them.
@@ -156,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "spanops_engine": bm25docs.spanops_engine_sql(),
+        "lmdirichlet_topk": bm25docs.lmdirichlet_topk_sql(),
+        "dfr_topk": bm25docs.dfr_topk_sql(),
         "bm25_topk": bm25docs.bm25_topk_sql(),
         "tfidf_topk": bm25docs.tfidf_topk_sql(),
         "boolean_engine": bm25docs.boolean_engine_sql(),

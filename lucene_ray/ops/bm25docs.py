@@ -87,6 +87,35 @@ def tfidf_topk(sf_dir: str) -> pa.Table:
     return _exact_topk(sf_dir, ClassicExactSimilarity())
 
 
+def lmdirichlet_topk(sf_dir: str) -> pa.Table:
+    """(qid, rank, doc_id): Dirichlet-smoothed LM similarity twin of
+    bm25_topk — third member through the similarity plug
+    (LMDirichletSimilarity.java:36, mu=2000)."""
+    from lucene_ray.search.similarity import LMDirichletExactSimilarity
+
+    return _exact_topk(sf_dir, LMDirichletExactSimilarity())
+
+
+def dfr_topk(sf_dir: str) -> pa.Table:
+    """(qid, rank, doc_id): DFR I(n)L2 similarity twin of bm25_topk
+    (DFRSimilarity.java + BasicModelIn/AfterEffectL/NormalizationH2)."""
+    from lucene_ray.search.similarity import DFRExactSimilarity
+
+    return _exact_topk(sf_dir, DFRExactSimilarity())
+
+
+def lmdirichlet_topk_sql() -> str:
+    from lucene_ray.search.similarity import LMDirichletExactSimilarity
+
+    return _exact_topk_sql(LMDirichletExactSimilarity().sql)
+
+
+def dfr_topk_sql() -> str:
+    from lucene_ray.search.similarity import DFRExactSimilarity
+
+    return _exact_topk_sql(DFRExactSimilarity().sql)
+
+
 def _exact_topk(sf_dir: str, sim) -> pa.Table:
     qts = _query_terms()
     all_terms = sorted({t for _, ts in qts for t in ts})
@@ -152,7 +181,14 @@ def _exact_topk(sf_dir: str, sim) -> pa.Table:
                 continue
             m = tf > 0
             matched |= m
-            s = sim.score(tf[m], doc_len[m], df, N, avgdl)
+            # per-term ttf over matched rows == corpus ttf (every row with
+            # tf>0 for this term survived the any-match filter); sum_len is
+            # the corpus token total from the summary rows — both feed the
+            # LM/DFR families, BM25/Classic ignore them
+            s = sim.score(
+                tf[m], doc_len[m], df, N, avgdl,
+                ttf=int(tf.sum()), sum_len=sum_len,
+            )
             scores[m] += s
         cand = np.nonzero(matched)[0]
         order = np.lexsort((doc_ids[cand], -scores[cand]))[:BM25_K]
@@ -197,6 +233,8 @@ def _exact_topk_sql(sim_sql) -> str:
                 df=f"(SELECT df FROM dfs WHERE term = '{t}')",
                 n="stats.n",
                 avgdl="stats.avgdl",
+                ttf=f"(SELECT ttf FROM dfs WHERE term = '{t}')",
+                sum_len="stats.sum_len",
             )
             contribs.append(f"(CASE WHEN t{i}.tf IS NULL THEN 0.0 ELSE {score} END)")
             matched.append(f"t{i}.doc_id IS NOT NULL")
@@ -215,12 +253,14 @@ WITH tok AS (
     SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id
   ) cnt USING (doc_id)
 ), stats AS (
-  SELECT count(*)::DOUBLE AS n, (sum(doc_len)::DOUBLE / count(*)::DOUBLE) AS avgdl
+  SELECT count(*)::DOUBLE AS n,
+         (sum(doc_len)::DOUBLE / count(*)::DOUBLE) AS avgdl,
+         sum(doc_len)::DOUBLE AS sum_len
   FROM doc_lens
 ), tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term
 ), dfs AS (
-  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+  SELECT term, count(*)::DOUBLE AS df, sum(tf)::DOUBLE AS ttf FROM tf GROUP BY term
 ), scored AS (
 {union}
 ), ranked AS (

@@ -130,7 +130,10 @@ def build_scorers(
     scorers = {}
     for q in flat_clauses(bq):
         if isinstance(q, TermQuery):
-            scorers[q] = sim.scorer(stats[q.term][0], doc_count, sum_ttf, boost=q.boost)
+            scorers[q] = sim.scorer(
+                stats[q.term][0], doc_count, sum_ttf,
+                boost=q.boost, total_term_freq=stats[q.term][1],
+            )
         elif isinstance(
             q,
             (PhraseQuery, SpanNearQuery, MultiPhraseQuery, IntervalQuery)
@@ -139,11 +142,18 @@ def build_scorers(
             # MultiPhrase: idf summed over EVERY term in every slot
             # (MultiPhraseQuery.MultiPhraseWeight idfExplain over all stats)
             dfs = [stats[t][0] for t in _stats_terms(q)]
-            scorers[q] = sim.phrase_scorer(dfs, doc_count, sum_ttf, boost=q.boost)
+            ttfs = [stats[t][1] for t in _stats_terms(q)]
+            scorers[q] = sim.phrase_scorer(
+                dfs, doc_count, sum_ttf, boost=q.boost, total_term_freqs=ttfs
+            )
         elif isinstance(q, SynonymQuery):
-            # blended stats: df = max over synonyms (SynonymQuery.java:50)
+            # blended stats: df = max, ttf = sum over synonyms
+            # (SynonymQuery.java:50 docFreq max / totalTermFreq sum)
             df = max((stats[t][0] for t in q.terms), default=0)
-            scorers[q] = sim.scorer(df, doc_count, sum_ttf, boost=q.boost)
+            ttf = sum(stats[t][1] for t in q.terms)
+            scorers[q] = sim.scorer(
+                df, doc_count, sum_ttf, boost=q.boost, total_term_freq=ttf
+            )
         elif isinstance(
             q,
             (

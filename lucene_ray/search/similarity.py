@@ -55,6 +55,7 @@ class BM25Similarity:
         doc_count: int,
         sum_total_term_freq: int,
         boost: float = 1.0,
+        total_term_freq: int = 0,
     ) -> "BM25Scorer":
         avgdl = self.avgdl(sum_total_term_freq, doc_count)
         # 256-entry norm-inverse cache, float32 throughout
@@ -74,6 +75,7 @@ class BM25Similarity:
         doc_count: int,
         sum_total_term_freq: int,
         boost: float = 1.0,
+        total_term_freqs: list[int] | None = None,
     ) -> "BM25Scorer":
         """Phrase weight: idf = (float) Σ double(per-term float idf)
         (BM25Similarity.idfExplain(termStats[]), :189-199 'sum into a double
@@ -180,6 +182,8 @@ class BM25ExactSimilarity:
         doc_freq: int,
         doc_count: int,
         avgdl: float,
+        ttf: int = 0,
+        sum_len: int = 0,
     ) -> np.ndarray:
         f = np.asarray(freq, dtype=np.float64)
         dl = np.asarray(doc_len, dtype=np.float64)
@@ -188,7 +192,7 @@ class BM25ExactSimilarity:
         return idf * f / denom
 
     @staticmethod
-    def sql(tf: str, dl: str, df: str, n: str, avgdl: str, k1: float = BM25_K1, b: float = BM25_B) -> str:
+    def sql(tf: str, dl: str, df: str, n: str, avgdl: str, k1: float = BM25_K1, b: float = BM25_B, ttf: str = "0", sum_len: str = "0") -> str:
         """DuckDB expression computing exactly ``score`` (float64), same
         operation order as the numpy path (Lucene's tf-saturation form,
         without the constant (k1+1) factor — BM25Similarity.java:219-222
@@ -253,6 +257,7 @@ class ClassicSimilarity:
         doc_count: int,
         sum_total_term_freq: int,
         boost: float = 1.0,
+        total_term_freq: int = 0,
     ) -> ClassicScorer:
         cache = (
             np.float32(1.0) / np.sqrt(np.maximum(LENGTH_TABLE_F32, np.float32(1.0)))
@@ -263,6 +268,7 @@ class ClassicSimilarity:
     def phrase_scorer(
         self, doc_freqs: list[int], doc_count: int,
         sum_total_term_freq: int, boost: float = 1.0,
+        total_term_freqs: list[int] | None = None,
     ) -> ClassicScorer:
         idf_sum = 0.0
         for df in doc_freqs:
@@ -288,6 +294,8 @@ class ClassicExactSimilarity:
         doc_freq: int,
         doc_count: int,
         avgdl: float,
+        ttf: int = 0,
+        sum_len: int = 0,
     ) -> np.ndarray:
         f = np.asarray(freq, dtype=np.float64)
         dl = np.asarray(doc_len, dtype=np.float64)
@@ -295,6 +303,285 @@ class ClassicExactSimilarity:
         return idf * np.sqrt(f) / np.sqrt(np.maximum(dl, 1.0))
 
     @staticmethod
-    def sql(tf: str, dl: str, df: str, n: str, avgdl: str) -> str:
+    def sql(tf: str, dl: str, df: str, n: str, avgdl: str, ttf: str = "0", sum_len: str = "0") -> str:
         idf = f"(1 + ln(({n} + 1) / ({df} + 1)))"
         return f"{idf} * sqrt({tf}) / sqrt(greatest({dl}, 1.0))"
+
+
+# --------------------------------------------------------------------------
+# Language-model and DFR similarity families (search/similarities/ package).
+# Same scorer protocol as BM25Similarity, so WAND/block-max pruning and the
+# sharded searcher work unchanged; each family also ships a float64
+# exact-length twin whose arithmetic DuckDB reproduces bit-for-bit (the
+# oracle-gate pattern established by BM25ExactSimilarity).
+# --------------------------------------------------------------------------
+
+
+LM_MU_DEFAULT = 2000.0
+
+
+class LMDirichletScorer:
+    """Per-term Dirichlet-smoothed LM scorer over byte-encoded norms:
+    score = weight * max(0, log1p(freq / (mu*p)) + log(mu / (dl + mu))).
+
+    Monotone increasing in freq and decreasing in dl, so per-impact-pair
+    evaluation yields true block upper bounds (same argument as BM25's
+    MaxScoreCache)."""
+
+    __slots__ = ("weight", "mu_p", "c2")
+
+    def __init__(self, weight: np.float32, mu_p: np.float32, c2: np.ndarray):
+        self.weight = weight
+        self.mu_p = mu_p  # mu * collectionProbability, float32
+        self.c2 = c2      # c2[b] = log(mu / (decoded_len(b) + mu)), float32
+
+    def score(self, freq: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float32)
+        c2 = self.c2[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        s = self.weight * (np.log1p(f / self.mu_p) + c2)
+        return np.maximum(s, np.float32(0.0))
+
+    def max_score(self, impacts_packed) -> np.float32:
+        arr = np.asarray(impacts_packed, dtype=np.int64)
+        if arr.size == 0:
+            return np.float32(0.0)
+        return self.score((arr >> 8).astype(np.float32), arr & 0xFF).max()
+
+    def max_score_blocks(
+        self, tfs: np.ndarray, norms: np.ndarray, offsets: np.ndarray
+    ) -> np.ndarray:
+        x = np.log1p(tfs.astype(np.float32) / self.mu_p) + self.c2[norms]
+        m = np.maximum.reduceat(x, offsets)
+        return np.maximum(self.weight * m, np.float32(0.0)).astype(np.float64)
+
+    def global_max_score(self) -> np.float32:
+        # norm byte 0 decodes to dl = 0 -> log(mu/(0+mu)) = 0, the c2 maximum
+        with np.errstate(over="ignore"):
+            return self.score(
+                np.array([np.finfo(np.float32).max], dtype=np.float32),
+                np.array([0]),
+            )[0]
+
+
+class LMDirichletSimilarity:
+    """Dirichlet-smoothed query-likelihood LM
+    (search/similarities/LMDirichletSimilarity.java:36, mu default 2000;
+    collection model LMSimilarity.DefaultCollectionModel:
+    p(t|C) = (totalTermFreq + 1) / (sumTotalTermFreq + 1)).
+
+    Engine (float32, quantized-norm) re-expression; the oracle-checked
+    float64 twin is LMDirichletExactSimilarity. Phrase/synonym composite
+    clauses use df = max, ttf = sum over the member terms (a documented
+    re-expression choice — the reference's SimilarityBase aggregates
+    per-term stats internally rather than defining phrase semantics)."""
+
+    def __init__(self, mu: float = LM_MU_DEFAULT):
+        if not np.isfinite(mu) or mu <= 0:
+            raise ValueError(f"illegal mu value: {mu}")
+        self.mu = float(mu)
+
+    def _make(self, total_term_freq: int, sum_total_term_freq: int, boost: float):
+        p = (total_term_freq + 1.0) / (sum_total_term_freq + 1.0)
+        c2 = np.log(
+            np.float32(self.mu) / (LENGTH_TABLE_F32 + np.float32(self.mu))
+        ).astype(np.float32)
+        return LMDirichletScorer(
+            np.float32(boost), np.float32(self.mu * p), c2
+        )
+
+    def scorer(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freq: int = 0,
+    ) -> LMDirichletScorer:
+        # a term with df > 0 always has ttf >= df; ttf == 0 only for absent
+        # terms, where the +1 smoothing keeps p finite
+        return self._make(total_term_freq, sum_total_term_freq, boost)
+
+    def phrase_scorer(
+        self,
+        doc_freqs: list[int],
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freqs: list[int] | None = None,
+    ) -> LMDirichletScorer:
+        ttf = sum(total_term_freqs or [0])
+        return self._make(ttf, sum_total_term_freq, boost)
+
+
+class LMDirichletExactSimilarity:
+    """Float64 exact-length Dirichlet LM twin for DuckDB oracle parity.
+
+    Per-row logs go through libm (math.log) via a unique-value LUT — numpy's
+    SIMD log can differ from DuckDB's ln() by 1 ulp (the repo-wide float
+    oracle protocol)."""
+
+    def __init__(self, mu: float = LM_MU_DEFAULT):
+        self.mu = float(mu)
+
+    def score(
+        self,
+        freq: np.ndarray,
+        doc_len: np.ndarray,
+        doc_freq: int,
+        doc_count: int,
+        avgdl: float,
+        ttf: int = 0,
+        sum_len: int = 0,
+    ) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = np.asarray(doc_len, dtype=np.float64)
+        p = (ttf + 1.0) / (sum_len + 1.0)
+        s = _ulog(1.0 + f / (self.mu * p)) + _ulog(self.mu / (dl + self.mu))
+        return np.maximum(s, 0.0)
+
+    def sql(
+        self, tf: str, dl: str, df: str, n: str, avgdl: str,
+        ttf: str = "0", sum_len: str = "0",
+    ) -> str:
+        mu = repr(self.mu)
+        p = f"(({ttf} + 1.0) / ({sum_len} + 1.0))"
+        return (
+            f"greatest(ln(1 + {tf} / ({mu} * {p}))"
+            f" + ln({mu} / ({dl} + {mu})), 0.0)"
+        )
+
+
+DFR_C_DEFAULT = 1.0
+
+
+class DFRSimilarity:
+    """Divergence-from-randomness, instantiation I(n)L2
+    (search/similarities/DFRSimilarity.java + BasicModelIn.java /
+    AfterEffectL.java / NormalizationH2.java):
+
+      tfn   = freq * log2(1 + c * avgdl / dl)          (H2, c = 1)
+      In    = log2((N + 1) / (df + 0.5))               (basic model I(n))
+      score = boost * In * tfn / (tfn + 1)             (after-effect L)
+
+    tfn/(tfn+1) = 1 - 1/(1+tfn) with tfn = freq * cache[norm], so the scorer
+    IS BM25Scorer's saturation form with weight = boost*In and
+    cache[b] = log2(1 + c*avgdl/dl_b) — the block-max machinery is reused
+    verbatim."""
+
+    def __init__(self, c: float = DFR_C_DEFAULT):
+        if not np.isfinite(c) or c <= 0:
+            raise ValueError(f"illegal c value: {c}")
+        self.c = float(c)
+
+    def _cache(self, sum_total_term_freq: int, doc_count: int) -> np.ndarray:
+        avgdl = (
+            np.float32(sum_total_term_freq / float(doc_count))
+            if sum_total_term_freq
+            else np.float32(1.0)
+        )
+        dl = np.maximum(LENGTH_TABLE_F32, np.float32(1.0))
+        return np.log2(
+            np.float32(1.0) + np.float32(self.c) * avgdl / dl
+        ).astype(np.float32)
+
+    def _in(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(np.log2((doc_count + 1.0) / (doc_freq + 0.5)))
+
+    def scorer(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freq: int = 0,
+    ) -> BM25Scorer:
+        weight = np.float32(boost) * self._in(doc_freq, doc_count)
+        return BM25Scorer(weight, self._cache(sum_total_term_freq, doc_count))
+
+    def phrase_scorer(
+        self,
+        doc_freqs: list[int],
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freqs: list[int] | None = None,
+    ) -> BM25Scorer:
+        in_sum = 0.0
+        for df in doc_freqs:
+            in_sum += float(self._in(df, doc_count))
+        return BM25Scorer(
+            np.float32(boost) * np.float32(in_sum),
+            self._cache(sum_total_term_freq, doc_count),
+        )
+
+
+class DFRExactSimilarity:
+    """Float64 exact-length I(n)L2 twin for DuckDB oracle parity. log2 is
+    written as ln(x)/ln(2) on BOTH sides so the libm ln is the only
+    transcendental (DuckDB's log2() could round differently)."""
+
+    def __init__(self, c: float = DFR_C_DEFAULT):
+        self.c = float(c)
+
+    def score(
+        self,
+        freq: np.ndarray,
+        doc_len: np.ndarray,
+        doc_freq: int,
+        doc_count: int,
+        avgdl: float,
+        ttf: int = 0,
+        sum_len: int = 0,
+    ) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = np.maximum(np.asarray(doc_len, dtype=np.float64), 1.0)
+        ln2 = math.log(2.0)
+        tfn = f * (_ulog(1.0 + self.c * avgdl / dl) / ln2)
+        in_w = math.log((doc_count + 1.0) / (doc_freq + 0.5)) / ln2
+        return in_w * (tfn / (tfn + 1.0))
+
+    def sql(
+        self, tf: str, dl: str, df: str, n: str, avgdl: str,
+        ttf: str = "0", sum_len: str = "0",
+    ) -> str:
+        c = repr(self.c)
+        tfn = f"({tf} * (ln(1 + {c} * {avgdl} / greatest({dl}, 1.0)) / ln(2.0)))"
+        in_w = f"(ln(({n} + 1.0) / ({df} + 0.5)) / ln(2.0))"
+        return f"{in_w} * ({tfn} / ({tfn} + 1.0))"
+
+
+class BooleanSimilarity:
+    """Query-boost-only similarity
+    (search/similarities/BooleanSimilarity.java:33): every match scores the
+    boost, norms/tf ignored. Proof that the plug accepts a degenerate
+    frequency-independent member."""
+
+    def scorer(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freq: int = 0,
+    ) -> ConstantScorer:
+        return ConstantScorer(boost)
+
+    def phrase_scorer(
+        self,
+        doc_freqs: list[int],
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freqs: list[int] | None = None,
+    ) -> ConstantScorer:
+        return ConstantScorer(boost)
+
+
+def _ulog(x: np.ndarray) -> np.ndarray:
+    """libm (math.log) natural log applied via a unique-value LUT: bit-equal
+    to DuckDB's ln() per the repo float-oracle protocol, vectorized enough
+    for the matched-row sets the exact twins score (tf/doc_len take few
+    distinct values)."""
+    u, inv = np.unique(np.asarray(x, dtype=np.float64), return_inverse=True)
+    lut = np.array([math.log(v) for v in u.tolist()], dtype=np.float64)
+    return lut[inv]

@@ -119,22 +119,23 @@ def test_exact_sql_parity():
     assert np.array_equal(py, sql)  # bit-identical doubles
 
 
+@pytest.fixture(scope="module")
+def cix(tmp_path_factory, ray_session):
+    import glob
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import write_corpus
+
+    corpus = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(corpus, n_docs=300, n_shards=2, seed=11, row_group_size=128)
+    d = str(tmp_path_factory.mktemp("cix"))
+    build_index(sorted(glob.glob(corpus + "/*.parquet")), d, target_docs=80)
+    return d
+
+
 class TestClassicSimilarity:
     """ClassicSimilarity (TF-IDF) plugged into the engine: pruned duel +
     naive-oracle rank check (the §2.10 similarity extension point)."""
-
-    @pytest.fixture(scope="class")
-    def cix(self, tmp_path_factory, ray_session):
-        import glob
-
-        from lucene_ray.index.builder import build_index
-        from lucene_ray.index.corpus import write_corpus
-
-        corpus = str(tmp_path_factory.mktemp("corpus"))
-        write_corpus(corpus, n_docs=300, n_shards=2, seed=11, row_group_size=128)
-        d = str(tmp_path_factory.mktemp("cix"))
-        build_index(sorted(glob.glob(corpus + "/*.parquet")), d, target_docs=80)
-        return d
 
     def test_classic_duel_pruned_vs_exhaustive(self, cix):
         from lucene_ray.search.engine import IndexSearcher
@@ -191,3 +192,171 @@ class TestClassicSimilarity:
             ]
             got = s.search(qtext, 10).docids.tolist()
             assert got == want, qtext
+
+
+class TestSimilarityFamilies:
+    """LMDirichlet / DFR(InL2) / Boolean similarities: BaseSimilarityTestCase
+    random-scoring properties, pruned duel through the engine, naive float32
+    oracle rank check, and exact-twin/DuckDB bit parity."""
+
+    def test_param_validation(self):
+        from lucene_ray.search.similarity import (
+            DFRSimilarity,
+            LMDirichletSimilarity,
+        )
+
+        with pytest.raises(ValueError):
+            LMDirichletSimilarity(mu=0)
+        with pytest.raises(ValueError):
+            LMDirichletSimilarity(mu=float("nan"))
+        with pytest.raises(ValueError):
+            DFRSimilarity(c=0)
+        LMDirichletSimilarity(mu=500.0)
+        DFRSimilarity(c=7.0)
+
+    @pytest.mark.parametrize("family", ["lmd", "dfr"])
+    def test_random_scoring_properties(self, family):
+        from lucene_ray.search.similarity import (
+            DFRSimilarity,
+            LMDirichletSimilarity,
+        )
+
+        rng = np.random.default_rng(7)
+        for _ in range(100):
+            N = int(rng.integers(1, 2**30))
+            df = int(rng.integers(1, N + 1))
+            sttf = int(rng.integers(N, N * 10 + 1))
+            ttf = int(rng.integers(df, min(sttf, df * 50) + 1))
+            sim = LMDirichletSimilarity() if family == "lmd" else DFRSimilarity()
+            sc = sim.scorer(df, N, sttf, total_term_freq=ttf)
+            freqs = np.sort(rng.uniform(1, 1e6, size=20).astype(np.float32))
+            norms = np.arange(256)
+            s = sc.score(np.repeat(freqs, 256), np.tile(norms, 20))
+            assert np.all(np.isfinite(s))
+            assert np.all(s >= 0)
+            assert np.all(s <= sc.global_max_score())
+            for nb in (0, 1, 128, 255):
+                sf_ = sc.score(freqs, np.full(20, nb))
+                assert np.all(np.diff(sf_) >= -1e-6)
+            sn = sc.score(np.full(256, freqs[5]), norms)
+            assert np.all(np.diff(sn) <= 1e-6)
+
+    @pytest.mark.parametrize("family", ["lmd", "dfr"])
+    def test_block_max_is_upper_bound(self, family):
+        from lucene_ray.search.similarity import (
+            DFRSimilarity,
+            LMDirichletSimilarity,
+        )
+
+        sim = LMDirichletSimilarity() if family == "lmd" else DFRSimilarity()
+        sc = sim.scorer(10, 1000, 5000, total_term_freq=50)
+        rng = np.random.default_rng(3)
+        tfs = rng.integers(1, 100, size=256).astype(np.int64)
+        norms = rng.integers(1, 256, size=256).astype(np.int64)
+        offsets = np.array([0, 64, 128, 192])
+        bounds = sc.max_score_blocks(tfs, norms, offsets)
+        scores = sc.score(tfs.astype(np.float32), norms)
+        for bi, (lo, hi) in enumerate(zip(offsets, [64, 128, 192, 256])):
+            assert np.all(scores[lo:hi] <= bounds[bi] + 1e-7)
+
+    @pytest.mark.parametrize("family", ["lmd", "dfr", "bool"])
+    def test_duel_pruned_vs_exhaustive(self, cix, family):
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.similarity import (
+            BooleanSimilarity,
+            DFRSimilarity,
+            LMDirichletSimilarity,
+        )
+
+        sim = {
+            "lmd": LMDirichletSimilarity,
+            "dfr": DFRSimilarity,
+            "bool": BooleanSimilarity,
+        }[family]()
+        ex = IndexSearcher(cix, similarity=sim, pruned=False)
+        pr = IndexSearcher(cix, similarity=sim, pruned=True)
+        for q in ("merge", "merge flush", "sort batch index", "+merge flush"):
+            a, b = ex.search(q, 10), pr.search(q, 10)
+            assert a.docids.tolist() == b.docids.tolist(), (family, q)
+            np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6)
+
+    def test_lmd_ranks_match_naive_oracle(self, cix):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from lucene_ray.analysis import get_analyzer
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.similarity import LMDirichletSimilarity
+        from lucene_ray.util.smallfloat import byte4_to_int, int_to_byte4
+
+        s = IndexSearcher(cix, similarity=LMDirichletSimilarity(), pruned=True)
+        an = get_analyzer(s.reader.manifest.analyzer)
+        docs = []
+        for e in s.reader.segments:
+            t = pq.ParquetFile(e.input["file"]).read_row_groups(
+                list(range(e.input["rg_start"], e.input["rg_end"])),
+                columns=["content"],
+            )
+            docs.extend(an.tokenize_text(x) for x in t.column("content").to_pylist())
+        N = len(docs)
+        sum_ttf = s.reader.sum_ttf
+        mu = 2000.0
+        for qtext in ("merge", "merge flush"):
+            terms = an.tokenize_text(qtext)
+            scores = np.zeros(N, dtype=np.float64)
+            for t in terms:
+                ttf = sum(d.count(t) for d in docs)
+                if ttf == 0:
+                    continue
+                p = (ttf + 1.0) / (sum_ttf + 1.0)
+                for i, d in enumerate(docs):
+                    tf = d.count(t)
+                    if tf == 0:
+                        continue
+                    dl = float(byte4_to_int(int(int_to_byte4(len(d)))))
+                    scores[i] += max(
+                        0.0, math.log1p(tf / (mu * p)) + math.log(mu / (dl + mu))
+                    )
+            want = [
+                i for i in np.lexsort((np.arange(N), -scores))[:10] if scores[i] > 0
+            ]
+            got = s.search(qtext, 10).docids.tolist()
+            assert got == want, qtext
+
+    def test_boolean_similarity_scores_are_boost(self, cix):
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.similarity import BooleanSimilarity
+
+        s = IndexSearcher(cix, similarity=BooleanSimilarity())
+        td = s.search("merge", 10)
+        assert len(td.docids) > 0
+        assert np.all(td.scores == np.float32(1.0))
+        # boost-only ties -> docid order
+        assert td.docids.tolist() == sorted(td.docids.tolist())
+
+    @pytest.mark.parametrize("family", ["lmd", "dfr"])
+    def test_exact_sql_parity(self, family):
+        import duckdb
+
+        from lucene_ray.search.similarity import (
+            DFRExactSimilarity,
+            LMDirichletExactSimilarity,
+        )
+
+        ex = LMDirichletExactSimilarity() if family == "lmd" else DFRExactSimilarity()
+        N, df, avgdl, ttf, sum_len = 500, 13, 37.25, 91, 18625
+        tfs = np.array([1, 2, 5, 9], dtype=np.float64)
+        dls = np.array([10, 50, 37, 120], dtype=np.float64)
+        py = ex.score(tfs, dls, df, N, avgdl, ttf=ttf, sum_len=sum_len)
+        con = duckdb.connect()
+        expr = ex.sql(
+            "tf", "dl", str(df), str(N), str(avgdl),
+            ttf=str(ttf), sum_len=str(sum_len),
+        )
+        rows = con.execute(
+            f"SELECT {expr} FROM (SELECT unnest($1::DOUBLE[]) tf, unnest($2::DOUBLE[]) dl)",
+            [tfs.tolist(), dls.tolist()],
+        ).fetchall()
+        sql = np.array([r[0] for r in rows])
+        assert np.array_equal(py, sql)  # bit-identical doubles
