@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spanops_engine": bm25docs.spanops_engine,
         "lmdirichlet_topk": bm25docs.lmdirichlet_topk,
         "dfr_topk": bm25docs.dfr_topk,
+        "dvsort_engine": bm25docs.dvsort_engine,
+        "dvfacet_engine": bm25docs.dvfacet_engine,
+        "dvrange_engine": bm25docs.dvrange_engine,
         # --- never recorded by the driver through r3 (VERDICT r3 item 2):
         # these 9 sat past position 50 every round; front-load them so
         # CORRECTNESS_r04 finally witnesses them.
@@ -160,6 +163,9 @@ def oracle_sql() -> dict[str, str]:
         "spanops_engine": bm25docs.spanops_engine_sql(),
         "lmdirichlet_topk": bm25docs.lmdirichlet_topk_sql(),
         "dfr_topk": bm25docs.dfr_topk_sql(),
+        "dvsort_engine": bm25docs.dvsort_engine_sql(),
+        "dvfacet_engine": bm25docs.dvfacet_engine_sql(),
+        "dvrange_engine": bm25docs.dvrange_engine_sql(),
         "bm25_topk": bm25docs.bm25_topk_sql(),
         "tfidf_topk": bm25docs.tfidf_topk_sql(),
         "boolean_engine": bm25docs.boolean_engine_sql(),

@@ -30,12 +30,16 @@ MAX_TOKEN_LEN = 255
 # analog (index/FieldInfos.java / document/StringField.java).
 KEYWORD_FIELDS = ("repo", "path", "commit", "lang")
 
-# numeric doc-values fields, derived per doc at build time. Stored twice,
-# mirroring the reference's split: doc-ordered docvalues.parquet (sort /
-# fetch — index/DocValues.java NUMERIC) and value-sorted points.parquet
-# (range filters — the BKD tree's sorted-leaves role,
-# codecs/lucene90/Lucene90PointsFormat.java; 1-D only, binary search
-# replaces the tree levels).
+# DEFAULT numeric doc-values schema (always present; derived at build).
+# Stored twice, mirroring the reference's split: doc-ordered
+# docvalues.parquet (sort / fetch — index/DocValues.java NUMERIC) and
+# value-sorted points.parquet (range filters — the BKD tree's sorted-leaves
+# role, codecs/lucene90/Lucene90PointsFormat.java; 1-D only, binary search
+# replaces the tree levels). The PER-INDEX schema extends this via
+# build_index(dv_fields=<source columns>, sorted_dv_fields=...,
+# sorted_set_dv_fields=...); the query-PARSER's field:[a TO b] numeric
+# routing keys off this static default only — programmatic PointRangeQuery
+# works for any field in the index's schema.
 NUMERIC_DV_FIELDS = ("n_chars",)
 
 # TieredMergePolicy defaults (bytes)

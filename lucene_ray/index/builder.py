@@ -55,6 +55,28 @@ from lucene_ray.index.manifest import (
 
 STORED_COLUMNS = ["repo", "path", "commit", "lang"]
 
+# SORTED_SET doc-value derivers: multi-valued fields computed from source
+# columns at build time (the FacetField(dim, components...) document-side
+# analog). A sorted_set_dv_fields name not present as a list<string> source
+# column resolves here.
+def _derive_labels(table):
+    # per-doc label set {lang, repo} — two single-valued keywords exposed
+    # through ONE SortedSetDocValues field (SortedSetDocValuesFacetField);
+    # vectorized: interleave the two string columns into one list column
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+    lang = pc.fill_null(table.column("lang").combine_chunks().cast(pa.string()), "")
+    repo = pc.fill_null(table.column("repo").combine_chunks().cast(pa.string()), "")
+    flat = pa.concat_arrays([lang, repo]).take(
+        np.arange(2 * n, dtype=np.int64).reshape(2, n).T.ravel()
+    )
+    offsets = pa.array(np.arange(0, 2 * n + 1, 2, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, flat)
+
+
+SORTED_SET_DERIVERS = {"labels": _derive_labels}
+
 
 @dataclass
 class SegmentSpec:
@@ -201,6 +223,9 @@ def build_one_segment(
     index_sort: tuple | None = None,
     point2d_fields: tuple | None = None,
     term_vectors: bool = False,
+    dv_fields: tuple | None = None,
+    sorted_dv_fields: tuple | None = None,
+    sorted_set_dv_fields: tuple | None = None,
 ) -> SegmentEntry:
     """Build one segment from its input row groups. Pure + idempotent
     (writes only under its own segment dir; atomic entry.json last).
@@ -217,7 +242,17 @@ def build_one_segment(
     early-terminating sorted collector (engine.search_sorted). Divergence
     from the reference, documented: MERGES concatenate sorted runs instead
     of re-sorting (Lucene renumbers docids at merge; ours are stable
-    engine output), so a merged segment carries multiple sorted_runs."""
+    engine output), so a merged segment carries multiple sorted_runs.
+
+    Schema-driven doc values (index/DocValuesType.java:23-51):
+    ``dv_fields`` — extra NUMERIC source columns (cast to int64, null→0)
+    stored beside the derived ``n_chars``, each also getting a 1-D points
+    view for range filters; ``sorted_dv_fields`` — SORTED (single-valued
+    keyword) source columns; ``sorted_set_dv_fields`` — SORTED_SET
+    multi-valued fields resolved through SORTED_SET_DERIVERS (or a
+    list<string> source column). SORTED(_SET) live in a doc-ordered
+    ``docvalues_sorted.parquet`` sidecar; per-segment term-sorted ordinals
+    are derived at read time (search/reader.py sorted_doc_values)."""
     existing = read_entry(index_dir, spec.name)
     if existing is not None and existing.input.get("fingerprint") == spec.fingerprint:
         return existing
@@ -225,31 +260,48 @@ def build_one_segment(
     t0 = time.perf_counter()
     c0 = time.process_time()
     pf = pq.ParquetFile(spec.file)
+    dv_fields = tuple(dv_fields or ())
+    sorted_dv_fields = tuple(sorted_dv_fields or ())
+    sorted_set_dv_fields = tuple(sorted_set_dv_fields or ())
+    extra_cols = [
+        f
+        for f in dv_fields + sorted_dv_fields
+        if f not in STORED_COLUMNS and f != "content"
+    ]
+    avail = set(pf.schema_arrow.names)
+    extra_cols += [
+        f for f in sorted_set_dv_fields
+        if f in avail and f not in STORED_COLUMNS and f not in extra_cols
+    ]
     table = pf.read_row_groups(
         list(range(spec.rg_start, spec.rg_end)),
-        columns=STORED_COLUMNS + ["content"],
+        columns=STORED_COLUMNS + ["content"] + extra_cols,
     )
     n = table.num_rows
     assert n == spec.n_docs, f"footer said {spec.n_docs} rows, read {n}"
 
+    import pyarrow.compute as pc
+
+    def _numeric_dv(fld: str) -> pa.Array:
+        if fld == "n_chars":
+            return pc.fill_null(
+                pc.utf8_length(table.column("content").combine_chunks()).cast(
+                    pa.int64()
+                ),
+                0,
+            )
+        return pc.fill_null(
+            table.column(fld).combine_chunks().cast(pa.int64()), 0
+        )
+
+    numeric_dv_schema = ("n_chars",) + dv_fields
+
     sorted_runs = None
     if index_sort is not None:
-        import pyarrow.compute as pc
-
-        from lucene_ray.config import NUMERIC_DV_FIELDS
-
         fld, direction = index_sort
-        if fld not in NUMERIC_DV_FIELDS or direction not in ("asc", "desc"):
+        if fld not in numeric_dv_schema or direction not in ("asc", "desc"):
             raise ValueError(f"unsupported index_sort: {index_sort}")
-        if fld != "n_chars":
-            # the key expression below must mirror the dv_cols definition
-            # of the field; only n_chars exists today
-            raise ValueError("index_sort supports the n_chars doc value")
-        key = (
-            pc.fill_null(
-                pc.utf8_length(table.column("content").combine_chunks()).cast(pa.int64()), 0
-            ).to_numpy(zero_copy_only=False)
-        )
+        key = _numeric_dv(fld).to_numpy(zero_copy_only=False)
         if direction == "desc":
             key = -key
         # stable by source row: within equal keys, docids keep corpus order
@@ -366,17 +418,30 @@ def build_one_segment(
 
     # numeric doc values + 1-D points (value-sorted view for range filters);
     # null content counts as 0 chars (missing-value doc-values convention)
-    from lucene_ray.config import NUMERIC_DV_FIELDS
-
-    dv_cols = {
-        "n_chars": pc.fill_null(pc.utf8_length(content).cast(pa.int64()), 0)
-    }
+    dv_cols = {f: _numeric_dv(f) for f in numeric_dv_schema}
     pq.write_table(
-        pa.table({f: dv_cols[f] for f in NUMERIC_DV_FIELDS}),
+        pa.table({f: dv_cols[f] for f in numeric_dv_schema}),
         os.path.join(d, "docvalues.parquet"),
     )
+    # SORTED / SORTED_SET sidecar: doc-ordered values; parquet dictionary-
+    # encodes the strings, the reader derives term-sorted ordinals
+    if sorted_dv_fields or sorted_set_dv_fields:
+        sdv_cols: dict[str, pa.Array] = {}
+        for f in sorted_dv_fields:
+            sdv_cols[f] = pc.fill_null(
+                table.column(f).combine_chunks().cast(pa.string()), ""
+            )
+        for f in sorted_set_dv_fields:
+            if f in table.schema.names:
+                col = table.column(f).combine_chunks()
+            else:
+                col = SORTED_SET_DERIVERS[f](table)
+            sdv_cols[f] = col.cast(pa.list_(pa.string()))
+        pq.write_table(
+            pa.table(sdv_cols), os.path.join(d, "docvalues_sorted.parquet")
+        )
     pt_parts = []
-    for f in NUMERIC_DV_FIELDS:
+    for f in numeric_dv_schema:
         v = dv_cols[f].to_numpy(zero_copy_only=False)
         o = np.lexsort((np.arange(n), v))
         pt_parts.append(
@@ -439,6 +504,13 @@ def build_one_segment(
                 "index_sort": list(index_sort) if index_sort else None,
                 "point2d_fields": list(point2d_fields) if point2d_fields else None,
                 "term_vectors": bool(term_vectors),
+                "dv_fields": list(dv_fields) if dv_fields else None,
+                "sorted_dv_fields": (
+                    list(sorted_dv_fields) if sorted_dv_fields else None
+                ),
+                "sorted_set_dv_fields": (
+                    list(sorted_set_dv_fields) if sorted_set_dv_fields else None
+                ),
                 "variant": spec.variant,
             },
         },
@@ -473,6 +545,9 @@ def build_index(
     index_sort: tuple | None = None,
     point2d_fields: tuple | None = None,
     term_vectors: bool = False,
+    dv_fields: tuple | None = None,
+    sorted_dv_fields: tuple | None = None,
+    sorted_set_dv_fields: tuple | None = None,
 ) -> Manifest:
     """Build (or resume) the whole index with Ray Data.
 
@@ -503,6 +578,17 @@ def build_index(
         variant = f"{variant or 'code:positions'}:geo={','.join(point2d_fields)}"
     if term_vectors:
         variant = f"{variant or 'code:positions'}:tv"
+    if dv_fields:
+        dv_fields = tuple(str(f) for f in dv_fields)
+        variant = f"{variant or 'code:positions'}:dv={','.join(dv_fields)}"
+    if sorted_dv_fields:
+        sorted_dv_fields = tuple(str(f) for f in sorted_dv_fields)
+        variant = f"{variant or 'code:positions'}:sdv={','.join(sorted_dv_fields)}"
+    if sorted_set_dv_fields:
+        sorted_set_dv_fields = tuple(str(f) for f in sorted_set_dv_fields)
+        variant = (
+            f"{variant or 'code:positions'}:ssdv={','.join(sorted_set_dv_fields)}"
+        )
     specs = plan_segments(input_paths, target_docs, variant)
     todo = []
     done: list[SegmentEntry] = []
@@ -531,7 +617,8 @@ def build_index(
                 entry = build_one_segment(
                     spec, index_dir, analyzer_name, index_options,
                     keyword_fields, index_sort, point2d_fields,
-                    term_vectors,
+                    term_vectors, dv_fields, sorted_dv_fields,
+                    sorted_set_dv_fields,
                 )
                 out.append(_json.dumps(entry.__dict__))
             return {"entry": np.array(out)}
@@ -665,6 +752,9 @@ def upgrade_index(index_dir: str) -> dict:
                 "index_sort": None,
                 "point2d_fields": None,
                 "term_vectors": False,
+                "dv_fields": None,
+                "sorted_dv_fields": None,
+                "sorted_set_dv_fields": None,
                 "variant": "",
             }
         m = _re.match(r"seg_(\d+)_", e.name)
@@ -690,6 +780,13 @@ def upgrade_index(index_dir: str) -> dict:
             tuple(opts["index_sort"]) if opts.get("index_sort") else None,
             tuple(opts["point2d_fields"]) if opts.get("point2d_fields") else None,
             bool(opts.get("term_vectors")),
+            tuple(opts["dv_fields"]) if opts.get("dv_fields") else None,
+            tuple(opts["sorted_dv_fields"])
+            if opts.get("sorted_dv_fields")
+            else None,
+            tuple(opts["sorted_set_dv_fields"])
+            if opts.get("sorted_set_dv_fields")
+            else None,
         )
         old_d = segment_dir(index_dir, e.name)
         new_d = segment_dir(index_dir, new_entry.name)

@@ -180,3 +180,34 @@ def documents_as_corpus(sf_dir: str) -> str:
     pq.write_table(table, tmp, row_group_size=16384)
     os.replace(tmp, out)
     return out
+
+
+def documents_as_corpus_dv(sf_dir: str) -> str:
+    """documents_as_corpus plus a pass-through NUMERIC column ``src_id``
+    (= doc_id): the source table for schema-driven doc-values builds
+    (build_index dv_fields/sorted_dv_fields) — a non-derived numeric field
+    the DV machinery cannot fake from content."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_corpus_dv_" + hashlib.sha1(src.encode()).hexdigest()[:12] + ".parquet",
+    )
+    if os.path.exists(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    t = pq.read_table(src)
+    n = t.num_rows
+    table = pa.table(
+        {
+            "repo": t.column("source").cast(pa.string()),
+            "path": pa.array([f"doc/{i}" for i in t.column("doc_id").to_pylist()]),
+            "commit": pa.array(["0" * 40] * n, type=pa.string()),
+            "lang": t.column("lang").cast(pa.string()),
+            "content": t.column("text").cast(pa.string()),
+            "src_id": t.column("doc_id").cast(pa.int64()),
+        }
+    )
+    tmp = out + ".tmp"
+    pq.write_table(table, tmp, row_group_size=16384)
+    os.replace(tmp, out)
+    return out

@@ -519,6 +519,18 @@ def merge_segments(
     if all(os.path.exists(p) for p in dv_paths):
         dv = pa.concat_tables([pq.read_table(p) for p in dv_paths])
         pq.write_table(dv, os.path.join(d, "docvalues.parquet"))
+        # SORTED / SORTED_SET sidecar: doc-ordered like the numeric DV, so a
+        # plain concat preserves docid addressing (tombstoned docs keep
+        # their rows; per-segment ordinals are reader-derived, never stored)
+        sdv_paths = [
+            os.path.join(segment_dir(index_dir, e.name), "docvalues_sorted.parquet")
+            for e in entries
+        ]
+        if all(os.path.exists(p) for p in sdv_paths):
+            sdv = pa.concat_tables(
+                [pq.read_table(p) for p in sdv_paths], promote_options="default"
+            )
+            pq.write_table(sdv, os.path.join(d, "docvalues_sorted.parquet"))
         pt_parts = []
         for i, e in enumerate(entries):
             pt = pq.read_table(

@@ -3158,3 +3158,221 @@ WITH t AS (
 )
 {union}
 """
+
+
+# --------------------------------------------------- schema-driven doc values
+
+def _dv_engine_index(sf_dir: str) -> str:
+    """documents index built with the schema-driven DV options: src_id
+    (pass-through NUMERIC from the source table), lang/repo as SORTED
+    keyword DV, and the derived 'labels' SORTED_SET field — then merged, so
+    the sidecar's merge path (doc-ordered concat) is on the gate path too."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus_dv
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus_dv(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_index_dv_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index(
+        [corpus_path],
+        ix,
+        target_docs=8192,
+        dv_fields=("src_id",),
+        sorted_dv_fields=("lang", "repo"),
+        sorted_set_dv_fields=("labels",),
+    )
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+DVSORT_QUERIES = (
+    # (qid, term, field, ascending) — numeric src_id is the NON-derived DV;
+    # lang/repo sort through SORTED doc values (ordinal comparator)
+    (0, "merge", "src_id", False),
+    (1, "window", "src_id", True),
+    (2, "merge", "lang", True),
+    (3, "window", "repo", False),
+)
+
+
+def dvsort_engine(sf_dir: str, k: int = 20) -> pa.Table:
+    """(qid, rank, docid): sort-by-field over SCHEMA-DRIVEN doc values —
+    a pass-through numeric column (src_id) and SORTED keyword DV fields
+    (index/DocValuesType.java NUMERIC/SORTED), not derived n_chars /
+    stored-column reads."""
+    from lucene_ray.search.engine import IndexSearcher, search_sorted
+
+    ix = _dv_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_r, out_d = [], [], []
+    for qid, term, fld, asc in DVSORT_QUERIES:
+        td = search_sorted(s, term, fld, k=k, ascending=asc)
+        out_q.extend([qid] * len(td.docids))
+        out_r.extend(range(len(td.docids)))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int32()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def dvsort_engine_sql(k: int = 20) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    # src_id == doc_id; lang -> lang, repo -> source (documents_as_corpus_dv)
+    for qid, term, key, direction in (
+        (0, "merge", "doc_id", "DESC"),
+        (1, "window", "doc_id", "ASC"),
+        (2, "merge", "lang", "ASC"),
+        (3, "window", "source", "DESC"),
+    ):
+        parts.append(f"""
+SELECT {qid} AS qid,
+       (row_number() OVER (ORDER BY {key} {direction}, doc_id ASC) - 1)::INTEGER AS rank,
+       doc_id AS docid
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+QUALIFY rank < {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+DVFACET_QUERIES = (
+    # (qid, query, field, kind) — SORTED single-valued vs SORTED_SET
+    (0, "merge", "lang", "sorted"),
+    (1, "window", "repo", "sorted"),
+    (2, "merge", "labels", "sortedset"),
+)
+
+
+def dvfacet_engine(sf_dir: str) -> pa.Table:
+    """(qid, value, count): facet counts backed by SORTED / SORTED_SET doc
+    values (SortedSetDocValuesFacetCounts.java) — per-segment ordinal
+    bincounts over the hit set, no stored-column reads. 'labels' is the
+    derived {lang, repo} set field, each matching doc counting once per
+    distinct member."""
+    from lucene_ray.search.engine import (
+        IndexSearcher,
+        facet_counts,
+        sorted_set_facet_counts,
+    )
+
+    ix = _dv_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_v, out_c = [], [], []
+    for qid, q, field, kind in DVFACET_QUERIES:
+        pairs = (
+            sorted_set_facet_counts(s, q, field)
+            if kind == "sortedset"
+            else facet_counts(s, q, field)
+        )
+        for v, c in pairs:
+            out_q.append(qid)
+            out_v.append(v)
+            out_c.append(c)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "value": pa.array(out_v, type=pa.string()),
+            "count": pa.array(out_c, type=pa.int64()),
+        }
+    )
+
+
+def dvfacet_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, q, field, kind in DVFACET_QUERIES:
+        match = (
+            f"doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{q}')"
+        )
+        if kind == "sortedset":
+            # distinct (doc, label) before counting == per-doc ord dedup
+            parts.append(f"""
+SELECT {qid} AS qid, value, count(*)::BIGINT AS count FROM (
+  SELECT DISTINCT doc_id, unnest([lang, source]) AS value
+  FROM documents WHERE {match}
+) GROUP BY value""")
+        else:
+            col = {"lang": "lang", "repo": "source"}[field]
+            parts.append(f"""
+SELECT {qid} AS qid, {col} AS value, count(*)::BIGINT AS count
+FROM documents WHERE {match} GROUP BY {col}""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+DVRANGE_QUERIES = (
+    # (qid, lo, hi, term) over the pass-through src_id points
+    (0, 100, 300, None),
+    (1, None, 50, "merge"),
+    (2, 4000, None, None),
+)
+
+
+def dvrange_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): PointRangeQuery over the pass-through src_id NUMERIC
+    doc value — proves schema-driven fields get the 1-D points view (range
+    filter path), not just the doc-ordered column."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, PointRangeQuery, TermQuery
+
+    ix = _dv_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, lo, hi, term in DVRANGE_QUERIES:
+        must = [PointRangeQuery("src_id", lo, hi)]
+        if term:
+            must.append(TermQuery(term))
+        td = s.search(BooleanQuery(must=must), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def dvrange_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, lo, hi, term in DVRANGE_QUERIES:
+        conds = []
+        if lo is not None:
+            conds.append(f"doc_id >= {lo}")
+        if hi is not None:
+            conds.append(f"doc_id <= {hi}")
+        if term:
+            conds.append(
+                f"doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')"
+            )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents WHERE "
+            + " AND ".join(conds)
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""

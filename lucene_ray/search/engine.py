@@ -305,12 +305,70 @@ def facet_counts(
     td = searcher.search(query, k=1 << 62)
     if len(td.docids) == 0:
         return []
-    stored = fetch_stored(searcher.reader, td.docids)
+    reader = searcher.reader
+    first = reader.segments[0]
+    if field in reader.segment_reader(first.name).sorted_dv_schema():
+        # SORTED-DV-backed counting (SortedSetDocValuesFacetCounts.java
+        # singleton path): per-segment ordinal bincount over the hit set,
+        # then a term-keyed cross-segment sum — columnar, no row-store read
+        g = np.sort(np.asarray(td.docids, dtype=np.int64))
+        agg: dict[str, int] = {}
+        for entry in reader.segments:
+            a = int(np.searchsorted(g, entry.docid_base))
+            b = int(np.searchsorted(g, entry.docid_base + entry.doc_count))
+            if a == b:
+                continue
+            ords, terms = reader.segment_reader(entry.name).sorted_doc_values(
+                field
+            )
+            counts = np.bincount(
+                ords[g[a:b] - entry.docid_base], minlength=len(terms)
+            )
+            for ti in np.nonzero(counts)[0]:
+                t = str(terms[ti])
+                agg[t] = agg.get(t, 0) + int(counts[ti])
+        return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+    stored = fetch_stored(reader, td.docids)
     vals = stored.column(field).to_pylist()
     from collections import Counter
 
     c = Counter(vals)
     return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def sorted_set_facet_counts(
+    searcher: "IndexSearcher", query, field: str
+) -> list[tuple[str, int]]:
+    """Hit counts per SORTED_SET doc-value ordinal for ``query``
+    (facet/sortedset/SortedSetDocValuesFacetCounts.java:52): each matching
+    doc contributes once per DISTINCT value in its set (the reader
+    guarantees de-duplicated ascending ords per doc). Returns
+    (value, count) sorted by count desc then value asc."""
+    td = searcher.search(query, k=1 << 62)
+    if len(td.docids) == 0:
+        return []
+    reader = searcher.reader
+    g = np.sort(np.asarray(td.docids, dtype=np.int64))
+    agg: dict[str, int] = {}
+    for entry in reader.segments:
+        a = int(np.searchsorted(g, entry.docid_base))
+        b = int(np.searchsorted(g, entry.docid_base + entry.doc_count))
+        if a == b:
+            continue
+        offsets, flat_ords, terms = reader.segment_reader(
+            entry.name
+        ).sorted_set_doc_values(field)
+        local = g[a:b] - entry.docid_base
+        lens = offsets[local + 1] - offsets[local]
+        starts = offsets[local]
+        idx = np.repeat(starts, lens) + (
+            np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        counts = np.bincount(flat_ords[idx], minlength=len(terms))
+        for ti in np.nonzero(counts)[0]:
+            t = str(terms[ti])
+            agg[t] = agg.get(t, 0) + int(counts[ti])
+    return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
 
 
 def taxonomy_facet_counts(
@@ -453,6 +511,24 @@ def fetch_doc_values(reader: IndexReader, global_docids, field: str) -> np.ndarr
     return out
 
 
+def fetch_sorted_dv_values(
+    reader: IndexReader, global_docids, field: str
+) -> np.ndarray:
+    """SORTED doc-value TERMS for global docids, input order preserved —
+    the TermOrdValComparator's value view (per-segment ords resolve through
+    each segment's own dictionary; cross-segment comparison is by term)."""
+    g = np.asarray(global_docids, dtype=np.int64)
+    bases = np.array([e.docid_base for e in reader.segments], dtype=np.int64)
+    seg_idx = np.searchsorted(bases, g, side="right") - 1
+    out = np.empty(len(g), dtype=object)
+    for si in np.unique(seg_idx):
+        entry = reader.segments[int(si)]
+        sel = np.nonzero(seg_idx == si)[0]
+        ords, terms = reader.segment_reader(entry.name).sorted_doc_values(field)
+        out[sel] = terms[ords[g[sel] - entry.docid_base]]
+    return out
+
+
 class SortedTopDocs(TopDocs):
     """TopDocs ordered by a doc-values field; ``values`` aligns with docids."""
 
@@ -545,8 +621,15 @@ def search_sorted(
         vals = fetch_doc_values(searcher.reader, td.docids, field)
         key = vals if ascending else -vals
     else:
-        stored = fetch_stored(searcher.reader, td.docids)
-        vals = np.asarray(stored.column(field).to_pylist(), dtype=object)
+        # SORTED doc values back the ordinal comparator when the index has
+        # them; stored-column read is the fallback for fields outside the
+        # DV schema (pre-schema-DV indexes)
+        sdv = searcher.reader.segment_reader(first.name).sorted_dv_schema()
+        if field in sdv:
+            vals = fetch_sorted_dv_values(searcher.reader, td.docids, field)
+        else:
+            stored = fetch_stored(searcher.reader, td.docids)
+            vals = np.asarray(stored.column(field).to_pylist(), dtype=object)
         codes = np.unique(vals.astype(str), return_inverse=True)[1]
         key = codes if ascending else -codes
     order = np.lexsort((td.docids, key))

@@ -266,6 +266,75 @@ class SegmentReader:
             return []
         return [n for n in pq.read_schema(path).names if n != "docid"]
 
+    def _sdv_table(self) -> pa.Table | None:
+        if not hasattr(self, "_sdv"):
+            path = os.path.join(self.seg_dir, "docvalues_sorted.parquet")
+            self._sdv = (
+                pq.read_table(path, memory_map=True)
+                if os.path.exists(path)
+                else None
+            )
+        return self._sdv
+
+    def sorted_dv_schema(self) -> list[str]:
+        """Field names with SORTED / SORTED_SET doc values (footer-only)."""
+        path = os.path.join(self.seg_dir, "docvalues_sorted.parquet")
+        if not os.path.exists(path):
+            return []
+        return list(pq.read_schema(path).names)
+
+    def sorted_doc_values(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """SORTED doc values (index/SortedDocValues.java): per-doc ordinal
+        into the segment's term-sorted value dictionary. Returns
+        (ords[int64 per doc], terms[str, ascending]) — ords/terms derived
+        once per reader from the doc-ordered sidecar column and cached."""
+        cache = getattr(self, "_sdv_ord_cache", None)
+        if cache is None:
+            cache = self._sdv_ord_cache = {}
+        if field not in cache:
+            tbl = self._sdv_table()
+            if tbl is None or field not in tbl.schema.names:
+                raise KeyError(f"no SORTED doc values for field {field!r}")
+            vals = np.asarray(
+                tbl.column(field).combine_chunks().to_pylist(), dtype=object
+            )
+            terms, ords = np.unique(vals, return_inverse=True)
+            cache[field] = (ords.astype(np.int64), terms)
+        return cache[field]
+
+    def sorted_set_doc_values(
+        self, field: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """SORTED_SET doc values (index/SortedSetDocValues.java): per-doc
+        ascending, de-duplicated ordinal runs. Returns (offsets[n+1],
+        flat_ords, terms) where doc d's ords are flat_ords[offsets[d]:
+        offsets[d+1]]."""
+        cache = getattr(self, "_ssdv_cache", None)
+        if cache is None:
+            cache = self._ssdv_cache = {}
+        if field not in cache:
+            tbl = self._sdv_table()
+            if tbl is None or field not in tbl.schema.names:
+                raise KeyError(f"no SORTED_SET doc values for field {field!r}")
+            col = tbl.column(field).combine_chunks()
+            raw_off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = np.asarray(col.values.to_pylist(), dtype=object)
+            terms, flat_ords = np.unique(flat, return_inverse=True)
+            n = len(col)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(raw_off))
+            # Lucene contract: ords ascending per doc, no duplicates
+            order = np.lexsort((flat_ords, doc_idx))
+            di, fo = doc_idx[order], flat_ords[order]
+            if len(di):
+                keep = np.ones(len(di), dtype=bool)
+                keep[1:] = (di[1:] != di[:-1]) | (fo[1:] != fo[:-1])
+                di, fo = di[keep], fo[keep]
+            counts = np.bincount(di, minlength=n)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            cache[field] = (offsets, fo.astype(np.int64), terms)
+        return cache[field]
+
     @property
     def has_term_vectors(self) -> bool:
         return os.path.exists(os.path.join(self.seg_dir, "termvectors.parquet"))

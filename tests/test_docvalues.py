@@ -1,0 +1,200 @@
+"""Schema-driven doc values (index/DocValuesType.java:23-51): NUMERIC
+pass-through source columns, SORTED / SORTED_SET keyword sidecar, points
+view for source numerics, index_sort over a source column, and the sidecar
+surviving a merge."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.index.builder import build_index
+from lucene_ray.search.engine import (
+    IndexSearcher,
+    facet_counts,
+    fetch_doc_values,
+    search_sorted,
+    sorted_set_facet_counts,
+)
+from lucene_ray.search.query import BooleanQuery, PointRangeQuery, TermQuery
+
+N_DOCS = 240
+LANGS = ["py", "rs", "go", "java"]
+REPOS = ["alpha", "beta", "gamma"]
+WORDS = ["merge", "window", "batch", "sort", "flush", "scan"]
+
+
+def _write_shards(d: str) -> list[str]:
+    rng = np.random.default_rng(99)
+    paths = []
+    for sh in range(2):
+        lo, hi = sh * N_DOCS // 2, (sh + 1) * N_DOCS // 2
+        rows = {
+            "repo": [REPOS[i % len(REPOS)] for i in range(lo, hi)],
+            "path": [f"f/{i}" for i in range(lo, hi)],
+            "commit": ["0" * 40] * (hi - lo),
+            "lang": [LANGS[i % len(LANGS)] for i in range(lo, hi)],
+            "content": [
+                " ".join(rng.choice(WORDS, size=int(rng.integers(3, 12))))
+                for _ in range(lo, hi)
+            ],
+            # pass-through numeric: NOT derivable from content
+            "prio": [(i * 37) % 1000 for i in range(lo, hi)],
+        }
+        p = os.path.join(d, f"shard_{sh}.parquet")
+        pq.write_table(pa.table(rows), p, row_group_size=40)
+        paths.append(p)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def dv_ix(tmp_path_factory, ray_session):
+    src = str(tmp_path_factory.mktemp("dv_src"))
+    shards = _write_shards(src)
+    ix = str(tmp_path_factory.mktemp("dv_ix"))
+    build_index(
+        shards,
+        ix,
+        target_docs=60,
+        dv_fields=("prio",),
+        sorted_dv_fields=("lang",),
+        sorted_set_dv_fields=("labels",),
+    )
+    return ix
+
+
+@pytest.fixture(scope="module")
+def truth():
+    return {
+        "prio": np.array([(i * 37) % 1000 for i in range(N_DOCS)]),
+        "lang": [LANGS[i % len(LANGS)] for i in range(N_DOCS)],
+        "repo": [REPOS[i % len(REPOS)] for i in range(N_DOCS)],
+    }
+
+
+def test_numeric_dv_schema_and_values(dv_ix, truth):
+    s = IndexSearcher(dv_ix)
+    first = s.reader.segments[0]
+    schema = s.reader.segment_reader(first.name).doc_values_schema()
+    assert set(schema) == {"n_chars", "prio"}
+    got = fetch_doc_values(s.reader, np.arange(N_DOCS), "prio")
+    assert np.array_equal(got, truth["prio"])
+
+
+def test_sort_by_source_numeric(dv_ix, truth):
+    s = IndexSearcher(dv_ix)
+    td = search_sorted(s, "merge", "prio", k=15, ascending=True)
+    matches = IndexSearcher(dv_ix).search("merge", 1 << 62).docids
+    order = sorted(matches.tolist(), key=lambda d: (truth["prio"][d], d))[:15]
+    assert td.docids.tolist() == order
+
+
+def test_points_range_on_source_numeric(dv_ix, truth):
+    s = IndexSearcher(dv_ix)
+    q = BooleanQuery(must=[PointRangeQuery("prio", 100, 400), TermQuery("sort")])
+    got = set(s.search(q, 1 << 62).docids.tolist())
+    matches = set(s.search("sort", 1 << 62).docids.tolist())
+    want = {
+        d for d in range(N_DOCS)
+        if 100 <= truth["prio"][d] <= 400 and d in matches
+    }
+    assert got == want
+
+
+def test_sorted_dv_ords(dv_ix, truth):
+    r = IndexSearcher(dv_ix).reader
+    base = 0
+    for e in r.segments:
+        sr = r.segment_reader(e.name)
+        assert "lang" in sr.sorted_dv_schema()
+        ords, terms = sr.sorted_doc_values("lang")
+        assert list(terms) == sorted(terms)  # term-sorted dictionary
+        vals = [str(terms[o]) for o in ords]
+        assert vals == truth["lang"][base : base + e.doc_count]
+        base += e.doc_count
+
+
+def test_sorted_set_dv_contract(dv_ix, truth):
+    r = IndexSearcher(dv_ix).reader
+    base = 0
+    for e in r.segments:
+        sr = r.segment_reader(e.name)
+        offsets, flat, terms = sr.sorted_set_doc_values("labels")
+        for i in range(e.doc_count):
+            o = flat[offsets[i] : offsets[i + 1]]
+            # ascending, de-duplicated ords per doc (SortedSetDocValues)
+            assert np.all(np.diff(o) > 0)
+            got = {str(terms[x]) for x in o}
+            d = base + i
+            assert got == {truth["lang"][d], truth["repo"][d]}
+        base += e.doc_count
+
+
+def test_string_sort_uses_sorted_dv(dv_ix, truth):
+    s = IndexSearcher(dv_ix)
+    td = search_sorted(s, "window", "lang", k=25, ascending=True)
+    matches = s.search("window", 1 << 62).docids
+    order = sorted(matches.tolist(), key=lambda d: (truth["lang"][d], d))[:25]
+    assert td.docids.tolist() == order
+
+
+def test_facets_from_dv(dv_ix, truth):
+    from collections import Counter
+
+    s = IndexSearcher(dv_ix)
+    matches = s.search("batch", 1 << 62).docids.tolist()
+    want = Counter(truth["lang"][d] for d in matches)
+    got = dict(facet_counts(s, "batch", "lang"))
+    assert got == dict(want)
+    wantset = Counter()
+    for d in matches:
+        for v in {truth["lang"][d], truth["repo"][d]}:
+            wantset[v] += 1
+    gotset = dict(sorted_set_facet_counts(s, "batch", "labels"))
+    assert gotset == dict(wantset)
+
+
+def test_sidecar_survives_merge(dv_ix, tmp_path_factory, truth):
+    import shutil
+
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+    from lucene_ray.search.engine import fetch_sorted_dv_values
+
+    d = str(tmp_path_factory.mktemp("dv_merged"))
+    shutil.rmtree(d)
+    shutil.copytree(dv_ix, d)
+    maybe_merge(d, TieredMergePolicy(), use_ray=False)
+    s = IndexSearcher(d)
+    got = fetch_doc_values(s.reader, np.arange(N_DOCS), "prio")
+    assert np.array_equal(got, truth["prio"])
+    vals = fetch_sorted_dv_values(s.reader, np.arange(N_DOCS), "lang")
+    assert [str(v) for v in vals] == truth["lang"]
+    from collections import Counter
+
+    matches = s.search("batch", 1 << 62).docids.tolist()
+    want = Counter(truth["lang"][d_] for d_ in matches)
+    assert dict(facet_counts(s, "batch", "lang")) == dict(want)
+
+
+def test_index_sort_on_source_numeric(tmp_path_factory, ray_session):
+    src = str(tmp_path_factory.mktemp("dvs_src"))
+    shards = _write_shards(src)
+    ix = str(tmp_path_factory.mktemp("dvs_ix"))
+    build_index(
+        shards, ix, target_docs=60,
+        dv_fields=("prio",), index_sort=("prio", "asc"),
+    )
+    r = IndexSearcher(ix).reader
+    for e in r.segments:
+        dv = r.segment_reader(e.name).doc_values("prio")
+        assert np.all(np.diff(dv) >= 0)  # docid order IS prio order
+
+
+def test_checkindex_on_dv_index(dv_ix):
+    from lucene_ray.index.checkindex import check_index
+
+    report = check_index(dv_ix)
+    assert report["ok"], report["problems"]
