@@ -36,9 +36,10 @@ from lucene_ray.codec.forutil import decode_stream, encode_stream
 from lucene_ray.config import BLOCK_SIZE
 
 #: bumped when the on-disk layout changes (invalidates segment fingerprints)
-FORMAT_VERSION = 6  # v6: discountOverlaps norms (posInc==0 tokens excluded
-# from doc_len; sum_ttf still counts them). v5: optional per-occurrence
-# offsets streams (off/offlen)
+FORMAT_VERSION = 7  # v7: optional per-occurrence payload stream (pay_blob,
+# raw uint32 values — the .pay payload lane, Lucene90PostingsFormat payloads).
+# v6: discountOverlaps norms (posInc==0 tokens excluded from doc_len;
+# sum_ttf still counts them). v5: optional per-occurrence offsets streams
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -56,12 +57,18 @@ POSTINGS_SCHEMA = pa.schema(
         # and raw token byte lengths. Empty blobs when not indexed.
         ("off_blob", pa.large_binary()),
         ("offlen_blob", pa.large_binary()),
+        # payloads option (queries/payloads/, Lucene90PostingsWriter .pay
+        # payload lane): one RAW uint32 value per occurrence, aligned with
+        # the positions stream (no delta coding — payloads aren't ordered).
+        # Empty blobs when not indexed.
+        ("pay_blob", pa.large_binary()),
         ("block_last_docid", pa.list_(pa.int64())),
         ("doc_block_offsets", pa.list_(pa.int64())),
         ("tf_block_offsets", pa.list_(pa.int64())),
         ("pos_block_offsets", pa.list_(pa.int64())),
         ("off_block_offsets", pa.list_(pa.int64())),
         ("offlen_block_offsets", pa.list_(pa.int64())),
+        ("pay_block_offsets", pa.list_(pa.int64())),
         ("impacts", pa.list_(pa.list_(pa.int64()))),
     ]
 )
@@ -197,6 +204,7 @@ def build_segment_postings(
     with_positions: bool = True,
     tok_starts: np.ndarray | None = None,
     tok_lens: np.ndarray | None = None,
+    payloads: np.ndarray | None = None,
 ) -> tuple[pa.Table, dict]:
     """Build a segment postings table from exploded (docid, term, position)
     token arrays (output of ``CodeAnalyzer.tokenize_flat``).
@@ -273,9 +281,14 @@ def build_segment_postings(
         off_delta = off_delta.astype(np.uint32)
         off_len = tok_lens[order].astype(np.uint32)
 
+    # payload stream: raw per-occurrence values in the same (term, doc,
+    # position) order — NOT delta coded (payloads carry no ordering)
+    pay = payloads[order].astype(np.uint32) if payloads is not None else None
+
     table = postings_table_from_pairs(
         vocab_sorted, pair_term, pair_doc, tfs, pos_delta, norm_bytes,
         with_positions=with_positions, off_delta=off_delta, off_len=off_len,
+        pay=pay,
     )
     stats = {
         "doc_count": int(doc_count),
@@ -295,6 +308,7 @@ def postings_table_from_pairs(
     with_positions: bool = True,
     off_delta: np.ndarray | None = None,
     off_len: np.ndarray | None = None,
+    pay: np.ndarray | None = None,
 ) -> pa.Table:
     """Encode a postings table from (term, doc, tf) pair arrays + the
     aligned per-pair position-delta stream. Shared by the segment build and
@@ -356,7 +370,8 @@ def postings_table_from_pairs(
     # lengths): blocks of 128 deltas within each term, identical block
     # structure (all three have term_ttf entries per term) ----------------
     with_offsets = off_delta is not None
-    if with_positions or with_offsets:
+    with_payloads = pay is not None
+    if with_positions or with_offsets or with_payloads:
         pos_nblocks = (term_ttf + BLOCK_SIZE - 1) // BLOCK_SIZE
         p_blk_term = np.repeat(np.arange(n_terms), pos_nblocks)
         p_blk_ord = np.arange(len(p_blk_term)) - np.repeat(
@@ -397,6 +412,10 @@ def postings_table_from_pairs(
     else:
         off_mv, off_term_bounds, off_offsets_arr = empty_stream()
         ol_mv, ol_term_bounds, ol_offsets_arr = empty_stream()
+    if with_payloads:
+        pay_mv, pay_term_bounds, pay_offsets_arr = occ_stream(pay)
+    else:
+        pay_mv, pay_term_bounds, pay_offsets_arr = empty_stream()
 
     # ---- impacts (vectorized pareto per block) ---------------------------
     blk_of_pair = np.repeat(np.arange(n_blocks), blk_len)
@@ -410,7 +429,7 @@ def postings_table_from_pairs(
     doc_mv = memoryview(doc_buf)
     tf_mv = memoryview(tf_buf)
     doc_blobs, tf_blobs, pos_blobs = [], [], []
-    off_blobs, ol_blobs = [], []
+    off_blobs, ol_blobs, pay_blobs = [], [], []
     for j in range(n_terms):
         if singleton[j]:
             doc_blobs.append(b"")
@@ -422,8 +441,12 @@ def postings_table_from_pairs(
         if with_offsets:
             off_blobs.append(bytes(off_mv[off_term_bounds[j] : off_term_bounds[j + 1]]))
             ol_blobs.append(bytes(ol_mv[ol_term_bounds[j] : ol_term_bounds[j + 1]]))
+        if with_payloads:
+            pay_blobs.append(bytes(pay_mv[pay_term_bounds[j] : pay_term_bounds[j + 1]]))
     if not with_offsets:
         off_blobs = ol_blobs = [b""] * n_terms
+    if not with_payloads:
+        pay_blobs = [b""] * n_terms
 
     # doc/tf block offsets are term-relative
     rel_doc_offsets = doc_offsets - np.repeat(
@@ -455,6 +478,7 @@ def postings_table_from_pairs(
             "pos_blob": pa.array(pos_blobs, type=pa.large_binary()),
             "off_blob": pa.array(off_blobs, type=pa.large_binary()),
             "offlen_blob": pa.array(ol_blobs, type=pa.large_binary()),
+            "pay_blob": pa.array(pay_blobs, type=pa.large_binary()),
             "block_last_docid": pa.ListArray.from_arrays(
                 list_off, pa.array(block_last, type=pa.int64())
             ),
@@ -467,6 +491,7 @@ def postings_table_from_pairs(
             "pos_block_offsets": pos_offsets_arr,
             "off_block_offsets": off_offsets_arr,
             "offlen_block_offsets": ol_offsets_arr,
+            "pay_block_offsets": pay_offsets_arr,
             "impacts": pa.ListArray.from_arrays(list_off, impacts_inner),
         },
         schema=POSTINGS_SCHEMA,
@@ -494,7 +519,10 @@ def _list_col(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def decode_segment_pairs(
-    table: pa.Table, with_positions: bool = True, with_offsets: bool = False
+    table: pa.Table,
+    with_positions: bool = True,
+    with_offsets: bool = False,
+    with_payloads: bool = False,
 ) -> tuple:
     """Decode an ENTIRE segment postings table in one vectorized pass.
 
@@ -569,7 +597,7 @@ def decode_segment_pairs(
             zero_copy_only=False
         )[single]
 
-    if not with_positions and not with_offsets:
+    if not with_positions and not with_offsets and not with_payloads:
         return terms, df, pair_doc, pair_tf, np.array([], dtype=np.uint32)
 
     # per-occurrence streams: every term (incl. singletons) has
@@ -590,11 +618,14 @@ def decode_segment_pairs(
         if with_positions
         else np.array([], dtype=np.uint32)
     )
-    if not with_offsets:
-        return terms, df, pair_doc, pair_tf, pos_delta
-    off_delta = occ_decode("off_blob", "off_block_offsets")
-    off_len = occ_decode("offlen_blob", "offlen_block_offsets")
-    return terms, df, pair_doc, pair_tf, pos_delta, off_delta, off_len
+    out = (terms, df, pair_doc, pair_tf, pos_delta)
+    if with_offsets:
+        off_delta = occ_decode("off_blob", "off_block_offsets")
+        off_len = occ_decode("offlen_blob", "offlen_block_offsets")
+        out = out + (off_delta, off_len)
+    if with_payloads:
+        out = out + (occ_decode("pay_blob", "pay_block_offsets"),)
+    return out
 
 
 class TermPostings:
@@ -602,7 +633,7 @@ class TermPostings:
 
     __slots__ = (
         "docids", "tfs", "_pos_blob", "_ttf", "_flat_pos",
-        "_off_blob", "_offlen_blob", "_flat_off",
+        "_off_blob", "_offlen_blob", "_flat_off", "_pay_blob", "_flat_pay",
     )
 
     def __init__(
@@ -613,6 +644,7 @@ class TermPostings:
         ttf: int,
         off_blob: bytes = b"",
         offlen_blob: bytes = b"",
+        pay_blob: bytes = b"",
     ):
         self.docids = docids
         self.tfs = tfs
@@ -622,10 +654,32 @@ class TermPostings:
         self._off_blob = off_blob
         self._offlen_blob = offlen_blob
         self._flat_off = None
+        self._pay_blob = pay_blob
+        self._flat_pay = None
 
     @property
     def has_offsets(self) -> bool:
         return bool(self._off_blob)
+
+    @property
+    def has_payloads(self) -> bool:
+        return bool(self._pay_blob)
+
+    def flat_payloads(self) -> tuple[np.ndarray, np.ndarray]:
+        """(docid-per-occurrence, payload value) aligned with
+        ``flat_positions`` — the PayloadAttribute readback
+        (queries/payloads/PayloadSpanCollector semantics over TermSpans).
+        Empty arrays when the index carries no payloads."""
+        if self._flat_pay is None:
+            if not self._pay_blob:
+                z = np.array([], dtype=np.int64)
+                self._flat_pay = (z, z)
+            else:
+                vals = decode_stream(self._pay_blob, self._ttf).astype(np.int64)
+                self._flat_pay = (
+                    np.repeat(self.docids, self.tfs.astype(np.int64)), vals
+                )
+        return self._flat_pay
 
     def flat_offsets(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(docid-per-occurrence, absolute start byte, byte length), aligned
@@ -698,4 +752,5 @@ def decode_term_postings(row: dict) -> TermPostings:
         docids, tfs, row["pos_blob"], int(row["ttf"]),
         off_blob=row.get("off_blob") or b"",
         offlen_blob=row.get("offlen_blob") or b"",
+        pay_blob=row.get("pay_blob") or b"",
     )

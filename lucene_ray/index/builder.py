@@ -78,6 +78,25 @@ def _derive_labels(table):
 SORTED_SET_DERIVERS = {"labels": _derive_labels}
 
 
+def _payload_term_length(terms: pa.Array, positions: np.ndarray) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    return (
+        pc.utf8_length(terms).to_numpy(zero_copy_only=False).astype(np.uint32)
+    )
+
+
+# per-occurrence payload derivers (the DelimitedPayloadTokenFilter /
+# PayloadAttribute role, applied vectorized at flush): token stream ->
+# one uint32 per content occurrence. Keyword-field occurrences carry
+# payload 0 (StringFields have no payloads).
+PAYLOAD_DERIVERS = {
+    # analyzed-term character length — SQL-derivable (length(term)), the
+    # clean oracle for PayloadScoreQuery
+    "term_length": _payload_term_length,
+}
+
+
 @dataclass
 class SegmentSpec:
     seg_idx: int
@@ -226,6 +245,7 @@ def build_one_segment(
     dv_fields: tuple | None = None,
     sorted_dv_fields: tuple | None = None,
     sorted_set_dv_fields: tuple | None = None,
+    payload_fn: str | None = None,
 ) -> SegmentEntry:
     """Build one segment from its input row groups. Pure + idempotent
     (writes only under its own segment dir; atomic entry.json last).
@@ -365,6 +385,14 @@ def build_one_segment(
 
     if keyword_fields is None:
         keyword_fields = KEYWORD_FIELDS
+    # per-occurrence payloads computed over the CONTENT stream before the
+    # keyword append (StringFields carry payload 0, mirroring the offsets
+    # zero-fill below)
+    payloads = (
+        PAYLOAD_DERIVERS[payload_fn](terms, positions)
+        if payload_fn is not None
+        else None
+    )
     kw_row, kw_terms = [], []
     for f in keyword_fields:
         vals = (
@@ -388,11 +416,15 @@ def build_one_segment(
             zeros = np.zeros(n * len(keyword_fields), dtype=tok_starts.dtype)
             tok_starts = np.concatenate([tok_starts, zeros])
             tok_lens = np.concatenate([tok_lens, zeros])
+        if payloads is not None:
+            payloads = np.concatenate(
+                [payloads, np.zeros(n * len(keyword_fields), dtype=np.uint32)]
+            )
 
     postings, stats = build_segment_postings(
         row_idx, terms, positions, n, norm_bytes,
         with_positions=(index_options in ("positions", "offsets")),
-        tok_starts=tok_starts, tok_lens=tok_lens,
+        tok_starts=tok_starts, tok_lens=tok_lens, payloads=payloads,
     )
     # manifest sum_ttf stays content-only (it feeds avgdl in BM25 stats)
     # and counts EVERY content token incl. posInc==0 overlaps — Lucene's
@@ -511,6 +543,7 @@ def build_one_segment(
                 "sorted_set_dv_fields": (
                     list(sorted_set_dv_fields) if sorted_set_dv_fields else None
                 ),
+                "payload_fn": payload_fn,
                 "variant": spec.variant,
             },
         },
@@ -548,6 +581,7 @@ def build_index(
     dv_fields: tuple | None = None,
     sorted_dv_fields: tuple | None = None,
     sorted_set_dv_fields: tuple | None = None,
+    payload_fn: str | None = None,
 ) -> Manifest:
     """Build (or resume) the whole index with Ray Data.
 
@@ -589,6 +623,10 @@ def build_index(
         variant = (
             f"{variant or 'code:positions'}:ssdv={','.join(sorted_set_dv_fields)}"
         )
+    if payload_fn is not None:
+        if payload_fn not in PAYLOAD_DERIVERS:
+            raise ValueError(f"unknown payload_fn: {payload_fn!r}")
+        variant = f"{variant or 'code:positions'}:pay={payload_fn}"
     specs = plan_segments(input_paths, target_docs, variant)
     todo = []
     done: list[SegmentEntry] = []
@@ -618,7 +656,7 @@ def build_index(
                     spec, index_dir, analyzer_name, index_options,
                     keyword_fields, index_sort, point2d_fields,
                     term_vectors, dv_fields, sorted_dv_fields,
-                    sorted_set_dv_fields,
+                    sorted_set_dv_fields, payload_fn,
                 )
                 out.append(_json.dumps(entry.__dict__))
             return {"entry": np.array(out)}
@@ -755,6 +793,7 @@ def upgrade_index(index_dir: str) -> dict:
                 "dv_fields": None,
                 "sorted_dv_fields": None,
                 "sorted_set_dv_fields": None,
+                "payload_fn": None,
                 "variant": "",
             }
         m = _re.match(r"seg_(\d+)_", e.name)
@@ -787,6 +826,7 @@ def upgrade_index(index_dir: str) -> dict:
             tuple(opts["sorted_set_dv_fields"])
             if opts.get("sorted_set_dv_fields")
             else None,
+            opts.get("payload_fn") or None,
         )
         old_d = segment_dir(index_dir, e.name)
         new_d = segment_dir(index_dir, new_entry.name)

@@ -292,6 +292,7 @@ def _merge_chunk(
     live_merged: np.ndarray | None,
     with_positions: bool,
     with_offsets: bool = False,
+    with_payloads: bool = False,
 ) -> tuple[pa.Table, int, int] | None:
     """Decode + k-way combine one term-range chunk; returns (encoded table,
     kept pair count, content-only ttf) or None if deletes emptied it."""
@@ -303,14 +304,21 @@ def _merge_chunk(
     decoded = []
     for i, t in enumerate(parts):
         if t.num_rows:
-            decoded.append((i, *decode_segment_pairs(t, with_positions, with_offsets)))
+            decoded.append(
+                (
+                    i,
+                    *decode_segment_pairs(
+                        t, with_positions, with_offsets, with_payloads
+                    ),
+                )
+            )
     if not decoded:
         return None
     all_terms = np.unique(np.concatenate([d[1] for d in decoded]))
     # per-occurrence streams travel together (positions + offset starts +
-    # offset lengths all have one entry per occurrence, per-doc
-    # self-contained deltas -> merged streams are plain gathers)
-    n_occ = 3 if with_offsets else 1
+    # offset lengths + payloads all have one entry per occurrence, per-doc
+    # self-contained deltas / raw values -> merged streams are plain gathers)
+    n_occ = (3 if with_offsets else 1) + (1 if with_payloads else 0)
     pair_rank_parts, pair_doc_parts, tf_parts = [], [], []
     occ_parts: list[list[np.ndarray]] = [[] for _ in range(n_occ)]
     for tup in decoded:
@@ -343,7 +351,7 @@ def _merge_chunk(
     pair_rank_s = pair_rank[order]
     pair_doc_s = pair_doc[order]
     tfs_s = tfs[order]
-    if with_positions or with_offsets:
+    if with_positions or with_offsets or with_payloads:
         # pair-wise gather reordering the occurrence streams to pair order
         seg_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
         lens_o = tfs[order]
@@ -360,6 +368,7 @@ def _merge_chunk(
         with_positions=with_positions,
         off_delta=occ[1] if with_offsets else None,
         off_len=occ[2] if with_offsets else None,
+        pay=occ[-1] if with_payloads else None,
     )
     # content-only ttf (field "f:v" postings excluded — avgdl invariant);
     # vectorized via Arrow, never a python loop over the vocab
@@ -439,16 +448,20 @@ def merge_segments(
     # schema stats cheaply by decoding nothing — any non-empty pos_blob in
     # the first buffered batch means the index carries positions
     post_paths = [os.path.join(sd, "postings.parquet") for sd in seg_dirs]
-    with_positions = with_offsets = False
+    with_positions = with_offsets = with_payloads = False
     for p in post_paths:
         pf = pq.ParquetFile(p)
         if pf.metadata.num_rows == 0:
             continue
-        first = next(
-            pf.iter_batches(batch_size=1, columns=["pos_blob", "off_blob"])
-        )
+        probe_cols = ["pos_blob", "off_blob"]
+        has_pay_col = "pay_blob" in pf.schema_arrow.names
+        if has_pay_col:
+            probe_cols.append("pay_blob")
+        first = next(pf.iter_batches(batch_size=1, columns=probe_cols))
         with_positions = len(first.column("pos_blob")[0].as_py() or b"") > 0
         with_offsets = len(first.column("off_blob")[0].as_py() or b"") > 0
+        if has_pay_col:
+            with_payloads = len(first.column("pay_blob")[0].as_py() or b"") > 0
         break
 
     # ---- streaming k-way merge: decode/re-encode one term-range chunk at
@@ -467,7 +480,8 @@ def merge_segments(
     try:
         for parts in _iter_term_chunks(post_paths, batch_rows, max_chunk_pairs):
             out = _merge_chunk(
-                parts, offsets, norms, live_merged, with_positions, with_offsets
+                parts, offsets, norms, live_merged, with_positions,
+                with_offsets, with_payloads,
             )
             if out is None:
                 continue

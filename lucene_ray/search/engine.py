@@ -511,6 +511,72 @@ def fetch_doc_values(reader: IndexReader, global_docids, field: str) -> np.ndarr
     return out
 
 
+def payload_score_search(
+    searcher: "IndexSearcher", query, k: int | None = None
+) -> "SortedTopDocs":
+    """Execute a PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java)
+    against the index: per matching doc, aggregate the payload values of
+    every occurrence of the query's terms with the chosen PayloadFunction
+    (min/max/avg/sum — PayloadFunction.java subclasses), times boost.
+    Aggregation is float64 (SQL-oracle parity: sums are per-doc over sorted
+    occurrence order). Returns docs ordered score desc, docid asc."""
+    from lucene_ray.search.query import PayloadScoreQuery
+
+    assert isinstance(query, PayloadScoreQuery)
+    if query.function not in ("min", "max", "avg", "sum"):
+        raise ValueError(f"unknown payload function: {query.function}")
+    reader = searcher.reader
+    doc_parts, val_parts = [], []
+    for entry in reader.segments:
+        sr = reader.segment_reader(entry.name)
+        seg_d, seg_v = [], []
+        for term in query.terms:
+            tp = sr.postings(term)
+            if tp is None:
+                continue
+            if not tp.has_payloads:
+                raise ValueError(
+                    "index was built without payloads (build_index payload_fn)"
+                )
+            d, v = tp.flat_payloads()
+            seg_d.append(d)
+            seg_v.append(v)
+        if not seg_d:
+            continue
+        d = np.concatenate(seg_d)
+        v = np.concatenate(seg_v).astype(np.float64)
+        if sr.live_mask is not None:
+            keep = sr.live_mask[d]
+            d, v = d[keep], v[keep]
+        if len(d) == 0:
+            continue
+        doc_parts.append(d + entry.docid_base)
+        val_parts.append(v)
+    if not doc_parts:
+        z = np.array([], dtype=np.int64)
+        return SortedTopDocs(z, np.array([], dtype=np.float64), 0, z)
+    d = np.concatenate(doc_parts)
+    v = np.concatenate(val_parts)
+    order = np.argsort(d, kind="stable")
+    d_s, v_s = d[order], v[order]
+    starts = np.nonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))[0]
+    docs_u = d_s[starts]
+    if query.function == "sum":
+        score = np.add.reduceat(v_s, starts)
+    elif query.function == "min":
+        score = np.minimum.reduceat(v_s, starts)
+    elif query.function == "max":
+        score = np.maximum.reduceat(v_s, starts)
+    else:  # avg
+        cnt = np.diff(np.append(starts, len(d_s))).astype(np.float64)
+        score = np.add.reduceat(v_s, starts) / cnt
+    score = score * float(query.boost)
+    o = np.lexsort((docs_u, -score))
+    if k is not None:
+        o = o[:k]
+    return SortedTopDocs(docs_u[o], score[o], len(docs_u), score[o])
+
+
 def fetch_sorted_dv_values(
     reader: IndexReader, global_docids, field: str
 ) -> np.ndarray:

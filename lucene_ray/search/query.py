@@ -201,6 +201,20 @@ class SpanMultiTermWrapper:
 
 
 @dataclass(frozen=True)
+class PayloadScoreQuery:
+    """queries/payloads/PayloadScoreQuery.java:43 — scores each matching
+    doc by an aggregate (PayloadFunction.java: min/max/avg/sum) of the
+    per-occurrence payload values of its term matches. Scope (documented):
+    the wrapped span source is a term / term-union (the TermSpans +
+    PayloadSpanCollector case); includeSpanScore=false semantics — the
+    payload aggregate IS the score, times boost."""
+
+    terms: tuple  # term strings (SpanTerm / SpanOr-of-terms source)
+    function: str = "sum"  # min | max | avg | sum
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class IntervalQuery:
     """Minimal-interval algebra query (queries/.../intervals/IntervalQuery
     .java): ``source`` is an intervals-source tree built with the factory
