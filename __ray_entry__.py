@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dvsort_engine": bm25docs.dvsort_engine,
         "dvfacet_engine": bm25docs.dvfacet_engine,
         "dvrange_engine": bm25docs.dvrange_engine,
+        "payload_engine": bm25docs.payload_engine,
+        "unicode_stats": text.unicode_stats,
         # --- never recorded by the driver through r3 (VERDICT r3 item 2):
         # these 9 sat past position 50 every round; front-load them so
         # CORRECTNESS_r04 finally witnesses them.
@@ -166,6 +168,8 @@ def oracle_sql() -> dict[str, str]:
         "dvsort_engine": bm25docs.dvsort_engine_sql(),
         "dvfacet_engine": bm25docs.dvfacet_engine_sql(),
         "dvrange_engine": bm25docs.dvrange_engine_sql(),
+        "payload_engine": bm25docs.payload_engine_sql(),
+        "unicode_stats": text.unicode_stats_sql(),
         "bm25_topk": bm25docs.bm25_topk_sql(),
         "tfidf_topk": bm25docs.tfidf_topk_sql(),
         "boolean_engine": bm25docs.boolean_engine_sql(),

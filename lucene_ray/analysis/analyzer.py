@@ -290,6 +290,81 @@ class StandardLiteAnalyzer:
         )
 
 
+# Unicode word-break passes (UAX#29-lite beyond ASCII,
+# analysis/standard/StandardTokenizerImpl.jflex:23-92): Han ideographs and
+# Hiragana emit as SINGLE-character tokens (the IDEOGRAPHIC / HIRAGANA token
+# types); Katakana and Hangul stay runs (KATAKANA / HANGUL types); every
+# other \p{L}\p{N} codepoint joins ALPHANUM runs. RE2 script classes —
+# identical in pyarrow.compute and DuckDB regexp_* (both RE2).
+_UNI_ISOLATE_PATTERN = r"([\p{Han}\p{Hiragana}])"
+_UNI_SEP_PATTERN = r"[^\p{L}\p{N}]+"
+
+
+class UnicodeAnalyzer:
+    """Unicode StandardAnalyzer (UAX#29-lite): full \\p{L}\\p{N} ALPHANUM
+    runs + single-char ideographic/Hiragana tokens, Unicode-lowercased.
+
+    Divergences, documented: medial apostrophe/numeric punctuation split
+    (like CodeAnalyzer, unlike the ASCII conformance StandardLiteAnalyzer);
+    emoji/symbols are separators (the reference's 9.x emoji rule is out of
+    scope); no offsets option (the isolation pass shifts byte positions).
+    Pure RE2 pipeline — no byte-LUT fast path; non-ASCII corpora are not the
+    bench hot path."""
+
+    name = "unicode"
+    supports_indexing = True
+
+    def tokenize_array(self, texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        s = pc.replace_substring_regex(
+            texts, pattern=_UNI_ISOLATE_PATTERN, replacement=r" \1 "
+        )
+        s = pc.utf8_lower(s)
+        toks = pc.split_pattern_regex(s, pattern=_UNI_SEP_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.utf8_length(toks.values).to_numpy(zero_copy_only=False)
+        keep = (lengths > 0) & (lengths <= MAX_TOKEN_LEN)
+        if bool(keep.all()):
+            return toks
+        return _filter_list_array(toks, keep)
+
+    @staticmethod
+    def sql_expr(col: str) -> str:
+        """DuckDB expression producing exactly ``tokenize_array``'s tokens
+        (RE2 on both sides; lower() is utf8-aware in both engines)."""
+        expr = (
+            f"regexp_replace({col}, '{_UNI_ISOLATE_PATTERN}', ' \\1 ', 'g')"
+        )
+        expr = f"lower({expr})"
+        expr = f"string_split_regex({expr}, '{_UNI_SEP_PATTERN}')"
+        return (
+            f"list_filter({expr}, t -> t <> '' AND length(t) <= {MAX_TOKEN_LEN})"
+        )
+
+    def tokenize_flat(self, texts, with_offsets: bool = False):
+        if with_offsets:
+            raise ValueError(
+                "unicode analyzer does not support the offsets option (the "
+                "ideograph isolation pass shifts byte positions)"
+            )
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = self.tokenize_array(texts)
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        row_idx = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
+        positions = (
+            np.arange(int(counts.sum()), dtype=np.int32)
+            - np.repeat(offs[:-1], counts).astype(np.int32)
+        )
+        return row_idx, lists.flatten(), positions
+
+    def tokenize_text(self, text: str) -> list[str]:
+        return self.tokenize_array(pa.array([text], type=pa.string()))[0].as_py()
+
+
 # EnglishAnalyzer's default stop set (analysis/common/.../en/EnglishAnalyzer.java
 # :48-58 — the classic 33-word list)
 ENGLISH_STOP_SET = frozenset(
@@ -808,6 +883,7 @@ class ShingleAnalyzer(CodeAnalyzer):
 _REGISTRY = {
     "code": CodeAnalyzer,
     "standard": StandardLiteAnalyzer,
+    "unicode": UnicodeAnalyzer,
     "english": EnglishAnalyzer,
     "whitespace": WhitespaceAnalyzer,
     "keyword": KeywordAnalyzer,

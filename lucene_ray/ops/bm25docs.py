@@ -3376,3 +3376,221 @@ WITH tok AS (
 )
 {union}
 """
+
+
+# ------------------------------------------------------------------ payloads
+
+PAYLOAD_QUERIES = (
+    # (qid, terms, function) — PayloadFunction min/max/avg/sum over the
+    # term_length payloads of each matching doc's occurrences
+    (0, ("merge",), "sum"),
+    (1, ("merge", "window"), "avg"),
+    (2, ("sort", "stream"), "min"),
+    (3, ("batch",), "max"),
+)
+
+
+def _engine_index_pay(sf_dir: str) -> str:
+    """documents index built with per-occurrence payloads
+    (payload_fn='term_length' — the analyzed-term character length, the
+    SQL-derivable PayloadAttribute)."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_index_pay_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192, payload_fn="term_length")
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+def payload_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid, score): PayloadScoreQuery through the real index — the
+    per-occurrence payload stream (postings .pay lane) aggregated per doc
+    with min/max/avg/sum (queries/payloads/PayloadScoreQuery.java:43,
+    PayloadFunction.java). Payload = term_length, so DuckDB reproduces every
+    score exactly (integer sums in float64)."""
+    from lucene_ray.search.engine import IndexSearcher, payload_score_search
+    from lucene_ray.search.query import PayloadScoreQuery
+
+    ix = _engine_index_pay(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d, out_s = [], [], []
+    for qid, terms, fn in PAYLOAD_QUERIES:
+        td = payload_score_search(s, PayloadScoreQuery(terms, fn))
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+        out_s.extend(td.scores.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float64()),
+        }
+    )
+
+
+def payload_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    agg = {
+        "sum": "sum(length(term))::DOUBLE",
+        "min": "min(length(term))::DOUBLE",
+        "max": "max(length(term))::DOUBLE",
+        "avg": "(sum(length(term))::DOUBLE / count(*)::DOUBLE)",
+    }
+    parts = []
+    for qid, terms, fn in PAYLOAD_QUERIES:
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid, {agg[fn]} AS score\n"
+            f"FROM tok WHERE term IN ({tlist}) GROUP BY doc_id"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+# ------------------------------------------------------------- suggesters
+
+ANALYZING_INPUTS = (
+    # (qid, raw lookup input) — case/punct exercise the analyze-then-match
+    # contract (input and surfaces meet in ANALYZED key space)
+    (0, "the"),
+    (1, "SORT"),
+    (2, "merge"),
+    (3, "Window,"),
+)
+FUZZY_INPUTS = (
+    # typos within 1 edit of real analyzed prefixes
+    (0, "mirge"),
+    (1, "windoe"),
+)
+SUGGEST_K = 5
+
+
+def _suggest_entries(sf_dir: str) -> tuple[list[str], list[int]]:
+    """Suggestion dictionary from the documents table: surface = first 24
+    chars of the raw text (title-like), weight = text length. Extraction is
+    a map_batches + groupby (surface -> max weight): the corpus streams,
+    only the deduped dictionary reaches the driver (the suggester is a
+    broadcast small side at scale)."""
+    from ray.data.aggregate import Max
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = batch.column("text").combine_chunks()
+        return pa.table(
+            {
+                "surface": pc.utf8_slice_codeunits(txt, 0, 24),
+                "weight": pc.utf8_length(txt).cast(pa.int64()),
+            }
+        )
+
+    ded = (
+        ds.map_batches(extract, batch_format="pyarrow", batch_size=4096)
+        .groupby("surface")
+        .aggregate(Max("weight", alias_name="weight"))
+        .to_pandas()
+    )
+    return ded["surface"].tolist(), ded["weight"].tolist()
+
+
+def analyzing_suggest(sf_dir: str) -> pa.Table:
+    """(qid, surface, weight): AnalyzingSuggester lookups — surfaces
+    analyzed into keys at build, inputs analyzed at lookup, prefix-matched
+    in key space, exactFirst + weight desc ranking
+    (suggest/.../analyzing/AnalyzingSuggester.java)."""
+    from lucene_ray.search.suggest import AnalyzingSuggester
+
+    surfaces, weights = _suggest_entries(sf_dir)
+    sug = AnalyzingSuggester().build(surfaces, weights)
+    out_q, out_s, out_w = [], [], []
+    for qid, text in ANALYZING_INPUTS:
+        for s, w in sug.lookup(text, n=SUGGEST_K):
+            out_q.append(qid)
+            out_s.append(s)
+            out_w.append(w)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "surface": pa.array(out_s, type=pa.string()),
+            "weight": pa.array(out_w, type=pa.int64()),
+        }
+    )
+
+
+def _suggest_sql_base() -> str:
+    toks = tokenize_sql_expr("surface")
+    return f"""
+WITH ent AS (
+  SELECT left(text, 24) AS surface, max(length(text))::BIGINT AS weight
+  FROM documents GROUP BY left(text, 24)
+), keys AS (
+  SELECT surface, weight, array_to_string({toks}, ' ') AS akey FROM ent
+)"""
+
+
+def analyzing_suggest_sql() -> str:
+    from lucene_ray.analysis import CodeAnalyzer
+
+    an = CodeAnalyzer()
+    parts = []
+    for qid, text in ANALYZING_INPUTS:
+        key = " ".join(an.tokenize_text(text))
+        parts.append(f"""
+SELECT {qid} AS qid, surface, weight FROM keys
+WHERE akey LIKE '{key}%'
+QUALIFY row_number() OVER (
+  ORDER BY (akey = '{key}') DESC, weight DESC, surface
+) <= {SUGGEST_K}""")
+    return _suggest_sql_base() + "\nUNION ALL\n".join(parts)
+
+
+def fuzzy_suggest(sf_dir: str) -> pa.Table:
+    """(qid, surface, weight): FuzzySuggester lookups — analyzed input may
+    differ from the key prefix by <=1 Levenshtein edit
+    (suggest/.../analyzing/FuzzySuggester.java; the Levenshtein automaton
+    becomes FuzzyQuery's banded DP over distinct key prefixes)."""
+    from lucene_ray.search.suggest import FuzzySuggester
+
+    surfaces, weights = _suggest_entries(sf_dir)
+    sug = FuzzySuggester(max_edits=1).build(surfaces, weights)
+    out_q, out_s, out_w = [], [], []
+    for qid, text in FUZZY_INPUTS:
+        for s, w in sug.lookup(text, n=SUGGEST_K):
+            out_q.append(qid)
+            out_s.append(s)
+            out_w.append(w)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "surface": pa.array(out_s, type=pa.string()),
+            "weight": pa.array(out_w, type=pa.int64()),
+        }
+    )
+
+
+def fuzzy_suggest_sql() -> str:
+    from lucene_ray.analysis import CodeAnalyzer
+
+    an = CodeAnalyzer()
+    parts = []
+    for qid, text in FUZZY_INPUTS:
+        key = " ".join(an.tokenize_text(text))
+        d = f"levenshtein(left(akey, {len(key)}), '{key}')"
+        parts.append(f"""
+SELECT {qid} AS qid, surface, weight FROM keys
+WHERE {d} <= 1
+QUALIFY row_number() OVER (ORDER BY {d} ASC, weight DESC, surface) <= {SUGGEST_K}""")
+    return _suggest_sql_base() + "\nUNION ALL\n".join(parts)

@@ -932,3 +932,41 @@ SELECT doc_id,
   )) AS scrubbed_sha
 FROM withpii
 """
+
+
+def unicode_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(term, df, ttf) under the UnicodeAnalyzer (UAX#29-lite beyond ASCII:
+    \\p{L}\\p{N} ALPHANUM runs, single-char Han/Hiragana tokens —
+    analysis/standard/StandardTokenizerImpl.jflex:23-92), mirrored in SQL by
+    the same RE2 passes. Golden Unicode conformance (CJK/kana/full-width)
+    lives in tests/test_analyzer.py."""
+    from lucene_ray.analysis.analyzer import UnicodeAnalyzer
+
+    def partial(batch: pa.Table) -> pa.Table:
+        an = UnicodeAnalyzer()
+        row_idx, terms, _pos = an.tokenize_flat(
+            batch.column("text").combine_chunks()
+        )
+        return _partial_term_stats(row_idx, terms)
+
+    partials = _docs(sf_dir).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    )
+    return partials.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
+    )
+
+
+def unicode_stats_sql() -> str:
+    from lucene_ray.analysis.analyzer import UnicodeAnalyzer
+
+    toks = UnicodeAnalyzer.sql_expr("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), per_doc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+FROM per_doc GROUP BY term
+"""

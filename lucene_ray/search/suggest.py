@@ -92,3 +92,123 @@ def word_breaks(reader, term: str, k: int = 10) -> list[tuple[str, str, int]]:
         (-(stats[a][0] + stats[b][0]), a, b) for a, b in cands
     )
     return [(a, b, -neg) for neg, a, b in scored[:k]]
+
+
+class AnalyzingSuggester:
+    """Analyzed-form completion lookup
+    (suggest/.../analyzing/AnalyzingSuggester.java): each suggestion's
+    SURFACE form is analyzed at build into a key (tokens joined by a single
+    separator); lookup analyzes the input the same way and prefix-matches
+    against the key space, returning surface forms ranked weight desc. The
+    reference's byte-level FST becomes a SORTED KEY TABLE with a
+    searchsorted prefix window (the same FST-to-sorted-table stance as the
+    terms dict, SURVEY.md §8). exactFirst=True (the reference default):
+    entries whose whole analyzed key equals the analyzed input rank first.
+
+    Build is dictionary-sized (one row per suggestion), not corpus-sized:
+    at scale the entry extraction is a map_batches over the corpus and the
+    suggester itself is a broadcast small side."""
+
+    SEP = " "
+
+    def __init__(self, analyzer=None, exact_first: bool = True):
+        from lucene_ray.analysis import CodeAnalyzer
+
+        self.analyzer = analyzer or CodeAnalyzer()
+        self.exact_first = exact_first
+        self._keys = self._surfaces = self._weights = None
+
+    def _analyze(self, text: str) -> str:
+        return self.SEP.join(self.analyzer.tokenize_text(text))
+
+    def build(self, surfaces: list[str], weights: list[int]) -> "AnalyzingSuggester":
+        """Index (surface, weight) suggestion entries: duplicate surfaces
+        keep their max weight (one output per surface, like the reference's
+        dedup of equal surface+analyzed pairs)."""
+        import numpy as np
+        import pyarrow as pa
+
+        best: dict[str, int] = {}
+        for s, w in zip(surfaces, weights):
+            w = int(w)
+            if s not in best or w > best[s]:
+                best[s] = w
+        surf = np.asarray(sorted(best), dtype=object)
+        lists = self.analyzer.tokenize_array(pa.array(surf.tolist(), type=pa.string()))
+        keys = np.asarray(
+            [self.SEP.join(row) for row in lists.to_pylist()], dtype=object
+        )
+        wts = np.asarray([best[s] for s in surf], dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        self._keys, self._surfaces, self._weights = keys[order], surf[order], wts[order]
+        return self
+
+    def _window(self, key: str):
+        import numpy as np
+
+        lo = int(np.searchsorted(self._keys, key, side="left"))
+        hi = int(np.searchsorted(self._keys, key + "\U0010ffff", side="right"))
+        return lo, hi
+
+    def lookup(self, text: str, n: int = 5) -> list[tuple[str, int]]:
+        """Top-n (surface, weight) whose analyzed key starts with the
+        analyzed input; exact analyzed matches first (exactFirst), then
+        weight desc, surface asc — Lookup.lookup(key, n) contract."""
+        import numpy as np
+
+        if self._keys is None:
+            raise ValueError("lookup before build()")
+        key = self._analyze(text)
+        lo, hi = self._window(key)
+        if lo == hi:
+            return []
+        k_w, k_s, k_k = (
+            self._weights[lo:hi], self._surfaces[lo:hi], self._keys[lo:hi]
+        )
+        exact = (k_k == key) if self.exact_first else np.zeros(hi - lo, dtype=bool)
+        order = sorted(
+            range(hi - lo), key=lambda i: (~exact[i], -int(k_w[i]), str(k_s[i]))
+        )
+        return [(str(k_s[i]), int(k_w[i])) for i in order[:n]]
+
+
+class FuzzySuggester(AnalyzingSuggester):
+    """suggest/.../analyzing/FuzzySuggester.java: like AnalyzingSuggester
+    but the analyzed input may differ from the key PREFIX by up to
+    ``max_edits`` Levenshtein edits (the reference intersects the FST with
+    a Levenshtein automaton; here the automaton becomes the banded-DP scan
+    FuzzyQuery already uses, run over the DISTINCT key prefixes —
+    dictionary-sized work). Ranking: min distance asc, then weight desc,
+    surface asc."""
+
+    def __init__(self, analyzer=None, max_edits: int = 1):
+        super().__init__(analyzer, exact_first=False)
+        self.max_edits = int(max_edits)
+
+    def lookup(self, text: str, n: int = 5) -> list[tuple[str, int]]:
+        import numpy as np
+
+        from lucene_ray.search.query import FuzzyQuery
+        from lucene_ray.search.rewrite import expand_fuzzy_with_distance
+
+        if self._keys is None:
+            raise ValueError("lookup before build()")
+        key = self._analyze(text)
+        # distance is computed against each key's prefix TRUNCATED to the
+        # input's length (left(akey, len(key)) — mirrored verbatim by the
+        # DuckDB oracle's levenshtein(left(akey, n), key))
+        prefixes = np.asarray([k[: len(key)] for k in self._keys], dtype=object)
+        uniq = np.unique(prefixes)
+        pairs = expand_fuzzy_with_distance(
+            uniq, FuzzyQuery(key, max_edits=self.max_edits)
+        )
+        if not pairs:
+            return []
+        dist = {p: d for p, d in pairs}
+        rows = [
+            (dist[p], -int(w), str(s))
+            for p, w, s in zip(prefixes, self._weights, self._surfaces)
+            if p in dist
+        ]
+        rows.sort()
+        return [(s, -negw) for _d, negw, s in rows[:n]]

@@ -268,3 +268,96 @@ class TestRegistryBreadth:
         con = duckdb.connect()
         want = con.execute("SELECT strip_accents(?)", [chars]).fetchone()[0]
         assert fold_ascii(chars) == want
+
+
+class TestUnicodeAnalyzer:
+    """UAX#29-lite Unicode conformance — golden tokens mirroring the
+    reference's TestStandardAnalyzer Unicode cases (single-char Han /
+    Hiragana, Katakana + Hangul + full-width runs), plus RE2/SQL parity and
+    index-build integration."""
+
+    CASES = [
+        # TestStandardAnalyzer.testJapanese-style: Han + Hiragana single,
+        # Katakana run
+        ("仮名遣い カタカナ", ["仮", "名", "遣", "い", "カタカナ"]),
+        # testChinese / full-width forms: ideographs single, full-width
+        # digits + letters are ALPHANUM runs, lowercased
+        ("我是中国人。 １２３４ Ｔｅｓｔｓ", ["我", "是", "中", "国", "人", "１２３４", "ｔｅｓｔｓ"]),
+        # accented Latin stays whole (no folding in Standard)
+        ("Düsseldorf études", ["düsseldorf", "études"]),
+        # Hangul syllables stay runs (HANGUL type)
+        ("안녕하세요 한국어", ["안녕하세요", "한국어"]),
+        # ASCII behaves like a plain standard tokenizer (no code splits)
+        ("C++ is better?", ["c", "is", "better"]),
+        ("", []),
+    ]
+
+    def test_golden_tokens(self):
+        from lucene_ray.analysis.analyzer import UnicodeAnalyzer
+
+        an = UnicodeAnalyzer()
+        for text, want in self.CASES:
+            assert an.tokenize_text(text) == want, text
+
+    def test_sql_parity(self):
+        import duckdb
+
+        from lucene_ray.analysis.analyzer import UnicodeAnalyzer
+
+        an = UnicodeAnalyzer()
+        texts = [t for t, _ in self.CASES] + [
+            "mixed 中文 and english 123", "ＡＢＣ ｄｅｆ", "«quoted» —dash—",
+        ]
+        con = duckdb.connect()
+        expr = UnicodeAnalyzer.sql_expr("t")
+        rows = con.execute(
+            f"SELECT {expr} FROM (SELECT unnest($1::VARCHAR[]) AS t)", [texts]
+        ).fetchall()
+        for text, (got_sql,) in zip(texts, rows):
+            assert an.tokenize_text(text) == got_sql, text
+
+    def test_tokenize_flat_matches_array(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from lucene_ray.analysis.analyzer import UnicodeAnalyzer
+
+        an = UnicodeAnalyzer()
+        texts = pa.array([t for t, _ in self.CASES], type=pa.string())
+        row_idx, terms, pos = an.tokenize_flat(texts)
+        per_row = [[] for _ in range(len(texts))]
+        for r, t, p in zip(row_idx, terms.to_pylist(), pos):
+            assert p == len(per_row[r])  # positions are row ordinals
+            per_row[r].append(t)
+        assert per_row == [w for _, w in self.CASES]
+
+    def test_indexes_and_searches_cjk(self, tmp_path_factory, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.search.engine import IndexSearcher
+
+        src = str(tmp_path_factory.mktemp("uni_src"))
+        rows = {
+            "repo": ["r"] * 4,
+            "path": [f"p/{i}" for i in range(4)],
+            "commit": ["0" * 40] * 4,
+            "lang": ["zh", "ja", "ko", "en"],
+            "content": [
+                "我是中国人 学习 搜索",
+                "仮名遣い カタカナ 検索",
+                "안녕하세요 한국어 검색",
+                "plain english search text",
+            ],
+        }
+        pq.write_table(pa.table(rows), src + "/docs.parquet")
+        ix = str(tmp_path_factory.mktemp("uni_ix"))
+        build_index([src + "/docs.parquet"], ix, analyzer_name="unicode")
+        s = IndexSearcher(ix)
+        assert s.search("中", 10).docids.tolist() == [0]
+        assert s.search("カタカナ", 10).docids.tolist() == [1]
+        assert s.search("한국어", 10).docids.tolist() == [2]
+        assert s.search("search", 10).docids.tolist() == [3]
+        # non-Latin text does NOT silently vanish: every CJK doc has terms
+        assert s.search("我", 10).total_hits == 1
