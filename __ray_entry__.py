@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dvrange_engine": bm25docs.dvrange_engine,
         "payload_engine": bm25docs.payload_engine,
         "unicode_stats": text.unicode_stats,
+        "analyzing_suggest": bm25docs.analyzing_suggest,
+        "fuzzy_suggest": bm25docs.fuzzy_suggest,
         # --- never recorded by the driver through r3 (VERDICT r3 item 2):
         # these 9 sat past position 50 every round; front-load them so
         # CORRECTNESS_r04 finally witnesses them.
@@ -170,6 +172,8 @@ def oracle_sql() -> dict[str, str]:
         "dvrange_engine": bm25docs.dvrange_engine_sql(),
         "payload_engine": bm25docs.payload_engine_sql(),
         "unicode_stats": text.unicode_stats_sql(),
+        "analyzing_suggest": bm25docs.analyzing_suggest_sql(),
+        "fuzzy_suggest": bm25docs.fuzzy_suggest_sql(),
         "bm25_topk": bm25docs.bm25_topk_sql(),
         "tfidf_topk": bm25docs.tfidf_topk_sql(),
         "boolean_engine": bm25docs.boolean_engine_sql(),

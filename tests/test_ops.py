@@ -902,3 +902,58 @@ class TestSpanOpsGate:
         assert_same(
             bm25docs.spanops_engine(SF), con, bm25docs.spanops_engine_sql()
         )
+
+
+class TestAnalyzingSuggester:
+    """AnalyzingSuggester / FuzzySuggester (suggest/.../analyzing/):
+    analyze-then-match contract, exactFirst, weight ranking, fuzzy edits."""
+
+    def _build(self):
+        from lucene_ray.search.suggest import AnalyzingSuggester
+
+        return AnalyzingSuggester().build(
+            ["Sort-Merge join", "sorted output", "Window functions",
+             "sort merge join", "windowed aggregates"],
+            [5, 9, 7, 3, 2],
+        )
+
+    def test_prefix_and_ranking(self):
+        sug = self._build()
+        # analyzed key space: 'sort' prefixes both "sort merge join" keys
+        # and "sorted output"; weight desc
+        assert sug.lookup("sort") == [
+            ("sorted output", 9), ("Sort-Merge join", 5), ("sort merge join", 3)
+        ]
+        # input analysis: case + punctuation normalize away
+        assert sug.lookup("SORT-merge") == [
+            ("Sort-Merge join", 5), ("sort merge join", 3)
+        ]
+
+    def test_exact_first(self):
+        sug = self._build()
+        # both surfaces share the exact analyzed key 'sort merge join';
+        # exact entries outrank any mere prefix match regardless of weight
+        got = sug.lookup("sort merge join")
+        assert got == [("Sort-Merge join", 5), ("sort merge join", 3)]
+
+    def test_surface_dedup_keeps_max_weight(self):
+        from lucene_ray.search.suggest import AnalyzingSuggester
+
+        sug = AnalyzingSuggester().build(["abc", "abc"], [1, 8])
+        assert sug.lookup("abc") == [("abc", 8)]
+
+    def test_no_match(self):
+        assert self._build().lookup("zzz") == []
+
+    def test_fuzzy_one_edit(self):
+        from lucene_ray.search.suggest import FuzzySuggester
+
+        sug = FuzzySuggester(max_edits=1).build(
+            ["Sort-Merge join", "sorted output", "Window functions"], [5, 9, 7]
+        )
+        # 'sirt' is 1 edit from prefix 'sort'
+        assert sug.lookup("sirt") == [("sorted output", 9), ("Sort-Merge join", 5)]
+        # exact input still matches at distance 0, ranked before distance 1
+        got = sug.lookup("wind")
+        assert got[0] == ("Window functions", 7)
+        assert sug.lookup("xxxx") == []
