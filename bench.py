@@ -75,15 +75,19 @@ DILATION_CLEAN = 1.6
 
 
 def _converged(trials: list[float]) -> bool:
-    """Stop when the last two trials agree within 30% — the warm-arena
+    """Stop when the last THREE trials agree within 35% — the warm-arena
     plateau. Fresh-page-penalty windows (BASELINE.md round-3b) make early
     trials arbitrarily slow while warming worker arenas; trials converge to
     the true warm number by round 2-3 (measured merge: 337.7 -> 104.7 ->
-    17.0 s with the host degraded throughout)."""
+    17.0 s with the host degraded throughout). Three-way agreement (was
+    two) because a degraded window can produce two consecutive
+    similar-but-still-cold trials — the r4 local run stopped at merge
+    trials [77.6, 35.3, 35.7] when the warm number was ~6 s (a same-state
+    CPU-time A/B vs the previous commit showed no engine change)."""
     if len(trials) < 3:
         return False
-    a, b = trials[-2], trials[-1]
-    return max(a, b) <= 1.3 * min(a, b)
+    window = trials[-3:]
+    return max(window) <= 1.35 * min(window)
 
 
 def vm_state_control_fresh(mb: int = 16) -> tuple[float, float]:
@@ -374,17 +378,26 @@ def run_bench() -> dict:
         "events_hopping": lambda: relational.events_hopping(SF_DIR).materialize(),
     }
     # interleaved trials (trial loop OUTER): min-per-op is robust to the
-    # VM's minutes-scale fast/slow states
+    # VM's minutes-scale fast/slow states. Every trial carries the same
+    # labels as the build/merge sections — pre-probe + in-trial worst probe
+    # (ProbeSampler) — so a slow op number can be attributed to host state
+    # instead of condemned as an engine regression (VERDICT r3 item 8).
     op_trials: dict[str, list[float]] = {name: [] for name in ops}
+    op_probe_pairs: dict[str, list[list[float]]] = {name: [] for name in ops}
     for _trial in range(2):
         probes.append(vm_state_control())
         for name, fn in ops.items():
-            t0 = time.perf_counter()
-            fn()
-            op_trials[name].append(time.perf_counter() - t0)
+            pre = vm_state_control_small()
+            with ProbeSampler() as ps:
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+            op_trials[name].append(dt)
+            op_probe_pairs[name].append([round(pre, 4), ps.worst])
     for name, ts in op_trials.items():
         timings[name] = round(min(ts), 3)
         timings[name + "_trials"] = [round(t, 3) for t in ts]
+        timings[name + "_probe_pairs"] = op_probe_pairs[name]
     # host-state probes taken before build/merge/pool/op sections
     # (~0.007s fast state, ~2s slow state; see vm_state_control)
     timings["vm_state_probes"] = probes
