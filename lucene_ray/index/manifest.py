@@ -45,6 +45,15 @@ class SegmentEntry:
     # holds the full updated doc-ordered table. Points are rewritten only
     # at the next merge (which folds the latest DV generation in).
     dv_gen: int = 0
+    # soft-deletes generation (IndexWriterConfig.setSoftDeletesField /
+    # index/SoftDeletesRetentionMergePolicy.java:46): 0 = none; >0 =
+    # softdeletes_g<gen>.parquet holds a per-doc bool 'deleted' mask.
+    # Readers hide soft-deleted docs exactly like tombstones, but merges
+    # RETAIN their postings (the retention contract) so soft_undelete can
+    # bring them back; prune_soft_deletes converts non-retained soft
+    # deletes into hard tombstones for the next merge to reclaim.
+    soft_del_gen: int = 0
+    soft_del_count: int = 0
     # docs whose POSTINGS were physically dropped by a merge (tombstones
     # reclaimed). Scoring stats follow the reference's merge semantics:
     # pre-merge deletes still count in df/N/ttf (Lucene scores ignore

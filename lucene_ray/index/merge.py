@@ -404,13 +404,14 @@ def merge_segments(
     for a, b in zip(entries, entries[1:]):
         assert b.docid_base == a.docid_base + a.doc_count, "non-adjacent merge"
     new_base = entries[0].docid_base
-    # del_gen AND dv_gen are part of the identity: the same inputs re-merged
-    # after new deletes or DV updates must produce a NEW segment, not hit
-    # the idempotency cache
+    # del_gen, dv_gen AND soft_del_gen are part of the identity: the same
+    # inputs re-merged after new deletes / DV updates / soft-delete flips
+    # must produce a NEW segment, not hit the idempotency cache
     fp = hashlib.sha1(
         (
             "+".join(
                 f"{e.name}:{getattr(e, 'del_gen', 0)}:{getattr(e, 'dv_gen', 0)}"
+                f":{getattr(e, 'soft_del_gen', 0)}"
                 for e in entries
             )
         ).encode()
@@ -671,6 +672,22 @@ def merge_segments(
             pa.table({"live": pa.array(live_merged, type=pa.bool_())}),
             os.path.join(d, "livedocs_g1.parquet"),
         )
+    # soft deletes: the RETENTION contract (SoftDeletesRetentionMergePolicy)
+    # — soft-deleted docs' postings were NOT reclaimed above (live_merged is
+    # hard tombstones only); the mask concatenates in doc order so
+    # soft_undelete keeps working on the merged segment
+    soft_del_gen, soft_del_count = 0, 0
+    if any(getattr(e, "soft_del_gen", 0) > 0 for e in entries):
+        from lucene_ray.index.writer import _load_softdeletes
+
+        soft_merged = np.concatenate(
+            [_load_softdeletes(sd, e) for sd, e in zip(seg_dirs, entries)]
+        )
+        soft_del_gen, soft_del_count = 1, int(soft_merged.sum())
+        pq.write_table(
+            pa.table({"deleted": pa.array(soft_merged, type=pa.bool_())}),
+            os.path.join(d, "softdeletes_g1.parquet"),
+        )
 
     secs = time.perf_counter() - t0
     doc_count = sum(e.doc_count for e in entries)
@@ -701,6 +718,8 @@ def merge_segments(
         bytes=seg_bytes,
         del_gen=del_gen,
         del_count=del_count,
+        soft_del_gen=soft_del_gen,
+        soft_del_count=soft_del_count,
         reclaimed=reclaimed,
         input={"merged_from": [e.name for e in entries], "fingerprint": fp},
         metrics={

@@ -100,6 +100,112 @@ def delete_docs(index_dir: str, global_docids) -> int:
     return int(after - before)
 
 
+def _write_softdeletes(seg_d: str, gen: int, soft: np.ndarray) -> None:
+    pq.write_table(
+        pa.table({"deleted": pa.array(soft, type=pa.bool_())}),
+        os.path.join(seg_d, f"softdeletes_g{gen}.parquet"),
+    )
+
+
+def _load_softdeletes(seg_d: str, entry: SegmentEntry) -> np.ndarray:
+    gen = getattr(entry, "soft_del_gen", 0)
+    if gen <= 0:
+        return np.zeros(entry.doc_count, dtype=bool)
+    t = pq.read_table(os.path.join(seg_d, f"softdeletes_g{gen}.parquet"))
+    return t.column("deleted").to_numpy(zero_copy_only=False).astype(bool)
+
+
+def _apply_soft(index_dir: str, global_docids, value: bool) -> int:
+    """Set/clear soft-delete bits for global docids; returns changed count.
+    Mirrors delete_docs' flow but writes the soft sidecar (the
+    __soft_deletes doc-values field analog) — postings are untouched."""
+    manifest = read_manifest(index_dir)
+    g = np.unique(np.asarray(global_docids, dtype=np.int64))
+    live_entries = sorted(manifest.live_segments, key=lambda e: e.docid_base)
+    bases = np.array([e.docid_base for e in live_entries], dtype=np.int64)
+    seg_idx = np.searchsorted(bases, g, side="right") - 1
+    changed = 0
+    for si in np.unique(seg_idx):
+        if si < 0:
+            continue
+        e = live_entries[int(si)]
+        seg_d = segment_dir(index_dir, e.name)
+        local = g[seg_idx == si] - e.docid_base
+        local = local[(local >= 0) & (local < e.doc_count)]
+        if value and getattr(e, "del_gen", 0) > 0:
+            # never soft-mark a hard tombstone (keeps del_count +
+            # soft_del_count disjoint for live_doc_count)
+            live = _load_livedocs(seg_d, e)
+            local = local[live[local]]
+        soft = _load_softdeletes(seg_d, e)
+        newly = int((soft[local] != value).sum())
+        if newly == 0:
+            continue
+        soft[local] = value
+        e.soft_del_gen = getattr(e, "soft_del_gen", 0) + 1
+        e.soft_del_count = int(soft.sum())
+        _write_softdeletes(seg_d, e.soft_del_gen, soft)
+        write_entry(index_dir, e)
+        changed += newly
+    if changed:
+        manifest.generation += 1
+        write_manifest(index_dir, manifest)
+    return changed
+
+
+def soft_delete_docs(index_dir: str, global_docids) -> int:
+    """Soft-delete global docids (IndexWriter.softUpdateDocument's delete
+    half): readers hide them, merges keep their postings, soft_undelete_docs
+    restores them. Returns newly-soft-deleted count."""
+    return _apply_soft(index_dir, global_docids, True)
+
+
+def soft_undelete_docs(index_dir: str, global_docids) -> int:
+    """Clear soft-delete bits — the reversibility soft deletes exist for.
+    Returns newly-restored count."""
+    return _apply_soft(index_dir, global_docids, False)
+
+
+def prune_soft_deletes(index_dir: str, retain_term: str | None = None) -> int:
+    """SoftDeletesRetentionMergePolicy analog
+    (index/SoftDeletesRetentionMergePolicy.java:46): soft-deleted docs NOT
+    matching ``retain_term`` (a content or 'field:value' keyword term; None
+    = retain nothing) become HARD tombstones — the next merge reclaims
+    their postings; retained docs stay soft (still hidden, still
+    restorable). Returns the pruned count."""
+    from lucene_ray.search.reader import IndexReader
+
+    manifest = read_manifest(index_dir)
+    reader = IndexReader(index_dir)
+    pruned = 0
+    for e in sorted(manifest.live_segments, key=lambda x: x.docid_base):
+        if getattr(e, "soft_del_gen", 0) <= 0:
+            continue
+        seg_d = segment_dir(index_dir, e.name)
+        soft = _load_softdeletes(seg_d, e)
+        cand = np.nonzero(soft)[0]
+        if len(cand) == 0:
+            continue
+        if retain_term is not None:
+            tp = reader.segment_reader(e.name).postings(retain_term)
+            retained = tp.docids if tp is not None else np.array([], dtype=np.int64)
+            cand = np.setdiff1d(cand, retained)
+        if len(cand) == 0:
+            continue
+        soft[cand] = False
+        e.soft_del_gen = getattr(e, "soft_del_gen", 0) + 1
+        e.soft_del_count = int(soft.sum())
+        _write_softdeletes(seg_d, e.soft_del_gen, soft)
+        write_entry(index_dir, e)  # _apply_segment_deletes rewrites it too
+        _apply_segment_deletes(index_dir, e, cand)
+        pruned += len(cand)
+    if pruned:
+        # the mutated entry objects ARE the manifest's (delete_docs flow)
+        manifest.generation += 1
+        write_manifest(index_dir, manifest)
+    return pruned
+
+
 def delete_by_term(index_dir: str, term: str, use_ray: bool = False) -> int:
     """Tombstone every doc whose content contains ``term`` (deleteDocuments
     (Term), IndexWriter.java:1550). Per-segment postings lookup -> bitmap

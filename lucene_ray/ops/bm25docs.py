@@ -3594,3 +3594,87 @@ SELECT {qid} AS qid, surface, weight FROM keys
 WHERE {d} <= 1
 QUALIFY row_number() OVER (ORDER BY {d} ASC, weight DESC, surface) <= {SUGGEST_K}""")
     return _suggest_sql_base() + "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------- soft deletes
+
+def softdelete_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): soft deletes + retention through the real engine
+    (IndexWriterConfig.setSoftDeletesField /
+    SoftDeletesRetentionMergePolicy.java:46).
+
+    Flow: soft-delete doc_id%7==0 (qid 0: 'merge' hits exclude them) ->
+    soft-undelete doc_id%14==0 (qid 1) -> prune_soft_deletes(retain
+    'window') hardens the non-retained soft set -> force_merge reclaims the
+    hardened tombstones -> soft-undelete EVERYTHING (qid 2: docs whose
+    postings the merge RETAINED come back; the pruned ones are gone for
+    good — the retention contract, oracle-checkable)."""
+    import shutil
+    import tempfile
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import force_merge
+    from lucene_ray.index.writer import (
+        prune_soft_deletes,
+        soft_delete_docs,
+        soft_undelete_docs,
+    )
+    from lucene_ray.search.engine import IndexSearcher
+
+    corpus_path = documents_as_corpus(sf_dir)
+    os.makedirs("/tmp/lucene_ray_cache", exist_ok=True)
+    ix = tempfile.mkdtemp(prefix="docs_soft_", dir="/tmp/lucene_ray_cache")
+    try:
+        build_index([corpus_path], ix, target_docs=8192)
+        n = IndexSearcher(ix).reader.doc_count
+        ids = np.arange(n, dtype=np.int64)
+        out_q, out_d = [], []
+
+        def collect(qid: int):
+            td = IndexSearcher(ix).search("merge", 1_000_000)
+            out_q.extend([qid] * len(td.docids))
+            out_d.extend(td.docids.tolist())
+
+        soft_delete_docs(ix, ids[ids % 7 == 0])
+        collect(0)
+        soft_undelete_docs(ix, ids[ids % 14 == 0])
+        collect(1)
+        prune_soft_deletes(ix, retain_term="window")
+        force_merge(ix, use_ray=False)
+        soft_undelete_docs(ix, ids)
+        collect(2)
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "docid": pa.array(out_d, type=pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+
+
+def softdelete_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), m AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'
+), w AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = 'window'
+)
+SELECT 0 AS qid, doc_id AS docid FROM m WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT 1 AS qid, doc_id AS docid FROM m
+WHERE doc_id % 7 <> 0 OR doc_id % 14 = 0
+UNION ALL
+-- after prune(retain 'window') + merge + undelete-all: only the docs that
+-- were HARDENED (soft-deleted at prune time, i.e. %7==0 and not %14==0,
+-- and NOT containing 'window') stay gone
+SELECT 2 AS qid, doc_id AS docid FROM m
+WHERE NOT (
+  doc_id % 7 = 0 AND doc_id % 14 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM w)
+)
+"""

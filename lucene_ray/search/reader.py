@@ -83,6 +83,7 @@ class SegmentReader:
     def __init__(
         self, seg_dir: str, docid_base: int, doc_count: int, del_gen: int = 0,
         dv_gen: int = 0,
+        soft_del_gen: int = 0,
     ):
         self.seg_dir = seg_dir
         self.docid_base = docid_base
@@ -91,11 +92,23 @@ class SegmentReader:
         self.query_cache = LRUQueryCache()
         # live-docs bitmap (None = no deletes). Readers are snapshot views:
         # reopen the IndexReader after deletes to observe them (Lucene
-        # DirectoryReader.openIfChanged semantics).
+        # DirectoryReader.openIfChanged semantics). Soft deletes
+        # (softdeletes_g<gen>.parquet, SoftDeletesDirectoryReaderWrapper
+        # semantics) fold into the same mask — every downstream consumer
+        # hides them like tombstones; only the MERGE treats them
+        # differently (postings retained).
         self.live_mask: np.ndarray | None = None
         if del_gen > 0:
             lt = pq.read_table(os.path.join(seg_dir, f"livedocs_g{del_gen}.parquet"))
             self.live_mask = lt.column("live").to_numpy(zero_copy_only=False).astype(bool)
+        if soft_del_gen > 0:
+            st = pq.read_table(
+                os.path.join(seg_dir, f"softdeletes_g{soft_del_gen}.parquet")
+            )
+            soft = st.column("deleted").to_numpy(zero_copy_only=False).astype(bool)
+            self.live_mask = (
+                ~soft if self.live_mask is None else (self.live_mask & ~soft)
+            )
         self._postings = pq.read_table(
             os.path.join(seg_dir, "postings.parquet"), memory_map=True
         )
@@ -515,12 +528,20 @@ class IndexReader:
                 entry.doc_count,
                 del_gen=getattr(entry, "del_gen", 0),
                 dv_gen=getattr(entry, "dv_gen", 0),
+                soft_del_gen=getattr(entry, "soft_del_gen", 0),
             )
         return self._readers[name]
 
     @property
     def live_doc_count(self) -> int:
-        return self.doc_count - sum(getattr(e, "del_count", 0) for e in self.segments)
+        # numDocs semantics: soft-deleted docs are hidden like tombstones
+        # (a doc can be both — hard del_count and soft_del_count can
+        # overlap only via prune_soft_deletes, which clears the soft bit
+        # when hardening, so the sum never double-counts)
+        return self.doc_count - sum(
+            getattr(e, "del_count", 0) + getattr(e, "soft_del_count", 0)
+            for e in self.segments
+        )
 
     @property
     def stats_doc_count(self) -> int:

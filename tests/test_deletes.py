@@ -613,3 +613,104 @@ class TestUpgrade:
             assert os.path.exists(
                 os.path.join(segment_dir(d, e.name), "termvectors.parquet")
             )
+
+
+class TestSoftDeletes:
+    """Soft deletes + retention (IndexWriterConfig.setSoftDeletesField,
+    index/SoftDeletesRetentionMergePolicy.java:46): hidden like tombstones,
+    reversible, postings retained across merges; prune hardens."""
+
+    def test_soft_delete_hides_and_undelete_restores(self, ix):
+        from lucene_ray.index.writer import soft_delete_docs, soft_undelete_docs
+        from lucene_ray.search.engine import IndexSearcher
+
+        before = doc_set(IndexSearcher(ix), "merge")
+        victims = sorted(before)[:5]
+        assert soft_delete_docs(ix, victims) == 5
+        s1 = IndexSearcher(ix)  # snapshot semantics: reopen to observe
+        assert doc_set(s1, "merge") == before - set(victims)
+        assert s1.reader.live_doc_count == 120 - 5
+        # idempotent: re-marking changes nothing
+        assert soft_delete_docs(ix, victims) == 0
+        assert soft_undelete_docs(ix, victims) == 5
+        s2 = IndexSearcher(ix)
+        assert doc_set(s2, "merge") == before
+        assert s2.reader.live_doc_count == 120
+
+    def test_merge_retains_soft_deleted_postings(self, ix):
+        from lucene_ray.index.merge import force_merge
+        from lucene_ray.index.writer import (
+            delete_docs,
+            soft_delete_docs,
+            soft_undelete_docs,
+        )
+        from lucene_ray.search.engine import IndexSearcher
+
+        before = doc_set(IndexSearcher(ix), "merge")
+        soft = sorted(before)[:4]
+        hard = sorted(before)[4:6]
+        soft_delete_docs(ix, soft)
+        delete_docs(ix, hard)
+        force_merge(ix, use_ray=False)
+        # hard tombstones: reclaimed for good; soft: hidden but retained
+        s = IndexSearcher(ix)
+        assert doc_set(s, "merge") == before - set(soft) - set(hard)
+        soft_undelete_docs(ix, soft)
+        s2 = IndexSearcher(ix)
+        # the retention contract: soft-deleted docs SURVIVED the merge
+        assert doc_set(s2, "merge") == before - set(hard)
+        from lucene_ray.index.checkindex import check_index
+
+        assert check_index(ix)["ok"]
+
+    def test_prune_hardens_non_retained(self, ix):
+        from lucene_ray.index.merge import force_merge
+        from lucene_ray.index.writer import (
+            prune_soft_deletes,
+            soft_delete_docs,
+            soft_undelete_docs,
+        )
+        from lucene_ray.search.engine import IndexSearcher
+
+        s0 = IndexSearcher(ix)
+        merge_docs = doc_set(s0, "merge")
+        flush_docs = doc_set(s0, "flush")
+        victims = sorted(merge_docs)[:6]
+        soft_delete_docs(ix, victims)
+        # retention query = 'flush': victims containing flush stay SOFT
+        pruned = prune_soft_deletes(ix, retain_term="flush")
+        expect_pruned = [d for d in victims if d not in flush_docs]
+        assert pruned == len(expect_pruned)
+        force_merge(ix, use_ray=False)
+        soft_undelete_docs(ix, victims)
+        s = IndexSearcher(ix)
+        # hardened victims are gone; retained ones came back
+        assert doc_set(s, "merge") == merge_docs - set(expect_pruned)
+
+    def test_soft_on_hard_tombstone_is_noop(self, ix):
+        from lucene_ray.index.writer import delete_docs, soft_delete_docs
+        from lucene_ray.search.engine import IndexSearcher
+
+        delete_docs(ix, [3])
+        assert soft_delete_docs(ix, [3]) == 0
+        assert IndexSearcher(ix).reader.live_doc_count == 119
+
+    def test_remerge_after_soft_flip_new_identity(self, ix):
+        from lucene_ray.index.merge import force_merge
+        from lucene_ray.index.writer import soft_delete_docs
+        from lucene_ray.search.engine import IndexSearcher
+
+        m1 = force_merge(ix, use_ray=False)
+        names1 = {e.name for e in m1.live_segments}
+        soft_delete_docs(ix, [10, 11])
+        m2 = force_merge(ix, use_ray=False)
+        names2 = {e.name for e in m2.live_segments}
+        # the soft flip changed the merge identity -> fresh segment, and
+        # the merged segment carries the mask
+        assert names1 != names2 or all(
+            getattr(e, "soft_del_count", 0) for e in m2.live_segments
+        )
+        s = IndexSearcher(ix)
+        assert 10 not in doc_set(s, "merge") | doc_set(s, "flush") | doc_set(
+            s, "batch"
+        ) | doc_set(s, "sort") | doc_set(s, "index")
