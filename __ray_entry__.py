@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyzing_suggest": bm25docs.analyzing_suggest,
         "fuzzy_suggest": bm25docs.fuzzy_suggest,
         "softdelete_engine": bm25docs.softdelete_engine,
+        "rangefield_engine": bm25docs.rangefield_engine,
         # --- never recorded by the driver through r3 (VERDICT r3 item 2):
         # these 9 sat past position 50 every round; front-load them so
         # CORRECTNESS_r04 finally witnesses them.
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "analyzing_suggest": bm25docs.analyzing_suggest_sql(),
         "fuzzy_suggest": bm25docs.fuzzy_suggest_sql(),
         "softdelete_engine": bm25docs.softdelete_engine_sql(),
+        "rangefield_engine": bm25docs.rangefield_engine_sql(),
         "bm25_topk": bm25docs.bm25_topk_sql(),
         "tfidf_topk": bm25docs.tfidf_topk_sql(),
         "boolean_engine": bm25docs.boolean_engine_sql(),

@@ -78,6 +78,20 @@ def _derive_labels(table):
 SORTED_SET_DERIVERS = {"labels": _derive_labels}
 
 
+def _synth_span(table: pa.Table, global_docids: np.ndarray):
+    # synthetic 1-D long range as a pure function of the global docid so
+    # SQL oracles can mirror it (same stance as spatial's synth "loc")
+    g = np.asarray(global_docids, dtype=np.int64)
+    lo = (g * 13) % 997
+    return lo, lo + (g % 53)
+
+
+# LongRange-field derivers (document/LongRange.java:48): field name ->
+# (table, global_docids) -> (lo, hi) int64 arrays. Real corpora register
+# derivers reading table columns.
+RANGE_DERIVERS = {"span": _synth_span}
+
+
 def _payload_term_length(terms: pa.Array, positions: np.ndarray) -> np.ndarray:
     import pyarrow.compute as pc
 
@@ -246,6 +260,7 @@ def build_one_segment(
     sorted_dv_fields: tuple | None = None,
     sorted_set_dv_fields: tuple | None = None,
     payload_fn: str | None = None,
+    range_fields: tuple | None = None,
 ) -> SegmentEntry:
     """Build one segment from its input row groups. Pure + idempotent
     (writes only under its own segment dir; atomic entry.json last).
@@ -504,6 +519,32 @@ def build_one_segment(
             os.path.join(d, "spatial.parquet"),
             row_group_size=SPATIAL_ROW_GROUP,
         )
+    if range_fields:
+        # LongRange sidecar (document/LongRange.java:48; BKD with 2 values
+        # per dim becomes a (lo, hi) pair table sorted by (field, lo) —
+        # relation filters are vectorized masks, searchsorted prunes on lo)
+        gdoc = spec.docid_base + np.arange(n, dtype=np.int64)
+        rg_parts = []
+        for f in range_fields:
+            lo, hi = RANGE_DERIVERS[f](table, gdoc)
+            lo = np.asarray(lo, dtype=np.int64)
+            hi = np.asarray(hi, dtype=np.int64)
+            if (hi < lo).any():
+                raise ValueError(f"range field {f!r}: hi < lo")
+            o = np.lexsort((np.arange(n), lo))
+            rg_parts.append(
+                pa.table(
+                    {
+                        "field": pa.array([f] * n, type=pa.string()),
+                        "lo": pa.array(lo[o], type=pa.int64()),
+                        "hi": pa.array(hi[o], type=pa.int64()),
+                        "docid": pa.array(o.astype(np.int64), type=pa.int64()),
+                    }
+                )
+            )
+        pq.write_table(
+            pa.concat_tables(rg_parts), os.path.join(d, "ranges.parquet")
+        )
     stored = table.select(STORED_COLUMNS).append_column(
         "content_sha256", _sha256_column(content)
     )
@@ -544,6 +585,7 @@ def build_one_segment(
                     list(sorted_set_dv_fields) if sorted_set_dv_fields else None
                 ),
                 "payload_fn": payload_fn,
+                "range_fields": list(range_fields) if range_fields else None,
                 "variant": spec.variant,
             },
         },
@@ -582,6 +624,7 @@ def build_index(
     sorted_dv_fields: tuple | None = None,
     sorted_set_dv_fields: tuple | None = None,
     payload_fn: str | None = None,
+    range_fields: tuple | None = None,
 ) -> Manifest:
     """Build (or resume) the whole index with Ray Data.
 
@@ -627,6 +670,9 @@ def build_index(
         if payload_fn not in PAYLOAD_DERIVERS:
             raise ValueError(f"unknown payload_fn: {payload_fn!r}")
         variant = f"{variant or 'code:positions'}:pay={payload_fn}"
+    if range_fields:
+        range_fields = tuple(str(f) for f in range_fields)
+        variant = f"{variant or 'code:positions'}:rng={','.join(range_fields)}"
     specs = plan_segments(input_paths, target_docs, variant)
     todo = []
     done: list[SegmentEntry] = []
@@ -656,7 +702,7 @@ def build_index(
                     spec, index_dir, analyzer_name, index_options,
                     keyword_fields, index_sort, point2d_fields,
                     term_vectors, dv_fields, sorted_dv_fields,
-                    sorted_set_dv_fields, payload_fn,
+                    sorted_set_dv_fields, payload_fn, range_fields,
                 )
                 out.append(_json.dumps(entry.__dict__))
             return {"entry": np.array(out)}
@@ -794,6 +840,7 @@ def upgrade_index(index_dir: str) -> dict:
                 "sorted_dv_fields": None,
                 "sorted_set_dv_fields": None,
                 "payload_fn": None,
+                "range_fields": None,
                 "variant": "",
             }
         m = _re.match(r"seg_(\d+)_", e.name)
@@ -827,6 +874,7 @@ def upgrade_index(index_dir: str) -> dict:
             if opts.get("sorted_set_dv_fields")
             else None,
             opts.get("payload_fn") or None,
+            tuple(opts["range_fields"]) if opts.get("range_fields") else None,
         )
         old_d = segment_dir(index_dir, e.name)
         new_d = segment_dir(index_dir, new_entry.name)

@@ -628,6 +628,35 @@ def merge_segments(
             os.path.join(d, "spatial.parquet"),
             row_group_size=SPATIAL_ROW_GROUP,
         )
+    # LongRange sidecar: concat with docid rebase, drop tombstones, re-sort
+    # by (field, lo, docid) so the reader's searchsorted prune survives
+    rg_paths = [
+        os.path.join(segment_dir(index_dir, e.name), "ranges.parquet")
+        for e in entries
+    ]
+    if all(os.path.exists(p) for p in rg_paths):
+        rg_parts = []
+        for i, p in enumerate(rg_paths):
+            t = pq.read_table(p)
+            docs = t.column("docid").to_numpy(zero_copy_only=False) + offsets[i]
+            rg_parts.append(
+                t.set_column(
+                    t.schema.get_field_index("docid"),
+                    "docid",
+                    pa.array(docs, type=pa.int64()),
+                )
+            )
+        rg = pa.concat_tables(rg_parts)
+        f_dict = rg.column("field").combine_chunks().dictionary_encode()
+        f_codes = f_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lo_np = rg.column("lo").to_numpy(zero_copy_only=False)
+        d_np = rg.column("docid").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(d_np), dtype=bool)
+        if live_merged is not None:
+            keep = live_merged[d_np]
+        o = np.lexsort((d_np, lo_np, f_codes))
+        o = o[keep[o]]
+        pq.write_table(rg.take(pa.array(o)), os.path.join(d, "ranges.parquet"))
     # term-vectors sidecar: stream batch-by-batch with docid rebase, drop
     # tombstoned docs (their TV rows reclaim with their postings); inputs
     # are docid-adjacent and doc-major sorted, so appending keeps the

@@ -3678,3 +3678,86 @@ WHERE NOT (
   AND doc_id NOT IN (SELECT doc_id FROM w)
 )
 """
+
+
+# ---------------------------------------------------------------- range fields
+
+RANGEFIELD_QUERIES = (
+    # (qid, lo, hi, relation) over the synthetic 'span' LongRange
+    # (lo = (doc_id*13) % 997, hi = lo + doc_id % 53)
+    (0, 100, 160, "intersects"),
+    (1, 100, 160, "within"),
+    (2, 480, 500, "contains"),
+    (3, 100, 160, "crosses"),
+    (4, None, 40, "intersects"),
+)
+
+
+def _engine_index_range(sf_dir: str) -> str:
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_index_rng_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192, range_fields=("span",))
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+def rangefield_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): LongRange-field relation queries
+    (document/LongRange.java:48 newIntersects/Within/Contains/CrossesQuery)
+    over the per-segment (lo, hi) sidecar, through the real boolean engine
+    (constant-score doc-set clauses). The synthetic range is a pure
+    function of doc_id, so DuckDB mirrors every relation exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, RangeFieldQuery
+
+    ix = _engine_index_range(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, lo, hi, rel in RANGEFIELD_QUERIES:
+        q = BooleanQuery(must=[RangeFieldQuery("span", lo, hi, rel)])
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def rangefield_engine_sql() -> str:
+    imin, imax = -(2**63), 2**63 - 1
+    parts = []
+    for qid, lo, hi, rel in RANGEFIELD_QUERIES:
+        ql = imin if lo is None else lo
+        qh = imax if hi is None else hi
+        inter = f"(lo <= {qh} AND hi >= {ql})"
+        within = f"(lo >= {ql} AND hi <= {qh})"
+        contains = f"(lo <= {ql} AND hi >= {qh})"
+        cond = {
+            "intersects": inter,
+            "within": within,
+            "contains": contains,
+            "crosses": f"({inter} AND NOT {within} AND NOT {contains})",
+        }[rel]
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM spans WHERE {cond}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH spans AS (
+  SELECT doc_id,
+         (doc_id * 13) % 997 AS lo,
+         (doc_id * 13) % 997 + doc_id % 53 AS hi
+  FROM documents
+)
+{union}
+"""

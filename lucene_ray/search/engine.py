@@ -41,6 +41,7 @@ from lucene_ray.search.query import (
     NestedBooleanQuery,
     PhraseQuery,
     PointRangeQuery,
+    RangeFieldQuery,
     LatLonBoxQuery,
     LatLonDistanceQuery,
     PrefixQuery,
@@ -160,6 +161,7 @@ def build_scorers(
                 MatchAllDocsQuery,
                 ConstantScoreQuery,
                 PointRangeQuery,
+                RangeFieldQuery,
                 LatLonBoxQuery,
                 LatLonDistanceQuery,
             ),

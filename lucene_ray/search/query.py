@@ -350,6 +350,21 @@ class PointRangeQuery:
 
 
 @dataclass(frozen=True)
+class RangeFieldQuery:
+    """LongRange-field relation filter, constant score
+    (document/LongRange.java:48 newIntersectsQuery / newContainsQuery /
+    newWithinQuery / newCrossesQuery; RangeFieldQuery.QueryType). Bounds
+    INCLUSIVE; None = open. ``relation``: intersects | within | contains |
+    crosses (crosses = intersects minus within minus contains)."""
+
+    field: str
+    lower: int | None
+    upper: int | None
+    relation: str = "intersects"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class LatLonBoxQuery:
     """2-D geo box filter, bounds INCLUSIVE on raw float64, constant score
     (document/LatLonPoint.java newBoxQuery over the Morton-sorted

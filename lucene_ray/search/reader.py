@@ -448,6 +448,59 @@ class SegmentReader:
 
         return t.filter(pc.equal(t.column("field"), field))
 
+    def range_field_docs(
+        self, field: str, q_lo: int | None, q_hi: int | None, relation: str
+    ) -> np.ndarray:
+        """Sorted local docids whose LongRange value relates to the query
+        range (document/LongRange.java:48 newIntersects/Contains/Within/
+        CrossesQuery; RangeFieldQuery.QueryType). The sidecar is sorted by
+        (field, lo): a searchsorted cut bounds the lo <= q_hi scan for the
+        INTERSECTS/WITHIN prefix; relation masks are vectorized.
+
+        CROSSES is INTERSECTS minus WITHIN minus CONTAINS (overlaps the
+        query without being inside it or swallowing it)."""
+        cache = getattr(self, "_range_cache", None)
+        if cache is None:
+            cache = self._range_cache = {}
+        if field not in cache:
+            path = os.path.join(self.seg_dir, "ranges.parquet")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    "index was built without range_fields: " + path
+                )
+            t = pq.read_table(path, memory_map=True)
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.equal(t.column("field"), field))
+            cache[field] = (
+                t.column("lo").to_numpy(zero_copy_only=False),
+                t.column("hi").to_numpy(zero_copy_only=False),
+                t.column("docid").to_numpy(zero_copy_only=False),
+            )
+        lo, hi, docid = cache[field]
+        ql = np.iinfo(np.int64).min if q_lo is None else int(q_lo)
+        qh = np.iinfo(np.int64).max if q_hi is None else int(q_hi)
+        if relation in ("intersects", "within", "crosses"):
+            # every match has lo <= q_hi: cut on the sorted lo column
+            cut = int(np.searchsorted(lo, qh, side="right"))
+            lo_c, hi_c, d_c = lo[:cut], hi[:cut], docid[:cut]
+        else:
+            lo_c, hi_c, d_c = lo, hi, docid
+        inter = hi_c >= ql  # lo <= qh already holds on the cut slice
+        if relation == "intersects":
+            mask = inter
+        elif relation == "within":
+            mask = (lo_c >= ql) & (hi_c <= qh)
+        elif relation == "contains":
+            mask = (lo_c <= ql) & (hi_c >= qh)
+        elif relation == "crosses":
+            within = (lo_c >= ql) & (hi_c <= qh)
+            contains = (lo_c <= ql) & (hi_c >= qh)
+            mask = inter & ~within & ~contains
+        else:
+            raise ValueError(f"unknown range relation: {relation!r}")
+        return np.sort(d_c[mask])
+
     def spatial_box(
         self, field: str, lat_lo: float, lat_hi: float, lon_lo: float, lon_hi: float
     ) -> np.ndarray:

@@ -41,6 +41,7 @@ from lucene_ray.search.query import (
     NestedBooleanQuery,
     PhraseQuery,
     PointRangeQuery,
+    RangeFieldQuery,
     LatLonBoxQuery,
     LatLonDistanceQuery,
     IntervalQuery,
@@ -715,6 +716,18 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
         elif isinstance(q, PointRangeQuery):
             docids = _qcache(
                 reader, q, lambda: reader.point_range(q.field, q.lower, q.upper)
+            )
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, scorers.get(q), scored=(docids, scores)))
+        elif isinstance(q, RangeFieldQuery):
+            docids = _qcache(
+                reader,
+                q,
+                lambda: reader.range_field_docs(
+                    q.field, q.lower, q.upper, q.relation
+                ),
             )
             if len(docids) == 0:
                 continue

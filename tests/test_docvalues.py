@@ -198,3 +198,92 @@ def test_checkindex_on_dv_index(dv_ix):
 
     report = check_index(dv_ix)
     assert report["ok"], report["problems"]
+
+
+class TestRangeFields:
+    """LongRange fields (document/LongRange.java:48): the four relation
+    queries vs a naive evaluator, and sidecar survival through a merge."""
+
+    @pytest.fixture(scope="class")
+    def rix(self, tmp_path_factory, ray_session):
+        src = str(tmp_path_factory.mktemp("rng_src"))
+        shards = _write_shards(src)
+        ix = str(tmp_path_factory.mktemp("rng_ix"))
+        build_index(shards, ix, target_docs=60, range_fields=("span",))
+        return ix
+
+    @staticmethod
+    def _naive(qlo, qhi, rel):
+        g = np.arange(N_DOCS, dtype=np.int64)
+        lo = (g * 13) % 997
+        hi = lo + (g % 53)
+        ql = -(2**63) if qlo is None else qlo
+        qh = 2**63 - 1 if qhi is None else qhi
+        inter = (lo <= qh) & (hi >= ql)
+        within = (lo >= ql) & (hi <= qh)
+        contains = (lo <= ql) & (hi >= qh)
+        mask = {
+            "intersects": inter,
+            "within": within,
+            "contains": contains,
+            "crosses": inter & ~within & ~contains,
+        }[rel]
+        return set(g[mask].tolist())
+
+    @pytest.mark.parametrize(
+        "qlo,qhi,rel",
+        [
+            (100, 300, "intersects"),
+            (100, 300, "within"),
+            (400, 410, "contains"),
+            (100, 300, "crosses"),
+            (None, 50, "intersects"),
+            (900, None, "within"),
+        ],
+    )
+    def test_relations_match_naive(self, rix, qlo, qhi, rel):
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, RangeFieldQuery
+
+        s = IndexSearcher(rix)
+        got = set(
+            s.search(
+                BooleanQuery(must=[RangeFieldQuery("span", qlo, qhi, rel)]),
+                1 << 62,
+            ).docids.tolist()
+        )
+        assert got == self._naive(qlo, qhi, rel), (qlo, qhi, rel)
+
+    def test_survives_merge_and_deletes(self, rix, tmp_path_factory):
+        import shutil
+
+        from lucene_ray.index.merge import force_merge
+        from lucene_ray.index.writer import delete_docs
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, RangeFieldQuery
+
+        d = str(tmp_path_factory.mktemp("rng_m"))
+        shutil.rmtree(d)
+        shutil.copytree(rix, d)
+        want = self._naive(100, 300, "intersects")
+        victims = sorted(want)[:3]
+        delete_docs(d, victims)
+        force_merge(d, use_ray=False)
+        s = IndexSearcher(d)
+        got = set(
+            s.search(
+                BooleanQuery(must=[RangeFieldQuery("span", 100, 300)]), 1 << 62
+            ).docids.tolist()
+        )
+        assert got == want - set(victims)
+
+    def test_unknown_relation_rejected(self, rix):
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, RangeFieldQuery
+
+        s = IndexSearcher(rix)
+        with pytest.raises(ValueError, match="relation"):
+            s.search(
+                BooleanQuery(must=[RangeFieldQuery("span", 1, 2, "overlapsish")]),
+                10,
+            )
