@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_suggest": bm25docs.fuzzy_suggest,
         "softdelete_engine": bm25docs.softdelete_engine,
         "rangefield_engine": bm25docs.rangefield_engine,
+        "replica_engine": bm25docs.replica_engine,
         # --- never recorded by the driver through r3 (VERDICT r3 item 2):
         # these 9 sat past position 50 every round; front-load them so
         # CORRECTNESS_r04 finally witnesses them.
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_suggest": bm25docs.fuzzy_suggest_sql(),
         "softdelete_engine": bm25docs.softdelete_engine_sql(),
         "rangefield_engine": bm25docs.rangefield_engine_sql(),
+        "replica_engine": bm25docs.replica_engine_sql(),
         "bm25_topk": bm25docs.bm25_topk_sql(),
         "tfidf_topk": bm25docs.tfidf_topk_sql(),
         "boolean_engine": bm25docs.boolean_engine_sql(),

@@ -3761,3 +3761,65 @@ WITH spans AS (
 )
 {union}
 """
+
+
+# ----------------------------------------------------------------- replication
+
+def replica_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): NRT replication (lucene/replicator IndexReplicationHandler
+    / IndexRevision) — build a primary, ship its revision to a replica dir,
+    search the REPLICA (qid 0); then tombstone doc_id%11==0 on the primary
+    and ship the incremental revision (only the new livedocs generation +
+    rewritten entry/manifest move), search the replica again (qid 1)."""
+    import shutil
+    import tempfile
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.replicate import replicate
+    from lucene_ray.index.writer import delete_docs
+    from lucene_ray.search.engine import IndexSearcher
+
+    corpus_path = documents_as_corpus(sf_dir)
+    os.makedirs("/tmp/lucene_ray_cache", exist_ok=True)
+    src = tempfile.mkdtemp(prefix="docs_repl_src_", dir="/tmp/lucene_ray_cache")
+    dst = tempfile.mkdtemp(prefix="docs_repl_dst_", dir="/tmp/lucene_ray_cache")
+    try:
+        build_index([corpus_path], src, target_docs=8192)
+        out_q, out_d = [], []
+
+        def collect(qid: int):
+            td = IndexSearcher(dst).search("merge", 1_000_000)
+            out_q.extend([qid] * len(td.docids))
+            out_d.extend(td.docids.tolist())
+
+        replicate(src, dst)
+        collect(0)
+        n = IndexSearcher(src).reader.doc_count
+        ids = np.arange(n, dtype=np.int64)
+        delete_docs(src, ids[ids % 11 == 0])
+        replicate(src, dst)
+        collect(1)
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "docid": pa.array(out_d, type=pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def replica_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), m AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'
+)
+SELECT 0 AS qid, doc_id AS docid FROM m
+UNION ALL
+SELECT 1 AS qid, doc_id AS docid FROM m WHERE doc_id % 11 <> 0
+"""
