@@ -2658,6 +2658,15 @@ EXPRSCORE_CASES = [
      "tc.n_tok * 1024 + length(d.text)"),
     (1, "window", "max(n_chars, 400) * 128 + min(doc_len, 64)",
      "greatest(length(d.text), 400) * 128 + least(tc.n_tok, 64)"),
+    # full-grammar cases (round 4: ternary / comparison / modulo / bitwise /
+    # shift — js/JavascriptCompiler.java grammar); integer-valued < 2^24 so
+    # float32 engine scores stay exact for the oracle
+    (2, "batch", "n_chars % 97 * 512 + (n_chars > 500 ? doc_len : 42)",
+     "(length(d.text) % 97) * 512 + "
+     "(CASE WHEN length(d.text) > 500 THEN tc.n_tok ELSE 42 END)"),
+    (3, "sort", "((doc_len & 15) << 10) + (n_chars % 7 == 0 ? 3 : 1) * doc_len",
+     "((tc.n_tok & 15) << 10) + "
+     "(CASE WHEN length(d.text) % 7 = 0 THEN 3 ELSE 1 END) * tc.n_tok"),
 ]
 
 

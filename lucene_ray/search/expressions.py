@@ -1,25 +1,40 @@
 """Compiled arithmetic expressions over doc values — the ``expressions``
 module analog (expressions/src/java/org/apache/lucene/expressions/
-Expression.java:57 compile-a-formula; js/JavascriptCompiler.java:120
-grammar subset) feeding FunctionScoreQuery
+Expression.java:57 compile-a-formula; js/JavascriptCompiler.java:120 +
+Javascript.g grammar) feeding FunctionScoreQuery
 (queries/.../function/FunctionScoreQuery.java:44).
 
 The reference compiles a JavaScript-like formula to JVM bytecode bound to
-DoubleValuesSources; here the same arithmetic subset compiles to a small
-AST evaluated with numpy kernels over the candidate docids' value arrays —
+DoubleValuesSources; here the same grammar compiles to a small AST
+evaluated with numpy kernels over the candidate docids' value arrays —
 vectorized per segment, never per doc.
 
-Grammar (precedence low->high):
-    expr    := term (('+'|'-') term)*
-    term    := unary (('*'|'/') unary)*
-    unary   := '-' unary | atom
-    atom    := NUMBER | IDENT | IDENT '(' expr (',' expr)* ')' | '(' expr ')'
+Full grammar (precedence low -> high, matching Javascript.g):
+    ternary  := or ('?' expr ':' ternary)?
+    or       := and ('||' and)*
+    and      := bitor ('&&' bitor)*
+    bitor    := bitxor ('|' bitxor)*
+    bitxor   := bitand ('^' bitand)*
+    bitand   := eq ('&' eq)*
+    eq       := rel (('=='|'!=') rel)*
+    rel      := shift (('<'|'<='|'>'|'>=') shift)*
+    shift    := add (('<<'|'>>') add)*
+    add      := mul (('+'|'-') mul)*
+    mul      := unary (('*'|'/'|'%') unary)*
+    unary    := ('-'|'!'|'~') unary | atom
+    atom     := NUMBER | IDENT | IDENT '(' args ')' | '(' expr ')'
+
+Semantics follow JavascriptCompiler: comparisons/booleans produce 1.0/0.0
+(truthiness = nonzero); bitwise/shift operate on (long) casts of the
+double operands, like Java; '?:' evaluates both arms (vectorized
+np.where — expressions are pure, so eagerness is unobservable).
 
 Identifiers resolve at evaluate() time from a bindings dict: ``_score``
 (the wrapped query's score, DoubleValuesSource.SCORES), any numeric
 doc-values field, or ``doc_len`` (the norms-stored token count).
-Functions mirror JavascriptCompiler's built-ins subset: log (natural),
-log10, log1p, exp, sqrt, abs, floor, ceil, pow, min, max.
+Functions are JavascriptCompiler's built-in set: abs, acos, asin, atan,
+atan2, ceil, cos, cosh, exp, floor, haversin, ln, log (alias of ln),
+log10, log1p, logn, max, min, pow, sin, sinh, sqrt, tan, tanh.
 """
 
 from __future__ import annotations
@@ -29,26 +44,54 @@ import re
 
 import numpy as np
 
+
+def _haversin(lat1, lon1, lat2, lon2):
+    """Great-circle distance in KM (expressions/js/JavascriptCompiler's
+    haversin built-in -> SloppyMath.haversinMeters / 1000)."""
+    r1, g1, r2, g2 = (np.radians(np.asarray(x, dtype=np.float64))
+                      for x in (lat1, lon1, lat2, lon2))
+    h = (
+        np.sin((r2 - r1) / 2) ** 2
+        + np.cos(r1) * np.cos(r2) * np.sin((g2 - g1) / 2) ** 2
+    )
+    return 2 * 6371.0087714 * np.arcsin(np.sqrt(h))
+
+
 _FUNCS_1 = {
-    "log": np.log,
+    "abs": np.abs,
+    "acos": np.arccos,
+    "asin": np.arcsin,
+    "atan": np.arctan,
+    "ceil": np.ceil,
+    "cos": np.cos,
+    "cosh": np.cosh,
+    "exp": np.exp,
+    "floor": np.floor,
+    "ln": np.log,
+    "log": np.log,       # kept from the round-3 subset (alias of ln)
     "log10": np.log10,
     "log1p": np.log1p,
-    "exp": np.exp,
+    "sin": np.sin,
+    "sinh": np.sinh,
     "sqrt": np.sqrt,
-    "abs": np.abs,
-    "floor": np.floor,
-    "ceil": np.ceil,
+    "tan": np.tan,
+    "tanh": np.tanh,
 }
 _FUNCS_2 = {
+    "atan2": np.arctan2,
     "pow": np.power,
     "min": np.minimum,
     "max": np.maximum,
+    # logn(base, x) — JavascriptCompiler's arbitrary-base log
+    "logn": lambda base, x: np.log(x) / np.log(base),
 }
+_FUNCS_4 = {"haversin": _haversin}
 
+# multi-char operators first so the lexer is longest-match
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
     r"|(?P<ident>[A-Za-z_][A-Za-z0-9_]*)"
-    r"|(?P<op>[-+*/(),]))"
+    r"|(?P<op><<|>>|<=|>=|==|!=|&&|\|\||[-+*/%(),?:<>!~&|^]))"
 )
 
 
@@ -92,24 +135,67 @@ class _Parser:
         self.i += 1
         return v
 
-    def expr(self):
-        node = self.term()
-        while self.peek() == ("op", "+") or self.peek() == ("op", "-"):
+    def _binop_level(self, ops: tuple, next_level):
+        node = next_level()
+        while self.peek()[0] == "op" and self.peek()[1] in ops:
             op = self.take("op")
-            node = (op, node, self.term())
+            node = (op, node, next_level())
         return node
 
-    def term(self):
-        node = self.unary()
-        while self.peek() == ("op", "*") or self.peek() == ("op", "/"):
-            op = self.take("op")
-            node = (op, node, self.unary())
-        return node
+    def expr(self):
+        return self.ternary()
+
+    def ternary(self):
+        cond = self.or_()
+        if self.peek() == ("op", "?"):
+            self.take("op", "?")
+            a = self.expr()
+            self.take("op", ":")
+            b = self.ternary()
+            return ("?:", cond, a, b)
+        return cond
+
+    def or_(self):
+        return self._binop_level(("||",), self.and_)
+
+    def and_(self):
+        return self._binop_level(("&&",), self.bitor)
+
+    def bitor(self):
+        return self._binop_level(("|",), self.bitxor)
+
+    def bitxor(self):
+        return self._binop_level(("^",), self.bitand)
+
+    def bitand(self):
+        return self._binop_level(("&",), self.eq)
+
+    def eq(self):
+        return self._binop_level(("==", "!="), self.rel)
+
+    def rel(self):
+        return self._binop_level(("<", "<=", ">", ">="), self.shift)
+
+    def shift(self):
+        return self._binop_level(("<<", ">>"), self.add)
+
+    def add(self):
+        return self._binop_level(("+", "-"), self.mul)
+
+    def mul(self):
+        return self._binop_level(("*", "/", "%"), self.unary)
 
     def unary(self):
-        if self.peek() == ("op", "-"):
+        k, v = self.peek()
+        if (k, v) == ("op", "-"):
             self.take("op")
             return ("neg", self.unary())
+        if (k, v) == ("op", "!"):
+            self.take("op")
+            return ("not", self.unary())
+        if (k, v) == ("op", "~"):
+            self.take("op")
+            return ("bnot", self.unary())
         return self.atom()
 
     def atom(self):
@@ -130,6 +216,8 @@ class _Parser:
                     return ("f1", v, args[0])
                 if v in _FUNCS_2 and len(args) == 2:
                     return ("f2", v, args[0], args[1])
+                if v in _FUNCS_4 and len(args) == 4:
+                    return ("f4", v, *args)
                 raise ExpressionError(
                     f"unknown function {v}/{len(args)} in {self.src!r}"
                 )
@@ -143,6 +231,38 @@ class _Parser:
         raise ExpressionError(f"unexpected {v or k!r} in {self.src!r}")
 
 
+def _to_long(x):
+    # Java (long) cast of a double: truncate toward zero, saturating
+    return np.asarray(np.trunc(np.asarray(x, dtype=np.float64)), dtype=np.int64)
+
+
+def _bool(x):
+    return np.asarray(x, dtype=np.float64) != 0.0
+
+
+_BIN_EVAL = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: np.fmod(a, b),  # Java % on doubles = C fmod
+    "<": lambda a, b: (a < b) * 1.0,
+    "<=": lambda a, b: (a <= b) * 1.0,
+    ">": lambda a, b: (a > b) * 1.0,
+    ">=": lambda a, b: (a >= b) * 1.0,
+    "==": lambda a, b: (a == b) * 1.0,
+    "!=": lambda a, b: (a != b) * 1.0,
+    "&&": lambda a, b: (_bool(a) & _bool(b)) * 1.0,
+    "||": lambda a, b: (_bool(a) | _bool(b)) * 1.0,
+    "&": lambda a, b: (_to_long(a) & _to_long(b)).astype(np.float64),
+    "|": lambda a, b: (_to_long(a) | _to_long(b)).astype(np.float64),
+    "^": lambda a, b: (_to_long(a) ^ _to_long(b)).astype(np.float64),
+    # Java shifts mask the count to 6 bits for longs
+    "<<": lambda a, b: (_to_long(a) << (_to_long(b) & 63)).astype(np.float64),
+    ">>": lambda a, b: (_to_long(a) >> (_to_long(b) & 63)).astype(np.float64),
+}
+
+
 def _eval(node, bindings: dict):
     kind = node[0]
     if kind == "const":
@@ -154,18 +274,25 @@ def _eval(node, bindings: dict):
             raise ExpressionError(f"unbound variable {node[1]!r}") from None
     if kind == "neg":
         return -_eval(node[1], bindings)
-    if kind == "+":
-        return _eval(node[1], bindings) + _eval(node[2], bindings)
-    if kind == "-":
-        return _eval(node[1], bindings) - _eval(node[2], bindings)
-    if kind == "*":
-        return _eval(node[1], bindings) * _eval(node[2], bindings)
-    if kind == "/":
-        return _eval(node[1], bindings) / _eval(node[2], bindings)
+    if kind == "not":
+        return (~_bool(_eval(node[1], bindings))) * 1.0
+    if kind == "bnot":
+        return (~_to_long(_eval(node[1], bindings))).astype(np.float64)
+    if kind == "?:":
+        return np.where(
+            _bool(_eval(node[1], bindings)),
+            _eval(node[2], bindings),
+            _eval(node[3], bindings),
+        )
     if kind == "f1":
         return _FUNCS_1[node[1]](_eval(node[2], bindings))
     if kind == "f2":
         return _FUNCS_2[node[1]](_eval(node[2], bindings), _eval(node[3], bindings))
+    if kind == "f4":
+        return _FUNCS_4[node[1]](*(_eval(a, bindings) for a in node[2:]))
+    fn = _BIN_EVAL.get(kind)
+    if fn is not None:
+        return fn(_eval(node[1], bindings), _eval(node[2], bindings))
     raise ExpressionError(f"bad node {node!r}")
 
 

@@ -142,3 +142,95 @@ def test_exprscore_gate_matches_duckdb(ray_session):
     want = want.sort_values(["qid", "rank"]).reset_index(drop=True)
     assert got.shape == want.shape
     assert (got["docid"].to_numpy() == want["docid"].to_numpy()).all()
+
+
+class TestFullGrammar:
+    """Round-4 grammar completion (js/JavascriptCompiler.java Javascript.g):
+    ternary, boolean/comparison ops, modulo, bitwise/shift on long casts,
+    and the full trig/log built-in set."""
+
+    def _ev(self, src, **binds):
+        import numpy as np
+
+        from lucene_ray.search.expressions import compile_expression
+
+        out = compile_expression(src).evaluate(
+            {k: np.asarray(v, dtype=np.float64) for k, v in binds.items()}
+        )
+        return np.asarray(out, dtype=np.float64)
+
+    def test_comparisons_produce_01(self):
+        import numpy as np
+
+        x = [1.0, 5.0, 9.0]
+        np.testing.assert_array_equal(self._ev("x > 5", x=x), [0, 0, 1])
+        np.testing.assert_array_equal(self._ev("x >= 5", x=x), [0, 1, 1])
+        np.testing.assert_array_equal(self._ev("x == 5", x=x), [0, 1, 0])
+        np.testing.assert_array_equal(self._ev("x != 5", x=x), [1, 0, 1])
+
+    def test_boolean_and_not(self):
+        import numpy as np
+
+        x = [0.0, 3.0, 8.0]
+        np.testing.assert_array_equal(
+            self._ev("x > 1 && x < 5", x=x), [0, 1, 0]
+        )
+        np.testing.assert_array_equal(
+            self._ev("x == 0 || x > 5", x=x), [1, 0, 1]
+        )
+        np.testing.assert_array_equal(self._ev("!x", x=x), [1, 0, 0])
+
+    def test_ternary_precedence_and_nesting(self):
+        import numpy as np
+
+        x = [1.0, 10.0, 100.0]
+        np.testing.assert_array_equal(
+            self._ev("x > 50 ? 1 : x > 5 ? 2 : 3", x=x), [3, 2, 1]
+        )
+        # ternary binds loosest: '1 + x > 5 ? 10 : 20' parses as
+        # (1 + x > 5) ? ...
+        np.testing.assert_array_equal(
+            self._ev("1 + x > 5 ? 10 : 20", x=x), [20, 10, 10]
+        )
+
+    def test_modulo_and_bitwise_match_java(self):
+        import numpy as np
+
+        # Java: (long) casts truncate toward zero; % on doubles = fmod
+        assert self._ev("7 % 3") == 1.0
+        assert self._ev("-7 % 3") == -1.0
+        assert self._ev("(12 & 10)") == 8.0
+        assert self._ev("(12 | 3)") == 15.0
+        assert self._ev("(12 ^ 10)") == 6.0
+        assert self._ev("~5") == -6.0
+        assert self._ev("3 << 4") == 48.0
+        assert self._ev("-256 >> 4") == -16.0
+
+    def test_reference_functions(self):
+        import math
+
+        import numpy as np
+
+        assert self._ev("ln(exp(2))") == pytest.approx(2.0)
+        assert self._ev("logn(2, 8)") == pytest.approx(3.0)
+        assert self._ev("atan2(1, 1)") == pytest.approx(math.pi / 4)
+        for f in ("sin", "cos", "tan", "sinh", "cosh", "tanh",
+                  "asin", "acos", "atan"):
+            got = float(self._ev(f"{f}(0.5)"))
+            assert got == pytest.approx(getattr(math, f)(0.5)), f
+        # the reference's TestExpressions haversin example: NYC points,
+        # great-circle distance in km
+        d = float(
+            self._ev("haversin(40.7143528, -74.0059731, 40.759011, -73.9844722)")
+        )
+        assert d == pytest.approx(5.285, abs=2e-3)
+
+    def test_parse_errors(self):
+        from lucene_ray.search.expressions import (
+            ExpressionError,
+            compile_expression,
+        )
+
+        for bad in ("x ? 1", "x >", "1 ?? 2", "foo(1,2,3)", "x &&", "(x"):
+            with pytest.raises(ExpressionError):
+                compile_expression(bad)
