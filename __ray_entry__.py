@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spanops_engine": bm25docs.spanops_engine,
         "lmdirichlet_topk": bm25docs.lmdirichlet_topk,
         "dfr_topk": bm25docs.dfr_topk,
+        "dfi_topk": bm25docs.dfi_topk,
+        "ib_topk": bm25docs.ib_topk,
         "dvsort_engine": bm25docs.dvsort_engine,
         "dvfacet_engine": bm25docs.dvfacet_engine,
         "dvrange_engine": bm25docs.dvrange_engine,
@@ -170,6 +172,8 @@ def oracle_sql() -> dict[str, str]:
         "spanops_engine": bm25docs.spanops_engine_sql(),
         "lmdirichlet_topk": bm25docs.lmdirichlet_topk_sql(),
         "dfr_topk": bm25docs.dfr_topk_sql(),
+        "dfi_topk": bm25docs.dfi_topk_sql(),
+        "ib_topk": bm25docs.ib_topk_sql(),
         "dvsort_engine": bm25docs.dvsort_engine_sql(),
         "dvfacet_engine": bm25docs.dvfacet_engine_sql(),
         "dvrange_engine": bm25docs.dvrange_engine_sql(),

@@ -116,6 +116,36 @@ def dfr_topk_sql() -> str:
     return _exact_topk_sql(DFRExactSimilarity().sql)
 
 
+def dfi_topk(sf_dir: str) -> pa.Table:
+    """(qid, rank, doc_id): divergence-from-independence similarity twin
+    (DFISimilarity.java + IndependenceStandardized; expected tf from the
+    term's collection frequency)."""
+    from lucene_ray.search.similarity import DFIExactSimilarity
+
+    return _exact_topk(sf_dir, DFIExactSimilarity())
+
+
+def ib_topk(sf_dir: str) -> pa.Table:
+    """(qid, rank, doc_id): information-based IB(LL, lambda_DF, H2)
+    similarity twin (IBSimilarity.java + DistributionLL/LambdaDF/
+    NormalizationH2)."""
+    from lucene_ray.search.similarity import IBExactSimilarity
+
+    return _exact_topk(sf_dir, IBExactSimilarity())
+
+
+def dfi_topk_sql() -> str:
+    from lucene_ray.search.similarity import DFIExactSimilarity
+
+    return _exact_topk_sql(DFIExactSimilarity().sql)
+
+
+def ib_topk_sql() -> str:
+    from lucene_ray.search.similarity import IBExactSimilarity
+
+    return _exact_topk_sql(IBExactSimilarity().sql)
+
+
 def _exact_topk(sf_dir: str, sim) -> pa.Table:
     qts = _query_terms()
     all_terms = sorted({t for _, ts in qts for t in ts})

@@ -585,3 +585,244 @@ def _ulog(x: np.ndarray) -> np.ndarray:
     u, inv = np.unique(np.asarray(x, dtype=np.float64), return_inverse=True)
     lut = np.array([math.log(v) for v in u.tolist()], dtype=np.float64)
     return lut[inv]
+
+
+class DFIScorer:
+    """Divergence-from-independence per-term scorer
+    (search/similarities/DFISimilarity.java + IndependenceStandardized.java):
+    expected = (ttf + 1) * dl / (sumTotalTermFreq + 1); freq <= expected
+    scores 0; else score = weight * log2(1 + (freq - expected)/sqrt(expected)).
+    Monotone increasing in freq, decreasing in dl -> per-impact-pair
+    evaluation gives true block bounds."""
+
+    __slots__ = ("weight", "k", "dl_table")
+
+    def __init__(self, weight: np.float32, k: np.float32):
+        self.weight = weight
+        self.k = k  # (ttf + 1) / (sum_ttf + 1), float32
+        self.dl_table = LENGTH_TABLE_F32
+
+    def _measure(self, f: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        e = self.k * dl
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = (f - e) / np.sqrt(e)
+        return np.where((f > e) & (e > 0), m, np.float32(0.0))
+
+    def score(self, freq: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float32)
+        dl = self.dl_table[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        m = self._measure(f, dl)
+        return np.maximum(
+            self.weight * np.log2(np.float32(1.0) + m), np.float32(0.0)
+        )
+
+    def max_score(self, impacts_packed) -> np.float32:
+        arr = np.asarray(impacts_packed, dtype=np.int64)
+        if arr.size == 0:
+            return np.float32(0.0)
+        return self.score((arr >> 8).astype(np.float32), arr & 0xFF).max()
+
+    def max_score_blocks(
+        self, tfs: np.ndarray, norms: np.ndarray, offsets: np.ndarray
+    ) -> np.ndarray:
+        m = self._measure(tfs.astype(np.float32), self.dl_table[norms])
+        mx = np.maximum.reduceat(m, offsets)
+        return np.maximum(
+            self.weight * np.log2(np.float32(1.0) + mx), np.float32(0.0)
+        ).astype(np.float64)
+
+    def global_max_score(self) -> np.float32:
+        with np.errstate(over="ignore"):
+            # dl = 1 (smallest nonzero expected) with huge freq
+            e = self.k * np.float32(1.0)
+            m = (np.finfo(np.float32).max - e) / np.sqrt(np.maximum(e, 1e-30))
+            return np.float32(max(0.0, self.weight * np.log2(1.0 + float(m))))
+
+
+class DFISimilarity:
+    """DFI with the standardized independence measure
+    (DFISimilarity.java:40; IndependenceStandardized). Needs per-term ttf
+    (threaded through the scorer protocol since round 4)."""
+
+    def scorer(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freq: int = 0,
+    ) -> DFIScorer:
+        k = np.float32((total_term_freq + 1.0) / (sum_total_term_freq + 1.0))
+        return DFIScorer(np.float32(boost), k)
+
+    def phrase_scorer(
+        self,
+        doc_freqs: list[int],
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freqs: list[int] | None = None,
+    ) -> DFIScorer:
+        ttf = sum(total_term_freqs or [0])
+        k = np.float32((ttf + 1.0) / (sum_total_term_freq + 1.0))
+        return DFIScorer(np.float32(boost), k)
+
+
+class DFIExactSimilarity:
+    """Float64 exact-length DFI twin (standardized measure) for DuckDB
+    oracle parity: sqrt is correctly-rounded IEEE on both sides; the final
+    log2 is written ln/ln(2) with libm ln via the unique-value LUT."""
+
+    def score(
+        self,
+        freq: np.ndarray,
+        doc_len: np.ndarray,
+        doc_freq: int,
+        doc_count: int,
+        avgdl: float,
+        ttf: int = 0,
+        sum_len: int = 0,
+    ) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = np.asarray(doc_len, dtype=np.float64)
+        e = (ttf + 1.0) / (sum_len + 1.0) * dl
+        m = np.where(f > e, (f - e) / np.sqrt(e), 0.0)
+        out = np.zeros(len(f), dtype=np.float64)
+        pos = m > 0
+        if pos.any():
+            out[pos] = _ulog(1.0 + m[pos]) / math.log(2.0)
+        return out
+
+    def sql(
+        self, tf: str, dl: str, df: str, n: str, avgdl: str,
+        ttf: str = "0", sum_len: str = "0",
+    ) -> str:
+        e = f"(({ttf} + 1.0) / ({sum_len} + 1.0) * {dl})"
+        m = f"(({tf} - {e}) / sqrt({e}))"
+        return (
+            f"CASE WHEN {tf} > {e} THEN ln(1 + {m}) / ln(2.0) ELSE 0.0 END"
+        )
+
+
+class IBScorer:
+    """Information-based per-term scorer (search/similarities/IBSimilarity
+    .java + DistributionLL.java / LambdaDF.java / NormalizationH2.java):
+    tfn = freq * cache[norm] (H2), lambda = (df + 1)/(N + 1),
+    score = weight * log(1 + tfn / lambda) — DistributionLL's
+    -log(lambda/(lambda+tfn)) rearranged. Increasing in tfn, so block
+    bounds reduce over tfn alone."""
+
+    __slots__ = ("weight", "lam", "cache")
+
+    def __init__(self, weight: np.float32, lam: np.float32, cache: np.ndarray):
+        self.weight = weight
+        self.lam = lam
+        self.cache = cache
+
+    def score(self, freq: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float32)
+        tfn = f * self.cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        return self.weight * np.log1p(tfn / self.lam)
+
+    def max_score(self, impacts_packed) -> np.float32:
+        arr = np.asarray(impacts_packed, dtype=np.int64)
+        if arr.size == 0:
+            return np.float32(0.0)
+        return self.score((arr >> 8).astype(np.float32), arr & 0xFF).max()
+
+    def max_score_blocks(
+        self, tfs: np.ndarray, norms: np.ndarray, offsets: np.ndarray
+    ) -> np.ndarray:
+        x = tfs.astype(np.float32) * self.cache[norms]
+        m = np.maximum.reduceat(x, offsets)
+        return (self.weight * np.log1p(m / self.lam)).astype(np.float64)
+
+    def global_max_score(self) -> np.float32:
+        with np.errstate(over="ignore"):
+            return self.score(
+                np.array([np.finfo(np.float32).max], dtype=np.float32),
+                np.array([1]),
+            )[0]
+
+
+class IBSimilarity:
+    """IB(LL, lambda_DF, H2) with c = 1 (the reference's composable
+    IBSimilarity instantiated like its test defaults)."""
+
+    def __init__(self, c: float = 1.0):
+        if not np.isfinite(c) or c <= 0:
+            raise ValueError(f"illegal c value: {c}")
+        self.c = float(c)
+
+    def _cache(self, sum_total_term_freq: int, doc_count: int) -> np.ndarray:
+        avgdl = (
+            np.float32(sum_total_term_freq / float(doc_count))
+            if sum_total_term_freq
+            else np.float32(1.0)
+        )
+        dl = np.maximum(LENGTH_TABLE_F32, np.float32(1.0))
+        return np.log2(
+            np.float32(1.0) + np.float32(self.c) * avgdl / dl
+        ).astype(np.float32)
+
+    def scorer(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freq: int = 0,
+    ) -> IBScorer:
+        lam = np.float32((doc_freq + 1.0) / (doc_count + 1.0))
+        return IBScorer(
+            np.float32(boost), lam, self._cache(sum_total_term_freq, doc_count)
+        )
+
+    def phrase_scorer(
+        self,
+        doc_freqs: list[int],
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freqs: list[int] | None = None,
+    ) -> IBScorer:
+        df = max(doc_freqs, default=0)
+        lam = np.float32((df + 1.0) / (doc_count + 1.0))
+        return IBScorer(
+            np.float32(boost), lam, self._cache(sum_total_term_freq, doc_count)
+        )
+
+
+class IBExactSimilarity:
+    """Float64 exact-length IB(LL, DF, H2) twin for DuckDB oracle parity —
+    the two logs (H2's log2 and LL's ln) go through libm via the
+    unique-value LUT; log2 written ln/ln(2) on both sides."""
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def score(
+        self,
+        freq: np.ndarray,
+        doc_len: np.ndarray,
+        doc_freq: int,
+        doc_count: int,
+        avgdl: float,
+        ttf: int = 0,
+        sum_len: int = 0,
+    ) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = np.maximum(np.asarray(doc_len, dtype=np.float64), 1.0)
+        ln2 = math.log(2.0)
+        tfn = f * (_ulog(1.0 + self.c * avgdl / dl) / ln2)
+        lam = (doc_freq + 1.0) / (doc_count + 1.0)
+        return _ulog(1.0 + tfn / lam)
+
+    def sql(
+        self, tf: str, dl: str, df: str, n: str, avgdl: str,
+        ttf: str = "0", sum_len: str = "0",
+    ) -> str:
+        c = repr(self.c)
+        tfn = f"({tf} * (ln(1 + {c} * {avgdl} / greatest({dl}, 1.0)) / ln(2.0)))"
+        lam = f"(({df} + 1.0) / ({n} + 1.0))"
+        return f"ln(1 + {tfn} / {lam})"

@@ -202,6 +202,7 @@ class TestSimilarityFamilies:
     def test_param_validation(self):
         from lucene_ray.search.similarity import (
             DFRSimilarity,
+            IBSimilarity,
             LMDirichletSimilarity,
         )
 
@@ -211,13 +212,18 @@ class TestSimilarityFamilies:
             LMDirichletSimilarity(mu=float("nan"))
         with pytest.raises(ValueError):
             DFRSimilarity(c=0)
+        with pytest.raises(ValueError):
+            IBSimilarity(c=-1)
         LMDirichletSimilarity(mu=500.0)
         DFRSimilarity(c=7.0)
+        IBSimilarity(c=2.0)
 
-    @pytest.mark.parametrize("family", ["lmd", "dfr"])
+    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib"])
     def test_random_scoring_properties(self, family):
         from lucene_ray.search.similarity import (
+            DFISimilarity,
             DFRSimilarity,
+            IBSimilarity,
             LMDirichletSimilarity,
         )
 
@@ -227,7 +233,12 @@ class TestSimilarityFamilies:
             df = int(rng.integers(1, N + 1))
             sttf = int(rng.integers(N, N * 10 + 1))
             ttf = int(rng.integers(df, min(sttf, df * 50) + 1))
-            sim = LMDirichletSimilarity() if family == "lmd" else DFRSimilarity()
+            sim = {
+                "lmd": LMDirichletSimilarity,
+                "dfr": DFRSimilarity,
+                "dfi": DFISimilarity,
+                "ib": IBSimilarity,
+            }[family]()
             sc = sim.scorer(df, N, sttf, total_term_freq=ttf)
             freqs = np.sort(rng.uniform(1, 1e6, size=20).astype(np.float32))
             norms = np.arange(256)
@@ -238,17 +249,28 @@ class TestSimilarityFamilies:
             for nb in (0, 1, 128, 255):
                 sf_ = sc.score(freqs, np.full(20, nb))
                 assert np.all(np.diff(sf_) >= -1e-6)
-            sn = sc.score(np.full(256, freqs[5]), norms)
+            # norm byte 0 = empty doc: a term cannot occur there, and DFI
+            # defines the measure only for expected > 0 (scores 0) — start
+            # the length-monotonicity sweep at the first real length
+            lo = 1 if family == "dfi" else 0
+            sn = sc.score(np.full(256 - lo, freqs[5]), norms[lo:])
             assert np.all(np.diff(sn) <= 1e-6)
 
-    @pytest.mark.parametrize("family", ["lmd", "dfr"])
+    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib"])
     def test_block_max_is_upper_bound(self, family):
         from lucene_ray.search.similarity import (
+            DFISimilarity,
             DFRSimilarity,
+            IBSimilarity,
             LMDirichletSimilarity,
         )
 
-        sim = LMDirichletSimilarity() if family == "lmd" else DFRSimilarity()
+        sim = {
+            "lmd": LMDirichletSimilarity,
+            "dfr": DFRSimilarity,
+            "dfi": DFISimilarity,
+            "ib": IBSimilarity,
+        }[family]()
         sc = sim.scorer(10, 1000, 5000, total_term_freq=50)
         rng = np.random.default_rng(3)
         tfs = rng.integers(1, 100, size=256).astype(np.int64)
@@ -259,18 +281,22 @@ class TestSimilarityFamilies:
         for bi, (lo, hi) in enumerate(zip(offsets, [64, 128, 192, 256])):
             assert np.all(scores[lo:hi] <= bounds[bi] + 1e-7)
 
-    @pytest.mark.parametrize("family", ["lmd", "dfr", "bool"])
+    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib", "bool"])
     def test_duel_pruned_vs_exhaustive(self, cix, family):
         from lucene_ray.search.engine import IndexSearcher
         from lucene_ray.search.similarity import (
             BooleanSimilarity,
+            DFISimilarity,
             DFRSimilarity,
+            IBSimilarity,
             LMDirichletSimilarity,
         )
 
         sim = {
             "lmd": LMDirichletSimilarity,
             "dfr": DFRSimilarity,
+            "dfi": DFISimilarity,
+            "ib": IBSimilarity,
             "bool": BooleanSimilarity,
         }[family]()
         ex = IndexSearcher(cix, similarity=sim, pruned=False)
@@ -335,16 +361,23 @@ class TestSimilarityFamilies:
         # boost-only ties -> docid order
         assert td.docids.tolist() == sorted(td.docids.tolist())
 
-    @pytest.mark.parametrize("family", ["lmd", "dfr"])
+    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib"])
     def test_exact_sql_parity(self, family):
         import duckdb
 
         from lucene_ray.search.similarity import (
+            DFIExactSimilarity,
             DFRExactSimilarity,
+            IBExactSimilarity,
             LMDirichletExactSimilarity,
         )
 
-        ex = LMDirichletExactSimilarity() if family == "lmd" else DFRExactSimilarity()
+        ex = {
+            "lmd": LMDirichletExactSimilarity,
+            "dfr": DFRExactSimilarity,
+            "dfi": DFIExactSimilarity,
+            "ib": IBExactSimilarity,
+        }[family]()
         N, df, avgdl, ttf, sum_len = 500, 13, 37.25, 91, 18625
         tfs = np.array([1, 2, 5, 9], dtype=np.float64)
         dls = np.array([10, 50, 37, 120], dtype=np.float64)
