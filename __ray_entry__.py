@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "softdelete_engine": bm25docs.softdelete_engine,
         "rangefield_engine": bm25docs.rangefield_engine,
         "replica_engine": bm25docs.replica_engine,
+        "media_decode": multimodal.media_decode,
         # --- never recorded by the driver through r3 (VERDICT r3 item 2):
         # these 9 sat past position 50 every round; front-load them so
         # CORRECTNESS_r04 finally witnesses them.
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "softdelete_engine": bm25docs.softdelete_engine_sql(),
         "rangefield_engine": bm25docs.rangefield_engine_sql(),
         "replica_engine": bm25docs.replica_engine_sql(),
+        "media_decode": multimodal.media_decode_sql(),
         "bm25_topk": bm25docs.bm25_topk_sql(),
         "tfidf_topk": bm25docs.tfidf_topk_sql(),
         "boolean_engine": bm25docs.boolean_engine_sql(),

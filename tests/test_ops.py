@@ -957,3 +957,77 @@ class TestAnalyzingSuggester:
         got = sug.lookup("wind")
         assert got[0] == ("Window functions", 7)
         assert sug.lookup("xxxx") == []
+
+
+class TestMediaCodecs:
+    """Real pure-Python PNG/WAV codecs (ops/media_codec.py) — roundtrips
+    across shapes/filters, spec-level error paths, and the decode stage."""
+
+    def test_png_roundtrip_all_filters(self):
+        import numpy as np
+
+        from lucene_ray.ops.media_codec import decode_png, encode_png
+
+        rng = np.random.default_rng(5)
+        # >= 5 rows exercises every filter type (encoder cycles 0..4)
+        for shape in [(7, 5), (8, 6, 3), (9, 4, 4), (1, 1), (5, 1, 3), (16, 16)]:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            out = decode_png(encode_png(px))
+            assert out.shape == px.shape and np.array_equal(out, px), shape
+
+    def test_png_rejects_corruption(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from lucene_ray.ops.media_codec import decode_png, encode_png
+
+        good = bytearray(encode_png(np.zeros((4, 4), dtype=np.uint8)))
+        with _pytest.raises(ValueError, match="signature"):
+            decode_png(b"JUNK" + bytes(good[4:]))
+        bad = bytearray(good)
+        bad[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+        with _pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(bad))
+
+    def test_wav_roundtrip_and_errors(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from lucene_ray.ops.media_codec import decode_wav, encode_wav_pcm16
+
+        s = np.array([0, 100, -100, 32767, -32768], dtype=np.int16)
+        got, rate = decode_wav(encode_wav_pcm16(s, 44100))
+        assert rate == 44100 and np.array_equal(got, s)
+        with _pytest.raises(ValueError, match="RIFF"):
+            decode_wav(b"nope" * 4)
+
+    def test_media_decoder_stage(self, ray_session, sf_dir):
+        import numpy as np
+
+        from lucene_ray.ops.multimodal import (
+            _synth_png,
+            _synth_wav,
+            media_decode,
+        )
+        from lucene_ray.ops.media_codec import decode_png, decode_wav
+
+        t = media_decode(sf_dir)
+        rows = t.to_pydict()
+        by_id = {
+            m: (k, a, b, c)
+            for m, k, a, b, c in zip(
+                rows["media_id"], rows["kind"], rows["a"], rows["b"], rows["c"]
+            )
+        }
+        # spot-check a PNG and a WAV against direct decode
+        for d in (0, 2, 8):
+            px = decode_png(_synth_png(d))
+            assert by_id[d] == (
+                "image/png", px.shape[1], px.shape[0], int(px.sum())
+            )
+        for d in (1, 3, 9):
+            samples, rate = decode_wav(_synth_wav(d))
+            assert by_id[d] == (
+                "audio/wav", len(samples), rate,
+                int(np.abs(samples.astype(np.int64)).max()),
+            )
