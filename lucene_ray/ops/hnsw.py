@@ -60,7 +60,13 @@ HNSW_EF_SEARCH = 128     # gate operating point (rank-identical to brute
                          # force on the gate corpora — verified; the
                          # approximate low-ef operating points are pinned
                          # by tests/test_hnsw.py recall bounds)
-HNSW_SHARD_SIZE = 1024   # vectors per shard graph (worker-RAM bound)
+# vectors per shard graph — a TEST-SCALE default sized to the sf corpora
+# (shards must exceed the gate k); production scale is a parameter, not a
+# redesign: Lucene's own per-segment graphs run ~1M vectors/segment, and
+# every stage here (parallel shard builds, persisted adjacency, fan-out
+# search + distributed top-k reduce) is shard-count-agnostic. Size shards
+# to worker RAM (graph ~ n*(M*2+1)*8B + vectors) at deployment.
+HNSW_SHARD_SIZE = 1024
 HNSW_LEVEL_SEED = 0x9E3779B97F4A7C15
 HNSW_MAX_LEVEL = 16
 
