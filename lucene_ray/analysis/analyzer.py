@@ -20,9 +20,10 @@ Two analyzers:
   4. split on non-alphanumeric runs ``[^a-z0-9]+`` (snake_case splits here;
      StandardTokenizer-like word-break reduced to the ASCII ALPHANUM/NUM rules
      that fire on source code — SURVEY.md §7.4 item 2)
-  5. drop empty tokens and tokens longer than 255 chars
-     (maxTokenLength, analysis/standard/StandardAnalyzer.java:37; divergence:
-     Lucene *splits* over-long tokens at the buffer boundary, we drop them)
+  5. drop empty tokens; SPLIT tokens longer than 255 chars into 255-char
+     chunks (maxTokenLength scanner semantics: the jflex scanner emits the
+     buffered maxTokenLength chars and keeps scanning —
+     StandardTokenizerImpl.jflex, analysis/standard/StandardAnalyzer.java:37)
 
 ``StandardLiteAnalyzer`` — closer to pure UAX#29 (keeps ``don't``, ``3.14``,
 ``SD500`` whole); used for golden-token conformance tests mirroring
@@ -64,6 +65,38 @@ def _filter_list_array(tokens: pa.ListArray, keep: np.ndarray) -> pa.ListArray:
     new_offsets = csum[offsets]
     values = tokens.values.filter(pa.array(keep))
     return pa.ListArray.from_arrays(pa.array(new_offsets, type=pa.int32()), values)
+
+
+def _split_overlong(tokens: list[str]) -> list[str]:
+    """maxTokenLength SPLIT semantics (StandardTokenizerImpl.jflex: when a
+    run exceeds maxTokenLength the scanner emits the buffered
+    maxTokenLength chars as a token and keeps going — over-long runs come
+    out as consecutive maxTokenLength-sized chunks, never dropped).
+    Python-side fixup for the cold spec paths; the byte kernel and the SQL
+    mirror implement the same chunking vectorized."""
+    if all(len(t) <= MAX_TOKEN_LEN for t in tokens):
+        return [t for t in tokens if t]
+    out: list[str] = []
+    for t in tokens:
+        if not t:
+            continue
+        if len(t) <= MAX_TOKEN_LEN:
+            out.append(t)
+        else:
+            out.extend(
+                t[i : i + MAX_TOKEN_LEN]
+                for i in range(0, len(t), MAX_TOKEN_LEN)
+            )
+    return out
+
+
+def _split_list_array(tokens: pa.ListArray, lengths: np.ndarray) -> pa.ListArray:
+    """Apply maxTokenLength chunking to a ListArray<string> (cold path —
+    only reached when some token exceeds MAX_TOKEN_LEN)."""
+    rows = tokens.to_pylist()
+    return pa.array(
+        [_split_overlong(r or []) for r in rows], type=pa.list_(pa.string())
+    )
 
 
 _LUT_LOWER = np.zeros(256, dtype=bool)
@@ -109,10 +142,12 @@ class CodeAnalyzer:
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         lengths = pc.utf8_length(toks.values).to_numpy(zero_copy_only=False)
-        keep = (lengths > 0) & (lengths <= MAX_TOKEN_LEN)
-        if bool(keep.all()):
-            return toks
-        return _filter_list_array(toks, keep)
+        if bool((lengths <= MAX_TOKEN_LEN).all()):
+            keep = lengths > 0
+            if bool(keep.all()):
+                return toks
+            return _filter_list_array(toks, keep)
+        return _split_list_array(toks, lengths)
 
     def tokenize_flat(
         self, texts: pa.Array | pa.ChunkedArray, with_offsets: bool = False
@@ -199,21 +234,25 @@ class CodeAnalyzer:
         lengths = np.bincount(tok_ids, minlength=n_tok)
         starts_idx = np.nonzero(start)[0]
 
-        keep = lengths <= MAX_TOKEN_LEN
-        if keep.all():
-            # tokens are exactly the alnum bytes in order — no ragged gather
-            out_off = np.concatenate(([0], np.cumsum(lengths)))
-            values = _LUT_TOLOWER[data[tok_bytes]]
-        else:
-            starts_idx = starts_idx[keep]
-            lengths = lengths[keep]
-            n_tok = len(starts_idx)
-            total = int(lengths.sum())
-            out_off = np.concatenate(([0], np.cumsum(lengths)))
-            gather = np.repeat(starts_idx, lengths) + (
-                np.arange(total) - np.repeat(out_off[:-1], lengths)
+        if (lengths > MAX_TOKEN_LEN).any():
+            # maxTokenLength SPLIT (jflex scanner semantics, see
+            # _split_overlong): each over-long token becomes consecutive
+            # MAX_TOKEN_LEN-sized chunks. The chunks cover the token's bytes
+            # contiguously in order, so the value buffer is STILL exactly
+            # the alnum bytes in order — only starts/lengths re-shape.
+            n_chunks = (lengths + MAX_TOKEN_LEN - 1) // MAX_TOKEN_LEN
+            rep = np.repeat(np.arange(n_tok), n_chunks)
+            chunk_ord = np.arange(int(n_chunks.sum())) - np.repeat(
+                np.concatenate(([0], np.cumsum(n_chunks)[:-1])), n_chunks
             )
-            values = _LUT_TOLOWER[data[gather]]
+            starts_idx = starts_idx[rep] + chunk_ord * MAX_TOKEN_LEN
+            lengths = np.minimum(
+                lengths[rep] - chunk_ord * MAX_TOKEN_LEN, MAX_TOKEN_LEN
+            )
+            n_tok = len(starts_idx)
+        # tokens (or chunks) are exactly the alnum bytes in order
+        out_off = np.concatenate(([0], np.cumsum(lengths)))
+        values = _LUT_TOLOWER[data[tok_bytes]]
         if int(out_off[-1]) > np.iinfo(np.int32).max:
             # pa.utf8 carries int32 offsets: >2 GiB of token bytes in one
             # batch would silently wrap and corrupt the term array
@@ -257,8 +296,13 @@ def tokenize_sql_expr(col: str) -> str:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     expr = f"lower({expr})"
     expr = f"string_split_regex({expr}, '{_SEP_PATTERN}')"
+    # maxTokenLength SPLIT: regexp_extract_all('.{1,N}') chunks each token
+    # into N-char pieces left-to-right (greedy {1,N}) and yields [] for the
+    # empty-string artifacts of split, so flatten() also drops empties —
+    # exactly the engine kernel's chunking
     expr = (
-        f"list_filter({expr}, t -> t <> '' AND length(t) <= {MAX_TOKEN_LEN})"
+        f"flatten(list_transform({expr}, "
+        f"t -> regexp_extract_all(t, '.{{1,{MAX_TOKEN_LEN}}}')))"
     )
     return expr
 
@@ -278,9 +322,9 @@ class StandardLiteAnalyzer:
     name = "standard"
 
     def tokenize_text(self, text: str) -> list[str]:
-        return [
-            t.lower() for t in _STD_TOKEN_RE.findall(text) if len(t) <= MAX_TOKEN_LEN
-        ]
+        return _split_overlong(
+            [t.lower() for t in _STD_TOKEN_RE.findall(text)]
+        )
 
     def tokenize_array(self, texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
         pylist = texts.to_pylist()
@@ -325,10 +369,12 @@ class UnicodeAnalyzer:
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         lengths = pc.utf8_length(toks.values).to_numpy(zero_copy_only=False)
-        keep = (lengths > 0) & (lengths <= MAX_TOKEN_LEN)
-        if bool(keep.all()):
-            return toks
-        return _filter_list_array(toks, keep)
+        if bool((lengths <= MAX_TOKEN_LEN).all()):
+            keep = lengths > 0
+            if bool(keep.all()):
+                return toks
+            return _filter_list_array(toks, keep)
+        return _split_list_array(toks, lengths)
 
     @staticmethod
     def sql_expr(col: str) -> str:
@@ -339,8 +385,11 @@ class UnicodeAnalyzer:
         )
         expr = f"lower({expr})"
         expr = f"string_split_regex({expr}, '{_UNI_SEP_PATTERN}')"
+        # maxTokenLength SPLIT, codepoint-counted on both sides ('.' = one
+        # codepoint in RE2, len() = codepoints in the python fixup)
         return (
-            f"list_filter({expr}, t -> t <> '' AND length(t) <= {MAX_TOKEN_LEN})"
+            f"flatten(list_transform({expr}, "
+            f"t -> regexp_extract_all(t, '.{{1,{MAX_TOKEN_LEN}}}')))"
         )
 
     def tokenize_flat(self, texts, with_offsets: bool = False):
@@ -453,7 +502,7 @@ class WhitespaceAnalyzer:
     _WS = re.compile(r"[\t\n\f\r ]+")
 
     def tokenize_text(self, text: str) -> list[str]:
-        return [t for t in self._WS.split(text) if t and len(t) <= MAX_TOKEN_LEN]
+        return _split_overlong(self._WS.split(text))
 
     def tokenize_array(self, texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
         return pa.array(
@@ -464,11 +513,11 @@ class WhitespaceAnalyzer:
     @staticmethod
     def sql_expr(col: str) -> str:
         """DuckDB expression producing the same token list (empty-string
-        artifacts of leading/trailing whitespace filtered like Python's
-        re.split)."""
+        artifacts of leading/trailing whitespace vanish through the
+        maxTokenLength chunking flatten — extract_all('') = [])."""
         return (
-            f"list_filter(regexp_split_to_array({col}, '\\s+'), "
-            f"x -> x <> '' AND length(x) <= {MAX_TOKEN_LEN})"
+            f"flatten(list_transform(regexp_split_to_array({col}, '\\s+'), "
+            f"x -> regexp_extract_all(x, '.{{1,{MAX_TOKEN_LEN}}}')))"
         )
 
 

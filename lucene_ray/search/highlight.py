@@ -46,20 +46,26 @@ _BOUNDARY_RE = re.compile(
 
 def token_spans(text: str, max_token_len: int = 255) -> list[tuple[str, int, int]]:
     """(lowercased token, char start, char end) for every analyzed token of
-    ``text``, in order — byte-kernel-equivalent offsets."""
+    ``text``, in order — byte-kernel-equivalent offsets (incl. maxTokenLength
+    SPLIT: over-long runs emit consecutive max_token_len-sized chunks, each
+    with its own offsets, like the jflex scanner)."""
     out = []
+
+    def emit(piece: str, start: int) -> None:
+        for i in range(0, len(piece), max_token_len):
+            chunk = piece[i : i + max_token_len]
+            out.append((chunk.lower(), start + i, start + i + len(chunk)))
+
     for m in _RUN_RE.finditer(text):
         run = m.group(0)
         base = m.start()
         prev = 0
         for b in _BOUNDARY_RE.finditer(run):
-            piece = run[prev : b.start()]
-            if piece and len(piece) <= max_token_len:
-                out.append((piece.lower(), base + prev, base + b.start()))
+            if b.start() > prev:
+                emit(run[prev : b.start()], base + prev)
             prev = b.start()
-        piece = run[prev:]
-        if piece and len(piece) <= max_token_len:
-            out.append((piece.lower(), base + prev, base + len(run)))
+        if len(run) > prev:
+            emit(run[prev:], base + prev)
     return out
 
 

@@ -41,11 +41,20 @@ def test_standard_lite_goldens(text, expected):
     assert StandardLiteAnalyzer().tokenize_text(text) == expected
 
 
-def test_max_token_length_dropped():
+def test_max_token_length_split():
+    """maxTokenLength SPLIT semantics (StandardTokenizerImpl.jflex: the
+    scanner emits the buffered maxTokenLength chars and keeps going, so an
+    over-long run comes out as consecutive 255-char chunks, never dropped)."""
     an = CodeAnalyzer()
     assert an.tokenize_text("x" * 255) == ["x" * 255]
-    assert an.tokenize_text("x" * 256) == []
-    assert an.tokenize_text("ok " + "x" * 256 + " fine") == ["ok", "fine"]
+    assert an.tokenize_text("x" * 256) == ["x" * 255, "x"]
+    assert an.tokenize_text("ok " + "x" * 256 + " fine") == [
+        "ok",
+        "x" * 255,
+        "x",
+        "fine",
+    ]
+    assert an.tokenize_text("y" * 511) == ["y" * 255, "y" * 255, "y"]
 
 
 def test_registry():
