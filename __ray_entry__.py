@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-yet-recorded gates are placed first (VERDICT r3 #2); the
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 4
+        "fieldmask_engine": bm25docs.fieldmask_engine,
         "spanops_engine": bm25docs.spanops_engine,
         "lmdirichlet_topk": bm25docs.lmdirichlet_topk,
         "dfr_topk": bm25docs.dfr_topk,
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
     return {
+        "fieldmask_engine": bm25docs.fieldmask_engine_sql(),
         "spanops_engine": bm25docs.spanops_engine_sql(),
         "lmdirichlet_topk": bm25docs.lmdirichlet_topk_sql(),
         "dfr_topk": bm25docs.dfr_topk_sql(),

@@ -111,6 +111,25 @@ PAYLOAD_DERIVERS = {
 }
 
 
+def _derive_rev_terms(terms: pa.Array) -> pa.Array:
+    # position-preserving reversed-token parallel field (the
+    # ReverseStringFilter analog, analysis/reverse/ReverseStringFilter.java:
+    # same positions, reversed text) — SQL-derivable via reverse(term)
+    import pyarrow.compute as pc
+
+    return pc.utf8_reverse(terms)
+
+
+# analyzed-field DERIVERS: field name -> fn(content terms) -> parallel term
+# array of the SAME length. A derived analyzed field shares the content
+# stream's (doc, position, offset) layout exactly — the position-aligned
+# parallel field FieldMaskingSpanQuery joins across
+# (queries/spans/FieldMaskingSpanQuery.java:36 "parallel fields" contract).
+# An analyzed_fields name NOT in this registry is read as a string source
+# column and tokenized independently (its own position space).
+ANALYZED_FIELD_DERIVERS = {"rev": _derive_rev_terms}
+
+
 @dataclass
 class SegmentSpec:
     seg_idx: int
@@ -265,6 +284,7 @@ def build_one_segment(
     sorted_set_dv_fields: tuple | None = None,
     payload_fn: str | None = None,
     range_fields: tuple | None = None,
+    analyzed_fields: tuple | None = None,
 ) -> SegmentEntry:
     """Build one segment from its input row groups. Pure + idempotent
     (writes only under its own segment dir; atomic entry.json last).
@@ -307,10 +327,16 @@ def build_one_segment(
         for f in dv_fields + sorted_dv_fields
         if f not in STORED_COLUMNS and f != "content"
     ]
+    analyzed_fields = tuple(analyzed_fields or ())
     avail = set(pf.schema_arrow.names)
     extra_cols += [
         f for f in sorted_set_dv_fields
         if f in avail and f not in STORED_COLUMNS and f not in extra_cols
+    ]
+    extra_cols += [
+        f for f in analyzed_fields
+        if f not in ANALYZED_FIELD_DERIVERS
+        and f not in STORED_COLUMNS and f != "content" and f not in extra_cols
     ]
     table = pf.read_row_groups(
         list(range(spec.rg_start, spec.rg_end)),
@@ -394,6 +420,34 @@ def build_one_segment(
         else None
     )
 
+    # analyzed-field streams captured from the PRE-append content stream
+    # (derived parallel fields share its exact (doc, position, offset)
+    # layout; source-column fields tokenize independently). Terms get the
+    # "<field>:" prefix — same shared-term-dict namespace as keyword
+    # fields, but with REAL positions (an analyzed TextField per field,
+    # document/TextField.java), so span/phrase queries work per field.
+    # Norms/sum_ttf stay CONTENT-only, like keyword fields (':'-terms are
+    # skipped by CheckIndex/merge ttf sums).
+    af_streams = []
+    for fld in analyzed_fields:
+        if ":" in fld:
+            raise ValueError(f"analyzed field name may not contain ':': {fld!r}")
+        if fld in ANALYZED_FIELD_DERIVERS:
+            af_streams.append(
+                (fld, row_idx, ANALYZED_FIELD_DERIVERS[fld](terms),
+                 positions, tok_starts, tok_lens)
+            )
+        else:
+            col = pc.fill_null(table.column(fld).combine_chunks().cast(pa.string()), "")
+            if with_off:
+                a_row, a_terms, a_pos, a_st, a_ln = analyzer.tokenize_flat(
+                    col, with_offsets=True
+                )
+            else:
+                a_row, a_terms, a_pos = analyzer.tokenize_flat(col)
+                a_st = a_ln = None
+            af_streams.append((fld, a_row, a_terms, a_pos, a_st, a_ln))
+
     # keyword-field postings: one "<field>:<value>" token per doc per field,
     # appended after the content stream. Prefixed terms never collide with
     # analyzed tokens (':' is outside the token alphabet), so the per-term
@@ -439,6 +493,34 @@ def build_one_segment(
             payloads = np.concatenate(
                 [payloads, np.zeros(n * len(keyword_fields), dtype=np.uint32)]
             )
+
+    for fld, a_row, a_terms, a_pos, a_st, a_ln in af_streams:
+        # within each prefixed term, occurrences stay (doc asc, pos asc):
+        # every stream is doc-major/position-minor and prefixed terms
+        # come only from their own stream
+        m = len(a_terms)
+        prefixed = pc.binary_join_element_wise(
+            pa.scalar(fld + ":"), a_terms, pa.scalar("")
+        )
+        row_idx = np.concatenate([row_idx, np.asarray(a_row, dtype=row_idx.dtype)])
+        terms = pa.concat_arrays([terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms, prefixed])
+        positions = np.concatenate(
+            [positions, np.asarray(a_pos, dtype=positions.dtype)]
+        )
+        if with_off:
+            tok_starts = np.concatenate(
+                [tok_starts,
+                 np.asarray(a_st, dtype=tok_starts.dtype)
+                 if a_st is not None else np.zeros(m, dtype=tok_starts.dtype)]
+            )
+            tok_lens = np.concatenate(
+                [tok_lens,
+                 np.asarray(a_ln, dtype=tok_lens.dtype)
+                 if a_ln is not None else np.zeros(m, dtype=tok_lens.dtype)]
+            )
+        if payloads is not None:
+            # ':'-term occurrences carry payload 0 (keyword convention)
+            payloads = np.concatenate([payloads, np.zeros(m, dtype=np.uint32)])
 
     postings, stats = build_segment_postings(
         row_idx, terms, positions, n, norm_bytes,
@@ -590,6 +672,9 @@ def build_one_segment(
                 ),
                 "payload_fn": payload_fn,
                 "range_fields": list(range_fields) if range_fields else None,
+                "analyzed_fields": (
+                    list(analyzed_fields) if analyzed_fields else None
+                ),
                 "variant": spec.variant,
             },
         },
@@ -629,6 +714,7 @@ def build_index(
     sorted_set_dv_fields: tuple | None = None,
     payload_fn: str | None = None,
     range_fields: tuple | None = None,
+    analyzed_fields: tuple | None = None,
 ) -> Manifest:
     """Build (or resume) the whole index with Ray Data.
 
@@ -677,6 +763,12 @@ def build_index(
     if range_fields:
         range_fields = tuple(str(f) for f in range_fields)
         variant = f"{variant or 'code:positions'}:rng={','.join(range_fields)}"
+    if analyzed_fields:
+        analyzed_fields = tuple(str(f) for f in analyzed_fields)
+        for f in analyzed_fields:
+            if ":" in f:
+                raise ValueError(f"analyzed field name may not contain ':': {f!r}")
+        variant = f"{variant or 'code:positions'}:af={','.join(analyzed_fields)}"
     specs = plan_segments(input_paths, target_docs, variant)
     todo = []
     done: list[SegmentEntry] = []
@@ -707,6 +799,7 @@ def build_index(
                     keyword_fields, index_sort, point2d_fields,
                     term_vectors, dv_fields, sorted_dv_fields,
                     sorted_set_dv_fields, payload_fn, range_fields,
+                    analyzed_fields,
                 )
                 out.append(_json.dumps(entry.__dict__))
             return {"entry": np.array(out)}
@@ -845,6 +938,7 @@ def upgrade_index(index_dir: str) -> dict:
                 "sorted_set_dv_fields": None,
                 "payload_fn": None,
                 "range_fields": None,
+                "analyzed_fields": None,
                 "variant": "",
             }
         m = _re.match(r"seg_(\d+)_", e.name)
@@ -879,6 +973,7 @@ def upgrade_index(index_dir: str) -> dict:
             else None,
             opts.get("payload_fn") or None,
             tuple(opts["range_fields"]) if opts.get("range_fields") else None,
+            tuple(opts["analyzed_fields"]) if opts.get("analyzed_fields") else None,
         )
         old_d = segment_dir(index_dir, e.name)
         new_d = segment_dir(index_dir, new_entry.name)

@@ -2316,6 +2316,127 @@ WITH t AS (
 """
 
 
+def _engine_index_af(sf_dir: str) -> str:
+    """Documents index with the position-aligned "rev" analyzed parallel
+    field (builder ANALYZED_FIELD_DERIVERS: reversed token text at the
+    content stream's exact positions — the FieldMaskingSpanQuery.java:36
+    "parallel fields" setup, ReverseStringFilter analog)."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_af_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192, analyzed_fields=("rev",))
+    return ix
+
+
+def _rev(t: str) -> str:
+    return t[::-1]
+
+
+def _fieldmask_queries():
+    """Cross-field span joins through FieldMaskingSpanQuery: each clause on
+    the "rev" parallel field matches exactly the docs/positions where the
+    CONTENT token is its reverse, so every query's doc set has a plain
+    content-token positional oracle."""
+    from lucene_ray.search.query import (
+        FieldMaskingSpanQuery,
+        SpanNearQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
+
+    def mask(term: str):
+        return FieldMaskingSpanQuery(
+            SpanTermQuery(_rev(term), field="rev"), "content"
+        )
+
+    return [
+        # 0: strict adjacency, second clause through the masked rev field
+        (0, SpanNearQuery((SpanTermQuery("merge"), mask("sort")),
+                          slop=0, ordered=True)),
+        # 1: BOTH clauses masked — the whole join runs on rev-field spans
+        (1, SpanNearQuery((mask("sort"), mask("merge")),
+                          slop=3, ordered=True)),
+        # 2: unordered mixed-field proximity
+        (2, SpanNearQuery((SpanTermQuery("batch"), mask("window")),
+                          slop=5, ordered=False)),
+        # 3: masking inside a composite — SpanOr of a content term and a
+        # masked rev term feeding an unordered near
+        (3, SpanNearQuery(
+            (SpanOrQuery((SpanTermQuery("window"), mask("batch"))),
+             SpanTermQuery("scan")),
+            slop=4, ordered=False)),
+    ]
+
+
+def fieldmask_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): FieldMaskingSpanQuery cross-field span joins over the
+    position-aligned "rev" parallel analyzed field
+    (queries/spans/FieldMaskingSpanQuery.java:36). Doc sets equal the
+    same-shape content-only joins — the masked rev-field clause matches
+    precisely where the content token is its reverse."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery
+
+    ix = _engine_index_af(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q in _fieldmask_queries():
+        td = s.search(BooleanQuery(should=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def fieldmask_engine_sql() -> str:
+    # the rev CTE mirrors the derived parallel field honestly
+    # (reverse(term) at the same position); each query joins tok x rev
+    # exactly like the engine's masked span join
+    toks = tokenize_sql_expr("text")
+    parts = [
+        # 0: merge then rev-masked sort, adjacent
+        "SELECT DISTINCT 0 AS qid, t0.doc_id AS docid FROM tok t0 "
+        "JOIN rev t1 ON t1.doc_id = t0.doc_id AND t1.term = 'tros' "
+        "AND t1.pos > t0.pos "
+        "WHERE t0.term = 'merge' AND (t1.pos - t0.pos - 1) <= 0",
+        # 1: both rev-masked: sort then merge within slop 3
+        "SELECT DISTINCT 1 AS qid, t0.doc_id AS docid FROM rev t0 "
+        "JOIN rev t1 ON t1.doc_id = t0.doc_id AND t1.term = 'egrem' "
+        "AND t1.pos > t0.pos "
+        "WHERE t0.term = 'tros' AND (t1.pos - t0.pos - 1) <= 3",
+        # 2: unordered batch near rev-masked window, slop 5 (width <= 6+1)
+        "SELECT DISTINCT 2 AS qid, t0.doc_id AS docid FROM tok t0 "
+        "JOIN rev t1 ON t1.doc_id = t0.doc_id AND t1.term = 'wodniw' "
+        "WHERE t0.term = 'batch' AND abs(t1.pos - t0.pos) <= 6",
+        # 3: (window OR rev-masked batch) unordered near scan, slop 4
+        "SELECT DISTINCT 3 AS qid, t0.doc_id AS docid FROM ("
+        "  SELECT doc_id, pos FROM tok WHERE term = 'window'"
+        "  UNION ALL SELECT doc_id, pos FROM rev WHERE term = 'hctab'"
+        ") t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.term = 'scan' "
+        "WHERE abs(t1.pos - t0.pos) <= 5",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+), rev AS (
+  SELECT doc_id, reverse(term) AS term, pos FROM tok
+)
+{union}
+"""
+
+
 def _interval_queries():
     """The gated intervals-source shapes (built lazily — intervals import).
     Doc-set SQL equivalences, proven per shape:

@@ -102,14 +102,45 @@ def _span_leaf_terms(q) -> tuple:
 @dataclass(frozen=True)
 class SpanTermQuery:
     """queries/spans/SpanTermQuery.java: a term's spans = its positions,
-    each width 1 — the leaf of the span algebra."""
+    each width 1 — the leaf of the span algebra.
+
+    ``field``: None = the default analyzed content field; a name scopes
+    the term to that analyzed field (builder ``analyzed_fields``), whose
+    terms live as "field:term" in the shared term dict with REAL
+    positions. Span composites require all clauses on ONE field
+    (SpanNearQuery.java:141 "Clauses must have same field"); use
+    FieldMaskingSpanQuery to lift that."""
 
     term: str
+    boost: float = 1.0
+    field: str | None = None
+
+    @property
+    def lookup_term(self) -> str:
+        return f"{self.field}:{self.term}" if self.field else self.term
+
+    @property
+    def terms(self) -> tuple:
+        return (self.lookup_term,)
+
+
+@dataclass(frozen=True)
+class FieldMaskingSpanQuery:
+    """queries/spans/FieldMaskingSpanQuery.java:36 — lies about the wrapped
+    span source's field: ``getField()`` returns ``field`` while the spans
+    come from the inner query's own field, letting span composites join
+    across position-aligned PARALLEL fields (the class-doc teacher/student
+    example; here e.g. the "rev" derived field, which shares the content
+    stream's positions exactly). Evaluation is a pass-through — only the
+    field-consistency check sees the mask."""
+
+    query: object  # span source
+    field: str  # the masked-as field name ("content" = the default field)
     boost: float = 1.0
 
     @property
     def terms(self) -> tuple:
-        return (self.term,)
+        return _span_leaf_terms(self.query)
 
 
 @dataclass(frozen=True)

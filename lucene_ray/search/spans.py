@@ -240,11 +240,15 @@ def near_spans(parts: list[Spans], slop: int, ordered: bool) -> Spans:
     )
 
 
-def eval_spans(reader, q) -> Spans:
-    """Recursive span-source evaluation. Accepts SpanTermQuery / bare str
-    / SpanOrQuery / SpanNotQuery / SpanFirstQuery / SpanNearQuery /
-    SpanContainingQuery / SpanWithinQuery / SpanMultiTermWrapper."""
+def span_field(q) -> str:
+    """Effective field of a span source (the reference's
+    SpanQuery.getField()); the default analyzed content field reports as
+    "content". Composites require ONE field across all clauses —
+    SpanNearQuery.java:141 / SpanOrQuery.java:51 throw "Clauses must have
+    same field" — and FieldMaskingSpanQuery re-labels its inner query's
+    field to make cross-field joins legal."""
     from lucene_ray.search.query import (
+        FieldMaskingSpanQuery,
         SpanContainingQuery,
         SpanFirstQuery,
         SpanMultiTermWrapper,
@@ -255,33 +259,82 @@ def eval_spans(reader, q) -> Spans:
         SpanWithinQuery,
     )
 
+    def same(clauses) -> str:
+        fields = {span_field(c) for c in clauses}
+        if len(fields) > 1:
+            raise ValueError(
+                f"Clauses must have same field: got {sorted(fields)} "
+                "(wrap clauses in FieldMaskingSpanQuery to join across "
+                "position-aligned parallel fields)"
+            )
+        return next(iter(fields))
+
+    if isinstance(q, str):
+        return "content"
+    if isinstance(q, SpanTermQuery):
+        return q.field or "content"
+    if isinstance(q, FieldMaskingSpanQuery):
+        span_field(q.query)  # inner tree must still be self-consistent
+        return q.field
+    if isinstance(q, SpanOrQuery):
+        return same(q.clauses)
+    if isinstance(q, SpanNotQuery):
+        return same((q.include, q.exclude))
+    if isinstance(q, SpanFirstQuery):
+        return span_field(q.match)
+    if isinstance(q, SpanNearQuery):
+        return same(q.terms)
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        return same((q.big, q.little))
+    if isinstance(q, SpanMultiTermWrapper):
+        return "content"
+    raise TypeError(f"not a span source: {type(q).__name__}")
+
+
+def eval_spans(reader, q, _validated: bool = False) -> Spans:
+    """Recursive span-source evaluation. Accepts SpanTermQuery / bare str
+    / SpanOrQuery / SpanNotQuery / SpanFirstQuery / SpanNearQuery /
+    SpanContainingQuery / SpanWithinQuery / SpanMultiTermWrapper /
+    FieldMaskingSpanQuery. Validates field consistency once at the root
+    (span_field raises on mixed-field composites)."""
+    from lucene_ray.search.query import (
+        FieldMaskingSpanQuery,
+        SpanContainingQuery,
+        SpanFirstQuery,
+        SpanMultiTermWrapper,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+        SpanWithinQuery,
+    )
+
+    if not _validated:
+        span_field(q)
+
+    def ev(c):
+        return eval_spans(reader, c, _validated=True)
+
     if isinstance(q, str):
         return term_spans(reader, q)
     if isinstance(q, SpanTermQuery):
-        return term_spans(reader, q.term)
+        return term_spans(reader, q.lookup_term)
+    if isinstance(q, FieldMaskingSpanQuery):
+        # pass-through: spans come from the inner query's own field; only
+        # the mask's field label changed (FieldMaskingSpanQuery.java:36)
+        return ev(q.query)
     if isinstance(q, SpanOrQuery):
-        return or_spans([eval_spans(reader, c) for c in q.clauses])
+        return or_spans([ev(c) for c in q.clauses])
     if isinstance(q, SpanNotQuery):
-        return not_spans(
-            eval_spans(reader, q.include),
-            eval_spans(reader, q.exclude),
-            q.pre,
-            q.post,
-        )
+        return not_spans(ev(q.include), ev(q.exclude), q.pre, q.post)
     if isinstance(q, SpanFirstQuery):
-        return first_spans(eval_spans(reader, q.match), q.end)
+        return first_spans(ev(q.match), q.end)
     if isinstance(q, SpanNearQuery):
-        return near_spans(
-            [eval_spans(reader, c) for c in q.terms], q.slop, q.ordered
-        )
+        return near_spans([ev(c) for c in q.terms], q.slop, q.ordered)
     if isinstance(q, SpanContainingQuery):
-        return containing_spans(
-            eval_spans(reader, q.big), eval_spans(reader, q.little)
-        )
+        return containing_spans(ev(q.big), ev(q.little))
     if isinstance(q, SpanWithinQuery):
-        return containing_spans(
-            eval_spans(reader, q.big), eval_spans(reader, q.little), invert=True
-        )
+        return containing_spans(ev(q.big), ev(q.little), invert=True)
     if isinstance(q, SpanMultiTermWrapper):
         terms = _expand_multiterm(reader, q.query)
         return or_spans([term_spans(reader, t) for t in terms])
