@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dfr_topk": bm25docs.dfr_topk,
         "dfi_topk": bm25docs.dfi_topk,
         "ib_topk": bm25docs.ib_topk,
+        "lmjm_topk": bm25docs.lmjm_topk,
+        "axiomatic_topk": bm25docs.axiomatic_topk,
         "dvsort_engine": bm25docs.dvsort_engine,
         "dvfacet_engine": bm25docs.dvfacet_engine,
         "dvrange_engine": bm25docs.dvrange_engine,
@@ -177,6 +179,8 @@ def oracle_sql() -> dict[str, str]:
         "dfr_topk": bm25docs.dfr_topk_sql(),
         "dfi_topk": bm25docs.dfi_topk_sql(),
         "ib_topk": bm25docs.ib_topk_sql(),
+        "lmjm_topk": bm25docs.lmjm_topk_sql(),
+        "axiomatic_topk": bm25docs.axiomatic_topk_sql(),
         "dvsort_engine": bm25docs.dvsort_engine_sql(),
         "dvfacet_engine": bm25docs.dvfacet_engine_sql(),
         "dvrange_engine": bm25docs.dvrange_engine_sql(),

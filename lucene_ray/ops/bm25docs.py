@@ -134,6 +134,34 @@ def ib_topk(sf_dir: str) -> pa.Table:
     return _exact_topk(sf_dir, IBExactSimilarity())
 
 
+def lmjm_topk(sf_dir: str) -> pa.Table:
+    """(qid, rank, doc_id): Jelinek-Mercer-smoothed LM similarity twin
+    (LMJelinekMercerSimilarity.java:38, lambda=0.1)."""
+    from lucene_ray.search.similarity import LMJelinekMercerExactSimilarity
+
+    return _exact_topk(sf_dir, LMJelinekMercerExactSimilarity())
+
+
+def axiomatic_topk(sf_dir: str) -> pa.Table:
+    """(qid, rank, doc_id): Axiomatic F2EXP similarity twin
+    (AxiomaticF2EXP.java, k=0.35, s=0.5)."""
+    from lucene_ray.search.similarity import AxiomaticF2EXPExactSimilarity
+
+    return _exact_topk(sf_dir, AxiomaticF2EXPExactSimilarity())
+
+
+def lmjm_topk_sql() -> str:
+    from lucene_ray.search.similarity import LMJelinekMercerExactSimilarity
+
+    return _exact_topk_sql(LMJelinekMercerExactSimilarity().sql)
+
+
+def axiomatic_topk_sql() -> str:
+    from lucene_ray.search.similarity import AxiomaticF2EXPExactSimilarity
+
+    return _exact_topk_sql(AxiomaticF2EXPExactSimilarity().sql)
+
+
 def dfi_topk_sql() -> str:
     from lucene_ray.search.similarity import DFIExactSimilarity
 

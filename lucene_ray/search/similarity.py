@@ -826,3 +826,221 @@ class IBExactSimilarity:
         tfn = f"({tf} * (ln(1 + {c} * {avgdl} / greatest({dl}, 1.0)) / ln(2.0)))"
         lam = f"(({df} + 1.0) / ({n} + 1.0))"
         return f"ln(1 + {tfn} / {lam})"
+
+
+LM_LAMBDA_DEFAULT = 0.1
+
+
+class LMJelinekMercerScorer:
+    """Jelinek-Mercer-smoothed LM per-term scorer over byte-encoded norms:
+    score = weight * log(1 + freq * cache[norm]) with
+    cache[b] = (1 - lambda) / (max(dl_b, 1) * lambda * p(t|C)).
+    Monotone increasing in freq and decreasing in dl, so per-impact-pair
+    evaluation yields true block upper bounds."""
+
+    __slots__ = ("weight", "cache")
+
+    def __init__(self, weight: np.float32, cache: np.ndarray):
+        self.weight = weight
+        self.cache = cache
+
+    def score(self, freq: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float32)
+        c = self.cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        return self.weight * np.log1p(f * c)
+
+    def max_score(self, impacts_packed) -> np.float32:
+        arr = np.asarray(impacts_packed, dtype=np.int64)
+        if arr.size == 0:
+            return np.float32(0.0)
+        return self.score((arr >> 8).astype(np.float32), arr & 0xFF).max()
+
+    def max_score_blocks(
+        self, tfs: np.ndarray, norms: np.ndarray, offsets: np.ndarray
+    ) -> np.ndarray:
+        x = tfs.astype(np.float32) * self.cache[norms]
+        m = np.maximum.reduceat(x, offsets)
+        return (self.weight * np.log1p(m)).astype(np.float64)
+
+    def global_max_score(self) -> np.float32:
+        with np.errstate(over="ignore"):
+            return self.score(
+                np.array([np.finfo(np.float32).max], dtype=np.float32),
+                np.array([1]),
+            )[0]
+
+
+class LMJelinekMercerSimilarity:
+    """Jelinek-Mercer-smoothed query-likelihood LM
+    (search/similarities/LMJelinekMercerSimilarity.java:38:
+    score = boost * log(1 + ((1-lambda) * freq / docLen) /
+    (lambda * p(t|C))); collection model
+    p(t|C) = (totalTermFreq + 1) / (sumTotalTermFreq + 1), lambda in (0,1);
+    the reference suggests ~0.1 for short queries). Engine float32
+    quantized-norm member; oracle twin is LMJelinekMercerExactSimilarity."""
+
+    def __init__(self, lam: float = LM_LAMBDA_DEFAULT):
+        if not np.isfinite(lam) or not (0 < lam < 1):
+            raise ValueError(f"lambda must be in the range (0..1): {lam}")
+        self.lam = float(lam)
+
+    def _make(self, total_term_freq: int, sum_total_term_freq: int, boost: float):
+        p = (total_term_freq + 1.0) / (sum_total_term_freq + 1.0)
+        dl = np.maximum(LENGTH_TABLE_F32, np.float32(1.0))
+        cache = (
+            np.float32(1.0 - self.lam) / (dl * np.float32(self.lam * p))
+        ).astype(np.float32)
+        return LMJelinekMercerScorer(np.float32(boost), cache)
+
+    def scorer(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freq: int = 0,
+    ) -> LMJelinekMercerScorer:
+        return self._make(total_term_freq, sum_total_term_freq, boost)
+
+    def phrase_scorer(
+        self,
+        doc_freqs: list[int],
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freqs: list[int] | None = None,
+    ) -> LMJelinekMercerScorer:
+        ttf = sum(total_term_freqs or [0])
+        return self._make(ttf, sum_total_term_freq, boost)
+
+
+class LMJelinekMercerExactSimilarity:
+    """Float64 exact-length Jelinek-Mercer LM twin for DuckDB oracle
+    parity (per-row ln via the libm unique-value LUT)."""
+
+    def __init__(self, lam: float = LM_LAMBDA_DEFAULT):
+        self.lam = float(lam)
+
+    def score(
+        self,
+        freq: np.ndarray,
+        doc_len: np.ndarray,
+        doc_freq: int,
+        doc_count: int,
+        avgdl: float,
+        ttf: int = 0,
+        sum_len: int = 0,
+    ) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = np.maximum(np.asarray(doc_len, dtype=np.float64), 1.0)
+        p = (ttf + 1.0) / (sum_len + 1.0)
+        return _ulog(1.0 + ((1.0 - self.lam) * f / dl) / (self.lam * p))
+
+    def sql(
+        self, tf: str, dl: str, df: str, n: str, avgdl: str,
+        ttf: str = "0", sum_len: str = "0",
+    ) -> str:
+        lam = repr(self.lam)
+        p = f"(({ttf} + 1.0) / ({sum_len} + 1.0))"
+        return (
+            f"ln(1 + ((1.0 - {lam}) * {tf} / greatest({dl}, 1.0))"
+            f" / ({lam} * {p}))"
+        )
+
+
+AX_K_DEFAULT = 0.35
+AX_S_DEFAULT = 0.5
+
+
+class AxiomaticF2EXP:
+    """Axiomatic F2EXP similarity (search/similarities/AxiomaticF2EXP.java:
+    score = boost * ((N+1)/df)^k * freq / (freq + s + s*docLen/avgdl);
+    the Axiomatic framework's tf()=1, ln()=1, tfln()=saturation, idf()=
+    inverted power-law components multiplied, gamma()=0; defaults
+    k = 0.35, s = 0.5). freq/(freq + C(dl)) == the BM25 saturation form
+    w - w/(1 + freq/C), so the scorer IS BM25Scorer with
+    weight = boost * idf and cache[b] = 1 / (s + s*dl_b/avgdl) — the
+    block-max machinery is reused verbatim."""
+
+    def __init__(self, k: float = AX_K_DEFAULT, s: float = AX_S_DEFAULT):
+        if not np.isfinite(k) or k <= 0:
+            raise ValueError(f"illegal k value: {k}")
+        if not np.isfinite(s) or s <= 0:
+            raise ValueError(f"illegal s value: {s}")
+        self.k = float(k)
+        self.s = float(s)
+
+    def _cache(self, sum_total_term_freq: int, doc_count: int) -> np.ndarray:
+        avgdl = (
+            np.float32(sum_total_term_freq / float(doc_count))
+            if sum_total_term_freq
+            else np.float32(1.0)
+        )
+        c = np.float32(self.s) + np.float32(self.s) * LENGTH_TABLE_F32 / avgdl
+        return (np.float32(1.0) / c).astype(np.float32)
+
+    def _idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(
+            math.pow((doc_count + 1.0) / max(doc_freq, 1), self.k)
+        )
+
+    def scorer(
+        self,
+        doc_freq: int,
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freq: int = 0,
+    ) -> BM25Scorer:
+        weight = np.float32(boost) * self._idf(doc_freq, doc_count)
+        return BM25Scorer(weight, self._cache(sum_total_term_freq, doc_count))
+
+    def phrase_scorer(
+        self,
+        doc_freqs: list[int],
+        doc_count: int,
+        sum_total_term_freq: int,
+        boost: float = 1.0,
+        total_term_freqs: list[int] | None = None,
+    ) -> BM25Scorer:
+        idf_sum = 0.0
+        for df in doc_freqs:
+            idf_sum += float(self._idf(df, doc_count))
+        return BM25Scorer(
+            np.float32(boost) * np.float32(idf_sum),
+            self._cache(sum_total_term_freq, doc_count),
+        )
+
+
+class AxiomaticF2EXPExactSimilarity:
+    """Float64 exact-length F2EXP twin for DuckDB oracle parity. The only
+    transcendental is the per-term scalar pow((N+1)/df, k) — DuckDB's
+    pow() bit-matches libm pow (verified empirically over the (N+1)/df
+    domain); the per-row part is pure rational arithmetic."""
+
+    def __init__(self, k: float = AX_K_DEFAULT, s: float = AX_S_DEFAULT):
+        self.k = float(k)
+        self.s = float(s)
+
+    def score(
+        self,
+        freq: np.ndarray,
+        doc_len: np.ndarray,
+        doc_freq: int,
+        doc_count: int,
+        avgdl: float,
+        ttf: int = 0,
+        sum_len: int = 0,
+    ) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = np.asarray(doc_len, dtype=np.float64)
+        idf = math.pow((doc_count + 1.0) / doc_freq, self.k)
+        return idf * (f / (f + self.s + self.s * dl / avgdl))
+
+    def sql(
+        self, tf: str, dl: str, df: str, n: str, avgdl: str,
+        ttf: str = "0", sum_len: str = "0",
+    ) -> str:
+        k, s = repr(self.k), repr(self.s)
+        idf = f"pow(({n} + 1.0) / {df}, {k})"
+        return f"{idf} * ({tf} / ({tf} + {s} + {s} * {dl} / {avgdl}))"

@@ -214,17 +214,34 @@ class TestSimilarityFamilies:
             DFRSimilarity(c=0)
         with pytest.raises(ValueError):
             IBSimilarity(c=-1)
+        from lucene_ray.search.similarity import (
+            AxiomaticF2EXP,
+            LMJelinekMercerSimilarity,
+        )
+
+        with pytest.raises(ValueError):
+            LMJelinekMercerSimilarity(lam=0.0)
+        with pytest.raises(ValueError):
+            LMJelinekMercerSimilarity(lam=1.0)
+        with pytest.raises(ValueError):
+            AxiomaticF2EXP(k=0)
+        with pytest.raises(ValueError):
+            AxiomaticF2EXP(s=-1)
         LMDirichletSimilarity(mu=500.0)
         DFRSimilarity(c=7.0)
         IBSimilarity(c=2.0)
+        LMJelinekMercerSimilarity(lam=0.7)
+        AxiomaticF2EXP(k=0.2, s=1.0)
 
-    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib"])
+    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib", "lmjm", "ax"])
     def test_random_scoring_properties(self, family):
         from lucene_ray.search.similarity import (
+            AxiomaticF2EXP,
             DFISimilarity,
             DFRSimilarity,
             IBSimilarity,
             LMDirichletSimilarity,
+            LMJelinekMercerSimilarity,
         )
 
         rng = np.random.default_rng(7)
@@ -238,6 +255,8 @@ class TestSimilarityFamilies:
                 "dfr": DFRSimilarity,
                 "dfi": DFISimilarity,
                 "ib": IBSimilarity,
+                "lmjm": LMJelinekMercerSimilarity,
+                "ax": AxiomaticF2EXP,
             }[family]()
             sc = sim.scorer(df, N, sttf, total_term_freq=ttf)
             freqs = np.sort(rng.uniform(1, 1e6, size=20).astype(np.float32))
@@ -256,13 +275,15 @@ class TestSimilarityFamilies:
             sn = sc.score(np.full(256 - lo, freqs[5]), norms[lo:])
             assert np.all(np.diff(sn) <= 1e-6)
 
-    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib"])
+    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib", "lmjm", "ax"])
     def test_block_max_is_upper_bound(self, family):
         from lucene_ray.search.similarity import (
+            AxiomaticF2EXP,
             DFISimilarity,
             DFRSimilarity,
             IBSimilarity,
             LMDirichletSimilarity,
+            LMJelinekMercerSimilarity,
         )
 
         sim = {
@@ -270,6 +291,8 @@ class TestSimilarityFamilies:
             "dfr": DFRSimilarity,
             "dfi": DFISimilarity,
             "ib": IBSimilarity,
+            "lmjm": LMJelinekMercerSimilarity,
+            "ax": AxiomaticF2EXP,
         }[family]()
         sc = sim.scorer(10, 1000, 5000, total_term_freq=50)
         rng = np.random.default_rng(3)
@@ -281,15 +304,17 @@ class TestSimilarityFamilies:
         for bi, (lo, hi) in enumerate(zip(offsets, [64, 128, 192, 256])):
             assert np.all(scores[lo:hi] <= bounds[bi] + 1e-7)
 
-    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib", "bool"])
+    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib", "lmjm", "ax", "bool"])
     def test_duel_pruned_vs_exhaustive(self, cix, family):
         from lucene_ray.search.engine import IndexSearcher
         from lucene_ray.search.similarity import (
+            AxiomaticF2EXP,
             BooleanSimilarity,
             DFISimilarity,
             DFRSimilarity,
             IBSimilarity,
             LMDirichletSimilarity,
+            LMJelinekMercerSimilarity,
         )
 
         sim = {
@@ -297,6 +322,8 @@ class TestSimilarityFamilies:
             "dfr": DFRSimilarity,
             "dfi": DFISimilarity,
             "ib": IBSimilarity,
+            "lmjm": LMJelinekMercerSimilarity,
+            "ax": AxiomaticF2EXP,
             "bool": BooleanSimilarity,
         }[family]()
         ex = IndexSearcher(cix, similarity=sim, pruned=False)
@@ -361,15 +388,17 @@ class TestSimilarityFamilies:
         # boost-only ties -> docid order
         assert td.docids.tolist() == sorted(td.docids.tolist())
 
-    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib"])
+    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib", "lmjm", "ax"])
     def test_exact_sql_parity(self, family):
         import duckdb
 
         from lucene_ray.search.similarity import (
+            AxiomaticF2EXPExactSimilarity,
             DFIExactSimilarity,
             DFRExactSimilarity,
             IBExactSimilarity,
             LMDirichletExactSimilarity,
+            LMJelinekMercerExactSimilarity,
         )
 
         ex = {
@@ -377,6 +406,8 @@ class TestSimilarityFamilies:
             "dfr": DFRExactSimilarity,
             "dfi": DFIExactSimilarity,
             "ib": IBExactSimilarity,
+            "lmjm": LMJelinekMercerExactSimilarity,
+            "ax": AxiomaticF2EXPExactSimilarity,
         }[family]()
         N, df, avgdl, ttf, sum_len = 500, 13, 37.25, 91, 18625
         tfs = np.array([1, 2, 5, 9], dtype=np.float64)
