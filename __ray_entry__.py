@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 4
         "fieldmask_engine": bm25docs.fieldmask_engine,
+        "multifield_engine": bm25docs.multifield_engine,
         "spanops_engine": bm25docs.spanops_engine,
         "lmdirichlet_topk": bm25docs.lmdirichlet_topk,
         "dfr_topk": bm25docs.dfr_topk,
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "fieldmask_engine": bm25docs.fieldmask_engine_sql(),
+        "multifield_engine": bm25docs.multifield_engine_sql(),
         "spanops_engine": bm25docs.spanops_engine_sql(),
         "lmdirichlet_topk": bm25docs.lmdirichlet_topk_sql(),
         "dfr_topk": bm25docs.dfr_topk_sql(),

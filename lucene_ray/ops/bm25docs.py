@@ -2465,6 +2465,71 @@ WITH t AS (
 """
 
 
+MULTIFIELD_QUERIES: list[tuple[int, str]] = [
+    # classic-parser strings scoped to the analyzed "rev" parallel field
+    # (QueryParser.java:84 field scoping over a non-default TextField)
+    (0, "rev:egrem"),                 # term: content 'merge'
+    (1, 'rev:"tros egrem"'),          # field phrase: content "sort merge"
+    (2, "rev:egr*"),                  # field wildcard: tokens ending 'rge'
+    (3, "+rev:egrem +window"),        # mixed field + default-field boolean
+    (4, "rev:(tros hctab)"),          # field group: content sort OR batch
+]
+
+
+def multifield_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): classic-parser queries field-scoped to an analyzed
+    non-default field — term / phrase / wildcard / group / mixed boolean
+    over the "rev" parallel field's real-position postings (the
+    PerFieldAnalyzer-style multi-field search surface)."""
+    from lucene_ray.search.engine import IndexSearcher
+
+    ix = _engine_index_af(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q in MULTIFIELD_QUERIES:
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def multifield_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = [
+        # 0: rev:egrem == content token 'merge'
+        "SELECT DISTINCT 0 AS qid, doc_id AS docid FROM tok "
+        "WHERE term = 'merge'",
+        # 1: rev:"tros egrem" == content phrase "sort merge" (adjacent)
+        "SELECT DISTINCT 1 AS qid, t0.doc_id AS docid FROM tok t0 "
+        "JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.term = 'merge' "
+        "AND t1.pos = t0.pos + 1 WHERE t0.term = 'sort'",
+        # 2: rev:egr* == reverse(token) LIKE 'egr%'
+        "SELECT DISTINCT 2 AS qid, doc_id AS docid FROM tok "
+        "WHERE reverse(term) LIKE 'egr%'",
+        # 3: +rev:egrem +window
+        "SELECT DISTINCT 3 AS qid, a.doc_id AS docid FROM tok a "
+        "JOIN tok b ON b.doc_id = a.doc_id AND b.term = 'window' "
+        "WHERE a.term = 'merge'",
+        # 4: rev:(tros hctab) == content sort OR batch
+        "SELECT DISTINCT 4 AS qid, doc_id AS docid FROM tok "
+        "WHERE term IN ('sort', 'batch')",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""
+
+
 def _interval_queries():
     """The gated intervals-source shapes (built lazily — intervals import).
     Doc-set SQL equivalences, proven per shape:

@@ -585,6 +585,21 @@ def _token_queries(w, is_phrase, boost, slop, analyzer, field=None) -> list:
         if field in KEYWORD_FIELDS:
             # StringField phrase = exact unanalyzed value match
             return [TermQuery(f"{field}:{w}", boost=boost)]
+        if field is not None and field != "content":
+            # analyzed-field phrase (field:"..."): analyze, then scope every
+            # position-carrying term to the field's shared-dict namespace
+            # (QueryParser.getFieldQuery over a non-default TextField)
+            toks = analyzer.tokenize_text(w)
+            if not toks:
+                return []
+            if len(toks) > 1:
+                return [
+                    PhraseQuery(
+                        tuple(f"{field}:{t}" for t in toks),
+                        boost=boost, slop=slop,
+                    )
+                ]
+            return [TermQuery(f"{field}:{toks[0]}", boost=boost)]
     else:
         fm = _FIELD_RE.match(w)
         fld = val = None
@@ -602,6 +617,14 @@ def _token_queries(w, is_phrase, boost, slop, analyzer, field=None) -> list:
                 return [TermQuery(f"{fld}:{val}", boost=boost)]
             if fld == "content":
                 w = val  # the default field — analyze normally
+            else:
+                # analyzed-field scope (builder analyzed_fields): analyze
+                # the value, scope each token to "fld:" — real positions,
+                # so wildcards/phrases work per field
+                if "*" in val or "?" in val:
+                    return [WildcardQuery(f"{fld}:{val.lower()}", boost=boost)]
+                toks = analyzer.tokenize_text(val)
+                return [TermQuery(f"{fld}:{t}", boost=boost) for t in toks]
         m = _FUZZY_RE.match(w)
         if m and m.group(1):
             toks = analyzer.tokenize_text(m.group(1))

@@ -220,3 +220,41 @@ def test_field_name_with_colon_rejected(corpus, tmp_path_factory, ray_session):
     d = str(tmp_path_factory.mktemp("ix_bad"))
     with pytest.raises(ValueError, match="':'"):
         build_index(corpus, d, analyzed_fields=("a:b",))
+
+
+def test_parser_field_scopes_analyzed_fields(ix):
+    """Classic-parser field scoping over a non-keyword analyzed field
+    (QueryParser.java:84): rev:term / rev:"phrase" / rev:wild* / rev:(...)
+    resolve to 'rev:'-prefixed terms with real positions."""
+    from lucene_ray.search.query import (
+        PhraseQuery,
+        TermQuery,
+        WildcardQuery,
+        parse_query,
+    )
+
+    an = get_analyzer("code")
+    bq = parse_query("rev:egrem", an)
+    assert [t.term for t in bq.should] == ["rev:egrem"]
+    bq = parse_query('rev:"tros egrem"', an)
+    (pq,) = bq.should
+    assert isinstance(pq, PhraseQuery) and pq.terms == ("rev:tros", "rev:egrem")
+    bq = parse_query("rev:egr*", an)
+    (wq,) = bq.should
+    assert isinstance(wq, WildcardQuery) and wq.pattern == "rev:egr*"
+    bq = parse_query("rev:(tros hctab)", an)
+    inner = bq.should[0]
+    terms = {
+        t.term
+        for t in (getattr(inner, "should", None) or getattr(inner, "disjuncts"))
+    }
+    assert terms == {"rev:tros", "rev:hctab"}
+
+
+def test_field_phrase_equals_content_phrase(ix):
+    """rev:"tros egrem" (parser) == content phrase "sort merge" — identical
+    doc sets through the real positional join on the parallel field."""
+    s = IndexSearcher(ix)
+    a = s.search('"sort merge"', 10_000)
+    b = s.search('rev:"tros egrem"', 10_000)
+    assert a.docids.tolist() == b.docids.tolist()
