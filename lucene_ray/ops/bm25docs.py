@@ -2266,6 +2266,7 @@ def _spanops_queries():
         SpanNearQuery,
         SpanNotQuery,
         SpanOrQuery,
+        SpanPositionRangeQuery,
         SpanTermQuery,
     )
 
@@ -2278,6 +2279,9 @@ def _spanops_queries():
         (3, SpanNearQuery((t("merge"), SpanOrQuery((t("sort"), t("scan")))), slop=2, ordered=True)),
         (4, SpanNearQuery((t("window"), SpanOrQuery((t("batch"), t("key")))), slop=3, ordered=False)),
         (5, SpanNearQuery((t("merge"), SpanMultiTermWrapper(PrefixQuery("sc"))), slop=2, ordered=True)),
+        # 6: SpanPositionRange(merge, start=2, end=8): 0-based span
+        # [pos0, pos0+1) with pos0 >= 2 and pos0 + 1 <= 8
+        (6, SpanPositionRangeQuery(t("merge"), start=2, end=8)),
     ]
 
 
@@ -2332,6 +2336,10 @@ def spanops_engine_sql() -> str:
         "SELECT DISTINCT 5 AS qid, t0.doc_id AS docid FROM tok t0 "
         "JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.term LIKE 'sc%' "
         "AND t1.pos > t0.pos WHERE t0.term = 'merge' AND (t1.pos - t0.pos - 1) <= 2",
+        # 6: SpanPositionRange(merge, 2, 8): 1-based pos in [3, 8]
+        # (0-based start pos0 >= 2 -> pos >= 3; span end pos0+1 <= 8 -> pos <= 8)
+        "SELECT DISTINCT 6 AS qid, doc_id AS docid FROM tok "
+        "WHERE term = 'merge' AND pos BETWEEN 3 AND 8",
     ]
     union = "\nUNION ALL\n".join(parts)
     return f"""

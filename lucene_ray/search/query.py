@@ -188,6 +188,22 @@ class SpanFirstQuery:
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQuery:
+    """queries/spans/SpanPositionRangeQuery.java — spans of ``match`` lying
+    entirely inside [start, end]: span.start >= start AND span.end <= end
+    (the acceptPosition window; SpanFirstQuery is start=0)."""
+
+    match: object
+    start: int
+    end: int
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple:
+        return _span_leaf_terms(self.match)
+
+
+@dataclass(frozen=True)
 class SpanContainingQuery:
     """queries/spans/SpanContainingQuery.java — spans of ``big`` that
     contain a span of ``little``; scored from big's terms (the reference's

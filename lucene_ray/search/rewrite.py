@@ -68,6 +68,7 @@ def _span_children(q) -> list:
         SpanNearQuery,
         SpanNotQuery,
         SpanOrQuery,
+        SpanPositionRangeQuery,
         SpanWithinQuery,
     )
 
@@ -75,7 +76,7 @@ def _span_children(q) -> list:
         return list(q.clauses)
     if isinstance(q, SpanNotQuery):
         return [q.include, q.exclude]
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return [q.match]
     if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
         return [q.big, q.little]
@@ -105,6 +106,7 @@ def rewrite_span(q, vocab):
         SpanNearQuery,
         SpanNotQuery,
         SpanOrQuery,
+        SpanPositionRangeQuery,
         SpanTermQuery,
         SpanWithinQuery,
     )
@@ -135,7 +137,7 @@ def rewrite_span(q, vocab):
             include=rewrite_span(q.include, vocab),
             exclude=rewrite_span(q.exclude, vocab),
         )
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return dataclasses.replace(q, match=rewrite_span(q.match, vocab))
     if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
         return dataclasses.replace(

@@ -50,6 +50,7 @@ from lucene_ray.search.query import (
     SpanFirstQuery,
     SpanNotQuery,
     SpanOrQuery,
+    SpanPositionRangeQuery,
     SpanTermQuery,
     SpanWithinQuery,
     FeatureQuery,
@@ -67,6 +68,7 @@ SPAN_QUERY_TYPES = (
     SpanOrQuery,
     SpanNotQuery,
     SpanFirstQuery,
+    SpanPositionRangeQuery,
     SpanContainingQuery,
     SpanWithinQuery,
 )

@@ -85,6 +85,15 @@ def first_spans(spans: Spans, end: int) -> Spans:
     return docs[m], starts[m], ends[m]
 
 
+def position_range_spans(spans: Spans, start: int, end: int) -> Spans:
+    """SpanPositionRangeQuery.java: keep spans lying entirely inside the
+    [start, end] acceptPosition window (span.start >= start AND
+    span.end <= end; SpanFirstQuery is the start=0 case)."""
+    docs, starts, ends = spans
+    m = (starts >= start) & (ends <= end)
+    return docs[m], starts[m], ends[m]
+
+
 def not_spans(include: Spans, exclude: Spans, pre: int = 0, post: int = 0) -> Spans:
     """SpanNotQuery.java: include spans whose widened window
     [start - pre, end + post) overlaps NO exclude span in the same doc."""
@@ -255,6 +264,7 @@ def span_field(q) -> str:
         SpanNearQuery,
         SpanNotQuery,
         SpanOrQuery,
+        SpanPositionRangeQuery,
         SpanTermQuery,
         SpanWithinQuery,
     )
@@ -280,7 +290,7 @@ def span_field(q) -> str:
         return same(q.clauses)
     if isinstance(q, SpanNotQuery):
         return same((q.include, q.exclude))
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return span_field(q.match)
     if isinstance(q, SpanNearQuery):
         return same(q.terms)
@@ -305,6 +315,7 @@ def eval_spans(reader, q, _validated: bool = False) -> Spans:
         SpanNearQuery,
         SpanNotQuery,
         SpanOrQuery,
+        SpanPositionRangeQuery,
         SpanTermQuery,
         SpanWithinQuery,
     )
@@ -329,6 +340,8 @@ def eval_spans(reader, q, _validated: bool = False) -> Spans:
         return not_spans(ev(q.include), ev(q.exclude), q.pre, q.post)
     if isinstance(q, SpanFirstQuery):
         return first_spans(ev(q.match), q.end)
+    if isinstance(q, SpanPositionRangeQuery):
+        return position_range_spans(ev(q.match), q.start, q.end)
     if isinstance(q, SpanNearQuery):
         return near_spans([ev(c) for c in q.terms], q.slop, q.ordered)
     if isinstance(q, SpanContainingQuery):

@@ -1468,6 +1468,35 @@ class TestSpanOps:
         }
         assert got == want
 
+    def test_span_position_range(self, ix, docs):
+        """SpanPositionRangeQuery(merge, 2, 8): 0-based start >= 2 and
+        span end (pos+1) <= 8; SpanFirst(end) == PositionRange(0, end)."""
+        from lucene_ray.search.query import (
+            SpanFirstQuery,
+            SpanPositionRangeQuery,
+            SpanTermQuery,
+        )
+
+        s = IndexSearcher(ix)
+        start, end = 2, 8
+        q = SpanPositionRangeQuery(SpanTermQuery("merge"), start=start, end=end)
+        got = doc_set(s, BooleanQuery(should=[q]))
+        want = {
+            i
+            for i, d in enumerate(docs)
+            if any(
+                t == "merge" and p >= start and p + 1 <= end
+                for p, t in enumerate(d)
+            )
+        }
+        assert got == want
+        # start=0 degenerates to SpanFirst
+        qa = SpanPositionRangeQuery(SpanTermQuery("merge"), start=0, end=6)
+        qb = SpanFirstQuery(SpanTermQuery("merge"), end=6)
+        assert doc_set(s, BooleanQuery(should=[qa])) == doc_set(
+            s, BooleanQuery(should=[qb])
+        )
+
     def test_span_multiterm_wrapper(self, ix):
         """SpanNear(merge, so*) == SpanNear(merge, SpanOr(expanded terms))."""
         from lucene_ray.search.query import (
