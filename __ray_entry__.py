@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-yet-recorded gates are placed first (VERDICT r3 #2); the
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 4
+        "covering_engine": bm25docs.covering_engine,
         "fieldmask_engine": bm25docs.fieldmask_engine,
         "multifield_engine": bm25docs.multifield_engine,
         "spanops_engine": bm25docs.spanops_engine,
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
     return {
+        "covering_engine": bm25docs.covering_engine_sql(),
         "fieldmask_engine": bm25docs.fieldmask_engine_sql(),
         "multifield_engine": bm25docs.multifield_engine_sql(),
         "spanops_engine": bm25docs.spanops_engine_sql(),

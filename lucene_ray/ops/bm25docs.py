@@ -3639,6 +3639,66 @@ WITH tok AS (
 """
 
 
+# ------------------------------------------------------------- covering query
+
+COVERING_QUERIES = (
+    # (qid, terms, min_match_source) — per-doc minimum from an expression
+    # over the src_id NUMERIC doc-values column (the LongValuesSource);
+    # values < 1 behave as 1 (qid 2 exercises that clamp)
+    (0, ("merge", "sort", "scan"), "1 + src_id % 3"),
+    (1, ("window", "batch", "key", "merge"), "2"),
+    (2, ("merge", "window"), "src_id % 4"),
+)
+
+
+def covering_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): CoveringQuery doc sets through the engine — at least
+    minimumNumberMatch(doc) of the sub-queries must match, the minimum read
+    per doc from a compiled expression over NUMERIC doc values
+    (sandbox/search/CoveringQuery.java:51, CoveringScorer.java advance/
+    setMinMatch). Float-free; each clause is a distinct TermQuery so the
+    match count equals the distinct-matched-term count in SQL."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, CoveringQuery, TermQuery
+
+    ix = _dv_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, terms, src in COVERING_QUERIES:
+        q = CoveringQuery(tuple(TermQuery(t) for t in terms), src)
+        td = s.search(BooleanQuery(should=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def covering_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, terms, src in COVERING_QUERIES:
+        inlist = ", ".join(f"'{t}'" for t in terms)
+        # src_id is the pass-through doc_id column (documents_as_corpus_dv)
+        need = src.replace("src_id", "doc_id")
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM ("
+            f"  SELECT doc_id, count(DISTINCT term) AS m FROM tok "
+            f"  WHERE term IN ({inlist}) GROUP BY doc_id"
+            f") WHERE m >= GREATEST(1, {need})"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 # ------------------------------------------------------------------ payloads
 
 PAYLOAD_QUERIES = (

@@ -314,6 +314,23 @@ class DisjunctionSumQuery:
 
 
 @dataclass(frozen=True)
+class CoveringQuery:
+    """sandbox/search/CoveringQuery.java:51 — matches docs where at least
+    minimumNumberMatch(doc) of the sub-queries match. The per-doc minimum
+    is a LongValuesSource in the reference; here a compiled expression over
+    numeric doc values (``min_match_source``, the expressions grammar —
+    FunctionScoreQuery's binding rules). Values < 1 behave as 1
+    (CoveringScorer.setMinMatch). Score = sum of the MATCHING clauses'
+    scores (CoveringScorer.score:211-219). Divergence (documented): our
+    numeric DV columns are dense, so the reference's "no value -> no
+    match" branch is unreachable."""
+
+    queries: tuple
+    min_match_source: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery:
     """Every doc, constant score = boost (search/MatchAllDocsQuery.java)."""
 
@@ -861,6 +878,8 @@ def iter_clauses(bq: BooleanQuery):
             stack.append(q.parents_filter)
         elif isinstance(q, FunctionScoreQuery):
             stack.append(q.query)
+        elif isinstance(q, CoveringQuery):
+            stack.extend(q.queries)
 
 
 def apply_multi_synonyms(bq: BooleanQuery, rules: dict) -> BooleanQuery:

@@ -35,6 +35,7 @@ from lucene_ray.search.query import (
     BooleanQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    CoveringQuery,
     DisjunctionSumQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
@@ -833,6 +834,59 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 return d, (np.float64(q.boost) * vals).astype(np.float32)
 
             d, s = _qcache(reader, q, _fscore)
+            if len(d) == 0:
+                continue
+            out.append(_Clause(q, None, None, scored=(d, s)))
+        elif isinstance(q, CoveringQuery):
+            # sandbox/search/CoveringQuery.java:51 / CoveringScorer.java —
+            # doc matches iff #matching sub-queries >= max(1, minMatch(doc));
+            # score = sum of the matching clauses' scores
+            def _covering(q=q):
+                from lucene_ray.search.expressions import compile_expression
+
+                empty = (
+                    np.array([], dtype=np.int64),
+                    np.array([], dtype=np.float32),
+                )
+                subs = build_clauses(reader, list(q.queries), scorers)
+                if not subs:
+                    return empty
+                parts_d, parts_s = [], []
+                for c in subs:
+                    d, s = c.eval_scores(reader.norm_bytes)
+                    parts_d.append(d)
+                    parts_s.append(s)
+                d = np.concatenate(parts_d)
+                if len(d) == 0:
+                    return empty
+                s = np.concatenate(parts_s).astype(np.float32)
+                order = np.argsort(d, kind="stable")
+                d, s = d[order], s[order]
+                change = np.empty(len(d), dtype=bool)
+                change[0] = True
+                change[1:] = d[1:] != d[:-1]
+                starts = np.nonzero(change)[0]
+                uniq = d[starts]
+                counts = np.diff(np.append(starts, len(d)))
+                summed = np.add.reduceat(s, starts)
+                expr = compile_expression(q.min_match_source)
+                bindings = {}
+                for v in expr.variables:
+                    if v == "doc_len":
+                        bindings[v] = reader.doc_len[uniq].astype(np.float64)
+                    else:
+                        bindings[v] = reader.doc_values(v)[uniq].astype(
+                            np.float64
+                        )
+                need = np.asarray(expr.evaluate(bindings), dtype=np.float64)
+                if need.ndim == 0:  # constant minimum
+                    need = np.full(len(uniq), float(need))
+                keep = counts >= np.maximum(need, 1.0)
+                return uniq[keep], (
+                    np.float32(q.boost) * summed[keep]
+                ).astype(np.float32)
+
+            d, s = _qcache(reader, q, _covering)
             if len(d) == 0:
                 continue
             out.append(_Clause(q, None, None, scored=(d, s)))

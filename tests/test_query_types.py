@@ -1366,6 +1366,60 @@ def test_commonterms_boundary_df_is_low_frequency():
     assert should == {"common"}
 
 
+class TestCoveringQuery:
+    TERMS = ("merge", "sort", "scan")
+
+    def test_constant_minimum(self, ix, docs):
+        """CoveringQuery(min=2): docs where >= 2 distinct clause terms
+        occur (each clause is a distinct TermQuery)."""
+        from lucene_ray.search.query import CoveringQuery
+
+        s = IndexSearcher(ix)
+        q = CoveringQuery(tuple(TermQuery(t) for t in self.TERMS), "2")
+        got = doc_set(s, BooleanQuery(should=[q]))
+        want = {
+            i
+            for i, d in enumerate(docs)
+            if sum(t in d for t in self.TERMS) >= 2
+        }
+        assert got == want
+
+    def test_dv_minimum_with_clamp(self, ix, docs):
+        """Per-doc minimum from the n_chars NUMERIC doc values; values < 1
+        behave as 1 (CoveringScorer.setMinMatch)."""
+        from lucene_ray.search.query import CoveringQuery
+        from lucene_ray.search.reader import IndexReader
+
+        s = IndexSearcher(ix)
+        q = CoveringQuery(tuple(TermQuery(t) for t in self.TERMS), "n_chars % 3")
+        got = doc_set(s, BooleanQuery(should=[q]))
+        nchars = np.concatenate(
+            [
+                IndexReader(ix).segment_reader(e.name).doc_values("n_chars")
+                for e in IndexReader(ix).segments
+            ]
+        )
+        want = {
+            i
+            for i, d in enumerate(docs)
+            if sum(t in d for t in self.TERMS) >= max(1, int(nchars[i]) % 3)
+        }
+        assert got == want
+
+    def test_min_one_equals_boolean_should(self, ix):
+        """min=1 degenerates to a pure SHOULD disjunction: same doc sets
+        AND bit-identical summed float32 scores (CoveringScorer.score sums
+        matching clauses exactly like BooleanWeight SHOULD)."""
+        from lucene_ray.search.query import CoveringQuery
+
+        s = IndexSearcher(ix)
+        qs = tuple(TermQuery(t) for t in self.TERMS)
+        ta = s.search(BooleanQuery(should=[CoveringQuery(qs, "1")]), 10_000)
+        tb = s.search(BooleanQuery(should=list(qs)), 10_000)
+        assert ta.docids.tolist() == tb.docids.tolist()
+        np.testing.assert_array_equal(ta.scores, tb.scores)
+
+
 class TestSpanOps:
     """Span query family (queries/spans/): SpanOr/SpanNot/SpanFirst/
     SpanContaining/SpanWithin + SpanMultiTermWrapper composing with the
