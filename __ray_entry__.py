@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-yet-recorded gates are placed first (VERDICT r3 #2); the
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 4
+        "combinedfield_topk": bm25docs.combinedfield_topk,
+        "combinedfield_engine": bm25docs.combinedfield_engine,
         "covering_engine": bm25docs.covering_engine,
         "fieldmask_engine": bm25docs.fieldmask_engine,
         "multifield_engine": bm25docs.multifield_engine,
@@ -175,6 +177,8 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
     return {
+        "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
+        "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "covering_engine": bm25docs.covering_engine_sql(),
         "fieldmask_engine": bm25docs.fieldmask_engine_sql(),
         "multifield_engine": bm25docs.multifield_engine_sql(),

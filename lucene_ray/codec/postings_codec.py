@@ -36,7 +36,9 @@ from lucene_ray.codec.forutil import decode_stream, encode_stream
 from lucene_ray.config import BLOCK_SIZE
 
 #: bumped when the on-disk layout changes (invalidates segment fingerprints)
-FORMAT_VERSION = 7  # v7: optional per-occurrence payload stream (pay_blob,
+FORMAT_VERSION = 8  # v8: per-analyzed-field norm_<f>/doc_len_<f> columns in
+# norms.parquet (CombinedFieldQuery / MultiNormsLeafSimScorer backing).
+# v7: optional per-occurrence payload stream (pay_blob,
 # raw uint32 values — the .pay payload lane, Lucene90PostingsFormat payloads).
 # v6: discountOverlaps norms (posInc==0 tokens excluded from doc_len;
 # sum_ttf still counts them). v5: optional per-occurrence offsets streams

@@ -429,6 +429,7 @@ def build_one_segment(
     # Norms/sum_ttf stay CONTENT-only, like keyword fields (':'-terms are
     # skipped by CheckIndex/merge ttf sums).
     af_streams = []
+    af_norm_cols: dict = {}
     for fld in analyzed_fields:
         if ":" in fld:
             raise ValueError(f"analyzed field name may not contain ':': {fld!r}")
@@ -447,6 +448,21 @@ def build_one_segment(
                 a_row, a_terms, a_pos = analyzer.tokenize_flat(col)
                 a_st = a_ln = None
             af_streams.append((fld, a_row, a_terms, a_pos, a_st, a_ln))
+
+    # per-field norms for analyzed parallel fields (CombinedFieldQuery /
+    # MultiNormsLeafSimScorer.java need a stored length norm per field;
+    # same discountOverlaps rule as the content norm above). Written as
+    # norm_<field>/doc_len_<field> columns beside the content norm.
+    for fld, a_row, _t, a_pos, _s, _l in af_streams:
+        a_row = np.asarray(a_row, dtype=np.int64)
+        af_len = np.bincount(a_row, minlength=n).astype(np.int64)
+        if getattr(analyzer, "has_overlaps", False) and len(a_row):
+            a_pos_arr = np.asarray(a_pos, dtype=np.int64)
+            key = a_row * (int(a_pos_arr.max()) + 1) + a_pos_arr
+            _, uniq_idx = np.unique(key, return_index=True)
+            af_len = np.bincount(a_row[uniq_idx], minlength=n).astype(np.int64)
+        af_norm_cols[f"norm_{fld}"] = pa.array(int_to_byte4(af_len), type=pa.uint8())
+        af_norm_cols[f"doc_len_{fld}"] = pa.array(af_len, type=pa.int64())
 
     # keyword-field postings: one "<field>:<value>" token per doc per field,
     # appended after the content stream. Prefixed terms never collide with
@@ -545,6 +561,7 @@ def build_one_segment(
         {
             "norm": pa.array(norm_bytes, type=pa.uint8()),
             "doc_len": pa.array(doc_len, type=pa.int64()),
+            **af_norm_cols,
         }
     )
     pq.write_table(norms_table, os.path.join(d, "norms.parquet"))

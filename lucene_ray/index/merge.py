@@ -424,14 +424,22 @@ def merge_segments(
     seg_dirs = [segment_dir(index_dir, e.name) for e in entries]
     offsets = [e.docid_base - new_base for e in entries]
 
-    # concatenated norms for impact recomputation (doc-scale, bounded)
-    norm_parts, len_parts = [], []
-    for sd in seg_dirs:
-        nt = pq.read_table(os.path.join(sd, "norms.parquet"))
-        norm_parts.append(nt.column("norm").to_numpy(zero_copy_only=False))
-        len_parts.append(nt.column("doc_len").to_numpy(zero_copy_only=False))
-    norms = np.concatenate(norm_parts).astype(np.uint8)
-    doc_lens = np.concatenate(len_parts)
+    # concatenated norms for impact recomputation (doc-scale, bounded).
+    # ALL norm columns ride along: per-analyzed-field norm_<f>/doc_len_<f>
+    # pairs (format v8, MultiNormsLeafSimScorer backing) concat in the same
+    # doc order as the content norm — build options are index-wide, so
+    # every segment of one index carries the identical norms schema.
+    norm_tbls = [
+        pq.read_table(os.path.join(sd, "norms.parquet")) for sd in seg_dirs
+    ]
+    norm_cols = {
+        name: np.concatenate(
+            [t.column(name).to_numpy(zero_copy_only=False) for t in norm_tbls]
+        )
+        for name in norm_tbls[0].column_names
+    }
+    norms = norm_cols["norm"].astype(np.uint8)
+    doc_lens = norm_cols["doc_len"]
 
     # live-docs bitmap (doc-scale); docid SPACE is preserved (stable global
     # ids) — the bitmap is carried forward so MatchAllDocs / norms stay
@@ -499,6 +507,14 @@ def merge_segments(
             {
                 "norm": pa.array(norms, type=pa.uint8()),
                 "doc_len": pa.array(doc_lens, type=pa.int64()),
+                **{
+                    name: pa.array(
+                        arr,
+                        type=pa.uint8() if name.startswith("norm_") else pa.int64(),
+                    )
+                    for name, arr in norm_cols.items()
+                    if name not in ("norm", "doc_len")
+                },
             }
         ),
         os.path.join(d, "norms.parquet"),

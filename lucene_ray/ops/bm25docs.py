@@ -2353,10 +2353,14 @@ WITH t AS (
 
 
 def _engine_index_af(sf_dir: str) -> str:
-    """Documents index with the position-aligned "rev" analyzed parallel
-    field (builder ANALYZED_FIELD_DERIVERS: reversed token text at the
-    content stream's exact positions — the FieldMaskingSpanQuery.java:36
-    "parallel fields" setup, ReverseStringFilter analog)."""
+    """Documents index with two analyzed parallel fields: the
+    position-aligned "rev" derived field (builder ANALYZED_FIELD_DERIVERS:
+    reversed token text at the content stream's exact positions — the
+    FieldMaskingSpanQuery.java:36 "parallel fields" setup,
+    ReverseStringFilter analog) and the "repo" SOURCE-column field
+    (independently tokenized TextField with its own per-field norms —
+    the CombinedFieldQuery/BM25F backing). One build serves the
+    multifield, fieldmask, and combinedfield gates."""
     from lucene_ray.index.builder import build_index
     from lucene_ray.index.corpus import documents_as_corpus
 
@@ -2365,7 +2369,9 @@ def _engine_index_af(sf_dir: str) -> str:
         "/tmp/lucene_ray_cache",
         "docs_af_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
     )
-    build_index([corpus_path], ix, target_docs=8192, analyzed_fields=("rev",))
+    build_index(
+        [corpus_path], ix, target_docs=8192, analyzed_fields=("rev", "repo")
+    )
     return ix
 
 
@@ -2533,6 +2539,244 @@ WITH t AS (
   SELECT doc_id, {toks} AS l FROM documents
 ), tok AS (
   SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""
+
+
+# CombinedFieldQuery (BM25F) gates: content field (documents.text) weight 1,
+# "repo" analyzed field (documents.source: values like "src3" tokenizing to
+# "src","3") weight 2. Terms mix content-only, source-only, and cross-field
+# hits so the pseudo-stats merge (df = max over pairs) is exercised.
+COMBINEDFIELD_QUERIES: list[tuple[int, tuple[str, ...]]] = [
+    (0, ("merge", "sort")),
+    (1, ("3",)),
+    (2, ("merge", "3")),
+    (3, ("window", "15")),
+    (4, ("src",)),  # matches EVERY doc's source field
+]
+CFQ_W_CONTENT = 1.0
+CFQ_W_REPO = 2.0
+
+
+def combinedfield_topk(sf_dir: str) -> pa.Table:
+    """(qid, rank, doc_id): float64 exact-length BM25F over the synthetic
+    combined field (text w=1 + source w=2) — CombinedFieldQuery.java:68
+    semantics with UNQUANTIZED lengths so DuckDB reproduces it bit-for-bit:
+    per-doc freq = sum of w_f*tf over (term, field) pairs, dl = sum of
+    w_f*len_f, ONE pseudo-term score per doc with df = MAX over pairs and
+    avgdl from the weighted-sum collection stats
+    (mergeCollectionStatistics, :354-372). The byte4-norm engine twin is
+    duel-tested in tests/test_combinedfield.py."""
+    sim = BM25ExactSimilarity()
+    qs = COMBINEDFIELD_QUERIES
+    all_terms = sorted({t for _, ts in qs for t in ts})
+    tix = {t: i for i, t in enumerate(all_terms)}
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def tfs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        an = CodeAnalyzer()
+        n = batch.num_rows
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        streams = {}
+        for key, col in (("c", "text"), ("s", "source")):
+            arr = pc.fill_null(
+                batch.column(col).combine_chunks().cast(pa.string()), ""
+            )
+            row_idx, terms, _ = an.tokenize_flat(arr)
+            streams[key] = (row_idx, terms)
+        len_c = np.bincount(streams["c"][0], minlength=n).astype(np.int64)
+        len_s = np.bincount(streams["s"][0], minlength=n).astype(np.int64)
+        tf_cols = {}
+        any_match = np.zeros(n, dtype=bool)
+        for t in all_terms:
+            for key in ("c", "s"):
+                row_idx, terms = streams[key]
+                mask = pc.equal(terms, t).to_numpy(zero_copy_only=False)
+                tf = (
+                    np.bincount(row_idx[mask], minlength=n).astype(np.int64)
+                    if len(row_idx)
+                    else np.zeros(n, dtype=np.int64)
+                )
+                tf_cols[f"tf{key}_{tix[t]}"] = tf
+                any_match |= tf > 0
+        keep = np.nonzero(any_match)[0]
+        cols = {
+            "doc_id": np.concatenate([doc_ids[keep], [-1]]),
+            "len_c": np.concatenate([len_c[keep], [int(len_c.sum())]]),
+            "len_s": np.concatenate([len_s[keep], [int(len_s.sum())]]),
+            "n_docs": np.concatenate([np.zeros(len(keep), dtype=np.int64), [n]]),
+        }
+        for name, tf in tf_cols.items():
+            cols[name] = np.concatenate([tf[keep], [0]])
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in cols.items()})
+
+    pdf = ds.map_batches(tfs, batch_format="pyarrow", batch_size=4096).to_pandas()
+    stats_rows = pdf[pdf.doc_id < 0]
+    pdf = pdf[pdf.doc_id >= 0].reset_index(drop=True)
+    N = int(stats_rows.n_docs.sum())
+    sum_c = int(stats_rows.len_c.sum())
+    sum_s = int(stats_rows.len_s.sum())
+    # weighted-sum collection stats, same float64 expression tree as the SQL
+    avgdl = (CFQ_W_CONTENT * sum_c + CFQ_W_REPO * sum_s) / N
+    doc_ids = pdf.doc_id.to_numpy()
+    dl = CFQ_W_CONTENT * pdf.len_c.to_numpy() + CFQ_W_REPO * pdf.len_s.to_numpy()
+    M = len(pdf)
+
+    out = {"qid": [], "rank": [], "doc_id": []}
+    for qid, terms in qs:
+        freq = np.zeros(M, dtype=np.float64)
+        df = 0
+        for t in terms:
+            tfc = pdf[f"tfc_{tix[t]}"].to_numpy()
+            tfh = pdf[f"tfs_{tix[t]}"].to_numpy()
+            # pair order (term, content), (term, source) — left-assoc adds
+            freq = freq + CFQ_W_CONTENT * tfc
+            freq = freq + CFQ_W_REPO * tfh
+            # matched-rows df == corpus df (any-match filter kept every row
+            # with tf>0 for any query term in either field)
+            df = max(df, int((tfc > 0).sum()), int((tfh > 0).sum()))
+        m = freq > 0
+        if df == 0 or not m.any():
+            continue
+        scores = np.where(m, sim.score(freq, dl, df, N, avgdl), 0.0)
+        cand = np.nonzero(m)[0]
+        order = np.lexsort((doc_ids[cand], -scores[cand]))[:BM25_K]
+        sel = cand[order]
+        out["qid"].extend([qid] * len(sel))
+        out["rank"].extend(range(len(sel)))
+        out["doc_id"].extend(doc_ids[sel].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        }
+    )
+
+
+def combinedfield_topk_sql() -> str:
+    """BM25F oracle: per-(term, field) LEFT JOINs, freq/dl as explicit
+    left-associative weighted sums in pair order, df = greatest() over the
+    pair dfs — mirrors combinedfield_topk's float64 expression tree."""
+    tok_c = tokenize_sql_expr("text")
+    tok_s = tokenize_sql_expr("source")
+    per_query = []
+    for qid, terms in COMBINEDFIELD_QUERIES:
+        joins, freq_parts, df_parts, matched = [], [], [], []
+        for i, t in enumerate(terms):
+            joins.append(
+                f"LEFT JOIN tfc c{i} ON c{i}.doc_id = dl.doc_id AND c{i}.term = '{t}'"
+            )
+            joins.append(
+                f"LEFT JOIN tfs s{i} ON s{i}.doc_id = dl.doc_id AND s{i}.term = '{t}'"
+            )
+            freq_parts.append(f"{CFQ_W_CONTENT} * coalesce(c{i}.tf, 0)")
+            freq_parts.append(f"{CFQ_W_REPO} * coalesce(s{i}.tf, 0)")
+            df_parts.append(
+                f"coalesce((SELECT df FROM dfc WHERE term = '{t}'), 0)"
+            )
+            df_parts.append(
+                f"coalesce((SELECT df FROM dfs WHERE term = '{t}'), 0)"
+            )
+            matched.append(f"c{i}.doc_id IS NOT NULL")
+            matched.append(f"s{i}.doc_id IS NOT NULL")
+        freq = " + ".join(freq_parts)
+        df = f"greatest({', '.join(df_parts)})"
+        score = BM25ExactSimilarity.sql(
+            tf=f"({freq})",
+            dl=f"({CFQ_W_CONTENT} * dl.len_c + {CFQ_W_REPO} * dl.len_s)",
+            df=df,
+            n="stats.n",
+            avgdl="stats.avgdl",
+        )
+        per_query.append(
+            f"SELECT {qid} AS qid, dl.doc_id, {score} AS score\n"
+            f"FROM doc_lens dl CROSS JOIN stats {' '.join(joins)}\n"
+            f"WHERE {' OR '.join(matched)}"
+        )
+    union = "\nUNION ALL\n".join(per_query)
+    return f"""
+WITH tc AS (
+  SELECT doc_id, unnest({tok_c}) AS term FROM documents
+), ts AS (
+  SELECT doc_id, unnest({tok_s}) AS term FROM documents
+), doc_lens AS (
+  SELECT d.doc_id, coalesce(cc.c, 0) AS len_c, coalesce(cs.c, 0) AS len_s
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS c FROM tc GROUP BY doc_id) cc USING (doc_id)
+  LEFT JOIN (SELECT doc_id, count(*) AS c FROM ts GROUP BY doc_id) cs USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         ({CFQ_W_CONTENT} * sum(len_c)::DOUBLE + {CFQ_W_REPO} * sum(len_s)::DOUBLE)
+           / count(*)::DOUBLE AS avgdl
+  FROM doc_lens
+), tfc AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tc GROUP BY doc_id, term
+), tfs AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ts GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tfc GROUP BY term
+), dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY term
+), scored AS (
+{union}
+), ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) - 1 AS rank
+  FROM scored
+)
+SELECT qid, rank::INTEGER AS rank, doc_id FROM ranked WHERE rank < {BM25_K}
+"""
+
+
+def combinedfield_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): CombinedFieldQuery match sets through the production
+    engine — the (term, field) disjunction over the shared term dict with
+    per-field byte4 norms (quantized scores are duel-tested against the
+    brute-force quantized twin in tests/test_combinedfield.py; the doc SET
+    is quantization-free and SQL-checked exactly here)."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, CombinedFieldQuery
+
+    ix = _engine_index_af(sf_dir)
+    s = IndexSearcher(ix)
+    fields = (("content", CFQ_W_CONTENT), ("repo", CFQ_W_REPO))
+    out_q, out_d = [], []
+    for qid, terms in COMBINEDFIELD_QUERIES:
+        q = CombinedFieldQuery(terms=tuple(terms), fields=fields)
+        td = s.search(BooleanQuery(should=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(sorted(td.docids.tolist()))
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def combinedfield_engine_sql() -> str:
+    tok_c = tokenize_sql_expr("text")
+    tok_s = tokenize_sql_expr("source")
+    parts = []
+    for qid, terms in COMBINEDFIELD_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        parts.append(
+            f"SELECT DISTINCT {qid} AS qid, doc_id AS docid FROM tok "
+            f"WHERE term IN ({tl})"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tok_c}) AS term FROM documents
+  UNION ALL
+  SELECT doc_id, unnest({tok_s}) AS term FROM documents
 )
 {union}
 """

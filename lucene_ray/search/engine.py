@@ -31,6 +31,7 @@ from lucene_ray.analysis import get_analyzer
 from lucene_ray.config import DEFAULT_TOP_K
 from lucene_ray.search.query import (
     BooleanQuery,
+    CombinedFieldQuery,
     CommonTermsQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
@@ -109,6 +110,8 @@ def _stats_terms(q) -> tuple:
     span SOURCES — leaf_terms flattens them to strings for stats)."""
     if isinstance(q, SpanNearQuery):
         return q.leaf_terms
+    if isinstance(q, CombinedFieldQuery):
+        return q.index_terms
     return tuple(t for t in getattr(q, "terms", ()) if isinstance(t, str))
 
 
@@ -121,16 +124,45 @@ def query_terms(bq: BooleanQuery) -> list[str]:
 
 
 def build_scorers(
-    bq: BooleanQuery, stats: dict, doc_count: int, sum_ttf: int, sim: BM25Similarity
+    bq: BooleanQuery, stats: dict, doc_count: int, sum_ttf: int, sim: BM25Similarity,
+    field_sum_ttf: dict | None = None,
 ) -> dict:
     """Per-clause scorers from GLOBAL stats — shared by the local searcher
     and the sharded actors (every shard scores against identical idf/avgdl,
-    the IndexSearcher stats-broadcast contract, SURVEY.md §3.3 step 2)."""
+    the IndexSearcher stats-broadcast contract, SURVEY.md §3.3 step 2).
+    ``field_sum_ttf``: global per-analyzed-field sumTotalTermFreq, needed
+    only when the tree holds a CombinedFieldQuery."""
     from lucene_ray.search.similarity import ConstantScorer
 
     scorers = {}
     for q in flat_clauses(bq):
-        if isinstance(q, TermQuery):
+        if isinstance(q, CombinedFieldQuery):
+            # ONE pseudo-term scorer over all (term, field) pairs
+            # (CombinedFieldQuery.java:329-349): df = max, ttf/sumttf are
+            # weighted sums with Java's compound-assign long truncation
+            # per step (`totalTermFreq += (double) weight * ttf`)
+            df, ttf = 0, 0
+            for t in q.terms:
+                for f, w in q.fields:
+                    it = t if f in ("", "content") else f"{f}:{t}"
+                    pdf, pttf = stats[it]
+                    if pdf > 0:
+                        df = max(df, pdf)
+                        ttf = int(ttf + float(w) * pttf)
+            s_ttf = 0
+            for f, w in q.fields:
+                fs = (
+                    sum_ttf
+                    if f in ("", "content")
+                    else (field_sum_ttf or {})[f]
+                )
+                s_ttf = int(s_ttf + float(w) * fs)
+            if df > 0:
+                scorers[q] = sim.scorer(
+                    df, doc_count, s_ttf, boost=q.boost,
+                    total_term_freq=max(1, ttf),
+                )
+        elif isinstance(q, TermQuery):
             scorers[q] = sim.scorer(
                 stats[q.term][0], doc_count, sum_ttf,
                 boost=q.boost, total_term_freq=stats[q.term][1],
@@ -185,8 +217,15 @@ class IndexSearcher:
     def _scorers(self, bq: BooleanQuery) -> dict:
         terms = query_terms(bq)
         stats = self.reader.global_term_stats(terms)
+        field_sums: dict[str, int] = {}
+        for q in flat_clauses(bq):
+            if isinstance(q, CombinedFieldQuery):
+                for f, _w in q.fields:
+                    if f not in ("", "content") and f not in field_sums:
+                        field_sums[f] = self.reader.field_sum_ttf(f)
         return build_scorers(
-            bq, stats, self.reader.stats_doc_count, self.reader.sum_ttf, self.sim
+            bq, stats, self.reader.stats_doc_count, self.reader.sum_ttf, self.sim,
+            field_sum_ttf=field_sums,
         )
 
     def parse(self, text: str) -> BooleanQuery:

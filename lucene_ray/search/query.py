@@ -292,6 +292,45 @@ class SynonymQuery:
 
 
 @dataclass(frozen=True)
+class CombinedFieldQuery:
+    """BM25F: multiple analyzed fields scored as ONE synthetic combined
+    field (sandbox/search/CombinedFieldQuery.java:68). All (term, field)
+    postings form one disjunction scored with a single pseudo-term scorer:
+
+    - per-doc freq  = sum of weight_f * tf(term, f, doc) over matching pairs
+    - per-doc norm  = byte4(round(sum of weight_f * field_length_f)) — the
+      MultiNormsLeafSimScorer.java:143 additive-norm combine
+    - pseudo term stats: df = MAX over pairs, ttf = sum weight_f * ttf
+      (CombinedFieldQuery.java:329-346)
+    - pseudo collection stats: docCount = max, sumTotalTermFreq =
+      sum weight_f * sumttf_f (mergeCollectionStatistics, :354-372)
+
+    ``fields``: ((field, weight), ...); ""/"content" is the content stream,
+    any other name an analyzed parallel field (builder ``analyzed_fields``,
+    whose index terms carry the "<field>:" prefix). Weights must be >= 1
+    (CombinedFieldQuery.Builder.addField contract)."""
+
+    terms: tuple  # of analyzed token strings
+    fields: tuple  # of (field_name, weight)
+    boost: float = 1.0
+
+    def __post_init__(self):
+        for _f, w in self.fields:
+            if w < 1:
+                raise ValueError("CombinedFieldQuery field weight must be >= 1")
+
+    @property
+    def index_terms(self) -> tuple:
+        """The shared-term-dict keys, (term, field)-pair order: content
+        terms bare, analyzed-field terms '<field>:'-prefixed."""
+        return tuple(
+            t if f in ("", "content") else f"{f}:{t}"
+            for t in self.terms
+            for f, _w in self.fields
+        )
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery:
     """score = max(sub-scores) + tie_breaker * (sum of the others)
     (search/DisjunctionMaxQuery.java)."""

@@ -23,6 +23,8 @@ import pyarrow.parquet as pq
 from lucene_ray.codec.postings_codec import TermPostings, decode_term_postings
 from lucene_ray.index.manifest import Manifest, read_manifest, segment_dir
 
+_MISSING = object()  # field_norms cache sentinel (None is a valid entry)
+
 
 class LRUQueryCache:
     """search/LRUQueryCache.java + UsageTrackingQueryCachingPolicy: cache
@@ -121,6 +123,8 @@ class SegmentReader:
         norms = pq.read_table(os.path.join(seg_dir, "norms.parquet"), memory_map=True)
         self.norm_bytes = norms.column("norm").to_numpy(zero_copy_only=False)
         self.doc_len = norms.column("doc_len").to_numpy(zero_copy_only=False)
+        self._norms_table = norms  # per-analyzed-field norm_<f>/doc_len_<f>
+        self._field_norms: dict[str, tuple | None] = {}
         # term-row cache: repeated query terms skip the Arrow->python
         # extraction of blobs/meta (the LRUQueryCache analog, per-actor)
         self._row_cache: dict[str, dict | None] = {}
@@ -133,6 +137,31 @@ class SegmentReader:
         self._cursor_cache: dict = {}
         self._cursor_cache_postings = 0
         self._cursor_cache_max_postings = 2_000_000  # ~32 MB of arrays
+
+    def field_norms(self, field: str) -> tuple | None:
+        """(norm_bytes uint8, doc_len int64) for an analyzed parallel field
+        (builder ``analyzed_fields``), or None when the field carries no
+        norms column. ``""``/``"content"`` return the content norm. Backing
+        for MultiNormsLeafSimScorer.java (CombinedFieldQuery sums weighted
+        per-field lengths decoded from these byte4 norms)."""
+        if field in ("", "content"):
+            return self.norm_bytes, self.doc_len
+        cached = self._field_norms.get(field, _MISSING)
+        if cached is _MISSING:
+            names = self._norms_table.column_names
+            if f"norm_{field}" in names:
+                cached = (
+                    self._norms_table.column(f"norm_{field}").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    self._norms_table.column(f"doc_len_{field}").to_numpy(
+                        zero_copy_only=False
+                    ),
+                )
+            else:
+                cached = None
+            self._field_norms[field] = cached
+        return cached
 
     @property
     def has_offsets(self) -> bool:
@@ -605,6 +634,23 @@ class IndexReader:
 
     def all_readers(self) -> list[SegmentReader]:
         return [self.segment_reader(s.name) for s in self.segments]
+
+    def field_sum_ttf(self, field: str) -> int:
+        """Global sumTotalTermFreq of an analyzed parallel field: the sum
+        of its doc_len_<field> norm column across segments (content fields
+        use the manifest sum_ttf). Feeds CombinedFieldQuery's pseudo
+        collection stats (CombinedFieldQuery.java:354-372). With overlap
+        analyzers this is the overlap-DISCOUNTED total (the af sidecar
+        stores discounted lengths only) — documented divergence."""
+        if field in ("", "content"):
+            return self.sum_ttf
+        total = 0
+        for r in self.all_readers():
+            fn = r.field_norms(field)
+            if fn is None:
+                raise KeyError(f"no per-field norms for analyzed field {field!r}")
+            total += int(fn[1].sum())
+        return total
 
     @property
     def has_offsets(self) -> bool:

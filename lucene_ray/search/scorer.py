@@ -33,6 +33,7 @@ from lucene_ray.codec.forutil import decode_stream, decode_stream_blocks
 from lucene_ray.config import BLOCK_SIZE
 from lucene_ray.search.query import (
     BooleanQuery,
+    CombinedFieldQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     CoveringQuery,
@@ -712,6 +713,65 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             sc = scorers[q]
             ms = float(sc.score(tfs.astype(np.float32), reader.norm_bytes[docids]).max())
             out.append(_Clause(q, None, sc, (docids, tfs), max_score=ms))
+        elif isinstance(q, CombinedFieldQuery):
+            sc = scorers.get(q)
+            if sc is None:
+                continue  # df == 0 for every (term, field) pair
+            def _cfq_union(q=q):
+                # disjunction over all (term, field) postings with
+                # weighted float freqs (CombinedFieldScorer.freq():
+                # sum of weight * tf over matching iterators)
+                parts = []
+                for t in q.terms:
+                    for f, w in q.fields:
+                        it = t if f in ("", "content") else f"{f}:{t}"
+                        p = reader.postings(it)
+                        if p is not None:
+                            parts.append(
+                                (p.docids, np.float64(w) * p.tfs)
+                            )
+                if not parts:
+                    return (
+                        np.array([], dtype=np.int64),
+                        np.array([], dtype=np.float64),
+                    )
+                alld = np.concatenate([x[0] for x in parts])
+                allf = np.concatenate([x[1] for x in parts])
+                docids = np.unique(alld)
+                freqs = np.zeros(len(docids), dtype=np.float64)
+                np.add.at(freqs, np.searchsorted(docids, alld), allf)
+                return docids, freqs
+
+            docids, freqs = _qcache(reader, q, _cfq_union)
+            if len(docids) == 0:
+                continue
+            # combined norm per matched doc: byte4(round(Σ w * len_f))
+            # decoded from the per-field byte4 norms — the additive-norm
+            # combine of MultiNormsLeafSimScorer.java:143-153
+            from lucene_ray.util.smallfloat import byte4_to_int, int_to_byte4
+
+            lens = np.zeros(len(docids), dtype=np.float32)
+            for f, w in q.fields:
+                fn = reader.field_norms(f)
+                if fn is None:
+                    raise KeyError(
+                        f"CombinedFieldQuery field {f!r} has no norms column"
+                    )
+                lens += np.float32(w) * byte4_to_int(fn[0][docids]).astype(
+                    np.float32
+                )
+            combined_norms = int_to_byte4(
+                np.floor(lens + np.float32(0.5)).astype(np.int64)
+            )
+            scores = sc.score(
+                freqs.astype(np.float32), combined_norms
+            ).astype(np.float32)
+            out.append(
+                _Clause(
+                    q, None, sc, scored=(docids, scores),
+                    max_score=float(scores.max()),
+                )
+            )
         elif isinstance(q, MatchAllDocsQuery):
             docids = np.arange(reader.doc_count, dtype=np.int64)
             scores = np.full(reader.doc_count, np.float32(q.boost), dtype=np.float32)
