@@ -3883,6 +3883,83 @@ WITH tok AS (
 """
 
 
+def dvquery_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): the doc-values query family — DocValuesTermsQuery
+    (term-set filter over SORTED and SORTED_SET ords,
+    DocValuesTermsQuery.java), SortedSetDocValuesRangeQuery (value-range →
+    ordinal window, SortedSetDocValuesField.newSlowRangeQuery), and
+    IndexOrDocValuesQuery (same range via points vs NUMERIC-DV scan,
+    search/IndexOrDocValuesQuery.java — q4 pairs it with a selective term
+    lead so the dv side is chosen; q5 runs it standalone on the index
+    side; both must equal the plain range)."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        DocValuesTermsQuery,
+        IndexOrDocValuesQuery,
+        PointRangeQuery,
+        SortedSetDocValuesRangeQuery,
+        TermQuery,
+    )
+
+    ix = _dv_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    iodv = IndexOrDocValuesQuery(
+        PointRangeQuery("src_id", 100, 300), PointRangeQuery("src_id", 100, 300)
+    )
+    cases = [
+        (0, BooleanQuery(must=[DocValuesTermsQuery("lang", ("en", "fr"))])),
+        (1, BooleanQuery(must=[DocValuesTermsQuery("labels", ("src3", "de"))])),
+        (2, BooleanQuery(must=[
+            SortedSetDocValuesRangeQuery("repo", "src1", "src3")
+        ])),
+        (3, BooleanQuery(must=[
+            SortedSetDocValuesRangeQuery(
+                "labels", "en", "src1", include_upper=False
+            )
+        ])),
+        (4, BooleanQuery(must=[TermQuery("merge"), iodv])),
+        (5, BooleanQuery(must=[iodv])),
+    ]
+    out_q, out_d = [], []
+    for qid, bq in cases:
+        td = s.search(bq, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def dvquery_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    # labels = {lang, source} (SORTED_SET deriver); src_id = doc_id
+    parts = [
+        "SELECT 0 AS qid, doc_id AS docid FROM documents WHERE lang IN ('en','fr')",
+        "SELECT 1 AS qid, doc_id AS docid FROM documents "
+        "WHERE lang IN ('src3','de') OR source IN ('src3','de')",
+        "SELECT 2 AS qid, doc_id AS docid FROM documents "
+        "WHERE source >= 'src1' AND source <= 'src3'",
+        "SELECT 3 AS qid, doc_id AS docid FROM documents "
+        "WHERE (lang >= 'en' AND lang < 'src1') OR (source >= 'en' AND source < 'src1')",
+        "SELECT 4 AS qid, doc_id AS docid FROM documents "
+        "WHERE doc_id BETWEEN 100 AND 300 AND doc_id IN "
+        "(SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')",
+        "SELECT 5 AS qid, doc_id AS docid FROM documents "
+        "WHERE doc_id BETWEEN 100 AND 300",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 # ------------------------------------------------------------- covering query
 
 COVERING_QUERIES = (

@@ -36,6 +36,9 @@ from lucene_ray.search.query import (
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     DisjunctionSumQuery,
+    DocValuesTermsQuery,
+    IndexOrDocValuesQuery,
+    SortedSetDocValuesRangeQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
@@ -196,6 +199,9 @@ def build_scorers(
                 RangeFieldQuery,
                 LatLonBoxQuery,
                 LatLonDistanceQuery,
+                DocValuesTermsQuery,
+                SortedSetDocValuesRangeQuery,
+                IndexOrDocValuesQuery,
             ),
         ):
             scorers[q] = ConstantScorer(q.boost)

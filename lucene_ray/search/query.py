@@ -453,6 +453,53 @@ class PointRangeQuery:
 
 
 @dataclass(frozen=True)
+class DocValuesTermsQuery:
+    """Constant-score filter matching docs whose SORTED / SORTED_SET doc
+    value for ``field`` equals ANY of ``terms`` — the doc-values execution
+    of a term-set filter (search/DocValuesTermsQuery.java;
+    SortedDocValuesField.newSlowSetQuery). Evaluated by mapping the query
+    terms to segment ordinals and scanning the doc-ordered ord column —
+    no postings touched."""
+
+    field: str
+    terms: tuple  # of value strings
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SortedSetDocValuesRangeQuery:
+    """Constant-score value-range filter over SORTED / SORTED_SET doc
+    values (SortedSetDocValuesField.newSlowRangeQuery;
+    sandbox SortedSetDocValuesRangeQuery): matches docs with ANY value in
+    the [lower, upper] byte range. None = open bound;
+    include_lower/include_upper control bound closure (Lucene's
+    lowerInclusive/upperInclusive). Resolved to an ORDINAL window once per
+    segment, then a doc-ordered ord scan."""
+
+    field: str
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class IndexOrDocValuesQuery:
+    """Wrapper exposing TWO execution strategies for the same doc set
+    (search/IndexOrDocValuesQuery.java): an index-structure query (points/
+    postings — efficient standalone) and a doc-values twin (efficient as a
+    secondary filter verifying a small candidate set). The engine picks by
+    the reference's cost rule — dv path when the estimated lead cost of the
+    other required clauses is below the index query's cost — and both paths
+    MUST produce identical doc sets (tests assert it)."""
+
+    index_query: object
+    dv_query: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class RangeFieldQuery:
     """LongRange-field relation filter, constant score
     (document/LongRange.java:48 newIntersectsQuery / newContainsQuery /

@@ -325,6 +325,18 @@ class SegmentReader:
             return []
         return list(pq.read_schema(path).names)
 
+    def sorted_dv_is_set(self, field: str) -> bool:
+        """True when ``field`` carries SORTED_SET (multi-valued, list
+        column) doc values, False for single-valued SORTED — footer-only
+        type probe (DocValuesType discrimination for the DV query family)."""
+        path = os.path.join(self.seg_dir, "docvalues_sorted.parquet")
+        if not os.path.exists(path):
+            raise KeyError(f"no SORTED(_SET) doc values for field {field!r}")
+        schema = pq.read_schema(path)
+        if field not in schema.names:
+            raise KeyError(f"no SORTED(_SET) doc values for field {field!r}")
+        return pa.types.is_list(schema.field(field).type)
+
     def sorted_doc_values(self, field: str) -> tuple[np.ndarray, np.ndarray]:
         """SORTED doc values (index/SortedDocValues.java): per-doc ordinal
         into the segment's term-sorted value dictionary. Returns

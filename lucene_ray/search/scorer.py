@@ -36,6 +36,9 @@ from lucene_ray.search.query import (
     CombinedFieldQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    DocValuesTermsQuery,
+    IndexOrDocValuesQuery,
+    SortedSetDocValuesRangeQuery,
     CoveringQuery,
     DisjunctionSumQuery,
     MatchAllDocsQuery,
@@ -608,6 +611,94 @@ def _block_join(reader, q, scorers: dict) -> tuple[np.ndarray, np.ndarray]:
     return parents[pidx_s[starts]], agg.astype(np.float32)
 
 
+def _dv_filter_docids(reader, q) -> np.ndarray:
+    """Doc set of a SORTED / SORTED_SET doc-values filter: resolve the
+    query's values to segment ORDINALS once, then scan the doc-ordered ord
+    column (DocValuesTermsQuery.java; SortedSetDocValuesField
+    .newSlowRangeQuery → SortedSetDocValuesRangeQuery)."""
+    is_set = reader.sorted_dv_is_set(q.field)
+    if is_set:
+        offsets, flat_ords, terms = reader.sorted_set_doc_values(q.field)
+    else:
+        ords, terms = reader.sorted_doc_values(q.field)
+    if isinstance(q, DocValuesTermsQuery):
+        want = []
+        for t in q.terms:
+            i = int(np.searchsorted(terms, t))
+            if i < len(terms) and terms[i] == t:
+                want.append(i)
+        if not want:
+            return np.array([], dtype=np.int64)
+        want = np.asarray(want, dtype=np.int64)
+        if is_set:
+            hit = np.isin(flat_ords, want)
+        else:
+            hit = np.isin(ords, want)
+    else:  # SortedSetDocValuesRangeQuery: ordinal window
+        lo = (
+            0
+            if q.lower is None
+            else int(
+                np.searchsorted(
+                    terms, q.lower, side="left" if q.include_lower else "right"
+                )
+            )
+        )
+        hi = (
+            len(terms)
+            if q.upper is None
+            else int(
+                np.searchsorted(
+                    terms, q.upper, side="right" if q.include_upper else "left"
+                )
+            )
+        )
+        if lo >= hi:
+            return np.array([], dtype=np.int64)
+        src = flat_ords if is_set else ords
+        hit = (src >= lo) & (src < hi)
+    if is_set:
+        doc_idx = np.repeat(
+            np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets)
+        )
+        return np.unique(doc_idx[hit])
+    return np.nonzero(hit)[0].astype(np.int64)
+
+
+def _index_or_dv_docids(reader, q, use_dv: bool) -> np.ndarray:
+    """Evaluate the chosen side of an IndexOrDocValuesQuery. Supported
+    shapes: index side TermQuery (postings) or PointRangeQuery (points
+    table); dv side DocValuesTermsQuery / SortedSetDocValuesRangeQuery
+    (ord scan) or PointRangeQuery (NUMERIC doc-values column scan — the
+    'slow' newSlowRangeQuery execution)."""
+    from lucene_ray.search.query import (
+        DocValuesTermsQuery as _DVT,
+        PointRangeQuery as _PRQ,
+        SortedSetDocValuesRangeQuery as _SSR,
+        TermQuery as _TQ,
+    )
+
+    sub = q.dv_query if use_dv else q.index_query
+    if isinstance(sub, _TQ):
+        cur = reader.term_cursor(sub.term)
+        if cur is None:
+            return np.array([], dtype=np.int64)
+        return cur.decode_all()[0]
+    if isinstance(sub, (_DVT, _SSR)):
+        return _dv_filter_docids(reader, sub)
+    if isinstance(sub, _PRQ):
+        if use_dv:
+            vals = reader.doc_values(sub.field)
+            m = np.ones(len(vals), dtype=bool)
+            if sub.lower is not None:
+                m &= vals >= sub.lower
+            if sub.upper is not None:
+                m &= vals <= sub.upper
+            return np.nonzero(m)[0].astype(np.int64)
+        return reader.point_range(sub.field, sub.lower, sub.upper)
+    raise TypeError(f"unsupported IndexOrDocValuesQuery side: {type(sub)}")
+
+
 def _qcache(reader, q, compute):
     """Route a compound clause's doc-set materialization through the
     segment's LRUQueryCache (UsageTrackingQueryCachingPolicy: cached from
@@ -779,6 +870,40 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
         elif isinstance(q, PointRangeQuery):
             docids = _qcache(
                 reader, q, lambda: reader.point_range(q.field, q.lower, q.upper)
+            )
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, scorers.get(q), scored=(docids, scores)))
+        elif isinstance(q, (DocValuesTermsQuery, SortedSetDocValuesRangeQuery)):
+            docids = _qcache(reader, q, lambda: _dv_filter_docids(reader, q))
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, scorers.get(q), scored=(docids, scores)))
+        elif isinstance(q, IndexOrDocValuesQuery):
+            # cost rule (IndexOrDocValuesQuery.java scorerSupplier: dv path
+            # when the lead cost of the OTHER required clauses is below the
+            # index query's own cost): estimate lead from sibling TermQuery
+            # dfs, index cost from the wrapped query's df / doc_count
+            lead = min(
+                (
+                    reader.term_stats(o.term)[0]
+                    for o in queries
+                    if o is not q and isinstance(o, TermQuery)
+                ),
+                default=None,
+            )
+            index_cost = (
+                reader.term_stats(q.index_query.term)[0]
+                if isinstance(q.index_query, TermQuery)
+                else reader.doc_count
+            )
+            use_dv = lead is not None and lead < index_cost
+            docids = _qcache(
+                reader,
+                (q, use_dv),
+                lambda: _index_or_dv_docids(reader, q, use_dv),
             )
             if len(docids) == 0:
                 continue

@@ -287,3 +287,127 @@ class TestRangeFields:
                 BooleanQuery(must=[RangeFieldQuery("span", 1, 2, "overlapsish")]),
                 10,
             )
+
+
+# --- DV query family (DocValuesTermsQuery.java; SortedSetDocValuesField
+# .newSlowRangeQuery; search/IndexOrDocValuesQuery.java) ------------------
+
+
+def test_dv_terms_query_sorted(dv_ix, truth):
+    from lucene_ray.search.query import DocValuesTermsQuery
+
+    s = IndexSearcher(dv_ix)
+    got = set(
+        s.search(
+            BooleanQuery(must=[DocValuesTermsQuery("lang", ("py", "go"))]),
+            1 << 62,
+        ).docids.tolist()
+    )
+    want = {i for i in range(N_DOCS) if truth["lang"][i] in ("py", "go")}
+    assert got == want
+
+
+def test_dv_terms_query_sorted_set(dv_ix, truth):
+    from lucene_ray.search.query import DocValuesTermsQuery
+
+    s = IndexSearcher(dv_ix)
+    got = set(
+        s.search(
+            BooleanQuery(must=[DocValuesTermsQuery("labels", ("beta", "rs"))]),
+            1 << 62,
+        ).docids.tolist()
+    )
+    want = {
+        i
+        for i in range(N_DOCS)
+        if truth["repo"][i] == "beta" or truth["lang"][i] == "rs"
+    }
+    assert got == want
+    # absent values match nothing
+    empty = s.search(
+        BooleanQuery(must=[DocValuesTermsQuery("labels", ("zzz",))]), 10
+    )
+    assert len(empty.docids) == 0
+
+
+def test_dv_range_query_bounds(dv_ix, truth):
+    from lucene_ray.search.query import SortedSetDocValuesRangeQuery
+
+    s = IndexSearcher(dv_ix)
+    # lang values: go, java, py, rs — [go, py) = {go, java}
+    got = set(
+        s.search(
+            BooleanQuery(
+                must=[
+                    SortedSetDocValuesRangeQuery(
+                        "lang", "go", "py", include_upper=False
+                    )
+                ]
+            ),
+            1 << 62,
+        ).docids.tolist()
+    )
+    want = {i for i in range(N_DOCS) if truth["lang"][i] in ("go", "java")}
+    assert got == want
+    # open lower bound over the SORTED_SET field
+    got2 = set(
+        s.search(
+            BooleanQuery(
+                must=[SortedSetDocValuesRangeQuery("labels", None, "beta")]
+            ),
+            1 << 62,
+        ).docids.tolist()
+    )
+    want2 = {
+        i
+        for i in range(N_DOCS)
+        if truth["repo"][i] in ("alpha", "beta")  # lang values all > "beta"
+    }
+    assert got2 == want2
+
+
+def test_index_or_dv_paths_agree(dv_ix, truth):
+    """Both execution strategies produce the identical doc set, standalone
+    (index path) and beside a selective lead (dv path)."""
+    from lucene_ray.search.query import IndexOrDocValuesQuery
+
+    s = IndexSearcher(dv_ix)
+    q = IndexOrDocValuesQuery(
+        PointRangeQuery("prio", 200, 600), PointRangeQuery("prio", 200, 600)
+    )
+    alone = set(s.search(BooleanQuery(must=[q]), 1 << 62).docids.tolist())
+    want = {i for i in range(N_DOCS) if 200 <= truth["prio"][i] <= 600}
+    assert alone == want
+    with_lead = set(
+        s.search(BooleanQuery(must=[TermQuery("flush"), q]), 1 << 62)
+        .docids.tolist()
+    )
+    flush_docs = set(s.search("flush", 1 << 62).docids.tolist())
+    assert with_lead == want & flush_docs
+
+
+def test_index_or_dv_cost_rule(dv_ix):
+    """The chooser takes the dv side when a cheaper term lead exists and
+    the index side standalone (IndexOrDocValuesQuery.java scorerSupplier
+    cost contract) — probed through the helper directly."""
+    from lucene_ray.search.query import IndexOrDocValuesQuery
+    from lucene_ray.search.scorer import _index_or_dv_docids
+
+    s = IndexSearcher(dv_ix)
+    sr = s.reader.all_readers()[0]
+    q = IndexOrDocValuesQuery(
+        PointRangeQuery("prio", 200, 600), PointRangeQuery("prio", 200, 600)
+    )
+    a = _index_or_dv_docids(sr, q, use_dv=False)
+    b = _index_or_dv_docids(sr, q, use_dv=True)
+    assert a.tolist() == b.tolist()
+
+
+def test_dv_query_missing_field_raises(dv_ix):
+    from lucene_ray.search.query import DocValuesTermsQuery
+
+    s = IndexSearcher(dv_ix)
+    with pytest.raises(KeyError):
+        s.search(
+            BooleanQuery(must=[DocValuesTermsQuery("nosuch", ("x",))]), 10
+        )
