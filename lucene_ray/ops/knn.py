@@ -202,6 +202,149 @@ def _local_topk_rows(
     return out_q, out_v, out_s
 
 
+PARENT_BLOCK = 8  # synthetic parent blocks: parent_id = vec_id // 8
+
+
+def knn_diversified(
+    sf_dir: str, k: int = TOP_K, batch_size: int = 4096
+) -> pa.Table:
+    """(query_id, rank, vec_id): diversified parent-block kNN — exact
+    cosine top-k over CHILD vectors with at most ONE child per parent
+    (join/DiversifyingChildrenFloatKnnVectorQuery.java: per-segment
+    diversified top-k, ToParentJoinKnnResults keeps only each parent's
+    best child, then the usual merge). Parents are the deterministic
+    vec_id // PARENT_BLOCK blocks (the parent-child block layout of the
+    block-join gates, applied to the embeddings table).
+
+    Scale shape: each batch emits its per-(query, parent) best child
+    pruned to the top-k parents per query — pruning is safe because a
+    parent's global best child survives in whichever batch holds it —
+    then the corpus-size-independent groupby(query_id) reduce dedupes
+    parents and takes the final top-k. Driver sees O(Q*k) rows."""
+    q_ids, q_mat = _load_queries(sf_dir)
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn[qn == 0] = 1.0
+    q_ref = ray.put((q_ids, q_mat, qn))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def local_div_topk(batch: pa.Table) -> pa.Table:
+        qi, qm, qnorm = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _embedding_matrix(batch.column("embedding"))
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        sims = (qm @ mat.T) / (qnorm[:, None] * n[None, :])
+        parents = ids // PARENT_BLOCK
+        if sims.size == 0:
+            z = np.empty(0, dtype=np.int64)
+            return pa.table(
+                {
+                    "query_id": pa.array(z),
+                    "parent_id": pa.array(z),
+                    "vec_id": pa.array(z),
+                    "sim": pa.array(np.empty(0, dtype=np.float64)),
+                }
+            )
+        ids_b = np.broadcast_to(ids, sims.shape)
+        par_b = np.broadcast_to(parents, sims.shape)
+        # per query row: (parent asc, sim desc, vec asc) → first entry of
+        # each parent run is that parent's best child in this batch
+        order = np.lexsort((ids_b, -sims, par_b), axis=-1)
+        sp = parents[order]
+        first = np.ones_like(sp, dtype=bool)
+        first[:, 1:] = sp[:, 1:] != sp[:, :-1]
+        qrow, pos = np.nonzero(first)
+        vec = ids[order][qrow, pos]
+        sim = np.take_along_axis(sims, order, axis=1)[qrow, pos]
+        par = sp[qrow, pos]
+        qid = qi.astype(np.int64)[qrow]
+        # local prune to top-k PARENTS per query (rows already grouped by
+        # qrow asc): rank within query by (sim desc, vec asc)
+        sel = np.lexsort((vec, -sim, qid))
+        qs, vs, ss, ps = qid[sel], vec[sel], sim[sel], par[sel]
+        starts = np.flatnonzero(
+            np.concatenate(([True], qs[1:] != qs[:-1]))
+        )
+        seq = np.arange(len(qs)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(qs)])))
+        )
+        keep = seq < k
+        return pa.table(
+            {
+                "query_id": pa.array(qs[keep], type=pa.int64()),
+                "parent_id": pa.array(ps[keep], type=pa.int64()),
+                "vec_id": pa.array(vs[keep], type=pa.int64()),
+                "sim": pa.array(ss[keep], type=pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(
+        local_div_topk, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def div_group(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = g.column("sim").to_numpy(zero_copy_only=False)
+        pars = g.column("parent_id").to_numpy(zero_copy_only=False)
+        # best child per parent across batches: (parent asc, sim desc,
+        # vec asc) then first-of-run, then final top-k
+        o = np.lexsort((ids, -sims, pars))
+        pp = pars[o]
+        first = np.ones(len(pp), dtype=bool)
+        first[1:] = pp[1:] != pp[:-1]
+        ids, sims = ids[o][first], sims[o][first]
+        kk = min(k, len(ids))
+        top = np.lexsort((ids, -sims))[:kk]
+        qid = int(g.column("query_id")[0].as_py())
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(kk, qid, dtype=np.int64)),
+                "rank": pa.array(np.arange(kk, dtype=np.int32)),
+                "vec_id": pa.array(ids[top].astype(np.int64)),
+            }
+        )
+
+    global _LAST_DRIVER_REDUCE_ROWS
+    reduced = cands.groupby("query_id").map_groups(
+        div_group, batch_format="pyarrow"
+    )
+    pdf = reduced.to_pandas()  # Q*k rows
+    _LAST_DRIVER_REDUCE_ROWS = len(pdf)
+    pdf = pdf.sort_values(["query_id", "rank"])
+    return pa.table(
+        {
+            "query_id": pa.array(pdf.query_id.to_numpy(), type=pa.int64()),
+            "rank": pa.array(pdf["rank"].to_numpy(), type=pa.int32()),
+            "vec_id": pa.array(pdf.vec_id.to_numpy(), type=pa.int64()),
+        }
+    )
+
+
+def knn_diversified_sql(k: int = TOP_K) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.vec_id // {PARENT_BLOCK} AS parent_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+  FROM q CROSS JOIN embeddings e
+), best AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id, parent_id
+                            ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) - 1 AS rank
+  FROM best WHERE rn = 1
+)
+SELECT query_id, rank::INTEGER AS rank, vec_id FROM ranked WHERE rank < {k}
+"""
+
+
 def knn_bruteforce_sql(k: int = TOP_K) -> str:
     return f"""
 WITH q AS (

@@ -320,6 +320,36 @@ class TestKnn:
         assert knn._LAST_DRIVER_REDUCE_ROWS <= n_q * knn.TOP_K
         assert_same(got, con, knn.knn_bruteforce_sql())
 
+    def test_diversified_gate_and_property(self, con):
+        """Diversified parent-block kNN (DiversifyingChildrenFloatKnn
+        VectorQuery.java): SQL-exact, at most one child per parent in
+        every result list, and the result equals brute-force kNN applied
+        AFTER collapsing each parent to its best child."""
+        from lucene_ray.ops import knn
+
+        got = knn.knn_diversified(SF)
+        assert knn._LAST_DRIVER_REDUCE_ROWS <= knn.N_QUERIES * knn.TOP_K
+        assert_same(got, con, knn.knn_diversified_sql())
+        pdf = to_pdf(got)
+        pdf["parent"] = pdf.vec_id // knn.PARENT_BLOCK
+        dup = pdf.groupby(["query_id", "parent"]).size()
+        assert (dup == 1).all()
+        # diversified != plain top-k on this corpus (parents actually
+        # collapse something)
+        bf = to_pdf(knn.knn_bruteforce(SF))
+        assert not pdf.vec_id.equals(bf.vec_id)
+
+    def test_diversified_pruning_safe_with_tiny_blocks(self, con):
+        """Parent blocks spanning batch boundaries must not change results:
+        batch_size=13 guarantees most 8-child parent blocks are split
+        across batches, so the cross-batch best-child-per-parent reduce is
+        genuinely exercised — still oracle-exact, driver still O(Q*k)."""
+        from lucene_ray.ops import knn
+
+        got = knn.knn_diversified(SF, k=5, batch_size=13)
+        assert knn._LAST_DRIVER_REDUCE_ROWS <= knn.N_QUERIES * 5
+        assert_same(got, con, knn.knn_diversified_sql(k=5))
+
     def test_ivf_recall_grows_with_nprobe(self):
         from lucene_ray.ops import knn
 
