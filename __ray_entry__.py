@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
         "knn_diversified": knn.knn_diversified,
+        "polygon_engine": bm25docs.polygon_engine,
         "covering_engine": bm25docs.covering_engine,
         "fieldmask_engine": bm25docs.fieldmask_engine,
         "multifield_engine": bm25docs.multifield_engine,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),
         "knn_diversified": knn.knn_diversified_sql(),
+        "polygon_engine": bm25docs.polygon_engine_sql(),
         "covering_engine": bm25docs.covering_engine_sql(),
         "fieldmask_engine": bm25docs.fieldmask_engine_sql(),
         "multifield_engine": bm25docs.multifield_engine_sql(),

@@ -656,6 +656,86 @@ WITH tok AS (
 """
 
 
+# polygon gates: shells are (lats, lons) vertex rings, implicitly closed;
+# q1 carries a hole, q2 is concave and composed with a content term
+POLYGON_QUERIES: list[tuple] = [
+    (0, ((10.0, 80.0, 80.0, 10.0), (-170.0, -100.0, -20.0, -60.0)), (), None),
+    (
+        1,
+        ((-80.0, 0.0, 70.0, 20.0, -60.0), (0.0, 40.0, 120.0, 170.0, 150.0)),
+        (((-30.0, 10.0, 30.0, -10.0), (60.0, 80.0, 120.0, 110.0)),),
+        None,
+    ),
+    (
+        2,
+        ((-85.0, -20.0, 40.0, -20.0, 60.0, -85.0),
+         (-180.0, -120.0, -90.0, -60.0, -10.0, -5.0)),
+        (),
+        "merge",
+    ),
+]
+
+
+def polygon_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): point-in-polygon filters through the engine
+    (LatLonPoint.newPolygonQuery; geo/Polygon2D.java crossing-number):
+    shell-bbox BKD prune on the Morton sidecar, exact PNPOLY on raw
+    doubles, shell minus holes, optional content-term composition. The
+    oracle unrolls the same per-edge float64 crossing arithmetic."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        LatLonPolygonQuery,
+        TermQuery,
+    )
+
+    ix = _engine_index_geo(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, shell, holes, term in POLYGON_QUERIES:
+        must = [LatLonPolygonQuery("loc", shell, holes)]
+        if term:
+            must.append(TermQuery(term))
+        td = s.search(BooleanQuery(must=must), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def polygon_engine_sql() -> str:
+    from lucene_ray.search.spatial import (
+        polygon_sql,
+        synth_lat_sql,
+        synth_lon_sql,
+    )
+
+    toks = tokenize_sql_expr("text")
+    lat_e, lon_e = synth_lat_sql("doc_id"), synth_lon_sql("doc_id")
+    parts = []
+    for qid, shell, holes, term in POLYGON_QUERIES:
+        conds = [polygon_sql(lat_e, lon_e, shell, holes)]
+        if term:
+            conds.append(
+                f"doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')"
+            )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents WHERE "
+            + " AND ".join(conds)
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 def _engine_index_syn(sf_dir: str) -> str:
     """Documents index under the SynonymAnalyzer (index-time add-mode
     injection, analysis/analyzer.py SYNONYM_MAP)."""

@@ -48,6 +48,7 @@ from lucene_ray.search.query import (
     RangeFieldQuery,
     LatLonBoxQuery,
     LatLonDistanceQuery,
+    LatLonPolygonQuery,
     PrefixQuery,
     RegexpQuery,
     IntervalQuery,
@@ -199,6 +200,7 @@ def build_scorers(
                 RangeFieldQuery,
                 LatLonBoxQuery,
                 LatLonDistanceQuery,
+                LatLonPolygonQuery,
                 DocValuesTermsQuery,
                 SortedSetDocValuesRangeQuery,
                 IndexOrDocValuesQuery,

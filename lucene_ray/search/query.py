@@ -541,6 +541,20 @@ class LatLonDistanceQuery:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class LatLonPolygonQuery:
+    """Point-in-polygon filter, constant score (LatLonPoint
+    .newPolygonQuery over geo/Polygon.java: shell ring minus hole rings,
+    crossing-number contains; bounding-box BKD prune + exact PNPOLY on
+    raw doubles). ``shell``: (lats, lons) vertex tuples (implicitly
+    closed); ``holes``: tuple of (lats, lons) rings."""
+
+    field: str
+    shell: tuple  # ((lat, ...), (lon, ...))
+    holes: tuple = ()
+    boost: float = 1.0
+
+
 @dataclass
 class BooleanQuery:
     must: list = field(default_factory=list)

@@ -577,6 +577,29 @@ class SegmentReader:
             t.column("docid").to_numpy(zero_copy_only=False)[m]
         ).astype(np.int64)
 
+    def spatial_polygon(
+        self, field: str, shell: tuple, holes: tuple = ()
+    ) -> np.ndarray:
+        """Sorted local docids inside the polygon (LatLonPoint
+        .newPolygonQuery; geo/Polygon2D.java crossing-number contains):
+        BKD prune by the shell's bounding box, exact PNPOLY on raw
+        doubles (shell minus holes)."""
+        from lucene_ray.search.spatial import point_in_polygon
+
+        sh_lats, sh_lons = shell
+        t = self._spatial_candidates(
+            field,
+            min(sh_lats), max(sh_lats), min(sh_lons), max(sh_lons),
+        )
+        if t is None:
+            return np.array([], dtype=np.int64)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        m = point_in_polygon(lat, lon, shell, holes)
+        return np.sort(
+            t.column("docid").to_numpy(zero_copy_only=False)[m]
+        ).astype(np.int64)
+
     def stored_fields(self) -> "pq.Table":
         return pq.read_table(os.path.join(self.seg_dir, "stored.parquet"))
 

@@ -49,6 +49,7 @@ from lucene_ray.search.query import (
     RangeFieldQuery,
     LatLonBoxQuery,
     LatLonDistanceQuery,
+    LatLonPolygonQuery,
     IntervalQuery,
     SpanNearQuery,
     SpanContainingQuery,
@@ -916,6 +917,16 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 lambda: reader.range_field_docs(
                     q.field, q.lower, q.upper, q.relation
                 ),
+            )
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, scorers.get(q), scored=(docids, scores)))
+        elif isinstance(q, LatLonPolygonQuery):
+            docids = _qcache(
+                reader,
+                q,
+                lambda: reader.spatial_polygon(q.field, q.shell, q.holes),
             )
             if len(docids) == 0:
                 continue

@@ -199,6 +199,79 @@ def distance_box(
     return lat_lo, lat_hi, lon_lo, lon_hi
 
 
+def point_in_ring(
+    lat: np.ndarray, lon: np.ndarray, ring_lats: tuple, ring_lons: tuple
+) -> np.ndarray:
+    """Vectorized crossing-number (ray-casting) point-in-ring test — the
+    Polygon2D.contains spec (geo/Polygon2D.java; GeoUtils PNPOLY form):
+    an eastward ray from the point crosses edge (i, i+1) iff the edge
+    straddles the point's latitude (strict > on both ends) and the
+    crossing longitude lies strictly east. Boundary points follow the
+    asymmetric PNPOLY convention exactly; the SQL twin unrolls the same
+    per-edge float64 expression so both sides agree bit-for-bit."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    inside = np.zeros(lat.shape, dtype=bool)
+    n = len(ring_lats)
+    for i in range(n):
+        y1, x1 = float(ring_lats[i]), float(ring_lons[i])
+        y2, x2 = float(ring_lats[(i + 1) % n]), float(ring_lons[(i + 1) % n])
+        if y1 == y2:
+            continue  # horizontal edge never straddles (matches the SQL)
+        straddle = (y1 > lat) != (y2 > lat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cross = lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        inside ^= straddle & cross
+    return inside
+
+
+def point_in_polygon(
+    lat: np.ndarray,
+    lon: np.ndarray,
+    shell: tuple[tuple, tuple],
+    holes: tuple = (),
+) -> np.ndarray:
+    """Inside the shell ring and not inside any hole ring
+    (document/LatLonPoint.newPolygonQuery over geo/Polygon.java with
+    holes)."""
+    m = point_in_ring(lat, lon, shell[0], shell[1])
+    for h_lats, h_lons in holes:
+        m &= ~point_in_ring(lat, lon, h_lats, h_lons)
+    return m
+
+
+def ring_sql(lat_expr: str, lon_expr: str, ring_lats: tuple, ring_lons: tuple) -> str:
+    """DuckDB twin of point_in_ring: the polygon is fixed at query time,
+    so edges UNROLL into an XOR-chain (sum of per-edge crossing booleans,
+    odd = inside) with the identical float64 arithmetic."""
+    terms = []
+    n = len(ring_lats)
+    for i in range(n):
+        y1, x1 = float(ring_lats[i]), float(ring_lons[i])
+        y2, x2 = float(ring_lats[(i + 1) % n]), float(ring_lons[(i + 1) % n])
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({y1!r} > ({lat_expr})) != ({y2!r} > ({lat_expr}))) "
+            f"AND (({lon_expr}) < ({x2!r} - {x1!r}) * (({lat_expr}) - {y1!r}) "
+            f"/ ({y2!r} - {y1!r}) + {x1!r}) THEN 1 ELSE 0 END)"
+        )
+    if not terms:
+        return "FALSE"
+    return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
+def polygon_sql(
+    lat_expr: str, lon_expr: str, shell: tuple[tuple, tuple], holes: tuple = ()
+) -> str:
+    parts = [ring_sql(lat_expr, lon_expr, *shell)]
+    parts.extend(
+        f"NOT {ring_sql(lat_expr, lon_expr, h_lats, h_lons)}"
+        for h_lats, h_lons in holes
+    )
+    return "(" + " AND ".join(parts) + ")"
+
+
 SPATIAL_ROW_GROUP = 512  # BKD leaf analog: the pruning granularity
 
 

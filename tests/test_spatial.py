@@ -188,3 +188,79 @@ def test_spatial_survives_merge_and_deletes(ray_session, tmp_path):
     assert np.array_equal(
         np.sort(td.docids), np.sort(np.setdiff1d(want, victims))
     )
+
+
+def test_polygon_query_matches_bruteforce(geo_index):
+    """Random polygons (convex + star-shaped concave) through the engine
+    equal the direct PNPOLY over the synthetic field — the bbox prune
+    never drops a contained point (LatLonPoint.newPolygonQuery)."""
+    from lucene_ray.search import spatial as sp
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, LatLonPolygonQuery
+
+    ids, lat, lon = _truth(SF)
+    s = IndexSearcher(geo_index)
+    rng = np.random.default_rng(17)
+    for _ in range(12):
+        # star-shaped ring around a random center: sorted angles, random
+        # radii — yields valid simple polygons, often concave
+        cx = rng.uniform(-60, 60)
+        cy = rng.uniform(-120, 120)
+        nv = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(10, 55, nv)
+        sh_lat = tuple(np.clip(cx + rad * np.sin(ang), -89.9, 89.9))
+        sh_lon = tuple(np.clip(cy + rad * np.cos(ang), -179.9, 179.9))
+        q = LatLonPolygonQuery("loc", (sh_lat, sh_lon))
+        td = s.search(BooleanQuery(must=[q]), 1_000_000)
+        want = np.sort(ids[sp.point_in_polygon(lat, lon, (sh_lat, sh_lon))])
+        assert np.array_equal(np.sort(td.docids), want)
+
+
+def test_polygon_hole_excludes(geo_index):
+    from lucene_ray.search import spatial as sp
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, LatLonPolygonQuery
+
+    ids, lat, lon = _truth(SF)
+    s = IndexSearcher(geo_index)
+    shell = ((-70.0, 70.0, 70.0, -70.0), (-150.0, -150.0, 150.0, 150.0))
+    hole = ((-30.0, 30.0, 30.0, -30.0), (-60.0, -60.0, 60.0, 60.0))
+    full = s.search(
+        BooleanQuery(must=[LatLonPolygonQuery("loc", shell)]), 1_000_000
+    )
+    holed = s.search(
+        BooleanQuery(must=[LatLonPolygonQuery("loc", shell, (hole,))]),
+        1_000_000,
+    )
+    in_hole = set(ids[sp.point_in_ring(lat, lon, *hole)].tolist())
+    assert set(holed.docids.tolist()) == set(full.docids.tolist()) - in_hole
+    assert len(holed.docids) < len(full.docids)
+
+
+def test_ring_sql_matches_numpy():
+    """The unrolled per-edge SQL is bit-identical to point_in_ring on the
+    synthetic field (DuckDB twin contract)."""
+    import duckdb
+
+    from lucene_ray.search import spatial as sp
+
+    ids, lat, lon = _truth(SF)
+    shell = ((-80.0, 5.0, 75.0, 30.0, -45.0), (-170.0, -30.0, 40.0, 160.0, 100.0))
+    hole = ((-20.0, 25.0, 5.0), (-40.0, -10.0, 30.0))
+    want = np.sort(ids[sp.point_in_polygon(lat, lon, shell, (hole,))])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    expr = sp.polygon_sql(
+        sp.synth_lat_sql("doc_id"), sp.synth_lon_sql("doc_id"), shell, (hole,)
+    )
+    got = (
+        con.execute(
+            f"SELECT doc_id FROM documents WHERE {expr} ORDER BY doc_id"
+        )
+        .fetchnumpy()["doc_id"]
+        .astype(np.int64)
+    )
+    assert np.array_equal(got, want)
