@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dvquery_engine": bm25docs.dvquery_engine,
         "knn_diversified": knn.knn_diversified,
         "polygon_engine": bm25docs.polygon_engine,
+        "phrasewildcard_engine": bm25docs.phrasewildcard_engine,
         "covering_engine": bm25docs.covering_engine,
         "fieldmask_engine": bm25docs.fieldmask_engine,
         "multifield_engine": bm25docs.multifield_engine,
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "dvquery_engine": bm25docs.dvquery_engine_sql(),
         "knn_diversified": knn.knn_diversified_sql(),
         "polygon_engine": bm25docs.polygon_engine_sql(),
+        "phrasewildcard_engine": bm25docs.phrasewildcard_engine_sql(),
         "covering_engine": bm25docs.covering_engine_sql(),
         "fieldmask_engine": bm25docs.fieldmask_engine_sql(),
         "multifield_engine": bm25docs.multifield_engine_sql(),

@@ -736,6 +736,73 @@ WITH tok AS (
 """
 
 
+PHRASEWILDCARD_QUERIES: list[tuple[int, tuple[str, ...]]] = [
+    (0, ("sort", "mer*")),
+    (1, ("s*", "merge")),
+    (2, ("k?y", "order")),
+    (3, ("zz*", "merge")),  # vocabulary-empty slot: zero hits
+]
+
+
+def phrasewildcard_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): PhraseWildcardQuery doc sets — phrases whose slots
+    hold wildcard patterns, expanded against the vocabulary and executed
+    as MultiPhraseQuery positional joins
+    (sandbox/search/PhraseWildcardQuery.java). The oracle translates each
+    pattern slot to a LIKE predicate in the same positional join."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, PhraseWildcardQuery
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, slots in PHRASEWILDCARD_QUERIES:
+        td = s.search(
+            BooleanQuery(must=[PhraseWildcardQuery(slots)]), 1_000_000
+        )
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def phrasewildcard_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+
+    def pred(alias: str, slot: str) -> str:
+        if "*" in slot or "?" in slot:
+            like = slot.replace("*", "%").replace("?", "_")
+            return f"{alias}.term LIKE '{like}'"
+        return f"{alias}.term = '{slot}'"
+
+    parts = []
+    for qid, slots in PHRASEWILDCARD_QUERIES:
+        joins = [
+            f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos = t0.pos + {i} AND {pred(f't{i}', s)}"
+            for i, s in enumerate(slots)
+            if i > 0
+        ]
+        parts.append(
+            f"SELECT DISTINCT {qid} AS qid, t0.doc_id AS docid FROM tok t0 "
+            + " ".join(joins)
+            + f" WHERE {pred('t0', slots[0])}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""
+
+
 def _engine_index_syn(sf_dir: str) -> str:
     """Documents index under the SynonymAnalyzer (index-time add-mode
     injection, analysis/analyzer.py SYNONYM_MAP)."""

@@ -60,6 +60,22 @@ class MultiPhraseQuery:
 
 
 @dataclass(frozen=True)
+class PhraseWildcardQuery:
+    """Phrase whose positions may hold multi-term PATTERNS
+    (sandbox/search/PhraseWildcardQuery.java: a generalized PhraseQuery
+    where each slot is a term or a MultiTermQuery expansion; one expanded
+    term must match at that position). Slots containing ``*`` / ``?`` are
+    expanded against the index vocabulary (capped at ``max_expansions``
+    per slot, the maxMultiTermExpansions contract) and the query rewrites
+    to a MultiPhraseQuery — vocabulary-empty slots make the phrase match
+    nothing."""
+
+    slots: tuple  # of str: literal term or wildcard pattern
+    max_expansions: int = 128
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanNearQuery:
     """Proximity match over single-term sub-spans (queries/src/java/org/
     apache/lucene/queries/spans/SpanNearQuery.java; matchers

@@ -25,7 +25,9 @@ from lucene_ray.search.query import (
     BooleanQuery,
     DisjunctionSumQuery,
     FuzzyQuery,
+    MultiPhraseQuery,
     NestedBooleanQuery,
+    PhraseWildcardQuery,
     PrefixQuery,
     ToParentBlockJoinQuery,
     RegexpQuery,
@@ -53,7 +55,8 @@ def maybe_rewrite(bq: BooleanQuery, vocab, field_vocab=None) -> BooleanQuery:
     from lucene_ray.search.query import iter_clauses
 
     if any(
-        isinstance(q, MULTI_TERM_TYPES) or _span_has_wrapper(q)
+        isinstance(q, MULTI_TERM_TYPES + (PhraseWildcardQuery,))
+        or _span_has_wrapper(q)
         for q in iter_clauses(bq)
     ):
         v = vocab() if callable(vocab) else vocab
@@ -293,6 +296,26 @@ def rewrite_query(
     hold the full dictionary and the namespace guard filters it."""
 
     def rewrite_clause(q):
+        if isinstance(q, PhraseWildcardQuery):
+            # expand each pattern slot against the vocabulary
+            # (PhraseWildcardQuery.java: segment term expansion per
+            # multi-term position, capped at maxMultiTermExpansions) and
+            # rewrite to MultiPhraseQuery. A vocabulary-empty slot means
+            # the phrase can never match: poison (must) / no-op (should).
+            slots = []
+            for s in q.slots:
+                if "*" in s or "?" in s:
+                    terms = [
+                        t
+                        for t in expand_wildcard(vocab, WildcardQuery(s))
+                        if ":" not in t
+                    ][: q.max_expansions]
+                    if not terms:
+                        return [TermQuery("#NOMATCH#")]
+                    slots.append(tuple(terms))
+                else:
+                    slots.append((s,))
+            return [MultiPhraseQuery(tuple(slots), boost=q.boost)]
         pattern = _clause_pattern(q)
         if pattern is None:
             return [q]

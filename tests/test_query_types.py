@@ -1641,3 +1641,85 @@ class TestSpanOps:
                     want_w.add(i)
         assert got_c == want_c
         assert got_w == want_w
+
+
+class TestPhraseWildcard:
+    """PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java):
+    pattern slots expand against the vocabulary, rewriting to
+    MultiPhraseQuery; empty slots poison required clauses."""
+
+    def test_rewrites_to_multiphrase(self, ix):
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import (
+            BooleanQuery,
+            MultiPhraseQuery,
+            PhraseWildcardQuery,
+        )
+
+        s = IndexSearcher(ix)
+        bq = s._maybe_rewrite(
+            BooleanQuery(must=[PhraseWildcardQuery(("sort", "mer*"))])
+        )
+        assert len(bq.must) == 1 and isinstance(bq.must[0], MultiPhraseQuery)
+        assert bq.must[0].slots[0] == ("sort",)
+        assert all(t.startswith("mer") for t in bq.must[0].slots[1])
+
+    def test_matches_equal_explicit_multiphrase(self, ix, docs):
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import (
+            BooleanQuery,
+            MultiPhraseQuery,
+            PhraseWildcardQuery,
+        )
+
+        s = IndexSearcher(ix)
+        vocab = s.reader.vocabulary()
+        expansions = tuple(t for t in vocab.tolist() if t.startswith("s"))
+        a = s.search(
+            BooleanQuery(must=[PhraseWildcardQuery(("s*", "merge"))]), 1 << 62
+        )
+        b = s.search(
+            BooleanQuery(
+                must=[MultiPhraseQuery((expansions, ("merge",)))]
+            ),
+            1 << 62,
+        )
+        assert a.docids.tolist() == b.docids.tolist()
+        np.testing.assert_array_equal(a.scores, b.scores)
+        assert len(a.docids) > 0
+
+    def test_empty_slot_poisons_must(self, ix):
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, PhraseWildcardQuery
+
+        s = IndexSearcher(ix)
+        td = s.search(
+            BooleanQuery(
+                must=[PhraseWildcardQuery(("zzznope*", "merge"))],
+                should=[],
+            ),
+            10,
+        )
+        assert len(td.docids) == 0
+        # and as SHOULD beside another clause it contributes nothing but
+        # does not block the sibling
+        td2 = s.search(
+            BooleanQuery(
+                must=[],
+                should=[
+                    PhraseWildcardQuery(("zzznope*", "merge")),
+                ],
+            ),
+            10,
+        )
+        assert len(td2.docids) == 0
+
+    def test_max_expansions_cap(self, ix):
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, PhraseWildcardQuery
+
+        s = IndexSearcher(ix)
+        bq = s._maybe_rewrite(
+            BooleanQuery(must=[PhraseWildcardQuery(("*", "merge"), max_expansions=3)])
+        )
+        assert len(bq.must[0].slots[0]) == 3
