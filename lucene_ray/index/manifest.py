@@ -139,6 +139,77 @@ def list_commits(index_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _snapshots_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "commits", "snapshots.json")
+
+
+def list_snapshots(index_dir: str) -> list[int]:
+    """Pinned commit generations (SnapshotDeletionPolicy.getSnapshots)."""
+    p = _snapshots_path(index_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return sorted(json.load(f))
+
+
+def _write_snapshots(index_dir: str, gens: list[int]) -> None:
+    p = _snapshots_path(index_dir)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(set(gens)), f)
+    os.replace(tmp, p)
+
+
+def snapshot_commit(index_dir: str, generation: int | None = None) -> int:
+    """Pin a retained commit so purge_commits never deletes it
+    (index/SnapshotDeletionPolicy.java:50 snapshot(): returns the commit
+    it protects; default = the CURRENT generation). Idempotent."""
+    if generation is None:
+        m = read_manifest(index_dir)
+        if m is None:
+            raise FileNotFoundError(f"no manifest under {index_dir}")
+        generation = m.generation
+    if generation not in list_commits(index_dir):
+        raise FileNotFoundError(
+            f"no retained commit for generation {generation}"
+        )
+    _write_snapshots(index_dir, list_snapshots(index_dir) + [generation])
+    return generation
+
+
+def release_snapshot(index_dir: str, generation: int) -> None:
+    """Unpin (SnapshotDeletionPolicy.release). Missing pin raises."""
+    gens = list_snapshots(index_dir)
+    if generation not in gens:
+        raise KeyError(f"generation {generation} is not snapshotted")
+    _write_snapshots(index_dir, [g for g in gens if g != generation])
+
+
+def purge_commits(index_dir: str, keep_last: int = 1) -> list[int]:
+    """Delete retained commit MANIFESTS beyond the newest ``keep_last``,
+    except snapshotted generations and the current one — the
+    KeepOnlyLastCommitDeletionPolicy / SnapshotDeletionPolicy composition
+    (index/KeepOnlyLastCommitDeletionPolicy.java). Segment data files are
+    NEVER touched: a purged generation just stops being openable by
+    number. Returns the purged generations."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cur = read_manifest(index_dir)
+    protect = set(list_snapshots(index_dir))
+    if cur is not None:
+        protect.add(cur.generation)
+    gens = list_commits(index_dir)
+    protect.update(gens[-keep_last:])
+    purged = []
+    for g in gens:
+        if g in protect:
+            continue
+        os.remove(os.path.join(index_dir, "commits", f"manifest_g{g}.json"))
+        purged.append(g)
+    return purged
+
+
 def read_manifest(index_dir: str, generation: int | None = None) -> Manifest | None:
     """Read the CURRENT commit, or a specific retained ``generation``
     (DirectoryReader.open(IndexCommit) — point-in-time snapshot open)."""

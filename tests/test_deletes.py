@@ -714,3 +714,88 @@ class TestSoftDeletes:
         assert 10 not in doc_set(s, "merge") | doc_set(s, "flush") | doc_set(
             s, "batch"
         ) | doc_set(s, "sort") | doc_set(s, "index")
+
+
+class TestSnapshotsAndPurge:
+    """SnapshotDeletionPolicy + KeepOnlyLastCommitDeletionPolicy analogs
+    (index/SnapshotDeletionPolicy.java:50): pins protect retained commits
+    from purge_commits; purged generations stop being openable; pinned and
+    current ones always survive."""
+
+    @pytest.fixture()
+    def ix(self, tmp_path_factory, ray_session):
+        import glob
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.index.corpus import write_corpus
+        from lucene_ray.index.writer import delete_docs
+
+        corpus = str(tmp_path_factory.mktemp("corpus_snap"))
+        write_corpus(corpus, n_docs=120, n_shards=1, seed=3, row_group_size=64)
+        d = str(tmp_path_factory.mktemp("ix_snap"))
+        build_index(sorted(glob.glob(corpus + "/*.parquet")), d, target_docs=60)
+        # create several generations via successive deletes
+        delete_docs(d, [1])
+        delete_docs(d, [2])
+        delete_docs(d, [3])
+        return d
+
+    def test_snapshot_protects_and_release_unprotects(self, ix):
+        from lucene_ray.index.manifest import (
+            list_commits,
+            list_snapshots,
+            purge_commits,
+            read_manifest,
+            release_snapshot,
+            snapshot_commit,
+        )
+        from lucene_ray.search.reader import IndexReader
+
+        gens = list_commits(ix)
+        assert len(gens) >= 4
+        pinned = snapshot_commit(ix, gens[0])
+        assert list_snapshots(ix) == [pinned]
+        purged = purge_commits(ix, keep_last=1)
+        after = list_commits(ix)
+        cur = read_manifest(ix).generation
+        assert pinned in after and cur in after
+        assert set(purged) & set(after) == set()
+        # the pinned generation still opens
+        r = IndexReader(ix, generation=pinned)
+        assert r.manifest.generation == pinned
+        # a purged one no longer does
+        if purged:
+            with pytest.raises(FileNotFoundError):
+                IndexReader(ix, generation=purged[0])
+        # release + purge removes it
+        release_snapshot(ix, pinned)
+        purge_commits(ix, keep_last=1)
+        assert pinned not in list_commits(ix)
+
+    def test_snapshot_default_pins_current(self, ix):
+        from lucene_ray.index.manifest import read_manifest, snapshot_commit
+
+        assert snapshot_commit(ix) == read_manifest(ix).generation
+
+    def test_snapshot_missing_generation_raises(self, ix):
+        from lucene_ray.index.manifest import release_snapshot, snapshot_commit
+
+        with pytest.raises(FileNotFoundError):
+            snapshot_commit(ix, 10_000)
+        with pytest.raises(KeyError):
+            release_snapshot(ix, 10_000)
+
+    def test_rollback_to_snapshot_after_purge(self, ix):
+        """The snapshot contract end-to-end: pin, purge everything else,
+        then rollback to the pinned commit and observe its doc view."""
+        from lucene_ray.index.manifest import list_commits, purge_commits, snapshot_commit
+        from lucene_ray.index.writer import rollback
+        from lucene_ray.search.reader import IndexReader
+
+        g0 = list_commits(ix)[0]  # pre-delete commit
+        snapshot_commit(ix, g0)
+        purge_commits(ix, keep_last=1)
+        before = IndexReader(ix).live_doc_count
+        rollback(ix, g0)
+        after = IndexReader(ix).live_doc_count
+        assert after == before + 3  # the three tombstones are undone
