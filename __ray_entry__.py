@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-yet-recorded gates are placed first (VERDICT r3 #2); the
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 4
+        "dvstats_engine": bm25docs.dvstats_engine,
+        "diversified_engine": bm25docs.diversified_engine,
         "combinedfield_topk": bm25docs.combinedfield_topk,
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
@@ -181,6 +183,8 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
     return {
+        "dvstats_engine": bm25docs.dvstats_engine_sql(),
+        "diversified_engine": bm25docs.diversified_engine_sql(),
         "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),

@@ -4030,6 +4030,154 @@ WITH tok AS (
 """
 
 
+DVSTATS_QUERIES = (
+    (0, "merge"),
+    (1, "window"),
+    (2, "stream"),
+    (3, "zzzmissing"),  # zero matches -> no output row (count-0 stats)
+)
+
+
+def dvstats_engine(sf_dir: str) -> pa.Table:
+    """(qid, cnt, vmin, vmax, vsum, varnum, mean, tmin, tmax): doc-values
+    stats collectors (misc/search/DocValuesStats.java +
+    DocValuesStatsCollector.java) — LongDocValuesStats over the NUMERIC
+    src_id field and SortedDocValuesStats over the SORTED lang field, one
+    row per query; integer moments are exact, mean is a single float64
+    division both sides (see search/dvstats.py for the Welford-vs-exact
+    divergence note)."""
+    from lucene_ray.search.dvstats import numeric_dv_stats, sorted_dv_stats
+    from lucene_ray.search.engine import IndexSearcher
+
+    ix = _dv_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    rows = []
+    for qid, term in DVSTATS_QUERIES:
+        num = numeric_dv_stats(s, term, "src_id")
+        if num is None:
+            continue
+        srt = sorted_dv_stats(s, term, "lang")
+        rows.append(
+            {
+                "qid": qid,
+                "cnt": num["count"],
+                "vmin": num["vmin"],
+                "vmax": num["vmax"],
+                "vsum": num["vsum"],
+                "varnum": num["varnum"],
+                "mean": num["mean"],
+                "tmin": srt["tmin"],
+                "tmax": srt["tmax"],
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    return t.cast(
+        pa.schema(
+            [
+                ("qid", pa.int64()),
+                ("cnt", pa.int64()),
+                ("vmin", pa.int64()),
+                ("vmax", pa.int64()),
+                ("vsum", pa.int64()),
+                ("varnum", pa.int64()),
+                ("mean", pa.float64()),
+                ("tmin", pa.string()),
+                ("tmax", pa.string()),
+            ]
+        )
+    )
+
+
+def dvstats_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    # src_id == doc_id and lang -> lang under documents_as_corpus_dv; the
+    # GROUP BY makes a zero-match term yield no row (engine skips it too)
+    parts = []
+    for qid, term in DVSTATS_QUERIES:
+        parts.append(f"""
+SELECT {qid} AS qid,
+       count(*)::BIGINT AS cnt,
+       min(doc_id) AS vmin,
+       max(doc_id) AS vmax,
+       sum(doc_id)::BIGINT AS vsum,
+       (count(*)*sum(doc_id*doc_id) - sum(doc_id)*sum(doc_id))::BIGINT AS varnum,
+       sum(doc_id)::DOUBLE / count(*) AS mean,
+       min(lang) AS tmin,
+       max(lang) AS tmax
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+GROUP BY 1
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+DIVERSIFIED_QUERIES = ((0, "merge"), (1, "window"))
+
+
+def diversified_engine(
+    sf_dir: str, k: int = 15, max_per_key: int = 2
+) -> pa.Table:
+    """(qid, rank, docid, key): DiversifiedTopDocsCollector
+    (misc/search/DiversifiedTopDocsCollector.java) — top-k ordered by the
+    src_id doc value desc with at most ``max_per_key`` docs per lang key.
+    Float-free, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.grouping import diversified_topk
+
+    ix = _dv_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out = {"qid": [], "rank": [], "docid": [], "key": []}
+    for qid, term in DIVERSIFIED_QUERIES:
+        docs, _vals, keys = diversified_topk(
+            s, term, "src_id", "lang", k=k, max_hits_per_key=max_per_key
+        )
+        out["qid"].extend([qid] * len(docs))
+        out["rank"].extend(range(len(docs)))
+        out["docid"].extend(docs.tolist())
+        out["key"].extend(str(x) for x in keys)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "docid": pa.array(out["docid"], type=pa.int64()),
+            "key": pa.array(out["key"], type=pa.string()),
+        }
+    )
+
+
+def diversified_engine_sql(k: int = 15, max_per_key: int = 2) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term in DIVERSIFIED_QUERIES:
+        parts.append(f"""
+SELECT {qid} AS qid,
+       (row_number() OVER (ORDER BY doc_id DESC) - 1)::BIGINT AS rank,
+       doc_id AS docid,
+       lang AS key
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id DESC) AS kr
+  FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+)
+WHERE kr <= {max_per_key}
+QUALIFY rank < {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 def dvquery_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): the doc-values query family — DocValuesTermsQuery
     (term-set filter over SORTED and SORTED_SET ords,

@@ -68,3 +68,51 @@ def group_topk(
             GroupDocs(uniq[gi], grank, int(counts[gi]), docs[order], v[order])
         )
     return out
+
+
+def diversified_topk(
+    searcher,
+    query,
+    sort_field: str,
+    key_field: str,
+    k: int = 10,
+    max_hits_per_key: int = 1,
+):
+    """DiversifiedTopDocsCollector (misc/search/
+    DiversifiedTopDocsCollector.java): top-``k`` matching docs where each
+    key (a SORTED doc-values field here, the reference's NumericDocValues
+    key source) contributes at most ``max_hits_per_key`` docs.
+
+    Ordering is by a numeric doc-values field desc with docid-asc
+    tie-break instead of relevance (same float-free rationale as
+    group_topk). Semantics: rank docs within each key along the GLOBAL
+    order, drop those past ``max_hits_per_key``, then take the global
+    top-``k`` of the survivors — the reference's greedy PQ admission
+    yields the same set whenever the queue never evicts (exactly the
+    collect-then-cut view; divergence documented).
+
+    Returns (docids, values, key_terms) aligned arrays. O(matches)
+    vectorized; at scale this runs per-segment (top k*max_hits_per_key
+    each) and merges, like any top-k collector.
+    """
+    from lucene_ray.search.engine import fetch_sorted_dv_values
+
+    td = searcher.search(query, k=1 << 62)
+    if len(td.docids) == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z, np.array([], dtype=object)
+    vals = fetch_doc_values(searcher.reader, td.docids, sort_field)
+    keys = fetch_sorted_dv_values(searcher.reader, td.docids, key_field)
+    order = np.lexsort((td.docids, -vals))
+    docs_o, vals_o, keys_o = td.docids[order], vals[order], keys[order]
+    # occurrence index of each row within its key, along the global order:
+    # stable-sort by key preserves global order inside each key block
+    by_key = np.argsort(keys_o, kind="stable")
+    keys_s = keys_o[by_key]
+    starts = np.concatenate(([True], keys_s[1:] != keys_s[:-1]))
+    block_start = np.maximum.accumulate(np.where(starts, np.arange(len(keys_s)), 0))
+    occ_sorted = np.arange(len(keys_s)) - block_start
+    occ = np.empty(len(keys_o), dtype=np.int64)
+    occ[by_key] = occ_sorted
+    keep = np.nonzero(occ < max_hits_per_key)[0][:k]
+    return docs_o[keep], vals_o[keep], keys_o[keep]

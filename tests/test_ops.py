@@ -1061,3 +1061,80 @@ class TestMediaCodecs:
                 "audio/wav", len(samples), rate,
                 int(np.abs(samples.astype(np.int64)).max()),
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocValuesStatsGate:
+    """misc/search/DocValuesStats.java collectors: SQL parity + the
+    exact-moment invariants (count*sumsq - sum^2 >= 0, mean in [min,max])."""
+
+    def test_dvstats_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.dvstats_engine(SF), con, bm25docs.dvstats_engine_sql(),
+            float_cols=("mean",),
+        )
+
+    def test_moment_invariants(self):
+        from lucene_ray.ops import bm25docs
+
+        t = bm25docs.dvstats_engine(SF).to_pydict()
+        assert len(t["qid"]) > 0
+        for i in range(len(t["qid"])):
+            assert t["varnum"][i] >= 0
+            assert t["vmin"][i] <= t["mean"][i] <= t["vmax"][i]
+            assert t["tmin"][i] <= t["tmax"][i]
+
+    def test_zero_match_returns_none(self):
+        from lucene_ray.ops.bm25docs import _dv_engine_index
+        from lucene_ray.search.dvstats import numeric_dv_stats, sorted_dv_stats
+        from lucene_ray.search.engine import IndexSearcher
+
+        s = IndexSearcher(_dv_engine_index(SF))
+        assert numeric_dv_stats(s, "zzzmissing", "src_id") is None
+        assert sorted_dv_stats(s, "zzzmissing", "lang") is None
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDiversifiedGate:
+    """misc/search/DiversifiedTopDocsCollector.java: SQL parity + the
+    per-key cap invariant."""
+
+    def test_diversified_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.diversified_engine(SF), con,
+            bm25docs.diversified_engine_sql(),
+        )
+
+    def test_per_key_cap(self):
+        from collections import Counter
+
+        from lucene_ray.ops.bm25docs import _dv_engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.grouping import diversified_topk
+
+        s = IndexSearcher(_dv_engine_index(SF))
+        docs, vals, keys = diversified_topk(
+            s, "merge", "src_id", "lang", k=50, max_hits_per_key=1
+        )
+        assert len(docs) > 0
+        assert Counter(keys.tolist()).most_common(1)[0][1] == 1
+        # global order: values non-increasing, docid tiebreak ascending
+        for i in range(1, len(docs)):
+            assert vals[i] < vals[i - 1] or (
+                vals[i] == vals[i - 1] and docs[i] > docs[i - 1]
+            )
+
+    def test_empty_query(self):
+        from lucene_ray.ops.bm25docs import _dv_engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.grouping import diversified_topk
+
+        s = IndexSearcher(_dv_engine_index(SF))
+        docs, vals, keys = diversified_topk(
+            s, "zzzmissing", "src_id", "lang", k=5
+        )
+        assert len(docs) == 0 and len(keys) == 0
