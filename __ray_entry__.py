@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 4
         "dvstats_engine": bm25docs.dvstats_engine,
         "diversified_engine": bm25docs.diversified_engine,
+        "childjoin_engine": bm25docs.childjoin_engine,
         "combinedfield_topk": bm25docs.combinedfield_topk,
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),
+        "childjoin_engine": bm25docs.childjoin_engine_sql(),
         "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),

@@ -3429,6 +3429,102 @@ WITH tok AS (
 """
 
 
+def childjoin_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): the inverse block joins — ToChildBlockJoinQuery
+    (join/.../ToChildBlockJoinQuery.java: parents matching parent_query
+    -> all their children) and ParentChildrenBlockJoinQuery
+    (ParentChildrenBlockJoinQuery.java: one parent docid -> its children
+    matching a child query). Same block layout as blockjoin_engine
+    (3 children + parent LAST per block, parent docid = 4i+3); qid 0
+    selects one block by the parent's keyword path term, qid 1 fans out
+    every parent, qid 2 expands block 1's children matching 'merge'."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        ParentChildrenBlockJoinQuery,
+        TermQuery,
+        ToChildBlockJoinQuery,
+    )
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    texts = docs.column("text").take(pa.array(order)).to_pylist()
+    n_blocks = len(texts) // 3
+    rows = []
+    for i in range(n_blocks):
+        for j in range(3):
+            rows.append(
+                {"repo": "child", "path": f"c/{i}/{j}", "commit": "0",
+                 "lang": "txt", "content": texts[3 * i + j]}
+            )
+        rows.append(
+            {"repo": "parent", "path": f"p/{i}", "commit": "0",
+             "lang": "txt", "content": f"parentdoc b{i}"}
+        )
+    os.makedirs("/tmp/lucene_ray_cache", exist_ok=True)
+    ix = tempfile.mkdtemp(prefix="docs_cbj_", dir="/tmp/lucene_ray_cache")
+    src = ix + "_corpus.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), src, row_group_size=256)
+    try:
+        build_index([src], ix, target_docs=512)
+        s = IndexSearcher(ix)
+        pfilter = TermQuery("repo:parent")
+        qs = [
+            (0, ToChildBlockJoinQuery(TermQuery("path:p/3"), pfilter)),
+            (1, ToChildBlockJoinQuery(TermQuery("repo:parent"), pfilter)),
+            (2, ParentChildrenBlockJoinQuery(pfilter, TermQuery("merge"), 7)),
+        ]
+        out_q, out_d = [], []
+        for qid, q in qs:
+            td = s.search(BooleanQuery(should=[q]), 1_000_000)
+            out_q.extend([qid] * len(td.docids))
+            out_d.extend(td.docids.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "docid": pa.array(out_d, type=pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+        if os.path.exists(src):
+            os.remove(src)
+
+
+def childjoin_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    # child (block i, slot j) carries the rk = 3i+j-th document (doc_id
+    # order) and sits at engine docid 4i+j; parent docid = 4i+3
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), ranked AS (
+  SELECT doc_id, (row_number() OVER (ORDER BY doc_id) - 1) AS rk
+  FROM documents
+), nb AS (
+  SELECT (count(*) // 3) AS n FROM documents
+)
+SELECT 0 AS qid, 4*3 + j AS docid
+FROM (VALUES (0), (1), (2)) t(j)
+WHERE (SELECT n FROM nb) > 3
+UNION ALL
+SELECT 1 AS qid, (rk // 3) * 4 + (rk % 3) AS docid
+FROM ranked WHERE rk < 3 * (SELECT n FROM nb)
+UNION ALL
+SELECT 2 AS qid, (rk // 3) * 4 + (rk % 3) AS docid
+FROM ranked
+WHERE rk // 3 = 1 AND rk < 3 * (SELECT n FROM nb)
+  AND doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+"""
+
+
 DV_UPDATE_VALUE = 31337
 
 

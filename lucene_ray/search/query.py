@@ -685,6 +685,30 @@ class ToParentBlockJoinQuery:
 
 
 @dataclass(frozen=True)
+class ToChildBlockJoinQuery:
+    """Inverse block join (join/.../ToChildBlockJoinQuery.java): a child
+    matches when its PARENT matches ``parent_query``; each child inherits
+    the parent's score (doScores) or 1.0. Block layout contract as in
+    ToParentBlockJoinQuery: children first, parent LAST, contiguous
+    docids, blocks never straddle a segment boundary."""
+
+    parent_query: object
+    parents_filter: object
+    do_scores: bool = True
+
+
+@dataclass(frozen=True)
+class ParentChildrenBlockJoinQuery:
+    """join/.../ParentChildrenBlockJoinQuery.java: given ONE parent docid,
+    match that parent's children that also satisfy ``child_query`` (the
+    'expand nested hits of this result' query)."""
+
+    parents_filter: object
+    child_query: object
+    parent_docid: int
+
+
+@dataclass(frozen=True)
 class NestedBooleanQuery:
     """A full BooleanQuery evaluated as ONE clause of an enclosing boolean
     — the reference's nested-clause shape (BooleanQuery.java clauses may
@@ -990,6 +1014,12 @@ def iter_clauses(bq: BooleanQuery):
         elif isinstance(q, NestedBooleanQuery):
             stack.extend(q.must + q.should + q.must_not)
         elif isinstance(q, ToParentBlockJoinQuery):
+            stack.append(q.child_query)
+            stack.append(q.parents_filter)
+        elif isinstance(q, ToChildBlockJoinQuery):
+            stack.append(q.parent_query)
+            stack.append(q.parents_filter)
+        elif isinstance(q, ParentChildrenBlockJoinQuery):
             stack.append(q.child_query)
             stack.append(q.parents_filter)
         elif isinstance(q, FunctionScoreQuery):

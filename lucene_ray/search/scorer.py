@@ -63,6 +63,8 @@ from lucene_ray.search.query import (
     FunctionScoreQuery,
     SynonymQuery,
     TermQuery,
+    ParentChildrenBlockJoinQuery,
+    ToChildBlockJoinQuery,
     ToParentBlockJoinQuery,
 )
 from lucene_ray.search.similarity import BM25Scorer
@@ -612,6 +614,95 @@ def _block_join(reader, q, scorers: dict) -> tuple[np.ndarray, np.ndarray]:
     return parents[pidx_s[starts]], agg.astype(np.float32)
 
 
+def _child_block_join(reader, q, scorers: dict) -> tuple[np.ndarray, np.ndarray]:
+    """ToChildBlockJoinQuery evaluation (join/.../ToChildBlockJoinQuery
+    .java ToChildBlockJoinScorer): for each parent matching parent_query,
+    every live child in its block matches; child score = parent score
+    (doScores) or 1.0. Block start = previous parent docid + 1 — exact
+    because the build contract puts a parent LAST in every block and
+    blocks never straddle segments (the prior segment always ends with a
+    parent), mirroring the reference's prevParentDoc bitset walk."""
+    empty = np.array([], dtype=np.int64), np.array([], dtype=np.float32)
+    p_clauses = build_clauses(reader, [q.parents_filter], scorers)
+    if not p_clauses:
+        return empty
+    parents = np.sort(p_clauses[0].evaluate()[0])
+    if len(parents) == 0:
+        return empty
+    m_clauses = build_clauses(reader, [q.parent_query], scorers)
+    if not m_clauses:
+        return empty
+    pd, ps = m_clauses[0].eval_scores(reader.norm_bytes)
+    # the reference throws if the parent query matches a non-parent doc
+    # (ToChildBlockJoinScorer.validateParentDoc); restrict to parents and
+    # keep the contract observable through the query's own semantics
+    idx = np.searchsorted(parents, pd)
+    is_parent = (idx < len(parents)) & (parents[np.minimum(idx, len(parents) - 1)] == pd)
+    if not np.all(is_parent):
+        raise ValueError(
+            "ToChildBlockJoinQuery: parent_query matched a non-parent doc"
+        )
+    if len(pd) == 0:
+        return empty
+    starts = np.where(idx > 0, parents[np.maximum(idx - 1, 0)] + 1, 0)
+    lengths = pd - starts  # children per block (parent itself excluded)
+    keep = lengths > 0
+    pd, ps, starts, lengths = pd[keep], ps[keep], starts[keep], lengths[keep]
+    if len(pd) == 0:
+        return empty
+    total = int(lengths.sum())
+    cum = np.cumsum(lengths)
+    children = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(cum - lengths, lengths)
+        + np.repeat(starts, lengths)
+    )
+    if q.do_scores:
+        scores = np.repeat(ps, lengths).astype(np.float32)
+    else:
+        scores = np.ones(total, dtype=np.float32)
+    live = getattr(reader, "live_mask", None)
+    if live is not None:
+        m = live[children]
+        children, scores = children[m], scores[m]
+    return children, scores
+
+
+def _parent_children_join(
+    reader, q, scorers: dict
+) -> tuple[np.ndarray, np.ndarray]:
+    """ParentChildrenBlockJoinQuery evaluation: intersect ONE parent's
+    child block with the child query's matches (scores kept)."""
+    empty = np.array([], dtype=np.int64), np.array([], dtype=np.float32)
+    # the query names a GLOBAL parent docid; this scorer runs per segment
+    # over LOCAL docids — resolve, and bail out in every other segment
+    local_parent = q.parent_docid - reader.docid_base
+    if not (0 <= local_parent < reader.doc_count):
+        return empty
+    p_clauses = build_clauses(reader, [q.parents_filter], scorers)
+    if not p_clauses:
+        return empty
+    parents = np.sort(p_clauses[0].evaluate()[0])
+    i = int(np.searchsorted(parents, local_parent))
+    if i >= len(parents) or parents[i] != local_parent:
+        raise ValueError(
+            f"ParentChildrenBlockJoinQuery: docid {q.parent_docid} is not a parent"
+        )
+    lo = int(parents[i - 1]) + 1 if i > 0 else 0
+    hi = int(local_parent)  # exclusive: the parent itself is not a child
+    c_clauses = build_clauses(reader, [q.child_query], scorers)
+    if not c_clauses:
+        return empty
+    cd, cs = c_clauses[0].eval_scores(reader.norm_bytes)
+    m = (cd >= lo) & (cd < hi)
+    cd, cs = cd[m], cs[m]
+    live = getattr(reader, "live_mask", None)
+    if live is not None and len(cd):
+        keep = live[cd]
+        cd, cs = cd[keep], cs[keep]
+    return cd, cs.astype(np.float32)
+
+
 def _dv_filter_docids(reader, q) -> np.ndarray:
     """Doc set of a SORTED / SORTED_SET doc-values filter: resolve the
     query's values to segment ORDINALS once, then scan the doc-ordered ord
@@ -980,6 +1071,20 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
         elif isinstance(q, ToParentBlockJoinQuery):
             d, s = _qcache(
                 reader, q, lambda q=q: _block_join(reader, q, scorers)
+            )
+            if len(d) == 0:
+                continue
+            out.append(_Clause(q, None, None, scored=(d, s)))
+        elif isinstance(q, ToChildBlockJoinQuery):
+            d, s = _qcache(
+                reader, q, lambda q=q: _child_block_join(reader, q, scorers)
+            )
+            if len(d) == 0:
+                continue
+            out.append(_Clause(q, None, None, scored=(d, s)))
+        elif isinstance(q, ParentChildrenBlockJoinQuery):
+            d, s = _qcache(
+                reader, q, lambda q=q: _parent_children_join(reader, q, scorers)
             )
             if len(d) == 0:
                 continue

@@ -1138,3 +1138,84 @@ class TestDiversifiedGate:
             s, "zzzmissing", "src_id", "lang", k=5
         )
         assert len(docs) == 0 and len(keys) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChildJoinGate:
+    """join/ToChildBlockJoinQuery.java + ParentChildrenBlockJoinQuery.java:
+    SQL parity (the gate corpus spans 2 segments, so the global->local
+    parent docid resolution is on the tested path) + contract errors."""
+
+    def test_childjoin_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.childjoin_engine(SF), con, bm25docs.childjoin_engine_sql()
+        )
+
+    def test_parent_query_must_match_parents_only(self, tmp_path):
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import (
+            BooleanQuery, TermQuery, ToChildBlockJoinQuery,
+        )
+
+        rows = []
+        for i in range(4):
+            for j in range(2):
+                rows.append({"repo": "child", "path": f"c/{i}/{j}",
+                             "commit": "0", "lang": "txt",
+                             "content": f"kid alpha"})
+            rows.append({"repo": "parent", "path": f"p/{i}", "commit": "0",
+                         "lang": "txt", "content": "parentdoc"})
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        ix = str(tmp_path / "ix")
+        build_index([src], ix, target_docs=64)
+        s = IndexSearcher(ix)
+        # 'alpha' matches child docs -> the reference throws IllegalState
+        q = ToChildBlockJoinQuery(TermQuery("alpha"), TermQuery("repo:parent"))
+        with pytest.raises(ValueError, match="non-parent"):
+            s.search(BooleanQuery(should=[q]), 100)
+
+    def test_parent_children_requires_parent_docid(self):
+        from lucene_ray.search.query import (
+            ParentChildrenBlockJoinQuery, TermQuery,
+        )
+
+        # gate corpus: docid 5 is a child (blocks of 4, parent = 4i+3)
+        from lucene_ray.ops.bm25docs import childjoin_engine  # noqa: F401
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        import tempfile, shutil, os
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery
+
+        tmp = tempfile.mkdtemp(prefix="pcbj_", dir="/tmp/lucene_ray_cache")
+        try:
+            rows = []
+            for i in range(3):
+                for j in range(2):
+                    rows.append({"repo": "child", "path": f"c/{i}/{j}",
+                                 "commit": "0", "lang": "txt",
+                                 "content": "kid"})
+                rows.append({"repo": "parent", "path": f"p/{i}",
+                             "commit": "0", "lang": "txt",
+                             "content": "parentdoc"})
+            src = os.path.join(tmp, "c.parquet")
+            pq.write_table(pa.Table.from_pylist(rows), src)
+            ix = os.path.join(tmp, "ix")
+            build_index([src], ix, target_docs=64)
+            s = IndexSearcher(ix)
+            q = ParentChildrenBlockJoinQuery(
+                TermQuery("repo:parent"), TermQuery("kid"), 1
+            )
+            with pytest.raises(ValueError, match="not a parent"):
+                s.search(BooleanQuery(should=[q]), 100)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
