@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dvstats_engine": bm25docs.dvstats_engine,
         "diversified_engine": bm25docs.diversified_engine,
         "childjoin_engine": bm25docs.childjoin_engine,
+        "longvaluefacet_engine": bm25docs.longvaluefacet_engine,
         "combinedfield_topk": bm25docs.combinedfield_topk,
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),
         "childjoin_engine": bm25docs.childjoin_engine_sql(),
+        "longvaluefacet_engine": bm25docs.longvaluefacet_engine_sql(),
         "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),

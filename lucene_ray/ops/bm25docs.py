@@ -3751,6 +3751,60 @@ WITH tok AS (
 """
 
 
+def longvaluefacet_engine(sf_dir: str, top_n: int = 10) -> pa.Table:
+    """(qid, rank, value, n): LongValueFacetCounts
+    (facet/LongValueFacetCounts.java) over the n_chars numeric doc values —
+    per-distinct-value counts for the matching docs, top children ordered
+    count desc then value asc (getTopChildren:426). Float-free, SQL-checked
+    exactly."""
+    from lucene_ray.search.engine import IndexSearcher, long_value_facet_counts
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out = {"qid": [], "rank": [], "value": [], "n": []}
+    for qid, term in ((0, "merge"), (1, "window")):
+        for rank, (value, count) in enumerate(
+            long_value_facet_counts(s, term, "n_chars", top_n=top_n)
+        ):
+            out["qid"].append(qid)
+            out["rank"].append(rank)
+            out["value"].append(value)
+            out["n"].append(count)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "value": pa.array(out["value"], type=pa.int64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        }
+    )
+
+
+def longvaluefacet_engine_sql(top_n: int = 10) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term in ((0, "merge"), (1, "window")):
+        parts.append(f"""
+SELECT {qid} AS qid,
+       (row_number() OVER (ORDER BY cnt DESC, value ASC) - 1)::BIGINT AS rank,
+       value, cnt AS n
+FROM (
+  SELECT length(text)::BIGINT AS value, count(*)::BIGINT AS cnt
+  FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+  GROUP BY 1
+)
+QUALIFY rank < {top_n}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 MULTIPHRASE_QUERIES: list[tuple[int, tuple[tuple[str, ...], ...]]] = [
     # (qid, slots): each slot is the alternative-terms tuple for a position
     (0, (("sort", "batch"), ("merge",))),          # "sort|batch merge"

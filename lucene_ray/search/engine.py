@@ -915,6 +915,22 @@ def join_query(
     return out
 
 
+def long_value_facet_counts(
+    searcher: "IndexSearcher", query, field: str, top_n: int = 10
+) -> list[tuple[int, int]]:
+    """Per-distinct-value counts of a numeric doc-values field over the
+    matching docs (facet/LongValueFacetCounts.java) — top children ordered
+    by count desc, value asc (LongValueFacetCounts.getTopChildren:426).
+    Returns [(value, count)]."""
+    td = searcher.search(query, k=1 << 62)
+    if len(td.docids) == 0:
+        return []
+    vals = fetch_doc_values(searcher.reader, td.docids, field)
+    uniq, counts = np.unique(vals, return_counts=True)
+    order = np.lexsort((uniq, -counts))[:top_n]
+    return [(int(uniq[i]), int(counts[i])) for i in order]
+
+
 def range_facet_counts(
     searcher: "IndexSearcher", query, field: str, ranges: list[tuple[int, int]]
 ) -> list[tuple[int, int]]:

@@ -1219,3 +1219,30 @@ class TestChildJoinGate:
                 s.search(BooleanQuery(should=[q]), 100)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLongValueFacetGate:
+    """facet/LongValueFacetCounts.java: SQL parity + ordering contract
+    (count desc, value asc — getTopChildren:426)."""
+
+    def test_longvaluefacet_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.longvaluefacet_engine(SF), con,
+            bm25docs.longvaluefacet_engine_sql(),
+        )
+
+    def test_ordering_contract(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import (
+            IndexSearcher, long_value_facet_counts,
+        )
+
+        s = IndexSearcher(_engine_index(SF))
+        res = long_value_facet_counts(s, "merge", "n_chars", top_n=50)
+        assert len(res) > 1
+        for (v0, c0), (v1, c1) in zip(res, res[1:]):
+            assert c0 > c1 or (c0 == c1 and v0 < v1)
+        assert long_value_facet_counts(s, "zzzmissing", "n_chars") == []
