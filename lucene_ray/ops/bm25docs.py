@@ -2278,6 +2278,83 @@ PARSER_QUERIES: list[tuple[int, str, str]] = [
 ]
 
 
+SIMPLEPARSER_QUERIES: list[tuple[int, str, str]] = [
+    # (qid, SimpleQueryParser-syntax STRING, DuckDB doc-set predicate) —
+    # lenient grammar (queryparser/simple/SimpleQueryParser.java): infix
+    # +/| with left-assoc regrouping on operator change, '-' negation as
+    # (NOT x OR *), trailing-* prefix, "..."~N sloppy phrase, ~N fuzzy,
+    # and the never-throw recovery rules (q6: unmatched quote and paren).
+    (0, "merge window",
+     "SELECT doc_id FROM has_merge UNION SELECT doc_id FROM has_window"),
+    (1, "merge+window -stream",
+     "SELECT doc_id FROM has_merge INTERSECT SELECT doc_id FROM has_window "
+     "UNION SELECT doc_id FROM documents WHERE doc_id NOT IN "
+     "(SELECT doc_id FROM has_stream)"),
+    (2, '"sort merge"~2 | batch',
+     "SELECT DISTINCT t0.doc_id FROM ptok t0 JOIN ptok t1 USING (doc_id) "
+     "WHERE t0.term = 'sort' AND t1.term = 'merge' AND "
+     "greatest(t0.pos - 0, t1.pos - 1) - least(t0.pos - 0, t1.pos - 1) <= 2 "
+     "UNION SELECT doc_id FROM has_batch"),
+    (3, "mer* window",
+     "SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'mer%' "
+     "UNION SELECT doc_id FROM has_window"),
+    (4, "windoq~1",
+     "SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'windoq') <= 1"),
+    (5, "(merge | window) +batch",
+     "SELECT doc_id FROM (SELECT doc_id FROM has_merge UNION "
+     "SELECT doc_id FROM has_window) INTERSECT SELECT doc_id FROM has_batch"),
+    (6, '"sort (merge -',
+     "SELECT doc_id FROM has_sort UNION SELECT doc_id FROM has_merge"),
+]
+
+
+def simpleparser_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): SimpleQueryParser end-to-end — each query STRING runs
+    through the lenient state machine (search/simpleparser.py) and the
+    engine. Float-free doc sets, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.simpleparser import SimpleQueryParser
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    parser = SimpleQueryParser(s.analyzer)
+    out_q, out_d = [], []
+    for qid, q, _sql in SIMPLEPARSER_QUERIES:
+        td = s.search(parser.parse(q), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def simpleparser_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    terms = ["merge", "window", "stream", "batch", "sort"]
+    ctes = ",\n".join(
+        f"has_{t} AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{t}')"
+        for t in terms
+    )
+    parts = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS qid, doc_id AS docid FROM ({pred})"
+        for qid, _q, pred in SIMPLEPARSER_QUERIES
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term FROM t
+), ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+),
+{ctes}
+{parts}
+"""
+
+
 def parser_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): the recursive classic-syntax query parser end-to-end —
     each query is a STRING parsed by parse_query (arbitrary-depth groups,
