@@ -2355,6 +2355,102 @@ WITH t AS (
 """
 
 
+def _automatons():
+    """The gate's five automatons (sandbox/search/TermAutomatonQuery.java
+    builder surface): phrase-shaped, per-slot alternatives, ANY gap,
+    a branching union of paths, and a repeated-term chain."""
+    from lucene_ray.search.termautomaton import TermAutomatonBuilder
+
+    def linear(*terms):
+        b = TermAutomatonBuilder()
+        states = [b.create_state() for _ in range(len(terms) + 1)]
+        for i, t in enumerate(terms):
+            b.add_transition(states[i], states[i + 1], t)
+        b.set_accept(states[-1])
+        return b.finish()
+
+    # q1: (sort|batch) merge
+    b1 = TermAutomatonBuilder()
+    s0, s1, s2 = b1.create_state(), b1.create_state(), b1.create_state()
+    b1.add_transition(s0, s1, "sort")
+    b1.add_transition(s0, s1, "batch")
+    b1.add_transition(s1, s2, "merge")
+    b1.set_accept(s2)
+    # q2: sort ANY merge
+    b2 = TermAutomatonBuilder()
+    t0, t1, t2, t3 = (b2.create_state() for _ in range(4))
+    b2.add_transition(t0, t1, "sort")
+    b2.add_transition(t1, t2, None)
+    b2.add_transition(t2, t3, "merge")
+    b2.set_accept(t3)
+    # q3: sort merge | sort ANY merge (branching union)
+    b3 = TermAutomatonBuilder()
+    u0, u1, u2, u3 = (b3.create_state() for _ in range(4))
+    b3.add_transition(u0, u1, "sort")
+    b3.add_transition(u1, u2, "merge")
+    b3.add_transition(u1, u3, None)
+    b3.add_transition(u3, u2, "merge")
+    b3.set_accept(u2)
+    return [
+        (0, linear("sort", "merge")),
+        (1, b1.finish()),
+        (2, b2.finish()),
+        (3, b3.finish()),
+        (4, linear("batch", "batch")),
+    ]
+
+
+def termautomaton_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): TermAutomatonQuery doc sets through the engine —
+    positional automaton alignment (search/termautomaton.py). Float-free,
+    SQL-checked exactly via position self-joins."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q in _automatons():
+        td = s.search(BooleanQuery(should=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def termautomaton_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    pair = (
+        "SELECT DISTINCT t0.doc_id FROM ptok t0 JOIN ptok t1 USING (doc_id) "
+        "WHERE {c0} AND t1.term = '{t1}' AND t1.pos = t0.pos + {gap}"
+    )
+    preds = {
+        0: pair.format(c0="t0.term = 'sort'", t1="merge", gap=1),
+        1: pair.format(c0="t0.term IN ('sort', 'batch')", t1="merge", gap=1),
+        2: pair.format(c0="t0.term = 'sort'", t1="merge", gap=2),
+        3: (pair.format(c0="t0.term = 'sort'", t1="merge", gap=1)
+            + " UNION "
+            + pair.format(c0="t0.term = 'sort'", t1="merge", gap=2)),
+        4: pair.format(c0="t0.term = 'batch'", t1="batch", gap=1),
+    }
+    parts = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS qid, doc_id AS docid FROM ({p})"
+        for qid, p in sorted(preds.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos FROM t
+)
+{parts}
+"""
+
+
 def parser_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): the recursive classic-syntax query parser end-to-end —
     each query is a STRING parsed by parse_query (arbitrary-depth groups,

@@ -1075,6 +1075,18 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             if len(d) == 0:
                 continue
             out.append(_Clause(q, None, None, scored=(d, s)))
+        elif type(q).__name__ == "TermAutomatonQuery":
+            from lucene_ray.search.termautomaton import automaton_docids
+
+            def _automaton(q=q):
+                d = automaton_docids(reader, q)
+                s = np.full(len(d), np.float32(q.boost), dtype=np.float32)
+                return d, s
+
+            d, s = _qcache(reader, q, _automaton)
+            if len(d) == 0:
+                continue
+            out.append(_Clause(q, None, None, scored=(d, s)))
         elif isinstance(q, ToChildBlockJoinQuery):
             d, s = _qcache(
                 reader, q, lambda q=q: _child_block_join(reader, q, scorers)

@@ -1246,3 +1246,53 @@ class TestLongValueFacetGate:
         for (v0, c0), (v1, c1) in zip(res, res[1:]):
             assert c0 > c1 or (c0 == c1 and v0 < v1)
         assert long_value_facet_counts(s, "zzzmissing", "n_chars") == []
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTermAutomatonGate:
+    """sandbox/search/TermAutomatonQuery.java: SQL parity + builder
+    contract (no leading/trailing ANY) + phrase equivalence."""
+
+    def test_termautomaton_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.termautomaton_engine(SF), con,
+            bm25docs.termautomaton_engine_sql(),
+        )
+
+    def test_builder_rejects_leading_trailing_any(self):
+        from lucene_ray.search.termautomaton import TermAutomatonBuilder
+
+        b = TermAutomatonBuilder()
+        s0, s1, s2 = b.create_state(), b.create_state(), b.create_state()
+        b.add_transition(s0, s1, None)
+        b.add_transition(s1, s2, "x")
+        b.set_accept(s2)
+        with pytest.raises(ValueError, match="lead with an ANY"):
+            b.finish()
+        b2 = TermAutomatonBuilder()
+        t0, t1, t2 = b2.create_state(), b2.create_state(), b2.create_state()
+        b2.add_transition(t0, t1, "x")
+        b2.add_transition(t1, t2, None)
+        b2.set_accept(t2)
+        with pytest.raises(ValueError, match="end with an ANY"):
+            b2.finish()
+
+    def test_linear_automaton_equals_phrase(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, PhraseQuery
+        from lucene_ray.search.termautomaton import TermAutomatonBuilder
+
+        s = IndexSearcher(_engine_index(SF))
+        b = TermAutomatonBuilder()
+        st = [b.create_state() for _ in range(3)]
+        b.add_transition(st[0], st[1], "sort")
+        b.add_transition(st[1], st[2], "merge")
+        b.set_accept(st[2])
+        auto = s.search(BooleanQuery(should=[b.finish()]), 1_000_000)
+        phrase = s.search(
+            BooleanQuery(should=[PhraseQuery(("sort", "merge"))]), 1_000_000
+        )
+        assert sorted(auto.docids.tolist()) == sorted(phrase.docids.tolist())
