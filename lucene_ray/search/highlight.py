@@ -197,6 +197,59 @@ def highlight_by_offsets(
     )
 
 
+def tv_token_spans(reader, global_docid: int, terms) -> list[tuple[str, int, int]]:
+    """(term, start BYTE, end BYTE) spans of the query terms in one doc,
+    read from the TERM VECTORS sidecar (the FastVectorHighlighter source:
+    vectorhighlight/FieldTermStack.java:60-120 builds its term stack from
+    term-vector offsets). Requires ``build_index(term_vectors=True,
+    index_options="offsets")``; spans sorted by start."""
+    import numpy as np
+
+    sr, local = reader.locate(int(global_docid))
+    tv = sr.term_vectors_local(np.asarray([local], dtype=np.int64))
+    if "starts" not in tv.column_names:
+        raise ValueError(
+            "term vectors were built without offsets "
+            "(build_index index_options='offsets')"
+        )
+    want = set(terms)
+    spans: list[tuple[str, int, int]] = []
+    for row in tv.to_pylist():
+        t = row["term"]
+        if t not in want:
+            continue
+        spans.extend(
+            (t, int(s), int(s + L))
+            for s, L in zip(row["starts"], row["lens"])
+        )
+    spans.sort(key=lambda x: (x[1], x[2]))
+    return spans
+
+
+def highlight_by_term_vectors(
+    reader,
+    global_docid: int,
+    text: str,
+    query_terms,
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+    fragment_chars: int = 100,
+    max_fragments: int = 3,
+    weights: dict[str, float] | None = None,
+) -> list[str]:
+    """FastVectorHighlighter strategy (vectorhighlight/
+    FastVectorHighlighter.java): fragments from term-vector offsets —
+    identical output to :func:`highlight` and :func:`highlight_by_offsets`
+    on the same doc, reading only the doc's own TV row group (no postings
+    walk, no re-analysis; the right choice when highlighting few docs of a
+    huge index)."""
+    spans = tv_token_spans(reader, global_docid, query_terms)
+    spans = _byte_spans_to_char(text, spans)
+    return _assemble_fragments(
+        text, spans, pre_tag, post_tag, fragment_chars, max_fragments, weights
+    )
+
+
 def passage_weights(reader, terms) -> dict[str, float]:
     """UnifiedHighlighter PassageScorer term weights
     (uhighlight/PassageScorer.java:40-78): BM25 idf,

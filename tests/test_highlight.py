@@ -195,3 +195,62 @@ def test_highlight_hits_offsets_integration(offsets_index):
     # weighted variant runs and returns the same docids
     rows_w = highlight_hits(s, "merge", k=5, content_lookup=lookup, use_weights=True)
     assert [r["docid"] for r in rows_w] == [r["docid"] for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# FastVectorHighlighter strategy (term_vectors=True + offsets): byte-identity
+# with BOTH other strategies on every corpus doc.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tv_offsets_index(tmp_path_factory, ray_session):
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import write_corpus
+
+    cd = str(tmp_path_factory.mktemp("fvh_corpus"))
+    write_corpus(cd, n_docs=160, n_shards=2, seed=23, row_group_size=40)
+    ix = str(tmp_path_factory.mktemp("fvh_index"))
+    build_index(
+        sorted(glob.glob(cd + "/*.parquet")), ix, target_docs=80,
+        index_options="offsets", term_vectors=True,
+    )
+    import pyarrow.parquet as pq
+
+    content = pa.concat_tables(
+        [pq.read_table(p, columns=["content"]) for p in sorted(glob.glob(cd + "/*.parquet"))]
+    ).column("content").to_pylist()
+    return ix, content
+
+
+def test_fvh_matches_both_strategies(tv_offsets_index):
+    from lucene_ray.search.highlight import (
+        highlight,
+        highlight_by_offsets,
+        highlight_by_term_vectors,
+    )
+    from lucene_ray.search.reader import IndexReader
+
+    ix, content = tv_offsets_index
+    r = IndexReader(ix)
+    terms = ["batch", "block", "merge", "the", "value"]
+    for doc, text in enumerate(content):
+        a = highlight(text, terms, fragment_chars=80)
+        b = highlight_by_offsets(r, doc, text, terms, fragment_chars=80)
+        c = highlight_by_term_vectors(r, doc, text, terms, fragment_chars=80)
+        assert a == b == c, f"doc {doc}: FVH diverged"
+
+
+def test_fvh_requires_offsets(tmp_path_factory, ray_session):
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import write_corpus
+    from lucene_ray.search.highlight import highlight_by_term_vectors
+    from lucene_ray.search.reader import IndexReader
+
+    cd = str(tmp_path_factory.mktemp("fvh_nooff_corpus"))
+    write_corpus(cd, n_docs=40, n_shards=1, seed=5, row_group_size=40)
+    ix = str(tmp_path_factory.mktemp("fvh_nooff_index"))
+    build_index(sorted(glob.glob(cd + "/*.parquet")), ix, term_vectors=True)
+    r = IndexReader(ix)
+    with pytest.raises(ValueError, match="without offsets"):
+        highlight_by_term_vectors(r, 0, "x", ["x"])
