@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longvaluefacet_engine": bm25docs.longvaluefacet_engine,
         "simpleparser_engine": bm25docs.simpleparser_engine,
         "termautomaton_engine": bm25docs.termautomaton_engine,
+        "memoryindex_engine": bm25docs.memoryindex_engine,
         "combinedfield_topk": bm25docs.combinedfield_topk,
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "longvaluefacet_engine": bm25docs.longvaluefacet_engine_sql(),
         "simpleparser_engine": bm25docs.simpleparser_engine_sql(),
         "termautomaton_engine": bm25docs.termautomaton_engine_sql(),
+        "memoryindex_engine": bm25docs.memoryindex_engine_sql(),
         "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),

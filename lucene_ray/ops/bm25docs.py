@@ -2355,6 +2355,81 @@ WITH t AS (
 """
 
 
+MEMORYINDEX_QUERIES: list[tuple[int, str, str]] = [
+    # (qid, classic-syntax query, DuckDB doc-set predicate)
+    (0, "merge AND window",
+     "SELECT doc_id FROM has_merge INTERSECT SELECT doc_id FROM has_window"),
+    (1, "+batch -stream",
+     "SELECT doc_id FROM has_batch EXCEPT SELECT doc_id FROM has_stream"),
+    (2, '"sort merge"',
+     "SELECT DISTINCT t0.doc_id FROM ptok t0 JOIN ptok t1 USING (doc_id) "
+     "WHERE t0.term = 'sort' AND t1.term = 'merge' AND t1.pos = t0.pos + 1"),
+    (3, "mer* window",
+     "SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'mer%' "
+     "UNION SELECT doc_id FROM has_window"),
+    (4, "lang:en AND merge",
+     "SELECT doc_id FROM documents WHERE lang = 'en' "
+     "INTERSECT SELECT doc_id FROM has_merge"),
+]
+
+
+def memoryindex_engine(sf_dir: str) -> pa.Table:
+    """(qid, doc_id): MemoryIndex (memory/.../MemoryIndex.java) — every
+    document is loaded into a fresh single-doc in-memory index and each
+    query scored against it; a positive score emits the row. No segments
+    touched; doc sets SQL-checked exactly against the same predicates the
+    engine gates use."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.search.memoryindex import MemoryIndex
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    out_q, out_d = [], []
+    for did, text, lang in zip(ids, texts, langs):
+        mi = MemoryIndex()
+        mi.add_field("content", text)
+        mi.add_field("lang", lang, keyword=True)
+        for qid, q, _sql in MEMORYINDEX_QUERIES:
+            if mi.search(q) > 0.0:
+                out_q.append(qid)
+                out_d.append(did)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def memoryindex_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    terms = ["merge", "window", "batch", "stream", "sort"]
+    ctes = ",\n".join(
+        f"has_{t} AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{t}')"
+        for t in terms
+    )
+    parts = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS qid, doc_id FROM ({pred})"
+        for qid, _q, pred in MEMORYINDEX_QUERIES
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term FROM t
+), ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos FROM t
+),
+{ctes}
+{parts}
+"""
+
+
 def _automatons():
     """The gate's five automatons (sandbox/search/TermAutomatonQuery.java
     builder surface): phrase-shaped, per-slot alternatives, ANY gap,
