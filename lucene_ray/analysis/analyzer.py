@@ -929,6 +929,45 @@ class ShingleAnalyzer(CodeAnalyzer):
         return out
 
 
+class _LightStemAnalyzer(UnicodeAnalyzer):
+    """Language analyzer = Unicode tokenizer + Savoy light stemmer
+    (analysis/lightstem.py; spec files de/GermanLightStemmer.java,
+    fr/FrenchLightStemmer.java, es/SpanishLightStemmer.java). Default stop
+    sets are NOT bundled (they are resource word lists, not algorithm —
+    divergence documented in SURVEY §2.2); pass-through positions. No SQL
+    oracle (DuckDB has no stemmer offline) — golden tests only."""
+
+    language: str = ""
+
+    def tokenize_array(self, texts):
+        from lucene_ray.analysis.lightstem import light_stem_terms
+
+        lists = super().tokenize_array(texts)
+        flat = light_stem_terms(lists.flatten(), self.language)
+        return pa.ListArray.from_arrays(lists.offsets, flat)
+
+    @staticmethod
+    def sql_expr(col: str) -> str:
+        raise NotImplementedError(
+            "light-stem analyzers have no DuckDB mirror (no stem() offline)"
+        )
+
+
+class GermanLightAnalyzer(_LightStemAnalyzer):
+    name = "german_light"
+    language = "german_light"
+
+
+class FrenchLightAnalyzer(_LightStemAnalyzer):
+    name = "french_light"
+    language = "french_light"
+
+
+class SpanishLightAnalyzer(_LightStemAnalyzer):
+    name = "spanish_light"
+    language = "spanish_light"
+
+
 _REGISTRY = {
     "code": CodeAnalyzer,
     "standard": StandardLiteAnalyzer,
@@ -942,6 +981,9 @@ _REGISTRY = {
     "ngram": NGramAnalyzer,
     "edgengram": EdgeNGramAnalyzer,
     "shingle": ShingleAnalyzer,
+    "german_light": GermanLightAnalyzer,
+    "french_light": FrenchLightAnalyzer,
+    "spanish_light": SpanishLightAnalyzer,
 }
 
 

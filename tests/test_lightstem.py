@@ -1,0 +1,126 @@
+"""Savoy light stemmers (de/GermanLightStemmer.java,
+fr/FrenchLightStemmer.java, es/SpanishLightStemmer.java): the reference's
+TestFrenchLightStemFilter golden pairs verbatim, spec-derived German /
+Spanish pairs, analyzer registry round-trips, and index build + search."""
+
+import pyarrow as pa
+import pytest
+
+from lucene_ray.analysis import get_analyzer
+from lucene_ray.analysis.lightstem import (
+    french_light_stem,
+    german_light_stem,
+    light_stem_terms,
+    spanish_light_stem,
+)
+
+# reference test goldens (TestFrenchLightStemFilter.java:56-181)
+FRENCH_GOLDEN = [
+    ("chevaux", "cheval"), ("cheval", "cheval"), ("hiboux", "hibou"),
+    ("hibou", "hibou"), ("chantés", "chant"), ("chanter", "chant"),
+    ("chante", "chant"), ("chant", "chant"), ("baronnes", "baron"),
+    ("barons", "baron"), ("baron", "baron"), ("peaux", "peau"),
+    ("peau", "peau"), ("anneaux", "aneau"), ("anneau", "aneau"),
+    ("neveux", "neveu"), ("neveu", "neveu"), ("affreux", "afreu"),
+    ("affreuse", "afreu"), ("investissement", "investi"),
+    ("investir", "investi"), ("assourdissant", "asourdi"),
+    ("assourdir", "asourdi"), ("pratiquement", "pratiqu"),
+    ("pratique", "pratiqu"), ("administrativement", "administratif"),
+    ("administratif", "administratif"), ("justificatrice", "justifi"),
+    ("justificateur", "justifi"), ("justifier", "justifi"),
+    ("educatrice", "eduqu"), ("eduquer", "eduqu"),
+    ("communicateur", "comuniqu"), ("communiquer", "comuniqu"),
+    ("accompagnatrice", "acompagn"), ("accompagnateur", "acompagn"),
+    ("administrateur", "administr"), ("administrer", "administr"),
+    ("productrice", "product"), ("producteur", "product"),
+    ("acheteuse", "achet"), ("acheteur", "achet"), ("planteur", "plant"),
+    ("plante", "plant"), ("poreuse", "poreu"), ("poreux", "poreu"),
+    ("plieuse", "plieu"), ("bijoutière", "bijouti"),
+    ("bijoutier", "bijouti"), ("caissière", "caisi"),
+    ("caissier", "caisi"), ("abrasive", "abrasif"), ("abrasif", "abrasif"),
+    ("folle", "fou"), ("fou", "fou"), ("personnelle", "person"),
+    ("personne", "person"), ("complète", "complet"),
+    ("complet", "complet"), ("aromatique", "aromat"),
+    ("faiblesse", "faibl"), ("faible", "faibl"), ("patinage", "patin"),
+    ("patin", "patin"), ("sonorisation", "sono"),
+    ("ritualisation", "rituel"), ("rituel", "rituel"),
+    ("nomination", "nomin"), ("disposition", "dispos"),
+    ("dispose", "dispos"), ("1234555", "1234555"),
+    ("12333345", "12333345"), ("1234", "1234"), ("abcdeff", "abcdef"),
+    ("abcccddeef", "abcdef"), ("créées", "cre"), ("22hh00", "22h00"),
+]
+
+# spec-derived pairs (GermanLightStemmer.java step1/step2 arithmetic)
+GERMAN_GOLDEN = [
+    ("häuser", "haus"), ("haus", "haus"), ("singen", "sing"),
+    ("hündinnen", "hundinn"), ("kugelförmig", "kugelformig"),
+    ("bäume", "baum"), ("bücher", "buch"), ("schönste", "schon"),
+    ("wärmsten", "warm"), ("tage", "tag"), ("mann", "mann"),
+]
+
+# spec-derived pairs (SpanishLightStemmer.java suffix rules)
+SPANISH_GOLDEN = [
+    ("casas", "cas"), ("casa", "casa"), ("veces", "vez"),  # len<5 unchanged
+    ("intereses", "interes"), ("corriendo", "corriend"),
+    ("niños", "niñ"), ("meses", "mes"), ("ojos", "ojos"),  # len<5 unchanged
+    ("gato", "gato"), ("gata", "gata"), ("sol", "sol"),
+]
+
+
+@pytest.mark.parametrize("word,stem", FRENCH_GOLDEN)
+def test_french_golden(word, stem):
+    assert french_light_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", GERMAN_GOLDEN)
+def test_german_golden(word, stem):
+    assert german_light_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", SPANISH_GOLDEN)
+def test_spanish_golden(word, stem):
+    assert spanish_light_stem(word) == stem
+
+
+def test_vectorized_matches_scalar():
+    words = [w for w, _s in FRENCH_GOLDEN]
+    out = light_stem_terms(pa.array(words), "french_light").to_pylist()
+    assert out == [s for _w, s in FRENCH_GOLDEN]
+
+
+def test_analyzer_registry_chain():
+    an = get_analyzer("german_light")
+    # Unicode tokenizer (umlauts survive tokenization) + stem
+    assert an.tokenize_text("Die Häuser und Bäume") == [
+        "die", "haus", "und", "baum",
+    ]
+    fr = get_analyzer("french_light")
+    assert fr.tokenize_text("les chevaux chantés") == ["les", "cheval", "chant"]
+    es = get_analyzer("spanish_light")
+    assert es.tokenize_text("las casas blancas") == ["las", "cas", "blanc"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lightstem_index_builds_and_searches(tmp_path):
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.search.engine import IndexSearcher
+
+    rows = [
+        {"repo": "r", "path": f"d/{i}", "commit": "0", "lang": "de",
+         "content": text}
+        for i, text in enumerate([
+            "die häuser am see", "das haus ist alt", "wir singen lieder",
+            "der baum und die bäume", "kugelförmig und rund",
+        ])
+    ]
+    src = str(tmp_path / "de.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    ix = str(tmp_path / "ix")
+    build_index([src], ix, analyzer_name="german_light")
+    s = IndexSearcher(ix)
+    td = s.search("bäume", 10)  # query analyzes 'bäume' -> 'baum'
+    assert 3 in td.docids.tolist()
+    td2 = s.search("baum", 10)
+    assert sorted(td2.docids.tolist()) == sorted(td.docids.tolist())
