@@ -55,6 +55,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simpleparser_engine": bm25docs.simpleparser_engine,
         "termautomaton_engine": bm25docs.termautomaton_engine,
         "memoryindex_engine": bm25docs.memoryindex_engine,
+        "highfreq_terms": bm25docs.highfreq_terms,
+        "multirange_engine": bm25docs.multirange_engine,
+        "funcrange_engine": bm25docs.funcrange_engine,
+        "complexphrase_engine": bm25docs.complexphrase_engine,
         "combinedfield_topk": bm25docs.combinedfield_topk,
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
@@ -195,6 +199,10 @@ def oracle_sql() -> dict[str, str]:
         "simpleparser_engine": bm25docs.simpleparser_engine_sql(),
         "termautomaton_engine": bm25docs.termautomaton_engine_sql(),
         "memoryindex_engine": bm25docs.memoryindex_engine_sql(),
+        "highfreq_terms": bm25docs.highfreq_terms_sql(),
+        "multirange_engine": bm25docs.multirange_engine_sql(),
+        "funcrange_engine": bm25docs.funcrange_engine_sql(),
+        "complexphrase_engine": bm25docs.complexphrase_engine_sql(),
         "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),

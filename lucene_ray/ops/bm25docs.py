@@ -2355,6 +2355,253 @@ WITH t AS (
 """
 
 
+def highfreq_terms(sf_dir: str, n: int = 30) -> pa.Table:
+    """(kind, rank, term, df, ttf): HighFreqTerms (misc/HighFreqTerms.java)
+    — top content terms by docFreq (kind 0) and by totalTermFreq (kind 1),
+    count desc / term asc, from the column-pruned (term, df, ttf) stats.
+    Float-free, SQL-checked exactly."""
+    from lucene_ray.search.engine import high_freq_terms
+    from lucene_ray.search.reader import IndexReader
+
+    ix = _engine_index(sf_dir)
+    r = IndexReader(ix)
+    out = {"kind": [], "rank": [], "term": [], "df": [], "ttf": []}
+    for kind, by in ((0, "df"), (1, "ttf")):
+        for rank, (term, df, ttf) in enumerate(high_freq_terms(r, n, by=by)):
+            out["kind"].append(kind)
+            out["rank"].append(rank)
+            out["term"].append(term)
+            out["df"].append(df)
+            out["ttf"].append(ttf)
+    return pa.table(
+        {
+            "kind": pa.array(out["kind"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "term": pa.array(out["term"], type=pa.string()),
+            "df": pa.array(out["df"], type=pa.int64()),
+            "ttf": pa.array(out["ttf"], type=pa.int64()),
+        }
+    )
+
+
+def highfreq_terms_sql(n: int = 30) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for kind, key in ((0, "df"), (1, "ttf")):
+        parts.append(f"""
+SELECT {kind} AS kind,
+       (row_number() OVER (ORDER BY {key} DESC, term ASC) - 1)::BIGINT AS rank,
+       term, df, ttf
+FROM stats
+QUALIFY rank < {n}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), stats AS (
+  SELECT term,
+         count(DISTINCT doc_id)::BIGINT AS df,
+         count(*)::BIGINT AS ttf
+  FROM tok GROUP BY term
+)
+{union}
+"""
+
+
+MULTIRANGE_QUERIES = (
+    # (qid, ranges over n_chars, optional required term)
+    (0, ((100, 200), (400, None)), None),
+    (1, ((None, 150), (250, 300), (450, 500)), None),
+    (2, ((100, 300),), "merge"),
+)
+
+
+def multirange_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): MultiRangeQuery (sandbox/search/MultiRangeQuery.java)
+    — a disjunction of numeric ranges over the n_chars point field in one
+    clause; qid 2 conjoins a term. Float-free, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, MultiRangeQuery, TermQuery
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, ranges, term in MULTIRANGE_QUERIES:
+        clauses = [MultiRangeQuery("n_chars", tuple(ranges))]
+        if term:
+            clauses.append(TermQuery(term))
+        td = s.search(BooleanQuery(must=clauses), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def multirange_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, ranges, term in MULTIRANGE_QUERIES:
+        ors = []
+        for lo, hi in ranges:
+            conds = []
+            if lo is not None:
+                conds.append(f"length(text) >= {lo}")
+            if hi is not None:
+                conds.append(f"length(text) <= {hi}")
+            ors.append("(" + " AND ".join(conds) + ")")
+        where = "(" + " OR ".join(ors) + ")"
+        if term:
+            where += (
+                f" AND doc_id IN (SELECT DISTINCT doc_id FROM tok "
+                f"WHERE term = '{term}')"
+            )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents WHERE {where}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+FUNCRANGE_QUERIES = (
+    # (qid, expression over n_chars, lo, hi, incl_lo, incl_hi, term)
+    (0, "n_chars % 7", 0, 2, True, True, None),
+    (1, "(n_chars * 3 + 1) % 10", 0, 4, True, False, None),
+    (2, "n_chars % 5", 1, 3, False, True, "window"),
+)
+
+
+def funcrange_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): FunctionRangeQuery (queries/function/
+    FunctionRangeQuery.java) — docs whose compiled-expression value over
+    the n_chars doc values falls in the range, with inclusive/exclusive
+    bounds; qid 2 conjoins a term. Integer arithmetic in float64 is exact
+    both sides — SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        FunctionRangeQuery,
+        TermQuery,
+    )
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, expr, lo, hi, ilo, ihi, term in FUNCRANGE_QUERIES:
+        clauses = [FunctionRangeQuery(expr, lo, hi, ilo, ihi)]
+        if term:
+            clauses.append(TermQuery(term))
+        td = s.search(BooleanQuery(must=clauses), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def funcrange_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, expr, lo, hi, ilo, ihi, term in FUNCRANGE_QUERIES:
+        sql_expr = expr.replace("n_chars", "length(text)")
+        conds = []
+        if lo is not None:
+            conds.append(f"({sql_expr}) {'>=' if ilo else '>'} {lo}")
+        if hi is not None:
+            conds.append(f"({sql_expr}) {'<=' if ihi else '<'} {hi}")
+        if term:
+            conds.append(
+                f"doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')"
+            )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents WHERE "
+            + " AND ".join(conds)
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+COMPLEXPHRASE_QUERIES: list[tuple[int, str, tuple[str, ...]]] = [
+    # (qid, classic-parser query STRING with in-phrase wildcards, slots)
+    (0, '"mer* window"', ("mer*", "window")),
+    (1, '"sort mer*"', ("sort", "mer*")),
+    (2, '"s?rt merge"', ("s?rt", "merge")),
+    (3, '"bat* str*"', ("bat*", "str*")),
+]
+
+
+def complexphrase_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): ComplexPhraseQueryParser (queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java) — the classic parser accepts wildcards
+    INSIDE quoted phrases and rewrites through PhraseWildcardQuery.
+    Float-free, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q, _slots in COMPLEXPHRASE_QUERIES:
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def complexphrase_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+
+    def pred(alias: str, slot: str) -> str:
+        if "*" in slot or "?" in slot:
+            like = slot.replace("*", "%").replace("?", "_")
+            return f"{alias}.term LIKE '{like}'"
+        return f"{alias}.term = '{slot}'"
+
+    parts = []
+    for qid, _q, slots in COMPLEXPHRASE_QUERIES:
+        joins = [
+            f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos = t0.pos + {i} AND {pred(f't{i}', s)}"
+            for i, s in enumerate(slots)
+            if i > 0
+        ]
+        parts.append(
+            f"SELECT DISTINCT {qid} AS qid, t0.doc_id AS docid FROM tok t0 "
+            + " ".join(joins)
+            + f" WHERE {pred('t0', slots[0])}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""
+
+
 MEMORYINDEX_QUERIES: list[tuple[int, str, str]] = [
     # (qid, classic-syntax query, DuckDB doc-set predicate)
     (0, "merge AND window",

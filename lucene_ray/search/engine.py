@@ -24,6 +24,8 @@ embarrassingly parallel across queries either way.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -913,6 +915,47 @@ def join_query(
             # flattened into the outer conjunction
             out.must.append(sub.freeze())
     return out
+
+
+def high_freq_terms(
+    reader: IndexReader, num_terms: int = 100, by: str = "df"
+) -> list[tuple[str, int, int]]:
+    """Top content terms of the whole index by docFreq or totalTermFreq
+    (misc/HighFreqTerms.java getHighFreqTerms / DocFreqComparator /
+    TotalTermFreqComparator). Column-pruned read of each segment's
+    (term, df, ttf) stats — postings blobs never load; deletions are
+    ignored, as in the reference (docFreq is stats-level). Keyword
+    'field:value' terms are excluded (content field only). Returns
+    [(term, df, ttf)] ordered by the chosen count desc, term asc."""
+    if by not in ("df", "ttf"):
+        raise ValueError("by must be 'df' or 'ttf'")
+    import pyarrow.parquet as pq
+
+    parts = []
+    for entry in reader.segments:
+        sr = reader.segment_reader(entry.name)
+        t = pq.read_table(
+            os.path.join(sr.seg_dir, "postings.parquet"),
+            columns=["term", "df", "ttf"],
+            memory_map=True,
+        )
+        parts.append(t)
+    if not parts:
+        return []
+    import pyarrow.compute as pc
+
+    t = pa.concat_tables(parts)
+    mask = pc.invert(pc.match_substring(t.column("term"), ":"))
+    t = t.filter(mask)
+    agg = (
+        t.group_by("term").aggregate([("df", "sum"), ("ttf", "sum")])
+    )
+    terms = np.asarray(agg.column("term").to_pylist(), dtype=object)
+    dfs = agg.column("df_sum").to_numpy(zero_copy_only=False)
+    ttfs = agg.column("ttf_sum").to_numpy(zero_copy_only=False)
+    key = dfs if by == "df" else ttfs
+    order = np.lexsort((terms, -key))[:num_terms]
+    return [(str(terms[i]), int(dfs[i]), int(ttfs[i])) for i in order]
 
 
 def long_value_facet_counts(

@@ -469,6 +469,34 @@ class PointRangeQuery:
 
 
 @dataclass(frozen=True)
+class MultiRangeQuery:
+    """Disjunction of numeric ranges over ONE point field, evaluated in a
+    single pass (sandbox/search/MultiRangeQuery.java — its builder merges
+    overlapping ranges; matching = value in ANY [lo, hi], both inclusive,
+    None = open bound). Constant score = boost."""
+
+    field: str
+    ranges: tuple  # ((lo|None, hi|None), ...)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FunctionRangeQuery:
+    """Docs whose value source falls in [lower, upper]
+    (queries/function/FunctionRangeQuery.java over ValueSourceScorer):
+    the value source is a compiled expression (search/expressions.py) over
+    numeric doc values / doc_len — no ``_score`` variable (there is no
+    enclosing query). Constant score = boost."""
+
+    expression: str
+    lower: float | None = None
+    upper: float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DocValuesTermsQuery:
     """Constant-score filter matching docs whose SORTED / SORTED_SET doc
     value for ``field`` equals ANY of ``terms`` — the doc-values execution
@@ -807,6 +835,26 @@ def _token_queries(w, is_phrase, boost, slop, analyzer, field=None) -> list:
             return []
         if "*" in w or "?" in w:
             return [WildcardQuery(w.lower(), boost=boost)]
+    if is_phrase and ("*" in w or "?" in w):
+        # ComplexPhraseQueryParser semantics (queryparser/complexPhrase/
+        # ComplexPhraseQueryParser.java:61): wildcards INSIDE a quoted
+        # phrase make each wildcard word a multi-term slot — the phrase
+        # rewrites through PhraseWildcardQuery. Slop is not supported on
+        # wildcard phrases here (the reference rewrites through span
+        # queries for slop; documented divergence).
+        if slop:
+            raise ValueError("wildcard phrases do not support slop")
+        slots: list[str] = []
+        for word in w.split():
+            if "*" in word or "?" in word:
+                slots.append(word.lower())
+            else:
+                slots.extend(analyzer.tokenize_text(word))
+        if not slots:
+            return []
+        if len(slots) == 1:
+            return [WildcardQuery(slots[0], boost=boost)]
+        return [PhraseWildcardQuery(tuple(slots), boost=boost)]
     toks = analyzer.tokenize_text(w)
     if not toks:
         return []

@@ -61,6 +61,8 @@ from lucene_ray.search.query import (
     SpanWithinQuery,
     FeatureQuery,
     FunctionScoreQuery,
+    FunctionRangeQuery,
+    MultiRangeQuery,
     SynonymQuery,
     TermQuery,
     ParentChildrenBlockJoinQuery,
@@ -967,6 +969,53 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 continue
             scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
             out.append(_Clause(q, None, scorers.get(q), scored=(docids, scores)))
+        elif isinstance(q, MultiRangeQuery):
+            def _multirange(q=q):
+                parts = [
+                    reader.point_range(q.field, lo, hi) for lo, hi in q.ranges
+                ]
+                parts = [p for p in parts if len(p)]
+                if not parts:
+                    return np.array([], dtype=np.int64)
+                return np.unique(np.concatenate(parts))
+
+            docids = _qcache(reader, q, _multirange)
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, None, scored=(docids, scores)))
+        elif isinstance(q, FunctionRangeQuery):
+            def _funcrange(q=q):
+                from lucene_ray.search.expressions import compile_expression
+
+                expr = compile_expression(q.expression)
+                n = reader.doc_count
+                bindings = {}
+                for v in expr.variables:
+                    if v == "_score":
+                        raise ValueError(
+                            "FunctionRangeQuery has no _score variable "
+                            "(no enclosing query)"
+                        )
+                    elif v == "doc_len":
+                        bindings[v] = reader.doc_len.astype(np.float64)
+                    else:
+                        bindings[v] = reader.doc_values(v).astype(np.float64)
+                vals = np.asarray(expr.evaluate(bindings), dtype=np.float64)
+                if vals.ndim == 0:
+                    vals = np.full(n, float(vals))
+                keep = np.ones(n, dtype=bool)
+                if q.lower is not None:
+                    keep &= vals >= q.lower if q.include_lower else vals > q.lower
+                if q.upper is not None:
+                    keep &= vals <= q.upper if q.include_upper else vals < q.upper
+                return np.nonzero(keep)[0].astype(np.int64)
+
+            docids = _qcache(reader, q, _funcrange)
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, None, scored=(docids, scores)))
         elif isinstance(q, (DocValuesTermsQuery, SortedSetDocValuesRangeQuery)):
             docids = _qcache(reader, q, lambda: _dv_filter_docids(reader, q))
             if len(docids) == 0:

@@ -1296,3 +1296,94 @@ class TestTermAutomatonGate:
             BooleanQuery(should=[PhraseQuery(("sort", "merge"))]), 1_000_000
         )
         assert sorted(auto.docids.tolist()) == sorted(phrase.docids.tolist())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRound4SmallGates:
+    """HighFreqTerms (misc/HighFreqTerms.java), MultiRangeQuery
+    (sandbox/search/MultiRangeQuery.java), FunctionRangeQuery
+    (queries/function/FunctionRangeQuery.java), ComplexPhraseQueryParser
+    (queryparser/complexPhrase/): SQL parity + unit contracts."""
+
+    def test_highfreq_terms(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.highfreq_terms(SF), con, bm25docs.highfreq_terms_sql())
+
+    def test_highfreq_excludes_keyword_terms(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import high_freq_terms
+        from lucene_ray.search.reader import IndexReader
+
+        r = IndexReader(_engine_index(SF))
+        top = high_freq_terms(r, 500, by="df")
+        assert top and all(":" not in t for t, _d, _t2 in top)
+        with pytest.raises(ValueError):
+            high_freq_terms(r, 5, by="freq")
+
+    def test_multirange_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.multirange_engine(SF), con, bm25docs.multirange_engine_sql()
+        )
+
+    def test_multirange_equals_union_of_ranges(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import (
+            BooleanQuery, MultiRangeQuery, PointRangeQuery,
+        )
+
+        s = IndexSearcher(_engine_index(SF))
+        multi = s.search(BooleanQuery(
+            should=[MultiRangeQuery("n_chars", ((100, 200), (400, None)))]
+        ), 1_000_000)
+        a = s.search(BooleanQuery(
+            should=[PointRangeQuery("n_chars", 100, 200)]), 1_000_000)
+        b = s.search(BooleanQuery(
+            should=[PointRangeQuery("n_chars", 400, None)]), 1_000_000)
+        assert set(multi.docids.tolist()) == (
+            set(a.docids.tolist()) | set(b.docids.tolist())
+        )
+
+    def test_funcrange_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.funcrange_engine(SF), con, bm25docs.funcrange_engine_sql()
+        )
+
+    def test_funcrange_rejects_score_var(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, FunctionRangeQuery
+
+        s = IndexSearcher(_engine_index(SF))
+        with pytest.raises(ValueError, match="_score"):
+            s.search(BooleanQuery(
+                should=[FunctionRangeQuery("_score * 2", 0, 1)]), 10)
+
+    def test_complexphrase_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.complexphrase_engine(SF), con,
+            bm25docs.complexphrase_engine_sql(),
+        )
+
+    def test_complexphrase_parser_shapes(self):
+        from lucene_ray.analysis import CodeAnalyzer
+        from lucene_ray.search.query import (
+            PhraseWildcardQuery, WildcardQuery, parse_query,
+        )
+
+        an = CodeAnalyzer()
+        bq = parse_query('"mer* window"', an)
+        (q,) = bq.should
+        assert q == PhraseWildcardQuery(("mer*", "window"))
+        # single wildcard word in quotes degrades to a plain wildcard
+        (w,) = parse_query('"mer*"', an).should
+        assert isinstance(w, WildcardQuery)
+        with pytest.raises(ValueError, match="slop"):
+            parse_query('"mer* window"~2', an)
