@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multirange_engine": bm25docs.multirange_engine,
         "funcrange_engine": bm25docs.funcrange_engine,
         "complexphrase_engine": bm25docs.complexphrase_engine,
+        "blended_topk": bm25docs.blended_topk,
+        "blended_engine": bm25docs.blended_engine,
         "combinedfield_topk": bm25docs.combinedfield_topk,
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
@@ -203,6 +205,8 @@ def oracle_sql() -> dict[str, str]:
         "multirange_engine": bm25docs.multirange_engine_sql(),
         "funcrange_engine": bm25docs.funcrange_engine_sql(),
         "complexphrase_engine": bm25docs.complexphrase_engine_sql(),
+        "blended_topk": bm25docs.blended_topk_sql(),
+        "blended_engine": bm25docs.blended_engine_sql(),
         "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),

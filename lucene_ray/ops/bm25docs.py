@@ -2355,6 +2355,211 @@ WITH t AS (
 """
 
 
+BLENDED_QUERIES: list[tuple[int, tuple[str, str], str, float]] = [
+    # (qid, (term0, term1), rewrite, tie_breaker)
+    (0, ("merge", "merges"), "dismax", 0.1),   # variant pair: blend df
+    (1, ("sort", "merge"), "dismax", 0.1),
+    (2, ("batch", "stream"), "boolean", 0.0),
+    (3, ("window", "windoq"), "dismax", 0.1),  # one absent term: df-0 path
+]
+BLENDED_K = 10
+
+
+def blended_topk(sf_dir: str) -> pa.Table:
+    """(qid, rank, doc_id): BlendedTermQuery (search/BlendedTermQuery.java)
+    as the float64 exact dataflow twin — every term scored with BLENDED
+    stats (df = max over the pair, :285), combined via DisjunctionMax with
+    tie-breaker or boolean sum. Bit-matched by the DuckDB oracle (same
+    operation order both sides)."""
+    from lucene_ray.search.similarity import BM25ExactSimilarity
+
+    sim = BM25ExactSimilarity()
+    all_terms = sorted({t for _q, pair, _r, _tb in BLENDED_QUERIES for t in pair})
+    term_index = {t: i for i, t in enumerate(all_terms)}
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def tfs(batch: pa.Table) -> pa.Table:
+        an = CodeAnalyzer()
+        row_idx, terms, _ = an.tokenize_flat(batch.column("text").combine_chunks())
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
+        import pyarrow.compute as pc
+
+        tf_cols = {}
+        any_match = np.zeros(n, dtype=bool)
+        for t in all_terms:
+            mask = pc.equal(terms, t).to_numpy(zero_copy_only=False)
+            tf = (
+                np.bincount(row_idx[mask], minlength=n).astype(np.int64)
+                if len(row_idx)
+                else np.zeros(n, dtype=np.int64)
+            )
+            tf_cols[f"tf_{term_index[t]}"] = tf
+            any_match |= tf > 0
+        keep = np.nonzero(any_match)[0]
+        cols = {
+            "doc_id": np.concatenate([doc_ids[keep], [-1]]),
+            "doc_len": np.concatenate([doc_len[keep], [int(doc_len.sum())]]),
+            "n_docs": np.concatenate([np.zeros(len(keep), dtype=np.int64), [n]]),
+        }
+        for name, tf in tf_cols.items():
+            cols[name] = np.concatenate([tf[keep], [0]])
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in cols.items()})
+
+    pdf = ds.map_batches(tfs, batch_format="pyarrow", batch_size=4096).to_pandas()
+    stats_rows = pdf[pdf.doc_id < 0]
+    pdf = pdf[pdf.doc_id >= 0].reset_index(drop=True)
+    N = int(stats_rows.n_docs.sum())
+    avgdl = int(stats_rows.doc_len.sum()) / N
+    doc_ids = pdf.doc_id.to_numpy()
+    doc_len = pdf.doc_len.to_numpy()
+    M = len(pdf)
+
+    out = {"qid": [], "rank": [], "doc_id": []}
+    for qid, pair, rewrite, tie in BLENDED_QUERIES:
+        tf_arr = [pdf[f"tf_{term_index[t]}"].to_numpy() for t in pair]
+        df_blend = max(int((tf > 0).sum()) for tf in tf_arr)
+        if df_blend == 0:
+            continue
+        contribs = []
+        matched = np.zeros(M, dtype=bool)
+        for tf in tf_arr:
+            c = np.zeros(M, dtype=np.float64)
+            m = tf > 0
+            matched |= m
+            if m.any():
+                c[m] = sim.score(tf[m], doc_len[m], df_blend, N, avgdl)
+            contribs.append(c)
+        c0, c1 = contribs
+        if rewrite == "boolean":
+            score = c0 + c1
+        else:
+            smax = np.maximum(c0, c1)
+            score = smax + tie * ((c0 + c1) - smax)
+        cand = np.nonzero(matched)[0]
+        order = np.lexsort((doc_ids[cand], -score[cand]))[:BLENDED_K]
+        sel = cand[order]
+        out["qid"].extend([qid] * len(sel))
+        out["rank"].extend(range(len(sel)))
+        out["doc_id"].extend(doc_ids[sel].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        }
+    )
+
+
+def blended_topk_sql() -> str:
+    from lucene_ray.search.similarity import BM25ExactSimilarity
+
+    toks = tokenize_sql_expr("text")
+    per_query = []
+    for qid, pair, rewrite, tie in BLENDED_QUERIES:
+        df_blend = (
+            "(SELECT max(df) FROM dfs WHERE term IN "
+            f"('{pair[0]}', '{pair[1]}'))"
+        )
+        joins, contribs, matched = [], [], []
+        for i, t in enumerate(pair):
+            joins.append(
+                f"LEFT JOIN tf t{i} ON t{i}.doc_id = dl.doc_id AND t{i}.term = '{t}'"
+            )
+            score = BM25ExactSimilarity.sql(
+                tf=f"t{i}.tf", dl="dl.doc_len", df=df_blend,
+                n="stats.n", avgdl="stats.avgdl",
+            )
+            contribs.append(f"(CASE WHEN t{i}.tf IS NULL THEN 0.0 ELSE {score} END)")
+            matched.append(f"t{i}.doc_id IS NOT NULL")
+        c0, c1 = contribs
+        if rewrite == "boolean":
+            expr = f"({c0} + {c1})"
+        else:
+            expr = (
+                f"(greatest({c0}, {c1}) + {tie} * "
+                f"(({c0} + {c1}) - greatest({c0}, {c1})))"
+            )
+        per_query.append(
+            f"SELECT {qid} AS qid, dl.doc_id, {expr} AS score\n"
+            f"FROM doc_lens dl CROSS JOIN stats {' '.join(joins)}\n"
+            f"WHERE {' OR '.join(matched)}"
+        )
+    union = "\nUNION ALL\n".join(per_query)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), doc_lens AS (
+  SELECT d.doc_id, coalesce(cnt.c, 0) AS doc_len
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id
+  ) cnt USING (doc_id)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         (sum(doc_len)::DOUBLE / count(*)::DOUBLE) AS avgdl
+  FROM doc_lens
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+), scored AS (
+{union}
+), ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) - 1 AS rank
+  FROM scored
+)
+SELECT qid, rank::INTEGER AS rank, doc_id FROM ranked WHERE rank < {BLENDED_K}
+"""
+
+
+def blended_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): BlendedTermQuery through the production engine — doc
+    SETS are the union of the blended terms' postings (float-free,
+    SQL-checked); the blended-stats ranking itself is guarded by
+    blended_topk's float64 oracle and the single-term-equivalence test."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BlendedTermQuery, BooleanQuery
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, pair, rewrite, tie in BLENDED_QUERIES:
+        q = BooleanQuery(
+            should=[BlendedTermQuery(pair, rewrite=rewrite, tie_breaker=tie)]
+        )
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def blended_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, pair, _r, _tb in BLENDED_QUERIES:
+        parts.append(
+            f"SELECT DISTINCT {qid} AS qid, doc_id AS docid FROM tok "
+            f"WHERE term IN ('{pair[0]}', '{pair[1]}')"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 def highfreq_terms(sf_dir: str, n: int = 30) -> pa.Table:
     """(kind, rank, term, df, ttf): HighFreqTerms (misc/HighFreqTerms.java)
     — top content terms by docFreq (kind 0) and by totalTermFreq (kind 1),

@@ -33,6 +33,7 @@ from lucene_ray.analysis import get_analyzer
 from lucene_ray.config import DEFAULT_TOP_K
 from lucene_ray.search.query import (
     BooleanQuery,
+    BlendedTermQuery,
     CombinedFieldQuery,
     CommonTermsQuery,
     ConstantScoreQuery,
@@ -193,6 +194,18 @@ def build_scorers(
             scorers[q] = sim.scorer(
                 df, doc_count, sum_ttf, boost=q.boost, total_term_freq=ttf
             )
+        elif isinstance(q, BlendedTermQuery):
+            # every term scored SEPARATELY with the blended stats
+            # (BlendedTermQuery.java:281-290 adjustFrequencies), keyed
+            # (query, term) so build_clauses finds its per-term scorer
+            df = max((stats[t][0] for t in q.terms), default=0)
+            ttf = sum(stats[t][1] for t in q.terms)
+            if df > 0:
+                for t in q.terms:
+                    scorers[(q, t)] = sim.scorer(
+                        df, doc_count, sum_ttf, boost=q.boost,
+                        total_term_freq=max(1, ttf),
+                    )
         elif isinstance(
             q,
             (

@@ -469,6 +469,22 @@ class PointRangeQuery:
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery:
+    """search/BlendedTermQuery.java: score several terms as if they were
+    one — every term is scored with BLENDED collection stats (df = max
+    over the terms, ttf = sum, BlendedTermQuery.java:281-290) so a rare
+    variant is not over-rewarded, then the per-term scores combine via
+    DisjunctionMax (rewrite='dismax', tie_breaker, the
+    DisjunctionMaxRewrite default) or a boolean sum (rewrite='boolean',
+    BooleanQueryRewrite)."""
+
+    terms: tuple
+    rewrite: str = "dismax"
+    tie_breaker: float = 0.01
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MultiRangeQuery:
     """Disjunction of numeric ranges over ONE point field, evaluated in a
     single pass (sandbox/search/MultiRangeQuery.java — its builder merges

@@ -61,6 +61,7 @@ from lucene_ray.search.query import (
     SpanWithinQuery,
     FeatureQuery,
     FunctionScoreQuery,
+    BlendedTermQuery,
     FunctionRangeQuery,
     MultiRangeQuery,
     SynonymQuery,
@@ -969,6 +970,47 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 continue
             scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
             out.append(_Clause(q, None, scorers.get(q), scored=(docids, scores)))
+        elif isinstance(q, BlendedTermQuery):
+            # per-term postings scored with BLENDED stats (scorers keyed
+            # (q, term)), combined dismax/boolean (BlendedTermQuery.java
+            # RewriteMethod variants)
+            def _blended(q=q):
+                empty = (
+                    np.array([], dtype=np.int64),
+                    np.array([], dtype=np.float32),
+                )
+                per_term = []
+                for t in q.terms:
+                    sc = scorers.get((q, t))
+                    if sc is None:
+                        continue
+                    cur = reader.term_cursor(t)
+                    if cur is None:
+                        continue
+                    d, tfs = cur.decode_all()
+                    if len(d) == 0:
+                        continue
+                    s = sc.score(tfs.astype(np.float32), reader.norm_bytes[d])
+                    per_term.append((d, s))
+                if not per_term:
+                    return empty
+                all_d = np.unique(np.concatenate([d for d, _s in per_term]))
+                smax = np.zeros(len(all_d), dtype=np.float32)
+                ssum = np.zeros(len(all_d), dtype=np.float32)
+                for d, s in per_term:
+                    idx = np.searchsorted(all_d, d)
+                    np.maximum.at(smax, idx, s)
+                    np.add.at(ssum, idx, s)
+                if q.rewrite == "boolean":
+                    score = ssum
+                else:  # dismax: max + tie * (sum of the others)
+                    score = smax + np.float32(q.tie_breaker) * (ssum - smax)
+                return all_d, score.astype(np.float32)
+
+            d, s = _qcache(reader, q, _blended)
+            if len(d) == 0:
+                continue
+            out.append(_Clause(q, None, None, scored=(d, s)))
         elif isinstance(q, MultiRangeQuery):
             def _multirange(q=q):
                 parts = [

@@ -1387,3 +1387,58 @@ class TestRound4SmallGates:
         assert isinstance(w, WildcardQuery)
         with pytest.raises(ValueError, match="slop"):
             parse_query('"mer* window"~2', an)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBlendedTermQuery:
+    """search/BlendedTermQuery.java: float64 oracle parity for the blended
+    ranking, doc-set parity through the engine, and the single-term
+    degenerate case (blend of one term == that TermQuery exactly)."""
+
+    def test_blended_topk(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(bm25docs.blended_topk(SF), con, bm25docs.blended_topk_sql())
+
+    def test_blended_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.blended_engine(SF), con, bm25docs.blended_engine_sql()
+        )
+
+    def test_single_term_blend_equals_term_query(self):
+        import numpy as np
+
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import (
+            BlendedTermQuery, BooleanQuery, TermQuery,
+        )
+
+        s = IndexSearcher(_engine_index(SF))
+        a = s.search(BooleanQuery(should=[TermQuery("merge")]), 50)
+        b = s.search(
+            BooleanQuery(should=[BlendedTermQuery(("merge",), tie_breaker=0.0)]),
+            50,
+        )
+        assert a.docids.tolist() == b.docids.tolist()
+        np.testing.assert_array_equal(a.scores, b.scores)
+
+    def test_dismax_le_boolean(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BlendedTermQuery, BooleanQuery
+
+        s = IndexSearcher(_engine_index(SF))
+        dm = s.search(BooleanQuery(should=[
+            BlendedTermQuery(("sort", "merge"), rewrite="dismax", tie_breaker=0.5)
+        ]), 1_000_000)
+        bl = s.search(BooleanQuery(should=[
+            BlendedTermQuery(("sort", "merge"), rewrite="boolean")
+        ]), 1_000_000)
+        assert set(dm.docids.tolist()) == set(bl.docids.tolist())
+        # dismax with tie<1 never exceeds the boolean sum
+        ds = dict(zip(dm.docids.tolist(), dm.scores.tolist()))
+        bs = dict(zip(bl.docids.tolist(), bl.scores.tolist()))
+        assert all(ds[d] <= bs[d] + 1e-5 for d in ds)
