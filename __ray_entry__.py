@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "complexphrase_engine": bm25docs.complexphrase_engine,
         "blended_topk": bm25docs.blended_topk,
         "blended_engine": bm25docs.blended_engine,
+        "indexsortrange_engine": bm25docs.indexsortrange_engine,
         "combinedfield_topk": bm25docs.combinedfield_topk,
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
@@ -207,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "complexphrase_engine": bm25docs.complexphrase_engine_sql(),
         "blended_topk": bm25docs.blended_topk_sql(),
         "blended_engine": bm25docs.blended_engine_sql(),
+        "indexsortrange_engine": bm25docs.indexsortrange_engine_sql(),
         "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),

@@ -1461,6 +1461,60 @@ WITH tok AS (
 """
 
 
+INDEXSORTRANGE_QUERIES = (
+    (0, 100, 300),
+    (1, 400, None),
+    (2, None, 150),
+)
+
+
+def indexsortrange_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): IndexSortSortedNumericDocValuesRangeQuery
+    (search/IndexSortSortedNumericDocValuesRangeQuery.java) — numeric
+    ranges answered by two binary searches per sorted run on the
+    n_chars-desc sorted index. docid is the logical doc_id recovered from
+    stored fields (sorted indexes permute engine docids). Float-free,
+    SQL-checked exactly; a pytest pins equality with the fallback scan."""
+    from lucene_ray.search.engine import (
+        IndexSearcher,
+        fetch_stored,
+        index_sorted_range,
+    )
+
+    ix = _engine_index_sorted(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, lo, hi in INDEXSORTRANGE_QUERIES:
+        docids = index_sorted_range(s, "n_chars", lo, hi)
+        if len(docids) == 0:
+            continue
+        stored = fetch_stored(s.reader, docids)
+        doc_ids = [int(p.split("/")[1]) for p in stored.column("path").to_pylist()]
+        out_q.extend([qid] * len(doc_ids))
+        out_d.extend(doc_ids)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def indexsortrange_engine_sql() -> str:
+    parts = []
+    for qid, lo, hi in INDEXSORTRANGE_QUERIES:
+        conds = []
+        if lo is not None:
+            conds.append(f"length(text) >= {lo}")
+        if hi is not None:
+            conds.append(f"length(text) <= {hi}")
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents WHERE "
+            + " AND ".join(conds)
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 SUGGEST_INPUTS: list[tuple[int, str]] = [
     (0, "mrege"),   # transposed 'merge'
     (1, "windoe"),  # 'window' with a substitution

@@ -930,6 +930,63 @@ def join_query(
     return out
 
 
+def index_sorted_range(
+    searcher: "IndexSearcher", field: str, lower, upper
+) -> np.ndarray:
+    """IndexSortSortedNumericDocValuesRangeQuery
+    (search/IndexSortSortedNumericDocValuesRangeQuery.java): on an index
+    sorted by ``field``, a numeric range is TWO binary searches per sorted
+    run — O(runs · log n) instead of a full doc-values scan (the
+    reference's BoundedDocIdSetIterator over advanceExactWithinBlock).
+    Falls back to the point/doc-values scan per segment whenever the sort
+    does not apply (different field, DV updates broke the invariant, no
+    recorded runs) — the reference's fallbackQuery contract. Returns
+    sorted global docids, live-doc filtered, bounds inclusive (None =
+    open)."""
+    isort = getattr(searcher.reader.manifest, "index_sort", None)
+    parts = []
+    for entry in searcher.reader.segments:
+        sr = searcher.reader.segment_reader(entry.name)
+        runs = getattr(entry, "sorted_runs", None)
+        use_sort = (
+            isort
+            and isort[0] == field
+            and runs
+            and getattr(entry, "dv_gen", 0) == 0
+        )
+        if use_sort:
+            vals = sr.doc_values(field)
+            ascending = isort[1] == "asc"
+            seg_parts = []
+            for rs, re_ in runs:
+                v = vals[rs:re_]
+                if ascending:
+                    a = 0 if lower is None else int(np.searchsorted(v, lower, "left"))
+                    b = len(v) if upper is None else int(np.searchsorted(v, upper, "right"))
+                else:
+                    # descending run: reverse view is ascending; translate
+                    vr = v[::-1]
+                    ar = 0 if lower is None else int(np.searchsorted(vr, lower, "left"))
+                    br = len(v) if upper is None else int(np.searchsorted(vr, upper, "right"))
+                    a, b = len(v) - br, len(v) - ar
+                if b > a:
+                    seg_parts.append(np.arange(rs + a, rs + b, dtype=np.int64))
+            local = (
+                np.concatenate(seg_parts)
+                if seg_parts
+                else np.array([], dtype=np.int64)
+            )
+        else:
+            local = sr.point_range(field, lower, upper)
+        if sr.live_mask is not None and len(local):
+            local = local[sr.live_mask[local]]
+        if len(local):
+            parts.append(np.sort(local) + entry.docid_base)
+    if not parts:
+        return np.array([], dtype=np.int64)
+    return np.concatenate(parts)
+
+
 def high_freq_terms(
     reader: IndexReader, num_terms: int = 100, by: str = "df"
 ) -> list[tuple[str, int, int]]:

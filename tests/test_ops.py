@@ -1442,3 +1442,58 @@ class TestBlendedTermQuery:
         ds = dict(zip(dm.docids.tolist(), dm.scores.tolist()))
         bs = dict(zip(bl.docids.tolist(), bl.scores.tolist()))
         assert all(ds[d] <= bs[d] + 1e-5 for d in ds)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIndexSortRangeGate:
+    """search/IndexSortSortedNumericDocValuesRangeQuery.java: SQL parity,
+    binary-search path actually taken on the sorted index, and equality
+    with the fallback scan."""
+
+    def test_indexsortrange_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.indexsortrange_engine(SF), con,
+            bm25docs.indexsortrange_engine_sql(),
+        )
+
+    def test_sorted_path_taken_and_equals_fallback(self, monkeypatch):
+        import numpy as np
+
+        from lucene_ray.ops.bm25docs import _engine_index_sorted
+        from lucene_ray.search.engine import IndexSearcher, index_sorted_range
+        from lucene_ray.search.reader import SegmentReader
+
+        s = IndexSearcher(_engine_index_sorted(SF))
+        assert all(
+            getattr(e, "sorted_runs", None) for e in s.reader.segments
+        ), "sorted index must record runs"
+        want = np.sort(np.concatenate([
+            s.reader.segment_reader(e.name).point_range("n_chars", 120, 280)
+            + e.docid_base
+            for e in s.reader.segments
+        ]))
+        # poison the fallback: the sorted path must never call point_range
+        def _boom(self, *a, **k):
+            raise AssertionError("fallback scan used on the sorted path")
+
+        monkeypatch.setattr(SegmentReader, "point_range", _boom)
+        got = index_sorted_range(s, "n_chars", 120, 280)
+        assert np.array_equal(np.sort(got), want)
+
+    def test_fallback_on_other_field(self):
+        import numpy as np
+
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import IndexSearcher, index_sorted_range
+
+        # unsorted index -> pure fallback, still correct
+        s = IndexSearcher(_engine_index(SF))
+        got = index_sorted_range(s, "n_chars", 100, 200)
+        want = np.sort(np.concatenate([
+            s.reader.segment_reader(e.name).point_range("n_chars", 100, 200)
+            + e.docid_base
+            for e in s.reader.segments
+        ]))
+        assert np.array_equal(np.sort(got), want)
