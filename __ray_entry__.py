@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blended_topk": bm25docs.blended_topk,
         "blended_engine": bm25docs.blended_engine,
         "indexsortrange_engine": bm25docs.indexsortrange_engine,
+        "sortednumeric_engine": bm25docs.sortednumeric_engine,
+        "binarydv_engine": bm25docs.binarydv_engine,
         "combinedfield_topk": bm25docs.combinedfield_topk,
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
@@ -209,6 +211,8 @@ def oracle_sql() -> dict[str, str]:
         "blended_topk": bm25docs.blended_topk_sql(),
         "blended_engine": bm25docs.blended_engine_sql(),
         "indexsortrange_engine": bm25docs.indexsortrange_engine_sql(),
+        "sortednumeric_engine": bm25docs.sortednumeric_engine_sql(),
+        "binarydv_engine": bm25docs.binarydv_engine_sql(),
         "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),

@@ -78,6 +78,47 @@ def _derive_labels(table):
 SORTED_SET_DERIVERS = {"labels": _derive_labels}
 
 
+# SORTED_NUMERIC doc-value derivers (index/DocValuesType.java:38
+# SORTED_NUMERIC — multi-valued int64 per doc, stored ASCENDING as
+# SortedNumericDocValuesField does). A sorted_numeric_dv_fields name not
+# present as a list<int> source column resolves here.
+def _derive_sig_nums(table):
+    # three deterministic residues of the content length — SQL-derivable
+    # (length(text) % {7,10,13}), the clean oracle for range queries and
+    # min/max selector sorts over multi-valued numerics
+    import pyarrow.compute as pc
+
+    ln = pc.fill_null(
+        pc.utf8_length(table.column("content").combine_chunks()), 0
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = np.stack([ln % 7, ln % 10, ln % 13], axis=1)
+    vals.sort(axis=1)
+    n = len(ln)
+    offsets = pa.array(np.arange(0, 3 * n + 1, 3, dtype=np.int32))
+    return pa.ListArray.from_arrays(
+        offsets, pa.array(vals.ravel(), type=pa.int64())
+    )
+
+
+SORTED_NUMERIC_DERIVERS = {"sig_nums": _derive_sig_nums}
+
+
+# BINARY doc-value derivers (DocValuesType.java:29 BINARY — opaque bytes
+# per doc, BinaryDocValuesField).
+def _derive_content_sha_bytes(table):
+    content = table.column("content").combine_chunks()
+    return pa.array(
+        [
+            hashlib.sha256(t.encode()).digest() if t is not None else b""
+            for t in content.to_pylist()
+        ],
+        type=pa.binary(),
+    )
+
+
+BINARY_DV_DERIVERS = {"content_sha": _derive_content_sha_bytes}
+
+
 def _synth_span(table: pa.Table, global_docids: np.ndarray):
     # synthetic 1-D long range as a pure function of the global docid so
     # SQL oracles can mirror it (same stance as spatial's synth "loc")
@@ -285,6 +326,8 @@ def build_one_segment(
     payload_fn: str | None = None,
     range_fields: tuple | None = None,
     analyzed_fields: tuple | None = None,
+    sorted_numeric_dv_fields: tuple | None = None,
+    binary_dv_fields: tuple | None = None,
 ) -> SegmentEntry:
     """Build one segment from its input row groups. Pure + idempotent
     (writes only under its own segment dir; atomic entry.json last).
@@ -322,6 +365,8 @@ def build_one_segment(
     dv_fields = tuple(dv_fields or ())
     sorted_dv_fields = tuple(sorted_dv_fields or ())
     sorted_set_dv_fields = tuple(sorted_set_dv_fields or ())
+    sorted_numeric_dv_fields = tuple(sorted_numeric_dv_fields or ())
+    binary_dv_fields = tuple(binary_dv_fields or ())
     extra_cols = [
         f
         for f in dv_fields + sorted_dv_fields
@@ -590,6 +635,30 @@ def build_one_segment(
         pq.write_table(
             pa.table(sdv_cols), os.path.join(d, "docvalues_sorted.parquet")
         )
+    # SORTED_NUMERIC sidecar: doc-ordered list<int64>, values ASC per doc
+    if sorted_numeric_dv_fields:
+        snd_cols: dict[str, pa.Array] = {}
+        for f in sorted_numeric_dv_fields:
+            if f in table.schema.names:
+                col = table.column(f).combine_chunks().cast(pa.list_(pa.int64()))
+            else:
+                col = SORTED_NUMERIC_DERIVERS[f](table)
+            snd_cols[f] = col
+        pq.write_table(
+            pa.table(snd_cols),
+            os.path.join(d, "docvalues_sortednumeric.parquet"),
+        )
+    # BINARY sidecar: doc-ordered opaque bytes
+    if binary_dv_fields:
+        bdv_cols: dict[str, pa.Array] = {}
+        for f in binary_dv_fields:
+            if f in table.schema.names:
+                bdv_cols[f] = table.column(f).combine_chunks().cast(pa.binary())
+            else:
+                bdv_cols[f] = BINARY_DV_DERIVERS[f](table)
+        pq.write_table(
+            pa.table(bdv_cols), os.path.join(d, "docvalues_binary.parquet")
+        )
     pt_parts = []
     for f in numeric_dv_schema:
         v = dv_cols[f].to_numpy(zero_copy_only=False)
@@ -692,6 +761,14 @@ def build_one_segment(
                 "analyzed_fields": (
                     list(analyzed_fields) if analyzed_fields else None
                 ),
+                "sorted_numeric_dv_fields": (
+                    list(sorted_numeric_dv_fields)
+                    if sorted_numeric_dv_fields
+                    else None
+                ),
+                "binary_dv_fields": (
+                    list(binary_dv_fields) if binary_dv_fields else None
+                ),
                 "variant": spec.variant,
             },
         },
@@ -732,6 +809,8 @@ def build_index(
     payload_fn: str | None = None,
     range_fields: tuple | None = None,
     analyzed_fields: tuple | None = None,
+    sorted_numeric_dv_fields: tuple | None = None,
+    binary_dv_fields: tuple | None = None,
 ) -> Manifest:
     """Build (or resume) the whole index with Ray Data.
 
@@ -786,6 +865,15 @@ def build_index(
             if ":" in f:
                 raise ValueError(f"analyzed field name may not contain ':': {f!r}")
         variant = f"{variant or 'code:positions'}:af={','.join(analyzed_fields)}"
+    if sorted_numeric_dv_fields:
+        sorted_numeric_dv_fields = tuple(str(f) for f in sorted_numeric_dv_fields)
+        variant = (
+            f"{variant or 'code:positions'}:sndv="
+            f"{','.join(sorted_numeric_dv_fields)}"
+        )
+    if binary_dv_fields:
+        binary_dv_fields = tuple(str(f) for f in binary_dv_fields)
+        variant = f"{variant or 'code:positions'}:bdv={','.join(binary_dv_fields)}"
     specs = plan_segments(input_paths, target_docs, variant)
     todo = []
     done: list[SegmentEntry] = []
@@ -816,7 +904,8 @@ def build_index(
                     keyword_fields, index_sort, point2d_fields,
                     term_vectors, dv_fields, sorted_dv_fields,
                     sorted_set_dv_fields, payload_fn, range_fields,
-                    analyzed_fields,
+                    analyzed_fields, sorted_numeric_dv_fields,
+                    binary_dv_fields,
                 )
                 out.append(_json.dumps(entry.__dict__))
             return {"entry": np.array(out)}
@@ -991,6 +1080,12 @@ def upgrade_index(index_dir: str) -> dict:
             opts.get("payload_fn") or None,
             tuple(opts["range_fields"]) if opts.get("range_fields") else None,
             tuple(opts["analyzed_fields"]) if opts.get("analyzed_fields") else None,
+            tuple(opts["sorted_numeric_dv_fields"])
+            if opts.get("sorted_numeric_dv_fields")
+            else None,
+            tuple(opts["binary_dv_fields"])
+            if opts.get("binary_dv_fields")
+            else None,
         )
         old_d = segment_dir(index_dir, e.name)
         new_d = segment_dir(index_dir, new_entry.name)

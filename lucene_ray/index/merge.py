@@ -562,6 +562,18 @@ def merge_segments(
                 [pq.read_table(p) for p in sdv_paths], promote_options="default"
             )
             pq.write_table(sdv, os.path.join(d, "docvalues_sorted.parquet"))
+        # SORTED_NUMERIC / BINARY sidecars: doc-ordered too — plain concat
+        for side in ("docvalues_sortednumeric.parquet", "docvalues_binary.parquet"):
+            side_paths = [
+                os.path.join(segment_dir(index_dir, e.name), side)
+                for e in entries
+            ]
+            if all(os.path.exists(p) for p in side_paths):
+                t = pa.concat_tables(
+                    [pq.read_table(p) for p in side_paths],
+                    promote_options="default",
+                )
+                pq.write_table(t, os.path.join(d, side))
         pt_parts = []
         for i, e in enumerate(entries):
             pt = pq.read_table(

@@ -1461,6 +1461,146 @@ WITH tok AS (
 """
 
 
+def _dv2_engine_index(sf_dir: str) -> str:
+    """documents index with the SORTED_NUMERIC ('sig_nums' =
+    sorted([len%7, len%10, len%13])) and BINARY ('content_sha' = raw
+    sha256 digest) doc-values sidecars, then merged — the sidecar merge
+    concat path is on the gate path too."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_index_dv2_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index(
+        [corpus_path],
+        ix,
+        target_docs=8192,
+        sorted_numeric_dv_fields=("sig_nums",),
+        binary_dv_fields=("content_sha",),
+    )
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+SORTEDNUMERIC_RANGES = ((0, 0, 1), (1, 5, 6), (2, 9, 12))
+
+
+def sortednumeric_engine(sf_dir: str, k: int = 20) -> pa.Table:
+    """(qid, rank, docid): SORTED_NUMERIC doc values
+    (index/SortedNumericDocValues.java + SortedNumericDocValuesField
+    .newSlowRangeQuery + SortedNumericSelector MIN/MAX) — qids 0-2 are
+    ANY-value-in-range doc sets (rank = -1), qid 3 sorts 'merge' matches
+    by the MIN selector asc, qid 4 by MAX desc. Float-free, SQL-checked
+    exactly."""
+    from lucene_ray.search.engine import (
+        IndexSearcher,
+        fetch_sorted_numeric_selected,
+    )
+    from lucene_ray.search.query import BooleanQuery, SortedNumericRangeQuery
+
+    ix = _dv2_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_r, out_d = [], [], []
+    for qid, lo, hi in SORTEDNUMERIC_RANGES:
+        td = s.search(
+            BooleanQuery(should=[SortedNumericRangeQuery("sig_nums", lo, hi)]),
+            1_000_000,
+        )
+        out_q.extend([qid] * len(td.docids))
+        out_r.extend([-1] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    for qid, selector, asc in ((3, "min", True), (4, "max", False)):
+        td = s.search("merge", 1_000_000)
+        vals = fetch_sorted_numeric_selected(s.reader, td.docids, "sig_nums", selector)
+        key = vals if asc else -vals
+        order = np.lexsort((td.docids, key))[:k]
+        out_q.extend([qid] * len(order))
+        out_r.extend(range(len(order)))
+        out_d.extend(td.docids[order].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def sortednumeric_engine_sql(k: int = 20) -> str:
+    toks = tokenize_sql_expr("text")
+    res = "(length(text) % 7)", "(length(text) % 10)", "(length(text) % 13)"
+    parts = []
+    for qid, lo, hi in SORTEDNUMERIC_RANGES:
+        any_in = " OR ".join(f"({r} BETWEEN {lo} AND {hi})" for r in res)
+        parts.append(
+            f"SELECT {qid} AS qid, -1 AS rank, doc_id AS docid "
+            f"FROM documents WHERE {any_in}"
+        )
+    for qid, fn, direction in ((3, "least", "ASC"), (4, "greatest", "DESC")):
+        sel = f"{fn}({', '.join(res)})"
+        parts.append(f"""
+SELECT {qid} AS qid,
+       (row_number() OVER (ORDER BY {sel} {direction}, doc_id ASC) - 1)::BIGINT AS rank,
+       doc_id AS docid
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+QUALIFY rank < {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+def binarydv_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid, sha): BINARY doc values (index/BinaryDocValues.java) —
+    the raw sha256(content) digest fetched per matching doc, emitted hex.
+    SQL-checked exactly (DuckDB sha256)."""
+    from lucene_ray.search.engine import IndexSearcher, fetch_binary_doc_values
+
+    ix = _dv2_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d, out_h = [], [], []
+    for qid, term in ((0, "merge"), (1, "window")):
+        td = s.search(term, 1_000_000)
+        blobs = fetch_binary_doc_values(s.reader, td.docids, "content_sha")
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+        out_h.extend(b.hex() for b in blobs)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+            "sha": pa.array(out_h, type=pa.string()),
+        }
+    )
+
+
+def binarydv_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term in ((0, "merge"), (1, "window")):
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid, sha256(text) AS sha "
+            f"FROM documents WHERE doc_id IN "
+            f"(SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 INDEXSORTRANGE_QUERIES = (
     (0, 100, 300),
     (1, 400, None),

@@ -930,6 +930,50 @@ def join_query(
     return out
 
 
+def fetch_sorted_numeric_selected(
+    reader: IndexReader, global_docids, field: str, selector: str = "min"
+) -> np.ndarray:
+    """Per-doc selected value of a SORTED_NUMERIC field (search/
+    SortedNumericSelector.java MIN/MAX — the sort-key reduction for
+    multi-valued numerics). Values are stored ascending per doc, so MIN is
+    the first and MAX the last entry. Input order preserved."""
+    if selector not in ("min", "max"):
+        raise ValueError("selector must be 'min' or 'max'")
+    g = np.asarray(global_docids, dtype=np.int64)
+    bases = np.array([e.docid_base for e in reader.segments], dtype=np.int64)
+    seg_idx = np.searchsorted(bases, g, side="right") - 1
+    out = np.zeros(len(g), dtype=np.int64)
+    for si in np.unique(seg_idx):
+        entry = reader.segments[int(si)]
+        sel = np.nonzero(seg_idx == si)[0]
+        offsets, flat = reader.segment_reader(entry.name).sorted_numeric_doc_values(
+            field
+        )
+        local = g[sel] - entry.docid_base
+        if selector == "min":
+            out[sel] = flat[offsets[local]]
+        else:
+            out[sel] = flat[offsets[local + 1] - 1]
+    return out
+
+
+def fetch_binary_doc_values(
+    reader: IndexReader, global_docids, field: str
+) -> list[bytes]:
+    """BINARY doc values for global docids, input order preserved
+    (index/BinaryDocValues.java)."""
+    g = np.asarray(global_docids, dtype=np.int64)
+    bases = np.array([e.docid_base for e in reader.segments], dtype=np.int64)
+    seg_idx = np.searchsorted(bases, g, side="right") - 1
+    out: list = [None] * len(g)
+    for si in np.unique(seg_idx):
+        entry = reader.segments[int(si)]
+        vals = reader.segment_reader(entry.name).binary_doc_values(field)
+        for i in np.nonzero(seg_idx == si)[0]:
+            out[int(i)] = vals[int(g[i] - entry.docid_base)]
+    return out
+
+
 def index_sorted_range(
     searcher: "IndexSearcher", field: str, lower, upper
 ) -> np.ndarray:

@@ -513,6 +513,19 @@ class FunctionRangeQuery:
 
 
 @dataclass(frozen=True)
+class SortedNumericRangeQuery:
+    """SortedNumericDocValuesField.newSlowRangeQuery
+    (document/SortedNumericDocValuesField.java): a doc matches when ANY of
+    its SORTED_NUMERIC values falls in [lower, upper] (inclusive, None =
+    open). Constant score = boost."""
+
+    field: str
+    lower: int | None = None
+    upper: int | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DocValuesTermsQuery:
     """Constant-score filter matching docs whose SORTED / SORTED_SET doc
     value for ``field`` equals ANY of ``terms`` — the doc-values execution

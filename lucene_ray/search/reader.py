@@ -389,6 +389,42 @@ class SegmentReader:
             cache[field] = (offsets, fo.astype(np.int64), terms)
         return cache[field]
 
+    def sorted_numeric_doc_values(
+        self, field: str
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """SORTED_NUMERIC doc values (index/SortedNumericDocValues.java):
+        multi-valued int64 per doc, values ASCENDING within a doc (the
+        SortedNumericDocValuesField write contract). Returns
+        (offsets[n+1], flat_values) where doc d's values are
+        flat_values[offsets[d]:offsets[d+1]]."""
+        cache = getattr(self, "_sndv_cache", None)
+        if cache is None:
+            cache = self._sndv_cache = {}
+        if field not in cache:
+            path = os.path.join(self.seg_dir, "docvalues_sortednumeric.parquet")
+            if not os.path.exists(path):
+                raise KeyError(f"no SORTED_NUMERIC doc values for field {field!r}")
+            tbl = pq.read_table(path, columns=[field], memory_map=True)
+            col = tbl.column(field).combine_chunks()
+            offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            cache[field] = (offsets, flat)
+        return cache[field]
+
+    def binary_doc_values(self, field: str) -> list:
+        """BINARY doc values (index/BinaryDocValues.java): doc-ordered
+        opaque bytes."""
+        cache = getattr(self, "_bdv_cache", None)
+        if cache is None:
+            cache = self._bdv_cache = {}
+        if field not in cache:
+            path = os.path.join(self.seg_dir, "docvalues_binary.parquet")
+            if not os.path.exists(path):
+                raise KeyError(f"no BINARY doc values for field {field!r}")
+            tbl = pq.read_table(path, columns=[field], memory_map=True)
+            cache[field] = tbl.column(field).combine_chunks().to_pylist()
+        return cache[field]
+
     @property
     def has_term_vectors(self) -> bool:
         return os.path.exists(os.path.join(self.seg_dir, "termvectors.parquet"))

@@ -64,6 +64,7 @@ from lucene_ray.search.query import (
     BlendedTermQuery,
     FunctionRangeQuery,
     MultiRangeQuery,
+    SortedNumericRangeQuery,
     SynonymQuery,
     TermQuery,
     ParentChildrenBlockJoinQuery,
@@ -1011,6 +1012,26 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             if len(d) == 0:
                 continue
             out.append(_Clause(q, None, None, scored=(d, s)))
+        elif isinstance(q, SortedNumericRangeQuery):
+            def _snrange(q=q):
+                offsets, flat = reader.sorted_numeric_doc_values(q.field)
+                hit = np.ones(len(flat), dtype=bool)
+                if q.lower is not None:
+                    hit &= flat >= q.lower
+                if q.upper is not None:
+                    hit &= flat <= q.upper
+                # ANY value in range: count hits per doc via the offsets
+                per_doc = np.add.reduceat(
+                    hit.astype(np.int64), offsets[:-1]
+                ) if len(flat) else np.zeros(len(offsets) - 1, dtype=np.int64)
+                per_doc[offsets[:-1] == offsets[1:]] = 0  # empty docs
+                return np.nonzero(per_doc > 0)[0].astype(np.int64)
+
+            docids = _qcache(reader, q, _snrange)
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, None, scored=(docids, scores)))
         elif isinstance(q, MultiRangeQuery):
             def _multirange(q=q):
                 parts = [

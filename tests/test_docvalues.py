@@ -411,3 +411,73 @@ def test_dv_query_missing_field_raises(dv_ix):
         s.search(
             BooleanQuery(must=[DocValuesTermsQuery("nosuch", ("x",))]), 10
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSortedNumericAndBinaryDV:
+    """SORTED_NUMERIC + BINARY doc values (index/DocValuesType.java:29,38):
+    sidecar write/read, ANY-in-range query, MIN/MAX selector, merge
+    survival, and SQL parity of the gates."""
+
+    def test_gates_parity(self):
+        import duckdb
+
+        from lucene_ray.ops import bm25docs
+        from tests.test_ops import SF, assert_same
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        assert_same(
+            bm25docs.sortednumeric_engine(SF), con,
+            bm25docs.sortednumeric_engine_sql(),
+        )
+        assert_same(
+            bm25docs.binarydv_engine(SF), con, bm25docs.binarydv_engine_sql()
+        )
+
+    def test_values_ascending_per_doc_and_selectors(self):
+        import numpy as np
+
+        from lucene_ray.ops.bm25docs import _dv2_engine_index
+        from lucene_ray.search.engine import (
+            IndexSearcher,
+            fetch_sorted_numeric_selected,
+        )
+        from tests.test_ops import SF
+
+        s = IndexSearcher(_dv2_engine_index(SF))
+        for e in s.reader.segments:
+            offsets, flat = s.reader.segment_reader(e.name).sorted_numeric_doc_values(
+                "sig_nums"
+            )
+            for d in range(min(50, len(offsets) - 1)):
+                v = flat[offsets[d]:offsets[d + 1]]
+                assert (np.diff(v) >= 0).all(), "values must be ASC per doc"
+        docids = np.arange(10, dtype=np.int64)
+        mins = fetch_sorted_numeric_selected(s.reader, docids, "sig_nums", "min")
+        maxs = fetch_sorted_numeric_selected(s.reader, docids, "sig_nums", "max")
+        assert (mins <= maxs).all()
+        with pytest.raises(ValueError):
+            fetch_sorted_numeric_selected(s.reader, docids, "sig_nums", "avg")
+
+    def test_binary_dv_matches_stored_sha(self):
+        import numpy as np
+
+        from lucene_ray.ops.bm25docs import _dv2_engine_index
+        from lucene_ray.search.engine import (
+            IndexSearcher,
+            fetch_binary_doc_values,
+            fetch_stored,
+        )
+        from tests.test_ops import SF
+
+        s = IndexSearcher(_dv2_engine_index(SF))
+        docids = np.arange(20, dtype=np.int64)
+        blobs = fetch_binary_doc_values(s.reader, docids, "content_sha")
+        stored = fetch_stored(s.reader, docids)
+        assert [b.hex() for b in blobs] == stored.column(
+            "content_sha256"
+        ).to_pylist()
