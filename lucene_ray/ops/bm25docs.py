@@ -1461,6 +1461,85 @@ WITH tok AS (
 """
 
 
+SURROUND_QUERIES: list[tuple[int, str, str]] = [
+    # (qid, surround DSL string, DuckDB predicate over ptok/has_* CTEs)
+    (0, "sort w merge",
+     "SELECT DISTINCT t0.doc_id FROM ptok t0 JOIN ptok t1 ON t1.doc_id = "
+     "t0.doc_id AND t1.term = 'merge' AND t1.pos > t0.pos "
+     "WHERE t0.term = 'sort' AND (t1.pos - t0.pos - 1) <= 0"),
+    (1, "sort 3w merge",
+     "SELECT DISTINCT t0.doc_id FROM ptok t0 JOIN ptok t1 ON t1.doc_id = "
+     "t0.doc_id AND t1.term = 'merge' AND t1.pos > t0.pos "
+     "WHERE t0.term = 'sort' AND (t1.pos - t0.pos - 1) <= 2"),
+    (2, "sort 2n merge",
+     "SELECT DISTINCT t0.doc_id FROM ptok t0 JOIN ptok t1 ON t1.doc_id = "
+     "t0.doc_id AND t1.term = 'merge' WHERE t0.term = 'sort' AND "
+     "greatest(t0.pos, t1.pos) - least(t0.pos, t1.pos) <= 2"),
+    (3, "or(sort, batch) w merge",
+     "SELECT DISTINCT t0.doc_id FROM ptok t0 JOIN ptok t1 ON t1.doc_id = "
+     "t0.doc_id AND t1.term = 'merge' AND t1.pos > t0.pos "
+     "WHERE t0.term IN ('sort', 'batch') AND (t1.pos - t0.pos - 1) <= 0"),
+    (4, "mer* w window",
+     "SELECT DISTINCT t0.doc_id FROM ptok t0 JOIN ptok t1 ON t1.doc_id = "
+     "t0.doc_id AND t1.term = 'window' AND t1.pos > t0.pos "
+     "WHERE t0.term LIKE 'mer%' AND (t1.pos - t0.pos - 1) <= 0"),
+    (5, "sort and merge not window",
+     "SELECT doc_id FROM has_sort INTERSECT "
+     "(SELECT doc_id FROM has_merge EXCEPT SELECT doc_id FROM has_window)"),
+    (6, "AND(sort, OR(merge, window))",
+     "SELECT doc_id FROM has_sort INTERSECT (SELECT doc_id FROM has_merge "
+     "UNION SELECT doc_id FROM has_window)"),
+]
+
+
+def surround_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): the surround query language end-to-end
+    (queryparser/surround/parser/QueryParser.jj): W/N distance operators
+    (infix + prefix, distance prefixes), boolean AND/OR/NOT, truncation
+    inside spans. Float-free doc sets, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.surround import SurroundQueryParser
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    parser = SurroundQueryParser(s.analyzer)
+    out_q, out_d = [], []
+    for qid, q, _sql in SURROUND_QUERIES:
+        td = s.search(parser.parse(q), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def surround_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    terms = ["sort", "merge", "window", "batch"]
+    ctes = ",\n".join(
+        f"has_{t} AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{t}')"
+        for t in terms
+    )
+    parts = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS qid, doc_id AS docid FROM ({pred})"
+        for qid, _q, pred in SURROUND_QUERIES
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term FROM t
+), ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+),
+{ctes}
+{parts}
+"""
+
+
 def _dv2_engine_index(sf_dir: str) -> str:
     """documents index with the SORTED_NUMERIC ('sig_nums' =
     sorted([len%7, len%10, len%13])) and BINARY ('content_sha' = raw

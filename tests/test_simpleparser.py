@@ -148,3 +148,77 @@ def test_simpleparser_gate_parity():
     assert_same(
         bm25docs.simpleparser_engine(SF), con, bm25docs.simpleparser_engine_sql()
     )
+
+
+# ---------------------------------------------------------------------------
+# Surround query language (queryparser/surround/parser/QueryParser.jj)
+# ---------------------------------------------------------------------------
+
+from lucene_ray.search.query import (  # noqa: E402
+    SpanNearQuery,
+    SpanOrQuery,
+    SpanTermQuery,
+)
+from lucene_ray.search.surround import (  # noqa: E402
+    SurroundParseError,
+    SurroundQueryParser,
+)
+
+
+@pytest.fixture(scope="module")
+def sp():
+    return SurroundQueryParser(CodeAnalyzer())
+
+
+def test_surround_infix_w(sp):
+    (q,) = sp.parse("a 3w b").should
+    assert q == SpanNearQuery(
+        (SpanTermQuery("a"), SpanTermQuery("b")), slop=2, ordered=True
+    )
+    # default distance 1 -> slop 0
+    (q,) = sp.parse("a w b").should
+    assert q.slop == 0 and q.ordered
+
+
+def test_surround_prefix_n(sp):
+    (q,) = sp.parse("5N(a, b, c)").should
+    assert q.slop == 4 and not q.ordered and len(q.terms) == 3
+
+
+def test_surround_or_inside_distance(sp):
+    (q,) = sp.parse("or(a, b) w c").should
+    assert isinstance(q.terms[0], SpanOrQuery)
+
+
+def test_surround_boolean_levels(sp):
+    bq = sp.parse("a and b not c")
+    # NOT binds tighter than AND: a AND (b NOT c)
+    assert len(bq.must) == 2
+    inner = bq.must[1]
+    assert inner.must == (TermQuery("b"),)
+    assert inner.must_not == (TermQuery("c"),)
+    bq2 = sp.parse("AND(a, OR(b, c))")
+    assert len(bq2.must) == 2
+
+
+def test_surround_errors(sp):
+    with pytest.raises(SurroundParseError):
+        sp.parse("a w (b and c)")  # AND inside a distance operator
+    with pytest.raises(SurroundParseError):
+        sp.parse("NOT(a, b)")  # NOT has no prefix form
+    with pytest.raises(SurroundParseError):
+        sp.parse("(a")  # unbalanced
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_surround_gate_parity():
+    from lucene_ray.ops import bm25docs
+    from tests.test_ops import assert_same
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    assert_same(
+        bm25docs.surround_engine(SF), con, bm25docs.surround_engine_sql()
+    )
