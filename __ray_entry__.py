@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sortednumeric_engine": bm25docs.sortednumeric_engine,
         "binarydv_engine": bm25docs.binarydv_engine,
         "surround_engine": bm25docs.surround_engine,
+        "ngramphrase_engine": bm25docs.ngramphrase_engine,
         "combinedfield_topk": bm25docs.combinedfield_topk,
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
@@ -215,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         "sortednumeric_engine": bm25docs.sortednumeric_engine_sql(),
         "binarydv_engine": bm25docs.binarydv_engine_sql(),
         "surround_engine": bm25docs.surround_engine_sql(),
+        "ngramphrase_engine": bm25docs.ngramphrase_engine_sql(),
         "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),

@@ -929,6 +929,48 @@ class ShingleAnalyzer(CodeAnalyzer):
         return out
 
 
+class Gram3Analyzer(CodeAnalyzer):
+    """Fixed 3-gram stream at CONSECUTIVE positions — the NGramTokenizer
+    shape NGramPhraseQuery optimizes over (analysis/common/.../ngram/
+    NGramTokenizer.java emits positions incrementing per gram; contrast
+    NGramAnalyzer above, whose [1..2] filter grams overlap positions).
+    Each token yields max(len-2, 1) grams: substr(t, i, 3) in offset
+    order; tokens shorter than 3 pass through whole. Per-occurrence
+    Python gram expansion — a gate/test analyzer, not a bench path."""
+
+    name = "gram3"
+
+    def tokenize_array(self, texts):
+        toks = super().tokenize_array(texts)
+        out = [
+            [
+                t[i : i + 3]
+                for t in row
+                for i in range(max(len(t) - 2, 1))
+            ]
+            for row in toks.to_pylist()
+        ]
+        return pa.array(out, type=pa.list_(pa.string()))
+
+    def tokenize_flat(self, texts, with_offsets: bool = False):
+        if with_offsets:
+            raise ValueError("gram3 analyzer does not support offsets")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = self.tokenize_array(texts)
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        row_idx = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
+        positions = (
+            np.arange(int(counts.sum()), dtype=np.int32)
+            - np.repeat(offs[:-1], counts).astype(np.int32)
+        )
+        return row_idx, lists.flatten(), positions
+
+    def tokenize_text(self, text: str) -> list[str]:
+        return self.tokenize_array(pa.array([text], type=pa.string()))[0].as_py()
+
+
 class _LightStemAnalyzer(UnicodeAnalyzer):
     """Language analyzer = Unicode tokenizer + Savoy light stemmer
     (analysis/lightstem.py; spec files de/GermanLightStemmer.java,
@@ -981,6 +1023,7 @@ _REGISTRY = {
     "ngram": NGramAnalyzer,
     "edgengram": EdgeNGramAnalyzer,
     "shingle": ShingleAnalyzer,
+    "gram3": Gram3Analyzer,
     "german_light": GermanLightAnalyzer,
     "french_light": FrenchLightAnalyzer,
     "spanish_light": SpanishLightAnalyzer,

@@ -1461,6 +1461,97 @@ WITH tok AS (
 """
 
 
+def _gram3_engine_index(sf_dir: str) -> str:
+    """documents index under the fixed-3-gram analyzer (NGramTokenizer
+    shape: consecutive gram positions) — the NGramPhraseQuery target."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_index_g3_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192, analyzer_name="gram3")
+    return ix
+
+
+def _grams3(word: str) -> tuple[str, ...]:
+    return tuple(word[i : i + 3] for i in range(max(len(word) - 2, 1)))
+
+
+NGRAMPHRASE_WORDS = (
+    (0, "merge"),    # 3 grams: optimizable (keeps gram 0 and last)
+    (1, "window"),   # 4 grams: optimizable (keeps 0, 3)
+    (2, "sort"),     # 2 grams: NOT optimizable -> plain phrase path
+    (3, "stream"),   # 4 grams
+)
+
+
+def ngramphrase_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): NGramPhraseQuery (search/NGramPhraseQuery.java) — a
+    word's consecutive 3-gram phrase evaluated through the i%n==0+last
+    rewrite on the gram3 index. The SQL oracle runs the FULL gram phrase
+    over a gram-position CTE, so the gate IS the optimization's
+    equivalence proof. Float-free, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, NGramPhraseQuery
+
+    ix = _gram3_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, word in NGRAMPHRASE_WORDS:
+        q = BooleanQuery(should=[NGramPhraseQuery(3, _grams3(word))])
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def ngramphrase_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, word in NGRAMPHRASE_WORDS:
+        grams = _grams3(word)
+        joins = " ".join(
+            f"JOIN gp g{j} ON g{j}.doc_id = g0.doc_id "
+            f"AND g{j}.gpos = g0.gpos + {j} AND g{j}.gram = '{grams[j]}'"
+            for j in range(1, len(grams))
+        )
+        parts.append(
+            f"SELECT DISTINCT {qid} AS qid, g0.doc_id AS docid FROM gp g0 "
+            + joins
+            + f" WHERE g0.gram = '{grams[0]}'"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS tpos FROM t
+), g AS (
+  SELECT doc_id, tpos,
+         [substr(term, i::INTEGER, 3)
+          for i in generate_series(1, greatest(length(term) - 2, 1))] AS grams
+  FROM tok
+), gflat AS (
+  SELECT doc_id, tpos, unnest(grams) AS gram,
+         generate_subscripts(grams, 1) AS i
+  FROM g
+), gp AS (
+  SELECT doc_id, gram,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tpos, i) AS gpos
+  FROM gflat
+)
+{union}
+"""
+
+
 SURROUND_QUERIES: list[tuple[int, str, str]] = [
     # (qid, surround DSL string, DuckDB predicate over ptok/has_* CTEs)
     (0, "sort w merge",

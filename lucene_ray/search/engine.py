@@ -45,6 +45,7 @@ from lucene_ray.search.query import (
     FuzzyQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
+    NGramPhraseQuery,
     NestedBooleanQuery,
     PhraseQuery,
     PointRangeQuery,
@@ -176,7 +177,8 @@ def build_scorers(
             )
         elif isinstance(
             q,
-            (PhraseQuery, SpanNearQuery, MultiPhraseQuery, IntervalQuery)
+            (PhraseQuery, SpanNearQuery, MultiPhraseQuery, IntervalQuery,
+             NGramPhraseQuery)
             + SPAN_QUERY_TYPES,
         ):
             # MultiPhrase: idf summed over EVERY term in every slot

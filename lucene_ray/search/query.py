@@ -76,6 +76,37 @@ class PhraseWildcardQuery:
 
 
 @dataclass(frozen=True)
+class NGramPhraseQuery:
+    """search/NGramPhraseQuery.java: a phrase of consecutive n-grams can
+    skip every gram except those at i % n == 0 plus the LAST one, keeping
+    their ORIGINAL positions (rewrite:44-72) — the remaining grams'
+    overlaps pin the skipped ones, so the match set is identical with
+    ~1/n of the position joins. Not optimizable (n < 2 or fewer than 3
+    grams): evaluates as the plain phrase."""
+
+    n: int
+    grams: tuple  # gram terms at consecutive positions
+    boost: float = 1.0
+
+    def kept(self) -> tuple:
+        """((term, position_offset), ...) actually evaluated."""
+        if self.n < 2 or len(self.grams) < 3:
+            return tuple((t, i) for i, t in enumerate(self.grams))
+        last = len(self.grams) - 1
+        return tuple(
+            (t, i)
+            for i, t in enumerate(self.grams)
+            if i % self.n == 0 or i == last
+        )
+
+    @property
+    def terms(self) -> tuple:
+        """Terms feeding stats/idf — the kept grams (the reference's
+        rewritten PhraseQuery holds exactly these)."""
+        return tuple(t for t, _off in self.kept())
+
+
+@dataclass(frozen=True)
 class SpanNearQuery:
     """Proximity match over single-term sub-spans (queries/src/java/org/
     apache/lucene/queries/spans/SpanNearQuery.java; matchers

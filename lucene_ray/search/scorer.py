@@ -64,6 +64,7 @@ from lucene_ray.search.query import (
     BlendedTermQuery,
     FunctionRangeQuery,
     MultiRangeQuery,
+    NGramPhraseQuery,
     SortedNumericRangeQuery,
     SynonymQuery,
     TermQuery,
@@ -303,6 +304,34 @@ def _phrase_postings(reader, terms: tuple) -> tuple[np.ndarray, np.ndarray]:
             )
         d_rep, abs_pos = p.flat_positions()
         k = d_rep * _POS_SPAN + abs_pos - i
+        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if len(keys) == 0:
+            return empty, empty
+    docids_out, freqs_out = np.unique(keys // _POS_SPAN, return_counts=True)
+    return docids_out.astype(np.int64), freqs_out.astype(np.int64)
+
+
+def _gapped_phrase_postings(
+    reader, pairs: tuple
+) -> tuple[np.ndarray, np.ndarray]:
+    """Phrase with EXPLICIT position offsets per term (NGramPhraseQuery's
+    rewritten form, search/NGramPhraseQuery.java:66-71 builder.add(term,
+    i)): a match starts at (d, p) iff term_j occurs at p + off_j for every
+    kept (term_j, off_j). Same int64-key algebra as _phrase_postings with
+    the offset taken from the pair instead of the enumeration index."""
+    empty = np.array([], dtype=np.int64)
+    keys = None
+    for t, off in pairs:
+        p = reader.postings(t)
+        if p is None:
+            return empty, empty
+        if p._ttf > 0 and len(p._pos_blob) == 0:
+            raise ValueError(
+                "phrase query on an index built without positions "
+                "(index_options='freqs'); rebuild with 'positions'"
+            )
+        d_rep, abs_pos = p.flat_positions()
+        k = d_rep * _POS_SPAN + abs_pos - int(off)
         keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
         if len(keys) == 0:
             return empty, empty
@@ -823,6 +852,17 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 docids, freqs = _qcache(
                     reader, q, lambda: _phrase_postings(reader, q.terms)
                 )
+            if len(docids) == 0:
+                continue
+            sc = scorers[q]
+            ms = float(
+                sc.score(freqs.astype(np.float32), reader.norm_bytes[docids]).max()
+            )
+            out.append(_Clause(q, None, sc, (docids, freqs), max_score=ms))
+        elif isinstance(q, NGramPhraseQuery):
+            docids, freqs = _qcache(
+                reader, q, lambda q=q: _gapped_phrase_postings(reader, q.kept())
+            )
             if len(docids) == 0:
                 continue
             sc = scorers[q]

@@ -1497,3 +1497,51 @@ class TestIndexSortRangeGate:
             for e in s.reader.segments
         ]))
         assert np.array_equal(np.sort(got), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNGramPhraseGate:
+    """search/NGramPhraseQuery.java: the gate's SQL oracle runs the FULL
+    gram phrase while the engine runs the i%n==0+last rewrite — parity IS
+    the equivalence proof. Plus the rewrite-rule contract."""
+
+    def test_ngramphrase_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.ngramphrase_engine(SF), con,
+            bm25docs.ngramphrase_engine_sql(),
+        )
+
+    def test_kept_rule_matches_reference(self):
+        from lucene_ray.search.query import NGramPhraseQuery
+
+        # 'window' -> win,ind,ndo,dow: keeps i=0, i=3 (0%3==0, last)
+        q = NGramPhraseQuery(3, ("win", "ind", "ndo", "dow"))
+        assert q.kept() == (("win", 0), ("dow", 3))
+        # 7 grams, n=2: keeps 0,2,4,6 (last == 6 already kept)
+        q2 = NGramPhraseQuery(2, tuple(f"g{i}" for i in range(7)))
+        assert [off for _t, off in q2.kept()] == [0, 2, 4, 6]
+        # not optimizable: < 3 grams, or n < 2 -> all kept
+        q3 = NGramPhraseQuery(3, ("sor", "ort"))
+        assert q3.kept() == (("sor", 0), ("ort", 1))
+        q4 = NGramPhraseQuery(1, ("a", "b", "c"))
+        assert len(q4.kept()) == 3
+
+    def test_optimized_equals_full_phrase(self):
+        from lucene_ray.ops.bm25docs import _gram3_engine_index, _grams3
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import (
+            BooleanQuery, NGramPhraseQuery, PhraseQuery,
+        )
+
+        s = IndexSearcher(_gram3_engine_index(SF))
+        for word in ("merge", "window", "stream", "batches"):
+            grams = _grams3(word)
+            opt = s.search(
+                BooleanQuery(should=[NGramPhraseQuery(3, grams)]), 1_000_000
+            )
+            full = s.search(
+                BooleanQuery(should=[PhraseQuery(grams)]), 1_000_000
+            )
+            assert sorted(opt.docids.tolist()) == sorted(full.docids.tolist())
