@@ -79,6 +79,29 @@ class TermAutomatonBuilder:
         )
 
 
+def token_stream_to_automaton(
+    terms: list[str], positions: list[int]
+) -> TermAutomatonQuery:
+    """TokenStreamToTermAutomatonQuery (sandbox/search/
+    TokenStreamToTermAutomatonQuery.java:59-99): convert an analyzed token
+    stream — including posInc==0 graph tokens (synonyms) — into a
+    TermAutomatonQuery. State i = position i; every token at position p
+    adds a (p, p+1, term) transition, so synonym alternatives at one
+    position become parallel edges; accept = the final position state.
+    (Single-position tokens only: endOffset graphs beyond width 1 are the
+    reference's multi-position case, out of scope here.)"""
+    if not terms:
+        raise ValueError("empty token stream")
+    b = TermAutomatonBuilder()
+    n_pos = max(positions) + 1
+    for _ in range(n_pos + 1):
+        b.create_state()
+    for t, p in zip(terms, positions):
+        b.add_transition(int(p), int(p) + 1, t)
+    b.set_accept(n_pos)
+    return b.finish()
+
+
 def automaton_docids(reader, q: TermAutomatonQuery) -> np.ndarray:
     """Segment-local matching docids for a TermAutomatonQuery."""
     # gather involved term postings once

@@ -1545,3 +1545,44 @@ class TestNGramPhraseGate:
                 BooleanQuery(should=[PhraseQuery(grams)]), 1_000_000
             )
             assert sorted(opt.docids.tolist()) == sorted(full.docids.tolist())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenStreamToAutomaton:
+    """sandbox/search/TokenStreamToTermAutomatonQuery.java: a synonym
+    token GRAPH (posInc==0 alternatives) converts to a TermAutomatonQuery
+    whose doc set equals the MultiPhrase per-slot-alternatives query."""
+
+    def test_graph_equals_multiphrase(self):
+        import pyarrow as pa
+
+        from lucene_ray.analysis import get_analyzer
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, MultiPhraseQuery
+        from lucene_ray.search.termautomaton import token_stream_to_automaton
+
+        an = get_analyzer("synonym")
+        # 'table scan' analyzed with synonym injection: scan|sweep at pos 1
+        row_idx, terms, positions = an.tokenize_flat(
+            pa.array(["table scan"], type=pa.string())
+        )
+        toks = terms.to_pylist()
+        assert "sweep" in toks  # graph token present
+        q = token_stream_to_automaton(toks, positions.tolist())
+        s = IndexSearcher(_engine_index(SF))
+        auto = s.search(BooleanQuery(should=[q]), 1_000_000)
+        mp = s.search(
+            BooleanQuery(
+                should=[MultiPhraseQuery((("table",), ("scan", "sweep")))]
+            ),
+            1_000_000,
+        )
+        assert sorted(auto.docids.tolist()) == sorted(mp.docids.tolist())
+        assert len(auto.docids) > 0 or s.count("scan") == 0
+
+    def test_rejects_empty(self):
+        from lucene_ray.search.termautomaton import token_stream_to_automaton
+
+        with pytest.raises(ValueError):
+            token_stream_to_automaton([], [])
