@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "binarydv_engine": bm25docs.binarydv_engine,
         "surround_engine": bm25docs.surround_engine,
         "ngramphrase_engine": bm25docs.ngramphrase_engine,
+        "scoredjoin_engine": bm25docs.scoredjoin_engine,
+        "allgroups_engine": bm25docs.allgroups_engine,
+        "sampledfacet_engine": bm25docs.sampledfacet_engine,
         "combinedfield_topk": bm25docs.combinedfield_topk,
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
@@ -217,6 +220,9 @@ def oracle_sql() -> dict[str, str]:
         "binarydv_engine": bm25docs.binarydv_engine_sql(),
         "surround_engine": bm25docs.surround_engine_sql(),
         "ngramphrase_engine": bm25docs.ngramphrase_engine_sql(),
+        "scoredjoin_engine": bm25docs.scoredjoin_engine_sql(),
+        "allgroups_engine": bm25docs.allgroups_engine_sql(),
+        "sampledfacet_engine": bm25docs.sampledfacet_engine_sql(),
         "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),

@@ -1461,6 +1461,147 @@ WITH tok AS (
 """
 
 
+SCOREDJOIN_QUERIES = ((0, "merge"), (1, "window"))
+
+
+def scoredjoin_engine(sf_dir: str, k: int = 40) -> pa.Table:
+    """(qid, rank, docid, n): query-time join with ScoreMode.Total
+    (join/JoinUtil.java TermsWithScoreCollector) — to-docs ranked by the
+    number of from-docs sharing their lang value (constant from-side
+    scores make Total an integer support count). Float-free, SQL-checked
+    exactly."""
+    from lucene_ray.search.engine import IndexSearcher, join_query_scored
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out = {"qid": [], "rank": [], "docid": [], "n": []}
+    for qid, term in SCOREDJOIN_QUERIES:
+        td = join_query_scored(s, term, "lang", score_mode="total", k=k)
+        out["qid"].extend([qid] * len(td.docids))
+        out["rank"].extend(range(len(td.docids)))
+        out["docid"].extend(td.docids.tolist())
+        out["n"].extend(int(v) for v in td.values)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "docid": pa.array(out["docid"], type=pa.int64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        }
+    )
+
+
+def scoredjoin_engine_sql(k: int = 40) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term in SCOREDJOIN_QUERIES:
+        parts.append(f"""
+SELECT {qid} AS qid,
+       (row_number() OVER (ORDER BY s.n DESC, d.doc_id ASC) - 1)::BIGINT AS rank,
+       d.doc_id AS docid, s.n
+FROM documents d JOIN (
+  SELECT lang, count(*)::BIGINT AS n FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+  GROUP BY lang
+) s USING (lang)
+QUALIFY rank < {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+def allgroups_engine(sf_dir: str) -> pa.Table:
+    """(qid, grp): AllGroupsCollector (grouping/AllGroupsCollector.java) —
+    the distinct lang group values among each query's matches (its row
+    count per qid is the groupCount). Float-free, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher, all_groups
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_g = [], []
+    for qid, term in ((0, "merge"), (1, "stream"), (2, "zzzmissing")):
+        for g in all_groups(s, term, "lang"):
+            out_q.append(qid)
+            out_g.append(g)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "grp": pa.array(out_g, type=pa.string()),
+        }
+    )
+
+
+def allgroups_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term in ((0, "merge"), (1, "stream"), (2, "zzzmissing")):
+        parts.append(
+            f"SELECT DISTINCT {qid} AS qid, lang AS grp FROM documents "
+            f"WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+def sampledfacet_engine(sf_dir: str) -> pa.Table:
+    """(qid, value, n): facet counts over a deterministic content-hash
+    sample of each query's matches
+    (facet/RandomSamplingFacetsCollector.java role; sampling key shared
+    with ops/text.py sample_hash). Float-free, SQL-checked exactly."""
+    from lucene_ray.ops.text import SAMPLE_DEN, SAMPLE_NUM
+    from lucene_ray.search.engine import IndexSearcher, sampled_facet_counts
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_v, out_n = [], [], []
+    for qid, term in ((0, "merge"), (1, "window")):
+        for value, n in sampled_facet_counts(
+            s, term, "lang", SAMPLE_NUM, SAMPLE_DEN
+        ):
+            out_q.append(qid)
+            out_v.append(value)
+            out_n.append(n)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "value": pa.array(out_v, type=pa.string()),
+            "n": pa.array(out_n, type=pa.int64()),
+        }
+    )
+
+
+def sampledfacet_engine_sql() -> str:
+    from lucene_ray.ops.text import SAMPLE_DEN, SAMPLE_NUM, hash_prefix_sql_expr
+
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term in ((0, "merge"), (1, "window")):
+        parts.append(f"""
+SELECT {qid} AS qid, lang AS value, count(*)::BIGINT AS n
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+  AND {hash_prefix_sql_expr('text')} % {SAMPLE_DEN} < {SAMPLE_NUM}
+GROUP BY lang
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 def _gram3_engine_index(sf_dir: str) -> str:
     """documents index under the fixed-3-gram analyzer (NGramTokenizer
     shape: consecutive gram positions) — the NGramPhraseQuery target."""

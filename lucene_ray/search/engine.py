@@ -932,6 +932,84 @@ def join_query(
     return out
 
 
+def join_query_scored(
+    searcher: "IndexSearcher",
+    from_query,
+    field: str,
+    score_mode: str = "total",
+    k: int | None = None,
+) -> "SortedTopDocs":
+    """Query-time join with score aggregation (JoinUtil.createJoinQuery
+    ScoreMode.Total/Max/Avg, join/.../JoinUtil.java:63 +
+    TermsWithScoreCollector): the from-side contributes CONSTANT scores
+    (ScoreMode.None from-side, as join_query), so per shared value
+    Total = the number of from-docs holding it, Max = Avg = 1 — the Total
+    mode ranks to-docs by from-side support, float-free. Returns to-docs
+    ordered (score desc, docid asc); ``values`` carries the integer
+    support counts."""
+    if score_mode not in ("total", "max", "avg"):
+        raise ValueError("score_mode must be total/max/avg")
+    td = searcher.search(from_query, k=1 << 62)
+    z = np.array([], dtype=np.int64)
+    if len(td.docids) == 0:
+        return SortedTopDocs(z, np.array([], dtype=np.float64), 0, z)
+    stored = fetch_stored(searcher.reader, td.docids)
+    from collections import Counter
+
+    support = Counter(stored.column(field).to_pylist())
+    to_q = BooleanQuery(
+        must=[TermInSetQuery(tuple(f"{field}:{v}" for v in sorted(support)))]
+    )
+    to_td = searcher.search(to_q, k=1 << 62)
+    to_vals = fetch_stored(searcher.reader, to_td.docids).column(field).to_pylist()
+    if score_mode == "total":
+        scores = np.array([support[v] for v in to_vals], dtype=np.int64)
+    else:  # max / avg over constant from-scores
+        scores = np.ones(len(to_vals), dtype=np.int64)
+    order = np.lexsort((to_td.docids, -scores))
+    if k is not None:
+        order = order[:k]
+    return SortedTopDocs(
+        to_td.docids[order],
+        scores[order].astype(np.float64),
+        len(to_td.docids),
+        scores[order],
+    )
+
+
+def all_groups(searcher: "IndexSearcher", query, field: str) -> list[str]:
+    """Distinct group values among the matching docs, sorted — the
+    AllGroupsCollector (grouping/AllGroupsCollector.java); its size is
+    the groupCount companion to grouped top-k."""
+    td = searcher.search(query, k=1 << 62)
+    if len(td.docids) == 0:
+        return []
+    stored = fetch_stored(searcher.reader, td.docids)
+    return sorted(set(stored.column(field).to_pylist()))
+
+
+def sampled_facet_counts(
+    searcher: "IndexSearcher", query, field: str, num: int, den: int
+) -> list[tuple[str, int]]:
+    """Facet counts over a DETERMINISTIC sample of the matching docs
+    (facet/.../RandomSamplingFacetsCollector.java role): a doc enters the
+    sample iff the first 8 hex chars of its stored content sha256 read as
+    an integer satisfy value % den < num — the engine-side twin of
+    ops/text.py sample_hash (content-keyed, reproducible across runs /
+    cluster sizes; the reference's XORShift sampler is seed-keyed).
+    Returns (value, count) over the sample, count desc then value asc."""
+    td = searcher.search(query, k=1 << 62)
+    if len(td.docids) == 0:
+        return []
+    stored = fetch_stored(searcher.reader, td.docids)
+    shas = stored.column("content_sha256").to_pylist()
+    keep = np.array([int(h[:8], 16) % den < num for h in shas], dtype=bool)
+    vals = np.asarray(stored.column(field).to_pylist(), dtype=object)[keep]
+    from collections import Counter
+
+    return sorted(Counter(vals.tolist()).items(), key=lambda kv: (-kv[1], kv[0]))
+
+
 def fetch_sorted_numeric_selected(
     reader: IndexReader, global_docids, field: str, selector: str = "min"
 ) -> np.ndarray:

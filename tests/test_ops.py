@@ -1586,3 +1586,59 @@ class TestTokenStreamToAutomaton:
 
         with pytest.raises(ValueError):
             token_stream_to_automaton([], [])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoinGroupSampleGates:
+    """JoinUtil ScoreMode.Total (join/TermsWithScoreCollector),
+    AllGroupsCollector, RandomSamplingFacetsCollector role: SQL parity +
+    semantic invariants."""
+
+    def test_scoredjoin_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.scoredjoin_engine(SF), con, bm25docs.scoredjoin_engine_sql()
+        )
+
+    def test_scoredjoin_total_vs_max(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import IndexSearcher, join_query_scored
+
+        s = IndexSearcher(_engine_index(SF))
+        tot = join_query_scored(s, "merge", "lang", score_mode="total")
+        mx = join_query_scored(s, "merge", "lang", score_mode="max")
+        # same doc sets; max scores constant 1, total >= 1
+        assert set(tot.docids.tolist()) == set(mx.docids.tolist())
+        assert (mx.values == 1).all() and (tot.values >= 1).all()
+        with pytest.raises(ValueError):
+            join_query_scored(s, "merge", "lang", score_mode="sum")
+
+    def test_allgroups_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.allgroups_engine(SF), con, bm25docs.allgroups_engine_sql()
+        )
+
+    def test_sampledfacet_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.sampledfacet_engine(SF), con,
+            bm25docs.sampledfacet_engine_sql(),
+        )
+
+    def test_sampled_counts_bounded_by_full(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.ops.text import SAMPLE_DEN, SAMPLE_NUM
+        from lucene_ray.search.engine import (
+            IndexSearcher, facet_counts, sampled_facet_counts,
+        )
+
+        s = IndexSearcher(_engine_index(SF))
+        full = dict(facet_counts(s, "merge", "lang"))
+        sampled = dict(
+            sampled_facet_counts(s, "merge", "lang", SAMPLE_NUM, SAMPLE_DEN)
+        )
+        assert sampled and all(sampled[v] <= full[v] for v in sampled)
