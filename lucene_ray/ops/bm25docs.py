@@ -1461,6 +1461,57 @@ WITH tok AS (
 """
 
 
+DOUBLE_RANGES = [(4.0, 5.0), (5.0, 5.5), (5.5, 7.0), (4.5, 6.0)]  # overlap ok
+
+
+def doublerange_engine(sf_dir: str) -> pa.Table:
+    """(qid, ridx, n): DoubleRangeFacetCounts
+    (facet/range/DoubleRangeFacetCounts.java) over the derived
+    DoubleValuesSource ln(n_chars + 1) — [lo, hi) ranges, overlapping
+    allowed, counts per range per query. Bit-exact both sides (libm ln
+    through the _ulog LUT == DuckDB ln)."""
+    from lucene_ray.search.engine import IndexSearcher, double_range_facet_counts
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_r, out_n = [], [], []
+    for qid, term in ((0, "merge"), (1, "window")):
+        for ridx, n in double_range_facet_counts(s, term, "n_chars", DOUBLE_RANGES):
+            out_q.append(qid)
+            out_r.append(ridx)
+            out_n.append(n)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "ridx": pa.array(out_r, type=pa.int64()),
+            "n": pa.array(out_n, type=pa.int64()),
+        }
+    )
+
+
+def doublerange_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term in ((0, "merge"), (1, "window")):
+        for ridx, (lo, hi) in enumerate(DOUBLE_RANGES):
+            parts.append(f"""
+SELECT {qid} AS qid, {ridx} AS ridx,
+       CAST(count(*) FILTER (
+         ln(length(text)::DOUBLE + 1.0) >= {lo!r} AND
+         ln(length(text)::DOUBLE + 1.0) < {hi!r}
+       ) AS BIGINT) AS n
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 SCOREDJOIN_QUERIES = ((0, "merge"), (1, "window"))
 
 

@@ -932,6 +932,34 @@ def join_query(
     return out
 
 
+def double_range_facet_counts(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    ranges: list[tuple[float, float]],
+) -> list[tuple[int, int]]:
+    """Double range facets over a derived DoubleValuesSource
+    (facet/.../range/DoubleRangeFacetCounts.java + DoubleRange.java —
+    min inclusive, max EXCLUSIVE by default wiring here): the source is
+    ln(field + 1) computed through the libm unique-value LUT
+    (similarity._ulog), so DuckDB's ln() reproduces every value
+    bit-for-bit and range membership is exact. Returns one
+    (range_index, count) per range, input order; ranges may overlap."""
+    from lucene_ray.search.similarity import _ulog
+
+    td = searcher.search(query, k=1 << 62)
+    if len(td.docids) == 0:
+        return [(i, 0) for i in range(len(ranges))]
+    vals = _ulog(
+        fetch_doc_values(searcher.reader, td.docids, field).astype(np.float64)
+        + 1.0
+    )
+    return [
+        (i, int(((vals >= lo) & (vals < hi)).sum()))
+        for i, (lo, hi) in enumerate(ranges)
+    ]
+
+
 def join_query_scored(
     searcher: "IndexSearcher",
     from_query,

@@ -1642,3 +1642,33 @@ class TestJoinGroupSampleGates:
             sampled_facet_counts(s, "merge", "lang", SAMPLE_NUM, SAMPLE_DEN)
         )
         assert sampled and all(sampled[v] <= full[v] for v in sampled)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDoubleRangeGate:
+    """facet/range/DoubleRangeFacetCounts.java: SQL parity (bit-exact libm
+    ln both sides) + overlapping ranges count independently."""
+
+    def test_doublerange_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.doublerange_engine(SF), con, bm25docs.doublerange_engine_sql()
+        )
+
+    def test_overlap_and_disjoint_cover(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import (
+            IndexSearcher, double_range_facet_counts,
+        )
+
+        s = IndexSearcher(_engine_index(SF))
+        res = dict(double_range_facet_counts(
+            s, "merge", "n_chars",
+            [(0.0, 5.5), (5.5, 100.0), (0.0, 100.0)],
+        ))
+        # disjoint halves sum to the cover
+        assert res[0] + res[1] == res[2] > 0
+        assert double_range_facet_counts(
+            s, "zzzmissing", "n_chars", [(0.0, 1.0)]
+        ) == [(0, 0)]
