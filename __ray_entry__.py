@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "allgroups_engine": bm25docs.allgroups_engine,
         "sampledfacet_engine": bm25docs.sampledfacet_engine,
         "doublerange_engine": bm25docs.doublerange_engine,
+        "nbclassify_engine": bm25docs.nbclassify_engine,
         "combinedfield_topk": bm25docs.combinedfield_topk,
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "allgroups_engine": bm25docs.allgroups_engine_sql(),
         "sampledfacet_engine": bm25docs.sampledfacet_engine_sql(),
         "doublerange_engine": bm25docs.doublerange_engine_sql(),
+        "nbclassify_engine": bm25docs.nbclassify_engine_sql(),
         "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),

@@ -1461,6 +1461,86 @@ WITH tok AS (
 """
 
 
+NBCLASSIFY_TEXTS = [
+    (0, "merge sort window"),
+    (1, "batch stream data value"),
+    (2, "customer table scan"),
+]
+
+
+def nbclassify_engine(sf_dir: str) -> pa.Table:
+    """(qid, rank, cls, score): SimpleNaiveBayesClassifier
+    (classification/SimpleNaiveBayesClassifier.java) — every lang class
+    scored for each test text from index stats only; float64 scores are
+    bit-identical to the SQL oracle (left-assoc ln chains in token
+    order)."""
+    from lucene_ray.search.classification import SimpleNaiveBayesClassifier
+    from lucene_ray.search.engine import IndexSearcher
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    clf = SimpleNaiveBayesClassifier(s, "lang")
+    out = {"qid": [], "rank": [], "cls": [], "score": []}
+    for qid, text in NBCLASSIFY_TEXTS:
+        for rank, (cls, score) in enumerate(clf.assign_classes(text)):
+            out["qid"].append(qid)
+            out["rank"].append(rank)
+            out["cls"].append(cls)
+            out["score"].append(score)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "cls": pa.array(out["cls"], type=pa.string()),
+            "score": pa.array(out["score"], type=pa.float64()),
+        }
+    )
+
+
+def nbclassify_engine_sql() -> str:
+    an = CodeAnalyzer()
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, text in NBCLASSIFY_TEXTS:
+        words = an.tokenize_text(text)
+        lns = []
+        for w in words:
+            hits = (
+                "(SELECT count(*) FROM documents d WHERE d.lang = c.lang AND "
+                f"d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{w}'))"
+            )
+            lns.append(
+                f"ln(({hits} + 1) / "
+                "((st.np / st.dcc) * c.dfc + st.dwc))"
+            )
+        chain = " + ".join(lns)
+        parts.append(f"""
+SELECT {qid} AS qid, c.lang AS cls,
+       (ln(c.dfc) - ln(st.dwc)) + ({chain}) AS score
+FROM classes c CROSS JOIN st
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term FROM t
+), st AS (
+  SELECT (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM tok))::DOUBLE AS np,
+         (SELECT count(DISTINCT doc_id) FROM tok)::DOUBLE AS dcc,
+         (SELECT count(*) FROM documents)::DOUBLE AS dwc
+), classes AS (
+  SELECT lang, count(*)::DOUBLE AS dfc FROM documents GROUP BY lang
+), scored AS (
+{union}
+)
+SELECT qid,
+       (row_number() OVER (PARTITION BY qid ORDER BY score DESC, cls ASC) - 1)::BIGINT AS rank,
+       cls, score
+FROM scored
+"""
+
+
 DOUBLE_RANGES = [(4.0, 5.0), (5.0, 5.5), (5.5, 7.0), (4.5, 6.0)]  # overlap ok
 
 

@@ -1672,3 +1672,31 @@ class TestDoubleRangeGate:
         assert double_range_facet_counts(
             s, "zzzmissing", "n_chars", [(0.0, 1.0)]
         ) == [(0, 0)]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNaiveBayesGate:
+    """classification/SimpleNaiveBayesClassifier.java: bit-exact SQL
+    parity (float64 ln chains) + classifier sanity."""
+
+    def test_nbclassify_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.nbclassify_engine(SF), con, bm25docs.nbclassify_engine_sql()
+        )
+
+    def test_assign_class_returns_known_class(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.classification import SimpleNaiveBayesClassifier
+        from lucene_ray.search.engine import IndexSearcher
+
+        s = IndexSearcher(_engine_index(SF))
+        clf = SimpleNaiveBayesClassifier(s, "lang")
+        assert len(clf.classes) > 1
+        cls = clf.assign_class("merge sort window")
+        assert cls in clf.classes
+        # scores strictly ordered desc with class-asc tiebreak
+        res = clf.assign_classes("batch stream")
+        for (c0, s0), (c1, s1) in zip(res, res[1:]):
+            assert s0 > s1 or (s0 == s1 and c0 < c1)
