@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampledfacet_engine": bm25docs.sampledfacet_engine,
         "doublerange_engine": bm25docs.doublerange_engine,
         "nbclassify_engine": bm25docs.nbclassify_engine,
+        "shape_engine": bm25docs.shape_engine,
         "combinedfield_topk": bm25docs.combinedfield_topk,
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "sampledfacet_engine": bm25docs.sampledfacet_engine_sql(),
         "doublerange_engine": bm25docs.doublerange_engine_sql(),
         "nbclassify_engine": bm25docs.nbclassify_engine_sql(),
+        "shape_engine": bm25docs.shape_engine_sql(),
         "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),

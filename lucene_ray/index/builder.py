@@ -328,6 +328,7 @@ def build_one_segment(
     analyzed_fields: tuple | None = None,
     sorted_numeric_dv_fields: tuple | None = None,
     binary_dv_fields: tuple | None = None,
+    shape_fields: tuple | None = None,
 ) -> SegmentEntry:
     """Build one segment from its input row groups. Pure + idempotent
     (writes only under its own segment dir; atomic entry.json last).
@@ -367,6 +368,7 @@ def build_one_segment(
     sorted_set_dv_fields = tuple(sorted_set_dv_fields or ())
     sorted_numeric_dv_fields = tuple(sorted_numeric_dv_fields or ())
     binary_dv_fields = tuple(binary_dv_fields or ())
+    shape_fields = tuple(shape_fields or ())
     extra_cols = [
         f
         for f in dv_fields + sorted_dv_fields
@@ -648,6 +650,35 @@ def build_one_segment(
             pa.table(snd_cols),
             os.path.join(d, "docvalues_sortednumeric.parquet"),
         )
+    # indexed-shape sidecar: one row per tessellated triangle
+    # (document/LatLonShape.java + geo/Tessellator.java; see
+    # search/spatial.py shape section). LOCAL docids, doc-major order.
+    if shape_fields:
+        from lucene_ray.search.spatial import SHAPE_DERIVERS
+
+        shape_parts = []
+        gdoc = np.arange(n, dtype=np.int64) + spec.docid_base
+        for f in shape_fields:
+            dd, axx, ayy, bxx, byy, cxx, cyy = SHAPE_DERIVERS[f](gdoc)
+            local = np.asarray(dd, dtype=np.int64) - spec.docid_base
+            o = np.argsort(local, kind="stable")
+            shape_parts.append(
+                pa.table(
+                    {
+                        "field": pa.array([f] * len(local), type=pa.string()),
+                        "docid": pa.array(local[o], type=pa.int64()),
+                        "ax": pa.array(np.asarray(axx)[o], type=pa.float64()),
+                        "ay": pa.array(np.asarray(ayy)[o], type=pa.float64()),
+                        "bx": pa.array(np.asarray(bxx)[o], type=pa.float64()),
+                        "by": pa.array(np.asarray(byy)[o], type=pa.float64()),
+                        "cx": pa.array(np.asarray(cxx)[o], type=pa.float64()),
+                        "cy": pa.array(np.asarray(cyy)[o], type=pa.float64()),
+                    }
+                )
+            )
+        pq.write_table(
+            pa.concat_tables(shape_parts), os.path.join(d, "shapes.parquet")
+        )
     # BINARY sidecar: doc-ordered opaque bytes
     if binary_dv_fields:
         bdv_cols: dict[str, pa.Array] = {}
@@ -769,6 +800,9 @@ def build_one_segment(
                 "binary_dv_fields": (
                     list(binary_dv_fields) if binary_dv_fields else None
                 ),
+                "shape_fields": (
+                    list(shape_fields) if shape_fields else None
+                ),
                 "variant": spec.variant,
             },
         },
@@ -811,6 +845,7 @@ def build_index(
     analyzed_fields: tuple | None = None,
     sorted_numeric_dv_fields: tuple | None = None,
     binary_dv_fields: tuple | None = None,
+    shape_fields: tuple | None = None,
 ) -> Manifest:
     """Build (or resume) the whole index with Ray Data.
 
@@ -874,6 +909,9 @@ def build_index(
     if binary_dv_fields:
         binary_dv_fields = tuple(str(f) for f in binary_dv_fields)
         variant = f"{variant or 'code:positions'}:bdv={','.join(binary_dv_fields)}"
+    if shape_fields:
+        shape_fields = tuple(str(f) for f in shape_fields)
+        variant = f"{variant or 'code:positions'}:shape={','.join(shape_fields)}"
     specs = plan_segments(input_paths, target_docs, variant)
     todo = []
     done: list[SegmentEntry] = []
@@ -905,7 +943,7 @@ def build_index(
                     term_vectors, dv_fields, sorted_dv_fields,
                     sorted_set_dv_fields, payload_fn, range_fields,
                     analyzed_fields, sorted_numeric_dv_fields,
-                    binary_dv_fields,
+                    binary_dv_fields, shape_fields,
                 )
                 out.append(_json.dumps(entry.__dict__))
             return {"entry": np.array(out)}
@@ -1085,6 +1123,9 @@ def upgrade_index(index_dir: str) -> dict:
             else None,
             tuple(opts["binary_dv_fields"])
             if opts.get("binary_dv_fields")
+            else None,
+            tuple(opts["shape_fields"])
+            if opts.get("shape_fields")
             else None,
         )
         old_d = segment_dir(index_dir, e.name)

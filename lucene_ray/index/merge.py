@@ -562,6 +562,28 @@ def merge_segments(
                 [pq.read_table(p) for p in sdv_paths], promote_options="default"
             )
             pq.write_table(sdv, os.path.join(d, "docvalues_sorted.parquet"))
+        # shapes sidecar: triangle rows are LOCAL-docid addressed — rebase
+        # like points (tombstoned docs keep their rows; live filtering
+        # happens at query time, consistent with the points path)
+        shape_paths = [
+            os.path.join(segment_dir(index_dir, e.name), "shapes.parquet")
+            for e in entries
+        ]
+        if all(os.path.exists(p) for p in shape_paths):
+            sh_parts = []
+            for i, p in enumerate(shape_paths):
+                t = pq.read_table(p)
+                docs = t.column("docid").to_numpy(zero_copy_only=False) + offsets[i]
+                sh_parts.append(
+                    t.set_column(
+                        t.schema.get_field_index("docid"),
+                        "docid",
+                        pa.array(docs, type=pa.int64()),
+                    )
+                )
+            pq.write_table(
+                pa.concat_tables(sh_parts), os.path.join(d, "shapes.parquet")
+            )
         # SORTED_NUMERIC / BINARY sidecars: doc-ordered too — plain concat
         for side in ("docvalues_sortednumeric.parquet", "docvalues_binary.parquet"):
             side_paths = [

@@ -1461,6 +1461,88 @@ WITH tok AS (
 """
 
 
+def _shape_engine_index(sf_dir: str) -> str:
+    """documents index with the tessellated-rect shape sidecar
+    (shape_fields=("rect",)), then merged so the shapes docid-rebase merge
+    path is on the gate path too."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_index_shape_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index(
+        [corpus_path], ix, target_docs=8192, shape_fields=("rect",)
+    )
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+# .005-offset bounds: shape edges land on .25-multiples of the 1e-4 grid,
+# so no query boundary ever coincides with a shape edge (float-exact
+# membership on both sides)
+SHAPE_QUERIES = (
+    (0, "intersects", 10.005, 40.005, -60.005, 0.005),
+    (1, "within", 10.005, 40.005, -60.005, 0.005),
+    (2, "disjoint", 10.005, 40.005, -60.005, 0.005),
+    (3, "intersects", -5.005, 5.005, 100.005, 140.005),
+)
+
+
+def shape_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): indexed-shape bounding-box queries
+    (document/LatLonShape.java newBoxQuery over tessellated triangles;
+    relations INTERSECTS/WITHIN/DISJOINT) — per-triangle geometric tests
+    in the engine; the SQL oracle uses the rects' interval algebra, so
+    parity proves the triangle evaluation equals the shape-union
+    semantics. Float-exact, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, ShapeBoxQuery
+
+    ix = _shape_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, rel, la, lb, oa, ob in SHAPE_QUERIES:
+        q = ShapeBoxQuery("rect", la, lb, oa, ob, relation=rel)
+        td = s.search(BooleanQuery(should=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def shape_engine_sql() -> str:
+    from lucene_ray.search.spatial import synth_rect_sql
+
+    lat0, lat1, lon0, lon1 = synth_rect_sql("doc_id")
+    parts = []
+    for qid, rel, la, lb, oa, ob in SHAPE_QUERIES:
+        inter = (
+            f"{lat1} >= {la!r} AND {lat0} <= {lb!r} AND "
+            f"{lon1} >= {oa!r} AND {lon0} <= {ob!r}"
+        )
+        if rel == "intersects":
+            cond = inter
+        elif rel == "within":
+            cond = (
+                f"{lat0} >= {la!r} AND {lat1} <= {lb!r} AND "
+                f"{lon0} >= {oa!r} AND {lon1} <= {ob!r}"
+            )
+        else:
+            cond = f"NOT ({inter})"
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents WHERE {cond}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 NBCLASSIFY_TEXTS = [
     (0, "merge sort window"),
     (1, "batch stream data value"),

@@ -619,6 +619,25 @@ class RangeFieldQuery:
 
 
 @dataclass(frozen=True)
+class ShapeBoxQuery:
+    """Bounding-box query over INDEXED shapes (document/LatLonShape.java
+    newBoxQuery -> LatLonShapeBoundingBoxQuery; relations from
+    document/ShapeField.QueryRelation): a doc's tessellated triangles are
+    tested per component — INTERSECTS = any triangle intersects the box,
+    WITHIN = every triangle within, DISJOINT = none intersects. CONTAINS
+    requires the reference's component-tree machinery and is out of scope
+    (documented). Boundary-inclusive; constant score = boost."""
+
+    field: str
+    min_lat: float
+    max_lat: float
+    min_lon: float
+    max_lon: float
+    relation: str = "intersects"  # intersects | within | disjoint
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class LatLonBoxQuery:
     """2-D geo box filter, bounds INCLUSIVE on raw float64, constant score
     (document/LatLonPoint.java newBoxQuery over the Morton-sorted

@@ -425,6 +425,27 @@ class SegmentReader:
             cache[field] = tbl.column(field).combine_chunks().to_pylist()
         return cache[field]
 
+    def shape_triangles(self, field: str):
+        """Tessellated triangles of an indexed shape field
+        (document/LatLonShape.java sidecar, see search/spatial.py):
+        (docid_local, ax, ay, bx, by, cx, cy) float64 arrays."""
+        cache = getattr(self, "_shape_cache", None)
+        if cache is None:
+            cache = self._shape_cache = {}
+        if field not in cache:
+            path = os.path.join(self.seg_dir, "shapes.parquet")
+            if not os.path.exists(path):
+                raise KeyError(f"no indexed shapes for field {field!r}")
+            t = pq.read_table(path, memory_map=True)
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.equal(t.column("field"), field))
+            cache[field] = tuple(
+                t.column(c).to_numpy(zero_copy_only=False)
+                for c in ("docid", "ax", "ay", "bx", "by", "cx", "cy")
+            )
+        return cache[field]
+
     @property
     def has_term_vectors(self) -> bool:
         return os.path.exists(os.path.join(self.seg_dir, "termvectors.parquet"))

@@ -65,6 +65,7 @@ from lucene_ray.search.query import (
     FunctionRangeQuery,
     MultiRangeQuery,
     NGramPhraseQuery,
+    ShapeBoxQuery,
     SortedNumericRangeQuery,
     SynonymQuery,
     TermQuery,
@@ -1052,6 +1053,45 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             if len(d) == 0:
                 continue
             out.append(_Clause(q, None, None, scored=(d, s)))
+        elif isinstance(q, ShapeBoxQuery):
+            def _shapebox(q=q):
+                from lucene_ray.search.spatial import tri_box_relation
+
+                if q.relation not in ("intersects", "within", "disjoint"):
+                    raise ValueError(
+                        f"unsupported shape relation: {q.relation!r} "
+                        "(CONTAINS needs component trees — out of scope)"
+                    )
+                dd, axx, ayy, bxx, byy, cxx, cyy = reader.shape_triangles(q.field)
+                if len(dd) == 0:
+                    return np.array([], dtype=np.int64)
+                inter, within = tri_box_relation(
+                    (axx, ayy, bxx, byy, cxx, cyy),
+                    q.min_lat, q.max_lat, q.min_lon, q.max_lon,
+                )
+                # doc-major rows: aggregate per doc with reduceat
+                starts = np.nonzero(
+                    np.concatenate(([True], dd[1:] != dd[:-1]))
+                )[0]
+                docs_u = dd[starts]
+                any_inter = np.add.reduceat(inter.astype(np.int64), starts) > 0
+                all_within = (
+                    np.add.reduceat(within.astype(np.int64), starts)
+                    == np.diff(np.append(starts, len(dd)))
+                )
+                if q.relation == "intersects":
+                    keep = any_inter
+                elif q.relation == "within":
+                    keep = all_within
+                else:  # disjoint: the doc HAS a shape and nothing intersects
+                    keep = ~any_inter
+                return docs_u[keep].astype(np.int64)
+
+            docids = _qcache(reader, q, _shapebox)
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, None, scored=(docids, scores)))
         elif isinstance(q, SortedNumericRangeQuery):
             def _snrange(q=q):
                 offsets, flat = reader.sorted_numeric_doc_values(q.field)

@@ -318,3 +318,124 @@ def build_spatial_table(
             )
         )
     return pa.concat_tables(parts)
+
+
+# ------------------------------------------------------- indexed shapes
+# LatLonShape (document/LatLonShape.java): shapes are tessellated into
+# triangles at index time (geo/Tessellator.java) and queries evaluate a
+# relation per component triangle (document/LatLonShapeQuery /
+# ShapeQuery.java). Re-expression: per segment a ``shapes.parquet``
+# sidecar holds one row per triangle (docid, ax..cy in lon/lat degrees,
+# float64). Relations implemented: INTERSECTS / WITHIN / DISJOINT
+# (QueryRelation.java) — CONTAINS needs the reference's component-tree
+# machinery and is out of scope (as it long was for Lucene itself).
+
+def synth_rect(docids: np.ndarray):
+    """Deterministic per-doc rectangle anchored at the synthetic point:
+    [lat, lat+h] x [lon, lon+w], h = 0.25 + (docid % 4) * 0.25,
+    w = 0.25 + (docid % 3) * 0.5 — exact in float64 and SQL-mirrorable
+    from doc_id alone (all quantities are quarter-multiples)."""
+    d = np.asarray(docids, dtype=np.int64)
+    lat0 = synth_lat(d)
+    lon0 = synth_lon(d)
+    h = 0.25 + (d % 4) * 0.25
+    w = 0.25 + (d % 3) * 0.5
+    return lat0, lat0 + h, lon0, lon0 + w
+
+
+def synth_rect_sql(col: str = "doc_id"):
+    """(lat0, lat1, lon0, lon1) SQL expressions mirroring synth_rect."""
+    lat0 = synth_lat_sql(col)
+    lon0 = synth_lon_sql(col)
+    return (
+        f"({lat0})",
+        f"(({lat0}) + (0.25 + ({col} % 4) * 0.25))",
+        f"({lon0})",
+        f"(({lon0}) + (0.25 + ({col} % 3) * 0.5))",
+    )
+
+
+def rect_triangles(docids: np.ndarray):
+    """Tessellate each doc's rect into 2 triangles (Tessellator shape);
+    returns (docid_per_tri, ax, ay, bx, by, cx, cy) with x=lon, y=lat."""
+    lat0, lat1, lon0, lon1 = synth_rect(docids)
+    d = np.asarray(docids, dtype=np.int64)
+    # t1 = (x0,y0)-(x1,y0)-(x1,y1); t2 = (x0,y0)-(x1,y1)-(x0,y1)
+    dd = np.concatenate([d, d])
+    ax = np.concatenate([lon0, lon0])
+    ay = np.concatenate([lat0, lat0])
+    bx = np.concatenate([lon1, lon1])
+    by = np.concatenate([lat0, lat1])
+    cx = np.concatenate([lon1, lon0])
+    cy = np.concatenate([lat1, lat1])
+    return dd, ax, ay, bx, by, cx, cy
+
+
+SHAPE_DERIVERS = {"rect": rect_triangles}
+
+
+def _point_in_tri(px, py, ax, ay, bx, by, cx, cy):
+    """Vectorized point-in-triangle (boundary inclusive) via half-plane
+    sign tests."""
+    d1 = (px - bx) * (ay - by) - (ax - bx) * (py - by)
+    d2 = (px - cx) * (by - cy) - (bx - cx) * (py - cy)
+    d3 = (px - ax) * (cy - ay) - (cx - ax) * (py - ay)
+    has_neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
+    has_pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+    return ~(has_neg & has_pos)
+
+
+def _segs_intersect(p1x, p1y, p2x, p2y, q1x, q1y, q2x, q2y):
+    """Vectorized proper/improper segment intersection (orientation
+    tests, touching counts)."""
+    def orient(ax, ay, bx, by, cx, cy):
+        return np.sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+    o1 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    o2 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    o3 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    o4 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    general = (o1 != o2) & (o3 != o4)
+
+    def on_seg(ax, ay, bx, by, px, py, o):
+        return (
+            (o == 0)
+            & (np.minimum(ax, bx) <= px) & (px <= np.maximum(ax, bx))
+            & (np.minimum(ay, by) <= py) & (py <= np.maximum(ay, by))
+        )
+
+    col = (
+        on_seg(p1x, p1y, p2x, p2y, q1x, q1y, o1)
+        | on_seg(p1x, p1y, p2x, p2y, q2x, q2y, o2)
+        | on_seg(q1x, q1y, q2x, q2y, p1x, p1y, o3)
+        | on_seg(q1x, q1y, q2x, q2y, p2x, p2y, o4)
+    )
+    return general | col
+
+
+def tri_box_relation(tris, min_lat, max_lat, min_lon, max_lon):
+    """(intersects, within) boolean arrays per TRIANGLE for an axis-
+    aligned box (lat = y, lon = x), boundary-inclusive — the per-
+    component tests of LatLonShapeBoundingBoxQuery."""
+    ax, ay, bx, by, cx, cy = tris
+    x0, x1, y0, y1 = min_lon, max_lon, min_lat, max_lat
+
+    def in_box(px, py):
+        return (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+
+    va, vb, vc = in_box(ax, ay), in_box(bx, by), in_box(cx, cy)
+    within = va & vb & vc
+    inter = va | vb | vc
+    # any box corner inside the triangle
+    for px, py in ((x0, y0), (x1, y0), (x1, y1), (x0, y1)):
+        inter |= _point_in_tri(px, py, ax, ay, bx, by, cx, cy)
+    # any triangle edge crossing any box edge
+    tri_edges = ((ax, ay, bx, by), (bx, by, cx, cy), (cx, cy, ax, ay))
+    box_edges = (
+        (x0, y0, x1, y0), (x1, y0, x1, y1),
+        (x1, y1, x0, y1), (x0, y1, x0, y0),
+    )
+    for e in tri_edges:
+        for f in box_edges:
+            inter |= _segs_intersect(*e, *f)
+    return inter, within

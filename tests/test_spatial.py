@@ -264,3 +264,56 @@ def test_ring_sql_matches_numpy():
         .astype(np.int64)
     )
     assert np.array_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIndexedShapes:
+    """LatLonShape-lite (document/LatLonShape.java): triangle sidecar,
+    relation semantics, merge survival, SQL parity."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_shape_gate_parity(self):
+        import duckdb
+
+        from lucene_ray.ops import bm25docs
+        from tests.test_ops import assert_same
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{self.SF}/documents.parquet')"
+        )
+        assert_same(bm25docs.shape_engine(self.SF), con, bm25docs.shape_engine_sql())
+
+    def test_relation_algebra(self):
+        from lucene_ray.ops.bm25docs import _shape_engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, ShapeBoxQuery
+
+        s = IndexSearcher(_shape_engine_index(self.SF))
+        n = s.reader.manifest.doc_count
+        box = dict(min_lat=10.005, max_lat=40.005, min_lon=-60.005, max_lon=0.005)
+        inter = set(s.search(BooleanQuery(should=[
+            ShapeBoxQuery("rect", relation="intersects", **box)]), 1 << 20).docids.tolist())
+        within = set(s.search(BooleanQuery(should=[
+            ShapeBoxQuery("rect", relation="within", **box)]), 1 << 20).docids.tolist())
+        disjoint = set(s.search(BooleanQuery(should=[
+            ShapeBoxQuery("rect", relation="disjoint", **box)]), 1 << 20).docids.tolist())
+        assert within <= inter
+        assert inter.isdisjoint(disjoint)
+        assert len(inter) + len(disjoint) == n
+        # whole-world box: everything within
+        world = s.search(BooleanQuery(should=[ShapeBoxQuery(
+            "rect", -100.0, 100.0, -200.0, 200.0, relation="within")]), 1 << 20)
+        assert len(world.docids) == n
+
+    def test_contains_unsupported(self):
+        from lucene_ray.ops.bm25docs import _shape_engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, ShapeBoxQuery
+
+        s = IndexSearcher(_shape_engine_index(self.SF))
+        with pytest.raises(ValueError, match="CONTAINS"):
+            s.search(BooleanQuery(should=[ShapeBoxQuery(
+                "rect", 0.0, 1.0, 0.0, 1.0, relation="contains")]), 10)
