@@ -237,6 +237,46 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
                     f"{int(mismatch.sum())} docs"
                 )
 
+        # SORTED_NUMERIC sidecar: one row per doc, values ASC per doc
+        # (SortedNumericDocValuesField write contract)
+        snd_path = os.path.join(d, "docvalues_sortednumeric.parquet")
+        if os.path.exists(snd_path):
+            snd = pq.read_table(snd_path)
+            if snd.num_rows != entry.doc_count:
+                problems.append(
+                    f"{entry.name}: sortednumeric sidecar rows != doc_count"
+                )
+            import pyarrow.compute as pc
+
+            for col in snd.schema.names:
+                c = snd.column(col).combine_chunks()
+                flat = c.values.to_numpy(zero_copy_only=False)
+                offs = c.offsets.to_numpy(zero_copy_only=False)
+                if len(flat) > 1:
+                    bad = np.diff(flat) < 0
+                    bad[offs[1:-1] - 1] = False  # row boundaries may drop
+                    if bad.any():
+                        problems.append(
+                            f"{entry.name}: sortednumeric {col} values not "
+                            "ascending within a doc"
+                        )
+
+        # shapes sidecar: doc-major local docids in range
+        sh_path = os.path.join(d, "shapes.parquet")
+        if os.path.exists(sh_path):
+            sh = pq.read_table(sh_path, columns=["docid"])
+            sdocs = sh.column("docid").to_numpy(zero_copy_only=False)
+            if len(sdocs) and (sdocs.min() < 0 or sdocs.max() >= entry.doc_count):
+                problems.append(f"{entry.name}: shapes docid out of range")
+
+        # binary DV sidecar: one row per doc
+        bdv_path = os.path.join(d, "docvalues_binary.parquet")
+        if os.path.exists(bdv_path):
+            if pq.ParquetFile(bdv_path).metadata.num_rows != entry.doc_count:
+                problems.append(
+                    f"{entry.name}: binary DV sidecar rows != doc_count"
+                )
+
         if verify_content and "file" in entry.input:
             # merged segments carry "merged_from" lineage instead; their
             # stored sha256 column was concatenated from verified inputs

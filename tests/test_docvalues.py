@@ -481,3 +481,38 @@ class TestSortedNumericAndBinaryDV:
         assert [b.hex() for b in blobs] == stored.column(
             "content_sha256"
         ).to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkindex_validates_new_sidecars(tmp_path):
+    """CheckIndex covers the SORTED_NUMERIC / BINARY / shapes sidecars:
+    clean indexes pass; a corrupted ascending-order invariant is caught."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.checkindex import check_index
+    from lucene_ray.ops.bm25docs import _dv2_engine_index, _shape_engine_index
+    from tests.test_ops import SF
+
+    for ix in (_dv2_engine_index(SF), _shape_engine_index(SF)):
+        assert check_index(ix, verify_content=False)["problems"] == []
+    # corrupt a copy: descending values within one doc must be flagged
+    import shutil
+
+    src = _dv2_engine_index(SF)
+    ix2 = str(tmp_path / "corrupt")
+    shutil.copytree(src, ix2)
+    segs = [d for d in os.listdir(os.path.join(ix2, "segments"))]
+    p = os.path.join(ix2, "segments", segs[0], "docvalues_sortednumeric.parquet")
+    t = pq.read_table(p)
+    col = t.column("sig_nums").combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).copy()
+    if len(flat) >= 3:
+        flat[0], flat[2] = max(flat[0], flat[2]) + 5, 0  # break ASC in doc 0
+    bad = pa.ListArray.from_arrays(col.offsets, pa.array(flat, type=pa.int64()))
+    pq.write_table(t.set_column(0, "sig_nums", bad), p)
+    probs = check_index(ix2, verify_content=False)["problems"]
+    assert any("not ascending" in x for x in probs)
