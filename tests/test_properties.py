@@ -362,3 +362,135 @@ def test_word_breaks_match_naive(vocab, term):
         if term[:i] in vocab and term[i:] in vocab
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-4 second-half kernels
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.text(
+        alphabet=st.sampled_from(list('ab c()"+|-~*\\123')), min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_simpleparser_never_throws(text):
+    """SimpleQueryParser's core contract: ANY input parses (the reference's
+    degrade-gracefully recovery rules, SimpleQueryParser.java:103)."""
+    from lucene_ray.analysis import CodeAnalyzer
+    from lucene_ray.search.query import BooleanQuery
+    from lucene_ray.search.simpleparser import SimpleQueryParser
+
+    q = SimpleQueryParser(CodeAnalyzer()).parse(text)
+    assert isinstance(q, BooleanQuery)
+
+
+@st.composite
+def tri_and_box(draw):
+    from hypothesis import assume
+
+    f = lambda: draw(st.integers(-50, 50)) / 4.0
+    tri = tuple(np.array([f()]) for _ in range(6))
+    ax, ay, bx, by, cx, cy = (t[0] for t in tri)
+    # real tessellations never emit degenerate (zero-area) triangles —
+    # the half-plane point test is unspecified for them
+    assume((bx - ax) * (cy - ay) - (by - ay) * (cx - ax) != 0)
+    x0, x1 = sorted((f(), f()))
+    y0, y1 = sorted((f(), f()))
+    return tri, (y0, y1, x0, x1)
+
+
+@given(tri_and_box())
+@settings(max_examples=300, deadline=None)
+def test_tri_box_relation_invariants(case):
+    """within => intersects; a box containing the triangle's bbox gives
+    within; a box fully outside the bbox gives neither."""
+    from lucene_ray.search.spatial import tri_box_relation
+
+    tri, (y0, y1, x0, x1) = case
+    ax, ay, bx, by, cx, cy = tri
+    inter, within = tri_box_relation(tri, y0, y1, x0, x1)
+    assert not (within[0] and not inter[0])
+    # cover box strictly around the triangle
+    big = tri_box_relation(
+        tri,
+        float(min(ay[0], by[0], cy[0])) - 1.0,
+        float(max(ay[0], by[0], cy[0])) + 1.0,
+        float(min(ax[0], bx[0], cx[0])) - 1.0,
+        float(max(ax[0], bx[0], cx[0])) + 1.0,
+    )
+    assert big[0][0] and big[1][0]
+    # box strictly left of the triangle bbox
+    far = tri_box_relation(
+        tri,
+        float(min(ay[0], by[0], cy[0])),
+        float(max(ay[0], by[0], cy[0])),
+        float(min(ax[0], bx[0], cx[0])) - 10.0,
+        float(min(ax[0], bx[0], cx[0])) - 5.0,
+    )
+    assert not far[0][0] and not far[1][0]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 4)),
+        min_size=1, max_size=4, unique_by=lambda p: p[1],
+    ),
+    st.integers(0, 30),
+)
+@settings(max_examples=200, deadline=None)
+def test_gapped_phrase_matches_naive(pairs, seed):
+    """_gapped_phrase_postings == brute-force alignment over a tiny
+    synthetic positions table."""
+    from lucene_ray.search.scorer import _POS_SPAN, _gapped_phrase_postings
+
+    rng = np.random.default_rng(seed)
+    n_docs, vocab, doc_len = 6, 7, 12
+    # term -> per-doc position sets
+    positions = {
+        t: [
+            np.sort(
+                rng.choice(doc_len, size=rng.integers(0, 4), replace=False)
+            ).astype(np.int64)
+            for _ in range(n_docs)
+        ]
+        for t in range(vocab)
+    }
+
+    class _TP:
+        def __init__(self, t):
+            self.t = t
+            self._ttf = 1
+            self._pos_blob = b"x"
+
+        def flat_positions(self):
+            d, p = [], []
+            for doc in range(n_docs):
+                for pos in positions[self.t][doc]:
+                    d.append(doc)
+                    p.append(int(pos))
+            return np.array(d, dtype=np.int64), np.array(p, dtype=np.int64)
+
+    class _Reader:
+        def postings(self, t):
+            return _TP(t)
+
+    # NGramPhraseQuery.kept() always keeps index 0, so the first pair's
+    # offset is 0 by construction — alignments are anchored at real
+    # positions, never negative
+    kept = ((pairs[0][0], 0),) + tuple((t, off) for t, off in pairs[1:])
+    got_d, got_f = _gapped_phrase_postings(_Reader(), kept)
+    # naive: for each doc, count start positions p with term_j at p+off_j
+    want = {}
+    for doc in range(n_docs):
+        cnt = 0
+        for p in range(doc_len + 8):
+            if all(
+                (p + off) in positions[t][doc].tolist() for t, off in kept
+            ):
+                cnt += 1
+        if cnt:
+            want[doc] = cnt
+    assert dict(zip(got_d.tolist(), got_f.tolist())) == want
