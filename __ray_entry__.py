@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doublerange_engine": bm25docs.doublerange_engine,
         "nbclassify_engine": bm25docs.nbclassify_engine,
         "shape_engine": bm25docs.shape_engine,
+        "fieldexists_engine": bm25docs.fieldexists_engine,
+        "knn_threshold": knn.knn_threshold,
         "combinedfield_topk": bm25docs.combinedfield_topk,
         "combinedfield_engine": bm25docs.combinedfield_engine,
         "dvquery_engine": bm25docs.dvquery_engine,
@@ -229,6 +231,8 @@ def oracle_sql() -> dict[str, str]:
         "doublerange_engine": bm25docs.doublerange_engine_sql(),
         "nbclassify_engine": bm25docs.nbclassify_engine_sql(),
         "shape_engine": bm25docs.shape_engine_sql(),
+        "fieldexists_engine": bm25docs.fieldexists_engine_sql(),
+        "knn_threshold": knn.knn_threshold_sql(),
         "combinedfield_topk": bm25docs.combinedfield_topk_sql(),
         "combinedfield_engine": bm25docs.combinedfield_engine_sql(),
         "dvquery_engine": bm25docs.dvquery_engine_sql(),

@@ -1461,6 +1461,76 @@ WITH tok AS (
 """
 
 
+def fieldexists_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): FieldExistsQuery (search/FieldExistsQuery.java) over a
+    corpus where every third doc has EMPTY content — qid 0 content-exists
+    (zero-token docs are absent; norms-existence divergence documented on
+    the query class), qid 1 a dense numeric-DV field (all docs), qid 2 an
+    unknown field (nothing). Float-free, SQL-checked exactly."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, FieldExistsQuery
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    ids_s = ids[order]
+    texts = docs.column("text").take(pa.array(order)).to_pylist()
+    rows = [
+        {"repo": "r", "path": f"d/{int(d)}", "commit": "0", "lang": "txt",
+         "content": "" if int(d) % 3 == 0 else t}
+        for d, t in zip(ids_s, texts)
+    ]
+    os.makedirs("/tmp/lucene_ray_cache", exist_ok=True)
+    ix = tempfile.mkdtemp(prefix="docs_fe_", dir="/tmp/lucene_ray_cache")
+    src = ix + "_corpus.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), src, row_group_size=256)
+    try:
+        build_index([src], ix, target_docs=512)
+        s = IndexSearcher(ix)
+        qs = [
+            (0, FieldExistsQuery("content")),
+            (1, FieldExistsQuery("n_chars")),
+            (2, FieldExistsQuery("no_such_field")),
+        ]
+        out_q, out_d = [], []
+        for qid, q in qs:
+            td = s.search(BooleanQuery(should=[q]), 1_000_000)
+            out_q.extend([qid] * len(td.docids))
+            out_d.extend(td.docids.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "docid": pa.array(out_d, type=pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+        if os.path.exists(src):
+            os.remove(src)
+
+
+def fieldexists_engine_sql() -> str:
+    # the gate corpus blanks every third doc's content; docid == doc_id
+    # rank (sorted doc_id order is row order, contiguous from 0)
+    toks = tokenize_sql_expr("(CASE WHEN doc_id % 3 = 0 THEN '' ELSE text END)")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, (row_number() OVER (ORDER BY doc_id) - 1) AS rk,
+         {toks} AS l
+  FROM documents
+)
+SELECT 0 AS qid, rk AS docid FROM ranked WHERE len(l) > 0
+UNION ALL
+SELECT 1 AS qid, rk AS docid FROM ranked
+"""
+
+
 def _shape_engine_index(sf_dir: str) -> str:
     """documents index with the tessellated-rect shape sidecar
     (shape_fields=("rect",)), then merged so the shapes docid-rebase merge

@@ -153,6 +153,58 @@ def _distributed_rank_merge(
     )
 
 
+SIM_THRESHOLD = 0.25  # clearly inside the tail of the random-cosine spread
+
+
+def knn_threshold(
+    sf_dir: str, threshold: float = SIM_THRESHOLD
+) -> "ray.data.Dataset":
+    """(query_id, vec_id): every vector whose cosine similarity to a query
+    meets the threshold — FloatVectorSimilarityQuery
+    (search/FloatVectorSimilarityQuery.java traverseSimilarity: all
+    vectors above resultSimilarity, unbounded count). Pure streamed
+    map_batches FILTER: unlike top-k there is no reduce at all — the
+    driver/downstream only ever sees the hits, so this is the best-scaling
+    member of the kNN family (no per-block candidate sets, no Q*k merge)."""
+    q_ids, q_mat = _load_queries(sf_dir)
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn[qn == 0] = 1.0
+    q_ref = ray.put((q_ids, q_mat, qn))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def above(batch: pa.Table) -> pa.Table:
+        qi, qm, qnorm = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _embedding_matrix(batch.column("embedding"))
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        sims = (qm @ mat.T) / (qnorm[:, None] * n[None, :])
+        qq, vv = np.nonzero(sims >= threshold)
+        return pa.table(
+            {
+                "query_id": pa.array(qi[qq], type=pa.int64()),
+                "vec_id": pa.array(ids[vv], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(above, batch_format="pyarrow", batch_size=4096)
+
+
+def knn_threshold_sql(threshold: float = SIM_THRESHOLD) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}
+)
+SELECT q.query_id, e.vec_id
+FROM q CROSS JOIN embeddings e
+WHERE list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+      >= {threshold!r}
+"""
+
+
 def knn_bruteforce(sf_dir: str, k: int = TOP_K) -> "ray.data.Dataset":
     """(query_id, rank, vec_id): exact cosine top-k, ties by vec_id asc."""
     q_ids, q_mat = _load_queries(sf_dir)

@@ -619,6 +619,21 @@ class RangeFieldQuery:
 
 
 @dataclass(frozen=True)
+class FieldExistsQuery:
+    """search/FieldExistsQuery.java: docs where ``field`` has any value.
+    For the analyzed content field existence = at least one indexed token
+    (the norms-existence path; divergence: the reference counts a
+    supplied-but-empty text field as existing via its norm entry — our
+    norms sidecar is dense, so zero-token docs are the honest 'absent'
+    set, documented). Doc-values / keyword / points fields are DENSE
+    sidecars here, so existence = every live doc; unknown fields match
+    nothing. Constant score = boost."""
+
+    field: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ShapeBoxQuery:
     """Bounding-box query over INDEXED shapes (document/LatLonShape.java
     newBoxQuery -> LatLonShapeBoundingBoxQuery; relations from

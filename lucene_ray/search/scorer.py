@@ -65,6 +65,7 @@ from lucene_ray.search.query import (
     FunctionRangeQuery,
     MultiRangeQuery,
     NGramPhraseQuery,
+    FieldExistsQuery,
     ShapeBoxQuery,
     SortedNumericRangeQuery,
     SynonymQuery,
@@ -1053,6 +1054,26 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             if len(d) == 0:
                 continue
             out.append(_Clause(q, None, None, scored=(d, s)))
+        elif isinstance(q, FieldExistsQuery):
+            def _exists(q=q):
+                from lucene_ray.config import KEYWORD_FIELDS
+
+                if q.field == "content":
+                    return np.nonzero(reader.doc_len > 0)[0].astype(np.int64)
+                dense = (
+                    q.field in KEYWORD_FIELDS
+                    or q.field in reader.doc_values_schema()
+                    or q.field in reader.sorted_dv_schema()
+                )
+                if dense:
+                    return np.arange(reader.doc_count, dtype=np.int64)
+                return np.array([], dtype=np.int64)
+
+            docids = _qcache(reader, q, _exists)
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, None, scored=(docids, scores)))
         elif isinstance(q, ShapeBoxQuery):
             def _shapebox(q=q):
                 from lucene_ray.search.spatial import tri_box_relation

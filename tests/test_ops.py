@@ -1700,3 +1700,48 @@ class TestNaiveBayesGate:
         res = clf.assign_classes("batch stream")
         for (c0, s0), (c1, s1) in zip(res, res[1:]):
             assert s0 > s1 or (s0 == s1 and c0 < c1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFieldExistsAndThreshold:
+    """search/FieldExistsQuery.java + FloatVectorSimilarityQuery.java:
+    SQL parity + semantic invariants."""
+
+    def test_fieldexists_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.fieldexists_engine(SF), con,
+            bm25docs.fieldexists_engine_sql(),
+        )
+
+    def test_fieldexists_semantics(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, FieldExistsQuery
+
+        s = IndexSearcher(_engine_index(SF))
+        n = s.reader.manifest.doc_count
+        for field in ("n_chars", "lang"):  # dense DV / keyword
+            td = s.search(BooleanQuery(should=[FieldExistsQuery(field)]), 1 << 20)
+            assert len(td.docids) == n
+        td = s.search(BooleanQuery(should=[FieldExistsQuery("ghost")]), 1 << 20)
+        assert len(td.docids) == 0
+
+    def test_knn_threshold(self, con):
+        from lucene_ray.ops import knn
+
+        assert_same(knn.knn_threshold(SF), con, knn.knn_threshold_sql())
+
+    def test_threshold_superset_of_topk_hits(self):
+        from lucene_ray.ops import knn
+
+        thr = knn.knn_threshold(SF, threshold=0.0).to_pandas()
+        # threshold 0 admits at least every doc a query ranks (cosine of
+        # the query with ITSELF is 1 >= 0, so every query has hits)
+        assert thr.groupby("query_id").size().min() >= 1
+        hi = knn.knn_threshold(SF, threshold=0.999).to_pandas()
+        # ~only self-matches survive a 0.999 threshold
+        assert len(hi) < len(thr)
+        for q in hi.query_id.unique():
+            assert q in set(hi[hi.query_id == q].vec_id)
