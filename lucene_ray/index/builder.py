@@ -380,6 +380,13 @@ def build_one_segment(
         f for f in sorted_set_dv_fields
         if f in avail and f not in STORED_COLUMNS and f not in extra_cols
     ]
+    # user-supplied SORTED_NUMERIC / BINARY source columns must survive the
+    # pruned read, else the deriver silently replaces them (ADVICE r4 —
+    # empty per-doc lists are only representable via the verbatim path)
+    extra_cols += [
+        f for f in sorted_numeric_dv_fields + binary_dv_fields
+        if f in avail and f not in STORED_COLUMNS and f not in extra_cols
+    ]
     extra_cols += [
         f for f in analyzed_fields
         if f not in ANALYZED_FIELD_DERIVERS

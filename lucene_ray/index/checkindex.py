@@ -254,7 +254,13 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
                 offs = c.offsets.to_numpy(zero_copy_only=False)
                 if len(flat) > 1:
                     bad = np.diff(flat) < 0
-                    bad[offs[1:-1] - 1] = False  # row boundaries may drop
+                    # row boundaries may drop; EMPTY docs make boundary
+                    # offsets hit 0 (leading — the -1 would wrap to the
+                    # LAST diff and mask a real violation) or len(flat)
+                    # (trailing — one past the diff array), so clamp to
+                    # the valid diff-index range (ADVICE r4)
+                    b = offs[1:-1] - 1
+                    bad[b[(b >= 0) & (b < len(bad))]] = False
                     if bad.any():
                         problems.append(
                             f"{entry.name}: sortednumeric {col} values not "

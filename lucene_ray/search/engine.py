@@ -1058,6 +1058,18 @@ def fetch_sorted_numeric_selected(
             field
         )
         local = g[sel] - entry.docid_base
+        # An empty per-doc list has offsets[local] == offsets[local+1];
+        # indexing flat there would silently read a NEIGHBORING doc's
+        # value. SortedNumericSelector has no missing sentinel, so refuse
+        # loudly instead. (ADVICE r4)
+        empty = offsets[local] == offsets[local + 1]
+        if empty.any():
+            bad = g[sel][empty]
+            raise ValueError(
+                f"fetch_sorted_numeric_selected: field {field!r} has no "
+                f"values for docid(s) {bad[:5].tolist()} — filter with "
+                "FieldExistsQuery first or supply dense values"
+            )
         if selector == "min":
             out[sel] = flat[offsets[local]]
         else:

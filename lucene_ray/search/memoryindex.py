@@ -36,6 +36,36 @@ from lucene_ray.search.query import (
 )
 from lucene_ray.search.rewrite import _levenshtein_within
 
+
+def _phrase_match_count(pos_lists, slop: int) -> int:
+    """Number of phrase matches in one doc (the MemoryIndex analog of the
+    reference's phrase frequency — memory/MemoryIndexReader scores with
+    the real match count, not match/no-match). Exact (slop=0): count of
+    first-term positions starting a consecutive run. Sloppy: count of
+    first-term positions participating in at least one alignment whose
+    adjusted-position span <= slop (divergence, documented: the reference's
+    SloppyPhraseMatcher weights each match 1/(1+matchLength); we count
+    matches unweighted — tf ordering per doc is preserved). (ADVICE r4)"""
+    import numpy as np
+
+    if slop == 0:
+        base = pos_lists[0]
+        hit = np.ones(len(base), dtype=bool)
+        for j, pl in enumerate(pos_lists[1:], start=1):
+            hit &= np.isin(base + j, pl)
+            if not hit.any():
+                return 0
+        return int(hit.sum())
+    from itertools import product
+
+    small = [pl.tolist() for pl in pos_lists]
+    anchors = set()
+    for combo in product(*small):
+        adj = [p - i for i, p in enumerate(combo)]
+        if max(adj) - min(adj) <= slop:
+            anchors.add(combo[0])
+    return len(anchors)
+
 _K1 = 1.2
 _B = 0.75
 
@@ -174,17 +204,16 @@ class MemoryIndex:
     def _phrase(self, terms, slop: int, boost: float) -> tuple[bool, float]:
         import numpy as np
 
-        from lucene_ray.search.monitor import _phrase_in_doc
-
         pos_lists = []
         for t in terms:
             p = self._positions.get(t)
             if not p:
                 return False, 0.0
             pos_lists.append(np.asarray(p, dtype=np.int64))
-        if not _phrase_in_doc(pos_lists, slop):
+        tf = _phrase_match_count(pos_lists, slop)
+        if tf == 0:
             return False, 0.0
-        return True, self._bm25(1) * boost
+        return True, self._bm25(tf) * boost
 
     def _bm25(self, tf: int) -> float:
         """BM25 with the single-doc stats: N=1, df=1 -> idf = ln(1 + 0.5/1.5);

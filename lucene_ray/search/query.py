@@ -625,9 +625,11 @@ class FieldExistsQuery:
     (the norms-existence path; divergence: the reference counts a
     supplied-but-empty text field as existing via its norm entry — our
     norms sidecar is dense, so zero-token docs are the honest 'absent'
-    set, documented). Doc-values / keyword / points fields are DENSE
-    sidecars here, so existence = every live doc; unknown fields match
-    nothing. Constant score = boost."""
+    set, documented). NUMERIC / SORTED(_SET) / BINARY doc-values and
+    keyword fields are DENSE sidecars here, so existence = every live
+    doc; SORTED_NUMERIC lists may be empty per doc, so existence = a
+    non-empty list; indexed shapes = docs with at least one triangle;
+    unknown fields match nothing. Constant score = boost."""
 
     field: str
     boost: float = 1.0

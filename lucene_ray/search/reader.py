@@ -325,6 +325,34 @@ class SegmentReader:
             return []
         return list(pq.read_schema(path).names)
 
+    def sorted_numeric_dv_schema(self) -> list[str]:
+        """Field names with SORTED_NUMERIC doc values (footer-only)."""
+        path = os.path.join(self.seg_dir, "docvalues_sortednumeric.parquet")
+        if not os.path.exists(path):
+            return []
+        return list(pq.read_schema(path).names)
+
+    def binary_dv_schema(self) -> list[str]:
+        """Field names with BINARY doc values (footer-only)."""
+        path = os.path.join(self.seg_dir, "docvalues_binary.parquet")
+        if not os.path.exists(path):
+            return []
+        return list(pq.read_schema(path).names)
+
+    def shape_fields(self) -> list[str]:
+        """Field names with indexed shapes in this segment. Reads only the
+        dictionary-encodable ``field`` column of the sidecar, cached."""
+        if not hasattr(self, "_shape_fields"):
+            path = os.path.join(self.seg_dir, "shapes.parquet")
+            if not os.path.exists(path):
+                self._shape_fields = []
+            else:
+                t = pq.read_table(path, columns=["field"], memory_map=True)
+                self._shape_fields = sorted(
+                    set(t.column("field").to_pylist())
+                )
+        return self._shape_fields
+
     def sorted_dv_is_set(self, field: str) -> bool:
         """True when ``field`` carries SORTED_SET (multi-valued, list
         column) doc values, False for single-valued SORTED — footer-only

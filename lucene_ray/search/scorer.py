@@ -1064,9 +1064,20 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                     q.field in KEYWORD_FIELDS
                     or q.field in reader.doc_values_schema()
                     or q.field in reader.sorted_dv_schema()
+                    or q.field in reader.binary_dv_schema()
                 )
                 if dense:
                     return np.arange(reader.doc_count, dtype=np.int64)
+                # SORTED_NUMERIC lists are per-doc and may be EMPTY (the
+                # sidecar stores a list row per doc verbatim), so existence
+                # = non-empty list, not the dense all-docs set. (ADVICE r4)
+                if q.field in reader.sorted_numeric_dv_schema():
+                    offsets, _flat = reader.sorted_numeric_doc_values(q.field)
+                    return np.nonzero(np.diff(offsets) > 0)[0].astype(np.int64)
+                # indexed shapes: docs present in the shapes sidecar
+                if q.field in reader.shape_fields():
+                    dd = reader.shape_triangles(q.field)[0]
+                    return np.unique(dd).astype(np.int64)
                 return np.array([], dtype=np.int64)
 
             docids = _qcache(reader, q, _exists)
@@ -1121,11 +1132,13 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                     hit &= flat >= q.lower
                 if q.upper is not None:
                     hit &= flat <= q.upper
-                # ANY value in range: count hits per doc via the offsets
-                per_doc = np.add.reduceat(
-                    hit.astype(np.int64), offsets[:-1]
-                ) if len(flat) else np.zeros(len(offsets) - 1, dtype=np.int64)
-                per_doc[offsets[:-1] == offsets[1:]] = 0  # empty docs
+                # ANY value in range: per-doc hit counts via a cumulative
+                # sum — empty per-doc lists (offsets[d] == offsets[d+1],
+                # incl. a trailing empty doc whose offset == len(flat))
+                # yield 0 naturally, where reduceat would raise. (ADVICE r4)
+                cum = np.zeros(len(flat) + 1, dtype=np.int64)
+                np.cumsum(hit, out=cum[1:])
+                per_doc = cum[offsets[1:]] - cum[offsets[:-1]]
                 return np.nonzero(per_doc > 0)[0].astype(np.int64)
 
             docids = _qcache(reader, q, _snrange)
