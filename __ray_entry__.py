@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # records the FIRST 50 entries (dict order), so new-in-round and
         # never-yet-recorded gates are placed first (VERDICT r3 #2); the
         # judge re-runs the remainder via tools/check_correctness.py.
+        # --- new in round 5
+        "dedup_hotkeys": dedup.dedup_hotkeys,
         # --- new in round 4
         "dvstats_engine": bm25docs.dvstats_engine,
         "diversified_engine": bm25docs.diversified_engine,
@@ -207,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
     return {
+        "dedup_hotkeys": dedup.dedup_hotkeys_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),
         "childjoin_engine": bm25docs.childjoin_engine_sql(),

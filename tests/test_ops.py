@@ -163,6 +163,98 @@ class TestDedupOps:
             dedup.contamination_check(SF), con, dedup.contamination_check_sql()
         )
 
+    def test_dedup_hotkeys(self, con):
+        from lucene_ray.ops import dedup
+
+        assert_same(dedup.dedup_hotkeys(SF), con, dedup.dedup_hotkeys_sql())
+
+    def test_bucket_width_invariance(self):
+        """The coarse bucket only PARTITIONS the shuffle — the exact-Jaccard
+        pair set must be identical for any n_buckets (VERDICT r4 #1: bucket
+        width is a free, data-proportional parameter)."""
+        from lucene_ray.ops import dedup
+
+        def pairs_at(nb):
+            sh = dedup._docs(SF).map_batches(
+                dedup._shingle_rows, batch_format="pyarrow", batch_size=4096
+            )
+            t = dedup._materialize(
+                dedup._exact_jaccard_pairs(sh, n_buckets=nb), dedup.PAIR_SCHEMA
+            )
+            return set(
+                zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist())
+            )
+
+        base = pairs_at(64)
+        assert base, "fixture corpus must contain near-dup pairs"
+        assert pairs_at(4096) == base
+        assert pairs_at(1) == base
+
+    def test_n_shuffle_buckets_data_proportional(self, monkeypatch):
+        """2^k bucket count derived from the Parquet footer byte size and a
+        per-bucket budget: forcing a tiny budget must widen the fan-out, and
+        the floor keeps small inputs parallel."""
+        from lucene_ray.ops import dedup
+
+        wide = dedup._n_shuffle_buckets(SF, 4.0, min_buckets=1)
+        monkeypatch.setattr(dedup, "PER_BUCKET_SHUFFLE_BUDGET", 1024)
+        forced = dedup._n_shuffle_buckets(SF, 4.0, min_buckets=1)
+        assert forced > wide and forced & (forced - 1) == 0  # power of two
+        assert dedup._n_shuffle_buckets(SF, 4.0) >= 64  # default floor
+        # width is honored end-to-end: every bucket id stays in range
+        b = dedup._coarse_bucket(
+            np.arange(10_000, dtype=np.int64) * 2654435761, forced
+        )
+        assert b.min() >= 0 and b.max() < forced and len(np.unique(b)) > forced // 4
+
+    def test_hotkey_drop_is_loud(self, caplog):
+        """Groups above the cap are dropped LOUDLY (logged with sizes) and
+        pairs from other keys survive (VERDICT r4 #3/#5)."""
+        import logging
+
+        from lucene_ray.ops import dedup
+
+        keys = np.array([7] * 10 + [9, 9], dtype=np.int64)
+        docs = np.arange(12, dtype=np.int64)
+        with caplog.at_level(logging.WARNING, logger="lucene_ray.dedup"):
+            out = dedup._pairs_in_key_groups(keys, docs, cap=5)
+        assert len(out) == 1 and out.doc_a.iloc[0] == 10 and out.doc_b.iloc[0] == 11
+        assert any("dropped 1 key group" in r.message for r in caplog.records)
+        assert any("max 10" in r.message for r in caplog.records)
+
+    def test_hotkeys_dropped_column_fires(self, tmp_path, monkeypatch):
+        """On a corpus with a >cap shingle cluster the audit's dropped flag
+        fires, in both the engine and the SQL oracle."""
+        import duckdb
+        import pyarrow.parquet as pq
+        from lucene_ray.ops import dedup
+
+        boiler = "the quick brown fox jumps over the lazy dog"
+        t = __import__("pyarrow").table(
+            {
+                "doc_id": list(range(5)),
+                "text": [f"{boiler} tail{i} mark{i} end{i} pad{i}" for i in range(4)]
+                + ["completely unrelated text with no shared shingles at all ok"],
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(t, str(sf / "documents.parquet"))
+        monkeypatch.setattr(dedup, "PAIR_GROUP_CAP", 3)
+        got = dedup.dedup_hotkeys(str(sf)).to_pandas()
+        assert (got[got.n_docs > 3].dropped == 1).all()
+        assert (got[got.n_docs <= 3].dropped == 0).all()
+        assert got.dropped.sum() >= 1  # the 4-doc boilerplate cluster
+        c = duckdb.connect()
+        c.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = c.execute(dedup.dedup_hotkeys_sql()).fetchdf()
+        cols = sorted(got.columns)
+        got_s = got[cols].sort_values(cols).reset_index(drop=True)
+        want_s = want[cols].sort_values(cols).reset_index(drop=True)
+        assert got_s.astype("int64").equals(want_s.astype("int64"))
+
     def test_minhash_recall_vs_exact(self):
         from lucene_ray.ops import dedup
 
