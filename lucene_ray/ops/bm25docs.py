@@ -3143,6 +3143,94 @@ WITH t AS (
 """
 
 
+# Classic-parser escaping gate (QueryParser.jj _ESCAPED_CHAR +
+# QueryParserBase.discardEscapeChar/escape): each PAIR of queries
+# contrasts the escaped-literal reading with the live-operator reading.
+PARSER_ESCAPE_QUERIES: list[tuple[int, str]] = [
+    (0, r"\+merge sort"),     # literal '+' -> OR of merge, sort
+    (1, "+merge sort"),       # live '+'    -> MUST merge
+    (2, r"mer\*"),            # literal '*' -> exact term 'mer'
+    (3, "mer*"),              # live '*'    -> wildcard
+    (4, r"lang\:en merge"),   # literal ':' -> content terms lang, en, merge
+    (5, "lang:en AND merge"), # live ':'    -> keyword field match
+    (6, r"path:doc\/5"),      # escaped '/' inside a keyword value
+    (7, r"merge\~1"),         # literal '~' -> terms merge, 1
+    (8, "merge~1"),           # live '~'    -> fuzzy, 1 edit
+    (9, r'"merge \"sort\""'), # escaped quotes INSIDE a phrase
+    (10, "m\\u0065rge"),   # \uXXXX unicode escape -> 'merge'
+    (11, r"\-merge sort"),    # literal '-' -> OR of merge, sort
+    (12, "-merge sort"),      # live '-'    -> MUST_NOT merge
+    (13, r"so\(rt\) \(merge\)"),  # literal parens -> terms so, rt, merge
+]
+
+
+def parser_escape_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): classic-parser escape grammar end-to-end — every query
+    string parses through parse_query (escape-aware lexer + discardEscapeChar)
+    and runs on the real index. Float-free doc sets, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import parse_query
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q in PARSER_ESCAPE_QUERIES:
+        td = s.search(parse_query(q, s.analyzer), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def parser_escape_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = [
+        "SELECT DISTINCT 0 AS qid, doc_id AS docid FROM tok "
+        "WHERE term IN ('merge', 'sort')",
+        "SELECT DISTINCT 1 AS qid, doc_id AS docid FROM tok WHERE term = 'merge'",
+        "SELECT DISTINCT 2 AS qid, doc_id AS docid FROM tok WHERE term = 'mer'",
+        "SELECT DISTINCT 3 AS qid, doc_id AS docid FROM tok "
+        "WHERE term LIKE 'mer%'",
+        "SELECT DISTINCT 4 AS qid, doc_id AS docid FROM tok "
+        "WHERE term IN ('lang', 'en', 'merge')",
+        "SELECT DISTINCT 5 AS qid, a.doc_id AS docid FROM tok a "
+        "JOIN documents d ON d.doc_id = a.doc_id "
+        "WHERE d.lang = 'en' AND a.term = 'merge'",
+        "SELECT 6 AS qid, doc_id AS docid FROM documents WHERE doc_id = 5",
+        "SELECT DISTINCT 7 AS qid, doc_id AS docid FROM tok "
+        "WHERE term IN ('merge', '1')",
+        "SELECT DISTINCT 8 AS qid, doc_id AS docid FROM tok WHERE term IN "
+        "(SELECT term FROM (SELECT DISTINCT term FROM tok) "
+        "WHERE levenshtein(term, 'merge') <= 1)",
+        "SELECT DISTINCT 9 AS qid, p0.doc_id AS docid FROM ptok p0 "
+        "JOIN ptok p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 "
+        "AND p1.term = 'sort' WHERE p0.term = 'merge'",
+        "SELECT DISTINCT 10 AS qid, doc_id AS docid FROM tok WHERE term = 'merge'",
+        "SELECT DISTINCT 11 AS qid, doc_id AS docid FROM tok "
+        "WHERE term IN ('merge', 'sort')",
+        "SELECT DISTINCT 12 AS qid, doc_id AS docid FROM tok "
+        "WHERE term = 'sort' AND doc_id NOT IN "
+        "(SELECT doc_id FROM tok WHERE term = 'merge')",
+        "SELECT DISTINCT 13 AS qid, doc_id AS docid FROM tok "
+        "WHERE term IN ('so', 'rt', 'merge')",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term FROM t
+), ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""
+
+
 BLENDED_QUERIES: list[tuple[int, tuple[str, str], str, float]] = [
     # (qid, (term0, term1), rewrite, tie_breaker)
     (0, ("merge", "merges"), "dismax", 0.1),   # variant pair: blend df

@@ -165,10 +165,9 @@ class MemoryIndex:
         if isinstance(q, PrefixQuery):
             expand = lambda t: t.startswith(q.prefix)
         elif isinstance(q, WildcardQuery):
-            import fnmatch
-            import re
+            from lucene_ray.search.rewrite import wildcard_regex
 
-            rx = re.compile(fnmatch.translate(q.pattern))  # == rewrite.expand_wildcard
+            rx = wildcard_regex(q.pattern)  # == rewrite.expand_wildcard
             expand = lambda t: rx.match(t) is not None
         elif isinstance(q, RegexpQuery):
             import re

@@ -10,6 +10,10 @@ Parser subset of the classic syntax (queryparser/.../classic/QueryParser.java:84
   foo AND bar        -> MUST foo, MUST bar
   +foo bar -baz      -> MUST foo, SHOULD bar, MUST_NOT baz
   "foo bar"          -> PhraseQuery(foo, bar)
+  \\+foo m\\*n        -> escaped specials are LITERAL text (QueryParser.jj
+                        _ESCAPED_CHAR; QueryParserBase.discardEscapeChar,
+                        incl. \\uXXXX unicode escapes); ``escape()`` mirrors
+                        QueryParserBase.escape's reserved-char table
 Query text runs through the same analyzer as indexing (Analyzer.normalize
 semantics, analysis/standard/StandardAnalyzer.java:99-101); a query word that
 analyzes to multiple tokens (e.g. ``fooBar``) expands to that many clauses
@@ -860,33 +864,97 @@ _LEX_RE = re.compile(
     r"(?P<space>\s+)"
     r"|(?P<lparen>(?P<lmod>[+-]?)(?P<lfield>" + _FPFX + r")?\()"
     r"|(?P<rparen>\)(?:\^(?P<gboost>" + _NUM + r"))?)"
-    r"|(?P<phrase>(?P<pmod>[+-]?)(?P<pfield>" + _FPFX + r')?"(?P<pbody>[^"]*)"'
+    r"|(?P<phrase>(?P<pmod>[+-]?)(?P<pfield>" + _FPFX + r')?"(?P<pbody>(?:\\.|[^"\\])*)"'
     r"(?:~(?P<pslop>\d+))?(?:\^(?P<pboost>" + _NUM + r"))?)"
     r"|(?P<range>(?P<rmod>[+-]?)(?P<rfield>" + _FPFX + r")?(?P<ropen>[\[{])"
-    r"(?P<rlo>[^\s\]}]+)\s+TO\s+(?P<rhi>[^\s\]}]+)(?P<rclose>[\]}])"
+    r"(?P<rlo>(?:\\.|[^\s\\\]}])+)\s+TO\s+(?P<rhi>(?:\\.|[^\s\\\]}])+)(?P<rclose>[\]}])"
     r"(?:\^(?P<rboost>" + _NUM + r"))?)"
-    r"|(?P<word>[^\s()]+)"
+    r"|(?P<word>(?:\\.|[^\s\\()])+)"
+    r"|(?P<badesc>\\)"
 )
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.*?)~(\d?)$")
 _FIELD_RE = re.compile(r"^([a-zA-Z_]+):(.+)$")
 
+# QueryParserBase.escape (queryparser/.../classic/QueryParserBase.java:~1000)
+# reserved-character table: \ + - ! ( ) : ^ [ ] " { } ~ * ? | & /
+_ESCAPABLE = set('\\+-!():^[]"{}~*?|&/')
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def escape(s: str) -> str:
+    """Backslash-escape every reserved classic-syntax character, so the
+    result parses as literal text (QueryParserBase.escape's exact table)."""
+    return "".join(("\\" + c) if c in _ESCAPABLE else c for c in s)
+
+
+def discard_escapes(s: str) -> str:
+    """Remove escape characters: ``\\x`` -> literal x, ``\\uXXXX`` -> the
+    code point (QueryParserBase.discardEscapeChar). Raises ValueError on a
+    trailing escape or a malformed unicode escape, as the reference does."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError("term can not end with escape character")
+        nxt = s[i + 1]
+        if nxt == "u":
+            hexs = s[i + 2 : i + 6]
+            if len(hexs) < 4 or any(ch not in _HEX for ch in hexs):
+                raise ValueError("non-hex character in Unicode escape sequence")
+            out.append(chr(int(hexs, 16)))
+            i += 6
+        else:
+            out.append(nxt)
+            i += 2
+    return "".join(out)
+
+
+def _has_unescaped(s: str, chars: str) -> bool:
+    """True iff any of ``chars`` occurs outside a backslash escape."""
+    esc = False
+    for c in s:
+        if esc:
+            esc = False
+        elif c == "\\":
+            esc = True
+        elif c in chars:
+            return True
+    return False
+
+
+def _ends_escaped(s: str) -> bool:
+    """True iff the character FOLLOWING ``s`` would be escaped (odd run of
+    trailing backslashes) — used to veto ^boost / ~fuzzy suffix splits."""
+    return (len(s) - len(s.rstrip("\\"))) % 2 == 1
+
 
 def _token_queries(w, is_phrase, boost, slop, analyzer, field=None) -> list:
     """Queries for ONE parsed token: field-scoped term/wildcard, fuzzy,
     wildcard, phrase, or analyzed term(s). ``field`` is the enclosing scope
-    (``field:(...)`` / ``field:"..."``); an explicit inline prefix wins."""
+    (``field:(...)`` / ``field:"..."``); an explicit inline prefix wins.
+    ``w`` arrives with backslash escapes INTACT — syntax detection is
+    escape-aware (an escaped ``*``/``~`` is literal text), and escapes are
+    discarded at each terminal (discardEscapeChar's call sites in
+    QueryParserBase.getFieldQuery/getWildcardQuery/getFuzzyQuery).
+    Wildcard patterns keep their escapes: WildcardQuery's matcher treats
+    ``\\x`` as literal x (search/WildcardQuery.java:55-82)."""
     from lucene_ray.config import KEYWORD_FIELDS
 
     if is_phrase:
         if field in KEYWORD_FIELDS:
             # StringField phrase = exact unanalyzed value match
-            return [TermQuery(f"{field}:{w}", boost=boost)]
+            return [TermQuery(f"{field}:{discard_escapes(w)}", boost=boost)]
         if field is not None and field != "content":
             # analyzed-field phrase (field:"..."): analyze, then scope every
             # position-carrying term to the field's shared-dict namespace
             # (QueryParser.getFieldQuery over a non-default TextField)
-            toks = analyzer.tokenize_text(w)
+            toks = analyzer.tokenize_text(discard_escapes(w))
             if not toks:
                 return []
             if len(toks) > 1:
@@ -909,29 +977,29 @@ def _token_queries(w, is_phrase, boost, slop, analyzer, field=None) -> list:
                 # StringField semantics: the value is NOT analyzed
                 # (queryparser/.../classic/QueryParser.java:84 field
                 # scoping; document/StringField.java exact terms)
-                if "*" in val or "?" in val:
+                if _has_unescaped(val, "*?"):
                     return [WildcardQuery(f"{fld}:{val}", boost=boost)]
-                return [TermQuery(f"{fld}:{val}", boost=boost)]
+                return [TermQuery(f"{fld}:{discard_escapes(val)}", boost=boost)]
             if fld == "content":
                 w = val  # the default field — analyze normally
             else:
                 # analyzed-field scope (builder analyzed_fields): analyze
                 # the value, scope each token to "fld:" — real positions,
                 # so wildcards/phrases work per field
-                if "*" in val or "?" in val:
+                if _has_unescaped(val, "*?"):
                     return [WildcardQuery(f"{fld}:{val.lower()}", boost=boost)]
-                toks = analyzer.tokenize_text(val)
+                toks = analyzer.tokenize_text(discard_escapes(val))
                 return [TermQuery(f"{fld}:{t}", boost=boost) for t in toks]
         m = _FUZZY_RE.match(w)
-        if m and m.group(1):
-            toks = analyzer.tokenize_text(m.group(1))
+        if m and m.group(1) and not _ends_escaped(m.group(1)):
+            toks = analyzer.tokenize_text(discard_escapes(m.group(1)))
             if toks:
                 edits = int(m.group(2)) if m.group(2) else 2
                 return [FuzzyQuery("".join(toks), max_edits=edits, boost=boost)]
             return []
-        if "*" in w or "?" in w:
+        if _has_unescaped(w, "*?"):
             return [WildcardQuery(w.lower(), boost=boost)]
-    if is_phrase and ("*" in w or "?" in w):
+    if is_phrase and _has_unescaped(w, "*?"):
         # ComplexPhraseQueryParser semantics (queryparser/complexPhrase/
         # ComplexPhraseQueryParser.java:61): wildcards INSIDE a quoted
         # phrase make each wildcard word a multi-term slot — the phrase
@@ -942,16 +1010,16 @@ def _token_queries(w, is_phrase, boost, slop, analyzer, field=None) -> list:
             raise ValueError("wildcard phrases do not support slop")
         slots: list[str] = []
         for word in w.split():
-            if "*" in word or "?" in word:
+            if _has_unescaped(word, "*?"):
                 slots.append(word.lower())
             else:
-                slots.extend(analyzer.tokenize_text(word))
+                slots.extend(analyzer.tokenize_text(discard_escapes(word)))
         if not slots:
             return []
         if len(slots) == 1:
             return [WildcardQuery(slots[0], boost=boost)]
         return [PhraseWildcardQuery(tuple(slots), boost=boost)]
-    toks = analyzer.tokenize_text(w)
+    toks = analyzer.tokenize_text(discard_escapes(w))
     if not toks:
         return []
     if is_phrase and len(toks) > 1:
@@ -968,8 +1036,8 @@ def _range_query(field, lo_raw, hi_raw, incl_lo, incl_hi, boost, analyzer):
     its endpoints like the classic parser does."""
     from lucene_ray.config import KEYWORD_FIELDS, NUMERIC_DV_FIELDS
 
-    lo = None if lo_raw == "*" else lo_raw
-    hi = None if hi_raw == "*" else hi_raw
+    lo = None if lo_raw == "*" else discard_escapes(lo_raw)
+    hi = None if hi_raw == "*" else discard_escapes(hi_raw)
     if field in NUMERIC_DV_FIELDS:
         def bound(x, adj):
             if x is None:
@@ -1065,6 +1133,10 @@ def _parse_bool(
             if depth == 0:
                 raise ValueError("unbalanced ')' in query")
             break  # caller consumes the ')^boost' token
+        if m.group("badesc"):
+            # a lone trailing backslash (QueryParserBase.discardEscapeChar:
+            # "Term can not end with escape character")
+            raise ValueError("term can not end with escape character")
         word = m.group("word")
         if word in ("AND", "&&"):
             conj = "and"
@@ -1119,7 +1191,7 @@ def _parse_bool(
                 cmod, w = "-", w[1:]
             boost = 1.0
             bm = _BOOST_RE.match(w)
-            if bm and bm.group(1):
+            if bm and bm.group(1) and not _ends_escaped(bm.group(1)):
                 w, boost = bm.group(1), float(bm.group(2))
             qs = _token_queries(w, False, boost, 0, analyzer, field=field_ctx)
             i += 1

@@ -16,7 +16,6 @@ search/IndexSearcher.java default 1024).
 
 from __future__ import annotations
 
-import fnmatch
 import re
 
 import numpy as np
@@ -173,10 +172,47 @@ def expand_range(vocab: np.ndarray, q: TermRangeQuery) -> list[str]:
     return vocab[lo:hi].tolist()
 
 
+def wildcard_regex(pattern: str) -> "re.Pattern":
+    """Compile a Lucene wildcard to an anchored regex: ``*`` = any run,
+    ``?`` = one char, ``\\x`` = literal x; brackets have NO special meaning
+    (search/WildcardQuery.java:55-82 toAutomaton — NOT fnmatch, whose
+    ``[seq]`` classes the reference does not support)."""
+    out, i = [], 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "\\" and i + 1 < len(pattern):
+            i += 1
+            out.append(re.escape(pattern[i]))
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return re.compile("".join(out) + r"\Z", re.DOTALL)
+
+
+def _wildcard_literal_prefix(pattern: str) -> str:
+    """Unescaped literal run before the first live wildcard — the term-dict
+    pre-slice (WildcardQuery.getTermsEnum's common-prefix seek)."""
+    lit, i = [], 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c in "*?":
+            break
+        if c == "\\" and i + 1 < len(pattern):
+            i += 1
+            c = pattern[i]
+        lit.append(c)
+        i += 1
+    return "".join(lit)
+
+
 def expand_wildcard(vocab: np.ndarray, q: WildcardQuery) -> list[str]:
-    rx = re.compile(fnmatch.translate(q.pattern))
+    rx = wildcard_regex(q.pattern)
     # cheap pre-slice on any literal prefix before the first wildcard
-    lit = re.split(r"[*?\[]", q.pattern, maxsplit=1)[0]
+    lit = _wildcard_literal_prefix(q.pattern)
     cands = expand_prefix(vocab, PrefixQuery(lit)) if lit else vocab.tolist()
     return [t for t in cands if rx.match(t)]
 
@@ -323,7 +359,9 @@ def rewrite_query(
         # "field:value" keyword terms — a content-side expansion (e.g. range
         # 'k'..'m') must not sweep in 'lang:py'; a field-side pattern
         # ('lang:p*') must not match content tokens
-        wants_fields = ":" in pattern
+        from lucene_ray.search.query import _has_unescaped
+
+        wants_fields = _has_unescaped(pattern, ":")
         if wants_fields and field_vocab is not None:
             v = field_vocab() if callable(field_vocab) else field_vocab
         else:
