@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 5
         "dedup_hotkeys": dedup.dedup_hotkeys,
         "parser_escape_engine": bm25docs.parser_escape_engine,
+        "shape_polygon_engine": bm25docs.shape_polygon_engine,
         # --- new in round 4
         "dvstats_engine": bm25docs.dvstats_engine,
         "diversified_engine": bm25docs.diversified_engine,
@@ -212,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_hotkeys": dedup.dedup_hotkeys_sql(),
         "parser_escape_engine": bm25docs.parser_escape_engine_sql(),
+        "shape_polygon_engine": bm25docs.shape_polygon_engine_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),
         "childjoin_engine": bm25docs.childjoin_engine_sql(),

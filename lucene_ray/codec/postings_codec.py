@@ -36,7 +36,10 @@ from lucene_ray.codec.forutil import decode_stream, encode_stream
 from lucene_ray.config import BLOCK_SIZE
 
 #: bumped when the on-disk layout changes (invalidates segment fingerprints)
-FORMAT_VERSION = 8  # v8: per-analyzed-field norm_<f>/doc_len_<f> columns in
+FORMAT_VERSION = 9  # v9: shapes sidecar carries per-edge origin flags
+# (fab/fbc/fca — ShapeField.encodeTriangle's ab/bc/ca bits; CONTAINS needs
+# them to tell boundary edges from tessellation diagonals).
+# v8: per-analyzed-field norm_<f>/doc_len_<f> columns in
 # norms.parquet (CombinedFieldQuery / MultiNormsLeafSimScorer backing).
 # v7: optional per-occurrence payload stream (pay_blob,
 # raw uint32 values — the .pay payload lane, Lucene90PostingsFormat payloads).

@@ -666,7 +666,9 @@ def build_one_segment(
         shape_parts = []
         gdoc = np.arange(n, dtype=np.int64) + spec.docid_base
         for f in shape_fields:
-            dd, axx, ayy, bxx, byy, cxx, cyy = SHAPE_DERIVERS[f](gdoc)
+            dd, axx, ayy, bxx, byy, cxx, cyy, fab, fbc, fca = (
+                SHAPE_DERIVERS[f](gdoc)
+            )
             local = np.asarray(dd, dtype=np.int64) - spec.docid_base
             o = np.argsort(local, kind="stable")
             shape_parts.append(
@@ -680,6 +682,11 @@ def build_one_segment(
                         "by": pa.array(np.asarray(byy)[o], type=pa.float64()),
                         "cx": pa.array(np.asarray(cxx)[o], type=pa.float64()),
                         "cy": pa.array(np.asarray(cyy)[o], type=pa.float64()),
+                        # edge-origin bits (ShapeField.encodeTriangle ab/bc/ca):
+                        # True = original shape boundary, False = diagonal
+                        "fab": pa.array(np.asarray(fab)[o], type=pa.bool_()),
+                        "fbc": pa.array(np.asarray(fbc)[o], type=pa.bool_()),
+                        "fca": pa.array(np.asarray(fca)[o], type=pa.bool_()),
                     }
                 )
             )

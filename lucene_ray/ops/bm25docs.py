@@ -1559,6 +1559,8 @@ SHAPE_QUERIES = (
     (1, "within", 10.005, 40.005, -60.005, 0.005),
     (2, "disjoint", 10.005, 40.005, -60.005, 0.005),
     (3, "intersects", -5.005, 5.005, 100.005, 140.005),
+    # contains: a box seated inside doc 5's rect (sf-independent)
+    (4, "contains", -12.005, -11.705, 31.505, 32.005),
 )
 
 
@@ -1604,6 +1606,102 @@ def shape_engine_sql() -> str:
             cond = (
                 f"{lat0} >= {la!r} AND {lat1} <= {lb!r} AND "
                 f"{lon0} >= {oa!r} AND {lon1} <= {ob!r}"
+            )
+        elif rel == "contains":
+            cond = (
+                f"{lat0} <= {la!r} AND {lat1} >= {lb!r} AND "
+                f"{lon0} <= {oa!r} AND {lon1} >= {ob!r}"
+            )
+        else:
+            cond = f"NOT ({inter})"
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents WHERE {cond}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# Diamond (rotated-square) query polygons: convex with edge normals
+# (1,1)/(1,-1), so the rect-vs-polygon relation has an exact SAT /
+# interval-algebra SQL form. Center/radius offsets (2.5e-5 / 3.7e-5) keep
+# every predicate off the shapes' 1e-4 coordinate grid — no tangency, so
+# the engine's geometric triangle tests and the oracle's closed forms
+# decide identically. (clat, clon, r) per query.
+SHAPE_POLY_QUERIES = (
+    (0, "intersects", 20.000025, -30.000025, 25.000037),
+    (1, "within", 20.000025, -30.000025, 60.000037),
+    (2, "disjoint", 20.000025, -30.000025, 25.000037),
+    # contains: diamonds seated inside doc 5's / doc 11's rects (synth_rect
+    # is sf-independent, so these docs exist at every scale)
+    (3, "contains", -11.869475, 31.884525, 0.125037),
+    (4, "contains", 9.837125, -74.604125, 0.375037),
+)
+
+
+def _diamond(clat: float, clon: float, r: float):
+    """((lats), (lons)) shell of the diamond |x-clon| + |y-clat| <= r,
+    vertex 0 at the top (the CONTAINS reference vertex)."""
+    return (
+        (clat + r, clat, clat - r, clat),
+        (clon, clon + r, clon, clon - r),
+    )
+
+
+def shape_polygon_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): indexed-shape POLYGON queries
+    (document/LatLonShape.java:298 newPolygonQuery; QueryRelation
+    INTERSECTS/WITHIN/DISJOINT/CONTAINS incl. the :246 CONTAINS path over
+    the sidecar's edge-origin flags) — per-triangle geometric tests in the
+    engine; the SQL oracle is the rects' convex SAT / interval algebra, so
+    parity proves the triangle evaluation equals shape-union semantics."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, ShapePolygonQuery
+
+    ix = _shape_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, rel, clat, clon, r in SHAPE_POLY_QUERIES:
+        q = ShapePolygonQuery("rect", _diamond(clat, clon, r), relation=rel)
+        td = s.search(BooleanQuery(should=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def shape_polygon_engine_sql() -> str:
+    from lucene_ray.search.spatial import synth_rect_sql
+
+    lat0, lat1, lon0, lon1 = synth_rect_sql("doc_id")
+    parts = []
+    for qid, rel, clat, clon, r in SHAPE_POLY_QUERIES:
+        # SAT over the rect normals (x, y) and the diamond normals (x+y,
+        # x-y): convex-convex separation is exactly one of these four axes
+        inter = (
+            f"{lon1} >= {clon - r!r} AND {lon0} <= {clon + r!r} AND "
+            f"{lat1} >= {clat - r!r} AND {lat0} <= {clat + r!r} AND "
+            f"({lon1} + {lat1}) >= {clon + clat - r!r} AND "
+            f"({lon0} + {lat0}) <= {clon + clat + r!r} AND "
+            f"({lon1} - {lat0}) >= {clon - clat - r!r} AND "
+            f"({lon0} - {lat1}) <= {clon - clat + r!r}"
+        )
+        if rel == "intersects":
+            cond = inter
+        elif rel == "within":
+            # rect inside the diamond: the L1-farthest rect corner is in
+            cond = (
+                f"GREATEST(ABS({lon0} - {clon!r}), ABS({lon1} - {clon!r})) + "
+                f"GREATEST(ABS({lat0} - {clat!r}), ABS({lat1} - {clat!r})) "
+                f"<= {r!r}"
+            )
+        elif rel == "contains":
+            # diamond inside the rect: all four diamond vertices are in
+            cond = (
+                f"{lon0} <= {clon - r!r} AND {lon1} >= {clon + r!r} AND "
+                f"{lat0} <= {clat - r!r} AND {lat1} >= {clat + r!r}"
             )
         else:
             cond = f"NOT ({inter})"

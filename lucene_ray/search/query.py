@@ -645,16 +645,37 @@ class ShapeBoxQuery:
     newBoxQuery -> LatLonShapeBoundingBoxQuery; relations from
     document/ShapeField.QueryRelation): a doc's tessellated triangles are
     tested per component — INTERSECTS = any triangle intersects the box,
-    WITHIN = every triangle within, DISJOINT = none intersects. CONTAINS
-    requires the reference's component-tree machinery and is out of scope
-    (documented). Boundary-inclusive; constant score = boost."""
+    WITHIN = every triangle within, DISJOINT = none intersects, CONTAINS =
+    the box (as a 4-vertex ring) through the WithinRelation aggregation
+    over the sidecar's edge-origin flags (see ShapePolygonQuery).
+    Boundary-inclusive; constant score = boost."""
 
     field: str
     min_lat: float
     max_lat: float
     min_lon: float
     max_lon: float
-    relation: str = "intersects"  # intersects | within | disjoint
+    relation: str = "intersects"  # intersects | within | disjoint | contains
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ShapePolygonQuery:
+    """Polygon query over INDEXED shapes (document/LatLonShape.java:298
+    newPolygonQuery -> LatLonShapeQuery; relations from
+    ShapeField.QueryRelation incl. CONTAINS at :246): per-component
+    triangle tests — INTERSECTS = any triangle intersects the polygon,
+    WITHIN = every triangle within, DISJOINT = none intersects, CONTAINS =
+    Lucene's WithinRelation aggregation over the sidecar's edge-origin
+    flags (some CANDIDATE triangle holds the query's reference vertex and
+    no query edge crosses a boundary-flagged triangle edge). ``shell`` /
+    ``holes`` are ((lats...), (lons...)) vertex-tuple pairs (closed
+    implicitly). Constant score = boost."""
+
+    field: str
+    shell: tuple  # ((lat, ...), (lon, ...))
+    holes: tuple = ()
+    relation: str = "intersects"  # intersects | within | disjoint | contains
     boost: float = 1.0
 
 

@@ -472,7 +472,29 @@ class SegmentReader:
                 t.column(c).to_numpy(zero_copy_only=False)
                 for c in ("docid", "ax", "ay", "bx", "by", "cx", "cy")
             )
+            # per-edge origin flags (format v9; pre-v9 sidecars default to
+            # all-boundary, which only degrades CONTAINS, never box/poly)
+            if "fab" in t.schema.names:
+                self._shape_flag_cache = getattr(
+                    self, "_shape_flag_cache", {}
+                )
+                self._shape_flag_cache[field] = tuple(
+                    t.column(c).to_numpy(zero_copy_only=False)
+                    for c in ("fab", "fbc", "fca")
+                )
         return cache[field]
+
+    def shape_edge_flags(self, field: str):
+        """(fab, fbc, fca) boolean arrays aligned with shape_triangles —
+        True = the edge lies on the original shape's boundary
+        (document/ShapeField.java encodeTriangle bits)."""
+        self.shape_triangles(field)  # populate caches
+        flags = getattr(self, "_shape_flag_cache", {}).get(field)
+        if flags is None:
+            n = len(self.shape_triangles(field)[0])
+            ones = np.ones(n, dtype=bool)
+            flags = (ones, ones.copy(), ones.copy())
+        return flags
 
     @property
     def has_term_vectors(self) -> bool:

@@ -67,6 +67,7 @@ from lucene_ray.search.query import (
     NGramPhraseQuery,
     FieldExistsQuery,
     ShapeBoxQuery,
+    ShapePolygonQuery,
     SortedNumericRangeQuery,
     SynonymQuery,
     TermQuery,
@@ -1087,25 +1088,44 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             out.append(_Clause(q, None, None, scored=(docids, scores)))
         elif isinstance(q, ShapeBoxQuery):
             def _shapebox(q=q):
-                from lucene_ray.search.spatial import tri_box_relation
+                from lucene_ray.search.spatial import (
+                    tri_box_relation,
+                    tri_polygon_contains,
+                )
 
-                if q.relation not in ("intersects", "within", "disjoint"):
+                if q.relation not in (
+                    "intersects", "within", "disjoint", "contains"
+                ):
                     raise ValueError(
-                        f"unsupported shape relation: {q.relation!r} "
-                        "(CONTAINS needs component trees — out of scope)"
+                        f"unsupported shape relation: {q.relation!r}"
                     )
                 dd, axx, ayy, bxx, byy, cxx, cyy = reader.shape_triangles(q.field)
                 if len(dd) == 0:
                     return np.array([], dtype=np.int64)
-                inter, within = tri_box_relation(
-                    (axx, ayy, bxx, byy, cxx, cyy),
-                    q.min_lat, q.max_lat, q.min_lon, q.max_lon,
-                )
                 # doc-major rows: aggregate per doc with reduceat
                 starts = np.nonzero(
                     np.concatenate(([True], dd[1:] != dd[:-1]))
                 )[0]
                 docs_u = dd[starts]
+                if q.relation == "contains":
+                    # the box as a 4-vertex ring through the polygon
+                    # CONTAINS machinery (LatLonShapeBoundingBoxQuery's
+                    # CONTAINS path, format-v9 edge flags)
+                    shell = (
+                        (q.min_lat, q.min_lat, q.max_lat, q.max_lat),
+                        (q.min_lon, q.max_lon, q.max_lon, q.min_lon),
+                    )
+                    cand, notw = tri_polygon_contains(
+                        (axx, ayy, bxx, byy, cxx, cyy),
+                        reader.shape_edge_flags(q.field), shell,
+                    )
+                    any_cand = np.add.reduceat(cand.astype(np.int64), starts) > 0
+                    any_notw = np.add.reduceat(notw.astype(np.int64), starts) > 0
+                    return docs_u[any_cand & ~any_notw].astype(np.int64)
+                inter, within = tri_box_relation(
+                    (axx, ayy, bxx, byy, cxx, cyy),
+                    q.min_lat, q.max_lat, q.min_lon, q.max_lon,
+                )
                 any_inter = np.add.reduceat(inter.astype(np.int64), starts) > 0
                 all_within = (
                     np.add.reduceat(within.astype(np.int64), starts)
@@ -1120,6 +1140,61 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 return docs_u[keep].astype(np.int64)
 
             docids = _qcache(reader, q, _shapebox)
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, None, scored=(docids, scores)))
+        elif isinstance(q, ShapePolygonQuery):
+            def _shapepoly(q=q):
+                from lucene_ray.search.spatial import (
+                    tri_polygon_contains,
+                    tri_polygon_relation,
+                )
+
+                if q.relation not in (
+                    "intersects", "within", "disjoint", "contains"
+                ):
+                    raise ValueError(
+                        f"unsupported shape relation: {q.relation!r}"
+                    )
+                dd, axx, ayy, bxx, byy, cxx, cyy = reader.shape_triangles(
+                    q.field
+                )
+                if len(dd) == 0:
+                    return np.array([], dtype=np.int64)
+                tris = (axx, ayy, bxx, byy, cxx, cyy)
+                starts = np.nonzero(
+                    np.concatenate(([True], dd[1:] != dd[:-1]))
+                )[0]
+                docs_u = dd[starts]
+                counts = np.diff(np.append(starts, len(dd)))
+                if q.relation == "contains":
+                    cand, notw = tri_polygon_contains(
+                        tris, reader.shape_edge_flags(q.field),
+                        q.shell, q.holes,
+                    )
+                    any_cand = np.add.reduceat(cand.astype(np.int64), starts) > 0
+                    any_notw = np.add.reduceat(notw.astype(np.int64), starts) > 0
+                    keep = any_cand & ~any_notw
+                else:
+                    inter, within = tri_polygon_relation(
+                        tris, q.shell, q.holes
+                    )
+                    any_inter = (
+                        np.add.reduceat(inter.astype(np.int64), starts) > 0
+                    )
+                    if q.relation == "intersects":
+                        keep = any_inter
+                    elif q.relation == "within":
+                        keep = (
+                            np.add.reduceat(within.astype(np.int64), starts)
+                            == counts
+                        )
+                    else:  # disjoint: has a shape, nothing intersects
+                        keep = ~any_inter
+                return docs_u[keep].astype(np.int64)
+
+            docids = _qcache(reader, q, _shapepoly)
             if len(docids) == 0:
                 continue
             scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)

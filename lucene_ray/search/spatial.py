@@ -326,9 +326,14 @@ def build_spatial_table(
 # relation per component triangle (document/LatLonShapeQuery /
 # ShapeQuery.java). Re-expression: per segment a ``shapes.parquet``
 # sidecar holds one row per triangle (docid, ax..cy in lon/lat degrees,
-# float64). Relations implemented: INTERSECTS / WITHIN / DISJOINT
-# (QueryRelation.java) — CONTAINS needs the reference's component-tree
-# machinery and is out of scope (as it long was for Lucene itself).
+# float64) plus the reference's per-edge ORIGIN flags (fab/fbc/fca,
+# document/ShapeField.java encodeTriangle's ab/bc/ca bits: True = the
+# triangle edge lies on the original shape's boundary, False = an internal
+# tessellation diagonal). Relations implemented: INTERSECTS / WITHIN /
+# DISJOINT / CONTAINS (QueryRelation.java) — CONTAINS aggregates Lucene's
+# WithinRelation per triangle (Component2D.withinTriangle): a doc matches
+# iff no query edge crosses a FLAGGED (boundary) edge of any of its
+# triangles AND the query's reference vertex lies inside some triangle.
 
 def synth_rect(docids: np.ndarray):
     """Deterministic per-doc rectangle anchored at the synthetic point:
@@ -357,10 +362,15 @@ def synth_rect_sql(col: str = "doc_id"):
 
 def rect_triangles(docids: np.ndarray):
     """Tessellate each doc's rect into 2 triangles (Tessellator shape);
-    returns (docid_per_tri, ax, ay, bx, by, cx, cy) with x=lon, y=lat."""
+    returns (docid_per_tri, ax, ay, bx, by, cx, cy, fab, fbc, fca) with
+    x=lon, y=lat. The f* booleans are the reference's edge-origin bits
+    (ShapeField.encodeTriangle): the rect's four sides are boundary edges,
+    the shared diagonal (x0,y0)-(x1,y1) is internal."""
     lat0, lat1, lon0, lon1 = synth_rect(docids)
     d = np.asarray(docids, dtype=np.int64)
-    # t1 = (x0,y0)-(x1,y0)-(x1,y1); t2 = (x0,y0)-(x1,y1)-(x0,y1)
+    n = len(d)
+    # t1 = (x0,y0)-(x1,y0)-(x1,y1): ab=bottom, bc=right, ca=DIAGONAL
+    # t2 = (x0,y0)-(x1,y1)-(x0,y1): ab=DIAGONAL, bc=top, ca=left
     dd = np.concatenate([d, d])
     ax = np.concatenate([lon0, lon0])
     ay = np.concatenate([lat0, lat0])
@@ -368,7 +378,12 @@ def rect_triangles(docids: np.ndarray):
     by = np.concatenate([lat0, lat1])
     cx = np.concatenate([lon1, lon0])
     cy = np.concatenate([lat1, lat1])
-    return dd, ax, ay, bx, by, cx, cy
+    t = np.ones(n, dtype=bool)
+    f = np.zeros(n, dtype=bool)
+    fab = np.concatenate([t, f])
+    fbc = np.concatenate([t, t])
+    fca = np.concatenate([f, t])
+    return dd, ax, ay, bx, by, cx, cy, fab, fbc, fca
 
 
 SHAPE_DERIVERS = {"rect": rect_triangles}
@@ -439,3 +454,74 @@ def tri_box_relation(tris, min_lat, max_lat, min_lon, max_lon):
         for f in box_edges:
             inter |= _segs_intersect(*e, *f)
     return inter, within
+
+
+def _ring_edges(ring_lats: tuple, ring_lons: tuple):
+    """Closed-ring edges as ((x1, y1, x2, y2), ...) scalars, x=lon."""
+    n = len(ring_lats)
+    return tuple(
+        (
+            float(ring_lons[i]), float(ring_lats[i]),
+            float(ring_lons[(i + 1) % n]), float(ring_lats[(i + 1) % n]),
+        )
+        for i in range(n)
+    )
+
+
+def tri_polygon_relation(tris, shell: tuple[tuple, tuple], holes: tuple = ()):
+    """(intersects, within) boolean arrays per TRIANGLE for a query polygon
+    (shell = (ring_lats, ring_lons), holes likewise) — the per-component
+    tests of LatLonShapeQuery over geo/Polygon2D: a triangle intersects iff
+    any of its vertices is inside the polygon, any polygon vertex is inside
+    the triangle, or any edge pair crosses; it is within iff all three
+    vertices are inside AND no edge crosses the polygon boundary (shell or
+    hole rings)."""
+    ax, ay, bx, by, cx, cy = tris
+    va = point_in_polygon(ay, ax, shell, holes)
+    vb = point_in_polygon(by, bx, shell, holes)
+    vc = point_in_polygon(cy, cx, shell, holes)
+    inter = va | vb | vc
+    rings = (shell,) + tuple(holes)
+    # any polygon vertex inside the triangle
+    for r_lats, r_lons in rings:
+        for px, py in zip(r_lons, r_lats):
+            inter |= _point_in_tri(
+                float(px), float(py), ax, ay, bx, by, cx, cy
+            )
+    # any triangle edge crossing any ring edge
+    cross = np.zeros(ax.shape, dtype=bool)
+    tri_edges = ((ax, ay, bx, by), (bx, by, cx, cy), (cx, cy, ax, ay))
+    for r_lats, r_lons in rings:
+        for f in _ring_edges(r_lats, r_lons):
+            for e in tri_edges:
+                cross |= _segs_intersect(*e, *f)
+    inter |= cross
+    within = va & vb & vc & ~cross
+    return inter, within
+
+
+def tri_polygon_contains(
+    tris, flags, shell: tuple[tuple, tuple], holes: tuple = ()
+):
+    """(candidate, notwithin) per TRIANGLE for QueryRelation.CONTAINS —
+    Lucene's WithinRelation protocol (Component2D.withinTriangle /
+    ShapeQuery's CONTAINS aggregation): ``notwithin`` fires when a query
+    edge crosses a triangle edge FLAGGED as original shape boundary
+    (crossing an internal tessellation diagonal is harmless);
+    ``candidate`` fires when the query's reference vertex (shell vertex 0)
+    lies inside the triangle. The doc-level rule — some candidate and no
+    notwithin — is exactly 'the query shape sits inside the union of the
+    doc's triangles' for non-tangent configurations."""
+    ax, ay, bx, by, cx, cy = tris
+    fab, fbc, fca = flags
+    notwithin = np.zeros(ax.shape, dtype=bool)
+    rings = (shell,) + tuple(holes)
+    for r_lats, r_lons in rings:
+        for f in _ring_edges(r_lats, r_lons):
+            notwithin |= fab & _segs_intersect(ax, ay, bx, by, *f)
+            notwithin |= fbc & _segs_intersect(bx, by, cx, cy, *f)
+            notwithin |= fca & _segs_intersect(cx, cy, ax, ay, *f)
+    candidate = _point_in_tri(
+        float(shell[1][0]), float(shell[0][0]), ax, ay, bx, by, cx, cy
+    )
+    return candidate, notwithin

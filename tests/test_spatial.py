@@ -308,12 +308,128 @@ class TestIndexedShapes:
             "rect", -100.0, 100.0, -200.0, 200.0, relation="within")]), 1 << 20)
         assert len(world.docids) == n
 
-    def test_contains_unsupported(self):
+    def test_box_contains(self):
+        """Box CONTAINS (new in v9): a box inside doc 5's rect matches it;
+        a box straddling the rect boundary does not; an unknown relation
+        still raises."""
         from lucene_ray.ops.bm25docs import _shape_engine_index
         from lucene_ray.search.engine import IndexSearcher
         from lucene_ray.search.query import BooleanQuery, ShapeBoxQuery
 
         s = IndexSearcher(_shape_engine_index(self.SF))
-        with pytest.raises(ValueError, match="CONTAINS"):
+        inside = s.search(BooleanQuery(should=[ShapeBoxQuery(
+            "rect", -12.005, -11.705, 31.505, 32.005,
+            relation="contains")]), 1 << 20).docids.tolist()
+        assert 5 in inside
+        straddle = s.search(BooleanQuery(should=[ShapeBoxQuery(
+            "rect", -12.005, -11.705, 31.005, 32.005,
+            relation="contains")]), 1 << 20).docids.tolist()
+        assert 5 not in straddle
+        with pytest.raises(ValueError, match="relation"):
             s.search(BooleanQuery(should=[ShapeBoxQuery(
-                "rect", 0.0, 1.0, 0.0, 1.0, relation="contains")]), 10)
+                "rect", 0.0, 1.0, 0.0, 1.0, relation="overlaps")]), 10)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShapePolygon:
+    """Polygon queries over indexed shapes (LatLonShape.newPolygonQuery +
+    QueryRelation.CONTAINS over the v9 edge-origin flags)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_polygon_gate_parity(self):
+        import duckdb
+        from lucene_ray.ops import bm25docs
+        from tests.test_ops import assert_same
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{self.SF}/documents.parquet')"
+        )
+        assert_same(
+            bm25docs.shape_polygon_engine(self.SF),
+            con,
+            bm25docs.shape_polygon_engine_sql(),
+        )
+
+    def test_contains_matches_planted_doc(self):
+        from lucene_ray.ops.bm25docs import (
+            SHAPE_POLY_QUERIES,
+            _diamond,
+            _shape_engine_index,
+        )
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, ShapePolygonQuery
+
+        s = IndexSearcher(_shape_engine_index(self.SF))
+        # queries 3 and 4 were seated inside doc 5's / doc 11's rects
+        for qid, want_doc in ((3, 5), (4, 11)):
+            _, rel, clat, clon, r = SHAPE_POLY_QUERIES[qid]
+            assert rel == "contains"
+            got = s.search(
+                BooleanQuery(should=[ShapePolygonQuery(
+                    "rect", _diamond(clat, clon, r), relation="contains")]),
+                1 << 20,
+            ).docids.tolist()
+            assert want_doc in got
+
+    def test_polygon_relation_algebra(self):
+        from lucene_ray.ops.bm25docs import _diamond, _shape_engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, ShapePolygonQuery
+
+        s = IndexSearcher(_shape_engine_index(self.SF))
+        n = s.reader.manifest.doc_count
+        sh = _diamond(20.000025, -30.000025, 25.000037)
+
+        def run(rel, shell=sh):
+            return set(s.search(BooleanQuery(should=[ShapePolygonQuery(
+                "rect", shell, relation=rel)]), 1 << 20).docids.tolist())
+
+        inter, within, disjoint = run("intersects"), run("within"), run("disjoint")
+        contains = run("contains")
+        assert within <= inter
+        assert contains <= inter
+        assert inter.isdisjoint(disjoint)
+        assert len(inter) + len(disjoint) == n
+        # a diamond covering the whole globe: every rect within
+        world = run("within", _diamond(0.000025, 0.000025, 720.000037))
+        assert world == set(range(n))
+
+    def test_edge_flags_survive_merge(self):
+        """The v9 fab/fbc/fca columns rebase through merge with their rows:
+        exactly one internal-diagonal edge per triangle, rect layout."""
+        import numpy as np
+        from lucene_ray.ops.bm25docs import _shape_engine_index
+        from lucene_ray.search.engine import IndexSearcher
+
+        s = IndexSearcher(_shape_engine_index(self.SF))  # built + merged
+        for reader in s.reader.all_readers():
+            dd = reader.shape_triangles("rect")[0]
+            fab, fbc, fca = reader.shape_edge_flags("rect")
+            # every rect tessellation: 2 triangles/doc, each with exactly
+            # one non-boundary edge, and bc is always a boundary side
+            assert np.all(fbc)
+            assert np.all(fab.astype(int) + fca.astype(int) == 1)
+            assert len(dd) == 2 * len(np.unique(dd))
+
+    def test_contains_rejects_partial_overlap(self):
+        """A diamond straddling a rect boundary must NOT match (the
+        boundary-flag crossing fires NOTWITHIN) even though it intersects."""
+        import numpy as np
+        from lucene_ray.ops.bm25docs import _diamond, _shape_engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, ShapePolygonQuery
+        from lucene_ray.search.spatial import synth_rect
+
+        s = IndexSearcher(_shape_engine_index(self.SF))
+        lat0, lat1, lon0, lon1 = (v[0] for v in synth_rect(np.array([5])))
+        # centered on doc 5's LEFT edge: half in, half out
+        sh = _diamond((lat0 + lat1) / 2 + 0.000025, lon0 + 0.000025, 0.125037)
+        got = s.search(BooleanQuery(should=[ShapePolygonQuery(
+            "rect", sh, relation="contains")]), 1 << 20).docids.tolist()
+        assert 5 not in got
+        inter = s.search(BooleanQuery(should=[ShapePolygonQuery(
+            "rect", sh, relation="intersects")]), 1 << 20).docids.tolist()
+        assert 5 in inter
