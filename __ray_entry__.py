@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_hotkeys": dedup.dedup_hotkeys,
         "parser_escape_engine": bm25docs.parser_escape_engine,
         "shape_polygon_engine": bm25docs.shape_polygon_engine,
+        "numjoin_engine": bm25docs.numjoin_engine,
+        "numjoin_scored_engine": bm25docs.numjoin_scored_engine,
         # --- new in round 4
         "dvstats_engine": bm25docs.dvstats_engine,
         "diversified_engine": bm25docs.diversified_engine,
@@ -214,6 +216,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_hotkeys": dedup.dedup_hotkeys_sql(),
         "parser_escape_engine": bm25docs.parser_escape_engine_sql(),
         "shape_polygon_engine": bm25docs.shape_polygon_engine_sql(),
+        "numjoin_engine": bm25docs.numjoin_engine_sql(),
+        "numjoin_scored_engine": bm25docs.numjoin_scored_engine_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),
         "childjoin_engine": bm25docs.childjoin_engine_sql(),

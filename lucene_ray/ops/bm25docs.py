@@ -1896,6 +1896,126 @@ WITH tok AS (
 """
 
 
+# numeric-key JoinUtil gates (join/.../JoinUtil.java:90,141 int/long
+# overloads): from-side numeric DV collection -> PointInSetQuery to-side.
+# (qid, from_term, max_terms, to_term or None)
+NUMJOIN_QUERIES = (
+    (0, "merge", 1 << 20, None),
+    (1, "merge", 64, None),       # sorted-value cap exercised
+    (2, "stream", 1 << 20, "window"),  # ANDed to-side query
+)
+NUMJOIN_SCORED_QUERIES = (
+    (0, "merge", "total"),
+    (1, "stream", "max"),
+)
+
+
+def numjoin_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): numeric-key query-time join (JoinUtil int/long
+    overloads): docs whose n_chars point equals ANY from-match's n_chars
+    doc value (PointInSetQuery to-side; ScoreMode.None). Float-free,
+    SQL-checked exactly — n_chars == length(text) in the oracle."""
+    from lucene_ray.search.engine import IndexSearcher, join_query_numeric
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, term, cap, to_term in NUMJOIN_QUERIES:
+        q = join_query_numeric(
+            s, term, "n_chars", max_terms=cap, to_query=to_term
+        )
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def numjoin_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term, cap, to_term in NUMJOIN_QUERIES:
+        vals = (
+            f"SELECT n_chars FROM (SELECT DISTINCT n_chars FROM documents "
+            f"WHERE doc_id IN (SELECT doc_id FROM tok WHERE term = '{term}') "
+            f"ORDER BY n_chars LIMIT {cap})"
+        )
+        cond = f"d.n_chars IN ({vals})"
+        if to_term:
+            cond += (
+                f" AND d.doc_id IN "
+                f"(SELECT doc_id FROM tok WHERE term = '{to_term}')"
+            )
+        parts.append(
+            f"SELECT {qid} AS qid, d.doc_id AS docid FROM documents d "
+            f"WHERE {cond}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+def numjoin_scored_engine(sf_dir: str, k: int = 40) -> pa.Table:
+    """(qid, rank, docid, n): numeric-key join with ScoreMode.Total/Max
+    (JoinUtil numeric overloads + TermsWithScoreCollector) — to-docs
+    ranked by the number of from-docs sharing their n_chars value (Max
+    collapses to constant 1). Float-free, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher, join_query_numeric_scored
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out = {"qid": [], "rank": [], "docid": [], "n": []}
+    for qid, term, mode in NUMJOIN_SCORED_QUERIES:
+        td = join_query_numeric_scored(
+            s, term, "n_chars", score_mode=mode, k=k
+        )
+        out["qid"].extend([qid] * len(td.docids))
+        out["rank"].extend(range(len(td.docids)))
+        out["docid"].extend(td.docids.tolist())
+        out["n"].extend(int(v) for v in td.values)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "docid": pa.array(out["docid"], type=pa.int64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        }
+    )
+
+
+def numjoin_scored_engine_sql(k: int = 40) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term, mode in NUMJOIN_SCORED_QUERIES:
+        n_expr = "s.n" if mode == "total" else "1::BIGINT"
+        parts.append(f"""
+SELECT {qid} AS qid,
+       (row_number() OVER (ORDER BY {n_expr} DESC, d.doc_id ASC) - 1)::BIGINT AS rank,
+       d.doc_id AS docid, {n_expr} AS n
+FROM documents d JOIN (
+  SELECT n_chars, count(*)::BIGINT AS n FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+  GROUP BY n_chars
+) s USING (n_chars)
+QUALIFY rank < {k}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 def allgroups_engine(sf_dir: str) -> pa.Table:
     """(qid, grp): AllGroupsCollector (grouping/AllGroupsCollector.java) —
     the distinct lang group values among each query's matches (its row

@@ -1005,6 +1005,85 @@ def join_query_scored(
     )
 
 
+def join_query_numeric(
+    searcher: "IndexSearcher",
+    from_query,
+    from_field: str,
+    to_field: str | None = None,
+    to_query=None,
+    max_terms: int = 1024,
+) -> BooleanQuery:
+    """Numeric-key query-time join (JoinUtil.createJoinQuery int/long
+    overloads, join/.../JoinUtil.java:90,141): collect the distinct NUMERIC
+    doc values of ``from_field`` over the from-matches, then match to-docs
+    whose ``to_field`` point holds ANY of them (PointInSetQuery — the
+    reference's to-side too), optionally ANDed with ``to_query``.
+    ScoreMode.None semantics. ``max_terms`` caps the SORTED value set."""
+    from lucene_ray.search.query import PointInSetQuery
+
+    to_field = to_field or from_field
+    td = searcher.search(from_query, k=1 << 62)
+    if len(td.docids) == 0:
+        return BooleanQuery()  # no from-matches -> matches nothing
+    vals = fetch_doc_values(searcher.reader, td.docids, from_field)
+    vs = tuple(sorted({int(v) for v in vals})[:max_terms])
+    out = BooleanQuery(must=[PointInSetQuery(to_field, vs)])
+    if to_query is not None:
+        sub = (
+            searcher.parse(to_query) if isinstance(to_query, str) else to_query
+        )
+        if sub.must or sub.should or sub.must_not:
+            out.must.append(sub.freeze())
+    return out
+
+
+def join_query_numeric_scored(
+    searcher: "IndexSearcher",
+    from_query,
+    from_field: str,
+    to_field: str | None = None,
+    score_mode: str = "total",
+    k: int | None = None,
+) -> "SortedTopDocs":
+    """Numeric-key join with score aggregation (JoinUtil numeric overloads
+    + TermsWithScoreCollector, ScoreMode.Total/Max/Avg over constant
+    from-scores): Total ranks to-docs by the number of from-docs sharing
+    the value; Max = Avg = 1. Returns to-docs (score desc, docid asc);
+    ``values`` carries the integer support counts."""
+    from lucene_ray.search.query import PointInSetQuery
+
+    if score_mode not in ("total", "max", "avg"):
+        raise ValueError("score_mode must be total/max/avg")
+    to_field = to_field or from_field
+    td = searcher.search(from_query, k=1 << 62)
+    z = np.array([], dtype=np.int64)
+    if len(td.docids) == 0:
+        return SortedTopDocs(z, np.array([], dtype=np.float64), 0, z)
+    from collections import Counter
+
+    support = Counter(
+        int(v) for v in fetch_doc_values(searcher.reader, td.docids, from_field)
+    )
+    to_q = BooleanQuery(
+        must=[PointInSetQuery(to_field, tuple(sorted(support)))]
+    )
+    to_td = searcher.search(to_q, k=1 << 62)
+    to_vals = fetch_doc_values(searcher.reader, to_td.docids, to_field)
+    if score_mode == "total":
+        scores = np.array([support[int(v)] for v in to_vals], dtype=np.int64)
+    else:  # max / avg over constant from-scores
+        scores = np.ones(len(to_vals), dtype=np.int64)
+    order = np.lexsort((to_td.docids, -scores))
+    if k is not None:
+        order = order[:k]
+    return SortedTopDocs(
+        to_td.docids[order],
+        scores[order].astype(np.float64),
+        len(to_td.docids),
+        scores[order],
+    )
+
+
 def all_groups(searcher: "IndexSearcher", query, field: str) -> list[str]:
     """Distinct group values among the matching docs, sorted — the
     AllGroupsCollector (grouping/AllGroupsCollector.java); its size is

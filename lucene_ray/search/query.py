@@ -504,6 +504,20 @@ class PointRangeQuery:
 
 
 @dataclass(frozen=True)
+class PointInSetQuery:
+    """Numeric set membership over a 1-D point field, constant score
+    (search/PointInSetQuery.java: the BKD sorted-set intersect walk becomes
+    paired binary-search slices over the value-sorted points sidecar).
+    ``values`` must be a sorted tuple of ints (hashable for the query
+    cache). The to-side of numeric JoinUtil (join/.../JoinUtil.java:90,141
+    int/long overloads) rewrites to this."""
+
+    field: str
+    values: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BlendedTermQuery:
     """search/BlendedTermQuery.java: score several terms as if they were
     one — every term is scored with BLENDED collection stats (df = max

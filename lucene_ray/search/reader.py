@@ -533,10 +533,7 @@ class SegmentReader:
         mask = pc.is_in(t.column("doc"), value_set=pa.array(docids))
         return t.filter(mask)
 
-    def point_range(self, field: str, lower, upper) -> np.ndarray:
-        """Sorted local docids with lower <= value <= upper (inclusive both,
-        PointRangeQuery semantics) — two binary searches over the
-        value-sorted points table (the 1-D BKD walk analog)."""
+    def _points_table(self) -> dict:
         if not hasattr(self, "_points"):
             t = pq.read_table(
                 os.path.join(self.seg_dir, "points.parquet"), memory_map=True
@@ -548,12 +545,35 @@ class SegmentReader:
             for f in np.unique(fields):
                 m = fields == f
                 self._points[str(f)] = (vals[m], docs[m])
-        if field not in self._points:
+        return self._points
+
+    def point_range(self, field: str, lower, upper) -> np.ndarray:
+        """Sorted local docids with lower <= value <= upper (inclusive both,
+        PointRangeQuery semantics) — two binary searches over the
+        value-sorted points table (the 1-D BKD walk analog)."""
+        pts = self._points_table()
+        if field not in pts:
             return np.array([], dtype=np.int64)
-        vals, docs = self._points[field]
+        vals, docs = pts[field]
         lo = 0 if lower is None else int(np.searchsorted(vals, lower, side="left"))
         hi = len(vals) if upper is None else int(np.searchsorted(vals, upper, side="right"))
         return np.sort(docs[lo:hi]).astype(np.int64)
+
+    def point_in_set(self, field: str, values) -> np.ndarray:
+        """Sorted local docids whose point value is IN ``values``
+        (search/PointInSetQuery.java — the sorted-set merge walk becomes
+        paired searchsorted slices over the value-sorted points column)."""
+        pts = self._points_table()
+        if field not in pts:
+            return np.array([], dtype=np.int64)
+        vals, docs = pts[field]
+        v = np.unique(np.asarray(list(values), dtype=np.int64))
+        lo = np.searchsorted(vals, v, side="left")
+        hi = np.searchsorted(vals, v, side="right")
+        runs = [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
+        if not runs:
+            return np.array([], dtype=np.int64)
+        return np.sort(docs[np.concatenate(runs)]).astype(np.int64)
 
     def _spatial_file(self):
         """Lazy footer-only open of the 2-D points sidecar: per-row-group

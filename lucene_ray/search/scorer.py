@@ -45,6 +45,7 @@ from lucene_ray.search.query import (
     MultiPhraseQuery,
     NestedBooleanQuery,
     PhraseQuery,
+    PointInSetQuery,
     PointRangeQuery,
     RangeFieldQuery,
     LatLonBoxQuery,
@@ -1014,6 +1015,14 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 continue
             scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
             out.append(_Clause(q, None, scorers.get(q), scored=(docids, scores)))
+        elif isinstance(q, PointInSetQuery):
+            docids = _qcache(
+                reader, q, lambda: reader.point_in_set(q.field, q.values)
+            )
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, None, scored=(docids, scores)))
         elif isinstance(q, BlendedTermQuery):
             # per-term postings scored with BLENDED stats (scorers keyed
             # (q, term)), combined dismax/boolean (BlendedTermQuery.java
