@@ -127,6 +127,83 @@ def write_manifest(index_dir: str, manifest: Manifest) -> None:
     os.replace(tmp, os.path.join(index_dir, "manifest.json"))
 
 
+def _pending_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "pending_manifest.json")
+
+
+def prepare_commit(index_dir: str, manifest: Manifest) -> str:
+    """First phase of a two-phase commit (IndexWriter.prepareCommit,
+    index/IndexWriter.java pendingCommit contract): stage the next commit
+    DURABLY without publishing it — the staged state is fsync-complete on
+    disk, but readers (read_manifest) still open the previous generation.
+    A crash between prepare and commit leaves only the pending file, which
+    recovery ignores. Exactly one pending commit may exist at a time
+    (prepareCommit while one is pending throws, as in the reference).
+    Returns the pending file path."""
+    p = _pending_path(index_dir)
+    if os.path.exists(p):
+        raise RuntimeError(
+            "prepareCommit was already called with no corresponding call "
+            "to commit or rollback"
+        )
+    cur = read_manifest(index_dir)
+    if cur is not None and manifest.generation <= cur.generation:
+        raise ValueError(
+            f"pending generation {manifest.generation} must exceed the "
+            f"current commit {cur.generation}"
+        )
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(asdict(manifest), f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+    return p
+
+
+def commit_prepared(index_dir: str) -> int:
+    """Second phase (IndexWriter.commit after prepareCommit /
+    finishCommit): atomically promote the pending manifest to the current
+    commit — one rename flips what readers see; the retained-history copy
+    is written first so the generation stays openable by number. Raises if
+    nothing is pending. Returns the committed generation."""
+    p = _pending_path(index_dir)
+    if not os.path.exists(p):
+        raise RuntimeError("commit_prepared called with no pending commit")
+    with open(p) as f:
+        d = json.load(f)
+    d["segments"] = [SegmentEntry(**s) for s in d["segments"]]
+    m = Manifest(**d)
+    write_manifest(index_dir, m)  # retained copy + atomic manifest.json flip
+    os.remove(p)
+    return m.generation
+
+
+def rollback_prepared(index_dir: str) -> int | None:
+    """Discard a pending commit (IndexWriter.rollback's pendingCommit
+    cleanup): the staged manifest is deleted, the published state is
+    untouched. Returns the discarded generation, or None if nothing was
+    pending (rollback is idempotent, as in the reference)."""
+    p = _pending_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        gen = json.load(f)["generation"]
+    os.remove(p)
+    return gen
+
+
+def pending_commit_generation(index_dir: str) -> int | None:
+    """Generation staged by prepare_commit, or None (observability for
+    recovery tooling; readers never consult this)."""
+    p = _pending_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["generation"]
+
+
 def list_commits(index_dir: str) -> list[int]:
     """Generations with a retained commit (IndexReader.listCommits role)."""
     commits = os.path.join(index_dir, "commits")
