@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shape_polygon_engine": bm25docs.shape_polygon_engine,
         "numjoin_engine": bm25docs.numjoin_engine,
         "numjoin_scored_engine": bm25docs.numjoin_scored_engine,
+        "snowball_doclen": text.snowball_doclen,
         # --- new in round 4
         "dvstats_engine": bm25docs.dvstats_engine,
         "diversified_engine": bm25docs.diversified_engine,
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "shape_polygon_engine": bm25docs.shape_polygon_engine_sql(),
         "numjoin_engine": bm25docs.numjoin_engine_sql(),
         "numjoin_scored_engine": bm25docs.numjoin_scored_engine_sql(),
+        "snowball_doclen": text.snowball_doclen_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),
         "childjoin_engine": bm25docs.childjoin_engine_sql(),

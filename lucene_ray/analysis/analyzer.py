@@ -434,10 +434,21 @@ class EnglishAnalyzer(CodeAnalyzer):
     unavailable) — gated by paper-example + property pytest instead."""
 
     name = "english"
+    stop_set = ENGLISH_STOP_SET
 
-    def tokenize_flat(self, texts, with_offsets: bool = False):
+    @staticmethod
+    def _stem_terms(terms):
         from lucene_ray.analysis.porter import stem_terms
 
+        return stem_terms(terms)
+
+    @staticmethod
+    def _stem_one(t: str) -> str:
+        from lucene_ray.analysis.porter import porter_stem
+
+        return porter_stem(t)
+
+    def tokenize_flat(self, texts, with_offsets: bool = False):
         res = super().tokenize_flat(texts, with_offsets=with_offsets)
         row_idx, terms = res[0], res[1]
         if len(row_idx) == 0:
@@ -445,10 +456,10 @@ class EnglishAnalyzer(CodeAnalyzer):
         import pyarrow.compute as pc
 
         keep = pc.invert(
-            pc.is_in(terms, value_set=pa.array(sorted(ENGLISH_STOP_SET)))
+            pc.is_in(terms, value_set=pa.array(sorted(self.stop_set)))
         ).to_numpy(zero_copy_only=False)
         row_idx = row_idx[keep]
-        terms = stem_terms(terms.filter(pa.array(keep)))
+        terms = self._stem_terms(terms.filter(pa.array(keep)))
         # offsets stay those of the ORIGINAL (pre-stem) token — the
         # reference's stemmers never touch OffsetAttribute
         tail = tuple(a[keep] for a in res[3:]) if with_offsets else ()
@@ -466,11 +477,9 @@ class EnglishAnalyzer(CodeAnalyzer):
         return (row_idx, terms, positions) + tail
 
     def tokenize_array(self, texts):
-        from lucene_ray.analysis.porter import porter_stem
-
         toks = super().tokenize_array(texts)
         out = [
-            [porter_stem(t) for t in row if t not in ENGLISH_STOP_SET]
+            [self._stem_one(t) for t in row if t not in self.stop_set]
             for row in toks.to_pylist()
         ]
         return pa.array(out, type=pa.list_(pa.string()))
@@ -479,14 +488,44 @@ class EnglishAnalyzer(CodeAnalyzer):
         # NB: go through the BASE tokenizer explicitly — super().tokenize_text
         # dispatches back into the overridden tokenize_array and stemming is
         # not idempotent
-        from lucene_ray.analysis.porter import porter_stem
-
         base = CodeAnalyzer.tokenize_array(self, pa.array([text], type=pa.string()))
         return [
-            porter_stem(t)
+            self._stem_one(t)
             for t in base[0].as_py()
-            if t not in ENGLISH_STOP_SET
+            if t not in self.stop_set
         ]
+
+
+class EnglishSnowballAnalyzer(EnglishAnalyzer):
+    """The SnowballPorterFilter(English) chain: tokenizer + lowercase ->
+    snowball English stop list (analysis/common/.../snowball/
+    english_stop.txt, 174 words — bundled verbatim in
+    analysis/stoplists.py) -> Porter2 stemming
+    (analysis/common/.../snowball/SnowballPorterFilterFactory.java with
+    the tartarus EnglishStemmer; analysis/porter2.py implements the
+    published snowballstem.org algorithm). Same position-compaction
+    divergence as EnglishAnalyzer; golden tests only (no offline DuckDB
+    stem())."""
+
+    name = "english_snowball"
+
+    @property
+    def stop_set(self):
+        from lucene_ray.analysis.stoplists import ENGLISH_SNOWBALL_STOP
+
+        return ENGLISH_SNOWBALL_STOP
+
+    @staticmethod
+    def _stem_terms(terms):
+        from lucene_ray.analysis.porter2 import porter2_stem_terms
+
+        return porter2_stem_terms(terms)
+
+    @staticmethod
+    def _stem_one(t: str) -> str:
+        from lucene_ray.analysis.porter2 import porter2_stem
+
+        return porter2_stem(t)
 
 
 class WhitespaceAnalyzer:
@@ -972,21 +1011,40 @@ class Gram3Analyzer(CodeAnalyzer):
 
 
 class _LightStemAnalyzer(UnicodeAnalyzer):
-    """Language analyzer = Unicode tokenizer + Savoy light stemmer
-    (analysis/lightstem.py; spec files de/GermanLightStemmer.java,
-    fr/FrenchLightStemmer.java, es/SpanishLightStemmer.java). Default stop
-    sets are NOT bundled (they are resource word lists, not algorithm —
-    divergence documented in SURVEY §2.2); pass-through positions. No SQL
+    """Language analyzer = Unicode tokenizer + snowball stop list + Savoy
+    light stemmer (analysis/lightstem.py; spec files
+    de/GermanLightStemmer.java, fr/FrenchLightStemmer.java,
+    es/SpanishLightStemmer.java; the de/fr/es chains in the reference run
+    tokenizer -> lowercase -> STOP -> stem, GermanAnalyzer.java
+    createComponents). Stop sets are the reference's bundled snowball
+    lists (analysis/stoplists.py). Positions compact across removed
+    stopwords (same documented divergence as EnglishAnalyzer). No SQL
     oracle (DuckDB has no stemmer offline) — golden tests only."""
 
     language: str = ""
+    stop_set: frozenset = frozenset()
 
     def tokenize_array(self, texts):
+        import pyarrow.compute as pc
+
         from lucene_ray.analysis.lightstem import light_stem_terms
 
         lists = super().tokenize_array(texts)
-        flat = light_stem_terms(lists.flatten(), self.language)
-        return pa.ListArray.from_arrays(lists.offsets, flat)
+        flat = lists.flatten()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        if self.stop_set and len(flat):
+            keep = pc.invert(
+                pc.is_in(flat, value_set=pa.array(sorted(self.stop_set)))
+            ).to_numpy(zero_copy_only=False)
+            flat = flat.filter(pa.array(keep))
+            kept_cum = np.concatenate(
+                ([0], np.cumsum(keep.astype(np.int64)))
+            )
+            offs = kept_cum[offs]
+        stemmed = light_stem_terms(flat, self.language)
+        return pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), stemmed
+        )
 
     @staticmethod
     def sql_expr(col: str) -> str:
@@ -995,19 +1053,28 @@ class _LightStemAnalyzer(UnicodeAnalyzer):
         )
 
 
+def _snowball_stops(lang: str) -> frozenset:
+    from lucene_ray.analysis import stoplists
+
+    return getattr(stoplists, f"{lang.upper()}_SNOWBALL_STOP")
+
+
 class GermanLightAnalyzer(_LightStemAnalyzer):
     name = "german_light"
     language = "german_light"
+    stop_set = _snowball_stops("german")
 
 
 class FrenchLightAnalyzer(_LightStemAnalyzer):
     name = "french_light"
     language = "french_light"
+    stop_set = _snowball_stops("french")
 
 
 class SpanishLightAnalyzer(_LightStemAnalyzer):
     name = "spanish_light"
     language = "spanish_light"
+    stop_set = _snowball_stops("spanish")
 
 
 _REGISTRY = {
@@ -1015,6 +1082,7 @@ _REGISTRY = {
     "standard": StandardLiteAnalyzer,
     "unicode": UnicodeAnalyzer,
     "english": EnglishAnalyzer,
+    "english_snowball": EnglishSnowballAnalyzer,
     "whitespace": WhitespaceAnalyzer,
     "keyword": KeywordAnalyzer,
     "synonym": SynonymAnalyzer,

@@ -186,6 +186,58 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def snowball_doclen(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens) per document through the english_snowball
+    analyzer chain (snowball stop list -> Porter2 stem,
+    analysis/analyzer.py EnglishSnowballAnalyzer). This is the
+    ORACLE-checkable half of the chain: n_tokens = tokens surviving the
+    174-word snowball stop list — stemming is 1:1 so the count is
+    stem-independent, and the stop filter + RE2 tokenizer have an exact
+    SQL mirror (the stemmer itself is golden-tested in
+    tests/test_porter2.py; DuckDB has no stem() offline). Pure
+    map_batches, no shuffle."""
+    from lucene_ray.analysis.analyzer import EnglishSnowballAnalyzer
+
+    def stats(batch: pa.Table) -> pa.Table:
+        an = EnglishSnowballAnalyzer()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        row_idx, _terms, _pos = an.tokenize_flat(
+            batch.column("text").combine_chunks()
+        )
+        n = batch.num_rows
+        counts = np.bincount(row_idx, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_tokens": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+def snowball_doclen_sql() -> str:
+    from lucene_ray.analysis.stoplists import ENGLISH_SNOWBALL_STOP
+
+    toks = tokenize_sql_expr("text")
+    # snowball entries like don't need SQL-quote doubling (the tokenizer
+    # never EMITS apostrophes, so these IN-list rows are inert but must
+    # still parse)
+    stop = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(ENGLISH_SNOWBALL_STOP)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens
+  FROM tok WHERE term NOT IN ({stop}) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, total_ngrams, distinct_ngrams) over token 3-grams per doc —
     the C4/Gopher-style within-document repetition signal (duplicate-3gram

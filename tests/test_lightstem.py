@@ -90,14 +90,13 @@ def test_vectorized_matches_scalar():
 
 def test_analyzer_registry_chain():
     an = get_analyzer("german_light")
-    # Unicode tokenizer (umlauts survive tokenization) + stem
-    assert an.tokenize_text("Die Häuser und Bäume") == [
-        "die", "haus", "und", "baum",
-    ]
+    # Unicode tokenizer (umlauts survive tokenization) + snowball stop
+    # filter ('die', 'und' are in german_stop.txt) + stem
+    assert an.tokenize_text("Die Häuser und Bäume") == ["haus", "baum"]
     fr = get_analyzer("french_light")
-    assert fr.tokenize_text("les chevaux chantés") == ["les", "cheval", "chant"]
+    assert fr.tokenize_text("les chevaux chantés") == ["cheval", "chant"]
     es = get_analyzer("spanish_light")
-    assert es.tokenize_text("las casas blancas") == ["las", "cas", "blanc"]
+    assert es.tokenize_text("las casas blancas") == ["cas", "blanc"]
 
 
 @pytest.mark.usefixtures("ray_session")
