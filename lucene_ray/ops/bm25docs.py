@@ -174,86 +174,114 @@ def ib_topk_sql() -> str:
     return _exact_topk_sql(IBExactSimilarity().sql)
 
 
+def _batch_term_tfs(batch: pa.Table, all_terms, term_index):
+    """(doc_ids, doc_len, {tf_i}) for one batch — the shared tokenize + tf
+    kernel of both _exact_topk passes."""
+    an = CodeAnalyzer()
+    row_idx, terms, _ = an.tokenize_flat(batch.column("text").combine_chunks())
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    n = batch.num_rows
+    doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
+    import pyarrow.compute as pc
+
+    tf_cols = {}
+    for t in all_terms:
+        mask = pc.equal(terms, t).to_numpy(zero_copy_only=False)
+        tf_cols[term_index[t]] = (
+            np.bincount(row_idx[mask], minlength=n).astype(np.int64)
+            if len(row_idx)
+            else np.zeros(n, dtype=np.int64)
+        )
+    return doc_ids, doc_len, tf_cols
+
+
 def _exact_topk(sf_dir: str, sim) -> pa.Table:
+    """Float64 exact dataflow twin of the index-backed top-k, BOUNDED at
+    every scale (VERDICT r4 #7): pass 1 streams ONE stats row per batch
+    (N, sum_len, per-term df/ttf — O(batches) on the driver); pass 2
+    re-streams the corpus, scores in-batch with the GLOBAL stats, and
+    emits only each batch's per-query top-K candidates, so the driver
+    merge holds O(batches * Q * K) rows — never the matched set, never
+    the corpus. Scores are elementwise float64 with global stats, so the
+    two-pass result is bit-identical to a single-pass scoring; the final
+    merge re-sorts the candidate union by the same (score desc, docid
+    asc) key, which equals the global top-k because any global winner is
+    its own batch's winner."""
     qts = _query_terms()
     all_terms = sorted({t for _, ts in qts for t in ts})
     term_index = {t: i for i, t in enumerate(all_terms)}
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def tfs(batch: pa.Table) -> pa.Table:
-        an = CodeAnalyzer()
-        row_idx, terms, _ = an.tokenize_flat(batch.column("text").combine_chunks())
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n = batch.num_rows
-        doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
-        import pyarrow.compute as pc
-
-        tf_cols = {}
-        any_match = np.zeros(n, dtype=bool)
-        for t in all_terms:
-            mask = pc.equal(terms, t).to_numpy(zero_copy_only=False)
-            tf = (
-                np.bincount(row_idx[mask], minlength=n).astype(np.int64)
-                if len(row_idx)
-                else np.zeros(n, dtype=np.int64)
-            )
-            tf_cols[f"tf_{term_index[t]}"] = tf
-            any_match |= tf > 0
-        # matched-row filter pushed into the map stage: only docs touching a
-        # query term leave the task. Corpus-level stats (N, sum_len) travel
-        # as ONE summary row per batch (doc_id = -1), so the driver holds
-        # O(matches + batches) rows, never the corpus
-        keep = np.nonzero(any_match)[0]
+    def stats(batch: pa.Table) -> pa.Table:
+        _ids, doc_len, tf_cols = _batch_term_tfs(batch, all_terms, term_index)
         cols = {
-            "doc_id": np.concatenate([doc_ids[keep], [-1]]),
-            "doc_len": np.concatenate([doc_len[keep], [int(doc_len.sum())]]),
-            "n_docs": np.concatenate([np.zeros(len(keep), dtype=np.int64), [n]]),
+            "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+            "sum_len": pa.array([int(doc_len.sum())], type=pa.int64()),
         }
-        for name, tf in tf_cols.items():
-            cols[name] = np.concatenate([tf[keep], [0]])
-        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in cols.items()})
+        for i, tf in tf_cols.items():
+            cols[f"df_{i}"] = pa.array([int((tf > 0).sum())], type=pa.int64())
+            cols[f"ttf_{i}"] = pa.array([int(tf.sum())], type=pa.int64())
+        return pa.table(cols)
 
-    tf_tbl = ds.map_batches(tfs, batch_format="pyarrow", batch_size=4096)
-    pdf = tf_tbl.to_pandas()
-    stats_rows = pdf[pdf.doc_id < 0]
-    pdf = pdf[pdf.doc_id >= 0].reset_index(drop=True)
-    N = int(stats_rows.n_docs.sum())
-    sum_len = int(stats_rows.doc_len.sum())
+    st = (
+        ds.map_batches(stats, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()  # O(batches) rows, a few ints each
+    )
+    N = int(st.n_docs.sum())
+    sum_len = int(st.sum_len.sum())
     avgdl = sum_len / N
-    doc_ids = pdf.doc_id.to_numpy()
-    doc_len = pdf.doc_len.to_numpy()
-    M = len(pdf)  # matched rows only (df over them equals corpus df: every
-    # row with tf>0 for any query term survived the filter)
+    df_g = {i: int(st[f"df_{i}"].sum()) for i in term_index.values()}
+    ttf_g = {i: int(st[f"ttf_{i}"].sum()) for i in term_index.values()}
 
+    def topk_candidates(batch: pa.Table) -> pa.Table:
+        doc_ids, doc_len, tf_cols = _batch_term_tfs(batch, all_terms, term_index)
+        n = batch.num_rows
+        out_q, out_d, out_s = [], [], []
+        for qid, terms in qts:
+            scores = np.zeros(n, dtype=np.float64)
+            matched = np.zeros(n, dtype=bool)
+            for t in terms:
+                if t not in term_index:
+                    continue
+                i = term_index[t]
+                if df_g[i] == 0:
+                    continue
+                tf = tf_cols[i]
+                m = tf > 0
+                matched |= m
+                s = sim.score(
+                    tf[m], doc_len[m], df_g[i], N, avgdl,
+                    ttf=ttf_g[i], sum_len=sum_len,
+                )
+                scores[m] += s
+            cand = np.nonzero(matched)[0]
+            order = np.lexsort((doc_ids[cand], -scores[cand]))[:BM25_K]
+            sel = cand[order]
+            out_q.extend([qid] * len(sel))
+            out_d.extend(doc_ids[sel].tolist())
+            out_s.extend(scores[sel].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(topk_candidates, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()  # O(batches * Q * K) candidate rows
+    )
     out = {"qid": [], "rank": [], "doc_id": []}
-    for qid, terms in _query_terms():
-        scores = np.zeros(M, dtype=np.float64)
-        matched = np.zeros(M, dtype=bool)
-        for t in terms:
-            if t not in term_index:
-                continue
-            tf = pdf[f"tf_{term_index[t]}"].to_numpy()
-            df = int((tf > 0).sum())
-            if df == 0:
-                continue
-            m = tf > 0
-            matched |= m
-            # per-term ttf over matched rows == corpus ttf (every row with
-            # tf>0 for this term survived the any-match filter); sum_len is
-            # the corpus token total from the summary rows — both feed the
-            # LM/DFR families, BM25/Classic ignore them
-            s = sim.score(
-                tf[m], doc_len[m], df, N, avgdl,
-                ttf=int(tf.sum()), sum_len=sum_len,
-            )
-            scores[m] += s
-        cand = np.nonzero(matched)[0]
-        order = np.lexsort((doc_ids[cand], -scores[cand]))[:BM25_K]
-        sel = cand[order]
-        out["qid"].extend([qid] * len(sel))
-        out["rank"].extend(range(len(sel)))
-        out["doc_id"].extend(doc_ids[sel].tolist())
+    for qid, _terms in qts:
+        sub = cand[cand.qid == qid]
+        d = sub.doc_id.to_numpy()
+        s = sub.score.to_numpy()
+        order = np.lexsort((d, -s))[:BM25_K]
+        out["qid"].extend([qid] * len(order))
+        out["rank"].extend(range(len(order)))
+        out["doc_id"].extend(d[order].tolist())
     return pa.table(
         {
             "qid": pa.array(out["qid"], type=pa.int64()),
@@ -3464,7 +3492,9 @@ def blended_topk(sf_dir: str) -> pa.Table:
     as the float64 exact dataflow twin — every term scored with BLENDED
     stats (df = max over the pair, :285), combined via DisjunctionMax with
     tie-breaker or boolean sum. Bit-matched by the DuckDB oracle (same
-    operation order both sides)."""
+    operation order both sides). Two-pass bounded like _exact_topk
+    (VERDICT r4 #7): O(batches) stats rows, then per-batch top-K
+    candidates — never the matched set on the driver."""
     from lucene_ray.search.similarity import BM25ExactSimilarity
 
     sim = BM25ExactSimilarity()
@@ -3475,71 +3505,72 @@ def blended_topk(sf_dir: str) -> pa.Table:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    def tfs(batch: pa.Table) -> pa.Table:
-        an = CodeAnalyzer()
-        row_idx, terms, _ = an.tokenize_flat(batch.column("text").combine_chunks())
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n = batch.num_rows
-        doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
-        import pyarrow.compute as pc
-
-        tf_cols = {}
-        any_match = np.zeros(n, dtype=bool)
-        for t in all_terms:
-            mask = pc.equal(terms, t).to_numpy(zero_copy_only=False)
-            tf = (
-                np.bincount(row_idx[mask], minlength=n).astype(np.int64)
-                if len(row_idx)
-                else np.zeros(n, dtype=np.int64)
-            )
-            tf_cols[f"tf_{term_index[t]}"] = tf
-            any_match |= tf > 0
-        keep = np.nonzero(any_match)[0]
+    def stats(batch: pa.Table) -> pa.Table:
+        _ids, doc_len, tf_cols = _batch_term_tfs(batch, all_terms, term_index)
         cols = {
-            "doc_id": np.concatenate([doc_ids[keep], [-1]]),
-            "doc_len": np.concatenate([doc_len[keep], [int(doc_len.sum())]]),
-            "n_docs": np.concatenate([np.zeros(len(keep), dtype=np.int64), [n]]),
+            "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+            "sum_len": pa.array([int(doc_len.sum())], type=pa.int64()),
         }
-        for name, tf in tf_cols.items():
-            cols[name] = np.concatenate([tf[keep], [0]])
-        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in cols.items()})
+        for i, tf in tf_cols.items():
+            cols[f"df_{i}"] = pa.array([int((tf > 0).sum())], type=pa.int64())
+        return pa.table(cols)
 
-    pdf = ds.map_batches(tfs, batch_format="pyarrow", batch_size=4096).to_pandas()
-    stats_rows = pdf[pdf.doc_id < 0]
-    pdf = pdf[pdf.doc_id >= 0].reset_index(drop=True)
-    N = int(stats_rows.n_docs.sum())
-    avgdl = int(stats_rows.doc_len.sum()) / N
-    doc_ids = pdf.doc_id.to_numpy()
-    doc_len = pdf.doc_len.to_numpy()
-    M = len(pdf)
+    st = ds.map_batches(stats, batch_format="pyarrow", batch_size=4096).to_pandas()
+    N = int(st.n_docs.sum())
+    avgdl = int(st.sum_len.sum()) / N
+    df_g = {i: int(st[f"df_{i}"].sum()) for i in term_index.values()}
 
+    def topk_candidates(batch: pa.Table) -> pa.Table:
+        doc_ids, doc_len, tf_cols = _batch_term_tfs(batch, all_terms, term_index)
+        n = batch.num_rows
+        out_q, out_d, out_s = [], [], []
+        for qid, pair, rewrite, tie in BLENDED_QUERIES:
+            df_blend = max(df_g[term_index[t]] for t in pair)
+            if df_blend == 0:
+                continue
+            contribs = []
+            matched = np.zeros(n, dtype=bool)
+            for t in pair:
+                tf = tf_cols[term_index[t]]
+                c = np.zeros(n, dtype=np.float64)
+                m = tf > 0
+                matched |= m
+                if m.any():
+                    c[m] = sim.score(tf[m], doc_len[m], df_blend, N, avgdl)
+                contribs.append(c)
+            c0, c1 = contribs
+            if rewrite == "boolean":
+                score = c0 + c1
+            else:
+                smax = np.maximum(c0, c1)
+                score = smax + tie * ((c0 + c1) - smax)
+            cand = np.nonzero(matched)[0]
+            order = np.lexsort((doc_ids[cand], -score[cand]))[:BLENDED_K]
+            sel = cand[order]
+            out_q.extend([qid] * len(sel))
+            out_d.extend(doc_ids[sel].tolist())
+            out_s.extend(score[sel].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(topk_candidates, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()  # O(batches * Q * K)
+    )
     out = {"qid": [], "rank": [], "doc_id": []}
-    for qid, pair, rewrite, tie in BLENDED_QUERIES:
-        tf_arr = [pdf[f"tf_{term_index[t]}"].to_numpy() for t in pair]
-        df_blend = max(int((tf > 0).sum()) for tf in tf_arr)
-        if df_blend == 0:
-            continue
-        contribs = []
-        matched = np.zeros(M, dtype=bool)
-        for tf in tf_arr:
-            c = np.zeros(M, dtype=np.float64)
-            m = tf > 0
-            matched |= m
-            if m.any():
-                c[m] = sim.score(tf[m], doc_len[m], df_blend, N, avgdl)
-            contribs.append(c)
-        c0, c1 = contribs
-        if rewrite == "boolean":
-            score = c0 + c1
-        else:
-            smax = np.maximum(c0, c1)
-            score = smax + tie * ((c0 + c1) - smax)
-        cand = np.nonzero(matched)[0]
-        order = np.lexsort((doc_ids[cand], -score[cand]))[:BLENDED_K]
-        sel = cand[order]
-        out["qid"].extend([qid] * len(sel))
-        out["rank"].extend(range(len(sel)))
-        out["doc_id"].extend(doc_ids[sel].tolist())
+    for qid, _pair, _r, _t in BLENDED_QUERIES:
+        sub = cand[cand.qid == qid]
+        d = sub.doc_id.to_numpy()
+        s = sub.score.to_numpy()
+        order = np.lexsort((d, -s))[:BLENDED_K]
+        out["qid"].extend([qid] * len(order))
+        out["rank"].extend(range(len(order)))
+        out["doc_id"].extend(d[order].tolist())
     return pa.table(
         {
             "qid": pa.array(out["qid"], type=pa.int64()),
@@ -4518,7 +4549,9 @@ def combinedfield_topk(sf_dir: str) -> pa.Table:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
 
-    def tfs(batch: pa.Table) -> pa.Table:
+    def cf_batch(batch: pa.Table):
+        """Shared kernel of both passes: per-row (doc_ids, len_c, len_s,
+        {('c'|'s', term_idx): tf})."""
         import pyarrow.compute as pc
 
         an = CodeAnalyzer()
@@ -4534,64 +4567,90 @@ def combinedfield_topk(sf_dir: str) -> pa.Table:
         len_c = np.bincount(streams["c"][0], minlength=n).astype(np.int64)
         len_s = np.bincount(streams["s"][0], minlength=n).astype(np.int64)
         tf_cols = {}
-        any_match = np.zeros(n, dtype=bool)
         for t in all_terms:
             for key in ("c", "s"):
                 row_idx, terms = streams[key]
                 mask = pc.equal(terms, t).to_numpy(zero_copy_only=False)
-                tf = (
+                tf_cols[(key, tix[t])] = (
                     np.bincount(row_idx[mask], minlength=n).astype(np.int64)
                     if len(row_idx)
                     else np.zeros(n, dtype=np.int64)
                 )
-                tf_cols[f"tf{key}_{tix[t]}"] = tf
-                any_match |= tf > 0
-        keep = np.nonzero(any_match)[0]
-        cols = {
-            "doc_id": np.concatenate([doc_ids[keep], [-1]]),
-            "len_c": np.concatenate([len_c[keep], [int(len_c.sum())]]),
-            "len_s": np.concatenate([len_s[keep], [int(len_s.sum())]]),
-            "n_docs": np.concatenate([np.zeros(len(keep), dtype=np.int64), [n]]),
-        }
-        for name, tf in tf_cols.items():
-            cols[name] = np.concatenate([tf[keep], [0]])
-        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in cols.items()})
+        return doc_ids, len_c, len_s, tf_cols
 
-    pdf = ds.map_batches(tfs, batch_format="pyarrow", batch_size=4096).to_pandas()
-    stats_rows = pdf[pdf.doc_id < 0]
-    pdf = pdf[pdf.doc_id >= 0].reset_index(drop=True)
-    N = int(stats_rows.n_docs.sum())
-    sum_c = int(stats_rows.len_c.sum())
-    sum_s = int(stats_rows.len_s.sum())
+    # pass 1: one stats row per batch (VERDICT r4 #7 bounded-twin shape)
+    def stats(batch: pa.Table) -> pa.Table:
+        _ids, len_c, len_s, tf_cols = cf_batch(batch)
+        cols = {
+            "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+            "sum_c": pa.array([int(len_c.sum())], type=pa.int64()),
+            "sum_s": pa.array([int(len_s.sum())], type=pa.int64()),
+        }
+        for (key, i), tf in tf_cols.items():
+            cols[f"df{key}_{i}"] = pa.array(
+                [int((tf > 0).sum())], type=pa.int64()
+            )
+        return pa.table(cols)
+
+    st = ds.map_batches(stats, batch_format="pyarrow", batch_size=4096).to_pandas()
+    N = int(st.n_docs.sum())
+    sum_c = int(st.sum_c.sum())
+    sum_s = int(st.sum_s.sum())
     # weighted-sum collection stats, same float64 expression tree as the SQL
     avgdl = (CFQ_W_CONTENT * sum_c + CFQ_W_REPO * sum_s) / N
-    doc_ids = pdf.doc_id.to_numpy()
-    dl = CFQ_W_CONTENT * pdf.len_c.to_numpy() + CFQ_W_REPO * pdf.len_s.to_numpy()
-    M = len(pdf)
+    df_g = {
+        (key, i): int(st[f"df{key}_{i}"].sum())
+        for key in ("c", "s")
+        for i in tix.values()
+    }
 
+    # pass 2: per-batch top-K candidates only
+    def topk_candidates(batch: pa.Table) -> pa.Table:
+        doc_ids, len_c, len_s, tf_cols = cf_batch(batch)
+        n = batch.num_rows
+        dl = CFQ_W_CONTENT * len_c + CFQ_W_REPO * len_s
+        out_q, out_d, out_s = [], [], []
+        for qid, terms in qs:
+            freq = np.zeros(n, dtype=np.float64)
+            df = 0
+            for t in terms:
+                tfc = tf_cols[("c", tix[t])]
+                tfh = tf_cols[("s", tix[t])]
+                # pair order (term, content), (term, source) — left-assoc
+                freq = freq + CFQ_W_CONTENT * tfc
+                freq = freq + CFQ_W_REPO * tfh
+                df = max(df, df_g[("c", tix[t])], df_g[("s", tix[t])])
+            m = freq > 0
+            if df == 0 or not m.any():
+                continue
+            scores = np.where(m, sim.score(freq, dl, df, N, avgdl), 0.0)
+            cand = np.nonzero(m)[0]
+            order = np.lexsort((doc_ids[cand], -scores[cand]))[:BM25_K]
+            sel = cand[order]
+            out_q.extend([qid] * len(sel))
+            out_d.extend(doc_ids[sel].tolist())
+            out_s.extend(scores[sel].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(topk_candidates, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()  # O(batches * Q * K)
+    )
     out = {"qid": [], "rank": [], "doc_id": []}
-    for qid, terms in qs:
-        freq = np.zeros(M, dtype=np.float64)
-        df = 0
-        for t in terms:
-            tfc = pdf[f"tfc_{tix[t]}"].to_numpy()
-            tfh = pdf[f"tfs_{tix[t]}"].to_numpy()
-            # pair order (term, content), (term, source) — left-assoc adds
-            freq = freq + CFQ_W_CONTENT * tfc
-            freq = freq + CFQ_W_REPO * tfh
-            # matched-rows df == corpus df (any-match filter kept every row
-            # with tf>0 for any query term in either field)
-            df = max(df, int((tfc > 0).sum()), int((tfh > 0).sum()))
-        m = freq > 0
-        if df == 0 or not m.any():
-            continue
-        scores = np.where(m, sim.score(freq, dl, df, N, avgdl), 0.0)
-        cand = np.nonzero(m)[0]
-        order = np.lexsort((doc_ids[cand], -scores[cand]))[:BM25_K]
-        sel = cand[order]
-        out["qid"].extend([qid] * len(sel))
-        out["rank"].extend(range(len(sel)))
-        out["doc_id"].extend(doc_ids[sel].tolist())
+    for qid, _terms in qs:
+        sub = cand[cand.qid == qid]
+        d = sub.doc_id.to_numpy()
+        s = sub.score.to_numpy()
+        order = np.lexsort((d, -s))[:BM25_K]
+        out["qid"].extend([qid] * len(order))
+        out["rank"].extend(range(len(order)))
+        out["doc_id"].extend(d[order].tolist())
     return pa.table(
         {
             "qid": pa.array(out["qid"], type=pa.int64()),
