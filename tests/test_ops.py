@@ -130,6 +130,70 @@ class TestTextOps:
             g = df[df.qid == qid].sort_values("rank")
             assert (g.score.to_numpy()[:-1] >= g.score.to_numpy()[1:] - 1e-15).all()
 
+    def test_freetext_pruned_read_matches_full_model(self):
+        """The persisted-sidecar lookup (pruned bigram filter + top-M
+        unigram prefix) must equal brute force over the whole model —
+        proving the top-(k + #bigrams) backoff bound is exact."""
+        from lucene_ray.ops import text
+
+        model = text._ngram_model(SF).to_pandas()
+        uni = model[model.w2 == ""]
+        tot = int(uni.c.sum())
+        uni_cnt = dict(zip(uni.w1, uni.c))
+        want_rows = []
+        for qid, ctx in text.FREETEXT_CONTEXTS:
+            big = model[(model.w1 == ctx) & (model.w2 != "")]
+            ctx_cnt = uni_cnt.get(ctx, 0)
+            cands = {}
+            if ctx_cnt:
+                for w, c in zip(big.w2, big.c):
+                    cands[w] = float(c) / float(ctx_cnt)
+            for w, c in uni_cnt.items():
+                if w not in cands:
+                    cands[w] = text.FREETEXT_ALPHA * (float(c) / float(tot))
+            ranked = sorted(cands.items(), key=lambda kv: (-kv[1], kv[0]))
+            want_rows.extend(
+                (qid, r, w, s)
+                for r, (w, s) in enumerate(ranked[: text.FREETEXT_K])
+            )
+        got = text.freetext_suggest(SF).to_pandas()
+        got_rows = list(
+            zip(got.qid.tolist(), got["rank"].tolist(), got.token.tolist(), got.score.tolist())
+        )
+        assert got_rows == want_rows
+
+    def test_suggest_models_persisted_once(self, tmp_path):
+        """Second call reuses the persisted model dirs (build markers)."""
+        import os
+
+        from lucene_ray.ops import bm25docs, text
+
+        d1 = text._freetext_model_dir(SF)
+        assert os.path.exists(os.path.join(d1, "_FREETEXT_DONE"))
+        m1 = os.path.getmtime(os.path.join(d1, "_FREETEXT_DONE"))
+        assert text._freetext_model_dir(SF) == d1
+        assert os.path.getmtime(os.path.join(d1, "_FREETEXT_DONE")) == m1
+        d2 = bm25docs._suggest_model_dir(SF)
+        assert os.path.exists(os.path.join(d2, "_SUGGEST_DONE"))
+
+    def test_analyzing_pruned_read_matches_full(self):
+        """Prefix-pruned dictionary reads feed the suggester the complete
+        match superset: lookups equal a full-dictionary build."""
+        from lucene_ray.ops import bm25docs
+        from lucene_ray.search.suggest import AnalyzingSuggester
+
+        full_s, full_w = bm25docs._suggest_entries(SF)
+        for _qid, txt in bm25docs.ANALYZING_INPUTS:
+            sug_full = AnalyzingSuggester().build(full_s, full_w)
+            want = sug_full.lookup(txt, n=bm25docs.SUGGEST_K)
+            sug = AnalyzingSuggester()
+            ps, pw = bm25docs._suggest_entries(
+                SF, key_prefix=sug._analyze(txt)
+            )
+            assert len(ps) <= len(full_s)
+            got = sug.build(ps, pw).lookup(txt, n=bm25docs.SUGGEST_K)
+            assert got == want
+
     def test_fingerprint_deterministic(self):
         from lucene_ray.ops import text
 
