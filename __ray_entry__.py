@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numjoin_engine": bm25docs.numjoin_engine,
         "numjoin_scored_engine": bm25docs.numjoin_scored_engine,
         "snowball_doclen": text.snowball_doclen,
+        "parser_regexp_engine": bm25docs.parser_regexp_engine,
         # --- new in round 4
         "dvstats_engine": bm25docs.dvstats_engine,
         "diversified_engine": bm25docs.diversified_engine,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "numjoin_engine": bm25docs.numjoin_engine_sql(),
         "numjoin_scored_engine": bm25docs.numjoin_scored_engine_sql(),
         "snowball_doclen": text.snowball_doclen_sql(),
+        "parser_regexp_engine": bm25docs.parser_regexp_engine_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),
         "childjoin_engine": bm25docs.childjoin_engine_sql(),

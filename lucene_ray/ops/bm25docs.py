@@ -3477,6 +3477,66 @@ WITH t AS (
 """
 
 
+# /regexp/ classic-parser syntax (QueryParser.jj <REGEXPTERM> ->
+# RegexpQuery). RE2-safe patterns only (oracle parity: DuckDB
+# regexp_full_match is RE2; the engine's expand_regexp is python re —
+# identical on this subset).
+PARSER_REGEXP_QUERIES = (
+    (0, "/mer.e/"),
+    (1, "/so(rt|urce)/"),
+    (2, "lang:/e./"),
+    (3, "merge AND /win.*/"),
+    (4, r"\/notregex\/ merge"),  # escaped slashes: literal text, no regex
+)
+
+
+def parser_regexp_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): /regexp/ terms through the classic parser —
+    vocabulary-intersected RegexpQuery for the default field and the
+    'field:' term namespace (QueryParserBase.getRegexpQuery). Float-free
+    doc sets, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import parse_query
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q in PARSER_REGEXP_QUERIES:
+        td = s.search(parse_query(q, s.analyzer), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def parser_regexp_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = [
+        "SELECT DISTINCT 0 AS qid, doc_id AS docid FROM tok "
+        "WHERE regexp_full_match(term, 'mer.e')",
+        "SELECT DISTINCT 1 AS qid, doc_id AS docid FROM tok "
+        "WHERE regexp_full_match(term, 'so(rt|urce)')",
+        "SELECT 2 AS qid, doc_id AS docid FROM documents "
+        "WHERE regexp_full_match(lang, 'e.')",
+        "SELECT DISTINCT 3 AS qid, a.doc_id AS docid FROM tok a "
+        "JOIN tok b ON b.doc_id = a.doc_id AND regexp_full_match(b.term, 'win.*') "
+        "WHERE a.term = 'merge'",
+        "SELECT DISTINCT 4 AS qid, doc_id AS docid FROM tok "
+        "WHERE term IN ('notregex', 'merge')",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 BLENDED_QUERIES: list[tuple[int, tuple[str, str], str, float]] = [
     # (qid, (term0, term1), rewrite, tie_breaker)
     (0, ("merge", "merges"), "dismax", 0.1),   # variant pair: blend df

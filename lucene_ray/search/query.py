@@ -904,6 +904,8 @@ _LEX_RE = re.compile(
     r"|(?P<range>(?P<rmod>[+-]?)(?P<rfield>" + _FPFX + r")?(?P<ropen>[\[{])"
     r"(?P<rlo>(?:\\.|[^\s\\\]}])+)\s+TO\s+(?P<rhi>(?:\\.|[^\s\\\]}])+)(?P<rclose>[\]}])"
     r"(?:\^(?P<rboost>" + _NUM + r"))?)"
+    r"|(?P<rgx>(?P<xmod>[+-]?)(?P<xfield>" + _FPFX + r")?"
+    r"/(?P<xbody>(?:\\.|[^/\\])*)/(?:\^(?P<xboost>" + _NUM + r"))?)"
     r"|(?P<word>(?:\\.|[^\s\\()])+)"
     r"|(?P<badesc>\\)"
 )
@@ -1216,6 +1218,20 @@ def _parse_bool(
                 )
             ]
             cmod = m.group("rmod") or mod
+            i += 1
+        elif m.group("rgx"):
+            # /regexp/ terms (QueryParser.jj <REGEXPTERM>;
+            # QueryParserBase.getRegexpQuery). Only \/ is unescaped — the
+            # rest of the body reaches RegexpQuery verbatim, as in the
+            # reference (regex escapes are the regex engine's business).
+            fld = (m.group("xfield") or "").rstrip(":") or field_ctx
+            body = m.group("xbody").replace("\\/", "/")
+            if fld is not None and fld != "content":
+                # field-scoped regexp runs in the 'field:' term namespace
+                # (both keyword and analyzed fields store scoped terms)
+                body = f"{fld}:{body}"
+            qs = [RegexpQuery(body, boost=float(m.group("xboost") or 1.0))]
+            cmod = m.group("xmod") or mod
             i += 1
         else:
             w = word

@@ -167,3 +167,52 @@ def test_parser_escape_gate_parity():
     assert_same(
         bm25docs.parser_escape_engine(SF), con, bm25docs.parser_escape_engine_sql()
     )
+
+
+class TestRegexpSyntax:
+    """/regexp/ classic-parser terms (QueryParser.jj <REGEXPTERM>)."""
+
+    def test_bare_regexp(self):
+        from lucene_ray.search.query import RegexpQuery
+
+        q = parse_query("/mer.e/", AN)
+        assert q.should == [RegexpQuery("mer.e")]
+
+    def test_field_scoped_regexp_namespaced(self):
+        from lucene_ray.search.query import RegexpQuery
+
+        q = parse_query("lang:/e./", AN)
+        assert q.should == [RegexpQuery("lang:e.")]
+
+    def test_modifier_and_boost(self):
+        from lucene_ray.search.query import RegexpQuery
+
+        q = parse_query("+/ab+c/^3 -x", AN)
+        assert q.must == [RegexpQuery("ab+c", boost=3.0)]
+        assert len(q.must_not) == 1
+
+    def test_escaped_slash_in_body(self):
+        from lucene_ray.search.query import RegexpQuery
+
+        q = parse_query(r"/a\/b/", AN)
+        assert q.should == [RegexpQuery("a/b")]
+
+    def test_escaped_slashes_are_literal_text(self):
+        q = parse_query(r"\/notregex\/", AN)
+        assert [t.term for t in q.should] == ["notregex"]
+
+    def test_regexp_gate_parity(self):
+        import duckdb
+
+        from lucene_ray.ops import bm25docs
+        from tests.test_ops import assert_same
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        assert_same(
+            bm25docs.parser_regexp_engine(SF),
+            con,
+            bm25docs.parser_regexp_engine_sql(),
+        )
