@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numjoin_scored_engine": bm25docs.numjoin_scored_engine,
         "snowball_doclen": text.snowball_doclen,
         "parser_regexp_engine": bm25docs.parser_regexp_engine,
+        "gopher_quality": text.gopher_quality,
         # --- new in round 4
         "dvstats_engine": bm25docs.dvstats_engine,
         "diversified_engine": bm25docs.diversified_engine,
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "numjoin_scored_engine": bm25docs.numjoin_scored_engine_sql(),
         "snowball_doclen": text.snowball_doclen_sql(),
         "parser_regexp_engine": bm25docs.parser_regexp_engine_sql(),
+        "gopher_quality": text.gopher_quality_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),
         "childjoin_engine": bm25docs.childjoin_engine_sql(),

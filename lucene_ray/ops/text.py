@@ -187,6 +187,104 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# Gopher quality-filter rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 text-quality
+# filtering) in exact-integer form so the oracle hashes bit-for-bit:
+# word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS], mean word length in
+# [3, 10] (as 3n <= sum_len <= 10n), symbol-to-word ratio <= 0.1 (as
+# 10 * (#'#' + #'...') <= n_words), and >= 2 distinct required stopwords.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_words, sum_word_len, n_stop, n_symbols, keep): the
+    Gopher quality-filter signals per document plus the composite keep
+    flag — the standard LLM-corpus quality gate, expressed over the
+    analyzer's token stream so the DuckDB twin is exact (all comparisons
+    integer; '#'/'...' counts are non-overlapping on both sides). Pure
+    map_batches, no shuffle at any scale."""
+    import pyarrow.compute as pc
+
+    def signals(batch: pa.Table) -> pa.Table:
+        an = CodeAnalyzer()
+        txt = batch.column("text").combine_chunks()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        row_idx, terms, _ = an.tokenize_flat(txt)
+        n_words = np.bincount(row_idx, minlength=n).astype(np.int64)
+        tlen = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
+        sum_len = np.bincount(
+            row_idx, weights=tlen.astype(np.float64), minlength=n
+        ).astype(np.int64)
+        n_stop = np.zeros(n, dtype=np.int64)
+        for w in GOPHER_STOPS:
+            hit = pc.equal(terms, w).to_numpy(zero_copy_only=False)
+            n_stop += np.bincount(row_idx[hit], minlength=n) > 0
+        n_sym = (
+            pc.count_substring(txt, "#").to_numpy(zero_copy_only=False)
+            + pc.count_substring(txt, "...").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        keep = (
+            (n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (3 * n_words <= sum_len)
+            & (sum_len <= 10 * n_words)
+            & (10 * n_sym <= n_words)
+            & (n_stop >= 2)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "sum_word_len": pa.array(sum_len, type=pa.int64()),
+                "n_stop": pa.array(n_stop, type=pa.int64()),
+                "n_symbols": pa.array(n_sym, type=pa.int64()),
+                "keep": pa.array(keep.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(signals, batch_format="pyarrow", batch_size=4096)
+
+
+def gopher_quality_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         sum(length(term))::BIGINT AS sum_word_len,
+         count(DISTINCT CASE WHEN term IN ({stops}) THEN term END)::BIGINT
+           AS n_stop
+  FROM tok GROUP BY doc_id
+), sym AS (
+  SELECT doc_id,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+           AS n_symbols
+  FROM documents
+)
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.sum_word_len, 0) AS sum_word_len,
+       coalesce(a.n_stop, 0) AS n_stop,
+       s.n_symbols,
+       CASE WHEN coalesce(a.n_words, 0) >= {GOPHER_MIN_WORDS}
+             AND coalesce(a.n_words, 0) <= {GOPHER_MAX_WORDS}
+             AND 3 * coalesce(a.n_words, 0) <= coalesce(a.sum_word_len, 0)
+             AND coalesce(a.sum_word_len, 0) <= 10 * coalesce(a.n_words, 0)
+             AND 10 * s.n_symbols <= coalesce(a.n_words, 0)
+             AND coalesce(a.n_stop, 0) >= 2
+        THEN 1 ELSE 0 END AS keep
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+JOIN sym s USING (doc_id)
+"""
+
+
 def snowball_doclen(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, n_tokens) per document through the english_snowball
     analyzer chain (snowball stop list -> Porter2 stem,

@@ -130,6 +130,43 @@ class TestTextOps:
             g = df[df.qid == qid].sort_values("rank")
             assert (g.score.to_numpy()[:-1] >= g.score.to_numpy()[1:] - 1e-15).all()
 
+    def test_gopher_quality(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(text.gopher_quality(SF), con, text.gopher_quality_sql())
+
+    def test_gopher_rules_fire(self, tmp_path):
+        """Planted corpus: one clean doc passes, a too-short doc and a
+        symbol-heavy doc fail the integer rules."""
+        import duckdb
+        import pyarrow.parquet as pq
+        from lucene_ray.ops import text
+
+        good = ("the quick data " + "pipeline streams batches " * 20
+                + "to be of and that have with the end")
+        short = "the of and"
+        symbols = "the be to of and that have with " + "#### " * 60 + "word " * 60
+        t = __import__("pyarrow").table(
+            {"doc_id": [0, 1, 2], "text": [good, short, symbols]}
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(t, str(sf / "documents.parquet"))
+        got = (
+            text.gopher_quality(str(sf)).to_pandas().sort_values("doc_id")
+        )
+        assert got.keep.tolist() == [1, 0, 0]
+        c = duckdb.connect()
+        c.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = c.execute(text.gopher_quality_sql()).fetchdf()
+        cols = sorted(got.columns)
+        assert (
+            got[cols].sort_values("doc_id").reset_index(drop=True).astype("int64")
+            .equals(want[cols].sort_values("doc_id").reset_index(drop=True).astype("int64"))
+        )
+
     def test_freetext_pruned_read_matches_full_model(self):
         """The persisted-sidecar lookup (pruned bigram filter + top-M
         unigram prefix) must equal brute force over the whole model —
