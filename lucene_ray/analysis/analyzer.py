@@ -341,19 +341,30 @@ class StandardLiteAnalyzer:
 # other \p{L}\p{N} codepoint joins ALPHANUM runs. RE2 script classes —
 # identical in pyarrow.compute and DuckDB regexp_* (both RE2).
 _UNI_ISOLATE_PATTERN = r"([\p{Han}\p{Hiragana}])"
-_UNI_SEP_PATTERN = r"[^\p{L}\p{N}]+"
+_UNI_SEP_PATTERN = r"[^\p{L}\p{N}\x01-\x03]+"
+# UAX#29 MidNumLet medial joiners (WB6/WB7, WB11/WB12 via MidNumLet):
+# a SINGLE . ' ’ between two alphanumerics never breaks ("don't", "3.14",
+# "example.com"). RE2 has no lookaround, so joiners are PROTECTED by
+# rewriting alnum J alnum -> alnum <placeholder> alnum; a replace pass
+# consumes its right-context char, so alternating joiners in a chain
+# (a.b.c) survive pass 1 — pass 2 (whose left-context class includes the
+# placeholders) catches every remaining joiner, since after pass 1 no two
+# unprotected joiners are context-adjacent.
+_UNI_MEDIAL = (("\\.", "\x01"), ("'", "\x02"), ("’", "\x03"))
+_UNI_MEDIAL_CTX = r"[\p{L}\p{N}\x01-\x03]"
 
 
 class UnicodeAnalyzer:
     """Unicode StandardAnalyzer (UAX#29-lite): full \\p{L}\\p{N} ALPHANUM
-    runs + single-char ideographic/Hiragana tokens, Unicode-lowercased.
+    runs + single-char ideographic/Hiragana tokens + UAX#29 MidNumLet
+    medial punctuation (don't / 3.14 / example.com stay whole),
+    Unicode-lowercased.
 
-    Divergences, documented: medial apostrophe/numeric punctuation split
-    (like CodeAnalyzer, unlike the ASCII conformance StandardLiteAnalyzer);
-    emoji/symbols are separators (the reference's 9.x emoji rule is out of
-    scope); no offsets option (the isolation pass shifts byte positions).
-    Pure RE2 pipeline — no byte-LUT fast path; non-ASCII corpora are not the
-    bench hot path."""
+    Divergences, documented: MidNum ','/';' (3,000) and MidLetter '·' are
+    not joiners here (MidNumLet only); emoji/symbols are separators (the
+    reference's 9.x emoji rule is out of scope); no offsets option (the
+    isolation pass shifts byte positions). Pure RE2 pipeline — no byte-LUT
+    fast path; non-ASCII corpora are not the bench hot path."""
 
     name = "unicode"
     supports_indexing = True
@@ -365,9 +376,22 @@ class UnicodeAnalyzer:
             texts, pattern=_UNI_ISOLATE_PATTERN, replacement=r" \1 "
         )
         s = pc.utf8_lower(s)
+        for _ in range(2):  # two passes: see _UNI_MEDIAL comment
+            for joiner, ph in _UNI_MEDIAL:
+                s = pc.replace_substring_regex(
+                    s,
+                    pattern=f"({_UNI_MEDIAL_CTX}){joiner}([\\p{{L}}\\p{{N}}])",
+                    replacement=f"\\1{ph}\\2",
+                )
         toks = pc.split_pattern_regex(s, pattern=_UNI_SEP_PATTERN)
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
+        vals = toks.values
+        for joiner, ph in _UNI_MEDIAL:
+            vals = pc.replace_substring(
+                vals, pattern=ph, replacement=joiner.lstrip("\\")
+            )
+        toks = pa.ListArray.from_arrays(toks.offsets, vals)
         lengths = pc.utf8_length(toks.values).to_numpy(zero_copy_only=False)
         if bool((lengths <= MAX_TOKEN_LEN).all()):
             keep = lengths > 0
@@ -384,12 +408,24 @@ class UnicodeAnalyzer:
             f"regexp_replace({col}, '{_UNI_ISOLATE_PATTERN}', ' \\1 ', 'g')"
         )
         expr = f"lower({expr})"
+        for _ in range(2):
+            for i, (joiner, _ph) in enumerate(_UNI_MEDIAL, start=1):
+                pat = f"({_UNI_MEDIAL_CTX}){joiner}([\\p{{L}}\\p{{N}}])"
+                pat_sql = pat.replace("'", "''")
+                expr = (
+                    f"regexp_replace({expr}, '{pat_sql}', "
+                    f"'\\1' || chr({i}) || '\\2', 'g')"
+                )
         expr = f"string_split_regex({expr}, '{_UNI_SEP_PATTERN}')"
+        restore = "t"
+        for i, (joiner, _ph) in enumerate(_UNI_MEDIAL, start=1):
+            lit = joiner.lstrip("\\").replace("'", "''")
+            restore = f"replace({restore}, chr({i}), '{lit}')"
         # maxTokenLength SPLIT, codepoint-counted on both sides ('.' = one
         # codepoint in RE2, len() = codepoints in the python fixup)
         return (
             f"flatten(list_transform({expr}, "
-            f"t -> regexp_extract_all(t, '.{{1,{MAX_TOKEN_LEN}}}')))"
+            f"t -> regexp_extract_all({restore}, '.{{1,{MAX_TOKEN_LEN}}}')))"
         )
 
     def tokenize_flat(self, texts, with_offsets: bool = False):
@@ -1023,6 +1059,11 @@ class _LightStemAnalyzer(UnicodeAnalyzer):
 
     language: str = ""
     stop_set: frozenset = frozenset()
+    # ElisionFilter articles (analysis/util/ElisionFilter.java; French's
+    # DEFAULT_ARTICLES, fr/FrenchAnalyzer.java:56): "l'avion" -> "avion"
+    # BEFORE stop/stem, now that the UAX#29 tokenizer keeps medial
+    # apostrophes. Empty = no elision (German/Spanish chains have none).
+    elision_articles: tuple = ()
 
     def tokenize_array(self, texts):
         import pyarrow.compute as pc
@@ -1031,16 +1072,25 @@ class _LightStemAnalyzer(UnicodeAnalyzer):
 
         lists = super().tokenize_array(texts)
         flat = lists.flatten()
-        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        if self.stop_set and len(flat):
-            keep = pc.invert(
-                pc.is_in(flat, value_set=pa.array(sorted(self.stop_set)))
-            ).to_numpy(zero_copy_only=False)
-            flat = flat.filter(pa.array(keep))
-            kept_cum = np.concatenate(
-                ([0], np.cumsum(keep.astype(np.int64)))
+        if self.elision_articles and len(flat):
+            alt = "|".join(self.elision_articles)
+            flat = pc.replace_substring_regex(
+                flat, pattern=f"^(?:{alt})['’]", replacement=""
             )
-            offs = kept_cum[offs]
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat):
+            # drop stopwords AND tokens emptied by elision in one mask
+            keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+            if self.stop_set:
+                keep &= pc.invert(
+                    pc.is_in(flat, value_set=pa.array(sorted(self.stop_set)))
+                ).to_numpy(zero_copy_only=False)
+            if not keep.all():
+                flat = flat.filter(pa.array(keep))
+                kept_cum = np.concatenate(
+                    ([0], np.cumsum(keep.astype(np.int64)))
+                )
+                offs = kept_cum[offs]
         stemmed = light_stem_terms(flat, self.language)
         return pa.ListArray.from_arrays(
             pa.array(offs, type=pa.int32()), stemmed
@@ -1069,6 +1119,10 @@ class FrenchLightAnalyzer(_LightStemAnalyzer):
     name = "french_light"
     language = "french_light"
     stop_set = _snowball_stops("french")
+    elision_articles = (
+        "jusqu", "quoiqu", "lorsqu", "puisqu",  # longest-first for the regex
+        "qu", "l", "m", "t", "n", "s", "j", "d", "c",
+    )
 
 
 class SpanishLightAnalyzer(_LightStemAnalyzer):

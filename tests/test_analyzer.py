@@ -299,6 +299,17 @@ class TestUnicodeAnalyzer:
         # ASCII behaves like a plain standard tokenizer (no code splits)
         ("C++ is better?", ["c", "is", "better"]),
         ("", []),
+        # UAX#29 MidNumLet medial punctuation (WB6/WB7, WB11/WB12): a
+        # SINGLE . ' ’ between alphanumerics never breaks — the
+        # reference's StandardTokenizer keeps these whole
+        ("don't stop", ["don't", "stop"]),
+        ("pi is 3.14", ["pi", "is", "3.14"]),
+        ("visit example.com now", ["visit", "example.com", "now"]),
+        ("l’avion d'été", ["l’avion", "d'été"]),
+        ("a.b.c.d.e", ["a.b.c.d.e"]),  # chains survive the 2-pass protect
+        ("a..b end. x", ["a", "b", "end", "x"]),  # doubles/trailers break
+        ("'quoted'", ["quoted"]),  # leading/trailing never medial
+        ("中文.测试", ["中", "文", "测", "试"]),  # isolation wins over medial
     ]
 
     def test_golden_tokens(self):

@@ -123,3 +123,26 @@ def test_lightstem_index_builds_and_searches(tmp_path):
     assert 3 in td.docids.tolist()
     td2 = s.search("baum", 10)
     assert sorted(td2.docids.tolist()) == sorted(td.docids.tolist())
+
+
+def test_french_elision_filter():
+    """ElisionFilter (analysis/util/ElisionFilter.java) with FrenchAnalyzer's
+    DEFAULT_ARTICLES: leading article + apostrophe strips BEFORE stop/stem,
+    now that the UAX#29 tokenizer keeps medial apostrophes whole."""
+    fr = get_analyzer("french_light")
+    assert fr.tokenize_text("l'avion") == ["avion"]
+    assert fr.tokenize_text("d'été") == ["été"]
+    assert fr.tokenize_text("jusqu'ici") == []  # 'ici' is a stopword
+    assert fr.tokenize_text("qu'importe") == ["import"]
+    # a lone elided article leaves no empty token behind
+    assert fr.tokenize_text("l' avion") == ["avion"]
+    # non-article apostrophe words stem whole (aujourd'hui keeps its form)
+    toks = fr.tokenize_text("aujourd'hui")
+    assert toks and "'" in toks[0]
+
+
+def test_german_spanish_no_elision():
+    de = get_analyzer("german_light")
+    assert de.elision_articles == ()
+    es = get_analyzer("spanish_light")
+    assert es.elision_articles == ()
