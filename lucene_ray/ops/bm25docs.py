@@ -5903,6 +5903,71 @@ def _dv_engine_index(sf_dir: str) -> str:
     return ix
 
 
+# global-ordinal joins over the SORTED lang/repo DV (JoinUtil.java:456,500)
+GLOBALORD_QUERIES = (
+    # (qid, from_term, field, score_mode)
+    (0, "merge", "lang", "none"),
+    (1, "stream", "repo", "total"),
+    (2, "window", "lang", "max"),
+)
+GLOBALORD_K = 40
+
+
+def globalordjoin_engine(sf_dir: str) -> pa.Table:
+    """(qid, rank, docid, n): global-ordinal join — SORTED-DV ordinals
+    lifted through a merged OrdinalMap, from-side support collected as a
+    global-ordinal count array, to-side matched by ordinal (never term
+    bytes). score_mode none ranks docid-asc with n=1; total ranks by
+    support. Float-free, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher, join_query_global_ordinal
+
+    ix = _dv_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out = {"qid": [], "rank": [], "docid": [], "n": []}
+    for qid, term, field, mode in GLOBALORD_QUERIES:
+        td = join_query_global_ordinal(
+            s, term, field, score_mode=mode, k=GLOBALORD_K
+        )
+        out["qid"].extend([qid] * len(td.docids))
+        out["rank"].extend(range(len(td.docids)))
+        out["docid"].extend(td.docids.tolist())
+        out["n"].extend(int(v) for v in td.values)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "docid": pa.array(out["docid"], type=pa.int64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        }
+    )
+
+
+def globalordjoin_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term, field, mode in GLOBALORD_QUERIES:
+        col = "lang" if field == "lang" else "source"
+        n_expr = "s.n" if mode == "total" else "1::BIGINT"
+        parts.append(f"""
+SELECT {qid} AS qid,
+       (row_number() OVER (ORDER BY {n_expr} DESC, d.doc_id ASC) - 1)::BIGINT AS rank,
+       d.doc_id AS docid, {n_expr} AS n
+FROM documents d JOIN (
+  SELECT {col}, count(*)::BIGINT AS n FROM documents
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+  GROUP BY {col}
+) s USING ({col})
+QUALIFY rank < {GLOBALORD_K}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
 DVSORT_QUERIES = (
     # (qid, term, field, ascending) — numeric src_id is the NON-derived DV;
     # lang/repo sort through SORTED doc values (ordinal comparator)

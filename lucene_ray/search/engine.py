@@ -1084,6 +1084,75 @@ def join_query_numeric_scored(
     )
 
 
+def join_query_global_ordinal(
+    searcher: "IndexSearcher",
+    from_query,
+    field: str,
+    score_mode: str = "none",
+    k: int | None = None,
+) -> "SortedTopDocs":
+    """Global-ordinal join (JoinUtil.createJoinQuery with an OrdinalMap,
+    join/.../JoinUtil.java:456,500 -> GlobalOrdinalsQuery /
+    GlobalOrdinalsWithScoreQuery): the join key is a SORTED doc-values
+    field; per-segment ordinals lift through a merged global ordinal map
+    (index/OrdinalMap.java — here: sorted union of the segment term
+    dictionaries + one searchsorted per segment), the from-side collects a
+    global-ordinal COUNT array (the LongBitSet + scores analog; never term
+    bytes), and the to-side matches docs whose global ordinal is hit.
+    Doc sets equal the value join — ordinals are Lucene's execution
+    strategy for high-cardinality keys. score_mode 'none' returns docids
+    ascending with constant 1 scores; 'total' ranks by from-side support
+    (score desc, docid asc), Max/Avg collapse to 1 as in the term join."""
+    if score_mode not in ("none", "total", "max", "avg"):
+        raise ValueError("score_mode must be none/total/max/avg")
+    reader = searcher.reader
+    readers = reader.all_readers()
+    segs = []
+    for sr in readers:
+        ords, terms = sr.sorted_doc_values(field)
+        segs.append((sr, ords, terms))
+    z = np.array([], dtype=np.int64)
+    if not segs:
+        return SortedTopDocs(z, np.array([], dtype=np.float64), 0, z)
+    global_terms = np.unique(np.concatenate([t for _, _, t in segs]))
+    seg2glob = [np.searchsorted(global_terms, t) for _, _, t in segs]
+
+    td = searcher.search(from_query, k=1 << 62)
+    if len(td.docids) == 0:
+        return SortedTopDocs(z, np.array([], dtype=np.float64), 0, z)
+    support = np.zeros(len(global_terms), dtype=np.int64)
+    for (sr, ords, _t), m in zip(segs, seg2glob):
+        lo = sr.docid_base
+        hi = lo + sr.doc_count
+        mine = td.docids[(td.docids >= lo) & (td.docids < hi)] - lo
+        if len(mine):
+            np.add.at(support, m[ords[mine]], 1)
+
+    docs_parts, score_parts = [], []
+    for (sr, ords, _t), m in zip(segs, seg2glob):
+        gl = m[ords]
+        match = support[gl] > 0
+        if sr.live_mask is not None:
+            match &= sr.live_mask
+        local = np.nonzero(match)[0]
+        docs_parts.append(local.astype(np.int64) + sr.docid_base)
+        if score_mode == "total":
+            score_parts.append(support[gl[local]])
+        else:
+            score_parts.append(np.ones(len(local), dtype=np.int64))
+    docids = np.concatenate(docs_parts)
+    scores = np.concatenate(score_parts)
+    order = np.lexsort((docids, -scores))
+    if k is not None:
+        order = order[:k]
+    return SortedTopDocs(
+        docids[order],
+        scores[order].astype(np.float64),
+        len(docids),
+        scores[order],
+    )
+
+
 def all_groups(searcher: "IndexSearcher", query, field: str) -> list[str]:
     """Distinct group values among the matching docs, sorted — the
     AllGroupsCollector (grouping/AllGroupsCollector.java); its size is

@@ -104,3 +104,65 @@ def test_numjoin_gate_parity():
     assert_same(
         bm25docs.numjoin_scored_engine(SF), con, bm25docs.numjoin_scored_engine_sql()
     )
+
+
+class TestGlobalOrdinalJoin:
+    @pytest.fixture(scope="class")
+    def dv_searcher(self, ray_session):
+        from lucene_ray.ops.bm25docs import _dv_engine_index
+        from lucene_ray.search.engine import IndexSearcher
+
+        return IndexSearcher(_dv_engine_index(SF))
+
+    def test_matches_value_join(self, dv_searcher):
+        """The ordinal path is an execution strategy: doc sets equal the
+        TermInSet value join over the same (keyword-indexed) field."""
+        from lucene_ray.search.engine import (
+            join_query,
+            join_query_global_ordinal,
+        )
+
+        s = dv_searcher
+        got = set(
+            join_query_global_ordinal(s, "merge", "lang").docids.tolist()
+        )
+        want = set(s.search(join_query(s, "merge", "lang"), 1 << 20).docids.tolist())
+        assert got == want and got
+
+    def test_total_scores_match_scored_join(self, dv_searcher):
+        from lucene_ray.search.engine import (
+            join_query_global_ordinal,
+            join_query_scored,
+        )
+
+        s = dv_searcher
+        a = join_query_global_ordinal(s, "merge", "lang", score_mode="total")
+        b = join_query_scored(s, "merge", "lang", score_mode="total")
+        assert a.docids.tolist() == b.docids.tolist()
+        assert a.values.tolist() == b.values.tolist()
+
+    def test_empty_from(self, dv_searcher):
+        from lucene_ray.search.engine import join_query_global_ordinal
+
+        td = join_query_global_ordinal(dv_searcher, "zzzmissing", "lang")
+        assert len(td.docids) == 0
+
+    def test_bad_mode(self, dv_searcher):
+        from lucene_ray.search.engine import join_query_global_ordinal
+
+        with pytest.raises(ValueError):
+            join_query_global_ordinal(dv_searcher, "merge", "lang", score_mode="sum")
+
+    def test_gate_parity(self):
+        from lucene_ray.ops import bm25docs
+        from tests.test_ops import assert_same
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        assert_same(
+            bm25docs.globalordjoin_engine(SF),
+            con,
+            bm25docs.globalordjoin_engine_sql(),
+        )
