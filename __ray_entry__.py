@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parser_regexp_engine": bm25docs.parser_regexp_engine,
         "gopher_quality": text.gopher_quality,
         "globalordjoin_engine": bm25docs.globalordjoin_engine,
+        "shape_line_engine": bm25docs.shape_line_engine,
         # --- new in round 4
         "dvstats_engine": bm25docs.dvstats_engine,
         "diversified_engine": bm25docs.diversified_engine,
@@ -226,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "parser_regexp_engine": bm25docs.parser_regexp_engine_sql(),
         "gopher_quality": text.gopher_quality_sql(),
         "globalordjoin_engine": bm25docs.globalordjoin_engine_sql(),
+        "shape_line_engine": bm25docs.shape_line_engine_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),
         "childjoin_engine": bm25docs.childjoin_engine_sql(),

@@ -1739,6 +1739,103 @@ def shape_polygon_engine_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# Axis-aligned query polylines (segments as ('h', lat, lon_a, lon_b) or
+# ('v', lon, lat_a, lat_b)): rect-vs-axis-segment relations are pure
+# interval algebra in SQL, while the engine runs the generic geometric
+# kernels; off-grid offsets rule out tangency (same discipline as the
+# polygon gate).
+SHAPE_LINE_QUERIES = (
+    (0, "intersects", (("h", 20.000025, -60.000025, 0.000025),)),
+    (1, "disjoint", (("h", 20.000025, -60.000025, 0.000025),)),
+    (2, "intersects", (
+        ("h", 10.000025, -30.000025, 10.000025),
+        ("v", 10.000025, 10.000025, 40.000025),
+    )),
+    # contains: a short horizontal run seated inside doc 5's rect
+    (3, "contains", (("h", -11.869475, 31.505025, 32.005025),)),
+)
+
+
+def _polyline(segs):
+    """((lats), (lons)) vertex tuples of a connected axis-aligned path."""
+    lats, lons = [], []
+
+    def push(la, lo):
+        if not lats or lats[-1] != la or lons[-1] != lo:
+            lats.append(la)
+            lons.append(lo)
+
+    for kind, c, a, b in segs:
+        if kind == "h":
+            push(c, a)
+            push(c, b)
+        else:
+            push(a, c)
+            push(b, c)
+    return tuple(lats), tuple(lons)
+
+
+def shape_line_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): indexed-shape LINE queries (document/LatLonShape.java
+    newLineQuery; INTERSECTS/DISJOINT/CONTAINS, the latter over the
+    format-v9 edge-origin flags) — generic per-triangle geometry in the
+    engine, rect-vs-axis-segment interval algebra in the oracle."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, ShapeLineQuery
+
+    ix = _shape_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, rel, segs in SHAPE_LINE_QUERIES:
+        lats, lons = _polyline(segs)
+        q = ShapeLineQuery("rect", lats, lons, relation=rel)
+        td = s.search(BooleanQuery(should=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def shape_line_engine_sql() -> str:
+    from lucene_ray.search.spatial import synth_rect_sql
+
+    lat0, lat1, lon0, lon1 = synth_rect_sql("doc_id")
+
+    def seg_inter(seg):
+        kind, c, a, b = seg
+        if kind == "h":
+            return (
+                f"({lat0} <= {c!r} AND {lat1} >= {c!r} AND "
+                f"{lon1} >= {a!r} AND {lon0} <= {b!r})"
+            )
+        return (
+            f"({lon0} <= {c!r} AND {lon1} >= {c!r} AND "
+            f"{lat1} >= {a!r} AND {lat0} <= {b!r})"
+        )
+
+    parts = []
+    for qid, rel, segs in SHAPE_LINE_QUERIES:
+        inter = " OR ".join(seg_inter(s) for s in segs)
+        if rel == "intersects":
+            cond = inter
+        elif rel == "disjoint":
+            cond = f"NOT ({inter})"
+        else:  # contains: every vertex inside the rect (rects are convex)
+            lats, lons = _polyline(segs)
+            cond = (
+                f"{lat0} <= {min(lats)!r} AND {lat1} >= {max(lats)!r} AND "
+                f"{lon0} <= {min(lons)!r} AND {lon1} >= {max(lons)!r}"
+            )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents WHERE {cond}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 NBCLASSIFY_TEXTS = [
     (0, "merge sort window"),
     (1, "batch stream data value"),

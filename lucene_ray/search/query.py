@@ -694,6 +694,23 @@ class ShapePolygonQuery:
 
 
 @dataclass(frozen=True)
+class ShapeLineQuery:
+    """Open-polyline query over INDEXED shapes (document/LatLonShape.java
+    newLineQuery -> LatLonShapeLineQuery): per-triangle tests — INTERSECTS
+    = any triangle touches the line (vertex-in-triangle or edge crossing),
+    DISJOINT = none does, CONTAINS = the WithinRelation aggregation (the
+    line runs inside the doc's shape; edge-origin flags tell boundary from
+    diagonal). ``lats``/``lons`` are the polyline vertices in order.
+    Constant score = boost."""
+
+    field: str
+    lats: tuple
+    lons: tuple
+    relation: str = "intersects"  # intersects | disjoint | contains
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class LatLonBoxQuery:
     """2-D geo box filter, bounds INCLUSIVE on raw float64, constant score
     (document/LatLonPoint.java newBoxQuery over the Morton-sorted

@@ -68,6 +68,7 @@ from lucene_ray.search.query import (
     NGramPhraseQuery,
     FieldExistsQuery,
     ShapeBoxQuery,
+    ShapeLineQuery,
     ShapePolygonQuery,
     SortedNumericRangeQuery,
     SynonymQuery,
@@ -1204,6 +1205,49 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 return docs_u[keep].astype(np.int64)
 
             docids = _qcache(reader, q, _shapepoly)
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, None, scored=(docids, scores)))
+        elif isinstance(q, ShapeLineQuery):
+            def _shapeline(q=q):
+                from lucene_ray.search.spatial import (
+                    tri_line_contains,
+                    tri_line_relation,
+                )
+
+                if q.relation not in ("intersects", "disjoint", "contains"):
+                    raise ValueError(
+                        f"unsupported line relation: {q.relation!r} "
+                        "(a 2-D shape is never WITHIN a line)"
+                    )
+                dd, axx, ayy, bxx, byy, cxx, cyy = reader.shape_triangles(
+                    q.field
+                )
+                if len(dd) == 0:
+                    return np.array([], dtype=np.int64)
+                tris = (axx, ayy, bxx, byy, cxx, cyy)
+                starts = np.nonzero(
+                    np.concatenate(([True], dd[1:] != dd[:-1]))
+                )[0]
+                docs_u = dd[starts]
+                if q.relation == "contains":
+                    cand, notw = tri_line_contains(
+                        tris, reader.shape_edge_flags(q.field),
+                        q.lats, q.lons,
+                    )
+                    any_cand = np.add.reduceat(cand.astype(np.int64), starts) > 0
+                    any_notw = np.add.reduceat(notw.astype(np.int64), starts) > 0
+                    keep = any_cand & ~any_notw
+                else:
+                    inter = tri_line_relation(tris, q.lats, q.lons)
+                    any_inter = (
+                        np.add.reduceat(inter.astype(np.int64), starts) > 0
+                    )
+                    keep = any_inter if q.relation == "intersects" else ~any_inter
+                return docs_u[keep].astype(np.int64)
+
+            docids = _qcache(reader, q, _shapeline)
             if len(docids) == 0:
                 continue
             scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)

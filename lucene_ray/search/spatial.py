@@ -500,6 +500,55 @@ def tri_polygon_relation(tris, shell: tuple[tuple, tuple], holes: tuple = ()):
     return inter, within
 
 
+def _line_edges(lats: tuple, lons: tuple):
+    """OPEN polyline edges ((x1, y1, x2, y2), ...), x=lon — unlike
+    _ring_edges there is no closing edge."""
+    return tuple(
+        (
+            float(lons[i]), float(lats[i]),
+            float(lons[i + 1]), float(lats[i + 1]),
+        )
+        for i in range(len(lats) - 1)
+    )
+
+
+def tri_line_relation(tris, lats: tuple, lons: tuple):
+    """intersects boolean array per TRIANGLE for an open query polyline
+    (LatLonShape.newLineQuery -> LatLonShapeLineQuery per-component
+    tests): a triangle intersects iff any line vertex is inside it or any
+    line segment crosses any triangle edge. (A 2-D shape is never WITHIN
+    a line, so only INTERSECTS/DISJOINT/CONTAINS make sense doc-level.)"""
+    ax, ay, bx, by, cx, cy = tris
+    inter = np.zeros(ax.shape, dtype=bool)
+    for px, py in zip(lons, lats):
+        inter |= _point_in_tri(float(px), float(py), ax, ay, bx, by, cx, cy)
+    tri_edges = ((ax, ay, bx, by), (bx, by, cx, cy), (cx, cy, ax, ay))
+    for f in _line_edges(lats, lons):
+        for e in tri_edges:
+            inter |= _segs_intersect(*e, *f)
+    return inter
+
+
+def tri_line_contains(tris, flags, lats: tuple, lons: tuple):
+    """(candidate, notwithin) per TRIANGLE for QueryRelation.CONTAINS over
+    a query polyline — the WithinRelation protocol with open edges:
+    NOTWITHIN when a line segment crosses a boundary-flagged triangle
+    edge, CANDIDATE when the line's first vertex sits inside the
+    triangle; doc-level 'some candidate and no notwithin' = the line runs
+    inside the union of the doc's triangles (non-tangent configs)."""
+    ax, ay, bx, by, cx, cy = tris
+    fab, fbc, fca = flags
+    notwithin = np.zeros(ax.shape, dtype=bool)
+    for f in _line_edges(lats, lons):
+        notwithin |= fab & _segs_intersect(ax, ay, bx, by, *f)
+        notwithin |= fbc & _segs_intersect(bx, by, cx, cy, *f)
+        notwithin |= fca & _segs_intersect(cx, cy, ax, ay, *f)
+    candidate = _point_in_tri(
+        float(lons[0]), float(lats[0]), ax, ay, bx, by, cx, cy
+    )
+    return candidate, notwithin
+
+
 def tri_polygon_contains(
     tris, flags, shell: tuple[tuple, tuple], holes: tuple = ()
 ):

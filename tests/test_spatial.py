@@ -433,3 +433,67 @@ class TestShapePolygon:
         inter = s.search(BooleanQuery(should=[ShapePolygonQuery(
             "rect", sh, relation="intersects")]), 1 << 20).docids.tolist()
         assert 5 in inter
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShapeLine:
+    """Line queries over indexed shapes (LatLonShape.newLineQuery)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_line_gate_parity(self):
+        import duckdb
+        from lucene_ray.ops import bm25docs
+        from tests.test_ops import assert_same
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{self.SF}/documents.parquet')"
+        )
+        assert_same(
+            bm25docs.shape_line_engine(self.SF),
+            con,
+            bm25docs.shape_line_engine_sql(),
+        )
+
+    def test_line_relation_algebra(self):
+        from lucene_ray.ops.bm25docs import _shape_engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, ShapeLineQuery
+
+        s = IndexSearcher(_shape_engine_index(self.SF))
+        n = s.reader.manifest.doc_count
+        lats, lons = (20.000025, 20.000025), (-60.000025, 0.000025)
+
+        def run(rel):
+            return set(s.search(BooleanQuery(should=[ShapeLineQuery(
+                "rect", lats, lons, relation=rel)]), 1 << 20).docids.tolist())
+
+        inter, disjoint = run("intersects"), run("disjoint")
+        contains = run("contains")
+        assert inter.isdisjoint(disjoint)
+        assert len(inter) + len(disjoint) == n
+        assert contains <= inter
+        with pytest.raises(ValueError, match="WITHIN"):
+            run("within")
+
+    def test_contains_matches_planted_doc(self):
+        import numpy as np
+        from lucene_ray.ops.bm25docs import _shape_engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery, ShapeLineQuery
+        from lucene_ray.search.spatial import synth_rect
+
+        s = IndexSearcher(_shape_engine_index(self.SF))
+        # segment inside doc 5's rect matches; one poking past the right
+        # edge does not (the boundary-flag crossing fires)
+        inside = s.search(BooleanQuery(should=[ShapeLineQuery(
+            "rect", (-11.869475, -11.869475), (31.505025, 32.005025),
+            relation="contains")]), 1 << 20).docids.tolist()
+        assert 5 in inside
+        lat0, lat1, lon0, lon1 = (v[0] for v in synth_rect(np.array([5])))
+        poking = s.search(BooleanQuery(should=[ShapeLineQuery(
+            "rect", (-11.869475, -11.869475), (31.505025, lon1 + 1.0),
+            relation="contains")]), 1 << 20).docids.tolist()
+        assert 5 not in poking
