@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": text.gopher_quality,
         "globalordjoin_engine": bm25docs.globalordjoin_engine,
         "shape_line_engine": bm25docs.shape_line_engine,
+        "shape_point_engine": bm25docs.shape_point_engine,
         # --- new in round 4
         "dvstats_engine": bm25docs.dvstats_engine,
         "diversified_engine": bm25docs.diversified_engine,
@@ -228,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": text.gopher_quality_sql(),
         "globalordjoin_engine": bm25docs.globalordjoin_engine_sql(),
         "shape_line_engine": bm25docs.shape_line_engine_sql(),
+        "shape_point_engine": bm25docs.shape_point_engine_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),
         "childjoin_engine": bm25docs.childjoin_engine_sql(),

@@ -267,13 +267,34 @@ def check_index(index_dir: str, verify_content: bool = True) -> dict:
                             "ascending within a doc"
                         )
 
-        # shapes sidecar: doc-major local docids in range
+        # shapes sidecar: doc-major local docids in range; v9 edge-origin
+        # flags, when present, must be complete (all three bool columns,
+        # no nulls) and every triangle must keep >= 1 boundary edge (a
+        # tessellation component with all-internal edges is impossible)
         sh_path = os.path.join(d, "shapes.parquet")
         if os.path.exists(sh_path):
-            sh = pq.read_table(sh_path, columns=["docid"])
+            sh_schema = pq.read_schema(sh_path)
+            flag_cols = [c for c in ("fab", "fbc", "fca") if c in sh_schema.names]
+            sh = pq.read_table(sh_path, columns=["docid"] + flag_cols)
             sdocs = sh.column("docid").to_numpy(zero_copy_only=False)
             if len(sdocs) and (sdocs.min() < 0 or sdocs.max() >= entry.doc_count):
                 problems.append(f"{entry.name}: shapes docid out of range")
+            if flag_cols:
+                if len(flag_cols) != 3:
+                    problems.append(
+                        f"{entry.name}: shapes edge flags incomplete "
+                        f"({flag_cols})"
+                    )
+                elif len(sdocs):
+                    fl = [
+                        sh.column(c).to_numpy(zero_copy_only=False)
+                        for c in ("fab", "fbc", "fca")
+                    ]
+                    if not bool((fl[0] | fl[1] | fl[2]).all()):
+                        problems.append(
+                            f"{entry.name}: shapes triangle with no "
+                            "boundary-flagged edge"
+                        )
 
         # binary DV sidecar: one row per doc
         bdv_path = os.path.join(d, "docvalues_binary.parquet")

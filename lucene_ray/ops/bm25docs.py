@@ -1836,6 +1836,53 @@ def shape_line_engine_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+SHAPE_POINT_QUERIES = (
+    (0, "intersects", 20.000025, -30.000025),
+    (1, "disjoint", 20.000025, -30.000025),
+    (2, "intersects", -11.869475, 31.884525),  # inside doc 5's rect
+)
+
+
+def shape_point_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): indexed-shape POINT queries (document/LatLonShape.java
+    newPointQuery; INTERSECTS/DISJOINT) — point-in-triangle tests in the
+    engine, point-in-rect interval algebra in the oracle."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, ShapePointQuery
+
+    ix = _shape_engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, rel, la, lo in SHAPE_POINT_QUERIES:
+        q = ShapePointQuery("rect", la, lo, relation=rel)
+        td = s.search(BooleanQuery(should=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def shape_point_engine_sql() -> str:
+    from lucene_ray.search.spatial import synth_rect_sql
+
+    lat0, lat1, lon0, lon1 = synth_rect_sql("doc_id")
+    parts = []
+    for qid, rel, la, lo in SHAPE_POINT_QUERIES:
+        inside = (
+            f"{lat0} <= {la!r} AND {lat1} >= {la!r} AND "
+            f"{lon0} <= {lo!r} AND {lon1} >= {lo!r}"
+        )
+        cond = inside if rel == "intersects" else f"NOT ({inside})"
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents WHERE {cond}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 NBCLASSIFY_TEXTS = [
     (0, "merge sort window"),
     (1, "batch stream data value"),

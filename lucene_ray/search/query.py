@@ -694,6 +694,20 @@ class ShapePolygonQuery:
 
 
 @dataclass(frozen=True)
+class ShapePointQuery:
+    """Point query over INDEXED shapes (document/LatLonShape.java
+    newPointQuery -> LatLonShapePointQuery): INTERSECTS = the point lies
+    in some triangle of the doc's shape (boundary-inclusive), DISJOINT =
+    it lies in none. Constant score = boost."""
+
+    field: str
+    lat: float
+    lon: float
+    relation: str = "intersects"  # intersects | disjoint
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ShapeLineQuery:
     """Open-polyline query over INDEXED shapes (document/LatLonShape.java
     newLineQuery -> LatLonShapeLineQuery): per-triangle tests — INTERSECTS

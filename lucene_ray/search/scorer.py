@@ -69,6 +69,7 @@ from lucene_ray.search.query import (
     FieldExistsQuery,
     ShapeBoxQuery,
     ShapeLineQuery,
+    ShapePointQuery,
     ShapePolygonQuery,
     SortedNumericRangeQuery,
     SynonymQuery,
@@ -1205,6 +1206,35 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 return docs_u[keep].astype(np.int64)
 
             docids = _qcache(reader, q, _shapepoly)
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, None, scored=(docids, scores)))
+        elif isinstance(q, ShapePointQuery):
+            def _shapepoint(q=q):
+                from lucene_ray.search.spatial import _point_in_tri
+
+                if q.relation not in ("intersects", "disjoint"):
+                    raise ValueError(
+                        f"unsupported point relation: {q.relation!r}"
+                    )
+                dd, axx, ayy, bxx, byy, cxx, cyy = reader.shape_triangles(
+                    q.field
+                )
+                if len(dd) == 0:
+                    return np.array([], dtype=np.int64)
+                hit = _point_in_tri(
+                    float(q.lon), float(q.lat), axx, ayy, bxx, byy, cxx, cyy
+                )
+                starts = np.nonzero(
+                    np.concatenate(([True], dd[1:] != dd[:-1]))
+                )[0]
+                docs_u = dd[starts]
+                any_hit = np.add.reduceat(hit.astype(np.int64), starts) > 0
+                keep = any_hit if q.relation == "intersects" else ~any_hit
+                return docs_u[keep].astype(np.int64)
+
+            docids = _qcache(reader, q, _shapepoint)
             if len(docids) == 0:
                 continue
             scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)

@@ -497,3 +497,23 @@ class TestShapeLine:
             "rect", (-11.869475, -11.869475), (31.505025, lon1 + 1.0),
             relation="contains")]), 1 << 20).docids.tolist()
         assert 5 not in poking
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shape_point_gate_and_checkindex():
+    import duckdb
+    from lucene_ray.index.checkindex import check_index
+    from lucene_ray.ops import bm25docs
+    from tests.test_ops import assert_same
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    assert_same(
+        bm25docs.shape_point_engine(SF), con, bm25docs.shape_point_engine_sql()
+    )
+    # the shape index (with v9 flags) passes CheckIndex incl. the
+    # edge-flag invariants
+    report = check_index(bm25docs._shape_engine_index(SF))
+    assert not report["problems"], report["problems"]
