@@ -941,7 +941,7 @@ _LEX_RE = re.compile(
     r"|(?P<badesc>\\)"
 )
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
-_FUZZY_RE = re.compile(r"^(.*?)~(\d?)$")
+_FUZZY_RE = re.compile(r"^(.*?)~(\d+(?:\.\d+)?)?$")
 _FIELD_RE = re.compile(r"^([a-zA-Z_]+):(.+)$")
 
 # QueryParserBase.escape (queryparser/.../classic/QueryParserBase.java:~1000)
@@ -1062,8 +1062,23 @@ def _token_queries(w, is_phrase, boost, slop, analyzer, field=None) -> list:
         if m and m.group(1) and not _ends_escaped(m.group(1)):
             toks = analyzer.tokenize_text(discard_escapes(m.group(1)))
             if toks:
-                edits = int(m.group(2)) if m.group(2) else 2
-                return [FuzzyQuery("".join(toks), max_edits=edits, boost=boost)]
+                term = "".join(toks)
+                sl = m.group(2)
+                if not sl:
+                    edits = 2  # bare ~ = defaultMaxEdits
+                else:
+                    # FuzzyQuery.floatToEdits verbatim (handleBareFuzzy's
+                    # legacy float-similarity path): >=1 clamps to the
+                    # 2-edit Levenshtein maximum, 0.0 means EXACT, a
+                    # fraction scales with the term length
+                    f = float(sl)
+                    if f >= 1.0:
+                        edits = min(int(f), 2)
+                    elif f == 0.0:
+                        edits = 0
+                    else:
+                        edits = min(int((1.0 - f) * len(term)), 2)
+                return [FuzzyQuery(term, max_edits=edits, boost=boost)]
             return []
         if _has_unescaped(w, "*?"):
             return [WildcardQuery(w.lower(), boost=boost)]

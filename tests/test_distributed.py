@@ -170,3 +170,53 @@ def test_distributed_sorted_matches_local(ix, ray_session):
             assert a.docids.tolist() == d.tolist(), (q, asc)
             assert list(a.values) == v.tolist(), (q, asc)
             assert total == a.total_hits
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_round5_query_families_distributed_identity():
+    """The round-5 query families (shape polygon/line/point, PointInSet)
+    produce identical doc SETS through the sharded actor searcher — the
+    multi-node contract for the new constant-score clause types."""
+    from lucene_ray.ops.bm25docs import (
+        _diamond,
+        _engine_index,
+        _shape_engine_index,
+    )
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        PointInSetQuery,
+        ShapeLineQuery,
+        ShapePointQuery,
+        ShapePolygonQuery,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    shape_ix = _shape_engine_index(SF)
+    local = IndexSearcher(shape_ix)
+    dist = DistributedSearcher(shape_ix, n_shards=3, pruned=False)
+    shape_queries = [
+        ShapePolygonQuery(
+            "rect", _diamond(20.000025, -30.000025, 25.000037),
+            relation=rel,
+        )
+        for rel in ("intersects", "within", "disjoint", "contains")
+    ] + [
+        ShapeLineQuery(
+            "rect", (20.000025, 20.000025), (-60.000025, 0.000025),
+            relation="intersects",
+        ),
+        ShapePointQuery("rect", 20.000025, -30.000025),
+    ]
+    for q in shape_queries:
+        bq = BooleanQuery(should=[q])
+        a = sorted(local.search(bq, 1 << 20).docids.tolist())
+        b = sorted(dist.search(bq, 1 << 20).docids.tolist())
+        assert a == b, q
+
+    pt_ix = _engine_index(SF)
+    local2 = IndexSearcher(pt_ix)
+    dist2 = DistributedSearcher(pt_ix, n_shards=3, pruned=False)
+    bq = BooleanQuery(must=[PointInSetQuery("n_chars", (120, 305, 641))])
+    a = sorted(local2.search(bq, 1 << 20).docids.tolist())
+    b = sorted(dist2.search(bq, 1 << 20).docids.tolist())
+    assert a == b

@@ -216,3 +216,28 @@ class TestRegexpSyntax:
             con,
             bm25docs.parser_regexp_engine_sql(),
         )
+
+
+class TestFuzzyFloat:
+    """Legacy float fuzzy similarity (QueryParserBase.handleBareFuzzy ->
+    FuzzyQuery.floatToEdits, mirrored verbatim incl. the 0.0-is-exact and
+    clamp-at-2 branches)."""
+
+    def _edits(self, q):
+        return parse_query(q, AN).should[0].max_edits
+
+    def test_bare_default(self):
+        assert self._edits("merge~") == 2
+
+    def test_zero_is_exact(self):
+        # floatToEdits's explicit 0.0 branch: "0 means exact"
+        assert self._edits("merge~0") == 0
+
+    def test_float_to_edits(self):
+        assert self._edits("merge~1") == 1
+        assert self._edits("merge~2") == 2
+        assert self._edits("merge~3") == 2      # clamp, not error
+        assert self._edits("merge~2.5") == 2
+        assert self._edits("merge~0.8") == 0    # (1-0.8)*5 = 1.0 -> int 1? no: 0.2*5=1.0 -> 1
+        assert self._edits("merge~0.5") == 2    # 0.5*5 = 2.5 -> 2
+        assert self._edits("ab~0.4") == 1       # 0.6*2 = 1.2 -> 1
