@@ -779,6 +779,143 @@ QUALIFY row_number() OVER (
 """
 
 
+# ------------------------------------- LM perplexity scoring (CCNet-style)
+
+LM_EVAL_SPLIT = 50  # doc_id < LM_EVAL_SPLIT rows are scored (bounded output)
+
+
+def lm_logprob(sf_dir: str) -> pa.Table:
+    """(doc_id, pos, lnp): per-token log-probability of the EVAL split
+    (doc_id < LM_EVAL_SPLIT) under the corpus 2-gram stupid-backoff LM —
+    the CCNet/Wikipedia-LM perplexity-filter signal (quality = docs whose
+    mean -lnp is low), emitted per position so the oracle needs NO
+    order-sensitive float sums. Token 0 scores by unigram probability
+    c(w)/tot; later tokens by c(prev,w)/c(prev) when the bigram exists,
+    else ALPHA * c(w)/tot (FreeTextSuggester's backoff, reused as an LM).
+
+    Scale shape: the vocab-scale model is built once (persisted freetext
+    sidecars), broadcast via ray.put, and consulted inside map_batches
+    over a row-pruned read of the eval split — the canonical
+    broadcast-small-side + streamed-scoring pattern. ln goes through the
+    libm unique-value LUT (similarity._ulog) for DuckDB bit-parity."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from lucene_ray.search.similarity import _ulog
+
+    d = _freetext_model_dir(sf_dir)
+    with open(os.path.join(d, "meta.json")) as f:
+        tot = float(json.load(f)["tot"])
+    model = pq.read_table(os.path.join(d, "grams"), ignore_prefixes=["_", "."])
+    mw1 = np.asarray(model.column("w1").to_pylist(), dtype=object)
+    mw2 = np.asarray(model.column("w2").to_pylist(), dtype=object)
+    mc = model.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+    uni_mask = mw2 == ""
+    uni = dict(zip(mw1[uni_mask], mc[uni_mask]))
+    big = {
+        (a, b): c
+        for a, b, c in zip(mw1[~uni_mask], mw2[~uni_mask], mc[~uni_mask])
+    }
+    model_ref = ray.put((uni, big, tot))
+
+    def score(batch: pa.Table) -> pa.Table:
+        u, bg, t_tot = ray.get(model_ref)
+        doc_ids, row_idx, terms = _tokenize_batch(batch)
+        toks = terms.to_pylist()
+        n = len(toks)
+        p = np.empty(n, dtype=np.float64)
+        first = np.empty(n, dtype=bool)
+        if n:
+            first[0] = True
+            np.not_equal(row_idx[1:], row_idx[:-1], out=first[1:])
+        for i in range(n):
+            w = toks[i]
+            if first[i]:
+                p[i] = u[w] / t_tot
+            else:
+                prev = toks[i - 1]
+                cb = bg.get((prev, w))
+                if cb is not None:
+                    p[i] = cb / u[prev]
+                else:
+                    p[i] = FREETEXT_ALPHA * (u[w] / t_tot)
+        lnp = _ulog(p) if n else np.array([], dtype=np.float64)
+        pos = np.arange(n, dtype=np.int64)
+        if n:
+            firsts = np.nonzero(first)[0]
+            pos = pos - np.repeat(firsts, np.diff(np.append(firsts, n)))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[row_idx], type=pa.int64()),
+                "pos": pa.array(pos, type=pa.int64()),
+                "lnp": pa.array(lnp, type=pa.float64()),
+            }
+        )
+
+    import pyarrow.dataset as pds
+
+    tbl = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filter=pds.field("doc_id") < LM_EVAL_SPLIT,
+        )
+        .map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .to_arrow_refs()
+    )
+    import pyarrow as _pa
+
+    parts = [r for r in ray.get(tbl)]
+    out = (
+        _pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "lnp": pa.array([], type=pa.float64()),
+            }
+        )
+    )
+    return out
+
+
+def lm_logprob_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+), uni AS (
+  SELECT term AS w1, count(*)::BIGINT AS c FROM ptok GROUP BY term
+), tot AS (
+  SELECT sum(c)::DOUBLE AS tot FROM uni
+), big AS (
+  SELECT a.term AS w1, b.term AS w2, count(*)::BIGINT AS c
+  FROM ptok a JOIN ptok b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+)
+SELECT p.doc_id, (p.pos - 1)::BIGINT AS pos,
+  CASE
+    WHEN p.pos = 1 THEN ln(u.c::DOUBLE / t.tot)
+    WHEN bg.c IS NOT NULL THEN ln(bg.c::DOUBLE / up.c::DOUBLE)
+    ELSE ln({FREETEXT_ALPHA} * (u.c::DOUBLE / t.tot))
+  END AS lnp
+FROM ptok p
+CROSS JOIN tot t
+JOIN uni u ON u.w1 = p.term
+LEFT JOIN ptok prev
+  ON prev.doc_id = p.doc_id AND prev.pos = p.pos - 1
+LEFT JOIN uni up ON up.w1 = prev.term
+LEFT JOIN big bg ON bg.w1 = prev.term AND bg.w2 = p.term
+WHERE p.doc_id < {LM_EVAL_SPLIT}
+"""
+
+
 # --------------------------------------- free-text (n-gram LM) suggester
 
 FREETEXT_ALPHA = 0.4  # FreeTextSuggester.ALPHA (stupid-backoff multiplier)

@@ -130,6 +130,30 @@ class TestTextOps:
             g = df[df.qid == qid].sort_values("rank")
             assert (g.score.to_numpy()[:-1] >= g.score.to_numpy()[1:] - 1e-15).all()
 
+    def test_lm_logprob(self, con):
+        from lucene_ray.ops import text
+
+        assert_same(
+            text.lm_logprob(SF), con, text.lm_logprob_sql(),
+            float_cols=("lnp",),
+        )
+
+    def test_lm_logprob_is_a_usable_perplexity_signal(self):
+        """Mean -lnp per doc is finite, and a doc made of corpus-frequent
+        bigrams scores better (lower) than held-out gibberish would — the
+        bigram branch must actually fire."""
+        import pandas as pd
+
+        from lucene_ray.ops import text
+
+        df = text.lm_logprob(SF).to_pandas()
+        assert (df.doc_id < text.LM_EVAL_SPLIT).all()
+        assert np.isfinite(df.lnp).all() and (df.lnp < 0).all()
+        mean_nll = df.groupby("doc_id").lnp.mean().mul(-1)
+        assert len(mean_nll) > 1 and mean_nll.std() > 0  # discriminative
+        # position 0 rows exist for every doc (first-token unigram branch)
+        assert set(df[df.pos == 0].doc_id) == set(df.doc_id)
+
     def test_gopher_quality(self, con):
         from lucene_ray.ops import text
 
