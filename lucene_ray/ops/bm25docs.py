@@ -3621,6 +3621,83 @@ WITH t AS (
 """
 
 
+# XML CoreParser gate (queryparser/xml/CoreParser.java element set)
+XMLPARSER_QUERIES = (
+    (0, '<TermQuery fieldName="content">merge</TermQuery>'),
+    (1, '<BooleanQuery>'
+        '<Clause occurs="must"><TermQuery fieldName="content">merge</TermQuery></Clause>'
+        '<Clause occurs="mustNot"><TermQuery fieldName="content">sort</TermQuery></Clause>'
+        '</BooleanQuery>'),
+    (2, '<UserQuery>+merge sort</UserQuery>'),
+    (3, '<TermsQuery fieldName="content">merge sort batch</TermsQuery>'),
+    (4, '<RangeQuery fieldName="n_chars" lowerTerm="100" upperTerm="200"/>'),
+    (5, '<SpanNear slop="0" inOrder="true">'
+        '<SpanTerm fieldName="content">merge</SpanTerm>'
+        '<SpanTerm fieldName="content">sort</SpanTerm>'
+        '</SpanNear>'),
+    (6, '<TermQuery fieldName="lang">en</TermQuery>'),
+    (7, '<DisjunctionMaxQuery tieBreaker="0.1">'
+        '<TermQuery fieldName="content">merge</TermQuery>'
+        '<TermQuery fieldName="content">sort</TermQuery>'
+        '</DisjunctionMaxQuery>'),
+)
+
+
+def xmlparser_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): the XML query DSL (queryparser/xml/CoreParser.java
+    builders) end-to-end — every XML string parses through
+    search/xmlparser.py and runs on the real index. Float-free doc sets,
+    SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.xmlparser import CoreParser
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    parser = CoreParser(s.analyzer)
+    out_q, out_d = [], []
+    for qid, xml in XMLPARSER_QUERIES:
+        td = s.search(parser.parse(xml), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def xmlparser_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = [
+        "SELECT DISTINCT 0 AS qid, doc_id AS docid FROM tok WHERE term = 'merge'",
+        "SELECT DISTINCT 1 AS qid, doc_id AS docid FROM tok WHERE term = 'merge' "
+        "AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'sort')",
+        "SELECT DISTINCT 2 AS qid, doc_id AS docid FROM tok WHERE term = 'merge'",
+        "SELECT DISTINCT 3 AS qid, doc_id AS docid FROM tok "
+        "WHERE term IN ('merge', 'sort', 'batch')",
+        "SELECT 4 AS qid, doc_id AS docid FROM documents "
+        "WHERE length(text) >= 100 AND length(text) <= 200",
+        "SELECT DISTINCT 5 AS qid, p0.doc_id AS docid FROM ptok p0 "
+        "JOIN ptok p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 "
+        "AND p1.term = 'sort' WHERE p0.term = 'merge'",
+        "SELECT 6 AS qid, doc_id AS docid FROM documents WHERE lang = 'en'",
+        "SELECT DISTINCT 7 AS qid, doc_id AS docid FROM tok "
+        "WHERE term IN ('merge', 'sort')",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term FROM t
+), ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""
+
+
 # /regexp/ classic-parser syntax (QueryParser.jj <REGEXPTERM> ->
 # RegexpQuery). RE2-safe patterns only (oracle parity: DuckDB
 # regexp_full_match is RE2; the engine's expand_regexp is python re —
