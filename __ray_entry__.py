@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shape_point_engine": bm25docs.shape_point_engine,
         "lm_logprob": text.lm_logprob,
         "xmlparser_engine": bm25docs.xmlparser_engine,
+        "blended_infix_suggest": bm25docs.blended_infix_suggest,
         # --- new in round 4
         "dvstats_engine": bm25docs.dvstats_engine,
         "diversified_engine": bm25docs.diversified_engine,
@@ -234,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "shape_point_engine": bm25docs.shape_point_engine_sql(),
         "lm_logprob": text.lm_logprob_sql(),
         "xmlparser_engine": bm25docs.xmlparser_engine_sql(),
+        "blended_infix_suggest": bm25docs.blended_infix_suggest_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),
         "childjoin_engine": bm25docs.childjoin_engine_sql(),

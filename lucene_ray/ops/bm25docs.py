@@ -6821,12 +6821,14 @@ def _suggest_model_dir(sf_dir: str) -> str:
     return model_dir
 
 
-def _suggest_entries(sf_dir: str, key_prefix: str | None = None):
-    """(surfaces, weights) from the persisted model — a PRUNED akey-range
-    read when ``key_prefix`` is given (AnalyzingSuggester prefix lookups
-    touch only the row groups whose akey stats admit the prefix), the full
-    dictionary otherwise (FuzzySuggester, like the reference's resident
-    FST)."""
+def _suggest_entries(
+    sf_dir: str, key_prefix: str | None = None, with_keys: bool = False
+):
+    """(surfaces, weights[, akeys]) from the persisted model — a PRUNED
+    akey-range read when ``key_prefix`` is given (AnalyzingSuggester
+    prefix lookups touch only the row groups whose akey stats admit the
+    prefix), the full dictionary otherwise (Fuzzy/BlendedInfix, like the
+    reference's resident FST)."""
     import pyarrow.parquet as _pq
 
     d = _suggest_model_dir(sf_dir)
@@ -6836,11 +6838,82 @@ def _suggest_entries(sf_dir: str, key_prefix: str | None = None):
             ("akey", ">=", key_prefix),
             ("akey", "<", key_prefix + "￿"),
         ]
+    cols = ["surface", "weight"] + (["akey"] if with_keys else [])
     t = _pq.read_table(
-        d, columns=["surface", "weight"], filters=filters,
-        ignore_prefixes=["_", "."],
+        d, columns=cols, filters=filters, ignore_prefixes=["_", "."],
     )
-    return t.column("surface").to_pylist(), t.column("weight").to_pylist()
+    out = [t.column("surface").to_pylist(), t.column("weight").to_pylist()]
+    if with_keys:
+        out.append(t.column("akey").to_pylist())
+    return tuple(out)
+
+
+# (qid, fragment, blender) — BlendedInfixSuggester gate inputs
+BLENDED_INFIX_INPUTS = (
+    (0, "mer", "linear"),
+    (1, "mer", "reciprocal"),
+    (2, "wind", "linear"),
+    (3, "sor", "reciprocal"),
+)
+BLENDED_INFIX_K = 10
+
+
+def blended_infix_suggest(sf_dir: str) -> pa.Table:
+    """(qid, surface, score): BlendedInfixSuggester lookups
+    (suggest/.../analyzing/BlendedInfixSuggester.java) — infix token-prefix
+    matches over the persisted dictionary, weight blended by the FIRST
+    matching token's position (POSITION_LINEAR / POSITION_RECIPROCAL).
+    Float64 scores are bit-exact against the SQL oracle (same fixed-order
+    coefficient arithmetic both sides)."""
+    from lucene_ray.search.suggest import blended_infix_lookup
+
+    surfaces, weights, akeys = _suggest_entries(sf_dir, with_keys=True)
+    entries = list(zip(surfaces, weights, akeys))
+    out_q, out_s, out_w = [], [], []
+    for qid, frag, blender in BLENDED_INFIX_INPUTS:
+        for s, sc in blended_infix_lookup(
+            entries, frag, k=BLENDED_INFIX_K, blender=blender
+        ):
+            out_q.append(qid)
+            out_s.append(s)
+            out_w.append(sc)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "surface": pa.array(out_s, type=pa.string()),
+            "score": pa.array(out_w, type=pa.float64()),
+        }
+    )
+
+
+def blended_infix_suggest_sql() -> str:
+    parts = []
+    for qid, frag, blender in BLENDED_INFIX_INPUTS:
+        coef = (
+            "(1.0 - 0.1 * f.pos)"
+            if blender == "linear"
+            else "(1.0 / (f.pos + 1.0))"
+        )
+        parts.append(f"""
+SELECT {qid} AS qid, k.surface,
+       CAST(k.weight AS DOUBLE) * {coef} AS score
+FROM keys k JOIN (
+  SELECT surface, min(i) - 1 AS pos FROM ktoks
+  WHERE tok LIKE '{frag}%' GROUP BY surface
+) f USING (surface)
+QUALIFY row_number() OVER (ORDER BY score DESC, k.surface) <= {BLENDED_INFIX_K}
+""")
+    union = "\nUNION ALL\n".join(parts)
+    return (
+        _suggest_sql_base()
+        + """, ktoks AS (
+  SELECT surface, unnest(string_split(akey, ' ')) AS tok,
+         generate_subscripts(string_split(akey, ' '), 1) AS i
+  FROM keys
+)
+"""
+        + union
+    )
 
 
 def analyzing_suggest(sf_dir: str) -> pa.Table:

@@ -212,3 +212,39 @@ class FuzzySuggester(AnalyzingSuggester):
         ]
         rows.sort()
         return [(s, -negw) for _d, negw, s in rows[:n]]
+
+
+def blended_infix_lookup(
+    entries: list[tuple[str, int, str]],
+    fragment: str,
+    k: int = 10,
+    blender: str = "linear",
+    linear_coef: float = 0.10,
+) -> list[tuple[str, float]]:
+    """BlendedInfixSuggester lookup (suggest/.../analyzing/
+    BlendedInfixSuggester.java): suggestions whose analyzed key contains a
+    token STARTING WITH ``fragment``, scored weight * coefficient of the
+    FIRST matching token position — POSITION_LINEAR: (1 - linear_coef *
+    position); POSITION_RECIPROCAL: 1 / (position + 1). ``entries`` are
+    (surface, weight, akey) rows (the persisted suggester dictionary);
+    returns top-k (surface, score), score desc then surface asc.
+    Coefficient arithmetic is plain float64 in a fixed order so the
+    DuckDB twin reproduces scores bit-for-bit."""
+    if blender not in ("linear", "reciprocal"):
+        raise ValueError("blender must be linear/reciprocal")
+    out = []
+    for surface, weight, akey in entries:
+        pos = -1
+        for i, tok in enumerate(akey.split(" ")):
+            if tok.startswith(fragment):
+                pos = i
+                break
+        if pos < 0:
+            continue
+        if blender == "linear":
+            coef = 1.0 - linear_coef * pos
+        else:
+            coef = 1.0 / (pos + 1.0)
+        out.append((surface, float(weight) * coef))
+    out.sort(key=lambda sw: (-sw[1], sw[0]))
+    return out[:k]

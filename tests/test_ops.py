@@ -1962,3 +1962,32 @@ class TestFieldExistsAndThreshold:
         assert len(hi) < len(thr)
         for q in hi.query_id.unique():
             assert q in set(hi[hi.query_id == q].vec_id)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBlendedInfix:
+    def test_unit_blending(self):
+        from lucene_ray.search.suggest import blended_infix_lookup
+
+        e = [("aa bb cc", 10, "aa bb cc"), ("xx bbq", 20, "xx bbq"),
+             ("bb solo", 5, "bb solo")]
+        lin = blended_infix_lookup(e, "bb")
+        # 'xx bbq' pos=1 -> 0.9*20=18 beats pos-0 'bb solo' (5) and
+        # pos-1 'aa bb cc' (9)
+        assert lin[0] == ("xx bbq", 18.0) and lin[1] == ("aa bb cc", 9.0)
+        rec = blended_infix_lookup(e, "bb", blender="reciprocal")
+        assert rec[0] == ("xx bbq", 10.0)
+        # score tie at 5.0: surface-asc break
+        assert [s for s, _ in rec[1:]] == ["aa bb cc", "bb solo"]
+        with pytest.raises(ValueError):
+            blended_infix_lookup(e, "bb", blender="geometric")
+
+    def test_gate_parity(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.blended_infix_suggest(SF),
+            con,
+            bm25docs.blended_infix_suggest_sql(),
+            float_cols=(),  # scores must be BIT-exact, not just close
+        )
