@@ -3698,6 +3698,133 @@ WITH t AS (
 """
 
 
+# Flexible-parser gate: (qid, parser-config key, query). 'std' =
+# StandardQueryParser defaults, 'prec' = PrecedenceQueryParser (the nesting
+# difference is the whole point of queryparser/flexible/precedence/),
+# 'std_and' = default operator AND, 'mf' = multi-field expansion over
+# (content, repo), 'pc' = points_config on n_chars. fn: rows exercise the
+# IntervalQueryNodeProcessor surface incl. the round-5 combinators
+# (before/after/within/nonOverlapping/atLeast/extend).
+FLEXPARSER_QUERIES = (
+    # flat standard semantics: +merge +sort batch — batch is optional
+    (0, "std", "merge AND sort OR batch"),
+    # precedence semantics: (+merge +sort) OR batch — batch docs MATCH
+    (1, "prec", "merge AND sort OR batch"),
+    (2, "std_and", "merge batch"),
+    (3, "std", "NOT merge AND sort"),
+    (4, "mf", "src7"),
+    (5, "pc", "n_chars:150"),
+    (6, "std", "fn:ordered(merge sort)"),
+    (7, "std", "fn:atLeast(2 merge sort window)"),
+    (8, "std", "fn:within(key 3 merge)"),
+    (9, "std", "fn:nonOverlapping(key merge)"),
+    (10, "std", "fn:after(sort merge)"),
+    (11, "std", "(merge OR sort) AND NOT batch"),
+)
+
+
+def flexparser_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): the flexible parser family end-to-end —
+    StandardQueryParser (flat BooleanQuery2ModifierNodeProcessor
+    semantics), PrecedenceQueryParser (grammar nesting preserved), the
+    config surface (default operator, multi-field, points config) and fn:
+    interval functions (search/flexparser.py; reference
+    queryparser/flexible/standard/StandardQueryParser.java +
+    precedence/PrecedenceQueryParser.java). Float-free doc sets,
+    SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.flexparser import (
+        PrecedenceQueryParser,
+        StandardQueryParser,
+    )
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    parsers = {
+        "std": StandardQueryParser(s.analyzer),
+        "prec": PrecedenceQueryParser(s.analyzer),
+        "std_and": StandardQueryParser(s.analyzer, default_operator="and"),
+        "mf": StandardQueryParser(s.analyzer, fields=("content", "repo")),
+        "pc": StandardQueryParser(s.analyzer, points_config={"n_chars": int}),
+    }
+    out_q, out_d = [], []
+    for qid, key, q in FLEXPARSER_QUERIES:
+        td = s.search(parsers[key].parse(q), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def flexparser_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = [
+        # q0 std flat: +merge +sort (batch optional, pure scoring)
+        "SELECT DISTINCT 0 AS qid, doc_id AS docid FROM tok "
+        "WHERE term = 'merge' AND doc_id IN "
+        "(SELECT doc_id FROM tok WHERE term = 'sort')",
+        # q1 precedence nesting: (merge AND sort) OR batch
+        "SELECT DISTINCT 1 AS qid, doc_id AS docid FROM tok "
+        "WHERE (term = 'merge' AND doc_id IN "
+        "(SELECT doc_id FROM tok WHERE term = 'sort')) OR term = 'batch'",
+        # q2 default-operator AND
+        "SELECT DISTINCT 2 AS qid, doc_id AS docid FROM tok "
+        "WHERE term = 'merge' AND doc_id IN "
+        "(SELECT doc_id FROM tok WHERE term = 'batch')",
+        # q3 NOT merge AND sort -> +sort -merge
+        "SELECT DISTINCT 3 AS qid, doc_id AS docid FROM tok "
+        "WHERE term = 'sort' AND doc_id NOT IN "
+        "(SELECT doc_id FROM tok WHERE term = 'merge')",
+        # q4 multi-field: content token OR repo keyword (repo = source col)
+        "SELECT DISTINCT 4 AS qid, docid FROM ("
+        "SELECT doc_id AS docid FROM tok WHERE term = 'src7' "
+        "UNION SELECT doc_id FROM documents WHERE source = 'src7')",
+        # q5 points config: exact point value (n_chars = length(text))
+        "SELECT 5 AS qid, doc_id AS docid FROM documents "
+        "WHERE length(text) = 150",
+        # q6 fn:ordered(merge sort)
+        "SELECT DISTINCT 6 AS qid, ta.doc_id AS docid FROM ptok ta "
+        "JOIN ptok tb ON tb.doc_id = ta.doc_id AND tb.term = 'sort' "
+        "AND tb.pos > ta.pos WHERE ta.term = 'merge'",
+        # q7 fn:atLeast(2 merge sort window): >= 2 distinct terms present
+        "SELECT 7 AS qid, doc_id AS docid FROM ("
+        "SELECT doc_id FROM tok WHERE term IN ('merge','sort','window') "
+        "GROUP BY doc_id HAVING count(DISTINCT term) >= 2)",
+        # q8 fn:within(key 3 merge): a key position within 3 of a merge
+        "SELECT DISTINCT 8 AS qid, tk.doc_id AS docid FROM ptok tk "
+        "JOIN ptok tm ON tm.doc_id = tk.doc_id AND tm.term = 'merge' "
+        "AND abs(tk.pos - tm.pos) <= 3 WHERE tk.term = 'key'",
+        # q9 fn:nonOverlapping(key merge): a key position equal to no merge
+        "SELECT DISTINCT 9 AS qid, tk.doc_id AS docid FROM ptok tk "
+        "WHERE tk.term = 'key' AND NOT EXISTS ("
+        "SELECT 1 FROM ptok tm WHERE tm.doc_id = tk.doc_id "
+        "AND tm.term = 'merge' AND tm.pos = tk.pos)",
+        # q10 fn:after(sort merge): a sort position after some merge
+        "SELECT DISTINCT 10 AS qid, tb.doc_id AS docid FROM ptok tb "
+        "JOIN ptok ta ON ta.doc_id = tb.doc_id AND ta.term = 'merge' "
+        "AND ta.pos < tb.pos WHERE tb.term = 'sort'",
+        # q11 (merge OR sort) AND NOT batch
+        "SELECT DISTINCT 11 AS qid, doc_id AS docid FROM tok "
+        "WHERE term IN ('merge','sort') AND doc_id NOT IN "
+        "(SELECT doc_id FROM tok WHERE term = 'batch')",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term FROM t
+), ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""
+
+
 # /regexp/ classic-parser syntax (QueryParser.jj <REGEXPTERM> ->
 # RegexpQuery). RE2-safe patterns only (oracle parity: DuckDB
 # regexp_full_match is RE2; the engine's expand_regexp is python re —

@@ -21,6 +21,12 @@ Sources (factory names mirror Intervals.java):
   containing(big, small)   big intervals containing >= 1 small interval
   contained_by(small, big) small intervals inside >= 1 big interval
   not_containing(big, small) / not_contained_by(small, big)  complements
+  extend(src, b, a)        widen every interval by b/a positions
+  overlapping(src, ref) / non_overlapping(minuend, subtrahend)
+  before(src, ref) / after(src, ref)   relative position filters
+  within(src, n, ref) / not_within(m, n, s)  desugar per Intervals.java
+  at_least(n, ...)         minimal windows covering >= n sub-sources
+  unordered_no_overlaps(a, b)  or(ordered(a,b), ordered(b,a)) verbatim
 
 Doc SETS match the DuckDB positional-join oracle (intervals_engine gate);
 scoring is engine-defined: freq = number of minimal intervals, scored like
@@ -104,6 +110,65 @@ class INotContainedBy:
     big: object
 
 
+@dataclass(frozen=True)
+class IExtend:
+    """Intervals.extend: every interval widened by ``before``/``after``
+    positions (start clamped at 0); gaps carry through unchanged
+    (ExtendedIntervalsSource semantics)."""
+
+    source: object
+    before: int
+    after: int
+
+
+@dataclass(frozen=True)
+class IOverlapping:
+    """Intervals.overlapping: source intervals overlapping >= 1 reference
+    interval."""
+
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class INonOverlapping:
+    """Intervals.nonOverlapping: minuend intervals overlapping NO
+    subtrahend interval."""
+
+    minuend: object
+    subtrahend: object
+
+
+@dataclass(frozen=True)
+class IBefore:
+    """Intervals.before: source intervals that end before the start of
+    some reference interval (containedBy(source, extend(point-before-
+    reference, MAX, 0)) in the reference — evaluated directly here)."""
+
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IAfter:
+    """Intervals.after: source intervals that start after the end of some
+    reference interval."""
+
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IAtLeast:
+    """Intervals.atLeast: minimal windows fully containing intervals from
+    at least ``n`` distinct sub-sources (MinimumShouldMatchIntervalsSource;
+    n == len(sources) degrades to unordered, n > len matches nothing —
+    Intervals.atLeast:476-488)."""
+
+    n: int
+    sources: tuple
+
+
 # factory helpers (Intervals.java naming)
 def term(t: str) -> ITerm:
     return ITerm(t)
@@ -149,6 +214,52 @@ def not_contained_by(small, big) -> INotContainedBy:
     return INotContainedBy(_coerce(small), _coerce(big))
 
 
+def extend(source, before: int, after: int) -> IExtend:
+    return IExtend(_coerce(source), int(before), int(after))
+
+
+def overlapping(source, reference) -> IOverlapping:
+    return IOverlapping(_coerce(source), _coerce(reference))
+
+
+def non_overlapping(minuend, subtrahend) -> INonOverlapping:
+    return INonOverlapping(_coerce(minuend), _coerce(subtrahend))
+
+
+def before(source, reference) -> IBefore:
+    return IBefore(_coerce(source), _coerce(reference))
+
+
+def after(source, reference) -> IAfter:
+    return IAfter(_coerce(source), _coerce(reference))
+
+
+def within(source, positions: int, reference):
+    """Intervals.within:418-421 — desugars to
+    containedBy(source, extend(reference, positions, positions))."""
+    return IContainedBy(
+        _coerce(source), extend(reference, positions, positions)
+    )
+
+
+def not_within(minuend, positions: int, subtrahend):
+    """Intervals.notWithin:403-407 — desugars to
+    nonOverlapping(minuend, extend(subtrahend, positions, positions))."""
+    return INonOverlapping(
+        _coerce(minuend), extend(subtrahend, positions, positions)
+    )
+
+
+def at_least(n: int, *sources) -> IAtLeast:
+    return IAtLeast(int(n), tuple(_coerce(s) for s in sources))
+
+
+def unordered_no_overlaps(a, b) -> IOr:
+    """Intervals.unorderedNoOverlaps:355-357 — or(ordered(a,b),
+    ordered(b,a)) verbatim."""
+    return or_(ordered(a, b), ordered(b, a))
+
+
 def _coerce(s):
     return ITerm(s) if isinstance(s, str) else s
 
@@ -172,6 +283,17 @@ def source_terms(src) -> tuple:
         elif isinstance(s, (IContainedBy, INotContainedBy)):
             walk(s.small)
             walk(s.big)
+        elif isinstance(s, IExtend):
+            walk(s.source)
+        elif isinstance(s, (IOverlapping, IBefore, IAfter)):
+            walk(s.source)
+            walk(s.reference)
+        elif isinstance(s, INonOverlapping):
+            walk(s.minuend)
+            walk(s.subtrahend)
+        elif isinstance(s, IAtLeast):
+            for c in s.sources:
+                walk(c)
         else:
             raise TypeError(f"unknown intervals source: {s!r}")
 
@@ -322,6 +444,54 @@ def eval_source(src, pos_of) -> list[Interval]:
             for s in small
             if any(b[0] <= s[0] and s[1] <= b[1] for b in big) == want
         ]
+    if isinstance(src, IExtend):
+        return [
+            (max(0, s - src.before), e + src.after, g)
+            for s, e, g in eval_source(src.source, pos_of)
+        ]
+    if isinstance(src, (IOverlapping, INonOverlapping)):
+        if isinstance(src, IOverlapping):
+            left, right, want = src.source, src.reference, True
+        else:
+            left, right, want = src.minuend, src.subtrahend, False
+        a = eval_source(left, pos_of)
+        b = eval_source(right, pos_of)
+        return [
+            s
+            for s in a
+            if any(s[0] <= r[1] and r[0] <= s[1] for r in b) == want
+        ]
+    if isinstance(src, (IBefore, IAfter)):
+        a = eval_source(src.source, pos_of)
+        b = eval_source(src.reference, pos_of)
+        if not b:
+            return []
+        if isinstance(src, IBefore):
+            bound = max(r[0] for r in b)  # latest reference start
+            return [s for s in a if s[1] < bound]
+        bound = min(r[1] for r in b)  # earliest reference end
+        return [s for s in a if s[0] > bound]
+    if isinstance(src, IAtLeast):
+        m = len(src.sources)
+        if src.n > m:
+            return []
+        if src.n <= 0:
+            raise ValueError("atLeast needs a positive minimum")
+        if src.n == m:
+            return eval_source(IUnordered(src.sources), pos_of)
+        # minimal windows containing >= n of the sources == minimalized
+        # union of the n-subsets' unordered covers (each window containing
+        # exactly the subset it covers is produced by that subset; larger
+        # covers are pruned by minimality — MinimumShouldMatch semantics)
+        from itertools import combinations
+
+        cands: list[Interval] = []
+        for subset in combinations(src.sources, src.n):
+            subs = [eval_source(c, pos_of) for c in subset]
+            if any(not s for s in subs):
+                continue
+            cands.extend(_eval_unordered(subs))
+        return _filter_minimal(cands)
     raise TypeError(f"unknown intervals source: {src!r}")
 
 
@@ -366,6 +536,22 @@ def _candidates(src, reader) -> np.ndarray:
         return _candidates(src.big, reader)
     if isinstance(src, INotContainedBy):
         return _candidates(src.small, reader)
+    if isinstance(src, IExtend):
+        return _candidates(src.source, reader)
+    if isinstance(src, (IOverlapping, IBefore, IAfter)):
+        return np.intersect1d(
+            _candidates(src.source, reader),
+            _candidates(src.reference, reader),
+            assume_unique=True,
+        )
+    if isinstance(src, INonOverlapping):
+        return _candidates(src.minuend, reader)
+    if isinstance(src, IAtLeast):
+        parts = [_candidates(c, reader) for c in src.sources]
+        if not parts:
+            return empty
+        vals, counts = np.unique(np.concatenate(parts), return_counts=True)
+        return vals[counts >= src.n]
     raise TypeError(f"unknown intervals source: {src!r}")
 
 
