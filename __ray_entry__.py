@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
         "flexparser_engine": bm25docs.flexparser_engine,
+        "extparser_engine": bm25docs.extparser_engine,
         "dedup_hotkeys": dedup.dedup_hotkeys,
         "parser_escape_engine": bm25docs.parser_escape_engine,
         "shape_polygon_engine": bm25docs.shape_polygon_engine,
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_logprob": text.lm_logprob_sql(),
         "xmlparser_engine": bm25docs.xmlparser_engine_sql(),
         "flexparser_engine": bm25docs.flexparser_engine_sql(),
+        "extparser_engine": bm25docs.extparser_engine_sql(),
         "blended_infix_suggest": bm25docs.blended_infix_suggest_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),

@@ -3825,6 +3825,100 @@ WITH t AS (
 """
 
 
+def extparser_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): ExtendableQueryParser dispatch
+    (queryparser/ext/ExtendableQueryParser.java) — registered extension
+    keys rewrite term/phrase leaves, unregistered fields fall back to
+    classic behavior; both the escaped ':'-delimiter form and a custom
+    '_' delimiter are exercised. Float-free doc sets, SQL-checked
+    exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.extparser import (
+        ExtendableQueryParser,
+        Extensions,
+        ExtensionQuery,
+    )
+    from lucene_ray.search.query import (
+        PhraseQuery,
+        PointRangeQuery,
+        RegexpQuery,
+        TermQuery,
+    )
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+
+    def len_ext(q: ExtensionQuery):
+        lo, hi = q.raw_query_text.split("-")
+        return PointRangeQuery("n_chars", int(lo), int(hi))
+
+    def re_ext(q: ExtensionQuery):
+        return RegexpQuery(q.raw_query_text)
+
+    def kw_ext(q: ExtensionQuery):
+        return TermQuery(f"{q.field}:{q.raw_query_text}")
+
+    def up_ext(q: ExtensionQuery):
+        toks = s.analyzer.tokenize_text(q.raw_query_text)
+        return PhraseQuery(tuple(toks)) if len(toks) > 1 else TermQuery(toks[0])
+
+    colon = Extensions()
+    colon.add("len", len_ext)
+    colon.add("re", re_ext)
+    under = Extensions("_")
+    under.add("kw", kw_ext)
+    under.add("up", up_ext)
+    p_colon = ExtendableQueryParser(s.analyzer, extensions=colon)
+    p_under = ExtendableQueryParser(s.analyzer, extensions=under)
+
+    cases = (
+        (0, p_colon, r"\:len:120-180"),
+        (1, p_colon, r"content\:re:mer.e merge"),
+        (2, p_colon, "lang:en"),  # no key -> classic fallback
+        (3, p_under, "repo_kw:src3 OR merge"),
+        (4, p_under, 'content_up:"merge sort"'),
+    )
+    out_q, out_d = [], []
+    for qid, parser, q in cases:
+        td = s.search(parser.parse(q), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def extparser_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = [
+        "SELECT 0 AS qid, doc_id AS docid FROM documents "
+        "WHERE length(text) BETWEEN 120 AND 180",
+        "SELECT DISTINCT 1 AS qid, doc_id AS docid FROM tok "
+        "WHERE regexp_full_match(term, 'mer.e') OR term = 'merge'",
+        "SELECT 2 AS qid, doc_id AS docid FROM documents WHERE lang = 'en'",
+        "SELECT DISTINCT 3 AS qid, docid FROM ("
+        "SELECT doc_id AS docid FROM documents WHERE source = 'src3' "
+        "UNION SELECT doc_id FROM tok WHERE term = 'merge')",
+        "SELECT DISTINCT 4 AS qid, ta.doc_id AS docid FROM ptok ta "
+        "JOIN ptok tb ON tb.doc_id = ta.doc_id AND tb.term = 'sort' "
+        "AND tb.pos = ta.pos + 1 WHERE ta.term = 'merge'",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term FROM t
+), ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""
+
+
 # /regexp/ classic-parser syntax (QueryParser.jj <REGEXPTERM> ->
 # RegexpQuery). RE2-safe patterns only (oracle parity: DuckDB
 # regexp_full_match is RE2; the engine's expand_regexp is python re —
