@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 5
         "flexparser_engine": bm25docs.flexparser_engine,
         "extparser_engine": bm25docs.extparser_engine,
+        "lightstem_doclen": text.lightstem_doclen,
         "dedup_hotkeys": dedup.dedup_hotkeys,
         "parser_escape_engine": bm25docs.parser_escape_engine,
         "shape_polygon_engine": bm25docs.shape_polygon_engine,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "xmlparser_engine": bm25docs.xmlparser_engine_sql(),
         "flexparser_engine": bm25docs.flexparser_engine_sql(),
         "extparser_engine": bm25docs.extparser_engine_sql(),
+        "lightstem_doclen": text.lightstem_doclen_sql(),
         "blended_infix_suggest": bm25docs.blended_infix_suggest_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),

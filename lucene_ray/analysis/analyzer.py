@@ -1131,6 +1131,80 @@ class SpanishLightAnalyzer(_LightStemAnalyzer):
     stop_set = _snowball_stops("spanish")
 
 
+class ItalianLightAnalyzer(_LightStemAnalyzer):
+    """it/ItalianAnalyzer.java:48,125 chain: elision(DEFAULT_ARTICLES) ->
+    lowercase -> snowball stop -> ItalianLightStemFilter."""
+
+    name = "italian_light"
+    language = "italian_light"
+    stop_set = _snowball_stops("italian")
+    elision_articles = (
+        "dall", "dell", "nell", "sull", "coll", "pell",
+        "dagl", "degl", "negl", "sugl", "agl", "all", "gl", "un",
+        "c", "l", "m", "t", "s", "v", "d",
+    )
+
+
+class PortugueseLightAnalyzer(_LightStemAnalyzer):
+    """pt/PortugueseAnalyzer.java chain (stop -> PortugueseLightStemFilter)."""
+
+    name = "portuguese_light"
+    language = "portuguese_light"
+    stop_set = _snowball_stops("portuguese")
+
+
+class RussianLightAnalyzer(_LightStemAnalyzer):
+    """ru/RussianLightStemFilter over the RussianAnalyzer snowball stop
+    set (the light alternative the reference ships beside Snowball)."""
+
+    name = "russian_light"
+    language = "russian_light"
+    stop_set = _snowball_stops("russian")
+
+
+class FinnishLightAnalyzer(_LightStemAnalyzer):
+    name = "finnish_light"
+    language = "finnish_light"
+    stop_set = _snowball_stops("finnish")
+
+
+class HungarianLightAnalyzer(_LightStemAnalyzer):
+    name = "hungarian_light"
+    language = "hungarian_light"
+    stop_set = _snowball_stops("hungarian")
+
+
+class SwedishLightAnalyzer(_LightStemAnalyzer):
+    name = "swedish_light"
+    language = "swedish_light"
+    stop_set = _snowball_stops("swedish")
+
+
+class GermanMinimalAnalyzer(_LightStemAnalyzer):
+    """de/GermanMinimalStemFilter chain (plural reduction only)."""
+
+    name = "german_minimal"
+    language = "german_minimal"
+    stop_set = _snowball_stops("german")
+
+
+class FrenchMinimalAnalyzer(_LightStemAnalyzer):
+    """fr/FrenchMinimalStemFilter chain (same elision as french_light)."""
+
+    name = "french_minimal"
+    language = "french_minimal"
+    stop_set = _snowball_stops("french")
+    elision_articles = FrenchLightAnalyzer.elision_articles
+
+
+class SpanishPluralAnalyzer(_LightStemAnalyzer):
+    """es/SpanishPluralStemFilter chain (number reduction only)."""
+
+    name = "spanish_plural"
+    language = "spanish_plural"
+    stop_set = _snowball_stops("spanish")
+
+
 _REGISTRY = {
     "code": CodeAnalyzer,
     "standard": StandardLiteAnalyzer,
@@ -1149,6 +1223,15 @@ _REGISTRY = {
     "german_light": GermanLightAnalyzer,
     "french_light": FrenchLightAnalyzer,
     "spanish_light": SpanishLightAnalyzer,
+    "italian_light": ItalianLightAnalyzer,
+    "portuguese_light": PortugueseLightAnalyzer,
+    "russian_light": RussianLightAnalyzer,
+    "finnish_light": FinnishLightAnalyzer,
+    "hungarian_light": HungarianLightAnalyzer,
+    "swedish_light": SwedishLightAnalyzer,
+    "german_minimal": GermanMinimalAnalyzer,
+    "french_minimal": FrenchMinimalAnalyzer,
+    "spanish_plural": SpanishPluralAnalyzer,
 }
 
 

@@ -243,11 +243,28 @@ def french_light_stem(token: str) -> str:
 
 # ------------------------------------------------------------ vectorization
 
+def _more_stemmers():
+    from lucene_ray.analysis import stemmers as st
+
+    return {
+        "italian_light": st.italian_light_stem,
+        "portuguese_light": st.portuguese_light_stem,
+        "russian_light": st.russian_light_stem,
+        "finnish_light": st.finnish_light_stem,
+        "hungarian_light": st.hungarian_light_stem,
+        "swedish_light": st.swedish_light_stem,
+        "german_minimal": st.german_minimal_stem,
+        "french_minimal": st.french_minimal_stem,
+        "spanish_plural": st.spanish_plural_stem,
+    }
+
+
 _STEMMERS = {
     "german_light": german_light_stem,
     "french_light": french_light_stem,
     "spanish_light": spanish_light_stem,
 }
+_STEMMERS.update(_more_stemmers())
 
 
 def light_stem_terms(terms: pa.Array, language: str) -> pa.Array:

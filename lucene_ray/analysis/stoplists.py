@@ -93,3 +93,120 @@ tuviste tuvo tuvimos tuvisteis tuvieron tuviera tuvieras tuviéramos
 tuvierais tuvieran tuviese tuvieses tuviésemos tuvieseis tuviesen teniendo
 tenido tenida tenidos tenidas tened
 """.split())  # 308 words
+
+
+ITALIAN_SNOWBALL_STOP = frozenset("""
+ad al allo ai agli all agl alla alle con col coi da dal dallo dai dagli
+dall dagl dalla dalle di del dello dei degli dell degl della delle in nel
+nello nei negli nell negl nella nelle su sul sullo sui sugli sull sugl
+sulla sulle per tra contro io tu lui lei noi voi loro mio mia miei mie tuo
+tua tuoi tue suo sua suoi sue nostro nostra nostri nostre vostro vostra
+vostri vostre mi ti ci vi lo la li le gli ne il un uno una ma ed se perché
+anche come dov dove che chi cui non più quale quanto quanti quanta quante
+quello quelli quella quelle questo questi questa queste si tutto tutti a c
+e i l o ho hai ha abbiamo avete hanno abbia abbiate abbiano avrò avrai
+avrà avremo avrete avranno avrei avresti avrebbe avremmo avreste avrebbero
+avevo avevi aveva avevamo avevate avevano ebbi avesti ebbe avemmo aveste
+ebbero avessi avesse avessimo avessero avendo avuto avuta avuti avute sono
+sei è siamo siete sia siate siano sarò sarai sarà saremo sarete saranno
+sarei saresti sarebbe saremmo sareste sarebbero ero eri era eravamo
+eravate erano fui fosti fu fummo foste furono fossi fosse fossimo fossero
+essendo faccio fai facciamo fanno faccia facciate facciano farò farai farà
+faremo farete faranno farei faresti farebbe faremmo fareste farebbero
+facevo facevi faceva facevamo facevate facevano feci facesti fece facemmo
+faceste fecero facessi facesse facessimo facessero facendo sto stai sta
+stiamo stanno stia stiate stiano starò starai starà staremo starete
+staranno starei staresti starebbe staremmo stareste starebbero stavo stavi
+stava stavamo stavate stavano stetti stesti stette stemmo steste stettero
+stessi stesse stessimo stessero stando
+""".split())  # 279 words
+
+PORTUGUESE_SNOWBALL_STOP = frozenset("""
+de a o que e do da em um para com não uma os no se na por mais as dos como
+mas ao ele das à seu sua ou quando muito nos já eu também só pelo pela até
+isso ela entre depois sem mesmo aos seus quem nas me esse eles você essa
+num nem suas meu às minha numa pelos elas qual nós lhe deles essas esses
+pelas este dele tu te vocês vos lhes meus minhas teu tua teus tuas nosso
+nossa nossos nossas dela delas esta estes estas aquele aquela aqueles
+aquelas isto aquilo estou está estamos estão estive esteve estivemos
+estiveram estava estávamos estavam estivera estivéramos esteja estejamos
+estejam estivesse estivéssemos estivessem estiver estivermos estiverem hei
+há havemos hão houve houvemos houveram houvera houvéramos haja hajamos
+hajam houvesse houvéssemos houvessem houver houvermos houverem houverei
+houverá houveremos houverão houveria houveríamos houveriam sou somos são
+era éramos eram fui foi fomos foram fora fôramos seja sejamos sejam fosse
+fôssemos fossem for formos forem serei será seremos serão seria seríamos
+seriam tenho tem temos tém tinha tínhamos tinham tive teve tivemos tiveram
+tivera tivéramos tenha tenhamos tenham tivesse tivéssemos tivessem tiver
+tivermos tiverem terei terá teremos terão teria teríamos teriam
+""".split())  # 203 words
+
+RUSSIAN_SNOWBALL_STOP = frozenset("""
+и в во не что он на я с со как а то все она так его но да ты к у же вы за
+бы по только ее мне было вот от меня еще нет о из ему теперь когда даже ну
+вдруг ли если уже или ни быть был него до вас нибудь опять уж вам сказал
+ведь там потом себя ничего ей может они тут где есть надо ней для мы тебя
+их чем была сам чтоб без будто человек чего раз тоже себе под жизнь будет
+ж тогда кто этот говорил того потому этого какой совсем ним здесь этом
+один почти мой тем чтобы нее кажется сейчас были куда зачем сказать всех
+никогда сегодня можно при наконец два об другой хоть после над больше тот
+через эти нас про всего них какая много разве сказала три эту моя впрочем
+хорошо свою этой перед иногда лучше чуть том нельзя такой им более всегда
+конечно всю между
+""".split())  # 159 words
+
+FINNISH_SNOWBALL_STOP = frozenset("""
+olla olen olet on olemme olette ovat ole oli olisi olisit olisin olisimme
+olisitte olisivat olit olin olimme olitte olivat ollut olleet en et ei
+emme ette eivät minä   minun  minut  minua  minussa minusta minuun minulla
+minulta minulle sinä   sinun  sinut  sinua  sinussa sinusta sinuun sinulla
+sinulta sinulle hän    hänen  hänet  häntä  hänessä hänestä häneen hänellä
+häneltä hänelle me     meidän meidät meitä  meissä  meistä  meihin meillä
+meiltä  meille te     teidän teidät teitä  teissä  teistä  teihin teillä
+teiltä  teille he     heidän heidät heitä  heissä  heistä  heihin heillä
+heiltä  heille tämä   tämän         tätä   tässä   tästä   tähän  tällä
+tältä   tälle   tänä   täksi tuo    tuon          tuota  tuossa  tuosta
+tuohon tuolla  tuolta  tuolle  tuona  tuoksi se     sen           sitä
+siinä   siitä   siihen sillä   siltä   sille   sinä   siksi nämä   näiden
+näitä  näissä  näistä  näihin näillä  näiltä  näille  näinä  näiksi nuo
+noiden        noita  noissa  noista  noihin noilla  noilta  noille  noina
+noiksi ne     niiden        niitä  niissä  niistä  niihin niillä  niiltä
+niille  niinä  niiksi kuka   kenen kenet   ketä   kenessä kenestä keneen
+kenellä keneltä kenelle kenenä keneksi ketkä  keiden ketkä  keitä  keissä
+keistä  keihin keillä  keiltä  keille  keinä  keiksi mikä   minkä minkä
+mitä   missä   mistä   mihin  millä   miltä   mille   minä   miksi mitkä
+joka   jonka         jota   jossa   josta   johon  jolla   jolta   jolle
+jona   joksi jotka  joiden        joita  joissa  joista  joihin joilla
+joilta  joille  joina  joiksi että ja jos koska kuin mutta niin sekä sillä
+tai vaan vai vaikka kanssa mukaan noin poikki yli kun nyt itse
+""".split())  # 67 words
+
+HUNGARIAN_SNOWBALL_STOP = frozenset("""
+a ahogy ahol aki akik akkor alatt által általában amely amelyek amelyekben
+amelyeket amelyet amelynek ami amit amolyan amíg amikor át abban ahhoz
+annak arra arról az azok azon azt azzal azért aztán azután azonban bár be
+belül benne cikk cikkek cikkeket csak de e eddig egész egy egyes egyetlen
+egyéb egyik egyre ekkor el elég ellen elő először előtt első én éppen
+ebben ehhez emilyen ennek erre ez ezt ezek ezen ezzel ezért és fel felé
+hanem hiszen hogy hogyan igen így illetve ill. ill ilyen ilyenkor ison
+ismét itt jó jól jobban kell kellett keresztül keressünk ki kívül között
+közül legalább lehet lehetett legyen lenne lenni lesz lett maga magát majd
+majd már más másik meg még mellett mert mely melyek mi mit míg miért
+milyen mikor minden mindent mindenki mindig mint mintha mivel most nagy
+nagyobb nagyon ne néha nekem neki nem néhány nélkül nincs olyan ott össze
+ő ők őket pedig persze rá s saját sem semmi sok sokat sokkal számára
+szemben szerint szinte talán tehát teljes tovább továbbá több úgy ugyanis
+új újabb újra után utána utolsó vagy vagyis valaki valami valamint való
+vagyok van vannak volt voltam voltak voltunk vissza vele viszont volna
+""".split())  # 199 words
+
+SWEDISH_SNOWBALL_STOP = frozenset("""
+och det att i en jag hon som han på den med var sig för så till är men ett
+om hade de av icke mig du henne då sin nu har inte hans honom skulle
+hennes där min man ej vid kunde något från ut när efter upp vi dem vara
+vad över än dig kan sina här ha mot alla under någon eller allt mycket
+sedan ju denna själv detta åt utan varit hur ingen mitt ni bli blev oss
+din dessa några deras blir mina samma vilken er sådan vår blivit dess inom
+mellan sådant varför varje vilka ditt vem vilket sitt sådana vart dina
+vars vårt våra ert era vilkas
+""".split())  # 114 words

@@ -337,6 +337,74 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def lightstem_doclen(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_it, n_sv) per document through the italian_light and
+    swedish_light analyzer chains (analysis/analyzer.py; reference chains
+    it/ItalianAnalyzer.java:125 elision -> stop -> light stem and
+    sv/SwedishAnalyzer.java stop -> light stem). The ORACLE-checkable
+    half: stemming is 1:1, so surviving-token counts mirror exactly in
+    SQL (unicode tokenizer + elision regex + snowball stop list); the
+    stemmers themselves are golden-tested against the reference's 312K
+    bundled vocabulary pairs (tests/test_stemmers.py). Pure map_batches,
+    no shuffle."""
+    from lucene_ray.analysis.analyzer import (
+        ItalianLightAnalyzer,
+        SwedishLightAnalyzer,
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        out = {"doc_id": pa.array(doc_ids, type=pa.int64())}
+        for col, an in (("n_it", ItalianLightAnalyzer()),
+                        ("n_sv", SwedishLightAnalyzer())):
+            row_idx, _t, _p = an.tokenize_flat(
+                batch.column("text").combine_chunks()
+            )
+            counts = np.bincount(row_idx, minlength=n).astype(np.int64)
+            out[col] = pa.array(counts, type=pa.int64())
+        return pa.table(out)
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+def lightstem_doclen_sql() -> str:
+    from lucene_ray.analysis.analyzer import (
+        ItalianLightAnalyzer,
+        UnicodeAnalyzer,
+    )
+    from lucene_ray.analysis.stoplists import (
+        ITALIAN_SNOWBALL_STOP,
+        SWEDISH_SNOWBALL_STOP,
+    )
+
+    toks = UnicodeAnalyzer.sql_expr("text")
+    arts = "|".join(ItalianLightAnalyzer.elision_articles)
+    stop_it = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(ITALIAN_SNOWBALL_STOP)
+    )
+    stop_sv = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(SWEDISH_SNOWBALL_STOP)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), elided AS (
+  SELECT doc_id,
+         regexp_replace(term, '^(?:{arts})[''’]', '') AS t_it,
+         term AS t_sv
+  FROM tok
+), agg AS (
+  SELECT doc_id,
+         count(*) FILTER (length(t_it) > 0 AND t_it NOT IN ({stop_it}))::BIGINT AS n_it,
+         count(*) FILTER (t_sv NOT IN ({stop_sv}))::BIGINT AS n_sv
+  FROM elided GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_it, 0) AS n_it, coalesce(a.n_sv, 0) AS n_sv
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, total_ngrams, distinct_ngrams) over token 3-grams per doc —
     the C4/Gopher-style within-document repetition signal (duplicate-3gram
