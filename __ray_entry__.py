@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flexparser_engine": bm25docs.flexparser_engine,
         "extparser_engine": bm25docs.extparser_engine,
         "lightstem_doclen": text.lightstem_doclen,
+        "sweetspot_topk": bm25docs.sweetspot_topk,
         "dedup_hotkeys": dedup.dedup_hotkeys,
         "parser_escape_engine": bm25docs.parser_escape_engine,
         "shape_polygon_engine": bm25docs.shape_polygon_engine,
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "flexparser_engine": bm25docs.flexparser_engine_sql(),
         "extparser_engine": bm25docs.extparser_engine_sql(),
         "lightstem_doclen": text.lightstem_doclen_sql(),
+        "sweetspot_topk": bm25docs.sweetspot_topk_sql(),
         "blended_infix_suggest": bm25docs.blended_infix_suggest_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),

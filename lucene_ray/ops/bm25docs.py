@@ -104,6 +104,22 @@ def dfr_topk(sf_dir: str) -> pa.Table:
     return _exact_topk(sf_dir, DFRExactSimilarity())
 
 
+def sweetspot_topk(sf_dir: str) -> pa.Table:
+    """(qid, rank, doc_id): SweetSpotSimilarity twin of bm25_topk — the
+    misc-module plateau length norm + baselineTf through the similarity
+    plug (misc/SweetSpotSimilarity.java; plateau [40,120] steepness 0.5,
+    baselineTf base 1.5 / min 5)."""
+    from lucene_ray.search.similarity import SweetSpotExactSimilarity
+
+    return _exact_topk(sf_dir, SweetSpotExactSimilarity())
+
+
+def sweetspot_topk_sql() -> str:
+    from lucene_ray.search.similarity import SweetSpotExactSimilarity
+
+    return _exact_topk_sql(SweetSpotExactSimilarity.sql)
+
+
 def lmdirichlet_topk_sql() -> str:
     from lucene_ray.search.similarity import LMDirichletExactSimilarity
 

@@ -308,6 +308,171 @@ class ClassicExactSimilarity:
         return f"{idf} * sqrt({tf}) / sqrt(greatest({dl}, 1.0))"
 
 
+class SweetSpotScorer:
+    """ClassicScorer variant with the plateau length norm and baseline tf
+    baked into the caches (misc/SweetSpotSimilarity.java). The norm cache
+    is non-monotonic in dl (flat inside [min,max]) — safe for block-max
+    pruning because impacts are enumerated per (tf, norm-byte) pair, not
+    bounded by endpoints."""
+
+    __slots__ = ("weight", "cache", "tf_base", "tf_min")
+
+    def __init__(self, weight, cache, tf_base, tf_min):
+        self.weight = weight
+        self.cache = cache
+        self.tf_base = np.float32(tf_base)
+        self.tf_min = np.float32(tf_min)
+
+    def _tf(self, f: np.ndarray) -> np.ndarray:
+        # baselineTf (SweetSpotSimilarity.java:baselineTf): 0 -> 0,
+        # f <= min -> base, else sqrt(f + base^2 - min)
+        out = np.sqrt(
+            np.maximum(f + self.tf_base * self.tf_base - self.tf_min, 0.0)
+        ).astype(np.float32)
+        out = np.where(f <= self.tf_min, self.tf_base, out)
+        return np.where(f == 0.0, np.float32(0.0), out)
+
+    def score(self, freq: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float32)
+        inv = self.cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        return self.weight * self._tf(f) * inv
+
+    def max_score(self, impacts_packed) -> np.float32:
+        arr = np.asarray(impacts_packed, dtype=np.int64)
+        if arr.size == 0:
+            return np.float32(0.0)
+        return self.score((arr >> 8).astype(np.float32), arr & 0xFF).max()
+
+    def max_score_blocks(
+        self, tfs: np.ndarray, norms: np.ndarray, offsets: np.ndarray
+    ) -> np.ndarray:
+        # reduce over FULLY-evaluated scores so the bound shares score()'s
+        # float32 association exactly (a (w*tf)*norm vs w*(tf*norm) split
+        # can under-bound by one ulp)
+        x = self.score(tfs.astype(np.float32), norms)
+        m = np.maximum.reduceat(x, offsets)
+        return m.astype(np.float64)
+
+    def global_max_score(self) -> np.float32:
+        return self.weight * self._tf(
+            np.array([np.finfo(np.float32).max], dtype=np.float32)
+        )[0] * self.cache.max()
+
+
+class SweetSpotSimilarity(ClassicSimilarity):
+    """misc/SweetSpotSimilarity.java: ClassicSimilarity with a PLATEAU
+    length norm — 1/sqrt(steepness*(|dl-min|+|dl-max|-(max-min))+1), flat
+    1.0 for dl inside [min,max] — and the baselineTf flattening (freq <=
+    tf_min scores tf_base; hyperbolicTf is provided as a function for
+    completeness, tested against the spec)."""
+
+    def __init__(
+        self, ln_min: int = 1, ln_max: int = 1, steepness: float = 0.5,
+        tf_base: float = 0.0, tf_min: float = 0.0,
+    ):
+        self.ln_min = int(ln_min)
+        self.ln_max = int(ln_max)
+        self.steepness = float(steepness)
+        self.tf_base = float(tf_base)
+        self.tf_min = float(tf_min)
+
+    def _norm_cache(self) -> np.ndarray:
+        dl = np.maximum(LENGTH_TABLE_F32, np.float32(1.0)).astype(np.float64)
+        ln = 1.0 / np.sqrt(
+            self.steepness
+            * (np.abs(dl - self.ln_min) + np.abs(dl - self.ln_max)
+               - (self.ln_max - self.ln_min))
+            + 1.0
+        )
+        return ln.astype(np.float32)
+
+    def scorer(
+        self, doc_freq: int, doc_count: int, sum_total_term_freq: int,
+        boost: float = 1.0, total_term_freq: int = 0,
+    ) -> SweetSpotScorer:
+        weight = np.float32(boost) * self.idf(doc_freq, doc_count)
+        return SweetSpotScorer(
+            weight, self._norm_cache(), self.tf_base, self.tf_min
+        )
+
+    def phrase_scorer(
+        self, doc_freqs: list[int], doc_count: int,
+        sum_total_term_freq: int, boost: float = 1.0,
+        total_term_freqs: list[int] | None = None,
+    ) -> SweetSpotScorer:
+        idf_sum = 0.0
+        for df in doc_freqs:
+            idf_sum += float(self.idf(df, doc_count))
+        return SweetSpotScorer(
+            np.float32(boost) * np.float32(idf_sum), self._norm_cache(),
+            self.tf_base, self.tf_min,
+        )
+
+    def hyperbolic_tf(self, freq: float, h_min: float = 0.0,
+                      h_max: float = 2.0, base: float = 1.3,
+                      xoffset: float = 10.0) -> float:
+        """hyperbolicTf (SweetSpotSimilarity.java:hyperbolicTf) — the
+        alternative tf curve: min + (max-min)/2 * (tanh-like + 1)."""
+        if freq == 0.0:
+            return 0.0
+        x = freq - xoffset
+        # Java Math.pow saturates to Infinity and the inf/inf division
+        # yields NaN, which the reference maps to max; python math.pow
+        # raises instead, so pre-empt the overflow with the same result
+        if abs(x) * math.log(base) > 350.0:
+            return h_max
+        num = math.pow(base, x) - math.pow(base, -x)
+        den = math.pow(base, x) + math.pow(base, -x)
+        r = h_min + (h_max - h_min) / 2.0 * (num / den + 1.0)
+        return h_max if math.isnan(r) else r
+
+
+class SweetSpotExactSimilarity:
+    """Float64 exact-length twin of SweetSpotSimilarity (the gate config:
+    plateau [40, 120] steepness 0.5, baselineTf base 1.5 / min 5 — values
+    chosen to put real corpus docs on both plateau and slopes)."""
+
+    ln_min, ln_max, steepness = 40, 120, 0.5
+    tf_base, tf_min = 1.5, 5.0
+
+    def idf(self, doc_freq: int, doc_count: int) -> float:
+        return 1.0 + math.log((doc_count + 1) / (doc_freq + 1))
+
+    def score(
+        self, freq, doc_len, doc_freq, doc_count, avgdl,
+        ttf: int = 0, sum_len: int = 0,
+    ) -> np.ndarray:
+        f = np.asarray(freq, dtype=np.float64)
+        dl = np.maximum(np.asarray(doc_len, dtype=np.float64), 1.0)
+        tf = np.where(
+            f <= self.tf_min,
+            self.tf_base,
+            np.sqrt(np.maximum(f + self.tf_base * self.tf_base - self.tf_min, 0.0)),
+        )
+        ln = 1.0 / np.sqrt(
+            self.steepness
+            * (np.abs(dl - self.ln_min) + np.abs(dl - self.ln_max)
+               - (self.ln_max - self.ln_min))
+            + 1.0
+        )
+        return self.idf(doc_freq, doc_count) * tf * ln
+
+    @staticmethod
+    def sql(tf: str, dl: str, df: str, n: str, avgdl: str,
+            ttf: str = "0", sum_len: str = "0") -> str:
+        idf = f"(1 + ln(({n} + 1) / ({df} + 1)))"
+        tfe = (
+            f"(CASE WHEN {tf} <= 5.0 THEN 1.5 "
+            f"ELSE sqrt({tf} + 1.5*1.5 - 5.0) END)"
+        )
+        dle = f"greatest({dl}, 1.0)"
+        ln = (
+            f"(1.0 / sqrt(0.5 * (abs({dle} - 40) + abs({dle} - 120) - 80) "
+            f"+ 1.0))"
+        )
+        return f"{idf} * {tfe} * {ln}"
+
+
 # --------------------------------------------------------------------------
 # Language-model and DFR similarity families (search/similarities/ package).
 # Same scorer protocol as BM25Similarity, so WAND/block-max pruning and the

@@ -275,7 +275,9 @@ class TestSimilarityFamilies:
             sn = sc.score(np.full(256 - lo, freqs[5]), norms[lo:])
             assert np.all(np.diff(sn) <= 1e-6)
 
-    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib", "lmjm", "ax"])
+    @pytest.mark.parametrize(
+        "family", ["lmd", "dfr", "dfi", "ib", "lmjm", "ax", "sweet"]
+    )
     def test_block_max_is_upper_bound(self, family):
         from lucene_ray.search.similarity import (
             AxiomaticF2EXP,
@@ -293,6 +295,9 @@ class TestSimilarityFamilies:
             "ib": IBSimilarity,
             "lmjm": LMJelinekMercerSimilarity,
             "ax": AxiomaticF2EXP,
+            "sweet": lambda: __import__(
+                "lucene_ray.search.similarity", fromlist=["SweetSpotSimilarity"]
+            ).SweetSpotSimilarity(40, 120, 0.5, 1.5, 5.0),
         }[family]()
         sc = sim.scorer(10, 1000, 5000, total_term_freq=50)
         rng = np.random.default_rng(3)
@@ -304,7 +309,9 @@ class TestSimilarityFamilies:
         for bi, (lo, hi) in enumerate(zip(offsets, [64, 128, 192, 256])):
             assert np.all(scores[lo:hi] <= bounds[bi] + 1e-7)
 
-    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib", "lmjm", "ax", "bool"])
+    @pytest.mark.parametrize(
+        "family", ["lmd", "dfr", "dfi", "ib", "lmjm", "ax", "bool", "sweet"]
+    )
     def test_duel_pruned_vs_exhaustive(self, cix, family):
         from lucene_ray.search.engine import IndexSearcher
         from lucene_ray.search.similarity import (
@@ -325,6 +332,9 @@ class TestSimilarityFamilies:
             "lmjm": LMJelinekMercerSimilarity,
             "ax": AxiomaticF2EXP,
             "bool": BooleanSimilarity,
+            "sweet": lambda: __import__(
+                "lucene_ray.search.similarity", fromlist=["SweetSpotSimilarity"]
+            ).SweetSpotSimilarity(40, 120, 0.5, 1.5, 5.0),
         }[family]()
         ex = IndexSearcher(cix, similarity=sim, pruned=False)
         pr = IndexSearcher(cix, similarity=sim, pruned=True)
@@ -388,7 +398,9 @@ class TestSimilarityFamilies:
         # boost-only ties -> docid order
         assert td.docids.tolist() == sorted(td.docids.tolist())
 
-    @pytest.mark.parametrize("family", ["lmd", "dfr", "dfi", "ib", "lmjm", "ax"])
+    @pytest.mark.parametrize(
+        "family", ["lmd", "dfr", "dfi", "ib", "lmjm", "ax", "sweet"]
+    )
     def test_exact_sql_parity(self, family):
         import duckdb
 
@@ -401,6 +413,8 @@ class TestSimilarityFamilies:
             LMJelinekMercerExactSimilarity,
         )
 
+        from lucene_ray.search.similarity import SweetSpotExactSimilarity
+
         ex = {
             "lmd": LMDirichletExactSimilarity,
             "dfr": DFRExactSimilarity,
@@ -408,6 +422,7 @@ class TestSimilarityFamilies:
             "ib": IBExactSimilarity,
             "lmjm": LMJelinekMercerExactSimilarity,
             "ax": AxiomaticF2EXPExactSimilarity,
+            "sweet": SweetSpotExactSimilarity,
         }[family]()
         N, df, avgdl, ttf, sum_len = 500, 13, 37.25, 91, 18625
         tfs = np.array([1, 2, 5, 9], dtype=np.float64)
@@ -424,3 +439,51 @@ class TestSimilarityFamilies:
         ).fetchall()
         sql = np.array([r[0] for r in rows])
         assert np.array_equal(py, sql)  # bit-identical doubles
+
+
+class TestSweetSpot:
+    """misc/SweetSpotSimilarity.java spec points (javadoc curve anchors)."""
+
+    def test_plateau_length_norm(self):
+        from lucene_ray.search.similarity import SweetSpotSimilarity
+
+        sim = SweetSpotSimilarity(40, 120, 0.5)
+        cache = sim._norm_cache()
+        # plateau: any decoded length inside [40, 120] gets norm 1.0
+        import numpy as np
+
+        from lucene_ray.search.similarity import LENGTH_TABLE_F32
+
+        dl = np.maximum(LENGTH_TABLE_F32, 1.0)
+        inside = (dl >= 40) & (dl <= 120)
+        assert np.allclose(cache[inside], 1.0)
+        assert np.all(cache[~inside] < 1.0)
+        # spec formula at a point outside: dl=140 -> 1/sqrt(0.5*20+1)
+        b = int(np.argmin(np.abs(dl - 140)))
+        import math
+
+        expect = 1.0 / math.sqrt(0.5 * (abs(dl[b] - 40) + abs(dl[b] - 120) - 80) + 1.0)
+        assert abs(float(cache[b]) - expect) < 1e-6
+
+    def test_baseline_tf(self):
+        import numpy as np
+
+        from lucene_ray.search.similarity import SweetSpotSimilarity
+
+        sim = SweetSpotSimilarity(1, 1, 0.5, tf_base=1.5, tf_min=5.0)
+        sc = sim.scorer(10, 1000, 5000)
+        # freq 0 -> 0; freq <= 5 -> base; above -> sqrt(f + base^2 - min)
+        tf = sc._tf(np.array([0.0, 1.0, 5.0, 9.0], dtype=np.float32))
+        assert tf[0] == 0.0
+        assert tf[1] == tf[2] == np.float32(1.5)
+        assert abs(float(tf[3]) - (9.0 + 2.25 - 5.0) ** 0.5) < 1e-6
+
+    def test_hyperbolic_tf(self):
+        from lucene_ray.search.similarity import SweetSpotSimilarity
+
+        sim = SweetSpotSimilarity()
+        # at freq == xoffset the curve crosses the midpoint (min+max)/2
+        assert abs(sim.hyperbolic_tf(10.0) - 1.0) < 1e-9
+        # saturates at max for large freq, 0 stays 0
+        assert abs(sim.hyperbolic_tf(1e6) - 2.0) < 1e-9 or sim.hyperbolic_tf(1e6) == 2.0
+        assert sim.hyperbolic_tf(0.0) == 0.0
