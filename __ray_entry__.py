@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extparser_engine": bm25docs.extparser_engine,
         "lightstem_doclen": text.lightstem_doclen,
         "sweetspot_topk": bm25docs.sweetspot_topk,
+        "commongrams_stats": text.commongrams_stats,
         "dedup_hotkeys": dedup.dedup_hotkeys,
         "parser_escape_engine": bm25docs.parser_escape_engine,
         "shape_polygon_engine": bm25docs.shape_polygon_engine,
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "extparser_engine": bm25docs.extparser_engine_sql(),
         "lightstem_doclen": text.lightstem_doclen_sql(),
         "sweetspot_topk": bm25docs.sweetspot_topk_sql(),
+        "commongrams_stats": text.commongrams_stats_sql(),
         "blended_infix_suggest": bm25docs.blended_infix_suggest_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),

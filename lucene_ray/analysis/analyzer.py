@@ -1004,6 +1004,136 @@ class ShingleAnalyzer(CodeAnalyzer):
         return out
 
 
+class CommonGramsAnalyzer(CodeAnalyzer):
+    """Index-side CommonGramsFilter (commongrams/CommonGramsFilter.java:
+    unigrams at their positions PLUS a '_'-joined bigram at the FIRST
+    word's position — posInc 0, an overlap for norms — for every adjacent
+    pair where either word is a common word; pinned by the reference's
+    TestCommonGramsFilter vectors). Common set = the bundled snowball
+    English stop list (the factory's usual word file;
+    test common-snowball.txt is the same list)."""
+
+    name = "commongrams"
+    has_overlaps = True
+
+    def __init__(self):
+        from lucene_ray.analysis.stoplists import ENGLISH_SNOWBALL_STOP
+
+        self.common_words = ENGLISH_SNOWBALL_STOP
+
+    def _common_mask(self, terms) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        return pc.is_in(
+            terms, value_set=pa.array(sorted(self.common_words))
+        ).to_numpy(zero_copy_only=False)
+
+    def tokenize_flat(self, texts, with_offsets: bool = False):
+        import pyarrow.compute as pc
+
+        res = super().tokenize_flat(texts, with_offsets=with_offsets)
+        row_idx, terms, positions = res[0], res[1], res[2]
+        n = len(row_idx)
+        if n < 2:
+            return res
+        terms = (
+            terms.combine_chunks()
+            if isinstance(terms, pa.ChunkedArray)
+            else terms
+        )
+        common = self._common_mask(terms)
+        pair = (row_idx[1:] == row_idx[:-1]) & (common[:-1] | common[1:])
+        if not pair.any():
+            return res
+        idx = np.nonzero(pair)[0]
+        left = terms.slice(0, n - 1).take(pa.array(idx))
+        right = terms.slice(1).take(pa.array(idx))
+        grams = pc.binary_join_element_wise(left, right, "_")
+        comb_row = np.concatenate([row_idx, row_idx[idx]])
+        comb_pos = np.concatenate([positions, positions[idx]])
+        comb_terms = pa.concat_arrays([terms, grams])
+        unigram_first = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(len(idx), np.int8)]
+        )
+        o = np.lexsort((unigram_first, comb_pos, comb_row))
+        out = (
+            comb_row[o],
+            comb_terms.take(pa.array(o)),
+            comb_pos[o].astype(positions.dtype),
+        )
+        if with_offsets:
+            st, ln = res[3], res[4]
+            g_st = st[idx]
+            g_ln = (st[idx + 1] + ln[idx + 1]) - st[idx]
+            out = out + (
+                np.concatenate([st, g_st])[o],
+                np.concatenate([ln, g_ln])[o],
+            )
+        return out
+
+    def tokenize_text(self, text: str) -> list[str]:
+        toks = super().tokenize_text(text)
+        out = []
+        for i, t in enumerate(toks):
+            out.append(t)
+            if i + 1 < len(toks) and (
+                t in self.common_words or toks[i + 1] in self.common_words
+            ):
+                out.append(f"{t}_{toks[i + 1]}")
+        return out
+
+    @staticmethod
+    def sql_expr(col: str) -> str:
+        raise NotImplementedError(
+            "commongrams positions interleave grams; the stats gate "
+            "mirrors the stream in relational form instead"
+        )
+
+
+class CommonGramsQueryAnalyzer(CommonGramsAnalyzer):
+    """Query-side CommonGramsQueryFilter (commongrams/
+    CommonGramsQueryFilter.java, pinned by testCommonGramsQueryFilter):
+    a unigram followed by a gram is replaced by the gram; the FINAL
+    unigram is dropped when a gram ends on it; grams stand at consecutive
+    positions (posInc reset to 1), so phrases of grams align with the
+    index-side posInc-0 gram positions. Query-side only (tiny inputs) —
+    not an indexing analyzer."""
+
+    name = "commongrams_query"
+    supports_indexing = False
+
+    def tokenize_text(self, text: str) -> list[str]:
+        # base tokens via the CodeAnalyzer ARRAY path explicitly —
+        # CodeAnalyzer.tokenize_text dispatches through the overridden
+        # self.tokenize_array and would recurse
+        toks = CodeAnalyzer.tokenize_array(
+            self, pa.array([text], type=pa.string())
+        )[0].as_py()
+        if len(toks) <= 1:
+            return toks
+        cw = self.common_words
+        out: list[str] = []
+        for i, t in enumerate(toks):
+            if i + 1 < len(toks):
+                if t in cw or toks[i + 1] in cw:
+                    out.append(f"{t}_{toks[i + 1]}")
+                else:
+                    out.append(t)
+            else:
+                if not (toks[i - 1] in cw or t in cw):
+                    out.append(t)
+        return out
+
+    def tokenize_array(self, texts):
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.array(
+            [self.tokenize_text(t) if t is not None else None
+             for t in texts.to_pylist()],
+            type=pa.list_(pa.string()),
+        )
+
+
 class Gram3Analyzer(CodeAnalyzer):
     """Fixed 3-gram stream at CONSECUTIVE positions — the NGramTokenizer
     shape NGramPhraseQuery optimizes over (analysis/common/.../ngram/
@@ -1219,6 +1349,8 @@ _REGISTRY = {
     "ngram": NGramAnalyzer,
     "edgengram": EdgeNGramAnalyzer,
     "shingle": ShingleAnalyzer,
+    "commongrams": CommonGramsAnalyzer,
+    "commongrams_query": CommonGramsQueryAnalyzer,
     "gram3": Gram3Analyzer,
     "german_light": GermanLightAnalyzer,
     "french_light": FrenchLightAnalyzer,

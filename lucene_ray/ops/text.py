@@ -1309,6 +1309,42 @@ FROM grams GROUP BY g
 """
 
 
+def commongrams_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(term, df, ttf) under the CommonGramsFilter stream (commongrams/
+    CommonGramsFilter.java: unigrams + '_'-joined bigrams for adjacent
+    pairs touching a snowball-English common word; pinned index-side by
+    the reference's TestCommonGramsFilter vectors in
+    tests/test_commongrams.py)."""
+    return _flat_stats(sf_dir, "commongrams")
+
+
+def commongrams_stats_sql() -> str:
+    from lucene_ray.analysis.stoplists import ENGLISH_SNOWBALL_STOP
+
+    toks = tokenize_sql_expr("text")
+    common = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(ENGLISH_SNOWBALL_STOP)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM t
+), grams AS (
+  SELECT doc_id, term AS g FROM tok
+  UNION ALL
+  SELECT a.doc_id, a.term || '_' || b.term AS g
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ({common}) OR b.term IN ({common})
+)
+SELECT g AS term, count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS ttf
+FROM grams GROUP BY g
+"""
+
+
 # ----------------------------------------------- PII / URL scrub (quality)
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
