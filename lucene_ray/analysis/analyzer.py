@@ -1335,6 +1335,50 @@ class SpanishPluralAnalyzer(_LightStemAnalyzer):
     stop_set = _snowball_stops("spanish")
 
 
+class PortugueseRSLPAnalyzer(_LightStemAnalyzer):
+    """pt/PortugueseStemFilter chain — the FULL RSLP flow
+    (analysis/rslp.py portuguese_stem)."""
+
+    name = "portuguese_rslp"
+    language = "portuguese_rslp"
+    stop_set = _snowball_stops("portuguese")
+
+
+class PortugueseMinimalAnalyzer(_LightStemAnalyzer):
+    """pt/PortugueseMinimalStemFilter chain (RSLP Plural step only)."""
+
+    name = "portuguese_minimal"
+    language = "portuguese_minimal"
+    stop_set = _snowball_stops("portuguese")
+
+
+class GalicianAnalyzer(_LightStemAnalyzer):
+    """gl/GalicianAnalyzer chain: gl stopwords -> GalicianStemFilter
+    (full Galician RSLP flow)."""
+
+    name = "galician"
+    language = "galician"
+
+    @property
+    def stop_set(self):  # type: ignore[override]
+        from lucene_ray.analysis.stoplists import GALICIAN_STOP
+
+        return GALICIAN_STOP
+
+
+class GalicianMinimalAnalyzer(_LightStemAnalyzer):
+    """gl/GalicianMinimalStemFilter chain (RSLP Plural step only)."""
+
+    name = "galician_minimal"
+    language = "galician_minimal"
+
+    @property
+    def stop_set(self):  # type: ignore[override]
+        from lucene_ray.analysis.stoplists import GALICIAN_STOP
+
+        return GALICIAN_STOP
+
+
 _REGISTRY = {
     "code": CodeAnalyzer,
     "standard": StandardLiteAnalyzer,
@@ -1364,6 +1408,10 @@ _REGISTRY = {
     "german_minimal": GermanMinimalAnalyzer,
     "french_minimal": FrenchMinimalAnalyzer,
     "spanish_plural": SpanishPluralAnalyzer,
+    "portuguese_rslp": PortugueseRSLPAnalyzer,
+    "portuguese_minimal": PortugueseMinimalAnalyzer,
+    "galician": GalicianAnalyzer,
+    "galician_minimal": GalicianMinimalAnalyzer,
 }
 
 

@@ -244,9 +244,14 @@ def french_light_stem(token: str) -> str:
 # ------------------------------------------------------------ vectorization
 
 def _more_stemmers():
+    from lucene_ray.analysis import rslp
     from lucene_ray.analysis import stemmers as st
 
     return {
+        "portuguese_rslp": rslp.portuguese_stem,
+        "portuguese_minimal": rslp.portuguese_minimal_stem,
+        "galician": rslp.galician_stem,
+        "galician_minimal": rslp.galician_minimal_stem,
         "italian_light": st.italian_light_stem,
         "portuguese_light": st.portuguese_light_stem,
         "russian_light": st.russian_light_stem,
