@@ -1194,6 +1194,10 @@ class _LightStemAnalyzer(UnicodeAnalyzer):
     # BEFORE stop/stem, now that the UAX#29 tokenizer keeps medial
     # apostrophes. Empty = no elision (German/Spanish chains have none).
     elision_articles: tuple = ()
+    # a _STEMMERS key applied BEFORE the stop filter (Sorani's chain runs
+    # SoraniNormalizationFilter ahead of StopFilter —
+    # ckb/SoraniAnalyzer.java:113-120); None = no pre-stop pass
+    pre_stop_language: str | None = None
 
     def tokenize_array(self, texts):
         import pyarrow.compute as pc
@@ -1208,6 +1212,8 @@ class _LightStemAnalyzer(UnicodeAnalyzer):
                 flat, pattern=f"^(?:{alt})['’]", replacement=""
             )
         offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        if self.pre_stop_language and len(flat):
+            flat = light_stem_terms(flat, self.pre_stop_language)
         if len(flat):
             # drop stopwords AND tokens emptied by elision in one mask
             keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
@@ -1379,6 +1385,22 @@ class GalicianMinimalAnalyzer(_LightStemAnalyzer):
         return GALICIAN_STOP
 
 
+class SoraniAnalyzer(_LightStemAnalyzer):
+    """ckb/SoraniAnalyzer.java:113-120 chain: tokenize -> Sorani
+    normalization (BEFORE the stop filter) -> ckb stopwords -> Sorani
+    stemmer. Vocab pinned by the reference's ckbtestdata.zip."""
+
+    name = "sorani"
+    language = "sorani"
+    pre_stop_language = "sorani_norm"
+
+    @property
+    def stop_set(self):  # type: ignore[override]
+        from lucene_ray.analysis.stoplists import SORANI_STOP
+
+        return SORANI_STOP
+
+
 _REGISTRY = {
     "code": CodeAnalyzer,
     "standard": StandardLiteAnalyzer,
@@ -1412,6 +1434,7 @@ _REGISTRY = {
     "portuguese_minimal": PortugueseMinimalAnalyzer,
     "galician": GalicianAnalyzer,
     "galician_minimal": GalicianMinimalAnalyzer,
+    "sorani": SoraniAnalyzer,
 }
 
 

@@ -252,6 +252,8 @@ def _more_stemmers():
         "portuguese_minimal": rslp.portuguese_minimal_stem,
         "galician": rslp.galician_stem,
         "galician_minimal": rslp.galician_minimal_stem,
+        "sorani_norm": st.sorani_normalize,
+        "sorani": st.sorani_stem,
         "italian_light": st.italian_light_stem,
         "portuguese_light": st.portuguese_light_stem,
         "russian_light": st.russian_light_stem,

@@ -530,3 +530,113 @@ def spanish_plural_stem(token: str) -> str:
     if s[n - 2] in _ES_VOWELS:
         return s[: n - 1]
     return s
+
+
+# ------------------------------------------------------------------- Sorani
+
+_SORANI_MAP = {
+    "ي": "ی",  # YEH -> FARSI_YEH
+    "ى": "ی",  # DOTLESS_YEH -> FARSI_YEH
+    "ك": "ک",  # KAF -> KEHEH
+    "ة": "ە",  # TEH_MARBUTA -> AE
+    "ھ": "ه",  # HEH_DOACHASHMEE -> HEH
+    "ڒ": "ڕ",  # RREH_ABOVE -> RREH
+}
+_SORANI_DELETE = set(
+    "ـًٌٍَُِّْ"
+)  # tatweel + harakat
+_HEH, _AE, _ZWNJ, _REH, _RREH = (
+    "ه", "ە", "‌", "ر", "ڕ",
+)
+
+
+def sorani_normalize(token: str) -> str:
+    """SoraniNormalizer.normalize (ckb/SoraniNormalizer.java:55-128):
+    yeh/kaf unification, ZWNJ handling (heh+ZWNJ -> ae), final heh -> ae,
+    initial reh -> rreh, tatweel/harakat and other FORMAT chars deleted."""
+    import unicodedata
+
+    s = list(token)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in _SORANI_MAP:
+            s[i] = _SORANI_MAP[c]
+        elif c == _ZWNJ:
+            if i > 0 and s[i - 1] == _HEH:
+                s[i - 1] = _AE
+            del s[i]
+            continue
+        elif c == _HEH:
+            if i == len(s) - 1:
+                s[i] = _AE
+        elif c == _REH:
+            if i == 0:
+                s[i] = _RREH
+        elif c in _SORANI_DELETE:
+            del s[i]
+            continue
+        elif unicodedata.category(c) == "Cf":
+            del s[i]
+            continue
+        i += 1
+    return "".join(s)
+
+
+def sorani_stem(token: str) -> str:
+    """SoraniStemmer.stem (ckb/SoraniStemmer.java:27-95) — applied AFTER
+    sorani_normalize in the analyzer chain, as the reference does."""
+    s = token
+    n = len(s)
+    # postposition
+    if n > 5 and s.endswith("دا"):          # دا
+        s = s[:-2]
+    elif n > 4 and s.endswith("نا"):        # نا
+        s = s[:-1]
+    elif n > 6 and s.endswith("ەوە"):  # ەوە
+        s = s[:-3]
+    n = len(s)
+    # possessive pronoun
+    if n > 6 and s.endswith(("مان", "یان",
+                             "تان")):  # مان یان تان
+        s = s[:-3]
+    n = len(s)
+    if n > 6 and s.endswith("ێکی"):            # ێکی
+        return s[:-3]
+    if n > 7 and s.endswith("یەکی"):      # یەکی
+        return s[:-4]
+    if n > 5 and s.endswith("ێک"):                  # ێک
+        return s[:-2]
+    if n > 6 and s.endswith("یەک"):            # یەک
+        return s[:-3]
+    if n > 6 and s.endswith("ەکە"):            # ەکە
+        return s[:-3]
+    if n > 5 and s.endswith("کە"):                  # کە
+        return s[:-2]
+    if n > 7 and s.endswith("ەکان"):      # ەکان
+        return s[:-4]
+    if n > 6 and s.endswith("کان"):            # کان
+        return s[:-3]
+    if n > 7 and s.endswith("یانی"):      # یانی
+        return s[:-4]
+    if n > 6 and s.endswith("انی"):            # انی
+        return s[:-3]
+    if n > 6 and s.endswith("یان"):            # یان
+        return s[:-3]
+    if n > 5 and s.endswith("ان"):                  # ان
+        return s[:-2]
+    if n > 7 and s.endswith("یانە"):      # یانە
+        return s[:-4]
+    if n > 6 and s.endswith("انە"):            # انە
+        return s[:-3]
+    if n > 5 and s.endswith(("ایە", "ەیە")):  # ایە ەیە
+        return s[:-2]
+    if n > 4 and s.endswith("ە"):                        # ە
+        return s[:-1]
+    if n > 4 and s.endswith("ی"):                        # ی
+        return s[:-1]
+    return s
+
+
+def sorani_normalize_and_stem(token: str) -> str:
+    return sorani_stem(sorani_normalize(token))

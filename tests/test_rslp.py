@@ -73,3 +73,26 @@ def test_registry_analyzers():
     g = get_analyzer("galician")
     toks = g.tokenize_text("as cancións galegas")
     assert toks and "cancións" not in toks  # stemmed
+
+
+def test_sorani_vocabulary():
+    from lucene_ray.analysis.stemmers import sorani_normalize_and_stem as fn
+
+    with zipfile.ZipFile(_BASE + "ckb/ckbtestdata.zip") as f:
+        lines = f.read("testdata.txt").decode("utf-8").splitlines()
+    total = 0
+    for ln in lines:
+        parts = ln.split("\t")
+        if len(parts) != 2:
+            continue
+        word, want = parts
+        assert fn(word) == want, (word, want, fn(word))
+        total += 1
+    assert total > 5000
+
+
+def test_sorani_analyzer_normalizes_before_stop():
+    an = get_analyzer("sorani")
+    # ZWNJ-carrying token normalizes, then stems
+    toks = an.tokenize_text("ئابوری‌")
+    assert toks == ["ئابور"]
