@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lightstem_doclen": text.lightstem_doclen,
         "sweetspot_topk": bm25docs.sweetspot_topk,
         "commongrams_stats": text.commongrams_stats,
+        "emoji_stats": text.emoji_stats,
         "dedup_hotkeys": dedup.dedup_hotkeys,
         "parser_escape_engine": bm25docs.parser_escape_engine,
         "shape_polygon_engine": bm25docs.shape_polygon_engine,
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "lightstem_doclen": text.lightstem_doclen_sql(),
         "sweetspot_topk": bm25docs.sweetspot_topk_sql(),
         "commongrams_stats": text.commongrams_stats_sql(),
+        "emoji_stats": text.emoji_stats_sql(),
         "blended_infix_suggest": bm25docs.blended_infix_suggest_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),

@@ -1176,6 +1176,132 @@ class Gram3Analyzer(CodeAnalyzer):
         return self.tokenize_array(pa.array([text], type=pa.string()))[0].as_py()
 
 
+# --- emoji-lite (UnicodeEmojiAnalyzer) pattern data -------------------------
+# Extended_Pictographic-lite: the major emoji blocks (documented subset of
+# UTS#51 Extended_Pictographic; StandardTokenizerImpl.jflex:23-92 is the
+# full-property reference grammar)
+_EMO_EP = (
+    r"\x{2600}-\x{27BF}\x{2B00}-\x{2BFF}\x{1F000}-\x{1F0FF}"
+    r"\x{1F300}-\x{1F5FF}\x{1F600}-\x{1F64F}\x{1F680}-\x{1F6FF}"
+    r"\x{1F900}-\x{1F9FF}\x{1FA70}-\x{1FAFF}"
+)
+_EMO_RI = r"\x{1F1E6}-\x{1F1FF}"  # regional indicators (flag pairs)
+_EMO_MOD = r"\x{1F3FB}-\x{1F3FF}"  # skin-tone modifiers
+# Extend/Format-class combiners: ZWJ, variation selectors, keycap, tags
+_EMO_EXT = r"\x{200D}\x{FE0E}\x{FE0F}\x{20E3}\x{E0020}-\x{E007F}"
+_EMO_UNIT = f"[{_EMO_EP}](?:[\\x{{FE0F}}{_EMO_MOD}])*"
+_EMO_SEQ = (
+    f"([{_EMO_RI}][{_EMO_RI}]"
+    f"|{_EMO_UNIT}(?:\\x{{200D}}{_EMO_UNIT})*"
+    f"(?:[\\x{{E0020}}-\\x{{E007E}}]+\\x{{E007F}})?)"
+)
+# keycap sequences: '#'/'*' become \x04/\x05 placeholders (they are
+# separators everywhere else), digits stay
+_EMO_KEYCAPS = (
+    (r"#(\x{FE0F}?\x{20E3})", " \x04\\1 ", "\x04", "#"),
+    (r"\*(\x{FE0F}?\x{20E3})", " \x05\\1 ", "\x05", "*"),
+    (r"([0-9])(\x{FE0F}?\x{20E3})", " \\1\\2 ", None, None),
+)
+_EMO_SEP = (
+    r"[^\p{L}\p{N}\x01-\x05" + _EMO_EP + _EMO_RI + _EMO_MOD + _EMO_EXT + "]+"
+)
+# a token of nothing but combiners/modifiers is breakage residue, dropped
+_EMO_JUNK = f"^[{_EMO_MOD}{_EMO_EXT}]+$"
+
+
+class UnicodeEmojiAnalyzer(UnicodeAnalyzer):
+    """UnicodeAnalyzer + UAX#29 9.x emoji word-break (lite): emoji
+    sequences become single tokens — Extended_Pictographic(-lite) runs
+    with VS16/skin-tone modifiers and ZWJ joins, regional-indicator
+    (flag) pairs, tag sequences, and '#'/'*'/digit keycaps. Extend-class
+    chars glue to alphanumeric tokens as in UAX#29 ("3\\uFE0E" stays one
+    token); a stranded combiner run is dropped. Pinned by
+    TestStandardAnalyzer's emoji vectors (tests/test_emoji.py).
+    Divergence, documented: the Extended_Pictographic set here is the
+    major emoji BLOCKS, not the full property (legacy pictographs in
+    2190-25FF and the full 1F1xx enclosed range are separators)."""
+
+    name = "unicode_emoji"
+
+    def tokenize_array(self, texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        s = texts
+        for pat, rep, _ph, _lit in _EMO_KEYCAPS:
+            s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+        s = pc.replace_substring_regex(s, pattern=_EMO_SEQ, replacement=r" \1 ")
+        s = pc.replace_substring_regex(
+            s, pattern=_UNI_ISOLATE_PATTERN, replacement=r" \1 "
+        )
+        s = pc.utf8_lower(s)
+        for _ in range(2):
+            for joiner, ph in _UNI_MEDIAL:
+                s = pc.replace_substring_regex(
+                    s,
+                    pattern=f"({_UNI_MEDIAL_CTX}){joiner}([\\p{{L}}\\p{{N}}])",
+                    replacement=f"\\1{ph}\\2",
+                )
+        toks = pc.split_pattern_regex(s, pattern=_EMO_SEP)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = toks.values
+        for joiner, ph in _UNI_MEDIAL:
+            vals = pc.replace_substring(
+                vals, pattern=ph, replacement=joiner.lstrip("\\")
+            )
+        for _pat, _rep, ph, lit in _EMO_KEYCAPS:
+            if ph is not None:
+                vals = pc.replace_substring(vals, pattern=ph, replacement=lit)
+        toks = pa.ListArray.from_arrays(toks.offsets, vals)
+        lengths = pc.utf8_length(toks.values).to_numpy(zero_copy_only=False)
+        junk = pc.match_substring_regex(
+            toks.values, _EMO_JUNK
+        ).to_numpy(zero_copy_only=False)
+        keep = (lengths > 0) & ~junk
+        if bool((lengths <= MAX_TOKEN_LEN).all()):
+            if bool(keep.all()):
+                return toks
+            return _filter_list_array(toks, keep)
+        lengths = np.where(junk, 0, lengths)
+        return _split_list_array(toks, lengths)
+
+    @staticmethod
+    def sql_expr(col: str) -> str:
+        expr = col
+        for pat, rep, _ph, _lit in _EMO_KEYCAPS:
+            pat_sql = pat.replace("'", "''")
+            rep_sql = rep.replace("\x04", "' || chr(4) || '").replace(
+                "\x05", "' || chr(5) || '"
+            )
+            expr = f"regexp_replace({expr}, '{pat_sql}', '{rep_sql}', 'g')"
+        expr = f"regexp_replace({expr}, '{_EMO_SEQ}', ' \\1 ', 'g')"
+        expr = (
+            f"regexp_replace({expr}, '{_UNI_ISOLATE_PATTERN}', ' \\1 ', 'g')"
+        )
+        expr = f"lower({expr})"
+        for _ in range(2):
+            for i, (joiner, _ph) in enumerate(_UNI_MEDIAL, start=1):
+                pat = f"({_UNI_MEDIAL_CTX}){joiner}([\\p{{L}}\\p{{N}}])"
+                pat_sql = pat.replace("'", "''")
+                expr = (
+                    f"regexp_replace({expr}, '{pat_sql}', "
+                    f"'\\1' || chr({i}) || '\\2', 'g')"
+                )
+        expr = f"string_split_regex({expr}, '{_EMO_SEP}')"
+        restore = "t"
+        for i, (joiner, _ph) in enumerate(_UNI_MEDIAL, start=1):
+            lit = joiner.lstrip("\\").replace("'", "''")
+            restore = f"replace({restore}, chr({i}), '{lit}')"
+        restore = f"replace({restore}, chr(4), '#')"
+        restore = f"replace({restore}, chr(5), '*')"
+        junk_sql = _EMO_JUNK.replace("'", "''")
+        return (
+            f"flatten(list_transform(list_filter({expr}, "
+            f"t -> NOT regexp_matches(t, '{junk_sql}')), "
+            f"t -> regexp_extract_all({restore}, '.{{1,{MAX_TOKEN_LEN}}}')))"
+        )
+
+
 class _LightStemAnalyzer(UnicodeAnalyzer):
     """Language analyzer = Unicode tokenizer + snowball stop list + Savoy
     light stemmer (analysis/lightstem.py; spec files
@@ -1405,6 +1531,7 @@ _REGISTRY = {
     "code": CodeAnalyzer,
     "standard": StandardLiteAnalyzer,
     "unicode": UnicodeAnalyzer,
+    "unicode_emoji": UnicodeEmojiAnalyzer,
     "english": EnglishAnalyzer,
     "english_snowball": EnglishSnowballAnalyzer,
     "whitespace": WhitespaceAnalyzer,

@@ -1345,6 +1345,89 @@ FROM grams GROUP BY g
 """
 
 
+_EMOJI_SNIPPETS = (
+    "\U0001F4A9 the #️⃣ tag",
+    "\U0001F469‍❤️‍\U0001F469 flags "
+    "\U0001F1FA\U0001F1F8\U0001F1FA\U0001F1F8",
+    "poo\U0001F4A9poo 中文",
+    "skin \U0001F468\U0001F3FC‍⚕️ tone 3️⃣",
+    "no emoji here don't 3.14",
+)
+
+
+def emoji_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_emoji) through the unicode_emoji analyzer
+    (UAX#29 9.x emoji word-break lite — ZWJ sequences, flags, keycaps,
+    modifiers; analysis/analyzer.py UnicodeEmojiAnalyzer, pinned by the
+    reference's TestStandardAnalyzer emoji vectors). The corpus text has
+    no emoji, so both sides append the same deterministic
+    doc_id-keyed snippet (the pii_scrub synthetic-column pattern); the
+    tokenizer's SQL mirror reproduces the stream exactly."""
+    import pyarrow.compute as pc
+
+    from lucene_ray.analysis import get_analyzer
+
+    def stats(batch: pa.Table) -> pa.Table:
+        an = get_analyzer("unicode_emoji")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = batch.column("text").to_pylist()
+        aug = pa.array(
+            [t + " " + _EMOJI_SNIPPETS[int(i) % 5] for t, i in zip(txt, ids)],
+            type=pa.string(),
+        )
+        row_idx, terms, _pos = an.tokenize_flat(aug)
+        n = batch.num_rows
+        total = np.bincount(row_idx, minlength=n).astype(np.int64)
+        is_emoji = pc.match_substring_regex(
+            terms, _EMOJI_TOKEN_RE
+        ).to_numpy(zero_copy_only=False)
+        emo = np.bincount(
+            row_idx[is_emoji], minlength=n
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(total, type=pa.int64()),
+                "n_emoji": pa.array(emo, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+_EMOJI_TOKEN_RE = (
+    r"[\x{2600}-\x{27BF}\x{2B00}-\x{2BFF}\x{1F000}-\x{1F0FF}"
+    r"\x{1F300}-\x{1F5FF}\x{1F600}-\x{1F64F}\x{1F680}-\x{1F6FF}"
+    r"\x{1F900}-\x{1F9FF}\x{1FA70}-\x{1FAFF}\x{1F1E6}-\x{1F1FF}]"
+    r"|^[#*0-9]\x{FE0F}?\x{20E3}"
+)
+
+
+def emoji_stats_sql() -> str:
+    from lucene_ray.analysis.analyzer import UnicodeEmojiAnalyzer
+
+    snippets = ", ".join("'" + s.replace("'", "''") + "'"
+                         for s in _EMOJI_SNIPPETS)
+    toks = UnicodeEmojiAnalyzer.sql_expr("aug")
+    emoji_re = _EMOJI_TOKEN_RE.replace("'", "''")
+    return f"""
+WITH augd AS (
+  SELECT doc_id,
+         text || ' ' || ([{snippets}])[(doc_id % 5)::INTEGER + 1] AS aug
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM augd
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(*) FILTER (regexp_matches(term, '{emoji_re}'))::BIGINT AS n_emoji
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_emoji, 0) AS n_emoji
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ----------------------------------------------- PII / URL scrub (quality)
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
