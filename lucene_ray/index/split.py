@@ -1,0 +1,195 @@
+"""Index splitting tools — the misc-module index surgery family
+(misc/src/java/org/apache/lucene/misc/index/):
+
+  list_segments / split_index / remove_segments
+      IndexSplitter.java — file-level segment copy into a fresh index
+      (segment files address docs by LOCAL ids here, so the copy is
+      byte-verbatim and only the manifest entry rebases), listing, and
+      in-place segment removal (remaining docid_bases keep their gaps —
+      the repo's docids-never-renumber invariant, same as exorcise).
+  multipass_split_index
+      MultiPassIndexSplitter.java:70-110 — N parts over the ORIGINAL
+      global docid space: seq = [i*partLen, (i+1)*partLen) with the last
+      part absorbing the rounding remainder (partLen = maxDoc // n);
+      round-robin = docid % n == i. Each part is a full file-level copy
+      with the out-of-part docs tombstoned (the FakeDeleteIndexReader
+      role; this engine's tombstones never renumber, so part docids equal
+      the source global docids — a documented divergence from the
+      reference's addIndexes compaction, and the property the oracle
+      checks).
+  pk_split_index
+      PKIndexSplitter.java:44-112 — docs matching a query go to dir1,
+      the rest to dir2; the midTerm form sends [*, mid) to dir1 (mid
+      itself lands in dir2).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from lucene_ray.index.manifest import (
+    Manifest,
+    read_manifest,
+    segment_dir,
+    write_manifest,
+)
+from lucene_ray.index.writer import add_indexes, delete_docs
+
+
+def list_segments(index_dir: str) -> list[dict]:
+    """IndexSplitter -l: (name, doc_count, del_count, bytes) per live
+    segment."""
+    m = read_manifest(index_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest under {index_dir}")
+    return [
+        {
+            "name": e.name,
+            "doc_count": e.doc_count,
+            "del_count": getattr(e, "del_count", 0),
+            "bytes": e.bytes,
+        }
+        for e in m.live_segments
+    ]
+
+
+def _fresh_like(src_manifest: Manifest) -> Manifest:
+    return Manifest(
+        generation=0,
+        analyzer=src_manifest.analyzer,
+        doc_count=0,
+        sum_ttf=0,
+        segments=[],
+        index_sort=src_manifest.index_sort,
+    )
+
+
+def split_index(src_dir: str, dest_dir: str, segment_names: list[str]) -> Manifest:
+    """IndexSplitter <src> <dest> <segments>+: copy the named segments
+    into a NEW index at dest (docid_bases rebased compactly in source
+    docid order)."""
+    sm = read_manifest(src_dir)
+    if sm is None:
+        raise FileNotFoundError(f"no manifest under {src_dir}")
+    by_name = {e.name: e for e in sm.live_segments}
+    missing = [n for n in segment_names if n not in by_name]
+    if missing:
+        raise ValueError(f"segments not in source index: {missing}")
+    os.makedirs(os.path.join(dest_dir, "segments"), exist_ok=True)
+    dest = _fresh_like(sm)
+    base = 0
+    for e in sorted(
+        (by_name[n] for n in segment_names), key=lambda x: x.docid_base
+    ):
+        sd_dst = segment_dir(dest_dir, e.name)
+        if os.path.exists(sd_dst):
+            shutil.rmtree(sd_dst)
+        shutil.copytree(segment_dir(src_dir, e.name), sd_dst)
+        import dataclasses
+
+        ne = dataclasses.replace(e, docid_base=base)
+        from lucene_ray.index.manifest import write_entry
+
+        write_entry(dest_dir, ne)
+        dest.segments.append(ne)
+        base += e.doc_count
+    dest.doc_count = sum(e.doc_count for e in dest.segments)
+    dest.sum_ttf = sum(e.sum_ttf for e in dest.segments)
+    dest.generation = 1
+    write_manifest(dest_dir, dest)
+    return dest
+
+
+def remove_segments(index_dir: str, segment_names: list[str]) -> Manifest:
+    """IndexSplitter -d: drop the named segments from the manifest
+    (files remain for retained commits; remaining docid_bases keep their
+    gaps — docids never renumber)."""
+    m = read_manifest(index_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest under {index_dir}")
+    names = set(segment_names)
+    have = {e.name for e in m.live_segments}
+    missing = names - have
+    if missing:
+        raise ValueError(f"segments not in index: {sorted(missing)}")
+    m.segments = [e for e in m.segments if e.name not in names]
+    m.doc_count = sum(e.doc_count for e in m.segments)
+    m.sum_ttf = sum(e.sum_ttf for e in m.segments)
+    m.generation += 1
+    write_manifest(index_dir, m)
+    return m
+
+
+def _copy_full(src_dir: str, dest_dir: str) -> None:
+    sm = read_manifest(src_dir)
+    os.makedirs(os.path.join(dest_dir, "segments"), exist_ok=True)
+    write_manifest(dest_dir, _fresh_like(sm))
+    add_indexes(dest_dir, [src_dir])
+
+
+def multipass_split_index(
+    src_dir: str, dest_dirs: list[str], seq: bool = False
+) -> None:
+    """MultiPassIndexSplitter.split: each output gets a full copy with
+    the out-of-part docs tombstoned. Part membership is computed over
+    the source's ORIGINAL global docid space (live docs only end up
+    anywhere; already-deleted docs stay deleted in every part)."""
+    if len(dest_dirs) < 2:
+        raise ValueError("invalid number of outputs")
+    sm = read_manifest(src_dir)
+    if sm is None:
+        raise FileNotFoundError(f"no manifest under {src_dir}")
+    max_doc = max(
+        (e.docid_base + e.doc_count for e in sm.live_segments), default=0
+    )
+    if max_doc < 2:
+        raise ValueError("not enough documents for splitting")
+    n = len(dest_dirs)
+    part_len = max_doc // n
+    for i, dest in enumerate(dest_dirs):
+        _copy_full(src_dir, dest)
+        if seq:
+            lo = part_len * i
+            hi = lo + part_len if i < n - 1 else max_doc
+            drop = [d for d in range(max_doc) if d < lo or d >= hi]
+        else:
+            drop = [d for d in range(max_doc) if d % n != i]
+        delete_docs(dest, drop)
+
+
+def pk_split_index(
+    src_dir: str,
+    dir1: str,
+    dir2: str,
+    query=None,
+    mid_term: str | None = None,
+) -> None:
+    """PKIndexSplitter: docs matching ``query`` -> dir1, rest -> dir2.
+    ``mid_term`` (a 'field:value' keyword term) builds the reference's
+    midTerm form: dir1 = [*, mid), mid itself goes to dir2."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, TermRangeQuery
+
+    if (query is None) == (mid_term is None):
+        raise ValueError("exactly one of query / mid_term required")
+    if mid_term is not None:
+        fld = mid_term.split(":", 1)[0]
+        query = TermRangeQuery(
+            f"{fld}:", mid_term, include_lower=True, include_upper=False
+        )
+    if not isinstance(query, BooleanQuery):
+        query = BooleanQuery(should=[query])
+    sm = read_manifest(src_dir)
+    max_doc = max(
+        (e.docid_base + e.doc_count for e in sm.live_segments), default=0
+    )
+    # scale note: like the reference tool, membership is resolved on the
+    # driver (O(maxDoc) docid lists) — this is index SURGERY, not a query
+    # path; shard-scale splitting goes through split_index per segment
+    s = IndexSearcher(src_dir)
+    matched = set(s.search(query, max(max_doc, 1)).docids.tolist())
+    _copy_full(src_dir, dir1)
+    delete_docs(dir1, [d for d in range(max_doc) if d not in matched])
+    _copy_full(src_dir, dir2)
+    delete_docs(dir2, sorted(matched))

@@ -104,6 +104,105 @@ def dfr_topk(sf_dir: str) -> pa.Table:
     return _exact_topk(sf_dir, DFRExactSimilarity())
 
 
+def splitter_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): the misc index-surgery family
+    (misc/index/IndexSplitter, MultiPassIndexSplitter, PKIndexSplitter —
+    lucene_ray/index/split.py) — each split output's MatchAll doc set,
+    SQL-checked exactly against the arithmetic part definitions (docids
+    here survive splitting unchanged: tombstones never renumber)."""
+    import shutil
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.split import (
+        list_segments,
+        multipass_split_index,
+        pk_split_index,
+        split_index,
+    )
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import MatchAllDocsQuery
+
+    corpus_path = documents_as_corpus(sf_dir)
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    # segments are planned from Parquet row groups — rewrite the corpus
+    # with 128-row groups so the source really is multi-segment
+    small = os.path.join("/tmp/lucene_ray_cache", f"split_corpus_{key}.parquet")
+    if not os.path.exists(small):
+        import pyarrow.parquet as pq
+
+        pq.write_table(pq.read_table(corpus_path), small, row_group_size=128)
+    src = os.path.join("/tmp/lucene_ray_cache", f"split_src_{key}")
+    build_index([small], src, target_docs=128)
+    segs = list_segments(src)
+    assert len(segs) >= 3, "split gate needs a multi-segment source"
+
+    root = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "split_out_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    seq = [os.path.join(root, f"seq{i}") for i in range(3)]
+    rr = [os.path.join(root, f"rr{i}") for i in range(3)]
+    multipass_split_index(src, seq, seq=True)
+    multipass_split_index(src, rr, seq=False)
+    pk1, pk2 = os.path.join(root, "pk1"), os.path.join(root, "pk2")
+    pk_split_index(src, pk1, pk2, mid_term="lang:es")
+    two = os.path.join(root, "two")
+    split_index(src, two, [s["name"] for s in segs[:2]])
+
+    def docset(ix):
+        s = IndexSearcher(ix)
+        from lucene_ray.search.query import BooleanQuery
+
+        td = s.search(BooleanQuery(should=[MatchAllDocsQuery()]), 10_000_000)
+        return sorted(td.docids.tolist())
+
+    out_q, out_d = [], []
+    parts = seq + rr + [pk1, pk2, two]
+    for qid, ix in enumerate(parts):
+        ds = docset(ix)
+        out_q.extend([qid] * len(ds))
+        out_d.extend(ds)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def splitter_engine_sql() -> str:
+    # maxDoc = count(documents); seq partLen = maxDoc // 3 (last part
+    # absorbs the remainder — MultiPassIndexSplitter.java:83-99); rr =
+    # docid % 3; pk mid 'lang:es' -> dir1 lang < 'es'; the two-segment
+    # copy covers the first 2*128 docids (build target_docs=128) REBASED
+    # compactly (0..min(256, maxDoc))
+    return """
+WITH n AS (SELECT count(*) AS max_doc FROM documents),
+pl AS (SELECT (max_doc // 3) AS part_len, max_doc FROM n)
+SELECT 0 AS qid, doc_id AS docid FROM documents, pl WHERE doc_id < part_len
+UNION ALL
+SELECT 1, doc_id FROM documents, pl
+WHERE doc_id >= part_len AND doc_id < 2 * part_len
+UNION ALL
+SELECT 2, doc_id FROM documents, pl WHERE doc_id >= 2 * part_len
+UNION ALL
+SELECT 3, doc_id FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 4, doc_id FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT 5, doc_id FROM documents WHERE doc_id % 3 = 2
+UNION ALL
+SELECT 6, doc_id FROM documents WHERE lang < 'es'
+UNION ALL
+SELECT 7, doc_id FROM documents WHERE lang >= 'es'
+UNION ALL
+SELECT 8, doc_id FROM documents WHERE doc_id < 256
+"""
+
+
 def sweetspot_topk(sf_dir: str) -> pa.Table:
     """(qid, rank, doc_id): SweetSpotSimilarity twin of bm25_topk — the
     misc-module plateau length norm + baselineTf through the similarity
