@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "commongrams_stats": text.commongrams_stats,
         "emoji_stats": text.emoji_stats,
         "splitter_engine": bm25docs.splitter_engine,
+        "geo_nearest": bm25docs.geo_nearest,
         "dedup_hotkeys": dedup.dedup_hotkeys,
         "parser_escape_engine": bm25docs.parser_escape_engine,
         "shape_polygon_engine": bm25docs.shape_polygon_engine,
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "commongrams_stats": text.commongrams_stats_sql(),
         "emoji_stats": text.emoji_stats_sql(),
         "splitter_engine": bm25docs.splitter_engine_sql(),
+        "geo_nearest": bm25docs.geo_nearest_sql(),
         "blended_infix_suggest": bm25docs.blended_infix_suggest_sql(),
         "dvstats_engine": bm25docs.dvstats_engine_sql(),
         "diversified_engine": bm25docs.diversified_engine_sql(),

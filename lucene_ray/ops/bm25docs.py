@@ -104,6 +104,62 @@ def dfr_topk(sf_dir: str) -> pa.Table:
     return _exact_topk(sf_dir, DFRExactSimilarity())
 
 
+GEO_NEAREST_QUERIES = (
+    # (qid, lat, lon, k) — off-lattice points (no symmetric ties)
+    (0, 12.3371, 45.7113, 10),
+    (1, -33.8571, 151.2153, 7),
+    (2, 64.1283, -21.9351, 15),
+)
+
+
+def geo_nearest(sf_dir: str) -> pa.Table:
+    """(qid, rank, docid): k-nearest geo points
+    (misc LatLonPointPrototypeQueries.nearest /
+    LatLonDocValuesField.newDistanceSort — search/spatial.py
+    nearest_topk: growing-radius BKD prune per segment, k-row driver
+    merge). Rank output is float-free; the synthetic lattice keeps
+    distances well separated so the DuckDB trig twin orders
+    identically."""
+    from lucene_ray.search.spatial import nearest_topk
+
+    ix = _engine_index_geo(sf_dir)
+    out_q, out_r, out_d = [], [], []
+    for qid, la, lo, k in GEO_NEAREST_QUERIES:
+        hits = nearest_topk(ix, "loc", la, lo, k)
+        for r, (doc, _dist) in enumerate(hits):
+            out_q.append(qid)
+            out_r.append(r)
+            out_d.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int32()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def geo_nearest_sql() -> str:
+    from lucene_ray.search.spatial import (
+        haversine_sql,
+        synth_lat_sql,
+        synth_lon_sql,
+    )
+
+    lat_e, lon_e = synth_lat_sql("doc_id"), synth_lon_sql("doc_id")
+    parts = []
+    for qid, la, lo, k in GEO_NEAREST_QUERIES:
+        dist = haversine_sql(lat_e, lon_e, la, lo)
+        parts.append(
+            f"SELECT {qid} AS qid, "
+            f"(row_number() OVER (ORDER BY ({dist}) ASC, doc_id ASC) - 1)"
+            f"::INTEGER AS rank, doc_id AS docid "
+            f"FROM documents ORDER BY rank LIMIT {k}"
+        )
+    union = "\nUNION ALL\n".join(f"({p})" for p in parts)
+    return union
+
+
 def splitter_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): the misc index-surgery family
     (misc/index/IndexSplitter, MultiPassIndexSplitter, PKIndexSplitter —

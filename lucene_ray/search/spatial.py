@@ -176,6 +176,69 @@ def haversine_sql(lat_expr: str, lon_expr: str, lat: float, lon: float) -> str:
     )
 
 
+def nearest_topk(
+    index_dir: str, field: str, lat: float, lon: float, k: int
+) -> list[tuple[int, float]]:
+    """K nearest points to (lat, lon) as [(global_docid, metres)] sorted
+    by (distance asc, docid asc) — LatLonPointPrototypeQueries.nearest /
+    LatLonDocValuesField.newDistanceSort. Per segment, a growing-radius
+    BKD prune replaces the reference's best-first cell queue: candidate
+    boxes double in radius until the k-th candidate distance fits inside
+    the verified radius (every point within r lies inside
+    distance_box(r), so once kth_dist <= r no unseen point can beat it);
+    segments then merge on the driver (k rows each). Deleted and
+    soft-deleted docs are skipped."""
+    from lucene_ray.search.reader import IndexReader
+
+    rd = IndexReader(index_dir)
+    cand: list[tuple[float, int]] = []
+    for e in rd.segments:
+        sr = rd.segment_reader(e.name)
+        r = 10_000.0  # 10 km opening guess; doubles until verified
+        while True:
+            t = sr._spatial_candidates(field, *distance_box(lat, lon, r))
+            full = r >= EARTH_RADIUS_M * math.pi
+            if t is None:
+                if full:
+                    break
+                r *= 2.0
+                continue
+            d = t.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+            if sr.live_mask is not None:
+                keep = sr.live_mask[d]
+                t = t.filter(pa.array(keep))
+                d = d[keep]
+            if len(d) == 0:
+                if full:
+                    break
+                r *= 2.0
+                continue
+            dist = haversine_m(
+                t.column("lat").to_numpy(zero_copy_only=False),
+                t.column("lon").to_numpy(zero_copy_only=False),
+                lat, lon,
+            )
+            if len(d) >= k:
+                kth = np.partition(dist, k - 1)[k - 1]
+                if kth <= r or full:
+                    order = np.lexsort((d, dist))[:k]
+                    cand.extend(
+                        (float(dist[i]), int(d[i]) + sr.docid_base)
+                        for i in order
+                    )
+                    break
+            elif full:
+                order = np.lexsort((d, dist))
+                cand.extend(
+                    (float(dist[i]), int(d[i]) + sr.docid_base)
+                    for i in order
+                )
+                break
+            r *= 2.0
+    cand.sort()
+    return [(doc, dist) for dist, doc in cand[:k]]
+
+
 def distance_box(
     lat: float, lon: float, radius_m: float
 ) -> tuple[float, float, float, float]:

@@ -5,6 +5,7 @@ merge survival, delete interaction."""
 import os
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -517,3 +518,75 @@ def test_shape_point_gate_and_checkindex():
     # edge-flag invariants
     report = check_index(bm25docs._shape_engine_index(SF))
     assert not report["problems"], report["problems"]
+
+
+class TestNearest:
+    """LatLonPointPrototypeQueries.nearest analog (spatial.nearest_topk)."""
+
+    def test_matches_brute_force(self, tmp_path, ray_session):
+        import pyarrow.parquet as pq_mod
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.search.spatial import (
+            haversine_m,
+            nearest_topk,
+            synth_lat,
+            synth_lon,
+        )
+
+        n = 200
+        tbl = pa.table(
+            {
+                "repo": ["r"] * n,
+                "path": [f"f{i}.py" for i in range(n)],
+                "commit": ["c"] * n,
+                "lang": ["py"] * n,
+                "content": ["alpha beta"] * n,
+            }
+        )
+        cp = str(tmp_path / "c.parquet")
+        pq_mod.write_table(tbl, cp, row_group_size=50)
+        ix = str(tmp_path / "ix")
+        build_index([cp], ix, point2d_fields=("loc",))
+        ids = np.arange(n, dtype=np.int64)
+        la, lo = synth_lat(ids), synth_lon(ids)
+        for qlat, qlon, k in [(10.1, 20.2, 5), (-45.3, 170.9, 12), (0.0, 0.1, 1)]:
+            d = haversine_m(la, lo, qlat, qlon)
+            want = [int(i) for i in np.lexsort((ids, d))[:k]]
+            got = [doc for doc, _ in nearest_topk(ix, "loc", qlat, qlon, k)]
+            assert got == want, (qlat, qlon, k)
+
+    def test_skips_deleted(self, tmp_path, ray_session):
+        import pyarrow.parquet as pq_mod
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.index.writer import delete_docs
+        from lucene_ray.search.spatial import (
+            haversine_m,
+            nearest_topk,
+            synth_lat,
+            synth_lon,
+        )
+
+        n = 60
+        tbl = pa.table(
+            {
+                "repo": ["r"] * n,
+                "path": [f"f{i}.py" for i in range(n)],
+                "commit": ["c"] * n,
+                "lang": ["py"] * n,
+                "content": ["alpha"] * n,
+            }
+        )
+        cp = str(tmp_path / "c.parquet")
+        pq_mod.write_table(tbl, cp)
+        ix = str(tmp_path / "ix")
+        build_index([cp], ix, point2d_fields=("loc",))
+        ids = np.arange(n, dtype=np.int64)
+        d = haversine_m(synth_lat(ids), synth_lon(ids), 5.5, 6.5)
+        order = np.lexsort((ids, d))
+        # delete the nearest doc: it must vanish from the result
+        delete_docs(ix, [int(order[0])])
+        got = [doc for doc, _ in nearest_topk(ix, "loc", 5.5, 6.5, 3)]
+        assert int(order[0]) not in got
+        assert got == [int(i) for i in order[1:4]]
