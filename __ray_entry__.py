@@ -39,6 +39,14 @@ def _knn_quantized(sf_dir: str) -> Any:
     return quant.knn_quantized(sf_dir)
 
 
+def _bp_reorder(sf_dir: str) -> Any:
+    # rows-only by design: a bisection heuristic's permutation has no SQL
+    # oracle; validity/quality/determinism pinned by tests/test_bp.py
+    from lucene_ray.ops import bp
+
+    return bp.bp_reorder(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
@@ -56,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emoji_stats": text.emoji_stats,
         "splitter_engine": bm25docs.splitter_engine,
         "geo_nearest": bm25docs.geo_nearest,
+        "bp_reorder": _bp_reorder,
         "dedup_hotkeys": dedup.dedup_hotkeys,
         "parser_escape_engine": bm25docs.parser_escape_engine,
         "shape_polygon_engine": bm25docs.shape_polygon_engine,
