@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "splitter_engine": bm25docs.splitter_engine,
         "geo_nearest": bm25docs.geo_nearest,
         "bp_reorder": _bp_reorder,
+        "pack_sequences": text.pack_sequences,
         "dedup_hotkeys": dedup.dedup_hotkeys,
         "parser_escape_engine": bm25docs.parser_escape_engine,
         "shape_polygon_engine": bm25docs.shape_polygon_engine,
@@ -258,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "sweetspot_topk": bm25docs.sweetspot_topk_sql(),
         "commongrams_stats": text.commongrams_stats_sql(),
         "emoji_stats": text.emoji_stats_sql(),
+        "pack_sequences": text.pack_sequences_sql(),
         "splitter_engine": bm25docs.splitter_engine_sql(),
         "geo_nearest": bm25docs.geo_nearest_sql(),
         "blended_infix_suggest": bm25docs.blended_infix_suggest_sql(),

@@ -1428,6 +1428,105 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+PACK_SEQ_LEN = 512  # tokens per packed training sequence
+
+
+def pack_sequences(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, start_tok, start_seq, end_seq, n_boundaries):
+    GPT-style sequence packing — documents concatenated in doc_id order
+    and cut into fixed PACK_SEQ_LEN-token training sequences; each doc
+    reports its global token offset, the sequences it touches, and how
+    many sequence boundaries fall inside it. Two streaming passes (the
+    _exact_topk shape): pass 1 emits ONE (first_doc_id, batch_tokens) row
+    per batch so the driver holds O(batches) ints for the global prefix
+    sum; pass 2 re-streams, adds the batch base to a batch-local cumsum
+    and assigns sequences arithmetically. No shuffle, no driver-side doc
+    rows; at 100 TB the doc->sequence map writes straight to parquet."""
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    n_rg = pq.ParquetFile(path).metadata.num_row_groups
+    # the chunking unit must be IDENTICAL across both passes — Ray Data
+    # batch boundaries are not guaranteed stable, Parquet row groups are
+    # (the builder's footer-planning pattern)
+    specs = ray.data.from_items([{"rg": i} for i in range(n_rg)])
+
+    def _rg_tokens(rg: int):
+        an = CodeAnalyzer()
+        t = pq.ParquetFile(path).read_row_group(rg, columns=["doc_id", "text"])
+        row_idx, _t, _p = an.tokenize_flat(t.column("text").combine_chunks())
+        tok = np.bincount(row_idx, minlength=t.num_rows).astype(np.int64)
+        return t.column("doc_id").to_numpy(zero_copy_only=False), tok
+
+    def counts(batch: pa.Table) -> pa.Table:
+        out_rg, out_n = [], []
+        for rg in batch.column("rg").to_pylist():
+            _ids, tok = _rg_tokens(rg)
+            out_rg.append(rg)
+            out_n.append(int(tok.sum()))
+        return pa.table(
+            {
+                "rg": pa.array(out_rg, type=pa.int64()),
+                "rg_tokens": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    # pass 1: per-row-group token totals -> O(row groups) driver ints
+    st = specs.map_batches(
+        counts, batch_format="pyarrow", batch_size=4
+    ).to_pandas().sort_values("rg")
+    cum = st.rg_tokens.cumsum() - st.rg_tokens
+    rg_base = dict(zip(st.rg.tolist(), cum.tolist()))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        outs = []
+        for rg in batch.column("rg").to_pylist():
+            ids, tok = _rg_tokens(rg)
+            start = rg_base[rg] + np.cumsum(tok) - tok
+            end = start + np.maximum(tok, 1) - 1  # empty doc at its start
+            start_seq = start // PACK_SEQ_LEN
+            end_seq = end // PACK_SEQ_LEN
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids, type=pa.int64()),
+                        "n_tokens": pa.array(tok, type=pa.int64()),
+                        "start_tok": pa.array(start, type=pa.int64()),
+                        "start_seq": pa.array(start_seq, type=pa.int64()),
+                        "end_seq": pa.array(end_seq, type=pa.int64()),
+                        "n_boundaries": pa.array(
+                            end_seq - start_seq, type=pa.int64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return specs.map_batches(assign, batch_format="pyarrow", batch_size=4)
+
+
+def pack_sequences_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH counts AS (
+  SELECT doc_id, len({toks}) AS n_tokens FROM documents
+), offs AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens) AS start_tok
+  FROM counts
+)
+SELECT doc_id, n_tokens, start_tok,
+       (start_tok // {PACK_SEQ_LEN}) AS start_seq,
+       ((start_tok + greatest(n_tokens, 1) - 1) // {PACK_SEQ_LEN}) AS end_seq,
+       ((start_tok + greatest(n_tokens, 1) - 1) // {PACK_SEQ_LEN}
+        - start_tok // {PACK_SEQ_LEN}) AS n_boundaries
+FROM offs
+"""
+
+
 # ----------------------------------------------- PII / URL scrub (quality)
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -1991,3 +1991,38 @@ class TestBlendedInfix:
             bm25docs.blended_infix_suggest_sql(),
             float_cols=(),  # scores must be BIT-exact, not just close
         )
+
+
+class TestPackSequences:
+    """GPT-style sequence packing (ops/text.py pack_sequences)."""
+
+    def test_prefix_sums_and_boundaries(self, ray_session):
+        import duckdb
+
+        from lucene_ray.ops import text
+
+        sf = "/root/testdata/sf0.001"
+        a = (
+            text.pack_sequences(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # offsets are a prefix sum of token counts in doc_id order
+        assert (a.start_tok.values[1:] ==
+                (a.start_tok + a.n_tokens).values[:-1]).all()
+        assert (a.start_seq == a.start_tok // text.PACK_SEQ_LEN).all()
+        # sequence ids are monotone and dense enough to pack
+        assert a.end_seq.is_monotonic_increasing
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        b = (
+            con.execute(text.pack_sequences_sql())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert (a.values == b.values).all()
