@@ -158,6 +158,68 @@ def multipass_split_index(
         delete_docs(dest, drop)
 
 
+def rearrange_index(
+    src_dir: str,
+    dest_dir: str,
+    segment_selectors: list,
+    deleted_docs=None,
+    use_ray: bool = False,
+) -> None:
+    """IndexRearranger (misc/index/IndexRearranger.java:40-90): copy the
+    index into ``dest`` with ONE OUTPUT SEGMENT PER SELECTOR, segments in
+    selector order; ``deleted_docs`` (original global docids) are then
+    marked deleted in the rearranged index but not merged away.
+
+    Per selector: full file-level copy -> tombstone the out-of-part docs
+    -> ForceMerge(1), which drops the tombstoned postings while KEEPING
+    the docid span (this engine's gaps-never-renumber invariant), then
+    addIndexes assembles the parts. Dest docid of original doc d from
+    selector i = i * maxDoc + d — deterministic, which is what the gate's
+    oracle checks. A selector that matches nothing still yields its
+    (empty) segment span; the reference discards all-deleted segments —
+    divergence documented here (spans are part of this engine's docid
+    contract)."""
+    import shutil
+    import tempfile
+
+    from lucene_ray.index.merge import force_merge
+
+    sm = read_manifest(src_dir)
+    if sm is None:
+        raise FileNotFoundError(f"no manifest under {src_dir}")
+    max_doc = max(
+        (e.docid_base + e.doc_count for e in sm.live_segments), default=0
+    )
+    sel_sets = [set(int(d) for d in sel) for sel in segment_selectors]
+    seen: set[int] = set()
+    for s in sel_sets:
+        if s & seen:
+            raise ValueError("segment selectors must be disjoint")
+        seen |= s
+    os.makedirs(os.path.join(dest_dir, "segments"), exist_ok=True)
+    write_manifest(dest_dir, _fresh_like(sm))
+    tmp_root = tempfile.mkdtemp(prefix="rearrange_", dir="/tmp")
+    try:
+        for i, want in enumerate(sel_sets):
+            part = os.path.join(tmp_root, f"part{i}")
+            _copy_full(src_dir, part)
+            delete_docs(part, [d for d in range(max_doc) if d not in want])
+            force_merge(part, use_ray=use_ray)
+            add_indexes(dest_dir, [part])
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    if deleted_docs:
+        dm = read_manifest(dest_dir)
+        bases = sorted(e.docid_base for e in dm.live_segments)
+        dels = []
+        for i, want in enumerate(sel_sets):
+            for d in deleted_docs:
+                if int(d) in want:
+                    dels.append(bases[i] + int(d))
+        if dels:
+            delete_docs(dest_dir, dels)
+
+
 def pk_split_index(
     src_dir: str,
     dir1: str,

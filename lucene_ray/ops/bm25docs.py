@@ -174,6 +174,7 @@ def splitter_engine(sf_dir: str) -> pa.Table:
         list_segments,
         multipass_split_index,
         pk_split_index,
+        rearrange_index,
         split_index,
     )
     from lucene_ray.search.engine import IndexSearcher
@@ -207,6 +208,13 @@ def splitter_engine(sf_dir: str) -> pa.Table:
     pk_split_index(src, pk1, pk2, mid_term="lang:es")
     two = os.path.join(root, "two")
     split_index(src, two, [s["name"] for s in segs[:2]])
+    rearr = os.path.join(root, "rearr")
+    n_docs = sum(s["doc_count"] for s in segs)
+    rearrange_index(
+        src, rearr,
+        [[d for d in range(n_docs) if d % 2 == 0],
+         [d for d in range(n_docs) if d % 2 == 1]],
+    )
 
     def docset(ix):
         s = IndexSearcher(ix)
@@ -216,7 +224,7 @@ def splitter_engine(sf_dir: str) -> pa.Table:
         return sorted(td.docids.tolist())
 
     out_q, out_d = [], []
-    parts = seq + rr + [pk1, pk2, two]
+    parts = seq + rr + [pk1, pk2, two, rearr]
     for qid, ix in enumerate(parts):
         ds = docset(ix)
         out_q.extend([qid] * len(ds))
@@ -256,6 +264,11 @@ UNION ALL
 SELECT 7, doc_id FROM documents WHERE lang >= 'es'
 UNION ALL
 SELECT 8, doc_id FROM documents WHERE doc_id < 256
+UNION ALL
+-- rearranged: selector 0 (evens) at base 0, selector 1 (odds) at maxDoc
+SELECT 9, doc_id FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 9, doc_id + max_doc FROM documents, n WHERE doc_id % 2 = 1
 """
 
 

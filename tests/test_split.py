@@ -110,3 +110,25 @@ def test_pk_split(src, tmp_path):
     assert len(_docset(d4)) == 39
     with pytest.raises(ValueError):
         pk_split_index(src, d3, d4)
+
+
+def test_rearrange_index(src, tmp_path):
+    from lucene_ray.index.split import list_segments, rearrange_index
+
+    dest = str(tmp_path / "rearranged")
+    evens = [d for d in range(40) if d % 2 == 0]
+    odds = [d for d in range(40) if d % 2 == 1]
+    rearrange_index(src, dest, [evens, odds], deleted_docs=[2, 3])
+    segs = list_segments(dest)
+    assert len(segs) == 2  # one segment per selector, in order
+    got = _docset(dest)
+    # selector i's doc d lands at i*maxDoc + d; deleted_docs hidden
+    want = sorted(
+        [d for d in evens if d != 2] + [40 + d for d in odds if d != 3]
+    )
+    assert got == want
+    # content survives the rearrangement (doc 15 is odd -> second segment)
+    s = IndexSearcher(dest)
+    assert s.search("docbf", 100).docids.tolist() == [40 + 15]
+    with pytest.raises(ValueError):
+        rearrange_index(src, str(tmp_path / "x"), [[1, 2], [2, 3]])
