@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_nearest": bm25docs.geo_nearest,
         "bp_reorder": _bp_reorder,
         "pack_sequences": text.pack_sequences,
+        "bboxfield_engine": bm25docs.bboxfield_engine,
         "dedup_hotkeys": dedup.dedup_hotkeys,
         "parser_escape_engine": bm25docs.parser_escape_engine,
         "shape_polygon_engine": bm25docs.shape_polygon_engine,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "commongrams_stats": text.commongrams_stats_sql(),
         "emoji_stats": text.emoji_stats_sql(),
         "pack_sequences": text.pack_sequences_sql(),
+        "bboxfield_engine": bm25docs.bboxfield_engine_sql(),
         "splitter_engine": bm25docs.splitter_engine_sql(),
         "geo_nearest": bm25docs.geo_nearest_sql(),
         "blended_infix_suggest": bm25docs.blended_infix_suggest_sql(),

@@ -127,10 +127,38 @@ def _synth_span(table: pa.Table, global_docids: np.ndarray):
     return lo, lo + (g % 53)
 
 
+def _synth_bbox_lat(table: pa.Table, global_docids: np.ndarray):
+    # LatLonBoundingBox lat axis in 1e-4-degree fixed point, derived in
+    # PURE INTEGER arithmetic (synth_rect's lattice scaled by QUANT — no
+    # float round-trip, so the SQL mirror is trivially exact;
+    # sandbox/document/LatLonBoundingBox.java encodes each axis as a
+    # 1-D range and the 2-D relations compose per axis)
+    from lucene_ray.search.spatial import _LAT_MULT, LAT_SPAN, QUANT
+
+    d = np.asarray(global_docids, np.int64)
+    lo = (d * _LAT_MULT) % LAT_SPAN - 90 * QUANT
+    h = (QUANT // 4) + (d % 4) * (QUANT // 4)  # 0.25 + (d%4)*0.25 degrees
+    return lo, lo + h
+
+
+def _synth_bbox_lon(table: pa.Table, global_docids: np.ndarray):
+    from lucene_ray.search.spatial import _LON_MULT, LON_SPAN, QUANT
+
+    d = np.asarray(global_docids, np.int64)
+    lo = (d * _LON_MULT) % LON_SPAN - 180 * QUANT
+    w = (QUANT // 4) + (d % 3) * (QUANT // 2)  # 0.25 + (d%3)*0.5 degrees
+    return lo, lo + w
+
+
 # LongRange-field derivers (document/LongRange.java:48): field name ->
 # (table, global_docids) -> (lo, hi) int64 arrays. Real corpora register
-# derivers reading table columns.
-RANGE_DERIVERS = {"span": _synth_span}
+# derivers reading table columns. The bbox_lat/bbox_lon pair backs the
+# LatLonBoundingBox 2-D field (one 1-D range per axis).
+RANGE_DERIVERS = {
+    "span": _synth_span,
+    "bbox_lat": _synth_bbox_lat,
+    "bbox_lon": _synth_bbox_lon,
+}
 
 
 def _payload_term_length(terms: pa.Array, positions: np.ndarray) -> np.ndarray:

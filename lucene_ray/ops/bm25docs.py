@@ -7527,6 +7527,122 @@ def _engine_index_range(sf_dir: str) -> str:
     return ix
 
 
+BBOX_QUERIES: list[tuple] = [
+    # (qid, min_lat, min_lon, max_lat, max_lon, relation) — bounds on the
+    # 1e-4-degree grid (the fixed-point contract). qid 2's query box sits
+    # INSIDE doc 7's box (lat [55.0327, 56.0327] x lon [115.7633,
+    # 116.5133]) so CONTAINS has witnesses; qid 3's partial overlap of
+    # doc 123's box gives CROSSES witnesses.
+    (0, -10.0, -20.0, 25.5, 30.25, "intersects"),
+    (1, -10.0, -20.0, 25.5, 30.25, "within"),
+    (2, 55.5, 116.0, 55.6, 116.2, "contains"),
+    (3, -9.5, -22.9, 30.0, 40.0, "crosses"),
+    (4, 40.25, -180.0, 90.0, 180.0, "intersects"),
+]
+
+
+def _engine_index_bbox(sf_dir: str) -> str:
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_index_bbox_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index(
+        [corpus_path], ix, target_docs=8192,
+        range_fields=("bbox_lat", "bbox_lon"),
+    )
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+def bboxfield_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): LatLonBoundingBox 2-D box range field
+    (sandbox/document/LatLonBoundingBox.java newIntersects/Within/
+    Contains/CrossesQuery) — per-axis 1-D ranges composed by the
+    multi-dim relation algebra, through the real engine. The synthetic
+    rect is a pure function of doc_id, so every relation mirrors
+    exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, LatLonBoundingBoxQuery
+
+    ix = _engine_index_bbox(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, la0, lo0, la1, lo1, rel in BBOX_QUERIES:
+        q = BooleanQuery(
+            must=[LatLonBoundingBoxQuery("bbox", la0, lo0, la1, lo1, rel)]
+        )
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def bboxfield_engine_sql() -> str:
+    from lucene_ray.search.spatial import (
+        _LAT_MULT,
+        _LON_MULT,
+        LAT_SPAN,
+        LON_SPAN,
+        QUANT,
+    )
+
+    parts = []
+    for qid, la0, lo0, la1, lo1, rel in BBOX_QUERIES:
+        ql_lat, qh_lat = int(round(la0 * QUANT)), int(round(la1 * QUANT))
+        ql_lon, qh_lon = int(round(lo0 * QUANT)), int(round(lo1 * QUANT))
+
+        def axis(rel_, lo, hi, ql, qh):
+            if rel_ == "intersects":
+                return f"({lo} <= {qh} AND {hi} >= {ql})"
+            if rel_ == "within":
+                return f"({lo} >= {ql} AND {hi} <= {qh})"
+            return f"({lo} <= {ql} AND {hi} >= {qh})"  # contains
+
+        def both(rel_):
+            return (
+                axis(rel_, "blat_lo", "blat_hi", ql_lat, qh_lat)
+                + " AND "
+                + axis(rel_, "blon_lo", "blon_hi", ql_lon, qh_lon)
+            )
+
+        if rel in ("intersects", "within", "contains"):
+            cond = both(rel)
+        else:
+            cond = (
+                f"({both('intersects')}) AND NOT ({both('within')}) "
+                f"AND NOT ({both('contains')})"
+            )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM boxes WHERE {cond}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    q4 = QUANT // 4
+    q2 = QUANT // 2
+    return f"""
+WITH boxes AS (
+  SELECT doc_id,
+         (doc_id * {_LAT_MULT}) % {LAT_SPAN} - {90 * QUANT} AS blat_lo,
+         (doc_id * {_LAT_MULT}) % {LAT_SPAN} - {90 * QUANT}
+           + {q4} + (doc_id % 4) * {q4} AS blat_hi,
+         (doc_id * {_LON_MULT}) % {LON_SPAN} - {180 * QUANT} AS blon_lo,
+         (doc_id * {_LON_MULT}) % {LON_SPAN} - {180 * QUANT}
+           + {q4} + (doc_id % 3) * {q2} AS blon_hi
+  FROM documents
+)
+{union}
+"""
+
+
 def rangefield_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): LongRange-field relation queries
     (document/LongRange.java:48 newIntersects/Within/Contains/CrossesQuery)

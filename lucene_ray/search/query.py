@@ -637,6 +637,31 @@ class RangeFieldQuery:
 
 
 @dataclass(frozen=True)
+class LatLonBoundingBoxQuery:
+    """2-D bounding-box range field query
+    (sandbox/document/LatLonBoundingBox.java:45-150
+    newIntersects/Within/Contains/CrossesQuery): indexed boxes relate to
+    the query box via per-axis 1-D ranges — INTERSECTS/WITHIN/CONTAINS
+    hold iff they hold on BOTH axes; CROSSES = intersects and neither
+    within nor contains (RangeFieldQuery.QueryType multi-dim algebra).
+    Bounds are degrees; the sidecar stores quarter-degree fixed point
+    (``{field}_lat`` / ``{field}_lon`` range fields), so query bounds
+    must be quarter-multiples (int-exact both sides)."""
+
+    field: str
+    min_lat: float
+    min_lon: float
+    max_lat: float
+    max_lon: float
+    relation: str = "intersects"  # intersects | within | contains | crosses
+    boost: float = 1.0
+
+    @property
+    def terms(self) -> tuple:
+        return ()
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery:
     """search/FieldExistsQuery.java: docs where ``field`` has any value.
     For the analyzed content field existence = at least one indexed token

@@ -48,6 +48,7 @@ from lucene_ray.search.query import (
     PointInSetQuery,
     PointRangeQuery,
     RangeFieldQuery,
+    LatLonBoundingBoxQuery,
     LatLonBoxQuery,
     LatLonDistanceQuery,
     LatLonPolygonQuery,
@@ -1393,6 +1394,36 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                     q.field, q.lower, q.upper, q.relation
                 ),
             )
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, scorers.get(q), scored=(docids, scores)))
+        elif isinstance(q, LatLonBoundingBoxQuery):
+            def _bbox_docs(q=q):
+                # 1e-4-degree fixed point on both axes (builder
+                # _synth_bbox_* encoding); per-axis relation intersect,
+                # CROSSES as whole-box intersects - within - contains
+                # (LatLonBoundingBox.java newCrossesQuery semantics)
+                from lucene_ray.search.spatial import QUANT
+
+                ql = [int(round(q.min_lat * QUANT)), int(round(q.min_lon * QUANT))]
+                qh = [int(round(q.max_lat * QUANT)), int(round(q.max_lon * QUANT))]
+                axes = (f"{q.field}_lat", f"{q.field}_lon")
+
+                def both(rel):
+                    a = reader.range_field_docs(axes[0], ql[0], qh[0], rel)
+                    b = reader.range_field_docs(axes[1], ql[1], qh[1], rel)
+                    return np.intersect1d(a, b, assume_unique=True)
+
+                if q.relation in ("intersects", "within", "contains"):
+                    return both(q.relation)
+                if q.relation == "crosses":
+                    inter = both("intersects")
+                    rest = np.union1d(both("within"), both("contains"))
+                    return np.setdiff1d(inter, rest, assume_unique=True)
+                raise ValueError(f"unknown bbox relation: {q.relation!r}")
+
+            docids = _qcache(reader, q, _bbox_docs)
             if len(docids) == 0:
                 continue
             scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)

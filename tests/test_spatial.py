@@ -590,3 +590,68 @@ class TestNearest:
         got = [doc for doc, _ in nearest_topk(ix, "loc", 5.5, 6.5, 3)]
         assert int(order[0]) not in got
         assert got == [int(i) for i in order[1:4]]
+
+
+def test_bbox_relations_cross_check(tmp_path, ray_session):
+    """LatLonBoundingBoxQuery vs brute-force per-axis relation algebra
+    over the synthetic rect lattice, incl. merge survival."""
+    import pyarrow.parquet as pq_mod
+
+    from lucene_ray.index.builder import (
+        _synth_bbox_lat,
+        _synth_bbox_lon,
+        build_index,
+    )
+    from lucene_ray.index.merge import force_merge
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, LatLonBoundingBoxQuery
+    from lucene_ray.search.spatial import QUANT
+
+    n = 150
+    tbl = pa.table(
+        {
+            "repo": ["r"] * n,
+            "path": [f"f{i}.py" for i in range(n)],
+            "commit": ["c"] * n,
+            "lang": ["py"] * n,
+            "content": ["alpha"] * n,
+        }
+    )
+    cp = str(tmp_path / "c.parquet")
+    pq_mod.write_table(tbl, cp, row_group_size=50)
+    ix = str(tmp_path / "ix")
+    build_index([cp], ix, range_fields=("bbox_lat", "bbox_lon"))
+    force_merge(ix)  # sidecar must survive the merge fold
+    s = IndexSearcher(ix)
+
+    ids = np.arange(n, dtype=np.int64)
+    la_lo, la_hi = _synth_bbox_lat(None, ids)
+    lo_lo, lo_hi = _synth_bbox_lon(None, ids)
+
+    def brute(qla0, qlo0, qla1, qlo1, rel):
+        ql_lat, qh_lat = round(qla0 * QUANT), round(qla1 * QUANT)
+        ql_lon, qh_lon = round(qlo0 * QUANT), round(qlo1 * QUANT)
+
+        def ax(rel_, lo, hi, ql, qh):
+            if rel_ == "intersects":
+                return (lo <= qh) & (hi >= ql)
+            if rel_ == "within":
+                return (lo >= ql) & (hi <= qh)
+            return (lo <= ql) & (hi >= qh)
+
+        def both(rel_):
+            return ax(rel_, la_lo, la_hi, ql_lat, qh_lat) & ax(
+                rel_, lo_lo, lo_hi, ql_lon, qh_lon
+            )
+
+        if rel == "crosses":
+            m = both("intersects") & ~both("within") & ~both("contains")
+        else:
+            m = both(rel)
+        return sorted(ids[m].tolist())
+
+    box = (-20.0, -60.0, 42.1234, 95.5)
+    for rel in ("intersects", "within", "contains", "crosses"):
+        q = BooleanQuery(must=[LatLonBoundingBoxQuery("bbox", *box, rel)])
+        got = sorted(s.search(q, 10_000).docids.tolist())
+        assert got == brute(*box, rel), rel
