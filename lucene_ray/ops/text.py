@@ -1508,21 +1508,24 @@ def pack_sequences(sf_dir: str) -> "ray.data.Dataset":
 
 def pack_sequences_sql() -> str:
     toks = tokenize_sql_expr("text")
+    # the window sum is HUGEINT in DuckDB — cast back to BIGINT so the
+    # dtype-sensitive schema check matches the engine's int64 columns
     return f"""
 WITH counts AS (
-  SELECT doc_id, len({toks}) AS n_tokens FROM documents
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
 ), offs AS (
   SELECT doc_id, n_tokens,
-         (sum(n_tokens) OVER (ORDER BY doc_id
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          - n_tokens) AS start_tok
+          - n_tokens AS BIGINT) AS start_tok
   FROM counts
 )
 SELECT doc_id, n_tokens, start_tok,
-       (start_tok // {PACK_SEQ_LEN}) AS start_seq,
-       ((start_tok + greatest(n_tokens, 1) - 1) // {PACK_SEQ_LEN}) AS end_seq,
-       ((start_tok + greatest(n_tokens, 1) - 1) // {PACK_SEQ_LEN}
-        - start_tok // {PACK_SEQ_LEN}) AS n_boundaries
+       CAST(start_tok // {PACK_SEQ_LEN} AS BIGINT) AS start_seq,
+       CAST((start_tok + greatest(n_tokens, 1) - 1) // {PACK_SEQ_LEN}
+            AS BIGINT) AS end_seq,
+       CAST((start_tok + greatest(n_tokens, 1) - 1) // {PACK_SEQ_LEN}
+        - start_tok // {PACK_SEQ_LEN} AS BIGINT) AS n_boundaries
 FROM offs
 """
 
