@@ -1467,6 +1467,26 @@ class SpanishPluralAnalyzer(_LightStemAnalyzer):
     stop_set = _snowball_stops("spanish")
 
 
+class NorwegianLightAnalyzer(_LightStemAnalyzer):
+    """no/NorwegianAnalyzer chain with the light stemmer: no stopwords
+    (snowball norwegian_stop.txt) -> NorwegianLightStemFilter(BOKMAAL)
+    (no/NorwegianAnalyzer.java:106-117 uses Snowball; the light chain is
+    NorwegianLightStemFilterFactory's)."""
+
+    name = "norwegian_light"
+    language = "norwegian_light"
+    stop_set = _snowball_stops("norwegian")
+
+
+class NorwegianMinimalAnalyzer(_LightStemAnalyzer):
+    """no/NorwegianMinimalStemFilter chain (known noun plurals +
+    genitive -s only)."""
+
+    name = "norwegian_minimal"
+    language = "norwegian_minimal"
+    stop_set = _snowball_stops("norwegian")
+
+
 class PortugueseRSLPAnalyzer(_LightStemAnalyzer):
     """pt/PortugueseStemFilter chain — the FULL RSLP flow
     (analysis/rslp.py portuguese_stem)."""
@@ -1557,6 +1577,8 @@ _REGISTRY = {
     "german_minimal": GermanMinimalAnalyzer,
     "french_minimal": FrenchMinimalAnalyzer,
     "spanish_plural": SpanishPluralAnalyzer,
+    "norwegian_light": NorwegianLightAnalyzer,
+    "norwegian_minimal": NorwegianMinimalAnalyzer,
     "portuguese_rslp": PortugueseRSLPAnalyzer,
     "portuguese_minimal": PortugueseMinimalAnalyzer,
     "galician": GalicianAnalyzer,

@@ -12,6 +12,8 @@ spec:
   de/GermanMinimalStemmer.java:55-95       german_minimal_stem
   fr/FrenchMinimalStemmer.java:55-70       french_minimal_stem
   es/SpanishPluralStemmer.java:60-245      spanish_plural_stem
+  no/NorwegianLightStemmer.java:60-182     norwegian_light_stem
+  no/NorwegianMinimalStemmer.java:55-110   norwegian_minimal_stem
 
 Every function is validated token-for-token against the reference's OWN
 bundled vocabulary test data (analysis/common/src/test/.../{it,pt,ru,fi,
@@ -33,6 +35,10 @@ __all__ = [
     "german_minimal_stem",
     "french_minimal_stem",
     "spanish_plural_stem",
+    "norwegian_light_stem",
+    "norwegian_minimal_stem",
+    "NO_BOKMAAL",
+    "NO_NYNORSK",
 ]
 
 
@@ -640,3 +646,85 @@ def sorani_stem(token: str) -> str:
 
 def sorani_normalize_and_stem(token: str) -> str:
     return sorani_stem(sorani_normalize(token))
+
+
+# ---------------------------------------------------------------- Norwegian
+
+NO_BOKMAAL = 1  # NorwegianLightStemmer.BOKMAAL
+NO_NYNORSK = 2  # NorwegianLightStemmer.NYNORSK
+
+
+def norwegian_light_stem(token: str, flags: int = NO_BOKMAAL) -> str:
+    """NorwegianLightStemmer.stem (no/NorwegianLightStemmer.java:60-150;
+    flags select the Bokmål / Nynorsk ending sets)."""
+    if flags <= 0 or flags > NO_BOKMAAL + NO_NYNORSK:
+        raise ValueError("invalid flags")
+    bm = bool(flags & NO_BOKMAAL)
+    nn = bool(flags & NO_NYNORSK)
+    s = token
+    n = len(s)
+    if n > 4 and s[-1] == "s":
+        s = s[: n - 1]
+        n -= 1
+    if n > 7 and (
+        (s.endswith(("heter", "heten")) and bm)
+        or (s.endswith("heita") and nn)
+    ):
+        return s[: n - 5]
+    if n > 8 and nn and s.endswith(("heiter", "leiken", "leikar")):
+        return s[: n - 6]
+    if n > 5 and (s.endswith("dom") or (s.endswith("het") and bm)):
+        return s[: n - 3]
+    if n > 6 and nn and s.endswith(("heit", "semd", "leik")):
+        return s[: n - 4]
+    if n > 7 and s.endswith(("elser", "elsen")):
+        return s[: n - 5]
+    if n > 6 and (
+        (s.endswith("ende") and bm)
+        or (s.endswith("ande") and nn)
+        or s.endswith("else")
+        or (s.endswith("este") and bm)
+        or (s.endswith("aste") and nn)
+        or (s.endswith("eren") and bm)
+        or (s.endswith("aren") and nn)
+    ):
+        return s[: n - 4]
+    if n > 5 and (
+        (s.endswith("ere") and bm)
+        or (s.endswith("are") and nn)
+        or (s.endswith("est") and bm)
+        or (s.endswith("ast") and nn)
+        or s.endswith("ene")
+        or (s.endswith("ane") and nn)
+    ):
+        return s[: n - 3]
+    if n > 4 and (
+        s.endswith(("er", "en", "et", "te"))
+        or (s.endswith("ar") and nn)
+        or (s.endswith("st") and bm)
+    ):
+        return s[: n - 2]
+    if n > 3 and s[-1] in "aen":
+        return s[: n - 1]
+    return s
+
+
+def norwegian_minimal_stem(token: str, flags: int = NO_BOKMAAL) -> str:
+    """NorwegianMinimalStemmer.stem (no/NorwegianMinimalStemmer.java)."""
+    if flags <= 0 or flags > NO_BOKMAAL + NO_NYNORSK:
+        raise ValueError("invalid flags")
+    nn = bool(flags & NO_NYNORSK)
+    s = token
+    n = len(s)
+    if n > 4 and s[-1] == "s":
+        s = s[: n - 1]
+        n -= 1
+    if n > 5 and (s.endswith("ene") or (s.endswith("ane") and nn)):
+        return s[: n - 3]
+    if n > 4 and (
+        s.endswith(("er", "en", "et")) or (s.endswith("ar") and nn)
+    ):
+        return s[: n - 2]
+    if n > 3 and s[-1] in "ae":
+        return s[: n - 1]
+    return s

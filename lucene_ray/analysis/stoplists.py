@@ -251,3 +251,19 @@ of Ù„Û•Ø¨Ø±ÛØªÛŒ # behind Ù„Û•Ø¯Û•Ù… # with/together with Ù„Û•Ú¯Û•Úµ # by Ù„Û•Ù
 of/according to Ù„Û•Ø³Û•Ø± # under Ù„Û•Ú˜ÛØ± # between/among Ù†Ø§Ùˆ # between/among
 Ù†ÛÙˆØ§Ù† # after Ù¾Ø§Ø´ # before Ù¾ÛØ´ # like ÙˆÛ•Ú©
 """.split())  # 132 words
+
+
+NORWEGIAN_SNOWBALL_STOP = frozenset("""
+og i jeg det at en et den til er som pÃ¥ de med han av ikke ikkje der sÃ¥
+var meg seg men ett har om vi min mitt ha hadde hun nÃ¥ over da ved fra du
+ut sin dem oss opp man kan hans hvor eller hva skal selv sjÃ¸l her alle vil
+bli ble blei blitt kunne inn nÃ¥r vÃ¦re kom noen noe ville dere deres kun ja
+etter ned skulle denne for deg si sine sitt mot Ã¥ meget hvorfor dette
+disse uten hvordan ingen din ditt blir samme hvilken hvilke sÃ¥nn inni
+mellom vÃ¥r hver hvem vors hvis bÃ¥de bare enn fordi fÃ¸r mange ogsÃ¥ slik
+vÃ¦rt bÃ¥e begge siden dykk dykkar dei deira deires deim di dÃ¥ eg ein eit
+eitt elles honom hjÃ¥ ho hoe henne hennar hennes hoss hossen ingi inkje
+korleis korso kva kvar kvarhelst kven kvi kvifor me medan mi mine mykje no
+nokon noka nokor noko nokre sia sidan so somt somme um upp vere vore verte
+vort varte vart
+""".split())  # 172 words

@@ -66,3 +66,42 @@ def test_italian_elision_longest_first():
     # "dall'altra" elides the 4-char article, not the 1-char 'd'
     toks = an.tokenize_text("dall'altra parte")
     assert toks[0].startswith("altr"), toks
+
+# ------------------------------------------------------- Norwegian goldens
+# The no/ vocabularies are plain tab-separated txt (not zipped) with '#'
+# comment lines: nb_* = Bokmål, nn_* = Nynorsk
+# (TestNorwegianLightStemFilter.java:85-95 assertVocabulary over these).
+
+_NO_CASES = [
+    ("no/nb_light.txt", st.norwegian_light_stem, st.NO_BOKMAAL),
+    ("no/nb_minimal.txt", st.norwegian_minimal_stem, st.NO_BOKMAAL),
+    ("no/nn_light.txt", st.norwegian_light_stem, st.NO_NYNORSK),
+    ("no/nn_minimal.txt", st.norwegian_minimal_stem, st.NO_NYNORSK),
+]
+
+
+@pytest.mark.parametrize(
+    "path,fn,flags", _NO_CASES, ids=[c[0][3:] for c in _NO_CASES]
+)
+def test_norwegian_reference_vocabulary(path, fn, flags):
+    total = 0
+    with open(_BASE + path, encoding="utf-8") as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln or ln.startswith("#"):
+                continue
+            word, want = ln.split("\t")
+            assert fn(word, flags) == want, (path, word, want)
+            total += 1
+    assert total > 50
+
+
+def test_norwegian_registry_analyzers():
+    an = get_analyzer("norwegian_light")
+    toks = an.tokenize_text("hemmeligheter bilenes kvaliteten")
+    assert "hemmelig" in toks and "bil" in toks, toks
+    an = get_analyzer("norwegian_minimal")
+    toks = an.tokenize_text("guttene husene")
+    assert "gutt" in toks and "hus" in toks, toks
+    # stop list applied ("og", "ikke" are norwegian_stop.txt entries)
+    assert an.tokenize_text("og ikke huset") == ["hus"]
