@@ -1467,6 +1467,25 @@ class SpanishPluralAnalyzer(_LightStemAnalyzer):
     stop_set = _snowball_stops("spanish")
 
 
+class EnglishMinimalAnalyzer(_LightStemAnalyzer):
+    """en/EnglishMinimalStemFilter chain: EnglishPossessiveFilter
+    (pre-stop, en/EnglishAnalyzer.java:106 order) -> English stop ->
+    Harman S-Stemmer."""
+
+    name = "english_minimal"
+    language = "english_minimal"
+    stop_set = ENGLISH_STOP_SET
+    pre_stop_language = "english_possessive"
+
+
+class SwedishMinimalAnalyzer(_LightStemAnalyzer):
+    """sv/SwedishMinimalStemFilter chain (noun plurals only)."""
+
+    name = "swedish_minimal"
+    language = "swedish_minimal"
+    stop_set = _snowball_stops("swedish")
+
+
 class NorwegianLightAnalyzer(_LightStemAnalyzer):
     """no/NorwegianAnalyzer chain with the light stemmer: no stopwords
     (snowball norwegian_stop.txt) -> NorwegianLightStemFilter(BOKMAAL)
@@ -1579,6 +1598,8 @@ _REGISTRY = {
     "spanish_plural": SpanishPluralAnalyzer,
     "norwegian_light": NorwegianLightAnalyzer,
     "norwegian_minimal": NorwegianMinimalAnalyzer,
+    "english_minimal": EnglishMinimalAnalyzer,
+    "swedish_minimal": SwedishMinimalAnalyzer,
     "portuguese_rslp": PortugueseRSLPAnalyzer,
     "portuguese_minimal": PortugueseMinimalAnalyzer,
     "galician": GalicianAnalyzer,

@@ -263,6 +263,9 @@ def _more_stemmers():
         "german_minimal": st.german_minimal_stem,
         "french_minimal": st.french_minimal_stem,
         "spanish_plural": st.spanish_plural_stem,
+        "english_minimal": st.english_minimal_stem,
+        "english_possessive": st.english_possessive,
+        "swedish_minimal": st.swedish_minimal_stem,
         "norwegian_light": st.norwegian_light_stem,
         "norwegian_minimal": st.norwegian_minimal_stem,
         "nynorsk_light": lambda t: st.norwegian_light_stem(t, st.NO_NYNORSK),

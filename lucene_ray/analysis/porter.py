@@ -1,7 +1,12 @@
 """Porter stemmer — the 1980 algorithm (M.F. Porter, "An algorithm for
 suffix stripping", Program 14(3):130-137), the same algorithm behind the
 reference's PorterStemFilter (analysis/common/.../en/PorterStemFilter.java,
-PorterStemmer.java). Implemented from the published description, not ported.
+PorterStemmer.java). Implemented from the published description, not ported,
+plus the two post-paper revisions the reference applies (and Porter's
+official site documents): step2 "bli"->"ble" replaces the paper's
+"abli"->"able", and step2 gains "logi"->"log" (PorterStemmer.java:307,375).
+Validated against the reference's full 23,531-word porterTestData.zip
+vocabulary in tests/test_porter.py.
 
 Vectorization stance: stemming is dictionary-encoded — each UNIQUE term in a
 batch stems once (vocabulary-sized python work, token-stream-sized gather),
@@ -63,10 +68,11 @@ def _cvc(w: str) -> bool:
 
 _STEP2 = [
     ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
-    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("izer", "ize"), ("bli", "ble"), ("alli", "al"), ("entli", "ent"),
     ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
     ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
     ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ("logi", "log"),
 ]
 _STEP3 = [
     ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),

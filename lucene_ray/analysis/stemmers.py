@@ -37,6 +37,9 @@ __all__ = [
     "spanish_plural_stem",
     "norwegian_light_stem",
     "norwegian_minimal_stem",
+    "english_minimal_stem",
+    "english_possessive",
+    "swedish_minimal_stem",
     "NO_BOKMAAL",
     "NO_NYNORSK",
 ]
@@ -726,5 +729,59 @@ def norwegian_minimal_stem(token: str, flags: int = NO_BOKMAAL) -> str:
     ):
         return s[: n - 2]
     if n > 3 and s[-1] in "ae":
+        return s[: n - 1]
+    return s
+
+
+# ------------------------------------------------------------------ English
+
+def english_minimal_stem(token: str) -> str:
+    """EnglishMinimalStemmer.stem — Harman's S-Stemmer
+    (en/EnglishMinimalStemmer.java:24-44): strips plural -s with the
+    us/ss/ies exceptions; "ies" -> "y" unless preceded by a/e."""
+    s = token
+    n = len(s)
+    if n < 3 or s[-1] != "s":
+        return s
+    c = s[-2]
+    if c in "us":
+        return s
+    if c == "e":
+        if n > 3 and s[n - 3] == "i" and s[n - 4] not in "ae":
+            return s[: n - 3] + "y"
+        if s[n - 3] in "iaoe":
+            return s
+    return s[: n - 1]
+
+
+def english_possessive(token: str) -> str:
+    """EnglishPossessiveFilter (en/EnglishPossessiveFilter.java:40-48):
+    strip trailing 's (apostrophe U+0027/U+2019/U+FF07, s or S)."""
+    if (
+        len(token) >= 2
+        and token[-2] in "'’＇"
+        and token[-1] in "sS"
+    ):
+        return token[:-2]
+    return token
+
+
+# ------------------------------------------------------------------ Swedish
+
+def swedish_minimal_stem(token: str) -> str:
+    """SwedishMinimalStemmer.stem (sv/SwedishMinimalStemmer.java:62-85):
+    common noun plural suffixes only."""
+    s = token
+    n = len(s)
+    if n > 4 and s[-1] == "s":
+        s = s[: n - 1]
+        n -= 1
+    if n > 6 and s.endswith(("arne", "erna", "arna", "orna", "aren")):
+        return s[: n - 4]
+    if n > 5 and s.endswith("are"):
+        return s[: n - 3]
+    if n > 4 and s.endswith(("ar", "at", "er", "et", "or", "en")):
+        return s[: n - 2]
+    if n > 3 and s[-1] in "aen":
         return s[: n - 1]
     return s

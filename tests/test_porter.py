@@ -130,3 +130,20 @@ class TestEnglishAnalyzer:
         assert set(s.search("runs", 10).docids.tolist()) == {0, 1}
         # stopword-only query matches nothing
         assert s.search("the", 10).docids.tolist() == []
+
+
+def test_reference_porter_vocabulary():
+    """The reference's own 23,531-word vocabulary (porterTestData.zip
+    voc.txt -> output.txt), incl. the post-paper bli/logi revisions."""
+    import zipfile
+
+    zp = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/en/porterTestData.zip"
+    )
+    with zipfile.ZipFile(zp) as f:
+        voc = f.read("voc.txt").decode("utf-8").splitlines()
+        out = f.read("output.txt").decode("utf-8").splitlines()
+    assert len(voc) == len(out) and len(voc) > 20000
+    for w, want in zip(voc, out):
+        assert porter_stem(w) == want, (w, want, porter_stem(w))

@@ -8,6 +8,7 @@ import zipfile
 import pytest
 
 from lucene_ray.analysis import get_analyzer
+from lucene_ray.analysis import lightstem as ls
 from lucene_ray.analysis import stemmers as st
 
 _BASE = (
@@ -16,6 +17,9 @@ _BASE = (
 )
 
 _CASES = [
+    ("de/delighttestdata.zip", "delight.txt", ls.german_light_stem),
+    ("es/eslighttestdata.zip", "eslight.txt", ls.spanish_light_stem),
+    ("fr/frlighttestdata.zip", "frlight.txt", ls.french_light_stem),
     ("it/itlighttestdata.zip", "itlight.txt", st.italian_light_stem),
     ("pt/ptlighttestdata.zip", "ptlight.txt", st.portuguese_light_stem),
     ("ru/rulighttestdata.zip", "rulight.txt", st.russian_light_stem),
@@ -105,3 +109,43 @@ def test_norwegian_registry_analyzers():
     assert "gutt" in toks and "hus" in toks, toks
     # stop list applied ("og", "ikke" are norwegian_stop.txt entries)
     assert an.tokenize_text("og ikke huset") == ["hus"]
+
+
+# ------------------------------------------- English / Swedish minimal
+
+def test_english_minimal_reference_examples():
+    # TestEnglishMinimalStemFilter.java:51-59 (Harman S-Stemmer papers)
+    pairs = [
+        ("queries", "query"), ("phrases", "phrase"), ("corpus", "corpus"),
+        ("stress", "stress"), ("kings", "king"), ("panels", "panel"),
+        ("aerodynamics", "aerodynamic"), ("congress", "congress"),
+        ("serious", "serious"),
+    ]
+    for w, want in pairs:
+        assert st.english_minimal_stem(w) == want, (w, want)
+
+
+def test_swedish_minimal_reference_vocabulary():
+    total = 0
+    with open(_BASE + "sv/minimal.txt", encoding="utf-8") as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln or ln.startswith("#"):
+                continue
+            w, want = ln.split("\t")
+            assert st.swedish_minimal_stem(w) == want, (w, want)
+            total += 1
+    assert total > 50
+
+
+def test_english_possessive_and_chain():
+    assert st.english_possessive("john's") == "john"
+    assert st.english_possessive("john’S") == "john"
+    assert st.english_possessive("'s") == ""
+    assert st.english_possessive("his") == "his"
+    an = get_analyzer("english_minimal")
+    # possessive strips BEFORE stop ("the" dropped) and S-stem applies
+    toks = an.tokenize_text("the king’s queries")
+    assert toks == ["king", "query"], toks
+    an = get_analyzer("swedish_minimal")
+    assert "flask" in an.tokenize_text("och flaskorna"), "sv chain"
