@@ -368,6 +368,16 @@ class UnicodeAnalyzer:
 
     name = "unicode"
     supports_indexing = True
+    # UAX#29 Extend chars a subclass keeps INSIDE tokens (the Indic
+    # analyzers add \p{M} + ZWJ/ZWNJ so matras don't split words —
+    # StandardTokenizerImpl treats them as Extend/Format). Empty here:
+    # the "unicode" gate's SQL mirror is pinned to the base pattern.
+    word_extend: str = ""
+
+    def _sep_pattern(self) -> str:
+        if self.word_extend:
+            return rf"[^\p{{L}}\p{{N}}\x01-\x03{self.word_extend}]+"
+        return _UNI_SEP_PATTERN
 
     def tokenize_array(self, texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
         if isinstance(texts, pa.ChunkedArray):
@@ -383,7 +393,7 @@ class UnicodeAnalyzer:
                     pattern=f"({_UNI_MEDIAL_CTX}){joiner}([\\p{{L}}\\p{{N}}])",
                     replacement=f"\\1{ph}\\2",
                 )
-        toks = pc.split_pattern_regex(s, pattern=_UNI_SEP_PATTERN)
+        toks = pc.split_pattern_regex(s, pattern=self._sep_pattern())
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         vals = toks.values
@@ -1566,6 +1576,40 @@ class SoraniAnalyzer(_LightStemAnalyzer):
         return SORANI_STOP
 
 
+class HindiAnalyzer(_LightStemAnalyzer):
+    """hi/HindiAnalyzer.java:121-130 chain: tokenize -> lowercase ->
+    DecimalDigitFilter -> IndicNormalizationFilter ->
+    HindiNormalizationFilter (all BEFORE the stop filter, like Sorani) ->
+    hi stopwords -> HindiStemFilter. Vocab pinned by the reference's
+    TestHindi*/TestIndicNormalizer vectors (tests/test_indic.py)."""
+
+    name = "hindi"
+    language = "hindi"
+    pre_stop_language = "hindi_norm"
+    word_extend = r"\p{M}\x{200C}\x{200D}"
+
+    @property
+    def stop_set(self):  # type: ignore[override]
+        from lucene_ray.analysis.stoplists import HINDI_LUCENE_STOP
+
+        return HINDI_LUCENE_STOP
+
+
+class BengaliAnalyzer(_LightStemAnalyzer):
+    """bn/BengaliAnalyzer.java:119-131 chain (same shape as Hindi)."""
+
+    name = "bengali"
+    language = "bengali"
+    pre_stop_language = "bengali_norm"
+    word_extend = r"\p{M}\x{200C}\x{200D}"
+
+    @property
+    def stop_set(self):  # type: ignore[override]
+        from lucene_ray.analysis.stoplists import BENGALI_LUCENE_STOP
+
+        return BENGALI_LUCENE_STOP
+
+
 _REGISTRY = {
     "code": CodeAnalyzer,
     "standard": StandardLiteAnalyzer,
@@ -1605,6 +1649,8 @@ _REGISTRY = {
     "galician": GalicianAnalyzer,
     "galician_minimal": GalicianMinimalAnalyzer,
     "sorani": SoraniAnalyzer,
+    "hindi": HindiAnalyzer,
+    "bengali": BengaliAnalyzer,
 }
 
 

@@ -244,10 +244,15 @@ def french_light_stem(token: str) -> str:
 # ------------------------------------------------------------ vectorization
 
 def _more_stemmers():
+    from lucene_ray.analysis import indic
     from lucene_ray.analysis import rslp
     from lucene_ray.analysis import stemmers as st
 
     return {
+        "hindi_norm": indic.hindi_normalize_chain,
+        "hindi": indic.hindi_stem,
+        "bengali_norm": indic.bengali_normalize_chain,
+        "bengali": indic.bengali_stem,
         "portuguese_rslp": rslp.portuguese_stem,
         "portuguese_minimal": rslp.portuguese_minimal_stem,
         "galician": rslp.galician_stem,

@@ -267,3 +267,173 @@ korleis korso kva kvar kvarhelst kven kvi kvifor me medan mi mine mykje no
 nokon noka nokor noko nokre sia sidan so somt somme um upp vere vore verte
 vort varte vart
 """.split())  # 172 words
+
+
+# ------------------------------------------------------------------------
+# Per-language analyzer stop lists bundled OUTSIDE the snowball package
+# (analysis/common/src/resources/.../{ar,bg,bn,cz,el,fa,hi,id,lv}/
+# stopwords.txt — mostly the Savoy CLEF lists; embedded as DATA, same
+# stance as the snowball lists above). The Arabic list is intentionally
+# UN-normalized (used before ArabicNormalizationFilter); the Persian list
+# is normalized (used after); the Greek list is post-GreekLowerCaseFilter
+# (final sigma already folded).
+ARABIC_LUCENE_STOP = frozenset("""
+من ومن منها منه في وفي فيها فيه و ف ثم او أو ب بها به ا أ اى اي أي أى لا
+ولا الا ألا إلا لكن ما وما كما فما عن مع اذا إذا ان أن إن انها أنها إنها
+انه أنه إنه بان بأن فان فأن وان وأن وإن التى التي الذى الذي الذين الى
+الي إلى إلي على عليها عليه اما أما إما ايضا أيضا كل وكل لم ولم لن ولن هى
+هي هو وهى وهي وهو فهى فهي فهو انت أنت لك لها له هذه هذا تلك ذلك هناك
+كانت كان يكون تكون وكانت وكان غير بعض قد نحو بين بينما منذ ضمن حيث الان
+الآن خلال بعد قبل حتى عند عندما لدى جميع
+""".split())  # 119 words
+
+BULGARIAN_LUCENE_STOP = frozenset("""
+а аз ако ала бе без беше би бил била били било близо бъдат бъде бяха в
+вас ваш ваша вероятно вече взема ви вие винаги все всеки всички всичко
+всяка във въпреки върху г ги главно го д да дали до докато докога дори
+досега доста е едва един ето за зад заедно заради засега затова защо
+защото и из или им има имат иска й каза как каква какво както какъв като
+кога когато което които кой който колко която къде където към ли м ме
+между мен ми мнозина мога могат може моля момента му н на над назад най
+направи напред например нас не него нея ни ние никой нито но някои някой
+няма обаче около освен особено от отгоре отново още пак по повече
+повечето под поне поради после почти прави пред преди през при пък първо
+с са само се сега си скоро след сме според сред срещу сте съм със също т
+тази така такива такъв там твой те тези ти тн то това тогава този той
+толкова точно трябва тук тъй тя тях у харесва ч че често чрез ще щом я
+""".split())  # 190 words
+
+BENGALI_LUCENE_STOP = frozenset("""
+এই ও থেকে করে এ না ওই এক্ নিয়ে করা বলেন সঙ্গে যে এব তা আর কোনো বলে সেই
+দিন হয় কি দু পরে সব দেওয়া মধ্যে এর সি শুরু কাজ কিছু কাছে সে তবে বা বন
+আগে জ্নজন পি পর তো ছিল এখন আমরা প্রায় দুই আমাদের তাই অন্য গিয়ে প্রযন্ত
+মনে নতুন মতো কেখা প্রথম আজ টি ধামার অনেক বিভিন্ন র হাজার জানা নয় অবশ্য
+বেশি এস করে কে হতে বি কয়েক সহ বেশ এমন এমনি কেন কেউ নেওয়া চেষ্টা লক্ষ বলা
+কারণ আছে শুধু তখন যা এসে চার ছিল যদি আবার কোটি উত্তর সামনে উপর বক্তব্য
+এত প্রাথমিক উপরে আছে প্রতি কাজে যখন খুব বহু গেল পেয়্র্ চালু ই নাগাদ থাকা
+পাচ যাওয়া রকম সাধারণ কমনে
+""".split())  # 119 words
+
+CZECH_LUCENE_STOP = frozenset("""
+a s k o i u v z dnes cz tímto budeš budem byli jseš můj svým ta tomto
+tohle tuto tyto jej zda proč máte tato kam tohoto kdo kteří mi nám tom
+tomuto mít nic proto kterou byla toho protože asi ho naši napište re což
+tím takže svých její svými jste aj tu tedy teto bylo kde ke pravé ji nad
+nejsou či pod téma mezi přes ty pak vám ani když však neg jsem tento
+článku články aby jsme před pta jejich byl ještě až bez také pouze první
+vaše která nás nový tipy pokud může strana jeho své jiné zprávy nové
+není vás jen podle zde už být více bude již než který by které co nebo
+ten tak má při od po jsou jak další ale si se ve to jako za zpět ze do
+pro je na atd atp jakmile přičemž já on ona ono oni ony my vy jí ji mě
+mne jemu tomu těm těmu němu němuž jehož jíž jelikož jež jakož načež
+""".split())  # 172 words
+
+GREEK_LUCENE_STOP = frozenset("""
+ο η το οι τα του τησ των τον την και κι κ ειμαι εισαι ειναι ειμαστε
+ειστε στο στον στη στην μα αλλα απο για προσ με σε ωσ παρα αντι κατα
+μετα θα να δε δεν μη μην επι ενω εαν αν τοτε που πωσ ποιοσ ποια ποιο
+ποιοι ποιεσ ποιων ποιουσ αυτοσ αυτη αυτο αυτοι αυτων αυτουσ αυτεσ αυτα
+εκεινοσ εκεινη εκεινο εκεινοι εκεινεσ εκεινα εκεινων εκεινουσ οπωσ ομωσ
+ισωσ οσο οτι
+""".split())  # 75 words
+
+PERSIAN_LUCENE_STOP = frozenset("""
+انان نداشته سراسر خياه ايشان وي تاكنون بيشتري دوم پس ناشي وگو يا داشتند
+سپس هنگام هرگز پنج نشان امسال ديگر گروهي شدند چطور ده و دو نخستين ولي
+چرا چه وسط ه كدام قابل يك رفت هفت همچنين در هزار بله بلي شايد اما شناسي
+گرفته دهد داشته دانست داشتن خواهيم ميليارد وقتيكه امد خواهد جز اورده شده
+بلكه خدمات شدن برخي نبود بسياري جلوگيري حق كردند نوعي بعري نكرده نظير
+نبايد بوده بودن داد اورد هست جايي شود دنبال داده بايد سابق هيچ همان انجا
+كمتر كجاست گردد كسي تر مردم تان دادن بودند سري جدا ندارند مگر يكديگر
+دارد دهند بنابراين هنگامي سمت جا انچه خود دادند زياد دارند اثر بدون
+بهترين بيشتر البته به براساس بيرون كرد بعضي گرفت توي اي ميليون او جريان
+تول بر مانند برابر باشيم مدتي گويند اكنون تا تنها جديد چند بي نشده كردن
+كردم گويد كرده كنيم نمي نزد روي قصد فقط بالاي ديگران اين ديروز توسط سوم
+ايم دانند سوي استفاده شما كنار داريم ساخته طور امده رفته نخست بيست نزديك
+طي كنيد از انها تمامي داشت يكي طريق اش چيست روب نمايد گفت چندين چيزي
+تواند ام ايا با ان ايد ترين اينكه ديگري راه هايي بروز همچنان پاعين كس
+حدود مختلف مقابل چيز گيرد ندارد ضد همچون سازي شان مورد باره مرسي خويش
+برخوردار چون خارج شش هنوز تحت ضمن هستيم گفته فكر بسيار پيش براي روزهاي
+انكه نخواهد بالا كل وقتي كي چنين كه گيري نيست است كجا كند نيز يابد بندي
+حتي توانند عقب خواست كنند بين تمام همه ما باشند مثل شد اري باشد اره طبق
+بعد اگر صورت غير جاي بيش ريزي اند زيرا چگونه بار لطفا مي درباره من ديده
+همين گذاري برداري علت گذاشته هم فوق نه ها شوند اباد همواره هر اول خواهند
+چهار نام امروز مان هاي قبل كنم سعي تازه را هستند زير جلوي عنوان بود
+""".split())  # 308 words
+
+HINDI_LUCENE_STOP = frozenset("""
+अंदर अत अपना अपनी अपने अभी आदि आप इत्यादि इन इनका इन्हीं इन्हें इन्हों
+इस इसका इसकी इसके इसमें इसी इसे उन उनका उनकी उनके उनको उन्हीं उन्हें
+उन्हों उस उसके उसी उसे एक एवं एस ऐसे और कई कर करता करते करना करने करें
+कहते कहा का काफ़ी कि कितना किन्हें किन्हों किया किर किस किसी किसे की कुछ
+कुल के को कोई कौन कौनसा गया घर जब जहाँ जा जितना जिन जिन्हें जिन्हों जिस
+जिसे जीधर जैसा जैसे जो तक तब तरह तिन तिन्हें तिन्हों तिस तिसे तो था थी
+थे दबारा दिया दुसरा दूसरे दो द्वारा न नहीं ना निहायत नीचे ने पर पर पहले
+पूरा पे फिर बनी बही बहुत बाद बाला बिलकुल भी भीतर मगर मानो मे में यदि यह
+यहाँ यही या यिह ये रखें रहा रहे ऱ्वासा लिए लिये लेकिन व वर्ग वह वह वहाँ
+वहीं वाले वुह वे वग़ैरह संग सकता सकते सबसे सभी साथ साबुत साभ सारा से सो
+ही हुआ हुई हुए है हैं हो होता होती होते होना होने अपनि जेसे होति सभि
+तिंहों इंहों दवारा इसि किंहें थि उंहों ओर जिंहें वहिं अभि बनि हि उंहिं
+उंहें हें वगेरह एसे रवासा कोन निचे काफि उसि पुरा भितर हे बहि वहां कोइ
+यहां जिंहों तिंहें किसि कइ यहि इंहिं जिधर इंहें अदि इतयादि हुइ कोनसा
+इसकि दुसरे जहां अप किंहों उनकि भि वरग हुअ जेसा नहिं
+""".split())  # 227 words
+
+INDONESIAN_LUCENE_STOP = frozenset("""
+ada adanya adalah adapun agak agaknya agar akan akankah akhirnya aku
+akulah amat amatlah anda andalah antar diantaranya antara antaranya
+diantara apa apaan mengapa apabila apakah apalagi apatah atau ataukah
+ataupun bagai bagaikan sebagai sebagainya bagaimana bagaimanapun
+sebagaimana bagaimanakah bagi bahkan bahwa bahwasanya sebaliknya banyak
+sebanyak beberapa seberapa begini beginian beginikah beginilah sebegini
+begitu begitukah begitulah begitupun sebegitu belum belumlah sebelum
+sebelumnya sebenarnya berapa berapakah berapalah berapapun betulkah
+sebetulnya biasa biasanya bila bilakah bisa bisakah sebisanya boleh
+bolehkah bolehlah buat bukan bukankah bukanlah bukannya cuma percuma
+dahulu dalam dan dapat dari daripada dekat demi demikian demikianlah
+sedemikian dengan depan di dia dialah dini diri dirinya terdiri dong
+dulu enggak enggaknya entah entahlah terhadap terhadapnya hal hampir
+hanya hanyalah harus haruslah harusnya seharusnya hendak hendaklah
+hendaknya hingga sehingga ia ialah ibarat ingin inginkah inginkan ini
+inikah inilah itu itukah itulah jangan jangankan janganlah jika jikalau
+juga justru kala kalau kalaulah kalaupun kalian kami kamilah kamu
+kamulah kan kapan kapankah kapanpun dikarenakan karena karenanya ke
+kecil kemudian kenapa kepada kepadanya ketika seketika khususnya kini
+kinilah kiranya sekiranya kita kitalah kok lagi lagian selagi lah lain
+lainnya melainkan selaku lalu melalui terlalu lama lamanya selama selama
+selamanya lebih terlebih bermacam macam semacam maka makanya makin malah
+malahan mampu mampukah mana manakala manalagi masih masihkah semasih
+masing mau maupun semaunya memang mereka merekalah meski meskipun semula
+mungkin mungkinkah nah namun nanti nantinya nyaris oleh olehnya seorang
+seseorang pada padanya padahal paling sepanjang pantas sepantasnya
+sepantasnyalah para pasti pastilah per pernah pula pun merupakan rupanya
+serupa saat saatnya sesaat saja sajalah saling bersama sama sesama
+sambil sampai sana sangat sangatlah saya sayalah se sebab sebabnya
+sebuah tersebut tersebutlah sedang sedangkan sedikit sedikitnya segala
+segalanya segera sesegera sejak sejenak sekali sekalian sekalipun
+sesekali sekaligus sekarang sekarang sekitar sekitarnya sela selain
+selalu seluruh seluruhnya semakin sementara sempat semua semuanya
+sendiri sendirinya seolah seperti sepertinya sering seringnya serta
+siapa siapakah siapapun disini disinilah sini sinilah sesuatu sesuatunya
+suatu sesudah sesudahnya sudah sudahkah sudahlah supaya tadi tadinya tak
+tanpa setelah telah tentang tentu tentulah tentunya tertentu seterusnya
+tapi tetapi setiap tiap setidaknya tidak tidakkah tidaklah toh waduh wah
+wahai sewaktu walau walaupun wong yaitu yakni yang
+""".split())  # 357 words
+
+LATVIAN_LUCENE_STOP = frozenset("""
+aiz ap ar apakš ārpus augšpus bez caur dēļ gar iekš iz kopš labad lejpus
+līdz no otrpus pa par pār pēc pie pirms pret priekš starp šaipus uz
+viņpus virs virspus zem apakšpus un bet jo ja ka lai tomēr tikko
+turpretī arī kaut gan tādēļ tā ne tikvien vien kā ir te vai kamēr ar
+diezin droši diemžēl nebūt ik it taču nu pat tiklab iekšpus nedz tik
+nevis turpretim jeb iekam iekām iekāms kolīdz līdzko tiklīdz jebšu tālab
+tāpēc nekā itin jā jau jel nē nezin tad tikai vis tak iekams vien būt
+biju biji bija bijām bijāt esmu esi esam esat būšu būsi būs būsim būsiet
+tikt tiku tiki tika tikām tikāt tieku tiec tiek tiekam tiekat tikšu tiks
+tiksim tiksiet tapt tapi tapāt topat tapšu tapsi taps tapsim tapsiet
+kļūt kļuvu kļuvi kļuva kļuvām kļuvāt kļūstu kļūsti kļūst kļūstam kļūstat
+kļūšu kļūsi kļūs kļūsim kļūsiet varēt varēju varējām varēšu varēsim var
+varēji varējāt varēsi varēsiet varat varēja varēs
+""".split())  # 163 words
+
