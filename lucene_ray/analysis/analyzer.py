@@ -1610,6 +1610,116 @@ class BengaliAnalyzer(_LightStemAnalyzer):
         return BENGALI_LUCENE_STOP
 
 
+class ArabicAnalyzer(_LightStemAnalyzer):
+    """ar/ArabicAnalyzer.java:131-142 chain: tokenize -> lowercase ->
+    DecimalDigitFilter -> STOP (the list is UNnormalized — reference
+    comment at :135) -> ArabicNormalization -> ArabicStem. Tashkeel
+    diacritics and ZWNJ/ZWJ are UAX#29 Extend, kept in-token (the
+    normalizer deletes the diacritics)."""
+
+    name = "arabic"
+    language = "arabic"
+    pre_stop_language = "arabic_pre"  # DecimalDigitFilter only
+    word_extend = r"\p{M}\x{200C}\x{200D}"
+
+    @property
+    def stop_set(self):  # type: ignore[override]
+        from lucene_ray.analysis.stoplists import ARABIC_LUCENE_STOP
+
+        return ARABIC_LUCENE_STOP
+
+
+class PersianAnalyzer(_LightStemAnalyzer):
+    """fa/PersianAnalyzer.java:128-143 chain: PersianCharFilter (ZWNJ ->
+    separator; NOT in word_extend), tokenize -> lowercase -> decimal ->
+    ArabicNormalization -> PersianNormalization -> STOP (list is in
+    normalized form — reference comment at :136) -> PersianStem."""
+
+    name = "persian"
+    language = "persian"
+    pre_stop_language = "persian_norm"
+    word_extend = r"\p{M}\x{200D}"
+
+    @property
+    def stop_set(self):  # type: ignore[override]
+        from lucene_ray.analysis.stoplists import PERSIAN_LUCENE_STOP
+
+        return PERSIAN_LUCENE_STOP
+
+
+class GreekAnalyzer(_LightStemAnalyzer):
+    """el/GreekAnalyzer.java:102-108 chain: tokenize ->
+    GreekLowerCaseFilter (final sigma + tonos/dialytika fold, BEFORE the
+    stop filter — the bundled list is in folded form) -> STOP ->
+    GreekStem."""
+
+    name = "greek"
+    language = "greek"
+    pre_stop_language = "greek_norm"
+
+    @property
+    def stop_set(self):  # type: ignore[override]
+        from lucene_ray.analysis.stoplists import GREEK_LUCENE_STOP
+
+        return GREEK_LUCENE_STOP
+
+
+class BulgarianAnalyzer(_LightStemAnalyzer):
+    """bg/BulgarianAnalyzer.java:116-124: tokenize -> lowercase -> STOP
+    -> BulgarianStem."""
+
+    name = "bulgarian"
+    language = "bulgarian"
+
+    @property
+    def stop_set(self):  # type: ignore[override]
+        from lucene_ray.analysis.stoplists import BULGARIAN_LUCENE_STOP
+
+        return BULGARIAN_LUCENE_STOP
+
+
+class CzechAnalyzer(_LightStemAnalyzer):
+    """cz/CzechAnalyzer.java:113-120: tokenize -> lowercase -> STOP ->
+    CzechStem."""
+
+    name = "czech"
+    language = "czech"
+
+    @property
+    def stop_set(self):  # type: ignore[override]
+        from lucene_ray.analysis.stoplists import CZECH_LUCENE_STOP
+
+        return CZECH_LUCENE_STOP
+
+
+class IndonesianAnalyzer(_LightStemAnalyzer):
+    """id/IndonesianAnalyzer.java:112-119: tokenize -> lowercase -> STOP
+    -> IndonesianStem (full derivational stemming)."""
+
+    name = "indonesian"
+    language = "indonesian"
+
+    @property
+    def stop_set(self):  # type: ignore[override]
+        from lucene_ray.analysis.stoplists import INDONESIAN_LUCENE_STOP
+
+        return INDONESIAN_LUCENE_STOP
+
+
+class LatvianAnalyzer(_LightStemAnalyzer):
+    """lv/LatvianAnalyzer.java:111-117: tokenize -> lowercase -> STOP ->
+    LatvianStem."""
+
+    name = "latvian"
+    language = "latvian"
+
+    @property
+    def stop_set(self):  # type: ignore[override]
+        from lucene_ray.analysis.stoplists import LATVIAN_LUCENE_STOP
+
+        return LATVIAN_LUCENE_STOP
+
+
 _REGISTRY = {
     "code": CodeAnalyzer,
     "standard": StandardLiteAnalyzer,
@@ -1651,6 +1761,13 @@ _REGISTRY = {
     "sorani": SoraniAnalyzer,
     "hindi": HindiAnalyzer,
     "bengali": BengaliAnalyzer,
+    "arabic": ArabicAnalyzer,
+    "persian": PersianAnalyzer,
+    "greek": GreekAnalyzer,
+    "bulgarian": BulgarianAnalyzer,
+    "czech": CzechAnalyzer,
+    "indonesian": IndonesianAnalyzer,
+    "latvian": LatvianAnalyzer,
 }
 
 

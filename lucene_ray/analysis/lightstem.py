@@ -244,11 +244,24 @@ def french_light_stem(token: str) -> str:
 # ------------------------------------------------------------ vectorization
 
 def _more_stemmers():
+    from lucene_ray.analysis import arabic
+    from lucene_ray.analysis import greek
     from lucene_ray.analysis import indic
     from lucene_ray.analysis import rslp
     from lucene_ray.analysis import stemmers as st
+    from lucene_ray.analysis import stemmers2 as st2
 
     return {
+        "arabic_pre": indic.decimal_digit_fold,
+        "arabic": arabic.arabic_stem_chain,
+        "persian_norm": arabic.persian_normalize_chain,
+        "persian": arabic.persian_stem,
+        "greek_norm": greek.greek_fold,
+        "greek": greek.greek_stem,
+        "bulgarian": st2.bulgarian_stem,
+        "czech": st2.czech_stem,
+        "indonesian": st2.indonesian_stem,
+        "latvian": st2.latvian_stem,
         "hindi_norm": indic.hindi_normalize_chain,
         "hindi": indic.hindi_stem,
         "bengali_norm": indic.bengali_normalize_chain,
