@@ -1610,6 +1610,162 @@ class BengaliAnalyzer(_LightStemAnalyzer):
         return BENGALI_LUCENE_STOP
 
 
+# cjk/CJKBigramFilter.java script set: Han/Hiragana/Katakana/Hangul all
+# bigram together (default flags), plus U+30FC prolonged-sound mark which
+# is category Lm / WB Katakana (script Common, so \p{Katakana} misses it)
+_CJK_CLASS = r"\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}\x{30FC}"
+_CJK_RUN_ISOLATE = rf"([{_CJK_CLASS}]+)"
+_CJK_TOKEN_RE = rf"^[{_CJK_CLASS}]"
+
+
+class CJKAnalyzer(UnicodeAnalyzer):
+    """cjk/CJKAnalyzer.java:92-99 chain: StandardTokenizer ->
+    CJKWidthFilter (BEFORE bigramming — "it sometimes combines
+    characters") -> LowerCase -> CJKBigramFilter (Han|Hiragana|Katakana|
+    Hangul, offset-contiguous runs emit codepoint bigrams, a lone CJK
+    char emits as a unigram) -> StopFilter (the 35-word English list,
+    post-bigram). Non-CJK text follows the base UnicodeAnalyzer rules.
+
+    Divergences, documented: a CJK run longer than maxTokenLength is
+    bigrammed whole (bigrams are 2 chars, never overlong) where the
+    reference tokenizer would chunk Katakana/Hangul runs at 255 and lose
+    one bigram per seam; a dangling combining voice mark (U+3099/309A
+    with no combinable kana) splits the run. Both are degenerate inputs.
+    RE2 + numpy throughout; SQL mirror is exact (cjk_stats gate)."""
+
+    name = "cjk"
+    supports_indexing = True
+    has_overlaps = False  # default flags: bigrams advance positions
+    # combining marks + ZWNJ/ZWJ are UAX#29 Extend: kept in-token (the
+    # reference vectors include Arabic text with tashkeel)
+    word_extend = r"\p{M}\x{200C}\x{200D}"
+
+    @property
+    def stop_set(self):
+        from lucene_ray.analysis.stoplists import CJK_LUCENE_STOP
+
+        return CJK_LUCENE_STOP
+
+    def tokenize_array(self, texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+        from lucene_ray.analysis import cjkwidth
+
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = cjkwidth.fold_array(texts)
+        s = pc.replace_substring_regex(
+            texts, pattern=_CJK_RUN_ISOLATE, replacement=r" \1 "
+        )
+        s = pc.utf8_lower(s)
+        for _ in range(2):  # two passes: see _UNI_MEDIAL comment
+            for joiner, ph in _UNI_MEDIAL:
+                s = pc.replace_substring_regex(
+                    s,
+                    pattern=f"({_UNI_MEDIAL_CTX}){joiner}([\\p{{L}}\\p{{N}}])",
+                    replacement=f"\\1{ph}\\2",
+                )
+        toks = pc.split_pattern_regex(s, pattern=self._sep_pattern())
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = toks.values
+        for joiner, ph in _UNI_MEDIAL:
+            vals = pc.replace_substring(
+                vals, pattern=ph, replacement=joiner.lstrip("\\")
+            )
+        toks = pa.ListArray.from_arrays(toks.offsets, vals)
+        toks = _cjk_bigram_expand(toks)
+        # stop filter (post-bigram, as the reference chain orders it) +
+        # empty-artifact drop in one mask
+        vals = toks.values
+        lengths = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+        keep = lengths > 0
+        keep &= pc.invert(
+            pc.is_in(vals, value_set=pa.array(sorted(self.stop_set)))
+        ).to_numpy(zero_copy_only=False)
+        if not bool(keep.all()):
+            toks = _filter_list_array(toks, keep)
+            lengths = lengths[keep]
+        if bool((lengths <= MAX_TOKEN_LEN).all()):
+            return toks
+        return _split_list_array(toks, lengths)
+
+    @classmethod
+    def sql_expr(cls, col: str) -> str:
+        from lucene_ray.analysis import cjkwidth
+        from lucene_ray.analysis.stoplists import CJK_LUCENE_STOP
+
+        expr = cjkwidth.sql_fold(col)
+        expr = f"regexp_replace({expr}, '{_CJK_RUN_ISOLATE}', ' \\1 ', 'g')"
+        expr = f"lower({expr})"
+        for _ in range(2):
+            for i, (joiner, _ph) in enumerate(_UNI_MEDIAL, start=1):
+                pat = f"({_UNI_MEDIAL_CTX}){joiner}([\\p{{L}}\\p{{N}}])"
+                pat_sql = pat.replace("'", "''")
+                expr = (
+                    f"regexp_replace({expr}, '{pat_sql}', "
+                    f"'\\1' || chr({i}) || '\\2', 'g')"
+                )
+        sep = rf"[^\p{{L}}\p{{N}}\x01-\x03{cls.word_extend}]+"
+        expr = f"string_split_regex({expr}, '{sep}')"
+        restore = "t"
+        for i, (joiner, _ph) in enumerate(_UNI_MEDIAL, start=1):
+            lit = joiner.lstrip("\\").replace("'", "''")
+            restore = f"replace({restore}, chr({i}), '{lit}')"
+        bigrams = (
+            f"CASE WHEN length(t) > 1 "
+            f"THEN list_transform(range(1, length(t)), i -> substr(t, i::INT, 2)) "
+            f"ELSE [t] END"
+        )
+        expr = (
+            f"flatten(list_transform({expr}, t -> "
+            f"CASE WHEN regexp_matches(t, '{_CJK_TOKEN_RE}') THEN {bigrams} "
+            f"ELSE regexp_extract_all({restore}, '.{{1,{MAX_TOKEN_LEN}}}') "
+            f"END))"
+        )
+        stops = ", ".join(f"'{w}'" for w in sorted(CJK_LUCENE_STOP))
+        return f"list_filter({expr}, t -> t NOT IN ({stops}))"
+
+
+def _cjk_bigram_expand(toks: pa.ListArray) -> pa.ListArray:
+    """Expand CJK-run tokens into codepoint bigrams (lone CJK chars stay
+    unigrams); all other tokens pass through. Vectorized: one regex scan
+    to flag CJK tokens, numpy object-concat for the bigram strings."""
+    vals = toks.values
+    if len(vals) == 0:
+        return toks
+    is_cjk = pc.match_substring_regex(vals, _CJK_TOKEN_RE).to_numpy(
+        zero_copy_only=False
+    )
+    nchar = pc.utf8_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
+    multi = is_cjk & (nchar > 1)
+    if not bool(multi.any()):
+        return toks
+    vals_np = np.asarray(vals.to_pylist(), dtype=object)
+    out_counts = np.where(multi, nchar - 1, 1)
+    # explode the multi-CJK tokens to chars and pair adjacents
+    runs = vals_np[multi]
+    run_lens = nchar[multi]
+    chars = np.array(list("".join(runs.tolist())), dtype=object)
+    pairs = chars[:-1] + chars[1:]
+    # drop pairs straddling a run boundary
+    starts = np.cumsum(run_lens)[:-1]
+    pair_keep = np.ones(len(chars) - 1, dtype=bool)
+    pair_keep[starts - 1] = False
+    bigram_flat = pairs[pair_keep]
+    # assemble output values in original token order
+    total = int(out_counts.sum())
+    token_of = np.repeat(np.arange(len(vals_np)), out_counts)
+    out_vals = np.empty(total, dtype=object)
+    is_multi_out = multi[token_of]
+    out_vals[~is_multi_out] = vals_np[token_of[~is_multi_out]]
+    out_vals[is_multi_out] = bigram_flat
+    cum = np.concatenate(([0], np.cumsum(out_counts)))
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.ListArray.from_arrays(
+        pa.array(cum[offs], type=pa.int32()),
+        pa.array(out_vals.tolist(), type=pa.string()),
+    )
+
+
 class ArabicAnalyzer(_LightStemAnalyzer):
     """ar/ArabicAnalyzer.java:131-142 chain: tokenize -> lowercase ->
     DecimalDigitFilter -> STOP (the list is UNnormalized — reference
@@ -1768,6 +1924,7 @@ _REGISTRY = {
     "czech": CzechAnalyzer,
     "indonesian": IndonesianAnalyzer,
     "latvian": LatvianAnalyzer,
+    "cjk": CJKAnalyzer,
 }
 
 

@@ -437,3 +437,9 @@ kļūšu kļūsi kļūs kļūsim kļūsiet varēt varēju varējām varēšu var
 varēji varējāt varēsi varēsiet varat varēja varēs
 """.split())  # 163 words
 
+
+
+CJK_LUCENE_STOP = frozenset("""
+a and are as at be but by for if in into is it no not of on or s such t
+that the their then there these they this to was will with www
+""".split())  # 35 words (cjk/stopwords.txt — English + www)

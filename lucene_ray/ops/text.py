@@ -1428,6 +1428,81 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+_CJK_SNIPPETS = (
+    "多くの学生が試験に落ちた",
+    "한국어 형태소 분석 と ﾊﾟﾅｿﾆｯｸ",
+    "ＴＥＳＴ ｶﾞｷﾞｸﾞ カタカナ・ｶﾀｶﾅ",
+    "中文分词测试 ひらがな交じりのテキストー",
+    "一 二三四 五六七八九 十",
+)
+_CJK_TOKEN_SQL_RE = (
+    r"^[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}\x{30FC}]"
+)
+
+
+def cjk_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_bigrams) through the CJK analyzer
+    (cjk/CJKAnalyzer.java: width fold -> lowercase -> script-run bigrams
+    -> stop filter; analysis/analyzer.py CJKAnalyzer, pinned by the
+    reference's TestCJKAnalyzer vectors). The corpus text has no CJK, so
+    both sides append the same deterministic doc_id-keyed snippet (the
+    emoji_stats pattern) — the snippets exercise halfwidth-katakana voice
+    marks, fullwidth ASCII, all four scripts, and lone-char unigrams."""
+    import pyarrow.compute as pc
+
+    from lucene_ray.analysis import get_analyzer
+
+    def stats(batch: pa.Table) -> pa.Table:
+        an = get_analyzer("cjk")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = batch.column("text").to_pylist()
+        aug = pa.array(
+            [t + " " + _CJK_SNIPPETS[int(i) % 5] for t, i in zip(txt, ids)],
+            type=pa.string(),
+        )
+        row_idx, terms, _pos = an.tokenize_flat(aug)
+        n = batch.num_rows
+        total = np.bincount(row_idx, minlength=n).astype(np.int64)
+        is_cjk = pc.match_substring_regex(
+            terms, _CJK_TOKEN_SQL_RE
+        ).to_numpy(zero_copy_only=False)
+        big = np.bincount(row_idx[is_cjk], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(total, type=pa.int64()),
+                "n_bigrams": pa.array(big, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+def cjk_stats_sql() -> str:
+    from lucene_ray.analysis.analyzer import CJKAnalyzer
+
+    snippets = ", ".join("'" + s.replace("'", "''") + "'"
+                         for s in _CJK_SNIPPETS)
+    toks = CJKAnalyzer.sql_expr("aug")
+    return f"""
+WITH augd AS (
+  SELECT doc_id,
+         text || ' ' || ([{snippets}])[(doc_id % 5)::INTEGER + 1] AS aug
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM augd
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(*) FILTER (regexp_matches(term, '{_CJK_TOKEN_SQL_RE}'))::BIGINT
+           AS n_bigrams
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_bigrams, 0) AS n_bigrams
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 PACK_SEQ_LEN = 512  # tokens per packed training sequence
 
 
