@@ -1382,8 +1382,12 @@ def _snowball_stops(lang: str) -> frozenset:
 
 
 class GermanLightAnalyzer(_LightStemAnalyzer):
+    # the reference chain (GermanAnalyzer.java:131-136) runs
+    # GermanNormalizationFilter between stop and stem — the composed
+    # "german_light_chain" stemmer key mirrors that; the raw
+    # "german_light" key stays the zip-golden stemmer-only surface
     name = "german_light"
-    language = "german_light"
+    language = "german_light_chain"
     stop_set = _snowball_stops("german")
 
 

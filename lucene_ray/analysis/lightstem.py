@@ -31,6 +31,47 @@ _DE_FOLD = str.maketrans("äàáâöòóôïìíîüùúû", "aaaaooooiiiiuuuu")
 _DE_ST = set("bdfghklmnt")  # stEnding consonants
 
 
+def german_normalize(token: str) -> str:
+    """de/GermanNormalizationFilter.java:30-80 — the snowball German2
+    folding FSM: umlauts fold to base vowels, ß -> ss, and 'e' deletes
+    after a [aou]-then-not-blocked sequence (the U state); i/q/y and a
+    folded umlaut block the next 'u' from entering the umlaut state.
+    Runs AFTER the stop filter and BEFORE the light stemmer in the
+    reference GermanAnalyzer chain (GermanAnalyzer.java:131-136)."""
+    N, V, U = 0, 1, 2
+    state = N
+    out = []
+    for c in token:
+        if c in ("a", "o"):
+            state = U
+        elif c == "u":
+            state = U if state == N else V
+        elif c == "e":
+            if state == U:
+                state = V
+                continue  # delete the e
+            state = V
+        elif c in ("i", "q", "y"):
+            state = V
+        elif c == "ä":
+            c = "a"
+            state = V
+        elif c == "ö":
+            c = "o"
+            state = V
+        elif c == "ü":
+            c = "u"
+            state = V
+        elif c == "ß":
+            out.append("s")
+            c = "s"
+            state = N
+        else:
+            state = N
+        out.append(c)
+    return "".join(out)
+
+
 def german_light_stem(token: str) -> str:
     """GermanLightStemmer.stem (de/GermanLightStemmer.java:62)."""
     s = token.translate(_DE_FOLD)
@@ -252,6 +293,9 @@ def _more_stemmers():
     from lucene_ray.analysis import stemmers2 as st2
 
     return {
+        "german_light_chain": (
+            lambda t: german_light_stem(german_normalize(t))
+        ),
         "arabic_pre": indic.decimal_digit_fold,
         "arabic": arabic.arabic_stem_chain,
         "persian_norm": arabic.persian_normalize_chain,

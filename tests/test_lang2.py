@@ -159,3 +159,29 @@ def test_registry_and_stop_lists_match_resources():
             if line:
                 words.update(line.split())
         assert getattr(stoplists, attr) == frozenset(words), name
+
+
+def test_german_normalization_filter():
+    """de/GermanNormalizationFilter FSM vectors from the reference test
+    + the chain position (post-stop, pre-stem: GermanAnalyzer.java:134)."""
+    from lucene_ray.analysis.lightstem import german_normalize
+
+    src = io.open(
+        _TEST_BASE + "de/TestGermanNormalizationFilter.java",
+        encoding="utf-8",
+    ).read()
+    pairs = [
+        (a, b)
+        for a, b in re.findall(
+            r'checkOneTerm\(\w+,\s*"([^"]*)",\s*"([^"]*)"\)', src
+        )
+        if a
+    ]
+    assert len(pairs) >= 4
+    for a, b in pairs:
+        assert german_normalize(a) == b, (a, b)
+    an = get_analyzer("german_light")
+    # ae-digraph folds before stemming ("Schaltflaechen" == umlaut form)
+    assert an.tokenize_text("Schaltflächen Schaltflaechen") == [
+        "schaltflach", "schaltflach",
+    ]
