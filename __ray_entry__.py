@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
         "cjk_stats": text.cjk_stats,
+        "fingerprint_stats": text.fingerprint_stats,
+        "tokenfilters_stats": text.tokenfilters_stats,
+        "compound_stats": text.compound_stats,
         "flexparser_engine": bm25docs.flexparser_engine,
         "extparser_engine": bm25docs.extparser_engine,
         "lightstem_doclen": text.lightstem_doclen,
@@ -262,6 +265,9 @@ def oracle_sql() -> dict[str, str]:
         "commongrams_stats": text.commongrams_stats_sql(),
         "emoji_stats": text.emoji_stats_sql(),
         "cjk_stats": text.cjk_stats_sql(),
+        "fingerprint_stats": text.fingerprint_stats_sql(),
+        "tokenfilters_stats": text.tokenfilters_stats_sql(),
+        "compound_stats": text.compound_stats_sql(),
         "pack_sequences": text.pack_sequences_sql(),
         "bboxfield_engine": bm25docs.bboxfield_engine_sql(),
         "splitter_engine": bm25docs.splitter_engine_sql(),

@@ -1935,4 +1935,9 @@ _REGISTRY = {
 def get_analyzer(name: str = "code"):
     """Analyzer registry — the extension surface mirroring Lucene's
     TokenizerFactory SPI (analysis/TokenizerFactory.java)."""
+    if name == "compound" and name not in _REGISTRY:
+        # lazy: filters.py imports UnicodeAnalyzer from this module
+        from lucene_ray.analysis.filters import DictionaryCompoundAnalyzer
+
+        _REGISTRY["compound"] = DictionaryCompoundAnalyzer
     return _REGISTRY[name]()

@@ -1503,6 +1503,163 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def fingerprint_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, fingerprint) — FingerprintFilter over the code-analyzer
+    token stream (miscellaneous/FingerprintFilter.java: unique terms
+    sorted + space-joined, discarded whole when the joined size exceeds
+    1024). The document-fingerprinting primitive for clustering-style
+    dedup; NULL when no output token (empty doc or over-budget)."""
+    from lucene_ray.analysis.analyzer import CodeAnalyzer
+    from lucene_ray.analysis.filters import fingerprint_lists
+
+    def stats(batch: pa.Table) -> pa.Table:
+        an = CodeAnalyzer()
+        toks = an.tokenize_array(batch.column("text").combine_chunks())
+        fps = fingerprint_lists(toks)
+        out = [row[0] if row else None for row in fps.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "fingerprint": pa.array(out, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+def fingerprint_stats_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct({toks})), ' ') AS joined,
+         len(list_distinct({toks})) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n > 0 AND length(joined) <= 1024 THEN joined END
+         AS fingerprint
+FROM f
+"""
+
+
+def tokenfilters_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_distinct) through a LengthFilter(2,10) ->
+    TruncateTokenFilter(8) chain (miscellaneous/LengthFilter.java,
+    TruncateTokenFilterFactory.java) over the code-analyzer stream —
+    the filter-composition surface with an exact SQL mirror."""
+    from lucene_ray.analysis.analyzer import CodeAnalyzer
+    from lucene_ray.analysis.filters import length_filter_lists, truncate_lists
+
+    def stats(batch: pa.Table) -> pa.Table:
+        an = CodeAnalyzer()
+        toks = an.tokenize_array(batch.column("text").combine_chunks())
+        toks = truncate_lists(length_filter_lists(toks, 2, 10), 8)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.diff(offs)
+        nd = [len(set(row)) for row in toks.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "n_distinct": pa.array(nd, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+def tokenfilters_stats_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    chain = (
+        f"list_transform(list_filter({toks}, "
+        f"t -> length(t) BETWEEN 2 AND 10), t -> substr(t, 1, 8))"
+    )
+    return f"""
+SELECT doc_id,
+       len({chain})::BIGINT AS n_tokens,
+       len(list_distinct({chain}))::BIGINT AS n_distinct
+FROM documents
+"""
+
+
+_COMPOUND_SNIPPETS = (
+    "Rindfleischüberwachungsgesetz im Test",
+    "die Überwachungsaufgabe der Gesetzgebung",
+    "Drahtschere und Aufgabenübertragung",
+    "Fleischgesetz ohne Rind",
+    "no compounds in this one",
+)
+
+
+def compound_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_dict_hits) through the dictionary-compound
+    analyzer (compound/DictionaryCompoundWordTokenFilter.java — original
+    token kept, dictionary subwords injected as posInc-0 overlaps). The
+    corpus has no German compounds, so both sides append a deterministic
+    doc_id-keyed snippet (the emoji_stats pattern); n_dict_hits counts
+    tokens that are dictionary members (subwords + standalone parts)."""
+    import pyarrow.compute as pc
+
+    from lucene_ray.analysis import get_analyzer
+
+    def stats(batch: pa.Table) -> pa.Table:
+        an = get_analyzer("compound")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = batch.column("text").to_pylist()
+        aug = pa.array(
+            [
+                t + " " + _COMPOUND_SNIPPETS[int(i) % 5]
+                for t, i in zip(txt, ids)
+            ],
+            type=pa.string(),
+        )
+        row_idx, terms, _pos = an.tokenize_flat(aug)
+        n = batch.num_rows
+        total = np.bincount(row_idx, minlength=n).astype(np.int64)
+        hit = pc.is_in(
+            terms, value_set=pa.array(sorted(an.dictionary))
+        ).to_numpy(zero_copy_only=False)
+        hits = np.bincount(row_idx[hit], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(total, type=pa.int64()),
+                "n_dict_hits": pa.array(hits, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+def compound_stats_sql() -> str:
+    from lucene_ray.analysis.filters import DictionaryCompoundAnalyzer
+
+    snippets = ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in _COMPOUND_SNIPPETS
+    )
+    toks = DictionaryCompoundAnalyzer.sql_expr("aug")
+    words = ", ".join(
+        f"'{w}'" for w in sorted(DictionaryCompoundAnalyzer.dictionary)
+    )
+    return f"""
+WITH augd AS (
+  SELECT doc_id,
+         text || ' ' || ([{snippets}])[(doc_id % 5)::INTEGER + 1] AS aug
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM augd
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(*) FILTER (term IN ({words}))::BIGINT AS n_dict_hits
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_dict_hits, 0) AS n_dict_hits
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 PACK_SEQ_LEN = 512  # tokens per packed training sequence
 
 
