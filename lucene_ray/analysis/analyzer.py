@@ -1935,9 +1935,15 @@ _REGISTRY = {
 def get_analyzer(name: str = "code"):
     """Analyzer registry — the extension surface mirroring Lucene's
     TokenizerFactory SPI (analysis/TokenizerFactory.java)."""
-    if name == "compound" and name not in _REGISTRY:
-        # lazy: filters.py imports UnicodeAnalyzer from this module
+    if name not in _REGISTRY and name in ("compound", "pattern", "capturegroup"):
+        # lazy: these modules import UnicodeAnalyzer from this module
         from lucene_ray.analysis.filters import DictionaryCompoundAnalyzer
+        from lucene_ray.analysis.pattern import (
+            PatternCaptureGroupAnalyzer,
+            PatternTokenizerAnalyzer,
+        )
 
         _REGISTRY["compound"] = DictionaryCompoundAnalyzer
+        _REGISTRY["pattern"] = PatternTokenizerAnalyzer
+        _REGISTRY["capturegroup"] = PatternCaptureGroupAnalyzer
     return _REGISTRY[name]()

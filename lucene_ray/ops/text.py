@@ -1660,6 +1660,66 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def pattern_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_distinct, n_captures) through the pattern
+    package: PatternTokenizer split mode over lowered text +
+    PatternReplaceFilter (digit runs -> '#') for the token counts, and a
+    group-mode extraction ('([a-z]{3,})ing' group 1) for n_captures —
+    pattern/PatternTokenizer.java, PatternReplaceFilter.java. Every
+    pattern is RE2-safe so the DuckDB mirror is exact."""
+    from lucene_ray.analysis.pattern import (
+        PatternTokenizerAnalyzer,
+        pattern_replace_lists,
+        pattern_tokenize,
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        an = PatternTokenizerAnalyzer(pattern=r"[^a-z0-9']+")
+        txt = [t or "" for t in batch.column("text").to_pylist()]
+        toks = an.tokenize_array(batch.column("text").combine_chunks())
+        toks = pattern_replace_lists(toks, "[0-9]+", "#")
+        rows = toks.to_pylist()
+        caps = [
+            len(pattern_tokenize(t.lower(), r"([a-z]{3,})ing", 1))
+            for t in txt
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(
+                    [len(r) for r in rows], type=pa.int64()
+                ),
+                "n_distinct": pa.array(
+                    [len(set(r)) for r in rows], type=pa.int64()
+                ),
+                "n_captures": pa.array(caps, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+def pattern_stats_sql() -> str:
+    chain = (
+        "list_transform("
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), "
+        "t -> t <> ''), "
+        "t -> regexp_replace(t, '[0-9]+', '#', 'g'))"
+    )
+    caps = (
+        "len(list_filter("
+        "regexp_extract_all(lower(text), '([a-z]{3,})ing', 1), "
+        "t -> t <> ''))"
+    )
+    return f"""
+SELECT doc_id,
+       len({chain})::BIGINT AS n_tokens,
+       len(list_distinct({chain}))::BIGINT AS n_distinct,
+       {caps}::BIGINT AS n_captures
+FROM documents
+"""
+
+
 PACK_SEQ_LEN = 512  # tokens per packed training sequence
 
 
