@@ -1770,6 +1770,96 @@ def _cjk_bigram_expand(toks: pa.ListArray) -> pa.ListArray:
     )
 
 
+class SerbianFoldAnalyzer(_LightStemAnalyzer):
+    """sr/SerbianAnalyzer.java:113-119 chain MINUS the Snowball stemmer
+    (declared partial): tokenize -> lowercase -> STOP (Latin+Cyrillic
+    list) -> SerbianNormalizationFilter (Cyrillic -> bald Latin,
+    digraph expansion). Fully SQL-mirrorable, so this chain carries an
+    oracle gate (srfold_stats) unlike the stemmed chains."""
+
+    name = "serbian_fold"
+    language = "serbian_fold"
+
+    @property
+    def stop_set(self):  # type: ignore[override]
+        from lucene_ray.analysis.stoplists import SERBIAN_LUCENE_STOP
+
+        return SERBIAN_LUCENE_STOP
+
+
+class EnglishKeywordRepeatAnalyzer(EnglishAnalyzer):
+    """miscellaneous/KeywordRepeatFilter.java + PorterStemFilter +
+    miscellaneous/RemoveDuplicatesTokenFilter.java: every token emits its
+    ORIGINAL form followed by its stem at the SAME position (posInc 0),
+    and the duplicate collapses when stemming is identity — the standard
+    exact-plus-stemmed recall/precision chain."""
+
+    name = "english_keyword_repeat"
+    has_overlaps = True
+
+    def tokenize_flat(self, texts, with_offsets: bool = False):
+        if with_offsets:
+            raise ValueError(
+                "keyword-repeat analyzer does not support the offsets option"
+            )
+        res = CodeAnalyzer.tokenize_flat(self, texts)
+        row_idx, terms = res[0], res[1]
+        if len(row_idx) == 0:
+            return res
+        keep = pc.invert(
+            pc.is_in(terms, value_set=pa.array(sorted(self.stop_set)))
+        ).to_numpy(zero_copy_only=False)
+        row_idx = row_idx[keep]
+        terms = terms.filter(pa.array(keep)).cast(pa.string())
+        n_tok = len(row_idx)
+        if n_tok == 0:
+            return (row_idx, terms, np.array([], dtype=np.int32))
+        row_change = np.empty(n_tok, dtype=bool)
+        row_change[0] = True
+        np.not_equal(row_idx[1:], row_idx[:-1], out=row_change[1:])
+        first_of_row = np.maximum.accumulate(
+            np.where(row_change, np.arange(n_tok), 0)
+        )
+        positions = (np.arange(n_tok) - first_of_row).astype(np.int32)
+        stemmed = self._stem_terms(terms)
+        differs = pc.not_equal(stemmed, terms).to_numpy(zero_copy_only=False)
+        if not bool(differs.any()):
+            return row_idx, terms, positions
+        counts = 1 + differs.astype(np.int64)
+        total = int(counts.sum())
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        out_terms = np.empty(total, dtype=object)
+        out_terms[starts] = np.asarray(terms.to_pylist(), dtype=object)
+        out_terms[starts[differs] + 1] = np.asarray(
+            stemmed.filter(pa.array(differs)).to_pylist(), dtype=object
+        )
+        return (
+            np.repeat(row_idx, counts),
+            pa.array(out_terms.tolist(), type=pa.string()),
+            np.repeat(positions, counts).astype(np.int32),
+        )
+
+    def tokenize_array(self, texts):
+        base = CodeAnalyzer.tokenize_array(self, texts)
+        out = []
+        for row in base.to_pylist():
+            o = []
+            for t in row:
+                if t in self.stop_set:
+                    continue
+                o.append(t)
+                s = self._stem_one(t)
+                if s != t:
+                    o.append(s)
+            out.append(o)
+        return pa.array(out, type=pa.list_(pa.string()))
+
+    def tokenize_text(self, text: str) -> list[str]:
+        return self.tokenize_array(
+            pa.array([text], type=pa.string())
+        )[0].as_py()
+
+
 class ArabicAnalyzer(_LightStemAnalyzer):
     """ar/ArabicAnalyzer.java:131-142 chain: tokenize -> lowercase ->
     DecimalDigitFilter -> STOP (the list is UNnormalized — reference
@@ -1929,6 +2019,8 @@ _REGISTRY = {
     "indonesian": IndonesianAnalyzer,
     "latvian": LatvianAnalyzer,
     "cjk": CJKAnalyzer,
+    "serbian_fold": SerbianFoldAnalyzer,
+    "english_keyword_repeat": EnglishKeywordRepeatAnalyzer,
 }
 
 

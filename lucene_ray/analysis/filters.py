@@ -36,6 +36,7 @@ __all__ = [
     "keep_words_lists",
     "limit_count_lists",
     "reverse_lists",
+    "hyphenated_words_lists",
     "decompose_term",
     "DictionaryCompoundAnalyzer",
 ]
@@ -294,3 +295,26 @@ class DictionaryCompoundAnalyzer(UnicodeAnalyzer):
             f"flatten(list_transform({base}, "
             f"t -> list_concat([t], {subs})))"
         )
+
+
+def hyphenated_words_lists(toks: pa.ListArray) -> pa.ListArray:
+    """miscellaneous/HyphenatedWordsFilter.java:30-90 — consecutive
+    hyphen-ending tokens accumulate (each trailing '-' stripped); the
+    next plain token closes and joins; a pending accumulation at stream
+    end re-emits with a single trailing '-'. Stream == one row here."""
+    out = []
+    for row in toks.to_pylist():
+        o: list = []
+        acc = None
+        for t in row:
+            if t and t[-1] == "-":
+                acc = (acc or "") + t[:-1]
+            elif acc is None:
+                o.append(t)
+            else:
+                o.append(acc + t)
+                acc = None
+        if acc is not None:
+            o.append(acc + "-")
+        out.append(o)
+    return pa.array(out, type=pa.list_(pa.string()))

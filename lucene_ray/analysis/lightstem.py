@@ -302,6 +302,7 @@ def _more_stemmers():
         "persian": arabic.persian_stem,
         "greek_norm": greek.greek_fold,
         "greek": greek.greek_stem,
+        "serbian_fold": st2.serbian_fold,
         "bulgarian": st2.bulgarian_stem,
         "czech": st2.czech_stem,
         "indonesian": st2.indonesian_stem,

@@ -23,6 +23,7 @@ via lightstem.light_stem_terms.
 from __future__ import annotations
 
 __all__ = [
+    "serbian_fold",
     "bulgarian_stem",
     "czech_stem",
     "indonesian_stem",
@@ -437,3 +438,23 @@ def latvian_stem(token: str) -> str:
                 n = _lv_unpalatalize(s, n)
             return "".join(s[:n])
     return token
+
+
+# ------------------------------------------------------------------ Serbian
+
+# sr/SerbianNormalizationFilter.java:30-170 — Cyrillic -> "bald" Latin
+# fold; ђ/đ, љ, њ, џ expand to digraphs, š/ž/č/ć fold to bare ASCII.
+_SR_MAP = str.maketrans(
+    {
+        "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
+        "ж": "z", "з": "z", "ž": "z", "и": "i", "ј": "j", "к": "k",
+        "л": "l", "м": "m", "н": "n", "о": "o", "п": "p", "р": "r",
+        "с": "s", "т": "t", "ћ": "c", "ц": "c", "ч": "c", "č": "c",
+        "ć": "c", "у": "u", "ф": "f", "х": "h", "ш": "s", "š": "s",
+        "ђ": "dj", "đ": "dj", "љ": "lj", "њ": "nj", "џ": "dz",
+    }
+)
+
+
+def serbian_fold(token: str) -> str:
+    return token.translate(_SR_MAP)

@@ -443,3 +443,19 @@ CJK_LUCENE_STOP = frozenset("""
 a and are as at be but by for if in into is it no not of on or s such t
 that the their then there these they this to was will with www
 """.split())  # 35 words (cjk/stopwords.txt — English + www)
+
+
+SERBIAN_LUCENE_STOP = frozenset("""
+i ili a ali pa biti ne jesam sam jesi si je jesmo smo jeste ste jesu su
+nijesam nisam nijesi nisi nije nijesmo nismo nijeste niste nijesu nisu
+budem budeš bude budemo budete budu budes bih bi bismo biste biše bise
+bio bili budimo budite bila bilo bile ću ćeš će ćemo ćete neću nećeš
+neće nećemo nećete cu ces ce cemo cete necu neces nece necemo necete
+mogu možeš može možemo možete mozes moze mozemo mozete
+и или а али па бити не јесам сам јеси си је јесмо смо јесте сте јесу су
+нијесам нисам нијеси ниси није нијесмо нисмо нијесте нисте нијесу нису
+будем будеш буде будемо будете буду будес бих би бисмо бисте бише бисе
+био били будимо будите била било биле ћу ћеш ће ћемо ћете нећу нећеш
+неће нећемо нећете цу цес це цемо цете нецу нецес неце нецемо нецете
+могу можеш може можемо можете мозес мозе моземо мозете
+""".split())  # 156 words (sr/stopwords.txt — Latin + Cyrillic forms)

@@ -1720,6 +1720,92 @@ FROM documents
 """
 
 
+_SR_SNIPPETS = (
+    "Ђуро и Љиљана читају књигу",
+    "čokolada je slatka ali zdrava nije",
+    "ученик пише задатак сваки дан",
+    "švedski jež đak pažljivo džem",
+    "plain english filler words",
+)
+
+
+def srfold_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_distinct) through the serbian_fold chain
+    (sr/SerbianAnalyzer.java minus its Snowball stemmer: lowercase ->
+    Latin+Cyrillic stop list -> SerbianNormalizationFilter bald-Latin
+    fold with digraph expansion). Deterministic doc_id-keyed Serbian
+    snippets appended on both sides (the emoji_stats pattern)."""
+    from lucene_ray.analysis import get_analyzer
+
+    def stats(batch: pa.Table) -> pa.Table:
+        an = get_analyzer("serbian_fold")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = batch.column("text").to_pylist()
+        aug = pa.array(
+            [t + " " + _SR_SNIPPETS[int(i) % 5] for t, i in zip(txt, ids)],
+            type=pa.string(),
+        )
+        row_idx, terms, _pos = an.tokenize_flat(aug)
+        n = batch.num_rows
+        total = np.bincount(row_idx, minlength=n).astype(np.int64)
+        nd = np.zeros(n, dtype=np.int64)
+        import pandas as pd
+
+        if len(row_idx):
+            g = pd.DataFrame(
+                {"r": row_idx, "t": terms.to_pylist()}
+            ).groupby("r")["t"].nunique()
+            nd[g.index.to_numpy()] = g.to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(total, type=pa.int64()),
+                "n_distinct": pa.array(nd, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+def srfold_stats_sql() -> str:
+    from lucene_ray.analysis.analyzer import UnicodeAnalyzer
+    from lucene_ray.analysis.stoplists import SERBIAN_LUCENE_STOP
+
+    snippets = ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in _SR_SNIPPETS
+    )
+    toks = UnicodeAnalyzer.sql_expr("aug")
+    stops = ", ".join(f"'{w}'" for w in sorted(SERBIAN_LUCENE_STOP))
+    # digraph replaces first (their sources are outside the 1:1 map)
+    fold = "t"
+    for a, b in (("ђ", "dj"), ("đ", "dj"), ("љ", "lj"), ("њ", "nj"),
+                 ("џ", "dz")):
+        fold = f"replace({fold}, '{a}', '{b}')"
+    # 1:1 map kept in lockstep with stemmers2._SR_MAP
+    one_from = "абвгдежзијклмнопрстћцчуфхшžčćš"
+    one_to = "abvgdezzijklmnoprstcccufhszccs"
+    fold = f"translate({fold}, '{one_from}', '{one_to}')"
+    return f"""
+WITH augd AS (
+  SELECT doc_id,
+         text || ' ' || ([{snippets}])[(doc_id % 5)::INTEGER + 1] AS aug
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         unnest(list_transform(list_filter({toks},
+           t -> t NOT IN ({stops})), t -> {fold})) AS term
+  FROM augd
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT term)::BIGINT AS n_distinct
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_distinct, 0) AS n_distinct
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 PACK_SEQ_LEN = 512  # tokens per packed training sequence
 
 

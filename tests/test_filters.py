@@ -150,3 +150,56 @@ def test_simple_filters():
     uni = pa.array([["日本語解析"]], pa.list_(pa.string()))
     assert filters.truncate_lists(uni, 2).to_pylist() == [["日本"]]
     assert filters.reverse_lists(uni).to_pylist() == [["析解語本日"]]
+
+
+def test_hyphenated_words_reference_vectors():
+    # TestHyphenatedWordsFilter.java, all three cases
+    cases = [
+        (
+            "ecologi-\r\ncal devel-\r\n\r\nop compre-\thensive-hands-on and ecologi-\ncal",
+            ["ecological", "develop", "comprehensive-hands-on", "and", "ecological"],
+        ),
+        (
+            "ecologi-\r\ncal devel-\r\n\r\nop compre-\thensive-hands-on and ecology-",
+            ["ecological", "develop", "comprehensive-hands-on", "and", "ecology-"],
+        ),
+        ("abc- def geh 1234- 5678-", ["abcdef", "geh", "12345678-"]),
+    ]
+    for inp, want in cases:
+        got = filters.hyphenated_words_lists(
+            pa.array([inp.split()], pa.list_(pa.string()))
+        ).to_pylist()[0]
+        assert got == want, (inp, got)
+
+
+def test_serbian_fold_analyzer():
+    from lucene_ray.analysis.stemmers2 import serbian_fold
+
+    # sr/TestSerbianNormalizationFilter-style folds: Cyrillic -> bald
+    # Latin with digraph expansion, Latin diacritics folded
+    assert serbian_fold("ђуро") == "djuro"
+    assert serbian_fold("џак") == "dzak"
+    assert serbian_fold("љиљана") == "ljiljana"
+    assert serbian_fold("његош") == "njegos"
+    assert serbian_fold("čokolada") == "cokolada"
+    assert serbian_fold("žuti") == "zuti"
+    an = get_analyzer("serbian_fold")
+    # Cyrillic 'и' and Latin 'je' are stopwords (pre-fold list)
+    assert an.tokenize_text("Ђуро и Љиљана") == ["djuro", "ljiljana"]
+    assert an.tokenize_text("čokolada je slatka") == ["cokolada", "slatka"]
+
+
+def test_keyword_repeat_analyzer():
+    an = get_analyzer("english_keyword_repeat")
+    assert an.has_overlaps
+    # original + stem at the same position; identity stems collapse
+    # (KeywordRepeatFilter -> PorterStemFilter -> RemoveDuplicates)
+    row, terms, pos = an.tokenize_flat(
+        pa.array(["running dogs ran"], pa.string())
+    )
+    assert list(zip(terms.to_pylist(), pos.tolist())) == [
+        ("running", 0), ("run", 0), ("dogs", 1), ("dog", 1), ("ran", 2),
+    ]
+    assert an.tokenize_text("the running dogs ran") == [
+        "running", "run", "dogs", "dog", "ran",
+    ]
