@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compound_stats": text.compound_stats,
         "pattern_stats": text.pattern_stats,
         "srfold_stats": text.srfold_stats,
+        "urlemail_stats": text.urlemail_stats,
         "flexparser_engine": bm25docs.flexparser_engine,
         "extparser_engine": bm25docs.extparser_engine,
         "lightstem_doclen": text.lightstem_doclen,
@@ -272,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "compound_stats": text.compound_stats_sql(),
         "pattern_stats": text.pattern_stats_sql(),
         "srfold_stats": text.srfold_stats_sql(),
+        "urlemail_stats": text.urlemail_stats_sql(),
         "pack_sequences": text.pack_sequences_sql(),
         "bboxfield_engine": bm25docs.bboxfield_engine_sql(),
         "splitter_engine": bm25docs.splitter_engine_sql(),

@@ -2027,15 +2027,19 @@ _REGISTRY = {
 def get_analyzer(name: str = "code"):
     """Analyzer registry — the extension surface mirroring Lucene's
     TokenizerFactory SPI (analysis/TokenizerFactory.java)."""
-    if name not in _REGISTRY and name in ("compound", "pattern", "capturegroup"):
+    if name not in _REGISTRY and name in (
+        "compound", "pattern", "capturegroup", "url_email",
+    ):
         # lazy: these modules import UnicodeAnalyzer from this module
         from lucene_ray.analysis.filters import DictionaryCompoundAnalyzer
         from lucene_ray.analysis.pattern import (
             PatternCaptureGroupAnalyzer,
             PatternTokenizerAnalyzer,
         )
+        from lucene_ray.analysis.urlemail import UrlEmailAnalyzer
 
         _REGISTRY["compound"] = DictionaryCompoundAnalyzer
         _REGISTRY["pattern"] = PatternTokenizerAnalyzer
         _REGISTRY["capturegroup"] = PatternCaptureGroupAnalyzer
+        _REGISTRY["url_email"] = UrlEmailAnalyzer
     return _REGISTRY[name]()

@@ -1806,6 +1806,82 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+_URLEMAIL_SNIPPETS = (
+    "contact Admin.User+x@Example.COM now",
+    "docs at https://lucene.apache.org/core?q=1#frag here",
+    "mirror www.Example.org/path and ftp://files.example.com/a.txt",
+    "no urls don't 3.14 example.com",
+    "two mails a@b.io c.d@e-f.co.uk",
+)
+
+
+def urlemail_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_url_email) through the UAX29URLEmailTokenizer-
+    lite analyzer (email/UAX29URLEmailTokenizer.java as spec; whitespace-
+    delimited URL/email spans kept whole + lowered, the documented
+    subset). Deterministic doc_id-keyed snippets appended on both sides
+    (the emoji_stats pattern)."""
+    import pyarrow.compute as pc
+
+    from lucene_ray.analysis import get_analyzer
+    from lucene_ray.analysis.urlemail import URL_EMAIL_RE
+
+    def stats(batch: pa.Table) -> pa.Table:
+        an = get_analyzer("url_email")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = batch.column("text").to_pylist()
+        aug = pa.array(
+            [
+                t + " " + _URLEMAIL_SNIPPETS[int(i) % 5]
+                for t, i in zip(txt, ids)
+            ],
+            type=pa.string(),
+        )
+        row_idx, terms, _pos = an.tokenize_flat(aug)
+        n = batch.num_rows
+        total = np.bincount(row_idx, minlength=n).astype(np.int64)
+        hit = pc.match_substring_regex(terms, URL_EMAIL_RE).to_numpy(
+            zero_copy_only=False
+        )
+        ue = np.bincount(row_idx[hit], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(total, type=pa.int64()),
+                "n_url_email": pa.array(ue, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+def urlemail_stats_sql() -> str:
+    from lucene_ray.analysis.urlemail import URL_EMAIL_RE, UrlEmailAnalyzer
+
+    snippets = ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in _URLEMAIL_SNIPPETS
+    )
+    toks = UrlEmailAnalyzer.sql_expr("aug")
+    pat = URL_EMAIL_RE.replace("'", "''")
+    return f"""
+WITH augd AS (
+  SELECT doc_id,
+         text || ' ' || ([{snippets}])[(doc_id % 5)::INTEGER + 1] AS aug
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM augd
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(*) FILTER (regexp_matches(term, '{pat}'))::BIGINT
+           AS n_url_email
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_url_email, 0) AS n_url_email
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 PACK_SEQ_LEN = 512  # tokens per packed training sequence
 
 
