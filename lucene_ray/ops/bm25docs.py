@@ -160,6 +160,74 @@ def geo_nearest_sql() -> str:
     return union
 
 
+def _geo3d_queries():
+    """The Geo3D gate's query set (built lazily — shapes validate
+    convexity at construction). Mixed planet models: WGS84 vs a mean
+    sphere give different distance cutoffs for the same metres."""
+    from lucene_ray.search import spatial3d as s3
+
+    mean_sphere = s3.PlanetModel(s3.EARTH_RADIUS_M, s3.EARTH_RADIUS_M)
+    return [
+        (0, s3.new_distance_query("loc", s3.WGS84, 40.7128, -74.0060, 2_500_000.0)),
+        (1, s3.new_distance_query("loc", mean_sphere, -33.8688, 151.2093, 3_200_000.0)),
+        (2, s3.new_box_query("loc", s3.WGS84, -20.5, 25.25, 160.0, -150.0)),  # dateline
+        (3, s3.new_polygon_query(
+            "loc",
+            s3.WGS84,
+            ((40.0, 50.0, 35.0, 12.0, 10.0), (10.0, 35.0, 60.0, 50.0, 20.0)),
+        )),
+        (4, s3.new_path_query(
+            "loc", s3.WGS84, (10.0, 20.0, 15.0), (-30.0, -10.0, 10.0), 700_000.0,
+        )),
+        (5, s3.new_large_polygon_query(
+            "loc",
+            s3.WGS84,
+            ((-5.0, -8.0, -25.0, -28.0), (-80.0, -60.0, -62.0, -85.0)),
+            ((60.0, 66.0, 70.0, 63.0), (5.0, 25.0, 5.0, -10.0)),
+        )),
+    ]
+
+
+def geo3d_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): Geo3D shape queries through the real engine
+    (spatial3d/Geo3DPoint.java newDistanceQuery/newBoxQuery/
+    newPolygonQuery/newLargePolygonQuery/newPathQuery ->
+    PointInGeo3DShapeQuery; search/spatial3d.py — unit-sphere membership
+    over the Morton-pruned sidecar). The DuckDB oracle evaluates each
+    shape's own sql_expr twin, generated from the SAME plane/edge
+    constants as the numpy kernel; query boundaries sit far from every
+    synthetic lattice point, so float64 trig noise cannot flip a row."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery
+
+    ix = _engine_index_geo(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q in _geo3d_queries():
+        td = s.search(BooleanQuery(must=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def geo3d_engine_sql() -> str:
+    from lucene_ray.search.spatial import synth_lat_sql, synth_lon_sql
+
+    lat_e, lon_e = synth_lat_sql("doc_id"), synth_lon_sql("doc_id")
+    parts = []
+    for qid, q in _geo3d_queries():
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents "
+            f"WHERE {q.shape.sql_expr(lat_e, lon_e)}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def splitter_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): the misc index-surgery family
     (misc/index/IndexSplitter, MultiPassIndexSplitter, PKIndexSplitter —

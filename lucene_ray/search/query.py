@@ -790,6 +790,19 @@ class LatLonPolygonQuery:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class Geo3DShapeQuery:
+    """Geo3D shape filter, constant score (spatial3d/Geo3DPoint.java
+    newShapeQuery -> PointInGeo3DShapeQuery): shape membership on the
+    unit sphere over the spatial.parquet sidecar, BKD row-group prune by
+    the shape's bounds (search/spatial3d.py shapes: GeoStandardCircle /
+    GeoBBox / GeoConvexPolygon / GeoStandardPath / GeoCompositeShape)."""
+
+    field: str
+    shape: object  # a frozen spatial3d shape (hashable for the query cache)
+    boost: float = 1.0
+
+
 @dataclass
 class BooleanQuery:
     must: list = field(default_factory=list)

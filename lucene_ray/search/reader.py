@@ -727,6 +727,21 @@ class SegmentReader:
             t.column("docid").to_numpy(zero_copy_only=False)[m]
         ).astype(np.int64)
 
+    def spatial_shape3d(self, field: str, shape) -> np.ndarray:
+        """Sorted local docids whose point lies within a Geo3D shape
+        (spatial3d/PointInGeo3DShapeQuery: BKD prune by the shape's
+        bounds, exact unit-sphere membership on the raw doubles —
+        search/spatial3d.py)."""
+        t = self._spatial_candidates(field, *shape.bounds())
+        if t is None:
+            return np.array([], dtype=np.int64)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        m = shape.is_within(lat, lon)
+        return np.sort(
+            t.column("docid").to_numpy(zero_copy_only=False)[m]
+        ).astype(np.int64)
+
     def stored_fields(self) -> "pq.Table":
         return pq.read_table(os.path.join(self.seg_dir, "stored.parquet"))
 

@@ -49,6 +49,7 @@ from lucene_ray.search.query import (
     PointRangeQuery,
     RangeFieldQuery,
     LatLonBoundingBoxQuery,
+    Geo3DShapeQuery,
     LatLonBoxQuery,
     LatLonDistanceQuery,
     LatLonPolygonQuery,
@@ -1445,6 +1446,16 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 lambda: reader.spatial_box(
                     q.field, q.lat_lo, q.lat_hi, q.lon_lo, q.lon_hi
                 ),
+            )
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, scorers.get(q), scored=(docids, scores)))
+        elif isinstance(q, Geo3DShapeQuery):
+            docids = _qcache(
+                reader,
+                q,
+                lambda: reader.spatial_shape3d(q.field, q.shape),
             )
             if len(docids) == 0:
                 continue
