@@ -209,10 +209,23 @@ def _wildcard_literal_prefix(pattern: str) -> str:
     return "".join(lit)
 
 
+_SEEK_MIN_VOCAB = 4096  # below this a vectorized scan beats seeking
+
+
 def expand_wildcard(vocab: np.ndarray, q: WildcardQuery) -> list[str]:
-    rx = wildcard_regex(q.pattern)
     # cheap pre-slice on any literal prefix before the first wildcard
     lit = _wildcard_literal_prefix(q.pattern)
+    if not lit and len(vocab) > _SEEK_MIN_VOCAB:
+        # no usable prefix ("?bc*", "*x?y"): the seek-based automaton
+        # intersect (search/automaton.py, the AutomatonTermsEnum leapfrog)
+        # skips dictionary gaps the regex scan would visit term by term
+        from lucene_ray.search.automaton import wildcard_dfa
+
+        try:
+            return wildcard_dfa(q.pattern).intersect(vocab)
+        except OverflowError:
+            pass  # pathological pattern: fall back to the scan
+    rx = wildcard_regex(q.pattern)
     cands = expand_prefix(vocab, PrefixQuery(lit)) if lit else vocab.tolist()
     return [t for t in cands if rx.match(t)]
 
@@ -271,8 +284,25 @@ def _levenshtein_dist(a: str, b: str, k: int) -> int | None:
 def expand_fuzzy_with_distance(
     vocab: np.ndarray, q: FuzzyQuery
 ) -> list[tuple[str, int]]:
-    """(term, distance) pairs within the edit budget — ONE DP pass per
-    candidate (DirectSpellChecker needs the distances for ranking)."""
+    """(term, distance) pairs within the edit budget (DirectSpellChecker
+    needs the distances for ranking). Large vocabularies go through the
+    seek-based Levenshtein-DFA intersect (search/automaton.py — the
+    FuzzyQuery LevenshteinAutomata path; 100-1000x fewer terms touched
+    than the length-banded scan), with ONE exact DP per surviving match;
+    small ones keep the banded-DP scan. Both paths are result-identical
+    (tests/test_automaton.py pins it)."""
+    if len(vocab) > _SEEK_MIN_VOCAB:
+        from lucene_ray.search.automaton import levenshtein_dfa
+
+        try:
+            dfa = levenshtein_dfa(q.term, q.max_edits)
+        except OverflowError:
+            dfa = None  # enormous term/budget: fall back to the scan
+        if dfa is not None:
+            return [
+                (t, _levenshtein_dist(q.term, t, q.max_edits))
+                for t in dfa.intersect(vocab)
+            ]
     lens = np.char.str_len(vocab.astype(str))
     cand = vocab[np.abs(lens - len(q.term)) <= q.max_edits]
     out = []
