@@ -574,6 +574,30 @@ class EnglishSnowballAnalyzer(EnglishAnalyzer):
         return porter2_stem(t)
 
 
+class EnglishKStemAnalyzer(EnglishAnalyzer):
+    """The KStemFilter chain (analysis/common/.../en/KStemFilter.java:
+    tokenizer + lowercase -> classic English stop set -> KStem, Bob
+    Krovetz' dictionary-validated stemmer — analysis/kstem.py, word lists
+    in kstem_data.py). Pinned token-for-token by the reference's own
+    12,130-pair kstem_examples.txt golden set (tests/test_kstem.py);
+    same position-compaction divergence as EnglishAnalyzer; no offline
+    DuckDB stem(), golden tests only."""
+
+    name = "english_kstem"
+
+    @staticmethod
+    def _stem_terms(terms):
+        from lucene_ray.analysis.kstem import kstem_stem_terms
+
+        return kstem_stem_terms(terms)
+
+    @staticmethod
+    def _stem_one(t: str) -> str:
+        from lucene_ray.analysis.kstem import kstem
+
+        return kstem(t)
+
+
 class WhitespaceAnalyzer:
     """analysis/core/WhitespaceAnalyzer.java: split on whitespace runs,
     NO lowercasing, no filters. ASCII whitespace class [\\t\\n\\f\\r ] on BOTH
@@ -1977,6 +2001,7 @@ _REGISTRY = {
     "unicode_emoji": UnicodeEmojiAnalyzer,
     "english": EnglishAnalyzer,
     "english_snowball": EnglishSnowballAnalyzer,
+    "english_kstem": EnglishKStemAnalyzer,
     "whitespace": WhitespaceAnalyzer,
     "keyword": KeywordAnalyzer,
     "synonym": SynonymAnalyzer,
