@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
         "geo3d_engine": bm25docs.geo3d_engine,
+        "bigpoint_engine": bm25docs.bigpoint_engine,
         "cjk_stats": text.cjk_stats,
         "fingerprint_stats": text.fingerprint_stats,
         "tokenfilters_stats": text.tokenfilters_stats,
@@ -269,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "commongrams_stats": text.commongrams_stats_sql(),
         "emoji_stats": text.emoji_stats_sql(),
         "geo3d_engine": bm25docs.geo3d_engine_sql(),
+        "bigpoint_engine": bm25docs.bigpoint_engine_sql(),
         "cjk_stats": text.cjk_stats_sql(),
         "fingerprint_stats": text.fingerprint_stats_sql(),
         "tokenfilters_stats": text.tokenfilters_stats_sql(),

@@ -161,6 +161,19 @@ RANGE_DERIVERS = {
 }
 
 
+# NUMERIC doc-value/point derivers: a dv_fields name not present as a
+# source column resolves here as fn(table, global_docids) -> int64 array.
+# The ip_hi/ip_lo limb pair backs the 128-bit point family
+# (InetAddressPoint / BigIntegerPoint — search/bigpoint.py).
+def _numeric_dv_derivers():
+    from lucene_ray.search.bigpoint import synth_ip_hi, synth_ip_lo
+
+    return {"ip_hi": synth_ip_hi, "ip_lo": synth_ip_lo}
+
+
+NUMERIC_DV_DERIVED = ("ip_hi", "ip_lo")
+
+
 def _payload_term_length(terms: pa.Array, positions: np.ndarray) -> np.ndarray:
     import pyarrow.compute as pc
 
@@ -401,6 +414,7 @@ def build_one_segment(
         f
         for f in dv_fields + sorted_dv_fields
         if f not in STORED_COLUMNS and f != "content"
+        and f not in NUMERIC_DV_DERIVED
     ]
     analyzed_fields = tuple(analyzed_fields or ())
     avail = set(pf.schema_arrow.names)
@@ -436,6 +450,11 @@ def build_one_segment(
                     pa.int64()
                 ),
                 0,
+            )
+        if fld in NUMERIC_DV_DERIVED:
+            gdoc = spec.docid_base + np.arange(n, dtype=np.int64)
+            return pa.array(
+                _numeric_dv_derivers()[fld](table, gdoc), type=pa.int64()
             )
         return pc.fill_null(
             table.column(fld).combine_chunks().cast(pa.int64()), 0

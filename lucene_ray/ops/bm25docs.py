@@ -228,6 +228,96 @@ def geo3d_engine_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def _engine_index_bigpoint(sf_dir: str) -> str:
+    """Documents index with the synthetic 128-bit point limbs
+    (dv_fields ip_hi/ip_lo — search/bigpoint.py derivers) + a merge pass."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_bigpoint_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index(
+        [corpus_path], ix, target_docs=8192, dv_fields=("ip_hi", "ip_lo")
+    )
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+def _bigpoint_queries():
+    """(qid, query, sql_condition_builder) triples for the 128-bit point
+    gate — InetAddressPoint exact/prefix/range/set + BigIntegerPoint
+    signed ranges, all over the synthetic ip field (limbs from doc_id)."""
+    from lucene_ray.search import bigpoint as bp
+
+    v7, v3, v10 = bp.synth_value128(7), bp.synth_value128(3), bp.synth_value128(10)
+    setvals = [bp.synth_value128(d) for d in (1, 5, 9)] + [12345]
+    lo_r, hi_r = min(v3, v10), max(v3, v10)
+    # signed views (BigIntegerPoint bias): s = u - 2^127
+    out = [
+        (0, bp.exact_query_128("ip", v7),
+         lambda h, l: bp.sql_range_128(h, l, v7, v7)),
+        (1, bp.prefix_query_128("ip", v3, 4),
+         lambda h, l: bp.sql_prefix_128(h, l, v3, 4)),
+        (2, bp.prefix_query_128("ip", v10, 7),
+         lambda h, l: bp.sql_prefix_128(h, l, v10, 7)),
+        (3, bp.range_query_128("ip", lo_r, hi_r),
+         lambda h, l: bp.sql_range_128(h, l, lo_r, hi_r)),
+        (4, bp.set_query_128("ip", setvals),
+         lambda h, l: bp.sql_set_128(h, l, setvals)),
+        (5, bp.bigint_range_query("ip", -(1 << 126), 1 << 126),
+         lambda h, l: bp.sql_range_128(
+             h, l, bp.bigint_to_u128(-(1 << 126)), bp.bigint_to_u128(1 << 126)
+         )),
+        (6, bp.bigint_range_query("ip", v7 - (1 << 127), v3 - (1 << 127))
+            if v7 <= v3 else
+            bp.bigint_range_query("ip", v3 - (1 << 127), v7 - (1 << 127)),
+         lambda h, l: bp.sql_range_128(h, l, min(v3, v7), max(v3, v7))),
+    ]
+    return out
+
+
+def bigpoint_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): the 128-bit point family through the real engine
+    (document/InetAddressPoint.java newExactQuery/newPrefixQuery/
+    newRangeQuery/newSetQuery + sandbox BigIntegerPoint signed ranges;
+    search/bigpoint.py — hi/lo limb decomposition onto 1-D points, so the
+    DuckDB oracle is an exact integer tuple-compare on doc_id-derived
+    limbs)."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery
+
+    ix = _engine_index_bigpoint(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q, _sql in _bigpoint_queries():
+        td = s.search(BooleanQuery(must=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def bigpoint_engine_sql() -> str:
+    from lucene_ray.search.bigpoint import sql_hi, sql_lo
+
+    h, lo = sql_hi("doc_id"), sql_lo("doc_id")
+    parts = []
+    for qid, _q, sql in _bigpoint_queries():
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents "
+            f"WHERE {sql(h, lo)}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def splitter_engine(sf_dir: str) -> pa.Table:
     """(qid, docid): the misc index-surgery family
     (misc/index/IndexSplitter, MultiPassIndexSplitter, PKIndexSplitter —
