@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 5
         "geo3d_engine": bm25docs.geo3d_engine,
         "bigpoint_engine": bm25docs.bigpoint_engine,
+        "distfeature_topk": bm25docs.distfeature_topk,
         "cjk_stats": text.cjk_stats,
         "fingerprint_stats": text.fingerprint_stats,
         "tokenfilters_stats": text.tokenfilters_stats,
@@ -271,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "emoji_stats": text.emoji_stats_sql(),
         "geo3d_engine": bm25docs.geo3d_engine_sql(),
         "bigpoint_engine": bm25docs.bigpoint_engine_sql(),
+        "distfeature_topk": bm25docs.distfeature_topk_sql(),
         "cjk_stats": text.cjk_stats_sql(),
         "fingerprint_stats": text.fingerprint_stats_sql(),
         "tokenfilters_stats": text.tokenfilters_stats_sql(),

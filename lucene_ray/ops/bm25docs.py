@@ -228,6 +228,84 @@ def geo3d_engine_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+DISTFEATURE_QUERIES = (
+    # ("long", qid, origin, pivot, k) over n_chars
+    # ("geo", qid, lat, lon, pivot_m, k) over loc
+    ("long", 0, 300, 50, 15),
+    ("long", 1, 1200, 200, 10),
+    ("geo", 2, 37.7749, -122.4194, 1_000_000.0, 12),
+    ("geo", 3, -33.8688, 151.2093, 250_000.0, 8),
+)
+
+
+def distfeature_topk(sf_dir: str) -> pa.Table:
+    """(qid, rank, docid): DistanceFeatureQuery top-k (document/
+    LongDistanceFeatureQuery.java:117 score = float32(boost * pivot /
+    (pivot + |value - origin|)) over n_chars; LatLonPointDistanceFeature
+    over the loc sidecar with the exact-form haversine). Both sides
+    compute the double score and round once to float32, then rank by
+    (score desc, docid asc) — the ordering the oracle mirrors with
+    CAST(... AS FLOAT)."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        GeoDistanceFeatureQuery,
+        LongDistanceFeatureQuery,
+    )
+
+    out_q, out_r, out_d = [], [], []
+    for spec in DISTFEATURE_QUERIES:
+        if spec[0] == "long":
+            _, qid, origin, pivot, k = spec
+            s = IndexSearcher(_engine_index(sf_dir))
+            q = LongDistanceFeatureQuery("n_chars", origin, pivot)
+        else:
+            _, qid, la, lo, pivot, k = spec
+            s = IndexSearcher(_engine_index_geo(sf_dir))
+            q = GeoDistanceFeatureQuery("loc", la, lo, pivot)
+        td = s.search(BooleanQuery(must=[q]), k)
+        for r, doc in enumerate(td.docids.tolist()):
+            out_q.append(qid)
+            out_r.append(r)
+            out_d.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int32()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def distfeature_topk_sql() -> str:
+    from lucene_ray.search.spatial import (
+        haversine_sql,
+        synth_lat_sql,
+        synth_lon_sql,
+    )
+
+    lat_e, lon_e = synth_lat_sql("doc_id"), synth_lon_sql("doc_id")
+    parts = []
+    for spec in DISTFEATURE_QUERIES:
+        if spec[0] == "long":
+            _, qid, origin, pivot, k = spec
+            score = (
+                f"CAST({pivot}::DOUBLE / ({pivot}::DOUBLE +"
+                f" abs(n_chars - {origin})::DOUBLE) AS FLOAT)"
+            )
+        else:
+            _, qid, la, lo, pivot, k = spec
+            dist = haversine_sql(lat_e, lon_e, la, lo)
+            score = f"CAST({pivot!r} / ({pivot!r} + ({dist})) AS FLOAT)"
+        parts.append(
+            f"SELECT {qid} AS qid, "
+            f"(row_number() OVER (ORDER BY {score} DESC, doc_id ASC) - 1)"
+            f"::INTEGER AS rank, doc_id AS docid "
+            f"FROM documents ORDER BY rank LIMIT {k}"
+        )
+    return "\nUNION ALL\n".join(f"({p})" for p in parts)
+
+
 def _engine_index_bigpoint(sf_dir: str) -> str:
     """Documents index with the synthetic 128-bit point limbs
     (dv_fields ip_hi/ip_lo — search/bigpoint.py derivers) + a merge pass."""

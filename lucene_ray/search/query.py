@@ -791,6 +791,33 @@ class LatLonPolygonQuery:
 
 
 @dataclass(frozen=True)
+class LongDistanceFeatureQuery:
+    """LongPoint.newDistanceFeatureQuery (document/
+    LongDistanceFeatureQuery.java:117): matches every doc with the field,
+    score = float32(boost * pivot / (pivot + |value - origin|)) over the
+    dense numeric doc values — the recency-boost primitive."""
+
+    field: str
+    origin: int
+    pivot_distance: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class GeoDistanceFeatureQuery:
+    """LatLonPoint.newDistanceFeatureQuery (document/
+    LatLonPointDistanceFeatureQuery.java): score = float32(boost * pivot /
+    (pivot + haversine_m(doc, origin))) over the spatial sidecar
+    (exact-form haversine, the documented SloppyMath divergence)."""
+
+    field: str
+    lat: float
+    lon: float
+    pivot_m: float
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Geo3DShapeQuery:
     """Geo3D shape filter, constant score (spatial3d/Geo3DPoint.java
     newShapeQuery -> PointInGeo3DShapeQuery): shape membership on the

@@ -50,6 +50,7 @@ from lucene_ray.search.query import (
     RangeFieldQuery,
     LatLonBoundingBoxQuery,
     Geo3DShapeQuery,
+    GeoDistanceFeatureQuery,
     LatLonBoxQuery,
     LatLonDistanceQuery,
     LatLonPolygonQuery,
@@ -64,6 +65,7 @@ from lucene_ray.search.query import (
     SpanWithinQuery,
     FeatureQuery,
     FunctionScoreQuery,
+    LongDistanceFeatureQuery,
     BlendedTermQuery,
     FunctionRangeQuery,
     MultiRangeQuery,
@@ -1539,6 +1541,55 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 return docids, s.astype(np.float32)
 
             d, s = _qcache(reader, q, _feature)
+            if len(d) == 0:
+                continue
+            out.append(_Clause(q, None, None, scored=(d, s)))
+        elif isinstance(q, LongDistanceFeatureQuery):
+            def _ldf(q=q):
+                vals = reader.doc_values(q.field).astype(np.int64)
+                docids = np.arange(len(vals), dtype=np.int64)
+                # Math.max - Math.min (overflow-safe order of operations)
+                dist = np.abs(vals - np.int64(q.origin)).astype(np.float64)
+                piv = np.float64(q.pivot_distance)
+                s = (np.float64(q.boost) * (piv / (piv + dist))).astype(
+                    np.float32
+                )
+                return docids, s
+
+            d, s = _qcache(reader, q, _ldf)
+            if len(d) == 0:
+                continue
+            out.append(_Clause(q, None, None, scored=(d, s)))
+        elif isinstance(q, GeoDistanceFeatureQuery):
+            def _gdf(q=q):
+                from lucene_ray.search.spatial import haversine_m
+
+                t = reader._spatial_candidates(
+                    q.field, -90.0, 90.0, -180.0, 180.0
+                )
+                empty = (
+                    np.array([], dtype=np.int64),
+                    np.array([], dtype=np.float32),
+                )
+                if t is None:
+                    return empty
+                docids = (
+                    t.column("docid").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                dist = haversine_m(
+                    t.column("lat").to_numpy(zero_copy_only=False),
+                    t.column("lon").to_numpy(zero_copy_only=False),
+                    q.lat, q.lon,
+                )
+                piv = np.float64(q.pivot_m)
+                s = (np.float64(q.boost) * (piv / (piv + dist))).astype(
+                    np.float32
+                )
+                order = np.argsort(docids, kind="stable")
+                return docids[order], s[order]
+
+            d, s = _qcache(reader, q, _gdf)
             if len(d) == 0:
                 continue
             out.append(_Clause(q, None, None, scored=(d, s)))
