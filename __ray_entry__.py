@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo3d_engine": bm25docs.geo3d_engine,
         "bigpoint_engine": bm25docs.bigpoint_engine,
         "distfeature_topk": bm25docs.distfeature_topk,
+        "fuzzylikethis_terms": bm25docs.fuzzylikethis_terms,
         "cjk_stats": text.cjk_stats,
         "fingerprint_stats": text.fingerprint_stats,
         "tokenfilters_stats": text.tokenfilters_stats,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "geo3d_engine": bm25docs.geo3d_engine_sql(),
         "bigpoint_engine": bm25docs.bigpoint_engine_sql(),
         "distfeature_topk": bm25docs.distfeature_topk_sql(),
+        "fuzzylikethis_terms": bm25docs.fuzzylikethis_terms_sql(),
         "cjk_stats": text.cjk_stats_sql(),
         "fingerprint_stats": text.fingerprint_stats_sql(),
         "tokenfilters_stats": text.tokenfilters_stats_sql(),

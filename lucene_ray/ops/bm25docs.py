@@ -228,6 +228,121 @@ def geo3d_engine_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+FUZZYLIKETHIS_QUERIES = (
+    # (qid, max_num_terms, [(query_string, max_edits, prefix_length)])
+    (0, 12, [("merge window", 1, 0)]),
+    (1, 15, [("quer scann", 2, 1)]),     # zero-df sources -> avg-df fallback
+    (2, 8, [("index merge", 1, 2)]),
+    (3, 20, [("sort", 1, 0), ("windw batch", 2, 1)]),  # two addTerms calls
+)
+
+
+def fuzzylikethis_terms(sf_dir: str) -> pa.Table:
+    """(qid, rank, term): FuzzyLikeThisQuery's selected variant set
+    (sandbox/queries/FuzzyLikeThisQuery.java — search/fuzzylikethis.py:
+    per-source fuzzy enumeration, edit-similarity boost, 50-variant cap,
+    shared-source-idf rescale incl. the zero-df avg fallback, global
+    top-maxNumTerms). Ranks by (score desc, term asc) — the ScoreTermQueue
+    order; the oracle recomputes every stage in SQL over the tokenized
+    corpus (DuckDB levenshtein == the repo's plain-Levenshtein fuzzy
+    semantics; score gaps dwarf the engine's float32 vs the oracle's
+    float64 rounding)."""
+    from lucene_ray.search.fuzzylikethis import FuzzyLikeThisQuery
+    from lucene_ray.search.reader import IndexReader
+
+    rd = IndexReader(_engine_index(sf_dir))
+    out_q, out_r, out_t = [], [], []
+    for qid, max_terms, adds in FUZZYLIKETHIS_QUERIES:
+        q = FuzzyLikeThisQuery(max_terms)
+        for qs, me, pl in adds:
+            q.add_terms(qs, "content", float(me), pl)
+        for r, (_src, v, _score) in enumerate(q.selected_terms(rd)):
+            out_q.append(qid)
+            out_r.append(r)
+            out_t.append(v)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int32()),
+            "term": pa.array(out_t, type=pa.string()),
+        }
+    )
+
+
+def fuzzylikethis_terms_sql() -> str:
+    from lucene_ray.analysis import get_analyzer
+    from lucene_ray.search.fuzzylikethis import MAX_VARIANTS_PER_TERM
+
+    an = get_analyzer("code")
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, max_terms, adds in FUZZYLIKETHIS_QUERIES:
+        branches = []
+        seen: set[tuple] = set()
+        for qs, me_, pl_ in adds:
+            srcs: list[str] = []
+            for s in an.tokenize_text(qs):
+                if s not in srcs:
+                    srcs.append(s)
+            for s in srcs:
+                # gate queries never repeat a source term across addTerms
+                # calls (the engine would process the repeat; SQL dedups)
+                assert (s, me_, pl_) not in seen, (s, me_, pl_)
+                seen.add((s, me_, pl_))
+                plen = min(pl_, len(s))
+                pre, suf = s[:plen], s[plen:]
+                cond = (
+                    f"levenshtein(substr(term, {plen + 1}), '{suf}') <= {me_}"
+                )
+                if plen:
+                    cond = f"substr(term, 1, {plen}) = '{pre}' AND {cond}"
+                boost = (
+                    f"CASE WHEN term = '{s}' THEN 1.0 ELSE "
+                    f"1.0 - levenshtein(substr(term, {plen + 1}), '{suf}')"
+                    f"::DOUBLE / least(length(term), {len(s)})::DOUBLE END"
+                )
+                # effective df: the source's, else integer-mean of ALL
+                # enumerated variants (FuzzyLikeThisQuery.java:235-239)
+                eff_df = (
+                    f"(SELECT CASE WHEN COALESCE((SELECT df FROM vocab "
+                    f"WHERE term = '{s}'), 0) > 0 THEN "
+                    f"(SELECT df FROM vocab WHERE term = '{s}') ELSE "
+                    f"COALESCE((SELECT CAST(FLOOR(SUM(df)::DOUBLE / COUNT(*))"
+                    f" AS BIGINT) FROM vocab WHERE {cond}), 0) END)"
+                )
+                branches.append(
+                    f"SELECT term, ({boost}) * ({boost}) * "
+                    f"(ln((nd + 1)::DOUBLE / ({eff_df} + 1)::DOUBLE) + 1.0)"
+                    f" AS score FROM ("
+                    f"SELECT term, df, row_number() OVER ("
+                    f"ORDER BY ({boost}) DESC, term ASC) AS vr "
+                    f"FROM vocab WHERE {cond}) CROSS JOIN n "
+                    f"WHERE vr <= {MAX_VARIANTS_PER_TERM}"
+                )
+            # NB: the engine dedups analyzed source terms per field-val;
+            # `seen` above mirrors it across identical (term, edits, prefix)
+        union = " UNION ALL ".join(f"({b})" for b in branches)
+        parts.append(
+            f"SELECT {qid} AS qid, "
+            f"(row_number() OVER (ORDER BY score DESC, term ASC) - 1)"
+            f"::INTEGER AS rank, term FROM ({union}) "
+            f"ORDER BY rank LIMIT {max_terms}"
+        )
+    body = "\nUNION ALL\n".join(f"({p})" for p in parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+),
+n AS (
+  SELECT count(*)::BIGINT AS nd FROM documents
+)
+{body}
+"""
+
+
 DISTFEATURE_QUERIES = (
     # ("long", qid, origin, pivot, k) over n_chars
     # ("geo", qid, lat, lon, pivot_m, k) over loc

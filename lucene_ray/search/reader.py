@@ -906,10 +906,12 @@ class IndexReader:
     def global_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """Sum per-segment (df, ttf) for the given terms — the stats
         broadcast gathered before scoring so every segment scores against
-        identical idf/avgdl (IndexSearcher semantics, SURVEY.md §3.3 step 2)."""
+        identical idf/avgdl (IndexSearcher semantics, SURVEY.md §3.3 step 2).
+        Duplicate input terms are summed ONCE (the dict keys, not the list,
+        drive the accumulation)."""
         out = {t: [0, 0] for t in terms}
         for r in self.all_readers():
-            for t in terms:
+            for t in out:
                 df, ttf = r.term_stats(t)
                 out[t][0] += df
                 out[t][1] += ttf
