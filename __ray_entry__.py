@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigpoint_engine": bm25docs.bigpoint_engine,
         "distfeature_topk": bm25docs.distfeature_topk,
         "fuzzylikethis_terms": bm25docs.fuzzylikethis_terms,
+        "facetset_counts": bm25docs.facetset_counts,
         "cjk_stats": text.cjk_stats,
         "fingerprint_stats": text.fingerprint_stats,
         "tokenfilters_stats": text.tokenfilters_stats,
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "bigpoint_engine": bm25docs.bigpoint_engine_sql(),
         "distfeature_topk": bm25docs.distfeature_topk_sql(),
         "fuzzylikethis_terms": bm25docs.fuzzylikethis_terms_sql(),
+        "facetset_counts": bm25docs.facetset_counts_sql(),
         "cjk_stats": text.cjk_stats_sql(),
         "fingerprint_stats": text.fingerprint_stats_sql(),
         "tokenfilters_stats": text.tokenfilters_stats_sql(),

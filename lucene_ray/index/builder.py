@@ -116,7 +116,18 @@ def _derive_content_sha_bytes(table):
     )
 
 
-BINARY_DV_DERIVERS = {"content_sha": _derive_content_sha_bytes}
+def _derive_fsets(table):
+    from lucene_ray.search.facetset import derive_fsets
+
+    return derive_fsets(table)
+
+
+BINARY_DV_DERIVERS = {
+    "content_sha": _derive_content_sha_bytes,
+    # packed facet-set tuples (facet/facetset FacetSetsField —
+    # search/facetset.py)
+    "fsets": _derive_fsets,
+}
 
 
 def _synth_span(table: pa.Table, global_docids: np.ndarray):

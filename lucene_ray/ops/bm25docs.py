@@ -228,6 +228,87 @@ def geo3d_engine_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def _facetset_matchers():
+    from lucene_ray.search.facetset import (
+        ExactFacetSetMatcher,
+        RangeFacetSetMatcher,
+    )
+
+    return [
+        ExactFacetSetMatcher("exact_3_5", (3, 5)),
+        ExactFacetSetMatcher("exact_0_0", (0, 0)),
+        RangeFacetSetMatcher("range_mid", (2, 3), (5, 8)),
+        RangeFacetSetMatcher("range_all", (0, 0), (12, 9)),
+        RangeFacetSetMatcher("range_none", (50, 50), (60, 60)),
+    ]
+
+
+def facetset_counts(sf_dir: str) -> pa.Table:
+    """(label, value): MatchingFacetSetsCounts over the packed facet-set
+    BINARY doc values (facet/facetset — search/facetset.py; counts are
+    per matching SET, the `__total__` row is matched DOCS, mirroring
+    MatchingFacetSetsCounts.java:124-131). The synthetic field carries
+    two 2-dim sets per doc — (L%7, L%10) and (L%13, L%5) from the
+    content length — so the oracle is exact integer arithmetic over
+    n_chars."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+    from lucene_ray.search.facetset import matching_facet_sets_counts
+    from lucene_ray.search.reader import IndexReader
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_facetset_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192, binary_dv_fields=("fsets",))
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    rows, tot = matching_facet_sets_counts(
+        IndexReader(ix), "fsets", _facetset_matchers()
+    )
+    rows = rows + [("__total__", tot)]
+    return pa.table(
+        {
+            "label": pa.array([r[0] for r in rows], type=pa.string()),
+            "value": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def facetset_counts_sql() -> str:
+    # the two per-doc sets as (dim1, dim2) condition builders
+    sets = [("n_chars % 7", "n_chars % 10"), ("n_chars % 13", "n_chars % 5")]
+
+    def match(m, s):
+        a, b = s
+        if type(m).__name__ == "ExactFacetSetMatcher":
+            return f"(({a}) = {m.values[0]} AND ({b}) = {m.values[1]})"
+        return (
+            f"(({a}) >= {m.lowers[0]} AND ({a}) <= {m.uppers[0]}"
+            f" AND ({b}) >= {m.lowers[1]} AND ({b}) <= {m.uppers[1]})"
+        )
+
+    parts = []
+    any_conds = []
+    for m in _facetset_matchers():
+        per_set = [match(m, s) for s in sets]
+        any_conds.extend(per_set)
+        # per matching SET: sum each set's indicator separately
+        total = " + ".join(
+            f"SUM(CASE WHEN {c} THEN 1 ELSE 0 END)" for c in per_set
+        )
+        parts.append(
+            f"SELECT '{m.label}' AS label, ({total})::BIGINT AS value "
+            f"FROM documents"
+        )
+    parts.append(
+        "SELECT '__total__' AS label, COUNT(*)::BIGINT AS value "
+        f"FROM documents WHERE {' OR '.join(any_conds)}"
+    )
+    return "\nUNION ALL\n".join(parts)
+
+
 FUZZYLIKETHIS_QUERIES = (
     # (qid, max_num_terms, [(query_string, max_edits, prefix_length)])
     (0, 12, [("merge window", 1, 0)]),
