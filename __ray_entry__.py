@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distfeature_topk": bm25docs.distfeature_topk,
         "fuzzylikethis_terms": bm25docs.fuzzylikethis_terms,
         "facetset_counts": bm25docs.facetset_counts,
+        "multilongfacet_engine": bm25docs.multilongfacet_engine,
+        "ssdvsort_engine": bm25docs.ssdvsort_engine,
         "cjk_stats": text.cjk_stats,
         "fingerprint_stats": text.fingerprint_stats,
         "tokenfilters_stats": text.tokenfilters_stats,
@@ -277,6 +279,8 @@ def oracle_sql() -> dict[str, str]:
         "distfeature_topk": bm25docs.distfeature_topk_sql(),
         "fuzzylikethis_terms": bm25docs.fuzzylikethis_terms_sql(),
         "facetset_counts": bm25docs.facetset_counts_sql(),
+        "multilongfacet_engine": bm25docs.multilongfacet_engine_sql(),
+        "ssdvsort_engine": bm25docs.ssdvsort_engine_sql(),
         "cjk_stats": text.cjk_stats_sql(),
         "fingerprint_stats": text.fingerprint_stats_sql(),
         "tokenfilters_stats": text.tokenfilters_stats_sql(),

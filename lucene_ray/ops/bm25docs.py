@@ -228,6 +228,128 @@ def geo3d_engine_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def multilongfacet_engine(sf_dir: str, top_n: int = 10) -> pa.Table:
+    """(qid, rank, value, n): LongValueFacetCounts over a
+    MultiLongValuesSource (facet/LongValueFacetCounts.java:117
+    countMultiValued — search/engine.py multi_long_value_facet_counts):
+    every SORTED_NUMERIC value occurrence of every matching doc counts,
+    top children by (count desc, value asc). sig_nums = sorted
+    [L%7, L%10, L%13] of the content length, so the oracle unnests the
+    same residue list."""
+    from lucene_ray.search.engine import (
+        IndexSearcher,
+        multi_long_value_facet_counts,
+    )
+    from lucene_ray.search.query import BooleanQuery, TermQuery
+
+    s = IndexSearcher(_dv2_engine_index(sf_dir))
+    out = {"qid": [], "rank": [], "value": [], "n": []}
+    for qid, term in ((0, "merge"), (1, "window")):
+        rows = multi_long_value_facet_counts(
+            s, BooleanQuery(must=[TermQuery(term)]), "sig_nums", top_n=top_n
+        )
+        for rank, (value, count) in enumerate(rows):
+            out["qid"].append(qid)
+            out["rank"].append(rank)
+            out["value"].append(value)
+            out["n"].append(count)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "value": pa.array(out["value"], type=pa.int64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+        }
+    )
+
+
+def multilongfacet_engine_sql(top_n: int = 10) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term in ((0, "merge"), (1, "window")):
+        parts.append(f"""
+(SELECT {qid} AS qid,
+       (row_number() OVER (ORDER BY cnt DESC, value ASC) - 1)::BIGINT AS rank,
+       value, cnt AS n
+FROM (
+  SELECT value, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest([length(text) % 7, length(text) % 10,
+                   length(text) % 13])::BIGINT AS value
+    FROM documents
+    WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+  ) GROUP BY value
+)
+ORDER BY rank LIMIT {top_n})""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{body}
+"""
+
+
+SSDVSORT_QUERIES = (
+    # (qid, term, selector, ascending)
+    (0, "merge", "min", True),
+    (1, "window", "min", False),
+    (2, "stream", "max", True),
+)
+
+
+def ssdvsort_engine(sf_dir: str, k: int = 25) -> pa.Table:
+    """(qid, rank, docid): sort-by-SORTED_SET-field search
+    (search/SortedSetSortField.java + SortedSetSelector.MIN/MAX —
+    search/engine.py search_sorted_set) over the derived 'labels' set
+    {lang, repo}: key = least/greatest(lang, source) in the oracle,
+    (key, docid asc) ordering both ways."""
+    from lucene_ray.search.engine import IndexSearcher, search_sorted_set
+    from lucene_ray.search.query import BooleanQuery, TermQuery
+
+    s = IndexSearcher(_dv_engine_index(sf_dir))
+    out_q, out_r, out_d = [], [], []
+    for qid, term, sel, asc in SSDVSORT_QUERIES:
+        docids, _keys = search_sorted_set(
+            s, BooleanQuery(must=[TermQuery(term)]), "labels",
+            k=k, ascending=asc, selector=sel,
+        )
+        for r, doc in enumerate(docids.tolist()):
+            out_q.append(qid)
+            out_r.append(r)
+            out_d.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int32()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def ssdvsort_engine_sql(k: int = 25) -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term, sel, asc in SSDVSORT_QUERIES:
+        key = (
+            "least(lang, source)" if sel == "min" else "greatest(lang, source)"
+        )
+        direction = "ASC" if asc else "DESC"
+        parts.append(
+            f"(SELECT {qid} AS qid, "
+            f"(row_number() OVER (ORDER BY {key} {direction}, doc_id ASC) - 1)"
+            f"::INTEGER AS rank, doc_id AS docid FROM documents "
+            f"WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok "
+            f"WHERE term = '{term}') ORDER BY rank LIMIT {k})"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{body}
+"""
+
+
 def _facetset_matchers():
     from lucene_ray.search.facetset import (
         ExactFacetSetMatcher,

@@ -1356,6 +1356,84 @@ def long_value_facet_counts(
     return [(int(uniq[i]), int(counts[i])) for i in order]
 
 
+def multi_long_value_facet_counts(
+    searcher: "IndexSearcher", query, field: str, top_n: int = 10
+) -> list[tuple[int, int]]:
+    """LongValueFacetCounts over a MultiLongValuesSource — the
+    SORTED_NUMERIC multi-valued variant (facet/LongValueFacetCounts.java
+    :117 countMultiValued): EVERY value occurrence of every matching doc
+    increments its count (intra-doc duplicates count per occurrence).
+    Top children ordered count desc, value asc. Returns [(value, count)]."""
+    td = searcher.search(query, k=1 << 62)
+    if len(td.docids) == 0:
+        return []
+    docids = np.sort(np.asarray(td.docids, dtype=np.int64))
+    parts = []
+    rd = searcher.reader
+    for e in rd.segments:
+        sr = rd.segment_reader(e.name)
+        lo = np.searchsorted(docids, e.docid_base)
+        hi = np.searchsorted(docids, e.docid_base + e.doc_count)
+        if lo == hi:
+            continue
+        local = docids[lo:hi] - e.docid_base
+        offsets, flat = sr.sorted_numeric_doc_values(field)
+        for d in local:
+            parts.append(flat[offsets[d]:offsets[d + 1]])
+    if not parts:
+        return []
+    vals = np.concatenate(parts)
+    uniq, counts = np.unique(vals, return_counts=True)
+    order = np.lexsort((uniq, -counts))[:top_n]
+    return [(int(uniq[i]), int(counts[i])) for i in order]
+
+
+def search_sorted_set(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    k: int = DEFAULT_TOP_K,
+    ascending: bool = True,
+    selector: str = "min",
+) -> tuple[np.ndarray, list[str]]:
+    """Sort-by-SORTED_SET-field search (search/SortedSetSortField.java +
+    SortedSetSelector.MIN/MAX): each matching doc's sort key is the
+    lexicographically smallest (or largest) value of its set; order by
+    (key asc|desc, docid asc). Docs with an empty set sort LAST in either
+    direction (a documented divergence from the configurable
+    SortField.setMissingValue). Returns (docids[k], keys[k])."""
+    if selector not in ("min", "max"):
+        raise ValueError(f"unknown SortedSetSelector: {selector!r}")
+    td = searcher.search(query, k=1 << 62)
+    if len(td.docids) == 0:
+        return np.array([], dtype=np.int64), []
+    docids = np.sort(np.asarray(td.docids, dtype=np.int64))
+    keys: list = [None] * len(docids)
+    rd = searcher.reader
+    for e in rd.segments:
+        sr = rd.segment_reader(e.name)
+        lo = np.searchsorted(docids, e.docid_base)
+        hi = np.searchsorted(docids, e.docid_base + e.doc_count)
+        if lo == hi:
+            continue
+        local = docids[lo:hi] - e.docid_base
+        offsets, flat_ords, terms = sr.sorted_set_doc_values(field)
+        for i, d in zip(range(lo, hi), local):
+            s, t = offsets[d], offsets[d + 1]
+            if s == t:
+                continue  # missing: key stays None -> sorts last
+            ord_ = flat_ords[s] if selector == "min" else flat_ords[t - 1]
+            keys[i] = str(terms[ord_])
+    present = np.array([x is not None for x in keys])
+    kp = np.array([x if x is not None else "" for x in keys], dtype="U")
+    uniq, inv = np.unique(kp, return_inverse=True)
+    code = inv if ascending else -inv
+    # missing docs always last: lift their code above every present key
+    code = np.where(present, code, np.iinfo(np.int64).max)
+    order = np.lexsort((docids, code))[:k]
+    return docids[order], [keys[i] for i in order]
+
+
 def range_facet_counts(
     searcher: "IndexSearcher", query, field: str, ranges: list[tuple[int, int]]
 ) -> list[tuple[int, int]]:
