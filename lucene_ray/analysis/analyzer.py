@@ -1336,6 +1336,45 @@ class UnicodeEmojiAnalyzer(UnicodeAnalyzer):
         )
 
 
+class ICUNormalizeAnalyzer(UnicodeAnalyzer):
+    """Unicode tokenizer + ICUNormalizer2Filter(nfkc_cf) — the icu
+    module's default chain (analysis/icu/.../ICUNormalizer2Filter.java;
+    analysis/icu.py nfkc_cf implemented from the Unicode definition,
+    pinned by the reference's own TestICUNormalizer2Filter vectors).
+    Tokens normalized to empty (pure default-ignorable runs) are dropped;
+    positions compact (the EnglishAnalyzer divergence). No SQL mirror
+    (DuckDB has NFC only) — golden tests."""
+
+    name = "icu_normalize"
+
+    def tokenize_array(self, texts):
+        import pyarrow.compute as pc
+
+        from lucene_ray.analysis.icu import nfkc_cf_terms
+
+        lists = super().tokenize_array(texts)
+        flat = lists.flatten()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat):
+            flat = nfkc_cf_terms(flat)
+            keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+            if not keep.all():
+                flat = flat.filter(pa.array(keep))
+                kept_cum = np.concatenate(
+                    ([0], np.cumsum(keep.astype(np.int64)))
+                )
+                offs = kept_cum[offs]
+        return pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), flat
+        )
+
+    @staticmethod
+    def sql_expr(col: str) -> str:
+        raise NotImplementedError(
+            "icu_normalize has no DuckDB mirror (no NFKC_CF offline)"
+        )
+
+
 class _LightStemAnalyzer(UnicodeAnalyzer):
     """Language analyzer = Unicode tokenizer + snowball stop list + Savoy
     light stemmer (analysis/lightstem.py; spec files
@@ -1999,6 +2038,7 @@ _REGISTRY = {
     "standard": StandardLiteAnalyzer,
     "unicode": UnicodeAnalyzer,
     "unicode_emoji": UnicodeEmojiAnalyzer,
+    "icu_normalize": ICUNormalizeAnalyzer,
     "english": EnglishAnalyzer,
     "english_snowball": EnglishSnowballAnalyzer,
     "english_kstem": EnglishKStemAnalyzer,
