@@ -170,10 +170,10 @@ class MemoryIndex:
             rx = wildcard_regex(q.pattern)  # == rewrite.expand_wildcard
             expand = lambda t: rx.match(t) is not None
         elif isinstance(q, RegexpQuery):
-            import re
+            from lucene_ray.search.regexp import regexp_dfa
 
-            rx = re.compile(q.pattern)
-            expand = lambda t: rx.fullmatch(t) is not None
+            dfa = regexp_dfa(q.pattern)  # == rewrite.expand_regexp
+            expand = lambda t: dfa.accepts(t)
         elif isinstance(q, FuzzyQuery):
             expand = lambda t: _levenshtein_within(t, q.term, q.max_edits)
         elif isinstance(q, TermRangeQuery):

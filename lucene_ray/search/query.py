@@ -482,11 +482,13 @@ class FuzzyQuery:
 
 @dataclass(frozen=True)
 class RegexpQuery:
-    """Full (anchored) regular-expression term match — compiled regex
-    intersected with the vocabulary (search/RegexpQuery.java /
-    AutomatonQuery.java; the automaton-FST walk becomes a vectorized vocab
-    scan with a literal-prefix pre-slice). Python `re` syntax; the pattern
-    must match the WHOLE term (fullmatch), as in the reference."""
+    """Anchored regular-expression term match (search/RegexpQuery.java):
+    the pattern is the reference's OWN RegExp grammar
+    (util/automaton/RegExp.java — union/concat/repeat/classes, plus '&'
+    intersection, '<n-m>' numeric intervals, '"..."' quoting, '@'/'#';
+    NO lookaround or backrefs), compiled to a DFA (search/regexp.py) and
+    seek-intersected with the sorted vocabulary (search/automaton.py).
+    Matches the WHOLE term, as in the reference."""
 
     pattern: str
     boost: float = 1.0

@@ -318,20 +318,18 @@ def expand_fuzzy(vocab: np.ndarray, q: FuzzyQuery) -> list[str]:
 
 
 def expand_regexp(vocab: np.ndarray, q: RegexpQuery) -> list[str]:
-    """Anchored regex over the vocabulary, pre-sliced by any literal prefix
-    (the automaton common-prefix optimization, AutomatonQuery.java)."""
-    rx = re.compile(q.pattern)
-    lit = re.match(r"[a-z0-9]*", q.pattern).group(0)
-    # a literal prefix is only usable when nothing can bypass or shorten
-    # it: no top-level alternation anywhere ('merge|window' must scan the
-    # whole vocab for the second branch) and no quantifier right after it
-    safe = (
-        lit
-        and "|" not in q.pattern
-        and not (len(q.pattern) > len(lit) and q.pattern[len(lit)] in "*?{")
-    )
-    cands = expand_prefix(vocab, PrefixQuery(lit)) if safe else vocab.tolist()
-    return [t for t in cands if rx.fullmatch(t)]
+    """The reference RegExp grammar compiled to a DFA and intersected
+    with the sorted vocabulary (util/automaton/RegExp.java toAutomaton +
+    AutomatonQuery — search/regexp.py + the automaton.py seekCeil
+    leapfrog). Anchored whole-term match; literal prefixes, gaps between
+    live prefixes, and dead suffixes are all skipped by the seek, so no
+    separate prefix pre-slice is needed (round 5: this replaced the
+    Python-``re`` scan — the grammar is now reference-exact: no
+    lookaround/backrefs, '&' intersection, '<n-m>' intervals, '"..."'
+    quoting, '@'/'#')."""
+    from lucene_ray.search.regexp import regexp_dfa
+
+    return regexp_dfa(q.pattern).intersect(vocab)
 
 
 def _clause_pattern(q) -> str | None:
