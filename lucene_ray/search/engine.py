@@ -1378,8 +1378,13 @@ def multi_long_value_facet_counts(
             continue
         local = docids[lo:hi] - e.docid_base
         offsets, flat = sr.sorted_numeric_doc_values(field)
-        for d in local:
-            parts.append(flat[offsets[d]:offsets[d + 1]])
+        # vectorized multi-slice gather (no per-doc Python loop)
+        lens = offsets[local + 1] - offsets[local]
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        parts.append(flat[np.repeat(offsets[local], lens) + within])
     if not parts:
         return []
     vals = np.concatenate(parts)

@@ -173,7 +173,7 @@ class _Parser:
         if self.match("-"):
             c2 = self.char_exp()
             if ord(c) > ord(c2):
-                raise ValueError(f"invalid range {c}-{c2}")
+                return []  # makeCharRange(from > to) matches nothing
             return [(ord(c), ord(c2))]
         return [(ord(c), ord(c))]
 

@@ -44,6 +44,9 @@ CASES = [
     ("a\\|b", ["a|b"], ["ab"]),
     ("foo\\*bar", ["foo*bar"], ["foobar"]),
     ("a/b", ["a/b"], ["ab"]),
+    # makeCharRange(from > to) matches nothing; negated it matches any char
+    ("[b-a]x", [], ["ax", "bx", "x"]),
+    ("[^b-a]x", ["ax", "zx"], ["x", "aax"]),
 ]
 
 
