@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facetset_counts": bm25docs.facetset_counts,
         "multilongfacet_engine": bm25docs.multilongfacet_engine,
         "ssdvsort_engine": bm25docs.ssdvsort_engine,
+        "dblpoint_engine": bm25docs.dblpoint_engine,
         "cjk_stats": text.cjk_stats,
         "fingerprint_stats": text.fingerprint_stats,
         "tokenfilters_stats": text.tokenfilters_stats,
@@ -281,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "facetset_counts": bm25docs.facetset_counts_sql(),
         "multilongfacet_engine": bm25docs.multilongfacet_engine_sql(),
         "ssdvsort_engine": bm25docs.ssdvsort_engine_sql(),
+        "dblpoint_engine": bm25docs.dblpoint_engine_sql(),
         "cjk_stats": text.cjk_stats_sql(),
         "fingerprint_stats": text.fingerprint_stats_sql(),
         "tokenfilters_stats": text.tokenfilters_stats_sql(),

@@ -178,11 +178,21 @@ RANGE_DERIVERS = {
 # (InetAddressPoint / BigIntegerPoint — search/bigpoint.py).
 def _numeric_dv_derivers():
     from lucene_ray.search.bigpoint import synth_ip_hi, synth_ip_lo
+    from lucene_ray.search.floatpoint import _synth_dscore
 
-    return {"ip_hi": synth_ip_hi, "ip_lo": synth_ip_lo}
+    from lucene_ray.search.floatpoint import _synth_fscore
+
+    return {
+        "ip_hi": synth_ip_hi,
+        "ip_lo": synth_ip_lo,
+        # DoublePoint / FloatPoint demo fields (sortable-encoded floats —
+        # search/floatpoint.py)
+        "dscore": _synth_dscore,
+        "fscore": _synth_fscore,
+    }
 
 
-NUMERIC_DV_DERIVED = ("ip_hi", "ip_lo")
+NUMERIC_DV_DERIVED = ("ip_hi", "ip_lo", "dscore", "fscore")
 
 
 def _payload_term_length(terms: pa.Array, positions: np.ndarray) -> np.ndarray:

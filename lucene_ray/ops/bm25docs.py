@@ -350,6 +350,81 @@ WITH tok AS (
 """
 
 
+def _engine_index_fpoint(sf_dir: str) -> str:
+    """Documents index with the DoublePoint/FloatPoint demo fields
+    (dv_fields dscore/fscore — search/floatpoint.py sortable encodings)."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_fpoint_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index(
+        [corpus_path], ix, target_docs=8192, dv_fields=("dscore", "fscore")
+    )
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+def _fpoint_queries():
+    from lucene_ray.search import floatpoint as fp
+
+    exact_v = (123 - 500) * 0.1  # one IEEE multiply, identical in SQL
+    set_vs = [(n - 500) * 0.1 for n in (123, 640, 255)]
+    return [
+        (0, fp.double_range_query("dscore", -20.5, 3.25),
+         f"{fp.sql_dscore()} >= -20.5 AND {fp.sql_dscore()} <= 3.25"),
+        (1, fp.double_range_query("dscore", 0.05, 12.0),
+         f"{fp.sql_dscore()} >= 0.05 AND {fp.sql_dscore()} <= 12.0"),
+        (2, fp.double_exact_query("dscore", exact_v),
+         f"{fp.sql_dscore()} = ((123::DOUBLE - 500.0) * 0.1)"),
+        (3, fp.double_set_query("dscore", set_vs),
+         f"{fp.sql_dscore()} IN (((123::DOUBLE - 500.0) * 0.1),"
+         f" ((640::DOUBLE - 500.0) * 0.1), ((255::DOUBLE - 500.0) * 0.1))"),
+        (4, fp.float_range_query("fscore", -7.125, 9.875),
+         f"{fp.sql_dscore()}::FLOAT >= (-7.125)::FLOAT"
+         f" AND {fp.sql_dscore()}::FLOAT <= (9.875)::FLOAT"),
+    ]
+
+
+def dblpoint_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): DoublePoint/FloatPoint fields
+    (document/DoublePoint.java newRangeQuery/newExactQuery/newSetQuery,
+    document/FloatPoint.java; util/NumericUtils.java:47-82 sortable
+    encodings — search/floatpoint.py): float bounds encode to the SAME
+    sortable integers the builder stored, so the integer PointRangeQuery
+    binary searches ARE the float ranges. Spans negative values, so the
+    sign-flip lane is exercised. The oracle compares the raw doubles —
+    exact, because the encoding is a strict order isomorphism."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery
+
+    ix = _engine_index_fpoint(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q, _sql in _fpoint_queries():
+        td = s.search(BooleanQuery(must=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def dblpoint_engine_sql() -> str:
+    parts = [
+        f"SELECT {qid} AS qid, doc_id AS docid FROM documents WHERE {sql}"
+        for qid, _q, sql in _fpoint_queries()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def _facetset_matchers():
     from lucene_ray.search.facetset import (
         ExactFacetSetMatcher,
