@@ -851,6 +851,72 @@ def maybe_merge(
     return manifest
 
 
+class MergeOnFlushMergePolicy:
+    """sandbox/index/MergeOnFlushMergePolicy.java — a FilterMergePolicy:
+    background merges delegate to the wrapped policy; on COMMIT
+    (findFullFlushMerges) every segment smaller than the threshold
+    (default 100 MB, the reference's smallSegmentThresholdBytes) is merged
+    away so a commit never publishes a dust cloud of tiny segments.
+    Divergence, documented: the reference merges all small segments into
+    ONE merge regardless of position; here each maximal run of ADJACENT
+    small segments becomes one merge — the repo's stable-docid adjacency
+    constraint (same stance as TieredMergePolicy's windows)."""
+
+    def __init__(self, wrapped=None, small_segment_threshold_mb: float = 100.0):
+        self.wrapped = wrapped or TieredMergePolicy()
+        self.small_segment_threshold_bytes = int(
+            small_segment_threshold_mb * 1024 * 1024
+        )
+
+    def find_merges(self, segments: list) -> list[list[str]]:
+        return self.wrapped.find_merges(segments)
+
+    def find_full_flush_merges(self, segments: list) -> list[list[str]]:
+        live = sorted(
+            (e for e in segments if not e.deleted), key=lambda e: e.docid_base
+        )
+        specs: list[list[str]] = []
+        run: list[str] = []
+        for e in live:
+            if e.bytes < self.small_segment_threshold_bytes:
+                run.append(e.name)
+            else:
+                if len(run) > 1:
+                    specs.append(run)
+                run = []
+        if len(run) > 1:
+            specs.append(run)
+        return specs
+
+
+def merge_on_commit(
+    index_dir: str, policy: "MergeOnFlushMergePolicy", use_ray: bool = False
+) -> Manifest:
+    """The IndexWriter.commit-time findFullFlushMerges round
+    (index/IndexWriter.java prepareCommitInternal's MergeTrigger
+    .COMMIT path): execute the policy's full-flush merges once and
+    publish one new manifest generation."""
+    manifest = read_manifest(index_dir)
+    specs = policy.find_full_flush_merges(manifest.live_segments)
+    if not specs:
+        return manifest
+    new_entries = _execute_merges(index_dir, specs, use_ray)
+    merged_away = {n for spec in specs for n in spec}
+    keep = [e for e in manifest.segments if e.name not in merged_away]
+    keep.extend(new_entries)
+    keep.sort(key=lambda e: e.docid_base)
+    manifest = Manifest(
+        generation=manifest.generation + 1,
+        analyzer=manifest.analyzer,
+        index_sort=getattr(manifest, "index_sort", None),
+        doc_count=sum(e.doc_count for e in keep),
+        sum_ttf=sum(e.sum_ttf for e in keep),
+        segments=keep,
+    )
+    write_manifest(index_dir, manifest)
+    return manifest
+
+
 def force_merge(index_dir: str, use_ray: bool = False) -> Manifest:
     """ForceMerge(1): one final global merge round
     (index/IndexWriter.java:2098)."""
