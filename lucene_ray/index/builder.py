@@ -1241,6 +1241,7 @@ def upgrade_index(index_dir: str) -> dict:
                 generation=manifest.generation + 1,
                 analyzer=manifest.analyzer,
                 index_sort=getattr(manifest, "index_sort", None),
+            user_data=getattr(manifest, "user_data", None),
                 doc_count=sum(s.doc_count for s in live),
                 sum_ttf=sum(s.sum_ttf for s in live),
                 segments=new_segments,

@@ -379,6 +379,7 @@ def exorcise_index(index_dir: str) -> dict:
             generation=manifest.generation + 1,
             analyzer=manifest.analyzer,
             index_sort=getattr(manifest, "index_sort", None),
+            user_data=getattr(manifest, "user_data", None),
             doc_count=sum(e.doc_count for e in live),
             sum_ttf=sum(e.sum_ttf for e in live),
             segments=manifest.segments,

@@ -81,6 +81,10 @@ class Manifest:
     # [field, "asc"|"desc"] when built with index_sort (IndexWriterConfig
     # .setIndexSort); None = docids follow corpus order
     index_sort: list | None = None
+    # opaque commit user data (IndexWriter.setLiveCommitData /
+    # IndexCommit.getUserData — e.g. sequence checkpoints); carried
+    # forward by merges/deletes, replaced by set_live_commit_data
+    user_data: dict | None = None
 
     @property
     def live_segments(self) -> list:
@@ -125,6 +129,35 @@ def write_manifest(index_dir: str, manifest: Manifest) -> None:
     with open(tmp, "w") as f:
         json.dump(d, f, indent=1)
     os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+
+
+def set_live_commit_data(index_dir: str, data: dict | None) -> Manifest:
+    """IndexWriter.setLiveCommitData + commit (IndexWriter.java:4023):
+    publish a new commit generation whose opaque user data is ``data``.
+    The data then travels on every subsequent commit (merges, deletes,
+    splits carry it forward) until replaced."""
+    m = read_manifest(index_dir)
+    if m is None:
+        raise FileNotFoundError(f"no index at {index_dir}")
+    m2 = Manifest(
+        generation=m.generation + 1,
+        analyzer=m.analyzer,
+        doc_count=m.doc_count,
+        sum_ttf=m.sum_ttf,
+        segments=m.segments,
+        index_sort=getattr(m, "index_sort", None),
+        user_data=dict(data) if data is not None else None,
+    )
+    write_manifest(index_dir, m2)
+    return m2
+
+
+def get_live_commit_data(
+    index_dir: str, generation: int | None = None
+) -> dict | None:
+    """IndexCommit.getUserData for the current (or a retained) commit."""
+    m = read_manifest(index_dir, generation)
+    return None if m is None else getattr(m, "user_data", None)
 
 
 def _pending_path(index_dir: str) -> str:

@@ -843,6 +843,7 @@ def maybe_merge(
             generation=manifest.generation + 1,
             analyzer=manifest.analyzer,
             index_sort=getattr(manifest, "index_sort", None),
+            user_data=getattr(manifest, "user_data", None),
             doc_count=sum(e.doc_count for e in keep),
             sum_ttf=sum(e.sum_ttf for e in keep),
             segments=keep,
@@ -909,6 +910,7 @@ def merge_on_commit(
         generation=manifest.generation + 1,
         analyzer=manifest.analyzer,
         index_sort=getattr(manifest, "index_sort", None),
+            user_data=getattr(manifest, "user_data", None),
         doc_count=sum(e.doc_count for e in keep),
         sum_ttf=sum(e.sum_ttf for e in keep),
         segments=keep,
@@ -939,6 +941,7 @@ def force_merge(index_dir: str, use_ray: bool = False) -> Manifest:
             generation=manifest.generation + 1,
             analyzer=manifest.analyzer,
             index_sort=getattr(manifest, "index_sort", None),
+            user_data=getattr(manifest, "user_data", None),
             doc_count=sum(e.doc_count for e in live),
             sum_ttf=sum(e.sum_ttf for e in live),
             segments=live,
@@ -1020,6 +1023,7 @@ def force_merge_deletes(
         generation=manifest.generation + 1,
         analyzer=manifest.analyzer,
         index_sort=getattr(manifest, "index_sort", None),
+            user_data=getattr(manifest, "user_data", None),
         doc_count=sum(e.doc_count for e in live),
         sum_ttf=sum(e.sum_ttf for e in live),
         segments=live,

@@ -62,6 +62,9 @@ def _fresh_like(src_manifest: Manifest) -> Manifest:
         sum_ttf=0,
         segments=[],
         index_sort=src_manifest.index_sort,
+        # IndexSplitter copies SegmentInfos verbatim — commit user data
+        # travels with it
+        user_data=getattr(src_manifest, "user_data", None),
     )
 
 
