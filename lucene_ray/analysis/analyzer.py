@@ -598,6 +598,90 @@ class EnglishKStemAnalyzer(EnglishAnalyzer):
         return kstem(t)
 
 
+class PhoneticAnalyzer(CodeAnalyzer):
+    """CodeAnalyzer chain + PhoneticFilter inject mode
+    (analysis/phonetic/.../PhoneticFilter.java:57-99 — analysis/phonetic.py
+    soundex/metaphone): every token whose encoding differs gains the
+    PHONETIC form FIRST at its position and keeps the original as a
+    posInc==0 twin (the reference emits the phonetic, then restores the
+    saved original at increment 0). ``has_overlaps`` discounts the twins
+    from norms, as with synonyms."""
+
+    name = "phonetic_metaphone"
+    encoder = "metaphone"
+    has_overlaps = True
+
+    def tokenize_flat(self, texts, with_offsets: bool = False):
+        from lucene_ray.analysis.phonetic import encode_terms
+
+        res = super().tokenize_flat(texts, with_offsets=with_offsets)
+        row_idx, terms, positions = res[0], res[1], res[2]
+        if len(row_idx) == 0:
+            return res
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        codes = encode_terms(terms, self.encoder)
+        hit = (
+            pa.compute.utf8_length(codes)
+            .to_numpy(zero_copy_only=False) > 0
+        )
+        if not hit.any():
+            return res
+        nh = int(hit.sum())
+        comb_row = np.concatenate([row_idx, row_idx[hit]])
+        comb_pos = np.concatenate([positions, positions[hit]])
+        plain = (
+            terms.cast(pa.string())
+            if isinstance(terms, pa.DictionaryArray)
+            else terms
+        )
+        comb_terms = pa.concat_arrays(
+            [plain, codes.filter(pa.array(hit))]
+        )
+        # phonetic FIRST within the position (PhoneticFilter emits the
+        # encoded form, then the saved original at posInc 0)
+        phon_last = np.concatenate(
+            [np.ones(len(row_idx), np.int8), np.zeros(nh, np.int8)]
+        )
+        o = np.lexsort((phon_last, comb_pos, comb_row))
+        out = (
+            comb_row[o],
+            comb_terms.take(pa.array(o)),
+            comb_pos[o].astype(positions.dtype),
+        )
+        if with_offsets:
+            st, ln = res[3], res[4]
+            out = out + (
+                np.concatenate([st, st[hit]])[o],
+                np.concatenate([ln, ln[hit]])[o],
+            )
+        return out
+
+    def tokenize_array(self, texts):
+        from lucene_ray.analysis.phonetic import ENCODERS
+
+        enc = ENCODERS[self.encoder]
+        toks = super().tokenize_array(texts)
+        out = []
+        for row in toks.to_pylist():
+            r = []
+            for t in row:
+                v = enc(t)
+                if v and v != t:
+                    r.append(v)
+                r.append(t)
+            out.append(r)
+        return pa.array(out, type=pa.list_(pa.string()))
+
+    def tokenize_text(self, text: str) -> list[str]:
+        return self.tokenize_array(pa.array([text], type=pa.string()))[0].as_py()
+
+
+class SoundexAnalyzer(PhoneticAnalyzer):
+    name = "phonetic_soundex"
+    encoder = "soundex"
+
+
 class WhitespaceAnalyzer:
     """analysis/core/WhitespaceAnalyzer.java: split on whitespace runs,
     NO lowercasing, no filters. ASCII whitespace class [\\t\\n\\f\\r ] on BOTH
@@ -2039,6 +2123,8 @@ _REGISTRY = {
     "unicode": UnicodeAnalyzer,
     "unicode_emoji": UnicodeEmojiAnalyzer,
     "icu_normalize": ICUNormalizeAnalyzer,
+    "phonetic_metaphone": PhoneticAnalyzer,
+    "phonetic_soundex": SoundexAnalyzer,
     "english": EnglishAnalyzer,
     "english_snowball": EnglishSnowballAnalyzer,
     "english_kstem": EnglishKStemAnalyzer,
