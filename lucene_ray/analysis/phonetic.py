@@ -173,7 +173,34 @@ def metaphone(term: str, max_code_len: int = 4) -> str:
     return "".join(code)
 
 
-ENCODERS = {"soundex": soundex, "metaphone": metaphone}
+# commons-codec RefinedSoundex US_ENGLISH mapping (A..Z)
+_REFINED_MAP = dict(zip("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                        "01360240043788015936020505"))
+
+
+@lru_cache(maxsize=65536)
+def refined_soundex(term: str) -> str:
+    """RefinedSoundex (commons-codec): first letter + the code of EVERY
+    letter (vowels included as 0), adjacent duplicate codes collapsed; no
+    length cap, no zero-padding."""
+    s = _clean(term)
+    if not s:
+        return ""
+    out = [s[0]]
+    last = None
+    for c in s:
+        code = _REFINED_MAP[c]
+        if code != last:
+            out.append(code)
+            last = code
+    return "".join(out)
+
+
+ENCODERS = {
+    "soundex": soundex,
+    "metaphone": metaphone,
+    "refined_soundex": refined_soundex,
+}
 
 
 def encode_terms(terms, encoder: str):

@@ -43,6 +43,17 @@ def test_metaphone_published_canon():
         assert metaphone(w) == want, (w, metaphone(w))
 
 
+def test_refined_soundex():
+    from lucene_ray.analysis.phonetic import refined_soundex
+
+    # TestPhoneticFilter's RefinedSoundex row
+    words = "aaa bbb ccc easgasg".split()
+    assert [refined_soundex(w) for w in words] == ["A0", "B1", "C3", "E034034"]
+    # commons-codec javadoc example
+    assert refined_soundex("testing") == "T6036084"
+    assert refined_soundex("") == ""
+
+
 def test_inject_order_and_identity_passthrough():
     a = get_analyzer("phonetic_metaphone")
     # phonetic first, original second (PhoneticFilter emits encoded first)
