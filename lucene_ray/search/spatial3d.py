@@ -124,6 +124,55 @@ def _norm(v):
     return (v[0] / m, v[1] / m, v[2] / m)
 
 
+def _arc_lat_bounds(a, b) -> tuple[float, float]:
+    """Exact latitude extremes of the minor great-circle arc from unit
+    vector ``a`` to ``b`` (the getBounds contract): an arc's max/min
+    latitude is attained at an endpoint OR at the great circle's apex
+    (the point maximizing |z|, p ∝ ẑ - (ẑ·n)n) when that apex lies on
+    the arc — a long mid-latitude edge can swing far poleward of both
+    endpoints, so a fixed pad under-prunes."""
+    zs = [a[2], b[2]]
+    n = _norm(_cross(a, b))
+    ref = _cross(a, b)  # orientation reference for the within-arc test
+
+    def on_arc(p) -> bool:
+        c1 = _cross(a, p)
+        c2 = _cross(p, b)
+        return (
+            c1[0] * ref[0] + c1[1] * ref[1] + c1[2] * ref[2] >= 0.0
+            and c2[0] * ref[0] + c2[1] * ref[1] + c2[2] * ref[2] >= 0.0
+        )
+
+    base = (-n[2] * n[0], -n[2] * n[1], 1.0 - n[2] * n[2])  # ẑ - (ẑ·n)n
+    m = math.sqrt(base[0] ** 2 + base[1] ** 2 + base[2] ** 2)
+    if m > 1e-15:
+        apex = (base[0] / m, base[1] / m, base[2] / m)
+        anti = (-apex[0], -apex[1], -apex[2])
+        if on_arc(apex):
+            zs.append(apex[2])
+        if on_arc(anti):
+            zs.append(anti[2])
+    lo = math.degrees(math.asin(max(-1.0, min(1.0, min(zs)))))
+    hi = math.degrees(math.asin(max(-1.0, min(1.0, max(zs)))))
+    return lo, hi
+
+
+def _boundary_lat_bounds(lats, lons, closed: bool) -> tuple[float, float]:
+    """Latitude extremes over a vertex ring's (or open polyline's) arcs."""
+    verts = [
+        tuple(float(c) for c in unit_xyz(lats[i], lons[i]))
+        for i in range(len(lats))
+    ]
+    lo, hi = 90.0, -90.0
+    n = len(verts)
+    last = n if closed else n - 1
+    for i in range(last):
+        a, b = verts[i], verts[(i + 1) % n]
+        alo, ahi = _arc_lat_bounds(a, b)
+        lo, hi = min(lo, alo), max(hi, ahi)
+    return lo, hi
+
+
 # ------------------------------------------------------------------- shapes
 #
 # Each shape is a frozen (hashable — the LRU query cache keys on the query)
@@ -240,15 +289,15 @@ class GeoConvexPolygon:
         return planes
 
     def bounds(self):
-        # latitude of a great-circle arc can exceed its endpoints' lats by
-        # the plane's maximum-latitude point; pad conservatively
-        pad = 10.0
-        return (
-            max(min(self.lats) - pad, -90.0),
-            min(max(self.lats) + pad, 90.0),
-            -180.0,
-            180.0,
-        )
+        # exact boundary-arc latitude extremes (a long edge can swing far
+        # poleward of its endpoints); a pole INSIDE the ring extends the
+        # box to it — membership is cheap, so just test both poles
+        lo, hi = _boundary_lat_bounds(self.lats, self.lons, closed=True)
+        if bool(self.is_within(90.0, 0.0)):
+            hi = 90.0
+        if bool(self.is_within(-90.0, 0.0)):
+            lo = -90.0
+        return lo, hi, -180.0, 180.0
 
     def is_within(self, lat, lon):
         x, y, z = unit_xyz(lat, lon)
@@ -296,10 +345,13 @@ class GeoStandardPath:
         return verts, segs
 
     def bounds(self):
-        pad_deg = math.degrees(self.cutoff) + 10.0
+        # boundary-arc latitude extremes widened by the cutoff angle (the
+        # path's tube radius); exact arc extremes, not an endpoint pad
+        lo, hi = _boundary_lat_bounds(self.lats, self.lons, closed=False)
+        pad_deg = math.degrees(self.cutoff)
         return (
-            max(min(self.lats) - pad_deg, -90.0),
-            min(max(self.lats) + pad_deg, 90.0),
+            max(lo - pad_deg, -90.0),
+            min(hi + pad_deg, 90.0),
             -180.0,
             180.0,
         )

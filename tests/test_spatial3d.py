@@ -216,6 +216,54 @@ def test_random_circles_match_bruteforce(geo_index):
         assert np.array_equal(np.sort(td.docids), want)
 
 
+def test_polar_cap_polygon_bounds_and_engine(geo_index):
+    """A ring of lat-40 vertices 120 degrees apart CONTAINS the north pole
+    and its edges swing to ~59 degrees — a fixed endpoint pad would prune
+    matching high-latitude docs (the round-5 bounds fix): bounds() must
+    reach the pole and the engine must equal brute force."""
+    from lucene_ray.search import spatial3d as s3
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery
+
+    poly = s3.GeoConvexPolygon((40.0, 40.0, 40.0), (0.0, 120.0, -120.0))
+    assert bool(poly.is_within(90.0, 0.0))  # pole inside
+    lo, hi, _, _ = poly.bounds()
+    assert hi == 90.0 and lo <= 40.0
+    # edge apex: the lat-40 edge spanning 120 degrees of longitude peaks
+    # near 59.2 degrees — a mid-edge point just below is OUTSIDE the ring
+    # boundary? No: above the edge (poleward) is INSIDE for this ring.
+    assert bool(poly.is_within(70.0, 60.0))
+    assert not bool(poly.is_within(39.0, 0.0))
+
+    ids, lat, lon = _truth()
+    s = IndexSearcher(geo_index)
+    q = s3.new_polygon_query("loc", s3.WGS84, ((40.0, 40.0, 40.0), (0.0, 120.0, -120.0)))
+    td = s.search(BooleanQuery(must=[q]), 1 << 20)
+    want = np.sort(ids[poly.is_within(lat, lon)])
+    assert np.array_equal(np.sort(td.docids), want)
+
+
+def test_arc_lat_bounds_exact():
+    from lucene_ray.search.spatial3d import _arc_lat_bounds, unit_xyz
+
+    a = tuple(float(c) for c in unit_xyz(40.0, 0.0))
+    b = tuple(float(c) for c in unit_xyz(40.0, 120.0))
+    lo, hi = _arc_lat_bounds(a, b)
+    # apex of the great circle through two lat-40 points 120 deg apart:
+    # tan(apex) = tan(40)/cos(60)
+    import math
+
+    want = math.degrees(math.atan(math.tan(math.radians(40.0)) / math.cos(math.radians(60.0))))
+    assert hi == pytest.approx(want, abs=1e-9)
+    assert lo == pytest.approx(40.0, abs=1e-9)
+    # short equatorial arc: extremes at the endpoints
+    c = tuple(float(x) for x in unit_xyz(0.0, 0.0))
+    d = tuple(float(x) for x in unit_xyz(0.0, 10.0))
+    lo2, hi2 = _arc_lat_bounds(c, d)
+    assert lo2 == pytest.approx(0.0, abs=1e-12)
+    assert hi2 == pytest.approx(0.0, abs=1e-12)
+
+
 def test_distributed_identity(geo_index, ray_session):
     from lucene_ray.ops.bm25docs import _geo3d_queries
     from lucene_ray.search.distributed import DistributedSearcher
