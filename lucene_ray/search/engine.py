@@ -265,6 +265,40 @@ class IndexSearcher:
             lambda: self.reader.vocabulary(include_fields=True),
         )
 
+
+    def _rewrite_fuzzylikethis(self, bq):
+        """sandbox FuzzyLikeThisQuery rewrites against the reader (variant
+        selection needs the vocabulary + df stats) — top-level or embedded
+        as a boolean clause (the XML parser wraps it in a should)."""
+        if type(bq).__name__ == "FuzzyLikeThisQuery":
+            return bq.rewrite(self.reader)
+        if not isinstance(bq, BooleanQuery):
+            return bq
+
+        def fix(clauses):
+            out = []
+            for q in clauses:
+                if type(q).__name__ == "FuzzyLikeThisQuery":
+                    rw = q.rewrite(self.reader)
+                    out.append(
+                        NestedBooleanQuery(
+                            must=tuple(rw.must), should=tuple(rw.should)
+                        )
+                    )
+                else:
+                    out.append(q)
+            return out
+
+        if any(
+            type(q).__name__ == "FuzzyLikeThisQuery"
+            for q in bq.must + bq.should
+        ):
+            return BooleanQuery(
+                must=fix(bq.must), should=fix(bq.should),
+                must_not=list(bq.must_not),
+            )
+        return bq
+
     def search(
         self,
         query: str | BooleanQuery,
@@ -279,6 +313,7 @@ class IndexSearcher:
         bq = self.parse(query) if isinstance(query, str) else query
         if isinstance(bq, CommonTermsQuery):
             bq = bq.rewrite(self.reader)
+        bq = self._rewrite_fuzzylikethis(bq)
         bq = self._maybe_rewrite(bq)
         if not (bq.must or bq.should):
             return TopDocs(np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0)
@@ -337,6 +372,7 @@ class IndexSearcher:
         bq = self.parse(query) if isinstance(query, str) else query
         if isinstance(bq, CommonTermsQuery):
             bq = bq.rewrite(self.reader)
+        bq = self._rewrite_fuzzylikethis(bq)
         bq = self._maybe_rewrite(bq)
         if not (bq.must or bq.should):
             return 0

@@ -1544,6 +1544,55 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
             if len(d) == 0:
                 continue
             out.append(_Clause(q, None, None, scored=(d, s)))
+        elif type(q).__name__ == "PayloadScoreQuery":
+            # composable clause form (the standalone float64 twin lives in
+            # engine.payload_score_search; this is the scorer-tree path the
+            # XML BoostingTermQuery element uses)
+            def _payload(q=q):
+                empty = (
+                    np.array([], dtype=np.int64),
+                    np.array([], dtype=np.float32),
+                )
+                seg_d, seg_v = [], []
+                for term in q.terms:
+                    tp = reader.postings(term)
+                    if tp is None:
+                        continue
+                    if not tp.has_payloads:
+                        raise ValueError(
+                            "index was built without payloads "
+                            "(build_index payload_fn)"
+                        )
+                    d, v = tp.flat_payloads()
+                    seg_d.append(d)
+                    seg_v.append(v)
+                if not seg_d:
+                    return empty
+                d = np.concatenate(seg_d)
+                v = np.concatenate(seg_v).astype(np.float64)
+                order = np.argsort(d, kind="stable")
+                d_s, v_s = d[order], v[order]
+                starts = np.nonzero(
+                    np.concatenate(([True], d_s[1:] != d_s[:-1]))
+                )[0]
+                docs_u = d_s[starts].astype(np.int64)
+                if q.function == "sum":
+                    sc = np.add.reduceat(v_s, starts)
+                elif q.function == "min":
+                    sc = np.minimum.reduceat(v_s, starts)
+                elif q.function == "max":
+                    sc = np.maximum.reduceat(v_s, starts)
+                elif q.function == "avg":
+                    cnt = np.diff(np.append(starts, len(d_s))).astype(np.float64)
+                    sc = np.add.reduceat(v_s, starts) / cnt
+                else:
+                    raise ValueError(f"unknown payload function: {q.function}")
+                return docs_u, (sc * float(q.boost)).astype(np.float32)
+
+            d, s = _qcache(reader, q, _payload)
+            if len(d) == 0:
+                continue
+            out.append(_Clause(q, None, None, scored=(d, s)))
         elif isinstance(q, LongDistanceFeatureQuery):
             def _ldf(q=q):
                 vals = reader.doc_values(q.field).astype(np.int64)

@@ -19,6 +19,12 @@ Supported elements (the CoreParser default-builder subset):
   <PointRangeQuery fieldName= lowerTerm= upperTerm=> — PointRangeQueryBuilder
   <SpanTerm fieldName=> / <SpanNear slop= inOrder=> / <SpanOr> /
   <SpanFirst end=> / <SpanNot>  — Span*Builder family
+  <BoostingTermQuery fieldName=> — BoostingTermBuilder (CorePlusQueries:
+                               PayloadScoreQuery, average function)
+  <FuzzyLikeThisQuery maxNumTerms= ignoreTF=><Field fieldName=
+      minSimilarity= prefixLength=>text</Field>+</FuzzyLikeThisQuery>
+                             — FuzzyLikeThisQueryBuilder (lazy: the
+                               searcher rewrites it against the reader)
 Every element honors a ``boost`` attribute where the target query carries
 one (CoreParser applies boosts via BoostQuery wrapping).
 """
@@ -232,3 +238,43 @@ class CoreParser:
         if len(kids) != 2:
             raise XMLParseError("<SpanNot> needs include + exclude children")
         return SpanNotQuery(self._span(kids[0]), self._span(kids[1]))
+
+    def _q_BoostingTermQuery(self, el):
+        """BoostingTermBuilder (CorePlusQueries): PayloadScoreQuery over a
+        SpanTerm with the average payload function."""
+        from lucene_ray.search.query import PayloadScoreQuery
+
+        field = self._field(el)
+        text = (el.text or "").strip()
+        if not text:
+            raise XMLParseError("<BoostingTermQuery> needs term text")
+        return PayloadScoreQuery(
+            terms=(self._term(field, text),),
+            function="avg",
+            boost=self._boost(el),
+        )
+
+    def _q_FuzzyLikeThisQuery(self, el):
+        """FuzzyLikeThisQueryBuilder (queryparser/xml/builders/
+        FuzzyLikeThisQueryBuilder.java): maxNumTerms / ignoreTF on the
+        root, one addTerms call per <Field fieldName=...>text</Field>
+        child (minSimilarity default = FuzzyQuery's 2 edits, prefixLength
+        default 1). Returned lazily — IndexSearcher.search rewrites it
+        against the reader."""
+        from lucene_ray.search.fuzzylikethis import FuzzyLikeThisQuery
+
+        q = FuzzyLikeThisQuery(
+            int(el.get("maxNumTerms", 50)),
+            ignore_tf=el.get("ignoreTF", "false").lower() == "true",
+        )
+        fields = [c for c in el if c.tag == "Field"]
+        if not fields:
+            raise XMLParseError("<FuzzyLikeThisQuery> needs <Field> children")
+        for f in fields:
+            q.add_terms(
+                (f.text or "").strip(),
+                f.get("fieldName", "content"),
+                float(f.get("minSimilarity", 2.0)),
+                int(f.get("prefixLength", 1)),
+            )
+        return q

@@ -127,3 +127,48 @@ def test_xmlparser_gate_parity():
     assert_same(
         bm25docs.xmlparser_engine(SF), con, bm25docs.xmlparser_engine_sql()
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzylikethis_element():
+    """FuzzyLikeThisQueryBuilder: lazy query, rewritten by the searcher;
+    hits equal the explicit FuzzyLikeThisQuery rewrite."""
+    from lucene_ray.ops.bm25docs import _engine_index
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.fuzzylikethis import FuzzyLikeThisQuery
+    from lucene_ray.search.reader import IndexReader
+
+    s = IndexSearcher(_engine_index(SF))
+    q = P.parse(
+        '<FuzzyLikeThisQuery maxNumTerms="12">'
+        '<Field fieldName="content" minSimilarity="1" prefixLength="0">'
+        "merge windw</Field></FuzzyLikeThisQuery>"
+    )
+    td = s.search(q, 1 << 20)
+    want = FuzzyLikeThisQuery(12)
+    want.add_terms("merge windw", "content", 1.0, 0)
+    rd = IndexReader(_engine_index(SF))
+    td2 = s.search(want.rewrite(rd), 1 << 20)
+    assert sorted(td.docids.tolist()) == sorted(td2.docids.tolist())
+    assert len(td.docids) > 0
+    # defaults + validation
+    with pytest.raises(XMLParseError):
+        P.parse("<FuzzyLikeThisQuery/>")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_boosting_term_element():
+    """BoostingTermBuilder: PayloadScoreQuery(avg) over the payload index."""
+    from lucene_ray.ops.bm25docs import _engine_index_pay
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import PayloadScoreQuery
+
+    q = P.parse('<BoostingTermQuery fieldName="content">merge</BoostingTermQuery>')
+    inner = q.should[0]
+    assert isinstance(inner, PayloadScoreQuery)
+    assert inner.function == "avg" and inner.terms == ("merge",)
+    s = IndexSearcher(_engine_index_pay(SF))
+    td = s.search(q, 10)
+    assert len(td.docids) > 0
+    # payload avg for 'merge' occurrences = len('merge') = 5 everywhere
+    assert all(abs(x - 5.0) < 1e-6 for x in td.scores.tolist())
