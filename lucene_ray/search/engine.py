@@ -266,11 +266,15 @@ class IndexSearcher:
         )
 
 
+    _LAZY_READER_QUERIES = ("FuzzyLikeThisQuery", "MoreLikeThisQuery")
+
     def _rewrite_fuzzylikethis(self, bq):
-        """sandbox FuzzyLikeThisQuery rewrites against the reader (variant
-        selection needs the vocabulary + df stats) — top-level or embedded
-        as a boolean clause (the XML parser wraps it in a should)."""
-        if type(bq).__name__ == "FuzzyLikeThisQuery":
+        """Reader-lazy queries (sandbox FuzzyLikeThisQuery, the XML
+        LikeThisQuery's MoreLikeThisQuery) rewrite against the reader —
+        top-level or embedded as a boolean clause (the XML parser wraps
+        them in a should)."""
+        lazy = self._LAZY_READER_QUERIES
+        if type(bq).__name__ in lazy:
             return bq.rewrite(self.reader)
         if not isinstance(bq, BooleanQuery):
             return bq
@@ -278,24 +282,18 @@ class IndexSearcher:
         def fix(clauses):
             out = []
             for q in clauses:
-                if type(q).__name__ == "FuzzyLikeThisQuery":
+                if type(q).__name__ in lazy:
                     rw = q.rewrite(self.reader)
-                    out.append(
-                        NestedBooleanQuery(
-                            must=tuple(rw.must), should=tuple(rw.should)
-                        )
-                    )
+                    out.append(rw.freeze())
                 else:
                     out.append(q)
             return out
 
-        if any(
-            type(q).__name__ == "FuzzyLikeThisQuery"
-            for q in bq.must + bq.should
-        ):
+        if any(type(q).__name__ in lazy for q in bq.must + bq.should):
             return BooleanQuery(
                 must=fix(bq.must), should=fix(bq.should),
                 must_not=list(bq.must_not),
+                min_should_match=bq.min_should_match,
             )
         return bq
 

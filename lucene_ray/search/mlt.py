@@ -90,6 +90,50 @@ def select_mlt_terms_from_tv(
     return [t for _, t in scored[:max_query_terms]]
 
 
+class MoreLikeThisQuery:
+    """queries/mlt/MoreLikeThisQuery.java — the LAZY form the XML
+    LikeThisQuery element builds: rewrite(reader) selects the MLT terms
+    and applies percentTermsToMatch as minimumNumberShouldMatch
+    (MoreLikeThisQuery.rewrite)."""
+
+    def __init__(
+        self,
+        like_text: str,
+        analyzer,
+        max_query_terms: int = 20,
+        min_term_freq: int = 1,
+        min_doc_freq: int = MLT_MIN_DOC_FREQ,
+        percent_terms_to_match: float = 0.3,
+        boost: float = 1.0,
+    ):
+        self.like_text = like_text
+        self.analyzer = analyzer
+        self.max_query_terms = max_query_terms
+        self.min_term_freq = min_term_freq
+        self.min_doc_freq = min_doc_freq
+        self.percent_terms_to_match = percent_terms_to_match
+        self.boost = boost
+
+    def rewrite(self, reader) -> BooleanQuery:
+        bq = more_like_this(
+            reader,
+            self.like_text,
+            self.analyzer,
+            max_query_terms=self.max_query_terms,
+            min_term_freq=self.min_term_freq,
+            min_doc_freq=self.min_doc_freq,
+        )
+        bq.min_should_match = int(
+            len(bq.should) * self.percent_terms_to_match
+        )
+        if self.boost != 1.0:
+            bq.should = [
+                TermQuery(t.term, boost=t.boost * self.boost)
+                for t in bq.should
+            ]
+        return bq
+
+
 def more_like_this(
     reader,
     text: str,

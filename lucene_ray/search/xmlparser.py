@@ -254,6 +254,26 @@ class CoreParser:
             boost=self._boost(el),
         )
 
+    def _q_LikeThisQuery(self, el):
+        """LikeThisQueryBuilder (CorePlusQueries): MoreLikeThisQuery from
+        the element text (lazy, rewritten by the searcher);
+        percentTermsToMatch becomes minimumNumberShouldMatch. Multi-field
+        fieldNames are out of scope here (the content field only)."""
+        from lucene_ray.search.mlt import MoreLikeThisQuery
+
+        text = (el.text or "").strip()
+        if not text:
+            raise XMLParseError("<LikeThisQuery> needs like-text")
+        return MoreLikeThisQuery(
+            text,
+            self.analyzer,
+            max_query_terms=int(el.get("maxQueryTerms", 20)),
+            min_term_freq=int(el.get("minTermFrequency", 1)),
+            percent_terms_to_match=float(el.get("percentTermsToMatch", 30))
+            / 100.0,
+            boost=self._boost(el),
+        )
+
     def _q_FuzzyLikeThisQuery(self, el):
         """FuzzyLikeThisQueryBuilder (queryparser/xml/builders/
         FuzzyLikeThisQueryBuilder.java): maxNumTerms / ignoreTF on the

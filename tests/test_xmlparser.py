@@ -172,3 +172,27 @@ def test_boosting_term_element():
     assert len(td.docids) > 0
     # payload avg for 'merge' occurrences = len('merge') = 5 everywhere
     assert all(abs(x - 5.0) < 1e-6 for x in td.scores.tolist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_like_this_element():
+    """LikeThisQueryBuilder: lazy MLT, percentTermsToMatch ->
+    minimumNumberShouldMatch at rewrite."""
+    from lucene_ray.ops.bm25docs import _engine_index
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.reader import IndexReader
+
+    s = IndexSearcher(_engine_index(SF))
+    q = P.parse(
+        '<LikeThisQuery maxQueryTerms="8" percentTermsToMatch="50">'
+        "merge the window sort batch</LikeThisQuery>"
+    )
+    inner = q.should[0]
+    rw = inner.rewrite(IndexReader(_engine_index(SF)))
+    assert rw.should and rw.min_should_match == int(len(rw.should) * 0.5)
+    td = s.search(q, 1 << 20)
+    td2 = s.search(rw, 1 << 20)
+    assert sorted(td.docids.tolist()) == sorted(td2.docids.tolist())
+    assert len(td.docids) > 0
+    with pytest.raises(XMLParseError):
+        P.parse("<LikeThisQuery/>")
