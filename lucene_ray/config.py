@@ -67,3 +67,11 @@ DEFAULT_TOP_K = 10
 # must fit a worker heap) and keeps query slices uniform — the analog of
 # IndexSearcher's 250K-doc slice cap (IndexSearcher.java:105).
 TARGET_DOCS_PER_SEGMENT = 250_000
+
+# ... and the BYTE bound beside the doc bound: a segment spec also closes
+# once its row groups exceed this much COMPRESSED input (Parquet footer
+# total_byte_size), so giant documents cannot blow a task's heap — the
+# IndexWriter 16 MB-RAM-buffer flush trigger (IndexWriterConfig.java:83),
+# scaled for a columnar batch build (tokenized state is ~5-10x the
+# compressed input; 64 MiB in -> a few-GB-bounded task at worst).
+SEGMENT_TARGET_INPUT_BYTES = 64 << 20

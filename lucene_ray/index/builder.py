@@ -265,20 +265,42 @@ def plan_segments(
     input_paths: list[str],
     target_docs: int = TARGET_DOCS_PER_SEGMENT,
     variant: str = "",
+    target_bytes: int | None = None,
 ) -> list[SegmentSpec]:
     """Split inputs into docid-contiguous segment specs at row-group
-    granularity, from Parquet footers only (no data read)."""
+    granularity, from Parquet footers only (no data read). A spec closes
+    at EITHER bound: ``target_docs`` rows or ``target_bytes`` of
+    compressed input (config.SEGMENT_TARGET_INPUT_BYTES — the
+    IndexWriter RAM-buffer flush analog), so per-task memory stays
+    bounded for any document size. Both bounds derive from footers only,
+    keeping the plan — and therefore every docid — independent of
+    parallelism."""
+    from lucene_ray.config import SEGMENT_TARGET_INPUT_BYTES
+
+    if target_bytes is None:
+        target_bytes = SEGMENT_TARGET_INPUT_BYTES
     specs: list[SegmentSpec] = []
     base = 0
     seg_idx = 0
     for path in sorted(input_paths):
         meta = pq.read_metadata(path)
         rg_rows = [meta.row_group(i).num_rows for i in range(meta.num_row_groups)]
+        rg_bytes = [
+            meta.row_group(i).total_byte_size
+            for i in range(meta.num_row_groups)
+        ]
         start = 0
         while start < len(rg_rows):
-            end, acc = start, 0
-            while end < len(rg_rows) and (acc == 0 or acc + rg_rows[end] <= target_docs):
+            end, acc, accb = start, 0, 0
+            while end < len(rg_rows) and (
+                acc == 0
+                or (
+                    acc + rg_rows[end] <= target_docs
+                    and accb + rg_bytes[end] <= target_bytes
+                )
+            ):
                 acc += rg_rows[end]
+                accb += rg_bytes[end]
                 end += 1
             specs.append(SegmentSpec(seg_idx, path, start, end, acc, base, variant))
             base += acc

@@ -190,3 +190,31 @@ def test_degenerate_corpus(tmp_path, ray_session):
     td = s.search(BooleanQuery(should=[MatchAllDocsQuery()]), 10)
     assert td.docids.tolist() == [0, 1, 2, 3]
     assert check_index(ix)["ok"]
+
+
+def test_plan_segments_byte_bound(tmp_path):
+    """A spec closes at the COMPRESSED-byte bound even when far under the
+    doc bound (the RAM-buffer flush analog) — giant docs cannot produce a
+    task-heap-blowing segment; bounds derive from footers only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.builder import plan_segments
+
+    big = "x" * 100_000  # ~100 KB per doc, incompressible-ish
+    t = pa.table({
+        "repo": ["r"] * 64, "path": [f"p{i}" for i in range(64)],
+        "commit": ["0" * 40] * 64, "lang": ["en"] * 64,
+        "content": [big + str(i) for i in range(64)],
+    })
+    f = str(tmp_path / "big.parquet")
+    pq.write_table(t, f, row_group_size=8, compression="none")
+    # 8 row groups x ~800 KB; a 2 MB byte budget packs 2 groups per spec
+    specs = plan_segments([f], target_docs=1_000_000, target_bytes=2 << 20)
+    assert len(specs) == 4
+    assert [s.n_docs for s in specs] == [16, 16, 16, 16]
+    # docid bases stay contiguous prefix sums regardless of the budget
+    assert [s.docid_base for s in specs] == [0, 16, 32, 48]
+    # one oversized row group still gets its own spec (acc == 0 override)
+    specs1 = plan_segments([f], target_docs=1_000_000, target_bytes=1)
+    assert len(specs1) == 8 and all(s.n_docs == 8 for s in specs1)
