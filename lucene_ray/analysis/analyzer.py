@@ -682,6 +682,113 @@ class SoundexAnalyzer(PhoneticAnalyzer):
     encoder = "soundex"
 
 
+class Caverphone2Analyzer(PhoneticAnalyzer):
+    name = "phonetic_caverphone2"
+    encoder = "caverphone2"
+
+
+class NysiisAnalyzer(PhoneticAnalyzer):
+    name = "phonetic_nysiis"
+    encoder = "nysiis"
+
+
+class MultiPhoneticAnalyzer(CodeAnalyzer):
+    """CodeAnalyzer chain + a MULTI-code phonetic filter in inject mode.
+    Unlike PhoneticFilter (phonetic first), DoubleMetaphoneFilter
+    (DoubleMetaphoneFilter.java:50-100) and DaitchMokotoffSoundexFilter
+    (DaitchMokotoffSoundexFilter.java:63-90) emit the ORIGINAL token
+    first, then every code as a posInc==0 twin in encoder order (primary
+    then alternate; D-M branch order). Tokens with no codes pass through
+    unchanged (the filters' 12345-style behavior). ``has_overlaps``
+    discounts the twins from norms."""
+
+    name = "phonetic_dmetaphone"
+    multi_encoder = "double_metaphone"
+    has_overlaps = True
+
+    def tokenize_flat(self, texts, with_offsets: bool = False):
+        from lucene_ray.analysis.phonetic import encode_multi_vocab
+
+        res = super().tokenize_flat(texts, with_offsets=with_offsets)
+        row_idx, terms, positions = res[0], res[1], res[2]
+        if len(row_idx) == 0:
+            return res
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        d = (
+            terms
+            if isinstance(terms, pa.DictionaryArray)
+            else terms.dictionary_encode()
+        )
+        vocab = d.dictionary.to_pylist()
+        codes_v = encode_multi_vocab(vocab, self.multi_encoder)
+        if not any(codes_v):
+            return res
+        # vocab-level flat code table + per-entry offsets, then a pure
+        # numpy gather expands it to the token stream (no per-token loop)
+        counts_v = np.array([len(c) for c in codes_v], dtype=np.int64)
+        flat_codes_v = np.array(
+            [c for lst in codes_v for c in lst], dtype=object
+        )
+        starts_v = np.concatenate([[0], np.cumsum(counts_v)[:-1]])
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = counts_v[idx]  # codes per token
+        total = int(cnt.sum())
+        tok_end = np.cumsum(cnt)
+        slot = np.arange(total, dtype=np.int64) - np.repeat(
+            tok_end - cnt, cnt
+        )  # 0..cnt-1 within each token
+        gather = np.repeat(starts_v[idx], cnt) + slot
+        code_terms = pa.array(flat_codes_v[gather].tolist(), type=pa.string())
+        comb_row = np.concatenate([row_idx, np.repeat(row_idx, cnt)])
+        comb_pos = np.concatenate([positions, np.repeat(positions, cnt)])
+        plain = (
+            terms.cast(pa.string())
+            if isinstance(terms, pa.DictionaryArray)
+            else terms
+        )
+        comb_terms = pa.concat_arrays([plain, code_terms])
+        # original FIRST within the position, codes after in slot order
+        key = np.concatenate(
+            [np.zeros(len(row_idx), np.int64), slot + 1]
+        )
+        o = np.lexsort((key, comb_pos, comb_row))
+        out = (
+            comb_row[o],
+            comb_terms.take(pa.array(o)),
+            comb_pos[o].astype(positions.dtype),
+        )
+        if with_offsets:
+            st, ln = res[3], res[4]
+            out = out + (
+                np.concatenate([st, np.repeat(st, cnt)])[o],
+                np.concatenate([ln, np.repeat(ln, cnt)])[o],
+            )
+        return out
+
+    def tokenize_array(self, texts):
+        from lucene_ray.analysis.phonetic import MULTI_ENCODERS
+
+        enc = MULTI_ENCODERS[self.multi_encoder]
+        toks = super().tokenize_array(texts)
+        out = []
+        for row in toks.to_pylist():
+            r = []
+            for t in row:
+                r.append(t)
+                r.extend(enc(t))
+            out.append(r)
+        return pa.array(out, type=pa.list_(pa.string()))
+
+    def tokenize_text(self, text: str) -> list[str]:
+        return self.tokenize_array(pa.array([text], type=pa.string()))[0].as_py()
+
+
+class DaitchMokotoffAnalyzer(MultiPhoneticAnalyzer):
+    name = "phonetic_dmsoundex"
+    multi_encoder = "dm_soundex"
+
+
 class WhitespaceAnalyzer:
     """analysis/core/WhitespaceAnalyzer.java: split on whitespace runs,
     NO lowercasing, no filters. ASCII whitespace class [\\t\\n\\f\\r ] on BOTH
@@ -2125,6 +2232,10 @@ _REGISTRY = {
     "icu_normalize": ICUNormalizeAnalyzer,
     "phonetic_metaphone": PhoneticAnalyzer,
     "phonetic_soundex": SoundexAnalyzer,
+    "phonetic_caverphone2": Caverphone2Analyzer,
+    "phonetic_nysiis": NysiisAnalyzer,
+    "phonetic_dmetaphone": MultiPhoneticAnalyzer,
+    "phonetic_dmsoundex": DaitchMokotoffAnalyzer,
     "english": EnglishAnalyzer,
     "english_snowball": EnglishSnowballAnalyzer,
     "english_kstem": EnglishKStemAnalyzer,

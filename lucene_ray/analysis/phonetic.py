@@ -22,6 +22,7 @@ replaces the token.
 
 from __future__ import annotations
 
+import re
 from functools import lru_cache
 
 _SOUNDEX_MAP = {}
@@ -196,10 +197,160 @@ def refined_soundex(term: str) -> str:
     return "".join(out)
 
 
+_CAVERPHONE_STARTS = (
+    ("cough", "cou2f"), ("rough", "rou2f"), ("tough", "tou2f"),
+    ("enough", "enou2f"), ("trough", "trou2f"), ("gn", "2n"),
+)
+# ordered replacement table — order is part of the published spec
+_CAVERPHONE_STEP6 = (
+    ("cq", "2q"), ("ci", "si"), ("ce", "se"), ("cy", "sy"), ("tch", "2ch"),
+    ("c", "k"), ("q", "k"), ("x", "k"), ("v", "f"), ("dg", "2g"),
+    ("tio", "sio"), ("tia", "sia"), ("d", "t"), ("ph", "fh"), ("b", "p"),
+    ("sh", "s2"), ("z", "s"),
+)
+
+
+@lru_cache(maxsize=65536)
+def caverphone2(term: str) -> str:
+    """Caverphone 2.0 (David Hood, University of Otago CTP150804, 2004 —
+    the published revised spec, the encoder behind commons-codec
+    Caverphone2 that the reference's PhoneticFilter factory exposes).
+    Returns the fixed 10-character key, or '' for empty input. Pinned by
+    TestPhoneticFilter's Darda/Karleen/Datha/Carlene -> TTA1111111 /
+    KLN1111111 vectors plus spec-derived examples."""
+    s = "".join(c for c in term.lower() if "a" <= c <= "z")
+    if not s:
+        return ""
+    if s.endswith("e"):
+        s = s[:-1]
+    for pre, rep in _CAVERPHONE_STARTS:
+        if s.startswith(pre):
+            s = rep + s[len(pre):]
+            break
+    if s.endswith("mb"):
+        s = s[:-2] + "m2"
+    for pat, rep in _CAVERPHONE_STEP6:
+        s = s.replace(pat, rep)
+    # vowels: initial -> A, medial -> 3
+    if s and s[0] in "aeiou":
+        s = "A" + s[1:]
+    s = "".join("3" if c in "aeiou" else c for c in s)
+    s = s.replace("j", "y")
+    if s.startswith("y3"):
+        s = "Y3" + s[2:]
+    elif s.startswith("y"):
+        s = "A" + s[1:]
+    s = s.replace("y", "3")
+    s = s.replace("3gh3", "3kh3").replace("gh", "22").replace("g", "k")
+    for c in "stpkfmn":
+        s = re.sub(c + "+", c.upper(), s)
+    s = s.replace("w3", "W3").replace("wh3", "Wh3")
+    if s.endswith("w"):
+        s = s[:-1] + "3"
+    s = s.replace("w", "2")
+    if s.startswith("h"):
+        s = "A" + s[1:]
+    s = s.replace("h", "2")
+    s = s.replace("r3", "R3")
+    if s.endswith("r"):
+        s = s[:-1] + "3"
+    s = s.replace("r", "2")
+    s = s.replace("l3", "L3")
+    if s.endswith("l"):
+        s = s[:-1] + "3"
+    s = s.replace("l", "2")
+    s = s.replace("2", "")
+    if s.endswith("3"):
+        s = s[:-1] + "A"
+    s = s.replace("3", "")
+    return (s + "1111111111")[:10]
+
+
+_NYSIIS_VOWELS = frozenset("AEIOU")
+
+
+def _nysiis_transcode(prev: str, curr: str, nxt: str, anext: str) -> str:
+    """One remaining-character transcode (Taft 1970 rules, commons-codec
+    ordering): returns the chars written back over positions i.. of the
+    working buffer."""
+    if curr == "E" and nxt == "V":
+        return "AF"
+    if curr in _NYSIIS_VOWELS:
+        return "A"
+    if curr == "Q":
+        return "G"
+    if curr == "Z":
+        return "S"
+    if curr == "M":
+        return "N"
+    if curr == "K":
+        return "NN" if nxt == "N" else "C"
+    if curr == "S" and nxt == "C" and anext == "H":
+        return "SSS"
+    if curr == "P" and nxt == "H":
+        return "FF"
+    if curr == "H" and (prev not in _NYSIIS_VOWELS or nxt not in _NYSIIS_VOWELS):
+        return prev
+    if curr == "W" and prev in _NYSIIS_VOWELS:
+        return "A"
+    return curr
+
+
+@lru_cache(maxsize=65536)
+def nysiis(term: str, strict: bool = True) -> str:
+    """NYSIIS (Robert Taft, New York State Identification and Intelligence
+    System, 1970 — the published algorithm behind commons-codec Nysiis).
+    ``strict`` (the reference factory default) truncates the key to 6.
+    Pinned by TestPhoneticFilter's aaa/bbb/ccc/easgasg -> A/B/C/EASGAS."""
+    s = "".join(c for c in term.upper() if "A" <= c <= "Z")
+    if not s:
+        return ""
+    # first-characters translation
+    if s.startswith("MAC"):
+        s = "MCC" + s[3:]
+    elif s.startswith("KN"):
+        s = "NN" + s[2:]
+    elif s.startswith("K"):
+        s = "C" + s[1:]
+    elif s.startswith("PH") or s.startswith("PF"):
+        s = "FF" + s[2:]
+    elif s.startswith("SCH"):
+        s = "SSS" + s[3:]
+    # last-characters translation
+    if s.endswith("EE") or s.endswith("IE"):
+        s = s[:-2] + "Y"
+    elif s[-2:] in ("DT", "RT", "RD", "NT", "ND"):
+        s = s[:-2] + "D"
+    chars = list(s)
+    key = [chars[0]]
+    n = len(chars)
+    for i in range(1, n):
+        nxt = chars[i + 1] if i < n - 1 else " "
+        anext = chars[i + 2] if i < n - 2 else " "
+        transcoded = _nysiis_transcode(chars[i - 1], chars[i], nxt, anext)
+        # write back so later prev/next see transcoded values
+        for j, tc in enumerate(transcoded):
+            if i + j < n:
+                chars[i + j] = tc
+        if chars[i] != key[-1]:
+            key.append(chars[i])
+    if len(key) > 1:
+        if key[-1] == "S":
+            key.pop()
+        if len(key) > 2 and key[-2] == "A" and key[-1] == "Y":
+            del key[-2]
+        if len(key) > 1 and key[-1] == "A":
+            key.pop()
+    out = "".join(key)
+    return out[:6] if strict else out
+
+
 ENCODERS = {
     "soundex": soundex,
     "metaphone": metaphone,
     "refined_soundex": refined_soundex,
+    "caverphone2": caverphone2,
+    "nysiis": nysiis,
 }
 
 
@@ -226,3 +377,44 @@ def encode_terms(terms, encoder: str):
     idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     out = np.array(codes, dtype=object)[idx]
     return pa.array(out.tolist(), type=pa.string())
+
+
+def _double_metaphone_codes(term: str) -> list[str]:
+    """DoubleMetaphoneFilter.incrementToken's emission set
+    (DoubleMetaphoneFilter.java:50-100): primary if non-empty and != the
+    term; alternate additionally only if != primary."""
+    from lucene_ray.analysis.dmetaphone import double_metaphone
+
+    primary, alternate = double_metaphone(term)
+    codes: list[str] = []
+    if primary and primary != term:
+        codes.append(primary)
+        if alternate and alternate != primary:
+            codes.append(alternate)
+    return codes
+
+
+def _dm_soundex_codes(term: str) -> list[str]:
+    from lucene_ray.analysis.dmsoundex import dm_soundex
+
+    return list(dm_soundex(term))
+
+
+# term -> ordered code list (possibly empty = pass-through)
+MULTI_ENCODERS = {
+    "double_metaphone": _double_metaphone_codes,
+    "dm_soundex": _dm_soundex_codes,
+}
+
+
+def encode_multi_vocab(vocab: list[str], encoder: str) -> list[list[str]]:
+    """Per-vocab-entry ordered code lists (unique-value work — callers
+    dictionary-encode the token stream first)."""
+    enc = MULTI_ENCODERS[encoder]
+    out: list[list[str]] = []
+    for t in vocab:
+        try:
+            out.append(enc(t))
+        except Exception:
+            out.append([])
+    return out
