@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-yet-recorded gates are placed first (VERDICT r3 #2); the
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
+        "phonetic_doclen": text.phonetic_doclen,
         "geo3d_engine": bm25docs.geo3d_engine,
         "bigpoint_engine": bm25docs.bigpoint_engine,
         "distfeature_topk": bm25docs.distfeature_topk,
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
     return {
+        "phonetic_doclen": text.phonetic_doclen_sql(),
         "dedup_hotkeys": dedup.dedup_hotkeys_sql(),
         "parser_escape_engine": bm25docs.parser_escape_engine_sql(),
         "shape_polygon_engine": bm25docs.shape_polygon_engine_sql(),

@@ -2101,3 +2101,56 @@ WITH tok AS (
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
 FROM per_doc GROUP BY term
 """
+
+
+def phonetic_doclen(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_dm, n_dms) per document through the phonetic_dmetaphone
+    and phonetic_dmsoundex chains (analysis/analyzer.py
+    MultiPhoneticAnalyzer — DoubleMetaphoneFilter.java /
+    DaitchMokotoffSoundexFilter.java inject mode). The ORACLE-checkable
+    half: injected codes are posInc-0 overlaps, so the count of DISTINCT
+    POSITIONS per doc equals the plain code-tokenizer count (exact SQL
+    mirror) for BOTH chains — witnessing that every original survives and
+    every code lands on an occupied position. The code VALUES are covered
+    by the encoder goldens (tests/test_phonetic.py), not SQL. Pure
+    map_batches, no shuffle."""
+    from lucene_ray.analysis.analyzer import (
+        DaitchMokotoffAnalyzer,
+        MultiPhoneticAnalyzer,
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text").combine_chunks()
+        n = batch.num_rows
+        out = {"doc_id": pa.array(doc_ids, type=pa.int64())}
+        for col, an in (
+            ("n_dm", MultiPhoneticAnalyzer()),
+            ("n_dms", DaitchMokotoffAnalyzer()),
+        ):
+            row_idx, _terms, pos = an.tokenize_flat(text)[:3]
+            # distinct (row, position) pairs = non-overlap token count
+            if len(row_idx):
+                width = int(pos.max()) + 1
+                key = row_idx.astype(np.int64) * width + pos.astype(np.int64)
+                rows = (np.unique(key) // width).astype(np.int64)
+                counts = np.bincount(rows, minlength=n).astype(np.int64)
+            else:
+                counts = np.zeros(n, np.int64)
+            out[col] = pa.array(counts, type=pa.int64())
+        return pa.table(out)
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+def phonetic_doclen_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n, 0) AS n_dm, coalesce(a.n, 0) AS n_dms
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""

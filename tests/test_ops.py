@@ -159,6 +159,14 @@ class TestTextOps:
 
         assert_same(text.gopher_quality(SF), con, text.gopher_quality_sql())
 
+    def test_phonetic_doclen(self, con):
+        """Distinct-position counts through both multi-code phonetic
+        chains == the plain tokenizer count (every injected code is a
+        posInc-0 overlap)."""
+        from lucene_ray.ops import text
+
+        assert_same(text.phonetic_doclen(SF), con, text.phonetic_doclen_sql())
+
     def test_gopher_rules_fire(self, tmp_path):
         """Planted corpus: one clean doc passes, a too-short doc and a
         symbol-heavy doc fail the integer rules."""

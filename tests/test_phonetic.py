@@ -266,3 +266,55 @@ def test_index_and_search_by_dmetaphone_code(ray_session, tmp_path):
     assert sorted(td.docids.tolist()) == [0, 1]
     td2 = s.search(BooleanQuery(must=[TermQuery("smith")]), 10)
     assert td2.docids.tolist() == [0]
+
+
+def test_encoders_never_throw_property():
+    """checkRandomData analog (the reference runs every phonetic filter
+    over random unicode): encoders accept anything, codes stay in their
+    declared charsets, and the filter emission conditions hold."""
+    from hypothesis import given, settings, strategies as st
+
+    from lucene_ray.analysis.dmetaphone import double_metaphone
+    from lucene_ray.analysis.dmsoundex import dm_soundex
+    from lucene_ray.analysis.phonetic import caverphone2, nysiis
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=24))
+    def prop(s):
+        p, a = double_metaphone(s)
+        assert set(p) <= set("ABCDEFGHIJKLMNOPQRSTUVWXYZ0 ")
+        assert len(p) <= 4 and len(a) <= 4
+        for code in dm_soundex(s):
+            assert len(code) == 6 and code.isdigit()
+        cv = caverphone2(s)
+        assert cv == "" or (
+            len(cv) == 10 and set(cv) <= set("ABCDEFGHKLMNPRSTWY123")
+        )
+        ny = nysiis(s)
+        assert len(ny) <= 6 and set(ny) <= set("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+    prop()
+
+
+def test_multi_phonetic_chain_property():
+    """Random ascii-ish text through both multi-code chains: originals
+    are preserved in order, twins only ever share positions."""
+    from hypothesis import given, settings, strategies as st
+
+    from lucene_ray.analysis import get_analyzer
+
+    base = get_analyzer("code")
+    dmet = get_analyzer("phonetic_dmetaphone")
+    dms = get_analyzer("phonetic_dmsoundex")
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60))
+    def prop(s):
+        plain = base.tokenize_text(s)
+        for an in (dmet, dms):
+            toks = an.tokenize_text(s)
+            # the original tokens appear as a subsequence, in order
+            it = iter(toks)
+            assert all(t in it for t in plain), (s, plain, toks)
+
+    prop()
