@@ -56,6 +56,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-yet-recorded gates are placed first (VERDICT r3 #2); the
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
+        "groupheads_engine": bm25docs.groupheads_engine,
+        "distinctvalues_engine": bm25docs.distinctvalues_engine,
+        "groupfacet_engine": bm25docs.groupfacet_engine,
+        "rangegroup_engine": bm25docs.rangegroup_engine,
+        "blockgroup_engine": bm25docs.blockgroup_engine,
         "phonetic_doclen": text.phonetic_doclen,
         "geo3d_engine": bm25docs.geo3d_engine,
         "bigpoint_engine": bm25docs.bigpoint_engine,
@@ -257,6 +262,11 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
     return {
+        "groupheads_engine": bm25docs.groupheads_engine_sql(),
+        "distinctvalues_engine": bm25docs.distinctvalues_engine_sql(),
+        "groupfacet_engine": bm25docs.groupfacet_engine_sql(),
+        "rangegroup_engine": bm25docs.rangegroup_engine_sql(),
+        "blockgroup_engine": bm25docs.blockgroup_engine_sql(),
         "phonetic_doclen": text.phonetic_doclen_sql(),
         "dedup_hotkeys": dedup.dedup_hotkeys_sql(),
         "parser_escape_engine": bm25docs.parser_escape_engine_sql(),

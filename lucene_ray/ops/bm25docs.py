@@ -8387,3 +8387,325 @@ SELECT 0 AS qid, doc_id AS docid FROM m
 UNION ALL
 SELECT 1 AS qid, doc_id AS docid FROM m WHERE doc_id % 11 <> 0
 """
+
+
+# ---------------------------------------------------------------------------
+# grouping-package completion (round 5): AllGroupHeadsCollector,
+# DistinctValuesCollector, TermGroupFacetCollector, LongRangeGroupSelector,
+# BlockGroupingCollector — see search/grouping.py for the reference mapping.
+# Stored-field column map: corpus repo <- documents.source, lang <- lang.
+
+GROUPHEADS_QUERIES: list[tuple[int, str, str]] = [
+    (0, "merge", "lang"),
+    (1, "stream", "repo"),
+]
+
+RANGEGROUP_BOUNDS = (150, 100, 450)  # (min, width, max) over n_chars
+
+
+def groupheads_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): AllGroupHeadsCollector — the single head doc of EVERY
+    group among each query's matches (n_chars desc, docid asc within a
+    group). Float-free, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.grouping import all_group_heads
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, term, fld in GROUPHEADS_QUERIES:
+        heads = all_group_heads(s, term, fld, "n_chars")
+        out_q.extend([qid] * len(heads))
+        out_d.extend(heads.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def groupheads_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    col = {"lang": "lang", "repo": "source"}
+    parts = []
+    for qid, term, fld in GROUPHEADS_QUERIES:
+        c = col[fld]
+        parts.append(f"""
+SELECT {qid} AS qid, doc_id AS docid FROM (
+  SELECT d.doc_id,
+         row_number() OVER (PARTITION BY d.{c}
+                            ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn
+  FROM documents d
+  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+) WHERE rn = 1""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+def distinctvalues_engine(sf_dir: str) -> pa.Table:
+    """(qid, grp, val): DistinctValuesCollector — distinct repo values per
+    top-2 lang group (groups by hit count desc, value asc) of each query's
+    matches. Float-free, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.grouping import distinct_values
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_g, out_v = [], [], []
+    for qid, term in ((0, "merge"), (1, "window")):
+        for grp, vals in distinct_values(s, term, "lang", "repo", 2):
+            for v in vals:
+                out_q.append(qid)
+                out_g.append(grp)
+                out_v.append(v)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "grp": pa.array(out_g, type=pa.string()),
+            "val": pa.array(out_v, type=pa.string()),
+        }
+    )
+
+
+def distinctvalues_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    ctes, selects = [], []
+    for qid, term in ((0, "merge"), (1, "window")):
+        ctes.append(
+            f"hits{qid} AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}'),\n"
+            f"g{qid} AS (SELECT d.lang AS gv, count(*) AS cnt FROM documents d "
+            f"JOIN hits{qid} USING (doc_id) GROUP BY d.lang),\n"
+            f"topg{qid} AS (SELECT gv FROM g{qid} "
+            f"QUALIFY row_number() OVER (ORDER BY cnt DESC, gv ASC) <= 2)"
+        )
+        selects.append(
+            f"SELECT DISTINCT {qid} AS qid, d.lang AS grp, d.source AS val "
+            f"FROM documents d JOIN hits{qid} USING (doc_id) "
+            f"WHERE d.lang IN (SELECT gv FROM topg{qid})"
+        )
+    cte_block = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+{cte_block}
+{union}
+"""
+
+
+def groupfacet_engine(sf_dir: str) -> pa.Table:
+    """(qid, facet, n): TermGroupFacetCollector — per repo facet value,
+    the number of DISTINCT lang groups having a matching doc with it
+    (each (group, facet) pair counts once). Float-free, SQL-checked
+    exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.grouping import group_facet_counts
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_f, out_n = [], [], []
+    for qid, term in ((0, "merge"), (1, "stream")):
+        for facet, n in group_facet_counts(s, term, "lang", "repo"):
+            out_q.append(qid)
+            out_f.append(facet)
+            out_n.append(n)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "facet": pa.array(out_f, type=pa.string()),
+            "n": pa.array(out_n, type=pa.int64()),
+        }
+    )
+
+
+def groupfacet_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, term in ((0, "merge"), (1, "stream")):
+        parts.append(
+            f"SELECT {qid} AS qid, d.source AS facet, "
+            f"count(DISTINCT d.lang) AS n FROM documents d WHERE d.doc_id IN "
+            f"(SELECT DISTINCT doc_id FROM tok WHERE term = '{term}') "
+            f"GROUP BY d.source"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+def rangegroup_engine(sf_dir: str) -> pa.Table:
+    """(qid, lo, rank, docid): LongRangeGroupSelector grouping — group key
+    = the LongRangeFactory({RANGEGROUP_BOUNDS}) bucket of n_chars; top 3
+    groups by (hit count desc, lo asc), top 2 docs per group by (n_chars
+    desc, docid asc). Below-min bucket lo = LONG_MIN. Float-free,
+    SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.grouping import range_group_topk
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    r_min, width, r_max = RANGEGROUP_BOUNDS
+    out = {"qid": [], "lo": [], "rank": [], "docid": []}
+    for qid, term in ((0, "merge"), (1, "window")):
+        for g in range_group_topk(s, term, "n_chars", r_min, width, r_max):
+            for r, d in enumerate(g.docids):
+                out["qid"].append(qid)
+                out["lo"].append(g.group_value[0])
+                out["rank"].append(r)
+                out["docid"].append(int(d))
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "lo": pa.array(out["lo"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "docid": pa.array(out["docid"], type=pa.int64()),
+        }
+    )
+
+
+def rangegroup_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    r_min, width, r_max = RANGEGROUP_BOUNDS
+    long_min = -(1 << 63)
+    bucket = (
+        f"CASE WHEN length(d.text) < {r_min} THEN CAST({long_min} AS BIGINT) "
+        f"WHEN length(d.text) >= {r_max} THEN {r_max} "
+        f"ELSE {r_min} + ((length(d.text) - {r_min}) // {width}) * {width} END"
+    )
+    ctes, selects = [], []
+    for qid, term in ((0, "merge"), (1, "window")):
+        ctes.append(
+            f"hits{qid} AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}'),\n"
+            f"b{qid} AS (SELECT d.doc_id, length(d.text) AS v, {bucket} AS lo "
+            f"FROM documents d JOIN hits{qid} USING (doc_id)),\n"
+            f"g{qid} AS (SELECT lo, count(*) AS cnt FROM b{qid} GROUP BY lo),\n"
+            f"topg{qid} AS (SELECT lo FROM g{qid} "
+            f"QUALIFY row_number() OVER (ORDER BY cnt DESC, lo ASC) <= 3),\n"
+            f"docs{qid} AS (SELECT lo, doc_id, row_number() OVER "
+            f"(PARTITION BY lo ORDER BY v DESC, doc_id ASC) - 1 AS rank FROM b{qid})"
+        )
+        selects.append(
+            f"SELECT {qid} AS qid, d.lo, d.rank::INTEGER AS rank, "
+            f"d.doc_id AS docid FROM docs{qid} d "
+            f"WHERE d.lo IN (SELECT lo FROM topg{qid}) AND d.rank < 2"
+        )
+    cte_block = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+{cte_block}
+{union}
+"""
+
+
+def blockgroup_engine(sf_dir: str) -> pa.Table:
+    """(qid, parent, rank, docid): BlockGroupingCollector — hits grouped
+    by enclosing doc block (blockjoin_engine's 3-children+parent layout,
+    parent docid = 4i+3); top 3 blocks by (hit count desc, parent asc),
+    top 2 hits per block in docid order. Float-free, SQL-checked
+    exactly."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.grouping import block_group_topk
+    from lucene_ray.search.query import BooleanQuery, TermQuery
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    texts = docs.column("text").take(pa.array(order)).to_pylist()
+    n_blocks = len(texts) // 3
+    rows = []
+    for i in range(n_blocks):
+        for j in range(3):
+            rows.append(
+                {"repo": "child", "path": f"c/{i}/{j}", "commit": "0",
+                 "lang": "txt", "content": texts[3 * i + j]}
+            )
+        rows.append(
+            {"repo": "parent", "path": f"p/{i}", "commit": "0",
+             "lang": "txt", "content": f"parentdoc b{i}"}
+        )
+    os.makedirs("/tmp/lucene_ray_cache", exist_ok=True)
+    ix = tempfile.mkdtemp(prefix="docs_bg_", dir="/tmp/lucene_ray_cache")
+    src = ix + "_corpus.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), src, row_group_size=256)
+    try:
+        build_index([src], ix, target_docs=512)
+        s = IndexSearcher(ix)
+        out = {"qid": [], "parent": [], "rank": [], "docid": []}
+        for qid, term in ((0, "merge"), (1, "window")):
+            for g in block_group_topk(
+                s,
+                BooleanQuery(should=[TermQuery(term)]),
+                BooleanQuery(should=[TermQuery("repo:parent")]),
+            ):
+                for r, d in enumerate(g.docids):
+                    out["qid"].append(qid)
+                    out["parent"].append(g.group_value)
+                    out["rank"].append(r)
+                    out["docid"].append(int(d))
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], type=pa.int64()),
+                "parent": pa.array(out["parent"], type=pa.int64()),
+                "rank": pa.array(out["rank"], type=pa.int32()),
+                "docid": pa.array(out["docid"], type=pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+        if os.path.exists(src):
+            os.remove(src)
+
+
+def blockgroup_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    ctes, selects = [], []
+    for qid, term in ((0, "merge"), (1, "window")):
+        ctes.append(
+            f"h{qid} AS (SELECT rk // 3 AS blk, (rk // 3) * 4 + (rk % 3) AS docid "
+            f"FROM ranked WHERE rk < 3 * (SELECT n FROM nb) AND doc_id IN "
+            f"(SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')),\n"
+            f"g{qid} AS (SELECT blk, count(*) AS cnt FROM h{qid} GROUP BY blk),\n"
+            f"topg{qid} AS (SELECT blk FROM g{qid} "
+            f"QUALIFY row_number() OVER (ORDER BY cnt DESC, blk ASC) <= 3),\n"
+            f"d{qid} AS (SELECT blk, docid, row_number() OVER "
+            f"(PARTITION BY blk ORDER BY docid ASC) - 1 AS rank FROM h{qid})"
+        )
+        selects.append(
+            f"SELECT {qid} AS qid, blk * 4 + 3 AS parent, "
+            f"rank::INTEGER AS rank, docid FROM d{qid} "
+            f"WHERE blk IN (SELECT blk FROM topg{qid}) AND rank < 2"
+        )
+    cte_block = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), ranked AS (
+  SELECT doc_id, (row_number() OVER (ORDER BY doc_id) - 1) AS rk
+  FROM documents
+), nb AS (
+  SELECT (count(*) // 3) AS n FROM documents
+),
+{cte_block}
+{union}
+"""

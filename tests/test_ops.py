@@ -2034,3 +2034,121 @@ class TestPackSequences:
             .reset_index(drop=True)
         )
         assert (a.values == b.values).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupingCompletion:
+    """grouping-package completion (round 5): AllGroupHeadsCollector,
+    DistinctValuesCollector, TermGroupFacetCollector,
+    LongRangeGroupSelector, BlockGroupingCollector + GroupingSearch."""
+
+    def test_groupheads_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.groupheads_engine(SF), con,
+            bm25docs.groupheads_engine_sql(),
+        )
+
+    def test_distinctvalues_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.distinctvalues_engine(SF), con,
+            bm25docs.distinctvalues_engine_sql(),
+        )
+
+    def test_groupfacet_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.groupfacet_engine(SF), con,
+            bm25docs.groupfacet_engine_sql(),
+        )
+
+    def test_rangegroup_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.rangegroup_engine(SF), con,
+            bm25docs.rangegroup_engine_sql(),
+        )
+
+    def test_blockgroup_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.blockgroup_engine(SF), con,
+            bm25docs.blockgroup_engine_sql(),
+        )
+
+    def test_heads_are_one_per_group_and_match_group_topk(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import IndexSearcher, fetch_stored
+        from lucene_ray.search.grouping import all_group_heads, group_topk
+
+        s = IndexSearcher(_engine_index(SF))
+        heads = all_group_heads(s, "merge", "lang", "n_chars")
+        stored = fetch_stored(s.reader, heads)
+        langs = stored.column("lang").to_pylist()
+        assert len(set(langs)) == len(heads)  # exactly one head per group
+        # a group selected by group_topk has its rank-0 doc == the head
+        for g in group_topk(s, "merge", "lang", "n_chars", 3, 1):
+            assert int(g.docids[0]) in set(int(h) for h in heads)
+        # missing term -> empty
+        assert len(all_group_heads(s, "zzzmissing", "lang", "n_chars")) == 0
+
+    def test_long_range_bucket_boundaries(self):
+        import numpy as np
+
+        from lucene_ray.search.grouping import (
+            LONG_MAX,
+            LONG_MIN,
+            long_range_bucket,
+        )
+
+        v = np.array([149, 150, 249, 250, 449, 450, 10_000, -5])
+        lo, hi = long_range_bucket(v, 150, 100, 450)
+        assert lo.tolist() == [
+            LONG_MIN, 150, 150, 250, 350, 450, 450, LONG_MIN
+        ]
+        assert hi.tolist() == [
+            150, 250, 250, 350, 450, LONG_MAX, LONG_MAX, 150
+        ]
+
+    def test_grouping_search_facade(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import IndexSearcher, all_groups
+        from lucene_ray.search.grouping import GroupingSearch, group_topk
+
+        s = IndexSearcher(_engine_index(SF))
+        gs = (
+            GroupingSearch("lang")
+            .set_sort_within_group("n_chars")
+            .set_group_docs_limit(2)
+            .set_all_groups()
+            .set_all_group_heads()
+        )
+        res = gs.search(s, "merge", group_limit=3)
+        direct = group_topk(s, "merge", "lang", "n_chars", 3, 2)
+        assert [g.group_value for g in res] == [g.group_value for g in direct]
+        assert [g.docids.tolist() for g in res] == [
+            g.docids.tolist() for g in direct
+        ]
+        assert gs.get_all_matching_groups() == all_groups(s, "merge", "lang")
+        assert len(gs.get_all_group_heads()) == len(
+            gs.get_all_matching_groups()
+        )
+
+    def test_facade_side_outputs_require_optin(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.grouping import GroupingSearch
+
+        s = IndexSearcher(_engine_index(SF))
+        gs = GroupingSearch("lang")
+        gs.search(s, "merge")
+        with pytest.raises(RuntimeError):
+            gs.get_all_matching_groups()
+        with pytest.raises(RuntimeError):
+            gs.get_all_group_heads()
