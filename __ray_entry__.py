@@ -56,6 +56,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-yet-recorded gates are placed first (VERDICT r3 #2); the
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
+        "hfpoint_engine": bm25docs.hfpoint_engine,
+        "fpnearest_engine": bm25docs.fpnearest_engine,
+        "fpmultirange_engine": bm25docs.fpmultirange_engine,
         "groupheads_engine": bm25docs.groupheads_engine,
         "distinctvalues_engine": bm25docs.distinctvalues_engine,
         "groupfacet_engine": bm25docs.groupfacet_engine,
@@ -262,6 +265,9 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
     return {
+        "hfpoint_engine": bm25docs.hfpoint_engine_sql(),
+        "fpnearest_engine": bm25docs.fpnearest_engine_sql(),
+        "fpmultirange_engine": bm25docs.fpmultirange_engine_sql(),
         "groupheads_engine": bm25docs.groupheads_engine_sql(),
         "distinctvalues_engine": bm25docs.distinctvalues_engine_sql(),
         "groupfacet_engine": bm25docs.groupfacet_engine_sql(),

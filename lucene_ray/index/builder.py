@@ -178,21 +178,24 @@ RANGE_DERIVERS = {
 # (InetAddressPoint / BigIntegerPoint — search/bigpoint.py).
 def _numeric_dv_derivers():
     from lucene_ray.search.bigpoint import synth_ip_hi, synth_ip_lo
-    from lucene_ray.search.floatpoint import _synth_dscore
-
-    from lucene_ray.search.floatpoint import _synth_fscore
+    from lucene_ray.search.floatpoint import (
+        _synth_dscore,
+        _synth_fscore,
+        _synth_hfscore,
+    )
 
     return {
         "ip_hi": synth_ip_hi,
         "ip_lo": synth_ip_lo,
-        # DoublePoint / FloatPoint demo fields (sortable-encoded floats —
-        # search/floatpoint.py)
+        # DoublePoint / FloatPoint / HalfFloatPoint demo fields
+        # (sortable-encoded floats — search/floatpoint.py)
         "dscore": _synth_dscore,
         "fscore": _synth_fscore,
+        "hfscore": _synth_hfscore,
     }
 
 
-NUMERIC_DV_DERIVED = ("ip_hi", "ip_lo", "dscore", "fscore")
+NUMERIC_DV_DERIVED = ("ip_hi", "ip_lo", "dscore", "fscore", "hfscore")
 
 
 def _payload_term_length(terms: pa.Array, positions: np.ndarray) -> np.ndarray:

@@ -8709,3 +8709,167 @@ WITH tok AS (
 {cte_block}
 {union}
 """
+
+
+# ---------------------------------------------------------------------------
+# sandbox/document completion (round 5): HalfFloatPoint field,
+# FloatPointNearestNeighbor, DoublePointMultiRangeBuilder.
+
+def _engine_index_hf(sf_dir: str) -> str:
+    """Documents index with the HalfFloatPoint demo field (hfscore =
+    sortable short of fp16(n_chars - 300) — search/floatpoint.py)."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_hf_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192, dv_fields=("hfscore",))
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+def _hfpoint_queries():
+    from lucene_ray.search import floatpoint as fp
+
+    # every bound is fp16-exact (|v| < 2048 integers; 87.5 has ulp 1/16
+    # at that magnitude), so the oracle compares plain arithmetic
+    return [
+        (0, fp.half_range_query("hfscore", -150.0, 87.5),
+         "(length(d.text) - 300) >= -150 AND (length(d.text) - 300) <= 87.5"),
+        (1, fp.half_range_query("hfscore", None, -96.0),
+         "(length(d.text) - 300) <= -96"),
+        (2, fp.half_exact_query("hfscore", -263.0),
+         "(length(d.text) - 300) = -263"),
+        (3, fp.half_set_query("hfscore", [-263.0, 0.0, 17.0, 2047.0]),
+         "(length(d.text) - 300) IN (-263, 0, 17, 2047)"),
+    ]
+
+
+def hfpoint_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): HalfFloatPoint range/exact/set queries
+    (sandbox/document/HalfFloatPoint.java newRangeQuery/newSetQuery) over
+    the sortable-short encoded field — util/halffloat.py encoder, bounds
+    encoded with the same transform the builder stored. Values and bounds
+    are fp16-exact, so the oracle is integer arithmetic."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery
+
+    ix = _engine_index_hf(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q, _sql in _hfpoint_queries():
+        td = s.search(BooleanQuery(must=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def hfpoint_engine_sql() -> str:
+    parts = [
+        f"SELECT {qid} AS qid, d.doc_id AS docid FROM documents d WHERE {cond}"
+        for qid, _q, cond in _hfpoint_queries()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+FPNEAREST_ORIGINS = [(-18.7, 7), (0.0, 7), (4.25, 7)]
+
+
+def fpnearest_engine(sf_dir: str) -> pa.Table:
+    """(qid, rank, docid): FloatPointNearestNeighbor.nearest
+    (sandbox/document/FloatPointNearestNeighbor.java) over the dscore
+    double point — k nearest by |value - origin|, docid-asc tie-break.
+    Engine distances and the oracle's both compute
+    abs((n_chars - 500)*0.1 - origin) in IEEE float64, so ranks match
+    exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.floatpoint import point_nearest
+
+    ix = _engine_index_fpoint(sf_dir)
+    s = IndexSearcher(ix)
+    out = {"qid": [], "rank": [], "docid": []}
+    for qid, (origin, k) in enumerate(FPNEAREST_ORIGINS):
+        for r, (doc, _dist) in enumerate(
+            point_nearest(s.reader, "dscore", origin, k)
+        ):
+            out["qid"].append(qid)
+            out["rank"].append(r)
+            out["docid"].append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "docid": pa.array(out["docid"], type=pa.int64()),
+        }
+    )
+
+
+def fpnearest_engine_sql() -> str:
+    from lucene_ray.search.floatpoint import sql_dscore
+
+    v = sql_dscore("length(d.text)")
+    parts = []
+    for qid, (origin, k) in enumerate(FPNEAREST_ORIGINS):
+        parts.append(f"""
+SELECT {qid} AS qid, (row_number() OVER (
+    ORDER BY abs({v} - ({origin!r})), d.doc_id) - 1)::INTEGER AS rank,
+  d.doc_id AS docid
+FROM documents d
+QUALIFY rank < {k}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _fpmultirange_queries():
+    from lucene_ray.search import floatpoint as fp
+
+    v = fp.sql_dscore("length(d.text)")
+    return [
+        (0, fp.double_multi_range_query(
+            "dscore", [(-30.0, -25.5), (0.05, 2.0), (11.75, None)]),
+         f"({v} >= -30.0 AND {v} <= -25.5) OR ({v} >= 0.05 AND {v} <= 2.0)"
+         f" OR ({v} >= 11.75)"),
+        (1, fp.double_multi_range_query(
+            "dscore", [(None, -44.0), (-1.0, 1.0)]),
+         f"({v} <= -44.0) OR ({v} >= -1.0 AND {v} <= 1.0)"),
+    ]
+
+
+def fpmultirange_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): DoublePointMultiRangeBuilder
+    (sandbox/document/DoublePointMultiRangeBuilder.java) — one
+    MultiRangeQuery per query over sortable-encoded double ranges (value
+    in ANY range, open bounds included). Exact: encoding is an order
+    isomorphism, the oracle compares raw doubles."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery
+
+    ix = _engine_index_fpoint(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, q, _sql in _fpmultirange_queries():
+        td = s.search(BooleanQuery(must=[q]), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def fpmultirange_engine_sql() -> str:
+    parts = [
+        f"SELECT {qid} AS qid, d.doc_id AS docid FROM documents d WHERE {cond}"
+        for qid, _q, cond in _fpmultirange_queries()
+    ]
+    return "\nUNION ALL\n".join(parts)

@@ -144,3 +144,144 @@ def float_range_query(field: str, lower: float, upper: float):
         int(float_to_sortable_int(np.float32(lower))),
         int(float_to_sortable_int(np.float32(upper))),
     )
+
+
+def double_multi_range_query(field: str, ranges):
+    """DoublePointMultiRangeBuilder (sandbox/document/
+    DoublePointMultiRangeBuilder.java): a MultiRangeQuery whose [lo, hi]
+    pairs are the sortable-encoded double bounds — value in ANY range,
+    bounds inclusive, None = open."""
+    from lucene_ray.search.query import MultiRangeQuery
+
+    enc = tuple(
+        (
+            None if lo is None else int(double_to_sortable_long(float(lo))),
+            None if hi is None else int(double_to_sortable_long(float(hi))),
+        )
+        for lo, hi in ranges
+    )
+    return MultiRangeQuery(field, enc)
+
+
+# ------------------------------------------------ HalfFloatPoint field
+
+def _synth_hfscore(table, global_docids) -> np.ndarray:
+    """HalfFloatPoint demo field: (n_chars - 300) narrowed to float16 and
+    stored as the sortable short (sandbox/document/HalfFloatPoint.java —
+    util/halffloat.py encoder). |n_chars - 300| < 2048, so every value is
+    EXACTLY representable in fp16 and the oracle compares plain ints."""
+    import pyarrow.compute as pc
+
+    from lucene_ray.util.halffloat import half_float_to_sortable_short
+
+    ln = (
+        pc.fill_null(pc.utf8_length(table.column("content").combine_chunks()), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    return half_float_to_sortable_short(
+        (ln - 300.0).astype(np.float32)
+    ).astype(np.int64)
+
+
+def half_range_query(field: str, lower: float | None, upper: float | None):
+    """HalfFloatPoint.newRangeQuery (bounds inclusive after the fp16
+    narrowing — callers wanting exclusive bounds use halffloat
+    next_up/next_down, as the reference documents)."""
+    from lucene_ray.search.query import PointRangeQuery
+    from lucene_ray.util.halffloat import half_float_range_bounds
+
+    lo, hi = half_float_range_bounds(lower, upper)
+    return PointRangeQuery(field, lo, hi)
+
+
+def half_exact_query(field: str, value: float):
+    return half_range_query(field, value, value)
+
+
+def half_set_query(field: str, values):
+    """HalfFloatPoint.newSetQuery over the sortable shorts."""
+    from lucene_ray.search.query import PointInSetQuery
+    from lucene_ray.util.halffloat import half_float_to_sortable_short
+
+    return PointInSetQuery(
+        field,
+        tuple(sorted(int(half_float_to_sortable_short(float(v))) for v in values)),
+    )
+
+
+# ------------------------------------------- FloatPointNearestNeighbor
+
+def point_nearest(
+    reader,
+    field: str,
+    origin: float,
+    k: int,
+    decode=sortable_long_to_double,
+    encode=double_to_sortable_long,
+) -> list[tuple[int, float]]:
+    """FloatPointNearestNeighbor.nearest (sandbox/document/
+    FloatPointNearestNeighbor.java) over a 1-D sortable-encoded point
+    field: the k docs whose decoded value is nearest to ``origin``,
+    ordered (distance asc, docid asc — the reference pops its hit queue
+    with the higher-docID-is-worse tie-break, :195).
+
+    Per segment, a two-pointer walk outward from the origin's position in
+    the value-sorted points table — each side is distance-monotone
+    (decoded order == sortable order), so the merge yields that segment's
+    k nearest in O(log n + k + t) where t is the final tie run, decoding
+    ONLY the visited rows; the driver merges k rows per segment (the same
+    bounded-reduce shape as spatial.nearest_topk). Deleted docs are
+    skipped. Returns [(global_docid, distance)]."""
+    out: list[tuple[float, int]] = []
+    enc_origin = encode(float(origin))
+    for e in reader.segments:
+        sr = reader.segment_reader(e.name)
+        pts = sr._points_table()
+        if field not in pts:
+            continue
+        vals, docs = pts[field]
+        if sr.live_mask is not None:
+            keep = sr.live_mask[docs]
+            vals, docs = vals[keep], docs[keep]
+        n = len(vals)
+        if n == 0:
+            continue
+
+        def dist_at(i):
+            return abs(float(decode(int(vals[i]))) - origin)
+
+        pos = int(np.searchsorted(vals, enc_origin, side="left"))
+        lo, hi = pos - 1, pos
+        got: list[tuple[float, int]] = []
+        while len(got) < k and (lo >= 0 or hi < n):
+            dl = dist_at(lo) if lo >= 0 else math.inf
+            dh = dist_at(hi) if hi < n else math.inf
+            if dl < dh:
+                got.append((dl, int(docs[lo])))
+                lo -= 1
+            elif dh < dl:
+                got.append((dh, int(docs[hi])))
+                hi += 1
+            else:
+                # equal distances: emit both (trim later), docid order is
+                # restored by the final sort
+                got.append((dl, int(docs[lo])))
+                got.append((dh, int(docs[hi])))
+                lo -= 1
+                hi += 1
+        # same-distance rows just outside the window may carry LOWER
+        # docids than an admitted one; extend through every row tied
+        # with the current worst distance before cutting to k
+        if got:
+            worst = max(d for d, _ in got)
+            while lo >= 0 and dist_at(lo) <= worst:
+                got.append((dist_at(lo), int(docs[lo])))
+                lo -= 1
+            while hi < n and dist_at(hi) <= worst:
+                got.append((dist_at(hi), int(docs[hi])))
+                hi += 1
+        got.sort()
+        out.extend((d, g + sr.docid_base) for d, g in got[:k])
+    out.sort()
+    return [(doc, dist) for dist, doc in out[:k]]

@@ -2152,3 +2152,103 @@ class TestGroupingCompletion:
             gs.get_all_matching_groups()
         with pytest.raises(RuntimeError):
             gs.get_all_group_heads()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSandboxDocumentCompletion:
+    """sandbox/document completion: HalfFloatPoint field,
+    FloatPointNearestNeighbor, DoublePointMultiRangeBuilder."""
+
+    def test_hfpoint_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.hfpoint_engine(SF), con, bm25docs.hfpoint_engine_sql()
+        )
+
+    def test_fpnearest_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.fpnearest_engine(SF), con,
+            bm25docs.fpnearest_engine_sql(),
+        )
+
+    def test_fpmultirange_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.fpmultirange_engine(SF), con,
+            bm25docs.fpmultirange_engine_sql(),
+        )
+
+    def test_point_nearest_matches_brute_force(self):
+        from lucene_ray.ops.bm25docs import _engine_index_fpoint
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.floatpoint import (
+            point_nearest,
+            sortable_long_to_double,
+        )
+        from lucene_ray.search.reader import IndexReader
+
+        rd = IndexReader(_engine_index_fpoint(SF))
+        # brute force: gather every (decoded value, global docid)
+        vals, docs = [], []
+        for e in rd.segments:
+            sr = rd.segment_reader(e.name)
+            v, d = sr._points_table()["dscore"]
+            vals.append(sortable_long_to_double(v))
+            docs.append(d + sr.docid_base)
+        vals = np.concatenate(vals)
+        docs = np.concatenate(docs)
+        for origin in (-18.7, 0.0, 4.25, 1e9, -1e9):
+            dist = np.abs(vals - origin)
+            order = np.lexsort((docs, dist))[:9]
+            want = list(zip(docs[order].tolist(), dist[order].tolist()))
+            got = point_nearest(rd, "dscore", origin, 9)
+            assert got == [(int(d), float(x)) for d, x in want], origin
+
+    def test_point_nearest_skips_deleted(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.index.writer import delete_by_term
+        from lucene_ray.search.floatpoint import point_nearest
+        from lucene_ray.search.reader import IndexReader
+
+        rows = [
+            {"repo": "r", "path": f"p/{i}", "commit": "0", "lang": "txt",
+             # content length i+1 -> dscore = (i+1-500)*0.1 strictly
+             # increasing with docid
+             "content": "x" * (i + 1)}
+            for i in range(40)
+        ]
+        src = str(tmp_path / "c.parquet")
+        ix = str(tmp_path / "ix")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        build_index([src], ix, dv_fields=("dscore",))
+        origin = (20 - 500) * 0.1  # doc 19's exact value
+        before = point_nearest(IndexReader(ix), "dscore", origin, 1)
+        assert before[0][0] == 19 and before[0][1] == 0.0
+        delete_by_term(ix, "path:p/19")
+        after = point_nearest(IndexReader(ix), "dscore", origin, 3)
+        assert 19 not in [d for d, _ in after]
+        assert len(after) == 3
+
+    def test_half_set_and_multirange_do_not_duplicate(self):
+        from lucene_ray.ops.bm25docs import _engine_index_fpoint
+        from lucene_ray.search import floatpoint as fp
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.query import BooleanQuery
+
+        s = IndexSearcher(_engine_index_fpoint(SF))
+        # overlapping ranges must yield each doc once
+        q = fp.double_multi_range_query(
+            "dscore", [(-50.0, 5.0), (0.0, 50.0)]
+        )
+        td = s.search(BooleanQuery(must=[q]), 1 << 20)
+        assert len(td.docids) == len(set(td.docids.tolist()))
+        single = fp.double_range_query("dscore", -50.0, 50.0)
+        td2 = s.search(BooleanQuery(must=[single]), 1 << 20)
+        assert sorted(td.docids.tolist()) == sorted(td2.docids.tolist())
