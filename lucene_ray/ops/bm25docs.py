@@ -8873,3 +8873,213 @@ def fpmultirange_engine_sql() -> str:
         for qid, _q, cond in _fpmultirange_queries()
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# classification/utils completion (round 5): DatasetSplitter +
+# ConfusionMatrixGenerator (see search/classification.py).
+
+DATASET_SPLIT_RATIOS = (0.2, 0.1)  # (test, cross-validation)
+
+
+def _datasetsplit_sql_ctes() -> str:
+    """CTE chain ending in ``splits(doc_id, split)`` — the closed form of
+    DatasetSplitter.split's sequential loop (proof in
+    classification.dataset_split's docstring)."""
+    tr, cr = DATASET_SPLIT_RATIOS
+    return f"""sg AS (
+  SELECT doc_id, lang,
+         min(doc_id) OVER (PARTITION BY lang) AS gfirst,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+), sb AS (
+  SELECT *, row_number() OVER (ORDER BY gfirst, doc_id) - 1 AS b FROM sg
+), se AS (
+  SELECT *, row_number() OVER (PARTITION BY lang, b % 2 ORDER BY b) - 1 AS er
+  FROM sb
+), st0 AS (
+  SELECT *, (b % 2 = 0 AND er < n * {tr}) AS is_test FROM se
+), sc AS (
+  SELECT *, row_number() OVER (PARTITION BY lang, is_test ORDER BY b) - 1 AS cr
+  FROM st0
+), splits AS (
+  SELECT doc_id, CASE WHEN is_test THEN 'test'
+                      WHEN cr < n * {cr} THEN 'cv'
+                      ELSE 'train' END AS split
+  FROM sc
+)"""
+
+
+def datasetsplit_engine(sf_dir: str) -> pa.Table:
+    """(docid, split): DatasetSplitter
+    (classification/utils/DatasetSplitter.java) — stratified
+    train/test/cv assignment over the lang classes, reference loop
+    semantics via the closed-form rank predicates. Integer/ratio
+    arithmetic only, SQL-checked exactly."""
+    from lucene_ray.search.classification import dataset_split
+    from lucene_ray.search.engine import IndexSearcher
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    tr, cr = DATASET_SPLIT_RATIOS
+    docids, splits = dataset_split(s, "lang", tr, cr)
+    return pa.table(
+        {
+            "docid": pa.array(docids.tolist(), type=pa.int64()),
+            "split": pa.array(splits.tolist(), type=pa.string()),
+        }
+    )
+
+
+def datasetsplit_engine_sql() -> str:
+    return f"""
+WITH {_datasetsplit_sql_ctes()}
+SELECT doc_id AS docid, split FROM splits
+"""
+
+
+def _engine_index_trainsplit(sf_dir: str) -> str:
+    """Index over ONLY the DatasetSplitter train docs (the classifier
+    training side of the ConfusionMatrixGenerator workflow)."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+    from lucene_ray.search.classification import dataset_split
+    from lucene_ray.search.engine import IndexSearcher
+
+    tr, cr = DATASET_SPLIT_RATIOS
+    s = IndexSearcher(_engine_index(sf_dir))
+    docids, splits = dataset_split(s, "lang", tr, cr)
+    train = set(docids[splits == "train"].tolist())
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_nbtrain_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    src = ix + "_corpus.parquet"
+    if not os.path.exists(src):
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        keep = pa.array([i in train for i in t.column("doc_id").to_pylist()])
+        t = t.filter(keep)
+        corpus = pa.table(
+            {
+                "repo": t.column("source").cast(pa.string()),
+                "path": pa.array(
+                    [f"doc/{i}" for i in t.column("doc_id").to_pylist()]
+                ),
+                "commit": pa.array(["0" * 40] * t.num_rows, type=pa.string()),
+                "lang": t.column("lang").cast(pa.string()),
+                "content": t.column("text").cast(pa.string()),
+            }
+        )
+        os.makedirs("/tmp/lucene_ray_cache", exist_ok=True)
+        pq.write_table(corpus, src + ".tmp", row_group_size=16384)
+        os.replace(src + ".tmp", src)
+    build_index([src], ix, target_docs=8192)
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+def nbconfusion_engine(sf_dir: str) -> pa.Table:
+    """(actual, predicted, n): ConfusionMatrixGenerator
+    (classification/utils/ConfusionMatrixGenerator.java) — SimpleNaiveBayes
+    trained on the DatasetSplitter train docs classifies every test doc;
+    the matrix counts (actual lang, predicted lang). Predictions compare
+    bit-identical float64 NB scores on both sides (left-assoc ln chains
+    — the SQL folds each chain with an ordered list_reduce), so the
+    integer matrix is exact."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.search.classification import (
+        confusion_matrix,
+        dataset_split,
+    )
+    from lucene_ray.search.engine import IndexSearcher
+
+    tr, cr = DATASET_SPLIT_RATIOS
+    s_full = IndexSearcher(_engine_index(sf_dir))
+    docids, splits = dataset_split(s_full, "lang", tr, cr)
+    test = set(docids[splits == "test"].tolist())
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    items = sorted(
+        (int(i), str(lg), str(tx))
+        for i, lg, tx in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("text").to_pylist(),
+        )
+        if int(i) in test
+    )
+    s_train = IndexSearcher(_engine_index_trainsplit(sf_dir))
+    cm = confusion_matrix(s_train, [(lg, tx) for _i, lg, tx in items], "lang")
+    return pa.table(
+        {
+            "actual": pa.array([a for a, _p, _n in cm], type=pa.string()),
+            "predicted": pa.array([p for _a, p, _n in cm], type=pa.string()),
+            "n": pa.array([n for _a, _p, n in cm], type=pa.int64()),
+        }
+    )
+
+
+def nbconfusion_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH {_datasetsplit_sql_ctes()},
+train AS (
+  SELECT d.* FROM documents d JOIN splits s ON d.doc_id = s.doc_id
+  WHERE s.split = 'train'
+), test AS (
+  SELECT d.* FROM documents d JOIN splits s ON d.doc_id = s.doc_id
+  WHERE s.split = 'test'
+), ttok_all AS (
+  SELECT doc_id, unnest({toks}) AS term FROM train
+), ttok AS (
+  SELECT DISTINCT doc_id, term FROM ttok_all
+), nb AS (
+  SELECT (SELECT count(*) FROM ttok)::DOUBLE AS np,
+         (SELECT count(DISTINCT doc_id) FROM ttok_all)::DOUBLE AS dcc,
+         (SELECT count(*) FROM train)::DOUBLE AS dwc
+), classes AS (
+  SELECT lang AS cls, count(*)::DOUBLE AS dfc FROM train GROUP BY lang
+), td0 AS (
+  SELECT doc_id, lang AS actual, {toks} AS l FROM test
+), tt AS (
+  SELECT doc_id, actual,
+         unnest(generate_series(1, len(l))) AS ord,
+         unnest(l) AS term
+  FROM td0
+), hits AS (
+  SELECT k.term, tr.lang AS cls, count(*) AS h
+  FROM ttok k JOIN train tr ON tr.doc_id = k.doc_id
+  WHERE k.term IN (SELECT DISTINCT term FROM tt)
+  GROUP BY k.term, tr.lang
+), lnvals AS (
+  SELECT tt.doc_id, tt.actual, tt.ord, c.cls,
+         ln((coalesce(h.h, 0) + 1) /
+            ((nb.np / nb.dcc) * c.dfc + nb.dwc)) AS v
+  FROM tt CROSS JOIN classes c
+  LEFT JOIN hits h ON h.term = tt.term AND h.cls = c.cls
+  CROSS JOIN nb
+), chains AS (
+  SELECT doc_id, actual, cls, list(v ORDER BY ord) AS vs
+  FROM lnvals GROUP BY doc_id, actual, cls
+), scored AS (
+  SELECT t0.doc_id, t0.actual, c.cls,
+         (ln(c.dfc) - ln(nb.dwc)) +
+         coalesce(list_reduce(ch.vs, (a, b) -> a + b), 0.0) AS score
+  FROM (SELECT doc_id, actual FROM td0) t0
+  CROSS JOIN classes c
+  LEFT JOIN chains ch ON ch.doc_id = t0.doc_id AND ch.cls = c.cls
+  CROSS JOIN nb
+), pred AS (
+  SELECT doc_id, actual, cls AS predicted,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls ASC) AS rn
+  FROM scored
+)
+SELECT actual, predicted, count(*) AS n
+FROM pred WHERE rn = 1
+GROUP BY actual, predicted
+"""

@@ -92,3 +92,139 @@ class SimpleNaiveBayesClassifier:
     def assign_class(self, text: str) -> str | None:
         res = self.assign_classes(text)
         return res[0][0] if res else None
+
+
+class CachingNaiveBayesClassifier(SimpleNaiveBayesClassifier):
+    """CachingNaiveBayesClassifier (classification/
+    CachingNaiveBayesClassifier.java): identical results to SimpleNaiveBayes
+    with the per-(word, class) hit counts memoized across calls (the
+    reference's reInitCache word->class map). Scores are bit-identical to
+    the parent — only the count lookups are cached."""
+
+    def __init__(self, searcher, class_field: str = "lang"):
+        self._cache: dict[tuple, int] = {}  # before super(): __init__ counts
+        super().__init__(searcher, class_field)
+
+    def _count(self, must: list) -> int:
+        key = tuple(sorted(q.term for q in must))
+        if key not in self._cache:
+            self._cache[key] = super()._count(must)
+        return self._cache[key]
+
+
+def dataset_split(
+    searcher,
+    class_field: str = "lang",
+    test_ratio: float = 0.2,
+    cv_ratio: float = 0.1,
+) -> tuple:
+    """DatasetSplitter.split (classification/utils/DatasetSplitter.java:80-165)
+    as a closed form: the reference walks classes grouped by
+    Sort.INDEXORDER (groups ordered by first docid, docs within a group in
+    docid order) with a GLOBAL doc counter b, assigning doc -> test when
+    (b even AND tc < n_class*test_ratio), else -> cv when
+    (cvc < n_class*cv_ratio), else train. Because b increments on EVERY
+    doc regardless of assignment, the loop is equivalent to two rank
+    predicates: an even-b doc is test iff its 0-based rank among the
+    class's even-b docs < n*test_ratio, and a non-test doc is cv iff its
+    0-based rank among the class's non-test docs < n*cv_ratio (induction:
+    every earlier candidate under the cap was admitted). The closed form
+    is pure window arithmetic — it distributes as map_batches over
+    (class, docid) ranks at scale, unlike the sequential loop.
+
+    Returns (docids, splits) — int64 global docids ascending and a
+    parallel object array of 'train' | 'test' | 'cv'."""
+    import numpy as np
+
+    from lucene_ray.search.engine import fetch_stored
+    from lucene_ray.search.query import BooleanQuery, MatchAllDocsQuery
+
+    td = searcher.search(BooleanQuery(must=[MatchAllDocsQuery()]), 1 << 62)
+    docids = np.sort(td.docids)
+    if len(docids) == 0:
+        return docids, np.array([], dtype=object)
+    stored = fetch_stored(searcher.reader, docids)
+    cls = np.asarray(stored.column(class_field).to_pylist(), dtype=object)
+    splits = np.empty(len(docids), dtype=object)
+    # group order = first docid per class; docids is ascending, so the
+    # class of each first occurrence orders the groups (reference
+    # GroupingSearch groupSort=INDEXORDER) — and b is the global rank in
+    # (group, docid) order
+    _, first_idx = np.unique(cls, return_index=True)
+    group_order = {cls[i]: i for i in np.sort(first_idx)}
+    order = np.lexsort((docids, np.array([group_order[c] for c in cls])))
+    b = np.empty(len(docids), dtype=np.int64)
+    b[order] = np.arange(len(docids))
+    for c in group_order:
+        sel = np.nonzero(cls == c)[0]  # docid-asc within the class
+        n = len(sel)
+        even = b[sel] % 2 == 0
+        tc_before = np.cumsum(even) - even  # 0-based even rank
+        is_test = even & (tc_before < n * test_ratio)
+        non_test = ~is_test
+        cvc_before = np.cumsum(non_test) - non_test
+        is_cv = non_test & (cvc_before < n * cv_ratio)
+        s = np.where(is_test, "test", np.where(is_cv, "cv", "train"))
+        splits[sel] = s
+    return docids, splits
+
+
+def confusion_matrix(
+    train_searcher,
+    test_items,
+    class_field: str = "lang",
+) -> list[tuple[str, str, int]]:
+    """ConfusionMatrixGenerator.getConfusionMatrix (classification/utils/
+    ConfusionMatrixGenerator.java): classify each (actual, text) test item
+    with SimpleNaiveBayes trained on ``train_searcher`` and count
+    (actual, predicted) pairs. Returns sorted (actual, predicted, n).
+
+    Scoring is the SimpleNaiveBayesClassifier chain verbatim (prior +
+    left-assoc per-token ln sums, math.log floats — bit-identical to the
+    SQL oracle); the per-token class hit counts come from ONE term search
+    per distinct token (matched docs' stored class gather), cached across
+    test items — the CachingNaiveBayes strategy, same counts as the
+    per-class conjunction counts."""
+    from collections import Counter
+
+    from lucene_ray.search.engine import fetch_stored
+
+    clf = SimpleNaiveBayesClassifier(train_searcher, class_field)
+    avg_unique = clf.sum_doc_freq / clf.doc_count_content
+    dwc = clf.docs_with_class
+    params = []
+    for c in clf.classes:
+        df_c = clf._count([TermQuery(f"{class_field}:{c}")])
+        if df_c == 0:
+            continue
+        params.append(
+            (c, math.log(df_c) - math.log(dwc), avg_unique * df_c + dwc)
+        )
+    cache: dict[str, Counter] = {}
+
+    def class_hits(w: str) -> Counter:
+        if w not in cache:
+            td = train_searcher.search(BooleanQuery(must=[TermQuery(w)]), 1 << 62)
+            if len(td.docids) == 0:
+                cache[w] = Counter()
+            else:
+                stored = fetch_stored(train_searcher.reader, td.docids)
+                cache[w] = Counter(stored.column(class_field).to_pylist())
+        return cache[w]
+
+    matrix: Counter = Counter()
+    for actual, text in test_items:
+        tokens = train_searcher.analyzer.tokenize_text(text)
+        best = None
+        for c, prior, den in params:
+            loglik = 0.0
+            for w in tokens:
+                loglik += math.log((class_hits(w)[c] + 1) / den)
+            score = prior + loglik
+            if best is None or score > best[0] or (
+                score == best[0] and c < best[1]
+            ):
+                best = (score, c)
+        if best is not None:
+            matrix[(actual, best[1])] += 1
+    return sorted((a, p, n) for (a, p), n in matrix.items())

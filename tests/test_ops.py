@@ -2252,3 +2252,81 @@ class TestSandboxDocumentCompletion:
         single = fp.double_range_query("dscore", -50.0, 50.0)
         td2 = s.search(BooleanQuery(must=[single]), 1 << 20)
         assert sorted(td.docids.tolist()) == sorted(td2.docids.tolist())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClassificationUtils:
+    """classification/utils completion: DatasetSplitter closed form ==
+    the reference's sequential loop; ConfusionMatrixGenerator;
+    CachingNaiveBayes parity."""
+
+    def test_datasetsplit_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.datasetsplit_engine(SF), con,
+            bm25docs.datasetsplit_engine_sql(),
+        )
+
+    def test_nbconfusion_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.nbconfusion_engine(SF), con,
+            bm25docs.nbconfusion_engine_sql(),
+        )
+
+    def test_closed_form_equals_reference_loop(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.classification import dataset_split
+        from lucene_ray.search.engine import IndexSearcher, fetch_stored
+
+        s = IndexSearcher(_engine_index(SF))
+        for tr, cr in ((0.2, 0.1), (0.35, 0.0), (0.0, 0.5), (1.0, 0.0)):
+            docids, splits = dataset_split(s, "lang", tr, cr)
+            # the reference loop (DatasetSplitter.java:137-165): global b,
+            # per-class tc/cvc, sequential
+            stored = fetch_stored(s.reader, docids)
+            cls = stored.column("lang").to_pylist()
+            first = {}
+            for d, c in zip(docids.tolist(), cls):
+                first.setdefault(c, d)
+            order = sorted(
+                range(len(docids)),
+                key=lambda i: (first[cls[i]], docids[i]),
+            )
+            n = {c: cls.count(c) for c in set(cls)}
+            tc, cvc, b = {}, {}, 0
+            want = {}
+            for i in order:
+                c = cls[i]
+                if b % 2 == 0 and tc.get(c, 0) < n[c] * tr:
+                    want[int(docids[i])] = "test"
+                    tc[c] = tc.get(c, 0) + 1
+                elif cvc.get(c, 0) < n[c] * cr:
+                    want[int(docids[i])] = "cv"
+                    cvc[c] = cvc.get(c, 0) + 1
+                else:
+                    want[int(docids[i])] = "train"
+                b += 1
+            got = dict(zip(docids.tolist(), splits.tolist()))
+            assert got == want, (tr, cr)
+
+    def test_caching_nb_matches_simple_nb(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.classification import (
+            CachingNaiveBayesClassifier,
+            SimpleNaiveBayesClassifier,
+        )
+        from lucene_ray.search.engine import IndexSearcher
+
+        s = IndexSearcher(_engine_index(SF))
+        a = SimpleNaiveBayesClassifier(s, "lang")
+        b = CachingNaiveBayesClassifier(s, "lang")
+        for text in ("merge sort window", "stream batch join merge"):
+            assert a.assign_classes(text) == b.assign_classes(text)
+        # second call hits the cache, identical again
+        assert a.assign_classes("merge sort window") == b.assign_classes(
+            "merge sort window"
+        )
+        assert len(b._cache) > 0
