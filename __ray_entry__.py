@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-yet-recorded gates are placed first (VERDICT r3 #2); the
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
+        "decomposed_percolate": bm25docs.decomposed_percolate,
+        "monitor_highlights": bm25docs.monitor_highlights,
         "datasetsplit_engine": bm25docs.datasetsplit_engine,
         "nbconfusion_engine": bm25docs.nbconfusion_engine,
         "hfpoint_engine": bm25docs.hfpoint_engine,
@@ -267,6 +269,8 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
     return {
+        "decomposed_percolate": bm25docs.decomposed_percolate_sql(),
+        "monitor_highlights": bm25docs.monitor_highlights_sql(),
         "datasetsplit_engine": bm25docs.datasetsplit_engine_sql(),
         "nbconfusion_engine": bm25docs.nbconfusion_engine_sql(),
         "hfpoint_engine": bm25docs.hfpoint_engine_sql(),

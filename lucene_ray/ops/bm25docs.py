@@ -9083,3 +9083,156 @@ SELECT actual, predicted, count(*) AS n
 FROM pred WHERE rn = 1
 GROUP BY actual, predicted
 """
+
+
+# ---------------------------------------------------------------------------
+# monitor-package completion (round 5): QueryDecomposer + HighlightsMatch
+# (see search/monitor.py decompose_query / DecomposingPercolator /
+# highlights_match_batch).
+
+DECOMPOSE_QUERIES: dict[int, str] = {
+    0: "merge window",
+    1: "+stream -slow",
+    2: '"hash scan" table',
+    3: "batch -slow merge",
+}
+
+
+def decomposed_percolate(sf_dir: str) -> pa.Table:
+    """(doc_id, query_id, part): percolation through QueryDecomposer
+    (monitor/QueryDecomposer.java) — each registered query's decomposed
+    parts matched independently; part = the index in decompose_query's
+    deterministic order. Float-free, SQL-checked exactly (the oracle
+    re-emits each part's boolean structure)."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.search.monitor import DecomposingPercolator
+
+    batch = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return DecomposingPercolator(DECOMPOSE_QUERIES).match_batch(batch)
+
+
+def _part_condition(part) -> str:
+    """doc_id-set SQL condition for one decomposed part (Term/Phrase
+    leaves with optional MUST_NOT term exclusions — the surface
+    decompose_query emits for the gate queries)."""
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        PhraseQuery,
+        TermQuery,
+    )
+
+    def leaf_set(leaf) -> str:
+        if isinstance(leaf, TermQuery):
+            return f"SELECT doc_id FROM tok WHERE term = '{leaf.term}'"
+        if isinstance(leaf, PhraseQuery) and leaf.slop == 0:
+            joins = " ".join(
+                f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id "
+                f"AND t{j}.pos = t0.pos + {j} AND t{j}.term = '{leaf.terms[j]}'"
+                for j in range(1, len(leaf.terms))
+            )
+            return (
+                f"SELECT t0.doc_id FROM tok t0 {joins} "
+                f"WHERE t0.term = '{leaf.terms[0]}'"
+            )
+        raise NotImplementedError(f"gate leaf: {leaf!r}")
+
+    if not isinstance(part, BooleanQuery):
+        return f"doc_id IN ({leaf_set(part)})"
+    conds = [f"doc_id IN ({leaf_set(m)})" for m in part.must]
+    if part.should:
+        ors = " UNION ".join(leaf_set(s) for s in part.should)
+        conds.append(f"doc_id IN ({ors})")
+    for x in part.must_not:
+        conds.append(f"doc_id NOT IN ({leaf_set(x)})")
+    return " AND ".join(conds)
+
+
+def decomposed_percolate_sql() -> str:
+    from lucene_ray.analysis import get_analyzer
+    from lucene_ray.search.monitor import decompose_query
+    from lucene_ray.search.query import parse_query
+
+    an = get_analyzer("code")
+    toks = tokenize_sql_expr("text")
+    parts_sql = []
+    for qid in sorted(DECOMPOSE_QUERIES):
+        bq = parse_query(DECOMPOSE_QUERIES[qid], an)
+        for i, part in enumerate(decompose_query(bq)):
+            parts_sql.append(
+                f"SELECT doc_id, {qid} AS query_id, {i} AS part "
+                f"FROM documents WHERE {_part_condition(part)}"
+            )
+    union = "\nUNION ALL\n".join(parts_sql)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""
+
+
+HIGHLIGHT_MONITOR_QUERIES: dict[int, str] = {
+    0: "merge",
+    1: '"hash scan"',
+    2: '"the fast"~2',
+    3: "merge window",
+}
+
+
+def monitor_highlights(sf_dir: str) -> pa.Table:
+    """(query_id, doc_id, start_pos, end_pos): HighlightsMatch
+    (monitor/HighlightsMatch.java) — the term/phrase hits witnessing each
+    percolator match. Offsets are byte-exact into the raw text (pinned by
+    tests/test_ops.py; the oracle checks the positional half —
+    positions are tokenizer ordinals DuckDB reproduces)."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.search.monitor import (
+        Percolator,
+        highlights_match_batch,
+    )
+
+    batch = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    perc = Percolator(HIGHLIGHT_MONITOR_QUERIES)
+    t = highlights_match_batch(perc, batch)
+    return t.select(["query_id", "doc_id", "start_pos", "end_pos"])
+
+
+def monitor_highlights_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = [
+        # 0: every 'merge' occurrence
+        "SELECT 0 AS query_id, doc_id, pos - 1 AS start_pos, "
+        "pos - 1 AS end_pos FROM tok WHERE term = 'merge'",
+        # 1: exact phrase occurrences
+        "SELECT 1 AS query_id, t0.doc_id, t0.pos - 1 AS start_pos, "
+        "t0.pos AS end_pos FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id"
+        " AND t1.pos = t0.pos + 1 AND t1.term = 'scan'"
+        " WHERE t0.term = 'hash'",
+        # 2: sloppy alignments, span of ACTUAL positions, slop on adjusted
+        "SELECT DISTINCT 2 AS query_id, t0.doc_id, "
+        "least(t0.pos, t1.pos) - 1 AS start_pos, "
+        "greatest(t0.pos, t1.pos) - 1 AS end_pos "
+        "FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id"
+        " AND t1.term = 'fast' WHERE t0.term = 'the' AND"
+        " greatest(t0.pos, t1.pos - 1) - least(t0.pos, t1.pos - 1) <= 2",
+        # 3: OR query — every occurrence of each present query term
+        "SELECT 3 AS query_id, doc_id, pos - 1 AS start_pos, "
+        "pos - 1 AS end_pos FROM tok WHERE term IN ('merge', 'window')",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""

@@ -198,3 +198,224 @@ def percolate_dataset(ds, queries: dict[int, str], concurrency: int = 2):
         batch_size=4096,
         concurrency=concurrency,
     )
+
+
+def decompose_query(q) -> list:
+    """QueryDecomposer.decompose (monitor/QueryDecomposer.java:42-118):
+    split a disjunction into parts that can be registered and matched
+    separately. A BooleanQuery decomposes when minimumShouldMatch <= 1 and
+    it has no mandatory clause alongside disjuncts: SHOULD clauses
+    decompose recursively; a single MUST clause with no SHOULDs decomposes
+    in its place; >1 MUST (or MUST+SHOULD mix) is atomic; MUST_NOT
+    exclusions are re-attached to every decomposed part. Leaves are
+    atomic (boosts live on our leaf dataclasses, so the BoostQuery
+    distribution step is a no-op here).
+
+    Returns parts in a DETERMINISTIC order (sorted by their repr — the
+    reference returns a Set; monitoring semantics are order-free)."""
+    parts = _decompose(q)
+    uniq = {repr(p): p for p in parts}
+    return [uniq[k] for k in sorted(uniq)]
+
+
+def _decompose(q) -> list:
+    if not isinstance(q, BooleanQuery):
+        return [q]
+    if q.min_should_match > 1:
+        return [q]
+    mandatory = list(q.must)
+    exclusions = list(q.must_not)
+    subs: list = []
+    for s in q.should:
+        subs.extend(_decompose(s))
+    if len(mandatory) > 1 or (len(mandatory) == 1 and subs):
+        return [q]
+    if len(mandatory) == 1:
+        subs = _decompose(mandatory[0])
+    if not exclusions:
+        return subs
+    return [
+        BooleanQuery(must=[s], must_not=list(exclusions)) for s in subs
+    ]
+
+
+def _as_bq(q) -> BooleanQuery:
+    return q if isinstance(q, BooleanQuery) else BooleanQuery(should=[q])
+
+
+class DecomposingPercolator:
+    """Monitor registration through QueryDecomposer (Monitor.java's
+    default MonitorQuery path): each registered query is decomposed and
+    its parts matched independently; a parent query matches a doc when
+    ANY part does (the reference runs parts as separate cache entries
+    under the same query id). ``match_batch`` reports
+    (doc_id, query_id, part) triples — part = the decomposed index in
+    decompose_query order; dedup over parts gives Monitor semantics."""
+
+    def __init__(self, queries: dict[int, str], analyzer=None):
+        from lucene_ray.analysis import get_analyzer
+
+        self.analyzer = analyzer or get_analyzer("code")
+        self.parts: dict[int, BooleanQuery] = {}
+        self.parents: dict[int, tuple[int, int]] = {}
+        key = 0
+        for qid in sorted(queries):
+            bq = parse_query(queries[qid], self.analyzer)
+            for i, part in enumerate(decompose_query(bq)):
+                self.parts[key] = _as_bq(part)
+                self.parents[key] = (qid, i)
+                key += 1
+        self._perc = Percolator.__new__(Percolator)
+        self._perc.analyzer = self.analyzer
+        self._perc.queries = self.parts
+        self._perc.anchors = {}
+        for k, bq in self.parts.items():
+            terms: set = set()
+            for s in bq.must or bq.should:
+                if isinstance(s, TermQuery):
+                    terms.add(s.term)
+                elif isinstance(s, PhraseQuery):
+                    terms.update(s.terms)
+            self._perc.anchors[k] = terms
+
+    def match_batch(self, batch: pa.Table) -> pa.Table:
+        """(doc_id, query_id, part) — one row per matching decomposed
+        part."""
+        raw = self._perc.match_batch(batch)
+        qk = raw.column("query_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": raw.column("doc_id"),
+                "query_id": pa.array(
+                    [self.parents[k][0] for k in qk], type=pa.int64()
+                ),
+                "part": pa.array(
+                    [self.parents[k][1] for k in qk], type=pa.int64()
+                ),
+            }
+        )
+
+
+def highlights_match_batch(
+    percolator: Percolator, batch: pa.Table
+) -> pa.Table:
+    """HighlightsMatch (monitor/HighlightsMatch.java): for every matching
+    (query, doc), the term hits WITNESSING the match — one row per
+    occurrence of each positive TermQuery term and per exact-phrase
+    occurrence of each PhraseQuery (sloppy phrases report each in-slop
+    alignment's span). Columns: (query_id, doc_id, start_pos, end_pos,
+    start_off, end_off) — positions are token positions, offsets byte
+    offsets into the raw text (Hit fields, HighlightsMatch.java:184-199).
+    MUST_NOT clauses contribute no hits; SHOULD terms absent from the doc
+    contribute none (the reference extracts hits from Matches iterators,
+    which only surface present terms)."""
+    matches = percolator.match_batch(batch)
+    if matches.num_rows == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "start_pos": pa.array([], type=pa.int64()),
+                "end_pos": pa.array([], type=pa.int64()),
+                "start_off": pa.array([], type=pa.int64()),
+                "end_off": pa.array([], type=pa.int64()),
+            }
+        )
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    row_of = {int(d): i for i, d in enumerate(doc_ids)}
+    row_idx, terms, positions, starts, lengths = (
+        percolator.analyzer.tokenize_flat(
+            batch.column("text").combine_chunks(), with_offsets=True
+        )
+    )
+    # per (row, term): positions + offsets, gathered once
+    occ: dict = {}
+    tl = terms.to_pylist()
+    for i in range(len(tl)):
+        occ.setdefault((int(row_idx[i]), tl[i]), []).append(
+            (int(positions[i]), int(starts[i]), int(lengths[i]))
+        )
+    out = {k: [] for k in (
+        "query_id", "doc_id", "start_pos", "end_pos", "start_off", "end_off"
+    )}
+
+    def emit(qid, did, sp, ep, so, eo):
+        out["query_id"].append(qid)
+        out["doc_id"].append(did)
+        out["start_pos"].append(sp)
+        out["end_pos"].append(ep)
+        out["start_off"].append(so)
+        out["end_off"].append(eo)
+
+    for did, qid in zip(
+        matches.column("doc_id").to_pylist(),
+        matches.column("query_id").to_pylist(),
+    ):
+        r = row_of[int(did)]
+        bq = percolator.queries[qid]
+        seen = set()
+        for clause in list(bq.must) + list(bq.should):
+            if isinstance(clause, TermQuery):
+                for p, s, ln in occ.get((r, clause.term), ()):
+                    key = (p, p)
+                    if key not in seen:
+                        seen.add(key)
+                        emit(qid, int(did), p, p, s, s + ln)
+            elif isinstance(clause, PhraseQuery):
+                rows = [occ.get((r, t)) for t in clause.terms]
+                if any(x is None for x in rows):
+                    continue
+                first = rows[0]
+                for p0, s0, _l0 in first:
+                    # exact: term j at p0 + j; sloppy: any alignment whose
+                    # adjusted-position span fits the slop
+                    if clause.slop == 0:
+                        span = []
+                        ok = True
+                        for j in range(1, len(rows)):
+                            hit = next(
+                                (e for e in rows[j] if e[0] == p0 + j), None
+                            )
+                            if hit is None:
+                                ok = False
+                                break
+                            span.append(hit)
+                        if ok:
+                            last = span[-1] if span else (p0, s0, _l0)
+                            key = (p0, p0 + len(rows) - 1)
+                            if key not in seen:
+                                seen.add(key)
+                                emit(
+                                    qid, int(did), p0, p0 + len(rows) - 1,
+                                    s0, last[1] + last[2],
+                                )
+                    else:
+                        for combo in _slop_alignments(rows, p0, clause.slop):
+                            ps = [e[0] for e in combo]
+                            key = (min(ps), max(ps))
+                            if key not in seen:
+                                seen.add(key)
+                                lastoff = max(e[1] + e[2] for e in combo)
+                                emit(
+                                    qid, int(did), min(ps), max(ps),
+                                    min(e[1] for e in combo), lastoff,
+                                )
+    return pa.table(
+        {k: pa.array(v, type=pa.int64()) for k, v in out.items()}
+    )
+
+
+def _slop_alignments(rows, p0, slop):
+    """Alignments of one occurrence per term starting from the first
+    term's occurrence at p0 whose adjusted-position span <= slop."""
+    first = next(e for e in rows[0] if e[0] == p0)
+    combos = [[first]]
+    for j in range(1, len(rows)):
+        nxt = []
+        for c in combos:
+            for e in rows[j]:
+                adj = [c[i][0] - i for i in range(len(c))] + [e[0] - j]
+                if max(adj) - min(adj) <= slop:
+                    nxt.append(c + [e])
+        combos = nxt
+    return combos

@@ -2330,3 +2330,113 @@ class TestClassificationUtils:
             "merge sort window"
         )
         assert len(b._cache) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMonitorCompletion:
+    """monitor-package completion: QueryDecomposer semantics,
+    decomposed-percolation parity, HighlightsMatch hits + byte offsets."""
+
+    def test_decomposed_percolate_gate(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.decomposed_percolate(SF), con,
+            bm25docs.decomposed_percolate_sql(),
+        )
+
+    def test_monitor_highlights_gate(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.monitor_highlights(SF), con,
+            bm25docs.monitor_highlights_sql(),
+        )
+
+    def test_decompose_semantics(self):
+        from lucene_ray.analysis import get_analyzer
+        from lucene_ray.search.monitor import decompose_query
+        from lucene_ray.search.query import (
+            BooleanQuery,
+            TermQuery,
+            parse_query,
+        )
+
+        an = get_analyzer("code")
+        # pure disjunction splits
+        assert len(decompose_query(parse_query("merge window", an))) == 2
+        # two MUST clauses: atomic
+        assert len(decompose_query(parse_query("+merge +window", an))) == 1
+        # msm > 1: atomic
+        bq = BooleanQuery(
+            should=[TermQuery("a"), TermQuery("b")], min_should_match=2
+        )
+        assert decompose_query(bq) == [bq]
+        # single MUST with no SHOULD decomposes in place
+        inner = BooleanQuery(should=[TermQuery("a"), TermQuery("b")])
+        outer = BooleanQuery(must=[inner])
+        assert len(decompose_query(outer)) == 2
+        # MUST alongside SHOULD: atomic
+        mixed = BooleanQuery(must=[TermQuery("a")], should=[TermQuery("b")])
+        assert decompose_query(mixed) == [mixed]
+        # exclusions re-attach to every part
+        parts = decompose_query(parse_query("batch -slow merge", an))
+        assert len(parts) == 2
+        for p in parts:
+            assert [q.term for q in p.must_not] == ["slow"]
+
+    def test_decomposed_matches_plain_percolation(self):
+        import pyarrow.parquet as pq
+
+        from lucene_ray.ops.bm25docs import DECOMPOSE_QUERIES
+        from lucene_ray.search.monitor import (
+            DecomposingPercolator,
+            Percolator,
+        )
+
+        batch = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        plain = Percolator(DECOMPOSE_QUERIES).match_batch(batch)
+        dec = DecomposingPercolator(DECOMPOSE_QUERIES).match_batch(batch)
+        a = set(zip(plain.column("doc_id").to_pylist(),
+                    plain.column("query_id").to_pylist()))
+        b = set(zip(dec.column("doc_id").to_pylist(),
+                    dec.column("query_id").to_pylist()))
+        assert a == b  # decomposition never changes match semantics
+
+    def test_highlight_offsets_slice_text(self):
+        import pyarrow.parquet as pq
+
+        from lucene_ray.ops.bm25docs import HIGHLIGHT_MONITOR_QUERIES
+        from lucene_ray.search.monitor import (
+            Percolator,
+            highlights_match_batch,
+        )
+
+        batch = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        texts = {
+            int(d): t for d, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            )
+        }
+        t = highlights_match_batch(
+            Percolator(HIGHLIGHT_MONITOR_QUERIES), batch
+        )
+        assert t.num_rows > 0
+        n_checked = 0
+        for qid, did, so, eo in zip(
+            t.column("query_id").to_pylist(),
+            t.column("doc_id").to_pylist(),
+            t.column("start_off").to_pylist(),
+            t.column("end_off").to_pylist(),
+        ):
+            if qid != 0:
+                continue  # single-term query: the slice IS the term
+            frag = texts[did].encode()[so:eo].decode().lower()
+            assert frag == "merge", (did, so, eo, frag)
+            n_checked += 1
+        assert n_checked > 0
