@@ -9236,3 +9236,113 @@ WITH t AS (
 )
 {union}
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark/quality completion (round 5): QualityBenchmark + QualityStats +
+# TrecJudge analog (search/quality.py).
+
+QUALITY_QUERIES = [
+    # (qid, query term, judge term, K) — ranked by (n_chars desc, docid
+    # asc), judged relevant iff the doc also contains the judge term;
+    # qid 2's empty judge set exercises the maxGoodPoints<=0 branches
+    (0, "merge", "sort", 12),
+    (1, "window", "table", 12),
+    (2, "stream", "zzzmissing", 12),
+]
+
+
+def searchquality_engine(sf_dir: str) -> pa.Table:
+    """(qid, metric, value): judged retrieval metrics
+    (benchmark/quality/QualityStats.java) over a float-free deterministic
+    ranking — precision@1/5/10, recall, average precision, MRR (with the
+    reference's rank<=5 MRR quirk). Metric doubles are bit-identical to
+    the oracle (one division per p, ordered left-assoc avp chain)."""
+    from lucene_ray.search.engine import IndexSearcher, fetch_doc_values
+    from lucene_ray.search.quality import SetJudge, execute_benchmark
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    ranked, qrels = {}, {}
+    for qid, term, judge_term, k in QUALITY_QUERIES:
+        td = s.search(term, k=1 << 62)
+        vals = fetch_doc_values(s.reader, td.docids, "n_chars")
+        order = np.lexsort((td.docids, -vals))[:k]
+        ranked[qid] = td.docids[order].tolist()
+        jd = s.search(judge_term, k=1 << 62)
+        qrels[qid] = set(jd.docids.tolist())
+    stats = execute_benchmark(ranked, SetJudge(qrels))
+    out = {"qid": [], "metric": [], "value": []}
+    for qid in sorted(stats):
+        st = stats[qid]
+        for m, v in (
+            ("p_at_1", st.get_precision_at(1)),
+            ("p_at_5", st.get_precision_at(5)),
+            ("p_at_10", st.get_precision_at(10)),
+            ("recall", st.get_recall()),
+            ("avp", st.get_avp()),
+            ("mrr", st.get_mrr()),
+        ):
+            out["qid"].append(qid)
+            out["metric"].append(m)
+            out["value"].append(v)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "metric": pa.array(out["metric"], type=pa.string()),
+            "value": pa.array(out["value"], type=pa.float64()),
+        }
+    )
+
+
+def searchquality_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    ctes, selects = [], []
+    for qid, term, judge_term, k in QUALITY_QUERIES:
+        ctes.append(f"""r{qid} AS (
+  SELECT d.doc_id,
+         row_number() OVER (ORDER BY length(d.text) DESC, d.doc_id ASC) AS rk
+  FROM documents d
+  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+  QUALIFY rk <= {k}
+), j{qid} AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = '{judge_term}'
+), s{qid} AS (
+  SELECT r.rk, (r.doc_id IN (SELECT doc_id FROM j{qid})) AS rel,
+         sum(CASE WHEN r.doc_id IN (SELECT doc_id FROM j{qid})
+             THEN 1 ELSE 0 END) OVER (ORDER BY r.rk) AS good
+  FROM r{qid} r
+), m{qid} AS (
+  SELECT (SELECT count(*) FROM j{qid})::DOUBLE AS maxgood,
+         (SELECT good::DOUBLE / rk FROM s{qid} WHERE rk = 1) AS p1,
+         (SELECT good::DOUBLE / rk FROM s{qid} WHERE rk = 5) AS p5,
+         (SELECT good::DOUBLE / rk FROM s{qid} WHERE rk = 10) AS p10,
+         (SELECT good::DOUBLE / rk FROM s{qid} WHERE rk = (SELECT max(rk) FROM s{qid})) AS plast,
+         (SELECT max(good) FROM s{qid})::DOUBLE AS goodtotal,
+         (SELECT coalesce(list_reduce(list(good::DOUBLE / rk ORDER BY rk), (a, b) -> a + b), 0.0)
+          FROM s{qid} WHERE rel) AS prelsum,
+         (SELECT min(rk) FROM s{qid} WHERE rel) AS firstrel
+)""")
+        selects.append(f"""
+SELECT {qid} AS qid, u.metric, u.value FROM m{qid}, LATERAL (
+  SELECT * FROM (VALUES
+    ('p_at_1', p1),
+    ('p_at_5', p5),
+    ('p_at_10', p10),
+    ('recall', CASE WHEN maxgood <= 0 THEN plast ELSE goodtotal / maxgood END),
+    ('avp', CASE WHEN maxgood = 0 THEN 0.0 ELSE prelsum / maxgood END),
+    ('mrr', CASE WHEN firstrel IS NOT NULL AND firstrel <= 5
+                 THEN 1.0 / firstrel ELSE 0.0 END)
+  ) v(metric, value)
+) u""")
+    cte_block = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term FROM t
+),
+{cte_block}
+{union}
+"""

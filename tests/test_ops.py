@@ -2440,3 +2440,43 @@ class TestMonitorCompletion:
             assert frag == "merge", (did, so, eo, frag)
             n_checked += 1
         assert n_checked > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSearchQuality:
+    """benchmark/quality: QualityStats math + the judged-metrics gate."""
+
+    def test_searchquality_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.searchquality_engine(SF), con,
+            bm25docs.searchquality_engine_sql(),
+        )
+
+    def test_qualitystats_reference_math(self):
+        from lucene_ray.search.quality import QualityStats
+
+        st = QualityStats(3.0)
+        # ranks:   1     2      3     4      5
+        # rel:     no    yes    no    yes    no
+        for n, rel in ((1, False), (2, True), (3, False), (4, True), (5, False)):
+            st.add_result(n, rel)
+        assert st.get_precision_at(1) == 0.0
+        assert st.get_precision_at(2) == 0.5
+        assert st.get_precision_at(5) == 2 / 5
+        assert st.get_recall() == 2 / 3
+        assert st.get_avp() == (1 / 2 + 2 / 4) / 3
+        assert st.get_mrr() == 1 / 2
+        # MRR quirk: first relevant past rank 5 scores 0
+        st2 = QualityStats(1.0)
+        for n in range(1, 7):
+            st2.add_result(n, n == 6)
+        assert st2.get_mrr() == 0.0
+        # maxGoodPoints == 0: avp 0, recall = running p
+        st3 = QualityStats(0.0)
+        st3.add_result(1, False)
+        assert st3.get_avp() == 0.0 and st3.get_recall() == 0.0
+        # out-of-order ranks refused
+        with pytest.raises(ValueError):
+            st3.add_result(5, True)
