@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
         "searchquality_engine": bm25docs.searchquality_engine,
+        "doc2vec_engine": bm25docs.doc2vec_engine,
         "decomposed_percolate": bm25docs.decomposed_percolate,
         "monitor_highlights": bm25docs.monitor_highlights,
         "datasetsplit_engine": bm25docs.datasetsplit_engine,
@@ -271,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "searchquality_engine": bm25docs.searchquality_engine_sql(),
+        "doc2vec_engine": bm25docs.doc2vec_engine_sql(),
         "decomposed_percolate": bm25docs.decomposed_percolate_sql(),
         "monitor_highlights": bm25docs.monitor_highlights_sql(),
         "datasetsplit_engine": bm25docs.datasetsplit_engine_sql(),

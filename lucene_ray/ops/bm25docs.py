@@ -9346,3 +9346,54 @@ WITH t AS (
 {cte_block}
 {union}
 """
+
+
+DOC2VEC_SEEDS = [3, 17, 42]
+
+
+def doc2vec_engine(sf_dir: str) -> pa.Table:
+    """(docid, term, freq): DocToDoubleVectorUtils sparse localized
+    vectors (classification/utils/DocToDoubleVectorUtils.java) for the
+    seed docs, read through the term-vectors sidecar. freq is the double
+    the reference emits; the oracle recounts tokens."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+    from lucene_ray.search.classification import doc_to_sparse_vector
+    from lucene_ray.search.reader import IndexReader
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_tv_index_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192, term_vectors=True)
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    rd = IndexReader(ix)
+    out_d, out_t, out_f = [], [], []
+    for docid in DOC2VEC_SEEDS:
+        for term, freq in doc_to_sparse_vector(rd, docid):
+            out_d.append(docid)
+            out_t.append(term)
+            out_f.append(freq)
+    return pa.table(
+        {
+            "docid": pa.array(out_d, type=pa.int64()),
+            "term": pa.array(out_t, type=pa.string()),
+            "freq": pa.array(out_f, type=pa.float64()),
+        }
+    )
+
+
+def doc2vec_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    seeds = ", ".join(str(s) for s in DOC2VEC_SEEDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents WHERE doc_id IN ({seeds})
+), tok AS (
+  SELECT doc_id, unnest(l) AS term FROM t
+)
+SELECT doc_id AS docid, term, count(*)::DOUBLE AS freq
+FROM tok GROUP BY doc_id, term
+"""

@@ -228,3 +228,32 @@ def confusion_matrix(
         if best is not None:
             matrix[(actual, best[1])] += 1
     return sorted((a, p, n) for (a, p), n in matrix.items())
+
+
+def doc_to_sparse_vector(reader, docid: int) -> list[tuple[str, float]]:
+    """DocToDoubleVectorUtils.toSparseLocalizedDoubleVector
+    (classification/utils/DocToDoubleVectorUtils.java): the doc's term
+    vector as (term, freq) doubles in term order — requires
+    build_index(term_vectors=True)."""
+    import numpy as np
+
+    tv = reader.term_vectors(np.array([docid], dtype=np.int64))
+    rows = sorted(
+        zip(tv.column("term").to_pylist(), tv.column("freq").to_pylist())
+    )
+    return [(t, float(f)) for t, f in rows]
+
+
+def doc_to_dense_vector(reader, docid: int, vocabulary) -> "np.ndarray":
+    """DocToDoubleVectorUtils.toDenseVector: freqs over a shared
+    ``vocabulary`` (the reference walks the field's full terms enum; any
+    sorted vocabulary slice works the same way), absent terms 0.0."""
+    import numpy as np
+
+    out = np.zeros(len(vocabulary), dtype=np.float64)
+    idx = {t: i for i, t in enumerate(vocabulary)}
+    for t, f in doc_to_sparse_vector(reader, docid):
+        i = idx.get(t)
+        if i is not None:
+            out[i] = f
+    return out

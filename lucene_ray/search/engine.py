@@ -1488,3 +1488,128 @@ def range_facet_counts(
     for i, (lo, hi) in enumerate(ranges):
         out.append((i, int(((vals >= lo) & (vals <= hi)).sum())))
     return out
+
+
+class TimeExceededException(Exception):
+    """TimeLimitingCollector.TimeExceededException
+    (core/search/TimeLimitingCollector.java:49): carries the partial
+    result collected before the budget ran out."""
+
+    def __init__(self, partial: "TopDocs", elapsed_s: float, segments_done: int):
+        super().__init__(
+            f"time budget exceeded after {elapsed_s * 1e3:.1f} ms "
+            f"({segments_done} segments scored)"
+        )
+        self.partial = partial
+        self.elapsed_s = elapsed_s
+        self.segments_done = segments_done
+
+
+def search_time_limited(
+    searcher: "IndexSearcher",
+    query,
+    k: int = 10,
+    budget_s: float = 1.0,
+    greedy: bool = False,
+    clock=None,
+) -> "TopDocs":
+    """TimeLimitingCollector (core/search/TimeLimitingCollector.java):
+    abort a search that exceeds its time budget, surfacing the partial
+    hits. Granularity divergence (documented): the reference ticks per
+    collected doc; here the deadline is checked per SEGMENT — the
+    engine's scoring unit is a vectorized whole-segment kernel, so a
+    sub-segment abort would fabricate a doc-at-a-time loop the design
+    forbids. ``greedy`` finishes the in-flight segment before raising
+    (the reference's greedy flag collects the in-flight doc).
+
+    ``clock``: injectable monotonic-seconds callable (tests). Raises
+    TimeExceededException with the partial TopDocs (relation 'gte' —
+    uncounted segments remain); returns complete TopDocs otherwise."""
+    import time as _time
+
+    clock = clock or _time.monotonic
+    t0 = clock()
+    bq = searcher.parse(query) if isinstance(query, str) else query
+    bq = searcher._maybe_rewrite(bq)
+    if not (bq.must or bq.should):
+        return TopDocs(
+            np.array([], dtype=np.int64), np.array([], dtype=np.float32), 0
+        )
+    scorers = searcher._scorers(bq)
+    all_docs, all_scores, total = [], [], 0
+    done = 0
+    for entry in searcher.reader.segments:
+        if clock() - t0 > budget_s and (done > 0 or not greedy):
+            docids = (
+                np.concatenate(all_docs)
+                if all_docs
+                else np.array([], dtype=np.int64)
+            )
+            scores = (
+                np.concatenate(all_scores)
+                if all_scores
+                else np.array([], dtype=np.float32)
+            )
+            d, s = _topk(docids, scores, k)
+            raise TimeExceededException(
+                TopDocs(d, s, total, "gte"), clock() - t0, done
+            )
+        sr = searcher.reader.segment_reader(entry.name)
+        d, s, n, _exact = score_segment_exhaustive(sr, bq, scorers, k)
+        total += n
+        done += 1
+        if len(d):
+            all_docs.append(d + entry.docid_base)
+            all_scores.append(s)
+    if not all_docs:
+        return TopDocs(
+            np.array([], dtype=np.int64), np.array([], dtype=np.float32),
+            total,
+        )
+    d, s = _topk(np.concatenate(all_docs), np.concatenate(all_scores), k)
+    return TopDocs(d, s, total)
+
+
+class SearcherLifetimeManager:
+    """core/search/SearcherLifetimeManager.java: record a searcher's
+    point-in-time view under a token so a follow-on request (paging
+    through results) can ``acquire`` the SAME view even after reopens;
+    ``prune`` drops views older than a cutoff. Tokens are the manifest
+    generation (the reference uses the reader version); readers here are
+    immutable snapshots, so acquire is a dict hit, and pruning just
+    forgets the entry (no refcounts — segment files are retained by the
+    manifest's commit history)."""
+
+    def __init__(self):
+        self._views: dict[int, tuple] = {}
+
+    def record(self, searcher: "IndexSearcher", now: float | None = None) -> int:
+        import time as _time
+
+        gen = int(searcher.reader.manifest.generation)
+        if gen not in self._views:
+            self._views[gen] = (searcher, _time.time() if now is None else now)
+        return gen
+
+    def acquire(self, token: int) -> "IndexSearcher | None":
+        v = self._views.get(token)
+        return v[0] if v else None
+
+    def prune(self, max_age_s: float, now: float | None = None) -> int:
+        """PruneByAge (SearcherLifetimeManager.java:41): drop every view
+        recorded more than ``max_age_s`` ago EXCEPT the newest (the
+        reference always keeps the current searcher). Returns #pruned."""
+        import time as _time
+
+        t = _time.time() if now is None else now
+        if not self._views:
+            return 0
+        newest = max(self._views)
+        drop = [
+            g
+            for g, (_s, rec) in self._views.items()
+            if g != newest and t - rec > max_age_s
+        ]
+        for g in drop:
+            del self._views[g]
+        return len(drop)

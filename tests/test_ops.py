@@ -2480,3 +2480,159 @@ class TestSearchQuality:
         # out-of-order ranks refused
         with pytest.raises(ValueError):
             st3.add_result(5, True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMiscCoreSurfaces:
+    """DocToDoubleVectorUtils, TimeLimitingCollector,
+    SearcherLifetimeManager, IndexDiskUsageAnalyzer."""
+
+    def test_doc2vec_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.doc2vec_engine(SF), con, bm25docs.doc2vec_engine_sql(),
+            float_cols=("freq",),
+        )
+
+    def test_dense_vector_scatters_sparse(self):
+        import hashlib
+        import os
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.index.corpus import documents_as_corpus
+        from lucene_ray.search.classification import (
+            doc_to_dense_vector,
+            doc_to_sparse_vector,
+        )
+        from lucene_ray.search.reader import IndexReader
+
+        ix = os.path.join(
+            "/tmp/lucene_ray_cache",
+            "docs_tv_index_"
+            + hashlib.sha1(SF.encode()).hexdigest()[:12],
+        )
+        build_index([documents_as_corpus(SF)], ix, term_vectors=True)
+        rd = IndexReader(ix)
+        sparse = doc_to_sparse_vector(rd, 3)
+        vocab = sorted({t for t, _ in sparse} | {"zzz_absent_term"})
+        dense = doc_to_dense_vector(rd, 3, vocab)
+        assert dense[vocab.index("zzz_absent_term")] == 0.0
+        for t, f in sparse:
+            assert dense[vocab.index(t)] == f
+        assert dense.sum() == sum(f for _t, f in sparse)
+
+    def test_time_limited_search(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import (
+            IndexSearcher,
+            TimeExceededException,
+            search_time_limited,
+        )
+
+        s = IndexSearcher(_engine_index(SF))
+        full = s.search("merge window", k=10)
+        # generous budget: identical hits, exact count
+        ok = search_time_limited(s, "merge window", k=10, budget_s=60.0)
+        assert ok.docids.tolist() == full.docids.tolist()
+        assert ok.total_hits == full.total_hits
+        # fake clock that exceeds immediately: greedy collects one
+        # segment, non-greedy raises with an empty partial
+        ticks = iter([0.0] + [100.0] * 50)
+        with pytest.raises(TimeExceededException) as ei:
+            search_time_limited(
+                s, "merge window", k=10, budget_s=1.0,
+                clock=lambda: next(ticks),
+            )
+        assert ei.value.segments_done == 0
+        assert len(ei.value.partial.docids) == 0
+        # greedy on a MULTI-segment index: finishes the first
+        # segment, then raises with a non-empty partial
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.builder import build_index
+
+        rows = [
+            {"repo": "r", "path": f"p/{i}", "commit": "0", "lang": "txt",
+             "content": f"alpha beta doc number {i}"}
+            for i in range(64)
+        ]
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            src = f"{td}/c.parquet"
+            ix2 = f"{td}/ix"
+            pq.write_table(
+                pa.Table.from_pylist(rows), src, row_group_size=16
+            )
+            build_index([src], ix2, target_docs=16)  # >= 4 segments
+            s2 = IndexSearcher(ix2)
+            assert len(s2.reader.segments) >= 2
+            ticks2 = iter([0.0] + [100.0] * 50)
+            with pytest.raises(TimeExceededException) as e2:
+                search_time_limited(
+                    s2, "alpha", k=10, budget_s=1.0, greedy=True,
+                    clock=lambda: next(ticks2),
+                )
+            assert e2.value.segments_done == 1
+            assert e2.value.partial.relation == "gte"
+            assert 0 < len(e2.value.partial.docids)
+            # partial hits are a subset of the full ranking's doc set
+            assert set(e2.value.partial.docids.tolist()) <= set(
+                s2.search("alpha", k=1 << 20).docids.tolist()
+            )
+
+    def test_searcher_lifetime_manager(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.index.writer import delete_by_term
+        from lucene_ray.search.engine import (
+            IndexSearcher,
+            SearcherLifetimeManager,
+        )
+
+        rows = [
+            {"repo": "r", "path": f"p/{i}", "commit": "0", "lang": "txt",
+             "content": f"alpha doc {i}"}
+            for i in range(8)
+        ]
+        src = str(tmp_path / "c.parquet")
+        ix = str(tmp_path / "ix")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        build_index([src], ix)
+        mgr = SearcherLifetimeManager()
+        s1 = IndexSearcher(ix)
+        tok1 = mgr.record(s1, now=100.0)
+        n1 = len(s1.search("alpha", k=100).docids)
+        delete_by_term(ix, "path:p/3")
+        s2 = IndexSearcher(ix)
+        tok2 = mgr.record(s2, now=200.0)
+        assert tok2 != tok1
+        # the recorded old view still sees the pre-delete snapshot
+        old = mgr.acquire(tok1)
+        assert len(old.search("alpha", k=100).docids) == n1
+        assert len(mgr.acquire(tok2).search("alpha", k=100).docids) == n1 - 1
+        # prune by age drops the old view, keeps the newest
+        assert mgr.prune(max_age_s=50.0, now=300.0) == 1
+        assert mgr.acquire(tok1) is None
+        assert mgr.acquire(tok2) is not None
+
+    def test_index_disk_usage(self):
+        import os
+
+        from lucene_ray.index.diskusage import analyze_index_disk_usage
+        from lucene_ray.ops.bm25docs import _engine_index
+
+        ix = _engine_index(SF)
+        t = analyze_index_disk_usage(ix)
+        got = sum(t.column("bytes").to_pylist())
+        want = 0
+        for root, _dirs, files in os.walk(ix):
+            want += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        assert got == want  # every byte attributed exactly once
+        comps = set(t.column("component").to_pylist())
+        assert {"postings", "norms", "stored_fields", "metadata"} <= comps
+        assert "other" not in comps  # every file classified
