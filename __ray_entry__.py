@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-yet-recorded gates are placed first (VERDICT r3 #2); the
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
+        "knnfuzzy_classify": bm25docs.knnfuzzy_classify,
         "searchquality_engine": bm25docs.searchquality_engine,
         "doc2vec_engine": bm25docs.doc2vec_engine,
         "decomposed_percolate": bm25docs.decomposed_percolate,
@@ -271,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
     return {
+        "knnfuzzy_classify": bm25docs.knnfuzzy_classify_sql(),
         "searchquality_engine": bm25docs.searchquality_engine_sql(),
         "doc2vec_engine": bm25docs.doc2vec_engine_sql(),
         "decomposed_percolate": bm25docs.decomposed_percolate_sql(),

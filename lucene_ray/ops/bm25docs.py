@@ -9397,3 +9397,158 @@ WITH t AS (
 SELECT doc_id AS docid, term, count(*)::DOUBLE AS freq
 FROM tok GROUP BY doc_id, term
 """
+
+
+# ---------------------------------------------------------------------------
+# KNearestFuzzyClassifier (classification/KNearestFuzzyClassifier.java +
+# utils/NearestFuzzyQuery.java) — float64 exact twin, every stage mirrored
+# in SQL (see search/classification.py KNearestFuzzyClassifier).
+
+KNNFUZZY_TEXTS = [
+    (0, "mergge sorrt"),
+    (1, "tablle windoww"),
+    (2, "strem batch"),
+]
+KNNFUZZY_K = 10
+KNNFUZZY_MAX_TERMS = 20
+
+
+def knnfuzzy_classify(sf_dir: str) -> pa.Table:
+    """(qid, rank, cls, score): fuzzy kNN classification of misspelled
+    texts — NearestFuzzyQuery variant selection (maxEdits=1, prefix=2),
+    float64-exact boosted BM25 doc scores over index postings, top-10
+    class votes with the sumdoc<k correction. Scores bit-identical to the
+    oracle."""
+    from lucene_ray.search.classification import KNearestFuzzyClassifier
+    from lucene_ray.search.engine import IndexSearcher
+
+    s = IndexSearcher(_engine_index(sf_dir))
+    clf = KNearestFuzzyClassifier(
+        s, k=KNNFUZZY_K, max_num_terms=KNNFUZZY_MAX_TERMS
+    )
+    out = {"qid": [], "rank": [], "cls": [], "score": []}
+    for qid, text in KNNFUZZY_TEXTS:
+        for r, (cls, score) in enumerate(clf.assign_classes(text)):
+            out["qid"].append(qid)
+            out["rank"].append(r)
+            out["cls"].append(cls)
+            out["score"].append(score)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "cls": pa.array(out["cls"], type=pa.string()),
+            "score": pa.array(out["score"], type=pa.float64()),
+        }
+    )
+
+
+def knnfuzzy_classify_sql() -> str:
+    from lucene_ray.analysis import get_analyzer
+    from lucene_ray.search.fuzzylikethis import MAX_VARIANTS_PER_TERM
+
+    an = get_analyzer("code")
+    toks = tokenize_sql_expr("text")
+    k = KNNFUZZY_K
+    ctes, selects = [], []
+    for qid, text in KNNFUZZY_TEXTS:
+        srcs: list[str] = []
+        for t in an.tokenize_text(text):
+            if t not in srcs:
+                srcs.append(t)
+        branches = []
+        for s in srcs:
+            plen = min(2, len(s))
+            pre, suf = s[:plen], s[plen:]
+            cond = f"levenshtein(substr(term, {plen + 1}), '{suf}') <= 1"
+            if plen:
+                cond = f"substr(term, 1, {plen}) = '{pre}' AND {cond}"
+            boost = (
+                f"CASE WHEN term = '{s}' THEN 1.0 ELSE "
+                f"1.0 - levenshtein(substr(term, {plen + 1}), '{suf}')"
+                f"::DOUBLE / least(length(term), {len(s)})::DOUBLE END"
+            )
+            eff_df = (
+                f"(SELECT CASE WHEN COALESCE((SELECT df FROM vocab "
+                f"WHERE term = '{s}'), 0) > 0 THEN "
+                f"(SELECT df FROM vocab WHERE term = '{s}') ELSE "
+                f"COALESCE((SELECT CAST(FLOOR(SUM(df)::DOUBLE / COUNT(*))"
+                f" AS BIGINT) FROM vocab WHERE {cond}), 0) END)"
+            )
+            branches.append(
+                f"SELECT term, ({boost}) * ({boost}) * "
+                f"(ln((nd + 1)::DOUBLE / ({eff_df} + 1)::DOUBLE) + 1.0)"
+                f" AS score FROM ("
+                f"SELECT term, df, row_number() OVER ("
+                f"ORDER BY ({boost}) DESC, term ASC) AS br "
+                f"FROM vocab WHERE {cond}) CROSS JOIN n "
+                f"WHERE br <= {MAX_VARIANTS_PER_TERM}"
+            )
+        union = " UNION ALL ".join(f"({b})" for b in branches)
+        ctes.append(f"""sel{qid} AS (
+  SELECT term, score,
+         row_number() OVER (ORDER BY score DESC, term ASC) AS vr
+  FROM ({union})
+  QUALIFY vr <= {KNNFUZZY_MAX_TERMS}
+), contrib{qid} AS (
+  SELECT dt.doc_id, se.vr,
+         (se.score * ln(1.0 + (nd::DOUBLE - v.df::DOUBLE + 0.5) / (v.df::DOUBLE + 0.5)))
+         * ((dt.tf::DOUBLE * (1.2 + 1.0)) /
+            (dt.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dt.dl / (SELECT avg FROM stats))))
+         AS c
+  FROM sel{qid} se
+  JOIN vocab v ON v.term = se.term
+  JOIN doctf dt ON dt.term = se.term
+  CROSS JOIN n
+), docscore{qid} AS (
+  SELECT doc_id, list_reduce(list(c ORDER BY vr), (a, b) -> a + b) AS score
+  FROM contrib{qid} GROUP BY doc_id
+), topk{qid} AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM docscore{qid} QUALIFY rk <= {k}
+), votes{qid} AS (
+  SELECT d.lang AS cls, count(*) AS cnt,
+         list_reduce(
+           list(t.score / (SELECT score FROM topk{qid} WHERE rk = 1)
+                ORDER BY t.rk),
+           (a, b) -> a + b) AS boostsum
+  FROM topk{qid} t JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY d.lang
+), res{qid} AS (
+  SELECT cls,
+         CASE WHEN (SELECT count(*) FROM topk{qid}) < {k}
+              THEN ((cnt * (boostsum / cnt)) / {k}) * {k}
+                   / (SELECT count(*) FROM topk{qid})
+              ELSE (cnt * (boostsum / cnt)) / {k} END AS score
+  FROM votes{qid}
+)""")
+        selects.append(
+            f"SELECT {qid} AS qid, (row_number() OVER ("
+            f"ORDER BY score DESC, cls ASC) - 1)::INTEGER AS rank, "
+            f"cls, score FROM res{qid}"
+        )
+    cte_block = ",\n".join(ctes)
+    union_all = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term FROM t
+), vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+), n AS (
+  SELECT count(*)::BIGINT AS nd FROM documents
+), stats AS (
+  SELECT (SELECT count(*) FROM tok)::DOUBLE
+         / (SELECT nd FROM n)::DOUBLE AS avg
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), doctf AS (
+  SELECT k.doc_id, k.term, count(*) AS tf, any_value(l.dl)::DOUBLE AS dl
+  FROM tok k JOIN dl l ON l.doc_id = k.doc_id
+  GROUP BY k.doc_id, k.term
+),
+{cte_block}
+{union_all}
+"""

@@ -257,3 +257,176 @@ def doc_to_dense_vector(reader, docid: int, vocabulary) -> "np.ndarray":
         if i is not None:
             out[i] = f
     return out
+
+
+class KNearestFuzzyClassifier:
+    """KNearestFuzzyClassifier over NearestFuzzyQuery (classification/
+    KNearestFuzzyClassifier.java + classification/utils/
+    NearestFuzzyQuery.java — the reference notes it is adapted from
+    FuzzyLikeThisQuery, and the repo's fuzzy staging mirrors that:
+    search/fuzzylikethis.py). Reference constants: maxEdits=1,
+    prefixLength=2, MAX_VARIANTS_PER_TERM=50, MAX_NUM_TERMS=300
+    (NearestFuzzyQuery.java:53-55,117).
+
+    Float64 exact-twin protocol (the similarity-family stance): variant
+    selection restages the FuzzyLikeThis pipeline in pure float64
+    (boost = 1 - ed/min(|v|,|t|); score = boost^2 * (ln((N+1)/(df+1))+1),
+    scalar math.log; zero-df source falls back to the integer-mean
+    variant df), and doc scores are per-ScoreTerm boosted EXACT BM25 over
+    index postings with exact integer doc lengths — never the quantized
+    norm bytes — contrib = (st_score * idf) * tfn, idf =
+    ln(1 + (N - df + 0.5)/(df + 0.5)), tfn = tf*(k1+1) / (tf + k1*(1-b +
+    b*dl/avgdl)), k1=1.2 b=0.75, accumulated per doc in selection order.
+    Votes follow buildListFromTopDocs (KNearestFuzzyClassifier.java:
+    157-200): per class among the top k docs, count and boost =
+    sum(score/maxScore) in rank order; result = (count * (boost/count))/k,
+    scaled by k/sumdoc when fewer than k docs matched. Every float op is
+    mirrored one-for-one by the SQL oracle, so scores are bit-identical."""
+
+    K1 = 1.2
+    B = 0.75
+
+    def __init__(
+        self,
+        searcher,
+        k: int = 10,
+        class_field: str = "lang",
+        max_edits: int = 1,
+        prefix_length: int = 2,
+        max_num_terms: int = 300,
+    ):
+        self.searcher = searcher
+        self.reader = searcher.reader
+        self.k = k
+        self.class_field = class_field
+        self.max_edits = max_edits
+        self.prefix_length = prefix_length
+        self.max_num_terms = max_num_terms
+        r = self.reader
+        self.n_docs = r.doc_count
+        self.dl_sum = sum(
+            int(r.segment_reader(e.name).doc_len.sum()) for e in r.segments
+        )
+        self.avgdl = self.dl_sum / self.n_docs
+
+    def selected_terms(self, text: str) -> list[tuple[str, float]]:
+        """(variant, float64 score) ScoreTerms, (score desc, variant asc),
+        top max_num_terms — duplicates kept (two source terms may select
+        the same variant; the reference queue holds both entries)."""
+        from lucene_ray.search.fuzzylikethis import (
+            MAX_VARIANTS_PER_TERM,
+            FuzzyLikeThisQuery,
+        )
+        from lucene_ray.search.rewrite import _levenshtein_dist
+
+        flt = FuzzyLikeThisQuery(self.max_num_terms)
+        vocab = self.reader.vocabulary()
+        n = self.n_docs
+        out: list[tuple[float, str]] = []
+        seen: set[str] = set()
+        for term in self.searcher.analyzer.tokenize_text(text):
+            if term in seen:
+                continue
+            seen.add(term)
+            variants = flt._variants(
+                vocab, term, self.max_edits, self.prefix_length
+            )
+            if not variants:
+                continue
+            stats = self.reader.global_term_stats(
+                list(dict.fromkeys(variants + [term]))
+            )
+            plen = min(self.prefix_length, len(term))
+            scored = []
+            for v in variants:
+                if v == term:
+                    boost = 1.0
+                else:
+                    ed = _levenshtein_dist(
+                        term[plen:], v[plen:], self.max_edits
+                    )
+                    boost = 1.0 - ed / min(len(v), len(term))
+                scored.append((boost, v))
+            scored.sort(key=lambda bv: (-bv[0], bv[1]))
+            top = scored[:MAX_VARIANTS_PER_TERM]
+            df = stats[term][0]
+            if df == 0:
+                df = sum(stats[v][0] for v in variants) // len(variants)
+            idf = math.log((n + 1) / (df + 1)) + 1.0
+            for boost, v in top:
+                out.append(((boost * boost) * idf, v))
+        out.sort(key=lambda sv: (-sv[0], sv[1]))
+        return [(v, s) for s, v in out[: self.max_num_terms]]
+
+    def knn_topk(self, text: str):
+        """Top-k (global docids, float64 scores), (score desc, docid
+        asc) — the knnSearch TopDocs."""
+        import numpy as np
+
+        sel = self.selected_terms(text)
+        dfs = self.reader.global_term_stats([v for v, _ in sel])
+        docs_all, scores_all = [], []
+        for e in self.reader.segments:
+            sr = self.reader.segment_reader(e.name)
+            dl = sr.doc_len.astype(np.float64)
+            scores = np.zeros(len(dl), dtype=np.float64)
+            matched = np.zeros(len(dl), dtype=bool)
+            for v, st_score in sel:
+                tp = sr.postings(v)
+                if tp is None or len(tp.docids) == 0:
+                    continue
+                df = dfs[v][0]
+                idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+                tf = tp.tfs.astype(np.float64)
+                d = tp.docids
+                tfn = (tf * (self.K1 + 1.0)) / (
+                    tf
+                    + self.K1 * (1.0 - self.B + self.B * dl[d] / self.avgdl)
+                )
+                scores[d] += (st_score * idf) * tfn
+                matched[d] = True
+            if sr.live_mask is not None:
+                matched &= sr.live_mask
+            hit = np.nonzero(matched)[0]
+            if len(hit):
+                docs_all.append(hit.astype(np.int64) + e.docid_base)
+                scores_all.append(scores[hit])
+        if not docs_all:
+            import numpy as np
+
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        docs = np.concatenate(docs_all)
+        scores = np.concatenate(scores_all)
+        order = np.lexsort((docs, -scores))[: self.k]
+        return docs[order], scores[order]
+
+    def assign_classes(self, text: str) -> list[tuple[str, float]]:
+        """All classes among the top-k, (score desc, class asc) —
+        buildListFromTopDocs verbatim."""
+        from lucene_ray.search.engine import fetch_stored
+
+        docs, scores = self.knn_topk(text)
+        if len(docs) == 0:
+            return []
+        stored = fetch_stored(self.reader, docs)
+        classes = stored.column(self.class_field).to_pylist()
+        max_score = float(scores[0])
+        counts: dict[str, int] = {}
+        boosts: dict[str, float] = {}
+        for c, s in zip(classes, scores.tolist()):
+            counts[c] = counts.get(c, 0) + 1
+            boosts[c] = boosts.get(c, 0.0) + s / max_score
+        sumdoc = sum(counts.values())
+        out = []
+        for c, cnt in counts.items():
+            norm_boost = boosts[c] / cnt
+            score = (cnt * norm_boost) / self.k
+            if sumdoc < self.k:
+                score = score * self.k / sumdoc
+            out.append((c, score))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out
+
+    def assign_class(self, text: str) -> str | None:
+        res = self.assign_classes(text)
+        return res[0][0] if res else None

@@ -2636,3 +2636,49 @@ class TestMiscCoreSurfaces:
         comps = set(t.column("component").to_pylist())
         assert {"postings", "norms", "stored_fields", "metadata"} <= comps
         assert "other" not in comps  # every file classified
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKNearestFuzzy:
+    """classification/KNearestFuzzyClassifier + NearestFuzzyQuery float64
+    twin."""
+
+    def test_knnfuzzy_gate(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.knnfuzzy_classify(SF), con,
+            bm25docs.knnfuzzy_classify_sql(), float_cols=("score",),
+        )
+
+    def test_exact_term_dominates_and_k_bound(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.classification import KNearestFuzzyClassifier
+        from lucene_ray.search.engine import IndexSearcher
+
+        s = IndexSearcher(_engine_index(SF))
+        clf = KNearestFuzzyClassifier(s, k=7, max_num_terms=20)
+        sel = clf.selected_terms("mergge")
+        assert sel, "misspelling must select fuzzy variants"
+        assert "merge" in [v for v, _ in sel]
+        docs, scores = clf.knn_topk("mergge")
+        assert 0 < len(docs) <= 7
+        for i in range(1, len(docs)):
+            assert scores[i] < scores[i - 1] or (
+                scores[i] == scores[i - 1] and docs[i] > docs[i - 1]
+            )
+        res = clf.assign_classes("mergge")
+        assert res and abs(sum(counts for _c, counts in [])) == 0
+        # vote scores are in (0, 1] and sum over classes <= 1 + eps when
+        # sumdoc == k (count*avg/k partitions the normalized boosts)
+        assert all(0.0 < v <= 1.0 + 1e-9 for _c, v in res)
+
+    def test_no_variants_empty(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.classification import KNearestFuzzyClassifier
+        from lucene_ray.search.engine import IndexSearcher
+
+        s = IndexSearcher(_engine_index(SF))
+        clf = KNearestFuzzyClassifier(s)
+        assert clf.selected_terms("qqqqqqzzzz") == []
+        assert clf.assign_class("qqqqqqzzzz") is None
