@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify,
+        "nbdocclassify_engine": bm25docs.nbdocclassify_engine,
         "searchquality_engine": bm25docs.searchquality_engine,
         "doc2vec_engine": bm25docs.doc2vec_engine,
         "decomposed_percolate": bm25docs.decomposed_percolate,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify_sql(),
+        "nbdocclassify_engine": bm25docs.nbdocclassify_engine_sql(),
         "searchquality_engine": bm25docs.searchquality_engine_sql(),
         "doc2vec_engine": bm25docs.doc2vec_engine_sql(),
         "decomposed_percolate": bm25docs.decomposed_percolate_sql(),

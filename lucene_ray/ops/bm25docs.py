@@ -9552,3 +9552,89 @@ WITH t AS (
 {cte_block}
 {union_all}
 """
+
+
+NBDOC_INPUTS = [
+    # (qid, field spec with boost, list of field values)
+    (0, "content^2.0", ["merge sort stream", "window table"]),
+    (1, "content^0.5", ["batch join hash"]),
+    (2, "content", ["merge merge merge", "scan"]),
+]
+
+
+def nbdocclassify_engine(sf_dir: str) -> pa.Table:
+    """(qid, rank, cls, score): SimpleNaiveBayesDocumentClassifier —
+    per-VALUE prior accumulation, token-count-normalized log-likelihood,
+    field boost parsed from the 'content^2.0' spec. Raw log scores
+    (normalization is monotonic, pinned by tests); float64 bit-identical
+    to the oracle."""
+    from lucene_ray.search.classification import (
+        SimpleNaiveBayesDocumentClassifier,
+    )
+    from lucene_ray.search.engine import IndexSearcher
+
+    s = IndexSearcher(_engine_index(sf_dir))
+    out = {"qid": [], "rank": [], "cls": [], "score": []}
+    for qid, spec, values in NBDOC_INPUTS:
+        clf = SimpleNaiveBayesDocumentClassifier(s, (spec,), "lang")
+        res = clf.assign_classes({"content": values}, normalize=False)
+        for r, (cls, score) in enumerate(res):
+            out["qid"].append(qid)
+            out["rank"].append(r)
+            out["cls"].append(cls)
+            out["score"].append(score)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "cls": pa.array(out["cls"], type=pa.string()),
+            "score": pa.array(out["score"], type=pa.float64()),
+        }
+    )
+
+
+def nbdocclassify_engine_sql() -> str:
+    an = CodeAnalyzer()
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, spec, values in NBDOC_INPUTS:
+        boost = float(spec.split("^", 1)[1]) if "^" in spec else 1.0
+        value_exprs = []
+        for value in values:
+            words = an.tokenize_text(value)
+            lns = []
+            for w in words:
+                hits = (
+                    "(SELECT count(*) FROM documents d WHERE d.lang = c.lang "
+                    "AND d.doc_id IN (SELECT DISTINCT doc_id FROM tok "
+                    f"WHERE term = '{w}'))"
+                )
+                lns.append(
+                    f"ln(({hits} + 1) / ((st.np / st.dcc) * c.dfc + st.dwc))"
+                )
+            chain = " + ".join(lns)
+            value_exprs.append(
+                f"((ln(c.dfc) - ln(st.dwc)) + (({chain}) / {len(words)}) "
+                f"* {boost!r})"
+            )
+        score = " + ".join(value_exprs)
+        parts.append(f"""
+SELECT {qid} AS qid, c.lang AS cls, ({score}) AS score
+FROM classes c CROSS JOIN st""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term FROM t
+), st AS (
+  SELECT (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM tok))::DOUBLE AS np,
+         (SELECT count(DISTINCT doc_id) FROM tok)::DOUBLE AS dcc,
+         (SELECT count(*) FROM documents)::DOUBLE AS dwc
+), classes AS (
+  SELECT lang, count(*)::DOUBLE AS dfc FROM documents GROUP BY lang
+)
+SELECT qid, (row_number() OVER (PARTITION BY qid
+             ORDER BY score DESC, cls ASC) - 1)::INTEGER AS rank, cls, score
+FROM ({union})
+"""

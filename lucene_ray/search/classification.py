@@ -430,3 +430,91 @@ class KNearestFuzzyClassifier:
     def assign_class(self, text: str) -> str | None:
         res = self.assign_classes(text)
         return res[0][0] if res else None
+
+
+def norm_classification_results(
+    results: list[tuple[str, float]],
+) -> list[tuple[str, float]]:
+    """normClassificationResults (SimpleNaiveBayesClassifier.java:293-319):
+    log-sum-exp softmax of the class log-scores into a 0-1 range —
+    strictly order-preserving, so rankings are unchanged. Input must be
+    sorted (score desc, class asc); the same order is returned."""
+    if not results:
+        return []
+    smax = results[0][1]
+    sum_log = 0.0
+    for _c, s in results:
+        sum_log += math.exp(s - smax)
+    loga = smax + math.log(sum_log)
+    return [(c, math.exp(s - loga)) for c, s in results]
+
+
+class SimpleNaiveBayesDocumentClassifier:
+    """Document-input Naive Bayes (classification/document/
+    SimpleNaiveBayesDocumentClassifier.java:107-225): field names may
+    carry boosts ('content^2.0', :156-171); each field VALUE contributes
+    prior + (loglik / #tokens) * boost — the per-value prior accumulation
+    and the token-count normalization are the semantic differences from
+    the string classifier; classScore sums fields in spec order, values
+    in input order (left-assoc float chains, mirrored by the oracle).
+    The public getClasses() normalizes through log-sum-exp
+    (norm_classification_results) — monotonic, pinned by tests; the gate
+    compares the raw log scores.
+
+    Field support: 'content' (the shared analyzed field). Empty values
+    are rejected loudly (the reference divides by a zero token count —
+    NaN; refusing is this repo's documented stance on silent NaNs)."""
+
+    def __init__(self, searcher, field_specs=("content",), class_field="lang"):
+        self.searcher = searcher
+        self._nb = SimpleNaiveBayesClassifier(searcher, class_field)
+        self.fields: list[tuple[str, float]] = []
+        for spec in field_specs:
+            if "^" in spec:
+                name, b = spec.split("^", 1)
+                self.fields.append((name, float(b)))
+            else:
+                self.fields.append((spec, 1.0))
+        for name, _b in self.fields:
+            if name != "content":
+                raise ValueError(
+                    "only the shared 'content' analyzed field is classifiable"
+                )
+
+    def assign_classes(
+        self, doc: dict[str, list[str]], normalize: bool = True
+    ) -> list[tuple[str, float]]:
+        nb = self._nb
+        avg_unique = nb.sum_doc_freq / nb.doc_count_content
+        dwc = nb.docs_with_class
+        out = []
+        for c in nb.classes:
+            cls_term = TermQuery(f"{nb.class_field}:{c}")
+            df_c = nb._count([cls_term])
+            if df_c == 0:
+                continue
+            prior = math.log(df_c) - math.log(dwc)
+            den = avg_unique * df_c + dwc
+            class_score = 0.0
+            for field, boost in self.fields:
+                field_score = 0.0
+                for value in doc.get(field, []):
+                    tokens = self.searcher.analyzer.tokenize_text(value)
+                    if not tokens:
+                        raise ValueError(
+                            "empty field value: the reference divides the "
+                            "log-likelihood by a zero token count (NaN)"
+                        )
+                    ll = 0.0
+                    for w in tokens:
+                        hits = nb._count([TermQuery(w), cls_term])
+                        ll += math.log((hits + 1) / den)
+                    field_score += prior + (ll / len(tokens)) * boost
+                class_score += field_score
+            out.append((c, class_score))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return norm_classification_results(out) if normalize else out
+
+    def assign_class(self, doc: dict[str, list[str]]) -> str | None:
+        res = self.assign_classes(doc, normalize=False)
+        return res[0][0] if res else None

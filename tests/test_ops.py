@@ -2682,3 +2682,75 @@ class TestKNearestFuzzy:
         clf = KNearestFuzzyClassifier(s)
         assert clf.selected_terms("qqqqqqzzzz") == []
         assert clf.assign_class("qqqqqqzzzz") is None
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocumentClassifier:
+    """classification/document SimpleNaiveBayesDocumentClassifier."""
+
+    def test_nbdocclassify_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.nbdocclassify_engine(SF), con,
+            bm25docs.nbdocclassify_engine_sql(), float_cols=("score",),
+        )
+
+    def test_normalization_is_monotone_softmax(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.classification import (
+            SimpleNaiveBayesDocumentClassifier,
+        )
+        from lucene_ray.search.engine import IndexSearcher
+
+        s = IndexSearcher(_engine_index(SF))
+        clf = SimpleNaiveBayesDocumentClassifier(s, ("content^2.0",))
+        doc = {"content": ["merge sort", "window"]}
+        raw = clf.assign_classes(doc, normalize=False)
+        norm = clf.assign_classes(doc, normalize=True)
+        assert [c for c, _ in raw] == [c for c, _ in norm]  # order kept
+        assert abs(sum(v for _c, v in norm) - 1.0) < 1e-12
+        assert all(0.0 < v <= 1.0 for _c, v in norm)
+
+    def test_boost_scales_likelihood_only(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.classification import (
+            SimpleNaiveBayesDocumentClassifier,
+        )
+        from lucene_ray.search.engine import IndexSearcher
+
+        s = IndexSearcher(_engine_index(SF))
+        doc = {"content": ["merge sort"]}
+        r1 = dict(
+            SimpleNaiveBayesDocumentClassifier(s, ("content",))
+            .assign_classes(doc, normalize=False)
+        )
+        r2 = dict(
+            SimpleNaiveBayesDocumentClassifier(s, ("content^3.0",))
+            .assign_classes(doc, normalize=False)
+        )
+        import math
+
+        # score = prior + ll*boost  =>  (r2 - prior) == 3 * (r1 - prior)
+        clf = SimpleNaiveBayesDocumentClassifier(s, ("content",))
+        nb = clf._nb
+        for c in r1:
+            from lucene_ray.search.query import TermQuery
+
+            dfc = nb._count([TermQuery(f"lang:{c}")])
+            prior = math.log(dfc) - math.log(nb.docs_with_class)
+            assert abs((r2[c] - prior) - 3.0 * (r1[c] - prior)) < 1e-9
+
+    def test_empty_value_rejected_and_bad_field(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.classification import (
+            SimpleNaiveBayesDocumentClassifier,
+        )
+        from lucene_ray.search.engine import IndexSearcher
+
+        s = IndexSearcher(_engine_index(SF))
+        clf = SimpleNaiveBayesDocumentClassifier(s, ("content",))
+        with pytest.raises(ValueError):
+            clf.assign_classes({"content": ["..."]})  # tokenizes to nothing
+        with pytest.raises(ValueError):
+            SimpleNaiveBayesDocumentClassifier(s, ("title^2",))
