@@ -2154,3 +2154,167 @@ WITH tok AS (
 SELECT d.doc_id, coalesce(a.n, 0) AS n_dm, coalesce(a.n, 0) AS n_dms
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Data Selection via Importance Resampling,
+# Xie et al. 2023, arXiv:2302.03169 — public method): rank raw documents by
+# how target-like their hashed n-gram feature distribution is.
+
+DSIR_BUCKETS = 9973  # prime feature-hash width
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_bucket(s: str) -> int:
+    """Character-fold bucket hash — (h*31 + codepoint) % DSIR_BUCKETS, the
+    SQL-reproducible stand-in for the paper's feature hash (DuckDB twin:
+    list_reduce over string_split chars; parity pinned by the gate)."""
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % DSIR_BUCKETS
+    return h
+
+
+def _dsir_doc_features(tokens: list[str], cache: dict) -> list[int]:
+    """Ordered feature sequence of one doc: unigram buckets in token
+    order, then bigram buckets ('t1 t2') in position order — the fixed
+    fold order the float oracle mirrors."""
+    out = []
+    for t in tokens:
+        b = cache.get(t)
+        if b is None:
+            b = cache[t] = _dsir_bucket(t)
+        out.append(b)
+    for i in range(len(tokens) - 1):
+        bg = tokens[i] + " " + tokens[i + 1]
+        b = cache.get(bg)
+        if b is None:
+            b = cache[bg] = _dsir_bucket(bg)
+        out.append(b)
+    return out
+
+
+def dsir_weights(sf_dir: str, target_lang: str = DSIR_TARGET_LANG):
+    """(doc_id, weight): DSIR importance weight per document —
+    weight(d) = sum over d's hashed unigram+bigram features of
+    ln p_target(b) - ln p_raw(b), with add-one smoothing over
+    DSIR_BUCKETS buckets; target = docs with lang == target_lang, raw =
+    the whole corpus. High weight = looks like the target distribution;
+    resampling takes the top fraction (or Gumbel-perturbed top-k — the
+    paper's stochastic variant; deterministic ranking is the gate's
+    observable).
+
+    Shape at scale: pass 1 is map_batches partial bucket counts reduced
+    by a groupby over at most DSIR_BUCKETS keys (corpus-size-independent
+    driver state); pass 2 broadcasts the per-bucket ln-ratio LUT via
+    ray.put and streams documents. The per-doc fold is LEFT-ASSOCIATIVE
+    in feature order — the float-oracle protocol (a production variant
+    may sum in any order; the gate's chain is the pinned spec)."""
+    import math
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        an = CodeAnalyzer()
+        toks = an.tokenize_array(batch.column("text").combine_chunks())
+        langs = batch.column("lang").to_pylist()
+        cache: dict = {}
+        ct = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        cr = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        for row, lang in zip(toks.to_pylist(), langs):
+            for b in _dsir_doc_features(row, cache):
+                cr[b] += 1
+                if lang == target_lang:
+                    ct[b] += 1
+        nz = np.nonzero(cr)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, type=pa.int64()),
+                "ct": pa.array(ct[nz], type=pa.int64()),
+                "cr": pa.array(cr[nz], type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .sum(["ct", "cr"])
+        .to_pandas()  # <= DSIR_BUCKETS rows, corpus-size-independent
+    )
+    ct = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    cr = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    ct[counts["bucket"].to_numpy()] = counts["sum(ct)"].to_numpy()
+    cr[counts["bucket"].to_numpy()] = counts["sum(cr)"].to_numpy()
+    nt, nr = int(ct.sum()), int(cr.sum())
+    lut = np.empty(DSIR_BUCKETS, dtype=np.float64)
+    den_t, den_r = nt + DSIR_BUCKETS, nr + DSIR_BUCKETS
+    for b in range(DSIR_BUCKETS):
+        lut[b] = math.log((int(ct[b]) + 1) / den_t) - math.log(
+            (int(cr[b]) + 1) / den_r
+        )
+    lut_ref = ray.put(lut)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        an = CodeAnalyzer()
+        toks = an.tokenize_array(batch.column("text").combine_chunks())
+        cache: dict = {}
+        out = []
+        for row in toks.to_pylist():
+            w = 0.0
+            for b in _dsir_doc_features(row, cache):
+                w += float(table[b])
+            out.append(w)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "weight": pa.array(out, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(weigh, batch_format="pyarrow", batch_size=4096)
+
+
+def dsir_weights_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    bucket = (
+        "list_reduce(list_prepend(0, list_transform(string_split({s}, '')"
+        ", c -> ord(c))), (a, c) -> (a * 31 + c) % {m})"
+    )
+    b_uni = bucket.format(s="term", m=DSIR_BUCKETS)
+    b_big = bucket.format(s="t0.term || ' ' || t1.term", m=DSIR_BUCKETS)
+    return f"""
+WITH t AS (
+  SELECT d.doc_id, d.lang, {toks} AS l FROM documents d
+), tok AS (
+  SELECT doc_id, lang, unnest(l) AS term,
+         generate_subscripts(l, 1) - 1 AS pos, len(l) AS dl
+  FROM t
+), feat AS (
+  SELECT doc_id, lang, pos AS ord, {b_uni} AS b FROM tok
+  UNION ALL
+  SELECT t0.doc_id, t0.lang, t0.dl + t0.pos AS ord, {b_big} AS b
+  FROM tok t0 JOIN tok t1
+    ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+), counts AS (
+  SELECT b,
+         count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS ct,
+         count(*) AS cr
+  FROM feat GROUP BY b
+), n AS (
+  SELECT (SELECT sum(ct) FROM counts) AS nt,
+         (SELECT sum(cr) FROM counts) AS nr
+), contrib AS (
+  SELECT f.doc_id, f.ord,
+         ln((c.ct + 1)::DOUBLE / (n.nt + {DSIR_BUCKETS})::DOUBLE)
+         - ln((c.cr + 1)::DOUBLE / (n.nr + {DSIR_BUCKETS})::DOUBLE) AS v
+  FROM feat f JOIN counts c ON c.b = f.b CROSS JOIN n
+), w AS (
+  SELECT doc_id,
+         list_reduce(list(v ORDER BY ord), (a, b) -> a + b) AS weight
+  FROM contrib GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(w.weight, 0.0) AS weight
+FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+"""

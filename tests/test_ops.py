@@ -2754,3 +2754,42 @@ class TestDocumentClassifier:
             clf.assign_classes({"content": ["..."]})  # tokenizes to nothing
         with pytest.raises(ValueError):
             SimpleNaiveBayesDocumentClassifier(s, ("title^2",))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDsir:
+    """DSIR importance weights (Xie et al. 2023): gate parity + the
+    selection property the method exists for."""
+
+    def test_dsir_gate(self, con):
+        from lucene_ray.ops import text as text_ops
+
+        assert_same(
+            text_ops.dsir_weights(SF), con, text_ops.dsir_weights_sql(),
+            float_cols=("weight",),
+        )
+
+    def test_top_weights_enrich_target_lang(self):
+        import duckdb
+
+        from lucene_ray.ops.text import DSIR_TARGET_LANG, dsir_weights
+
+        df = to_pdf(dsir_weights(SF)).sort_values(
+            "weight", ascending=False
+        )
+        langs = duckdb.sql(
+            f"SELECT doc_id, lang FROM '{SF}/documents.parquet'"
+        ).fetchdf().set_index("doc_id")["lang"]
+        top = [langs[d] for d in df.head(50)["doc_id"]]
+        bottom = [langs[d] for d in df.tail(50)["doc_id"]]
+        top_rate = top.count(DSIR_TARGET_LANG) / len(top)
+        bot_rate = bottom.count(DSIR_TARGET_LANG) / len(bottom)
+        assert top_rate > bot_rate, (top_rate, bot_rate)
+
+    def test_bucket_hash_bounds_and_determinism(self):
+        from lucene_ray.ops.text import DSIR_BUCKETS, _dsir_bucket
+
+        for s in ("merge", "merge sort", "", "a" * 300):
+            b = _dsir_bucket(s)
+            assert 0 <= b < DSIR_BUCKETS
+            assert b == _dsir_bucket(s)
