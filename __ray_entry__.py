@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
         "dsir_weights": text.dsir_weights,
+        "knntext_classify": bm25docs.knntext_classify,
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify,
         "nbdocclassify_engine": bm25docs.nbdocclassify_engine,
         "searchquality_engine": bm25docs.searchquality_engine,
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "dsir_weights": text.dsir_weights_sql(),
+        "knntext_classify": bm25docs.knntext_classify_sql(),
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify_sql(),
         "nbdocclassify_engine": bm25docs.nbdocclassify_engine_sql(),
         "searchquality_engine": bm25docs.searchquality_engine_sql(),

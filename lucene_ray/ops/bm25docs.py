@@ -9443,6 +9443,46 @@ def knnfuzzy_classify(sf_dir: str) -> pa.Table:
     )
 
 
+def _knn_vote_chain_sql(qid, k: int) -> str:
+    """contrib->docscore->topk->votes->res CTE chain shared by the kNN
+    classifier oracles — expects a sel{qid}(term, score, vr) CTE plus the
+    shared vocab/n/stats/doctf CTEs; every float op mirrors
+    classification.boosted_term_topk + build_list_from_topdocs."""
+    return f"""contrib{qid} AS (
+  SELECT dt.doc_id, se.vr,
+         (se.score * ln(1.0 + (nd::DOUBLE - v.df::DOUBLE + 0.5) / (v.df::DOUBLE + 0.5)))
+         * ((dt.tf::DOUBLE * (1.2 + 1.0)) /
+            (dt.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dt.dl / (SELECT avg FROM stats))))
+         AS c
+  FROM sel{qid} se
+  JOIN vocab v ON v.term = se.term
+  JOIN doctf dt ON dt.term = se.term
+  CROSS JOIN n
+), docscore{qid} AS (
+  SELECT doc_id, list_reduce(list(c ORDER BY vr), (a, b) -> a + b) AS score
+  FROM contrib{qid} GROUP BY doc_id
+), topk{qid} AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM docscore{qid} QUALIFY rk <= {k}
+), votes{qid} AS (
+  SELECT d.lang AS cls, count(*) AS cnt,
+         list_reduce(
+           list(t.score / (SELECT score FROM topk{qid} WHERE rk = 1)
+                ORDER BY t.rk),
+           (a, b) -> a + b) AS boostsum
+  FROM topk{qid} t JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY d.lang
+), res{qid} AS (
+  SELECT cls,
+         CASE WHEN (SELECT count(*) FROM topk{qid}) < {k}
+              THEN ((cnt * (boostsum / cnt)) / {k}) * {k}
+                   / (SELECT count(*) FROM topk{qid})
+              ELSE (cnt * (boostsum / cnt)) / {k} END AS score
+  FROM votes{qid}
+)"""
+
+
 def knnfuzzy_classify_sql() -> str:
     from lucene_ray.analysis import get_analyzer
     from lucene_ray.search.fuzzylikethis import MAX_VARIANTS_PER_TERM
@@ -9490,39 +9530,7 @@ def knnfuzzy_classify_sql() -> str:
          row_number() OVER (ORDER BY score DESC, term ASC) AS vr
   FROM ({union})
   QUALIFY vr <= {KNNFUZZY_MAX_TERMS}
-), contrib{qid} AS (
-  SELECT dt.doc_id, se.vr,
-         (se.score * ln(1.0 + (nd::DOUBLE - v.df::DOUBLE + 0.5) / (v.df::DOUBLE + 0.5)))
-         * ((dt.tf::DOUBLE * (1.2 + 1.0)) /
-            (dt.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dt.dl / (SELECT avg FROM stats))))
-         AS c
-  FROM sel{qid} se
-  JOIN vocab v ON v.term = se.term
-  JOIN doctf dt ON dt.term = se.term
-  CROSS JOIN n
-), docscore{qid} AS (
-  SELECT doc_id, list_reduce(list(c ORDER BY vr), (a, b) -> a + b) AS score
-  FROM contrib{qid} GROUP BY doc_id
-), topk{qid} AS (
-  SELECT doc_id, score,
-         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
-  FROM docscore{qid} QUALIFY rk <= {k}
-), votes{qid} AS (
-  SELECT d.lang AS cls, count(*) AS cnt,
-         list_reduce(
-           list(t.score / (SELECT score FROM topk{qid} WHERE rk = 1)
-                ORDER BY t.rk),
-           (a, b) -> a + b) AS boostsum
-  FROM topk{qid} t JOIN documents d ON d.doc_id = t.doc_id
-  GROUP BY d.lang
-), res{qid} AS (
-  SELECT cls,
-         CASE WHEN (SELECT count(*) FROM topk{qid}) < {k}
-              THEN ((cnt * (boostsum / cnt)) / {k}) * {k}
-                   / (SELECT count(*) FROM topk{qid})
-              ELSE (cnt * (boostsum / cnt)) / {k} END AS score
-  FROM votes{qid}
-)""")
+), {_knn_vote_chain_sql(qid, k)}""")
         selects.append(
             f"SELECT {qid} AS qid, (row_number() OVER ("
             f"ORDER BY score DESC, cls ASC) - 1)::INTEGER AS rank, "
@@ -9637,4 +9645,102 @@ WITH t AS (
 SELECT qid, (row_number() OVER (PARTITION BY qid
              ORDER BY score DESC, cls ASC) - 1)::INTEGER AS rank, cls, score
 FROM ({union})
+"""
+
+
+KNNTEXT_TEXTS = [
+    (0, "merge merge sort window sort"),
+    (1, "stream batch stream join"),
+    (2, "table scan hash table table"),
+]
+KNNTEXT_K = 10
+KNNTEXT_MAX_TERMS = 10
+
+
+def knntext_classify(sf_dir: str) -> pa.Table:
+    """(qid, rank, cls, score): MLT-based text kNN classification
+    (classification/KNearestNeighborClassifier.java) — MoreLikeThis term
+    selection with score/bestScore boosts (MoreLikeThis.java:595-605,
+    setBoost(true)), float64-exact boosted BM25 top-10, the shared class
+    vote. min_term_freq/min_doc_freq = 1 so short texts select terms.
+    Scores bit-identical to the oracle."""
+    from lucene_ray.search.classification import KNearestNeighborClassifier
+    from lucene_ray.search.engine import IndexSearcher
+
+    s = IndexSearcher(_engine_index(sf_dir))
+    clf = KNearestNeighborClassifier(
+        s, k=KNNTEXT_K, max_query_terms=KNNTEXT_MAX_TERMS,
+        min_term_freq=1, min_doc_freq=1,
+    )
+    out = {"qid": [], "rank": [], "cls": [], "score": []}
+    for qid, text in KNNTEXT_TEXTS:
+        for r, (cls, score) in enumerate(clf.assign_classes(text)):
+            out["qid"].append(qid)
+            out["rank"].append(r)
+            out["cls"].append(cls)
+            out["score"].append(score)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "cls": pa.array(out["cls"], type=pa.string()),
+            "score": pa.array(out["score"], type=pa.float64()),
+        }
+    )
+
+
+def knntext_classify_sql() -> str:
+    from collections import Counter
+
+    an = CodeAnalyzer()
+    toks = tokenize_sql_expr("text")
+    k = KNNTEXT_K
+    ctes, selects = [], []
+    for qid, text in KNNTEXT_TEXTS:
+        tfs = Counter(an.tokenize_text(text))
+        cand = sorted(t for t, c in tfs.items() if c >= 1)
+        branches = [
+            f"SELECT '{t}' AS term, "
+            f"{tfs[t]} * (1.0 + ln(nd::DOUBLE / (df::DOUBLE + 1.0))) AS raw "
+            f"FROM vocab CROSS JOIN n WHERE term = '{t}' AND df >= 1"
+            for t in cand
+        ]
+        union = " UNION ALL ".join(f"({b})" for b in branches)
+        ctes.append(f"""mlt{qid} AS (
+  SELECT term, raw,
+         row_number() OVER (ORDER BY raw DESC, term ASC) AS vr
+  FROM ({union})
+  QUALIFY vr <= {KNNTEXT_MAX_TERMS}
+), sel{qid} AS (
+  SELECT term, raw / (SELECT raw FROM mlt{qid} WHERE vr = 1) AS score, vr
+  FROM mlt{qid}
+), {_knn_vote_chain_sql(qid, k)}""")
+        selects.append(
+            f"SELECT {qid} AS qid, (row_number() OVER ("
+            f"ORDER BY score DESC, cls ASC) - 1)::INTEGER AS rank, "
+            f"cls, score FROM res{qid}"
+        )
+    cte_block = ",\n".join(ctes)
+    union_all = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term FROM t
+), vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+), n AS (
+  SELECT count(*)::BIGINT AS nd FROM documents
+), stats AS (
+  SELECT (SELECT count(*) FROM tok)::DOUBLE
+         / (SELECT nd FROM n)::DOUBLE AS avg
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), doctf AS (
+  SELECT k.doc_id, k.term, count(*) AS tf, any_value(l.dl)::DOUBLE AS dl
+  FROM tok k JOIN dl l ON l.doc_id = k.doc_id
+  GROUP BY k.doc_id, k.term
+),
+{cte_block}
+{union_all}
 """

@@ -259,6 +259,85 @@ def doc_to_dense_vector(reader, docid: int, vocabulary) -> "np.ndarray":
     return out
 
 
+def boosted_term_topk(reader, sel, k, n_docs, avgdl, k1=1.2, b=0.75):
+    """Top-k docs of a boosted term disjunction under the float64
+    exact-twin BM25 (shared by KNearestFuzzyClassifier and the MLT-based
+    KNearestNeighborClassifier): per (term, boost) in ``sel`` ORDER,
+    contrib = (boost * idf) * tfn with idf = ln(1 + (N - df + 0.5) /
+    (df + 0.5)) and tfn = tf*(k1+1)/(tf + k1*(1-b + b*dl/avgdl)) over
+    exact integer doc lengths. Returns (global docids, float64 scores),
+    (score desc, docid asc)."""
+    import numpy as np
+
+    dfs = reader.global_term_stats([v for v, _ in sel])
+    docs_all, scores_all = [], []
+    for e in reader.segments:
+        sr = reader.segment_reader(e.name)
+        dl = sr.doc_len.astype(np.float64)
+        scores = np.zeros(len(dl), dtype=np.float64)
+        matched = np.zeros(len(dl), dtype=bool)
+        for v, boost in sel:
+            tp = sr.postings(v)
+            if tp is None or len(tp.docids) == 0:
+                continue
+            df = dfs[v][0]
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            tf = tp.tfs.astype(np.float64)
+            d = tp.docids
+            tfn = (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl[d] / avgdl)
+            )
+            scores[d] += (boost * idf) * tfn
+            matched[d] = True
+        if sr.live_mask is not None:
+            matched &= sr.live_mask
+        hit = np.nonzero(matched)[0]
+        if len(hit):
+            docs_all.append(hit.astype(np.int64) + e.docid_base)
+            scores_all.append(scores[hit])
+    if not docs_all:
+        import numpy as np
+
+        return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+    docs = np.concatenate(docs_all)
+    scores = np.concatenate(scores_all)
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]
+
+
+def build_list_from_topdocs(
+    reader, docids, scores, k, class_field: str
+) -> list[tuple[str, float]]:
+    """buildListFromTopDocs (KNearestNeighborClassifier.java:186-230 ==
+    KNearestFuzzyClassifier.java:157-200): per class among the top docs,
+    count and boost = sum(score/maxScore) in rank order; result =
+    (count * (boost/count)) / k, scaled by k/sumdoc when fewer than k
+    docs matched. Returns (score desc, class asc)."""
+    from lucene_ray.search.engine import fetch_stored
+
+    if len(docids) == 0:
+        return []
+    stored = fetch_stored(reader, docids)
+    classes = stored.column(class_field).to_pylist()
+    max_score = float(scores[0])
+    counts: dict[str, int] = {}
+    boosts: dict[str, float] = {}
+    for c, s in zip(classes, scores.tolist()):
+        counts[c] = counts.get(c, 0) + 1
+        boosts[c] = boosts.get(c, 0.0) + s / max_score
+    sumdoc = sum(counts.values())
+    out = []
+    for c, cnt in counts.items():
+        norm_boost = boosts[c] / cnt
+        score = (cnt * norm_boost) / k
+        if sumdoc < k:
+            score = score * k / sumdoc
+        out.append((c, score))
+    out.sort(key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+
 class KNearestFuzzyClassifier:
     """KNearestFuzzyClassifier over NearestFuzzyQuery (classification/
     KNearestFuzzyClassifier.java + classification/utils/
@@ -360,72 +439,20 @@ class KNearestFuzzyClassifier:
 
     def knn_topk(self, text: str):
         """Top-k (global docids, float64 scores), (score desc, docid
-        asc) — the knnSearch TopDocs."""
-        import numpy as np
-
+        asc) — the knnSearch TopDocs (boosted_term_topk twin)."""
         sel = self.selected_terms(text)
-        dfs = self.reader.global_term_stats([v for v, _ in sel])
-        docs_all, scores_all = [], []
-        for e in self.reader.segments:
-            sr = self.reader.segment_reader(e.name)
-            dl = sr.doc_len.astype(np.float64)
-            scores = np.zeros(len(dl), dtype=np.float64)
-            matched = np.zeros(len(dl), dtype=bool)
-            for v, st_score in sel:
-                tp = sr.postings(v)
-                if tp is None or len(tp.docids) == 0:
-                    continue
-                df = dfs[v][0]
-                idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
-                tf = tp.tfs.astype(np.float64)
-                d = tp.docids
-                tfn = (tf * (self.K1 + 1.0)) / (
-                    tf
-                    + self.K1 * (1.0 - self.B + self.B * dl[d] / self.avgdl)
-                )
-                scores[d] += (st_score * idf) * tfn
-                matched[d] = True
-            if sr.live_mask is not None:
-                matched &= sr.live_mask
-            hit = np.nonzero(matched)[0]
-            if len(hit):
-                docs_all.append(hit.astype(np.int64) + e.docid_base)
-                scores_all.append(scores[hit])
-        if not docs_all:
-            import numpy as np
-
-            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
-        docs = np.concatenate(docs_all)
-        scores = np.concatenate(scores_all)
-        order = np.lexsort((docs, -scores))[: self.k]
-        return docs[order], scores[order]
+        return boosted_term_topk(
+            self.reader, sel, self.k, self.n_docs, self.avgdl,
+            k1=self.K1, b=self.B,
+        )
 
     def assign_classes(self, text: str) -> list[tuple[str, float]]:
         """All classes among the top-k, (score desc, class asc) —
         buildListFromTopDocs verbatim."""
-        from lucene_ray.search.engine import fetch_stored
-
         docs, scores = self.knn_topk(text)
-        if len(docs) == 0:
-            return []
-        stored = fetch_stored(self.reader, docs)
-        classes = stored.column(self.class_field).to_pylist()
-        max_score = float(scores[0])
-        counts: dict[str, int] = {}
-        boosts: dict[str, float] = {}
-        for c, s in zip(classes, scores.tolist()):
-            counts[c] = counts.get(c, 0) + 1
-            boosts[c] = boosts.get(c, 0.0) + s / max_score
-        sumdoc = sum(counts.values())
-        out = []
-        for c, cnt in counts.items():
-            norm_boost = boosts[c] / cnt
-            score = (cnt * norm_boost) / self.k
-            if sumdoc < self.k:
-                score = score * self.k / sumdoc
-            out.append((c, score))
-        out.sort(key=lambda kv: (-kv[1], kv[0]))
-        return out
+        return build_list_from_topdocs(
+            self.reader, docs, scores, self.k, self.class_field
+        )
 
     def assign_class(self, text: str) -> str | None:
         res = self.assign_classes(text)
@@ -517,4 +544,87 @@ class SimpleNaiveBayesDocumentClassifier:
 
     def assign_class(self, doc: dict[str, list[str]]) -> str | None:
         res = self.assign_classes(doc, normalize=False)
+        return res[0][0] if res else None
+
+
+class KNearestNeighborClassifier:
+    """KNearestNeighborClassifier (classification/
+    KNearestNeighborClassifier.java): MLT-based text kNN — MoreLikeThis
+    selects the text's most interesting terms with setBoost(true), so
+    each term query is boosted by score/bestScore (MoreLikeThis.java:
+    595-605); the top-k matching docs vote through buildListFromTopDocs.
+    Float64 exact-twin protocol: term selection reuses the MLT tf*idf
+    staging (idf = 1 + ln(N/(df+1)), search/mlt.py — oracle-proven by
+    mlt_engine) in float64, doc scores run boosted_term_topk's exact
+    BM25."""
+
+    K1 = 1.2
+    B = 0.75
+
+    def __init__(
+        self,
+        searcher,
+        k: int = 10,
+        class_field: str = "lang",
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+    ):
+        self.searcher = searcher
+        self.reader = searcher.reader
+        self.k = k
+        self.class_field = class_field
+        self.max_query_terms = max_query_terms
+        self.min_term_freq = min_term_freq
+        self.min_doc_freq = min_doc_freq
+        r = self.reader
+        self.n_docs = r.doc_count
+        self.dl_sum = sum(
+            int(r.segment_reader(e.name).doc_len.sum()) for e in r.segments
+        )
+        self.avgdl = self.dl_sum / self.n_docs
+
+    def selected_terms(self, text: str) -> list[tuple[str, float]]:
+        """(term, boost): MLT top terms with score/bestScore boosts,
+        (tf*idf desc, term asc) order — the first term's boost is exactly
+        1.0."""
+        from collections import Counter
+
+        tfs = Counter(self.searcher.analyzer.tokenize_text(text))
+        cand = sorted(
+            t for t, c in tfs.items() if c >= self.min_term_freq
+        )
+        if not cand:
+            return []
+        stats = self.reader.global_term_stats(cand)
+        n = float(self.n_docs)
+        scored = []
+        for t in cand:
+            df = stats.get(t, (0, 0))[0]
+            if df < self.min_doc_freq:
+                continue
+            idf = 1.0 + math.log(n / (df + 1.0))
+            scored.append((tfs[t] * idf, t))
+        scored.sort(key=lambda sv: (-sv[0], sv[1]))
+        top = scored[: self.max_query_terms]
+        if not top:
+            return []
+        best = top[0][0]
+        return [(t, s / best) for s, t in top]
+
+    def knn_topk(self, text: str):
+        sel = self.selected_terms(text)
+        return boosted_term_topk(
+            self.reader, sel, self.k, self.n_docs, self.avgdl,
+            k1=self.K1, b=self.B,
+        )
+
+    def assign_classes(self, text: str) -> list[tuple[str, float]]:
+        docs, scores = self.knn_topk(text)
+        return build_list_from_topdocs(
+            self.reader, docs, scores, self.k, self.class_field
+        )
+
+    def assign_class(self, text: str) -> str | None:
+        res = self.assign_classes(text)
         return res[0][0] if res else None

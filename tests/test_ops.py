@@ -2793,3 +2793,53 @@ class TestDsir:
             b = _dsir_bucket(s)
             assert 0 <= b < DSIR_BUCKETS
             assert b == _dsir_bucket(s)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnTextClassifier:
+    """classification/KNearestNeighborClassifier (MLT-based text kNN)."""
+
+    def test_knntext_gate(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.knntext_classify(SF), con,
+            bm25docs.knntext_classify_sql(), float_cols=("score",),
+        )
+
+    def test_mlt_defaults_filter_rare_terms(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.classification import (
+            KNearestNeighborClassifier,
+        )
+        from lucene_ray.search.engine import IndexSearcher
+
+        s = IndexSearcher(_engine_index(SF))
+        # defaults: min_term_freq=2 — single-occurrence terms select
+        # nothing (the MoreLikeThis default contract)
+        strict = KNearestNeighborClassifier(s)
+        assert strict.selected_terms("merge sort window") == []
+        loose = KNearestNeighborClassifier(s, min_term_freq=1, min_doc_freq=1)
+        sel = loose.selected_terms("merge merge sort")
+        assert sel and sel[0][1] == 1.0  # best term's boost exactly 1
+        assert all(0.0 < b <= 1.0 for _t, b in sel)
+        # repeated term ranks first (tf doubles its score)
+        assert sel[0][0] == "merge"
+
+    def test_fuzzy_and_text_share_vote_math(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.classification import (
+            build_list_from_topdocs,
+        )
+        from lucene_ray.search.engine import IndexSearcher
+        import numpy as np
+
+        s = IndexSearcher(_engine_index(SF))
+        docs = np.array([0, 1, 2], dtype=np.int64)
+        scores = np.array([4.0, 2.0, 1.0])
+        res = build_list_from_topdocs(s.reader, docs, scores, 10, "lang")
+        # sumdoc (3) < k (10): the correction rescales by k/sumdoc
+        total = sum(v for _c, v in res)
+        # sum over classes of count*avg/k*k/sumdoc = sum(score_i/max)/sumdoc
+        want = (4.0 / 4.0 + 2.0 / 4.0 + 1.0 / 4.0) / 3
+        assert abs(total - want) < 1e-12
