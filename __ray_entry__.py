@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
         "dsir_weights": text.dsir_weights,
+        "multireader_engine": bm25docs.multireader_engine,
         "knntext_classify": bm25docs.knntext_classify,
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify,
         "nbdocclassify_engine": bm25docs.nbdocclassify_engine,
@@ -276,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "dsir_weights": text.dsir_weights_sql(),
+        "multireader_engine": bm25docs.multireader_engine_sql(),
         "knntext_classify": bm25docs.knntext_classify_sql(),
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify_sql(),
         "nbdocclassify_engine": bm25docs.nbdocclassify_engine_sql(),

@@ -9744,3 +9744,95 @@ WITH t AS (
 {cte_block}
 {union_all}
 """
+
+
+def _engine_index_halves(sf_dir: str) -> tuple[str, str]:
+    """Two indexes over the doc_id-ordered halves of the documents table
+    (the MultiReader composition fixtures; half split preserves global
+    docid == doc_id through the composite's rebasing)."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.builder import build_index
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    t = t.take(pa.array(order))
+    half = t.num_rows // 2
+    out = []
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    for part, lo, hi in (("a", 0, half), ("b", half, t.num_rows)):
+        ix = os.path.join("/tmp/lucene_ray_cache", f"docs_half{part}_{key}")
+        src = ix + "_corpus.parquet"
+        if not os.path.exists(src):
+            sl = t.slice(lo, hi - lo)
+            corpus = pa.table(
+                {
+                    "repo": sl.column("source").cast(pa.string()),
+                    "path": pa.array(
+                        [f"doc/{i}" for i in sl.column("doc_id").to_pylist()]
+                    ),
+                    "commit": pa.array(
+                        ["0" * 40] * sl.num_rows, type=pa.string()
+                    ),
+                    "lang": sl.column("lang").cast(pa.string()),
+                    "content": sl.column("text").cast(pa.string()),
+                }
+            )
+            os.makedirs("/tmp/lucene_ray_cache", exist_ok=True)
+            pq.write_table(corpus, src + ".tmp", row_group_size=16384)
+            os.replace(src + ".tmp", src)
+        build_index([src], ix, target_docs=8192)
+        out.append(ix)
+    return out[0], out[1]
+
+
+def multireader_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): boolean matching through a MultiReader composite of
+    two half-corpus indexes (core/index/MultiReader.java — docids rebased
+    by cumulative maxDoc, no files copied). The halves split in doc_id
+    order, so composite docid == doc_id and the oracle is the plain
+    documents view."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.reader import MultiReader
+
+    ix_a, ix_b = _engine_index_halves(sf_dir)
+    s = IndexSearcher(MultiReader([ix_a, ix_b]))
+    out_q, out_d = [], []
+    for qid, q in enumerate(
+        ("merge", "window table", "+stream -slow", '"hash scan"')
+    ):
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def multireader_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = [
+        "SELECT DISTINCT 0 AS qid, doc_id AS docid FROM tok"
+        " WHERE term = 'merge'",
+        "SELECT DISTINCT 1 AS qid, doc_id AS docid FROM tok"
+        " WHERE term IN ('window', 'table')",
+        "SELECT DISTINCT 2 AS qid, doc_id AS docid FROM tok"
+        " WHERE term = 'stream' AND doc_id NOT IN"
+        " (SELECT doc_id FROM tok WHERE term = 'slow')",
+        "SELECT DISTINCT 3 AS qid, t0.doc_id AS docid FROM tok t0"
+        " JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1"
+        " AND t1.term = 'scan' WHERE t0.term = 'hash'",
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t
+)
+{union}
+"""

@@ -230,11 +230,17 @@ def build_scorers(
 class IndexSearcher:
     def __init__(
         self,
-        index_dir: str,
+        index_dir: "str | IndexReader",
         similarity: BM25Similarity | None = None,
         pruned: bool = True,
     ):
-        self.reader = IndexReader(index_dir)
+        # an already-open reader (e.g. a MultiReader composite or a
+        # point-in-time snapshot) is accepted in place of a path
+        self.reader = (
+            index_dir
+            if isinstance(index_dir, IndexReader)
+            else IndexReader(index_dir)
+        )
         self.sim = similarity or BM25Similarity()
         self.pruned = pruned
         self.analyzer = get_analyzer(self.reader.manifest.analyzer)

@@ -916,3 +916,67 @@ class IndexReader:
                 out[t][0] += df
                 out[t][1] += ttf
         return {t: (v[0], v[1]) for t, v in out.items()}
+
+
+class MultiReader(IndexReader):
+    """Read-only composite over several committed indexes — core/index/
+    MultiReader.java (a CompositeReader whose subs keep their own
+    segment structure; docids are rebased by each sub's cumulative
+    maxDoc, MultiReader's BaseCompositeReader contract). No files are
+    copied or written (addIndexes is the copying cousin); the view is a
+    SNAPSHOT of each sub at open time. Analyzers must match across subs
+    (the addIndexes equality contract). Segment names are content-hashed
+    and must be distinct — composing an index with itself is refused
+    (use add_indexes, which re-keys)."""
+
+    def __init__(self, index_dirs: list[str]):
+        import dataclasses
+
+        from lucene_ray.index.manifest import Manifest
+
+        if not index_dirs:
+            raise ValueError("MultiReader needs at least one index")
+        self.subs = [IndexReader(d) for d in index_dirs]
+        analyzers = {s.manifest.analyzer for s in self.subs}
+        if len(analyzers) > 1:
+            raise ValueError(f"analyzer mismatch across subs: {analyzers}")
+        segs, self._dir_of = [], {}
+        base = 0
+        for sub in self.subs:
+            for e in sub.segments:
+                if e.name in self._dir_of:
+                    raise ValueError(
+                        f"duplicate segment {e.name}: composing an index "
+                        "with itself is unsupported (use add_indexes)"
+                    )
+                self._dir_of[e.name] = sub.index_dir
+                segs.append(
+                    dataclasses.replace(
+                        e, docid_base=base + e.docid_base
+                    )
+                )
+            base += sub.doc_count
+        self.index_dir = index_dirs[0]  # cache keys only; reads use _dir_of
+        self.manifest = Manifest(
+            generation=-1,  # composite views are not committable
+            analyzer=self.subs[0].manifest.analyzer,
+            doc_count=base,
+            sum_ttf=sum(s.sum_ttf for s in self.subs),
+            segments=segs,
+        )
+        self.doc_count = base
+        self.sum_ttf = self.manifest.sum_ttf
+        self._readers = {}
+
+    def segment_reader(self, name: str) -> SegmentReader:
+        if name not in self._readers:
+            entry = next(s for s in self.segments if s.name == name)
+            self._readers[name] = SegmentReader(
+                segment_dir(self._dir_of[name], entry.name),
+                entry.docid_base,
+                entry.doc_count,
+                del_gen=getattr(entry, "del_gen", 0),
+                dv_gen=getattr(entry, "dv_gen", 0),
+                soft_del_gen=getattr(entry, "soft_del_gen", 0),
+            )
+        return self._readers[name]

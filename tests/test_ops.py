@@ -2843,3 +2843,56 @@ class TestKnnTextClassifier:
         # sum over classes of count*avg/k*k/sumdoc = sum(score_i/max)/sumdoc
         want = (4.0 / 4.0 + 2.0 / 4.0 + 1.0 / 4.0) / 3
         assert abs(total - want) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultiReader:
+    """core/index/MultiReader composite view."""
+
+    def test_multireader_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.multireader_engine(SF), con,
+            bm25docs.multireader_engine_sql(),
+        )
+
+    def test_identical_to_add_indexes(self, tmp_path):
+        from lucene_ray.index.writer import add_indexes
+        from lucene_ray.ops.bm25docs import _engine_index_halves
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.reader import MultiReader
+
+        ix_a, ix_b = _engine_index_halves(SF)
+        multi = IndexSearcher(MultiReader([ix_a, ix_b]))
+        dest = str(tmp_path / "merged")
+        import shutil
+
+        shutil.copytree(ix_a, dest)
+        add_indexes(dest, [ix_b])
+        copied = IndexSearcher(dest)
+        for q in ("merge", "window table", '"hash scan"'):
+            a = multi.search(q, k=50)
+            b = copied.search(q, k=50)
+            assert a.docids.tolist() == b.docids.tolist()
+            assert a.scores.tolist() == b.scores.tolist()
+            assert a.total_hits == b.total_hits
+
+    def test_self_composition_refused(self):
+        from lucene_ray.ops.bm25docs import _engine_index_halves
+        from lucene_ray.search.reader import MultiReader
+
+        ix_a, _ = _engine_index_halves(SF)
+        with pytest.raises(ValueError):
+            MultiReader([ix_a, ix_a])
+
+    def test_snapshot_semantics_and_counts(self):
+        from lucene_ray.ops.bm25docs import _engine_index_halves
+        from lucene_ray.search.reader import IndexReader, MultiReader
+
+        ix_a, ix_b = _engine_index_halves(SF)
+        multi = MultiReader([ix_a, ix_b])
+        a, b = IndexReader(ix_a), IndexReader(ix_b)
+        assert multi.doc_count == a.doc_count + b.doc_count
+        assert multi.sum_ttf == a.sum_ttf + b.sum_ttf
+        assert multi.manifest.generation == -1  # not committable
