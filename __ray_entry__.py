@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 5
         "dsir_weights": text.dsir_weights,
         "multireader_engine": bm25docs.multireader_engine,
+        "q3_shipping": relational.q3_shipping,
         "knntext_classify": bm25docs.knntext_classify,
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify,
         "nbdocclassify_engine": bm25docs.nbdocclassify_engine,
@@ -278,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dsir_weights": text.dsir_weights_sql(),
         "multireader_engine": bm25docs.multireader_engine_sql(),
+        "q3_shipping": relational.q3_shipping_sql(),
         "knntext_classify": bm25docs.knntext_classify_sql(),
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify_sql(),
         "nbdocclassify_engine": bm25docs.nbdocclassify_engine_sql(),

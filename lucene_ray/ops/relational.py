@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -319,4 +320,163 @@ SELECT event_type, window_start_us,
        count(*)::BIGINT AS n_events,
        CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
 FROM fanout GROUP BY event_type, window_start_us
+"""
+
+
+def q3_shipping(sf_dir: str, k: int = 10) -> pa.Table:
+    """(o_orderkey, revenue_cents, o_orderdate): top-k URGENT orders by
+    lineitem revenue — the TPC-H Q3 shipping-priority shape over this
+    schema. Fact-fact join done Ray-Data-first with NO broadcast of
+    either side: lineitem pre-aggregates per-order revenue inside
+    map_batches (partial combine before the shuffle), the order side
+    streams through the SAME union, and ONE groupby(key) reduce-side
+    join emits (order, revenue, date) only when both sides are present;
+    the top-k never materializes the joined set on the driver — each
+    output block contributes k candidates and the driver merges
+    O(blocks * k) rows. Revenue = integer cents,
+    floor(price * (1 - discount) * 100 + 0.5) per line item (repo float
+    protocol), so the oracle is exact."""
+    rev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(_q3_partial_revenue, batch_format="pyarrow", batch_size=65536)
+        .groupby("key")
+        .sum("rev_cents")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("key"),
+                    "rev_cents": b.column("sum(rev_cents)").cast(pa.int64()),
+                    "date": pa.array([None] * b.num_rows, type=pa.timestamp("us")),
+                    "side": pa.array([0] * b.num_rows, type=pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "key": b.filter(
+                    pc.equal(b.column("o_orderpriority"), "1-URGENT")
+                ).column("o_orderkey").cast(pa.int64()),
+                "rev_cents": pa.array(
+                    [0]
+                    * b.filter(
+                        pc.equal(b.column("o_orderpriority"), "1-URGENT")
+                    ).num_rows,
+                    type=pa.int64(),
+                ),
+                "date": b.filter(
+                    pc.equal(b.column("o_orderpriority"), "1-URGENT")
+                ).column("o_orderdate").cast(pa.timestamp("us")),
+                "side": pa.array(
+                    [1]
+                    * b.filter(
+                        pc.equal(b.column("o_orderpriority"), "1-URGENT")
+                    ).num_rows,
+                    type=pa.int8(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def join_group(df):
+        import pandas as pd
+
+        sides = set(df["side"])
+        if sides != {0, 1}:
+            return pd.DataFrame(
+                {"o_orderkey": [], "revenue_cents": [], "o_orderdate": []}
+            )
+        rev_c = int(df.loc[df["side"] == 0, "rev_cents"].sum())
+        date = df.loc[df["side"] == 1, "date"].iloc[0]
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(df["key"].iloc[0])],
+                "revenue_cents": [rev_c],
+                "o_orderdate": [date],
+            }
+        )
+
+    joined = rev.union(ords).groupby("key").map_groups(join_group)
+
+    # bounded distributed top-k: per-block candidates, driver merges
+    def block_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        import numpy as np
+
+        r = b.column("revenue_cents").to_numpy(zero_copy_only=False)
+        kk = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((kk, -r))[:k]
+        return b.take(pa.array(order))
+
+    cand = joined.map_batches(
+        block_topk, batch_format="pyarrow"
+    ).to_arrow_refs()
+    parts = [t for t in ray.get(cand) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "revenue_cents": pa.array([], type=pa.int64()),
+                "o_orderdate_us": pa.array([], type=pa.int64()),
+            }
+        )
+    allc = pa.concat_tables(parts, promote_options="default")
+    import numpy as np
+
+    r = allc.column("revenue_cents").to_numpy(zero_copy_only=False)
+    kk = allc.column("o_orderkey").to_numpy(zero_copy_only=False)
+    order = np.lexsort((kk, -r))[:k]
+    out = allc.take(pa.array(order))
+    return pa.table(
+        {
+            "o_orderkey": out.column("o_orderkey"),
+            "revenue_cents": out.column("revenue_cents"),
+            # epoch micros: timestamp dtype round-trips differ between
+            # Arrow->pandas and DuckDB->pandas; the integer is exact
+            "o_orderdate_us": out.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+        }
+    )
+
+
+def _q3_partial_revenue(batch: pa.Table) -> pa.Table:
+    """Per-batch partial: integer-cents revenue summed per order key
+    (combine before the shuffle)."""
+    keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+    px = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+    cents = np.floor(px * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, cents)
+    return pa.table(
+        {
+            "key": pa.array(uniq, type=pa.int64()),
+            "rev_cents": pa.array(sums, type=pa.int64()),
+        }
+    )
+
+
+def q3_shipping_sql(k: int = 10) -> str:
+    return f"""
+SELECT l.l_orderkey AS o_orderkey,
+  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+  epoch_us(any_value(o.o_orderdate)) AS o_orderdate_us
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_orderkey
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT {k}
 """

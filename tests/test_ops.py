@@ -2896,3 +2896,28 @@ class TestMultiReader:
         assert multi.doc_count == a.doc_count + b.doc_count
         assert multi.sum_ttf == a.sum_ttf + b.sum_ttf
         assert multi.manifest.generation == -1  # not committable
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQ3Shipping:
+    """TPC-H Q3-shape reduce-side fact-fact join (no broadcast side)."""
+
+    def test_q3_gate(self, con):
+        from lucene_ray.ops import relational
+
+        assert_same(
+            relational.q3_shipping(SF), con, relational.q3_shipping_sql()
+        )
+
+    def test_k_param_and_order(self, con):
+        from lucene_ray.ops import relational
+
+        t = to_pdf(relational.q3_shipping(SF, k=5))
+        assert len(t) == 5
+        r = t["revenue_cents"].to_numpy()
+        assert all(
+            r[i] > r[i + 1]
+            or (r[i] == r[i + 1]
+                and t["o_orderkey"].iloc[i] < t["o_orderkey"].iloc[i + 1])
+            for i in range(len(r) - 1)
+        )
