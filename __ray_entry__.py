@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 5
         "dsir_weights": text.dsir_weights,
         "multireader_engine": bm25docs.multireader_engine,
+        "perceptron_classify": bm25docs.perceptron_classify,
         "q3_shipping": relational.q3_shipping,
         "knntext_classify": bm25docs.knntext_classify,
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify,

@@ -9836,3 +9836,59 @@ WITH t AS (
 )
 {union}
 """
+
+
+def perceptron_classify(sf_dir: str) -> pa.Table:
+    """(qid, assigned, output): BooleanPerceptronClassifier
+    (classification/BooleanPerceptronClassifier.java) — binary perceptron
+    over term-vector term frequencies, trained in docid order with
+    batch-stale weight snapshots. Rows-only by design: the training loop
+    is sequential with snapshot staleness (no SQL form); the exact update
+    math is pinned against an independent straight-line reimplementation
+    in tests/test_ops.py::TestBooleanPerceptron."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.search.classification import BooleanPerceptronClassifier
+    from lucene_ray.search.engine import IndexSearcher
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    texts = docs.column("text").take(pa.array(order)).to_pylist()
+    rows = [
+        {
+            "repo": "true" if "merge" in t else "false",
+            "path": f"p/{i}", "commit": "0", "lang": "txt", "content": t,
+        }
+        for i, t in enumerate(texts)
+    ]
+    os.makedirs("/tmp/lucene_ray_cache", exist_ok=True)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_perc_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    src = ix + "_corpus.parquet"
+    if not os.path.exists(src):
+        pq.write_table(pa.Table.from_pylist(rows), src + ".tmp",
+                       row_group_size=16384)
+        os.replace(src + ".tmp", src)
+    build_index([src], ix, target_docs=8192, term_vectors=True)
+    s = IndexSearcher(ix)
+    clf = BooleanPerceptronClassifier(s, "repo", batch_size=4)
+    out = {"qid": [], "assigned": [], "output": []}
+    for qid, text in enumerate(
+        ("merge sort window", "stream batch join", "merge merge merge",
+         "zzznothing at all")
+    ):
+        assigned, output, _score = clf.assign_class(text)
+        out["qid"].append(qid)
+        out["assigned"].append(bool(assigned))
+        out["output"].append(int(output))
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "assigned": pa.array(out["assigned"], type=pa.bool_()),
+            "output": pa.array(out["output"], type=pa.int64()),
+        }
+    )

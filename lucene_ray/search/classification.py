@@ -628,3 +628,96 @@ class KNearestNeighborClassifier:
     def assign_class(self, text: str) -> str | None:
         res = self.assign_classes(text)
         return res[0][0] if res else None
+
+
+class BooleanPerceptronClassifier:
+    """BooleanPerceptronClassifier (classification/
+    BooleanPerceptronClassifier.java): binary classifier whose per-term
+    weights start at each term's totalTermFreq and are perceptron-updated
+    over the training docs in docid order — assign with the CURRENT
+    weight snapshot (the reference's FST, rebuilt only on batch
+    boundaries, so within a batch updates read STALE values — faithfully
+    kept), then for a misclassified doc add signum(correct - assigned) *
+    tf to each of its term-vector terms, floored at 0 (:188-206). The
+    class field holds 'true'/'false' strings (Boolean.valueOf). bias
+    defaults to sumTotalTermFreq/docCount (:99-107). assign score =
+    1 - exp(-|bias - output|/bias); output is an exact integer weight
+    sum. Requires build_index(term_vectors=True)."""
+
+    def __init__(
+        self,
+        searcher,
+        class_field: str = "repo",
+        batch_size: int = 1,
+        bias: float | None = None,
+    ):
+        import numpy as np
+
+        self.searcher = searcher
+        reader = searcher.reader
+        self.reader = reader
+        if bias is None or bias == 0.0:
+            self.bias = reader.sum_ttf / reader.doc_count
+        else:
+            self.bias = float(bias)
+        # init: every content term's weight = its totalTermFreq
+        vocab = reader.vocabulary()
+        stats = reader.global_term_stats(vocab.tolist())
+        weights = {t: int(stats[t][1]) for t in vocab.tolist()}
+        fst = dict(weights)  # the compiled snapshot assigns read from
+        from lucene_ray.search.engine import fetch_stored
+
+        docids = np.arange(reader.doc_count, dtype=np.int64)
+        stored = fetch_stored(reader, docids)
+        classes = stored.column(class_field).to_pylist()
+        # ONE term-vectors read in doc order: the training-time output of
+        # a doc equals sum(weight[term] * tf) over its term vector — the
+        # same value as tokenizing its stored text (the reference sums
+        # per occurrence), without needing the raw text back
+        tv_all = reader.term_vectors(docids)
+        tv_doc = tv_all.column("doc").to_numpy(zero_copy_only=False)
+        tv_term = tv_all.column("term").to_pylist()
+        tv_freq = tv_all.column("freq").to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(tv_doc, docids, side="left")
+        ends = np.searchsorted(tv_doc, docids, side="right")
+        batch_count = 0
+        for d in docids:
+            cls = classes[int(d)]
+            if cls is None:
+                continue
+            lo, hi = int(starts[int(d)]), int(ends[int(d)])
+            output = 0
+            for i in range(lo, hi):
+                w = fst.get(tv_term[i])
+                if w is not None:
+                    output += w * int(tv_freq[i])
+            assigned = output >= self.bias
+            correct = cls == "true"
+            modifier = (correct > assigned) - (correct < assigned)
+            if modifier != 0:
+                for i in range(lo, hi):
+                    term, tf = tv_term[i], int(tv_freq[i])
+                    prev = fst.get(term)
+                    weights[term] = (
+                        0 if prev is None else max(0, prev + modifier * tf)
+                    )
+                if batch_count % batch_size == 0:
+                    fst = dict(weights)
+            batch_count += 1
+        self._fst = dict(weights)
+
+    def _output(self, fst: dict, text: str) -> int:
+        out = 0
+        for tok in self.searcher.analyzer.tokenize_text(text):
+            w = fst.get(tok)
+            if w is not None:
+                out += w
+        return out
+
+    def assign_class(self, text: str) -> tuple[bool, int, float]:
+        """(assigned, output, score) — assigned = output >= bias; score =
+        1 - exp(-|bias - output|/bias) (the reference's
+        ClassificationResult pair plus the exact integer output)."""
+        out = self._output(self._fst, text)
+        score = 1.0 - math.exp(-abs(self.bias - out) / self.bias)
+        return out >= self.bias, out, score

@@ -2921,3 +2921,105 @@ class TestQ3Shipping:
                 and t["o_orderkey"].iloc[i] < t["o_orderkey"].iloc[i + 1])
             for i in range(len(r) - 1)
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBooleanPerceptron:
+    """classification/BooleanPerceptronClassifier: exact training math
+    pinned against an independent straight-line reimplementation."""
+
+    def _tiny(self, tmp_path, batch_size):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.search.engine import IndexSearcher
+
+        rows = [
+            ("true", "merge merge sort"),
+            ("false", "stream batch"),
+            ("true", "merge window sort"),
+            ("false", "stream stream join"),
+            ("true", "merge sort sort window"),
+            ("false", "batch join scan"),
+        ]
+        src = str(tmp_path / f"c{batch_size}.parquet")
+        ix = str(tmp_path / f"ix{batch_size}")
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {"repo": c, "path": f"p/{i}", "commit": "0",
+                     "lang": "txt", "content": t}
+                    for i, (c, t) in enumerate(rows)
+                ]
+            ),
+            src,
+        )
+        build_index([src], ix, term_vectors=True)
+        return IndexSearcher(ix), rows
+
+    def _reference_train(self, rows, bias, batch_size):
+        """Straight-line reimplementation of the reference loop."""
+        from collections import Counter
+
+        ttf = Counter()
+        for _c, t in rows:
+            ttf.update(t.split())
+        weights = dict(ttf)
+        fst = dict(weights)
+        bc = 0
+        for cls, text in rows:
+            toks = text.split()
+            out = sum(fst.get(w, 0) for w in toks)
+            assigned = out >= bias
+            correct = cls == "true"
+            mod = (correct > assigned) - (correct < assigned)
+            if mod != 0:
+                for term, tf in Counter(toks).items():
+                    prev = fst.get(term)
+                    weights[term] = (
+                        0 if prev is None else max(0, prev + mod * tf)
+                    )
+                if bc % batch_size == 0:
+                    fst = dict(weights)
+            bc += 1
+        return weights
+
+    @pytest.mark.parametrize("batch_size", [1, 2, 4])
+    def test_matches_reference_loop(self, tmp_path, batch_size):
+        from lucene_ray.search.classification import (
+            BooleanPerceptronClassifier,
+        )
+
+        s, rows = self._tiny(tmp_path, batch_size)
+        clf = BooleanPerceptronClassifier(s, "repo", batch_size=batch_size)
+        total = sum(len(t.split()) for _c, t in rows)
+        assert clf.bias == total / len(rows)
+        want = self._reference_train(rows, clf.bias, batch_size)
+        for term, w in want.items():
+            assert clf._fst[term] == w, (batch_size, term, clf._fst[term], w)
+        # weights never negative
+        assert all(w >= 0 for w in clf._fst.values())
+
+    def test_assign_shape_and_score(self, tmp_path):
+        import math
+
+        from lucene_ray.search.classification import (
+            BooleanPerceptronClassifier,
+        )
+
+        s, _rows = self._tiny(tmp_path, 1)
+        clf = BooleanPerceptronClassifier(s, "repo", batch_size=1)
+        assigned, output, score = clf.assign_class("merge sort")
+        assert isinstance(assigned, bool) and isinstance(output, int)
+        assert score == 1.0 - math.exp(-abs(clf.bias - output) / clf.bias)
+        # unseen-vocab text: output 0 -> assigned False
+        a2, o2, _ = clf.assign_class("zzzz qqqq")
+        assert o2 == 0 and a2 is False
+
+    def test_gate_runs(self):
+        from lucene_ray.ops import bm25docs
+
+        t = bm25docs.perceptron_classify(SF)
+        assert t.num_rows == 4
+        assert t.column("output").to_pylist()[3] == 0  # unseen vocab
