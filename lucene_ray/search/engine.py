@@ -1619,3 +1619,43 @@ class SearcherLifetimeManager:
         for g in drop:
             del self._views[g]
         return len(drop)
+
+
+class SearcherManager:
+    """core/search/SearcherManager.java: a thread-safe-enough facade over
+    the acquire/release/maybeRefresh lifecycle — ``acquire`` hands out the
+    CURRENT searcher (a consistent snapshot), ``maybe_refresh`` swaps in a
+    new one when the commit generation advanced (reopen_if_changed), and
+    an optional listener observes refreshes (the reference's
+    RefreshListener). Readers here are immutable snapshots backed by
+    retained segment files, so release() is bookkeeping only (no
+    refcounted closes) — acquired searchers stay valid forever."""
+
+    def __init__(self, index_dir: str, similarity=None, pruned: bool = True):
+        self._current = IndexSearcher(
+            index_dir, similarity=similarity, pruned=pruned
+        )
+        self._listeners: list = []
+
+    def acquire(self) -> "IndexSearcher":
+        return self._current
+
+    def release(self, searcher: "IndexSearcher") -> None:
+        # snapshots are immortal (manifest history retains their files);
+        # the reference decrefs here
+        pass
+
+    def add_listener(self, fn) -> None:
+        """fn(new_searcher) after every successful refresh."""
+        self._listeners.append(fn)
+
+    def maybe_refresh(self) -> bool:
+        """True when a newer commit was swapped in
+        (SearcherManager.maybeRefresh contract)."""
+        nxt = reopen_if_changed(self._current)
+        if nxt is None:
+            return False
+        self._current = nxt
+        for fn in self._listeners:
+            fn(nxt)
+        return True

@@ -207,7 +207,16 @@ class SegmentReader:
 
     def term_index(self, term: str) -> int:
         """Binary search the sorted term dictionary (Arrow column, no
-        python materialization); -1 if absent."""
+        python materialization); -1 if absent. When the segment carries a
+        bloom sidecar (codec/bloom.py, the BloomFilteringPostingsFormat
+        analog built by build_bloom_filters), a definite miss returns -1
+        without touching the dictionary."""
+        bloom = self._bloom_filter()
+        if bloom is not None:
+            from lucene_ray.codec.bloom import may_contain
+
+            if not may_contain(bloom, term):
+                return -1
         if self._terms_np is not None:  # vocabulary already materialized
             i = int(np.searchsorted(self._terms_np, term))
             if i < len(self._terms_np) and self._terms_np[i] == term:
@@ -224,6 +233,15 @@ class SegmentReader:
         if lo < len(arr) and arr[lo].as_py() == term:
             return lo
         return -1
+
+    def _bloom_filter(self):
+        """Lazily-loaded bloom sidecar bits (None when absent — the
+        delegate-only path)."""
+        if not hasattr(self, "_bloom_bits"):
+            from lucene_ray.codec.bloom import load_filter
+
+            self._bloom_bits = load_filter(self.seg_dir)
+        return self._bloom_bits
 
     def term_row(self, term: str) -> dict | None:
         if term in self._row_cache:

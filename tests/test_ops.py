@@ -3023,3 +3023,91 @@ class TestBooleanPerceptron:
         t = bm25docs.perceptron_classify(SF)
         assert t.num_rows == 4
         assert t.column("output").to_pylist()[3] == 0  # unseen vocab
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomAndSearcherManager:
+    """codecs/bloom FuzzySet analog + core SearcherManager lifecycle."""
+
+    def test_bloom_never_false_negative(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from lucene_ray.codec.bloom import build_bloom_filters, load_filter, may_contain
+        from lucene_ray.index.manifest import read_manifest, segment_dir
+        from lucene_ray.ops.bm25docs import _engine_index
+        import shutil
+
+        ix = str(tmp_path / "ix")
+        shutil.copytree(_engine_index(SF), ix)
+        wrote = build_bloom_filters(ix)
+        assert wrote >= 1
+        assert build_bloom_filters(ix) == 0  # idempotent
+        m = read_manifest(ix)
+        import os
+
+        for e in m.live_segments:
+            d = segment_dir(ix, e.name)
+            bits = load_filter(d)
+            if bits is None:
+                continue
+            terms = pq.read_table(
+                os.path.join(d, "postings.parquet"), columns=["term"]
+            ).column("term").to_pylist()
+            # NO false negatives, ever
+            assert all(may_contain(bits, t) for t in terms)
+            # false-positive rate on definitely-absent probes is small
+            absent = [f"zzq{i}xw" for i in range(2000)]
+            fp = sum(may_contain(bits, t) for t in absent) / len(absent)
+            assert fp < 0.05, fp
+
+    def test_bloom_backed_search_identical(self, tmp_path):
+        import shutil
+
+        from lucene_ray.codec.bloom import build_bloom_filters
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import IndexSearcher
+
+        base = _engine_index(SF)
+        ix = str(tmp_path / "ixb")
+        shutil.copytree(base, ix)
+        build_bloom_filters(ix)
+        plain, bloomed = IndexSearcher(base), IndexSearcher(ix)
+        for q in ("merge", "zzzmissing", "window table", "mer*", '"hash scan"'):
+            a, b = plain.search(q, k=30), bloomed.search(q, k=30)
+            assert a.docids.tolist() == b.docids.tolist(), q
+            assert a.scores.tolist() == b.scores.tolist(), q
+        # absent-term lookup short-circuits to the same answer
+        sr = bloomed.reader.segment_reader(bloomed.reader.segments[0].name)
+        assert sr.term_row("qqqqneverthere") is None
+
+    def test_searcher_manager(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.index.writer import delete_by_term
+        from lucene_ray.search.engine import SearcherManager
+
+        rows = [
+            {"repo": "r", "path": f"p/{i}", "commit": "0", "lang": "txt",
+             "content": f"alpha doc {i}"}
+            for i in range(6)
+        ]
+        src = str(tmp_path / "c.parquet")
+        ix = str(tmp_path / "ix")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        build_index([src], ix)
+        mgr = SearcherManager(ix)
+        seen = []
+        mgr.add_listener(lambda s: seen.append(s))
+        s1 = mgr.acquire()
+        n = len(s1.search("alpha", k=100).docids)
+        assert mgr.maybe_refresh() is False  # nothing changed
+        delete_by_term(ix, "path:p/2")
+        assert mgr.maybe_refresh() is True
+        assert len(seen) == 1
+        s2 = mgr.acquire()
+        assert len(s2.search("alpha", k=100).docids) == n - 1
+        # the released old snapshot still answers consistently
+        mgr.release(s1)
+        assert len(s1.search("alpha", k=100).docids) == n
