@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multireader_engine": bm25docs.multireader_engine,
         "perceptron_classify": bm25docs.perceptron_classify,
         "q3_shipping": relational.q3_shipping,
+        "fstcompletion_suggest": bm25docs.fstcompletion_suggest,
         "knntext_classify": bm25docs.knntext_classify,
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify,
         "nbdocclassify_engine": bm25docs.nbdocclassify_engine,
@@ -281,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": text.dsir_weights_sql(),
         "multireader_engine": bm25docs.multireader_engine_sql(),
         "q3_shipping": relational.q3_shipping_sql(),
+        "fstcompletion_suggest": bm25docs.fstcompletion_suggest_sql(),
         "knntext_classify": bm25docs.knntext_classify_sql(),
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify_sql(),
         "nbdocclassify_engine": bm25docs.nbdocclassify_engine_sql(),

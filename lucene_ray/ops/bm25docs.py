@@ -9892,3 +9892,74 @@ def perceptron_classify(sf_dir: str) -> pa.Table:
             "output": pa.array(out["output"], type=pa.int64()),
         }
     )
+
+
+FSTCOMPLETION_PREFIXES = [(0, "m"), (1, "s"), (2, "w"), (3, "zz")]
+FSTCOMPLETION_BUCKETS = 10
+FSTCOMPLETION_N = 8
+
+
+def fstcompletion_suggest(sf_dir: str) -> pa.Table:
+    """(qid, rank, term, bucket): FSTCompletionLookup
+    (suggest/fst/FSTCompletionLookup.java) over the corpus vocabulary
+    weighted by document frequency — weights discretized into 10 buckets
+    (equal-weight runs share their first line's bucket), completions in
+    (bucket desc, term asc) order with exact-match promotion. Integer
+    output, SQL-checked exactly."""
+    from lucene_ray.search.reader import IndexReader
+    from lucene_ray.search.suggest import FSTCompletionLookup
+
+    rd = IndexReader(_engine_index(sf_dir))
+    vocab = rd.vocabulary().tolist()
+    stats = rd.global_term_stats(vocab)
+    lk = FSTCompletionLookup(buckets=FSTCOMPLETION_BUCKETS).build(
+        vocab, [stats[t][0] for t in vocab]
+    )
+    out = {"qid": [], "rank": [], "term": [], "bucket": []}
+    for qid, p in FSTCOMPLETION_PREFIXES:
+        for r, (term, bucket) in enumerate(lk.lookup(p, FSTCOMPLETION_N)):
+            out["qid"].append(qid)
+            out["rank"].append(r)
+            out["term"].append(term)
+            out["bucket"].append(bucket)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int32()),
+            "term": pa.array(out["term"], type=pa.string()),
+            "bucket": pa.array(out["bucket"], type=pa.int64()),
+        }
+    )
+
+
+def fstcompletion_suggest_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, p in FSTCOMPLETION_PREFIXES:
+        parts.append(f"""
+SELECT {qid} AS qid, rank, term, bucket FROM (
+  SELECT term, bucket,
+         (row_number() OVER (
+            ORDER BY CASE WHEN term = '{p}' THEN 0 ELSE 1 END,
+                     bucket DESC, term ASC) - 1)::INTEGER AS rank
+  FROM bucketed WHERE term LIKE '{p}%'
+) WHERE rank < {FSTCOMPLETION_N}""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+), lines AS (
+  SELECT term, df,
+         row_number() OVER (ORDER BY df ASC, term ASC) - 1 AS line,
+         count(*) OVER () AS n
+  FROM vocab
+), bucketed AS (
+  SELECT term,
+         (min(line) OVER (PARTITION BY df) * {FSTCOMPLETION_BUCKETS}) // n
+           AS bucket
+  FROM lines
+)
+{union}
+"""

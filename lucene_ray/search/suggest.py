@@ -248,3 +248,63 @@ def blended_infix_lookup(
         out.append((surface, float(weight) * coef))
     out.sort(key=lambda sw: (-sw[1], sw[0]))
     return out[:k]
+
+
+class FSTCompletionLookup:
+    """suggest/fst/FSTCompletionLookup.java + FSTCompletion.java: weights
+    are DISCRETIZED into ``buckets`` classes — inputs sorted by (weight
+    asc, surface asc), line i gets bucket i*buckets//n, and a run of
+    EQUAL weights shares the bucket of its first line (:209-229);
+    completions return in (bucket desc, surface asc) order with an
+    optional exact-match promotion (exactMatchFirst). Large weight
+    differences inside a bucket are deliberately lost — the class
+    distinction is what survives (the reference's documented contract).
+    The automaton is a sorted array + bisect window here (the repo's
+    FST-analog stance, suggest module docstring)."""
+
+    DEFAULT_BUCKETS = 10
+
+    def __init__(self, buckets: int = DEFAULT_BUCKETS, exact_match_first: bool = True):
+        if buckets < 1 or buckets > 255:
+            raise ValueError("buckets must be in [1, 255]")
+        self.buckets = buckets
+        self.exact_match_first = exact_match_first
+        self._keys: list[str] = []
+        self._bucket: dict[str, int] = {}
+
+    def build(self, surfaces: list[str], weights: list[int]) -> "FSTCompletionLookup":
+        import bisect
+
+        n = len(surfaces)
+        order = sorted(range(n), key=lambda i: (weights[i], surfaces[i]))
+        prev_score: int | None = None
+        prev_bucket = 0
+        for line, i in enumerate(order):
+            score = weights[i]
+            if line > 0 and score == prev_score:
+                bucket = prev_bucket
+            else:
+                bucket = line * self.buckets // n
+            prev_score, prev_bucket = score, bucket
+            self._bucket[surfaces[i]] = bucket
+        self._keys = sorted(self._bucket)
+        self._bisect = bisect
+        return self
+
+    def get_bucket(self, key: str) -> int | None:
+        return self._bucket.get(key)
+
+    def lookup(self, prefix: str, n: int = 5) -> list[tuple[str, int]]:
+        """[(surface, bucket)] — (bucket desc, surface asc), exact match
+        first when enabled."""
+        import bisect
+
+        lo = bisect.bisect_left(self._keys, prefix)
+        hi = bisect.bisect_left(self._keys, prefix + "￿")
+        cand = self._keys[lo:hi]
+        exact = prefix if (self.exact_match_first and prefix in self._bucket) else None
+
+        def key(s: str):
+            return (0 if s == exact else 1, -self._bucket[s], s)
+
+        return [(s, self._bucket[s]) for s in sorted(cand, key=key)[:n]]

@@ -3111,3 +3111,35 @@ class TestBloomAndSearcherManager:
         # the released old snapshot still answers consistently
         mgr.release(s1)
         assert len(s1.search("alpha", k=100).docids) == n
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFSTCompletion:
+    """suggest/fst/FSTCompletionLookup bucketed completion."""
+
+    def test_gate(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.fstcompletion_suggest(SF), con,
+            bm25docs.fstcompletion_suggest_sql(),
+        )
+
+    def test_bucket_discretization_rules(self):
+        from lucene_ray.search.suggest import FSTCompletionLookup
+
+        lk = FSTCompletionLookup(buckets=4).build(
+            ["aa", "ab", "b", "ba"], [1, 5, 5, 9]
+        )
+        # sorted by weight: aa(1)->line0 b0; ab(5)->line1 b1; b(5) ties
+        # with ab -> SAME bucket; ba(9)->line3 b3
+        assert lk._bucket == {"aa": 0, "ab": 1, "b": 1, "ba": 3}
+        # exact-match promotion: 'b' outranks higher-bucket 'ba'
+        assert lk.lookup("b") == [("b", 1), ("ba", 3)]
+        # without promotion, bucket desc wins
+        lk2 = FSTCompletionLookup(buckets=4, exact_match_first=False).build(
+            ["aa", "ab", "b", "ba"], [1, 5, 5, 9]
+        )
+        assert lk2.lookup("b") == [("ba", 3), ("b", 1)]
+        with pytest.raises(ValueError):
+            FSTCompletionLookup(buckets=0)
