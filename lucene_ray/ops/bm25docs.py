@@ -9963,3 +9963,87 @@ WITH tok AS (
 )
 {union}
 """
+
+
+def _engine_index_parallel(sf_dir: str) -> str:
+    """A PARALLEL index over the same 500 docs: EMPTY content (the
+    content stats stay primary-owned) + the repo keyword field carrying a
+    NEW doc_id-parity tag — the add-a-field-without-reindexing side of
+    ParallelCompositeReader."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.builder import build_index
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = sorted(t.column("doc_id").to_pylist())
+    rows = [
+        {
+            "repo": "even" if i % 2 == 0 else "odd",
+            "path": f"doc/{i}", "commit": "0" * 40, "lang": "tagonly",
+            "content": "",
+        }
+        for i in ids
+    ]
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_par_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    src = ix + "_corpus.parquet"
+    if not os.path.exists(src):
+        os.makedirs("/tmp/lucene_ray_cache", exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows), src + ".tmp",
+                       row_group_size=16384)
+        os.replace(src + ".tmp", src)
+    build_index([src], ix, target_docs=8192)
+    return ix
+
+
+def parallel_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): queries through a ParallelCompositeReader
+    (core/index/ParallelCompositeReader.java) — primary carries content +
+    original keywords, the parallel index contributes a doc_id-parity
+    'repo' tag over the SAME docids; keyword terms route first-wins, so
+    'repo:even' answers from the parallel index while 'repo:github'-style
+    terms stay primary. Float-free doc sets, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import BooleanQuery, TermQuery
+    from lucene_ray.search.reader import ParallelCompositeReader
+
+    prim = _engine_index(sf_dir)
+    par = _engine_index_parallel(sf_dir)
+    s = IndexSearcher(ParallelCompositeReader([prim, par]))
+    qs = [
+        (0, BooleanQuery(must=[TermQuery("merge"), TermQuery("repo:even")])),
+        (1, BooleanQuery(must=[TermQuery("repo:odd")])),
+        (2, BooleanQuery(
+            must=[TermQuery("window"), TermQuery("lang:en")]
+        )),
+    ]
+    out_q, out_d = [], []
+    for qid, q in qs:
+        td = s.search(q, 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def parallel_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+SELECT DISTINCT 0 AS qid, doc_id AS docid FROM tok
+WHERE term = 'merge' AND doc_id % 2 = 0
+UNION ALL
+SELECT 1 AS qid, doc_id AS docid FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+SELECT DISTINCT 2 AS qid, t.doc_id AS docid FROM tok t
+JOIN documents d ON d.doc_id = t.doc_id
+WHERE t.term = 'window' AND d.lang = 'en'
+"""

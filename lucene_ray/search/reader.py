@@ -998,3 +998,137 @@ class MultiReader(IndexReader):
                 soft_del_gen=getattr(entry, "soft_del_gen", 0),
             )
         return self._readers[name]
+
+
+class ParallelSegmentReader:
+    """One logical segment whose FIELDS come from several aligned segment
+    readers (index/ParallelLeafReader.java): the first sub is PRIMARY
+    (content postings, norms, doc lengths, live docs, stored fields);
+    keyword `field:value` terms, doc values and points route to the FIRST
+    sub carrying the field/term — the reference's first-reader-wins field
+    mapping. Subs must cover the SAME docids (doc_count equality is
+    enforced by ParallelCompositeReader)."""
+
+    def __init__(self, subs: list):
+        self.subs = subs
+        self.primary = subs[0]
+
+    def __getattr__(self, name):
+        # norms/doc_len/live_mask/stored/seg_dir/docid_base/... -> primary
+        return getattr(self.primary, name)
+
+    # ---- term surface: bare terms are content (primary); ':'-terms route
+    def _route_term(self, term: str):
+        if ":" not in term:
+            return self.primary
+        for s in self.subs:
+            if s.term_index(term) >= 0:
+                return s
+        return self.primary
+
+    def term_index(self, term: str) -> int:
+        return self._route_term(term).term_index(term)
+
+    def term_row(self, term: str):
+        return self._route_term(term).term_row(term)
+
+    def term_cursor(self, term: str):
+        return self._route_term(term).term_cursor(term)
+
+    def postings(self, term: str):
+        return self._route_term(term).postings(term)
+
+    def term_stats(self, term: str):
+        return self._route_term(term).term_stats(term)
+
+    # ---- field-routed sidecars
+    def _route_field(self, field: str, schema_fn: str):
+        for s in self.subs:
+            if field in getattr(s, schema_fn)():
+                return s
+        return self.primary
+
+    def doc_values_schema(self) -> list[str]:
+        out: list[str] = []
+        for s in self.subs:
+            out.extend(f for f in s.doc_values_schema() if f not in out)
+        return out
+
+    def doc_values(self, field: str):
+        return self._route_field(field, "doc_values_schema").doc_values(field)
+
+    def sorted_dv_schema(self) -> list[str]:
+        out: list[str] = []
+        for s in self.subs:
+            out.extend(f for f in s.sorted_dv_schema() if f not in out)
+        return out
+
+    def sorted_doc_values(self, field: str):
+        return self._route_field(field, "sorted_dv_schema").sorted_doc_values(field)
+
+    def point_range(self, field: str, lower, upper):
+        for s in self.subs:
+            if field in s._points_table():
+                return s.point_range(field, lower, upper)
+        return self.primary.point_range(field, lower, upper)
+
+    def point_in_set(self, field: str, values):
+        for s in self.subs:
+            if field in s._points_table():
+                return s.point_in_set(field, values)
+        return self.primary.point_in_set(field, values)
+
+
+class ParallelCompositeReader(IndexReader):
+    """core/index/ParallelCompositeReader.java: ONE logical index whose
+    fields are contributed by several indexes over the SAME document set
+    — the add-a-field-without-reindexing pattern. Requires aligned
+    segment plans (same doc_count per ordinal segment — the byte-bounded
+    planner is deterministic for same-shape inputs; enforced loudly).
+    The first index is primary (content + norms + deletes + stored);
+    parallel indexes contribute keyword fields / doc values / points.
+    Content-term statistics come from the primary alone, so parallel
+    indexes should hold EMPTY content (doc_len 0) — also enforced."""
+
+    def __init__(self, index_dirs: list[str]):
+        if len(index_dirs) < 1:
+            raise ValueError("ParallelCompositeReader needs >= 1 index")
+        self.parts = [IndexReader(d) for d in index_dirs]
+        prim = self.parts[0]
+        for other in self.parts[1:]:
+            if other.doc_count != prim.doc_count:
+                raise ValueError(
+                    "parallel indexes must cover the same docids: "
+                    f"{other.doc_count} != {prim.doc_count}"
+                )
+            if len(other.segments) != len(prim.segments):
+                raise ValueError("parallel indexes must share the segment plan")
+            for a, b in zip(prim.segments, other.segments):
+                if (a.docid_base, a.doc_count) != (b.docid_base, b.doc_count):
+                    raise ValueError(
+                        "parallel segment plans diverge: "
+                        f"{(a.docid_base, a.doc_count)} != "
+                        f"{(b.docid_base, b.doc_count)}"
+                    )
+            if other.sum_ttf != 0:
+                raise ValueError(
+                    "parallel (non-primary) indexes must hold empty content "
+                    "(content stats come from the primary alone)"
+                )
+        self.index_dir = prim.index_dir
+        self.manifest = prim.manifest
+        self.doc_count = prim.doc_count
+        self.sum_ttf = prim.sum_ttf
+        self._readers = {}
+
+    def segment_reader(self, name: str) -> "ParallelSegmentReader":
+        if name not in self._readers:
+            idx = next(
+                i for i, s in enumerate(self.parts[0].segments)
+                if s.name == name
+            )
+            subs = [
+                p.segment_reader(p.segments[idx].name) for p in self.parts
+            ]
+            self._readers[name] = ParallelSegmentReader(subs)
+        return self._readers[name]

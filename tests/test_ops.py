@@ -3143,3 +3143,62 @@ class TestFSTCompletion:
         assert lk2.lookup("b") == [("ba", 3), ("b", 1)]
         with pytest.raises(ValueError):
             FSTCompletionLookup(buckets=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestParallelReader:
+    """core/index/ParallelCompositeReader field composition."""
+
+    def test_parallel_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.parallel_engine(SF), con, bm25docs.parallel_engine_sql()
+        )
+
+    def test_primary_behavior_unchanged(self):
+        from lucene_ray.ops.bm25docs import (
+            _engine_index,
+            _engine_index_parallel,
+        )
+        from lucene_ray.search.engine import IndexSearcher
+        from lucene_ray.search.reader import ParallelCompositeReader
+
+        plain = IndexSearcher(_engine_index(SF))
+        par = IndexSearcher(
+            ParallelCompositeReader(
+                [_engine_index(SF), _engine_index_parallel(SF)]
+            )
+        )
+        for q in ("merge", "window table", '"hash scan"'):
+            a, b = plain.search(q, 30), par.search(q, 30)
+            assert a.docids.tolist() == b.docids.tolist()
+            assert a.scores.tolist() == b.scores.tolist()
+
+    def test_mismatched_doc_sets_refused(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.index.builder import build_index
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.reader import ParallelCompositeReader
+
+        rows = [
+            {"repo": "r", "path": f"p/{i}", "commit": "0", "lang": "txt",
+             "content": ""}
+            for i in range(7)  # wrong doc count
+        ]
+        src = str(tmp_path / "c.parquet")
+        ix = str(tmp_path / "ix")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        build_index([src], ix)
+        with pytest.raises(ValueError):
+            ParallelCompositeReader([_engine_index(SF), ix])
+
+    def test_nonempty_parallel_content_refused(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.reader import ParallelCompositeReader
+
+        with pytest.raises(ValueError):
+            # the primary itself as a "parallel" part carries content
+            ParallelCompositeReader([_engine_index(SF), _engine_index(SF)])
