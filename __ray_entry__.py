@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": relational.q3_shipping,
         "fstcompletion_suggest": bm25docs.fstcompletion_suggest,
         "parallel_engine": bm25docs.parallel_engine,
+        "funcmatch_engine": bm25docs.funcmatch_engine,
         "knntext_classify": bm25docs.knntext_classify,
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify,
         "nbdocclassify_engine": bm25docs.nbdocclassify_engine,
@@ -285,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping": relational.q3_shipping_sql(),
         "fstcompletion_suggest": bm25docs.fstcompletion_suggest_sql(),
         "parallel_engine": bm25docs.parallel_engine_sql(),
+        "funcmatch_engine": bm25docs.funcmatch_engine_sql(),
         "knntext_classify": bm25docs.knntext_classify_sql(),
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify_sql(),
         "nbdocclassify_engine": bm25docs.nbdocclassify_engine_sql(),

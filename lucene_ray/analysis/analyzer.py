@@ -1754,6 +1754,23 @@ class SwedishMinimalAnalyzer(_LightStemAnalyzer):
     stop_set = _snowball_stops("swedish")
 
 
+class ScandinavianNormalizationAnalyzer(_LightStemAnalyzer):
+    """miscellaneous/ScandinavianNormalizationFilter chain: interchange
+    normalization (ä->æ, digraphs to å/æ/ø) with no stop set
+    (analysis/scandinavian.py — golden tests, no SQL oracle)."""
+
+    name = "scandinavian_normalization"
+    language = "scandinavian_normalization"
+
+
+class ScandinavianFoldingAnalyzer(_LightStemAnalyzer):
+    """miscellaneous/ScandinavianFoldingFilter chain: destructive fold to
+    plain a/o incl. double-vowel discrimination."""
+
+    name = "scandinavian_folding"
+    language = "scandinavian_folding"
+
+
 class NorwegianLightAnalyzer(_LightStemAnalyzer):
     """no/NorwegianAnalyzer chain with the light stemmer: no stopwords
     (snowball norwegian_stop.txt) -> NorwegianLightStemFilter(BOKMAAL)
@@ -2262,6 +2279,8 @@ _REGISTRY = {
     "german_minimal": GermanMinimalAnalyzer,
     "french_minimal": FrenchMinimalAnalyzer,
     "spanish_plural": SpanishPluralAnalyzer,
+    "scandinavian_normalization": ScandinavianNormalizationAnalyzer,
+    "scandinavian_folding": ScandinavianFoldingAnalyzer,
     "norwegian_light": NorwegianLightAnalyzer,
     "norwegian_minimal": NorwegianMinimalAnalyzer,
     "english_minimal": EnglishMinimalAnalyzer,

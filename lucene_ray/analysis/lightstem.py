@@ -293,6 +293,12 @@ def _more_stemmers():
     from lucene_ray.analysis import stemmers2 as st2
 
     return {
+        "scandinavian_normalization": __import__(
+            "lucene_ray.analysis.scandinavian", fromlist=["x"]
+        ).scandinavian_normalize,
+        "scandinavian_folding": __import__(
+            "lucene_ray.analysis.scandinavian", fromlist=["x"]
+        ).scandinavian_fold,
         "german_light_chain": (
             lambda t: german_light_stem(german_normalize(t))
         ),

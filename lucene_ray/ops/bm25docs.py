@@ -10047,3 +10047,67 @@ SELECT DISTINCT 2 AS qid, t.doc_id AS docid FROM tok t
 JOIN documents d ON d.doc_id = t.doc_id
 WHERE t.term = 'window' AND d.lang = 'en'
 """
+
+
+FUNCMATCH_QUERIES = [
+    # (qid, expression, SQL mirror over length(text), optional AND term)
+    (0, "(n_chars % 7) == 3", "(length(text) % 7) = 3", None),
+    (1, "n_chars > 400 || n_chars < 60", "length(text) > 400 OR length(text) < 60", None),
+    (2, "(n_chars / 100) == 2", "(length(text) / 100.0) = 2", "merge"),
+    (3, "min(n_chars, 250) == 250", "least(length(text), 250) = 250", None),
+]
+
+
+def funcmatch_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): FunctionMatchQuery (queries/function/
+    FunctionMatchQuery.java) — docs where a boolean expression over the
+    n_chars doc values evaluates non-zero; qid 2 conjoins a term. The
+    comparison/boolean grammar runs in float64 over exact integers —
+    SQL-checked exactly. (qid 2's division is float: only docs with
+    n_chars EXACTLY 200 match (200/100 == 2.0); 250/100 = 2.5 does not —
+    both sides agree because the division is IEEE.)"""
+    from lucene_ray.search.engine import IndexSearcher
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        FunctionMatchQuery,
+        TermQuery,
+    )
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, expr, _sql, term in FUNCMATCH_QUERIES:
+        clauses = [FunctionMatchQuery(expr)]
+        if term:
+            clauses.append(TermQuery(term))
+        td = s.search(BooleanQuery(must=clauses), 1_000_000)
+        out_q.extend([qid] * len(td.docids))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def funcmatch_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, _expr, sql, term in FUNCMATCH_QUERIES:
+        cond = f"({sql})"
+        if term:
+            cond += (
+                f" AND doc_id IN (SELECT DISTINCT doc_id FROM tok "
+                f"WHERE term = '{term}')"
+            )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS docid FROM documents WHERE {cond}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""

@@ -564,6 +564,19 @@ class FunctionRangeQuery:
 
 
 @dataclass(frozen=True)
+class FunctionMatchQuery:
+    """Docs where a boolean-valued expression evaluates NON-ZERO
+    (queries/function/FunctionMatchQuery.java — a DoublePredicate over a
+    DoubleValuesSource; the predicate here is the expression itself,
+    compiled through the full JavascriptCompiler grammar, so comparisons
+    / ternaries / modulo express any DoublePredicate). Constant score =
+    boost."""
+
+    expression: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SortedNumericRangeQuery:
     """SortedNumericDocValuesField.newSlowRangeQuery
     (document/SortedNumericDocValuesField.java): a doc matches when ANY of

@@ -67,6 +67,7 @@ from lucene_ray.search.query import (
     FunctionScoreQuery,
     LongDistanceFeatureQuery,
     BlendedTermQuery,
+    FunctionMatchQuery,
     FunctionRangeQuery,
     MultiRangeQuery,
     NGramPhraseQuery,
@@ -1319,6 +1320,33 @@ def build_clauses(reader, queries: list, scorers: dict) -> list[_Clause]:
                 return np.unique(np.concatenate(parts))
 
             docids = _qcache(reader, q, _multirange)
+            if len(docids) == 0:
+                continue
+            scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)
+            out.append(_Clause(q, None, None, scored=(docids, scores)))
+        elif isinstance(q, FunctionMatchQuery):
+            def _funcmatch(q=q):
+                from lucene_ray.search.expressions import compile_expression
+
+                expr = compile_expression(q.expression)
+                n = reader.doc_count
+                bindings = {}
+                for v in expr.variables:
+                    if v == "_score":
+                        raise ValueError(
+                            "FunctionMatchQuery has no _score variable "
+                            "(no enclosing query)"
+                        )
+                    elif v == "doc_len":
+                        bindings[v] = reader.doc_len.astype(np.float64)
+                    else:
+                        bindings[v] = reader.doc_values(v).astype(np.float64)
+                vals = np.asarray(expr.evaluate(bindings), dtype=np.float64)
+                if vals.ndim == 0:
+                    vals = np.full(n, float(vals))
+                return np.nonzero(vals != 0.0)[0].astype(np.int64)
+
+            docids = _qcache(reader, q, _funcmatch)
             if len(docids) == 0:
                 continue
             scores = np.full(len(docids), np.float32(q.boost), dtype=np.float32)

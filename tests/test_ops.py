@@ -3202,3 +3202,64 @@ class TestParallelReader:
         with pytest.raises(ValueError):
             # the primary itself as a "parallel" part carries content
             ParallelCompositeReader([_engine_index(SF), _engine_index(SF)])
+
+
+class TestScandinavian:
+    """miscellaneous/Scandinavian{Normalization,Folding}Filter — the
+    reference test vectors verbatim (case-preserving scalar scans)."""
+
+    def test_normalization_vectors(self):
+        from lucene_ray.analysis.scandinavian import scandinavian_normalize
+
+        vectors = [
+            ("aeäaeeea", "æææeea"), ("aeäaeeeae", "æææeeæ"),
+            ("aeaeeeae", "ææeeæ"), ("bøen", "bøen"), ("bOEen", "bØen"),
+            ("åene", "åene"), ("blåbærsyltetøj", "blåbærsyltetøj"),
+            ("blaabaersyltetöj", "blåbærsyltetøj"),
+            ("räksmörgås", "ræksmørgås"), ("raeksmörgaos", "ræksmørgås"),
+            ("raeksmörgaas", "ræksmørgås"), ("raeksmoergås", "ræksmørgås"),
+            ("ab", "ab"), ("ob", "ob"), ("Ab", "Ab"), ("Ob", "Ob"),
+            ("å", "å"), ("aa", "å"), ("aA", "å"), ("ao", "å"), ("aO", "å"),
+            ("AA", "Å"), ("Aa", "Å"), ("Ao", "Å"), ("AO", "Å"),
+            ("æ", "æ"), ("ä", "æ"), ("Æ", "Æ"), ("Ä", "Æ"), ("ae", "æ"),
+        ]
+        for src, want in vectors:
+            assert scandinavian_normalize(src) == want, src
+
+    def test_folding_vectors(self):
+        from lucene_ray.analysis.scandinavian import scandinavian_fold
+
+        vectors = [
+            ("aeäaeeea", "aaaeea"), ("aeäaeeeae", "aaaeea"),
+            ("aeaeeeae", "aaeea"), ("bøen", "boen"), ("åene", "aene"),
+            ("blåbærsyltetøj", "blabarsyltetoj"),
+            ("blaabaarsyltetoej", "blabarsyltetoj"),
+            ("blåbärsyltetöj", "blabarsyltetoj"),
+            ("raksmorgas", "raksmorgas"), ("räksmörgås", "raksmorgas"),
+            ("ræksmørgås", "raksmorgas"), ("raeksmoergaas", "raksmorgas"),
+            ("ræksmörgaos", "raksmorgas"),
+            ("ab", "ab"), ("ob", "ob"), ("Ab", "Ab"), ("Ob", "Ob"),
+            ("å", "a"), ("aa", "a"), ("aA", "a"), ("ao", "a"), ("aO", "a"),
+            ("AA", "A"), ("Aa", "A"), ("Ao", "A"), ("AO", "A"),
+            ("æ", "a"), ("ä", "a"), ("Æ", "A"), ("Ä", "A"),
+            ("ae", "a"), ("aE", "a"), ("Ae", "A"), ("AE", "A"),
+            ("ö", "o"), ("ø", "o"), ("Ö", "O"), ("Ø", "O"),
+            ("oo", "o"), ("oe", "o"),
+        ]
+        for src, want in vectors:
+            assert scandinavian_fold(src) == want, src
+
+    def test_chains_registered(self):
+        import pyarrow as pa
+
+        from lucene_ray.analysis import get_analyzer
+
+        n = get_analyzer("scandinavian_normalization")
+        f = get_analyzer("scandinavian_folding")
+        # chains lowercase first (UnicodeAnalyzer base), then scan
+        assert n.tokenize_array(pa.array(["raeksmörgaas"])).to_pylist() == [
+            ["ræksmørgås"]
+        ]
+        assert f.tokenize_array(pa.array(["blåbærsyltetøj RÄKSMÖRGÅS"])).to_pylist() == [
+            ["blabarsyltetoj", "raksmorgas"]
+        ]
