@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fstcompletion_suggest": bm25docs.fstcompletion_suggest,
         "parallel_engine": bm25docs.parallel_engine,
         "funcmatch_engine": bm25docs.funcmatch_engine,
+        "exprsort_engine": bm25docs.exprsort_engine,
+        "spanpayload_engine": bm25docs.spanpayload_engine,
         "knntext_classify": bm25docs.knntext_classify,
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify,
         "nbdocclassify_engine": bm25docs.nbdocclassify_engine,
@@ -287,6 +289,8 @@ def oracle_sql() -> dict[str, str]:
         "fstcompletion_suggest": bm25docs.fstcompletion_suggest_sql(),
         "parallel_engine": bm25docs.parallel_engine_sql(),
         "funcmatch_engine": bm25docs.funcmatch_engine_sql(),
+        "exprsort_engine": bm25docs.exprsort_engine_sql(),
+        "spanpayload_engine": bm25docs.spanpayload_engine_sql(),
         "knntext_classify": bm25docs.knntext_classify_sql(),
         "knnfuzzy_classify": bm25docs.knnfuzzy_classify_sql(),
         "nbdocclassify_engine": bm25docs.nbdocclassify_engine_sql(),

@@ -210,10 +210,18 @@ def _payload_term_length(terms: pa.Array, positions: np.ndarray) -> np.ndarray:
 # PayloadAttribute role, applied vectorized at flush): token stream ->
 # one uint32 per content occurrence. Keyword-field occurrences carry
 # payload 0 (StringFields have no payloads).
+def _payload_pos_mod16(terms: pa.Array, positions: np.ndarray) -> np.ndarray:
+    # per-occurrence POSITION payload (pos % 16): varies across a term's
+    # occurrences, so SpanPayloadCheckQuery's accept/reject is exercised
+    # for real (term_length is constant per term); SQL mirror = (pos % 16)
+    return (positions.astype(np.int64) % 16).astype(np.uint32)
+
+
 PAYLOAD_DERIVERS = {
     # analyzed-term character length — SQL-derivable (length(term)), the
     # clean oracle for PayloadScoreQuery
     "term_length": _payload_term_length,
+    "pos_mod16": _payload_pos_mod16,
 }
 
 

@@ -10111,3 +10111,150 @@ WITH tok AS (
 )
 {union}
 """
+
+
+EXPRSORT_QUERIES = [
+    # (qid, query, expression, ascending) over the n_chars doc values —
+    # integer-valued float64 keys, exact both sides
+    (0, "merge", "abs(n_chars - 300)", True),
+    (1, "window", "(n_chars % 50) * 1000 + n_chars", False),
+    (2, "stream", "min(n_chars, 256)", True),
+]
+
+
+def exprsort_engine(sf_dir: str, k: int = 15) -> pa.Table:
+    """(qid, rank, docid): sort-by-EXPRESSION
+    (expressions/ExpressionValueSource.java getSortField — the
+    DoubleValuesSource sort path): matches ordered by a compiled
+    full-grammar expression over doc values, docid-asc tie-break.
+    Integer-valued float64 keys are exact, SQL-checked exactly."""
+    from lucene_ray.search.engine import (
+        IndexSearcher,
+        search_sorted_expression,
+    )
+
+    ix = _engine_index(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_r, out_d = [], [], []
+    for qid, term, expr, asc in EXPRSORT_QUERIES:
+        td = search_sorted_expression(s, term, expr, k=k, ascending=asc)
+        out_q.extend([qid] * len(td.docids))
+        out_r.extend(range(len(td.docids)))
+        out_d.extend(td.docids.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int32()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def exprsort_engine_sql(k: int = 15) -> str:
+    toks = tokenize_sql_expr("text")
+    sql_expr = {
+        0: "abs(length(d.text) - 300)",
+        1: "(length(d.text) % 50) * 1000 + length(d.text)",
+        2: "least(length(d.text), 256)",
+    }
+    parts = []
+    for qid, term, _expr, asc in EXPRSORT_QUERIES:
+        direction = "ASC" if asc else "DESC"
+        parts.append(f"""
+SELECT {qid} AS qid,
+  (row_number() OVER (ORDER BY {sql_expr[qid]} {direction}, d.doc_id ASC)
+   - 1)::INTEGER AS rank,
+  d.doc_id AS docid
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{term}')
+QUALIFY rank < {k}""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+{union}
+"""
+
+
+def _engine_index_paypos(sf_dir: str) -> str:
+    """documents index with POSITION payloads (payload_fn='pos_mod16' —
+    per-occurrence pos %% 16, so SpanPayloadCheckQuery's accept/reject
+    varies across a term's occurrences)."""
+    from lucene_ray.index.builder import build_index
+    from lucene_ray.index.corpus import documents_as_corpus
+    from lucene_ray.index.merge import TieredMergePolicy, maybe_merge
+
+    corpus_path = documents_as_corpus(sf_dir)
+    ix = os.path.join(
+        "/tmp/lucene_ray_cache",
+        "docs_paypos_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    build_index([corpus_path], ix, target_docs=8192, payload_fn="pos_mod16")
+    maybe_merge(ix, TieredMergePolicy(), use_ray=False)
+    return ix
+
+
+SPANPAYLOAD_QUERIES = [
+    # (qid, terms, expected payloads) — payload = pos % 16
+    (0, ("merge",), (3,)),
+    (1, ("merge",), (11,)),
+    (2, ("window", "table"), (2, 3)),   # consistent adjacent pair
+    (3, ("window", "table"), (7, 2)),   # inconsistent: matches nothing
+]
+
+
+def spanpayload_engine(sf_dir: str) -> pa.Table:
+    """(qid, docid): SpanPayloadCheckQuery
+    (queries/payloads/SpanPayloadCheckQuery.java, MatchOperation.EQ) —
+    exact-adjacent spans accepted only when every position's payload
+    equals the expectation; qid 3's impossible pair witnesses rejection.
+    Integer payloads, SQL-checked exactly."""
+    from lucene_ray.search.engine import IndexSearcher, span_payload_check
+
+    ix = _engine_index_paypos(sf_dir)
+    s = IndexSearcher(ix)
+    out_q, out_d = [], []
+    for qid, terms, pays in SPANPAYLOAD_QUERIES:
+        docs = span_payload_check(s, terms, pays)
+        out_q.extend([qid] * len(docs))
+        out_d.extend(docs.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+        }
+    )
+
+
+def spanpayload_engine_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    parts = []
+    for qid, terms, pays in SPANPAYLOAD_QUERIES:
+        if len(terms) == 1:
+            parts.append(
+                f"SELECT DISTINCT {qid} AS qid, doc_id AS docid FROM tok "
+                f"WHERE term = '{terms[0]}' AND pos % 16 = {pays[0]}"
+            )
+        else:
+            joins = " ".join(
+                f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id "
+                f"AND t{j}.pos = t0.pos + {j} AND t{j}.term = '{terms[j]}' "
+                f"AND t{j}.pos % 16 = {pays[j]}"
+                for j in range(1, len(terms))
+            )
+            parts.append(
+                f"SELECT DISTINCT {qid} AS qid, t0.doc_id AS docid "
+                f"FROM tok t0 {joins} "
+                f"WHERE t0.term = '{terms[0]}' AND t0.pos % 16 = {pays[0]}"
+            )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM t
+)
+{union}
+"""

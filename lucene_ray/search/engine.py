@@ -1659,3 +1659,101 @@ class SearcherManager:
         for fn in self._listeners:
             fn(nxt)
         return True
+
+
+def search_sorted_expression(
+    searcher: "IndexSearcher",
+    query,
+    expression: str,
+    k: int = 10,
+    ascending: bool = False,
+) -> "SortedTopDocs":
+    """Sort matches by a compiled EXPRESSION value source
+    (expressions/ExpressionValueSource.java getSortField — the
+    SimpleBindings + DoubleValuesSource sort path): the expression runs
+    over numeric doc values / doc_len in float64 per matching doc; rank =
+    (value desc|asc, docid asc). ``values`` carries the float64 keys.
+    O(matches) vectorized gather, top-k only."""
+    from lucene_ray.search.expressions import compile_expression
+
+    td = searcher.search(query, k=1 << 62)
+    z = np.array([], dtype=np.int64)
+    if len(td.docids) == 0:
+        return SortedTopDocs(z, np.array([], dtype=np.float64), 0, z)
+    expr = compile_expression(expression)
+    bindings = {}
+    for v in expr.variables:
+        if v == "_score":
+            raise ValueError("expression sort has no _score variable")
+        elif v == "doc_len":
+            vals = np.concatenate(
+                [
+                    searcher.reader.segment_reader(e.name).doc_len
+                    for e in searcher.reader.segments
+                ]
+            )
+            bindings[v] = vals[td.docids].astype(np.float64)
+        else:
+            bindings[v] = fetch_doc_values(
+                searcher.reader, td.docids, v
+            ).astype(np.float64)
+    keys = np.asarray(expr.evaluate(bindings), dtype=np.float64)
+    if keys.ndim == 0:
+        keys = np.full(len(td.docids), float(keys))
+    order = np.lexsort((td.docids, keys if ascending else -keys))[:k]
+    return SortedTopDocs(
+        td.docids[order],
+        np.zeros(len(order), dtype=np.float32),  # field sorts carry no score
+        td.total_hits,
+        keys[order],
+    )
+
+
+def span_payload_check(
+    searcher: "IndexSearcher", terms, payloads
+) -> np.ndarray:
+    """SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheckQuery.java,
+    MatchOperation.EQ): docs containing an exact-adjacent span of
+    ``terms`` whose per-occurrence payloads equal ``payloads`` — the
+    single-term form checks one occurrence's payload (SpanTermQuery
+    wrap), the multi-term form the ordered zero-slop near span. Returns
+    sorted global docids, live-doc filtered."""
+    if len(terms) != len(payloads):
+        raise ValueError("one expected payload per span term")
+    reader = searcher.reader
+    out = []
+    for entry in reader.segments:
+        sr = reader.segment_reader(entry.name)
+        keysets = []
+        ok = True
+        for i, (t, e) in enumerate(zip(terms, payloads)):
+            tp = sr.postings(t)
+            if tp is None:
+                ok = False
+                break
+            if not tp.has_payloads:
+                raise ValueError(
+                    "index was built without payloads (build_index payload_fn)"
+                )
+            d_occ, pos = tp.flat_positions()
+            _d2, pay = tp.flat_payloads()
+            keep = pay == e
+            # span start key: (doc, start position) with term i at start+i
+            keysets.append(
+                set(
+                    (int(d), int(p) - i)
+                    for d, p in zip(d_occ[keep], pos[keep])
+                )
+            )
+        if not ok or not keysets:
+            continue
+        spans = set.intersection(*keysets)
+        if not spans:
+            continue
+        docs = np.unique(np.array([d for d, _p in spans], dtype=np.int64))
+        if sr.live_mask is not None:
+            docs = docs[sr.live_mask[docs]]
+        out.append(docs + entry.docid_base)
+    if not out:
+        return np.array([], dtype=np.int64)
+    return np.sort(np.concatenate(out))

@@ -3263,3 +3263,66 @@ class TestScandinavian:
         assert f.tokenize_array(pa.array(["blåbærsyltetøj RÄKSMÖRGÅS"])).to_pylist() == [
             ["blabarsyltetoj", "raksmorgas"]
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExprSortAndSpanPayload:
+    """expression sort field + SpanPayloadCheckQuery."""
+
+    def test_exprsort_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.exprsort_engine(SF), con, bm25docs.exprsort_engine_sql()
+        )
+
+    def test_exprsort_keys_match_expression(self):
+        from lucene_ray.ops.bm25docs import _engine_index
+        from lucene_ray.search.engine import (
+            IndexSearcher,
+            fetch_doc_values,
+            search_sorted_expression,
+        )
+
+        s = IndexSearcher(_engine_index(SF))
+        td = search_sorted_expression(
+            s, "merge", "abs(n_chars - 300)", k=8, ascending=True
+        )
+        vals = fetch_doc_values(s.reader, td.docids, "n_chars")
+        assert [abs(int(v) - 300) for v in vals] == [
+            int(x) for x in td.values
+        ]
+        assert list(td.values) == sorted(td.values)
+        with pytest.raises(ValueError):
+            search_sorted_expression(s, "merge", "_score * 2", k=3)
+
+    def test_spanpayload_engine(self, con):
+        from lucene_ray.ops import bm25docs
+
+        assert_same(
+            bm25docs.spanpayload_engine(SF), con,
+            bm25docs.spanpayload_engine_sql(),
+        )
+
+    def test_spanpayload_rejects_and_requires_payloads(self):
+        from lucene_ray.ops.bm25docs import (
+            _engine_index,
+            _engine_index_paypos,
+        )
+        from lucene_ray.search.engine import IndexSearcher, span_payload_check
+
+        s = IndexSearcher(_engine_index_paypos(SF))
+        # the union over all 16 residues == plain term doc set
+        import numpy as np
+
+        all_docs = np.concatenate(
+            [span_payload_check(s, ("merge",), (e,)) for e in range(16)]
+        )
+        plain = s.search("merge", k=1 << 20).docids
+        assert set(all_docs.tolist()) == set(plain.tolist())
+        with pytest.raises(ValueError):
+            span_payload_check(s, ("merge",), (1, 2))
+        # payload-less index refuses loudly
+        s2 = IndexSearcher(_engine_index(SF))
+        with pytest.raises(ValueError):
+            span_payload_check(s2, ("merge",), (3,))
