@@ -1757,3 +1757,48 @@ def span_payload_check(
     if not out:
         return np.array([], dtype=np.int64)
     return np.sort(np.concatenate(out))
+
+
+class LiveFieldValues:
+    """core/search/LiveFieldValues.java: id -> value map for documents
+    added/updated since the last refresh, so 'get by id' reflects writes
+    BEFORE they become searchable. ``add``/``delete`` record pending
+    values; ``get(id)`` returns the pending value when present (a
+    recorded DELETE returns the missing sentinel even if an older commit
+    still matches), else falls back to the searcher lookup the caller
+    provides. A refresh cycle is two-phase like the reference: the map
+    swaps to a fresh one BEFORE the searcher reopens (setCurrentSearcher
+    on the old map's readers could still miss), and the old map drops
+    only after the new searcher is live."""
+
+    def __init__(self, missing_value=None):
+        self.missing = missing_value
+        self._current: dict = {}
+        self._old: dict = {}
+
+    def add(self, doc_id, value) -> None:
+        self._current[doc_id] = value
+
+    def delete(self, doc_id) -> None:
+        self._current[doc_id] = self.missing
+
+    def size(self) -> int:
+        return len(self._current) + len(self._old)
+
+    def before_refresh(self) -> None:
+        """Swap the write map (the reference's two-generation protocol):
+        writes racing the refresh land in the NEW map."""
+        self._old = self._current
+        self._current = {}
+
+    def after_refresh(self) -> None:
+        """The refreshed searcher now sees everything in the old map."""
+        self._old = {}
+
+    def get(self, doc_id, searcher_lookup):
+        """Pending value if any, else ``searcher_lookup(doc_id)``."""
+        if doc_id in self._current:
+            return self._current[doc_id]
+        if doc_id in self._old:
+            return self._old[doc_id]
+        return searcher_lookup(doc_id)

@@ -3326,3 +3326,32 @@ class TestExprSortAndSpanPayload:
         s2 = IndexSearcher(_engine_index(SF))
         with pytest.raises(ValueError):
             span_payload_check(s2, ("merge",), (3,))
+
+
+class TestLiveFieldValues:
+    """core/search/LiveFieldValues two-generation refresh protocol."""
+
+    def test_lifecycle(self):
+        from lucene_ray.search.engine import LiveFieldValues
+
+        committed = {"a": 1}
+        lv = LiveFieldValues(missing_value=None)
+        look = lambda k: committed.get(k)
+        assert lv.get("a", look) == 1          # falls through
+        lv.add("a", 2)
+        lv.add("b", 7)
+        lv.delete("c")
+        assert lv.get("a", look) == 2          # pending wins
+        assert lv.get("b", look) == 7
+        assert lv.get("c", look) is None       # recorded delete
+        assert lv.size() == 3
+        lv.before_refresh()                    # map swap; writes race on
+        lv.add("d", 9)
+        assert lv.get("a", look) == 2          # old map still answers
+        assert lv.get("d", look) == 9
+        # searcher reopens with a/b/c applied:
+        committed.update({"a": 2, "b": 7})
+        lv.after_refresh()
+        assert lv.size() == 1                  # only the racing write left
+        assert lv.get("a", look) == 2          # now from the searcher
+        assert lv.get("d", look) == 9          # still pending
