@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never-yet-recorded gates are placed first (VERDICT r3 #2); the
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
+        "line_dedup": text.line_dedup,
         "dsir_weights": text.dsir_weights,
         "multireader_engine": bm25docs.multireader_engine,
         "perceptron_classify": bm25docs.perceptron_classify,
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.ops import bm25docs, dedup, knn, multimodal, relational, text
 
     return {
+        "line_dedup": text.line_dedup_sql(),
         "dsir_weights": text.dsir_weights_sql(),
         "multireader_engine": bm25docs.multireader_engine_sql(),
         "q3_shipping": relational.q3_shipping_sql(),

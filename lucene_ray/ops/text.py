@@ -2318,3 +2318,135 @@ WITH t AS (
 SELECT d.doc_id, coalesce(w.weight, 0.0) AS weight
 FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style boilerplate line/paragraph dedup (Wenzek et al. 2020,
+# arXiv:1911.00359 — public method): drop text units repeated across many
+# documents (nav chrome, license headers, templates).
+
+LINEDEDUP_MIN_DOCS = 3  # a unit in >= this many DISTINCT docs is boilerplate
+_LINEDEDUP_SEP = ". "   # literal separator (SQL string_split mirror)
+_BOILER_HEAD = "BOILER NAV CHROME"     # injected on doc_id %% 2 == 0
+_BOILER_FOOT = "COMMON LICENSE FOOTER"  # injected on doc_id %% 3 == 0
+
+
+def _with_boilerplate(doc_id: int, text: str) -> str:
+    """Deterministic boilerplate injection so the gate exercises removal
+    on the boilerplate-free synthetic corpus (every natural sentence is
+    unique there) — the same stance as the folding gate's accent
+    injection; the SQL mirror concatenates the same literals."""
+    t = text or ""
+    if doc_id % 2 == 0:
+        t = _BOILER_HEAD + _LINEDEDUP_SEP + t
+    if doc_id % 3 == 0:
+        t = t + _LINEDEDUP_SEP + _BOILER_FOOT
+    return t
+
+
+def line_dedup(sf_dir: str, min_docs: int = LINEDEDUP_MIN_DOCS):
+    """(doc_id, kept, removed, clean_sha): remove sentence units that occur
+    in >= ``min_docs`` distinct documents, keeping within-doc order.
+
+    Shape at scale: pass 1 computes per-batch partial (unit, df) rows and
+    reduces with ONE groupby — the frequent set is then the only thing the
+    driver holds (boilerplate is small by nature: its size is bounded by
+    corpus_bytes / min_docs, and the gate asserts the broadcast set, not
+    the corpus, is collected); pass 2 broadcasts it via ray.put and
+    streams documents, emitting integer counts + the sha256 of the
+    rejoined text so the oracle compares exact strings without shipping
+    them."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen: dict = {}
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            for u in set(_with_boilerplate(int(did), text).split(_LINEDEDUP_SEP)):
+                seen[u] = seen.get(u, 0) + 1
+        return pa.table(
+            {
+                "unit": pa.array(list(seen), type=pa.string()),
+                "df": pa.array(list(seen.values()), type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("unit")
+        .sum("df")
+    )
+    freq_df = counts.filter(lambda r: r["sum(df)"] >= min_docs).to_pandas()
+    # bounded: |frequent| <= corpus_bytes / (min_docs * unit_bytes)
+    frequent = set(freq_df["unit"].tolist()) if len(freq_df) else set()
+    freq_ref = ray.put(frequent)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        freq = ray.get(freq_ref)
+        out = {"doc_id": [], "kept": [], "removed": [], "clean_sha": []}
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            units = _with_boilerplate(int(did), text).split(_LINEDEDUP_SEP)
+            keep = [u for u in units if u not in freq]
+            out["doc_id"].append(int(did))
+            out["kept"].append(len(keep))
+            out["removed"].append(len(units) - len(keep))
+            out["clean_sha"].append(
+                hashlib.sha256(_LINEDEDUP_SEP.join(keep).encode()).hexdigest()
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "kept": pa.array(out["kept"], type=pa.int64()),
+                "removed": pa.array(out["removed"], type=pa.int64()),
+                "clean_sha": pa.array(out["clean_sha"], type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=4096)
+
+
+def line_dedup_sql(min_docs: int = LINEDEDUP_MIN_DOCS) -> str:
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0
+               THEN 'BOILER NAV CHROME. ' || text ELSE text END)
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN '. COMMON LICENSE FOOTER' ELSE '' END) AS text
+  FROM documents
+), u AS (
+  SELECT doc_id, string_split(text, '. ') AS l FROM src
+), units AS (
+  SELECT DISTINCT doc_id, unnest(l) AS unit FROM u
+), freq AS (
+  SELECT unit FROM units GROUP BY unit HAVING count(*) >= {min_docs}
+), per AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(l))) AS ord,
+         unnest(l) AS unit
+  FROM u
+), keepers AS (
+  SELECT doc_id, ord, unit FROM per
+  WHERE unit NOT IN (SELECT unit FROM freq)
+), rebuilt AS (
+  SELECT doc_id,
+         coalesce(string_agg(unit, '. ' ORDER BY ord), '') AS clean,
+         count(*) AS kept
+  FROM keepers GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.kept, 0) AS kept,
+       len(u.l) - coalesce(r.kept, 0) AS removed,
+       sha256(coalesce(r.clean, '')) AS clean_sha
+FROM src d
+JOIN u ON u.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""

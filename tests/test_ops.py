@@ -3355,3 +3355,35 @@ class TestLiveFieldValues:
         assert lv.size() == 1                  # only the racing write left
         assert lv.get("a", look) == 2          # now from the searcher
         assert lv.get("d", look) == 9          # still pending
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLineDedup:
+    """CCNet-style boilerplate unit removal (Wenzek et al. 2020)."""
+
+    def test_gate(self, con):
+        from lucene_ray.ops import text as text_ops
+
+        assert_same(
+            text_ops.line_dedup(SF), con, text_ops.line_dedup_sql()
+        )
+
+    def test_boilerplate_removed_content_kept(self):
+        from lucene_ray.ops.text import line_dedup
+
+        df = to_pdf(line_dedup(SF))
+        # every doc_id%6==0 doc carries BOTH injected units -> removed==2
+        both = df[df.doc_id % 6 == 0]
+        assert (both["removed"] == 2).all()
+        # docs with neither injection lose nothing (natural sentences
+        # are unique in the synthetic corpus)
+        neither = df[(df.doc_id % 2 == 1) & (df.doc_id % 3 != 0)]
+        assert (neither["removed"] == 0).all()
+        assert (df["kept"] > 0).all()
+
+    def test_threshold_is_a_free_parameter(self):
+        from lucene_ray.ops.text import line_dedup
+
+        # an impossible threshold removes nothing
+        df = to_pdf(line_dedup(SF, min_docs=10_000))
+        assert (df["removed"] == 0).all()
