@@ -2450,3 +2450,259 @@ FROM src d
 JOIN u ON u.doc_id = d.doc_id
 LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training-data cleaning pipeline: the composition gate — every
+# stage is an already-gated op, chained as ONE streamed Ray pipeline.
+
+CLEAN_TARGET_LANG = "en"
+CLEAN_MIN_CHARS, CLEAN_MAX_CHARS = 100, 520
+_CLEAN_DUP_TEXT = (
+    "the duplicate seed document text that is shared between documents "
+    "for the exact dedup stage of the cleaning pipeline and long enough "
+    "to pass the quality filters"
+)
+
+
+def _clean_input_text(doc_id: int, text: str) -> str:
+    """Deterministic exact-duplicate injection (doc_id % 25 == 7 docs share
+    one text) so the dedup stage fires on the duplicate-free synthetic
+    corpus — same stance as the boilerplate/accent injections; the SQL
+    mirror CASEs the same literal."""
+    return _CLEAN_DUP_TEXT if doc_id % 25 == 7 else (text or "")
+
+
+def clean_corpus(sf_dir: str, target_lang: str = CLEAN_TARGET_LANG):
+    """(doc_id, stage): the flagship LLM-data cleaning composition —
+    language-ID filter (stopword-overlap heuristic == lang_id) ->
+    quality filter (chars in [{CLEAN_MIN_CHARS},{CLEAN_MAX_CHARS}], alpha
+    ratio >= 0.8 as 5*alpha >= 4*chars in ints) -> exact dedup (first doc
+    per sha256 among survivors, docid order) -> DSIR target-likeness
+    (keep weight > 0.0 — more target-like than the raw average). stage =
+    the first failing stage ('lang' | 'quality' | 'dedup' | 'dsir') or
+    'kept'.
+
+    ONE streamed pass computes every per-doc signal (language votes,
+    quality ints, sha, DSIR fold against the broadcast ln-ratio LUT);
+    the only shuffle is the dedup groupby(sha); nothing corpus-scale
+    touches the driver (the DSIR bucket reduce is DSIR_BUCKETS-bounded).
+    Every float/integer op reuses the stage ops' gated kernels, so the
+    composed oracle is exact."""
+    import hashlib as _hl
+    import math
+
+    import pyarrow.compute as pc
+
+    # DSIR LUT over the SAME injected input (one bounded reduce)
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        an = CodeAnalyzer()
+        texts = pa.array(
+            [
+                _clean_input_text(int(d), t)
+                for d, t in zip(
+                    batch.column("doc_id").to_pylist(),
+                    batch.column("text").to_pylist(),
+                )
+            ],
+            type=pa.string(),
+        )
+        toks = an.tokenize_array(texts)
+        langs = batch.column("lang").to_pylist()
+        cache: dict = {}
+        ct = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        cr = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        for row, lang in zip(toks.to_pylist(), langs):
+            for b in _dsir_doc_features(row, cache):
+                cr[b] += 1
+                if lang == target_lang:
+                    ct[b] += 1
+        nz = np.nonzero(cr)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, type=pa.int64()),
+                "ct": pa.array(ct[nz], type=pa.int64()),
+                "cr": pa.array(cr[nz], type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .sum(["ct", "cr"])
+        .to_pandas()
+    )
+    ct = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    cr = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    ct[counts["bucket"].to_numpy()] = counts["sum(ct)"].to_numpy()
+    cr[counts["bucket"].to_numpy()] = counts["sum(cr)"].to_numpy()
+    nt, nr = int(ct.sum()), int(cr.sum())
+    lut = np.empty(DSIR_BUCKETS, dtype=np.float64)
+    den_t, den_r = nt + DSIR_BUCKETS, nr + DSIR_BUCKETS
+    for b in range(DSIR_BUCKETS):
+        lut[b] = math.log((int(ct[b]) + 1) / den_t) - math.log(
+            (int(cr[b]) + 1) / den_r
+        )
+    lut_ref = ray.put(lut)
+    lid_langs = sorted(LANG_STOPWORDS)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        an = CodeAnalyzer()
+        dids = batch.column("doc_id").to_pylist()
+        raw = batch.column("text").to_pylist()
+        texts = [_clean_input_text(int(d), t) for d, t in zip(dids, raw)]
+        arr = pa.array(texts, type=pa.string())
+        row_idx, terms, _pos = an.tokenize_flat(arr)
+        n = len(texts)
+        votes = np.zeros((n, len(lid_langs)), dtype=np.int64)
+        for j, lg in enumerate(lid_langs):
+            mask = pc.is_in(
+                terms, value_set=pa.array(list(LANG_STOPWORDS[lg]))
+            ).to_numpy(zero_copy_only=False)
+            if len(row_idx):
+                votes[:, j] = np.bincount(row_idx[mask], minlength=n)
+        best = np.argmax(votes, axis=1)
+        pred = np.array(lid_langs, dtype=object)[best]
+        pred[votes.max(axis=1) == 0] = "und"
+        n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+        alpha = pc.utf8_length(
+            pc.replace_substring_regex(arr, pattern="[^A-Za-z]+", replacement="")
+        ).to_numpy(zero_copy_only=False)
+        toks = an.tokenize_array(arr)
+        cache: dict = {}
+        out = {"doc_id": [], "sha": [], "prefail": [], "weight": []}
+        for i, (did, text) in enumerate(zip(dids, texts)):
+            if pred[i] != target_lang:
+                pf = "lang"
+            elif not (
+                CLEAN_MIN_CHARS <= int(n_chars[i]) <= CLEAN_MAX_CHARS
+                and int(alpha[i]) * 5 >= int(n_chars[i]) * 4
+            ):
+                pf = "quality"
+            else:
+                pf = None
+            w = 0.0
+            for b in _dsir_doc_features(toks[i].as_py(), cache):
+                w += float(table[b])
+            out["doc_id"].append(int(did))
+            out["sha"].append(_hl.sha256(text.encode()).hexdigest())
+            out["prefail"].append(pf)
+            out["weight"].append(w)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "sha": pa.array(out["sha"], type=pa.string()),
+                "prefail": pa.array(out["prefail"], type=pa.string()),
+                "weight": pa.array(out["weight"], type=pa.float64()),
+            }
+        )
+
+    def dedup_group(df):
+        import pandas as pd
+
+        df = df.sort_values("doc_id")
+        stages = []
+        first_survivor = True
+        for _i, row in df.iterrows():
+            pf = row["prefail"]
+            if isinstance(pf, str):
+                stages.append(pf)           # failed before dedup
+            elif not first_survivor:
+                stages.append("dedup")      # later copy of this sha
+            else:
+                first_survivor = False
+                stages.append("kept" if row["weight"] > 0.0 else "dsir")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "stage": stages}
+        )
+
+    return (
+        ds.map_batches(flags, batch_format="pyarrow", batch_size=4096)
+        .groupby("sha")
+        .map_groups(dedup_group)
+    )
+
+
+def clean_corpus_sql() -> str:
+    toks = tokenize_sql_expr("text")
+    langs = sorted(LANG_STOPWORDS)
+    cnt_cols = ",\n  ".join(
+        f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in LANG_STOPWORDS[lg])}))) AS c_{lg}"
+        for lg in langs
+    )
+    g = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    cases = " ".join(f"WHEN c_{lg} = {g} THEN '{lg}'" for lg in langs)
+    bucket = (
+        "list_reduce(list_prepend(0, list_transform(string_split({s}, '')"
+        ", c -> ord(c))), (a, c) -> (a * 31 + c) % {m})"
+    )
+    b_uni = bucket.format(s="term", m=DSIR_BUCKETS)
+    b_big = bucket.format(s="t0.term || ' ' || t1.term", m=DSIR_BUCKETS)
+    return f"""
+WITH src AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 25 = 7 THEN '{_CLEAN_DUP_TEXT}'
+              ELSE text END AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, lang, {toks} AS l, {toks} AS toks, text FROM src
+), tok AS (
+  SELECT doc_id, lang, unnest(l) AS term,
+         generate_subscripts(l, 1) - 1 AS pos, len(l) AS dl
+  FROM t
+), feat AS (
+  SELECT doc_id, lang, pos AS ord, {b_uni} AS b FROM tok
+  UNION ALL
+  SELECT t0.doc_id, t0.lang, t0.dl + t0.pos AS ord, {b_big} AS b
+  FROM tok t0 JOIN tok t1
+    ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+), counts AS (
+  SELECT b,
+         count(*) FILTER (lang = '{CLEAN_TARGET_LANG}') AS ct,
+         count(*) AS cr
+  FROM feat GROUP BY b
+), nn AS (
+  SELECT (SELECT sum(ct) FROM counts) AS nt,
+         (SELECT sum(cr) FROM counts) AS nr
+), contrib AS (
+  SELECT f.doc_id, f.ord,
+         ln((c.ct + 1)::DOUBLE / (nn.nt + {DSIR_BUCKETS})::DOUBLE)
+         - ln((c.cr + 1)::DOUBLE / (nn.nr + {DSIR_BUCKETS})::DOUBLE) AS v
+  FROM feat f JOIN counts c ON c.b = f.b CROSS JOIN nn
+), w AS (
+  SELECT doc_id,
+         list_reduce(list(v ORDER BY ord), (a, b) -> a + b) AS weight
+  FROM contrib GROUP BY doc_id
+), lp AS (
+  SELECT doc_id, {cnt_cols} FROM t
+), lid AS (
+  SELECT doc_id, CASE WHEN {g} = 0 THEN 'und' {cases} END AS pred FROM lp
+), pre AS (
+  SELECT s.doc_id, sha256(s.text) AS sha,
+         CASE WHEN lid.pred != '{CLEAN_TARGET_LANG}' THEN 'lang'
+              WHEN NOT (length(s.text) BETWEEN {CLEAN_MIN_CHARS} AND {CLEAN_MAX_CHARS}
+                        AND length(regexp_replace(s.text, '[^A-Za-z]+', '', 'g')) * 5
+                            >= length(s.text) * 4)
+                   THEN 'quality'
+         END AS prefail,
+         coalesce(wt.weight, 0.0) AS weight
+  FROM src s JOIN lid ON lid.doc_id = s.doc_id
+  LEFT JOIN w wt ON wt.doc_id = s.doc_id
+), ranked AS (
+  SELECT *, CASE WHEN prefail IS NULL THEN
+              row_number() OVER (PARTITION BY sha, (prefail IS NULL)
+                                 ORDER BY doc_id)
+            END AS rn
+  FROM pre
+)
+SELECT doc_id,
+  CASE WHEN prefail IS NOT NULL THEN prefail
+       WHEN rn > 1 THEN 'dedup'
+       WHEN weight > 0.0 THEN 'kept'
+       ELSE 'dsir' END AS stage
+FROM ranked
+"""
