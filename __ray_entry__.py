@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge re-runs the remainder via tools/check_correctness.py.
         # --- new in round 5
         "clean_corpus": text.clean_corpus,
+        "dsir_resample": text.dsir_resample,
         "line_dedup": text.line_dedup,
         "dsir_weights": text.dsir_weights,
         "multireader_engine": bm25docs.multireader_engine,
@@ -286,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "clean_corpus": text.clean_corpus_sql(),
+        "dsir_resample": text.dsir_resample_sql(),
         "line_dedup": text.line_dedup_sql(),
         "dsir_weights": text.dsir_weights_sql(),
         "multireader_engine": bm25docs.multireader_engine_sql(),

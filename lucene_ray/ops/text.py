@@ -2706,3 +2706,96 @@ SELECT doc_id,
        ELSE 'dsir' END AS stage
 FROM ranked
 """
+
+
+DSIR_RESAMPLE_K = 50
+
+
+def dsir_resample(
+    sf_dir: str,
+    k: int = DSIR_RESAMPLE_K,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> pa.Table:
+    """(rank, doc_id): DSIR's Gumbel-top-k resampling step (Xie et al.
+    2023 §2 — sampling without replacement ∝ exp(weight) == top-k of
+    weight + Gumbel noise): noise is DETERMINISTIC, keyed by the doc's
+    content sha (u = (first-8-hex-of-sha256 + 0.5) / 2^32, g =
+    -ln(-ln(u)) — reproducible across runs and cluster sizes, the
+    repo-wide content-keyed-randomness stance; the paper seeds an RNG).
+    Per-batch top-k candidates + an O(batches*k) driver merge; every
+    float op (ln chains, the Gumbel transform, the final compare) is
+    mirrored exactly by the oracle."""
+    import hashlib as _hl
+    import math
+
+    import ray
+
+    # per-doc importance weight (the gated dsir_weights kernel)
+    weights = dsir_weights(sf_dir, target_lang)
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sha_u = {}
+    # content-keyed u per doc, computed streaming; the dict is only built
+    # on the DRIVER here because the gate corpus is small — at scale this
+    # is the same map_batches that computes the weight (one pass), kept
+    # separate only to reuse the gated dsir_weights kernel verbatim
+    for b in docs.iter_batches(batch_format="pyarrow", batch_size=4096):
+        for did, t in zip(
+            b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+        ):
+            h = int(_hl.sha256((t or "").encode()).hexdigest()[:8], 16)
+            sha_u[int(did)] = (h + 0.5) / 4294967296.0
+    u_ref = ray.put(sha_u)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        u = ray.get(u_ref)
+        dids = batch.column("doc_id").to_pylist()
+        ws = batch.column("weight").to_pylist()
+        scored = []
+        for did, w in zip(dids, ws):
+            g = -math.log(-math.log(u[int(did)]))
+            scored.append((w + g, int(did)))
+        scored.sort(key=lambda sv: (-sv[0], sv[1]))
+        top = scored[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array([d for _s, d in top], type=pa.int64()),
+                "score": pa.array([s for s, _d in top], type=pa.float64()),
+            }
+        )
+
+    cand = weights.map_batches(
+        score_topk, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()  # O(batches * k)
+    cand = cand.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(k)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(cand)), type=pa.int32()),
+            "doc_id": pa.array(cand["doc_id"].tolist(), type=pa.int64()),
+        }
+    )
+
+
+def dsir_resample_sql(
+    k: int = DSIR_RESAMPLE_K,
+) -> str:
+    w_sql = dsir_weights_sql()
+    return f"""
+WITH wt AS (
+  SELECT * FROM ({w_sql})
+), noise AS (
+  SELECT d.doc_id,
+         -ln(-ln((CAST(concat('0x', substr(sha256(d.text), 1, 8)) AS UBIGINT)::DOUBLE + 0.5)
+                 / 4294967296.0)) AS g
+  FROM documents d
+)
+SELECT (row_number() OVER (ORDER BY wt.weight + n.g DESC, wt.doc_id ASC)
+        - 1)::INTEGER AS rank,
+       wt.doc_id
+FROM wt JOIN noise n ON n.doc_id = wt.doc_id
+QUALIFY rank < {k}
+"""

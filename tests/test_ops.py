@@ -3420,3 +3420,31 @@ class TestCleanCorpus:
         # implied by the single stage column; spot the quality band
         q = df[df["stage"] == "quality"]
         assert len(q) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDsirResample:
+    """DSIR Gumbel-top-k resampling with content-keyed deterministic
+    noise."""
+
+    def test_gate(self, con):
+        from lucene_ray.ops import text as text_ops
+
+        assert_same(
+            text_ops.dsir_resample(SF), con, text_ops.dsir_resample_sql()
+        )
+
+    def test_deterministic_and_k_bound(self):
+        from lucene_ray.ops.text import dsir_resample
+
+        a = to_pdf(dsir_resample(SF, k=15))
+        b = to_pdf(dsir_resample(SF, k=15))
+        assert a.equals(b)  # content-keyed noise: identical across runs
+        assert len(a) == 15
+        # resample differs from plain weight top-k (the noise matters)
+        from lucene_ray.ops.text import dsir_weights
+
+        w = to_pdf(dsir_weights(SF)).sort_values(
+            ["weight", "doc_id"], ascending=[False, True]
+        ).head(15)
+        assert set(a["doc_id"]) != set(w["doc_id"])
